@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Tables follow the TPC-H-ish star schema plus `events` (stream-shaped),
+  * `documents` (text / dedup) and `embeddings` (similarity search); schemas in
+  * FIXTURES.md. All reads go through `spark.read.parquet` so Catalyst can push
+  * filters and prune columns down to the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
+    * ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG and floor-convert to a
+    * microsecond TIMESTAMP — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register every fixture as a temp view so queries can be written in SQL
+    * (shared verbatim with the DuckDB oracle where the dialects agree).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

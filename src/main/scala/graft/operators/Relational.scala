@@ -1,0 +1,483 @@
+package graft.operators
+
+import graft.ColFns._
+import graft.QueryDef.{q, qNoOracle}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational operator inventory (SURVEY.md §2B): projection/filter,
+  * equi/non-equi/outer/semi/anti/cross joins, hash aggregation,
+  * rollup/cube/grouping sets, window functions, sort/limit/top-k, set ops.
+  *
+  * The reference (hayesgm/redix_stream) delegates all computation to
+  * user handler callbacks (/root/reference/README.md:35); these make the
+  * delegated analytics first-class on Spark. All plans are declarative
+  * DataFrame/SQL so Catalyst applies pushdown, pruning and join selection;
+  * small dimension tables are broadcast explicitly.
+  */
+object Relational {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- scan / projection / filter / aggregation -------------------------
+
+    q("q01_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1999-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum(($"l_extendedprice" * (lit(1.0) - $"l_discount")) * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 30 AND 40
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .filter($"l_quantity".between(30, 40) &&
+          $"l_returnflag".isin("A", "R") && $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // --- joins ------------------------------------------------------------
+
+    q("q03_join_broadcast_agg",
+      s"""SELECT c_mktsegment,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""") { (s, dir) =>
+      import s.implicits._
+      // customer is the small dimension side — broadcast it so the 100 TB
+      // fact side never shuffles for this join.
+      T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+
+    q("q04_join_left_agg",
+      s"""SELECT c_custkey,
+         |  COUNT(o.o_orderkey) AS n_big,
+         |  COALESCE(${dsumSql("o.o_totalprice")}, 0.0) AS big_spend
+         |FROM customer
+         |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+         |  ON c_custkey = o.o_custkey
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""") { (s, dir) =>
+      import s.implicits._
+      val big = T(s, dir, "orders").filter($"o_totalprice" > 300000)
+      T(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_big"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("big_spend"))
+        .orderBy($"c_custkey")
+    },
+
+    q("q05_join_right_agg",
+      s"""SELECT p_partkey, p_name,
+         |  COUNT(l_orderkey) AS n_li,
+         |  COALESCE(${dsumSql("l_quantity")}, 0.0) AS qty
+         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_partkey, p_name
+         |ORDER BY p_partkey""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), $"l_partkey" === $"p_partkey", "right")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(count($"l_orderkey").as("n_li"),
+          coalesce(dsum($"l_quantity"), lit(0.0)).as("qty"))
+        .orderBy($"p_partkey")
+    },
+
+    q("q06_join_full",
+      """SELECT COALESCE(a.o_custkey, b.c_custkey) AS custkey,
+        |  COALESCE(a.n_big, 0) AS n_big,
+        |  b.c_acctbal AS acctbal
+        |FROM (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |      WHERE o_totalprice > 450000 GROUP BY o_custkey) a
+        |FULL JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |           WHERE c_acctbal < -900) b
+        |  ON a.o_custkey = b.c_custkey
+        |ORDER BY custkey""") { (s, dir) =>
+      import s.implicits._
+      val a = T(s, dir, "orders").filter($"o_totalprice" > 450000)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"))
+      val b = T(s, dir, "customer").filter($"c_acctbal" < -900)
+        .select($"c_custkey", $"c_acctbal")
+      a.join(b, $"o_custkey" === $"c_custkey", "full")
+        .select(coalesce($"o_custkey", $"c_custkey").as("custkey"),
+          coalesce($"n_big", lit(0L)).as("n_big"),
+          $"c_acctbal".as("acctbal"))
+        .orderBy($"custkey")
+    },
+
+    q("q07_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      import s.implicits._
+      val big = T(s, dir, "orders").filter($"o_totalprice" > 450000)
+      T(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    q("q08_join_anti",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      import s.implicits._
+      val big = T(s, dir, "orders").filter($"o_totalprice" > 450000)
+      T(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    q("q09_join_cross",
+      """SELECT r_name, o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        |ORDER BY r_name, o_orderpriority""") { (s, dir) =>
+      import s.implicits._
+      val prios = T(s, dir, "orders").select($"o_orderpriority").distinct()
+      T(s, dir, "region").crossJoin(prios)
+        .select($"r_name", $"o_orderpriority")
+        .orderBy($"r_name", $"o_orderpriority")
+    },
+
+    q("q10_join_range",
+      """SELECT p1.p_size AS size, COUNT(*) AS n_pairs
+        |FROM part p1 JOIN part p2
+        |  ON p2.p_size BETWEEN p1.p_size - 1 AND p1.p_size + 1
+        | AND p1.p_partkey < p2.p_partkey
+        | AND p1.p_brand <> p2.p_brand
+        |GROUP BY p1.p_size
+        |ORDER BY p1.p_size""") { (s, dir) =>
+      import s.implicits._
+      // Band (range) join made shuffle-friendly: explode the ±1 neighborhood
+      // of the left key so the range condition becomes an equi-join on size —
+      // this is the 100 TB-safe plan (no O(n^2) nested-loop cross join).
+      val p1 = T(s, dir, "part")
+        .select($"p_partkey".as("a_key"), $"p_size".as("a_size"), $"p_brand".as("a_brand"))
+        .withColumn("nsize", explode(array($"a_size" - 1, $"a_size", $"a_size" + 1)))
+      val p2 = T(s, dir, "part")
+        .select($"p_partkey".as("b_key"), $"p_size".as("b_size"), $"p_brand".as("b_brand"))
+      p1.join(p2, $"nsize" === $"b_size" && $"a_key" < $"b_key" && $"a_brand" =!= $"b_brand")
+        .groupBy($"a_size")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select($"a_size".as("size"), $"n_pairs")
+        .orderBy($"size")
+    },
+
+    // --- aggregation variants --------------------------------------------
+
+    q("q11_agg_stats",
+      s"""SELECT l_returnflag, n, min_qty, max_qty, avg_price,
+         |  ROUND(SQRT((sx2 * n - sx * sx) / (n * (n - 1))), 4) AS std_price
+         |FROM (
+         |  SELECT l_returnflag,
+         |    COUNT(*) AS n,
+         |    MIN(l_quantity) AS min_qty,
+         |    MAX(l_quantity) AS max_qty,
+         |    ${davgSql("l_extendedprice")} AS avg_price,
+         |    ${dsumSql("l_extendedprice")} AS sx,
+         |    ${dsumSql("l_extendedprice * l_extendedprice")} AS sx2
+         |  FROM lineitem GROUP BY l_returnflag
+         |) ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      // stddev via exact decimal sums (order-independent), rather than the
+      // order-dependent streaming variance the builtin computes.
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          dsum($"l_extendedprice").as("sx"),
+          dsum($"l_extendedprice" * $"l_extendedprice").as("sx2"))
+        .select($"l_returnflag", $"n", $"min_qty", $"max_qty", $"avg_price",
+          // DECIMAL→DOUBLE conversion of sx2 (~1e13 at scale 6) exceeds
+          // 2^53 of significand, where Spark and DuckDB round differently
+          // by 1 ulp — round the derived stat to absorb it.
+          round(sqrt(($"sx2" * $"n" - $"sx" * $"sx") / ($"n" * ($"n" - lit(1L)))), 4).as("std_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    q("q12_count_distinct",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // HLL sketch parameters are engine-specific — no SQL oracle (driver
+    // records rows-only). Exact-distinct parity is covered by q12.
+    qNoOracle("q13_approx_distinct") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    q("q14_rollup",
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  ${dsumSql("c_acctbal")} AS bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("bal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+
+    q("q15_cube",
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS rev
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    q("q16_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      // Same ANSI text runs on both engines — share it verbatim.
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  ${dsumSql("l_quantity")} AS qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    q("q17_collect_strings",
+      """SELECT l_returnflag,
+        |  STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set($"l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // --- window functions -------------------------------------------------
+
+    q("q18_window_topk",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    q("q19_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    q("q20_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum($"l_quantity".cast(Dec)).over(w).cast("double").as("run_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    q("q21_window_ntile",
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bucket
+        |FROM customer
+        |ORDER BY c_custkey""") { (s, dir) =>
+      import s.implicits._
+      // Global ntile is inherently a single ordered pass; fine for a
+      // quartile assignment, not a 100 TB hot path.
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      T(s, dir, "customer")
+        .select($"c_custkey", ntile(4).over(w).cast("long").as("bucket"))
+        .orderBy($"c_custkey")
+    },
+
+    q("q22_window_range",
+      """SELECT c_custkey,
+        |  CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |    RANGE BETWEEN CAST(100.0 AS DOUBLE) PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+        |FROM customer
+        |ORDER BY c_custkey""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey,
+          |  CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+          |    RANGE BETWEEN CAST(100.0 AS DOUBLE) PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+          |FROM customer
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // --- sort / limit / top-k --------------------------------------------
+
+    q("q23_top20",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      // orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+      // then a tiny driver-side merge — no global sort at any scale.
+      T(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+
+    // --- set operations ---------------------------------------------------
+
+    q("q24_union",
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9900
+        |ORDER BY custkey""") { (s, dir) =>
+      import s.implicits._
+      val a = T(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 400000)
+        .select($"o_custkey".as("custkey"))
+      val b = T(s, dir, "customer")
+        .filter($"c_acctbal" > 9900)
+        .select($"c_custkey".as("custkey"))
+      a.unionByName(b).distinct().orderBy($"custkey")
+    },
+
+    q("q25_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  AND o_totalprice > 400000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |  AND o_totalprice > 400000
+        |ORDER BY custkey""") { (s, dir) =>
+      import s.implicits._
+      val urgent = T(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000)
+        .select($"o_custkey".as("custkey"))
+      val low = T(s, dir, "orders")
+        .filter($"o_orderpriority" === "5-LOW" && $"o_totalprice" > 400000)
+        .select($"o_custkey".as("custkey"))
+      urgent.intersect(low).orderBy($"custkey")
+    },
+
+    q("q26_except",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  AND o_totalprice > 400000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |  AND o_totalprice > 400000
+        |ORDER BY custkey""") { (s, dir) =>
+      import s.implicits._
+      val urgent = T(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000)
+        .select($"o_custkey".as("custkey"))
+      val low = T(s, dir, "orders")
+        .filter($"o_orderpriority" === "5-LOW" && $"o_totalprice" > 400000)
+        .select($"o_custkey".as("custkey"))
+      urgent.except(low).orderBy($"custkey")
+    },
+
+    q("q27_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+  )
+}
