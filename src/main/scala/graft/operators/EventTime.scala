@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.ColFns._
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-time analytics over the stream-shaped `events` table (SURVEY.md §2B
+  * "streaming event-time"): tumbling / sliding / session windows and as-of
+  * ordering. These are the batch twins of the streaming queries in
+  * `graft.streaming` — same `window`/`session_window` operators Structured
+  * Streaming uses with a watermark, which makes them oracle-checkable here.
+  *
+  * The reference carries event time only as the entry-id millis prefix
+  * (/root/reference/lib/stream.ex:21-23) and delegates all windowing to user
+  * handlers; these make it first-class.
+  */
+object EventTime {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q35_window_tumbling",
+      s"""SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+         |  COUNT(*) AS n,
+         |  ${dsumSql("value")} AS total
+         |FROM events GROUP BY 1 ORDER BY ws""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+        .select(date_format($"w.start", fmt).as("ws"), $"n", $"total")
+        .orderBy($"ws")
+    },
+
+    q("q36_window_sliding",
+      """WITH w AS (
+        |  SELECT CAST(to_timestamp((CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 1800 - s.off) * 1800) AS TIMESTAMP) AS wstart,
+        |    event_id
+        |  FROM events, (SELECT UNNEST([0, 1]) AS off) s
+        |)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, COUNT(*) AS n
+        |FROM w GROUP BY 1 ORDER BY ws""") { (s, dir) =>
+      import s.implicits._
+      // 1-hour windows sliding every 30 min: each event lands in exactly 2.
+      T(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format($"w.start", fmt).as("ws"), $"n")
+        .orderBy($"ws")
+    },
+
+    q("q37_session_window",
+      """WITH t AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) uts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, uts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(uts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(uts), MAX(uts)) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      import s.implicits._
+      // session_window: events within a 30-min gap merge; the oracle mirrors
+      // it with classic gaps-and-islands (break when gap >= 30 min, matching
+      // Spark's exclusive session end).
+      T(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), min($"ts").as("mn"), max($"ts").as("mx"))
+        .select($"user_id",
+          date_format($"mn", fmt).as("session_start"),
+          $"n_events",
+          ($"mx".cast("long") - $"mn".cast("long")).as("dur_sec"))
+        .orderBy($"user_id", $"session_start")
+    },
+
+    q("q38_asof_join",
+      """SELECT e.event_id,
+        |  strftime((SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |              AND c.ts < e.ts),
+        |           '%Y-%m-%d %H:%M:%S') AS prev_click
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""") { (s, dir) =>
+      import s.implicits._
+      // As-of join (latest click strictly before each purchase, per user),
+      // computed scalably as one partitioned window pass over the unioned
+      // event stream — no per-row correlated lookup, no O(n^2) join. This is
+      // the 100 TB plan: shuffle once on user_id, sort within partition.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .withColumn("click_ts", when($"event_type" === "click", $"ts"))
+        .withColumn("prev_click_ts", max($"click_ts").over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", date_format($"prev_click_ts", fmt).as("prev_click"))
+        .orderBy($"event_id")
+    },
+  )
+}
