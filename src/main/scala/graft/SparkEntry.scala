@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** Full inventory, one QueryDef per implemented operator (SURVEY.md §2). */
   def all: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.Scalars.defs ++ operators.EventTime.defs
+    operators.Relational.defs ++ operators.Scalars.defs ++
+      operators.EventTime.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs ++ operators.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

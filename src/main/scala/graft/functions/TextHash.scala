@@ -1,0 +1,71 @@
+package graft.functions
+
+/** Deterministic text-hashing expression builders for the dedup family
+  * (SURVEY.md §2B "LLM-pipeline"). All are Spark SQL higher-order-function
+  * fragments (codegen-friendly, no UDFs, no JVM-specific hash) chosen so the
+  * DuckDB oracle can replicate them arithmetic-op for arithmetic-op:
+  * a polynomial rolling hash over code points mod a prime, affine minhash
+  * permutations, and a bitwise simhash fold.
+  *
+  * The reference has no hashing surface at all — computation is delegated to
+  * handler callbacks (/root/reference/README.md:35); these make
+  * fingerprinting first-class and portable.
+  */
+object TextHash {
+  /** Prime modulus for the polynomial hash; keeps a*h well inside Long. */
+  val P = 1000000007L
+
+  /** Number of minhash permutations and LSH bands (r = Sigs/Bands rows). */
+  val MinhashSigs = 16
+  val MinhashBands = 4
+
+  /** polyhash(s) = fold over chars: (acc*31 + codepoint) mod P, acc0 = 0. */
+  def polyHashSql(s: String): String =
+    s"aggregate(transform(sequence(1, length($s)), i -> CAST(ascii(substring($s, i, 1)) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Distinct word 3-gram shingles of a words array `w` (requires size>=3). */
+  def shinglesSql(w: String): String =
+    s"array_distinct(transform(sequence(1, size($w) - 2), i -> concat_ws(' ', slice($w, i, 3))))"
+
+  /** Distinct polyhashes of every element of a string-array expr `arr`. */
+  def hashedSetSql(arr: String): String =
+    s"array_distinct(transform($arr, s -> ${polyHashSql("s")}))"
+
+  /** Minhash signature (MinhashSigs affine permutations) of a hash-set expr. */
+  def minhashSql(hh: String): String =
+    s"transform(sequence(0, ${MinhashSigs - 1}), i -> " +
+      s"array_min(transform($hh, h -> ((2*i + 1) * h + 1000003*i + 12345) % $P)))"
+
+  /** 32-bit simhash of a hash-set expr: bit j set iff the +1/-1 vote of all
+    * feature hashes' j-th bits is positive.
+    */
+  def simhashSql(hh: String): String =
+    s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(aggregate($hh, CAST(0 AS BIGINT), (a2, h2) -> a2 + IF((shiftright(h2, j) & 1) = 1, 1, -1)) > 0, " +
+      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+
+  // ---- DuckDB oracle mirrors (dialect: list_* functions, fold init via
+  // list_prepend since DuckDB 1.0 list_reduce has no init argument) ----
+
+  def duckPolyHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), " +
+      s"i -> CAST(ascii(substr($s, CAST(i AS INT), 1)) AS BIGINT))), (acc,x) -> (acc*31+x) % $P)"
+
+  def duckShingles(w: String): String =
+    s"list_distinct(list_transform(range(len($w)-2), i -> " +
+      s"$w[CAST(i+1 AS INT)]||' '||$w[CAST(i+2 AS INT)]||' '||$w[CAST(i+3 AS INT)]))"
+
+  def duckHashedSet(arr: String): String =
+    s"list_distinct(list_transform($arr, s -> ${duckPolyHash("s")}))"
+
+  def duckMinhash(hh: String): String =
+    s"list_transform(range(${MinhashSigs}), i -> " +
+      s"list_min(list_transform($hh, h -> ((2*i+1)*h + 1000003*i + 12345) % $P)))"
+
+  def duckSimhash(hh: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(32)), (acc,j) -> acc + " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $hh), (a2,h2) -> " +
+      s"a2 + CASE WHEN (h2 >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)"
+}

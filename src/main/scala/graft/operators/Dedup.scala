@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.functions.TextHash._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication family for large-scale training-data pipelines: exact
+  * (hash-group), exact n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (signature → band → bucket join), and SimHash (band-blocked Hamming join).
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - signatures/fingerprints are computed map-side per row (no shuffle);
+  *  - candidate generation always goes through an equi-join on a small key
+  *    (shingle, band signature, simhash band) — never a cross join;
+  *  - SimHash band blocking is exact by pigeonhole: hamming <= 3 with 4
+  *    bands guarantees at least one identical band, so blocking loses no
+  *    pair while cutting the O(n^2) comparison space.
+  */
+object Dedup {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents with `words` (split) and distinct 3-gram `shingles`. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .withColumn("w", split($"text", " "))
+      .filter(size($"w") >= 3)
+      .withColumn("shingles", expr(shinglesSql("w")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q40_dedup_exact",
+      """SELECT doc_id, md5(text) AS text_hash,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"text_hash")
+      T(s, dir, "documents")
+        .withColumn("text_hash", md5($"text"))
+        .select($"doc_id", $"text_hash",
+          count(lit(1)).over(w).as("group_size"),
+          ($"doc_id" === min($"doc_id").over(w)).as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    q("q41_dedup_ngram_jaccard",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+         |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+         |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(shingles) n FROM sh)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jac
+         |FROM pair JOIN sz sa ON sa.doc_id = pair.da
+         |          JOIN sz sb ON sb.doc_id = pair.db
+         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import s.implicits._
+      // Exact n-gram Jaccard via inverted-index join on the shingle —
+      // only docs sharing a shingle are ever compared.
+      val sh = shingled(s, dir).select($"doc_id", $"shingles")
+      val ex = sh.select($"doc_id", explode($"shingles").as("s"))
+      val pair = ex.as("a").join(ex.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select($"doc_id", size($"shingles").cast("long").as("n"))
+      pair
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("jac",
+          $"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter"))
+        .filter($"jac" >= 0.6)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    q("q42_dedup_minhash_lsh",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id),
+         |est AS (SELECT da, db,
+         |    CAST(len(list_filter(range($MinhashSigs), i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)])) AS DOUBLE)/$MinhashSigs AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.da
+         |            JOIN sig sb ON sb.doc_id = cand.db)
+         |SELECT da AS doc_a, db AS doc_b, est_sim FROM est
+         |WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import s.implicits._
+      // shingle → polyhash set → minhash signature (map-side), then LSH:
+      // band the signature, equi-join on (band, band-signature) to get
+      // candidates, estimate similarity from signature agreement.
+      val sig = shingled(s, dir)
+        .withColumn("hh", expr(hashedSetSql("shingles")))
+        .withColumn("mh", expr(minhashSql("hh")))
+        .select($"doc_id", $"mh")
+      val bands = sig
+        .select($"doc_id", $"mh",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      cand
+        .join(sig.as("sa"), $"da" === $"sa.doc_id")
+        .join(sig.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("est_sim",
+          expr(s"size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), b -> b)) / CAST($MinhashSigs AS DOUBLE)"))
+        .filter($"est_sim" >= 0.5)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"est_sim")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    q("q43_dedup_simhash",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |sim AS (SELECT doc_id, ${duckSimhash("hh")} AS sh32 FROM hs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh32, b.sh32)) <= 3
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import s.implicits._
+      // SimHash near-dup with EXACT band blocking: hamming <= 3 and 4 bands
+      // of 8 bits → pigeonhole guarantees one identical band, so the
+      // band equi-join finds every qualifying pair (the oracle's naive
+      // O(n^2) join is only feasible because the oracle runs small).
+      val sim = shingled(s, dir)
+        .withColumn("hh", expr(hashedSetSql("shingles")))
+        .withColumn("sh32", expr(simhashSql("hh")))
+        .select($"doc_id", $"sh32")
+      val banded = sim.select($"doc_id", $"sh32",
+        explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("(shiftright(sh32, band * 8) & 255)"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          bit_count($"a.sh32".bitwiseXOR($"b.sh32")).cast("long").as("hamming"))
+        .distinct()
+      pairs.filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.functions.VectorFns._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding similarity search over `embeddings` (ARRAY<FLOAT>, dim 64,
+  * unit-normalized → dot == cosine).
+  *
+  * Three tiers, in increasing 100 TB readiness:
+  *  - q44: exact threshold self-join (the correctness baseline; candidate
+  *    space bounded by the a<b triangle, only viable at moderate n);
+  *  - q45: brute-force top-k for a bounded query set — scales linearly in
+  *    corpus size because the query side is broadcast;
+  *  - q46: IVF (inverted-file) ANN — assign vectors to coarse centroids
+  *    map-side, probe the top few centroids per query, search only those
+  *    clusters. This is the scale path: the exact search space per query
+  *    drops from n to n/|centroids| * probes.
+  */
+object Similarity {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q44_embedding_neardup",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("sim", expr(dotSql("ea", "eb")))
+        .filter($"sim" >= 0.45)
+        .select($"id_a", $"id_b", $"sim")
+        .orderBy($"id_a", $"id_b")
+    },
+
+    q("q45_sim_topk_brute",
+      s"""SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rk, sim FROM (
+         |  SELECT q.vec_id q_id, c.vec_id cand_id,
+         |    ${duckDot("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) rn
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20
+         |) WHERE rn <= 5 ORDER BY q_id, rk""") { (s, dir) =>
+      import s.implicits._
+      // Bounded query set × full corpus: broadcast the queries so the scan
+      // of the big side is shuffle-free; per-query top-k via window.
+      val e = T(s, dir, "embeddings")
+      val qs = broadcast(e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe")))
+      val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
+      qs.join(cands, $"q_id" =!= $"cand_id")
+        .withColumn("sim", expr(dotSql("qe", "ce")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"cand_id", $"rk", $"sim")
+        .orderBy($"q_id", $"rk")
+    },
+
+    q("q46_sim_ann_ivf",
+      s"""WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS (SELECT vec_id, embedding FROM embeddings),
+         |ad AS (SELECT v.vec_id, c.cid, ${duckDot("v.embedding", "c.ce")} AS d FROM v, c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) rn
+         |  FROM ad) WHERE rn = 1),
+         |probes AS (SELECT vec_id q_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) rn
+         |  FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id cand_id FROM probes p
+         |         JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.q_id),
+         |scored AS (SELECT q_id, cand_id, ${duckDot("qv.embedding", "cv.embedding")} AS sim
+         |  FROM cand JOIN v qv ON qv.vec_id = cand.q_id
+         |            JOIN v cv ON cv.vec_id = cand.cand_id),
+         |ranked AS (SELECT q_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rk, sim FROM ranked
+         |WHERE rn <= 3 ORDER BY q_id, rk""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      // deterministic coarse centroids (every 25th vector); at scale these
+      // would come from k-means — the plumbing below is identical.
+      val cents = broadcast(e.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce")))
+      val vecs = e.select($"vec_id", $"embedding")
+      val ad = vecs.crossJoin(cents)
+        .withColumn("d", expr(dotSql("embedding", "ce")))
+        .select($"vec_id", $"cid", $"d")
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cid")
+      val assign = ad.withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1).select($"vec_id", $"cid")
+      val probes = ad.filter($"vec_id" < 10)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("q_id"), $"cid")
+      val cand = probes.join(assign.withColumnRenamed("vec_id", "cand_id"), "cid")
+        .filter($"cand_id" =!= $"q_id")
+        .select($"q_id", $"cand_id")
+      val scored = cand
+        .join(vecs.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+        .join(vecs.select($"vec_id".as("cand_id"), $"embedding".as("cve")), "cand_id")
+        .withColumn("sim", expr(dotSql("qe", "cve")))
+      val wRank = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
+      scored.withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"cand_id", $"rk", $"sim")
+        .orderBy($"q_id", $"rk")
+    },
+  )
+}

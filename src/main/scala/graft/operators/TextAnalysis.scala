@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.functions.TextHash._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text analysis + multimodal-column plumbing for training-data pipelines:
+  * language-ID (stopword-profile heuristic), quality scoring, token counting
+  * (whitespace + regex "BPE-ish"), document fingerprinting (rolling hash),
+  * and opaque-binary payload handling. All map-side scalar work — embarrassingly
+  * parallel at any scale.
+  */
+object TextAnalysis {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val stops = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def sparkCount(lang: String): String = {
+    val lst = stops(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(size(filter(w, x -> array_contains(array($lst), x))) AS BIGINT)"
+  }
+
+  private def duckCount(lang: String): String = {
+    val lst = stops(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(w, x -> list_contains([$lst], x))) AS BIGINT)"
+  }
+
+  private val predLadder =
+    """CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+      |     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |     WHEN s_fr >= s_de THEN 'fr'
+      |     ELSE 'de' END""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q47_text_langid",
+      s"""WITH words AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |  ${duckCount("en")} AS s_en, ${duckCount("es")} AS s_es,
+         |  ${duckCount("fr")} AS s_fr, ${duckCount("de")} AS s_de
+         |FROM words)
+         |SELECT doc_id, s_en, s_es, s_fr, s_de,
+         |  $predLadder AS pred_lang,
+         |  ($predLadder) = lang AS is_match
+         |FROM scored ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id", $"lang",
+          expr(sparkCount("en")).as("s_en"), expr(sparkCount("es")).as("s_es"),
+          expr(sparkCount("fr")).as("s_fr"), expr(sparkCount("de")).as("s_de"))
+        .withColumn("pred_lang", expr(predLadder))
+        .withColumn("is_match", $"pred_lang" === $"lang")
+        .drop("lang")
+        .orderBy($"doc_id")
+    },
+
+    q("q48_text_quality",
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') w FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+        |    (CAST(n_chars AS DOUBLE) - (len(w) - 1)) / len(w) AS avg_wlen
+        |  FROM t)
+        |SELECT doc_id, n_words, ttr, stop_ratio, avg_wlen,
+        |  CAST(0.5 AS DOUBLE) * ttr + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - stop_ratio)
+        |    + CAST(0.2 AS DOUBLE) * LEAST(n_words / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_words"),
+          (size(array_distinct($"w")).cast("double") / size($"w")).as("ttr"),
+          (expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+            .cast("double") / size($"w")).as("stop_ratio"),
+          (($"n_chars".cast("double") - (size($"w") - 1)) / size($"w")).as("avg_wlen"))
+        .withColumn("quality",
+          lit(0.5) * $"ttr" + lit(0.3) * (lit(1.0) - $"stop_ratio") +
+            lit(0.2) * least($"n_words" / lit(100.0), lit(1.0)))
+        .orderBy($"doc_id")
+    },
+
+    q("q49_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents").select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").as("re_tokens"),
+        ($"n_chars".cast("double") / size(split($"text", " "))).as("chars_per_tok")
+      ).orderBy($"doc_id")
+    },
+
+    q("q50_text_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(text) AS fp_md5,
+         |  ${duckPolyHash("text")} AS fp_poly
+         |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents").select(
+        $"doc_id",
+        md5($"text").as("fp_md5"),
+        expr(polyHashSql("text")).as("fp_poly")
+      ).orderBy($"doc_id")
+    },
+
+    q("q51_multimodal_binary",
+      // Binary payload plumbing: text bytes stand in for image/audio blobs
+      // (no media libs in this environment); the byte-level ops are real.
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .withColumn("payload", expr("encode(text, 'UTF-8')"))
+        .select(
+          $"doc_id",
+          expr("octet_length(payload)").cast("long").as("n_bytes"),
+          md5($"payload").as("digest"),
+          ascii(substring($"text", 1, 1)).cast("long").as("first_byte"))
+        .orderBy($"doc_id")
+    },
+  )
+}
