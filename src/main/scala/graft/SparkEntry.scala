@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Scalars.defs ++
       operators.EventTime.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs ++ operators.TextAnalysis.defs
+      operators.Similarity.defs ++ operators.TextAnalysis.defs ++
+      operators.StreamLog.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,208 @@
+package graft.consumer
+
+import graft.log.{LogId, LogStore}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Handler verdicts — the reference's contract verbatim
+  * (/root/reference/lib/redix/stream/consumer.ex:199-210): `Ok` → auto-ack,
+  * `Defer` → success but ack manually later, `Err` → failure (raised when
+  * `raiseErrors`, crashing the consumer so supervision replays unacked work).
+  */
+sealed trait HandlerResult
+object HandlerResult {
+  case object Ok extends HandlerResult
+  case object Defer extends HandlerResult
+  final case class Err(cause: Throwable) extends HandlerResult
+}
+
+/** Consumer configuration ≙ `consumer_spec` options
+  * (/root/reference/lib/stream.ex:55-58, README.md:106-118).
+  *
+  * `startPos`: "default" resolves by the reference's decision table
+  * (/root/reference/lib/redix/stream/consumer.ex:71-91): no group →
+  * `latest` (end_of_stream; messages during downtime are lost — the
+  * reference's documented at-most-once no-group mode), group → last known
+  * message, which in Spark is simply the recovered checkpoint (fresh
+  * checkpoint → `latest`, i.e. group created at "$").
+  */
+final case class ConsumerConfig(
+    logRoot: String,
+    stream: String,
+    checkpointRoot: String,
+    groupName: Option[String] = None,
+    consumerName: String = "consumer_1",
+    startPos: String = "default",
+    maxEntriesPerTrigger: Option[Long] = None,
+    processPending: Boolean = true,
+    raiseErrors: Boolean = true) {
+
+  def resolvedStartingOffsets: String = startPos match {
+    case "default" => "latest"
+    case other => other
+  }
+
+  def checkpointDir: String = {
+    val scope = groupName.getOrElse(s"__nogroup__/$consumerName")
+    s"$checkpointRoot/$scope/offsets"
+  }
+
+  def ledgerDir: Option[Path] =
+    groupName.map(g => Paths.get(checkpointRoot, g, "ledger"))
+}
+
+/** Per-group ack/pending ledger. Spark commits offsets per micro-batch while
+  * the reference acks per message (XACK) — the ledger closes that gap
+  * (SURVEY.md §7 hard part (a)): acked ids are never re-dispatched inside a
+  * replayed batch, and `Defer`red ids survive restarts until acked, exactly
+  * like Redis's pending-entries list. Append-only files; a compactor would
+  * fold them at scale.
+  */
+final class AckLedger(dir: Path) {
+  private val acksFile = dir.resolve("acks.txt")
+  private val pendingFile = dir.resolve("pending.txt")
+  Files.createDirectories(dir)
+
+  private def readSet(p: Path): Set[String] =
+    if (Files.exists(p))
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).toSet
+    else Set.empty
+
+  // In-memory mirror (dispatch is driver-side); files are the restart truth.
+  private var ackedSet: Set[String] = readSet(acksFile)
+  private var pendingSet: Set[String] = readSet(pendingFile)
+
+  private def appendLine(p: Path, line: String): Unit =
+    Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  def acked: Set[String] = synchronized(ackedSet)
+  def deferred: Set[String] = synchronized(pendingSet -- ackedSet)
+  def ack(id: String): Unit = synchronized {
+    ackedSet += id; appendLine(acksFile, id)
+  }
+  def defer(id: String): Unit = synchronized {
+    pendingSet += id; appendLine(pendingFile, id)
+  }
+}
+
+/** A running consumer: the Spark rebuild of the reference's Consumer
+  * GenServer (/root/reference/lib/redix/stream/consumer.ex) — a streaming
+  * query over the graftlog source whose `foreachBatch` dispatches the handler
+  * per message in id order, plus the ack ledger for group mode.
+  */
+final class GraftConsumer(
+    spark: SparkSession,
+    cfg: ConsumerConfig,
+    handler: (String, Option[String], String, Map[String, String]) => HandlerResult) {
+
+  private val ledger: Option[AckLedger] = cfg.ledgerDir.map(new AckLedger(_))
+  @volatile private var query: Option[StreamingQuery] = None
+
+  /** Manual ack for `Defer`red messages (≙ `Consumer.ack/2`,
+    * /root/reference/lib/redix/stream/consumer.ex:114-124).
+    */
+  def ack(id: String): Unit = ledger.foreach(_.ack(id))
+
+  /** Dispatch one entry; mirrors call_handler + the :ok/:defer/error
+    * branches (/root/reference/lib/redix/stream/consumer.ex:190-216).
+    */
+  private def dispatch(id: String, values: Map[String, String]): Unit = {
+    val alreadyAcked = ledger.exists(_.acked.contains(id))
+    if (!alreadyAcked) {
+      handler(cfg.stream, cfg.groupName, id, values) match {
+        case HandlerResult.Ok => ledger.foreach(_.ack(id))
+        case HandlerResult.Defer => ledger.foreach(_.defer(id))
+        case HandlerResult.Err(cause) =>
+          if (cfg.raiseErrors) throw cause
+      }
+    }
+  }
+
+  /** Drain this consumer's pending (deferred-unacked) backlog before going
+    * live — the reference's pending→live switchover
+    * (/root/reference/lib/redix/stream/consumer.ex:159-165).
+    */
+  def drainPending(): Unit =
+    for (l <- ledger if cfg.processPending) {
+      val pending = l.deferred.map(LogId.parse).toSeq.sorted
+      pending.foreach { id =>
+        LogStore.readRange(cfg.logRoot, cfg.stream, LogId(id.millis, id.seq - 1), id)
+          .filter(_.id == id).filterNot(_.isTombstone)
+          .foreach(e => dispatch(e.id.toString, e.values))
+      }
+    }
+
+  def start(): StreamingQuery = {
+    drainPending()
+    val src = spark.readStream.format("graftlog")
+      .option("path", cfg.logRoot)
+      .option("stream", cfg.stream)
+      .option("startingOffsets", cfg.resolvedStartingOffsets)
+    val withMax = cfg.maxEntriesPerTrigger
+      .fold(src)(m => src.option("maxEntriesPerTrigger", m.toString))
+    val q = withMax.load()
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(200))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Ordered, driver-side dispatch: the reference is explicitly
+        // sequential ("callbacks ... block all processing", README.md:124);
+        // analytics workloads should use the DataFrame API instead of a
+        // per-message handler, so this path is not a data plane.
+        val rows = batch
+          .selectExpr("id", "seq", "ts", "values")
+          .orderBy("ts", "seq")
+          .collect()
+        rows.foreach { r =>
+          dispatch(r.getAs[String]("id"), r.getAs[Map[String, String]]("values"))
+        }
+        ()
+      }
+      .start()
+    query = Some(q)
+    q
+  }
+
+  def stop(): Unit = query.foreach(_.stop())
+  def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
+}
+
+/** Supervision ≙ ConsumerSup's one-for-one restart
+  * (/root/reference/lib/redix/stream/consumer_sup.ex:12-40): run the
+  * consumer, and on failure restart it from the checkpoint — Structured
+  * Streaming then re-runs the uncommitted batch (pending replay), giving the
+  * reference's group-mode at-least-once contract.
+  */
+object ConsumerRunner {
+  def runSupervised(spark: SparkSession, cfg: ConsumerConfig,
+      handler: (String, Option[String], String, Map[String, String]) => HandlerResult,
+      maxRestarts: Int = 3,
+      until: GraftConsumer => Boolean = _ => true): GraftConsumer = {
+    val consumer = new GraftConsumer(spark, cfg, handler)
+    var restarts = 0
+    var done = false
+    while (!done) {
+      val q = consumer.start()
+      try {
+        var caughtUp = false
+        while (!caughtUp) {
+          q.processAllAvailable()
+          if (until(consumer)) caughtUp = true else Thread.sleep(50)
+        }
+        consumer.stop()
+        done = true
+      } catch {
+        case e: Throwable =>
+          try q.stop() catch { case _: Throwable => () }
+          if (restarts >= maxRestarts) throw e
+          restarts += 1 // one-for-one restart; checkpoint replays unacked work
+      }
+    }
+    consumer
+  }
+}

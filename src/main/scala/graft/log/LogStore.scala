@@ -1,0 +1,102 @@
+package graft.log
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** On-disk layout of a stream log: `<root>/<stream>/` holds immutable JSONL
+  * segment files named `<firstId>__<lastId>.jsonl`, each a batch of entries in
+  * id order. Segments are written atomically (tmp + rename), so readers never
+  * observe partial files; the name carries the id range for file-level
+  * pruning, the same way the id doubles as position in the reference
+  * (/root/reference/lib/redix/stream/consumer.ex:301-313).
+  *
+  * JSONL keeps the produce path append-cheap (mirroring XADD); a compactor
+  * would rewrite cold segments to parquet at scale — readers already prune by
+  * range, so that change is invisible to consumers.
+  */
+object LogStore {
+
+  final case class Segment(path: String, first: LogId, last: LogId)
+
+  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.jsonl$".r
+
+  def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
+
+  /** Idempotent stream DDL (≙ ensure_stream_and_group MKSTREAM,
+    * /root/reference/lib/redix/stream/consumer.ex:332-351): creating an
+    * existing stream is a no-op.
+    */
+  def ensureStream(root: String, stream: String): Unit =
+    Files.createDirectories(streamDir(root, stream))
+
+  def exists(root: String, stream: String): Boolean =
+    Files.isDirectory(streamDir(root, stream))
+
+  def segments(root: String, stream: String): Seq[Segment] = {
+    val dir = streamDir(root, stream).toFile
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    files.iterator.flatMap { f =>
+      f.getName match {
+        case SegName(a, b) => Some(Segment(f.getAbsolutePath, LogId.parse(a), LogId.parse(b)))
+        case _ => None
+      }
+    }.toSeq.sortBy(_.first)
+  }
+
+  /** Highest assigned id, or Zero for an empty/missing stream. */
+  def maxId(root: String, stream: String): LogId = {
+    val segs = segments(root, stream)
+    if (segs.isEmpty) LogId.Zero else segs.map(_.last).max
+  }
+
+  // --- JSONL codec (Jackson ships with Spark) ---
+
+  private def mapper = new ObjectMapper()
+
+  def encodeLine(e: LogEntry): String = {
+    val m = mapper
+    val node = m.createObjectNode()
+    node.put("id", e.id.toString)
+    val vals = node.putObject("values")
+    e.values.foreach { case (k, v) => vals.put(k, v) }
+    m.writeValueAsString(node)
+  }
+
+  def decodeLine(line: String): LogEntry = {
+    val node = mapper.readTree(line).asInstanceOf[ObjectNode]
+    val id = LogId.parse(node.get("id").asText())
+    val vals = node.get("values").asInstanceOf[ObjectNode]
+    val values = vals.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    LogEntry(id, values)
+  }
+
+  def readSegment(path: String): Seq[LogEntry] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
+      .asScala.iterator.filter(_.nonEmpty).map(decodeLine).toSeq
+
+  /** Entries with start < id <= end across all segments, in id order. */
+  def readRange(root: String, stream: String, start: LogId, end: LogId): Seq[LogEntry] =
+    segments(root, stream)
+      .filter(s => s.last > start && s.first <= end)
+      .flatMap(s => readSegment(s.path))
+      .filter(e => e.id > start && e.id <= end)
+      .sortBy(_.id)
+
+  /** Atomically write one segment holding `entries` (must be id-ordered). */
+  def writeSegment(root: String, stream: String, entries: Seq[LogEntry]): Unit = {
+    require(entries.nonEmpty, "empty segment")
+    val dir = streamDir(root, stream)
+    Files.createDirectories(dir)
+    val name = s"${entries.head.id}__${entries.last.id}.jsonl"
+    val tmp = dir.resolve(s".$name.tmp")
+    val lines = entries.map(encodeLine).mkString("", "\n", "\n")
+    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Oracle-checked exercise of the engine's own stream log (SURVEY.md §2A):
+  * `produce` (batch sink with driver-assigned `"<millis>-<seq>"` ids and
+  * to_string value coercion, ≙ /root/reference/lib/stream.ex:25-38) followed
+  * by a positioned scan (DataSource V2 batch read). The payload round-trips
+  * through the schemaless MAP<STRING,STRING> model, and the oracle asserts
+  * the coerced values match DuckDB's own string rendering of the source
+  * table — proving the coercion rule, not just the plumbing.
+  */
+object StreamLog {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q60_log_roundtrip",
+      """SELECT CAST(event_id AS VARCHAR) AS event_id_s,
+        |  event_type AS event_type_s,
+        |  CAST(value AS VARCHAR) AS value_s
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q60").toString
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "events")
+        .mode("append").save()
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "events")
+        .load()
+        .select(
+          element_at($"values", "event_id").as("event_id_s"),
+          element_at($"values", "event_type").as("event_type_s"),
+          element_at($"values", "value").as("value_s"))
+        .orderBy($"event_id_s".cast("long"))
+    },
+  )
+}

@@ -1,0 +1,347 @@
+package graft.sources
+
+import graft.log.{LogEntry, LogId, LogStore, LogWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 for the graft append-only stream log (`format("graftlog")`).
+  *
+  * Read side: batch scan + `MicroBatchStream` with admission control —
+  * the Spark-native rebuild of the reference's consumer loop:
+  *  - `startingOffsets` ∈ {earliest, latest, "<millis>-<seq>"} ≙ the
+  *    start-position decision table (:start_of_stream/"0", :end_of_stream/"$",
+  *    explicit id) at /root/reference/lib/redix/stream/consumer.ex:79-91;
+  *    "last known message" ≙ offsets recovered from checkpointLocation.
+  *  - `maxEntriesPerTrigger` ≙ bounding one XREAD batch
+  *    (/root/reference/lib/redix/stream/consumer.ex:142-157 has no bound —
+  *    admission control is the scale-safe improvement).
+  *  - tombstone entries (`{"": ""}`) are dropped in the reader, as the
+  *    reference skips them before the handler
+  *    (/root/reference/lib/redix/stream/consumer.ex:286, :295).
+  *
+  * Write side: batch + streaming append ≙ `produce` (XADD,
+  * /root/reference/lib/stream.ex:25-38). Executors serialize rows into commit
+  * messages; the driver assigns monotonic `"<millis>-<seq>"` ids at commit,
+  * preserving the single-sequencer id rule (a stream is one ordered shard, as
+  * in Redis; scale-out = many streams). Batch retry after a commit failure
+  * re-appends with fresh ids — at-least-once, the reference's contract.
+  */
+class GraftLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLogSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftLogSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("values", MapType(StringType, StringType, valueContainsNull = false))))
+
+  def root(o: CaseInsensitiveStringMap): String = {
+    val r = o.get("path")
+    require(r != null, "graftlog requires option 'path' (log root dir)")
+    r
+  }
+
+  def stream(o: CaseInsensitiveStringMap): String = {
+    val s = o.get("stream")
+    require(s != null, "graftlog requires option 'stream'")
+    s
+  }
+
+  def toRow(stream: UTF8String, e: LogEntry): InternalRow = {
+    val keys = e.values.keys.toArray[Any].map(k => UTF8String.fromString(k.asInstanceOf[String]))
+    val vals = e.values.values.toArray[Any].map(v => UTF8String.fromString(v.asInstanceOf[String]))
+    new GenericInternalRow(Array[Any](
+      stream,
+      UTF8String.fromString(e.id.toString),
+      e.id.millis * 1000L, // epoch micros from the id's millis prefix
+      e.id.seq,
+      ArrayBasedMapData(keys, vals)))
+  }
+}
+
+final class GraftLogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  private val root = GraftLogSource.root(options)
+  private val stream = GraftLogSource.stream(options)
+
+  override def name(): String = s"graftlog:$root/$stream"
+  override def schema(): StructType = GraftLogSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // writes take arbitrary payload columns (stringified into the map)
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftLogScan(root, stream, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLogWriteBuilder(root, stream, info.schema())
+}
+
+final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = GraftLogSource.Schema
+  override def description(): String = s"GraftLogScan($root/$stream)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftLogPartitioning.plan(root, stream, LogId.Zero,
+        LogStore.maxId(root, stream), minPartitions(options))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogReaderFactory(dropTombstones(options))
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(root, stream, options)
+
+  private def minPartitions(o: CaseInsensitiveStringMap): Int =
+    o.getInt("minPartitions", 4)
+  private def dropTombstones(o: CaseInsensitiveStringMap): Boolean =
+    o.getBoolean("dropTombstones", true)
+}
+
+/** Offset = last-consumed id (exclusive start of the next batch). */
+final case class GraftLogOffset(id: LogId) extends Offset {
+  override def json(): String = s"""{"millis":${id.millis},"seq":${id.seq}}"""
+}
+
+object GraftLogOffset {
+  private val P = """\{"millis":(\d+),"seq":(\d+)\}""".r
+  def parse(json: String): GraftLogOffset = json.trim match {
+    case P(m, s) => GraftLogOffset(LogId(m.toLong, s.toLong))
+    case other => throw new IllegalArgumentException(s"bad graftlog offset: $other")
+  }
+}
+
+final class GraftLogMicroBatchStream(root: String, stream: String,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxEntriesPerTrigger")).map(_.toLong)
+
+  override def initialOffset(): Offset = {
+    val mode = Option(options.get("startingOffsets")).getOrElse("latest")
+    val id = mode match {
+      case "earliest" => LogId.Zero
+      case "latest" => LogStore.maxId(root, stream)
+      case explicit => LogId.parse(explicit)
+    }
+    GraftLogOffset(id)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startId = start.asInstanceOf[GraftLogOffset].id
+    val max = LogStore.maxId(root, stream)
+    limit match {
+      case _: ReadAllAvailable => GraftLogOffset(max)
+      case r: ReadMaxRows =>
+        val entries = LogStore.readRange(root, stream, startId, max)
+        if (entries.size <= r.maxRows()) GraftLogOffset(max)
+        else GraftLogOffset(entries(r.maxRows().toInt - 1).id)
+      case _ => GraftLogOffset(max)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftLogOffset(LogStore.maxId(root, stream))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftLogPartitioning.plan(root, stream,
+      start.asInstanceOf[GraftLogOffset].id, end.asInstanceOf[GraftLogOffset].id,
+      options.getInt("minPartitions", 4))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(options.getBoolean("dropTombstones", true))
+
+  override def deserializeOffset(json: String): Offset = GraftLogOffset.parse(json)
+
+  /** Batch fully processed — ≙ the group cursor advancing past acked work
+    * (auto-XACK after :ok, /root/reference/lib/redix/stream/consumer.ex:199-201).
+    * Offsets live in the checkpoint WAL; nothing to persist source-side.
+    */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** One partition = a contiguous run of segments (id order preserved within
+  * the partition, ≙ the reference's per-consumer in-order dispatch,
+  * /root/reference/lib/redix/stream/consumer.ex:190-249).
+  */
+final case class GraftLogInputPartition(stream: String, paths: Seq[String],
+    startExcl: String, endIncl: String) extends InputPartition
+
+object GraftLogPartitioning {
+  def plan(root: String, stream: String, start: LogId, end: LogId,
+      minPartitions: Int): Array[InputPartition] = {
+    val segs = LogStore.segments(root, stream)
+      .filter(s => s.last > start && s.first <= end)
+    if (segs.isEmpty) Array.empty
+    else {
+      val groups = math.max(1, math.min(minPartitions, segs.size))
+      val per = math.ceil(segs.size.toDouble / groups).toInt
+      segs.grouped(per).map { g =>
+        GraftLogInputPartition(stream, g.map(_.path),
+          start.toString, end.toString): InputPartition
+      }.toArray
+    }
+  }
+}
+
+final class GraftLogReaderFactory(dropTombstones: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftLogInputPartition]
+    val start = LogId.parse(p.startExcl)
+    val end = LogId.parse(p.endIncl)
+    val streamName = UTF8String.fromString(p.stream)
+    val entries = p.paths.iterator
+      .flatMap(LogStore.readSegment)
+      .filter(e => e.id > start && e.id <= end)
+      .filter(e => !dropTombstones || !e.isTombstone)
+      .toSeq.sortBy(_.id).iterator
+    new PartitionReader[InternalRow] {
+      private var current: LogEntry = _
+      override def next(): Boolean =
+        if (entries.hasNext) { current = entries.next(); true } else false
+      override def get(): InternalRow = GraftLogSource.toRow(streamName, current)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------------
+
+final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftLogBatchWrite(root, stream, schema)
+    override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(root, stream, schema)
+  }
+}
+
+/** Rows serialized on executors; ids assigned once, on the driver, at commit. */
+final case class GraftLogCommitMessage(partitionId: Int,
+    rows: Seq[Map[String, String]]) extends WriterCommitMessage
+
+object GraftLogWritePath {
+  /** Convert an incoming row to the flat string map, applying the
+    * `to_string/1` coercion rule (/root/reference/lib/stream.ex:15-16):
+    * a MAP<STRING,STRING> `values` column is taken as the payload verbatim;
+    * otherwise every non-meta column is stringified. Nulls → "" (to_string(nil)).
+    */
+  def toPayload(schema: StructType, row: InternalRow): Map[String, String] = {
+    val valuesIdx = schema.fieldNames.indexOf("values")
+    if (valuesIdx >= 0 && schema(valuesIdx).dataType.isInstanceOf[MapType]) {
+      val m = row.getMap(valuesIdx)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      (0 until m.numElements()).map { i =>
+        keys.getUTF8String(i).toString ->
+          (if (vals.isNullAt(i)) "" else vals.getUTF8String(i).toString)
+      }.toMap
+    } else {
+      schema.fields.zipWithIndex
+        .filter { case (f, _) => !Set("id", "ts", "seq", "stream").contains(f.name) }
+        .map { case (f, i) =>
+          val v =
+            if (row.isNullAt(i)) ""
+            else f.dataType match {
+              case StringType => row.getUTF8String(i).toString
+              case IntegerType => String.valueOf(row.getInt(i))
+              case LongType => String.valueOf(row.getLong(i))
+              case DoubleType => String.valueOf(row.getDouble(i))
+              case FloatType => String.valueOf(row.getFloat(i))
+              case BooleanType => String.valueOf(row.getBoolean(i))
+              case ShortType => String.valueOf(row.getShort(i))
+              case ByteType => String.valueOf(row.getByte(i))
+              case dt => String.valueOf(row.get(i, dt))
+            }
+          f.name -> v
+        }.toMap
+    }
+  }
+
+  def commitAll(root: String, stream: String, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .map(_.asInstanceOf[GraftLogCommitMessage])
+      .toSeq.sortBy(_.partitionId)
+      .flatMap(_.rows)
+    if (rows.nonEmpty) {
+      val writer = new LogWriter(root, stream)
+      writer.produceAll(rows.map(_.asInstanceOf[Map[String, Any]]))
+    } else LogStore.ensureStream(root, stream)
+  }
+}
+
+final class GraftLogDataWriter(schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+  override def write(record: InternalRow): Unit =
+    buf += GraftLogWritePath.toPayload(schema, record)
+  override def commit(): WriterCommitMessage = GraftLogCommitMessage(partitionId, buf.toSeq)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
+
+/** Serializable factory shipped to executors (must not capture the write). */
+final case class GraftLogWriterFactory(schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(schema, partitionId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(schema, partitionId)
+}
+
+final class GraftLogBatchWrite(root: String, stream: String, schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftLogWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.commitAll(root, stream, messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftLogStreamingWrite(root: String, stream: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftLogWriterFactory(schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.commitAll(root, stream, messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.consumer._
+import graft.log.LogWriter
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Delivery-semantics parity suite, ported from the reference's consumer
+  * integration tests (/root/reference/test/redix/stream/consumer_test.exs —
+  * the de-facto semantics spec, see SURVEY.md §5): ordered dispatch,
+  * crash/replay at-least-once with exactly-once effect via acks, defer +
+  * manual ack, and group-from-end semantics.
+  */
+class ConsumerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cfg(root: String, stream: String, group: Option[String],
+      start: String = "earliest"): ConsumerConfig =
+    ConsumerConfig(
+      logRoot = root, stream = stream,
+      checkpointRoot = TestSpark.tmpDir("consumer-ckpt"),
+      groupName = group, startPos = start)
+
+  test("group consumer processes messages in id order, acking each") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 5).foreach(i => w.produce(Map(s"key_$i" -> s"value_$i")))
+    val seen = mutable.ArrayBuffer.empty[Map[String, String]]
+    val c = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("g1")),
+      (_, _, _, values) => { seen += values; HandlerResult.Ok },
+      until = _ => seen.size >= 5)
+    assert(seen.toList == (1 to 5).map(i => Map(s"key_$i" -> s"value_$i")).toList)
+    c.stop()
+  }
+
+  test("crash on message replays unacked work; acked messages are not re-dispatched") {
+    // ≙ consumer_test.exs:222-280: crash hard on msg 2, all messages end up
+    // processed, each acked exactly once.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 5).foreach(i => w.produce(Map("n" -> i.toString)))
+    val invocations = mutable.ArrayBuffer.empty[String]
+    var failedOnce = false
+    val c = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("g1")),
+      (_, _, _, values) => {
+        val n = values("n")
+        invocations += n
+        if (n == "2" && !failedOnce) {
+          failedOnce = true
+          HandlerResult.Err(new RuntimeException("boom on 2"))
+        } else HandlerResult.Ok
+      },
+      until = _ => invocations.count(_ == "5") >= 1)
+    c.stop()
+    // msg 1 acked before the crash → dispatched exactly once; msg 2 twice
+    assert(invocations.count(_ == "1") == 1)
+    assert(invocations.count(_ == "2") == 2)
+    assert(Set("3", "4", "5").subsetOf(invocations.toSet))
+  }
+
+  test("defer leaves the message pending; it replays on restart until acked manually") {
+    // ≙ consumer_test.exs:54-100 (ack/:defer) + pending drain on restart
+    // (/root/reference/lib/redix/stream/consumer.ex:159-165).
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "a"))
+    val shared = cfg(root, "s", Some("g1"))
+    val invocations = mutable.ArrayBuffer.empty[String]
+    var deferredId: Option[String] = None
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, id, values) => {
+        invocations += values("job"); deferredId = Some(id); HandlerResult.Defer
+      },
+      until = _ => invocations.nonEmpty)
+    c1.stop()
+    assert(invocations.toList == List("a"))
+
+    // restart: pending message is drained and re-dispatched
+    val c2 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Defer },
+      until = _ => true)
+    c2.stop()
+    assert(invocations.toList == List("a", "a"))
+
+    // manual ack → no more redelivery on the next restart
+    val c3 = new GraftConsumer(spark, shared, (_, _, _, values) => {
+      invocations += values("job"); HandlerResult.Ok
+    })
+    c3.ack(deferredId.get)
+    c3.drainPending()
+    assert(invocations.toList == List("a", "a"))
+  }
+
+  test("group consumer starting at latest skips history") {
+    // ≙ consumer_test.exs:282-322 (group from :end_of_stream)
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("old" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[Map[String, String]]
+    val consumer = new GraftConsumer(spark, cfg(root, "s", Some("g1"), start = "latest"),
+      (_, _, _, values) => { seen += values; HandlerResult.Ok })
+    val q = consumer.start()
+    q.processAllAvailable()
+    w.produce(Map("new" -> "1"))
+    q.processAllAvailable()
+    consumer.stop()
+    assert(seen.toList == List(Map("new" -> "1")))
+  }
+
+  test("tombstone is not dispatched to the handler") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produceTombstone()
+    w.produce(Map("k" -> "v"))
+    val seen = mutable.ArrayBuffer.empty[Map[String, String]]
+    val c = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("g1")),
+      (_, _, _, values) => { seen += values; HandlerResult.Ok },
+      until = _ => seen.nonEmpty)
+    c.stop()
+    assert(seen.toList == List(Map("k" -> "v")))
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.log.{LogId, LogStore, LogWriter}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity tests for the log + DataSource V2 source/sink, ported from the
+  * reference's own suite (see SURVEY.md §5):
+  * id shape (/root/reference/test/redix/stream_test.exs:17), to_string
+  * coercion (/root/reference/lib/stream.ex:15-23), tombstone skipping
+  * (/root/reference/lib/redix/stream/consumer.ex:286), position semantics.
+  */
+class LogSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("produce assigns millis-seq ids, monotonic within a millisecond") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1700000000123L
+    val w = new LogWriter(root, "s1", () => now)
+    val id1 = w.produce(Map("k" -> "v"))
+    val id2 = w.produce(Map("k" -> "v2")) // same millis → seq bump
+    now += 5
+    val id3 = w.produce(Map("k" -> "v3"))
+    assert(id1.toString.matches("\\d+-\\d+"))
+    assert(id1 == LogId(1700000000123L, 0))
+    assert(id2 == LogId(1700000000123L, 1))
+    assert(id3 == LogId(1700000000128L, 0))
+    assert(List(id1, id2, id3) == List(id1, id2, id3).sorted)
+  }
+
+  test("produce coerces values to_string and round-trips") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "temps")
+    w.produce(Map("temperature" -> 55, "ratio" -> 1.5, "none" -> null))
+    val got = LogStore.readRange(root, "temps", LogId.Zero, LogStore.maxId(root, "temps"))
+    assert(got.head.values == Map("temperature" -> "55", "ratio" -> "1.5", "none" -> ""))
+  }
+
+  test("writer resumes after the highest existing id on restart") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w1 = new LogWriter(root, "s", () => now)
+    w1.produce(Map("a" -> "1"))
+    // clock goes backwards across writer restarts; ids must not regress
+    now = 900L
+    val w2 = new LogWriter(root, "s", () => now)
+    val id = w2.produce(Map("b" -> "2"))
+    assert(id == LogId(1000L, 1))
+  }
+
+  test("batch read returns entries in order with derived ts/seq") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1700000000000L
+    val w = new LogWriter(root, "s1", () => now)
+    (1 to 5).foreach { i => now += 1000; w.produce(Map(s"key_$i" -> s"value_$i")) }
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s1").load()
+    val rows = df.orderBy("seq", "ts").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("id")).toSeq ==
+      rows.map(_.getAs[String]("id")).toSeq.sorted)
+    val first = df.orderBy("ts").limit(1).collect()(0)
+    assert(first.getAs[Map[String, String]]("values") == Map("key_1" -> "value_1"))
+    assert(first.getAs[java.sql.Timestamp]("ts").getTime == 1700000001000L)
+  }
+
+  test("tombstone entries are skipped by the reader") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1")
+    w.produceTombstone()
+    w.produce(Map("k" -> "v"))
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s1").load()
+    assert(df.count() == 1)
+    val all = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s1")
+      .option("dropTombstones", "false").load()
+    assert(all.count() == 2)
+  }
+
+  test("streaming read from earliest sees history; maxEntriesPerTrigger bounds batches") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1")
+    (1 to 10).foreach(i => w.produce(Map("i" -> i)))
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "s1")
+      .option("startingOffsets", "earliest")
+      .option("maxEntriesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("early")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    val n = spark.sql("select count(*) from early").collect()(0).getLong(0)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(n == 10)
+    assert(batches >= 4) // 10 entries / 3 per trigger
+  }
+
+  test("streaming read from latest skips history (end_of_stream semantics)") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1")
+    (1 to 3).foreach(i => w.produce(Map("old" -> i)))
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "s1")
+      .option("startingOffsets", "latest")
+      .load()
+      .writeStream.format("memory").queryName("tail")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    (1 to 2).foreach(i => w.produce(Map("new" -> i)))
+    q.processAllAvailable()
+    val got = spark.sql("select values['new'] as v from tail order by v").collect()
+    q.stop()
+    assert(got.length == 2)
+    assert(got.map(_.getString(0)).toSeq == Seq("1", "2"))
+  }
+
+  test("streaming sink appends with driver-assigned monotonic ids") {
+    val root = TestSpark.tmpDir("graftlog")
+    import spark.implicits._
+    val src = TestSpark.tmpDir("srclog")
+    val sw = new LogWriter(src, "in")
+    (1 to 4).foreach(i => sw.produce(Map("n" -> i)))
+    val q = spark.readStream.format("graftlog")
+      .option("path", src).option("stream", "in")
+      .option("startingOffsets", "earliest")
+      .load()
+      .select($"values")
+      .writeStream.format("graftlog")
+      .option("path", root).option("stream", "out")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
+    assert(out.map(_.values("n")).sorted == Seq("1", "2", "3", "4"))
+    assert(out.map(_.id) == out.map(_.id).sorted)
+  }
+
+  test("flagship slice: produce -> stream -> event-time windowed agg") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1700000000000L
+    val w = new LogWriter(root, "events", () => now)
+    val kinds = Seq("click", "click", "purchase", "click", "purchase")
+    kinds.foreach { k => now += 60000; w.produce(Map("event_type" -> k)) }
+    import spark.implicits._
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "events")
+      .option("startingOffsets", "earliest")
+      .load()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 hour"), $"values.event_type".as("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winagg")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    val got = spark.sql("select event_type, n from winagg order by event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got == Map("click" -> 3, "purchase" -> 2))
+  }
+}
