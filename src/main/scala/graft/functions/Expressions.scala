@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels of the dedup /
+  * similarity family. The SQL higher-order-function formulations (TextHash)
+  * are semantically identical but interpret a lambda per element; these run
+  * the same arithmetic as tight loops (PolyHash and DotProduct with
+  * whole-stage codegen), which is what makes minhash/simhash/cosine viable
+  * at 100 TB. The DuckDB oracle mirrors in TextHash/VectorFns are unchanged —
+  * same ops in the same order, bit-identical results (ASCII payloads; the
+  * byte==codepoint equivalence the polyhash relies on).
+  */
+object GraftExpressions {
+
+  val P = 1000000007L
+
+  /** Register all graft_* functions for use in SQL / expr() lambdas. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+  }
+
+  def polyHashBytes(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+}
+
+/** polyhash(s): (acc*31 + byte) mod P over the UTF-8 bytes — equals the
+  * per-codepoint HOF/oracle formulation for ASCII input. Codegen'd single
+  * pass, no per-char substring.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.polyHashBytes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31L + ($bytes[$i] & 0xffL)) % ${GraftExpressions.P}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 16-permutation minhash signature of an ARRAY<BIGINT> feature-hash set:
+  * sig[i] = min over h of ((2i+1)*h + 1000003*i + 12345) mod P.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](TextHash.MinhashSigs)
+    var i = 0
+    while (i < TextHash.MinhashSigs) {
+      val a = 2L * i + 1L
+      val b = 1000003L * i + 12345L
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * arr.getLong(j) + b) % GraftExpressions.P
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit simhash of an ARRAY<BIGINT> feature-hash set: bit j is set iff the
+  * sum of (+1 / -1) votes from each hash's j-th bit is positive.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) acc |= (1L << b)
+      b += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** dot(a, b) over ARRAY<FLOAT> in double precision, left-to-right — the same
+  * IEEE addition order as the HOF fold and the DuckDB list_reduce mirror, so
+  * results are bit-identical across all three. Codegen'd loop.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

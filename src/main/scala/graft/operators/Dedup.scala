@@ -27,6 +27,7 @@ object Dedup {
   /** documents with `words` (split) and distinct 3-gram `shingles`. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExpressions.register(s)
     T(s, dir, "documents")
       .withColumn("w", split($"text", " "))
       .filter(size($"w") >= 3)
@@ -53,11 +54,12 @@ object Dedup {
     q("q41_dedup_ngram_jaccard",
       s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
-         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
          |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
-         |         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
          |         GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(shingles) n FROM sh)
+         |sz AS (SELECT doc_id, len(hh) n FROM hs)
          |SELECT da AS doc_a, db AS doc_b,
          |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jac
          |FROM pair JOIN sz sa ON sa.doc_id = pair.da
@@ -65,15 +67,19 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       import s.implicits._
-      // Exact n-gram Jaccard via inverted-index join on the shingle —
-      // only docs sharing a shingle are ever compared.
-      val sh = shingled(s, dir).select($"doc_id", $"shingles")
-      val ex = sh.select($"doc_id", explode($"shingles").as("s"))
+      // Exact n-gram Jaccard via inverted-index join — only docs sharing a
+      // shingle are ever compared, and the join key is the 8-byte shingle
+      // hash rather than the shingle string (the oracle hashes identically,
+      // so any collision affects both engines the same way).
+      val sh = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"hh")
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
       val pair = ex.as("a").join(ex.as("b"),
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
         .agg(count(lit(1)).as("inter"))
-      val sz = sh.select($"doc_id", size($"shingles").cast("long").as("n"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
       pair
         .join(sz.as("sa"), $"da" === $"sa.doc_id")
         .join(sz.as("sb"), $"db" === $"sb.doc_id")
@@ -107,9 +113,10 @@ object Dedup {
       // band the signature, equi-join on (band, band-signature) to get
       // candidates, estimate similarity from signature agreement.
       val sig = shingled(s, dir)
-        .withColumn("hh", expr(hashedSetSql("shingles")))
-        .withColumn("mh", expr(minhashSql("hh")))
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("mh", expr("graft_minhash(hh)"))
         .select($"doc_id", $"mh")
+        .cache()
       val bands = sig
         .select($"doc_id", $"mh",
           explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
@@ -147,9 +154,10 @@ object Dedup {
       // band equi-join finds every qualifying pair (the oracle's naive
       // O(n^2) join is only feasible because the oracle runs small).
       val sim = shingled(s, dir)
-        .withColumn("hh", expr(hashedSetSql("shingles")))
-        .withColumn("sh32", expr(simhashSql("hh")))
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("sh32", expr("graft_simhash32(hh)"))
         .select($"doc_id", $"sh32")
+        .cache()
       val banded = sim.select($"doc_id", $"sh32",
         explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bkey", expr("(shiftright(sh32, band * 8) & 255)"))

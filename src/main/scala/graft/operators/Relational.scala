@@ -115,11 +115,17 @@ object Relational {
          |GROUP BY p_partkey, p_name
          |ORDER BY p_partkey""") { (s, dir) =>
       import s.implicits._
-      T(s, dir, "lineitem")
-        .join(T(s, dir, "part"), $"l_partkey" === $"p_partkey", "right")
-        .groupBy($"p_partkey", $"p_name")
-        .agg(count($"l_orderkey").as("n_li"),
-          coalesce(dsum($"l_quantity"), lit(0.0)).as("qty"))
+      // Aggregate-below-outer-join rewrite: reduce the fact side to one row
+      // per key first, then broadcast-join the dimension — the 100 TB plan
+      // (no wide-row outer join, no big-side shuffle for the join itself).
+      val liAgg = T(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(count($"l_orderkey").as("n_li0"), dsum($"l_quantity").as("qty0"))
+      T(s, dir, "part")
+        .join(broadcast(liAgg), $"p_partkey" === $"l_partkey", "left")
+        .select($"p_partkey", $"p_name",
+          coalesce($"n_li0", lit(0L)).as("n_li"),
+          coalesce($"qty0", lit(0.0)).as("qty"))
         .orderBy($"p_partkey")
     },
 

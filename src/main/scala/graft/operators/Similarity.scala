@@ -22,8 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Similarity {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
     Tables.load(s, dir, name)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -38,7 +40,7 @@ object Similarity {
       val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
       val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
       a.join(b, $"id_a" < $"id_b")
-        .withColumn("sim", expr(dotSql("ea", "eb")))
+        .withColumn("sim", expr("graft_dot(ea, eb)"))
         .filter($"sim" >= 0.45)
         .select($"id_a", $"id_b", $"sim")
         .orderBy($"id_a", $"id_b")
@@ -62,7 +64,7 @@ object Similarity {
       val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("ce"))
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
       qs.join(cands, $"q_id" =!= $"cand_id")
-        .withColumn("sim", expr(dotSql("qe", "ce")))
+        .withColumn("sim", expr("graft_dot(qe, ce)"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 5)
         .select($"q_id", $"cand_id", $"rk", $"sim")
@@ -97,7 +99,7 @@ object Similarity {
         .select($"vec_id".as("cid"), $"embedding".as("ce")))
       val vecs = e.select($"vec_id", $"embedding")
       val ad = vecs.crossJoin(cents)
-        .withColumn("d", expr(dotSql("embedding", "ce")))
+        .withColumn("d", expr("graft_dot(embedding, ce)"))
         .select($"vec_id", $"cid", $"d")
       val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cid")
       val assign = ad.withColumn("rn", row_number().over(wAssign))
@@ -112,7 +114,7 @@ object Similarity {
       val scored = cand
         .join(vecs.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
         .join(vecs.select($"vec_id".as("cand_id"), $"embedding".as("cve")), "cand_id")
-        .withColumn("sim", expr(dotSql("qe", "cve")))
+        .withColumn("sim", expr("graft_dot(qe, cve)"))
       val wRank = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
       scored.withColumn("rk", row_number().over(wRank).cast("long"))
         .filter($"rk" <= 3)

@@ -114,10 +114,11 @@ object TextAnalysis {
          |  ${duckPolyHash("text")} AS fp_poly
          |FROM documents ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftExpressions.register(s)
       T(s, dir, "documents").select(
         $"doc_id",
         md5($"text").as("fp_md5"),
-        expr(polyHashSql("text")).as("fp_poly")
+        expr("graft_polyhash(text)").as("fp_poly")
       ).orderBy($"doc_id")
     },
 

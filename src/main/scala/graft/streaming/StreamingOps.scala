@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** First-class streaming analytics over any unbounded DataFrame (typically
+  * the graftlog source) — SURVEY.md §2B "streaming event-time" and "stateful
+  * streaming". The reference delegates every one of these to a user handler
+  * run message-at-a-time in a GenServer loop
+  * (/root/reference/lib/redix/stream/consumer.ex:190-249); here they are
+  * declarative plans Structured Streaming executes incrementally with
+  * watermark-bounded state — the property that makes them viable on an
+  * unbounded 100 TB stream (state is pruned, not accumulated forever).
+  */
+object StreamingOps {
+
+  /** Tumbling event-time counts with late-data drop beyond the watermark. */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String,
+      window: String, keyCols: String*): DataFrame = {
+    val keyed = keyCols.map(col)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(col(tsCol), window) +: keyed: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((struct(col("window.start").as("start"), col("window.end").as("end"))
+        .as("win") +: keyed :+ col("n")): _*)
+  }
+
+  /** Sliding event-time aggregation (window/slide), watermarked. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+      window: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+
+  /** Session windows (gap-based), watermarked. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCols: String*): DataFrame = {
+    val keyed = keyCols.map(col)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyed: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("session_window.start").as("start") +: keyed :+ col("n")): _*)
+  }
+
+  /** Streaming deduplication with bounded state: duplicates of a key arriving
+    * within the watermark horizon are dropped, state beyond it is pruned —
+    * the streaming twin of the batch dedup family (operators.Dedup).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  /** Watermarked stream-stream inner join with an event-time interval bound —
+    * both sides' buffered state is bounded by the watermark + interval.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, key: String, watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $maxDelay"))
+  }
+
+  /** Per-key running state via flatMapGroupsWithState — the engine twin of
+    * the reference's stateful handler loop (a GenServer holding arbitrary
+    * per-consumer state): emits (key, runningCount, lastValue) on every
+    * update, with state owned by the engine and checkpointed.
+    */
+  def runningCountByKey(spark: SparkSession, events: DataFrame,
+      keyCol: String, valueCol: String): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($valueCol AS STRING) AS v")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (String, Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[(Long, String)]) =>
+          var (n, last) = state.getOption.getOrElse((0L, ""))
+          val out = rows.map { case (_, v) =>
+            n += 1; last = v
+            (key, n, last)
+          }.toList
+          state.update((n, last))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.log.LogWriter
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming analytics over the graftlog source: watermarked windows,
+  * streaming dedup, stream-stream interval join, per-key arbitrary state.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkLog(stream: String, entries: Seq[(Long, Map[String, Any])]): String = {
+    val root = TestSpark.tmpDir("slog")
+    var now = 0L
+    val w = new LogWriter(root, stream, () => now)
+    entries.foreach { case (ts, values) => now = ts; w.produce(values) }
+    root
+  }
+
+  private def readLog(root: String, stream: String): DataFrame =
+    spark.readStream.format("graftlog")
+      .option("path", root).option("stream", stream)
+      .option("startingOffsets", "earliest").load()
+
+  private def runToMemory(df: DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private val H = 3600L * 1000L // one hour of millis
+
+  test("tumbling watermarked counts over the stream log") {
+    val root = mkLog("ev", Seq(
+      (1 * H + 1, Map("kind" -> "a")), (1 * H + 2, Map("kind" -> "b")),
+      (2 * H + 1, Map("kind" -> "a")),
+      (9 * H, Map("kind" -> "flush")))) // advances watermark past hours 1-2
+    val agg = StreamingOps.tumblingCounts(readLog(root, "ev"), "ts", "1 minute", "1 hour")
+    runToMemory(agg, "tumble")
+    val got = spark.sql("select win.start, n from tumble order by 1").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(got(1 * H) == 2L)
+    assert(got(2 * H) == 1L)
+  }
+
+  test("streaming dedup within watermark drops repeated keys") {
+    val root = mkLog("ev", Seq(
+      (1000L, Map("user" -> "u1", "action" -> "click")),
+      (2000L, Map("user" -> "u1", "action" -> "click")), // dup within horizon
+      (3000L, Map("user" -> "u2", "action" -> "click"))))
+    val dedup = StreamingOps.dedupWithinWatermark(
+      readLog(root, "ev").selectExpr("ts", "values['user'] AS user"),
+      "ts", "10 minutes", "user")
+    runToMemory(dedup, "dedup")
+    val users = spark.sql("select user from dedup order by user").collect().map(_.getString(0))
+    assert(users.toSeq == Seq("u1", "u2"))
+  }
+
+  test("stream-stream interval join matches clicks to later purchases") {
+    val root = mkLog("ev", Seq(
+      (1000L, Map("et" -> "click", "user" -> "u1")),
+      (60 * 1000L, Map("et" -> "purchase", "user" -> "u1")),
+      (10 * H, Map("et" -> "other", "user" -> "zz")))) // watermark flush
+    val all = readLog(root, "ev")
+      .selectExpr("ts", "values['et'] AS et", "values['user'] AS user")
+    val clicks = all.filter("et = 'click'").selectExpr("user", "ts AS click_ts")
+    val buys = all.filter("et = 'purchase'").selectExpr("user AS buyer", "ts AS buy_ts")
+    val joined = StreamingOps.intervalJoin(
+      clicks.withColumnRenamed("user", "k"), "click_ts",
+      buys.withColumnRenamed("buyer", "k"), "buy_ts",
+      "k", "1 minute", "5 minutes")
+    runToMemory(joined.selectExpr("l.k AS user"), "ssjoin")
+    val got = spark.sql("select user from ssjoin").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("u1"))
+  }
+
+  test("per-key running state via flatMapGroupsWithState") {
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "a", "v" -> "1")),
+      (2000L, Map("k" -> "a", "v" -> "2")),
+      (3000L, Map("k" -> "b", "v" -> "9"))))
+    val state = StreamingOps.runningCountByKey(spark,
+      readLog(root, "ev").selectExpr("values['k'] AS k", "values['v'] AS v"),
+      "k", "v")
+    runToMemory(state.toDF("key", "n", "last"), "stateful")
+    val got = spark.sql("select key, n, last from stateful order by key, n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(("a", 1L, "1"), ("a", 2L, "2"), ("b", 1L, "9")))
+  }
+}
