@@ -70,6 +70,12 @@ object StreamingOps {
         s"r.$rightTs <= l.$leftTs + interval $maxDelay"))
   }
 
+  /** Stream-static enrichment join: the static dimension is broadcast, so
+    * the unbounded side never shuffles and no streaming state is kept.
+    */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(static), Seq(key), "left")
+
   /** Per-key running state via flatMapGroupsWithState — the engine twin of
     * the reference's stateful handler loop (a GenServer holding arbitrary
     * per-consumer state): emits (key, runningCount, lastValue) on every

@@ -78,6 +78,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("u1"))
   }
 
+  test("stream-static broadcast enrichment join") {
+    import spark.implicits._
+    val root = mkLog("ev", Seq(
+      (1000L, Map("user" -> "u1")), (2000L, Map("user" -> "u2"))))
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user", "tier")
+    val joined = StreamingOps.enrichWithStatic(
+      readLog(root, "ev").selectExpr("values['user'] AS user"), dim, "user")
+    runToMemory(joined, "enrich")
+    val got = spark.sql("select user, tier from enrich order by user").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toList
+    assert(got == List("u1" -> "gold", "u2" -> "basic"))
+  }
+
   test("per-key running state via flatMapGroupsWithState") {
     val root = mkLog("ev", Seq(
       (1000L, Map("k" -> "a", "v" -> "1")),
