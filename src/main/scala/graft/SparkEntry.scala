@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Scalars.defs ++
       operators.EventTime.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.TextAnalysis.defs ++
-      operators.StreamLog.defs ++ operators.UdfSurface.defs
+      operators.StreamLog.defs ++ operators.UdfSurface.defs ++
+      operators.Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

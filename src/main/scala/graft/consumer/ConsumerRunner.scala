@@ -39,7 +39,8 @@ final case class ConsumerConfig(
     startPos: String = "default",
     maxEntriesPerTrigger: Option[Long] = None,
     processPending: Boolean = true,
-    raiseErrors: Boolean = true) {
+    raiseErrors: Boolean = true,
+    ordered: Boolean = true) {
 
   def resolvedStartingOffsets: String = startPos match {
     case "default" => "latest"
@@ -62,19 +63,22 @@ final case class ConsumerConfig(
   * like Redis's pending-entries list. Append-only files; a compactor would
   * fold them at scale.
   */
-final class AckLedger(dir: Path) {
-  private val acksFile = dir.resolve("acks.txt")
-  private val pendingFile = dir.resolve("pending.txt")
+final class AckLedger(dir: Path, writerTag: String = "driver") {
+  private val acksFile = dir.resolve(s"acks-$writerTag.log")
+  private val pendingFile = dir.resolve(s"pending-$writerTag.log")
   Files.createDirectories(dir)
 
-  private def readSet(p: Path): Set[String] =
-    if (Files.exists(p))
-      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).toSet
-    else Set.empty
+  /** Union of a prefix's records across every writer (driver + partitions). */
+  private def readSet(prefix: String): Set[String] = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+    files.iterator.flatMap(f =>
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)).toSet
+  }
 
-  // In-memory mirror (dispatch is driver-side); files are the restart truth.
-  private var ackedSet: Set[String] = readSet(acksFile)
-  private var pendingSet: Set[String] = readSet(pendingFile)
+  // In-memory mirror of this writer's view; files are the restart truth.
+  private var ackedSet: Set[String] = readSet("acks-")
+  private var pendingSet: Set[String] = readSet("pending-")
 
   private def appendLine(p: Path, line: String): Unit =
     Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
@@ -150,16 +154,46 @@ final class GraftConsumer(
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(200))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Ordered, driver-side dispatch: the reference is explicitly
-        // sequential ("callbacks ... block all processing", README.md:124);
-        // analytics workloads should use the DataFrame API instead of a
-        // per-message handler, so this path is not a data plane.
-        val rows = batch
-          .selectExpr("id", "seq", "ts", "values")
-          .orderBy("ts", "seq")
-          .collect()
-        rows.foreach { r =>
-          dispatch(r.getAs[String]("id"), r.getAs[Map[String, String]]("values"))
+        if (cfg.ordered) {
+          // Ordered, driver-side dispatch: the reference is explicitly
+          // sequential ("callbacks ... block all processing", README.md:124);
+          // analytics workloads should use the DataFrame API instead of a
+          // per-message handler, so this path is not a data plane.
+          val rows = batch
+            .selectExpr("id", "seq", "ts", "values")
+            .orderBy("ts", "seq")
+            .collect()
+          rows.foreach { r =>
+            dispatch(r.getAs[String]("id"), r.getAs[Map[String, String]]("values"))
+          }
+        } else {
+          // Parallel mode ≙ N consumers in one group (2A#15): partitions are
+          // disjoint id ranges processed concurrently, each task acking into
+          // its own ledger file (needs a shared FS on a real cluster).
+          // Order is per-partition, as documented in SURVEY.md §1.4.
+          val streamName = cfg.stream
+          val group = cfg.groupName
+          val ledgerDir = cfg.ledgerDir.map(_.toString)
+          val raise = cfg.raiseErrors
+          val h = handler
+          batch.selectExpr("id", "seq", "ts", "values")
+            .sortWithinPartitions("ts", "seq")
+            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val ledger = ledgerDir.map(d =>
+                new AckLedger(Paths.get(d), s"p$pid"))
+              val acked = ledger.map(_.acked).getOrElse(Set.empty[String])
+              it.foreach { r =>
+                val id = r.getAs[String]("id")
+                if (!acked.contains(id)) {
+                  h(streamName, group, id, r.getAs[Map[String, String]]("values")) match {
+                    case HandlerResult.Ok => ledger.foreach(_.ack(id))
+                    case HandlerResult.Defer => ledger.foreach(_.defer(id))
+                    case HandlerResult.Err(cause) => if (raise) throw cause
+                  }
+                }
+              }
+            }
         }
         ()
       }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.ColFns._
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deeper relational coverage: multi-table join pipelines, correlated scalar
+  * subqueries (Catalyst decorrelation), pivot / conditional aggregation, and
+  * exact percentiles.
+  */
+object Advanced {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q65_multijoin_revenue",
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_li
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q5 shape: fact-to-fact join shuffles on the join key once;
+      // both dimension tables broadcast; the date filter pushes into the
+      // orders scan before the join.
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp")),
+          $"c_custkey" === $"o_custkey")
+        .join(T(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(T(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_li"))
+        .orderBy($"n_name")
+    },
+
+    q("q66_subquery_correlated",
+      """SELECT c_custkey FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      // Same ANSI text on both engines; Catalyst decorrelates the scalar
+      // subquery into an aggregate + join (no per-row re-execution). The
+      // inner average uses the decimal-exact sum so the > boundary cannot
+      // flap between engines.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+          |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    q("q67_pivot",
+      s"""SELECT l_linestatus,
+         |  ${dsumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+         |  ${dsumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+         |  ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum($"l_quantity"))
+        .orderBy($"l_linestatus")
+    },
+
+    q("q68_percentile",
+      """SELECT l_returnflag,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS p50,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.9) * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      // exact interpolated percentile (both engines use the same
+      // (n-1)*p rank + linear interpolation definition); rounded at 1e-6 to
+      // absorb the differing interpolation op order.
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 1000000 + 0.5)
+            .cast("double") / 1000000.0).as("p50"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 1000000 + 0.5)
+            .cast("double") / 1000000.0).as("p90"))
+        .orderBy($"l_returnflag")
+    },
+  )
+}

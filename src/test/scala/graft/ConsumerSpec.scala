@@ -12,6 +12,14 @@ import scala.collection.mutable
   * crash/replay at-least-once with exactly-once effect via acks, defer +
   * manual ack, and group-from-end semantics.
   */
+object ConsumerSpec {
+  // executor tasks run in-JVM under local[*]; a static queue collects their
+  // dispatches (the handler must be serializable, so no closure state)
+  val parallelSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val parallelHandler: (String, Option[String], String, Map[String, String]) => HandlerResult =
+    (_, _, _, values) => { parallelSeen.add(values("n")); HandlerResult.Ok }
+}
+
 class ConsumerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -106,6 +114,24 @@ class ConsumerSpec extends AnyFunSuite {
     q.processAllAvailable()
     consumer.stop()
     assert(seen.toList == List(Map("new" -> "1")))
+  }
+
+  test("parallel mode processes every message exactly once across partitions") {
+    // ≙ consumer_test.exs:167-220 (two consumers in one group see disjoint
+    // message sets): partitions are the engine's intra-group consumers.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 20).foreach(i => w.produce(Map("n" -> i.toString)))
+    ConsumerSpec.parallelSeen.clear()
+    val c = new GraftConsumer(spark,
+      cfg(root, "s", Some("g1")).copy(ordered = false),
+      ConsumerSpec.parallelHandler)
+    val q = c.start()
+    q.processAllAvailable()
+    c.stop()
+    val seen = ConsumerSpec.parallelSeen.toArray(Array.empty[String]).toSeq
+    assert(seen.size == 20) // no message dispatched twice
+    assert(seen.toSet == (1 to 20).map(_.toString).toSet)
   }
 
   test("tombstone is not dispatched to the handler") {
