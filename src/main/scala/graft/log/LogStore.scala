@@ -80,13 +80,36 @@ object LogStore {
     Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
       .asScala.iterator.filter(_.nonEmpty).map(decodeLine).toSeq
 
-  /** Entries with start < id <= end across all segments, in id order. */
+  /** Entries with start < id <= end across all segments, in id order.
+    * Deduped by id so a reader racing a compaction (old + merged segments
+    * both visible for an instant) still sees each entry once.
+    */
   def readRange(root: String, stream: String, start: LogId, end: LogId): Seq[LogEntry] =
     segments(root, stream)
       .filter(s => s.last > start && s.first <= end)
       .flatMap(s => readSegment(s.path))
       .filter(e => e.id > start && e.id <= end)
+      .distinctBy(_.id)
       .sortBy(_.id)
+
+  /** Merge all segments whose id range is entirely <= `upTo` into one
+    * segment. Readers are never wrong during compaction: the new segment is
+    * moved in atomically before the old files are deleted, and range
+    * filtering dedups any momentary overlap at the reader (ids are unique).
+    * This is what keeps a produce-heavy stream (many tiny XADD-like appends)
+    * from degrading into a small-files problem at scale; a real deployment
+    * would also rewrite cold compacted segments to parquet.
+    */
+  def compact(root: String, stream: String, upTo: LogId): Int = {
+    val segs = segments(root, stream).filter(_.last <= upTo)
+    if (segs.size < 2) 0
+    else {
+      val entries = segs.flatMap(s => readSegment(s.path)).sortBy(_.id)
+      writeSegment(root, stream, entries)
+      segs.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+      segs.size
+    }
+  }
 
   /** Atomically write one segment holding `entries` (must be id-ordered). */
   def writeSegment(root: String, stream: String, entries: Seq[LogEntry]): Unit = {

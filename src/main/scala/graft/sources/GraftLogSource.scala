@@ -201,8 +201,9 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   * the partition, ≙ the reference's per-consumer in-order dispatch,
   * /root/reference/lib/redix/stream/consumer.ex:190-249).
   */
-final case class GraftLogInputPartition(stream: String, paths: Seq[String],
-    startExcl: String, endIncl: String) extends InputPartition
+final case class GraftLogInputPartition(root: String, stream: String,
+    paths: Seq[String], startExcl: String, endIncl: String,
+    segFirst: String, segLast: String) extends InputPartition
 
 object GraftLogPartitioning {
   def plan(root: String, stream: String, start: LogId, end: LogId,
@@ -214,8 +215,9 @@ object GraftLogPartitioning {
       val groups = math.max(1, math.min(minPartitions, segs.size))
       val per = math.ceil(segs.size.toDouble / groups).toInt
       segs.grouped(per).map { g =>
-        GraftLogInputPartition(stream, g.map(_.path),
-          start.toString, end.toString): InputPartition
+        GraftLogInputPartition(root, stream, g.map(_.path),
+          start.toString, end.toString,
+          g.head.first.toString, g.last.last.toString): InputPartition
       }.toArray
     }
   }
@@ -228,11 +230,21 @@ final class GraftLogReaderFactory(dropTombstones: Boolean)
     val start = LogId.parse(p.startExcl)
     val end = LogId.parse(p.endIncl)
     val streamName = UTF8String.fromString(p.stream)
-    val entries = p.paths.iterator
-      .flatMap(LogStore.readSegment)
+    // If a planned segment was compacted away between planning and read,
+    // fall back to a range scan over the live segment set — ids are stable
+    // under compaction, so this partition's slice is unchanged.
+    val raw =
+      try p.paths.iterator.flatMap(LogStore.readSegment).toSeq
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          val first = LogId.parse(p.segFirst)
+          LogStore.readRange(p.root, p.stream,
+            LogId(first.millis, first.seq - 1), LogId.parse(p.segLast))
+      }
+    val entries = raw.iterator
       .filter(e => e.id > start && e.id <= end)
       .filter(e => !dropTombstones || !e.isTombstone)
-      .toSeq.sortBy(_.id).iterator
+      .toSeq.distinctBy(_.id).sortBy(_.id).iterator
     new PartitionReader[InternalRow] {
       private var current: LogEntry = _
       override def next(): Boolean =
@@ -341,7 +353,21 @@ final class GraftLogStreamingWrite(root: String, stream: String, schema: StructT
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftLogWriterFactory(schema)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    GraftLogWritePath.commitAll(root, stream, messages)
+
+  /** Idempotent per epoch: Structured Streaming may re-deliver a committed
+    * epoch after a driver failure; a marker file makes the duplicate commit
+    * a no-op instead of a double-append (the batch-write path stays
+    * at-least-once, like the reference's produce).
+    */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = LogStore.streamDir(root, stream)
+    java.nio.file.Files.createDirectories(dir.resolve("_epochs"))
+    val marker = dir.resolve("_epochs").resolve(epochId.toString)
+    if (!java.nio.file.Files.exists(marker)) {
+      GraftLogWritePath.commitAll(root, stream, messages)
+      java.nio.file.Files.createFile(marker)
+    }
+  }
+
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

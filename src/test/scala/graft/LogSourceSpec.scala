@@ -140,6 +140,37 @@ class LogSourceSpec extends AnyFunSuite {
     assert(out.map(_.id) == out.map(_.id).sorted)
   }
 
+  test("compaction merges segments; readers see identical data") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    (1 to 10).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    val before = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(LogStore.segments(root, "s").size == 10)
+    val merged = LogStore.compact(root, "s", LogStore.maxId(root, "s"))
+    assert(merged == 10)
+    assert(LogStore.segments(root, "s").size == 1)
+    val after = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(after == before)
+    // and the DSv2 batch reader agrees
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    assert(df.count() == 10)
+  }
+
+  test("streaming sink commit is idempotent per epoch") {
+    import graft.sources.{GraftLogCommitMessage, GraftLogStreamingWrite}
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val root = TestSpark.tmpDir("graftlog")
+    val write = new GraftLogStreamingWrite(root, "out", null)
+    val msgs: Array[WriterCommitMessage] =
+      Array(GraftLogCommitMessage(0, Seq(Map("k" -> "v"))))
+    write.commit(7L, msgs)
+    write.commit(7L, msgs) // re-delivered epoch after driver recovery
+    val entries = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
+    assert(entries.size == 1)
+  }
+
   test("flagship slice: produce -> stream -> event-time windowed agg") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1700000000000L
