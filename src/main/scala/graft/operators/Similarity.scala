@@ -27,7 +27,57 @@ object Similarity {
     Tables.load(s, dir, name)
   }
 
+  private val duckDotSql: (String, String) => String = duckDot
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q69_embedding_lsh",
+      s"""WITH h AS (SELECT vec_id - 100 AS hid, embedding he FROM embeddings
+         |           WHERE vec_id BETWEEN 100 AND 115),
+         |sig AS (SELECT v.vec_id, CAST(h.hid // 4 AS BIGINT) AS band,
+         |    SUM(CASE WHEN ${duckDotSql("v.embedding", "h.he")} >= 0
+         |        THEN (1::BIGINT << CAST(h.hid % 4 AS INT)) ELSE 0 END) AS bucket
+         |  FROM embeddings v, h GROUP BY v.vec_id, h.hid // 4),
+         |cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib FROM sig a
+         |         JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+         |                   AND a.vec_id < b.vec_id),
+         |scored AS (SELECT ia, ib, ${duckDotSql("va.embedding", "vb.embedding")} AS sim
+         |           FROM cand JOIN embeddings va ON va.vec_id = cand.ia
+         |                     JOIN embeddings vb ON vb.vec_id = cand.ib)
+         |SELECT ia AS id_a, ib AS id_b, sim FROM scored
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""") { (s, dir) =>
+      import s.implicits._
+      // Random-hyperplane LSH, the scale path for embedding near-dup:
+      // 16 sign bits from fixed hyperplanes (deterministic: vectors
+      // 100..115 act as planes), banded 4x4; only bucket-mates are scored
+      // exactly. Candidate generation is an equi-join on (band, bucket) —
+      // per-band recall p^4 with p = 1 - theta/pi, union over 4 bands;
+      // tune planes/bands to the target threshold. Compare q44: exact but
+      // O(n^2); this is the one you run at 100 TB.
+      val e = T(s, dir, "embeddings")
+      val planes = broadcast(e.filter($"vec_id".between(100, 115))
+        .select(($"vec_id" - 100).as("hid"), $"embedding".as("he")))
+      val sig = e.select($"vec_id", $"embedding")
+        .crossJoin(planes)
+        .withColumn("bit",
+          when(expr("graft_dot(embedding, he)") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(hid % 4 AS INT))"))
+            .otherwise(lit(0L)))
+        .groupBy($"vec_id", ($"hid" / 4).cast("long").as("band"))
+        .agg(sum($"bit").as("bucket"))
+      val cand = sig.as("a").join(sig.as("b"),
+          $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"))
+        .distinct()
+      cand
+        .join(e.select($"vec_id".as("ia"), $"embedding".as("va")), "ia")
+        .join(e.select($"vec_id".as("ib"), $"embedding".as("vb")), "ib")
+        .withColumn("sim", expr("graft_dot(va, vb)"))
+        .filter($"sim" >= 0.4)
+        .select($"ia".as("id_a"), $"ib".as("id_b"), $"sim")
+        .orderBy($"id_a", $"id_b")
+    },
 
     q("q44_embedding_neardup",
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

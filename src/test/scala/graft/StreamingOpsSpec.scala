@@ -78,6 +78,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("u1"))
   }
 
+  test("late data beyond the watermark is dropped from finalized windows") {
+    val root = TestSpark.tmpDir("slog")
+    var now = 0L
+    val w = new LogWriter(root, "ev", () => now)
+    val q = StreamingOps.tumblingCounts(readLog(root, "ev"), "ts", "1 minute", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("late")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt")).start()
+    // batch 1: hour-1 events, then advance event time far ahead
+    now = 1 * H; w.produce(Map("k" -> "a"))
+    now = 9 * H; w.produce(Map("k" -> "flush"))
+    q.processAllAvailable()
+    // batch 2: a straggler for hour 1, way behind the watermark (~9h)
+    now = 1 * H + 1; w.produce(Map("k" -> "late"))
+    now = 20 * H; w.produce(Map("k" -> "flush2"))
+    q.processAllAvailable()
+    q.stop()
+    val hour1 = spark.sql(s"select n from late where win.start = to_timestamp(${1 * H / 1000})")
+      .collect().map(_.getLong(0)).toList
+    assert(hour1 == List(1L)) // the late event did not reopen the window
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     val root = mkLog("ev", Seq(
