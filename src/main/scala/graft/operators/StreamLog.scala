@@ -40,5 +40,38 @@ object StreamLog {
           element_at($"values", "value").as("value_s"))
         .orderBy($"event_id_s".cast("long"))
     },
+
+    q("q70_csv_roundtrip",
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      // source-format coverage: columnar fixture → CSV → scan with explicit
+      // schema (never inferSchema at scale: it double-reads) → aggregate.
+      val tmp = Files.createTempDirectory("graft-q70").toString
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("l_returnflag STRING, l_quantity DOUBLE")
+        .option("header", "true").csv(tmp)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), graft.ColFns.dsum($"l_quantity").as("qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    q("q71_json_roundtrip",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.ColFns.dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft-q71").toString
+      Tables.load(s, dir, "orders")
+        .select($"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("o_orderstatus STRING, o_totalprice DOUBLE").json(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), graft.ColFns.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
+    },
   )
 }

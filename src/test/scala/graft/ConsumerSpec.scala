@@ -116,6 +116,30 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.toList == List(Map("new" -> "1")))
   }
 
+  test("restart from checkpoint continues at the last committed offset") {
+    // stop → produce more → restart with the same group: only the new
+    // messages are dispatched (group cursor = last known message,
+    // /root/reference/lib/redix/stream/consumer.ex:74).
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("n" -> i.toString)))
+    val shared = cfg(root, "s", Some("g1"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val c1 = new GraftConsumer(spark, shared,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok })
+    val q1 = c1.start()
+    q1.processAllAvailable()
+    c1.stop()
+    assert(seen.toList == List("1", "2", "3"))
+    (4 to 5).foreach(i => w.produce(Map("n" -> i.toString)))
+    val c2 = new GraftConsumer(spark, shared,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok })
+    val q2 = c2.start()
+    q2.processAllAvailable()
+    c2.stop()
+    assert(seen.toList == List("1", "2", "3", "4", "5"))
+  }
+
   test("parallel mode processes every message exactly once across partitions") {
     // ≙ consumer_test.exs:167-220 (two consumers in one group see disjoint
     // message sets): partitions are the engine's intra-group consumers.
