@@ -40,7 +40,8 @@ final case class ConsumerConfig(
     maxEntriesPerTrigger: Option[Long] = None,
     processPending: Boolean = true,
     raiseErrors: Boolean = true,
-    ordered: Boolean = true) {
+    ordered: Boolean = true,
+    drainAndStop: Boolean = false) {
 
   def resolvedStartingOffsets: String = startPos match {
     case "default" => "latest"
@@ -83,6 +84,23 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
   private def appendLine(p: Path, line: String): Unit =
     Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** Fold every writer's files into this writer's (call only while no
+    * other writer is live, e.g. before the query starts): bounds ledger
+    * file count across restarts.
+    */
+  def compact(): Unit = synchronized {
+    val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+    val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString)
+    val others = all.filter(f => !mine.contains(f.getName))
+    if (others.nonEmpty) {
+      Files.write(acksFile, (ackedSet.toSeq.sorted.mkString("", "\n", "\n"))
+        .getBytes(StandardCharsets.UTF_8))
+      Files.write(pendingFile, (pendingSet.toSeq.sorted.mkString("", "\n", "\n"))
+        .getBytes(StandardCharsets.UTF_8))
+      others.foreach(f => Files.deleteIfExists(f.toPath))
+    }
+  }
 
   def acked: Set[String] = synchronized(ackedSet)
   def deferred: Set[String] = synchronized(pendingSet -- ackedSet)
@@ -142,6 +160,7 @@ final class GraftConsumer(
     }
 
   def start(): StreamingQuery = {
+    ledger.foreach(_.compact()) // fold partition/previous-run ledger files
     drainPending()
     val src = spark.readStream.format("graftlog")
       .option("path", cfg.logRoot)
@@ -152,7 +171,10 @@ final class GraftConsumer(
     val q = withMax.load()
       .writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.ProcessingTime(200))
+      .trigger(
+        // AvailableNow ≙ drain the backlog then stop — the reference's
+        // BLOCK-until-empty consumption with a bounded lifetime
+        if (cfg.drainAndStop) Trigger.AvailableNow() else Trigger.ProcessingTime(200))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (cfg.ordered) {
           // Ordered, driver-side dispatch: the reference is explicitly

@@ -71,9 +71,12 @@ object Dedup {
       // shingle are ever compared, and the join key is the 8-byte shingle
       // hash rather than the shingle string (the oracle hashes identically,
       // so any collision affects both engines the same way).
+      // cached: the self-join and the size lookup would otherwise recompute
+      // the shingling+hashing subtree three times
       val sh = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", $"hh")
+        .cache()
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
       val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

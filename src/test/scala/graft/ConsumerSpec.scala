@@ -158,6 +158,20 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.toSet == (1 to 20).map(_.toString).toSet)
   }
 
+  test("drainAndStop consumes the backlog then terminates on its own") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 4).foreach(i => w.produce(Map("n" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val c = new GraftConsumer(spark,
+      cfg(root, "s", Some("g1")).copy(drainAndStop = true),
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok })
+    val q = c.start()
+    q.awaitTermination(30000) // AvailableNow stops by itself after the drain
+    assert(!q.isActive)
+    assert(seen.toList == List("1", "2", "3", "4"))
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
