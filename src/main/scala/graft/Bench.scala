@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** End-to-end throughput of the engine's own streaming path: drain a
+    * 50k-entry stream log through the graftlog micro-batch source into a
+    * counting sink; report entries/sec (produce excluded).
+    */
+  private def streamIngestEps(spark: SparkSession): Long = {
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      val n = 50000
+      val w = new graft.log.LogWriter(root, "bench")
+      w.produceAll((1 to n).map(i => Map[String, Any]("i" -> i, "p" -> s"payload_$i")))
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "bench")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "10000")
+        .load()
+        .writeStream.format("memory").queryName("bench_stream")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      math.round(n / secs)
+    } catch { case _: Throwable => -1L }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,7 +50,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eps = streamIngestEps(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_entries_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

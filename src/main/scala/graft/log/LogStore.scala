@@ -56,7 +56,9 @@ object LogStore {
 
   // --- JSONL codec (Jackson ships with Spark) ---
 
-  private def mapper = new ObjectMapper()
+  // shared: ObjectMapper is thread-safe after configuration, and building
+  // one per line would dominate segment parse time
+  private val mapper = new ObjectMapper()
 
   def encodeLine(e: LogEntry): String = {
     val m = mapper

@@ -259,14 +259,22 @@ object Relational {
         .orderBy($"o_orderpriority")
     },
 
-    // HLL sketch parameters are engine-specific — no SQL oracle (driver
-    // records rows-only). Exact-distinct parity is covered by q12.
-    qNoOracle("q13_approx_distinct") { (s, dir) =>
+    // HLL sketch values are engine-specific, so the oracle checks the
+    // sketch's accuracy CONTRACT instead: the (deterministic) estimate must
+    // sit within 5% of the exact distinct count, which the oracle states as
+    // a constant-true column next to the exact count it can verify.
+    q("q13_approx_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_exact,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
       import s.implicits._
       T(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct($"l_partkey").as("n_exact"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx"))
+        .select($"l_returnflag", $"n_exact",
+          (abs($"approx" - $"n_exact") / $"n_exact" < 0.05).as("within_5pct"))
         .orderBy($"l_returnflag")
     },
 
