@@ -10,7 +10,10 @@ object Bench {
       val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
       val n = 50000
       val w = new graft.log.LogWriter(root, "bench")
-      w.produceAll((1 to n).map(i => Map[String, Any]("i" -> i, "p" -> s"payload_$i")))
+      // 1k-entry appends → 50 segments, so each micro-batch's range prunes
+      // to its own files instead of re-parsing one giant segment
+      (1 to n).grouped(1000).foreach(g =>
+        w.produceAll(g.map(i => Map[String, Any]("i" -> i, "p" -> s"payload_$i"))))
       val t0 = System.nanoTime()
       val q = spark.readStream.format("graftlog")
         .option("path", root).option("stream", "bench")

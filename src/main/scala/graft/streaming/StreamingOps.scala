@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** First-class streaming analytics over any unbounded DataFrame (typically
   * the graftlog source) — SURVEY.md §2B "streaming event-time" and "stateful
@@ -68,6 +68,42 @@ object StreamingOps {
     l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
         s"r.$rightTs <= l.$leftTs + interval $maxDelay"))
+  }
+
+  /** transformWithState processor: per-key running count in engine-owned
+    * `ValueState` — the modern (Spark 4) replacement for
+    * flatMapGroupsWithState, with typed state handles and TTL support.
+    */
+  private class RunningCountProcessor
+      extends StatefulProcessor[String, (String, String), (String, Long, String)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[(String, Long, String)] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = rows.map { case (_, v) =>
+        n += 1
+        (key, n, v)
+      }.toList
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  /** `runningCountByKey` on the transformWithState API (state store-backed
+    * typed ValueState per key; same semantics as the fMGWS variant).
+    */
+  def runningCountByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, valueCol: String): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($valueCol AS STRING) AS v")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-static enrichment join: the static dimension is broadcast, so

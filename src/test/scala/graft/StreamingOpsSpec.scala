@@ -112,6 +112,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == List("u1" -> "gold", "u2" -> "basic"))
   }
 
+  test("per-key running state via transformWithState (typed ValueState)") {
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "a", "v" -> "1")),
+      (2000L, Map("k" -> "a", "v" -> "2")),
+      (3000L, Map("k" -> "b", "v" -> "9"))))
+    // transformWithState needs the RocksDB store (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val state = StreamingOps.runningCountByKeyTws(spark,
+        readLog(root, "ev").selectExpr("values['k'] AS k", "values['v'] AS v"),
+        "k", "v")
+      runToMemory(state.toDF("key", "n", "last"), "tws")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql("select key, n, last from tws order by key, n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(("a", 1L, "1"), ("a", 2L, "2"), ("b", 1L, "9")))
+  }
+
   test("per-key running state via flatMapGroupsWithState") {
     val root = mkLog("ev", Seq(
       (1000L, Map("k" -> "a", "v" -> "1")),
