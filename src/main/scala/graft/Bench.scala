@@ -21,6 +21,7 @@ object Bench {
         .option("maxEntriesPerTrigger", "10000")
         .load()
         .writeStream.format("memory").queryName("bench_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString)
         .start()
