@@ -15,15 +15,16 @@ import scala.jdk.CollectionConverters._
   * pruning, the same way the id doubles as position in the reference
   * (/root/reference/lib/redix/stream/consumer.ex:301-313).
   *
-  * JSONL keeps the produce path append-cheap (mirroring XADD); a compactor
-  * would rewrite cold segments to parquet at scale — readers already prune by
-  * range, so that change is invisible to consumers.
+  * JSONL keeps the produce path append-cheap (mirroring XADD); `compact`
+  * merges cold segments and can gzip them (readers handle both formats), and
+  * a columnar rewrite would slot in the same way — readers prune by range,
+  * so storage-format changes are invisible to consumers.
   */
 object LogStore {
 
   final case class Segment(path: String, first: LogId, last: LogId)
 
-  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.jsonl$".r
+  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.jsonl(\\.gz)?$".r
 
   def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
 
@@ -42,7 +43,7 @@ object LogStore {
     val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
     files.iterator.flatMap { f =>
       f.getName match {
-        case SegName(a, b) => Some(Segment(f.getAbsolutePath, LogId.parse(a), LogId.parse(b)))
+        case SegName(a, b, _) => Some(Segment(f.getAbsolutePath, LogId.parse(a), LogId.parse(b)))
         case _ => None
       }
     }.toSeq.sortBy(_.first)
@@ -78,9 +79,17 @@ object LogStore {
     LogEntry(id, values)
   }
 
-  def readSegment(path: String): Seq[LogEntry] =
-    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8)
-      .asScala.iterator.filter(_.nonEmpty).map(decodeLine).toSeq
+  def readSegment(path: String): Seq[LogEntry] = {
+    val lines =
+      if (path.endsWith(".gz")) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(Files.newInputStream(Paths.get(path))),
+          StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+        finally in.close()
+      } else Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
+    lines.iterator.filter(_.nonEmpty).map(decodeLine).toSeq
+  }
 
   /** Entries with start < id <= end across all segments, in id order.
     * Deduped by id so a reader racing a compaction (old + merged segments
@@ -102,26 +111,36 @@ object LogStore {
     * from degrading into a small-files problem at scale; a real deployment
     * would also rewrite cold compacted segments to parquet.
     */
-  def compact(root: String, stream: String, upTo: LogId): Int = {
+  def compact(root: String, stream: String, upTo: LogId, gzip: Boolean = false): Int = {
     val segs = segments(root, stream).filter(_.last <= upTo)
     if (segs.size < 2) 0
     else {
-      val entries = segs.flatMap(s => readSegment(s.path)).sortBy(_.id)
-      writeSegment(root, stream, entries)
-      segs.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+      val entries = segs.flatMap(s => readSegment(s.path)).distinctBy(_.id).sortBy(_.id)
+      writeSegment(root, stream, entries, gzip)
+      segs.filter(s => Paths.get(s.path).getFileName.toString !=
+        segmentName(entries.head.id, entries.last.id, gzip))
+        .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
       segs.size
     }
   }
 
+  private def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
+    s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
+
   /** Atomically write one segment holding `entries` (must be id-ordered). */
-  def writeSegment(root: String, stream: String, entries: Seq[LogEntry]): Unit = {
+  def writeSegment(root: String, stream: String, entries: Seq[LogEntry],
+      gzip: Boolean = false): Unit = {
     require(entries.nonEmpty, "empty segment")
     val dir = streamDir(root, stream)
     Files.createDirectories(dir)
-    val name = s"${entries.head.id}__${entries.last.id}.jsonl"
+    val name = segmentName(entries.head.id, entries.last.id, gzip)
     val tmp = dir.resolve(s".$name.tmp")
     val lines = entries.map(encodeLine).mkString("", "\n", "\n")
-    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+    val bytes = lines.getBytes(StandardCharsets.UTF_8)
+    if (gzip) {
+      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp))
+      try out.write(bytes) finally out.close()
+    } else Files.write(tmp, bytes)
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
   }
 }

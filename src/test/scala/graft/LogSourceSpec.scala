@@ -158,6 +158,21 @@ class LogSourceSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("gzip compaction round-trips and the DSv2 reader handles .gz segments") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    (1 to 8).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    val before = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    LogStore.compact(root, "s", LogStore.maxId(root, "s"), gzip = true)
+    val segs = LogStore.segments(root, "s")
+    assert(segs.size == 1 && segs.head.path.endsWith(".jsonl.gz"))
+    assert(LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s")) == before)
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    assert(df.count() == 8)
+  }
+
   test("streaming sink commit is idempotent per epoch") {
     import graft.sources.{GraftLogCommitMessage, GraftLogStreamingWrite}
     import org.apache.spark.sql.connector.write.WriterCommitMessage

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One generated spec per operator query (SURVEY.md §2B): every
+  * `SparkEntry.queries` entry must plan and execute on the sf0.001 fixtures.
+  * Value-level correctness is the DuckDB oracle's job (driver gate +
+  * tools/check_oracle.py); this guards against plan-time regressions
+  * (unresolved columns, broken expressions) on every `sbt test`.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose predicates legitimately select few/no rows at sf0.001
+  private val mayBeEmpty = Set("q44_embedding_neardup", "q69_embedding_lsh",
+    "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
+    "q06_join_full", "q07_join_semi", "q08_join_anti", "q24_union",
+    "q25_intersect", "q26_except")
+
+  SparkEntry.all.foreach { d =>
+    test(s"${d.name} executes at sf0.001") {
+      val out = d.run(spark, dir)
+      assert(out.schema.nonEmpty)
+      val n = out.count()
+      if (!mayBeEmpty.contains(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
+    }
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle query name exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
