@@ -85,15 +85,24 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
     Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-  /** Fold every writer's files into this writer's (call only while no
-    * other writer is live, e.g. before the query starts): bounds ledger
-    * file count across restarts.
+  /** Fold every writer's files into this writer's and drop acks at or below
+    * the committed-offset `floor` (batches ending there are committed in the
+    * checkpoint and can never replay, so those acks are unreachable; pending
+    * ids are kept regardless — their redelivery path is the pending drain,
+    * not batch replay). Call only while no other writer is live, e.g. before
+    * the query starts. Bounds both ledger file count and ack-set size.
     */
-  def compact(): Unit = synchronized {
+  def compact(floor: Option[LogId] = None): Unit = synchronized {
     val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
     val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString)
     val others = all.filter(f => !mine.contains(f.getName))
-    if (others.nonEmpty) {
+    val retained = floor match {
+      case Some(fl) => ackedSet.filter(id =>
+        pendingSet.contains(id) || LogId.tryParse(id).forall(_ > fl))
+      case None => ackedSet
+    }
+    if (others.nonEmpty || retained.size != ackedSet.size) {
+      ackedSet = retained
       Files.write(acksFile, (ackedSet.toSeq.sorted.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
       Files.write(pendingFile, (pendingSet.toSeq.sorted.mkString("", "\n", "\n"))
@@ -160,7 +169,9 @@ final class GraftConsumer(
     }
 
   def start(): StreamingQuery = {
-    ledger.foreach(_.compact()) // fold partition/previous-run ledger files
+    // fold partition/previous-run ledger files; acks at or below the
+    // committed checkpoint offset can never be re-dispatched, drop them
+    ledger.foreach(_.compact(committedOffsetFloor()))
     drainPending()
     val src = spark.readStream.format("graftlog")
       .option("path", cfg.logRoot)
@@ -222,6 +233,27 @@ final class GraftConsumer(
       .start()
     query = Some(q)
     q
+  }
+
+  /** Last committed end-offset from the checkpoint (commits/N + offsets/N),
+    * or None for a fresh checkpoint.
+    */
+  private[graft] def committedOffsetFloor(): Option[LogId] = {
+    try {
+      val commits = Paths.get(cfg.checkpointDir, "commits")
+      if (!Files.isDirectory(commits)) None
+      else {
+        val batches = Files.list(commits).iterator().asScala
+          .flatMap(p => p.getFileName.toString.toLongOption).toSeq
+        if (batches.isEmpty) None
+        else {
+          val offsetFile = Paths.get(cfg.checkpointDir, "offsets", batches.max.toString)
+          val P = """\{"millis":(\d+),"seq":(\d+)\}""".r
+          Files.readAllLines(offsetFile, StandardCharsets.UTF_8).asScala
+            .collectFirst { case P(m, q) => LogId(m.toLong, q.toLong) }
+        }
+      }
+    } catch { case _: Throwable => None }
   }
 
   def stop(): Unit = query.foreach(_.stop())

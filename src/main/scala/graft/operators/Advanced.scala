@@ -79,6 +79,26 @@ object Advanced {
         .orderBy($"l_linestatus")
     },
 
+    q("q72_salted_agg",
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      // Skew handling: two-phase salted aggregation. Phase 1 spreads each
+      // (hot) key over 16 salts so no single reducer owns a whole key;
+      // phase 2 merges the partials. Decimal-exact partial sums are
+      // associative, so the result is IDENTICAL to the unsalted plan —
+      // which is exactly what the oracle asserts.
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(28, 6)
+      val phase1 = T(s, dir, "lineitem")
+        .groupBy($"l_returnflag", pmod($"l_orderkey", lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum($"l_quantity".cast(dec)).as("pqty"))
+      phase1
+        .groupBy($"l_returnflag")
+        .agg(sum($"pn").as("n"), sum($"pqty").cast("double").as("qty"))
+        .orderBy($"l_returnflag")
+    },
+
     q("q68_percentile",
       """SELECT l_returnflag,
         |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS p50,

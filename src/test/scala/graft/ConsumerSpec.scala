@@ -138,6 +138,17 @@ class ConsumerSpec extends AnyFunSuite {
     q2.processAllAvailable()
     c2.stop()
     assert(seen.toList == List("1", "2", "3", "4", "5"))
+
+    // ledger retention: acks at or below the committed checkpoint offset are
+    // unreachable (those batches never replay) and get dropped on compaction
+    val c3 = new GraftConsumer(spark, shared, (_, _, _, _) => HandlerResult.Ok)
+    val floor = c3.committedOffsetFloor()
+    assert(floor.isDefined)
+    val led = new AckLedger(shared.ledgerDir.get)
+    // c2's start already compacted with c1's floor, dropping acks 1-3
+    assert(led.acked.size == 2)
+    led.compact(floor)
+    assert(led.acked.isEmpty) // everything was at or below the final floor
   }
 
   test("parallel mode processes every message exactly once across partitions") {
