@@ -275,8 +275,11 @@ object ConsumerRunner {
     var restarts = 0
     var done = false
     while (!done) {
-      val q = consumer.start()
+      // start() is inside the try: a handler crash during the pending drain
+      // must also trigger a supervised restart, exactly like a crash in the
+      // live loop (the reference supervisor treats both the same).
       try {
+        val q = consumer.start()
         var caughtUp = false
         while (!caughtUp) {
           q.processAllAvailable()
@@ -286,7 +289,7 @@ object ConsumerRunner {
         done = true
       } catch {
         case e: Throwable =>
-          try q.stop() catch { case _: Throwable => () }
+          try consumer.stop() catch { case _: Throwable => () }
           if (restarts >= maxRestarts) throw e
           restarts += 1 // one-for-one restart; checkpoint replays unacked work
       }

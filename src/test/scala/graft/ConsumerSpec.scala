@@ -100,6 +100,28 @@ class ConsumerSpec extends AnyFunSuite {
     assert(invocations.toList == List("a", "a"))
   }
 
+  test("crash during the pending drain is supervised and retried") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "a"))
+    val shared = cfg(root, "s", Some("g1"))
+    // run 1: defer, leaving the message pending
+    val pend = mutable.ArrayBuffer.empty[String]
+    ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { pend += values("job"); HandlerResult.Defer },
+      until = _ => pend.nonEmpty).stop()
+    // run 2: the drain dispatch fails once, supervision retries it
+    val seen = mutable.ArrayBuffer.empty[String]
+    var failed = false
+    ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => {
+        if (!failed) { failed = true; HandlerResult.Err(new RuntimeException("drain boom")) }
+        else { seen += values("job"); HandlerResult.Ok }
+      },
+      until = _ => true).stop()
+    assert(seen.toList == List("a"))
+  }
+
   test("group consumer starting at latest skips history") {
     // ≙ consumer_test.exs:282-322 (group from :end_of_stream)
     val root = TestSpark.tmpDir("log")
