@@ -79,6 +79,66 @@ object Advanced {
         .orderBy($"l_linestatus")
     },
 
+    q("q73_array_hof",
+      """SELECT doc_id,
+        |  CAST(list_max(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS max_wlen,
+        |  len(list_filter(string_split(text,' '), x -> length(x) > 8)) > 0 AS has_long,
+        |  len(list_filter(string_split(text,' '), x -> lower(x) <> x)) = 0 AS all_lower
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // higher-order array functions: transform / exists / forall
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id",
+          expr("CAST(array_max(transform(w, x -> length(x))) AS BIGINT)").as("max_wlen"),
+          expr("exists(w, x -> length(x) > 8)").as("has_long"),
+          expr("forall(w, x -> lower(x) = x)").as("all_lower"))
+        .orderBy($"doc_id")
+    },
+
+    q("q74_edit_distance",
+      """SELECT doc_id,
+        |  CAST(levenshtein(string_split(text,' ')[1], string_split(text,' ')[2]) AS BIGINT) AS lev12,
+        |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_lang
+        |FROM documents WHERE len(string_split(text,' ')) >= 2
+        |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 2)
+        .select($"doc_id",
+          levenshtein(element_at($"w", 1), element_at($"w", 2)).cast("long").as("lev12"),
+          levenshtein($"lang", lit("en")).cast("long").as("lev_lang"))
+        .orderBy($"doc_id")
+    },
+
+    q("q75_window_values",
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) * 1000000 + 0.5) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wAll = wSeq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wVal = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+      T(s, dir, "orders").select(
+        $"o_custkey", $"o_orderkey",
+        first($"o_totalprice").over(wSeq).as("first_price"),
+        last($"o_totalprice").over(wAll).as("last_price"),
+        nth_value($"o_totalprice", 2).over(wSeq).as("second_price"),
+        (floor(percent_rank().over(wVal) * 1000000 + 0.5).cast("double") / 1000000.0).as("pr"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     q("q72_salted_agg",
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
