@@ -79,6 +79,41 @@ object Advanced {
         .orderBy($"l_linestatus")
     },
 
+    q("q76_map_hof",
+      // Map higher-order functions; oracle states the relationally-expected
+      // values (same technique as q32).
+      """SELECT doc_id,
+        |  UPPER(lang) AS lang_u,
+        |  CAST(1 AS BIGINT) AS n_filtered,
+        |  CONCAT('lang=', lang) AS lang_kv
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .withColumn("m", map(lit("lang"), $"lang", lit("source"), $"source"))
+        .select($"doc_id",
+          expr("element_at(transform_values(m, (k, v) -> upper(v)), 'lang')").as("lang_u"),
+          expr("CAST(size(map_filter(m, (k, v) -> k = 'lang')) AS BIGINT)").as("n_filtered"),
+          expr("array_join(transform(map_entries(map_filter(m, (k, v) -> k = 'lang')), e -> concat(e.key, '=', e.value)), ',')").as("lang_kv"))
+        .orderBy($"doc_id")
+    },
+
+    q("q77_date_advanced",
+      """SELECT o_orderkey,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "orders").select(
+        $"o_orderkey",
+        last_day($"o_orderdate").as("month_end"),
+        add_months($"o_orderdate", 2).as("plus2m"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        weekofyear($"o_orderdate").cast("long").as("iso_week"))
+        .orderBy($"o_orderkey")
+    },
+
     q("q73_array_hof",
       """SELECT doc_id,
         |  CAST(list_max(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS max_wlen,
