@@ -41,6 +41,45 @@ object StreamLog {
         .orderBy($"event_id_s".cast("long"))
     },
 
+    q("q78_streaming_agg",
+      // The one oracle-checked query that executes THROUGH the streaming
+      // engine: events -> log sink -> micro-batch source (AvailableNow) ->
+      // windowed aggregation -> memory sink; DuckDB checks the final state
+      // against plain batch SQL over the same events.
+      s"""SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+         |  event_type, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q78").toString
+      Tables.load(s, dir, "events")
+        .selectExpr("CAST(event_id AS STRING) AS event_id",
+          "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s", "event_type")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .mode("append").save()
+      val sinkName = s"q78_sink_${System.nanoTime()}"
+      val q = s.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "2000") // force multiple micro-batches
+        .load()
+        .select(to_timestamp($"values.ts_s").as("ets"),
+          $"values.event_type".as("event_type"))
+        .groupBy(window($"ets", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", Files.createTempDirectory("graft-q78-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
+          $"event_type", $"n")
+        .orderBy($"ws", $"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
