@@ -103,6 +103,22 @@ object LogStore {
       .distinctBy(_.id)
       .sortBy(_.id)
 
+  /** First `limit` entries after `start`, reading segments in id order and
+    * stopping as soon as the quota is met — the admission-control path must
+    * not scan the whole backlog just to pick a cut-off id.
+    */
+  def readAfterLimited(root: String, stream: String, start: LogId,
+      limit: Int): Seq[LogEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
+    val segs = segments(root, stream).filter(_.last > start)
+    val it = segs.iterator
+    while (out.size < limit && it.hasNext) {
+      val seg = it.next()
+      out ++= readSegment(seg.path).filter(_.id > start)
+    }
+    out.toSeq.distinctBy(_.id).sortBy(_.id).take(limit)
+  }
+
   /** Merge all segments whose id range is entirely <= `upTo` into one
     * segment. Readers are never wrong during compaction: the new segment is
     * moved in atomically before the old files are deleted, and range

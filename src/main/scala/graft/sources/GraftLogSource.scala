@@ -168,7 +168,9 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     limit match {
       case _: ReadAllAvailable => GraftLogOffset(max)
       case r: ReadMaxRows =>
-        val entries = LogStore.readRange(root, stream, startId, max)
+        // stops reading as soon as the quota is met — no full-backlog scan
+        val entries = LogStore.readAfterLimited(root, stream, startId,
+          r.maxRows().toInt + 1)
         if (entries.size <= r.maxRows()) GraftLogOffset(max)
         else GraftLogOffset(entries(r.maxRows().toInt - 1).id)
       case _ => GraftLogOffset(max)
