@@ -18,7 +18,7 @@ object Bench {
       val q = spark.readStream.format("graftlog")
         .option("path", root).option("stream", "bench")
         .option("startingOffsets", "earliest")
-        .option("maxEntriesPerTrigger", "10000")
+        .option("maxEntriesPerTrigger", "25000")
         .load()
         .writeStream.format("memory").queryName("bench_stream")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -150,6 +150,12 @@ final class GraftConsumer(
         case HandlerResult.Defer => ledger.foreach(_.defer(id))
         case HandlerResult.Err(cause) =>
           if (cfg.raiseErrors) throw cause
+          // non-raising error in group mode: leave the id unacked-but-pending
+          // (≙ the reference's errored message staying in the PEL,
+          // /root/reference/lib/redix/stream/consumer.ex:206-216) so
+          // drainPending redelivers it — never silently lost just because
+          // the micro-batch offset commits.
+          else ledger.foreach(_.defer(id))
       }
     }
   }
@@ -222,7 +228,9 @@ final class GraftConsumer(
                   h(streamName, group, id, r.getAs[Map[String, String]]("values")) match {
                     case HandlerResult.Ok => ledger.foreach(_.ack(id))
                     case HandlerResult.Defer => ledger.foreach(_.defer(id))
-                    case HandlerResult.Err(cause) => if (raise) throw cause
+                    case HandlerResult.Err(cause) =>
+                      // same unacked-but-pending contract as the ordered path
+                      if (raise) throw cause else ledger.foreach(_.defer(id))
                   }
                 }
               }

@@ -61,13 +61,43 @@ object LogStore {
   // one per line would dominate segment parse time
   private val mapper = new ObjectMapper()
 
+  private def escapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      (c: @annotation.switch) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  /** Hand-rolled JSON encode (standard escaping, Jackson-decodable): the
+    * produce path is a driver-side funnel by design (single id sequencer), so
+    * per-line ObjectNode allocation would dominate large appends. The "id"
+    * field is always first — `idsAfterLimited` relies on that for its
+    * parse-free fast path.
+    */
   def encodeLine(e: LogEntry): String = {
-    val m = mapper
-    val node = m.createObjectNode()
-    node.put("id", e.id.toString)
-    val vals = node.putObject("values")
-    e.values.foreach { case (k, v) => vals.put(k, v) }
-    m.writeValueAsString(node)
+    val sb = new java.lang.StringBuilder(64 + 16 * e.values.size)
+    sb.append("{\"id\":\"").append(e.id.toString).append("\",\"values\":{")
+    var first = true
+    e.values.foreach { case (k, v) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"'); escapeInto(sb, k); sb.append("\":\"")
+      escapeInto(sb, v); sb.append('"')
+    }
+    sb.append("}}")
+    sb.toString
   }
 
   def decodeLine(line: String): LogEntry = {
@@ -79,7 +109,7 @@ object LogStore {
     LogEntry(id, values)
   }
 
-  def readSegment(path: String): Seq[LogEntry] = {
+  private def segmentLines(path: String): Seq[String] = {
     val lines =
       if (path.endsWith(".gz")) {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -87,9 +117,12 @@ object LogStore {
           StandardCharsets.UTF_8))
         try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
         finally in.close()
-      } else Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
-    lines.iterator.filter(_.nonEmpty).map(decodeLine).toSeq
+      } else Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+    lines.filter(_.nonEmpty)
   }
+
+  def readSegment(path: String): Seq[LogEntry] =
+    segmentLines(path).map(decodeLine)
 
   /** Entries with start < id <= end across all segments, in id order.
     * Deduped by id so a reader racing a compaction (old + merged segments
@@ -119,6 +152,29 @@ object LogStore {
     out.toSeq.distinctBy(_.id).sortBy(_.id).take(limit)
   }
 
+  /** Ids (only) of the first `limit` entries after `start` — what the
+    * admission-control cutoff actually needs. Fast path: `encodeLine` always
+    * writes the id first, so the id is a fixed-prefix substring and no JSON
+    * parse is required; any line not matching falls back to full decode.
+    */
+  def idsAfterLimited(root: String, stream: String, start: LogId,
+      limit: Int): Seq[LogId] = {
+    val IdPrefix = "{\"id\":\""
+    def lineId(line: String): LogId =
+      if (line.startsWith(IdPrefix)) {
+        val end = line.indexOf('"', IdPrefix.length)
+        LogId.parse(line.substring(IdPrefix.length, end))
+      } else decodeLine(line).id
+    val out = scala.collection.mutable.ArrayBuffer.empty[LogId]
+    val segs = segments(root, stream).filter(_.last > start)
+    val it = segs.iterator
+    while (out.size < limit && it.hasNext) {
+      val seg = it.next()
+      out ++= segmentLines(seg.path).map(lineId).filter(_ > start)
+    }
+    out.toSeq.distinct.sorted.take(limit)
+  }
+
   /** Merge all segments whose id range is entirely <= `upTo` into one
     * segment. Readers are never wrong during compaction: the new segment is
     * moved in atomically before the old files are deleted, and range
@@ -132,7 +188,7 @@ object LogStore {
     if (segs.size < 2) 0
     else {
       val entries = segs.flatMap(s => readSegment(s.path)).distinctBy(_.id).sortBy(_.id)
-      writeSegment(root, stream, entries, gzip)
+      writeSegment(root, stream, entries, gzip, overwrite = true)
       segs.filter(s => Paths.get(s.path).getFileName.toString !=
         segmentName(entries.head.id, entries.last.id, gzip))
         .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
@@ -143,13 +199,21 @@ object LogStore {
   private def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
 
-  /** Atomically write one segment holding `entries` (must be id-ordered). */
+  /** Atomically write one segment holding `entries` (must be id-ordered).
+    * Unless `overwrite` (compaction re-runs), an existing segment of the same
+    * name fails loudly — a silent ATOMIC_MOVE replace would mean two writers
+    * assigned the same id range, which the per-stream writer lock forbids.
+    */
   def writeSegment(root: String, stream: String, entries: Seq[LogEntry],
-      gzip: Boolean = false): Unit = {
+      gzip: Boolean = false, overwrite: Boolean = false): Unit = {
     require(entries.nonEmpty, "empty segment")
     val dir = streamDir(root, stream)
     Files.createDirectories(dir)
     val name = segmentName(entries.head.id, entries.last.id, gzip)
+    if (!overwrite && Files.exists(dir.resolve(name)))
+      throw new IllegalStateException(
+        s"segment $name already exists for stream '$stream' — duplicate id " +
+          "assignment (two writers?); refusing to replace it")
     val tmp = dir.resolve(s".$name.tmp")
     val lines = entries.map(encodeLine).mkString("", "\n", "\n")
     val bytes = lines.getBytes(StandardCharsets.UTF_8)

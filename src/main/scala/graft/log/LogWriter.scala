@@ -1,5 +1,8 @@
 package graft.log
 
+import java.nio.channels.{FileChannel, FileLock}
+import java.nio.file.StandardOpenOption
+
 /** Producer for a stream log — the engine's `produce` (≙ XADD,
   * /root/reference/lib/stream.ex:25-38): values are coerced to strings
   * (`to_string/1` rule, /root/reference/lib/stream.ex:15-16), the id is
@@ -7,13 +10,20 @@ package graft.log
   * same-millisecond appends (the Redis id rule the reference's doctest
   * asserts, /root/reference/lib/stream.ex:21-23).
   *
-  * Id assignment is serialized per writer; on construction the writer resumes
-  * after the highest id already in the log, so restart never regresses ids.
-  * (At 100 TB one stream = one ordered shard by design, as in Redis; scale-out
-  * is many streams, each with its own writer.)
+  * Id assignment is serialized per stream: every append takes an exclusive
+  * per-stream lock (JVM mutex + cross-process file lock on
+  * `<streamDir>/.writer.lock`), refreshes the high-water id from disk under
+  * the lock, then assigns. Two writers — even in different processes, as two
+  * concurrent streaming-sink commits would be — therefore never assign
+  * duplicate ids or clobber each other's segments; a writer that cannot get
+  * the lock within `lockTimeoutMs` fails loudly rather than corrupting the
+  * log. (At 100 TB one stream = one ordered shard by design, as in Redis;
+  * scale-out is many streams, each with its own writer.)
   */
 final class LogWriter(root: String, stream: String,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    lockTimeoutMs: Long = 30000L,
+    maxSegmentEntries: Int = 10000) {
 
   LogStore.ensureStream(root, stream)
   private var last: LogId = LogStore.maxId(root, stream)
@@ -24,33 +34,78 @@ final class LogWriter(root: String, stream: String,
     last
   }
 
+  /** Run `f` holding the per-stream exclusive lock, with the id high-water
+    * mark refreshed from disk (another process may have appended since this
+    * writer last looked).
+    */
+  private def withStreamLock[T](f: => T): T =
+    LogWriter.jvmLock(root, stream).synchronized {
+      val lockPath = LogStore.streamDir(root, stream).resolve(".writer.lock")
+      val ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        var lock: FileLock = null
+        val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+        while (lock == null) {
+          lock = ch.tryLock()
+          if (lock == null) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"timed out acquiring writer lock for stream '$stream' after " +
+                  s"${lockTimeoutMs}ms — another writer holds it (single-writer contract)")
+            Thread.sleep(5)
+          }
+        }
+        try {
+          val diskMax = LogStore.maxId(root, stream)
+          if (diskMax > last) last = diskMax
+          f
+        } finally lock.release()
+      } finally ch.close()
+    }
+
   /** Coerce any payload value the way the reference does (`to_string/1`). */
   def coerce(values: Map[String, Any]): Map[String, String] =
     values.map { case (k, v) => k -> (if (v == null) "" else String.valueOf(v)) }
 
   /** Append one entry; returns its assigned id. */
-  def produce(values: Map[String, Any]): LogId = synchronized {
+  def produce(values: Map[String, Any]): LogId = withStreamLock {
     val entry = LogEntry(nextId(), coerce(values))
     LogStore.writeSegment(root, stream, Seq(entry))
     entry.id
   }
 
-  /** Append a batch as one segment; returns the assigned ids in order. */
-  def produceAll(batch: Seq[Map[String, Any]]): Seq[LogId] = synchronized {
+  /** Append a batch; returns the assigned ids in order. Large batches are
+    * chunked into segments of at most `maxSegmentEntries` entries — readers
+    * parallelize per segment, so one huge append must not become one
+    * unsplittable file (the single-giant-segment read is the local analog of
+    * the small-files-vs-monolith balance at 100 TB).
+    */
+  def produceAll(batch: Seq[Map[String, Any]]): Seq[LogId] =
     if (batch.isEmpty) Nil
-    else {
+    else withStreamLock {
       val entries = batch.map(v => LogEntry(nextId(), coerce(v)))
-      LogStore.writeSegment(root, stream, entries)
+      entries.grouped(maxSegmentEntries).foreach(chunk =>
+        LogStore.writeSegment(root, stream, chunk))
       entries.map(_.id)
     }
-  }
 
   /** Write the tombstone used to materialize an empty stream
     * (≙ MKSTREAM's dummy entry; consumers skip it).
     */
-  def produceTombstone(): LogId = synchronized {
+  def produceTombstone(): LogId = withStreamLock {
     val entry = LogEntry(nextId(), LogEntry.TombstoneValues)
     LogStore.writeSegment(root, stream, Seq(entry))
     entry.id
   }
+}
+
+object LogWriter {
+  // One JVM-level mutex per stream dir: FileLock is held per-JVM, so two
+  // threads in the same process must serialize before touching the channel
+  // (overlapping FileLock requests from one JVM throw).
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLock(root: String, stream: String): Object =
+    locks.computeIfAbsent(
+      LogStore.streamDir(root, stream).toAbsolutePath.toString, _ => new Object)
 }

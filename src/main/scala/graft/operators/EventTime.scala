@@ -102,8 +102,11 @@ object EventTime {
       // computed scalably as one partitioned window pass over the unioned
       // event stream — no per-row correlated lookup, no O(n^2) join. This is
       // the 100 TB plan: shuffle once on user_id, sort within partition.
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // Range frame over microseconds, not a row frame: a row frame ordered
+      // by (ts, event_id) would admit a click tied on ts with a lower
+      // event_id, while the oracle requires c.ts < e.ts strictly.
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
       T(s, dir, "events")
         .withColumn("click_ts", when($"event_type" === "click", $"ts"))
         .withColumn("prev_click_ts", max($"click_ts").over(w))

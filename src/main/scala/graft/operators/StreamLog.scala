@@ -59,20 +59,32 @@ object StreamLog {
         .option("path", root).option("stream", "ev")
         .mode("append").save()
       val sinkName = s"q78_sink_${System.nanoTime()}"
-      val q = s.readStream.format("graftlog")
-        .option("path", root).option("stream", "ev")
-        .option("startingOffsets", "earliest")
-        .option("maxEntriesPerTrigger", "2000") // force multiple micro-batches
-        .load()
-        .select(to_timestamp($"values.ts_s").as("ets"),
-          $"values.event_type".as("event_type"))
-        .groupBy(window($"ets", "1 hour").as("w"), $"event_type")
-        .agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(sinkName)
-        .option("checkpointLocation", Files.createTempDirectory("graft-q78-ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // Streaming-state tuning: the windowed agg's state store is hash
+      // partitioned by the shuffle-partition count frozen at checkpoint
+      // creation. The distinct-key cardinality here is tiny (hours ×
+      // event_types), so 8 state partitions beats the session default 32 —
+      // fewer stateful tasks per micro-batch, same parallelism where it
+      // matters (the source scan). Restored after the drain.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          // still forces multiple micro-batches at every verify/bench scale
+          // (events >= 60k rows) without drowning in per-batch overhead
+          .option("maxEntriesPerTrigger", "30000")
+          .load()
+          .select(to_timestamp($"values.ts_s").as("ets"),
+            $"values.event_type".as("event_type"))
+          .groupBy(window($"ets", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", Files.createTempDirectory("graft-q78-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.table(sinkName)
         .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("ws"),

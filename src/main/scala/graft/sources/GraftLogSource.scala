@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -100,7 +100,7 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
     () => new GraftLogScan(root, stream, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(root, stream, info.schema())
+    new GraftLogWriteBuilder(root, stream, info.schema(), info.queryId())
 }
 
 final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveStringMap)
@@ -120,7 +120,7 @@ final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveS
     new GraftLogMicroBatchStream(root, stream, options)
 
   private def minPartitions(o: CaseInsensitiveStringMap): Int =
-    o.getInt("minPartitions", 4)
+    o.getInt("minPartitions", 16)
   private def dropTombstones(o: CaseInsensitiveStringMap): Boolean =
     o.getBoolean("dropTombstones", true)
 }
@@ -140,10 +140,23 @@ object GraftLogOffset {
 
 final class GraftLogMicroBatchStream(root: String, stream: String,
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val maxPerTrigger: Option[Long] =
-    Option(options.get("maxEntriesPerTrigger")).map(_.toLong)
+    Option(options.get("maxEntriesPerTrigger")).map { s =>
+      val v = s.toLong
+      require(v >= 1, s"maxEntriesPerTrigger must be >= 1, got $v")
+      v
+    }
+
+  // Trigger.AvailableNow: freeze the high-water mark at query start so the
+  // drain has a fixed end even while producers keep appending; batches still
+  // respect maxEntriesPerTrigger (≙ the reference's BLOCK-until-empty
+  // consumption with a bounded lifetime, in bounded bites).
+  @volatile private var availableNowCap: Option[LogId] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LogStore.maxId(root, stream))
 
   override def initialOffset(): Offset = {
     val mode = Option(options.get("startingOffsets")).getOrElse("latest")
@@ -164,15 +177,20 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startId = start.asInstanceOf[GraftLogOffset].id
-    val max = LogStore.maxId(root, stream)
+    val liveMax = LogStore.maxId(root, stream)
+    // under Trigger.AvailableNow, never read past the frozen cap
+    val max = availableNowCap.filter(_ < liveMax).getOrElse(liveMax)
     limit match {
       case _: ReadAllAvailable => GraftLogOffset(max)
       case r: ReadMaxRows =>
-        // stops reading as soon as the quota is met — no full-backlog scan
-        val entries = LogStore.readAfterLimited(root, stream, startId,
-          r.maxRows().toInt + 1)
-        if (entries.size <= r.maxRows()) GraftLogOffset(max)
-        else GraftLogOffset(entries(r.maxRows().toInt - 1).id)
+        // stops reading as soon as the quota is met — no full-backlog scan,
+        // and ids only (no payload decode) on the driver; quota clamped to
+        // Int range (a single micro-batch never needs more)
+        val quota = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong).toInt
+        val ids = LogStore.idsAfterLimited(root, stream, startId, quota + 1)
+        val cut = ids.filter(_ <= max)
+        if (cut.size <= quota) GraftLogOffset(max)
+        else GraftLogOffset(cut(quota - 1))
       case _ => GraftLogOffset(max)
     }
   }
@@ -183,7 +201,7 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftLogPartitioning.plan(root, stream,
       start.asInstanceOf[GraftLogOffset].id, end.asInstanceOf[GraftLogOffset].id,
-      options.getInt("minPartitions", 4))
+      options.getInt("minPartitions", 16))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(options.getBoolean("dropTombstones", true))
@@ -261,11 +279,12 @@ final class GraftLogReaderFactory(dropTombstones: Boolean)
 // Write path
 // ---------------------------------------------------------------------------
 
-final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType)
-    extends WriteBuilder {
+final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType,
+    queryId: String) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftLogBatchWrite(root, stream, schema)
-    override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(root, stream, schema)
+    override def toStreaming: StreamingWrite =
+      new GraftLogStreamingWrite(root, stream, schema, queryId)
   }
 }
 
@@ -351,20 +370,24 @@ final class GraftLogBatchWrite(root: String, stream: String, schema: StructType)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class GraftLogStreamingWrite(root: String, stream: String, schema: StructType)
-    extends StreamingWrite {
+final class GraftLogStreamingWrite(root: String, stream: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftLogWriterFactory(schema)
 
-  /** Idempotent per epoch: Structured Streaming may re-deliver a committed
-    * epoch after a driver failure; a marker file makes the duplicate commit
-    * a no-op instead of a double-append (the batch-write path stays
-    * at-least-once, like the reference's produce).
+  /** Idempotent per epoch *within a query*: Structured Streaming may
+    * re-deliver a committed epoch after a driver failure; a marker file makes
+    * the duplicate commit a no-op instead of a double-append (the batch-write
+    * path stays at-least-once, like the reference's produce). Markers are
+    * keyed by `queryId/epochId`, not epochId alone — epoch ids restart at 0
+    * for every new query/checkpoint, so a global key would silently drop a
+    * later query's first commits.
     */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = LogStore.streamDir(root, stream)
-    java.nio.file.Files.createDirectories(dir.resolve("_epochs"))
-    val marker = dir.resolve("_epochs").resolve(epochId.toString)
+    val epochs = dir.resolve("_epochs").resolve(queryId)
+    java.nio.file.Files.createDirectories(epochs)
+    val marker = epochs.resolve(epochId.toString)
     if (!java.nio.file.Files.exists(marker)) {
       GraftLogWritePath.commitAll(root, stream, messages)
       java.nio.file.Files.createFile(marker)

@@ -122,6 +122,38 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.toList == List("a"))
   }
 
+  test("non-raising error keeps the message pending for redelivery") {
+    // raiseErrors=false + Err must behave like the reference's unacked
+    // message staying in the PEL (consumer.ex:206-216): even though the
+    // micro-batch offset commits, the id lands in the pending ledger and the
+    // next restart's drain redelivers it. Never silently lost.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "x"))
+    val shared = cfg(root, "s", Some("g1")).copy(raiseErrors = false)
+    val invocations = mutable.ArrayBuffer.empty[String]
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => {
+        invocations += values("job")
+        HandlerResult.Err(new RuntimeException("soft failure"))
+      },
+      until = _ => invocations.nonEmpty)
+    c1.stop()
+    assert(invocations.toList == List("x"))
+    // restart: the errored message is drained from pending and succeeds
+    val c2 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Ok },
+      until = _ => true)
+    c2.stop()
+    assert(invocations.toList == List("x", "x"))
+    // acked now → a third restart does not redeliver
+    val c3 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Ok },
+      until = _ => true)
+    c3.stop()
+    assert(invocations.toList == List("x", "x"))
+  }
+
   test("group consumer starting at latest skips history") {
     // ≙ consumer_test.exs:282-322 (group from :end_of_stream)
     val root = TestSpark.tmpDir("log")

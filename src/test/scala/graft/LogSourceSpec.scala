@@ -173,17 +173,93 @@ class LogSourceSpec extends AnyFunSuite {
     assert(df.count() == 8)
   }
 
-  test("streaming sink commit is idempotent per epoch") {
+  test("streaming sink commit is idempotent per epoch, but only within a query") {
     import graft.sources.{GraftLogCommitMessage, GraftLogStreamingWrite}
     import org.apache.spark.sql.connector.write.WriterCommitMessage
     val root = TestSpark.tmpDir("graftlog")
-    val write = new GraftLogStreamingWrite(root, "out", null)
+    val write = new GraftLogStreamingWrite(root, "out", null, "query-A")
     val msgs: Array[WriterCommitMessage] =
       Array(GraftLogCommitMessage(0, Seq(Map("k" -> "v"))))
     write.commit(7L, msgs)
     write.commit(7L, msgs) // re-delivered epoch after driver recovery
     val entries = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
     assert(entries.size == 1)
+    // a DIFFERENT query re-using the same epoch number must NOT be dropped:
+    // epoch ids restart at 0 per query, so markers are keyed by query identity
+    val writeB = new GraftLogStreamingWrite(root, "out", null, "query-B")
+    writeB.commit(7L, msgs)
+    val after = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
+    assert(after.size == 2)
+  }
+
+  test("a second streaming query with a fresh checkpoint still appends (epoch 0 reuse)") {
+    // end-to-end regression for the queryId-keyed markers: two queries, two
+    // checkpoints, same output stream — both write their rows.
+    val root = TestSpark.tmpDir("graftlog")
+    val src = TestSpark.tmpDir("srclog")
+    val sw = new LogWriter(src, "in")
+    import spark.implicits._
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("path", src).option("stream", "in")
+        .option("startingOffsets", "earliest")
+        .load()
+        .select($"values")
+        .writeStream.format("graftlog")
+        .option("path", root).option("stream", "out")
+        .option("checkpointLocation", TestSpark.tmpDir("ckpt")) // fresh each time
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    (1 to 2).foreach(i => sw.produce(Map("n" -> i)))
+    runOnce()
+    runOnce() // fresh checkpoint re-reads from earliest; epochs restart at 0
+    val out = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
+    assert(out.size == 4, "second query's commits must not be dropped by stale epoch markers")
+  }
+
+  test("concurrent writers to one stream never assign duplicate ids") {
+    val root = TestSpark.tmpDir("graftlog")
+    val threads = 4
+    val perThread = 25
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] = {
+            val w = new LogWriter(root, "s") // one writer instance per thread
+            (0 until perThread).map(i => w.produce(Map("t" -> t, "i" -> i)).toString)
+          }
+        })
+      }
+      val ids = futures.flatMap(_.get())
+      assert(ids.size == threads * perThread)
+      assert(ids.distinct.size == ids.size, "duplicate ids assigned under contention")
+      val entries = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+      assert(entries.size == threads * perThread, "a segment was silently clobbered")
+    } finally pool.shutdown()
+  }
+
+  test("maxEntriesPerTrigger must be >= 1") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1")
+    w.produce(Map("k" -> "v"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "s1")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "0")
+        .load()
+        .writeStream.format("memory").queryName("badmax")
+        .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("maxEntriesPerTrigger"))
   }
 
   test("flagship slice: produce -> stream -> event-time windowed agg") {
