@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.ColFns._
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Round-2 inventory widening (SURVEY.md §2B): TF-IDF and n-gram text
+  * analytics, interval arithmetic, argmax/filtered aggregation, generator
+  * (posexplode) parity, regexp extraction, analytic distribution functions,
+  * ORC as a third round-trip format, deterministic hash sampling, an
+  * approx-quantile accuracy contract, a salted skew-safe join, grouping_id,
+  * and a second streaming-executed query (stateful dropDuplicates through
+  * the graftlog engine).
+  *
+  * The reference delegates every one of these to user handler callbacks
+  * (/root/reference/README.md:35); here they are first-class, oracle-checked
+  * operators.
+  */
+object Extras {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q79_tfidf_top_term",
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |tf AS (SELECT doc_id, unnest(w) term FROM words),
+        |tfc AS (SELECT doc_id, term, COUNT(*) tf FROM tf GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) nd FROM documents),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tf GROUP BY 1),
+        |len AS (SELECT doc_id, COUNT(*) dl FROM tf GROUP BY 1),
+        |score AS (SELECT t.doc_id, t.term,
+        |    ROUND((CAST(t.tf AS DOUBLE)/len.dl) * (ln((n.nd + 1.0)/(df.df + 1.0)) + 1.0), 6) s
+        |  FROM tfc t, n JOIN df ON t.term = df.term JOIN len ON t.doc_id = len.doc_id),
+        |rk AS (SELECT doc_id, term, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) rn FROM score)
+        |SELECT doc_id, term AS top_term, s AS tfidf FROM rk WHERE rn = 1
+        |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Classic smoothed TF-IDF, all map-side until the two small groupBys;
+      // the doc-frequency table is tiny (vocabulary) and broadcast into the
+      // scoring join — at 100 TB the vocab side stays the broadcast side.
+      // Scores are rounded BEFORE ranking on both engines so the tie-break
+      // (term asc) fires identically.
+      val tf = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tfc = tf.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val dfT = tf.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+      val nd = T(s, dir, "documents").count()
+      val score = tfc
+        .join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .select($"doc_id", $"term",
+          round(($"tf".cast("double") / $"dl") *
+            (log((lit(nd) + 1.0) / ($"df" + 1.0)) + 1.0), 6).as("s"))
+      val w = Window.partitionBy($"doc_id").orderBy($"s".desc, $"term")
+      score.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"term".as("top_term"), $"s".as("tfidf"))
+        .orderBy($"doc_id")
+    },
+
+    q("q80_bigram_counts",
+      """WITH words AS (SELECT string_split(text,' ') w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)])) b
+        |       FROM words WHERE len(w) >= 2)
+        |SELECT b AS bigram, COUNT(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      // n-gram language statistics: adjacent-pair generation is a pure
+      // map-side transform (no join), then one hash aggregation; top-k via
+      // deterministic (count desc, bigram asc) ordering.
+      T(s, dir, "documents")
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(20)
+    },
+
+    q("q81_interval_arith",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus30d,
+        |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus2mo,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      T(s, dir, "orders")
+        .select($"o_orderkey",
+          date_format(expr("o_orderdate + INTERVAL 30 DAYS"), fmt).as("plus30d"),
+          date_format(expr("o_orderdate + INTERVAL 2 MONTHS"), fmt).as("plus2mo"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy($"o_orderkey")
+    },
+
+    q("q82_argmax_countif",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  MAX(o_totalprice) AS top_price,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      import s.implicits._
+      // max_by/arg_max + filtered aggregation — one pass, no self-join
+      // (prices are continuous doubles; no ties in the fixtures).
+      T(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(max_by($"o_orderkey", $"o_totalprice").as("top_order"),
+          max($"o_totalprice").as("top_price"),
+          count_if($"o_totalprice" > 200000).as("n_big"))
+        .orderBy($"o_orderpriority")
+    },
+
+    q("q83_posexplode_words",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents
+        |           WHERE doc_id % 25 = 0)
+        |SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(w) AS word
+        |FROM t ORDER BY doc_id, pos""") { (s, dir) =>
+      import s.implicits._
+      // generator/UDTF parity: position-preserving explode.
+      T(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("word"))
+        .orderBy($"doc_id", $"pos")
+    },
+
+    q("q84_regexp_extract_all",
+      """SELECT p_partkey,
+        |  array_to_string(regexp_extract_all(p_name, '[aeiou][a-z]+'), ',') AS vwords,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou][a-z]+')) AS INT) AS nv
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "part")
+        .select($"p_partkey",
+          concat_ws(",", regexp_extract_all($"p_name", lit("[aeiou][a-z]+"), lit(0))).as("vwords"),
+          size(regexp_extract_all($"p_name", lit("[aeiou][a-z]+"), lit(0))).as("nv"))
+        .orderBy($"p_partkey")
+    },
+
+    q("q85_window_distribution",
+      """SELECT c_custkey,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS cd
+        |FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal")
+      T(s, dir, "customer")
+        .select($"c_custkey",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"c_custkey")
+    },
+
+    q("q86_orc_roundtrip",
+      s"""SELECT l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, dir) =>
+      import s.implicits._
+      // third round-trip format (parquet fixtures -> ORC -> scan -> agg);
+      // columnar like parquet, so pushdown/pruning still reach the scan.
+      val tmp = Files.createTempDirectory("graft-q86").toString
+      T(s, dir, "lineitem")
+        .select($"l_linestatus", $"l_extendedprice")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+        .orderBy($"l_linestatus")
+    },
+
+    q("q87_hash_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Deterministic ~12.5% sample by hashing the key — reproducible across
+      // engines and runs, unlike TABLESAMPLE/rand(); the standard trick for
+      // stable eval-set carving in data pipelines.
+      T(s, dir, "documents")
+        .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    q("q88_approx_quantile",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  true AS approx_within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      // Same contract pattern as q13 (HLL): sketch values are
+      // engine-specific, so the oracle checks the exact quantile plus the
+      // ACCURACY BOUND of the sketch, stated as a constant-true column.
+      T(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_raw"))
+        .select($"l_returnflag", $"p50_exact",
+          (abs($"p50_approx" - $"exact_raw") / $"exact_raw" < 0.01).as("approx_within_1pct"))
+        .orderBy($"l_returnflag")
+    },
+
+    q("q89_salted_join",
+      s"""SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS rev
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import s.implicits._
+      // Skew-safe salted join: fact keys get a salt from their own hash, the
+      // dimension is replicated across all salt values, and the join key
+      // becomes (key, salt) — a hot key's rows now spread over `salts`
+      // reducers instead of one. Same result as the plain join (the oracle
+      // is the plain join); at 100 TB this (or AQE skew-join) is what keeps
+      // a power-law key set from stalling the stage.
+      val salts = 8
+      val fact = T(s, dir, "orders")
+        .withColumn("salt", pmod(hash($"o_orderkey"), lit(salts)))
+      val dim = T(s, dir, "customer")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim, fact("o_custkey") === dim("c_custkey") &&
+          fact("salt") === dim("salt"))
+        .groupBy($"o_orderstatus", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
+        .orderBy($"o_orderstatus", $"c_mktsegment")
+    },
+
+    q("q90_grouping_id",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, dir) =>
+      import s.implicits._
+      // grouping() disambiguates "NULL because subtotal" from "NULL in the
+      // data" — required for correct rollup consumers.
+      T(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg((grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority"))
+          .cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n")
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    q("q91_streaming_dedup",
+      // Second query executed THROUGH the streaming engine: events are
+      // produced to the log TWICE (duplicate delivery — exactly what a
+      // crashed producer retry looks like), the stream is deduplicated by
+      // event_id with dropDuplicates state, and the oracle checks the final
+      // per-type counts against the single-copy batch answer.
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_id % 5 = 0 GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q91").toString
+      val sub = T(s, dir, "events")
+        .filter($"event_id" % 5 === 0)
+        .selectExpr("CAST(event_id AS STRING) AS event_id", "event_type")
+      sub.write.format("graftlog")
+        .option("path", root).option("stream", "ev").mode("append").save()
+      sub.write.format("graftlog") // duplicate delivery
+        .option("path", root).option("stream", "ev").mode("append").save()
+      val sinkName = s"q91_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          // 2 batches at bench scale: the second copy of the stream dedups
+          // against state built by the first (cross-batch, not just in-batch)
+          .option("maxEntriesPerTrigger", "20000")
+          .load()
+          .select($"values.event_id".as("event_id"),
+            $"values.event_type".as("event_type"))
+          .dropDuplicates("event_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", Files.createTempDirectory("graft-q91-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+  )
+}

@@ -61,12 +61,14 @@ object StreamLog {
       val sinkName = s"q78_sink_${System.nanoTime()}"
       // Streaming-state tuning: the windowed agg's state store is hash
       // partitioned by the shuffle-partition count frozen at checkpoint
-      // creation. The distinct-key cardinality here is tiny (hours ×
-      // event_types), so 8 state partitions beats the session default 32 —
-      // fewer stateful tasks per micro-batch, same parallelism where it
-      // matters (the source scan). Restored after the drain.
+      // creation, and every micro-batch pays one state commit per partition
+      // (measured: 4 batches × 8 partitions ≈ 2.2× slower than × 2). The
+      // distinct-key cardinality here is tiny (hours × event_types), so 4
+      // state partitions beats the session default 32 — fewer stateful tasks
+      // per micro-batch, same parallelism where it matters (the source
+      // scan). Restored after the query starts (it clones the session conf).
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
