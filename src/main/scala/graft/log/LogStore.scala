@@ -196,6 +196,51 @@ object LogStore {
     }
   }
 
+  /** Size-tiered incremental compaction: merge the first run of >= `minMerge`
+    * adjacent segments that are each smaller than `targetBytes` (cumulative
+    * cap 2x), producing one segment. Unlike [[compact]] (which folds
+    * everything below a watermark into one ever-growing file, O(n^2) bytes
+    * rewritten over the log's lifetime), each byte is rewritten O(log n)
+    * times — the LSM policy. Returns the number of segments merged (0 if no
+    * eligible run). Reader-safe for the same reason compact is: merged
+    * segment lands atomically before the olds are deleted, and readers dedup
+    * by id.
+    */
+  def compactTiered(root: String, stream: String,
+      targetBytes: Long = 4L << 20, minMerge: Int = 4): Int = {
+    val segs = segments(root, stream)
+    val sizes = segs.map(s => s -> (try Files.size(Paths.get(s.path)) catch {
+      case _: java.io.IOException => Long.MaxValue
+    }))
+    // first run of adjacent small segments, greedily extended under the cap
+    var runStart = -1
+    var i = 0
+    var run: List[(Segment, Long)] = Nil
+    while (runStart < 0 && i < sizes.size) {
+      if (sizes(i)._2 < targetBytes) {
+        var acc = 0L
+        var j = i
+        var r = List.empty[(Segment, Long)]
+        while (j < sizes.size && sizes(j)._2 < targetBytes &&
+            acc + sizes(j)._2 <= targetBytes * 2) {
+          acc += sizes(j)._2; r ::= sizes(j); j += 1
+        }
+        if (r.size >= minMerge) { runStart = i; run = r.reverse }
+        else i = j + 1
+      } else i += 1
+    }
+    if (runStart < 0) 0
+    else {
+      val toMerge = run.map(_._1)
+      val entries = toMerge.flatMap(s => readSegment(s.path)).distinctBy(_.id).sortBy(_.id)
+      writeSegment(root, stream, entries, gzip = false, overwrite = true)
+      val mergedName = segmentName(entries.head.id, entries.last.id, gzip = false)
+      toMerge.filter(s => Paths.get(s.path).getFileName.toString != mergedName)
+        .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+      toMerge.size
+    }
+  }
+
   private def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
 

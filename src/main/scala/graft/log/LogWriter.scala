@@ -23,7 +23,8 @@ import java.nio.file.StandardOpenOption
 final class LogWriter(root: String, stream: String,
     clock: () => Long = () => System.currentTimeMillis(),
     lockTimeoutMs: Long = 30000L,
-    maxSegmentEntries: Int = 10000) {
+    maxSegmentEntries: Int = 10000,
+    autoCompactSegments: Int = 0) {
 
   LogStore.ensureStream(root, stream)
   private var last: LogId = LogStore.maxId(root, stream)
@@ -68,10 +69,21 @@ final class LogWriter(root: String, stream: String,
   def coerce(values: Map[String, Any]): Map[String, String] =
     values.map { case (k, v) => k -> (if (v == null) "" else String.valueOf(v)) }
 
+  /** One incremental size-tiered merge pass when the segment count crosses
+    * the threshold; runs under the writer lock, so it cannot race another
+    * writer's append (readers are compaction-safe by design). Keeps a
+    * produce-heavy stream's file count O(log n) without a separate daemon.
+    */
+  private def maybeAutoCompact(): Unit =
+    if (autoCompactSegments > 0 &&
+        LogStore.segments(root, stream).size >= autoCompactSegments)
+      LogStore.compactTiered(root, stream)
+
   /** Append one entry; returns its assigned id. */
   def produce(values: Map[String, Any]): LogId = withStreamLock {
     val entry = LogEntry(nextId(), coerce(values))
     LogStore.writeSegment(root, stream, Seq(entry))
+    maybeAutoCompact()
     entry.id
   }
 
@@ -87,6 +99,7 @@ final class LogWriter(root: String, stream: String,
       val entries = batch.map(v => LogEntry(nextId(), coerce(v)))
       entries.grouped(maxSegmentEntries).foreach(chunk =>
         LogStore.writeSegment(root, stream, chunk))
+      maybeAutoCompact()
       entries.map(_.id)
     }
 

@@ -67,28 +67,49 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       import s.implicits._
-      // Exact n-gram Jaccard via inverted-index join — only docs sharing a
-      // shingle are ever compared, and the join key is the 8-byte shingle
-      // hash rather than the shingle string (the oracle hashes identically,
-      // so any collision affects both engines the same way).
-      // cached: the self-join and the size lookup would otherwise recompute
-      // the shingling+hashing subtree three times
-      val sh = shingled(s, dir)
+      // Exact n-gram Jaccard with PREFIX FILTERING (ppjoin-style): for
+      // threshold t, two sets of sizes na/nb with jac >= t must share at
+      // least one element among the first (n - ceil(t*n) + 1) elements of
+      // each, under any single global element ordering. Order by (df asc,
+      // hash) — rarest first — index ONLY the prefix, then verify candidates
+      // exactly on the full hash sets. Same results as the naive
+      // all-shingles index (the oracle IS the naive formulation), but the
+      // inverted index shrinks to the prefix and, because prefixes hold the
+      // rarest shingles, the candidate blow-up on frequent shingles
+      // disappears — this is the exact-dedup plan that survives 100 TB.
+      // Join key is the 8-byte shingle hash (oracle hashes identically, so
+      // a collision affects both engines the same way).
+      val t = 0.6
+      val withDf = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
-        .select($"doc_id", $"hh")
+        .select($"doc_id", explode($"hh").as("h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      // per doc: hashes rarest-first, full set + prefix
+      val docs = withDf
+        .groupBy($"doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("sorted"),
+          count(lit(1)).cast("long").as("n"))
+        // prefix length n - ceil(t*n) + 1 with t = 3/5, in exact integer
+        // arithmetic (a float ceil at an exact multiple of 5 could shorten
+        // the prefix by one and silently drop a boundary pair)
+        .withColumn("prefix",
+          expr("slice(sorted, 1, CAST(size(sorted) - ((3 * size(sorted) + 4) DIV 5) + 1 AS INT))"))
         .cache()
-      val ex = sh.select($"doc_id", explode($"hh").as("h"))
-      val pair = ex.as("a").join(ex.as("b"),
+      val ex = docs.select($"doc_id", $"n", explode($"prefix").as("h"))
+      val cand = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-        .agg(count(lit(1)).as("inter"))
-      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
-      pair
-        .join(sz.as("sa"), $"da" === $"sa.doc_id")
-        .join(sz.as("sb"), $"db" === $"sb.doc_id")
-        .withColumn("jac",
-          $"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter"))
-        .filter($"jac" >= 0.6)
+        // size bound: jac >= 3/5 requires 3*na <= 5*nb (and vice versa);
+        // integer form for the same exact-boundary reason
+        .filter($"a.n" * 3 <= $"b.n" * 5 && $"b.n" * 3 <= $"a.n" * 5)
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      // exact verification on the full sets
+      cand
+        .join(docs.select($"doc_id".as("da"), $"sorted".as("ha"), $"n".as("na")), "da")
+        .join(docs.select($"doc_id".as("db"), $"sorted".as("hb"), $"n".as("nb")), "db")
+        .withColumn("inter", expr("size(array_intersect(ha, hb))").cast("long"))
+        .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jac" >= t)
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac")
         .orderBy($"doc_a", $"doc_b")
     },

@@ -71,6 +71,14 @@ object GraftLogSource {
     s
   }
 
+  /** Read side accepts a comma-separated stream list (≙ Kafka's multi-topic
+    * subscribe; the reference's consumer reads one stream —
+    * /root/reference/lib/redix/stream/consumer.ex:7 — this is the engine
+    * extension for fan-in pipelines). Writes require exactly one stream.
+    */
+  def streams(o: CaseInsensitiveStringMap): Seq[String] =
+    stream(o).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   def toRow(stream: UTF8String, e: LogEntry): InternalRow = {
     val keys = e.values.keys.toArray[Any].map(k => UTF8String.fromString(k.asInstanceOf[String]))
     val vals = e.values.values.toArray[Any].map(v => UTF8String.fromString(v.asInstanceOf[String]))
@@ -89,6 +97,13 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
   private val stream = GraftLogSource.stream(options)
 
   override def name(): String = s"graftlog:$root/$stream"
+
+  private def singleWriteStream: String = {
+    val ss = GraftLogSource.streams(options)
+    require(ss.size == 1,
+      s"graftlog writes target exactly one stream, got: ${ss.mkString(",")}")
+    ss.head
+  }
   override def schema(): StructType = GraftLogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -100,7 +115,7 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
     () => new GraftLogScan(root, stream, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(root, stream, info.schema(), info.queryId())
+    new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId())
 }
 
 final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveStringMap)
@@ -110,8 +125,10 @@ final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveS
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      GraftLogPartitioning.plan(root, stream, LogId.Zero,
-        LogStore.maxId(root, stream), minPartitions(options))
+      GraftLogSource.streams(options).toArray.flatMap { st =>
+        GraftLogPartitioning.plan(root, st, LogId.Zero,
+          LogStore.maxId(root, st), minPartitions(options))
+      }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory(dropTombstones(options))
   }
@@ -125,15 +142,42 @@ final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveS
     o.getBoolean("dropTombstones", true)
 }
 
-/** Offset = last-consumed id (exclusive start of the next batch). */
-final case class GraftLogOffset(id: LogId) extends Offset {
-  override def json(): String = s"""{"millis":${id.millis},"seq":${id.seq}}"""
+/** Offset = last-consumed id per stream (exclusive start of the next batch).
+  * Single-stream queries keep the flat `{"millis":M,"seq":S}` wire format
+  * (checkpoint-compatible with earlier versions); multi-stream queries use
+  * `{"streams":{"<name>":{"millis":M,"seq":S},...}}` with names sorted.
+  */
+final case class GraftLogOffset(ids: Map[String, LogId]) extends Offset {
+  def id(stream: String): LogId = ids.getOrElse(stream, LogId.Zero)
+  override def json(): String =
+    if (ids.size == 1) {
+      val id = ids.head._2
+      s"""{"millis":${id.millis},"seq":${id.seq}}"""
+    } else {
+      ids.toSeq.sortBy(_._1).map { case (st, id) =>
+        s""""${st}":{"millis":${id.millis},"seq":${id.seq}}"""
+      }.mkString("""{"streams":{""", ",", "}}")
+    }
 }
 
 object GraftLogOffset {
+  def single(stream: String, id: LogId): GraftLogOffset =
+    GraftLogOffset(Map(stream -> id))
+
   private val P = """\{"millis":(\d+),"seq":(\d+)\}""".r
-  def parse(json: String): GraftLogOffset = json.trim match {
-    case P(m, s) => GraftLogOffset(LogId(m.toLong, s.toLong))
+
+  /** `defaultStream` names the stream for the flat single-stream format,
+    * which does not carry the name itself.
+    */
+  def parse(json: String, defaultStream: String): GraftLogOffset = json.trim match {
+    case P(m, s) => single(defaultStream, LogId(m.toLong, s.toLong))
+    case other if other.startsWith("""{"streams":""") =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(other)
+      val streams = node.get("streams")
+      val ids = streams.properties().asScala.map { e =>
+        e.getKey -> LogId(e.getValue.get("millis").asLong(), e.getValue.get("seq").asLong())
+      }.toMap
+      GraftLogOffset(ids)
     case other => throw new IllegalArgumentException(s"bad graftlog offset: $other")
   }
 }
@@ -142,6 +186,8 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  private val streams: Seq[String] = GraftLogSource.streams(options)
 
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxEntriesPerTrigger")).map { s =>
@@ -154,18 +200,19 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   // drain has a fixed end even while producers keep appending; batches still
   // respect maxEntriesPerTrigger (≙ the reference's BLOCK-until-empty
   // consumption with a bounded lifetime, in bounded bites).
-  @volatile private var availableNowCap: Option[LogId] = None
+  @volatile private var availableNowCap: Option[Map[String, LogId]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(LogStore.maxId(root, stream))
+    availableNowCap = Some(streams.map(st => st -> LogStore.maxId(root, st)).toMap)
 
   override def initialOffset(): Offset = {
     val mode = Option(options.get("startingOffsets")).getOrElse("latest")
-    val id = mode match {
-      case "earliest" => LogId.Zero
-      case "latest" => LogStore.maxId(root, stream)
-      case explicit => LogId.parse(explicit)
-    }
-    GraftLogOffset(id)
+    GraftLogOffset(streams.map { st =>
+      st -> (mode match {
+        case "earliest" => LogId.Zero
+        case "latest" => LogStore.maxId(root, st)
+        case explicit => LogId.parse(explicit) // applies to every stream
+      })
+    }.toMap)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -175,38 +222,49 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startId = start.asInstanceOf[GraftLogOffset].id
-    val liveMax = LogStore.maxId(root, stream)
+  private def cappedMax(st: String): LogId = {
+    val liveMax = LogStore.maxId(root, st)
     // under Trigger.AvailableNow, never read past the frozen cap
-    val max = availableNowCap.filter(_ < liveMax).getOrElse(liveMax)
+    availableNowCap.flatMap(_.get(st)).filter(_ < liveMax).getOrElse(liveMax)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOff = start.asInstanceOf[GraftLogOffset]
     limit match {
-      case _: ReadAllAvailable => GraftLogOffset(max)
       case r: ReadMaxRows =>
-        // stops reading as soon as the quota is met — no full-backlog scan,
-        // and ids only (no payload decode) on the driver; quota clamped to
-        // Int range (a single micro-batch never needs more)
-        val quota = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong).toInt
-        val ids = LogStore.idsAfterLimited(root, stream, startId, quota + 1)
-        val cut = ids.filter(_ <= max)
-        if (cut.size <= quota) GraftLogOffset(max)
-        else GraftLogOffset(cut(quota - 1))
-      case _ => GraftLogOffset(max)
+        // quota split evenly across streams; per stream, stop reading as
+        // soon as its share is met — no full-backlog scan, and ids only
+        // (no payload decode) on the driver; clamped to Int range
+        val total = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong)
+        val quota = math.max(1L, total / streams.size).toInt
+        GraftLogOffset(streams.map { st =>
+          val max = cappedMax(st)
+          val ids = LogStore.idsAfterLimited(root, st, startOff.id(st), quota + 1)
+          val cut = ids.filter(_ <= max)
+          st -> (if (cut.size <= quota) max else cut(quota - 1))
+        }.toMap)
+      case _ =>
+        GraftLogOffset(streams.map(st => st -> cappedMax(st)).toMap)
     }
   }
 
   override def reportLatestOffset(): Offset =
-    GraftLogOffset(LogStore.maxId(root, stream))
+    GraftLogOffset(streams.map(st => st -> LogStore.maxId(root, st)).toMap)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftLogPartitioning.plan(root, stream,
-      start.asInstanceOf[GraftLogOffset].id, end.asInstanceOf[GraftLogOffset].id,
-      options.getInt("minPartitions", 16))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftLogOffset]
+    val s1 = end.asInstanceOf[GraftLogOffset]
+    streams.toArray.flatMap { st =>
+      GraftLogPartitioning.plan(root, st, s0.id(st), s1.id(st),
+        options.getInt("minPartitions", 16))
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(options.getBoolean("dropTombstones", true))
 
-  override def deserializeOffset(json: String): Offset = GraftLogOffset.parse(json)
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset.parse(json, streams.head)
 
   /** Batch fully processed — ≙ the group cursor advancing past acked work
     * (auto-XACK after :ok, /root/reference/lib/redix/stream/consumer.ex:199-201).

@@ -158,6 +158,67 @@ class LogSourceSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("multi-stream read: batch and streaming fan-in over a stream list") {
+    val root = TestSpark.tmpDir("graftlog")
+    val wa = new LogWriter(root, "a")
+    val wb = new LogWriter(root, "b")
+    (1 to 3).foreach(i => wa.produce(Map("n" -> s"a$i")))
+    (1 to 2).foreach(i => wb.produce(Map("n" -> s"b$i")))
+    // batch: one scan over both streams, stream column distinguishes
+    val batch = spark.read.format("graftlog")
+      .option("path", root).option("stream", "a,b").load()
+    assert(batch.count() == 5)
+    assert(batch.select("stream").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b"))
+    // streaming: offsets advance independently per stream
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "a,b")
+      .option("startingOffsets", "earliest")
+      .load()
+      .writeStream.format("memory").queryName("fanin")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    wb.produce(Map("n" -> "b3"))
+    q.processAllAvailable()
+    val got = spark.sql("select values['n'] as n from fanin").collect()
+      .map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(got == Seq("a1", "a2", "a3", "b1", "b2", "b3"))
+  }
+
+  test("multi-stream write is rejected (single-sequencer per stream)") {
+    val root = TestSpark.tmpDir("graftlog")
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(("x", "1")).toDF("k", "v")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "a,b")
+        .mode("append").save()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("exactly one stream"))))
+  }
+
+  test("tiered compaction merges small-segment runs; auto-compact bounds file count") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now, autoCompactSegments = 8)
+    (1 to 100).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    val segs = LogStore.segments(root, "s")
+    assert(segs.size < 20, s"auto-compact should bound file count, got ${segs.size}")
+    val all = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(all.size == 100)
+    assert(all.map(_.values("i")) == (1 to 100).map(_.toString))
+    // manual tiered pass on a fresh stream with a mixed size profile
+    val w2 = new LogWriter(root, "t", () => now)
+    (1 to 6).foreach { i => now += 10; w2.produce(Map("i" -> i)) }
+    val merged = LogStore.compactTiered(root, "t", minMerge = 4)
+    assert(merged >= 4)
+    val after = LogStore.readRange(root, "t", LogId.Zero, LogStore.maxId(root, "t"))
+    assert(after.map(_.values("i")) == (1 to 6).map(_.toString))
+  }
+
   test("gzip compaction round-trips and the DSv2 reader handles .gz segments") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
