@@ -34,6 +34,25 @@ object Dedup {
       .withColumn("shingles", expr(shinglesSql("w")))
   }
 
+  /** Shared oracle for q41/q92: both compute the identical exact n-gram
+    * Jaccard result; they differ only in the Spark-side candidate plan.
+    */
+  private val jaccardOracleSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+       |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+       |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+       |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(hh) n FROM hs)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jac
+       |FROM pair JOIN sz sa ON sa.doc_id = pair.da
+       |          JOIN sz sb ON sb.doc_id = pair.db
+       |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q40_dedup_exact",
@@ -51,65 +70,32 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
-    q("q41_dedup_ngram_jaccard",
-      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
-         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
-         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
-         |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-         |         GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(hh) n FROM hs)
-         |SELECT da AS doc_a, db AS doc_b,
-         |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jac
-         |FROM pair JOIN sz sa ON sa.doc_id = pair.da
-         |          JOIN sz sb ON sb.doc_id = pair.db
-         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
-         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+    q("q41_dedup_ngram_jaccard", jaccardOracleSql) { (s, dir) =>
       import s.implicits._
-      // Exact n-gram Jaccard with PREFIX FILTERING (ppjoin-style): for
-      // threshold t, two sets of sizes na/nb with jac >= t must share at
-      // least one element among the first (n - ceil(t*n) + 1) elements of
-      // each, under any single global element ordering. Order by (df asc,
-      // hash) — rarest first — index ONLY the prefix, then verify candidates
-      // exactly on the full hash sets. Same results as the naive
-      // all-shingles index (the oracle IS the naive formulation), but the
-      // inverted index shrinks to the prefix and, because prefixes hold the
-      // rarest shingles, the candidate blow-up on frequent shingles
-      // disappears — this is the exact-dedup plan that survives 100 TB.
-      // Join key is the 8-byte shingle hash (oracle hashes identically, so
-      // a collision affects both engines the same way).
-      val t = 0.6
-      val withDf = shingled(s, dir)
+      // Exact n-gram Jaccard via inverted-index join — only docs sharing a
+      // shingle are ever compared, and the join key is the 8-byte shingle
+      // hash rather than the shingle string (the oracle hashes identically,
+      // so any collision affects both engines the same way). At bench scale
+      // this direct index wins; q92 is the same semantics with ppjoin-style
+      // prefix filtering, the variant that wins at much larger corpora.
+      // cached: the self-join and the size lookup would otherwise recompute
+      // the shingling+hashing subtree three times
+      val sh = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
-        .select($"doc_id", explode($"hh").as("h"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
-      // per doc: hashes rarest-first, full set + prefix
-      val docs = withDf
-        .groupBy($"doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("sorted"),
-          count(lit(1)).cast("long").as("n"))
-        // prefix length n - ceil(t*n) + 1 with t = 3/5, in exact integer
-        // arithmetic (a float ceil at an exact multiple of 5 could shorten
-        // the prefix by one and silently drop a boundary pair)
-        .withColumn("prefix",
-          expr("slice(sorted, 1, CAST(size(sorted) - ((3 * size(sorted) + 4) DIV 5) + 1 AS INT))"))
+        .select($"doc_id", $"hh")
         .cache()
-      val ex = docs.select($"doc_id", $"n", explode($"prefix").as("h"))
-      val cand = ex.as("a").join(ex.as("b"),
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
+      val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        // size bound: jac >= 3/5 requires 3*na <= 5*nb (and vice versa);
-        // integer form for the same exact-boundary reason
-        .filter($"a.n" * 3 <= $"b.n" * 5 && $"b.n" * 3 <= $"a.n" * 5)
-        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
-        .distinct()
-      // exact verification on the full sets
-      cand
-        .join(docs.select($"doc_id".as("da"), $"sorted".as("ha"), $"n".as("na")), "da")
-        .join(docs.select($"doc_id".as("db"), $"sorted".as("hb"), $"n".as("nb")), "db")
-        .withColumn("inter", expr("size(array_intersect(ha, hb))").cast("long"))
-        .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-        .filter($"jac" >= t)
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
+      pair
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("jac",
+          $"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter"))
+        .filter($"jac" >= 0.6)
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac")
         .orderBy($"doc_a", $"doc_b")
     },
@@ -192,6 +178,51 @@ object Dedup {
           bit_count($"a.sh32".bitwiseXOR($"b.sh32")).cast("long").as("hamming"))
         .distinct()
       pairs.filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    q("q92_dedup_jaccard_prefix", jaccardOracleSql) { (s, dir) =>
+      import s.implicits._
+      // Same exact Jaccard semantics as q41, with PREFIX FILTERING
+      // (ppjoin-style): for threshold t, two sets with jac >= t must share
+      // an element among the first (n - ceil(t*n) + 1) elements of each
+      // under one global ordering. Order by (df asc, hash) — rarest first —
+      // index ONLY the prefix, bound candidates by the size ratio, then
+      // verify exactly on the full hash sets. At bench scale the extra df
+      // pass costs more than it saves (q41's direct index wins); at large
+      // corpora the prefix index is what keeps frequent shingles from
+      // exploding the candidate space — this query keeps the scale plan
+      // honest against the same oracle.
+      val t = 0.6
+      val withDf = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", explode($"hh").as("h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      // per doc: hashes rarest-first, full set + prefix; prefix length
+      // n - ceil(t*n) + 1 with t = 3/5 in exact integer arithmetic (a float
+      // ceil at an exact multiple of 5 could shorten the prefix by one and
+      // silently drop a boundary pair)
+      val docs = withDf
+        .groupBy($"doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("sorted"),
+          count(lit(1)).cast("long").as("n"))
+        .withColumn("prefix",
+          expr("slice(sorted, 1, CAST(size(sorted) - ((3 * size(sorted) + 4) DIV 5) + 1 AS INT))"))
+        .cache()
+      val ex = docs.select($"doc_id", $"n", explode($"prefix").as("h"))
+      val cand = ex.as("a").join(ex.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        // size bound: jac >= 3/5 requires 3*na <= 5*nb (and vice versa)
+        .filter($"a.n" * 3 <= $"b.n" * 5 && $"b.n" * 3 <= $"a.n" * 5)
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("da"), $"sorted".as("ha"), $"n".as("na")), "da")
+        .join(docs.select($"doc_id".as("db"), $"sorted".as("hb"), $"n".as("nb")), "db")
+        .withColumn("inter", expr("size(array_intersect(ha, hb))").cast("long"))
+        .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jac" >= t)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac")
         .orderBy($"doc_a", $"doc_b")
     },
   )

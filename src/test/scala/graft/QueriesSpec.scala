@@ -14,7 +14,8 @@ class QueriesSpec extends AnyFunSuite {
 
   // queries whose predicates legitimately select few/no rows at sf0.001
   private val mayBeEmpty = Set("q44_embedding_neardup", "q69_embedding_lsh",
-    "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
+    "q41_dedup_ngram_jaccard", "q92_dedup_jaccard_prefix",
+    "q42_dedup_minhash_lsh", "q43_dedup_simhash",
     "q06_join_full", "q07_join_semi", "q08_join_anti", "q24_union",
     "q25_intersect", "q26_except")
 
