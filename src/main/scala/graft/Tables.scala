@@ -15,9 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // DataFrames are immutable logical plans; memoizing them per
+  // (session, dir, table) saves the parquet footer/listing read that every
+  // fresh `spark.read.parquet` pays — with 80+ queries each loading 1-3
+  // fixture tables, that listing cost is pure overhead. Keyed on the session
+  // too, so tests with their own sessions don't cross-contaminate.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
     * ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG and floor-convert to a

@@ -91,14 +91,27 @@ final class LogWriter(root: String, stream: String,
     * chunked into segments of at most `maxSegmentEntries` entries — readers
     * parallelize per segment, so one huge append must not become one
     * unsplittable file (the single-giant-segment read is the local analog of
-    * the small-files-vs-monolith balance at 100 TB).
+    * the small-files-vs-monolith balance at 100 TB). Id assignment stays
+    * serial (the ordering contract) but encoding + file IO of the chunks fan
+    * out across threads — still atomic per segment, still under the stream
+    * lock, and an entry is only visible once its whole segment is moved in.
     */
   def produceAll(batch: Seq[Map[String, Any]]): Seq[LogId] =
     if (batch.isEmpty) Nil
     else withStreamLock {
       val entries = batch.map(v => LogEntry(nextId(), coerce(v)))
-      entries.grouped(maxSegmentEntries).foreach(chunk =>
-        LogStore.writeSegment(root, stream, chunk))
+      val chunks = entries.grouped(maxSegmentEntries).toSeq
+      if (chunks.size <= 1)
+        chunks.foreach(chunk => LogStore.writeSegment(root, stream, chunk))
+      else {
+        import scala.concurrent.duration.DurationInt
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = LogWriter.writeEc
+        Await.result(
+          Future.traverse(chunks)(chunk =>
+            Future(LogStore.writeSegment(root, stream, chunk))),
+          10.minutes)
+      }
       maybeAutoCompact()
       entries.map(_.id)
     }
@@ -121,4 +134,11 @@ object LogWriter {
   private def jvmLock(root: String, stream: String): Object =
     locks.computeIfAbsent(
       LogStore.streamDir(root, stream).toAbsolutePath.toString, _ => new Object)
+
+  // Shared pool for fanning out chunked segment writes (encode + IO bound).
+  private[log] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, Runtime.getRuntime.availableProcessors()),
+        r => { val t = new Thread(r, "graftlog-writer"); t.setDaemon(true); t }))
 }
