@@ -303,5 +303,31 @@ object Extras {
         .agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
     },
+
+    q("q93_multistream_fanin",
+      // Fan-in over the engine's multi-stream read (Kafka-style subscribe
+      // list): events are routed to two physical streams by type (a crude
+      // topic split), then ONE batch scan over "clicks,others" reunifies
+      // them; the oracle is the single-table batch answer.
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_id % 10 = 0 GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q93").toString
+      val sub = T(s, dir, "events")
+        .filter($"event_id" % 10 === 0)
+        .selectExpr("CAST(event_id AS STRING) AS event_id", "event_type")
+      sub.filter($"event_type" === "click")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "clicks").mode("append").save()
+      sub.filter($"event_type" =!= "click")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "others").mode("append").save()
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "clicks,others")
+        .load()
+        .groupBy($"values.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
   )
 }
