@@ -41,7 +41,8 @@ final case class ConsumerConfig(
     processPending: Boolean = true,
     raiseErrors: Boolean = true,
     ordered: Boolean = true,
-    drainAndStop: Boolean = false) {
+    drainAndStop: Boolean = false,
+    supTimeoutMs: Long = 5000L) {
 
   def resolvedStartingOffsets: String = startPos match {
     case "default" => "latest"
@@ -264,7 +265,20 @@ final class GraftConsumer(
     } catch { case _: Throwable => None }
   }
 
-  def stop(): Unit = query.foreach(_.stop())
+  /** Graceful stop ≙ the supervisor's `sup_timeout` shutdown window
+    * (/root/reference/lib/redix/stream/consumer_sup.ex:33, default 5000 ms):
+    * give the in-flight micro-batch up to `supTimeoutMs` to finish — so its
+    * handlers run to completion and ack — then stop the query. A batch still
+    * running at the deadline is interrupted; its unacked work replays on the
+    * next start (at-least-once, same as the reference's kill-after-timeout).
+    */
+  def stop(): Unit = query.foreach { q =>
+    val deadline = System.nanoTime() + cfg.supTimeoutMs * 1000000L
+    while (q.isActive && q.status.isTriggerActive && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    q.stop()
+  }
+
   def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
 }
 

@@ -237,6 +237,37 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.toList == List("1", "2", "3", "4"))
   }
 
+  test("graceful stop lets the in-flight batch finish and ack (sup_timeout)") {
+    // ≙ consumer_test.exs:324-401: shutdown mid-batch waits out the window,
+    // handlers complete, and a restart does not redeliver the acked work.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 4).foreach(i => w.produce(Map("n" -> i.toString)))
+    val shared = cfg(root, "s", Some("g1")).copy(supTimeoutMs = 20000L)
+    val seen = mutable.ArrayBuffer.empty[String]
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val c = new GraftConsumer(spark, shared,
+      (_, _, _, values) => {
+        started.countDown()
+        Thread.sleep(100) // slow handler: stop() arrives mid-batch
+        seen.synchronized { seen += values("n") }
+        HandlerResult.Ok
+      })
+    c.start()
+    started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    c.stop() // graceful: waits for the active trigger before stopping
+    val afterStop = seen.synchronized(seen.toList)
+    assert(afterStop == List("1", "2", "3", "4"),
+      s"in-flight batch should complete before stop, got $afterStop")
+    // restart: nothing redelivered (everything acked before the stop)
+    val c2 = new GraftConsumer(spark, shared,
+      (_, _, _, values) => { seen.synchronized { seen += values("n") }; HandlerResult.Ok })
+    val q2 = c2.start()
+    q2.processAllAvailable()
+    c2.stop()
+    assert(seen.synchronized(seen.toList) == List("1", "2", "3", "4"))
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
