@@ -194,6 +194,10 @@ object Dedup {
       // exploding the candidate space — this query keeps the scale plan
       // honest against the same oracle.
       val t = 0.6
+      // document frequency via a count window partitioned by hash (one
+      // shuffle of the exploded set; measured faster here than aggregating
+      // the vocab and broadcasting it back, which pays a second pass over
+      // the shingling subtree — revisit if the corpus/vocab ratio grows)
       val withDf = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", explode($"hh").as("h"))
