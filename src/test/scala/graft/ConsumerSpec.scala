@@ -237,6 +237,39 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.toList == List("1", "2", "3", "4"))
   }
 
+  test("no-group consumer: fire-and-forget from end_of_stream, no ack ledger") {
+    // ≙ the reference's default no-group mode (consumer.ex:73): start at
+    // latest, dispatch without acks; a fresh consumer (new checkpoint) after
+    // downtime misses what it slept through — at-most-once.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("old" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val cfg1 = cfg(root, "s", None, start = "default")
+    val c1 = new GraftConsumer(spark, cfg1,
+      (_, _, _, values) => { seen ++= values.keys; HandlerResult.Ok })
+    val q1 = c1.start()
+    q1.processAllAvailable()
+    w.produce(Map("live" -> "1"))
+    q1.processAllAvailable()
+    c1.stop()
+    assert(seen.toList == List("live"), "history must be skipped, live seen")
+    assert(cfg1.ledgerDir.isEmpty, "no-group mode keeps no ack ledger")
+    // downtime: messages produced while no consumer runs
+    w.produce(Map("missed" -> "1"))
+    // fresh consumer (new checkpoint scope = new consumer identity)
+    val seen2 = mutable.ArrayBuffer.empty[String]
+    val c2 = new GraftConsumer(spark,
+      cfg(root, "s", None, start = "default").copy(consumerName = "consumer_2"),
+      (_, _, _, values) => { seen2 ++= values.keys; HandlerResult.Ok })
+    val q2 = c2.start()
+    q2.processAllAvailable()
+    w.produce(Map("live2" -> "1"))
+    q2.processAllAvailable()
+    c2.stop()
+    assert(seen2.toList == List("live2"), "downtime messages are lost (at-most-once)")
+  }
+
   test("graceful stop lets the in-flight batch finish and ack (sup_timeout)") {
     // ≙ consumer_test.exs:324-401: shutdown mid-batch waits out the window,
     // handlers complete, and a restart does not redeliver the acked work.
