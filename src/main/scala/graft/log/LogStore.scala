@@ -100,13 +100,87 @@ object LogStore {
     sb.toString
   }
 
-  def decodeLine(line: String): LogEntry = {
+  def decodeLine(line: String): LogEntry =
+    try decodeLineFast(line)
+    catch { case _: Exception => decodeLineJackson(line) }
+
+  /** General JSON decode — the fallback for lines not produced by
+    * [[encodeLine]] (hand-edited logs, other producers).
+    */
+  private[graft] def decodeLineJackson(line: String): LogEntry = {
     val node = mapper.readTree(line).asInstanceOf[ObjectNode]
     val id = LogId.parse(node.get("id").asText())
     val vals = node.get("values").asInstanceOf[ObjectNode]
     val values = vals.properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
     LogEntry(id, values)
+  }
+
+  /** Direct parse of [[encodeLine]]'s exact layout
+    * (`{"id":"...","values":{"k":"v",...}}`, strings with standard JSON
+    * escapes) — several times faster than a generic tree parse, and segment
+    * decode is the executor-side cost of every read. Throws on any
+    * deviation; [[decodeLine]] then falls back to Jackson.
+    */
+  private[graft] def decodeLineFast(line: String): LogEntry = {
+    val IdPrefix = "{\"id\":\""
+    require(line.startsWith(IdPrefix), "unexpected prefix")
+    var i = IdPrefix.length
+    val idEnd = line.indexOf('"', i)
+    val id = LogId.parse(line.substring(i, idEnd))
+    val ValuesPrefix = ",\"values\":{"
+    require(line.regionMatches(idEnd + 1, ValuesPrefix, 0, ValuesPrefix.length),
+      "unexpected values prefix")
+    i = idEnd + 1 + ValuesPrefix.length
+    val sb = new java.lang.StringBuilder
+    // parse one escaped JSON string starting at a '"'; returns value,
+    // leaves `i` after the closing quote
+    def parseString(): String = {
+      require(line.charAt(i) == '"', "expected string")
+      i += 1
+      sb.setLength(0)
+      while (line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\') {
+          val e = line.charAt(i + 1)
+          (e: @annotation.switch) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => throw new IllegalArgumentException(s"bad escape: \\$other")
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    val values = Map.newBuilder[String, String]
+    if (line.charAt(i) == '}') i += 1 // empty map
+    else {
+      var more = true
+      while (more) {
+        val k = parseString()
+        require(line.charAt(i) == ':', "expected colon")
+        i += 1
+        val v = parseString()
+        values += k -> v
+        line.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; more = false
+          case other => throw new IllegalArgumentException(s"unexpected: $other")
+        }
+      }
+    }
+    require(i < line.length && line.charAt(i) == '}', "expected closing brace")
+    LogEntry(id, values.result())
   }
 
   private def segmentLines(path: String): Seq[String] = {
