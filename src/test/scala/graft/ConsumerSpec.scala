@@ -301,6 +301,39 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.synchronized(seen.toList) == List("1", "2", "3", "4"))
   }
 
+  test("concurrent producers racing a live consumer: every message exactly once") {
+    // end-to-end single-writer-lock evidence: two producer threads append
+    // while the consumer tails; ids never collide, nothing is lost, nothing
+    // is dispatched twice (acks + monotonic offsets).
+    val root = TestSpark.tmpDir("log")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val c = new GraftConsumer(spark, cfg(root, "s", Some("g1")),
+      (_, _, _, values) => { seen.add(values("m")); HandlerResult.Ok })
+    val q = c.start()
+    val perThread = 30
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        val w = new LogWriter(root, "s")
+        (0 until perThread).foreach { i =>
+          w.produce(Map("m" -> s"t$t-$i"))
+          if (i % 7 == 0) Thread.sleep(1)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.size < 2 * perThread && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      Thread.sleep(20)
+    }
+    c.stop()
+    val all = seen.toArray(Array.empty[String]).toSeq
+    assert(all.size == 2 * perThread, s"expected ${2 * perThread}, got ${all.size}")
+    assert(all.toSet ==
+      (0 until 2).flatMap(t => (0 until perThread).map(i => s"t$t-$i")).toSet)
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
