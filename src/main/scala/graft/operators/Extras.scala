@@ -329,5 +329,85 @@ object Extras {
         .agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
     },
+
+    q("q94_streaming_session",
+      // Third query executed THROUGH the streaming engine: session windows
+      // in APPEND mode, where a session only emits once the watermark passes
+      // its end. Per-user sentinel events (2 h after the real maximum, i.e.
+      // beyond the 30-min gap) close every real session, and one final flush
+      // event in a later micro-batch advances the watermark past the
+      // sentinels so the closed sessions actually emit. The oracle is the
+      // batch gaps-and-islands answer over the real events only.
+      """WITH t AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) uts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_id % 7 = 0
+        |), s AS (
+        |  SELECT user_id, uts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(uts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(uts), MAX(uts)) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val root = Files.createTempDirectory("graft-q94").toString
+      val sub = T(s, dir, "events")
+        .filter($"event_id" % 7 === 0)
+        .select($"user_id", $"ts")
+      val maxTs = sub.agg(max($"ts")).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val reals = sub.selectExpr("CAST(user_id AS STRING) AS user_id",
+        s"date_format(ts, '$tsFmt') AS ts_s")
+      val sentinels = sub.select($"user_id").distinct()
+        .selectExpr("CAST(user_id AS STRING) AS user_id",
+          s"date_format(TIMESTAMP '${sentinelTs}', '$tsFmt') AS ts_s")
+      val flush = s.range(1)
+        .selectExpr("'__flush__' AS user_id",
+          s"date_format(TIMESTAMP '${flushTs}', '$tsFmt') AS ts_s")
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("graftlog")
+          .option("path", root).option("stream", "ev").mode("append").save()
+      append(reals); append(sentinels); append(flush)
+      val nBatch1 = reals.count() + sentinels.count() // flush lands in batch 2
+      val sinkName = s"q94_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", nBatch1.toString)
+          .load()
+          .select(to_timestamp($"values.ts_s").as("ets"),
+            $"values.user_id".as("user_id"))
+          .withWatermark("ets", "0 seconds")
+          .groupBy(session_window($"ets", "30 minutes").as("sw"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), min($"ets").as("mn"), max($"ets").as("mx"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", Files.createTempDirectory("graft-q94-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.table(sinkName)
+        .filter($"mn" < lit(sentinelTs)) // drop sentinel/flush sessions
+        .select($"user_id".cast("long").as("user_id"),
+          date_format($"mn", fmt).as("session_start"),
+          $"n_events",
+          ($"mx".cast("long") - $"mn".cast("long")).as("dur_sec"))
+        .orderBy($"user_id", $"session_start")
+    },
   )
 }
