@@ -171,5 +171,87 @@ object Similarity {
         .select($"q_id", $"cand_id", $"rk", $"sim")
         .orderBy($"q_id", $"rk")
     },
+
+    q("q95_ann_recall",
+      // ANN EVALUATION as a first-class operator: recall@10 of the IVF
+      // index (2 probes) against the exact brute-force ground truth, per
+      // query. Both rankings are deterministic (q45/q46 prove each engine
+      // computes identical sets), so the recall fraction itself is
+      // oracle-checkable — the eval loop a production ANN deployment runs
+      // to tune nlist/nprobe before committing to an index layout.
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |brute AS (SELECT q_id, cand_id FROM (
+         |  SELECT q.vec_id q_id, c.vec_id cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDotSql("q.embedding", "c.embedding")} DESC, c.vec_id) rn
+         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) WHERE rn <= 10),
+         |c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id % 25 = 0),
+         |ad AS (SELECT v.vec_id, c.cid, ${duckDotSql("v.embedding", "c.ce")} AS d FROM v, c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) rn
+         |  FROM ad) WHERE rn = 1),
+         |probes AS (SELECT vec_id q_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) rn
+         |  FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id cand_id FROM probes p
+         |         JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.q_id),
+         |ivf AS (SELECT q_id, cand_id FROM (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.q_id
+         |      ORDER BY ${duckDotSql("qv.embedding", "cv.embedding")} DESC, cand.cand_id) rn
+         |  FROM cand JOIN v qv ON qv.vec_id = cand.q_id
+         |            JOIN v cv ON cv.vec_id = cand.cand_id) WHERE rn <= 10),
+         |hits AS (SELECT b.q_id, COUNT(*) n_hit FROM brute b
+         |         JOIN ivf i ON i.q_id = b.q_id AND i.cand_id = b.cand_id GROUP BY 1)
+         |SELECT b.q_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM (SELECT DISTINCT q_id FROM brute) b LEFT JOIN hits h ON h.q_id = b.q_id
+         |ORDER BY b.q_id""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val vecs = e.select($"vec_id", $"embedding")
+      // ground truth: brute-force top-10 per query (queries broadcast)
+      val qs = broadcast(e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe")))
+      val wQ = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
+      val brute = qs
+        .join(vecs.select($"vec_id".as("cand_id"), $"embedding".as("ce")),
+          $"q_id" =!= $"cand_id")
+        .withColumn("sim", expr("graft_dot(qe, ce)"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"cand_id")
+      // IVF top-10: same centroids/assignment/probes as q46
+      val cents = broadcast(e.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce")))
+      val ad = vecs.crossJoin(cents)
+        .withColumn("d", expr("graft_dot(embedding, ce)"))
+        .select($"vec_id", $"cid", $"d")
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cid")
+      val assign = ad.withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1).select($"vec_id", $"cid")
+      val probes = ad.filter($"vec_id" < 10)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("q_id"), $"cid")
+      val ivf = probes
+        .join(assign.withColumnRenamed("vec_id", "cand_id"), "cid")
+        .filter($"cand_id" =!= $"q_id")
+        .join(vecs.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+        .join(vecs.select($"vec_id".as("cand_id"), $"embedding".as("cve")), "cand_id")
+        .withColumn("sim", expr("graft_dot(qe, cve)"))
+        .withColumn("rn", row_number().over(wQ.orderBy($"sim".desc, $"cand_id")))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"cand_id")
+      val hits = brute.as("b")
+        .join(ivf.as("i"), $"b.q_id" === $"i.q_id" && $"b.cand_id" === $"i.cand_id")
+        .groupBy($"b.q_id".as("q_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      brute.select($"q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          (coalesce($"n_hit", lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy($"q_id")
+    },
   )
 }
