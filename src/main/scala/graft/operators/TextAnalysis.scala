@@ -140,5 +140,34 @@ object TextAnalysis {
           ascii(substring($"text", 1, 1)).cast("long").as("first_byte"))
         .orderBy($"doc_id")
     },
+
+    q("q96_stopword_removal", {
+      val all = TextAnalysis.allStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(w, t -> t NOT IN ($all))) AS BIGINT) AS n_kept,
+         |  ROUND(CAST(len(list_filter(w, t -> t NOT IN ($all))) AS DOUBLE)
+         |    / len(w), 6) AS keep_ratio
+         |FROM words ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Stopword stripping, the first normalization pass of every text
+      // corpus pipeline: pure map-side higher-order filter against a small
+      // in-plan list (at scale: a broadcast variable / dictionary file).
+      val all = TextAnalysis.allStops.map(w => s"'$w'").mkString(", ")
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .withColumn("kept", expr(s"filter(w, t -> NOT array_contains(array($all), t))"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          size($"kept").cast("long").as("n_kept"),
+          round(size($"kept").cast("double") / size($"w"), 6).as("keep_ratio"))
+        .orderBy($"doc_id")
+    },
   )
+
+  /** Union of the per-language stopword profiles, deduped, stable order. */
+  private[operators] def allStops: Seq[String] =
+    stops.toSeq.sortBy(_._1).flatMap(_._2).distinct
 }

@@ -334,6 +334,27 @@ class ConsumerSpec extends AnyFunSuite {
       (0 until 2).flatMap(t => (0 until perThread).map(i => s"t$t-$i")).toSet)
   }
 
+  test("independent groups each see every message (multi-group fan-out)") {
+    // ≙ README.md:100: consumers in the same group split the work, but each
+    // GROUP gets the full stream. Two groups, same stream, disjoint
+    // checkpoints/ledgers — both must dispatch all messages.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 5).foreach(i => w.produce(Map("n" -> i.toString)))
+    val seenA = mutable.ArrayBuffer.empty[String]
+    val seenB = mutable.ArrayBuffer.empty[String]
+    val ca = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("ga")),
+      (_, _, _, values) => { seenA += values("n"); HandlerResult.Ok },
+      until = _ => seenA.size >= 5)
+    ca.stop()
+    val cb = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("gb")),
+      (_, _, _, values) => { seenB += values("n"); HandlerResult.Ok },
+      until = _ => seenB.size >= 5)
+    cb.stop()
+    assert(seenA.toList == (1 to 5).map(_.toString).toList)
+    assert(seenB.toList == (1 to 5).map(_.toString).toList)
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
