@@ -23,6 +23,12 @@ object HandlerResult {
 /** Consumer configuration ≙ `consumer_spec` options
   * (/root/reference/lib/stream.ex:55-58, README.md:106-118).
   *
+  * `stream` accepts a comma-separated list (engine extension over the
+  * reference's one-stream consumer): one query fans in over all of them,
+  * the handler receives each message's actual stream name, and ack-ledger
+  * entries are stream-qualified so ids from different streams never
+  * collide.
+  *
   * `startPos`: "default" resolves by the reference's decision table
   * (/root/reference/lib/redix/stream/consumer.ex:71-91): no group →
   * `latest` (end_of_stream; messages during downtime are lost — the
@@ -48,6 +54,9 @@ final case class ConsumerConfig(
     case "default" => "latest"
     case other => other
   }
+
+  def streams: Seq[String] = stream.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  def multiStream: Boolean = streams.size > 1
 
   def checkpointDir: String = {
     val scope = groupName.getOrElse(s"__nogroup__/$consumerName")
@@ -136,19 +145,24 @@ final class GraftConsumer(
   @volatile private var query: Option[StreamingQuery] = None
 
   /** Manual ack for `Defer`red messages (≙ `Consumer.ack/2`,
-    * /root/reference/lib/redix/stream/consumer.ex:114-124).
+    * /root/reference/lib/redix/stream/consumer.ex:114-124). For a
+    * multi-stream consumer use the two-arg form; the one-arg form assumes
+    * the first configured stream.
     */
-  def ack(id: String): Unit = ledger.foreach(_.ack(id))
+  def ack(id: String): Unit = ack(cfg.streams.head, id)
+  def ack(stream: String, id: String): Unit =
+    ledger.foreach(_.ack(GraftConsumer.ledgerKey(cfg, stream, id)))
 
   /** Dispatch one entry; mirrors call_handler + the :ok/:defer/error
     * branches (/root/reference/lib/redix/stream/consumer.ex:190-216).
     */
-  private def dispatch(id: String, values: Map[String, String]): Unit = {
-    val alreadyAcked = ledger.exists(_.acked.contains(id))
+  private def dispatch(stream: String, id: String, values: Map[String, String]): Unit = {
+    val key = GraftConsumer.ledgerKey(cfg, stream, id)
+    val alreadyAcked = ledger.exists(_.acked.contains(key))
     if (!alreadyAcked) {
-      handler(cfg.stream, cfg.groupName, id, values) match {
-        case HandlerResult.Ok => ledger.foreach(_.ack(id))
-        case HandlerResult.Defer => ledger.foreach(_.defer(id))
+      handler(stream, cfg.groupName, id, values) match {
+        case HandlerResult.Ok => ledger.foreach(_.ack(key))
+        case HandlerResult.Defer => ledger.foreach(_.defer(key))
         case HandlerResult.Err(cause) =>
           if (cfg.raiseErrors) throw cause
           // non-raising error in group mode: leave the id unacked-but-pending
@@ -156,7 +170,7 @@ final class GraftConsumer(
           // /root/reference/lib/redix/stream/consumer.ex:206-216) so
           // drainPending redelivers it — never silently lost just because
           // the micro-batch offset commits.
-          else ledger.foreach(_.defer(id))
+          else ledger.foreach(_.defer(key))
       }
     }
   }
@@ -167,11 +181,13 @@ final class GraftConsumer(
     */
   def drainPending(): Unit =
     for (l <- ledger if cfg.processPending) {
-      val pending = l.deferred.map(LogId.parse).toSeq.sorted
-      pending.foreach { id =>
-        LogStore.readRange(cfg.logRoot, cfg.stream, LogId(id.millis, id.seq - 1), id)
+      val pending = l.deferred.toSeq
+        .map(k => GraftConsumer.parseLedgerKey(cfg, k))
+        .sortBy(_._2)
+      pending.foreach { case (stream, id) =>
+        LogStore.readRange(cfg.logRoot, stream, LogId(id.millis, id.seq - 1), id)
           .filter(_.id == id).filterNot(_.isTombstone)
-          .foreach(e => dispatch(e.id.toString, e.values))
+          .foreach(e => dispatch(stream, e.id.toString, e.values))
       }
     }
 
@@ -200,23 +216,24 @@ final class GraftConsumer(
           // analytics workloads should use the DataFrame API instead of a
           // per-message handler, so this path is not a data plane.
           val rows = batch
-            .selectExpr("id", "seq", "ts", "values")
+            .selectExpr("stream", "id", "seq", "ts", "values")
             .orderBy("ts", "seq")
             .collect()
           rows.foreach { r =>
-            dispatch(r.getAs[String]("id"), r.getAs[Map[String, String]]("values"))
+            dispatch(r.getAs[String]("stream"), r.getAs[String]("id"),
+              r.getAs[Map[String, String]]("values"))
           }
         } else {
           // Parallel mode ≙ N consumers in one group (2A#15): partitions are
           // disjoint id ranges processed concurrently, each task acking into
           // its own ledger file (needs a shared FS on a real cluster).
           // Order is per-partition, as documented in SURVEY.md §1.4.
-          val streamName = cfg.stream
           val group = cfg.groupName
           val ledgerDir = cfg.ledgerDir.map(_.toString)
           val raise = cfg.raiseErrors
+          val multi = cfg.multiStream
           val h = handler
-          batch.selectExpr("id", "seq", "ts", "values")
+          batch.selectExpr("stream", "id", "seq", "ts", "values")
             .sortWithinPartitions("ts", "seq")
             .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -224,14 +241,16 @@ final class GraftConsumer(
                 new AckLedger(Paths.get(d), s"p$pid"))
               val acked = ledger.map(_.acked).getOrElse(Set.empty[String])
               it.foreach { r =>
+                val streamName = r.getAs[String]("stream")
                 val id = r.getAs[String]("id")
-                if (!acked.contains(id)) {
+                val key = if (multi) s"$streamName\t$id" else id
+                if (!acked.contains(key)) {
                   h(streamName, group, id, r.getAs[Map[String, String]]("values")) match {
-                    case HandlerResult.Ok => ledger.foreach(_.ack(id))
-                    case HandlerResult.Defer => ledger.foreach(_.defer(id))
+                    case HandlerResult.Ok => ledger.foreach(_.ack(key))
+                    case HandlerResult.Defer => ledger.foreach(_.defer(key))
                     case HandlerResult.Err(cause) =>
                       // same unacked-but-pending contract as the ordered path
-                      if (raise) throw cause else ledger.foreach(_.defer(id))
+                      if (raise) throw cause else ledger.foreach(_.defer(key))
                   }
                 }
               }
@@ -280,6 +299,22 @@ final class GraftConsumer(
   }
 
   def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
+}
+
+object GraftConsumer {
+  /** Ledger key for one message: the bare id for a single-stream consumer
+    * (ledger format unchanged from earlier versions); stream-qualified with
+    * a tab for multi-stream fan-in, where ids from different streams can
+    * collide.
+    */
+  private[consumer] def ledgerKey(cfg: ConsumerConfig, stream: String, id: String): String =
+    if (cfg.multiStream) s"$stream\t$id" else id
+
+  private[consumer] def parseLedgerKey(cfg: ConsumerConfig, key: String): (String, LogId) =
+    key.split('\t') match {
+      case Array(st, id) if cfg.multiStream => (st, LogId.parse(id))
+      case _ => (cfg.streams.head, LogId.parse(key))
+    }
 }
 
 /** Supervision ≙ ConsumerSup's one-for-one restart

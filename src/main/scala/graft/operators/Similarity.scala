@@ -253,5 +253,37 @@ object Similarity {
           (coalesce($"n_hit", lit(0L)).cast("double") / 10.0).as("recall_at_10"))
         .orderBy($"q_id")
     },
+
+    q("q97_embedding_quantize",
+      // Symmetric int8 quantization (max-abs scaling) — the standard 4x
+      // shrink applied to embedding stores before ANN indexing at scale.
+      // floor(x + 0.5) instead of round(): both engines floor identically,
+      // while round() half-away vs half-even diverges. The digest pins the
+      // whole quantized vector, so any drift in the arithmetic fails the
+      // hash check.
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, maxabs,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  md5(array_to_string(qv, ',')) AS q_digest,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min
+        |FROM qz ORDER BY vec_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "embeddings")
+        .withColumn("maxabs",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT))"))
+        .select($"vec_id",
+          md5(concat_ws(",", expr("transform(qv, x -> CAST(x AS STRING))"))
+            .cast("binary")).as("q_digest"),
+          expr("array_max(qv)").cast("long").as("q_max"),
+          expr("array_min(qv)").cast("long").as("q_min"))
+        .orderBy($"vec_id")
+    },
   )
 }

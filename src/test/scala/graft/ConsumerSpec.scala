@@ -355,6 +355,35 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seenB.toList == (1 to 5).map(_.toString).toList)
   }
 
+  test("multi-stream consumer fans in; pending replay is stream-qualified") {
+    // engine extension: one consumer over "a,b"; handler receives each
+    // message's actual stream; same numeric id on both streams must not
+    // collide in the ack ledger (deferred on a, acked on b).
+    val root = TestSpark.tmpDir("log")
+    val now = System.currentTimeMillis()
+    val wa = new LogWriter(root, "a", () => now) // same clock => same ids
+    val wb = new LogWriter(root, "b", () => now)
+    wa.produce(Map("job" -> "a1"))
+    wb.produce(Map("job" -> "b1"))
+    val shared = cfg(root, "a,b", Some("g1"))
+    val seen = mutable.ArrayBuffer.empty[(String, String)]
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (stream, _, _, values) => {
+        seen += stream -> values("job")
+        if (stream == "a") HandlerResult.Defer else HandlerResult.Ok
+      },
+      until = _ => seen.size >= 2)
+    c1.stop()
+    assert(seen.toSet == Set("a" -> "a1", "b" -> "b1"))
+    // restart: only the deferred message from stream a replays
+    val c2 = ConsumerRunner.runSupervised(spark, shared,
+      (stream, _, _, values) => { seen += stream -> values("job"); HandlerResult.Ok },
+      until = _ => true)
+    c2.stop()
+    assert(seen.size == 3)
+    assert(seen.last == ("a" -> "a1"))
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
