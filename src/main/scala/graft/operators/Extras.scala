@@ -409,5 +409,27 @@ object Extras {
           ($"mx".cast("long") - $"mn".cast("long")).as("dur_sec"))
         .orderBy($"user_id", $"session_start")
     },
+
+    q("q98_union_by_name",
+      // Schema evolution: two message generations with different column
+      // sets unified by NAME (missing columns null-filled) — the batch twin
+      // of reading a log whose producers added fields over time.
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 100 = 1
+        |) ORDER BY k""") { (s, dir) =>
+      import s.implicits._
+      val gen1 = T(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+          $"o_orderstatus".as("status"))
+      val gen2 = T(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 1)
+        .select($"o_orderkey".as("k"), $"o_orderpriority".as("prio"))
+      gen1.unionByName(gen2, allowMissingColumns = true).orderBy($"k")
+    },
   )
 }
