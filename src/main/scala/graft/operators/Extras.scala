@@ -431,5 +431,26 @@ object Extras {
         .select($"o_orderkey".as("k"), $"o_orderpriority".as("prio"))
       gen1.unionByName(gen2, allowMissingColumns = true).orderBy($"k")
     },
+
+    q("q99_forward_fill",
+      // Gap filling (forward fill): carry the last observed value over
+      // nulls per key in event order — the standard time-series repair pass
+      // before feature extraction. One window pass, shuffle on user_id only.
+      """WITH t AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM t ORDER BY user_id, event_id""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("v", when($"event_type" === "error", lit(null)).otherwise($"value"))
+        .select($"user_id", $"event_id",
+          last($"v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy($"user_id", $"event_id")
+    },
   )
 }
