@@ -24,7 +24,7 @@ object LogStore {
 
   final case class Segment(path: String, first: LogId, last: LogId)
 
-  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.jsonl(\\.gz)?$".r
+  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.(jsonl(\\.gz)?|parquet)$".r
 
   def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
 
@@ -43,7 +43,7 @@ object LogStore {
     val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
     files.iterator.flatMap { f =>
       f.getName match {
-        case SegName(a, b, _) => Some(Segment(f.getAbsolutePath, LogId.parse(a), LogId.parse(b)))
+        case SegName(a, b, _, _) => Some(Segment(f.getAbsolutePath, LogId.parse(a), LogId.parse(b)))
         case _ => None
       }
     }.toSeq.sortBy(_.first)
@@ -196,7 +196,8 @@ object LogStore {
   }
 
   def readSegment(path: String): Seq[LogEntry] =
-    segmentLines(path).map(decodeLine)
+    if (path.endsWith(".parquet")) ParquetSegments.read(path)
+    else segmentLines(path).map(decodeLine)
 
   /** Entries with start < id <= end across all segments, in id order.
     * Deduped by id so a reader racing a compaction (old + merged segments
@@ -239,12 +240,15 @@ object LogStore {
         val end = line.indexOf('"', IdPrefix.length)
         LogId.parse(line.substring(IdPrefix.length, end))
       } else decodeLine(line).id
+    def segIds(path: String): Seq[LogId] =
+      if (path.endsWith(".parquet")) ParquetSegments.read(path).map(_.id)
+      else segmentLines(path).map(lineId)
     val out = scala.collection.mutable.ArrayBuffer.empty[LogId]
     val segs = segments(root, stream).filter(_.last > start)
     val it = segs.iterator
     while (out.size < limit && it.hasNext) {
       val seg = it.next()
-      out ++= segmentLines(seg.path).map(lineId).filter(_ > start)
+      out ++= segIds(seg.path).filter(_ > start)
     }
     out.toSeq.distinct.sorted.take(limit)
   }
@@ -265,6 +269,29 @@ object LogStore {
       writeSegment(root, stream, entries, gzip, overwrite = true)
       segs.filter(s => Paths.get(s.path).getFileName.toString !=
         segmentName(entries.head.id, entries.last.id, gzip))
+        .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+      segs.size
+    }
+  }
+
+  /** Rewrite every segment whose id range is entirely <= `upTo` into ONE
+    * columnar parquet segment (MAP<STRING,STRING> payload; dictionary +
+    * snappy). The cold tier of the log: ids keep their range-named file
+    * contract, readers dispatch on the extension, and the move-then-delete
+    * order plus reader-side id dedup make it safe under concurrent reads,
+    * exactly like [[compact]]. Returns segments merged (0 if fewer than 2).
+    */
+  def compactToParquet(root: String, stream: String, upTo: LogId): Int = {
+    val segs = segments(root, stream).filter(_.last <= upTo)
+    if (segs.isEmpty) 0
+    else {
+      val entries = segs.flatMap(s => readSegment(s.path)).distinctBy(_.id).sortBy(_.id)
+      val dir = streamDir(root, stream)
+      val name = s"${entries.head.id}__${entries.last.id}.parquet"
+      val tmp = dir.resolve(s".$name.tmp")
+      ParquetSegments.write(tmp, entries)
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      segs.filter(s => Paths.get(s.path).getFileName.toString != name)
         .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
       segs.size
     }
