@@ -19,15 +19,19 @@ object Tables {
   // (session, dir, table) saves the parquet footer/listing read that every
   // fresh `spark.read.parquet` pays — with 80+ queries each loading 1-3
   // fixture tables, that listing cost is pure overhead. Keyed on the session
-  // too, so tests with their own sessions don't cross-contaminate.
+  // too, so tests with their own sessions don't cross-contaminate; bounded
+  // (cleared past 256 entries) so a long-lived process cycling sessions
+  // can't leak stopped sessions through retained plans.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
     * ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG and floor-convert to a

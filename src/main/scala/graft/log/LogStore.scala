@@ -28,12 +28,20 @@ object LogStore {
 
   def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
 
+  // directory-safe and JSON-interpolation-safe (offset wire format embeds
+  // names unescaped); covers the reference's url-base64 test names
+  private val SafeStreamName = "^[A-Za-z0-9._=+-]+$".r
+
   /** Idempotent stream DDL (≙ ensure_stream_and_group MKSTREAM,
     * /root/reference/lib/redix/stream/consumer.ex:332-351): creating an
-    * existing stream is a no-op.
+    * existing stream is a no-op. Names are restricted to a filesystem- and
+    * offset-JSON-safe charset.
     */
-  def ensureStream(root: String, stream: String): Unit =
+  def ensureStream(root: String, stream: String): Unit = {
+    require(SafeStreamName.matches(stream),
+      s"illegal stream name '$stream': allowed characters are [A-Za-z0-9._=+-]")
     Files.createDirectories(streamDir(root, stream))
+  }
 
   def exists(root: String, stream: String): Boolean =
     Files.isDirectory(streamDir(root, stream))
@@ -283,7 +291,9 @@ object LogStore {
     */
   def compactToParquet(root: String, stream: String, upTo: LogId): Int = {
     val segs = segments(root, stream).filter(_.last <= upTo)
-    if (segs.isEmpty) 0
+    // a lone already-parquet segment is the fixed point: rewriting it would
+    // make the natural while(compactToParquet(...) > 0) loop spin forever
+    if (segs.isEmpty || (segs.size == 1 && segs.head.path.endsWith(".parquet"))) 0
     else {
       val entries = segs.flatMap(s => readSegment(s.path)).distinctBy(_.id).sortBy(_.id)
       val dir = streamDir(root, stream)
@@ -327,7 +337,10 @@ object LogStore {
           acc += sizes(j)._2; r ::= sizes(j); j += 1
         }
         if (r.size >= minMerge) { runStart = i; run = r.reverse }
-        else i = j + 1
+        // too-short run: resume AT j when segment j is itself small (it was
+        // excluded only by the cumulative cap and may start the next run);
+        // only skip past it when it is genuinely large
+        else i = if (j < sizes.size && sizes(j)._2 < targetBytes) j else j + 1
       } else i += 1
     }
     if (runStart < 0) 0
@@ -345,13 +358,16 @@ object LogStore {
   private def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
 
-  /** Atomically write one segment holding `entries` (must be id-ordered).
-    * Unless `overwrite` (compaction re-runs), an existing segment of the same
-    * name fails loudly — a silent ATOMIC_MOVE replace would mean two writers
+  /** A segment fully written to a hidden tmp file, not yet visible. */
+  final case class PreparedSegment(tmp: Path, target: Path)
+
+  /** Encode `entries` (must be id-ordered) into a hidden tmp file. Unless
+    * `overwrite` (compaction re-runs), an existing segment of the same name
+    * fails loudly — a silent ATOMIC_MOVE replace would mean two writers
     * assigned the same id range, which the per-stream writer lock forbids.
     */
-  def writeSegment(root: String, stream: String, entries: Seq[LogEntry],
-      gzip: Boolean = false, overwrite: Boolean = false): Unit = {
+  def prepareSegment(root: String, stream: String, entries: Seq[LogEntry],
+      gzip: Boolean = false, overwrite: Boolean = false): PreparedSegment = {
     require(entries.nonEmpty, "empty segment")
     val dir = streamDir(root, stream)
     Files.createDirectories(dir)
@@ -367,6 +383,18 @@ object LogStore {
       val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp))
       try out.write(bytes) finally out.close()
     } else Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    PreparedSegment(tmp, dir.resolve(name))
   }
+
+  /** Make a prepared segment visible (one atomic rename). When publishing
+    * several segments of one append, callers MUST publish in ascending id
+    * order — readers infer "everything before what I saw is present".
+    */
+  def publishSegment(p: PreparedSegment): Unit =
+    Files.move(p.tmp, p.target, StandardCopyOption.ATOMIC_MOVE)
+
+  /** Atomically write one segment holding `entries` (must be id-ordered). */
+  def writeSegment(root: String, stream: String, entries: Seq[LogEntry],
+      gzip: Boolean = false, overwrite: Boolean = false): Unit =
+    publishSegment(prepareSegment(root, stream, entries, gzip, overwrite))
 }

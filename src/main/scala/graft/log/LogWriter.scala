@@ -92,9 +92,13 @@ final class LogWriter(root: String, stream: String,
     * parallelize per segment, so one huge append must not become one
     * unsplittable file (the single-giant-segment read is the local analog of
     * the small-files-vs-monolith balance at 100 TB). Id assignment stays
-    * serial (the ordering contract) but encoding + file IO of the chunks fan
-    * out across threads — still atomic per segment, still under the stream
-    * lock, and an entry is only visible once its whole segment is moved in.
+    * serial (the ordering contract); encoding + file IO of the chunks fan
+    * out across threads into hidden tmp files, and then the tmp files are
+    * moved into place SEQUENTIALLY IN ASCENDING ID ORDER. The in-order
+    * publish is load-bearing: a concurrent reader that observed segment N
+    * must be able to trust that every earlier segment is already visible —
+    * otherwise its micro-batch offset could advance past a chunk that lands
+    * late, permanently skipping those entries.
     */
   def produceAll(batch: Seq[Map[String, Any]]): Seq[LogId] =
     if (batch.isEmpty) Nil
@@ -107,10 +111,11 @@ final class LogWriter(root: String, stream: String,
         import scala.concurrent.duration.DurationInt
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = LogWriter.writeEc
-        Await.result(
+        val prepared = Await.result(
           Future.traverse(chunks)(chunk =>
-            Future(LogStore.writeSegment(root, stream, chunk))),
+            Future(LogStore.prepareSegment(root, stream, chunk))),
           10.minutes)
+        prepared.foreach(LogStore.publishSegment) // ascending id order
       }
       maybeAutoCompact()
       entries.map(_.id)

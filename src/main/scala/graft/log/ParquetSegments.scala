@@ -23,10 +23,13 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 object ParquetSegments {
 
+  // `values` is OPTIONAL and omitted entirely for an empty payload map:
+  // parquet-mr's example writer rejects a started group with zero fields
+  // (PARQUET-278), and produce(Map.empty) is legal in the JSONL tier.
   private val Schema: MessageType = MessageTypeParser.parseMessageType(
     """message graft_entry {
       |  required binary id (STRING);
-      |  required group values (MAP) {
+      |  optional group values (MAP) {
       |    repeated group key_value {
       |      required binary key (STRING);
       |      required binary value (STRING);
@@ -49,11 +52,13 @@ object ParquetSegments {
     try entries.foreach { e =>
       val g = factory.newGroup()
       g.add("id", e.id.toString)
-      val values = g.addGroup("values")
-      e.values.foreach { case (k, v) =>
-        val kv = values.addGroup("key_value")
-        kv.add("key", k)
-        kv.add("value", v)
+      if (e.values.nonEmpty) {
+        val values = g.addGroup("values")
+        e.values.foreach { case (k, v) =>
+          val kv = values.addGroup("key_value")
+          kv.add("key", k)
+          kv.add("value", v)
+        }
       }
       writer.write(g)
     } finally writer.close()
@@ -70,14 +75,16 @@ object ParquetSegments {
       var g: Group = reader.read()
       while (g != null) {
         val id = LogId.parse(g.getString("id", 0))
-        val values = g.getGroup("values", 0)
-        val n = values.getFieldRepetitionCount("key_value")
         val m = Map.newBuilder[String, String]
-        var i = 0
-        while (i < n) {
-          val kv = values.getGroup("key_value", i)
-          m += kv.getString("key", 0) -> kv.getString("value", 0)
-          i += 1
+        if (g.getFieldRepetitionCount("values") > 0) {
+          val values = g.getGroup("values", 0)
+          val n = values.getFieldRepetitionCount("key_value")
+          var i = 0
+          while (i < n) {
+            val kv = values.getGroup("key_value", i)
+            m += kv.getString("key", 0) -> kv.getString("value", 0)
+            i += 1
+          }
         }
         out += LogEntry(id, m.result())
         g = reader.read()

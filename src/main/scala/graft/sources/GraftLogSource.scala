@@ -204,16 +204,17 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(streams.map(st => st -> LogStore.maxId(root, st)).toMap)
 
-  override def initialOffset(): Offset = {
+  private def initialIdFor(st: String): LogId = {
     val mode = Option(options.get("startingOffsets")).getOrElse("latest")
-    GraftLogOffset(streams.map { st =>
-      st -> (mode match {
-        case "earliest" => LogId.Zero
-        case "latest" => LogStore.maxId(root, st)
-        case explicit => LogId.parse(explicit) // applies to every stream
-      })
-    }.toMap)
+    mode match {
+      case "earliest" => LogId.Zero
+      case "latest" => LogStore.maxId(root, st)
+      case explicit => LogId.parse(explicit) // applies to every stream
+    }
   }
+
+  override def initialOffset(): Offset =
+    GraftLogOffset(streams.map(st => st -> initialIdFor(st)).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -263,8 +264,22 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(options.getBoolean("dropTombstones", true))
 
-  override def deserializeOffset(json: String): Offset =
-    GraftLogOffset.parse(json, streams.head)
+  override def deserializeOffset(json: String): Offset = {
+    // the flat legacy format carries no stream name — attributing it to an
+    // arbitrary member of a multi-stream list would resume the wrong stream
+    // at the wrong position (silent loss); fail loudly instead
+    if (streams.size > 1 && !json.trim.startsWith("""{"streams":"""))
+      throw new IllegalArgumentException(
+        s"checkpoint offset $json is single-stream but this query reads " +
+          s"'${streams.mkString(",")}' — keep the original stream option or " +
+          "start a fresh checkpoint")
+    val off = GraftLogOffset.parse(json, streams.head)
+    // streams added to the list since the checkpoint start at the
+    // configured starting offset (the Kafka new-partition behavior)
+    val missing = streams.filterNot(off.ids.contains)
+    if (missing.isEmpty) off
+    else GraftLogOffset(off.ids ++ missing.map(st => st -> initialIdFor(st)))
+  }
 
   /** Batch fully processed — ≙ the group cursor advancing past acked work
     * (auto-XACK after :ok, /root/reference/lib/redix/stream/consumer.ex:199-201).
@@ -394,7 +409,10 @@ object GraftLogWritePath {
       .toSeq.sortBy(_.partitionId)
       .flatMap(_.rows)
     if (rows.nonEmpty) {
-      val writer = new LogWriter(root, stream)
+      // auto-compaction on the sink path: a long-running streaming sink is
+      // the production producer, and per-commit tiered merges keep both the
+      // file count and the per-append maxId directory listing bounded
+      val writer = new LogWriter(root, stream, autoCompactSegments = 64)
       writer.produceAll(rows.map(_.asInstanceOf[Map[String, Any]]))
     } else LogStore.ensureStream(root, stream)
   }

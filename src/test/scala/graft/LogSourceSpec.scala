@@ -255,6 +255,54 @@ class LogSourceSpec extends AnyFunSuite {
     assert(got == (1 to 6).map(_.toString).sorted)
   }
 
+  test("parquet cold tier handles empty payload maps; lone parquet segment is a fixed point") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    now += 10; w.produce(Map.empty[String, Any]) // legal: empty payload
+    now += 10; w.produce(Map("k" -> "v"))
+    val before = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(LogStore.compactToParquet(root, "s", LogStore.maxId(root, "s")) == 2)
+    val after = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(after == before)
+    // compacting again must be a no-op, not an endless self-rewrite
+    assert(LogStore.compactToParquet(root, "s", LogStore.maxId(root, "s")) == 0)
+  }
+
+  test("multi-stream offset recovery: flat checkpoints rejected, new streams filled") {
+    import graft.sources.{GraftLogMicroBatchStream, GraftLogOffset}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val root = TestSpark.tmpDir("graftlog")
+    new LogWriter(root, "a").produce(Map("n" -> "1"))
+    new LogWriter(root, "b").produce(Map("n" -> "2"))
+    def mbs(streams: String) = new GraftLogMicroBatchStream(root, streams,
+      new CaseInsensitiveStringMap(Map("path" -> root, "stream" -> streams,
+        "startingOffsets" -> "earliest").asJava))
+    // a flat (single-stream) checkpoint offset carries no stream name:
+    // resuming it under a widened stream list must fail loudly, not guess
+    val ex = intercept[IllegalArgumentException] {
+      mbs("b,a").deserializeOffset("""{"millis":1,"seq":0}""")
+    }
+    assert(ex.getMessage.contains("single-stream"))
+    // single-stream recovery of the flat format still works
+    val single = mbs("a").deserializeOffset("""{"millis":1,"seq":0}""")
+      .asInstanceOf[GraftLogOffset]
+    assert(single.ids == Map("a" -> LogId(1, 0)))
+    // a stream added since the checkpoint starts at the configured offset
+    val widened = mbs("a,b").deserializeOffset(
+      """{"streams":{"a":{"millis":5,"seq":2}}}""").asInstanceOf[GraftLogOffset]
+    assert(widened.ids("a") == LogId(5, 2))
+    assert(widened.ids("b") == LogId.Zero) // earliest
+  }
+
+  test("stream names outside the safe charset are rejected") {
+    val root = TestSpark.tmpDir("graftlog")
+    intercept[IllegalArgumentException] { new LogWriter(root, "bad\"name") }
+    intercept[IllegalArgumentException] { new LogWriter(root, "a,b") }
+    new LogWriter(root, "ok-name_1.x=") // url-base64-ish names stay legal
+  }
+
   test("gzip compaction round-trips and the DSv2 reader handles .gz segments") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
