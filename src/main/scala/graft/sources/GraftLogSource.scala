@@ -77,7 +77,11 @@ object GraftLogSource {
     * extension for fan-in pipelines). Writes require exactly one stream.
     */
   def streams(o: CaseInsensitiveStringMap): Seq[String] =
-    stream(o).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // distinct: "a,a" must not count as multi-stream — the offset map is
+    // keyed by stream name and would collapse to one entry (emitting the
+    // flat legacy offset format a multi-stream restart then rejects), and
+    // the per-stream maxRows quota would be divided by the wrong count.
+    stream(o).split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
 
   def toRow(stream: UTF8String, e: LogEntry): InternalRow = {
     val keys = e.values.keys.toArray[Any].map(k => UTF8String.fromString(k.asInstanceOf[String]))

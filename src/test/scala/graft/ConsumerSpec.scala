@@ -384,6 +384,51 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.last == ("a" -> "a1"))
   }
 
+  test("widening a single-stream consumer over its legacy ledger fails loudly") {
+    // A bare-id (single-stream) ledger under a widened stream list must be
+    // rejected, not reinterpreted: bare acks would no longer match the
+    // stream-qualified keys (redelivery) and bare pendings would be
+    // attributed to an arbitrary stream.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("n" -> i.toString)))
+    val single = cfg(root, "s", Some("g1"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val c1 = ConsumerRunner.runSupervised(spark, single,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok },
+      until = _ => seen.size >= 3)
+    c1.stop()
+    new LogWriter(root, "s2").produce(Map("n" -> "x"))
+    val widened = single.copy(stream = "s,s2")
+    val c2 = new GraftConsumer(spark, widened, (_, _, _, _) => HandlerResult.Ok)
+    val e = intercept[IllegalStateException](c2.start())
+    assert(e.getMessage.contains("bare-id"))
+  }
+
+  test("duplicate names in the stream list collapse to one stream") {
+    // "s,s" must behave exactly like "s": single-stream ledger keys, full
+    // (undivided) per-trigger quota, flat offset format compatible with
+    // its own restart.
+    val dup = ConsumerConfig(logRoot = "/x", stream = "s, s",
+      checkpointRoot = "/y")
+    assert(dup.streams == Seq("s") && !dup.multiStream)
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 4).foreach(i => w.produce(Map("n" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val shared = cfg(root, "s,s", Some("g1"))
+    val c = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok },
+      until = _ => seen.size >= 4)
+    c.stop()
+    assert(seen.toList == (1 to 4).map(_.toString).toList)
+    // restart over the same checkpoint parses its own (flat) offsets
+    val c2 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, _) => HandlerResult.Ok, until = _ => true)
+    c2.stop()
+    assert(seen.size == 4) // nothing redelivered
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")

@@ -187,6 +187,46 @@ class LogSourceSpec extends AnyFunSuite {
     assert(got == Seq("a1", "a2", "a3", "b1", "b2", "b3"))
   }
 
+  test("duplicate stream names dedupe: 's,s' reads as single-stream") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // "a,a" must not count as multi-stream: the offset map would collapse
+    // to one entry (emitting the flat legacy offset format that a restart
+    // under the same list then rejects) and the per-stream quota would be
+    // divided by the duplicated count.
+    assert(graft.sources.GraftLogSource.streams(
+      new CaseInsensitiveStringMap(java.util.Map.of("stream", "a, a, b")))
+      == Seq("a", "b"))
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s")
+    (1 to 4).foreach(i => w.produce(Map("n" -> i.toString)))
+    val batch = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s,s").load()
+    assert(batch.count() == 4) // not doubled
+    // streaming restart over the same checkpoint accepts its own offsets
+    // (memory sink can't recover a checkpoint — count via foreachBatch)
+    val ckpt = TestSpark.tmpDir("ckpt")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "s,s")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    w.produce(Map("n" -> "5"))
+    drain() // would throw on flat-offset rejection if "s,s" were multi-stream
+    assert(seen.get() == 5) // 4 + the 1 new entry; nothing redelivered
+  }
+
   test("multi-stream write is rejected (single-sequencer per stream)") {
     val root = TestSpark.tmpDir("graftlog")
     import spark.implicits._

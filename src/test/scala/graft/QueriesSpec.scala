@@ -23,9 +23,23 @@ class QueriesSpec extends AnyFunSuite {
     test(s"${d.name} executes at sf0.001") {
       val out = d.run(spark, dir)
       assert(out.schema.nonEmpty)
-      val n = out.count()
+      val n = try out.count() finally CacheScope.release()
       if (!mayBeEmpty.contains(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
     }
+  }
+
+  test("q94 streaming sessions are invariant to the JVM default timezone") {
+    // Timestamp.toString renders in the JVM default TZ; interpolating it
+    // into a SQL literal shifted the sentinel/flush events on non-UTC JVMs
+    // (could merge or corrupt session windows). The epoch-based
+    // timestamp_millis construction must give identical sessions anywhere.
+    val q94 = SparkEntry.all.find(_.name == "q94_streaming_session").get
+    val saved = java.util.TimeZone.getDefault
+    def runUnder(tzId: String) = try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(tzId))
+      try q94.run(spark, dir).collect().toSeq finally CacheScope.release()
+    } finally java.util.TimeZone.setDefault(saved)
+    assert(runUnder("America/New_York") == runUnder("UTC"))
   }
 
   test("entry() returns rows (driver smoke contract)") {
