@@ -24,6 +24,26 @@ object LogStore {
 
   final case class Segment(path: String, first: LogId, last: LogId)
 
+  /** Writer-attached compaction policy for the log's storage tiers:
+    * when the segment count reaches `triggerSegments`, run one size-tiered
+    * JSONL merge pass (`targetBytes`/`minMerge` as in [[compactTiered]]);
+    * with `freezeColdToParquet` also rewrite each full-size JSONL segment —
+    * one that reached `targetBytes`, which the tiered merge will never touch
+    * again — to a columnar parquet segment, excluding the newest
+    * `keepHotSegments` (still near the append point). Hot tier stays
+    * JSONL-append-cheap, cold tier becomes scan-cheap, and no daemon is
+    * needed: the policy runs under the writer lock on the produce path.
+    */
+  final case class CompactionPolicy(
+      triggerSegments: Int,
+      targetBytes: Long = 4L << 20,
+      minMerge: Int = 4,
+      freezeColdToParquet: Boolean = false,
+      keepHotSegments: Int = 2) {
+    require(triggerSegments > 0, "triggerSegments must be positive")
+    require(keepHotSegments >= 0, "keepHotSegments must be >= 0")
+  }
+
   private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.(jsonl(\\.gz)?|parquet)$".r
 
   def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
@@ -305,6 +325,35 @@ object LogStore {
         .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
       segs.size
     }
+  }
+
+  /** Rewrite each cold full-size JSONL/gzip segment to parquet IN PLACE
+    * (per-segment, unlike [[compactToParquet]]'s fold-into-one): eligible
+    * segments are at least `minBytes` (reached the tier's target size, so
+    * [[compactTiered]] will never merge them again) and are not among the
+    * newest `keepHot` segments (still near the append point). Same
+    * reader-safety as every compaction here: tmp + atomic move before the
+    * source file is deleted, readers dedup by id. Returns segments frozen.
+    */
+  def freezeColdSegments(root: String, stream: String,
+      minBytes: Long = 4L << 20, keepHot: Int = 2): Int = {
+    val eligible = segments(root, stream).dropRight(keepHot)
+      .filter(s => !s.path.endsWith(".parquet") &&
+        (try Files.size(Paths.get(s.path)) >= minBytes
+         catch { case _: java.io.IOException => false }))
+    eligible.foreach { s =>
+      val entries = readSegment(s.path)
+      if (entries.nonEmpty) {
+        val dir = streamDir(root, stream)
+        val name = s"${entries.head.id}__${entries.last.id}.parquet"
+        val tmp = dir.resolve(s".$name.tmp")
+        ParquetSegments.write(tmp, entries)
+        Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        if (Paths.get(s.path).getFileName.toString != name)
+          Files.deleteIfExists(Paths.get(s.path))
+      }
+    }
+    eligible.size
   }
 
   /** Size-tiered incremental compaction: merge the first run of >= `minMerge`

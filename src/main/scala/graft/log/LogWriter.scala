@@ -24,10 +24,18 @@ final class LogWriter(root: String, stream: String,
     clock: () => Long = () => System.currentTimeMillis(),
     lockTimeoutMs: Long = 30000L,
     maxSegmentEntries: Int = 10000,
-    autoCompactSegments: Int = 0) {
+    autoCompactSegments: Int = 0,
+    compaction: Option[LogStore.CompactionPolicy] = None) {
 
   LogStore.ensureStream(root, stream)
   private var last: LogId = LogStore.maxId(root, stream)
+
+  // `autoCompactSegments` is the shorthand for the default tiered policy;
+  // a full CompactionPolicy adds the parquet cold tier
+  private val policy: Option[LogStore.CompactionPolicy] =
+    compaction.orElse(
+      if (autoCompactSegments > 0) Some(LogStore.CompactionPolicy(autoCompactSegments))
+      else None)
 
   private def nextId(): LogId = {
     val now = clock()
@@ -74,10 +82,13 @@ final class LogWriter(root: String, stream: String,
     * writer's append (readers are compaction-safe by design). Keeps a
     * produce-heavy stream's file count O(log n) without a separate daemon.
     */
-  private def maybeAutoCompact(): Unit =
-    if (autoCompactSegments > 0 &&
-        LogStore.segments(root, stream).size >= autoCompactSegments)
-      LogStore.compactTiered(root, stream)
+  private def maybeAutoCompact(): Unit = policy.foreach { p =>
+    if (LogStore.segments(root, stream).size >= p.triggerSegments) {
+      LogStore.compactTiered(root, stream, p.targetBytes, p.minMerge)
+      if (p.freezeColdToParquet)
+        LogStore.freezeColdSegments(root, stream, p.targetBytes, p.keepHotSegments)
+    }
+  }
 
   /** Append one entry; returns its assigned id. */
   def produce(values: Map[String, Any]): LogId = withStreamLock {

@@ -259,6 +259,32 @@ class LogSourceSpec extends AnyFunSuite {
     assert(after.map(_.values("i")) == (1 to 6).map(_.toString))
   }
 
+  test("compaction policy auto-freezes cold full-size segments to parquet") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    // tiny tier target so full-size segments appear quickly: merge runs of
+    // >=2 sub-200-byte segments, freeze merged segments >=200 bytes to
+    // parquet, keep the newest 1 segment hot
+    val w = new LogWriter(root, "s", () => now,
+      compaction = Some(LogStore.CompactionPolicy(
+        triggerSegments = 4, targetBytes = 200L, minMerge = 2,
+        freezeColdToParquet = true, keepHotSegments = 1)))
+    (1 to 120).foreach { i => now += 10; w.produce(Map("i" -> i, "pad" -> ("x" * 20))) }
+    val segs = LogStore.segments(root, "s")
+    val parquet = segs.filter(_.path.endsWith(".parquet"))
+    assert(parquet.nonEmpty, s"expected frozen parquet cold segments, got: " +
+      segs.map(_.path.split('/').last).mkString(", "))
+    // the newest (hot, append-point) segment is never frozen
+    assert(!segs.last.path.endsWith(".parquet"))
+    // no data lost or duplicated across the mixed-format store
+    val all = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(all.map(_.values("i")) == (1 to 120).map(_.toString))
+    // and the DSv2 batch read sees the same
+    val batch = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    assert(batch.count() == 120)
+  }
+
   test("parquet cold compaction round-trips; DSv2 reads mixed-format segments") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
