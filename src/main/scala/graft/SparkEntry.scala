@@ -15,7 +15,8 @@ object SparkEntry {
       operators.EventTime.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.TextAnalysis.defs ++
       operators.StreamLog.defs ++ operators.UdfSurface.defs ++
-      operators.Advanced.defs ++ operators.Extras.defs
+      operators.Advanced.defs ++ operators.Extras.defs ++
+      operators.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

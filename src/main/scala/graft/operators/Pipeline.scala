@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.functions.TextHash._
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators beyond the dedup/similarity families:
+  * benchmark decontamination, sequence packing, repetition scoring,
+  * per-source quotas, and stratified sampling. The reference delegates all
+  * per-message computation to handler callbacks
+  * (/root/reference/README.md:35); these make the standard corpus-curation
+  * passes first-class, declarative, and oracle-checked.
+  *
+  * Scale posture: every per-doc feature (token counts, n-gram hashes,
+  * repetition stats) is computed map-side; the only shuffles are the ones
+  * the semantics force (a groupBy on the join key, a window partitioned by
+  * a bounded-cardinality key). The decontamination join broadcasts the eval
+  * side — eval sets are tiny next to a 100 TB corpus, so the candidate
+  * probe is a broadcast hash join with no shuffle of the corpus at all.
+  */
+object Pipeline {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents with distinct hashed 3-gram shingles (same formula as the
+    * dedup family, so any hash collision hits both engines identically).
+    */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    T(s, dir, "documents")
+      .withColumn("w", split($"text", " "))
+      .filter(size($"w") >= 3)
+      .withColumn("shingles", expr(shinglesSql("w")))
+      .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+      .select($"doc_id", $"hh")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q100_decontaminate",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+         |hit AS (SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+         |        FROM (SELECT * FROM ex WHERE doc_id % 50 <> 0) t
+         |        JOIN (SELECT * FROM ex WHERE doc_id % 50 = 0) e ON t.h = e.h
+         |        GROUP BY 1,2)
+         |SELECT train_doc, eval_doc, n_shared FROM hit
+         |WHERE n_shared >= 2 ORDER BY train_doc, eval_doc""") { (s, dir) =>
+      import s.implicits._
+      // Benchmark decontamination: flag training docs sharing >= 2 distinct
+      // n-gram hashes with any doc in the eval set (here: doc_id % 50 = 0
+      // as the stand-in benchmark). The eval side is BROADCAST: at corpus
+      // scale the train side never shuffles — each task probes a small
+      // hash-set of eval n-grams, the same reason this pass is tractable
+      // over 100 TB when an eval suite is a few hundred MB.
+      val ex = hashedShingles(s, dir).select($"doc_id", explode($"hh").as("h"))
+      val train = ex.filter($"doc_id" % 50 =!= 0)
+      val eval_ = ex.filter($"doc_id" % 50 === 0)
+      train.as("t").join(broadcast(eval_.as("e")), $"t.h" === $"e.h")
+        .groupBy($"t.doc_id".as("train_doc"), $"e.doc_id".as("eval_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"train_doc", $"eval_doc")
+    },
+
+    q("q101_token_packing",
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) n_tokens FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""") { (s, dir) =>
+      import s.implicits._
+      // Sequence packing for a fixed context window: docs are assigned to
+      // bins by cumulative token count in a deterministic order (doc_id)
+      // within each lang partition — the single-pass approximation of
+      // first-fit packing used when shaping pretraining batches. All
+      // integer arithmetic; the window partitions by lang (bounded
+      // cardinality), so at scale each partition packs independently.
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+        .groupBy($"lang", expr("cum_before DIV 2048").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"lang", $"bin")
+    },
+
+    q("q102_repetition_score",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |g AS (SELECT doc_id, CAST(len(w)-2 AS BIGINT) AS total,
+         |    CAST(len(${duckShingles("w")}) AS BIGINT) AS uniq
+         |  FROM words WHERE len(w) >= 3)
+         |SELECT doc_id, total, uniq,
+         |  1 - CAST(uniq AS DOUBLE)/total AS dup_ratio,
+         |  (uniq * 50 < total * 49) AS repetitive
+         |FROM g ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Intra-document repetition (Gopher-style quality rule): the fraction
+      // of word 3-grams that are duplicates. Map-side only — no shuffle but
+      // the final sort. The flag threshold (dup_ratio > 0.02) is stated in
+      // exact integer arithmetic so the boolean can't flap on a float edge.
+      T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .select($"doc_id",
+          (size($"w") - 2).cast("long").as("total"),
+          size(expr(shinglesSql("w"))).cast("long").as("uniq"))
+        .withColumn("dup_ratio", lit(1) - $"uniq".cast("double") / $"total")
+        .withColumn("repetitive", $"uniq" * 50 < $"total" * 49)
+        .orderBy($"doc_id")
+    },
+
+    q("q103_source_quota",
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn, rn <= 30 AS kept FROM r ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Per-source quota capping (domain rebalancing): keep the first N docs
+      // per source in a deterministic order. One shuffle on source; at scale
+      // a skewed source is bounded by the quota itself after a per-partition
+      // pre-rank would cap the spill — the declarative form lets AQE handle
+      // the skew here.
+      T(s, dir, "documents")
+        .select($"doc_id", $"source",
+          row_number().over(Window.partitionBy($"source").orderBy($"doc_id"))
+            .cast("long").as("rn"))
+        .withColumn("kept", $"rn" <= 30)
+        .orderBy($"doc_id")
+    },
+
+    q("q104_stratified_sample",
+      """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang IN ('en','es') THEN '20'
+        |       WHEN lang IN ('zh','fr') THEN '80' ELSE 'c0' END
+        |ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Stratified deterministic sampling: per-language keep rates applied
+      // via the md5-prefix trick (q87's hash sample, stratified) — fixed-
+      // width lowercase hex compares numerically, so rate '20'/256 = 12.5%
+      // for over-represented languages, '80' = 50%, 'c0' = 75%. Fully
+      // map-side (filter only), reproducible across engines and runs —
+      // how a 100 TB corpus gets its language mix rebalanced without a
+      // shuffle or an RNG.
+      val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+      T(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter($"bucket" <
+          when($"lang".isin("en", "es"), "20")
+            .when($"lang".isin("zh", "fr"), "80")
+            .otherwise("c0"))
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    },
+  )
+}
