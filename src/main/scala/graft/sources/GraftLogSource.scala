@@ -83,16 +83,6 @@ object GraftLogSource {
     // the per-stream maxRows quota would be divided by the wrong count.
     stream(o).split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
 
-  def toRow(stream: UTF8String, e: LogEntry): InternalRow = {
-    val keys = e.values.keys.toArray[Any].map(k => UTF8String.fromString(k.asInstanceOf[String]))
-    val vals = e.values.values.toArray[Any].map(v => UTF8String.fromString(v.asInstanceOf[String]))
-    new GenericInternalRow(Array[Any](
-      stream,
-      UTF8String.fromString(e.id.toString),
-      e.id.millis * 1000L, // epoch micros from the id's millis prefix
-      e.id.seq,
-      ArrayBasedMapData(keys, vals)))
-  }
 }
 
 final class GraftLogTable(options: CaseInsensitiveStringMap)
@@ -116,29 +106,110 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
       TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftLogScan(root, stream, options)
+    new GraftLogScanBuilder(root, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId())
 }
 
-final class GraftLogScan(root: String, stream: String, options: CaseInsensitiveStringMap)
+/** Scan builder with filter pushdown and column pruning — the file-level
+  * pruning a 100 TB log read lives or dies by. Segment file names carry
+  * their id range, and `ts` is derived from the id's millis prefix, so a
+  * `ts` (or `stream`) predicate prunes whole segments at PLANNING time:
+  * a one-day slice of a year-long log plans ~1/365 of the files instead of
+  * filtering every decoded row. All filters are also returned as residuals
+  * (Spark re-applies them exactly); the pushdown only narrows the scan,
+  * it never owns final predicate semantics. Column pruning skips payload
+  * map materialization when `values` isn't selected — a count or an
+  * id/ts-only scan never decodes payloads into rows.
+  */
+final class GraftLogScanBuilder(root: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var tsLowerMillis: Option[Long] = None // inclusive, conservative
+  private var tsUpperMillis: Option[Long] = None // inclusive, conservative
+  private var streamKeep: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftLogSource.Schema
+
+  private def toMillisFloor(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case _ => None
+  }
+
+  // Entries sit at exact milliseconds (ts = id.millis), so a floor()ed
+  // bound on either side only ever widens the range — never drops a row
+  // that satisfies the real predicate (which runs again as a residual).
+  private def tryPrune(f: Filter): Boolean = f match {
+    case EqualTo("stream", v: String) =>
+      streamKeep = Some(streamKeep.getOrElse(Set(v)).intersect(Set(v))); true
+    case In("stream", vs) if vs.forall(_.isInstanceOf[String]) =>
+      val set = vs.map(_.asInstanceOf[String]).toSet
+      streamKeep = Some(streamKeep.fold(set)(_ intersect set)); true
+    case GreaterThan("ts", v) => toMillisFloor(v).exists { m =>
+      tsLowerMillis = Some(tsLowerMillis.fold(m)(math.max(_, m))); true }
+    case GreaterThanOrEqual("ts", v) => toMillisFloor(v).exists { m =>
+      tsLowerMillis = Some(tsLowerMillis.fold(m)(math.max(_, m))); true }
+    case LessThan("ts", v) => toMillisFloor(v).exists { m =>
+      tsUpperMillis = Some(tsUpperMillis.fold(m)(math.min(_, m))); true }
+    case LessThanOrEqual("ts", v) => toMillisFloor(v).exists { m =>
+      tsUpperMillis = Some(tsUpperMillis.fold(m)(math.min(_, m))); true }
+    case EqualTo("ts", v) => toMillisFloor(v).exists { m =>
+      tsLowerMillis = Some(tsLowerMillis.fold(m)(math.max(_, m)))
+      tsUpperMillis = Some(tsUpperMillis.fold(m)(math.min(_, m))); true }
+    case EqualTo("id", v: String) => scala.util.Try(LogId.parse(v)).toOption.exists { id =>
+      tsLowerMillis = Some(tsLowerMillis.fold(id.millis)(math.max(_, id.millis)))
+      tsUpperMillis = Some(tsUpperMillis.fold(id.millis)(math.min(_, id.millis))); true }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(tryPrune)
+    filters // everything is residual: Spark re-applies exact semantics
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftLogScan(root, options,
+    tsLowerMillis, tsUpperMillis, streamKeep, required, pushed.map(_.toString))
+}
+
+final class GraftLogScan(root: String, options: CaseInsensitiveStringMap,
+    tsLowerMillis: Option[Long], tsUpperMillis: Option[Long],
+    streamKeep: Option[Set[String]], required: StructType,
+    pushedDesc: Array[String])
     extends Scan {
-  override def readSchema(): StructType = GraftLogSource.Schema
-  override def description(): String = s"GraftLogScan($root/$stream)"
+  override def readSchema(): StructType = required
+  override def description(): String = {
+    val streamOpt = GraftLogSource.stream(options)
+    val pruned = if (pushedDesc.isEmpty) "" else pushedDesc.mkString(", PushedFilters: [", ", ", "]")
+    s"GraftLogScan($root/$streamOpt$pruned)"
+  }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftLogSource.streams(options).toArray.flatMap { st =>
-        GraftLogPartitioning.plan(root, st, LogId.Zero,
-          LogStore.maxId(root, st), minPartitions(options))
+    override def planInputPartitions(): Array[InputPartition] = {
+      val sts = GraftLogSource.streams(options)
+        .filter(st => streamKeep.forall(_.contains(st)))
+      sts.toArray.flatMap { st =>
+        // exclusive start just below the lower-bound millisecond; inclusive
+        // end at the last seq of the upper-bound millisecond — segment
+        // planning prunes by file-name id range before any file is opened
+        val start = tsLowerMillis.filter(_ > 0)
+          .map(m => LogId(m - 1, Long.MaxValue)).getOrElse(LogId.Zero)
+        val maxId = LogStore.maxId(root, st)
+        val end = tsUpperMillis.map(m => LogId(m, Long.MaxValue)).filter(_ < maxId).getOrElse(maxId)
+        GraftLogPartitioning.plan(root, st, start, end, minPartitions(options))
       }
+    }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftLogReaderFactory(dropTombstones(options))
+      new GraftLogReaderFactory(dropTombstones(options), required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(root, stream, options)
+    new GraftLogMicroBatchStream(root, GraftLogSource.stream(options), options, required)
 
   private def minPartitions(o: CaseInsensitiveStringMap): Int =
     o.getInt("minPartitions", 16)
@@ -187,7 +258,8 @@ object GraftLogOffset {
 }
 
 final class GraftLogMicroBatchStream(root: String, stream: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    required: StructType = GraftLogSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -266,7 +338,7 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(options.getBoolean("dropTombstones", true))
+    new GraftLogReaderFactory(options.getBoolean("dropTombstones", true), required)
 
   override def deserializeOffset(json: String): Offset = {
     // the flat legacy format carries no stream name — attributing it to an
@@ -320,13 +392,31 @@ object GraftLogPartitioning {
   }
 }
 
-final class GraftLogReaderFactory(dropTombstones: Boolean)
+final class GraftLogReaderFactory(dropTombstones: Boolean,
+    required: StructType = GraftLogSource.Schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLogInputPartition]
     val start = LogId.parse(p.startExcl)
     val end = LogId.parse(p.endIncl)
     val streamName = UTF8String.fromString(p.stream)
+    // column pruning: one extractor per required field, bound once per
+    // partition — a scan that doesn't select `values` never materializes
+    // the payload map into rows
+    val extractors: Array[LogEntry => Any] = required.fieldNames.map {
+      case "stream" => (_: LogEntry) => streamName
+      case "id" => (e: LogEntry) => UTF8String.fromString(e.id.toString)
+      case "ts" => (e: LogEntry) => e.id.millis * 1000L // epoch micros
+      case "seq" => (e: LogEntry) => e.id.seq
+      case "values" => (e: LogEntry) => {
+        val keys = e.values.keys.toArray[Any]
+          .map(k => UTF8String.fromString(k.asInstanceOf[String]))
+        val vals = e.values.values.toArray[Any]
+          .map(v => UTF8String.fromString(v.asInstanceOf[String]))
+        ArrayBasedMapData(keys, vals)
+      }
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
+    }
     // If a planned segment was compacted away between planning and read,
     // fall back to a range scan over the live segment set — ids are stable
     // under compaction, so this partition's slice is unchanged.
@@ -346,7 +436,8 @@ final class GraftLogReaderFactory(dropTombstones: Boolean)
       private var current: LogEntry = _
       override def next(): Boolean =
         if (entries.hasNext) { current = entries.next(); true } else false
-      override def get(): InternalRow = GraftLogSource.toRow(streamName, current)
+      override def get(): InternalRow =
+        new GenericInternalRow(extractors.map(_(current)))
       override def close(): Unit = ()
     }
   }
