@@ -26,13 +26,16 @@ object Pipeline {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** documents with distinct hashed 3-gram shingles (same formula as the
+  /** `docs` with distinct hashed 3-gram shingles (same formula as the
     * dedup family, so any hash collision hits both engines identically).
+    * Takes the pre-filtered frame so callers restrict BEFORE shingling —
+    * hashing is the dominant map-side cost, so a side that needs 2% of the
+    * corpus must not hash all of it first.
     */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+  private def hashedShingles(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
-    T(s, dir, "documents")
+    docs
       .withColumn("w", split($"text", " "))
       .filter(size($"w") >= 3)
       .withColumn("shingles", expr(shinglesSql("w")))
@@ -60,7 +63,12 @@ object Pipeline {
       // scale the train side never shuffles — each task probes a small
       // hash-set of eval n-grams, the same reason this pass is tractable
       // over 100 TB when an eval suite is a few hundred MB.
-      val ex = hashedShingles(s, dir).select($"doc_id", explode($"hh").as("h"))
+      // one shingling pass over the corpus, cached, split into the two
+      // sides by the eval predicate (hashing is the dominant map-side cost;
+      // two uncached branches would pay it twice)
+      val ex = hashedShingles(s, T(s, dir, "documents"))
+        .select($"doc_id", explode($"hh").as("h"))
+        .transform(graft.CacheScope.cached)
       val train = ex.filter($"doc_id" % 50 =!= 0)
       val eval_ = ex.filter($"doc_id" % 50 === 0)
       train.as("t").join(broadcast(eval_.as("e")), $"t.h" === $"e.h")
