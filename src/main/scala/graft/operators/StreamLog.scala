@@ -94,6 +94,57 @@ object StreamLog {
         .orderBy($"ws", $"event_type")
     },
 
+    q("q105_streaming_enrich",
+      // Stream-static enrichment THROUGH the engine: events -> log sink ->
+      // micro-batch source -> inner join with a static dimension (drops
+      // excluded users, attaches a cohort) -> running counts. The static
+      // side is broadcast into every micro-batch — the standard shape for
+      // enriching a firehose with a reference table at scale (the dim is
+      // small; the stream never shuffles for the join).
+      """SELECT user_id % 5 AS cohort, event_type, COUNT(*) AS n
+        |FROM events WHERE user_id % 3 <> 0
+        |GROUP BY 1, 2 ORDER BY cohort, event_type""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q105").toString
+      Tables.load(s, dir, "events")
+        .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .mode("append").save()
+      // static dimension: the allow-listed users with their cohort label
+      val dim = Tables.load(s, dir, "events")
+        .select($"user_id").distinct()
+        .filter($"user_id" % 3 =!= 0)
+        .select($"user_id".cast("string").as("d_user_id"),
+          ($"user_id" % 5).as("cohort"))
+      val sinkName = s"q105_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // tiny state keyspace
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "50000") // multi-batch at sf0.1
+          .load()
+          .select($"values.user_id".as("user_id"),
+            $"values.event_type".as("event_type"))
+          .join(broadcast(dim), $"user_id" === $"d_user_id") // stream-static
+          .groupBy($"cohort", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-q105-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.table(sinkName)
+        .select($"cohort", $"event_type", $"n")
+        .orderBy($"cohort", $"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
