@@ -181,6 +181,79 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    q("q106_dedup_clusters",
+      // Duplicate-cluster assignment: connected components over the exact-
+      // jaccard pair graph (same edges as q41), each doc labeled with the
+      // minimum doc_id of its component; the canonical doc is the label
+      // owner. The oracle computes the same components via a recursive
+      // transitive closure.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+         |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(hh) n FROM hs),
+         |edges AS (SELECT da, db FROM pair
+         |          JOIN sz sa ON sa.doc_id = pair.da
+         |          JOIN sz sb ON sb.doc_id = pair.db
+         |          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+         |sym AS (SELECT da a, db b FROM edges UNION SELECT db, da FROM edges),
+         |r AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM sym
+         |    UNION
+         |    SELECT rr.a, s.b FROM rr JOIN sym s ON rr.b = s.a WHERE s.b <> rr.a
+         |  ) SELECT * FROM rr),
+         |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM r GROUP BY a)
+         |SELECT doc_id, cluster, doc_id = cluster AS is_canonical
+         |FROM lab ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Edges: q41's inverted-index jaccard plan. Components: iterative
+      // min-label propagation — each round is a distributed join + min-agg,
+      // converging in O(component diameter) rounds. That loop shape is the
+      // scale path too (it's how label propagation runs on billion-edge
+      // graphs; alternating large-star/small-star would cut the round count,
+      // unnecessary while near-dup components stay shallow). localCheckpoint
+      // cuts the growing lineage each round.
+      val sh = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"hh")
+        .transform(graft.CacheScope.cached)
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
+      val pair = ex.as("a").join(ex.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
+      val edges = pair
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .filter($"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter") >= 0.6)
+        .select($"da", $"db")
+      val sym = edges.select($"da".as("a"), $"db".as("b"))
+        .union(edges.select($"db".as("a"), $"da".as("b")))
+        .transform(graft.CacheScope.cached)
+      var labels = sym.select($"a".as("doc_id")).distinct()
+        .withColumn("label", $"doc_id")
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val neigh = sym.join(labels, sym("b") === labels("doc_id"))
+          .select($"a".as("doc_id"), $"label")
+        val next = labels.union(neigh)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter($"n.label" =!= $"o.label").count()
+        labels = next
+      }
+      labels.select($"doc_id", $"label".as("cluster"),
+          ($"doc_id" === $"label").as("is_canonical"))
+        .orderBy($"doc_id")
+    },
+
     q("q92_dedup_jaccard_prefix", jaccardOracleSql) { (s, dir) =>
       import s.implicits._
       // Same exact Jaccard semantics as q41, with PREFIX FILTERING
