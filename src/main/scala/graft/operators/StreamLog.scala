@@ -145,6 +145,74 @@ object StreamLog {
         .orderBy($"cohort", $"event_type")
     },
 
+    q("q107_streaming_join",
+      // Stream-stream join THROUGH the engine: clicks and purchases land in
+      // two separate log streams; two micro-batch sources join on user
+      // within a 10-minute event-time interval, with watermarks bounding
+      // the join state. maxEntriesPerTrigger forces multiple micro-batches,
+      // so matches MUST cross batch boundaries through the state store —
+      // the oracle is the equivalent batch interval join.
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) cts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) pts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q107").toString
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      def sink(eventType: String, stream: String): Unit =
+        Tables.load(s, dir, "events")
+          .filter($"event_type" === eventType)
+          .selectExpr("CAST(user_id AS STRING) AS user_id",
+            s"date_format(ts, '$tsFmt') AS ts_s")
+          .write.format("graftlog")
+          .option("path", root).option("stream", stream)
+          .mode("append").save()
+      sink("click", "clicks")
+      sink("purchase", "purchases")
+      def src(stream: String, tsCol: String, userCol: String) =
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", stream)
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "12000") // 2 micro-batches at sf0.1
+          .load()
+          .select(to_timestamp($"values.ts_s").as(tsCol),
+            $"values.user_id".as(userCol))
+          // generous delay: the fixture's event times are out of order, and
+          // a row dropped as late would silently diverge from the batch
+          // oracle — correctness first, state size is tiny at this key count
+          .withWatermark(tsCol, "2 hours")
+      val sinkName = s"q107_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // stream-stream join keeps four state stores per partition; with a
+      // tiny key space, 2 partitions halves the per-batch commit cost
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val q = try {
+        src("clicks", "cts", "cu")
+          .join(src("purchases", "pts", "pu"),
+            expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL 10 MINUTES"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-q107-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      s.table(sinkName)
+        .select($"cu".cast("long").as("user_id"),
+          date_format($"cts", fmt).as("click_ts"),
+          date_format($"pts", fmt).as("purchase_ts"))
+        .orderBy($"user_id", $"click_ts", $"purchase_ts")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
