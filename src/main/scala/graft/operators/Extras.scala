@@ -269,14 +269,15 @@ object Extras {
         |WHERE event_id % 5 = 0 GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q91").toString
       val sub = T(s, dir, "events")
         .filter($"event_id" % 5 === 0)
         .selectExpr("CAST(event_id AS STRING) AS event_id", "event_type")
-      sub.write.format("graftlog")
-        .option("path", root).option("stream", "ev").mode("append").save()
-      sub.write.format("graftlog") // duplicate delivery
-        .option("path", root).option("stream", "ev").mode("append").save()
+      val root = graft.LogFixtures.producedLog(dir, "q91") { r =>
+        sub.write.format("graftlog")
+          .option("path", r).option("stream", "ev").mode("append").save()
+        sub.write.format("graftlog") // duplicate delivery
+          .option("path", r).option("stream", "ev").mode("append").save()
+      }
       val sinkName = s"q91_sink_${System.nanoTime()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -359,7 +360,6 @@ object Extras {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val fmt = "yyyy-MM-dd HH:mm:ss"
-      val root = Files.createTempDirectory("graft-q94").toString
       val sub = T(s, dir, "events")
         .filter($"event_id" % 7 === 0)
         .select($"user_id", $"ts")
@@ -378,10 +378,12 @@ object Extras {
       val flush = s.range(1)
         .selectExpr("'__flush__' AS user_id",
           s"date_format(timestamp_millis(${flushTs.getTime}), '$tsFmt') AS ts_s")
-      def append(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("graftlog")
-          .option("path", root).option("stream", "ev").mode("append").save()
-      append(reals); append(sentinels); append(flush)
+      val root = graft.LogFixtures.producedLog(dir, "q94") { r =>
+        def append(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graftlog")
+            .option("path", r).option("stream", "ev").mode("append").save()
+        append(reals); append(sentinels); append(flush)
+      }
       val nBatch1 = reals.count() + sentinels.count() // flush lands in batch 2
       val sinkName = s"q94_sink_${System.nanoTime()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")

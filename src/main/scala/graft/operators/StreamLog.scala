@@ -51,13 +51,14 @@ object StreamLog {
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""") { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q78").toString
-      Tables.load(s, dir, "events")
-        .selectExpr("CAST(event_id AS STRING) AS event_id",
-          "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s", "event_type")
-        .write.format("graftlog")
-        .option("path", root).option("stream", "ev")
-        .mode("append").save()
+      val root = graft.LogFixtures.producedLog(dir, "q78") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("CAST(event_id AS STRING) AS event_id",
+            "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s", "event_type")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
       val sinkName = s"q78_sink_${System.nanoTime()}"
       // Streaming-state tuning: the windowed agg's state store is hash
       // partitioned by the shuffle-partition count frozen at checkpoint
@@ -73,9 +74,10 @@ object StreamLog {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          // still forces multiple micro-batches at every verify/bench scale
-          // (events >= 60k rows) without drowning in per-batch overhead
-          .option("maxEntriesPerTrigger", "30000")
+          // 2 micro-batches at bench scale (sf0.1 = 100k events): state
+          // still crosses a batch boundary, without paying the fixed
+          // per-batch commit overhead twice more (measured ~0.5 s/batch)
+          .option("maxEntriesPerTrigger", "60000")
           .load()
           .select(to_timestamp($"values.ts_s").as("ets"),
             $"values.event_type".as("event_type"))
@@ -106,12 +108,13 @@ object StreamLog {
         |GROUP BY 1, 2 ORDER BY cohort, event_type""") { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q105").toString
-      Tables.load(s, dir, "events")
-        .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
-        .write.format("graftlog")
-        .option("path", root).option("stream", "ev")
-        .mode("append").save()
+      val root = graft.LogFixtures.producedLog(dir, "q105") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
       // static dimension: the allow-listed users with their cohort label
       val dim = Tables.load(s, dir, "events")
         .select($"user_id").distinct()
@@ -164,18 +167,19 @@ object StreamLog {
         |ORDER BY 1, 2, 3""") { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q107").toString
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      def sink(eventType: String, stream: String): Unit =
-        Tables.load(s, dir, "events")
-          .filter($"event_type" === eventType)
-          .selectExpr("CAST(user_id AS STRING) AS user_id",
-            s"date_format(ts, '$tsFmt') AS ts_s")
-          .write.format("graftlog")
-          .option("path", root).option("stream", stream)
-          .mode("append").save()
-      sink("click", "clicks")
-      sink("purchase", "purchases")
+      val root = graft.LogFixtures.producedLog(dir, "q107") { r =>
+        def sink(eventType: String, stream: String): Unit =
+          Tables.load(s, dir, "events")
+            .filter($"event_type" === eventType)
+            .selectExpr("CAST(user_id AS STRING) AS user_id",
+              s"date_format(ts, '$tsFmt') AS ts_s")
+            .write.format("graftlog")
+            .option("path", r).option("stream", stream)
+            .mode("append").save()
+        sink("click", "clicks")
+        sink("purchase", "purchases")
+      }
       def src(stream: String, tsCol: String, userCol: String) =
         s.readStream.format("graftlog")
           .option("path", root).option("stream", stream)
