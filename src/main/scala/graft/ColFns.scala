@@ -30,4 +30,14 @@ object ColFns {
   /** SQL mirror of [[davg]]. */
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
+
+  /** Round-half-up to `scale` decimals via floor(x*s + 0.5)/s — unlike
+    * round(), identical across engines at halfway points (both engines run
+    * the same three IEEE ops).
+    */
+  def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+
+  /** SQL mirror of [[r6]]. */
+  def r6Sql(expr: String): String =
+    s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
 }

@@ -150,6 +150,65 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    q("q108_winsorize",
+      s"""WITH q AS (SELECT ${graft.ColFns.r6Sql("quantile_cont(value, 0.05)")} lo,
+         |            ${graft.ColFns.r6Sql("quantile_cont(value, 0.95)")} hi FROM events)
+         |SELECT event_id,
+         |  ${graft.ColFns.r6Sql("CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END")} AS clipped,
+         |  (value < lo OR value > hi) AS was_clipped
+         |FROM events, q ORDER BY event_id""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Outlier clipping to the exact [p5, p95] band — the standard
+      // feature-cleaning pass before normalization. The two-row bounds
+      // frame is broadcast; the clip itself is map-side over the fan-out
+      // (at 100 TB: one small exact-or-sketched percentile job, then a
+      // pure map). Bounds are rounded half-up BEFORE comparing so both
+      // engines clip against bit-identical thresholds.
+      val bounds = T(s, dir, "events")
+        .agg(r6(expr("percentile(value, 0.05)")).as("lo"),
+          r6(expr("percentile(value, 0.95)")).as("hi"))
+      T(s, dir, "events")
+        .crossJoin(broadcast(bounds))
+        .select($"event_id",
+          r6(when($"value" < $"lo", $"lo")
+            .when($"value" > $"hi", $"hi")
+            .otherwise($"value")).as("clipped"),
+          ($"value" < $"lo" || $"value" > $"hi").as("was_clipped"))
+        .orderBy($"event_id")
+    },
+
+    q("q109_zscore_normalize",
+      s"""WITH s AS (SELECT event_type,
+         |    ${graft.ColFns.r6Sql(graft.ColFns.davgSql("value"))} mu,
+         |    ${graft.ColFns.r6Sql(
+               s"SQRT((${graft.ColFns.dsumSql("value * value")} * COUNT(*) - " +
+               s"${graft.ColFns.dsumSql("value")} * ${graft.ColFns.dsumSql("value")}) " +
+               "/ (COUNT(*) * (COUNT(*) - 1)))")} sd
+         |  FROM events GROUP BY event_type)
+         |SELECT event_id, e.event_type, ${graft.ColFns.r6Sql("(value - mu) / sd")} AS z
+         |FROM events e JOIN s ON e.event_type = s.event_type
+         |ORDER BY event_id""") { (s, dir) =>
+      import graft.ColFns.{davg, dsum, r6}
+      import s.implicits._
+      // Per-group standardization: tiny per-type stats frame broadcast back
+      // over the events — one aggregation plus a map-side join, no second
+      // shuffle of the fact table. Mean and stddev come from decimal-exact
+      // sums (q11's discipline: the builtin's streaming variance is
+      // order-dependent) and are rounded half-up before use, so the
+      // normalization is bit-identical across engines and runs.
+      val stats = T(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(r6(davg($"value")).as("mu"),
+          r6(sqrt((dsum($"value" * $"value") * count(lit(1)) -
+            dsum($"value") * dsum($"value")) /
+            (count(lit(1)) * (count(lit(1)) - 1)))).as("sd"))
+      T(s, dir, "events").as("e")
+        .join(broadcast(stats).as("st"), "event_type")
+        .select($"event_id", $"event_type", r6(($"value" - $"mu") / $"sd").as("z"))
+        .orderBy($"event_id")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents
