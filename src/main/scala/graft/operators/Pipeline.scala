@@ -209,6 +209,25 @@ object Pipeline {
         .orderBy($"event_id")
     },
 
+    q("q110_redact_patterns",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      // Pattern redaction (the PII-scrub shape: phone/SSN/email regexes in
+      // production, a digit-run stand-in on the fixture): replace-all plus
+      // a per-row redaction count. Pure map-side — regexp_replace and the
+      // count run inside whole-stage codegen with no shuffle but the output
+      // sort. Spark's regexp_replace replaces all matches by default; the
+      // DuckDB oracle needs the explicit 'g' flag for the same semantics.
+      T(s, dir, "events")
+        .select($"event_id",
+          regexp_replace($"props", "[0-9]+", "<NUM>").as("redacted"),
+          size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_redacted"))
+        .orderBy($"event_id")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents
