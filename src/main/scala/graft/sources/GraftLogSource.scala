@@ -281,11 +281,22 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     availableNowCap = Some(streams.map(st => st -> LogStore.maxId(root, st)).toMap)
 
   private def initialIdFor(st: String): LogId = {
-    val mode = Option(options.get("startingOffsets")).getOrElse("latest")
-    mode match {
-      case "earliest" => LogId.Zero
-      case "latest" => LogStore.maxId(root, st)
-      case explicit => LogId.parse(explicit) // applies to every stream
+    val byTs = Option(options.get("startingTimestamp"))
+    val byOff = Option(options.get("startingOffsets"))
+    require(byTs.isEmpty || byOff.isEmpty,
+      "set either startingOffsets or startingTimestamp, not both")
+    byTs match {
+      // ids are millis-prefixed (the Redis stream id model), so a
+      // time-based start position is exact: begin just below the given
+      // epoch millisecond — the first entry at or after it is included
+      case Some(ts) =>
+        val millis = ts.toLong
+        if (millis <= 0) LogId.Zero else LogId(millis - 1, Long.MaxValue)
+      case None => byOff.getOrElse("latest") match {
+        case "earliest" => LogId.Zero
+        case "latest" => LogStore.maxId(root, st)
+        case explicit => LogId.parse(explicit) // applies to every stream
+      }
     }
   }
 

@@ -187,6 +187,38 @@ class LogSourceSpec extends AnyFunSuite {
     assert(got == Seq("a1", "a2", "a3", "b1", "b2", "b3"))
   }
 
+  test("startingTimestamp resolves the initial offset by the id's millis prefix") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    (1 to 10).foreach { i => now = 1000L + i * 100; w.produce(Map("n" -> i.toString)) }
+    // start at epoch millis 1500: entries produced at 1500+ (n >= 5) only
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "s")
+      .option("startingTimestamp", "1500")
+      .load()
+      .writeStream.format("memory").queryName("bytime")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select CAST(values['n'] AS INT) n from bytime")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (5 to 10))
+    // both options set → loud rejection
+    val e = intercept[Exception] {
+      spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "s")
+        .option("startingOffsets", "earliest")
+        .option("startingTimestamp", "1500")
+        .load()
+        .writeStream.format("memory").queryName("bytime2")
+        .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+        .start().processAllAvailable()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
+  }
+
   test("ts filter pushdown prunes segments at planning; results stay exact") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val root = TestSpark.tmpDir("graftlog")
