@@ -102,15 +102,18 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
     * not batch replay). Call only while no other writer is live, e.g. before
     * the query starts. Bounds both ledger file count and ack-set size.
     */
-  def compact(floor: Option[LogId] = None): Unit = synchronized {
+  def compact(floor: Option[LogId] = None): Unit =
+    compact((id: String) => floor.exists(fl => LogId.tryParse(id).exists(_ <= fl)))
+
+  /** Fold writers' files and drop acked keys for which `unreachable` holds
+    * (the caller knows the key format — bare ids or stream-qualified).
+    */
+  def compact(unreachable: String => Boolean): Unit = synchronized {
     val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
     val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString)
     val others = all.filter(f => !mine.contains(f.getName))
-    val retained = floor match {
-      case Some(fl) => ackedSet.filter(id =>
-        pendingSet.contains(id) || LogId.tryParse(id).forall(_ > fl))
-      case None => ackedSet
-    }
+    val retained = ackedSet.filter(id =>
+      pendingSet.contains(id) || !unreachable(id))
     if (others.nonEmpty || retained.size != ackedSet.size) {
       ackedSet = retained
       Files.write(acksFile, (ackedSet.toSeq.sorted.mkString("", "\n", "\n"))
@@ -210,9 +213,13 @@ final class GraftConsumer(
 
   def start(): StreamingQuery = {
     validateLedgerFormat()
-    // fold partition/previous-run ledger files; acks at or below the
-    // committed checkpoint offset can never be re-dispatched, drop them
-    ledger.foreach(_.compact(committedOffsetFloor()))
+    // fold partition/previous-run ledger files; acks at or below their
+    // stream's committed checkpoint offset can never be re-dispatched
+    val floors = committedOffsetFloors()
+    ledger.foreach(_.compact { key: String =>
+      scala.util.Try(GraftConsumer.parseLedgerKey(cfg, key)).toOption
+        .exists { case (st, id) => floors.get(st).exists(id <= _) }
+    })
     drainPending()
     val src = spark.readStream.format("graftlog")
       .option("path", cfg.logRoot)
@@ -284,23 +291,31 @@ final class GraftConsumer(
   /** Last committed end-offset from the checkpoint (commits/N + offsets/N),
     * or None for a fresh checkpoint.
     */
-  private[graft] def committedOffsetFloor(): Option[LogId] = {
+  /** Per-stream committed floors from the last committed checkpoint batch's
+    * offset file (both the flat single-stream and the multi-stream
+    * `{"streams":...}` wire formats). Empty map when nothing committed.
+    */
+  private[graft] def committedOffsetFloors(): Map[String, LogId] = {
     try {
       val commits = Paths.get(cfg.checkpointDir, "commits")
-      if (!Files.isDirectory(commits)) None
+      if (!Files.isDirectory(commits)) Map.empty
       else {
         val batches = Files.list(commits).iterator().asScala
           .flatMap(p => p.getFileName.toString.toLongOption).toSeq
-        if (batches.isEmpty) None
+        if (batches.isEmpty) Map.empty
         else {
           val offsetFile = Paths.get(cfg.checkpointDir, "offsets", batches.max.toString)
-          val P = """\{"millis":(\d+),"seq":(\d+)\}""".r
           Files.readAllLines(offsetFile, StandardCharsets.UTF_8).asScala
-            .collectFirst { case P(m, q) => LogId(m.toLong, q.toLong) }
+            .flatMap(l => scala.util.Try(
+              graft.sources.GraftLogOffset.parse(l.trim, cfg.streams.head)).toOption)
+            .headOption.map(_.ids).getOrElse(Map.empty)
         }
       }
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => Map.empty }
   }
+
+  private[graft] def committedOffsetFloor(): Option[LogId] =
+    committedOffsetFloors().get(cfg.streams.head)
 
   /** Graceful stop ≙ the supervisor's `sup_timeout` shutdown window
     * (/root/reference/lib/redix/stream/consumer_sup.ex:33, default 5000 ms):

@@ -384,6 +384,32 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.last == ("a" -> "a1"))
   }
 
+  test("multi-stream ledger compacts acks below each stream's committed floor") {
+    // The floor parser must understand the multi-stream offset wire format;
+    // otherwise a long-lived fan-in consumer's ack set grows forever.
+    val root = TestSpark.tmpDir("log")
+    val wa = new LogWriter(root, "a")
+    val wb = new LogWriter(root, "b")
+    (1 to 3).foreach(i => wa.produce(Map("n" -> s"a$i")))
+    (1 to 2).foreach(i => wb.produce(Map("n" -> s"b$i")))
+    val shared = cfg(root, "a,b", Some("g1"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok },
+      until = _ => seen.size >= 5)
+    c1.stop()
+    val led = new AckLedger(shared.ledgerDir.get)
+    assert(led.acked.size == 5)
+    // a fresh consumer's start() compacts with the committed per-stream
+    // floors — all five acks are at or below them and get dropped
+    val c2 = new GraftConsumer(spark, shared, (_, _, _, _) => HandlerResult.Ok)
+    val floors = c2.committedOffsetFloors()
+    assert(floors.keySet == Set("a", "b"))
+    c2.start()
+    c2.stop()
+    assert(new AckLedger(shared.ledgerDir.get).acked.isEmpty)
+  }
+
   test("widening a single-stream consumer over its legacy ledger fails loudly") {
     // A bare-id (single-stream) ledger under a widened stream list must be
     // rejected, not reinterpreted: bare acks would no longer match the
