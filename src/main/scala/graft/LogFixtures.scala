@@ -21,4 +21,11 @@ object LogFixtures {
       produce(root)
       root
     })
+
+  /** Drop a memoized log so the next call re-produces it — for tests that
+    * specifically exercise the produce path (e.g. under a changed JVM
+    * default timezone).
+    */
+  private[graft] def invalidate(sfDir: String, key: String): Unit =
+    cache.remove((sfDir, key))
 }

@@ -200,16 +200,29 @@ final class GraftConsumer(
     * pendings would be attributed to an arbitrary stream. Reject loudly,
     * like deserializeOffset does for flat checkpoint offsets.
     */
-  private def validateLedgerFormat(): Unit =
-    if (cfg.multiStream) for (l <- ledger) {
-      val bare = (l.acked ++ l.deferred).filterNot(_.contains('\t'))
+  private def validateLedgerFormat(): Unit = for (l <- ledger) {
+    val keys = l.acked ++ l.deferred
+    if (cfg.multiStream) {
+      val bare = keys.filterNot(_.contains('\t'))
       if (bare.nonEmpty) throw new IllegalStateException(
         s"ledger at ${cfg.ledgerDir.get} holds ${bare.size} bare-id (single-stream) " +
           s"entries, e.g. '${bare.head}', but the consumer is configured with streams " +
           s"[${cfg.streams.mkString(",")}]; widening a consumer over its existing " +
           "ledger is not supported — start a new group or migrate the ledger to " +
           "stream-qualified keys first")
+    } else {
+      // the narrowing direction is just as corrupting: qualified keys never
+      // match the bare keys a single-stream consumer computes, so every
+      // acked message would silently redeliver
+      val qualified = keys.filter(_.contains('\t'))
+      if (qualified.nonEmpty) throw new IllegalStateException(
+        s"ledger at ${cfg.ledgerDir.get} holds ${qualified.size} stream-qualified " +
+          s"(multi-stream) entries, e.g. '${qualified.head.replace("\t", "\\t")}', but " +
+          s"the consumer is configured with the single stream '${cfg.stream}'; " +
+          "narrowing a consumer over its existing ledger is not supported — start a " +
+          "new group or keep the original stream list")
     }
+  }
 
   def start(): StreamingQuery = {
     validateLedgerFormat()
@@ -288,9 +301,6 @@ final class GraftConsumer(
     q
   }
 
-  /** Last committed end-offset from the checkpoint (commits/N + offsets/N),
-    * or None for a fresh checkpoint.
-    */
   /** Per-stream committed floors from the last committed checkpoint batch's
     * offset file (both the flat single-stream and the multi-stream
     * `{"streams":...}` wire formats). Empty map when nothing committed.

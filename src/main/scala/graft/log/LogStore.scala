@@ -369,9 +369,14 @@ object LogStore {
   def compactTiered(root: String, stream: String,
       targetBytes: Long = 4L << 20, minMerge: Int = 4): Int = {
     val segs = segments(root, stream)
-    val sizes = segs.map(s => s -> (try Files.size(Paths.get(s.path)) catch {
-      case _: java.io.IOException => Long.MaxValue
-    }))
+    // parquet segments are the frozen cold tier: treat them as full-size so
+    // a run never includes one — merging them back into JSONL would undo
+    // the freeze (their compressed size is typically well below target)
+    val sizes = segs.map(s => s -> (
+      if (s.path.endsWith(".parquet")) Long.MaxValue
+      else try Files.size(Paths.get(s.path)) catch {
+        case _: java.io.IOException => Long.MaxValue
+      }))
     // first run of adjacent small segments, greedily extended under the cap
     var runStart = -1
     var i = 0

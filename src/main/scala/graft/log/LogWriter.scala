@@ -83,7 +83,11 @@ final class LogWriter(root: String, stream: String,
     * produce-heavy stream's file count O(log n) without a separate daemon.
     */
   private def maybeAutoCompact(): Unit = policy.foreach { p =>
-    if (LogStore.segments(root, stream).size >= p.triggerSegments) {
+    // count only the live JSONL tier against the trigger: frozen parquet
+    // segments never merge away, so including them would leave the trigger
+    // permanently exceeded and run no-op compaction passes on every append
+    val live = LogStore.segments(root, stream).count(!_.path.endsWith(".parquet"))
+    if (live >= p.triggerSegments) {
       LogStore.compactTiered(root, stream, p.targetBytes, p.minMerge)
       if (p.freezeColdToParquet)
         LogStore.freezeColdSegments(root, stream, p.targetBytes, p.keepHotSegments)

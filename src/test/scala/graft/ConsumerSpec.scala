@@ -431,6 +431,26 @@ class ConsumerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bare-id"))
   }
 
+  test("narrowing a multi-stream consumer over its qualified ledger fails loudly") {
+    // the inverse of the widening guard: qualified 'st\tid' keys never
+    // match the bare keys a single-stream consumer computes, so every
+    // acked message would silently redeliver
+    val root = TestSpark.tmpDir("log")
+    val wa = new LogWriter(root, "a")
+    val wb = new LogWriter(root, "b")
+    wa.produce(Map("n" -> "1")); wb.produce(Map("n" -> "2"))
+    val multi = cfg(root, "a,b", Some("g1"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val c1 = ConsumerRunner.runSupervised(spark, multi,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok },
+      until = _ => seen.size >= 2)
+    c1.stop()
+    val narrowed = multi.copy(stream = "a")
+    val c2 = new GraftConsumer(spark, narrowed, (_, _, _, _) => HandlerResult.Ok)
+    val e = intercept[IllegalStateException](c2.start())
+    assert(e.getMessage.contains("stream-qualified"))
+  }
+
   test("duplicate names in the stream list collapse to one stream") {
     // "s,s" must behave exactly like "s": single-stream ledger keys, full
     // (undivided) per-trigger quota, flat offset format compatible with

@@ -360,6 +360,25 @@ class LogSourceSpec extends AnyFunSuite {
     assert(batch.count() == 120)
   }
 
+  test("tiered compaction never merges frozen parquet segments back to JSONL") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    (1 to 6).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    // freeze everything so far into one (small) parquet cold segment
+    assert(LogStore.compactToParquet(root, "s", LogStore.maxId(root, "s")) > 0)
+    val frozen = LogStore.segments(root, "s").filter(_.path.endsWith(".parquet"))
+    assert(frozen.size == 1)
+    // new small JSONL segments adjacent to the parquet one
+    (7 to 12).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    LogStore.compactTiered(root, "s", targetBytes = 1L << 20, minMerge = 2)
+    // the parquet segment survives (a merge would rewrite it as JSONL)
+    assert(LogStore.segments(root, "s").exists(_.path == frozen.head.path),
+      "frozen parquet segment was merged back into JSONL")
+    val all = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(all.map(_.values("i")) == (1 to 12).map(_.toString))
+  }
+
   test("parquet cold compaction round-trips; DSv2 reads mixed-format segments") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L

@@ -37,6 +37,10 @@ class QueriesSpec extends AnyFunSuite {
     val saved = java.util.TimeZone.getDefault
     def runUnder(tzId: String) = try {
       java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(tzId))
+      // the produce path is the TZ-sensitive part — force a fresh produce
+      // under this TZ (the memoized log would otherwise make both runs
+      // read one shared log and the guard would be vacuous)
+      LogFixtures.invalidate(dir, "q94")
       try q94.run(spark, dir).collect().toSeq finally CacheScope.release()
     } finally java.util.TimeZone.setDefault(saved)
     assert(runUnder("America/New_York") == runUnder("UTC"))
