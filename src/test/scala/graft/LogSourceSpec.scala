@@ -262,6 +262,34 @@ class LogSourceSpec extends AnyFunSuite {
     assert(idOnly == 100)
   }
 
+  test("ts pushdown pruning is exact under randomized bounds") {
+    // the conservative floor math must never drop a matching row, whatever
+    // the bounds; compare the pushdown-pruned read against brute force
+    val root = TestSpark.tmpDir("graftlog")
+    val rnd = new scala.util.Random(42)
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    val produced = (1 to 60).map { i =>
+      now += 1 + rnd.nextInt(50) // irregular gaps, some same-millis runs
+      w.produce(Map("n" -> i.toString))
+      (now, i)
+    }
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    (1 to 12).foreach { _ =>
+      val a = 1000L + rnd.nextInt(1800)
+      val b = a + rnd.nextInt(1200)
+      val got = df
+        .filter(col("ts") >= expr(s"timestamp_millis(${a}L)") &&
+          col("ts") < expr(s"timestamp_millis(${b}L)"))
+        .select(expr("CAST(values['n'] AS INT)").as("n"))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val want = produced.collect { case (m, i) if m >= a && m < b => i }
+      assert(got == want, s"bounds [$a,$b): got $got want $want")
+    }
+  }
+
   test("duplicate stream names dedupe: 's,s' reads as single-stream") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     // "a,a" must not count as multi-stream: the offset map would collapse
