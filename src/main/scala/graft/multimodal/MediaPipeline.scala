@@ -87,6 +87,40 @@ object MediaPipeline {
     }
   }
 
+  /** Fit-within resize plan preserving aspect ratio: target dims for a
+    * (maxW, maxH) box; identity when already inside. Pure metadata math.
+    */
+  def resizePlan(width: Int, height: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    if (width <= maxW && height <= maxH) (width, height)
+    else {
+      val scale = math.min(maxW.toDouble / width, maxH.toDouble / height)
+      (math.max(1, math.floor(width * scale).toInt),
+        math.max(1, math.floor(height * scale).toInt))
+    }
+  }
+
+  /** Batched resize: decode dims per record, compute the fit-within plan,
+    * and emit the (stub-)resized record — the real implementation swaps the
+    * payload transform; the Spark-side shape (mapPartitions with per-
+    * partition codec init, same schema in and out) is the contract.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRecord],
+      maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup (codec init) happens once, here
+      it.map { rec =>
+        val dec = StubDecoder.decode(rec.mime, rec.payload)
+        val (tw, th) = resizePlan(dec.width, dec.height, maxW, maxH)
+        // ??? <- real payload re-encode at (tw, th); stub keeps the bytes
+        // and records the target dims in the mime parameters, so the plan
+        // is visible to (and testable by) downstream stages
+        rec.copy(mime = s"${rec.mime};w=$tw;h=$th")
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for a video payload: every k-th frame
     * up to `maxFrames` — pure metadata math, no decode of skipped frames.
     */

@@ -31,6 +31,26 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(a.forall(_.frames >= 1))
   }
 
+  test("resize plan fits within the box preserving aspect; identity inside") {
+    assert(MediaPipeline.resizePlan(100, 50, 200, 200) == ((100, 50)))
+    val (w, h) = MediaPipeline.resizePlan(1000, 500, 200, 200)
+    assert(w == 200 && h == 100) // aspect 2:1 preserved
+    val (w2, h2) = MediaPipeline.resizePlan(500, 1000, 200, 100)
+    assert(h2 == 100 && w2 == 50)
+    assert(MediaPipeline.resizePlan(10000, 1, 5, 5)._1 >= 1) // never zero
+  }
+
+  test("batched resize emits same-schema records with the plan recorded") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq((1L, "a" * 5000), (2L, "bb")))
+    val media = MediaPipeline.fromText(spark, rows, "image/png")
+    val resized = MediaPipeline.resize(spark, media, 64, 64).collect().sortBy(_.media_id)
+    assert(resized.length == 2)
+    assert(resized.forall(_.mime.startsWith("image/png;w=")))
+    val dims = resized.map(_.mime.split(";").drop(1).map(_.split("=")(1).toInt))
+    assert(dims.forall { case Array(w, h) => w <= 64 && h <= 64 && w >= 1 && h >= 1 })
+  }
+
   test("frame sampling picks every k-th frame bounded by maxFrames") {
     assert(MediaPipeline.sampleFrames(3, 10) == Seq(0, 1, 2))
     val s = MediaPipeline.sampleFrames(100, 10)
