@@ -48,6 +48,33 @@ object Advanced {
         .orderBy($"n_name")
     },
 
+    q("q111_multijoin_profit",
+      s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_name LIKE '%a%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q9 shape (adapted: no partsupp fixture): a five-table star
+      // with one fact-to-fact shuffle join (lineitem x orders) and every
+      // dimension broadcast — the plan that must hold at 100 TB is exactly
+      // this: shuffle ONCE on the fact key, never for dimensions, with the
+      // part filter applied before its broadcast.
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(T(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(T(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(T(s, dir, "part").filter($"p_name".like("%a%"))),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("yr"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"nation", $"yr")
+    },
+
     q("q66_subquery_correlated",
       """SELECT c_custkey FROM customer c
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
