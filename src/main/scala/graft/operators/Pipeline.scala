@@ -209,6 +209,61 @@ object Pipeline {
         .orderBy($"event_id")
     },
 
+    q("q112_funnel",
+      """WITH m AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type='click' THEN ts END) c,
+        |  MIN(CASE WHEN event_type='view' THEN ts END) v,
+        |  MIN(CASE WHEN event_type='purchase' THEN ts END) p
+        |FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(c) AS BIGINT) AS n_click,
+        |  CAST(COUNT(CASE WHEN v >= c THEN 1 END) AS BIGINT) AS n_click_view,
+        |  CAST(COUNT(CASE WHEN p >= v AND v >= c THEN 1 END) AS BIGINT) AS n_full
+        |FROM m""") { (s, dir) =>
+      import s.implicits._
+      // Ordered conversion funnel (click -> view -> purchase by first
+      // occurrence): one per-user aggregation then a global rollup — two
+      // shuffles total, the second over one row per user. Null-propagating
+      // comparisons implement "reached stage k" without a self-join.
+      T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "click", $"ts")).as("c"),
+          min(when($"event_type" === "view", $"ts")).as("v"),
+          min(when($"event_type" === "purchase", $"ts")).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          count($"c").as("n_click"),
+          count(when($"v" >= $"c", 1)).as("n_click_view"),
+          count(when($"p" >= $"v" && $"v" >= $"c", 1)).as("n_full"))
+    },
+
+    q("q113_retention",
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) w0
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id,
+        |    CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) w FROM events e)
+        |SELECT strftime(f.w0, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.w0, a.w) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import s.implicits._
+      // Weekly retention cohorts: cohort = ISO week of first activity,
+      // offset = weeks since. The distinct-activity frame shuffles once on
+      // user_id and the first-activity frame reuses that partitioning; the
+      // final rollup groups a (cohorts x weeks)-sized frame — tiny at any
+      // scale.
+      val ev = T(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+      val f = ev.groupBy($"user_id").agg(min($"w").as("w0"))
+      val a = ev.distinct()
+      f.join(a, "user_id")
+        .groupBy(date_format($"w0", "yyyy-MM-dd").as("cohort"),
+          expr("CAST(datediff(w, w0) DIV 7 AS BIGINT)").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy($"cohort", $"week_offset")
+    },
+
     q("q110_redact_patterns",
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
