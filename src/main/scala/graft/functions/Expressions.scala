@@ -28,6 +28,16 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+    // Spark's internal bloom pair (what its own runtime filters use),
+    // surfaced as engine functions: build a filter over the small side's
+    // keys, probe it map-side on the fact side BEFORE the shuffle — the
+    // explicit form of the semi-join pruning that matters at 100 TB.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)), "built-in")
   }
 
   def polyHashBytes(s: UTF8String): Long = {

@@ -209,6 +209,32 @@ object Pipeline {
         .orderBy($"event_id")
     },
 
+    q("q114_bloom_semijoin",
+      s"""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""") { (s, dir) =>
+      // Bloom-prefiltered semi-join: build a bloom filter over the selected
+      // order keys (graft_bloom_agg = Spark's own runtime-filter aggregate,
+      // surfaced), probe it MAP-SIDE on lineitem before the shuffle, then
+      // finish with the exact semi-join that removes bloom false positives.
+      // At 100 TB the probe prunes the fact scan down to ~selectivity
+      // before any exchange; the result is oracle-exact because the bloom
+      // has no false negatives and the final IN is exact.
+      graft.functions.GraftExpressions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH keys AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000),
+           |b AS (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L) bf FROM keys)
+           |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
+           |FROM lineitem
+           |WHERE graft_might_contain((SELECT bf FROM b), xxhash64(l_orderkey))
+           |  AND l_orderkey IN (SELECT o_orderkey FROM keys)
+           |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+
     q("q112_funnel",
       """WITH m AS (SELECT user_id,
         |  MIN(CASE WHEN event_type='click' THEN ts END) c,
