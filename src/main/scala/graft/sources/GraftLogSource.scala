@@ -209,7 +209,12 @@ final class GraftLogScan(root: String, options: CaseInsensitiveStringMap,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(root, GraftLogSource.stream(options), options, required)
+    // a ts lower bound pushes into the INITIAL offset of a fresh query:
+    // `readStream.load().filter($"ts" >= T)` starts reading at T instead
+    // of scanning and discarding history (declarative replay-from-T; the
+    // residual filter still owns exact boundary semantics)
+    new GraftLogMicroBatchStream(root, GraftLogSource.stream(options), options,
+      required, tsLowerMillis)
 
   private def minPartitions(o: CaseInsensitiveStringMap): Int =
     o.getInt("minPartitions", 16)
@@ -259,7 +264,8 @@ object GraftLogOffset {
 
 final class GraftLogMicroBatchStream(root: String, stream: String,
     options: CaseInsensitiveStringMap,
-    required: StructType = GraftLogSource.Schema)
+    required: StructType = GraftLogSource.Schema,
+    tsLowerMillis: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -292,11 +298,18 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
       case Some(ts) =>
         val millis = ts.toLong
         if (millis <= 0) LogId.Zero else LogId(millis - 1, Long.MaxValue)
-      case None => byOff.getOrElse("latest") match {
-        case "earliest" => LogId.Zero
-        case "latest" => LogStore.maxId(root, st)
-        case explicit => LogId.parse(explicit) // applies to every stream
-      }
+      case None =>
+        val base = byOff.getOrElse("latest") match {
+          case "earliest" => LogId.Zero
+          case "latest" => LogStore.maxId(root, st)
+          case explicit => LogId.parse(explicit) // applies to every stream
+        }
+        // a pushed `ts >= T` bound can only move a FRESH query's start
+        // forward (initialOffset is never consulted once a checkpoint
+        // exists, so a running query's position is untouched)
+        val byFilter = tsLowerMillis.filter(_ > 0)
+          .map(m => LogId(m - 1, Long.MaxValue)).getOrElse(LogId.Zero)
+        if (byFilter > base) byFilter else base
     }
   }
 
