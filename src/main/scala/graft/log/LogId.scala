@@ -18,6 +18,14 @@ object LogId {
   /** Position before any real entry — "read from the start of the stream". */
   val Zero: LogId = LogId(0L, 0L)
 
+  /** Exclusive-start position just below `millis`: the first id AT OR AFTER
+    * that millisecond sorts strictly above it (any seq). The one encoding of
+    * "start at time T" shared by the batch planner and the streaming
+    * startingTimestamp resolution.
+    */
+  def startBefore(millis: Long): LogId =
+    if (millis <= 0) Zero else LogId(millis - 1, Long.MaxValue)
+
   private val Pattern = "^(\\d+)-(\\d+)$".r
 
   def parse(s: String): LogId = s match {

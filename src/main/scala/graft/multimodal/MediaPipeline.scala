@@ -115,8 +115,10 @@ object MediaPipeline {
         val (tw, th) = resizePlan(dec.width, dec.height, maxW, maxH)
         // ??? <- real payload re-encode at (tw, th); stub keeps the bytes
         // and records the target dims in the mime parameters, so the plan
-        // is visible to (and testable by) downstream stages
-        rec.copy(mime = s"${rec.mime};w=$tw;h=$th")
+        // is visible to (and testable by) downstream stages. Strip any
+        // previous parameters first: chaining resizes must replace the
+        // plan, not accumulate conflicting w/h pairs.
+        rec.copy(mime = s"${rec.mime.takeWhile(_ != ';')};w=$tw;h=$th")
       }
     }
   }

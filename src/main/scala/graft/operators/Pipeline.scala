@@ -275,12 +275,13 @@ object Pipeline {
         |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
       import s.implicits._
       // Weekly retention cohorts: cohort = ISO week of first activity,
-      // offset = weeks since. The distinct-activity frame shuffles once on
-      // user_id and the first-activity frame reuses that partitioning; the
-      // final rollup groups a (cohorts x weeks)-sized frame — tiny at any
-      // scale.
+      // offset = weeks since. The week-truncated projection is shared by
+      // the first-activity and distinct-activity branches — cached so the
+      // events scan and truncation run once (q100's pattern); the final
+      // rollup groups a (cohorts x weeks)-sized frame, tiny at any scale.
       val ev = T(s, dir, "events")
         .select($"user_id", date_trunc("week", $"ts").as("w"))
+        .transform(graft.CacheScope.cached)
       val f = ev.groupBy($"user_id").agg(min($"w").as("w0"))
       val a = ev.distinct()
       f.join(a, "user_id")

@@ -197,8 +197,7 @@ final class GraftLogScan(root: String, options: CaseInsensitiveStringMap,
         // exclusive start just below the lower-bound millisecond; inclusive
         // end at the last seq of the upper-bound millisecond — segment
         // planning prunes by file-name id range before any file is opened
-        val start = tsLowerMillis.filter(_ > 0)
-          .map(m => LogId(m - 1, Long.MaxValue)).getOrElse(LogId.Zero)
+        val start = tsLowerMillis.map(LogId.startBefore).getOrElse(LogId.Zero)
         val maxId = LogStore.maxId(root, st)
         val end = tsUpperMillis.map(m => LogId(m, Long.MaxValue)).filter(_ < maxId).getOrElse(maxId)
         GraftLogPartitioning.plan(root, st, start, end, minPartitions(options))
@@ -209,12 +208,11 @@ final class GraftLogScan(root: String, options: CaseInsensitiveStringMap,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    // a ts lower bound pushes into the INITIAL offset of a fresh query:
-    // `readStream.load().filter($"ts" >= T)` starts reading at T instead
-    // of scanning and discarding history (declarative replay-from-T; the
-    // residual filter still owns exact boundary semantics)
-    new GraftLogMicroBatchStream(root, GraftLogSource.stream(options), options,
-      required, tsLowerMillis)
+    // NOTE: Spark (4.1) never calls pushFilters for streaming scans —
+    // V2ScanRelationPushDown only matches batch relations — so a filter on
+    // a streaming read cannot reach the source. Replay-from-T on a stream
+    // is the explicit `startingTimestamp` option instead.
+    new GraftLogMicroBatchStream(root, GraftLogSource.stream(options), options, required)
 
   private def minPartitions(o: CaseInsensitiveStringMap): Int =
     o.getInt("minPartitions", 16)
@@ -264,8 +262,7 @@ object GraftLogOffset {
 
 final class GraftLogMicroBatchStream(root: String, stream: String,
     options: CaseInsensitiveStringMap,
-    required: StructType = GraftLogSource.Schema,
-    tsLowerMillis: Option[Long] = None)
+    required: StructType = GraftLogSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -295,21 +292,12 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
       // ids are millis-prefixed (the Redis stream id model), so a
       // time-based start position is exact: begin just below the given
       // epoch millisecond — the first entry at or after it is included
-      case Some(ts) =>
-        val millis = ts.toLong
-        if (millis <= 0) LogId.Zero else LogId(millis - 1, Long.MaxValue)
-      case None =>
-        val base = byOff.getOrElse("latest") match {
-          case "earliest" => LogId.Zero
-          case "latest" => LogStore.maxId(root, st)
-          case explicit => LogId.parse(explicit) // applies to every stream
-        }
-        // a pushed `ts >= T` bound can only move a FRESH query's start
-        // forward (initialOffset is never consulted once a checkpoint
-        // exists, so a running query's position is untouched)
-        val byFilter = tsLowerMillis.filter(_ > 0)
-          .map(m => LogId(m - 1, Long.MaxValue)).getOrElse(LogId.Zero)
-        if (byFilter > base) byFilter else base
+      case Some(ts) => LogId.startBefore(ts.toLong)
+      case None => byOff.getOrElse("latest") match {
+        case "earliest" => LogId.Zero
+        case "latest" => LogStore.maxId(root, st)
+        case explicit => LogId.parse(explicit) // applies to every stream
+      }
     }
   }
 

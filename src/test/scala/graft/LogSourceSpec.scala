@@ -219,42 +219,6 @@ class LogSourceSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
   }
 
-  test("streaming ts filter pushes into the initial offset of a fresh query") {
-    import org.apache.spark.sql.util.CaseInsensitiveStringMap
-    import graft.sources.{GraftLogOffset, GraftLogScanBuilder}
-    val root = TestSpark.tmpDir("graftlog")
-    var now = 1000L
-    val w = new LogWriter(root, "s", () => now)
-    (1 to 10).foreach { i => now = 1000L + i * 100; w.produce(Map("n" -> i.toString)) }
-    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
-      "path", root, "stream", "s", "startingOffsets", "earliest"))
-    def initialFor(filters: Array[org.apache.spark.sql.sources.Filter]): LogId = {
-      val b = new GraftLogScanBuilder(root, opts)
-      b.pushFilters(filters)
-      b.build().toMicroBatchStream(TestSpark.tmpDir("ckpt"))
-        .initialOffset().asInstanceOf[GraftLogOffset].id("s")
-    }
-    assert(initialFor(Array.empty) == LogId.Zero)
-    val shifted = initialFor(Array(
-      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
-        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1500)))))
-    assert(shifted == LogId(1499, Long.MaxValue)) // replay-from-T, exact
-    // end-to-end: the filtered stream sees only entries from T on
-    import org.apache.spark.sql.functions._
-    val q = spark.readStream.format("graftlog")
-      .option("path", root).option("stream", "s")
-      .option("startingOffsets", "earliest")
-      .load()
-      .filter(col("ts") >= expr("timestamp_millis(1500)"))
-      .writeStream.format("memory").queryName("tspush")
-      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
-      .start()
-    q.processAllAvailable(); q.stop()
-    val got = spark.sql("select CAST(values['n'] AS INT) n from tspush")
-      .collect().map(_.getInt(0)).sorted.toSeq
-    assert(got == (5 to 10))
-  }
-
   test("ts filter pushdown prunes segments at planning; results stay exact") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val root = TestSpark.tmpDir("graftlog")
@@ -306,7 +270,10 @@ class LogSourceSpec extends AnyFunSuite {
     var now = 1000L
     val w = new LogWriter(root, "s", () => now)
     val produced = (1 to 60).map { i =>
-      now += 1 + rnd.nextInt(50) // irregular gaps, some same-millis runs
+      // irregular gaps INCLUDING zero: same-millisecond runs exercise the
+      // seq handling at the pruning boundary (start m-1/MaxValue must admit
+      // every seq of millisecond m)
+      now += (if (rnd.nextInt(4) == 0) 0 else 1 + rnd.nextInt(50))
       w.produce(Map("n" -> i.toString))
       (now, i)
     }

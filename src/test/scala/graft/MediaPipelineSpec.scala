@@ -49,6 +49,10 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.mime.startsWith("image/png;w=")))
     val dims = resized.map(_.mime.split(";").drop(1).map(_.split("=")(1).toInt))
     assert(dims.forall { case Array(w, h) => w <= 64 && h <= 64 && w >= 1 && h >= 1 })
+    // chaining replaces the plan instead of accumulating conflicting params
+    val twice = MediaPipeline.resize(
+      spark, MediaPipeline.resize(spark, media, 64, 64), 32, 32).collect()
+    assert(twice.forall(_.mime.count(_ == ';') == 2))
   }
 
   test("frame sampling picks every k-th frame bounded by maxFrames") {

@@ -19,11 +19,9 @@ class PlanShapeSpec extends AnyFunSuite {
       lazy val codegenPlan =
         df.queryExecution.explainString(ExplainMode.fromString("codegen"))
       checks.foreach { case (what, needle) =>
-        val ok =
-          if (needle.startsWith("!")) !plan.contains(needle.drop(1))
-          else if (needle.startsWith("codegen:")) codegenPlan.contains(needle.drop(8))
-          else plan.contains(needle)
-        assert(ok, s"$name: $what (needle '$needle')\n$plan")
+        val shown = if (needle.startsWith("codegen:")) codegenPlan else plan
+        assert(graft.tools.PlanAudit.holds(plan, codegenPlan, needle),
+          s"$name: $what (needle '$needle')\n$shown")
       }
     }
   }
