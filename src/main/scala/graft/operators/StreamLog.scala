@@ -217,6 +217,63 @@ object StreamLog {
         .orderBy($"user_id", $"click_ts", $"purchase_ts")
     },
 
+    q("q115_streaming_custom_state",
+      // Arbitrary per-key state THROUGH the engine: transformWithState
+      // (typed ValueState in RocksDB) assigns each event its running count
+      // within its event_type, across micro-batch boundaries. The oracle
+      // pins two invariants to the plain batch counts: the final running
+      // value per key is the key's total (state survived the batches), and
+      // exactly one output row was emitted per input (no loss, no dupes).
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q115") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("event_type", "CAST(event_id AS STRING) AS event_id")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
+      val sinkName = s"q115_sink_${System.nanoTime()}"
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val storeKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevShuffle = s.conf.get(shuffleKey)
+      val prevStore = s.conf.getOption(storeKey)
+      s.conf.set(shuffleKey, "4")
+      // transformWithState requires the RocksDB store (column families)
+      s.conf.set(storeKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = try {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+          .selectExpr("values['event_type'] AS k", "values['event_id'] AS v")
+        graft.streaming.StreamingOps.runningCountByKeyTws(s, src, "k", "v")
+          .toDF("event_type", "running", "event_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-q115-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        s.conf.set(shuffleKey, prevShuffle)
+        prevStore match {
+          case Some(v) => s.conf.set(storeKey, v)
+          case None => s.conf.unset(storeKey)
+        }
+      }
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy($"event_type")
+        .agg(max($"running").as("n_events"), count(lit(1)).as("n_rows"))
+        .orderBy($"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
