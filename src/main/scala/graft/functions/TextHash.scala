@@ -28,6 +28,17 @@ object TextHash {
   def shinglesSql(w: String): String =
     s"array_distinct(transform(sequence(1, size($w) - 2), i -> concat_ws(' ', slice($w, i, 3))))"
 
+  /** Distinct word n-gram shingles of a words array `w`; empty array when
+    * size<n. Generalizes [[shinglesSql]]; 13 is the decontamination width.
+    * The IF guard makes the expression total — Catalyst may evaluate it
+    * outside a caller's size filter (e.g. inside a pushed join predicate),
+    * where a descending sequence would feed slice a zero start. DuckDB's
+    * range(negative) is already empty, so the dialects agree.
+    */
+  def nGramsSql(w: String, n: Int): String =
+    s"IF(size($w) >= $n, array_distinct(transform(sequence(1, size($w) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($w, i, $n)))), array())"
+
   /** Distinct polyhashes of every element of a string-array expr `arr`. */
   def hashedSetSql(arr: String): String =
     s"array_distinct(transform($arr, s -> ${polyHashSql("s")}))"
@@ -55,6 +66,10 @@ object TextHash {
   def duckShingles(w: String): String =
     s"list_distinct(list_transform(range(len($w)-2), i -> " +
       s"$w[CAST(i+1 AS INT)]||' '||$w[CAST(i+2 AS INT)]||' '||$w[CAST(i+3 AS INT)]))"
+
+  def duckNGrams(w: String, n: Int): String =
+    s"list_distinct(list_transform(range(len($w)-${n - 1}), i -> " +
+      s"array_to_string($w[CAST(i+1 AS INT):CAST(i+$n AS INT)], ' ')))"
 
   def duckHashedSet(arr: String): String =
     s"list_distinct(list_transform($arr, s -> ${duckPolyHash("s")}))"

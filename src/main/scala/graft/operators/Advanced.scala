@@ -15,7 +15,64 @@ object Advanced {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** 32-bit Morton (Z-order) interleave of two 16-bit values, emitted as a
+    * plain arithmetic expression in either dialect — bit i of x lands at
+    * position 2i, bit i of y at 2i+1. The same formula renders for Spark
+    * (shiftleft/shiftright functions) and DuckDB (<</>> operators), so the
+    * oracle replicates the curve bit for bit.
+    */
+  private def zOrderSpark(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})").mkString(" + ")
+
+  private def zOrderDuck(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q117_zorder_layout",
+      s"""WITH b AS (SELECT MIN(l_partkey) p0, MAX(l_partkey) p1,
+         |    MIN(l_suppkey) s0, MAX(l_suppkey) s1 FROM lineitem),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |    ${zOrderDuck("((l_partkey - p0) * 65535 // (p1 - p0))",
+                           "((l_suppkey - s0) * 65535 // (s1 - s0))")} AS zval
+         |  FROM lineitem, b)
+         |SELECT CAST(zval >> 26 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(l_partkey) AS BIGINT) AS min_pk, CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+         |  CAST(MIN(l_suppkey) AS BIGINT) AS min_sk, CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+         |FROM z GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      import s.implicits._
+      // Z-order data layout: normalize two filter dimensions to 16 bits
+      // (exact integer scaling against the column bounds, so the curve
+      // fills the key space at every scale factor), interleave them into
+      // one Morton key, and bucket rows by its high 6 bits. Each bucket's
+      // (min, max) range then stays narrow on BOTH dimensions at once —
+      // the per-file min/max skipping index that lets a 100 TB scan prune
+      // on either predicate column after clustering. The two-row bounds
+      // frame is broadcast; bucket assignment is pure map-side arithmetic
+      // (no global sort). The write path is repartitionByRange(zval) +
+      // sortWithinPartitions; this query materializes the skipping index
+      // that layout yields.
+      val li = T(s, dir, "lineitem")
+      val bounds = li.agg(
+        min($"l_partkey").as("p0"), max($"l_partkey").as("p1"),
+        min($"l_suppkey").as("s0"), max($"l_suppkey").as("s1"))
+      li.crossJoin(broadcast(bounds))
+        .select($"l_partkey", $"l_suppkey",
+          expr(zOrderSpark("((l_partkey - p0) * 65535 DIV (p1 - p0))",
+            "((l_suppkey - s0) * 65535 DIV (s1 - s0))")).as("zval"))
+        .groupBy(expr("zval >> 26").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"l_partkey").cast("long").as("min_pk"),
+          max($"l_partkey").cast("long").as("max_pk"),
+          min($"l_suppkey").cast("long").as("min_sk"),
+          max($"l_suppkey").cast("long").as("max_sk"))
+        .orderBy($"bucket")
+    },
 
     q("q65_multijoin_revenue",
       s"""SELECT n_name,

@@ -310,6 +310,94 @@ object Pipeline {
         .orderBy($"event_id")
     },
 
+    q("q116_paragraph_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(((len(w)-1)//20)+1),
+        |        i -> array_to_string(w[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ')) chunks
+        |      FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks,1)-1 AS BIGINT) idx,
+        |        unnest(chunks) chunk FROM c),
+        |k AS (SELECT doc_id, idx, chunk,
+        |        row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1 AS kept
+        |      FROM e)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Paragraph-level dedup (the CCNet/RefinedWeb line-dedup shape; the
+      // fixture has no newlines, so the unit is a fixed 20-word chunk):
+      // across the whole corpus each chunk survives only at its first
+      // occurrence under the (doc_id, idx) order, and every doc is
+      // reassembled from its surviving chunks. Chunking is map-side; the
+      // only data shuffle is the first-occurrence window, partitioned by
+      // the chunk's md5 rather than the chunk text so the exchange carries
+      // a fixed-width key instead of full paragraphs (at 100 TB the
+      // paragraph bytes stay in place; only doc reassembly moves them).
+      val chunks = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .withColumn("chunks", expr(
+          "transform(sequence(0, (size(w)-1) DIV 20), i -> concat_ws(' ', slice(w, i*20+1, 20)))"))
+        .select($"doc_id", posexplode($"chunks"))
+        .select($"doc_id", $"pos".cast("long").as("idx"), $"col".as("chunk"))
+      chunks
+        .withColumn("kept", row_number().over(
+          Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"idx")) === 1)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when($"kept", 1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN kept THEN struct(idx, chunk) END)), x -> x.chunk)"))
+            .as("kept_text"))
+        .orderBy($"doc_id")
+    },
+
+    q("q118_decontaminate_13gram",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |g AS (SELECT doc_id, ${duckHashedSet(duckNGrams("w", 13))} hh
+         |      FROM words WHERE len(w) >= 13),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM g),
+         |ev AS (SELECT doc_id, h FROM ex WHERE doc_id % 50 = 0),
+         |df AS (SELECT ex.h, CAST(COUNT(*) AS BIGINT) df FROM ex
+         |       JOIN (SELECT DISTINCT h FROM ev) e ON ex.h = e.h GROUP BY ex.h),
+         |probe AS (SELECT ev.doc_id eval_doc, ev.h FROM ev
+         |          JOIN df ON ev.h = df.h WHERE df.df <= 10)
+         |SELECT t.doc_id AS train_doc, p.eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM (SELECT * FROM ex WHERE doc_id % 50 <> 0) t
+         |JOIN probe p ON t.h = p.h
+         |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""") { (s, dir) =>
+      import s.implicits._
+      // Benchmark decontamination at the standard 13-gram width with
+      // df-capping: a training doc is contaminated if it shares any RARE
+      // 13-gram with an eval doc, where "rare" = corpus document frequency
+      // <= 10 (ubiquitous boilerplate n-grams must not flag everything).
+      // The df pass only counts n-grams that occur in the eval set — the
+      // eval hash set is broadcast into the corpus scan, so the corpus is
+      // never shuffled: df-of-eval-ngrams is a tiny aggregate, the capped
+      // probe is broadcast back, and the contamination join is map-side.
+      // Result is identical to capping on full-corpus df because the cap
+      // only ever applies to n-grams the probe contains.
+      graft.functions.GraftExpressions.register(s)
+      val ex = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 13)
+        .withColumn("hh", expr(
+          s"array_distinct(transform(${nGramsSql("w", 13)}, s -> graft_polyhash(s)))"))
+        .select($"doc_id", explode($"hh").as("h"))
+        .transform(graft.CacheScope.cached)
+      val ev = ex.filter($"doc_id" % 50 === 0)
+      val df = ex.as("x")
+        .join(broadcast(ev.select($"h").distinct().as("e")), $"x.h" === $"e.h")
+        .groupBy($"x.h".as("h")).agg(count(lit(1)).as("df"))
+      val probe = ev.select($"doc_id".as("eval_doc"), $"h")
+        .join(broadcast(df.filter($"df" <= 10)), "h")
+      ex.filter($"doc_id" % 50 =!= 0).as("t")
+        .join(broadcast(probe), "h")
+        .groupBy($"t.doc_id".as("train_doc"), $"eval_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"train_doc", $"eval_doc")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents

@@ -67,7 +67,17 @@ object PlanAudit {
     "q111_multijoin_profit" -> Seq(
       "all dimensions broadcast (one fact-to-fact shuffle only)" -> "BroadcastHashJoin",
       "part name filter pushed to its scan" -> "PushedFilters: [IsNotNull(p_name)",
-      "no cartesian product in the five-table star" -> "!CartesianProduct"))
+      "no cartesian product in the five-table star" -> "!CartesianProduct"),
+    "q116_paragraph_dedup" -> Seq(
+      "first-occurrence dedup is one window pass" -> "Window",
+      "only doc_id and text read for chunking" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q117_zorder_layout" -> Seq(
+      "column bounds broadcast (bucket assignment stays map-side)" -> "BroadcastNestedLoopJoin",
+      "partial aggregation before the bucket shuffle" -> "HashAggregate",
+      "only the two layout dimensions read" -> "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+    "q118_decontaminate_13gram" -> Seq(
+      "capped eval probe broadcast (corpus never shuffles for the join)" -> "BroadcastHashJoin",
+      "no cartesian product in the contamination probe" -> "!CartesianProduct"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
