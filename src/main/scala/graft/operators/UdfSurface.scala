@@ -38,7 +38,73 @@ object UdfSurface {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra-Gries heavy-hitters sketch capacity (counter slots). */
+  private[graft] val MgK = 64
+
+  /** Misra-Gries heavy-hitters summary: at most MgK counters; any key with
+    * true frequency > n/(MgK+1) is guaranteed present, and every estimate
+    * satisfies est <= true <= est + n/(MgK+1). Mergeable (Agarwal et al.,
+    * "Mergeable Summaries"): merge sums counters, then subtracts the
+    * (k+1)-th largest count from all and drops the non-positive — so Spark
+    * can partial-aggregate it map-side and only k-entry maps cross the
+    * shuffle, where an exact count would shuffle the full key space.
+    * Immutable-Map updates are fine at k=64; a production variant would be
+    * a TypedImperativeAggregate over an open-addressing table.
+    */
+  private[graft] object MisraGries extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(c)                  => b.updated(key, c + 1)
+        case None if b.size < MgK     => b.updated(key, 1L)
+        case None                     => // decrement-all step of the streaming MG update
+          b.collect { case (k, c) if c > 1 => k -> (c - 1) }
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (sum.size <= MgK) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(MgK)
+        sum.collect { case (k, c) if c > cut => k -> (c - cut) }
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q119_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text,' ')) word FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS est_n, TRUE AS bound_ok
+        |FROM w GROUP BY word ORDER BY word""") { (s, dir) =>
+      import s.implicits._
+      // Heavy hitters via the mergeable Misra-Gries sketch. The fixture
+      // vocabulary is smaller than the counter budget, so no eviction ever
+      // fires and the sketch is EXACT — the oracle hash-checks the
+      // estimates against true counts (a wrong reduce/merge shows up as a
+      // value mismatch, not just a failed contract). bound_ok additionally
+      // states the guarantee that still holds when the key space outgrows
+      // k at scale: est <= true <= est + n/(k+1).
+      val mg = udaf(MisraGries)
+      val words = T(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .transform(graft.CacheScope.cached)
+      val sketch = words.agg(mg($"word").as("sk"))
+      val est = sketch.select(explode($"sk")).toDF("word", "est_n")
+      val exact = words.groupBy($"word").agg(count(lit(1)).as("n"))
+      val total = words.count()
+      est.join(exact, "word")
+        .select($"word", $"est_n",
+          ($"est_n" <= $"n" && ($"n" - $"est_n") * (MgK + 1) <= total)
+            .as("bound_ok"))
+        .orderBy($"word")
+    },
 
     q("q62_udf_scalar",
       """SELECT o_orderkey,
