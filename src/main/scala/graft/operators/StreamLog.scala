@@ -274,6 +274,79 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q120_streaming_lsh_dedup",
+      // Streaming near-dup detection THROUGH the engine: documents flow in
+      // doc_id order, each is minhashed and banded map-side, and a per-band
+      // state store tracks the minimum doc_id seen per band signature — a
+      // doc is a near-dup iff some band was already seen on an earlier doc
+      // (earlier batch or earlier in-batch). The batch oracle states the
+      // same rule relationally: doc b is a dup iff an a < b shares a band.
+      // State is one long per live band key, the streaming-budget analogue
+      // of the batch LSH join's shuffle keys.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${graft.functions.TextHash.duckShingles("w")} shingles
+         |       FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${graft.functions.TextHash.duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, ${graft.functions.TextHash.duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range(${graft.functions.TextHash.MinhashBands})) AS band) b),
+         |dup AS (SELECT DISTINCT b.doc_id FROM bands a
+         |        JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                    AND a.doc_id < b.doc_id)
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM dup) AS is_dup
+         |FROM sig ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // produce in doc_id order: the batch sink assigns ids in (partition,
+      // row) order, so the range-partitioned sort makes arrival order =
+      // doc_id order — the order the first-seen rule is defined over
+      val root = graft.LogFixtures.producedLog(dir, "q120") { r =>
+        Tables.load(s, dir, "documents")
+          .select($"doc_id".cast("string").as("doc_id"), $"text")
+          .orderBy($"doc_id".cast("long"))
+          .write.format("graftlog")
+          .option("path", r).option("stream", "docs")
+          .mode("append").save()
+      }
+      val sinkName = s"q120_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        val banded = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "docs")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "300") // 500 docs -> 2 batches
+          .load()
+          .selectExpr("CAST(values['doc_id'] AS BIGINT) AS doc_id",
+            "values['text'] AS text")
+          .withColumn("w", split($"text", " "))
+          .filter(size($"w") >= 3)
+          .withColumn("hh", expr(
+            s"array_distinct(transform(${graft.functions.TextHash.shinglesSql("w")}, s -> graft_polyhash(s)))"))
+          .withColumn("mh", expr("graft_minhash(hh)"))
+          .select($"doc_id", explode(sequence(lit(0),
+            lit(graft.functions.TextHash.MinhashBands - 1))).as("band"), $"mh")
+          .withColumn("bkey", expr(
+            "concat(CAST(band AS STRING), ':', concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING))))"))
+        graft.streaming.StreamingOps.minSeenCollisions(s, banded, "bkey", "doc_id")
+          .toDF("doc_id", "hit")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-q120-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy($"doc_id")
+        .agg(max($"hit").as("is_dup"))
+        .orderBy($"doc_id")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty

@@ -106,6 +106,36 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-key minimum-id tracking for streaming near-dup detection: rows are
+    * (key, id); emits (id, hit) where hit means an id smaller than this one
+    * was already seen under the same key — in an earlier batch (engine
+    * state) or earlier in this batch. State per key is ONE long (the
+    * minimum id), so the store is O(distinct keys) no matter how long the
+    * stream runs; with LSH band keys that is O(corpus bands), the same
+    * budget the batch LSH join shuffles. Requires ids to arrive in
+    * ascending order across batches (the log source's delivery order).
+    */
+  def minSeenCollisions(spark: SparkSession, rows: DataFrame,
+      keyCol: String, idCol: String): Dataset[(Long, Boolean)] = {
+    import spark.implicits._
+    rows
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($idCol AS BIGINT) AS id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rs: Iterator[(String, Long)], state: GroupState[Long]) =>
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = rs.map(_._2).toList.sorted.map { id =>
+            val hit = minSeen < id
+            if (id < minSeen) minSeen = id
+            (id, hit)
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: the static dimension is broadcast, so
     * the unbounded side never shuffles and no streaming state is kept.
     */

@@ -151,4 +151,28 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
     assert(got == List(("a", 1L, "1"), ("a", 2L, "2"), ("b", 1L, "9")))
   }
+
+  test("minSeenCollisions flags later ids per key, in-batch and cross-batch") {
+    // ids arrive ascending; maxEntriesPerTrigger=3 splits them into
+    // [5B, 10A, 20A] and [30C, 31C, 40A]: 20 collides in-batch with 10,
+    // 31 in-batch with 30, and 40 against keyA state from batch one.
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "B", "id" -> 5L)),
+      (2000L, Map("k" -> "A", "id" -> 10L)),
+      (3000L, Map("k" -> "A", "id" -> 20L)),
+      (4000L, Map("k" -> "C", "id" -> 30L)),
+      (5000L, Map("k" -> "C", "id" -> 31L)),
+      (6000L, Map("k" -> "A", "id" -> 40L))))
+    val src = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "ev")
+      .option("startingOffsets", "earliest")
+      .option("maxEntriesPerTrigger", "3").load()
+      .selectExpr("values['k'] AS k", "values['id'] AS id")
+    val flagged = StreamingOps.minSeenCollisions(spark, src, "k", "id")
+    runToMemory(flagged.toDF("id", "hit"), "collisions")
+    val got = spark.sql("select id, hit from collisions order by id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toList
+    assert(got == List(5L -> false, 10L -> false, 20L -> true,
+      30L -> false, 31L -> true, 40L -> true))
+  }
 }
