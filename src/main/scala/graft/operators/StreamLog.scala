@@ -318,7 +318,7 @@ object StreamLog {
         val banded = s.readStream.format("graftlog")
           .option("path", root).option("stream", "docs")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "300") // 500 docs -> 2 batches
+          .option("maxEntriesPerTrigger", "3000") // 5000 docs at sf0.1 -> 2 batches
           .load()
           .selectExpr("CAST(values['doc_id'] AS BIGINT) AS doc_id",
             "values['text'] AS text")
