@@ -89,6 +89,51 @@ object EventTime {
         .orderBy($"user_id", $"session_start")
     },
 
+    q("q121_changelog_compaction",
+      // Keyed-changelog compaction — the canonical "stream as a table"
+      // pattern (a Redis stream of upserts/deletes materialized to current
+      // state): apply ops in id order per key; 'error' acts as the delete
+      // tombstone, anything else upserts. One hash aggregation with
+      // map-side partial max_by — no window sort, no per-key re-scan; at
+      // 100 TB this is a single shuffle of (key, latest-candidate) pairs.
+      """WITH last AS (SELECT user_id,
+        |    arg_max(event_type, event_id) AS last_type,
+        |    arg_max(value, event_id) AS last_value,
+        |    MAX(event_id) AS last_event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_event_id, last_value
+        |FROM last WHERE last_type <> 'error' ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"event_type", $"value"), $"event_id").as("last"),
+          max($"event_id").as("last_event_id"))
+        .filter($"last.event_type" =!= "error")
+        .select($"user_id", $"last_event_id", $"last.value".as("last_value"))
+        .orderBy($"user_id")
+    },
+
+    q("q122_user_history",
+      // Recent-history feature construction: each user's last 5 event types
+      // in reverse chronological order, as an array column ready to join
+      // onto training examples. The row_number prefilter bounds what the
+      // collect ever buffers to 5 rows per user (collect_list alone would
+      // buffer each user's full history before truncating); both passes
+      // share the one user_id exchange.
+      """SELECT user_id, list(event_type ORDER BY event_id DESC)[1:5] AS recent
+        |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+      T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        .agg(expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")
+          .as("recent"))
+        .orderBy($"user_id")
+    },
+
     q("q38_asof_join",
       """SELECT e.event_id,
         |  strftime((SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c

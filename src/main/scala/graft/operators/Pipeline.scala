@@ -398,6 +398,35 @@ object Pipeline {
         .orderBy($"train_doc", $"eval_doc")
     },
 
+    q("q123_leakage_safe_split",
+      // Train/val/test assignment that cannot leak duplicates across
+      // splits: the split is keyed on the duplicate group's canonical
+      // doc_id (min per exact text hash), not the doc itself, so every
+      // copy of a text lands in the same split by construction. The
+      // deterministic md5-prefix trick (q104) turns the canonical id into
+      // ~80/10/10 rates with no RNG; one window shuffle on the text hash,
+      // then pure map-side assignment.
+      """WITH g AS (SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        |  FROM documents),
+        |b AS (SELECT doc_id, canonical,
+        |    substring(md5(CAST(canonical AS VARCHAR)), 1, 2) AS bucket FROM g)
+        |SELECT doc_id, canonical,
+        |  CASE WHEN bucket < 'cc' THEN 'train'
+        |       WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))).as("canonical"))
+        .withColumn("bucket",
+          substring(md5($"canonical".cast("string").cast("binary")), 1, 2))
+        .select($"doc_id", $"canonical",
+          when($"bucket" < "cc", "train")
+            .when($"bucket" < "e6", "val").otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents

@@ -77,7 +77,16 @@ object PlanAudit {
       "only the two layout dimensions read" -> "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
     "q118_decontaminate_13gram" -> Seq(
       "capped eval probe broadcast (corpus never shuffles for the join)" -> "BroadcastHashJoin",
-      "no cartesian product in the contamination probe" -> "!CartesianProduct"))
+      "no cartesian product in the contamination probe" -> "!CartesianProduct"),
+    "q121_changelog_compaction" -> Seq(
+      "latest-state compaction is one aggregation, not a window sort" -> "!Window",
+      "partial max_by before the key shuffle" -> "partial_max_by"),
+    "q122_user_history" -> Seq(
+      "history truncation happens in the window pass (bounded collect)" -> "Window",
+      "only the three needed columns read" -> "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"),
+    "q123_leakage_safe_split" -> Seq(
+      "canonical assignment is one window pass on the text hash" -> "Window",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
