@@ -121,6 +121,36 @@ object Similarity {
         .orderBy($"q_id", $"rk")
     },
 
+    q("q124_hard_negatives",
+      s"""SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rk, sim FROM (
+         |  SELECT q.vec_id q_id, c.vec_id cand_id,
+         |    ${duckDotSql("q.embedding", "c.embedding")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDotSql("q.embedding", "c.embedding")} DESC, c.vec_id) rn
+         |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+         |  WHERE q.vec_id < 20
+         |) WHERE rn <= 5 ORDER BY q_id, rk""") { (s, dir) =>
+      import s.implicits._
+      // Hard-negative mining for contrastive training: for each anchor, the
+      // most similar vectors with a DIFFERENT label — the negatives that
+      // actually teach the model. Same plan shape as q45 (anchors broadcast,
+      // corpus scanned shuffle-free, per-anchor top-k window); the label
+      // mismatch rides the broadcast join condition so candidates are
+      // filtered before scoring.
+      val e = T(s, dir, "embeddings")
+      val qs = broadcast(e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"), $"embedding".as("qe")))
+      val cands = e.select($"vec_id".as("cand_id"), $"label".as("c_label"),
+        $"embedding".as("ce"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
+      qs.join(cands, $"q_label" =!= $"c_label")
+        .withColumn("sim", expr("graft_dot(qe, ce)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"cand_id", $"rk", $"sim")
+        .orderBy($"q_id", $"rk")
+    },
+
     q("q46_sim_ann_ivf",
       s"""WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings WHERE vec_id % 25 = 0),
          |v AS (SELECT vec_id, embedding FROM embeddings),

@@ -274,6 +274,65 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q125_streaming_mapstate",
+      // transformWithState MapState THROUGH the engine: per event_type
+      // (the grouping key), a state MAP of user-bucket -> running count,
+      // point-updated per row in RocksDB. The oracle pins the same two
+      // invariants as q115, now per (key, sub-key): the final running
+      // value equals the batch count (map entries survive micro-batches)
+      // and one output row was emitted per input.
+      """SELECT event_type, user_id % 10 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q125") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("event_type", "CAST(user_id AS STRING) AS user_id")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
+      val sinkName = s"q125_sink_${System.nanoTime()}"
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val storeKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevShuffle = s.conf.get(shuffleKey)
+      val prevStore = s.conf.getOption(storeKey)
+      s.conf.set(shuffleKey, "4")
+      // transformWithState requires the RocksDB store (column families)
+      s.conf.set(storeKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = try {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+          .selectExpr("values['event_type'] AS k",
+            "CAST(values['user_id'] AS BIGINT) % 10 AS b")
+        graft.streaming.StreamingOps.bucketCountsByKeyTws(s, src, "k", "b")
+          .toDF("event_type", "bucket", "running")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-q125-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        s.conf.set(shuffleKey, prevShuffle)
+        prevStore match {
+          case Some(v) => s.conf.set(storeKey, v)
+          case None => s.conf.unset(storeKey)
+        }
+      }
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy($"event_type", $"bucket")
+        .agg(max($"running").as("n_events"), count(lit(1)).as("n_rows"))
+        .orderBy($"event_type", $"bucket")
+    },
+
     q("q120_streaming_lsh_dedup",
       // Streaming near-dup detection THROUGH the engine: documents flow in
       // doc_id order, each is minhashed and banded map-side, and a per-band

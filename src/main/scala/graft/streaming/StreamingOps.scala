@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** First-class streaming analytics over any unbounded DataFrame (typically
@@ -90,6 +90,44 @@ object StreamingOps {
       count.update(n)
       out.iterator
     }
+  }
+
+  /** transformWithState processor over typed `MapState`: per grouping key,
+    * a map of sub-key -> running count. The sub-key space lives INSIDE the
+    * state store (one map entry per live sub-key, point-updated), not in
+    * the shuffle key — the layout for per-entity counters under a coarse
+    * partition key (e.g. per-type × user-bucket tallies).
+    */
+  private class BucketCountProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var counts: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        Encoders.scalaLong, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val out = rows.map { case (_, bucket) =>
+        val n = (if (counts.containsKey(bucket)) counts.getValue(bucket) else 0L) + 1
+        counts.updateValue(bucket, n)
+        (key, bucket, n)
+      }.toList // materialize so every state update lands before emission
+      out.iterator
+    }
+  }
+
+  /** Per-(key, bucket) running counts on transformWithState MapState:
+    * emits (key, bucket, runningCount) for every input row.
+    */
+  def bucketCountsByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, bucketCol: String): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($bucketCol AS BIGINT) AS b")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BucketCountProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** `runningCountByKey` on the transformWithState API (state store-backed

@@ -138,6 +138,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == List(("a", 1L, "1"), ("a", 2L, "2"), ("b", 1L, "9")))
   }
 
+  test("per-(key, bucket) running counts via transformWithState MapState") {
+    // two batches (maxEntriesPerTrigger=3) so map entries must survive a
+    // micro-batch boundary: key a bucket 1 reaches 3 across the split,
+    // bucket 2 stays at 1, key b bucket 1 is independent of a's
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "a", "b" -> 1L)),
+      (2000L, Map("k" -> "a", "b" -> 2L)),
+      (3000L, Map("k" -> "a", "b" -> 1L)),
+      (4000L, Map("k" -> "b", "b" -> 1L)),
+      (5000L, Map("k" -> "a", "b" -> 1L))))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3").load()
+        .selectExpr("values['k'] AS k", "values['b'] AS b")
+      val counts = StreamingOps.bucketCountsByKeyTws(spark, src, "k", "b")
+      runToMemory(counts.toDF("key", "bucket", "n"), "mapstate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql("select key, bucket, n from mapstate order by key, bucket, n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(("a", 1L, 1L), ("a", 1L, 2L), ("a", 1L, 3L),
+      ("a", 2L, 1L), ("b", 1L, 1L)))
+  }
+
   test("per-key running state via flatMapGroupsWithState") {
     val root = mkLog("ev", Seq(
       (1000L, Map("k" -> "a", "v" -> "1")),
