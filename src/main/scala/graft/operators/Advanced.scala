@@ -132,6 +132,42 @@ object Advanced {
         .orderBy($"nation", $"yr")
     },
 
+    q("q126_regression",
+      // Regression aggregates (the regr_slope/intercept/corr family) from
+      // decimal-exact moment sums: every Σ is order-independent DECIMAL
+      // arithmetic (q11/q109's discipline), the derived stats are one
+      // IEEE expression over those exact sums with identical op order in
+      // both dialects, rounded half-up before comparison. x is bounded
+      // (user_id % 100) so the scaled sums stay far below 2^53 where
+      // DECIMAL->DOUBLE casts could diverge by an ulp.
+      s"""WITH b AS (SELECT event_type, CAST(user_id % 100 AS DOUBLE) x, value y FROM events),
+         |s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) n,
+         |    ${dsumSql("x")} sx, ${dsumSql("y")} sy, ${dsumSql("x*y")} sxy,
+         |    ${dsumSql("x*x")} sxx, ${dsumSql("y*y")} syy
+         |  FROM b GROUP BY event_type)
+         |SELECT event_type,
+         |  ${r6Sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope,
+         |  ${r6Sql("(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n")} AS intercept,
+         |  ${r6Sql("(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS corr
+         |FROM s ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val base = T(s, dir, "events")
+        .select($"event_type", ($"user_id" % 100).cast("double").as("x"),
+          $"value".as("y"))
+      val m = base.groupBy($"event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum($"x").as("sx"), dsum($"y").as("sy"), dsum($"x" * $"y").as("sxy"),
+          dsum($"x" * $"x").as("sxx"), dsum($"y" * $"y").as("syy"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+      m.select($"event_type",
+          r6(slope).as("slope"),
+          r6(($"sy" - slope * $"sx") / $"n").as("intercept"),
+          r6(($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+            .as("corr"))
+        .orderBy($"event_type")
+    },
+
     q("q66_subquery_correlated",
       """SELECT c_custkey FROM customer c
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
