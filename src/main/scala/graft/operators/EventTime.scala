@@ -134,6 +134,35 @@ object EventTime {
         .orderBy($"user_id")
     },
 
+    q("q127_next_event_pairs",
+      // Supervised training-pair construction: each event labeled with the
+      // user's next event type iff it follows within 30 minutes (the
+      // next-action-prediction dataset shape). One window pass per user —
+      // shuffle once on user_id, lead() within the sorted partition; the
+      // label gate uses whole-second arithmetic (cast-to-long floor ==
+      // DuckDB's second-boundary date_diff) per the events-nanos
+      // discipline.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) uts,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) next_type,
+        |    LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) next_ts
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  CASE WHEN date_diff('second', uts, next_ts) <= 1800
+        |       THEN next_type END AS label
+        |FROM o ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts",
+          lead($"event_type", 1).over(w).as("next_type"),
+          lead($"ts", 1).over(w).as("next_ts"))
+        .select($"event_id", $"event_type",
+          when($"next_ts".cast("long") - $"ts".cast("long") <= 1800, $"next_type")
+            .as("label"))
+        .orderBy($"event_id")
+    },
+
     q("q38_asof_join",
       """SELECT e.event_id,
         |  strftime((SELECT MAX(CAST(c.ts AS TIMESTAMP)) FROM events c
