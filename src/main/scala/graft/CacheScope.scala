@@ -12,6 +12,8 @@ import org.apache.spark.sql.Dataset
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val views = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.SparkSession, String)]()
 
   /** Cache `df` and remember it for the next `release()`. */
   def cached[T](df: Dataset[T]): Dataset[T] = {
@@ -20,9 +22,20 @@ object CacheScope {
     df
   }
 
-  /** Unpersist every frame registered since the last release (non-blocking). */
+  /** Register a memory-sink temp view to drop at the next `release()` —
+    * streaming queries that emit one row per input would otherwise pin the
+    * drained stream in driver memory for the session's lifetime.
+    */
+  def sinkView(s: org.apache.spark.sql.SparkSession, name: String): Unit =
+    views.add((s, name))
+
+  /** Unpersist every frame and drop every sink view registered since the
+    * last release (non-blocking).
+    */
   def release(): Unit = {
     var d = live.poll()
     while (d != null) { d.unpersist(false); d = live.poll() }
+    var v = views.poll()
+    while (v != null) { v._1.catalog.dropTempView(v._2); v = views.poll() }
   }
 }

@@ -19,8 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fail loudly on names that match nothing: a typo would otherwise run
+    // zero queries, write an empty oracle_sql.json, and let the downstream
+    // check pass vacuously
+    only.foreach { f =>
+      val unknown = f.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (n, _) => f(n) })
+    System.err.println(s"[verify] running ${selected.size} of ${SparkEntry.queries.size} queries")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

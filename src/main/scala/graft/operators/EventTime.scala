@@ -60,7 +60,8 @@ object EventTime {
       """WITH t AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) uts,
         |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |        OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) >= INTERVAL 30 MINUTE
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events
         |), s AS (
@@ -144,8 +145,10 @@ object EventTime {
       // discipline.
       """WITH o AS (SELECT user_id, event_id, event_type,
         |    CAST(ts AS TIMESTAMP) uts,
-        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) next_type,
-        |    LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) next_ts
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) next_type,
+        |    LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) next_ts
         |  FROM events)
         |SELECT event_id, event_type,
         |  CASE WHEN date_diff('second', uts, next_ts) <= 1800

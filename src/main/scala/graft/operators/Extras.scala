@@ -278,10 +278,7 @@ object Extras {
         sub.write.format("graftlog") // duplicate delivery
           .option("path", r).option("stream", "ev").mode("append").save()
       }
-      val sinkName = s"q91_sink_${System.nanoTime()}"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q91", 4) {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -292,14 +289,7 @@ object Extras {
           .select($"values.event_id".as("event_id"),
             $"values.event_type".as("event_type"))
           .dropDuplicates("event_id")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation", Files.createTempDirectory("graft-q91-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.table(sinkName)
+      }
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
@@ -342,7 +332,8 @@ object Extras {
       """WITH t AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) uts,
         |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |        OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) >= INTERVAL 30 MINUTE
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events WHERE event_id % 7 = 0
         |), s AS (
@@ -385,10 +376,7 @@ object Extras {
         append(reals); append(sentinels); append(flush)
       }
       val nBatch1 = reals.count() + sentinels.count() // flush lands in batch 2
-      val sinkName = s"q94_sink_${System.nanoTime()}"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q94", 4) {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -399,14 +387,7 @@ object Extras {
           .withWatermark("ets", "0 seconds")
           .groupBy(session_window($"ets", "30 minutes").as("sw"), $"user_id")
           .agg(count(lit(1)).as("n_events"), min($"ets").as("mn"), max($"ets").as("mx"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation", Files.createTempDirectory("graft-q94-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.table(sinkName)
+      }
         .filter($"mn" < lit(sentinelTs)) // drop sentinel/flush sessions
         .select($"user_id".cast("long").as("user_id"),
           date_format($"mn", fmt).as("session_start"),

@@ -330,10 +330,12 @@ object Pipeline {
       // across the whole corpus each chunk survives only at its first
       // occurrence under the (doc_id, idx) order, and every doc is
       // reassembled from its surviving chunks. Chunking is map-side; the
-      // only data shuffle is the first-occurrence window, partitioned by
-      // the chunk's md5 rather than the chunk text so the exchange carries
-      // a fixed-width key instead of full paragraphs (at 100 TB the
-      // paragraph bytes stay in place; only doc reassembly moves them).
+      // first-occurrence window partitions by the chunk's md5 so the
+      // partitioner hashes a fixed-width key (the shuffled rows still
+      // carry the chunk text — this plan moves the corpus twice: once for
+      // the verdict, once for reassembly). At much larger corpora, shuffle
+      // only (md5, doc_id, idx) for the verdict and join kept flags back
+      // to in-place rows, trading the byte movement for one extra join.
       val chunks = T(s, dir, "documents")
         .withColumn("w", split($"text", " "))
         .withColumn("chunks", expr(

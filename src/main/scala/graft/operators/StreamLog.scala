@@ -59,18 +59,14 @@ object StreamLog {
           .option("path", r).option("stream", "ev")
           .mode("append").save()
       }
-      val sinkName = s"q78_sink_${System.nanoTime()}"
       // Streaming-state tuning: the windowed agg's state store is hash
       // partitioned by the shuffle-partition count frozen at checkpoint
       // creation, and every micro-batch pays one state commit per partition
       // (measured: 4 batches × 8 partitions ≈ 2.2× slower than × 2). The
       // distinct-key cardinality here is tiny (hours × event_types), so 4
       // state partitions beats the session default 32 — fewer stateful tasks
-      // per micro-batch, same parallelism where it matters (the source
-      // scan). Restored after the query starts (it clones the session conf).
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      // per micro-batch, same parallelism where it matters (the source scan).
+      graft.streaming.StreamHarness.runToMemory(s, "q78", 4, mode = "complete") {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -83,14 +79,7 @@ object StreamLog {
             $"values.event_type".as("event_type"))
           .groupBy(window($"ets", "1 hour").as("w"), $"event_type")
           .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation", Files.createTempDirectory("graft-q78-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.table(sinkName)
+      }
         .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
           $"event_type", $"n")
         .orderBy($"ws", $"event_type")
@@ -121,10 +110,8 @@ object StreamLog {
         .filter($"user_id" % 3 =!= 0)
         .select($"user_id".cast("string").as("d_user_id"),
           ($"user_id" % 5).as("cohort"))
-      val sinkName = s"q105_sink_${System.nanoTime()}"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4") // tiny state keyspace
-      val q = try {
+      // 4 state partitions: tiny state keyspace
+      graft.streaming.StreamHarness.runToMemory(s, "q105", 4, mode = "complete") {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -135,15 +122,7 @@ object StreamLog {
           .join(broadcast(dim), $"user_id" === $"d_user_id") // stream-static
           .groupBy($"cohort", $"event_type")
           .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-q105-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.table(sinkName)
+      }
         .select($"cohort", $"event_type", $"n")
         .orderBy($"cohort", $"event_type")
     },
@@ -192,25 +171,14 @@ object StreamLog {
           // a row dropped as late would silently diverge from the batch
           // oracle — correctness first, state size is tiny at this key count
           .withWatermark(tsCol, "2 hours")
-      val sinkName = s"q107_sink_${System.nanoTime()}"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val fmt = "yyyy-MM-dd HH:mm:ss"
       // stream-stream join keeps four state stores per partition; with a
       // tiny key space, 2 partitions halves the per-batch commit cost
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q107", 2) {
         src("clicks", "cts", "cu")
           .join(src("purchases", "pts", "pu"),
             expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL 10 MINUTES"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-q107-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      val fmt = "yyyy-MM-dd HH:mm:ss"
-      s.table(sinkName)
+      }
         .select($"cu".cast("long").as("user_id"),
           date_format($"cts", fmt).as("click_ts"),
           date_format($"pts", fmt).as("purchase_ts"))
@@ -236,16 +204,7 @@ object StreamLog {
           .option("path", r).option("stream", "ev")
           .mode("append").save()
       }
-      val sinkName = s"q115_sink_${System.nanoTime()}"
-      val shuffleKey = "spark.sql.shuffle.partitions"
-      val storeKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevShuffle = s.conf.get(shuffleKey)
-      val prevStore = s.conf.getOption(storeKey)
-      s.conf.set(shuffleKey, "4")
-      // transformWithState requires the RocksDB store (column families)
-      s.conf.set(storeKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q115", 4, rocksdb = true) {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -254,21 +213,7 @@ object StreamLog {
           .selectExpr("values['event_type'] AS k", "values['event_id'] AS v")
         graft.streaming.StreamingOps.runningCountByKeyTws(s, src, "k", "v")
           .toDF("event_type", "running", "event_id")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-q115-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        s.conf.set(shuffleKey, prevShuffle)
-        prevStore match {
-          case Some(v) => s.conf.set(storeKey, v)
-          case None => s.conf.unset(storeKey)
-        }
       }
-      q.awaitTermination()
-      s.table(sinkName)
         .groupBy($"event_type")
         .agg(max($"running").as("n_events"), count(lit(1)).as("n_rows"))
         .orderBy($"event_type")
@@ -294,16 +239,7 @@ object StreamLog {
           .option("path", r).option("stream", "ev")
           .mode("append").save()
       }
-      val sinkName = s"q125_sink_${System.nanoTime()}"
-      val shuffleKey = "spark.sql.shuffle.partitions"
-      val storeKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevShuffle = s.conf.get(shuffleKey)
-      val prevStore = s.conf.getOption(storeKey)
-      s.conf.set(shuffleKey, "4")
-      // transformWithState requires the RocksDB store (column families)
-      s.conf.set(storeKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q125", 4, rocksdb = true) {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
@@ -313,21 +249,7 @@ object StreamLog {
             "CAST(values['user_id'] AS BIGINT) % 10 AS b")
         graft.streaming.StreamingOps.bucketCountsByKeyTws(s, src, "k", "b")
           .toDF("event_type", "bucket", "running")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-q125-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        s.conf.set(shuffleKey, prevShuffle)
-        prevStore match {
-          case Some(v) => s.conf.set(storeKey, v)
-          case None => s.conf.unset(storeKey)
-        }
       }
-      q.awaitTermination()
-      s.table(sinkName)
         .groupBy($"event_type", $"bucket")
         .agg(max($"running").as("n_events"), count(lit(1)).as("n_rows"))
         .orderBy($"event_type", $"bucket")
@@ -370,10 +292,7 @@ object StreamLog {
           .option("path", r).option("stream", "docs")
           .mode("append").save()
       }
-      val sinkName = s"q120_sink_${System.nanoTime()}"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
+      graft.streaming.StreamHarness.runToMemory(s, "q120", 4) {
         val banded = s.readStream.format("graftlog")
           .option("path", root).option("stream", "docs")
           .option("startingOffsets", "earliest")
@@ -392,15 +311,7 @@ object StreamLog {
             "concat(CAST(band AS STRING), ':', concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING))))"))
         graft.streaming.StreamingOps.minSeenCollisions(s, banded, "bkey", "doc_id")
           .toDF("doc_id", "hit")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sinkName)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-q120-ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.table(sinkName)
+      }
         .groupBy($"doc_id")
         .agg(max($"hit").as("is_dup"))
         .orderBy($"doc_id")

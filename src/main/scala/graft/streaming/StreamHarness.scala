@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The one build-and-drain harness behind every engine-streaming oracle
+  * query (q78/q91/q94/q105/q107/q115/q120/q125): pins the state-store
+  * sizing confs for the duration of `start()` (safe to restore right after —
+  * the stream clones the session conf synchronously inside start), runs the
+  * plan into a fresh uniquely-named memory sink under Trigger.AvailableNow
+  * with a temp checkpoint, waits for the drain, and registers the sink view
+  * with [[graft.CacheScope]] so the runner's per-query release drops the
+  * drained rows from driver memory (per-row sinks would otherwise pin the
+  * whole stream for the session's lifetime).
+  */
+object StreamHarness {
+
+  private val ShuffleKey = "spark.sql.shuffle.partitions"
+  private val StoreKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Drain `build`'s streaming plan to a memory sink and return it as a
+    * (lazy) DataFrame. `statePartitions` sizes the state store to the key
+    * cardinality — each micro-batch pays one state commit per partition, so
+    * small state wants far fewer than the session's shuffle default.
+    * `rocksdb` selects the RocksDB provider (required by transformWithState
+    * for column families).
+    */
+  def runToMemory(s: SparkSession, prefix: String, statePartitions: Int,
+      mode: String = "append", rocksdb: Boolean = false)
+      (build: => DataFrame): DataFrame = {
+    val sinkName = s"${prefix}_sink_${System.nanoTime()}"
+    val prevShuffle = s.conf.get(ShuffleKey)
+    val prevStore = s.conf.getOption(StoreKey)
+    s.conf.set(ShuffleKey, statePartitions.toString)
+    if (rocksdb) s.conf.set(StoreKey, RocksDb)
+    val q = try {
+      build.writeStream.outputMode(mode)
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-$prefix-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      s.conf.set(ShuffleKey, prevShuffle)
+      prevStore match {
+        case Some(v) => s.conf.set(StoreKey, v)
+        case None => s.conf.unset(StoreKey)
+      }
+    }
+    q.awaitTermination()
+    graft.CacheScope.sinkView(s, sinkName)
+    s.table(sinkName)
+  }
+}
