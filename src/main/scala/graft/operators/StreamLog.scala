@@ -255,6 +255,44 @@ object StreamLog {
         .orderBy($"event_type", $"bucket")
     },
 
+    q("q128_streaming_liststate",
+      // transformWithState ListState THROUGH the engine — the third typed
+      // state primitive (q115 ValueState, q125 MapState): per event_type,
+      // a bounded list of the 3 most recent event_ids; each event emits
+      // the history as it stood before it arrived. State is capped at 3
+      // longs per key by construction. The oracle is the batch window
+      // frame ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING over the same
+      // arrival (= event_id) order.
+      """SELECT event_type, event_id,
+        |  COALESCE(string_agg(CAST(event_id AS VARCHAR), ',') OVER (
+        |    PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS recent
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      // produce in event_id order: the first-seen semantics are defined
+      // over arrival order, as in q120
+      val root = graft.LogFixtures.producedLog(dir, "q128") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("event_type", "CAST(event_id AS STRING) AS event_id")
+          .orderBy($"event_id".cast("long"))
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q128", 4, rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+          .selectExpr("values['event_type'] AS k", "values['event_id'] AS id")
+        graft.streaming.StreamingOps.recentIdsByKeyTws(s, src, "k", "id", 3)
+          .toDF("event_type", "event_id", "recent")
+      }
+        .select($"event_type", $"event_id".cast("long").as("event_id"), $"recent")
+        .orderBy($"event_id")
+    },
+
     q("q120_streaming_lsh_dedup",
       // Streaming near-dup detection THROUGH the engine: documents flow in
       // doc_id order, each is minhashed and banded map-side, and a per-band

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** First-class streaming analytics over any unbounded DataFrame (typically
@@ -114,6 +114,47 @@ object StreamingOps {
       }.toList // materialize so every state update lands before emission
       out.iterator
     }
+  }
+
+  /** transformWithState processor over typed `ListState`: per key, a
+    * bounded list of the most recent `n` ids (oldest first). Each row
+    * emits the history as it stood BEFORE that row, then appends itself
+    * and trims — the streaming twin of a "last-N per key" feature join,
+    * with state bounded at n entries per key by construction. Requires
+    * ids ascending across batches (the log source's delivery order);
+    * in-batch rows are sorted before processing.
+    */
+  private class RecentIdsProcessor(n: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Long, String)] {
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, String)] = {
+      var hist: List[Long] = recent.get().toList
+      val out = rows.map(_._2).toList.sorted.map { id =>
+        val before = hist.mkString(",")
+        hist = (hist :+ id).takeRight(n)
+        (key, id, before)
+      }
+      recent.put(hist.toArray)
+      out.iterator
+    }
+  }
+
+  /** Per-key last-`n` history on transformWithState ListState: emits
+    * (key, id, comma-joined prior history) per input row.
+    */
+  def recentIdsByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, idCol: String, n: Int): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($idCol AS BIGINT) AS id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentIdsProcessor(n),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Per-(key, bucket) running counts on transformWithState MapState:

@@ -172,6 +172,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("a", 2L, 1L), ("b", 1L, 1L)))
   }
 
+  test("per-key bounded history via transformWithState ListState") {
+    // maxEntriesPerTrigger=3 → batches [1,2,3] and [4,5]: id 4's history
+    // must come from state built in batch one, and the n=3 cap must have
+    // evicted id 1 by the time id 5 arrives
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "a", "id" -> 1L)),
+      (2000L, Map("k" -> "a", "id" -> 2L)),
+      (3000L, Map("k" -> "a", "id" -> 3L)),
+      (4000L, Map("k" -> "a", "id" -> 4L)),
+      (5000L, Map("k" -> "a", "id" -> 5L))))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3").load()
+        .selectExpr("values['k'] AS k", "values['id'] AS id")
+      val hist = StreamingOps.recentIdsByKeyTws(spark, src, "k", "id", 3)
+      runToMemory(hist.toDF("key", "id", "recent"), "liststate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql("select id, recent from liststate order by id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(got == List(1L -> "", 2L -> "1", 3L -> "1,2",
+      4L -> "1,2,3", 5L -> "2,3,4"))
+  }
+
   test("per-key running state via flatMapGroupsWithState") {
     val root = mkLog("ev", Seq(
       (1000L, Map("k" -> "a", "v" -> "1")),
