@@ -267,7 +267,6 @@ object Extras {
       // per-type counts against the single-copy batch answer.
       """SELECT event_type, COUNT(*) AS n FROM events
         |WHERE event_id % 5 = 0 GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val sub = T(s, dir, "events")
         .filter($"event_id" % 5 === 0)
@@ -348,7 +347,6 @@ object Extras {
         |  CAST(date_diff('second', MIN(uts), MAX(uts)) AS BIGINT) AS dur_sec
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val fmt = "yyyy-MM-dd HH:mm:ss"
       val sub = T(s, dir, "events")

@@ -49,7 +49,6 @@ object StreamLog {
       s"""SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
          |  event_type, COUNT(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val root = graft.LogFixtures.producedLog(dir, "q78") { r =>
         Tables.load(s, dir, "events")
@@ -95,7 +94,6 @@ object StreamLog {
       """SELECT user_id % 5 AS cohort, event_type, COUNT(*) AS n
         |FROM events WHERE user_id % 3 <> 0
         |GROUP BY 1, 2 ORDER BY cohort, event_type""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val root = graft.LogFixtures.producedLog(dir, "q105") { r =>
         Tables.load(s, dir, "events")
@@ -144,7 +142,6 @@ object StreamLog {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE
         |ORDER BY 1, 2, 3""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       val root = graft.LogFixtures.producedLog(dir, "q107") { r =>
@@ -195,7 +192,6 @@ object StreamLog {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val root = graft.LogFixtures.producedLog(dir, "q115") { r =>
         Tables.load(s, dir, "events")
@@ -230,7 +226,6 @@ object StreamLog {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val root = graft.LogFixtures.producedLog(dir, "q125") { r =>
         Tables.load(s, dir, "events")
@@ -316,7 +311,6 @@ object StreamLog {
          |                    AND a.doc_id < b.doc_id)
          |SELECT doc_id, doc_id IN (SELECT doc_id FROM dup) AS is_dup
          |FROM sig ORDER BY doc_id""") { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       graft.functions.GraftExpressions.register(s)
       // produce in doc_id order: the batch sink assigns ids in (partition,
