@@ -86,7 +86,13 @@ object PlanAudit {
       "only the three needed columns read" -> "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"),
     "q123_leakage_safe_split" -> Seq(
       "canonical assignment is one window pass on the text hash" -> "Window",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q124_hard_negatives" -> Seq(
+      "anchor side broadcast (corpus scan shuffle-free)" -> "BroadcastNestedLoopJoin",
+      "per-anchor top-k via one window pass" -> "Window"),
+    "q126_regression" -> Seq(
+      "decimal-exact partial moment sums before the one shuffle" -> "partial_sum(cast",
+      "only the three needed columns read" -> "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
