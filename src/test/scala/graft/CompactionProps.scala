@@ -1,0 +1,69 @@
+package graft
+
+import graft.log.{LogId, LogStore, LogWriter}
+import org.scalacheck.Prop.propBoolean
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck law for the whole compaction family: ANY interleaving of
+  * produce batches with compact / compactTiered / freezeColdSegments /
+  * compactToParquet (random parameters) preserves exactly the produced
+  * entries, in id order, with non-overlapping sorted segment ranges. The
+  * example tests in LogSourceSpec pin individual behaviors; this pins the
+  * invariant every reader depends on — compaction may reorganize bytes,
+  * never data.
+  */
+object CompactionProps extends Properties("LogCompaction") {
+
+  private sealed trait Op
+  private case class Produce(n: Int) extends Op
+  private case object CompactAll extends Op
+  private case class Tiered(target: Long, minMerge: Int) extends Op
+  private case class Freeze(minBytes: Long, keepHot: Int) extends Op
+  private case object ToParquet extends Op
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    4 -> Gen.chooseNum(1, 40).map(Produce),
+    1 -> Gen.const(CompactAll),
+    2 -> (for {
+      t <- Gen.chooseNum(64L, 4096L)
+      m <- Gen.chooseNum(2, 5)
+    } yield Tiered(t, m)),
+    2 -> (for {
+      b <- Gen.chooseNum(1L, 2048L)
+      k <- Gen.chooseNum(0, 3)
+    } yield Freeze(b, k)),
+    1 -> Gen.const(ToParquet))
+
+  property("any op sequence preserves entries, order, and range soundness") =
+    Prop.forAll(Gen.listOfN(12, genOp)) { ops =>
+      val root = TestSpark.tmpDir("compaction-props")
+      var now = 1000L
+      // tiny segments (3 entries) so a short sequence spans many files
+      val w = new LogWriter(root, "s", () => now, maxSegmentEntries = 3)
+      var produced = 0
+      ops.foreach {
+        case Produce(n) =>
+          (1 to n).foreach { _ =>
+            now += 7
+            w.produce(Map("i" -> (produced + 1), "p" -> ("x" * 20)))
+            produced += 1
+          }
+        case CompactAll => LogStore.compact(root, "s", LogStore.maxId(root, "s"))
+        case Tiered(t, m) => LogStore.compactTiered(root, "s", t, m)
+        case Freeze(b, k) => LogStore.freezeColdSegments(root, "s", b, k)
+        case ToParquet => LogStore.compactToParquet(root, "s", LogStore.maxId(root, "s"))
+      }
+      val entries = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+      val segs = LogStore.segments(root, "s")
+      val sortedByFirst = segs.sortBy(_.first) == segs
+      val nonOverlapping = segs.sliding(2).forall {
+        case Seq(a, b) => a.last < b.first
+        case _ => true
+      }
+      val values = entries.map(_.values("i").toInt)
+      (entries.size == produced) :| s"${entries.size} entries != $produced produced" &&
+        (values == (1 to produced).toList) :| "entry order/content diverged" &&
+        sortedByFirst :| "segments not sorted by first id" &&
+        nonOverlapping :| "segment ranges overlap"
+    }
+}
