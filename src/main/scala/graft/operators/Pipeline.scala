@@ -429,6 +429,91 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    q("q129_quality_filter",
+      // The composite keep/drop verdict (C4/Gopher-style rule stack) over
+      // the per-doc quality signals, with a reasons BITMASK so a pipeline
+      // can report why each doc fell out: bit0 too short (<20 words),
+      // bit1 repetitive (dup 3-gram ratio > 2%, q102's rule), bit2 low
+      // stopword ratio (<5%), bit3 low type-token ratio (<=30%). Every
+      // gate is exact integer cross-multiplication — no float threshold
+      // can flap between engines. Pure map-side; the only shuffle is the
+      // output sort.
+      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop,
+        |    CASE WHEN len(w) >= 3
+        |      THEN CAST(len(list_distinct(list_transform(range(len(w)-2),
+        |        i -> w[CAST(i+1 AS INT)]||' '||w[CAST(i+2 AS INT)]||' '||w[CAST(i+3 AS INT)]))) AS BIGINT)
+        |      ELSE 0 END AS uniq3,
+        |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN total3 > 0 AND uniq3 * 50 < total3 * 49 THEN 2 ELSE 0 END
+        |     + CASE WHEN n_stop * 20 < n_words THEN 4 ELSE 0 END
+        |     + CASE WHEN n_distinct * 10 <= n_words * 3 THEN 8 ELSE 0 END AS BIGINT) AS reasons,
+        |  (n_words >= 20 AND NOT (total3 > 0 AND uniq3 * 50 < total3 * 49)
+        |     AND n_stop * 20 >= n_words AND n_distinct * 10 > n_words * 3) AS keep
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val m = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_words"),
+          size(array_distinct($"w")).cast("long").as("n_distinct"),
+          expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+            .cast("long").as("n_stop"),
+          when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
+            .otherwise(0L).as("uniq3"),
+          greatest(size($"w") - 2, lit(0)).cast("long").as("total3"))
+      m.select($"doc_id",
+          (when($"n_words" < 20, 1L).otherwise(0L)
+            + when($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49, 2L).otherwise(0L)
+            + when($"n_stop" * 20 < $"n_words", 4L).otherwise(0L)
+            + when($"n_distinct" * 10 <= $"n_words" * 3, 8L).otherwise(0L)).as("reasons"),
+          ($"n_words" >= 20 && !($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49)
+            && $"n_stop" * 20 >= $"n_words" && $"n_distinct" * 10 > $"n_words" * 3)
+            .as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    q("q130_corpus_stats",
+      // The dataset-card rollup: per language, doc count, exact token sum,
+      // mean tokens (one IEEE division over exact integer sums), exact
+      // interpolated median (q68's discipline), and corpus share rounded
+      // half-up — the numbers every corpus release publishes. One small
+      // aggregation; the one-row total is broadcast back.
+      """WITH t AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) n FROM documents),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) total FROM t),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs, CAST(SUM(n) AS BIGINT) sum_tokens,
+        |    CAST(FLOOR(quantile_cont(n, 0.5) * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS p50_tokens
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, sum_tokens,
+        |  CAST(FLOOR(CAST(sum_tokens AS DOUBLE) / n_docs * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS mean_tokens,
+        |  p50_tokens,
+        |  CAST(FLOOR(CAST(sum_tokens AS DOUBLE) / total * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS share
+        |FROM g, tot ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val t = T(s, dir, "documents")
+        .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+        .transform(graft.CacheScope.cached)
+      val tot = t.agg(sum($"n").cast("double").as("total"))
+      val g = t.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("sum_tokens"),
+          (floor(expr("percentile(n, 0.5)") * 1000000 + 0.5).cast("double") / 1000000.0)
+            .as("p50_tokens"))
+      g.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs", $"sum_tokens",
+          (floor($"sum_tokens".cast("double") / $"n_docs" * 1000000 + 0.5)
+            .cast("double") / 1000000.0).as("mean_tokens"),
+          $"p50_tokens",
+          (floor($"sum_tokens".cast("double") / $"total" * 1000000 + 0.5)
+            .cast("double") / 1000000.0).as("share"))
+        .orderBy($"lang")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents
