@@ -92,7 +92,13 @@ object PlanAudit {
       "per-anchor top-k via one window pass" -> "Window"),
     "q126_regression" -> Seq(
       "decimal-exact partial moment sums before the one shuffle" -> "partial_sum(cast",
-      "only the three needed columns read" -> "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"))
+      "only the three needed columns read" -> "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"),
+    "q129_quality_filter" -> Seq(
+      "verdict is pure map-side (no join, no aggregation)" -> "!HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q130_corpus_stats" -> Seq(
+      "one-row total broadcast back over the per-lang stats" -> "BroadcastNestedLoopJoin",
+      "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
