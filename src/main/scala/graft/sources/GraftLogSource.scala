@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -275,6 +275,23 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
       v
     }
 
+  // ≙ the reference's blocking poll: XREAD BLOCK waits for data up to a
+  // timeout before returning whatever is there
+  // (/root/reference/lib/redix/stream/consumer.ex:252-281). A micro-batch
+  // only fires once minEntriesPerTrigger entries are available OR
+  // maxTriggerDelayMs has passed since the last fired batch; the delay
+  // default mirrors the reference's @default_timeout 2000 ms
+  // (/root/reference/lib/redix/stream/consumer.ex:20).
+  private val minPerTrigger: Option[Long] =
+    Option(options.get("minEntriesPerTrigger")).map { s =>
+      val v = s.toLong
+      require(v >= 1, s"minEntriesPerTrigger must be >= 1, got $v")
+      v
+    }
+  private val maxTriggerDelayMs: Long =
+    Option(options.get("maxTriggerDelayMs")).map(_.toLong).getOrElse(2000L)
+  @volatile private var lastTriggerMillis: Long = 0L
+
   // Trigger.AvailableNow: freeze the high-water mark at query start so the
   // drain has a fixed end even while producers keep appending; batches still
   // respect maxEntriesPerTrigger (≙ the reference's BLOCK-until-empty
@@ -304,8 +321,13 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
   override def initialOffset(): Offset =
     GraftLogOffset(streams.map(st => st -> initialIdFor(st)).toMap)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = (minPerTrigger, maxPerTrigger) match {
+    case (Some(mn), Some(mx)) => ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(mn, maxTriggerDelayMs), ReadLimit.maxRows(mx)))
+    case (Some(mn), None) => ReadLimit.minRows(mn, maxTriggerDelayMs)
+    case (None, Some(mx)) => ReadLimit.maxRows(mx)
+    case _ => ReadLimit.allAvailable()
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -319,22 +341,53 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[GraftLogOffset]
-    limit match {
-      case r: ReadMaxRows =>
-        // quota split evenly across streams; per stream, stop reading as
-        // soon as its share is met — no full-backlog scan, and ids only
-        // (no payload decode) on the driver; clamped to Int range
-        val total = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong)
-        val quota = math.max(1L, total / streams.size).toInt
-        GraftLogOffset(streams.map { st =>
-          val max = cappedMax(st)
-          val ids = LogStore.idsAfterLimited(root, st, startOff.id(st), quota + 1)
-          val cut = ids.filter(_ <= max)
-          st -> (if (cut.size <= quota) max else cut(quota - 1))
-        }.toMap)
-      case _ =>
-        GraftLogOffset(streams.map(st => st -> cappedMax(st)).toMap)
+    val parts = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
     }
+    // min-rows gate (skipped under AvailableNow — a bounded drain must not
+    // stall waiting for data that will never arrive)
+    val minGate = parts.collectFirst { case m: ReadMinRows => m }
+      .filter(_ => availableNowCap.isEmpty)
+    val gated = minGate.exists { mn =>
+      val now = System.currentTimeMillis()
+      if (lastTriggerMillis == 0L) lastTriggerMillis = now
+      val timedOut = now - lastTriggerMillis >= mn.maxTriggerDelayMs()
+      if (timedOut) false
+      else {
+        // count available entries (ids only, early exit at the threshold)
+        var available = 0L
+        val it = streams.iterator
+        while (available < mn.minRows() && it.hasNext) {
+          val st = it.next()
+          val max = cappedMax(st)
+          val need = (mn.minRows() - available + 1).toInt
+          available += LogStore.idsAfterLimited(root, st, startOff.id(st), need)
+            .count(_ <= max)
+        }
+        available < mn.minRows()
+      }
+    }
+    val end =
+      if (gated) startOff
+      else parts.collectFirst { case r: ReadMaxRows => r } match {
+        case Some(r) =>
+          // quota split evenly across streams; per stream, stop reading as
+          // soon as its share is met — no full-backlog scan, and ids only
+          // (no payload decode) on the driver; clamped to Int range
+          val total = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong)
+          val quota = math.max(1L, total / streams.size).toInt
+          GraftLogOffset(streams.map { st =>
+            val max = cappedMax(st)
+            val ids = LogStore.idsAfterLimited(root, st, startOff.id(st), quota + 1)
+            val cut = ids.filter(_ <= max)
+            st -> (if (cut.size <= quota) max else cut(quota - 1))
+          }.toMap)
+        case None =>
+          GraftLogOffset(streams.map(st => st -> cappedMax(st)).toMap)
+      }
+    if (end.ids != startOff.ids) lastTriggerMillis = System.currentTimeMillis()
+    end
   }
 
   override def reportLatestOffset(): Offset =

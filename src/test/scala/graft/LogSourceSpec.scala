@@ -487,6 +487,43 @@ class LogSourceSpec extends AnyFunSuite {
     assert(widened.ids("b") == LogId.Zero) // earliest
   }
 
+  test("minEntriesPerTrigger gates batches until enough data or the poll timeout") {
+    import graft.sources.{GraftLogMicroBatchStream, GraftLogOffset}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s", () => now)
+    (1 to 5).foreach { i => now += 10; w.produce(Map("n" -> i)) }
+    def mbs(extra: (String, String)*) = new GraftLogMicroBatchStream(root, "s",
+      new CaseInsensitiveStringMap((Map("path" -> root, "stream" -> "s",
+        "startingOffsets" -> "earliest") ++ extra).asJava))
+    def drain(m: GraftLogMicroBatchStream) = {
+      val start = m.initialOffset()
+      m.latestOffset(start, m.getDefaultReadLimit).asInstanceOf[GraftLogOffset]
+        .id("s") -> start.asInstanceOf[GraftLogOffset].id("s")
+    }
+    // below the minimum with a long poll window: the batch must not fire
+    // (≙ XREAD BLOCK still waiting, consumer.ex:252-281)
+    val (gatedEnd, gatedStart) =
+      drain(mbs("minEntriesPerTrigger" -> "10", "maxTriggerDelayMs" -> "600000"))
+    assert(gatedEnd == gatedStart, "batch fired below minEntriesPerTrigger")
+    // minimum met: fires and reads everything available
+    val (end2, _) = drain(mbs("minEntriesPerTrigger" -> "3"))
+    assert(end2 == LogStore.maxId(root, "s"))
+    // poll timeout elapsed: fires even below the minimum (BLOCK timeout)
+    val (end3, _) =
+      drain(mbs("minEntriesPerTrigger" -> "10", "maxTriggerDelayMs" -> "0"))
+    assert(end3 == LogStore.maxId(root, "s"))
+    // composite min+max: min satisfied, max still bounds the batch to 2
+    val m4 = mbs("minEntriesPerTrigger" -> "2", "maxEntriesPerTrigger" -> "2")
+    val s4 = m4.initialOffset()
+    val e4 = m4.latestOffset(s4, m4.getDefaultReadLimit).asInstanceOf[GraftLogOffset]
+    val n4 = LogStore.readRange(root, "s",
+      s4.asInstanceOf[GraftLogOffset].id("s"), e4.id("s")).size
+    assert(n4 == 2, s"composite limit read $n4 entries, wanted 2")
+  }
+
   test("stream names outside the safe charset are rejected") {
     val root = TestSpark.tmpDir("graftlog")
     intercept[IllegalArgumentException] { new LogWriter(root, "bad\"name") }
