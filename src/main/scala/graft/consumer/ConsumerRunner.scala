@@ -44,6 +44,11 @@ final case class ConsumerConfig(
     consumerName: String = "consumer_1",
     startPos: String = "default",
     maxEntriesPerTrigger: Option[Long] = None,
+    // ≙ the consumer `timeout` option (blocking-poll window, default 2000,
+    // 0 = block forever — /root/reference/lib/redix/stream/consumer.ex:20,
+    // README.md:113); only gates batches when minEntriesPerTrigger is set
+    minEntriesPerTrigger: Option[Long] = None,
+    timeoutMs: Long = 2000L,
     processPending: Boolean = true,
     raiseErrors: Boolean = true,
     ordered: Boolean = true,
@@ -240,7 +245,13 @@ final class GraftConsumer(
       .option("startingOffsets", cfg.resolvedStartingOffsets)
     val withMax = cfg.maxEntriesPerTrigger
       .fold(src)(m => src.option("maxEntriesPerTrigger", m.toString))
-    val q = withMax.load()
+    // blocking-poll fidelity: wait for minEntriesPerTrigger up to the
+    // consumer timeout; the reference's timeout=0 means block forever
+    val withMin = cfg.minEntriesPerTrigger.fold(withMax)(m => withMax
+      .option("minEntriesPerTrigger", m.toString)
+      .option("maxTriggerDelayMs",
+        (if (cfg.timeoutMs == 0L) Long.MaxValue else cfg.timeoutMs).toString))
+    val q = withMin.load()
       .writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(
