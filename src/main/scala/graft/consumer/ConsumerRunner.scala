@@ -55,6 +55,8 @@ final case class ConsumerConfig(
     drainAndStop: Boolean = false,
     supTimeoutMs: Long = 5000L) {
 
+  require(timeoutMs >= 0, s"timeoutMs must be >= 0 (0 = block forever), got $timeoutMs")
+
   def resolvedStartingOffsets: String = startPos match {
     case "default" => "latest"
     case other => other

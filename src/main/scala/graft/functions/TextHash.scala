@@ -15,6 +15,14 @@ object TextHash {
   /** Prime modulus for the polynomial hash; keeps a*h well inside Long. */
   val P = 1000000007L
 
+  /** The stopword list shared by every quality rule (q48 stop_ratio, q129
+    * low-stopword gate) — one constant rendered into both dialects so the
+    * gates can never disagree across queries or engines.
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  def stopWordsSparkArray: String = StopWords.mkString("array('", "','", "')")
+  def stopWordsDuckList: String = StopWords.mkString("['", "','", "']")
+
   /** Number of minhash permutations and LSH bands (r = Sigs/Bands rows). */
   val MinhashSigs = 16
   val MinhashBands = 4

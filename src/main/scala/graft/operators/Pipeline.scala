@@ -438,17 +438,16 @@ object Pipeline {
       // gate is exact integer cross-multiplication — no float threshold
       // can flap between engines. Pure map-side; the only shuffle is the
       // output sort.
-      """WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-        |m AS (SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop,
-        |    CASE WHEN len(w) >= 3
-        |      THEN CAST(len(list_distinct(list_transform(range(len(w)-2),
-        |        i -> w[CAST(i+1 AS INT)]||' '||w[CAST(i+2 AS INT)]||' '||w[CAST(i+3 AS INT)]))) AS BIGINT)
-        |      ELSE 0 END AS uniq3,
-        |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
-        |  FROM t)
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(w, x -> list_contains($stopWordsDuckList, x))) AS BIGINT) AS n_stop,
+         |    CASE WHEN len(w) >= 3
+         |      THEN CAST(len(${duckShingles("w")}) AS BIGINT)
+         |      ELSE 0 END AS uniq3,
+         |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
+         |  FROM t)
         |SELECT doc_id,
         |  CAST(CASE WHEN n_words < 20 THEN 1 ELSE 0 END
         |     + CASE WHEN total3 > 0 AND uniq3 * 50 < total3 * 49 THEN 2 ELSE 0 END
@@ -463,7 +462,7 @@ object Pipeline {
         .select($"doc_id",
           size($"w").cast("long").as("n_words"),
           size(array_distinct($"w")).cast("long").as("n_distinct"),
-          expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+          expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
             .cast("long").as("n_stop"),
           when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
             .otherwise(0L).as("uniq3"),

@@ -65,13 +65,13 @@ object TextAnalysis {
     },
 
     q("q48_text_quality",
-      """WITH t AS (
-        |  SELECT doc_id, n_chars, string_split(text, ' ') w FROM documents
-        |), m AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, string_split(text, ' ') w FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+         |    CAST(len(list_filter(w, x -> list_contains($stopWordsDuckList, x))) AS DOUBLE) / len(w) AS stop_ratio,
         |    (CAST(n_chars AS DOUBLE) - (len(w) - 1)) / len(w) AS avg_wlen
         |  FROM t)
         |SELECT doc_id, n_words, ttr, stop_ratio, avg_wlen,
@@ -84,7 +84,7 @@ object TextAnalysis {
         .select($"doc_id",
           size($"w").cast("long").as("n_words"),
           (size(array_distinct($"w")).cast("double") / size($"w")).as("ttr"),
-          (expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+          (expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
             .cast("double") / size($"w")).as("stop_ratio"),
           (($"n_chars".cast("double") - (size($"w") - 1)) / size($"w")).as("avg_wlen"))
         .withColumn("quality",

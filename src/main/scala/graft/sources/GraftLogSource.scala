@@ -288,8 +288,11 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
       require(v >= 1, s"minEntriesPerTrigger must be >= 1, got $v")
       v
     }
-  private val maxTriggerDelayMs: Long =
-    Option(options.get("maxTriggerDelayMs")).map(_.toLong).getOrElse(2000L)
+  private val maxTriggerDelayMs: Long = {
+    val v = Option(options.get("maxTriggerDelayMs")).map(_.toLong).getOrElse(2000L)
+    require(v >= 0, s"maxTriggerDelayMs must be >= 0, got $v")
+    v
+  }
   @volatile private var lastTriggerMillis: Long = 0L
 
   // Trigger.AvailableNow: freeze the high-water mark at query start so the
@@ -349,43 +352,45 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     // stall waiting for data that will never arrive)
     val minGate = parts.collectFirst { case m: ReadMinRows => m }
       .filter(_ => availableNowCap.isEmpty)
+    val maxOpt = parts.collectFirst { case r: ReadMaxRows => r }
+    val clampInt = (v: Long) => math.min(math.max(v, 1L), (Int.MaxValue - 1).toLong)
+    if (minGate.isEmpty && maxOpt.isEmpty)
+      return GraftLogOffset(streams.map(st => st -> cappedMax(st)).toMap)
+    // one ids-only pass per stream serves BOTH decisions: the availability
+    // count for the min gate and the quota cut for the max bound (a gate
+    // that then re-fetched for the quota would double the driver's
+    // per-trigger segment I/O). The per-stream fetch is bounded by the
+    // larger of the two needs, clamped to Int range.
+    val quota = maxOpt.map(r =>
+      math.max(1L, clampInt(r.maxRows()) / streams.size).toInt)
+    val minNeed = minGate.map(m => clampInt(m.minRows()).toInt).getOrElse(1)
+    val fetchLimit = clampInt(math.max(
+      quota.map(_.toLong + 1L).getOrElse(1L), minNeed.toLong)).toInt
+    val cuts: Seq[(String, Seq[LogId], LogId)] = streams.map { st =>
+      val max = cappedMax(st)
+      val ids = LogStore.idsAfterLimited(root, st, startOff.id(st), fetchLimit)
+      (st, ids.filter(_ <= max), max)
+    }
     val gated = minGate.exists { mn =>
       val now = System.currentTimeMillis()
       if (lastTriggerMillis == 0L) lastTriggerMillis = now
-      val timedOut = now - lastTriggerMillis >= mn.maxTriggerDelayMs()
-      if (timedOut) false
-      else {
-        // count available entries (ids only, early exit at the threshold)
-        var available = 0L
-        val it = streams.iterator
-        while (available < mn.minRows() && it.hasNext) {
-          val st = it.next()
-          val max = cappedMax(st)
-          val need = (mn.minRows() - available + 1).toInt
-          available += LogStore.idsAfterLimited(root, st, startOff.id(st), need)
-            .count(_ <= max)
-        }
-        available < mn.minRows()
-      }
+      if (now - lastTriggerMillis >= mn.maxTriggerDelayMs()) {
+        // poll window elapsed: fire whatever is there and re-arm the timer
+        // — without the re-arm, any idle gap longer than the window leaves
+        // the gate permanently open and the next trickle fires an
+        // undersized batch immediately (the Kafka source re-arms too)
+        lastTriggerMillis = now
+        false
+      } else cuts.iterator.map(_._2.size.toLong).sum < mn.minRows()
     }
     val end =
       if (gated) startOff
-      else parts.collectFirst { case r: ReadMaxRows => r } match {
-        case Some(r) =>
-          // quota split evenly across streams; per stream, stop reading as
-          // soon as its share is met — no full-backlog scan, and ids only
-          // (no payload decode) on the driver; clamped to Int range
-          val total = math.min(math.max(r.maxRows(), 1L), (Int.MaxValue - 1).toLong)
-          val quota = math.max(1L, total / streams.size).toInt
-          GraftLogOffset(streams.map { st =>
-            val max = cappedMax(st)
-            val ids = LogStore.idsAfterLimited(root, st, startOff.id(st), quota + 1)
-            val cut = ids.filter(_ <= max)
-            st -> (if (cut.size <= quota) max else cut(quota - 1))
-          }.toMap)
-        case None =>
-          GraftLogOffset(streams.map(st => st -> cappedMax(st)).toMap)
-      }
+      else GraftLogOffset(cuts.map { case (st, cut, max) =>
+        st -> (quota match {
+          case Some(q) if cut.size > q => cut(q - 1)
+          case _ => max
+        })
+      }.toMap)
     if (end.ids != startOff.ids) lastTriggerMillis = System.currentTimeMillis()
     end
   }
