@@ -250,6 +250,47 @@ object StreamLog {
         .orderBy($"event_type", $"bucket")
     },
 
+    q("q131_replay_from_time",
+      // Time-based replay THROUGH the engine (startingTimestamp, §2A#12's
+      // explicit-position start expressed as a timestamp): the log is
+      // produced with the writer clock driven by EVENT time, so ids'
+      // millisecond prefixes are event milliseconds and replay-from-T is
+      // exact — the stream starts at the first entry at or after T (here
+      // 12 h after stream start). The oracle is the same cutoff stated
+      // relationally over the batch table.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >=
+        |  (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 43200000 FROM events)
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q131") { r =>
+        // produce through LogWriter with the clock following event time
+        // (sorted, so ids stay monotonic); payload keeps only event_type
+        val rows = Tables.load(s, dir, "events")
+          .select(unix_millis($"ts").as("ms"), $"event_type")
+          .orderBy($"ms", $"event_type")
+          .collect()
+        var now = 0L
+        val w = new graft.log.LogWriter(r, "ev", () => now)
+        rows.foreach { row =>
+          now = row.getLong(0)
+          w.produce(Map("event_type" -> row.getString(1)))
+        }
+      }
+      val startMs = Tables.load(s, dir, "events")
+        .agg(min(unix_millis($"ts"))).head().getLong(0) + 43200000L
+      graft.streaming.StreamHarness.runToMemory(s, "q131", 4, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingTimestamp", startMs.toString)
+          .option("maxEntriesPerTrigger", "60000")
+          .load()
+          .groupBy($"values.event_type".as("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }
+        .orderBy($"event_type")
+    },
+
     q("q128_streaming_liststate",
       // transformWithState ListState THROUGH the engine — the third typed
       // state primitive (q115 ValueState, q125 MapState): per event_type,
