@@ -17,6 +17,40 @@ import java.nio.file.Files
   */
 object StreamLog {
 
+  /** Shared event-time log (memoized per sfDir): events produced through
+    * LogWriter with the clock following event time (sorted, so ids stay
+    * monotonic), making the ids' millisecond prefixes event milliseconds —
+    * the fixture behind both time-based replay (q131) and the batch
+    * time-slice scan (q132).
+    */
+  private def eventTimeLog(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    graft.LogFixtures.producedLog(dir, "q131") { r =>
+      val rows = Tables.load(s, dir, "events")
+        .select(unix_millis($"ts").as("ms"), $"event_type")
+        .orderBy($"ms", $"event_type")
+        .collect()
+      // produceAll assigns ids strictly in batch order, reading the clock
+      // exactly once per entry — stepping the clock through the sorted event
+      // millis gives every entry an id whose ms prefix IS its event time,
+      // at batch-append speed. (Per-entry produce() here would write one
+      // single-entry segment per event and rescan the segment directory for
+      // the id high-water mark each time: 600k files and O(n²) dirent reads
+      // at sf0.1 — the fixture would take longer than the whole bench.)
+      var i = -1
+      val w = new graft.log.LogWriter(r, "ev", () => { i += 1; rows(i).getLong(0) })
+      w.produceAll(rows.toSeq.map(row =>
+        Map[String, Any]("event_type" -> row.getString(1))))
+    }
+  }
+
+  /** 12 h past the stream's first event — the cutoff q131/q132 replay from. */
+  private def cutoffMs(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .agg(min(unix_millis($"ts"))).head().getLong(0) + 43200000L
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q60_log_roundtrip",
@@ -263,22 +297,8 @@ object StreamLog {
         |  (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 43200000 FROM events)
         |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       import s.implicits._
-      val root = graft.LogFixtures.producedLog(dir, "q131") { r =>
-        // produce through LogWriter with the clock following event time
-        // (sorted, so ids stay monotonic); payload keeps only event_type
-        val rows = Tables.load(s, dir, "events")
-          .select(unix_millis($"ts").as("ms"), $"event_type")
-          .orderBy($"ms", $"event_type")
-          .collect()
-        var now = 0L
-        val w = new graft.log.LogWriter(r, "ev", () => now)
-        rows.foreach { row =>
-          now = row.getLong(0)
-          w.produce(Map("event_type" -> row.getString(1)))
-        }
-      }
-      val startMs = Tables.load(s, dir, "events")
-        .agg(min(unix_millis($"ts"))).head().getLong(0) + 43200000L
+      val root = eventTimeLog(s, dir)
+      val startMs = cutoffMs(s, dir)
       graft.streaming.StreamHarness.runToMemory(s, "q131", 4, mode = "complete") {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
@@ -288,6 +308,33 @@ object StreamLog {
           .groupBy($"values.event_type".as("event_type"))
           .agg(count(lit(1)).as("n"))
       }
+        .orderBy($"event_type")
+    },
+
+    q("q132_batch_time_slice",
+      // Batch time-slice scan over the log (§2A#12's ranged read, XRANGE
+      // start..end, stated against the batch DSv2 path): both bounds of a
+      // ts BETWEEN predicate push into GraftLogScanBuilder, so segment
+      // planning prunes by file-name id range before any file opens —
+      // at 100 TB a 6 h slice of a month-long log reads ~0.8% of segments.
+      // Same event-time log as q131 (ids' ms prefixes are event millis);
+      // the oracle states the identical slice over the batch events table.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >=
+        |  (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 43200000 FROM events)
+        |AND epoch_ms(CAST(ts AS TIMESTAMP)) <
+        |  (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 64800000 FROM events)
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = eventTimeLog(s, dir)
+      val lo = cutoffMs(s, dir)
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .load()
+        .filter($"ts" >= lit(new java.sql.Timestamp(lo)) &&
+          $"ts" < lit(new java.sql.Timestamp(lo + 21600000L)))
+        .groupBy($"values.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
     },
 

@@ -96,6 +96,10 @@ object PlanAudit {
     "q129_quality_filter" -> Seq(
       "verdict is pure map-side (no join, no aggregation)" -> "!HashAggregate",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q132_batch_time_slice" -> Seq(
+      "lower ts bound pushed into the log scan (segment pruning)" -> "GreaterThanOrEqual(ts",
+      "upper ts bound pushed into the log scan (segment pruning)" -> "LessThan(ts",
+      "partial aggregation before the key shuffle" -> "HashAggregate"),
     "q130_corpus_stats" -> Seq(
       "one-row total broadcast back over the per-lang stats" -> "BroadcastNestedLoopJoin",
       "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"))
