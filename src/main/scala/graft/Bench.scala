@@ -70,9 +70,9 @@ object Bench {
     // 122-entry map (~4 KB) would overflow it and record "parsed": null —
     // exactly what happened in rounds 1-2.
     val detailPath = java.nio.file.Paths.get(
-      sys.props("user.dir"), "BENCH_DETAIL.json")
+      sys.props("user.dir"), "BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"stream_entries_per_sec":$eps,"sf":"$sfDir"}""".stripMargin
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"stream_entries_per_sec":$eps,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Headline subset: one representative per engine area (relational,
     // windows, dedup, similarity, text curation, streaming, log source).
@@ -84,7 +84,7 @@ object Bench {
       "q114_bloom_semijoin", "q116_paragraph_dedup", "q120_streaming_lsh_dedup",
       "q131_replay_from_time", "q132_batch_time_slice")
       .flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -37,11 +37,12 @@ final class LogWriter(root: String, stream: String,
       if (autoCompactSegments > 0) Some(LogStore.CompactionPolicy(autoCompactSegments))
       else None)
 
-  private def nextId(): LogId = {
-    val now = clock()
+  private def nextIdAt(now: Long): LogId = {
     last = if (now > last.millis) LogId(now, 0L) else LogId(last.millis, last.seq + 1)
     last
   }
+
+  private def nextId(): LogId = nextIdAt(clock())
 
   /** Run `f` holding the per-stream exclusive lock, with the id high-water
     * mark refreshed from disk (another process may have appended since this
@@ -118,23 +119,52 @@ final class LogWriter(root: String, stream: String,
   def produceAll(batch: Seq[Map[String, Any]]): Seq[LogId] =
     if (batch.isEmpty) Nil
     else withStreamLock {
-      val entries = batch.map(v => LogEntry(nextId(), coerce(v)))
-      val chunks = entries.grouped(maxSegmentEntries).toSeq
-      if (chunks.size <= 1)
-        chunks.foreach(chunk => LogStore.writeSegment(root, stream, chunk))
-      else {
-        import scala.concurrent.duration.DurationInt
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        implicit val ec: ExecutionContext = LogWriter.writeEc
-        val prepared = Await.result(
-          Future.traverse(chunks)(chunk =>
-            Future(LogStore.prepareSegment(root, stream, chunk))),
-          10.minutes)
-        prepared.foreach(LogStore.publishSegment) // ascending id order
-      }
-      maybeAutoCompact()
-      entries.map(_.id)
+      appendEntries(batch.map(v => LogEntry(nextId(), coerce(v))))
     }
+
+  /** Append a batch with caller-supplied millisecond timestamps — the
+    * explicit-id form of XADD (the reference always passes `*`,
+    * /root/reference/lib/stream.ex:29; Redis itself also accepts
+    * `<ms>-*`). Timestamps must be non-decreasing within the batch and no
+    * earlier than the stream's current high-water millisecond — unlike the
+    * clock-driven path, which silently absorbs clock regressions into the
+    * seq counter, an explicit timestamp that cannot be honored fails
+    * loudly: the caller asked for ids whose millisecond prefix IS the
+    * given time (event-time replay depends on it), so shifting would
+    * corrupt meaning, not just ordering.
+    */
+  def produceAllAt(batch: Seq[(Long, Map[String, Any])]): Seq[LogId] =
+    if (batch.isEmpty) Nil
+    else withStreamLock {
+      appendEntries(batch.map { case (ms, v) =>
+        if (ms < last.millis) throw new IllegalArgumentException(
+          s"explicit timestamp $ms is earlier than the stream '$stream' " +
+            s"high-water millisecond ${last.millis} — explicit-timestamp " +
+            "appends must be non-decreasing")
+        LogEntry(nextIdAt(ms), coerce(v))
+      })
+    }
+
+  /** Write already-id-assigned entries as <= maxSegmentEntries segments and
+    * run the compaction hook; must be called under the stream lock.
+    */
+  private def appendEntries(entries: Seq[LogEntry]): Seq[LogId] = {
+    val chunks = entries.grouped(maxSegmentEntries).toSeq
+    if (chunks.size <= 1)
+      chunks.foreach(chunk => LogStore.writeSegment(root, stream, chunk))
+    else {
+      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = LogWriter.writeEc
+      val prepared = Await.result(
+        Future.traverse(chunks)(chunk =>
+          Future(LogStore.prepareSegment(root, stream, chunk))),
+        10.minutes)
+      prepared.foreach(LogStore.publishSegment) // ascending id order
+    }
+    maybeAutoCompact()
+    entries.map(_.id)
+  }
 
   /** Write the tombstone used to materialize an empty stream
     * (≙ MKSTREAM's dummy entry; consumers skip it).

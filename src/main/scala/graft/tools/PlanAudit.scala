@@ -99,7 +99,7 @@ object PlanAudit {
     "q132_batch_time_slice" -> Seq(
       "lower ts bound pushed into the log scan (segment pruning)" -> "GreaterThanOrEqual(ts",
       "upper ts bound pushed into the log scan (segment pruning)" -> "LessThan(ts",
-      "partial aggregation before the key shuffle" -> "HashAggregate"),
+      "partial aggregation before the key shuffle" -> "partial_count"),
     "q130_corpus_stats" -> Seq(
       "one-row total broadcast back over the per-lang stats" -> "BroadcastNestedLoopJoin",
       "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"))

@@ -28,6 +28,29 @@ class LogSourceSpec extends AnyFunSuite {
     assert(List(id1, id2, id3) == List(id1, id2, id3).sorted)
   }
 
+  test("produceAllAt honors explicit timestamps; rejects regressions loudly") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1", maxSegmentEntries = 2)
+    // same-ms entries get seq bumps; chunking across segments keeps order
+    val ids = w.produceAllAt(Seq(
+      100L -> Map[String, Any]("k" -> "a"),
+      100L -> Map[String, Any]("k" -> "b"),
+      250L -> Map[String, Any]("k" -> "c"),
+      300L -> Map[String, Any]("k" -> "d"),
+      300L -> Map[String, Any]("k" -> "e")))
+    assert(ids == Seq(LogId(100, 0), LogId(100, 1), LogId(250, 0),
+      LogId(300, 0), LogId(300, 1)))
+    val got = LogStore.readRange(root, "s1", LogId.Zero, LogStore.maxId(root, "s1"))
+    assert(got.map(_.id) == ids && got.map(_.values("k")) == Seq("a", "b", "c", "d", "e"))
+    // an explicit ms below the high-water mark must fail, not silently shift
+    val e = intercept[IllegalArgumentException] {
+      w.produceAllAt(Seq(299L -> Map[String, Any]("k" -> "late")))
+    }
+    assert(e.getMessage.contains("non-decreasing"))
+    // at the high-water ms is fine: seq continues
+    assert(w.produceAllAt(Seq(300L -> Map[String, Any]("k" -> "f"))) == Seq(LogId(300, 2)))
+  }
+
   test("produce coerces values to_string and round-trips") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "temps")
