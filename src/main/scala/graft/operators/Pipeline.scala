@@ -513,6 +513,65 @@ object Pipeline {
         .orderBy($"lang")
     },
 
+    q("q133_curation_pipeline",
+      // The curation stages composed END-TO-END in one plan — what a real
+      // corpus release runs as a single job: exact first-occurrence dedup
+      // (q40/q123's canonical-id window), q129's integer-exact quality
+      // gate stack, q123's leakage-safe md5-prefix split assignment, then
+      // the per-(split, lang) dataset card. At 100 TB the cost profile is
+      // one wide shuffle keyed on the text hash (the dedup window); the
+      // gates and the split assignment are pure map-side over its output,
+      // and the rollup is a partial-aggregated shuffle over ~15 groups.
+      s"""WITH g AS (SELECT doc_id, lang, text,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+         |  FROM documents),
+         |t AS (SELECT doc_id, lang, string_split(text,' ') w
+         |  FROM g WHERE doc_id = canonical),
+         |m AS (SELECT doc_id, lang,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(w, x -> list_contains($stopWordsDuckList, x))) AS BIGINT) AS n_stop,
+         |    CASE WHEN len(w) >= 3
+         |      THEN CAST(len(${duckShingles("w")}) AS BIGINT)
+         |      ELSE 0 END AS uniq3,
+         |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
+         |  FROM t),
+         |k AS (SELECT doc_id, lang, n_words FROM m
+         |  WHERE n_words >= 20 AND NOT (total3 > 0 AND uniq3 * 50 < total3 * 49)
+         |    AND n_stop * 20 >= n_words AND n_distinct * 10 > n_words * 3),
+         |s AS (SELECT lang, n_words,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split FROM k)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
+      import s.implicits._
+      val m = T(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))).as("canonical"))
+        .filter($"doc_id" === $"canonical")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id", $"lang",
+          size($"w").cast("long").as("n_words"),
+          size(array_distinct($"w")).cast("long").as("n_distinct"),
+          expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
+            .cast("long").as("n_stop"),
+          when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
+            .otherwise(0L).as("uniq3"),
+          greatest(size($"w") - 2, lit(0)).cast("long").as("total3"))
+      m.filter($"n_words" >= 20 && !($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49)
+          && $"n_stop" * 20 >= $"n_words" && $"n_distinct" * 10 > $"n_words" * 3)
+        .withColumn("bucket", substring(md5($"doc_id".cast("string").cast("binary")), 1, 2))
+        .select(
+          when($"bucket" < "cc", "train")
+            .when($"bucket" < "e6", "val").otherwise("test").as("split"),
+          $"lang", $"n_words")
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("sum_tokens"))
+        .orderBy($"split", $"lang")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents

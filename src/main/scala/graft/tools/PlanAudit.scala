@@ -100,6 +100,11 @@ object PlanAudit {
       "lower ts bound pushed into the log scan (segment pruning)" -> "GreaterThanOrEqual(ts",
       "upper ts bound pushed into the log scan (segment pruning)" -> "LessThan(ts",
       "partial aggregation before the key shuffle" -> "partial_count"),
+    "q133_curation_pipeline" -> Seq(
+      "dedup is the one wide shuffle (single window pass on the text hash)" -> "Window",
+      "gates and split assignment stay map-side (no extra join)" -> "!HashJoin",
+      "rollup partial-aggregates before its shuffle" -> "partial_sum",
+      "only the three needed columns read" -> "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
     "q130_corpus_stats" -> Seq(
       "one-row total broadcast back over the per-lang stats" -> "BroadcastNestedLoopJoin",
       "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"))
