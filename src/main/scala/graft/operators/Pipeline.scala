@@ -547,12 +547,14 @@ object Pipeline {
         |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
       import s.implicits._
+      // metrics BEFORE the dedup window: the shuffle then carries the text
+      // hash plus five longs per doc instead of the full text column (the
+      // dominant bytes at corpus scale); dupes cost a little redundant
+      // map-side compute, which beats shipping every document body through
+      // the exchange
       val m = T(s, dir, "documents")
-        .select($"doc_id", $"lang", $"text",
-          min($"doc_id").over(Window.partitionBy(md5($"text"))).as("canonical"))
-        .filter($"doc_id" === $"canonical")
         .withColumn("w", split($"text", " "))
-        .select($"doc_id", $"lang",
+        .select($"doc_id", $"lang", md5($"text").as("h"),
           size($"w").cast("long").as("n_words"),
           size(array_distinct($"w")).cast("long").as("n_distinct"),
           expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
@@ -560,6 +562,10 @@ object Pipeline {
           when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
             .otherwise(0L).as("uniq3"),
           greatest(size($"w") - 2, lit(0)).cast("long").as("total3"))
+        .select($"doc_id", $"lang", $"n_words", $"n_distinct", $"n_stop",
+          $"uniq3", $"total3",
+          min($"doc_id").over(Window.partitionBy($"h")).as("canonical"))
+        .filter($"doc_id" === $"canonical")
       m.filter($"n_words" >= 20 && !($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49)
           && $"n_stop" * 20 >= $"n_words" && $"n_distinct" * 10 > $"n_words" * 3)
         .withColumn("bucket", substring(md5($"doc_id".cast("string").cast("binary")), 1, 2))
