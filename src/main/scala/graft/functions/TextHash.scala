@@ -91,4 +91,55 @@ object TextHash {
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $hh), (a2,h2) -> " +
       s"a2 + CASE WHEN (h2 >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)"
+
+  // ---- Quality gates and split assignment (single source of truth for
+  // q129's reason bitmask, q133's pipeline gate, and the q123/q133
+  // leakage-safe split: the composed pipeline must be incapable of
+  // disagreeing with the standalone stages it composes) ----
+
+  /** The five per-doc quality metrics over a words-array expr `w`, as
+    * SELECT expressions; the gate predicates below are stated over their
+    * aliases. Two dialect renderings of one definition.
+    */
+  def qualityMetricsSpark(w: String): Seq[String] = Seq(
+    s"CAST(size($w) AS BIGINT) AS n_words",
+    s"CAST(size(array_distinct($w)) AS BIGINT) AS n_distinct",
+    s"CAST(size(filter($w, x -> array_contains($stopWordsSparkArray, x))) AS BIGINT) AS n_stop",
+    s"IF(size($w) >= 3, CAST(size(${shinglesSql(w)}) AS BIGINT), CAST(0 AS BIGINT)) AS uniq3",
+    s"CAST(greatest(size($w) - 2, 0) AS BIGINT) AS total3")
+
+  def qualityMetricsDuck(w: String): Seq[String] = Seq(
+    s"CAST(len($w) AS BIGINT) AS n_words",
+    s"CAST(len(list_distinct($w)) AS BIGINT) AS n_distinct",
+    s"CAST(len(list_filter($w, x -> list_contains($stopWordsDuckList, x))) AS BIGINT) AS n_stop",
+    s"CASE WHEN len($w) >= 3 THEN CAST(len(${duckShingles(w)}) AS BIGINT) ELSE 0 END AS uniq3",
+    s"CAST(GREATEST(len($w)-2, 0) AS BIGINT) AS total3")
+
+  /** The four drop reasons (C4/Gopher-style), dialect-neutral SQL over the
+    * metric aliases; all integer cross-multiplications, no float threshold.
+    * Bit order is the q129 reasons contract.
+    */
+  val GateTooShort = "n_words < 20"
+  val GateRepetitive = "total3 > 0 AND uniq3 * 50 < total3 * 49"
+  val GateLowStopword = "n_stop * 20 < n_words"
+  val GateLowTtr = "n_distinct * 10 <= n_words * 3"
+
+  /** keep = no gate fires (metrics are never NULL, so NOT is two-valued). */
+  val QualityKeep: String =
+    s"NOT ($GateTooShort) AND NOT ($GateRepetitive) AND " +
+      s"NOT ($GateLowStopword) AND NOT ($GateLowTtr)"
+
+  /** Deterministic ~80/10/10 train/val/test assignment from an id expr via
+    * the md5-prefix trick (fixed-width lowercase hex compares numerically:
+    * 'cc'/256 = 80%, 'e6'/256 = 90%). No RNG, reproducible across engines;
+    * key it on a duplicate group's canonical id for leakage-safety.
+    */
+  def splitCaseSpark(id: String): String = {
+    val b = s"substring(md5(CAST(CAST($id AS STRING) AS BINARY)), 1, 2)"
+    s"CASE WHEN $b < 'cc' THEN 'train' WHEN $b < 'e6' THEN 'val' ELSE 'test' END"
+  }
+  def splitCaseDuck(id: String): String = {
+    val b = s"substring(md5(CAST($id AS VARCHAR)), 1, 2)"
+    s"CASE WHEN $b < 'cc' THEN 'train' WHEN $b < 'e6' THEN 'val' ELSE 'test' END"
+  }
 }

@@ -408,24 +408,17 @@ object Pipeline {
       // deterministic md5-prefix trick (q104) turns the canonical id into
       // ~80/10/10 rates with no RNG; one window shuffle on the text hash,
       // then pure map-side assignment.
-      """WITH g AS (SELECT doc_id,
-        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
-        |  FROM documents),
-        |b AS (SELECT doc_id, canonical,
-        |    substring(md5(CAST(canonical AS VARCHAR)), 1, 2) AS bucket FROM g)
-        |SELECT doc_id, canonical,
-        |  CASE WHEN bucket < 'cc' THEN 'train'
-        |       WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""") { (s, dir) =>
+      s"""WITH g AS (SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+         |  FROM documents)
+        |SELECT doc_id, canonical, ${splitCaseDuck("canonical")} AS split
+        |FROM g ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
       T(s, dir, "documents")
         .select($"doc_id",
           min($"doc_id").over(Window.partitionBy(md5($"text"))).as("canonical"))
-        .withColumn("bucket",
-          substring(md5($"canonical".cast("string").cast("binary")), 1, 2))
-        .select($"doc_id", $"canonical",
-          when($"bucket" < "cc", "train")
-            .when($"bucket" < "e6", "val").otherwise("test").as("split"))
+        .selectExpr("doc_id", "canonical",
+          s"${splitCaseSpark("canonical")} AS split")
         .orderBy($"doc_id")
     },
 
@@ -439,42 +432,22 @@ object Pipeline {
       // can flap between engines. Pure map-side; the only shuffle is the
       // output sort.
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |m AS (SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-         |    CAST(len(list_filter(w, x -> list_contains($stopWordsDuckList, x))) AS BIGINT) AS n_stop,
-         |    CASE WHEN len(w) >= 3
-         |      THEN CAST(len(${duckShingles("w")}) AS BIGINT)
-         |      ELSE 0 END AS uniq3,
-         |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
-         |  FROM t)
+         |m AS (SELECT doc_id, ${qualityMetricsDuck("w").mkString(", ")} FROM t)
         |SELECT doc_id,
-        |  CAST(CASE WHEN n_words < 20 THEN 1 ELSE 0 END
-        |     + CASE WHEN total3 > 0 AND uniq3 * 50 < total3 * 49 THEN 2 ELSE 0 END
-        |     + CASE WHEN n_stop * 20 < n_words THEN 4 ELSE 0 END
-        |     + CASE WHEN n_distinct * 10 <= n_words * 3 THEN 8 ELSE 0 END AS BIGINT) AS reasons,
-        |  (n_words >= 20 AND NOT (total3 > 0 AND uniq3 * 50 < total3 * 49)
-        |     AND n_stop * 20 >= n_words AND n_distinct * 10 > n_words * 3) AS keep
+        |  CAST(CASE WHEN $GateTooShort THEN 1 ELSE 0 END
+        |     + CASE WHEN $GateRepetitive THEN 2 ELSE 0 END
+        |     + CASE WHEN $GateLowStopword THEN 4 ELSE 0 END
+        |     + CASE WHEN $GateLowTtr THEN 8 ELSE 0 END AS BIGINT) AS reasons,
+        |  ($QualityKeep) AS keep
         |FROM m ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
       val m = T(s, dir, "documents")
         .withColumn("w", split($"text", " "))
-        .select($"doc_id",
-          size($"w").cast("long").as("n_words"),
-          size(array_distinct($"w")).cast("long").as("n_distinct"),
-          expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
-            .cast("long").as("n_stop"),
-          when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
-            .otherwise(0L).as("uniq3"),
-          greatest(size($"w") - 2, lit(0)).cast("long").as("total3"))
-      m.select($"doc_id",
-          (when($"n_words" < 20, 1L).otherwise(0L)
-            + when($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49, 2L).otherwise(0L)
-            + when($"n_stop" * 20 < $"n_words", 4L).otherwise(0L)
-            + when($"n_distinct" * 10 <= $"n_words" * 3, 8L).otherwise(0L)).as("reasons"),
-          ($"n_words" >= 20 && !($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49)
-            && $"n_stop" * 20 >= $"n_words" && $"n_distinct" * 10 > $"n_words" * 3)
-            .as("keep"))
+        .selectExpr("doc_id" +: qualityMetricsSpark("w"): _*)
+      m.selectExpr("doc_id",
+          s"CAST(IF($GateTooShort, 1, 0) + IF($GateRepetitive, 2, 0)" +
+            s" + IF($GateLowStopword, 4, 0) + IF($GateLowTtr, 8, 0) AS BIGINT) AS reasons",
+          s"($QualityKeep) AS keep")
         .orderBy($"doc_id")
     },
 
@@ -527,22 +500,9 @@ object Pipeline {
          |  FROM documents),
          |t AS (SELECT doc_id, lang, string_split(text,' ') w
          |  FROM g WHERE doc_id = canonical),
-         |m AS (SELECT doc_id, lang,
-         |    CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-         |    CAST(len(list_filter(w, x -> list_contains($stopWordsDuckList, x))) AS BIGINT) AS n_stop,
-         |    CASE WHEN len(w) >= 3
-         |      THEN CAST(len(${duckShingles("w")}) AS BIGINT)
-         |      ELSE 0 END AS uniq3,
-         |    CAST(GREATEST(len(w)-2, 0) AS BIGINT) AS total3
-         |  FROM t),
-         |k AS (SELECT doc_id, lang, n_words FROM m
-         |  WHERE n_words >= 20 AND NOT (total3 > 0 AND uniq3 * 50 < total3 * 49)
-         |    AND n_stop * 20 >= n_words AND n_distinct * 10 > n_words * 3),
-         |s AS (SELECT lang, n_words,
-         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-         |         ELSE 'test' END AS split FROM k)
+         |m AS (SELECT doc_id, lang, ${qualityMetricsDuck("w").mkString(", ")} FROM t),
+         |k AS (SELECT doc_id, lang, n_words FROM m WHERE $QualityKeep),
+         |s AS (SELECT lang, n_words, ${splitCaseDuck("doc_id")} AS split FROM k)
         |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
@@ -554,25 +514,14 @@ object Pipeline {
       // the exchange
       val m = T(s, dir, "documents")
         .withColumn("w", split($"text", " "))
-        .select($"doc_id", $"lang", md5($"text").as("h"),
-          size($"w").cast("long").as("n_words"),
-          size(array_distinct($"w")).cast("long").as("n_distinct"),
-          expr(s"size(filter(w, x -> array_contains($stopWordsSparkArray, x)))")
-            .cast("long").as("n_stop"),
-          when(size($"w") >= 3, size(expr(shinglesSql("w"))).cast("long"))
-            .otherwise(0L).as("uniq3"),
-          greatest(size($"w") - 2, lit(0)).cast("long").as("total3"))
+        .selectExpr(Seq("doc_id", "lang", "md5(text) AS h")
+          ++ qualityMetricsSpark("w"): _*)
         .select($"doc_id", $"lang", $"n_words", $"n_distinct", $"n_stop",
           $"uniq3", $"total3",
           min($"doc_id").over(Window.partitionBy($"h")).as("canonical"))
         .filter($"doc_id" === $"canonical")
-      m.filter($"n_words" >= 20 && !($"total3" > 0 && $"uniq3" * 50 < $"total3" * 49)
-          && $"n_stop" * 20 >= $"n_words" && $"n_distinct" * 10 > $"n_words" * 3)
-        .withColumn("bucket", substring(md5($"doc_id".cast("string").cast("binary")), 1, 2))
-        .select(
-          when($"bucket" < "cc", "train")
-            .when($"bucket" < "e6", "val").otherwise("test").as("split"),
-          $"lang", $"n_words")
+      m.filter(expr(QualityKeep))
+        .selectExpr(s"${splitCaseSpark("doc_id")} AS split", "lang", "n_words")
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("sum_tokens"))
         .orderBy($"split", $"lang")

@@ -102,7 +102,9 @@ object PlanAudit {
       "partial aggregation before the key shuffle" -> "partial_count"),
     "q133_curation_pipeline" -> Seq(
       "dedup is the one wide shuffle (single window pass on the text hash)" -> "Window",
-      "gates and split assignment stay map-side (no extra join)" -> "!HashJoin",
+      "gates and split assignment stay map-side (no equi join)" -> "!HashJoin",
+      "no nested-loop join smuggled in for the gates or split" -> "!BroadcastNestedLoopJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
       "rollup partial-aggregates before its shuffle" -> "partial_sum",
       "only the three needed columns read" -> "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
     "q130_corpus_stats" -> Seq(
@@ -147,7 +149,9 @@ object PlanAudit {
         if (!ok) failures += 1
         sb.append(s"- ${if (ok) "PASS" else "FAIL"}: $what (`$needle`)\n")
       }
-      sb.append("\n```\n").append(plan.take(4500)).append("\n```\n")
+      // large enough that no audited plan is cut off — a PASS line next to
+      // a truncated plan is unverifiable from the committed file
+      sb.append("\n```\n").append(plan.take(20000)).append("\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written; ${Audited.map(_._2.size).sum - failures} checks passed, $failures failed")
