@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console BARE: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which broke the driver's parse of
+// Bench's one-line JSON for three rounds (BENCH_r0{1,2,3}.json "parsed": null).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -382,6 +382,23 @@ object GraftConsumer {
     }
 }
 
+/** Restart policy ≙ the `sup_restart` option
+  * (/root/reference/lib/redix/stream/consumer_sup.ex:12-23, README.md:106-118),
+  * OTP's restart-type triple:
+  *   - `Transient`  — restart only on abnormal exit (the supervisor default);
+  *   - `Temporary`  — never restart: the first failure propagates to the
+  *     caller untouched;
+  *   - `Permanent`  — restart even after a NORMAL exit (the consumer that
+  *     must always be running): each completed run starts over from the
+  *     checkpoint until the restart budget is spent, then returns normally.
+  */
+sealed trait RestartPolicy
+object RestartPolicy {
+  case object Permanent extends RestartPolicy
+  case object Transient extends RestartPolicy
+  case object Temporary extends RestartPolicy
+}
+
 /** Supervision ≙ ConsumerSup's one-for-one restart
   * (/root/reference/lib/redix/stream/consumer_sup.ex:12-40): run the
   * consumer, and on failure restart it from the checkpoint — Structured
@@ -392,6 +409,7 @@ object ConsumerRunner {
   def runSupervised(spark: SparkSession, cfg: ConsumerConfig,
       handler: (String, Option[String], String, Map[String, String]) => HandlerResult,
       maxRestarts: Int = 3,
+      restart: RestartPolicy = RestartPolicy.Transient,
       until: GraftConsumer => Boolean = _ => true): GraftConsumer = {
     val consumer = new GraftConsumer(spark, cfg, handler)
     var restarts = 0
@@ -408,12 +426,21 @@ object ConsumerRunner {
           if (until(consumer)) caughtUp = true else Thread.sleep(50)
         }
         consumer.stop()
-        done = true
+        restart match {
+          // permanent child: a normal exit is also restarted (the checkpoint
+          // makes the re-run incremental — only new entries are dispatched)
+          case RestartPolicy.Permanent if restarts < maxRestarts => restarts += 1
+          case _ => done = true
+        }
       } catch {
         case e: Throwable =>
           try consumer.stop() catch { case _: Throwable => () }
-          if (restarts >= maxRestarts) throw e
-          restarts += 1 // one-for-one restart; checkpoint replays unacked work
+          restart match {
+            case RestartPolicy.Temporary => throw e // never restarted
+            case _ if restarts >= maxRestarts => throw e
+            case _ =>
+              restarts += 1 // one-for-one restart; checkpoint replays unacked work
+          }
       }
     }
     consumer

@@ -136,13 +136,21 @@ final class LogWriter(root: String, stream: String,
   def produceAllAt(batch: Seq[(Long, Map[String, Any])]): Seq[LogId] =
     if (batch.isEmpty) Nil
     else withStreamLock {
-      appendEntries(batch.map { case (ms, v) =>
-        if (ms < last.millis) throw new IllegalArgumentException(
-          s"explicit timestamp $ms is earlier than the stream '$stream' " +
-            s"high-water millisecond ${last.millis} — explicit-timestamp " +
-            "appends must be non-decreasing")
-        LogEntry(nextIdAt(ms), coerce(v))
-      })
+      // Validate the WHOLE batch against the disk high-water BEFORE assigning
+      // any ids: interleaving validation with nextIdAt would advance the
+      // in-memory `last` for elements 0..k-1 of a batch rejected at element
+      // k, and withStreamLock only ever refreshes `last` upward — so the
+      // phantom high-water would spuriously reject later valid appends until
+      // the writer was recreated. Nothing hits disk on a rejected batch, so
+      // nothing may move the high-water either.
+      batch.iterator.map(_._1).scanLeft(last.millis)(math.max).zip(batch.iterator)
+        .foreach { case (hw, (ms, _)) =>
+          if (ms < hw) throw new IllegalArgumentException(
+            s"explicit timestamp $ms is earlier than the stream '$stream' " +
+              s"high-water millisecond $hw — explicit-timestamp " +
+              "appends must be non-decreasing")
+        }
+      appendEntries(batch.map { case (ms, v) => LogEntry(nextIdAt(ms), coerce(v)) })
     }
 
   /** Write already-id-assigned entries as <= maxSegmentEntries segments and

@@ -116,12 +116,17 @@ object EventTime {
 
     q("q122_user_history",
       // Recent-history feature construction: each user's last 5 event types
-      // in reverse chronological order, as an array column ready to join
-      // onto training examples. The row_number prefilter bounds what the
-      // collect ever buffers to 5 rows per user (collect_list alone would
-      // buffer each user's full history before truncating); both passes
-      // share the one user_id exchange.
-      """SELECT user_id, list(event_type ORDER BY event_id DESC)[1:5] AS recent
+      // in reverse chronological order, as an array ready to join onto
+      // training examples. The row_number prefilter bounds what the collect
+      // ever buffers to 5 rows per user (collect_list alone would buffer
+      // each user's full history before truncating); both passes share the
+      // one user_id exchange. The oracle surface emits the array joined with
+      // '|' — the driver's comparator hashes/sorts column values, and a raw
+      // ARRAY<STRING> is unhashable on its side (VERDICT r3 #1); the
+      // array-building plan is unchanged, only the output column is
+      // canonicalized.
+      """SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY event_id DESC)[1:5], '|') AS recent
         |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
@@ -131,7 +136,8 @@ object EventTime {
         .filter($"rn" <= 5)
         .groupBy($"user_id")
         .agg(expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")
-          .as("recent"))
+          .as("recent_arr"))
+        .select($"user_id", array_join($"recent_arr", "|").as("recent"))
         .orderBy($"user_id")
     },
 

@@ -475,6 +475,76 @@ class ConsumerSpec extends AnyFunSuite {
     assert(seen.size == 4) // nothing redelivered
   }
 
+  test("restart policy: temporary never restarts — first failure propagates") {
+    // ≙ sup_restart: :temporary (consumer_sup.ex:12-23): the child is never
+    // restarted; the crash reaches the caller on the first attempt.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("n" -> i.toString)))
+    var attempts = 0
+    // the handler crash surfaces wrapped (StreamingQueryException -> foreach
+    // batch user-function error -> the cause); walk the chain for the message
+    val e = intercept[Exception] {
+      ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("g1")),
+        (_, _, _, values) => {
+          if (values("n") == "1") attempts += 1
+          HandlerResult.Err(new RuntimeException("always boom"))
+        },
+        maxRestarts = 3, restart = RestartPolicy.Temporary)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("always boom"))
+    assert(attempts == 1) // no second run ever started
+  }
+
+  test("restart policy: transient restarts on failure only (the default)") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 3).foreach(i => w.produce(Map("n" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[String]
+    var failedOnce = false
+    val c = ConsumerRunner.runSupervised(spark, cfg(root, "s", Some("g1")),
+      (_, _, _, values) => {
+        if (values("n") == "2" && !failedOnce) {
+          failedOnce = true
+          HandlerResult.Err(new RuntimeException("boom once"))
+        } else { seen += values("n"); HandlerResult.Ok }
+      },
+      restart = RestartPolicy.Transient,
+      until = _ => seen.size >= 3)
+    c.stop()
+    assert(seen.toList == List("1", "2", "3"))
+  }
+
+  test("restart policy: permanent restarts after a NORMAL exit, resuming incrementally") {
+    // ≙ sup_restart: :permanent — a completed run is started again; the
+    // checkpoint makes the re-run incremental, so entries produced between
+    // runs are dispatched by the restarted consumer with no manual restart.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 2).foreach(i => w.produce(Map("n" -> i.toString)))
+    val seen = mutable.ArrayBuffer.empty[String]
+    var runs = 0
+    val shared = cfg(root, "s", Some("g1"))
+    ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { seen += values("n"); HandlerResult.Ok },
+      maxRestarts = 1, restart = RestartPolicy.Permanent,
+      until = { _ =>
+        val caughtUp =
+          if (runs == 0) seen.size >= 2
+          else seen.size >= 3
+        if (caughtUp && runs == 0) {
+          // first run completes normally here; produce more BEFORE the
+          // permanent restart so the second run has work to pick up
+          runs += 1
+          w.produce(Map("n" -> "3"))
+        }
+        caughtUp
+      })
+    assert(seen.toList == List("1", "2", "3")) // second run saw only the new entry
+  }
+
   test("tombstone is not dispatched to the handler") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")

@@ -51,6 +51,25 @@ class LogSourceSpec extends AnyFunSuite {
     assert(w.produceAllAt(Seq(300L -> Map[String, Any]("k" -> "f"))) == Seq(LogId(300, 2)))
   }
 
+  test("produceAllAt rejected mid-batch leaves the writer's high-water untouched") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s1")
+    w.produceAllAt(Seq(100L -> Map[String, Any]("k" -> "a")))
+    // regression at element 2: elements 0-1 (at ms 500, 600) must NOT have
+    // advanced the in-memory high-water — nothing was written, so a
+    // subsequent append at ms 200 (>= disk high-water 100) is valid
+    intercept[IllegalArgumentException] {
+      w.produceAllAt(Seq(
+        500L -> Map[String, Any]("k" -> "b"),
+        600L -> Map[String, Any]("k" -> "c"),
+        50L -> Map[String, Any]("k" -> "late")))
+    }
+    assert(w.produceAllAt(Seq(200L -> Map[String, Any]("k" -> "d"))) ==
+      Seq(LogId(200, 0)))
+    val got = LogStore.readRange(root, "s1", LogId.Zero, LogStore.maxId(root, "s1"))
+    assert(got.map(_.id) == Seq(LogId(100, 0), LogId(200, 0)))
+  }
+
   test("produce coerces values to_string and round-trips") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "temps")
