@@ -1,0 +1,191 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Pure-JVM image codecs for the multimodal pipeline: PPM (netpbm P6 binary
+  * RGB) and BMP (24-bit uncompressed BI_RGB) — the two classic formats
+  * decodable with zero dependencies, which is what this offline container
+  * allows. They make the decode stage of MediaPipeline REAL: headers are
+  * parsed, pixel data is materialized, resize actually resamples and
+  * re-encodes. Formats beyond these (JPEG/PNG/MP4...) need codec libraries
+  * that are not present; MediaPipeline falls back to its documented
+  * deterministic stub for those mimes only.
+  *
+  * The reference has no media path at all (its payloads are flat string
+  * maps, /root/reference/lib/stream.ex:15-16); this is part of the engine's
+  * training-data-pipeline surface (builder brief: multimodal columns).
+  */
+object Codecs {
+
+  /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
+  final case class RgbImage(width: Int, height: Int, pixels: Array[Byte]) {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(pixels.length == 3 * width * height,
+      s"pixel buffer ${pixels.length} != 3*$width*$height")
+    /** (r, g, b) at (x, y), each 0..255. */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val o = 3 * (y * width + x)
+      ((pixels(o) & 0xff), (pixels(o + 1) & 0xff), (pixels(o + 2) & 0xff))
+    }
+  }
+
+  def isPpm(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'P' && b(1) == '6' && isPpmSpace(b(2))
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
+  /** Decode by magic bytes; None for formats this container cannot parse. */
+  def decode(payload: Array[Byte]): Option[RgbImage] =
+    if (isPpm(payload)) Some(decodePpm(payload))
+    else if (isBmp(payload)) Some(decodeBmp(payload))
+    else None
+
+  // --- PPM (P6, maxval <= 255) ---
+
+  def encodePpm(img: RgbImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes(US_ASCII)
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  private def isPpmSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+
+  def decodePpm(bytes: Array[Byte]): RgbImage = {
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var i = 2
+    // netpbm header tokens are separated by whitespace; '#' starts a
+    // comment running to end-of-line and may appear between tokens
+    def nextInt(): Int = {
+      while (i < bytes.length &&
+          (isPpmSpace(bytes(i)) || bytes(i) == '#')) {
+        if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = 0
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      require(i > start, s"PPM header: expected integer at byte $i")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
+    require(i < bytes.length && isPpmSpace(bytes(i)),
+      "PPM header: expected single whitespace before raster")
+    i += 1 // exactly ONE whitespace byte separates header and raster
+    val n = 3 * w * h
+    require(bytes.length - i >= n,
+      s"PPM raster truncated: need $n bytes, have ${bytes.length - i}")
+    val px = java.util.Arrays.copyOfRange(bytes, i, i + n)
+    RgbImage(w, h, px)
+  }
+
+  // --- BMP (BITMAPINFOHEADER, 24bpp, BI_RGB) ---
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Padded byte width of one 24bpp row (rows align to 4 bytes). */
+  def bmpRowBytes(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  def encodeBmp(img: RgbImage): Array[Byte] = {
+    val rowBytes = bmpRowBytes(img.width)
+    val dataSize = rowBytes * img.height
+    val out = new Array[Byte](54 + dataSize)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + dataSize) // file size
+    put32(10, 54) // pixel data offset
+    put32(14, 40) // BITMAPINFOHEADER size
+    put32(18, img.width)
+    put32(22, img.height) // positive = bottom-up, the common convention
+    put16(26, 1) // planes
+    put16(28, 24) // bpp
+    put32(30, 0) // BI_RGB
+    put32(34, dataSize)
+    // rows bottom-up, pixels BGR
+    var y = 0
+    while (y < img.height) {
+      val srcRow = img.height - 1 - y
+      var x = 0
+      val dstOff = 54 + y * rowBytes
+      val srcOff = 3 * srcRow * img.width
+      while (x < img.width) {
+        out(dstOff + 3 * x) = img.pixels(srcOff + 3 * x + 2) // B
+        out(dstOff + 3 * x + 1) = img.pixels(srcOff + 3 * x + 1) // G
+        out(dstOff + 3 * x + 2) = img.pixels(srcOff + 3 * x) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decodeBmp(bytes: Array[Byte]): RgbImage = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = i32(bytes, 10)
+    val hdrSize = i32(bytes, 14)
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val w = i32(bytes, 18)
+    val hRaw = i32(bytes, 22) // negative height = top-down row order
+    val bpp = u16(bytes, 28)
+    val compression = i32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression (24bpp BI_RGB only)")
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowBytes = bmpRowBytes(w)
+    require(bytes.length - dataOffset >= rowBytes * h, "BMP raster truncated")
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val srcOff = dataOffset + srcRow * rowBytes
+      var x = 0
+      val dstOff = 3 * y * w
+      while (x < w) {
+        px(dstOff + 3 * x) = bytes(srcOff + 3 * x + 2) // R
+        px(dstOff + 3 * x + 1) = bytes(srcOff + 3 * x + 1) // G
+        px(dstOff + 3 * x + 2) = bytes(srcOff + 3 * x) // B
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(w, h, px)
+  }
+
+  /** Nearest-neighbor resample — integer source mapping (x*srcW/dstW), fully
+    * deterministic across JVMs, no float rounding to diverge from an oracle.
+    */
+  def resizeNearest(img: RgbImage, tw: Int, th: Int): RgbImage = {
+    require(tw > 0 && th > 0, s"bad target dims ${tw}x$th")
+    if (tw == img.width && th == img.height) img
+    else {
+      val px = new Array[Byte](3 * tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * img.height / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * img.width / tw).toInt
+          val s = 3 * (sy * img.width + sx)
+          val d = 3 * (y * tw + x)
+          px(d) = img.pixels(s); px(d + 1) = img.pixels(s + 1); px(d + 2) = img.pixels(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      RgbImage(tw, th, px)
+    }
+  }
+}

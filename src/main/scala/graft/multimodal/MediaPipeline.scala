@@ -32,28 +32,44 @@ final case class MediaFeatures(
   * embarrassingly parallel; partition sizing is controlled upstream by
   * `spark.sql.files.maxPartitionBytes` on the payload source.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): `StubDecoder` derives deterministic fake dimensions from the
-  * payload bytes. Every other part — schema, typed Dataset plumbing,
-  * per-partition batching, feature computation over real bytes — is real and
-  * tested (MediaPipelineSpec).
+  * Decode is REAL for the formats a zero-dependency JVM can parse — PPM (P6)
+  * and BMP (24-bit BI_RGB), see [[Codecs]] — including actual pixel
+  * resampling on resize. Formats needing codec libraries absent from this
+  * container (JPEG/PNG/MP4...) fall back to a documented deterministic
+  * stand-in, so the pipeline shape stays exercised end-to-end for every
+  * mime. Tested in MediaPipelineSpec (real files) and oracle-checked by
+  * q134 (decoded dims/bytes vs closed-form DuckDB arithmetic).
   */
 object MediaPipeline {
 
-  /** Deterministic stand-in for an image/video decoder. A real deployment
-    * swaps `decode` for the actual library call; nothing else changes.
+  /** Image/video decoder: real parse for PPM/BMP payloads (dispatch on magic
+    * bytes); other formats get a deterministic stand-in derived from the
+    * payload, clearly separated below — a real deployment swaps ONLY the
+    * fallback for the actual library call, nothing else changes.
     */
-  object StubDecoder {
+  object Decoder {
     final case class Decoded(width: Int, height: Int, frames: Int)
 
-    def decode(mime: String, payload: Array[Byte]): Decoded = {
-      // ??? <- real decoder goes here; deterministic fake below.
+    def decode(mime: String, payload: Array[Byte]): Decoded =
+      Codecs.decode(payload) match {
+        case Some(img) => Decoded(img.width, img.height, 1)
+        case None => fallback(mime, payload)
+      }
+
+    /** Deterministic stand-in for codec-less formats (no JPEG/PNG/MP4 libs
+      * in this container): fake-but-stable dims from a payload hash.
+      */
+    private[multimodal] def fallback(mime: String, payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
       val base = math.abs(h % 1024).toInt + 16
       val frames = if (mime.startsWith("video/")) math.abs(h % 300).toInt + 1 else 1
       Decoded(base, (base * 3) / 4, frames)
     }
   }
+
+  /** Back-compat alias; prefer [[Decoder]]. */
+  @deprecated("use Decoder", "0.1.0")
+  val StubDecoder: Decoder.type = Decoder
 
   /** Wrap string content as media records (the fixture stand-in for blobs). */
   def fromText(spark: SparkSession, rows: Dataset[(Long, String)],
@@ -80,7 +96,7 @@ object MediaPipeline {
         }
         val mean = if (n == 0) 0.0 else sum / n
         val varr = if (n == 0) 0.0 else sumSq / n - mean * mean
-        val dec = StubDecoder.decode(rec.mime, bytes)
+        val dec = Decoder.decode(rec.mime, bytes)
         MediaFeatures(rec.media_id, rec.mime, n, mean, varr,
           dec.width, dec.height, dec.frames)
       }
@@ -101,9 +117,12 @@ object MediaPipeline {
   }
 
   /** Batched resize: decode dims per record, compute the fit-within plan,
-    * and emit the (stub-)resized record — the real implementation swaps the
-    * payload transform; the Spark-side shape (mapPartitions with per-
-    * partition codec init, same schema in and out) is the contract.
+    * and emit the resized record. For PPM/BMP payloads this is a REAL
+    * resample: pixels are decoded, nearest-neighbor resampled to the plan's
+    * dims, and re-encoded in the same format — downstream decode sees the
+    * new dimensions in the payload itself. Codec-less formats keep their
+    * bytes and record the plan in the mime parameters instead (stripping any
+    * previous plan: chaining resizes must replace, not accumulate).
     */
   def resize(spark: SparkSession, media: Dataset[MediaRecord],
       maxW: Int, maxH: Int): Dataset[MediaRecord] = {
@@ -111,14 +130,19 @@ object MediaPipeline {
     media.mapPartitions { it =>
       // per-partition setup (codec init) happens once, here
       it.map { rec =>
-        val dec = StubDecoder.decode(rec.mime, rec.payload)
-        val (tw, th) = resizePlan(dec.width, dec.height, maxW, maxH)
-        // ??? <- real payload re-encode at (tw, th); stub keeps the bytes
-        // and records the target dims in the mime parameters, so the plan
-        // is visible to (and testable by) downstream stages. Strip any
-        // previous parameters first: chaining resizes must replace the
-        // plan, not accumulate conflicting w/h pairs.
-        rec.copy(mime = s"${rec.mime.takeWhile(_ != ';')};w=$tw;h=$th")
+        Codecs.decode(rec.payload) match {
+          case Some(img) =>
+            val (tw, th) = resizePlan(img.width, img.height, maxW, maxH)
+            val resized = Codecs.resizeNearest(img, tw, th)
+            val encoded =
+              if (Codecs.isBmp(rec.payload)) Codecs.encodeBmp(resized)
+              else Codecs.encodePpm(resized)
+            rec.copy(payload = encoded)
+          case None =>
+            val dec = Decoder.fallback(rec.mime, rec.payload)
+            val (tw, th) = resizePlan(dec.width, dec.height, maxW, maxH)
+            rec.copy(mime = s"${rec.mime.takeWhile(_ != ';')};w=$tw;h=$th")
+        }
       }
     }
   }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.multimodal.{Codecs, MediaPipeline, MediaRecord}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked multimodal decode (SURVEY.md §2B "multimodal"): REAL image
+  * bytes — PPM (P6) for even ids, BMP (24-bit BI_RGB) for odd — are encoded
+  * on executors from a closed-form per-doc pattern, pushed through the
+  * production pipeline (extractFeatures → resize → extractFeatures), and the
+  * DECODED dimensions/sizes are compared against DuckDB computing the same
+  * quantities purely arithmetically from doc_id. The equality holds only if
+  * the decoder actually parsed the format headers, the resampler actually
+  * produced the planned raster, and the re-encoder wrote a well-formed file
+  * the second decode could read — plumbing alone can't pass it.
+  *
+  * The reference carries only flat string payloads
+  * (/root/reference/lib/stream.ex:15-16); this is engine surface for
+  * training-data pipelines (binary columns + typed metadata).
+  */
+object Multimodal {
+
+  /** Deterministic fixture raster for one doc: dims derived from the id,
+    * channel values an affine pattern mod 256 (pixel (0,0) red = id % 256,
+    * the oracle's pixel-level probe).
+    */
+  private[graft] def fixtureImage(id: Long): Codecs.RgbImage = {
+    val w = 16 + (id % 48).toInt
+    val h = 8 + (id % 24).toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (x + 2 * y + id) % 256
+        val o = 3 * (y * w + x)
+        px(o) = base.toByte
+        px(o + 1) = ((base + 85) % 256).toByte
+        px(o + 2) = ((base + 170) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.RgbImage(w, h, px)
+  }
+
+  private[graft] def fixtureRecord(id: Long): MediaRecord = {
+    val img = fixtureImage(id)
+    if (id % 2 == 0) MediaRecord(id, "image/x-portable-pixmap", Codecs.encodePpm(img))
+    else MediaRecord(id, "image/bmp", Codecs.encodeBmp(img))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q134_multimodal_decode",
+      // Closed-form twins of the decode pipeline: header sizes (PPM header =
+      // 9 + digits(w) + digits(h); BMP = 54 + 4-byte-padded rows), the
+      // fit-within-24x24 resize plan (same IEEE double op order as
+      // MediaPipeline.resizePlan), and the (0,0) red channel.
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + (doc_id % 48) AS w,
+        |    8 + (doc_id % 24) AS h
+        |  FROM documents
+        |), p AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN w
+        |      ELSE GREATEST(1, CAST(FLOOR(w * LEAST(CAST(24 AS DOUBLE)/w,
+        |        CAST(24 AS DOUBLE)/h)) AS BIGINT)) END AS rw,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN h
+        |      ELSE GREATEST(1, CAST(FLOOR(h * LEAST(CAST(24 AS DOUBLE)/w,
+        |        CAST(24 AS DOUBLE)/h)) AS BIGINT)) END AS rh
+        |  FROM m
+        |)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN media_id % 2 = 0
+        |    THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+        |    ELSE 54 + h * ((3*w + 3) // 4 * 4) END AS BIGINT) AS n_bytes,
+        |  CAST(media_id % 256 AS BIGINT) AS first_px,
+        |  CAST(rw AS BIGINT) AS r_width, CAST(rh AS BIGINT) AS r_height,
+        |  CAST(CASE WHEN media_id % 2 = 0
+        |    THEN 9 + length(CAST(rw AS VARCHAR)) + length(CAST(rh AS VARCHAR)) + 3*rw*rh
+        |    ELSE 54 + rh * ((3*rw + 3) // 4 * 4) END AS BIGINT) AS r_bytes
+        |FROM p ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(fixtureRecord))
+      // decode the original payloads (real header parse + pixel probe)...
+      val feats = MediaPipeline.extractFeatures(s, media)
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"), $"n_bytes")
+      val firstPx = media
+        .map(r => (r.media_id, Codecs.decode(r.payload).get.pixel(0, 0)._1.toLong))
+        .toDF("px_id", "first_px")
+      // ...then resize for real (resample + re-encode) and decode AGAIN:
+      // r_width/r_height/r_bytes come out of the second parse, so they
+      // certify the re-encoded file, not the plan arithmetic
+      val rfeats = MediaPipeline.extractFeatures(
+          s, MediaPipeline.resize(s, media, 24, 24))
+        .select($"media_id".as("r_id"), $"width".cast("long").as("r_width"),
+          $"height".cast("long").as("r_height"), $"n_bytes".as("r_bytes"))
+      feats
+        .join(firstPx, $"media_id" === $"px_id")
+        .join(rfeats, $"media_id" === $"r_id")
+        .select($"media_id", $"width", $"height", $"n_bytes", $"first_px",
+          $"r_width", $"r_height", $"r_bytes")
+        .orderBy($"media_id")
+    },
+  )
+}

@@ -1,10 +1,86 @@
 package graft
 
-import graft.multimodal.{MediaPipeline, MediaRecord}
+import graft.multimodal.{Codecs, MediaPipeline, MediaRecord}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MediaPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  private def pattern(w: Int, h: Int): Codecs.RgbImage = {
+    val px = Array.tabulate(3 * w * h)(i => ((i * 7 + 13) % 256).toByte)
+    Codecs.RgbImage(w, h, px)
+  }
+
+  test("PPM encode/decode round-trips pixels exactly") {
+    val img = pattern(37, 23)
+    val bytes = Codecs.encodePpm(img)
+    assert(Codecs.isPpm(bytes) && !Codecs.isBmp(bytes))
+    val back = Codecs.decodePpm(bytes)
+    assert(back.width == 37 && back.height == 23)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("PPM decode handles header comments and multi-whitespace") {
+    val img = pattern(4, 2)
+    val withComment = ("P6\n# a netpbm comment\n 4  2\n# another\n255\n"
+      .getBytes("US-ASCII")) ++ img.pixels
+    val back = Codecs.decodePpm(withComment)
+    assert(back.width == 4 && back.height == 2 && back.pixels.toSeq == img.pixels.toSeq)
+    intercept[IllegalArgumentException](Codecs.decodePpm("P6\n4 2\n65535\n".getBytes ++ img.pixels))
+  }
+
+  test("BMP encode/decode round-trips pixels exactly (incl. row padding)") {
+    // width 5 -> 15-byte rows padded to 16: the padding path is exercised
+    val img = pattern(5, 3)
+    val bytes = Codecs.encodeBmp(img)
+    assert(Codecs.isBmp(bytes) && !Codecs.isPpm(bytes))
+    assert(bytes.length == 54 + 3 * Codecs.bmpRowBytes(5))
+    val back = Codecs.decodeBmp(bytes)
+    assert(back.width == 5 && back.height == 3)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("BMP decode handles top-down (negative height) rasters") {
+    val img = pattern(3, 2)
+    val bottomUp = Codecs.encodeBmp(img)
+    // flip to top-down: negate height, reorder rows
+    val rowBytes = Codecs.bmpRowBytes(3)
+    val flipped = bottomUp.clone()
+    flipped(22) = (-2 & 0xff).toByte; flipped(23) = 0xff.toByte
+    flipped(24) = 0xff.toByte; flipped(25) = 0xff.toByte
+    System.arraycopy(bottomUp, 54 + rowBytes, flipped, 54, rowBytes)
+    System.arraycopy(bottomUp, 54, flipped, 54 + rowBytes, rowBytes)
+    assert(Codecs.decodeBmp(flipped).pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("nearest-neighbor resize is exact on integer downscale") {
+    val img = pattern(8, 4)
+    val half = Codecs.resizeNearest(img, 4, 2)
+    assert(half.width == 4 && half.height == 2)
+    // (x, y) in the half image samples (2x, 2y) in the source
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(half.pixel(x, y) == img.pixel(2 * x, 2 * y))
+  }
+
+  test("real decode flows through extractFeatures; resize re-encodes a decodable file") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/x-portable-pixmap", Codecs.encodePpm(pattern(40, 30))),
+      MediaRecord(2L, "image/bmp", Codecs.encodeBmp(pattern(60, 20))))
+    val media = spark.createDataset(recs)
+    val feats = MediaPipeline.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(feats(0).width == 40 && feats(0).height == 30)
+    assert(feats(1).width == 60 && feats(1).height == 20)
+    // resize really resamples: the re-encoded payload decodes to the plan dims
+    val resized = MediaPipeline.resize(spark, media, 24, 24).collect().sortBy(_.media_id)
+    val r0 = Codecs.decode(resized(0).payload).get
+    assert((r0.width, r0.height) == MediaPipeline.resizePlan(40, 30, 24, 24))
+    val r1 = Codecs.decode(resized(1).payload).get
+    assert((r1.width, r1.height) == MediaPipeline.resizePlan(60, 20, 24, 24))
+    assert(Codecs.isBmp(resized(1).payload)) // format preserved through resize
+    // mime stays clean for decodable formats (no stub w/h parameters)
+    assert(resized.forall(!_.mime.contains(";")))
+  }
 
   test("batched feature extraction over binary payloads") {
     import spark.implicits._
