@@ -32,6 +32,24 @@ object Bench {
     } catch { case _: Throwable => -1L }
   }
 
+  /** Distributed bulk-ingest throughput: 50k explicit-timestamp rows through
+    * LogBulkProducer (executors publish their own segments; no driver
+    * funnel) — the write-side twin of streamIngestEps.
+    */
+  private def bulkProduceEps(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-bulk").toString
+      val n = 50000
+      val df = spark.range(n).select(
+        (lit(1700000000000L) + col("id") / 10L).as("ms"),
+        concat(lit("payload_"), col("id")).as("p"))
+      val t0 = System.nanoTime()
+      graft.log.LogBulkProducer.produceAt(df, "ms", root, "bulk", Seq("p"))
+      math.round(n / ((System.nanoTime() - t0) / 1e9))
+    } catch { case _: Throwable => -1L }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +83,7 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val eps = streamIngestEps(spark)
+    val bulkEps = bulkProduceEps(spark)
     // Full per-query map goes to a repo file; stdout carries ONE compact
     // JSON line. The driver keeps only a ~2000-char tail of stdout, so a
     // 122-entry map (~4 KB) would overflow it and record "parsed": null —
@@ -72,7 +91,7 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.props("user.dir"), "BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"stream_entries_per_sec":$eps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Headline subset: one representative per engine area (relational,
     // windows, dedup, similarity, text curation, streaming, log source).
@@ -84,7 +103,7 @@ object Bench {
       "q114_bloom_semijoin", "q116_paragraph_dedup", "q120_streaming_lsh_dedup",
       "q131_replay_from_time", "q132_batch_time_slice")
       .flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,13 @@ import java.nio.file.StandardOpenOption
   * the lock within `lockTimeoutMs` fails loudly rather than corrupting the
   * log. (At 100 TB one stream = one ordered shard by design, as in Redis;
   * scale-out is many streams, each with its own writer.)
+  *
+  * This is the single-writer PARITY api — every append funnels through one
+  * sequencer, which is the contract, not a defect. For bulk bootstrap of a
+  * fresh stream from a table (backfills, event-time fixtures) use
+  * [[LogBulkProducer]]: explicit timestamps make ids data-derived, so
+  * executors write segments directly and nothing funnels through the
+  * driver.
   */
 final class LogWriter(root: String, stream: String,
     clock: () => Long = () => System.currentTimeMillis(),

@@ -17,39 +17,35 @@ import java.nio.file.Files
   */
 object StreamLog {
 
-  /** Shared event-time log (memoized per sfDir): events produced through
-    * LogWriter with the clock following event time (sorted, so ids stay
-    * monotonic), making the ids' millisecond prefixes event milliseconds —
-    * the fixture behind both time-based replay (q131) and the batch
-    * time-slice scan (q132).
+  /** Shared event-time log (memoized per sfDir): events bulk-produced with
+    * explicit timestamps, making the ids' millisecond prefixes event
+    * milliseconds — the fixture behind both time-based replay (q131) and
+    * the batch time-slice scan (q132). Built through
+    * [[graft.log.LogBulkProducer]]: ids are data-derived and executors
+    * publish their own segments, so no row passes through the driver (the
+    * previous collect-then-produceAllAt materialized all events on one
+    * node — a 10M-row driver sort at 100× this scale).
     */
   private def eventTimeLog(s: SparkSession, dir: String): String = {
     import s.implicits._
     graft.LogFixtures.producedLog(dir, "q131") { r =>
-      val rows = Tables.load(s, dir, "events")
-        .select(unix_millis($"ts").as("ms"), $"event_type")
-        .orderBy($"ms", $"event_type")
-        .collect()
-      cutoffCache.put(dir, rows.head.getLong(0) + 43200000L)
-      // explicit-timestamp batch append: ids' ms prefixes ARE the event
-      // millis by API contract. (Per-entry produce() here would write one
-      // single-entry segment per event and rescan the segment directory for
-      // the id high-water mark each time — O(n²) dirent reads, 100k files
-      // at sf0.1; the fixture took longer than the whole bench.)
-      new graft.log.LogWriter(r, "ev").produceAllAt(rows.toSeq.map(row =>
-        row.getLong(0) -> Map[String, Any]("event_type" -> row.getString(1))))
+      graft.log.LogBulkProducer.produceAt(
+        Tables.load(s, dir, "events")
+          .select(unix_millis($"ts").as("ms"), $"event_type"),
+        "ms", r, "ev", orderCols = Seq("event_type"))
     }
   }
 
   /** 12 h past the stream's first event — the cutoff q131/q132 replay from.
-    * Filled as a by-product of the fixture's sorted collect; computing it
-    * here again would launch a redundant min-scan of events on every run of
-    * either query (4+ extra jobs per bench invocation).
+    * Memoized per sfDir: one single-column min-scan per JVM instead of 4+
+    * redundant jobs per bench invocation of either query.
     */
   private val cutoffCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def cutoffMs(s: SparkSession, dir: String): Long = {
-    eventTimeLog(s, dir) // ensures the fixture ran and the cache is filled
-    cutoffCache.get(dir)
+    import s.implicits._
+    cutoffCache.computeIfAbsent(dir, _ =>
+      Tables.load(s, dir, "events")
+        .agg(min(unix_millis($"ts"))).head().getLong(0) + 43200000L)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -51,6 +51,38 @@ class LogSourceSpec extends AnyFunSuite {
     assert(w.produceAllAt(Seq(300L -> Map[String, Any]("k" -> "f"))) == Seq(LogId(300, 2)))
   }
 
+  test("LogBulkProducer assigns the ids the single writer would, distributedly") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("graftlog")
+    // same-ms runs force seq disambiguation; 25 rows with 3-entry segments
+    // force multiple per-task chunks and multiple range partitions
+    val rows = (0 until 25).map(i => (1000L + (i / 4) * 10, f"v$i%02d"))
+    val df = spark.createDataset(rows).toDF("ms", "payload")
+    val n = graft.log.LogBulkProducer.produceAt(df, "ms", root, "s",
+      orderCols = Seq("payload"), maxSegmentEntries = 3)
+    assert(n == 25)
+    // oracle: the single-writer path over the same (ms, payload) ordering
+    val root2 = TestSpark.tmpDir("graftlog")
+    val w2 = new LogWriter(root2, "s")
+    w2.produceAllAt(rows.sortBy(r => (r._1, r._2)).map { case (ms, v) =>
+      ms -> Map[String, Any]("payload" -> v) })
+    val bulk = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    val single = LogStore.readRange(root2, "s", LogId.Zero, LogStore.maxId(root2, "s"))
+    assert(bulk.map(e => (e.id, e.values)) == single.map(e => (e.id, e.values)))
+    // segments: disjoint ranges, readable through the DSv2 batch scan
+    val segs = LogStore.segments(root, "s")
+    assert(segs.size > 1)
+    assert(segs.sliding(2).forall { case Seq(a, b) => a.last < b.first; case _ => true })
+    val scanned = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    assert(scanned.count() == 25)
+    // bulk produce is a bootstrap API: a non-fresh stream is rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.log.LogBulkProducer.produceAt(df, "ms", root, "s", Seq("payload"))
+    }
+    assert(e.getMessage.contains("fresh stream"))
+  }
+
   test("produceAllAt rejected mid-batch leaves the writer's high-water untouched") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "s1")
