@@ -268,9 +268,11 @@ object Dedup {
       // honest against the same oracle.
       val t = 0.6
       // document frequency via a count window partitioned by hash (one
-      // shuffle of the exploded set; measured faster here than aggregating
-      // the vocab and broadcasting it back, which pays a second pass over
-      // the shingling subtree — revisit if the corpus/vocab ratio grows)
+      // shuffle of the exploded set). Re-measured r4 at sf0.1 against the
+      // aggregate-vocab-and-broadcast variant: warm best-of-3 3.14 s vs
+      // 3.23 s — a wash here, but the window is the scale plan: the vocab
+      // grows linearly with the corpus (unbroadcastable at 100 TB), while
+      // this stays one bounded shuffle of (doc_id, h) pairs.
       val withDf = shingled(s, dir)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", explode($"hh").as("h"))
