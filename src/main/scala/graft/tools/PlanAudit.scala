@@ -109,7 +109,15 @@ object PlanAudit {
       "only the three needed columns read" -> "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
     "q130_corpus_stats" -> Seq(
       "one-row total broadcast back over the per-lang stats" -> "BroadcastNestedLoopJoin",
-      "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"))
+      "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"),
+    "q92_dedup_jaccard_prefix" -> Seq(
+      "prefix-index candidate join is an equi hash join" -> "HashJoin",
+      "no cartesian product in the ppjoin pipeline" -> "!CartesianProduct",
+      "exact-verify joins stay equi (no nested loop)" -> "!BroadcastNestedLoopJoin"),
+    "q134_multimodal_decode" -> Seq(
+      "decode/resize run as object mapPartitions stages (no per-row UDF)" -> "MapPartitions",
+      "feature joins are equi joins" -> "!BroadcastNestedLoopJoin",
+      "no cartesian product in the media pipeline" -> "!CartesianProduct"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
