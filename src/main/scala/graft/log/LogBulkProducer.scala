@@ -35,11 +35,14 @@ import java.nio.file.{Files, StandardCopyOption}
 object LogBulkProducer {
 
   /** Produce every row of `df` into `root/stream` with ids
-    * `(row[msCol], seq)`; returns the entry count. `orderCols` orders rows
-    * within one millisecond (the seq tiebreak) — make it a total order if
-    * distinct payloads share a millisecond and the payload→seq mapping must
-    * be reproducible. All non-`msCol` columns become the payload, coerced
-    * to_string like every produce path (null → "").
+    * `(row[msCol], seq)`; returns the entry count. `orderCols` leads the
+    * seq ordering within one millisecond; the remaining payload columns are
+    * ALWAYS appended as trailing tiebreaks, so the row→id mapping is a
+    * deterministic function of the data — a speculative or retried task
+    * recomputes byte-identical segments (rows identical in every column are
+    * interchangeable, so their relative order cannot matter). All
+    * non-`msCol` columns become the payload, coerced to_string like every
+    * produce path (null → "").
     */
   def produceAt(df: DataFrame, msCol: String, root: String, stream: String,
       orderCols: Seq[String], maxSegmentEntries: Int = 10000): Long = {
@@ -50,30 +53,44 @@ object LogBulkProducer {
         "(use LogWriter for appends to a live stream)")
     val payloadCols = df.columns.filterNot(_ == msCol).toSeq
     require(payloadCols.nonEmpty, "no payload columns besides the timestamp")
+    require(orderCols.forall(payloadCols.contains),
+      s"orderCols must be payload columns, got $orderCols of $payloadCols")
     val coerced = df.select(
       (col(msCol).cast("long").as("__ms") +:
         payloadCols.map(c => coalesce(col(c).cast("string"), lit("")).as(c))): _*)
-    val n = coerced.count()
-    if (n == 0L) return 0L
-    val numSegments = math.max(1L, (n + maxSegmentEntries - 1) / maxSegmentEntries).toInt
-    val w = Window.partitionBy(col("__ms")).orderBy(orderCols.map(col): _*)
-    val withIds = coerced
-      .withColumn("__seq", row_number().over(w).cast("long") - 1L)
-      .repartitionByRange(numSegments, col("__ms"), col("__seq"))
-      .sortWithinPartitions(col("__ms"), col("__seq"))
-    val payloadNames = payloadCols // serializable copy for the closure
-    withIds.foreachPartition { (it: Iterator[Row]) =>
-      val entries = it.map { r =>
-        val ms = r.getAs[Long]("__ms")
-        require(ms >= 0, s"negative timestamp $ms")
-        LogEntry(LogId(ms, r.getAs[Long]("__seq")),
-          payloadNames.map(c => c -> r.getAs[String](c)).toMap)
+      // the sizing count below and the id-assignment job both consume this
+      // lineage; without the cache the full source scan + projection runs
+      // twice — the exact cost this bulk path exists to avoid
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = coerced.count()
+      if (n == 0L) return 0L
+      val numSegments = math.max(1L, (n + maxSegmentEntries - 1) / maxSegmentEntries).toInt
+      val tiebreak = orderCols ++ payloadCols.filterNot(orderCols.contains)
+      val w = Window.partitionBy(col("__ms")).orderBy(tiebreak.map(col): _*)
+      // seq parity with LogWriter.produceAllAt: seq starts at 0 — except at
+      // millisecond 0, where the single writer starts at 1 because id "0-0"
+      // IS LogId.Zero, the position-before-everything (an entry with that
+      // id would be invisible to every read-from-start scan)
+      val withIds = coerced
+        .withColumn("__seq", row_number().over(w).cast("long") -
+          when(col("__ms") === 0L, 0L).otherwise(1L))
+        .repartitionByRange(numSegments, col("__ms"), col("__seq"))
+        .sortWithinPartitions(col("__ms"), col("__seq"))
+      val payloadNames = payloadCols // serializable copy for the closure
+      withIds.foreachPartition { (it: Iterator[Row]) =>
+        val entries = it.map { r =>
+          val ms = r.getAs[Long]("__ms")
+          require(ms >= 0, s"negative timestamp $ms")
+          LogEntry(LogId(ms, r.getAs[Long]("__seq")),
+            payloadNames.map(c => c -> r.getAs[String](c)).toMap)
+        }
+        entries.grouped(maxSegmentEntries).foreach { chunk =>
+          if (chunk.nonEmpty) writeTaskSegment(root, stream, chunk)
+        }
       }
-      entries.grouped(maxSegmentEntries).foreach { chunk =>
-        if (chunk.nonEmpty) writeTaskSegment(root, stream, chunk)
-      }
-    }
-    n
+      n
+    } finally coerced.unpersist()
   }
 
   /** Executor-side segment publish: unique tmp (task attempts must not
@@ -85,7 +102,8 @@ object LogBulkProducer {
   private def writeTaskSegment(root: String, stream: String,
       chunk: Seq[LogEntry]): Unit = {
     val dir = LogStore.streamDir(root, stream)
-    val name = s"${chunk.head.id}__${chunk.last.id}.jsonl"
+    // LogStore owns the name format — SegName must keep parsing these files
+    val name = LogStore.segmentName(chunk.head.id, chunk.last.id, gzip = false)
     val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
     val bytes = chunk.iterator.map(LogStore.encodeLine)
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)

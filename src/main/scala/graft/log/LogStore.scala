@@ -409,7 +409,7 @@ object LogStore {
     }
   }
 
-  private def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
+  private[log] def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
 
   /** A segment fully written to a hidden tmp file, not yet visible. */

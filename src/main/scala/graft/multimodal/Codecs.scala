@@ -34,11 +34,18 @@ object Codecs {
   def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
 
-  /** Decode by magic bytes; None for formats this container cannot parse. */
+  /** Decode by magic bytes; None for formats this container cannot parse.
+    * A payload that merely STARTS like a format (text beginning "BM...",
+    * a truncated file) must not crash the caller's task — parse failures
+    * also return None so MediaPipeline's deterministic fallback handles
+    * them, exactly like an unknown format.
+    */
   def decode(payload: Array[Byte]): Option[RgbImage] =
-    if (isPpm(payload)) Some(decodePpm(payload))
-    else if (isBmp(payload)) Some(decodeBmp(payload))
-    else None
+    try {
+      if (isPpm(payload)) Some(decodePpm(payload))
+      else if (isBmp(payload)) Some(decodeBmp(payload))
+      else None
+    } catch { case _: IllegalArgumentException => None }
 
   // --- PPM (P6, maxval <= 255) ---
 
@@ -81,6 +88,16 @@ object Codecs {
     require(bytes.length - i >= n,
       s"PPM raster truncated: need $n bytes, have ${bytes.length - i}")
     val px = java.util.Arrays.copyOfRange(bytes, i, i + n)
+    // samples are stored in 0..maxval; rescale to the canonical 0..255
+    // intensity range (round-half-up), else a maxval<255 file re-encoded
+    // under our maxval=255 header would come out near-black
+    if (maxval != 255) {
+      var j = 0
+      while (j < n) {
+        px(j) = (((px(j) & 0xff) * 255 + maxval / 2) / maxval).toByte
+        j += 1
+      }
+    }
     RgbImage(w, h, px)
   }
 

@@ -83,6 +83,25 @@ class LogSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fresh stream"))
   }
 
+  test("LogBulkProducer at millisecond 0 matches the single writer (no 0-0 id)") {
+    import spark.implicits._
+    // id "0-0" IS LogId.Zero (the position before everything): an entry
+    // with it would be invisible to every read-from-start scan. The single
+    // writer assigns 0-1 for the first ms-0 entry; bulk produce must agree.
+    val root = TestSpark.tmpDir("graftlog")
+    val df = spark.createDataset(Seq((0L, "a"), (0L, "b"), (5L, "c")))
+      .toDF("ms", "payload")
+    graft.log.LogBulkProducer.produceAt(df, "ms", root, "s", Seq("payload"))
+    val got = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(got.map(_.id) == Seq(LogId(0, 1), LogId(0, 2), LogId(5, 0)))
+    val w = new LogWriter(TestSpark.tmpDir("graftlog") + "/x", "s")
+    assert(w.produceAllAt(Seq(
+      0L -> Map[String, Any]("payload" -> "a"),
+      0L -> Map[String, Any]("payload" -> "b"),
+      5L -> Map[String, Any]("payload" -> "c"))) ==
+      Seq(LogId(0, 1), LogId(0, 2), LogId(5, 0)))
+  }
+
   test("produceAllAt rejected mid-batch leaves the writer's high-water untouched") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "s1")

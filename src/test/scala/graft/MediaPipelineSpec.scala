@@ -53,6 +53,30 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(Codecs.decodeBmp(flipped).pixels.toSeq == img.pixels.toSeq)
   }
 
+  test("decode returns None (not a crash) for payloads that merely start like a format") {
+    // "BM25 ranking..." passes the 2-byte BMP magic check; the parse must
+    // fail into the fallback path, not kill the task
+    assert(Codecs.decode("BM25 is a ranking function for text".getBytes("UTF-8")).isEmpty)
+    assert(Codecs.decode("P6 engines and the like".getBytes("UTF-8")).isEmpty)
+    assert(Codecs.decode(Array[Byte]('B', 'M')).isEmpty) // truncated header
+    // and the pipeline-level fallback keeps such records flowing
+    val spark2 = spark
+    import spark2.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRecord(9L, "text/plain", "BM25 is a ranking function for text".getBytes("UTF-8"))))
+    val f = MediaPipeline.extractFeatures(spark, media).collect()
+    assert(f.length == 1 && f.head.width >= 16) // fallback dims, no crash
+  }
+
+  test("PPM samples below maxval=255 are rescaled to canonical intensities") {
+    // maxval 15: sample 15 is full white and must decode as 255
+    val raw = "P6\n2 1\n15\n".getBytes("US-ASCII") ++
+      Array[Byte](15, 0, 7, 15, 15, 0)
+    val img = Codecs.decodePpm(raw)
+    assert(img.pixel(0, 0) == ((255, 0, 119)))
+    assert(img.pixel(1, 0) == ((255, 255, 0)))
+  }
+
   test("nearest-neighbor resize is exact on integer downscale") {
     val img = pattern(8, 4)
     val half = Codecs.resizeNearest(img, 4, 2)
