@@ -1,8 +1,7 @@
 package graft.log
 
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row}
 
 import java.nio.file.{Files, StandardCopyOption}
 
@@ -43,6 +42,12 @@ object LogBulkProducer {
     * interchangeable, so their relative order cannot matter). All
     * non-`msCol` columns become the payload, coerced to_string like every
     * produce path (null → "").
+    *
+    * Thin programmatic wrapper over the sink's `tsColumn` bulk write
+    * (GraftLogBulkWrite): Catalyst plans the ms-clustered shuffle via
+    * `RequiresDistributionAndOrdering`, tasks assign seqs locally and
+    * publish their own segments. One id-assignment implementation, two
+    * surfaces.
     */
   def produceAt(df: DataFrame, msCol: String, root: String, stream: String,
       orderCols: Seq[String], maxSegmentEntries: Int = 10000): Long = {
@@ -55,63 +60,50 @@ object LogBulkProducer {
     require(payloadCols.nonEmpty, "no payload columns besides the timestamp")
     require(orderCols.forall(payloadCols.contains),
       s"orderCols must be payload columns, got $orderCols of $payloadCols")
+    // column order IS the sink's tiebreak order: ts first, then orderCols,
+    // then the remaining payload columns
     val coerced = df.select(
       (col(msCol).cast("long").as("__ms") +:
-        payloadCols.map(c => coalesce(col(c).cast("string"), lit("")).as(c))): _*)
-      // the sizing count below and the id-assignment job both consume this
-      // lineage; without the cache the full source scan + projection runs
-      // twice — the exact cost this bulk path exists to avoid
+        (orderCols ++ payloadCols.filterNot(orderCols.contains))
+          .map(c => coalesce(col(c).cast("string"), lit("")).as(c))): _*)
+      // the sizing count and the sink write both consume this lineage;
+      // without the cache the full source scan + projection runs twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = coerced.count()
       if (n == 0L) return 0L
-      val numSegments = math.max(1L, (n + maxSegmentEntries - 1) / maxSegmentEntries).toInt
-      val tiebreak = orderCols ++ payloadCols.filterNot(orderCols.contains)
-      val w = Window.partitionBy(col("__ms")).orderBy(tiebreak.map(col): _*)
-      // seq parity with LogWriter.produceAllAt: seq starts at 0 — except at
-      // millisecond 0, where the single writer starts at 1 because id "0-0"
-      // IS LogId.Zero, the position-before-everything (an entry with that
-      // id would be invisible to every read-from-start scan)
-      val withIds = coerced
-        .withColumn("__seq", row_number().over(w).cast("long") -
-          when(col("__ms") === 0L, 0L).otherwise(1L))
-        .repartitionByRange(numSegments, col("__ms"), col("__seq"))
-        .sortWithinPartitions(col("__ms"), col("__seq"))
-      val payloadNames = payloadCols // serializable copy for the closure
-      withIds.foreachPartition { (it: Iterator[Row]) =>
-        val entries = it.map { r =>
-          val ms = r.getAs[Long]("__ms")
-          require(ms >= 0, s"negative timestamp $ms")
-          LogEntry(LogId(ms, r.getAs[Long]("__seq")),
-            payloadNames.map(c => c -> r.getAs[String](c)).toMap)
-        }
-        entries.grouped(maxSegmentEntries).foreach { chunk =>
-          if (chunk.nonEmpty) writeTaskSegment(root, stream, chunk)
-        }
-      }
+      coerced.write.format("graftlog")
+        .option("path", root).option("stream", stream)
+        .option("tsColumn", "__ms")
+        .option("maxSegmentEntries", maxSegmentEntries.toString)
+        .mode("append").save()
       n
     } finally coerced.unpersist()
   }
 
   /** Executor-side segment publish: unique tmp (task attempts must not
-    * clobber each other's staging) then atomic rename. Ids are data-derived,
-    * so a retried/speculative attempt rewrites identical content — replacing
-    * an existing segment of the same name is safe, unlike the live-writer
-    * path where a name collision means duplicate id assignment.
+    * clobber each other's staging) then atomic rename; returns the published
+    * path. Ids are data-derived, so a retried/speculative attempt rewrites
+    * identical content — replacing an existing segment of the same name is
+    * safe, unlike the live-writer path where a name collision means
+    * duplicate id assignment. Shared with the sink's `tsColumn` bulk write
+    * (GraftLogBulkDataWriter).
     */
-  private def writeTaskSegment(root: String, stream: String,
-      chunk: Seq[LogEntry]): Unit = {
+  private[graft] def publishTaskSegment(root: String, stream: String,
+      chunk: Seq[LogEntry]): java.nio.file.Path = {
     val dir = LogStore.streamDir(root, stream)
     // LogStore owns the name format — SegName must keep parsing these files
     val name = LogStore.segmentName(chunk.head.id, chunk.last.id, gzip = false)
+    val target = dir.resolve(name)
     val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
     val bytes = chunk.iterator.map(LogStore.encodeLine)
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     Files.write(tmp, bytes)
-    try Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      Files.move(tmp, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     }
+    target
   }
 }

@@ -109,7 +109,8 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
     new GraftLogScanBuilder(root, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId())
+    new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId(),
+      Option(options.get("tsColumn")), options.getInt("maxSegmentEntries", 10000))
 }
 
 /** Scan builder with filter pushdown and column pruning — the file-level
@@ -518,12 +519,140 @@ final class GraftLogReaderFactory(dropTombstones: Boolean,
 // ---------------------------------------------------------------------------
 
 final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType,
-    queryId: String) extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLogBatchWrite(root, stream, schema)
-    override def toStreaming: StreamingWrite =
-      new GraftLogStreamingWrite(root, stream, schema, queryId)
+    queryId: String, tsColumn: Option[String] = None,
+    segmentEntries: Int = 10000) extends WriteBuilder {
+  override def build(): Write = tsColumn match {
+    case None => new Write {
+      override def toBatch: BatchWrite = new GraftLogBatchWrite(root, stream, schema)
+      override def toStreaming: StreamingWrite =
+        new GraftLogStreamingWrite(root, stream, schema, queryId)
+    }
+    case Some(tsCol) =>
+      require(schema.fieldNames.contains(tsCol),
+        s"tsColumn '$tsCol' not in write schema ${schema.fieldNames.mkString(",")}")
+      schema(tsCol).dataType match {
+        case LongType | IntegerType | TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"tsColumn '$tsCol' must be LONG epoch-millis, INT, or TIMESTAMP, got $dt")
+      }
+      // bulk bootstrap contract (same as LogBulkProducer): ids are derived
+      // from the data, which is only sound when no sequencer state exists
+      LogStore.ensureStream(root, stream)
+      require(LogStore.maxId(root, stream) == LogId.Zero,
+        s"tsColumn bulk write requires a fresh stream; '$stream' already has " +
+          "entries (append through the default sink or LogWriter instead)")
+      require(segmentEntries > 0, s"maxSegmentEntries must be positive, got $segmentEntries")
+      new GraftLogBulkWrite(root, stream, schema, tsCol, segmentEntries)
   }
+}
+
+/** Distributed explicit-timestamp batch write (`option("tsColumn", ...)`):
+  * the engine-planned twin of [[graft.log.LogBulkProducer]]. Declaring
+  * `RequiresDistributionAndOrdering` makes Catalyst itself plan the shuffle —
+  * rows are CLUSTERED on the timestamp column (all rows of one millisecond
+  * land in one task, so the per-ms seq is a local counter) and sorted within
+  * partitions by (ts, every other column) so the row→id mapping is a pure
+  * function of the data. Each task publishes its own segment files; ids are
+  * exactly what `LogWriter.produceAllAt` would assign for the same ordering,
+  * and no row ever passes through the driver. One hot millisecond = one
+  * task, inherent to the id model (same-ms entries need one sequencer).
+  */
+final class GraftLogBulkWrite(root: String, stream: String, schema: StructType,
+    tsCol: String, segmentEntries: Int = 10000)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column(tsCol)))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    (tsCol +: schema.fieldNames.filterNot(_ == tsCol).toSeq)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      GraftLogBulkWriterFactory(root, stream, schema, tsCol, segmentEntries)
+    // tasks already published their segments (data-derived names make
+    // retries idempotent); the driver only materializes the empty stream
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      LogStore.ensureStream(root, stream)
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: StreamingWrite =
+    throw new UnsupportedOperationException(
+      "tsColumn bulk writes are batch-only (a stream appends through the default sink)")
+
+  override def description(): String = s"GraftLogBulkWrite($root/$stream, ts=$tsCol)"
+}
+
+final case class GraftLogBulkWriterFactory(root: String, stream: String,
+    schema: StructType, tsCol: String, segmentEntries: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogBulkDataWriter(root, stream, schema, tsCol, segmentEntries)
+}
+
+/** Streams one task's clustered, sorted rows into segment files: seq resets
+  * per millisecond (starting at 1 for ms 0 — id "0-0" is LogId.Zero, the
+  * position-before-everything, and must never be assigned); segments flush
+  * every `SegmentEntries` rows so a huge task never buffers its whole
+  * partition. Published names are tracked for abort cleanup; REPLACEized
+  * publishes keep retried attempts idempotent (ids and content are
+  * data-derived, see the class doc above).
+  */
+final class GraftLogBulkDataWriter(root: String, stream: String,
+    schema: StructType, tsCol: String, segmentEntries: Int = 10000)
+    extends DataWriter[InternalRow] {
+  private val tsIdx = schema.fieldIndex(tsCol)
+  private val tsType = schema(tsIdx).dataType
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
+  private val published = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private var lastMs = -1L
+  private var seq = 0L
+  private var count = 0L
+
+  private def msOf(row: InternalRow): Long = {
+    require(!row.isNullAt(tsIdx), s"tsColumn '$tsCol' must not be null")
+    tsType match {
+      case LongType => row.getLong(tsIdx)
+      case IntegerType => row.getInt(tsIdx).toLong
+      case TimestampType => Math.floorDiv(row.getLong(tsIdx), 1000L) // micros
+      case dt => throw new IllegalStateException(s"unreachable: $dt")
+    }
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val ms = msOf(record)
+    require(ms >= 0, s"negative timestamp $ms in tsColumn '$tsCol'")
+    require(ms >= lastMs, // rows arrive sorted; a regression means a planner bug
+      s"unsorted input: $ms after $lastMs")
+    if (ms != lastMs) { lastMs = ms; seq = if (ms == 0L) 1L else 0L }
+    else seq += 1
+    buf += LogEntry(LogId(ms, seq),
+      GraftLogWritePath.toPayload(schema, record) - tsCol)
+    count += 1
+    if (buf.size >= segmentEntries) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    published += graft.log.LogBulkProducer.publishTaskSegment(root, stream, buf.toSeq)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GraftLogCommitMessage(0, Nil) // segments already visible; count-only ack
+  }
+
+  override def abort(): Unit = {
+    buf.clear()
+    published.foreach(p => try java.nio.file.Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () })
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Rows serialized on executors; ids assigned once, on the driver, at commit. */

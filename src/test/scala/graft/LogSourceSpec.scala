@@ -83,6 +83,51 @@ class LogSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fresh stream"))
   }
 
+  test("tsColumn sink write: Catalyst plans the clustering, ids match the single writer") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("graftlog")
+    val rows = (0 until 25).map(i => (1000L + (i / 4) * 10, f"v$i%02d"))
+    // engine-planned bulk write: RequiresDistributionAndOrdering clusters on
+    // ms and sorts (ms, payload) inside each task — no manual repartition
+    spark.createDataset(rows).toDF("ms", "payload")
+      .write.format("graftlog")
+      .option("path", root).option("stream", "s").option("tsColumn", "ms")
+      .mode("append").save()
+    val root2 = TestSpark.tmpDir("graftlog")
+    new LogWriter(root2, "s").produceAllAt(
+      rows.sortBy(r => (r._1, r._2)).map { case (ms, v) =>
+        ms -> Map[String, Any]("payload" -> v) })
+    val bulk = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    val single = LogStore.readRange(root2, "s", LogId.Zero, LogStore.maxId(root2, "s"))
+    assert(bulk.map(e => (e.id, e.values)) == single.map(e => (e.id, e.values)))
+    assert(bulk.forall(!_.values.contains("ms"))) // ts column is id metadata, not payload
+    // ms 0 rule holds through the sink too
+    val root3 = TestSpark.tmpDir("graftlog")
+    spark.createDataset(Seq((0L, "a"), (0L, "b"))).toDF("ms", "payload")
+      .write.format("graftlog")
+      .option("path", root3).option("stream", "s").option("tsColumn", "ms")
+      .mode("append").save()
+    assert(LogStore.readRange(root3, "s", LogId.Zero, LogStore.maxId(root3, "s"))
+      .map(_.id) == Seq(LogId(0, 1), LogId(0, 2)))
+    // non-fresh stream rejected at plan time
+    val e = intercept[Exception] {
+      spark.createDataset(Seq((1L, "x"))).toDF("ms", "payload")
+        .write.format("graftlog")
+        .option("path", root).option("stream", "s").option("tsColumn", "ms")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("fresh stream"))
+    // a TIMESTAMP-typed column works too (micros floor to the id millis)
+    val root4 = TestSpark.tmpDir("graftlog")
+    spark.createDataset(Seq((new java.sql.Timestamp(1500L), "t")))
+      .toDF("ts_col", "payload")
+      .write.format("graftlog")
+      .option("path", root4).option("stream", "s").option("tsColumn", "ts_col")
+      .mode("append").save()
+    assert(LogStore.readRange(root4, "s", LogId.Zero, LogStore.maxId(root4, "s"))
+      .map(_.id) == Seq(LogId(1500, 0)))
+  }
+
   test("LogBulkProducer at millisecond 0 matches the single writer (no 0-0 id)") {
     import spark.implicits._
     // id "0-0" IS LogId.Zero (the position before everything): an entry
