@@ -304,5 +304,51 @@ object Dedup {
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac")
         .orderBy($"doc_a", $"doc_b")
     },
+
+    q("q137_span_dedup",
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(len(w)-9), i ->
+        |    md5(array_to_string(w[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ')))) AS h
+        |  FROM words WHERE len(w) >= 10),
+        |marked AS (SELECT doc_id,
+        |    (MIN(doc_id) OVER (PARTITION BY h) <> MAX(doc_id) OVER (PARTITION BY h)) AS dup
+        |  FROM sp),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_spans,
+        |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) n_dup
+        |  FROM marked GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_dup,
+        |  FLOOR((CAST(n_dup AS DOUBLE)/n_spans) * 1000000 + 0.5) / 1000000 AS dup_ratio,
+        |  (n_dup * 5 > n_spans) AS contaminated
+        |FROM per ORDER BY doc_id""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Exact-substring duplication measure (the signal behind suffix-array
+      // dedup, Lee et al. 2021 "Deduplicating Training Data Makes Language
+      // Models Better", approximated the way production pipelines do it:
+      // every OVERLAPPING 10-word span, hashed): a span is duplicated iff
+      // some OTHER document contains the same span verbatim; per doc, the
+      // fraction of its spans that are duplicated. Unlike q116 (disjoint
+      // chunks, first-occurrence keep) this measures contamination DEPTH —
+      // how much of the doc is copied — not which copy to keep. One shuffle:
+      // spans partitioned by hash; "another doc has it" is min(doc_id) !=
+      // max(doc_id) over the hash partition (two window aggs, one Window
+      // node, no countDistinct and no self-join). At 100 TB the shuffle
+      // carries (doc_id, 16-byte hash) pairs — fixed width, no text.
+      val spans = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 10)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(w) - 9), i -> md5(concat_ws(' ', slice(w, i, 10))))")).as("h"))
+      val byH = Window.partitionBy($"h")
+      spans
+        .withColumn("dup", min($"doc_id").over(byH) =!= max($"doc_id").over(byH))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"dup", 1L).otherwise(0L)).as("n_dup"))
+        .select($"doc_id", $"n_spans", $"n_dup",
+          r6($"n_dup".cast("double") / $"n_spans").as("dup_ratio"),
+          ($"n_dup" * 5 > $"n_spans").as("contaminated"))
+        .orderBy($"doc_id")
+    },
   )
 }

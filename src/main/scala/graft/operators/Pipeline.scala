@@ -552,5 +552,72 @@ object Pipeline {
         .select($"doc_id", $"lang", $"bucket")
         .orderBy($"doc_id")
     },
+
+    q("q135_gopher_topngram", {
+      def duckGrams(n: Int): String = {
+        val cat = (1 to n).map(j => s"w[CAST(i+$j AS INT)]").mkString("||' '||")
+        s"""SELECT doc_id, $n AS n, unnest(list_transform(range(len(w)-${n - 1}), i -> $cat)) AS gram
+           |  FROM words WHERE len(w) >= $n"""
+      }
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |g AS (${duckGrams(2).stripMargin}
+         |  UNION ALL
+         |${duckGrams(3).stripMargin}),
+         |c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) cnt FROM g GROUP BY 1,2,3),
+         |top AS (SELECT doc_id, n, gram, cnt,
+         |    row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) rn FROM c),
+         |p AS (SELECT doc_id,
+         |    MAX(CASE WHEN n=2 THEN gram END) top2,
+         |    MAX(CASE WHEN n=2 THEN cnt*CAST(length(gram) AS BIGINT) END) top2_chars,
+         |    MAX(CASE WHEN n=3 THEN gram END) top3,
+         |    MAX(CASE WHEN n=3 THEN cnt*CAST(length(gram) AS BIGINT) END) top3_chars
+         |  FROM top WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, top2, top2_chars,
+         |  ${graft.ColFns.r6Sql("CAST(top2_chars AS DOUBLE)/n_chars")} AS top2_frac,
+         |  (top2_chars * 5 > n_chars) AS flag2,
+         |  top3, top3_chars,
+         |  ${graft.ColFns.r6Sql("CAST(top3_chars AS DOUBLE)/n_chars")} AS top3_frac,
+         |  (top3_chars * 50 > n_chars * 9) AS flag3
+         |FROM documents d JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id"""
+    }) { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Gopher-style top-n-gram concentration rules (Rae et al. 2021, table
+      // A1): a document is flagged when the characters covered by its single
+      // most frequent word 2-gram exceed 20% of the text (3-gram: 18%) — the
+      // signature of boilerplate and keyword-stuffed pages that the
+      // duplicate-3-gram ratio (q102) misses because ONE hot n-gram can
+      // dominate while the rest of the doc stays diverse. Positions count
+      // (not distinct grams), so the explode keeps duplicates. Shuffles are
+      // keyed on (doc_id, n, gram) then (doc_id, n) — both bounded-width
+      // keys; nothing in the plan holds more than one doc's gram counts.
+      // Thresholds are integer cross-multiplications (×5 for 1/5, ×50 > ×9
+      // for 18%), so the flags cannot flap on a float edge.
+      val docs = T(s, dir, "documents")
+        .select($"doc_id", $"n_chars", split($"text", " ").as("w"))
+      def grams(n: Int) = docs.filter(size($"w") >= n)
+        .select($"doc_id", lit(n).as("n"),
+          explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("gram"))
+      val top = grams(2).unionAll(grams(3))
+        .groupBy($"doc_id", $"n", $"gram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id", $"n").orderBy($"cnt".desc, $"gram")))
+        .filter($"rn" === 1)
+      val p = top.groupBy($"doc_id").agg(
+        max(when($"n" === 2, $"gram")).as("top2"),
+        max(when($"n" === 2, $"cnt" * length($"gram").cast("long"))).as("top2_chars"),
+        max(when($"n" === 3, $"gram")).as("top3"),
+        max(when($"n" === 3, $"cnt" * length($"gram").cast("long"))).as("top3_chars"))
+      docs.select($"doc_id", $"n_chars").join(p, "doc_id")
+        .select($"doc_id", $"top2", $"top2_chars",
+          r6($"top2_chars".cast("double") / $"n_chars").as("top2_frac"),
+          ($"top2_chars" * 5 > $"n_chars").as("flag2"),
+          $"top3", $"top3_chars",
+          r6($"top3_chars".cast("double") / $"n_chars").as("top3_frac"),
+          ($"top3_chars" * 50 > $"n_chars" * 9).as("flag3"))
+        .orderBy($"doc_id")
+    },
   )
 }

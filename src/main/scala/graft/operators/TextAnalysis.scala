@@ -165,6 +165,52 @@ object TextAnalysis {
           round(size($"kept").cast("double") / size($"w"), 6).as("keep_ratio"))
         .orderBy($"doc_id")
     },
+
+    q("q136_unigram_logprob",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM toks),
+         |sc AS (SELECT doc_id,
+         |    CAST(FLOOR((ln(cnt) - ln(n)) * 1000000 + 0.5) AS BIGINT) mlp
+         |  FROM toks JOIN freq USING (tok), tot),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+         |    CAST(SUM(mlp) AS BIGINT) sum_mlp
+         |  FROM sc GROUP BY doc_id),
+         |o AS (SELECT doc_id, n_tokens, sum_mlp,
+         |    ${graft.ColFns.r6Sql("CAST(sum_mlp AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n_tokens)")} AS avg_logprob
+         |  FROM d)
+         |SELECT doc_id, n_tokens, sum_mlp, avg_logprob,
+         |  ${graft.ColFns.r6Sql("exp(-avg_logprob)")} AS ppl
+         |FROM o ORDER BY doc_id""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Unigram language-model quality score (the CCNet/RedPajama filtering
+      // signal, here with the LM trained on the corpus itself): per-doc mean
+      // token log-probability and its perplexity. Two keyed shuffles — the
+      // vocabulary count and the (token -> frequency) join — both on the
+      // token; hot tokens are exactly the skew AQE's join handling splits.
+      // The vocabulary is NOT broadcast by hand: it grows with the corpus,
+      // so the keyed join is the 100 TB plan (Catalyst may still broadcast
+      // it at small SF). Cross-engine float discipline: each token's
+      // log-prob is rounded to an integer micro-log (1e-6) BEFORE the
+      // per-doc sum, so the aggregate is exact integer addition in both
+      // engines and the one IEEE division at the end starts from identical
+      // operands.
+      val toks = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          floor((log($"cnt") - log($"n")) * 1000000d + 0.5d).cast("long").as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"mlp").as("sum_mlp"))
+        .withColumn("avg_logprob",
+          r6($"sum_mlp".cast("double") / (lit(1000000d) * $"n_tokens")))
+        .withColumn("ppl", r6(exp(-$"avg_logprob")))
+        .orderBy($"doc_id")
+    },
   )
 
   /** Union of the per-language stopword profiles, deduped, stable order. */
