@@ -182,6 +182,26 @@ object Extras {
         .orderBy($"l_linestatus")
     },
 
+    q("q140_xml_roundtrip",
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |  ${dsumSql("p_retailprice")} AS total
+         |FROM part GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      import s.implicits._
+      // fourth round-trip format: XML (first-class in Spark 4 — the old
+      // spark-xml package moved into core). Row-oriented like JSON/CSV, so
+      // an explicit schema is mandatory at scale (inference double-reads);
+      // the rowTag option frames each record.
+      val tmp = Files.createTempDirectory("graft-q140").toString
+      T(s, dir, "part")
+        .select($"p_brand", $"p_retailprice")
+        .write.mode("overwrite").option("rowTag", "part").xml(tmp)
+      s.read.schema("p_brand STRING, p_retailprice DOUBLE")
+        .option("rowTag", "part").xml(tmp)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), dsum($"p_retailprice").as("total"))
+        .orderBy($"p_brand")
+    },
+
     q("q87_hash_sample",
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')

@@ -434,6 +434,143 @@ object StreamLog {
         .orderBy($"doc_id")
     },
 
+    q("q138_streaming_outer_join",
+      // LEFT-OUTER stream-stream join THROUGH the engine: q107's interval
+      // join, but clicks with no purchase within 10 minutes must ALSO emit
+      // (purchase columns null) — which only happens when the engine evicts
+      // the click from the join state after BOTH streams' watermarks pass
+      // its match window. One sentinel row per stream (user -1, 48 h after
+      // the real maximum) advances both watermarks; the trailing no-data
+      // micro-batches then flush every unmatched click out of state. The
+      // oracle is the equivalent batch LEFT JOIN with the unmatched side
+      // canonicalized to '' (the driver comparator needs hashable columns).
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) cts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) pts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  COALESCE(strftime(p.pts, '%Y-%m-%d %H:%M:%S'), '') AS purchase_ts
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""") { (s, dir) =>
+      import s.implicits._
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val root = graft.LogFixtures.producedLog(dir, "q138") { r =>
+        val ev = Tables.load(s, dir, "events")
+        val sentinelMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0) +
+          48L * 3600 * 1000
+        def sink(eventType: String, stream: String): Unit = {
+          def append(df: org.apache.spark.sql.DataFrame): Unit =
+            df.write.format("graftlog")
+              .option("path", r).option("stream", stream)
+              .mode("append").save()
+          append(ev.filter($"event_type" === eventType)
+            .selectExpr("CAST(user_id AS STRING) AS user_id",
+              s"date_format(ts, '$tsFmt') AS ts_s"))
+          // instant-exact sentinel (timestamp_millis, not Timestamp.toString:
+          // the latter renders in local time and would shift on non-UTC JVMs)
+          append(s.range(1).selectExpr("'-1' AS user_id",
+            s"date_format(timestamp_millis($sentinelMs), '$tsFmt') AS ts_s"))
+        }
+        sink("click", "clicks")
+        sink("purchase", "purchases")
+      }
+      def src(stream: String, tsCol: String, userCol: String) =
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", stream)
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "12000") // 2 micro-batches at sf0.1
+          .load()
+          .select(to_timestamp($"values.ts_s").as(tsCol),
+            $"values.user_id".as(userCol))
+          .withWatermark(tsCol, "2 hours") // generous: fixture ts out of order
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      graft.streaming.StreamHarness.runToMemory(s, "q138", 2) {
+        src("clicks", "cts", "cu")
+          .join(src("purchases", "pts", "pu"),
+            expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL 10 MINUTES"),
+            "leftOuter")
+      }
+        .filter($"cu" =!= "-1") // drop the sentinel's self-match
+        .select($"cu".cast("long").as("user_id"),
+          date_format($"cts", fmt).as("click_ts"),
+          coalesce(date_format($"pts", fmt), lit("")).as("purchase_ts"))
+        .orderBy($"user_id", $"click_ts", $"purchase_ts")
+    },
+
+    q("q139_streaming_timers",
+      // EVENT-TIME TIMERS through the engine: gap-based sessionization on
+      // transformWithState, where per-key arbitrary state (start, last, n)
+      // is finalized by a registered timer once the watermark passes
+      // last + 30 min — the engine-owned replacement for the reference's
+      // handler process scheduling itself a timeout
+      // (/root/reference/lib/redix/stream/consumer.ex:315-330). Unlike
+      // q94's session_window (which needed one sentinel PER USER to close
+      // sessions as data), ONE flush row advances the watermark and fires
+      // every key's timer — the point of engine-owned timers. The oracle
+      // is the batch gaps-and-islands sessionization over all events.
+      """WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) uts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+        |        OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, uts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT user_id,
+        |  strftime(MIN(uts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(date_diff('second', MIN(uts), MAX(uts)) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      import s.implicits._
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = Tables.load(s, dir, "events")
+      val nReal = ev.count()
+      val root = graft.LogFixtures.producedLog(dir, "q139") { r =>
+        def append(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graftlog")
+            .option("path", r).option("stream", "ev")
+            .mode("append").save()
+        // produce in EVENT-TIME order: sessions are defined over event time,
+        // and ordered arrival is what lets the 0 s watermark delay hold
+        // without late drops (same discipline as q120/q128's id orders)
+        append(ev.orderBy($"ts", $"event_id")
+          .selectExpr("CAST(user_id AS STRING) AS user_id",
+            s"date_format(ts, '$tsFmt') AS ts_s"))
+        val flushMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0) +
+          4L * 3600 * 1000
+        append(s.range(1).selectExpr("'-1' AS user_id",
+          s"date_format(timestamp_millis($flushMs), '$tsFmt') AS ts_s"))
+      }
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      graft.streaming.StreamHarness.runToMemory(s, "q139", 4, rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          // reals split across 2 batches so sessions cross a state commit;
+          // the flush lands in the last batch and the trailing no-data
+          // batches fire the remaining timers
+          .option("maxEntriesPerTrigger", (nReal / 2 + 1).toString)
+          .load()
+          .select(to_timestamp($"values.ts_s").as("ets"),
+            $"values.user_id".as("uid"))
+          .withWatermark("ets", "0 seconds")
+        graft.streaming.StreamingOps
+          .sessionizeWithTimers(s, src, "uid", "ets", 30L * 60 * 1000 * 1000)
+          .toDF("user_id", "start_us", "end_us", "n_events")
+      }
+        .filter($"user_id" =!= "-1") // the flush key's own session
+        .select($"user_id".cast("long").as("user_id"),
+          expr("date_format(timestamp_micros(start_us), 'yyyy-MM-dd HH:mm:ss')").as("session_start"),
+          $"n_events",
+          expr("end_us DIV 1000000 - start_us DIV 1000000").as("dur_sec"))
+        .orderBy($"user_id", $"session_start")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 /** First-class streaming analytics over any unbounded DataFrame (typically
@@ -141,6 +141,86 @@ object StreamingOps {
       recent.put(hist.toArray)
       out.iterator
     }
+  }
+
+  /** transformWithState processor with EVENT-TIME TIMERS: gap-based
+    * sessionization over per-key arbitrary state. Sessions that close
+    * INSIDE a batch (a later row arrives past the gap) emit immediately;
+    * the key's final open session emits from `handleExpiredTimer` when the
+    * watermark passes its deadline (last event + gap) — the timer is the
+    * engine-owned replacement for the reference pattern of a handler
+    * process scheduling itself a timeout message
+    * (/root/reference/lib/redix/stream/consumer.ex:315-330, the
+    * Process.send_after self-scheduling loop). State per key is one
+    * (start, last, n) triple plus one registered timer; both are dropped
+    * on emission, so the store is O(live sessions). Times are event-time
+    * MICROseconds (ms would merge sessions whose gap straddles a
+    * millisecond edge that the micro-precision batch oracle keeps apart).
+    * Each input batch deletes the key's stale timer and re-registers the
+    * new deadline, so exactly one timer is ever live per key.
+    */
+  private class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp), (String, Long, Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      var closed = List.empty[(String, Long, Long, Long)]
+      var cur: Option[(Long, Long, Long)] =
+        if (sess.exists()) Some(sess.get()) else None
+      rows.map(r => micros(r._2)).toList.sorted.foreach { ts =>
+        cur match {
+          case Some((st, last, n)) if ts - last >= gapUs =>
+            closed ::= ((key, st, last, n))
+            cur = Some((ts, ts, 1L))
+          case Some((st, last, n)) =>
+            cur = Some((st, math.max(last, ts), n + 1))
+          case None =>
+            cur = Some((ts, ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // timers are registered in event-time MILLIseconds (the engine
+        // compares them against the watermark); round the deadline UP so
+        // the timer can never fire before the exact micro deadline
+        getHandle.registerTimer((c._2 + gapUs + 999L) / 1000L)
+      }
+      closed.reverse.iterator
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, Long, Long)] =
+      if (sess.exists()) {
+        val (st, last, n) = sess.get()
+        sess.clear()
+        Iterator.single((key, st, last, n))
+      } else Iterator.empty
+  }
+
+  /** Gap-based sessionization on transformWithState event-time timers:
+    * input rows are (key, event-time); emits one row per closed session
+    * as (key, startMicros, endMicros, nEvents). `tsCol` must be the
+    * watermarked TimestampType column — it is carried into the typed rows
+    * unchanged so the event-time/watermark lineage survives into the
+    * stateful operator. Requires per-key event-time-ordered arrival
+    * ACROSS batches (in-batch rows are sorted); produce the log in ts
+    * order, as q128/q120 do for their id orders.
+    */
+  def sessionizeWithTimers(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, gapUs: Long): Dataset[(String, Long, Long, Long)] = {
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"), col(tsCol))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-key last-`n` history on transformWithState ListState: emits

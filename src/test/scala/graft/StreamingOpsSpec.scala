@@ -243,4 +243,56 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == List(5L -> false, 10L -> false, 20L -> true,
       30L -> false, 31L -> true, 40L -> true))
   }
+
+  test("event-time-timer sessionization: in-batch close, cross-batch state, timer flush") {
+    // key a: two events 1 s apart (one session), then one 11+ min later
+    // (closes session 1 in-batch, opens session 2); key b: one event.
+    // Sessions 2 and b stay open at the end of batch one — only the
+    // event-time TIMER (fired once a later batch's flush row advances the
+    // watermark) can emit them.
+    val root = TestSpark.tmpDir("slog")
+    var now = 0L
+    val w = new LogWriter(root, "ev", () => now)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest").load()
+        .selectExpr("ts", "values['k'] AS k")
+        .withWatermark("ts", "0 seconds")
+      val sessions = StreamingOps
+        .sessionizeWithTimers(spark, src, "k", "ts", 600L * 1000 * 1000) // 10 min gap
+        .toDF("key", "start_us", "end_us", "n")
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName("timersess")
+        .option("checkpointLocation", TestSpark.tmpDir("ckpt")).start()
+      now = 1000L; w.produce(Map("k" -> "a"))
+      now = 2000L; w.produce(Map("k" -> "a"))
+      now = 700 * 1000L; w.produce(Map("k" -> "a")) // 11.6 min gap: closes (1s,2s)
+      now = 800 * 1000L; w.produce(Map("k" -> "b"))
+      q.processAllAvailable()
+      // watermark is still 800 s here; open sessions must not have emitted
+      assert(spark.sql("select * from timersess").count() == 1)
+      now = 10 * H; w.produce(Map("k" -> "z")) // flush: watermark -> 10 h
+      q.processAllAvailable()
+      now = 20 * H; w.produce(Map("k" -> "z2")) // second flush fires z's timer too
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql(
+      "select key, start_us, end_us, n from timersess where key in ('a','b') order by key, start_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      ("a", 1000000L, 2000000L, 2L),
+      ("a", 700000000L, 700000000L, 1L),
+      ("b", 800000000L, 800000000L, 1L)))
+  }
 }
