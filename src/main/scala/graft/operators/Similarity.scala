@@ -315,5 +315,146 @@ object Similarity {
           expr("array_min(qv)").cast("long").as("q_min"))
         .orderBy($"vec_id")
     },
+
+    q("q141_semantic_dedup",
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, m),
+         |h AS (SELECT vec_id - 100 AS hid, embedding he FROM embeddings
+         |      WHERE vec_id BETWEEN 100 AND 105),
+         |sig AS (SELECT v.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDotSql("v.embedding", "h.he")} >= 0
+         |        THEN (1::BIGINT << CAST(h.hid AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings v, h GROUP BY v.vec_id),
+         |ex AS (SELECT q.vec_id, s.bucket, unnest(range(len(q.qv))) AS pos, unnest(q.qv) AS x
+         |       FROM qz q JOIN sig s ON q.vec_id = s.vec_id),
+         |bs AS (SELECT bucket, pos, CAST(SUM(x) AS BIGINT) sx FROM ex GROUP BY bucket, pos),
+         |bn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n FROM sig GROUP BY bucket),
+         |sc AS (SELECT ex.vec_id, ex.bucket,
+         |    CAST(SUM(x*x) AS BIGINT) vv, CAST(SUM(x*sx) AS BIGINT) vs
+         |  FROM ex JOIN bs ON ex.bucket = bs.bucket AND ex.pos = bs.pos
+         |  GROUP BY ex.vec_id, ex.bucket),
+         |scored AS (SELECT sc.vec_id, sc.bucket, bn.n AS n_bucket,
+         |    n*n*vv - 2*n*vs AS score
+         |  FROM sc JOIN bn ON sc.bucket = bn.bucket),
+         |r AS (SELECT vec_id, bucket, n_bucket, score,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY score, vec_id) rn,
+         |    first_value(vec_id) OVER (PARTITION BY bucket ORDER BY score, vec_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) rep_id
+         |  FROM scored)
+         |SELECT vec_id, bucket, n_bucket, score, (rn = 1) AS is_rep, rep_id
+         |FROM r ORDER BY vec_id""") { (s, dir) =>
+      import s.implicits._
+      // Semantic deduplication (SemDeDup, Abbas et al. 2023): partition the
+      // embedding space into clusters, keep ONE representative per cluster —
+      // the member nearest the cluster centroid — and mark the rest as
+      // semantic duplicates. Clusters here are hyperplane-LSH buckets (6
+      // fixed planes -> 64 cells; at scale: k-means cells, same dataflow),
+      // so clustering is map-side against broadcast planes. The centroid
+      // argmin is INTEGER-exact: vectors are int8-quantized on a GLOBAL
+      // max-abs scale (per-vector scales would distort cross-vector
+      // geometry), and argmin_v ||v - S/n||^2 is rewritten as
+      // argmin_v n^2*(v.v) - 2n*(v.S) over BIGINT sums — no float mean, no
+      // order-dependence, identical in both engines. Shuffles are keyed on
+      // (bucket, pos) and (vec_id) — fixed width; nothing is all-pairs.
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))").as("qv"))
+      val planes = broadcast(e.filter($"vec_id".between(100, 105))
+        .select(($"vec_id" - 100).as("hid"), $"embedding".as("he")))
+      val sig = e.select($"vec_id", $"embedding").crossJoin(planes)
+        .withColumn("bit", when(expr("graft_dot(embedding, he)") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))")).otherwise(lit(0L)))
+        .groupBy($"vec_id").agg(sum($"bit").as("bucket"))
+      val ex = qz.join(sig, "vec_id")
+        .select($"vec_id", $"bucket", posexplode($"qv"))
+        .withColumnRenamed("col", "x")
+        .transform(graft.CacheScope.cached) // feeds both bucket sums and scores
+      val bs = ex.groupBy($"bucket", $"pos").agg(sum($"x").as("sx"))
+      val bn = sig.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      val sc = ex.join(bs, Seq("bucket", "pos"))
+        .groupBy($"vec_id", $"bucket")
+        .agg(sum($"x" * $"x").as("vv"), sum($"x" * $"sx").as("vs"))
+      val w = Window.partitionBy($"bucket").orderBy($"score", $"vec_id")
+      sc.join(bn, "bucket")
+        .select($"vec_id", $"bucket", $"n".as("n_bucket"),
+          ($"n" * $"n" * $"vv" - lit(2L) * $"n" * $"vs").as("score"))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .withColumn("rep_id", first($"vec_id").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select($"vec_id", $"bucket", $"n_bucket", $"score", $"is_rep", $"rep_id")
+        .orderBy($"vec_id")
+    },
+
+    q("q142_kmeans", {
+      def duckIter(i: Int, p: Int): String =
+        s"""d$i AS (SELECT e.vec_id, c.c, CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+           |  FROM ex e JOIN c$p c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+           |a$i AS (SELECT vec_id, c, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn FROM d$i),
+           |asg$i AS (SELECT vec_id, c, dist FROM a$i WHERE rn = 1),
+           |c$i AS (SELECT a.c, e.pos, CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+           |  FROM ex e JOIN asg$i a ON e.vec_id = a.vec_id GROUP BY a.c, e.pos)"""
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x FROM qz),
+         |c0 AS (SELECT vec_id AS c, pos, x AS cm FROM ex WHERE vec_id < 8),
+         |${duckIter(1, 0).stripMargin},
+         |${duckIter(2, 1).stripMargin}
+         |SELECT v.vec_id, a1.c AS c_iter1, a2.c AS c_iter2, a2.dist AS dist2
+         |FROM qz v JOIN asg1 a1 ON v.vec_id = a1.vec_id
+         |          JOIN asg2 a2 ON v.vec_id = a2.vec_id
+         |ORDER BY v.vec_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Lloyd k-means over embeddings (k = 8, 2 iterations, seeds = the
+      // first k vectors), the coarse-quantizer training step an IVF index
+      // (q46) needs — and the fully deterministic variant: vectors are
+      // int8-quantized on a global max-abs scale and SHIFTED to [0, 254]
+      // (distances are translation-invariant, and non-negative values make
+      // Spark's truncating DIV and DuckDB's floor // agree), and each new
+      // centroid is the element-wise INTEGER mean, so every distance,
+      // comparison, and centroid is exact BIGINT arithmetic — no float
+      // mean, no cross-engine or run-to-run drift. Scale posture: the k×64
+      // centroid table is broadcast (assignment never shuffles the vector
+      // side); the shuffles are the argmin per vec_id and the (c, pos)
+      // centroid recompute — both fixed-width keys. Iterations are driver
+      // unrolled, the standard shape for iterative refinement on Spark
+      // (compare q106's label propagation).
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)").as("qv"))
+        .transform(graft.CacheScope.cached) // feeds both assigns + recompute
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        qz.crossJoin(broadcast(cents))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(qv, cm, (x, m) -> (x-m)*(x-m)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
+          .select($"vec_id", $"mc.c".as("c"), $"mc.dist".as("dist"))
+      def recompute(asg: org.apache.spark.sql.DataFrame) =
+        qz.join(asg.select($"vec_id", $"c"), "vec_id")
+          .select($"c", posexplode($"qv"))
+          .groupBy($"c", $"pos")
+          .agg(expr("sum(col) DIV count(1)").as("cm"))
+          .groupBy($"c")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+      val c0 = qz.filter($"vec_id" < 8).select($"vec_id".as("c"), $"qv".as("cm"))
+      val a1 = assign(c0).transform(graft.CacheScope.cached) // output + recompute
+      val a2 = assign(recompute(a1))
+      a1.select($"vec_id", $"c".as("c_iter1"))
+        .join(a2.select($"vec_id", $"c".as("c_iter2"), $"dist".as("dist2")), "vec_id")
+        .orderBy($"vec_id")
+    },
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The one build-and-drain harness behind every engine-streaming oracle
-  * query (q78/q91/q94/q105/q107/q115/q120/q125/q128): pins the state-store
+  * query (q78/q91/q94/q105/q107/q115/q120/q125/q128/q131/q138/q139): pins the state-store
   * sizing confs for the duration of `start()` (safe to restore right after —
   * the stream clones the session conf synchronously inside start), runs the
   * plan into a fresh uniquely-named memory sink under Trigger.AvailableNow

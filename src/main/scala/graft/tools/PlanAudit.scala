@@ -117,7 +117,29 @@ object PlanAudit {
     "q134_multimodal_decode" -> Seq(
       "decode/resize run as object mapPartitions stages (no per-row UDF)" -> "MapPartitions",
       "feature joins are equi joins" -> "!BroadcastNestedLoopJoin",
-      "no cartesian product in the media pipeline" -> "!CartesianProduct"))
+      "no cartesian product in the media pipeline" -> "!CartesianProduct"),
+    "q135_gopher_topngram" -> Seq(
+      "top-gram selection is a window pass over the gram counts" -> "Window",
+      "gram branches read only doc_id and text" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "stats branch reads only doc_id and n_chars (text pruned)" -> "ReadSchema: struct<doc_id:bigint,n_chars:bigint>",
+      "no cartesian product in the gram pipeline" -> "!CartesianProduct"),
+    "q136_unigram_logprob" -> Seq(
+      "token-frequency join is an equi hash join" -> "HashJoin",
+      "corpus-total single row broadcast over the tokens" -> "BroadcastNestedLoopJoin",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "no cartesian product in the scoring pipeline" -> "!CartesianProduct"),
+    "q137_span_dedup" -> Seq(
+      "span dup test is one window pass, not a self-join" -> "Window",
+      "no join anywhere in the span pipeline" -> "!Join",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q141_semantic_dedup" -> Seq(
+      "hyperplanes and global scale broadcast (vector side never shuffles to hash)" -> "BroadcastNestedLoopJoin",
+      "bucket-sum join is an equi hash join" -> "HashJoin",
+      "no cartesian product in the cluster pipeline" -> "!CartesianProduct"),
+    "q142_kmeans" -> Seq(
+      "centroid table broadcast (assignment never shuffles the vectors)" -> "BroadcastNestedLoopJoin",
+      "argmin is an aggregation, not a window sort" -> "min(struct(dist",
+      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"))
 
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
