@@ -44,7 +44,7 @@ object LogStore {
     require(keepHotSegments >= 0, "keepHotSegments must be >= 0")
   }
 
-  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.(jsonl(\\.gz)?|parquet)$".r
+  private val SegName = "^(\\d+-\\d+)__(\\d+-\\d+)\\.(jsonl(\\.gz)?|parquet|vjsonl)$".r
 
   def streamDir(root: String, stream: String): Path = Paths.get(root, stream)
 
@@ -116,17 +116,41 @@ object LogStore {
     */
   def encodeLine(e: LogEntry): String = {
     val sb = new java.lang.StringBuilder(64 + 16 * e.values.size)
-    sb.append("{\"id\":\"").append(e.id.toString).append("\",\"values\":{")
+    sb.append("{\"id\":\"").append(e.id.toString).append("\",\"values\":")
+    appendValuesObject(sb, e.values)
+    sb.append('}')
+    sb.toString
+  }
+
+  private def appendValuesObject(sb: java.lang.StringBuilder,
+      values: Map[String, String]): Unit = {
+    sb.append('{')
     var first = true
-    e.values.foreach { case (k, v) =>
+    values.foreach { case (k, v) =>
       if (!first) sb.append(',')
       first = false
       sb.append('"'); escapeInto(sb, k); sb.append("\":\"")
       escapeInto(sb, v); sb.append('"')
     }
-    sb.append("}}")
+    sb.append('}')
+  }
+
+  /** One values-only segment line (`{"k":"v",...}` — exactly the `values`
+    * object of [[encodeLine]]): the wire format of `.vjsonl` segments, whose
+    * ids are implicit (filename range + line number). Executor-side sink
+    * tasks encode rows with this BEFORE any id exists; the driver's commit
+    * then assigns the range by renaming the file into place.
+    */
+  def encodeValuesLine(values: Map[String, String]): String = {
+    val sb = new java.lang.StringBuilder(16 + 16 * values.size)
+    appendValuesObject(sb, values)
     sb.toString
   }
+
+  private[graft] def decodeValuesLine(line: String): Map[String, String] =
+    // reconstitute the envelope so both the fast and the Jackson decoder
+    // apply unchanged; the placeholder id is discarded
+    decodeLine("{\"id\":\"0-0\",\"values\":" + line + "}").values
 
   def decodeLine(line: String): LogEntry =
     try decodeLineFast(line)
@@ -225,7 +249,34 @@ object LogStore {
 
   def readSegment(path: String): Seq[LogEntry] =
     if (path.endsWith(".parquet")) ParquetSegments.read(path)
+    else if (path.endsWith(".vjsonl")) readValuesSegment(path)
     else segmentLines(path).map(decodeLine)
+
+  /** Id range declared by a segment's file name. */
+  private def nameRange(path: String): (LogId, LogId) =
+    Paths.get(path).getFileName.toString match {
+      case SegName(a, b, _, _) => (LogId.parse(a), LogId.parse(b))
+      case other => throw new IllegalArgumentException(s"bad segment name: $other")
+    }
+
+  /** Decode a values-only segment: ids are derived as
+    * `(first.millis, first.seq + lineNumber)` from the filename range, which
+    * the publisher guarantees spans exactly one millisecond and exactly the
+    * file's line count (both re-validated here — a mismatch means a corrupt
+    * publish and must fail loudly, not mis-assign ids).
+    */
+  private def readValuesSegment(path: String): Seq[LogEntry] = {
+    val (first, last) = nameRange(path)
+    require(first.millis == last.millis,
+      s"vjsonl segment spans several milliseconds: $path")
+    val lines = segmentLines(path)
+    require(lines.size.toLong == last.seq - first.seq + 1,
+      s"vjsonl segment $path declares ${last.seq - first.seq + 1} entries " +
+        s"but holds ${lines.size} lines")
+    lines.iterator.zipWithIndex.map { case (l, i) =>
+      LogEntry(LogId(first.millis, first.seq + i), decodeValuesLine(l))
+    }.toSeq
+  }
 
   /** Entries with start < id <= end across all segments, in id order.
     * Deduped by id so a reader racing a compaction (old + merged segments
@@ -270,6 +321,11 @@ object LogStore {
       } else decodeLine(line).id
     def segIds(path: String): Seq[LogId] =
       if (path.endsWith(".parquet")) ParquetSegments.read(path).map(_.id)
+      else if (path.endsWith(".vjsonl")) {
+        // ids are fully determined by the name — zero file IO
+        val (first, last) = nameRange(path)
+        (first.seq to last.seq).map(LogId(first.millis, _))
+      }
       else segmentLines(path).map(lineId)
     val out = scala.collection.mutable.ArrayBuffer.empty[LogId]
     val segs = segments(root, stream).filter(_.last > start)
@@ -411,6 +467,9 @@ object LogStore {
 
   private[log] def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
+
+  private[graft] def valuesSegmentName(first: LogId, last: LogId): String =
+    s"${first}__$last.vjsonl"
 
   /** A segment fully written to a hidden tmp file, not yet visible. */
   final case class PreparedSegment(tmp: Path, target: Path)

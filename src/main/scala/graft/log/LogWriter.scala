@@ -181,6 +181,49 @@ final class LogWriter(root: String, stream: String,
     entries.map(_.id)
   }
 
+  /** Publish pre-staged values-only segment files (`.vjsonl`, one
+    * [[LogStore.encodeValuesLine]] payload per line) into a freshly reserved
+    * dense id range — the de-funneled sink commit. Executors already encoded
+    * and wrote the full segment bytes; under the stream lock this only
+    * reserves the range and RENAMES each file into place in ascending id
+    * order (the reader visibility contract), so commit cost is O(#files)
+    * regardless of row count and no payload ever touches the driver. Every
+    * entry of the batch shares one millisecond: ids are exactly what
+    * [[produceAll]] assigns for the same input order under a frozen clock
+    * (seq = position in the concatenated file order). Returns the assigned
+    * (firstId, totalEntries), or None for an all-empty batch. Crash between
+    * renames = partial append; a retry re-stages and re-publishes with fresh
+    * ids — at-least-once, the same contract as every produce path.
+    */
+  def publishStagedValues(staged: Seq[(java.nio.file.Path, Long)]): Option[(LogId, Long)] = {
+    val files = staged.filter(_._2 > 0)
+    if (files.isEmpty) None
+    else withStreamLock {
+      val total = files.iterator.map(_._2).sum
+      val start = nextIdAt(clock())
+      last = LogId(start.millis, start.seq + total - 1)
+      val dir = LogStore.streamDir(root, stream)
+      var off = 0L
+      files.foreach { case (p, c) =>
+        val target = dir.resolve(LogStore.valuesSegmentName(
+          LogId(start.millis, start.seq + off),
+          LogId(start.millis, start.seq + off + c - 1)))
+        if (java.nio.file.Files.exists(target))
+          throw new IllegalStateException(
+            s"segment ${target.getFileName} already exists for stream " +
+              s"'$stream' — duplicate id assignment (two writers?)")
+        try java.nio.file.Files.move(p, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(p, target)
+        }
+        off += c
+      }
+      maybeAutoCompact()
+      Some((start, total))
+    }
+  }
+
   /** Write the tombstone used to materialize an empty stream
     * (≙ MKSTREAM's dummy entry; consumers skip it).
     */

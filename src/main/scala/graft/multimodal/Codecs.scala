@@ -2,20 +2,33 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets.US_ASCII
 
-/** Pure-JVM image codecs for the multimodal pipeline: PPM (netpbm P6 binary
-  * RGB) and BMP (24-bit uncompressed BI_RGB) — the two classic formats
-  * decodable with zero dependencies, which is what this offline container
-  * allows. They make the decode stage of MediaPipeline REAL: headers are
-  * parsed, pixel data is materialized, resize actually resamples and
-  * re-encodes. Formats beyond these (JPEG/PNG/MP4...) need codec libraries
-  * that are not present; MediaPipeline falls back to its documented
-  * deterministic stub for those mimes only.
+/** Pure-JVM image codecs for the multimodal pipeline. Two tiers, zero
+  * external dependencies:
+  *
+  *  - hand-rolled PPM (netpbm P6 binary RGB) and BMP (24-bit uncompressed
+  *    BI_RGB) — byte-level parse/encode, fully closed-form file sizes;
+  *  - PNG and JPEG through `javax.imageio.ImageIO`, which ships INSIDE
+  *    JDK 17 (headless-safe) — the formats a real corpus is actually made
+  *    of. PNG is lossless, so pixels round-trip exactly; JPEG decode is
+  *    exact for dimensions but lossy for pixels.
+  *
+  * Everything lands in one [[RgbImage]] raster, so MediaPipeline's decode /
+  * resample / re-encode stages are REAL for all four formats. Only formats
+  * beyond these (video containers, audio) fall back to MediaPipeline's
+  * documented deterministic stand-in.
   *
   * The reference has no media path at all (its payloads are flat string
   * maps, /root/reference/lib/stream.ex:15-16); this is part of the engine's
   * training-data-pipeline surface (builder brief: multimodal columns).
   */
 object Codecs {
+
+  // must be set before any AWT-adjacent class initializes on a server JVM;
+  // also skip ImageIO's disk-backed stream cache (executor tmp churn)
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
   final case class RgbImage(width: Int, height: Int, pixels: Array[Byte]) {
@@ -33,6 +46,12 @@ object Codecs {
     b.length > 2 && b(0) == 'P' && b(1) == '6' && isPpmSpace(b(2))
   def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
 
   /** Decode by magic bytes; None for formats this container cannot parse.
     * A payload that merely STARTS like a format (text beginning "BM...",
@@ -44,8 +63,74 @@ object Codecs {
     try {
       if (isPpm(payload)) Some(decodePpm(payload))
       else if (isBmp(payload)) Some(decodeBmp(payload))
+      else if (isPng(payload) || isJpeg(payload)) decodeImageIo(payload)
       else None
-    } catch { case _: IllegalArgumentException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // --- PNG / JPEG via the JDK's own ImageIO (no external codec libraries) ---
+
+  private def decodeImageIo(bytes: Array[Byte]): Option[RgbImage] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(fromBufferedImage)
+
+  /** Repack a BufferedImage into the canonical raster. `getRGB` yields
+    * non-premultiplied sRGB ints for every internal layout, so 8-bit RGB
+    * channels pass through exactly; an alpha channel, if present, is
+    * discarded (the pipeline's raster is opaque RGB).
+    */
+  private[multimodal] def fromBufferedImage(bi: java.awt.image.BufferedImage): RgbImage = {
+    val w = bi.getWidth
+    val h = bi.getHeight
+    val px = new Array[Byte](3 * w * h)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      bi.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val o = 3 * (y * w + x)
+        px(o) = ((rgb >> 16) & 0xff).toByte
+        px(o + 1) = ((rgb >> 8) & 0xff).toByte
+        px(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(w, h, px)
+  }
+
+  private[multimodal] def toBufferedImage(img: RgbImage): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](img.width)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = 3 * (y * img.width + x)
+        row(x) = ((img.pixels(o) & 0xff) << 16) |
+          ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff)
+        x += 1
+      }
+      bi.setRGB(0, y, img.width, 1, row, 0, img.width)
+      y += 1
+    }
+    bi
+  }
+
+  private def encodeImageIo(img: RgbImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + img.pixels.length / 2)
+    val ok = javax.imageio.ImageIO.write(toBufferedImage(img), format, out)
+    require(ok, s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Lossless: decodePng(encodePng(img)) == img pixel-for-pixel. */
+  def encodePng(img: RgbImage): Array[Byte] = encodeImageIo(img, "png")
+
+  /** Lossy: dimensions round-trip exactly, pixel values approximately. */
+  def encodeJpeg(img: RgbImage): Array[Byte] = encodeImageIo(img, "jpg")
 
   // --- PPM (P6, maxval <= 255) ---
 

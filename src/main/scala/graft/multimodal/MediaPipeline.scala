@@ -32,19 +32,20 @@ final case class MediaFeatures(
   * embarrassingly parallel; partition sizing is controlled upstream by
   * `spark.sql.files.maxPartitionBytes` on the payload source.
   *
-  * Decode is REAL for the formats a zero-dependency JVM can parse — PPM (P6)
-  * and BMP (24-bit BI_RGB), see [[Codecs]] — including actual pixel
-  * resampling on resize. Formats needing codec libraries absent from this
-  * container (JPEG/PNG/MP4...) fall back to a documented deterministic
-  * stand-in, so the pipeline shape stays exercised end-to-end for every
-  * mime. Tested in MediaPipelineSpec (real files) and oracle-checked by
-  * q134 (decoded dims/bytes vs closed-form DuckDB arithmetic).
+  * Decode is REAL for PPM (P6), BMP (24-bit BI_RGB), PNG and JPEG — the
+  * first two hand-parsed, the last two through the JDK's own
+  * `javax.imageio` (see [[Codecs]]) — including actual pixel resampling and
+  * in-format re-encode on resize. Only formats with no JDK reader (video
+  * containers, audio) fall back to a documented deterministic stand-in, so
+  * the pipeline shape stays exercised end-to-end for every mime. Tested in
+  * MediaPipelineSpec (real files) and oracle-checked by q134 (PPM/BMP) and
+  * q143 (PNG) against closed-form DuckDB arithmetic.
   */
 object MediaPipeline {
 
-  /** Image/video decoder: real parse for PPM/BMP payloads (dispatch on magic
-    * bytes); other formats get a deterministic stand-in derived from the
-    * payload, clearly separated below — a real deployment swaps ONLY the
+  /** Image/video decoder: real parse for PPM/BMP/PNG/JPEG payloads (dispatch
+    * on magic bytes); other formats get a deterministic stand-in derived from
+    * the payload, clearly separated below — a real deployment swaps ONLY the
     * fallback for the actual library call, nothing else changes.
     */
   object Decoder {
@@ -56,8 +57,8 @@ object MediaPipeline {
         case None => fallback(mime, payload)
       }
 
-    /** Deterministic stand-in for codec-less formats (no JPEG/PNG/MP4 libs
-      * in this container): fake-but-stable dims from a payload hash.
+    /** Deterministic stand-in for formats with no JDK reader (video
+      * containers, audio): fake-but-stable dims from a payload hash.
       */
     private[multimodal] def fallback(mime: String, payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
@@ -136,6 +137,8 @@ object MediaPipeline {
             val resized = Codecs.resizeNearest(img, tw, th)
             val encoded =
               if (Codecs.isBmp(rec.payload)) Codecs.encodeBmp(resized)
+              else if (Codecs.isPng(rec.payload)) Codecs.encodePng(resized)
+              else if (Codecs.isJpeg(rec.payload)) Codecs.encodeJpeg(resized)
               else Codecs.encodePpm(resized)
             rec.copy(payload = encoded)
           case None =>

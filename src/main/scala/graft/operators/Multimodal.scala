@@ -109,5 +109,59 @@ object Multimodal {
           $"r_width", $"r_height", $"r_bytes")
         .orderBy($"media_id")
     },
+
+    q("q143_png_roundtrip",
+      // PNG is lossless, so the fixture raster's pixels survive the JDK
+      // ImageIO encode→decode round-trip EXACTLY; file sizes are deflate
+      // output (not closed-form), so the probes are dims + pixel values:
+      // the original corners and the nearest-neighbor source pixel of the
+      // re-encoded, re-decoded resize output (integer sx=(rx*w)//rw map,
+      // same as Codecs.resizeNearest).
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + (doc_id % 48) AS w,
+        |    8 + (doc_id % 24) AS h
+        |  FROM documents
+        |), p AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN w
+        |      ELSE GREATEST(1, CAST(FLOOR(w * LEAST(CAST(24 AS DOUBLE)/w,
+        |        CAST(24 AS DOUBLE)/h)) AS BIGINT)) END AS rw,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN h
+        |      ELSE GREATEST(1, CAST(FLOOR(h * LEAST(CAST(24 AS DOUBLE)/w,
+        |        CAST(24 AS DOUBLE)/h)) AS BIGINT)) END AS rh
+        |  FROM m
+        |)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(media_id % 256 AS BIGINT) AS first_px,
+        |  CAST(((w-1) + 2*(h-1) + media_id + 85) % 256 AS BIGINT) AS corner_g,
+        |  CAST(rw AS BIGINT) AS r_width, CAST(rh AS BIGINT) AS r_height,
+        |  CAST((((rw-1)*w // rw) + 2*((rh-1)*h // rh) + media_id) % 256
+        |    AS BIGINT) AS r_corner
+        |FROM p ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "image/png", Codecs.encodePng(fixtureImage(id)))))
+      val orig = media.map { r =>
+        val img = Codecs.decode(r.payload).get
+        (r.media_id, img.width.toLong, img.height.toLong,
+          img.pixel(0, 0)._1.toLong,
+          img.pixel(img.width - 1, img.height - 1)._2.toLong)
+      }.toDF("media_id", "width", "height", "first_px", "corner_g")
+      // real resample + PNG re-encode, then decode AGAIN: the probes below
+      // certify the re-encoded file, not the plan arithmetic
+      val resized = MediaPipeline.resize(s, media, 24, 24).map { r =>
+        val img = Codecs.decode(r.payload).get
+        (r.media_id, img.width.toLong, img.height.toLong,
+          img.pixel(img.width - 1, img.height - 1)._1.toLong)
+      }.toDF("r_id", "r_width", "r_height", "r_corner")
+      orig.join(resized, $"media_id" === $"r_id")
+        .select($"media_id", $"width", $"height", $"first_px", $"corner_g",
+          $"r_width", $"r_height", $"r_corner")
+        .orderBy($"media_id")
+    },
   )
 }

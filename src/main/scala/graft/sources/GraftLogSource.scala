@@ -34,11 +34,14 @@ import scala.jdk.CollectionConverters._
   *    (/root/reference/lib/redix/stream/consumer.ex:286, :295).
   *
   * Write side: batch + streaming append ≙ `produce` (XADD,
-  * /root/reference/lib/stream.ex:25-38). Executors serialize rows into commit
-  * messages; the driver assigns monotonic `"<millis>-<seq>"` ids at commit,
-  * preserving the single-sequencer id rule (a stream is one ordered shard, as
-  * in Redis; scale-out = many streams). Batch retry after a commit failure
-  * re-appends with fresh ids — at-least-once, the reference's contract.
+  * /root/reference/lib/stream.ex:25-38). Executors encode and stage full
+  * values-only segment files on the shared filesystem; the driver's commit
+  * holds the per-stream lock only to reserve a dense monotonic
+  * `"<millis>-<seq>"` id range and RENAME the staged files into it — the
+  * single-sequencer id rule is preserved (a stream is one ordered shard, as
+  * in Redis; scale-out = many streams) while no payload row ever passes
+  * through the driver. Batch retry after a commit failure re-appends with
+  * fresh ids — at-least-once, the reference's contract.
   */
 class GraftLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlog"
@@ -522,11 +525,15 @@ final class GraftLogWriteBuilder(root: String, stream: String, schema: StructTyp
     queryId: String, tsColumn: Option[String] = None,
     segmentEntries: Int = 10000) extends WriteBuilder {
   override def build(): Write = tsColumn match {
-    case None => new Write {
-      override def toBatch: BatchWrite = new GraftLogBatchWrite(root, stream, schema)
-      override def toStreaming: StreamingWrite =
-        new GraftLogStreamingWrite(root, stream, schema, queryId)
-    }
+    case None =>
+      // driver-side DDL + name validation BEFORE tasks stage files
+      LogStore.ensureStream(root, stream)
+      new Write {
+        override def toBatch: BatchWrite =
+          new GraftLogBatchWrite(root, stream, schema, segmentEntries)
+        override def toStreaming: StreamingWrite =
+          new GraftLogStreamingWrite(root, stream, schema, queryId, segmentEntries)
+      }
     case Some(tsCol) =>
       require(schema.fieldNames.contains(tsCol),
         s"tsColumn '$tsCol' not in write schema ${schema.fieldNames.mkString(",")}")
@@ -655,7 +662,16 @@ final class GraftLogBulkDataWriter(root: String, stream: String,
   override def close(): Unit = ()
 }
 
-/** Rows serialized on executors; ids assigned once, on the driver, at commit. */
+/** One task's staged values-only segment files (path, entryCount), in row
+  * order. Only file METADATA crosses to the driver — the payload bytes are
+  * already on the shared filesystem, encoded by the executor.
+  */
+final case class GraftLogStagedCommit(partitionId: Int,
+    files: Seq[(String, Long)]) extends WriterCommitMessage
+
+/** Count-only ack for writes whose tasks publish segments themselves
+  * (the tsColumn bulk path).
+  */
 final case class GraftLogCommitMessage(partitionId: Int,
     rows: Seq[Map[String, String]]) extends WriterCommitMessage
 
@@ -697,53 +713,113 @@ object GraftLogWritePath {
     }
   }
 
+  /** Append-sink commit: executors staged fully-encoded values-only segment
+    * files; under the per-stream lock the driver reserves a dense id range
+    * and renames them into place in (partitionId, chunk) order — O(#files)
+    * driver work, no payload row ever materializes driver-side. Per-commit
+    * tiered auto-compaction keeps a long-running sink's file count and the
+    * per-append maxId directory listing bounded.
+    */
   def commitAll(root: String, stream: String, messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator
-      .map(_.asInstanceOf[GraftLogCommitMessage])
+    val staged = messages.iterator
+      .collect { case m: GraftLogStagedCommit => m }
       .toSeq.sortBy(_.partitionId)
-      .flatMap(_.rows)
-    if (rows.nonEmpty) {
-      // auto-compaction on the sink path: a long-running streaming sink is
-      // the production producer, and per-commit tiered merges keep both the
-      // file count and the per-append maxId directory listing bounded
-      val writer = new LogWriter(root, stream, autoCompactSegments = 64)
-      writer.produceAll(rows.map(_.asInstanceOf[Map[String, Any]]))
-    } else LogStore.ensureStream(root, stream)
+      .flatMap(_.files)
+      .map { case (p, c) => (java.nio.file.Paths.get(p), c) }
+    // the LogWriter constructor materializes an empty stream when no task
+    // staged anything, so an all-empty write still creates the stream
+    new LogWriter(root, stream, autoCompactSegments = 64)
+      .publishStagedValues(staged)
   }
+
+  /** Best-effort cleanup of staged files on job abort / duplicate epoch. */
+  def dropStaged(messages: Array[WriterCommitMessage]): Unit =
+    messages.iterator.collect { case m: GraftLogStagedCommit => m }
+      .flatMap(_.files).foreach { case (p, _) =>
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+        catch { case _: java.io.IOException => () }
+      }
 }
 
-final class GraftLogDataWriter(schema: StructType, partitionId: Int)
-    extends DataWriter[InternalRow] {
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
-  override def write(record: InternalRow): Unit =
-    buf += GraftLogWritePath.toPayload(schema, record)
-  override def commit(): WriterCommitMessage = GraftLogCommitMessage(partitionId, buf.toSeq)
-  override def abort(): Unit = buf.clear()
+/** Executor-side append writer: encodes each row's payload into staged
+  * values-only (`.vjsonl`) files under `<streamDir>/.staging/` — the full
+  * segment bytes are produced HERE, on the executor; the driver's commit only
+  * reserves the epoch's id range and renames the staged files into place
+  * ([[graft.log.LogWriter.publishStagedValues]]). Chunked every
+  * `maxSegmentEntries` rows so one huge task still yields
+  * reader-parallelizable segments. Staged names are UUIDs: retried or
+  * speculative attempts stage side by side and only the attempt whose commit
+  * message Spark accepts gets published; abort deletes this attempt's files.
+  */
+final class GraftLogDataWriter(root: String, stream: String, schema: StructType,
+    partitionId: Int, maxSegmentEntries: Int) extends DataWriter[InternalRow] {
+  import java.nio.file.{Files, Path, Paths}
+  private val stagingDir: Path = {
+    val d = LogStore.streamDir(root, stream).resolve(".staging")
+    Files.createDirectories(d)
+    d
+  }
+  private val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private var out: java.io.Writer = null
+  private var current: Path = null
+  private var count = 0L
+
+  private def roll(): Unit = if (out != null) {
+    out.close(); out = null
+    files += ((current.toString, count))
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (out == null) {
+      current = stagingDir.resolve(s"${java.util.UUID.randomUUID()}.vjsonl")
+      out = Files.newBufferedWriter(current, java.nio.charset.StandardCharsets.UTF_8)
+      count = 0L
+    }
+    out.write(LogStore.encodeValuesLine(GraftLogWritePath.toPayload(schema, record)))
+    out.write('\n')
+    count += 1
+    if (count >= maxSegmentEntries) roll()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    roll()
+    GraftLogStagedCommit(partitionId, files.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    (files.iterator.map(_._1) ++ Option(current).map(_.toString))
+      .foreach(p => try Files.deleteIfExists(Paths.get(p))
+        catch { case _: java.io.IOException => () })
+  }
+
   override def close(): Unit = ()
 }
 
 /** Serializable factory shipped to executors (must not capture the write). */
-final case class GraftLogWriterFactory(schema: StructType)
+final case class GraftLogWriterFactory(root: String, stream: String,
+    schema: StructType, maxSegmentEntries: Int)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(schema, partitionId)
+    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(schema, partitionId)
+    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries)
 }
 
-final class GraftLogBatchWrite(root: String, stream: String, schema: StructType)
-    extends BatchWrite {
+final class GraftLogBatchWrite(root: String, stream: String, schema: StructType,
+    maxSegmentEntries: Int = 10000) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(schema)
+    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftLogWritePath.commitAll(root, stream, messages)
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.dropStaged(messages)
 }
 
 final class GraftLogStreamingWrite(root: String, stream: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, maxSegmentEntries: Int = 10000) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogWriterFactory(schema)
+    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries)
 
   /** Idempotent per epoch *within a query*: Structured Streaming may
     * re-deliver a committed epoch after a driver failure; a marker file makes
@@ -761,8 +837,10 @@ final class GraftLogStreamingWrite(root: String, stream: String, schema: StructT
     if (!java.nio.file.Files.exists(marker)) {
       GraftLogWritePath.commitAll(root, stream, messages)
       java.nio.file.Files.createFile(marker)
-    }
+    } else GraftLogWritePath.dropStaged(messages) // duplicate epoch: drop, don't leak
+
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.dropStaged(messages)
 }

@@ -278,6 +278,61 @@ class LogSourceSpec extends AnyFunSuite {
     assert(out.map(_.id) == out.map(_.id).sorted)
   }
 
+  test("de-funneled batch sink assigns the ids produceAll would (frozen clock)") {
+    // the sink's executor-staged + rename-committed path must be
+    // id-indistinguishable from the single-writer funnel: dense seqs in
+    // (partition, row) order, all in the commit's one millisecond
+    val root = TestSpark.tmpDir("graftlog")
+    val n = 100
+    val rows = (0 until n).map(i => Map[String, Any]("n" -> i))
+    import spark.implicits._
+    spark.sparkContext.parallelize(0 until n, 4).toDF("n")
+      .write.format("graftlog")
+      .option("path", root).option("stream", "sunk").mode("append").save()
+    val got = LogStore.readRange(root, "sunk", LogId.Zero, LogStore.maxId(root, "sunk"))
+    assert(got.size == n)
+    // replay the same input order through the PARITY api, clock frozen at
+    // the millisecond the sink's commit actually used → ids must be EQUAL
+    val ms = got.head.id.millis
+    val exp = new LogWriter(root, "expected", () => ms).produceAll(rows)
+    assert(got.map(_.id) == exp, "sink ids diverge from LogWriter.produceAll")
+    assert(got.map(_.values("n")) == (0 until n).map(_.toString),
+      "payload order diverges from input order")
+    // nothing left behind in staging, and no payload crossed the driver:
+    // the published segments are the staged files themselves (values-only)
+    assert(LogStore.segments(root, "sunk").forall(_.path.endsWith(".vjsonl")))
+    val staging = LogStore.streamDir(root, "sunk").resolve(".staging")
+    assert(java.nio.file.Files.list(staging).count() == 0)
+  }
+
+  test("sink chunks large tasks into multiple segments; admission control reads vjsonl") {
+    val root = TestSpark.tmpDir("graftlog")
+    import spark.implicits._
+    (0 until 25).toDF("n").coalesce(1)
+      .write.format("graftlog")
+      .option("path", root).option("stream", "s")
+      .option("maxSegmentEntries", "10")
+      .mode("append").save()
+    val segs = LogStore.segments(root, "s")
+    assert(segs.size == 3, s"expected 3 chunked segments, got ${segs.size}")
+    // ids-only fast path derives vjsonl ids from the name with zero file IO
+    val ids = LogStore.idsAfterLimited(root, "s", LogId.Zero, 25)
+    assert(ids.size == 25 && ids == ids.sorted)
+    assert(LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+      .map(_.values("n")).map(_.toInt) == (0 until 25))
+    // tiered compaction folds values-only segments into ordinary JSONL
+    val merged = LogStore.compactTiered(root, "s", minMerge = 2)
+    assert(merged == 3)
+    val after = LogStore.segments(root, "s")
+    assert(after.size == 1 && after.head.path.endsWith(".jsonl"))
+    assert(LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+      .map(_.values("n")).map(_.toInt) == (0 until 25))
+    // the DSv2 reader agrees before/after
+    val df = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").load()
+    assert(df.count() == 25)
+  }
+
   test("compaction merges segments; readers see identical data") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
@@ -685,20 +740,33 @@ class LogSourceSpec extends AnyFunSuite {
   }
 
   test("streaming sink commit is idempotent per epoch, but only within a query") {
-    import graft.sources.{GraftLogCommitMessage, GraftLogStreamingWrite}
+    import graft.sources.{GraftLogStagedCommit, GraftLogStreamingWrite}
     import org.apache.spark.sql.connector.write.WriterCommitMessage
     val root = TestSpark.tmpDir("graftlog")
+    LogStore.ensureStream(root, "out")
+    // a re-delivered epoch re-runs its tasks, so every delivery stages fresh files
+    def staged(): Array[WriterCommitMessage] = {
+      val dir = LogStore.streamDir(root, "out").resolve(".staging")
+      java.nio.file.Files.createDirectories(dir)
+      val f = dir.resolve(s"${java.util.UUID.randomUUID()}.vjsonl")
+      java.nio.file.Files.write(f,
+        (LogStore.encodeValuesLine(Map("k" -> "v")) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Array(GraftLogStagedCommit(0, Seq((f.toString, 1L))))
+    }
     val write = new GraftLogStreamingWrite(root, "out", null, "query-A")
-    val msgs: Array[WriterCommitMessage] =
-      Array(GraftLogCommitMessage(0, Seq(Map("k" -> "v"))))
-    write.commit(7L, msgs)
-    write.commit(7L, msgs) // re-delivered epoch after driver recovery
+    write.commit(7L, staged())
+    write.commit(7L, staged()) // re-delivered epoch after driver recovery
     val entries = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
     assert(entries.size == 1)
+    // the duplicate epoch's staged file must be dropped, not leaked
+    val leftover = java.nio.file.Files.list(
+      LogStore.streamDir(root, "out").resolve(".staging")).count()
+    assert(leftover == 0, s"duplicate-epoch staging leaked $leftover files")
     // a DIFFERENT query re-using the same epoch number must NOT be dropped:
     // epoch ids restart at 0 per query, so markers are keyed by query identity
     val writeB = new GraftLogStreamingWrite(root, "out", null, "query-B")
-    writeB.commit(7L, msgs)
+    writeB.commit(7L, staged())
     val after = LogStore.readRange(root, "out", LogId.Zero, LogStore.maxId(root, "out"))
     assert(after.size == 2)
   }

@@ -106,6 +106,44 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(resized.forall(!_.mime.contains(";")))
   }
 
+  test("PNG encode/decode round-trips pixels exactly (JDK ImageIO)") {
+    val img = pattern(37, 21)
+    val png = Codecs.encodePng(img)
+    assert(Codecs.isPng(png) && !Codecs.isPpm(png) && !Codecs.isBmp(png))
+    val back = Codecs.decode(png).get
+    assert(back.width == 37 && back.height == 21)
+    assert(back.pixels.toSeq == img.pixels.toSeq, "PNG must be lossless")
+  }
+
+  test("JPEG round-trips dimensions exactly, pixels approximately (lossy)") {
+    val img = pattern(32, 24)
+    val jpg = Codecs.encodeJpeg(img)
+    assert(Codecs.isJpeg(jpg))
+    val back = Codecs.decode(jpg).get
+    assert(back.width == 32 && back.height == 24)
+    val err = img.pixels.iterator.zip(back.pixels.iterator)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+      .sum.toDouble / img.pixels.length
+    assert(err < 32.0, s"jpeg mean abs channel error $err too large")
+  }
+
+  test("resize preserves PNG/JPEG container formats through re-encode") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", Codecs.encodePng(pattern(40, 30))),
+      MediaRecord(2L, "image/jpeg", Codecs.encodeJpeg(pattern(60, 20))))
+    val resized = MediaPipeline.resize(spark, spark.createDataset(recs), 24, 24)
+      .collect().sortBy(_.media_id)
+    assert(Codecs.isPng(resized(0).payload))
+    assert(Codecs.isJpeg(resized(1).payload))
+    val r0 = Codecs.decode(resized(0).payload).get
+    assert((r0.width, r0.height) == MediaPipeline.resizePlan(40, 30, 24, 24))
+    val r1 = Codecs.decode(resized(1).payload).get
+    assert((r1.width, r1.height) == MediaPipeline.resizePlan(60, 20, 24, 24))
+    // real decode for these mimes: no stub w/h parameters appended
+    assert(resized.forall(!_.mime.contains(";")))
+  }
+
   test("batched feature extraction over binary payloads") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
