@@ -7,7 +7,7 @@ object Bench {
     */
   private def streamIngestEps(spark: SparkSession): Long = {
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      val root = graft.TempDirs.scratch("graft-bench-stream")
       val n = 50000
       val w = new graft.log.LogWriter(root, "bench")
       // 1k-entry appends → 50 segments, so each micro-batch's range prunes
@@ -23,7 +23,7 @@ object Bench {
         .writeStream.format("memory").queryName("bench_stream")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString)
+          graft.TempDirs.scratch("graft-bench-ckpt"))
         .start()
       q.processAllAvailable()
       q.stop()
@@ -39,7 +39,7 @@ object Bench {
   private def bulkProduceEps(spark: SparkSession): Long = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-bulk").toString
+      val root = graft.TempDirs.scratch("graft-bench-bulk")
       val n = 50000
       val df = spark.range(n).select(
         (lit(1700000000000L) + col("id") / 10L).as("ms"),
@@ -59,7 +59,7 @@ object Bench {
   private def sinkAppendEps(spark: SparkSession): Long = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+      val root = graft.TempDirs.scratch("graft-bench-sink")
       val n = 50000
       val df = spark.range(n).select(
         col("id").cast("string").as("i"),

@@ -172,7 +172,7 @@ object Extras {
       import s.implicits._
       // third round-trip format (parquet fixtures -> ORC -> scan -> agg);
       // columnar like parquet, so pushdown/pruning still reach the scan.
-      val tmp = Files.createTempDirectory("graft-q86").toString
+      val tmp = graft.TempDirs.scratch("graft-q86")
       T(s, dir, "lineitem")
         .select($"l_linestatus", $"l_extendedprice")
         .write.mode("overwrite").orc(tmp)
@@ -191,7 +191,7 @@ object Extras {
       // spark-xml package moved into core). Row-oriented like JSON/CSV, so
       // an explicit schema is mandatory at scale (inference double-reads);
       // the rowTag option frames each record.
-      val tmp = Files.createTempDirectory("graft-q140").toString
+      val tmp = graft.TempDirs.scratch("graft-q140")
       T(s, dir, "part")
         .select($"p_brand", $"p_retailprice")
         .write.mode("overwrite").option("rowTag", "part").xml(tmp)
@@ -322,7 +322,7 @@ object Extras {
       """SELECT event_type, COUNT(*) AS n FROM events
         |WHERE event_id % 10 = 0 GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q93").toString
+      val root = graft.TempDirs.scratch("graft-q93")
       val sub = T(s, dir, "events")
         .filter($"event_id" % 10 === 0)
         .selectExpr("CAST(event_id AS STRING) AS event_id", "event_type")

@@ -357,7 +357,14 @@ object Similarity {
       // max-abs scale (per-vector scales would distort cross-vector
       // geometry), and argmin_v ||v - S/n||^2 is rewritten as
       // argmin_v n^2*(v.v) - 2n*(v.S) over BIGINT sums — no float mean, no
-      // order-dependence, identical in both engines. Shuffles are keyed on
+      // order-dependence, identical in both engines WITHIN the documented
+      // bucket-size bound: |score| <= 3*n^2*dim*127^2, which stays inside
+      // BIGINT for n <= ~1.7M vectors per bucket (dim 64). Beyond that the
+      // engines diverge loudly vs silently (DuckDB raises on overflow,
+      // non-ANSI Spark wraps), so a deployment at that scale must split
+      // buckets (finer LSH/k-means cells — which 1.7M-member clusters need
+      // anyway for SemDeDup to be meaningful) or move the score to
+      // DECIMAL(38,0). Shuffles are keyed on
       // (bucket, pos) and (vec_id) — fixed width; nothing is all-pairs.
       val e = T(s, dir, "embeddings")
       val gm = e.agg(max(expr(

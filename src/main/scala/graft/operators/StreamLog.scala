@@ -56,7 +56,7 @@ object StreamLog {
         |  CAST(value AS VARCHAR) AS value_s
         |FROM events ORDER BY event_id""") { (s, dir) =>
       import s.implicits._
-      val root = Files.createTempDirectory("graft-q60").toString
+      val root = graft.TempDirs.scratch("graft-q60")
       Tables.load(s, dir, "events")
         .select($"event_id", $"event_type", $"value")
         .write.format("graftlog")
@@ -374,14 +374,20 @@ object StreamLog {
     },
 
     q("q120_streaming_lsh_dedup",
-      // Streaming near-dup detection THROUGH the engine: documents flow in
-      // doc_id order, each is minhashed and banded map-side, and a per-band
-      // state store tracks the minimum doc_id seen per band signature — a
-      // doc is a near-dup iff some band was already seen on an earlier doc
-      // (earlier batch or earlier in-batch). The batch oracle states the
-      // same rule relationally: doc b is a dup iff an a < b shares a band.
-      // State is one long per live band key, the streaming-budget analogue
-      // of the batch LSH join's shuffle keys.
+      // Streaming near-dup detection THROUGH the engine, ORDER-ROBUST:
+      // each document is minhashed and banded map-side; per band signature
+      // the state store keeps the running minimum doc_id plus the docs the
+      // watermark has not yet finalized. A doc's verdict — some band saw a
+      // smaller doc_id — is emitted only when the watermark passes its
+      // event time (strictly monotone in doc_id), so the output is a pure
+      // function of the log CONTENT: any arrival order within the
+      // watermark delay gives identical results (round-4 verdict: the old
+      // emit-on-collision output depended on arrival order, which no one
+      // can keep at scale). One sentinel row past every real event time
+      // advances the watermark so the tail finalizes. The batch oracle
+      // states the same rule relationally: doc b is a dup iff an a < b
+      // shares a band. Long-run state per band is one long + a
+      // watermark-bounded pending buffer.
       s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT doc_id, ${graft.functions.TextHash.duckShingles("w")} shingles
          |       FROM words WHERE len(w) >= 3),
@@ -398,18 +404,25 @@ object StreamLog {
          |FROM sig ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
       graft.functions.GraftExpressions.register(s)
-      // produce in doc_id order: the batch sink assigns ids in (partition,
-      // row) order, so the range-partitioned sort makes arrival order =
-      // doc_id order — the order the first-seen rule is defined over
+      // the sentinel's event time (seconds = doc_id) exceeds every real
+      // doc's by far more than the watermark delay, so the last batch
+      // advances the watermark past the whole corpus and the trailing
+      // no-data batches fire every remaining finalization timer
+      val SentinelId = 200000L
       val root = graft.LogFixtures.producedLog(dir, "q120") { r =>
-        Tables.load(s, dir, "documents")
+        def append(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graftlog")
+            .option("path", r).option("stream", "docs")
+            .mode("append").save()
+        // id order is merely a convenient produce order now — correctness
+        // no longer depends on it (StreamingOpsSpec shuffles it)
+        append(Tables.load(s, dir, "documents")
           .select($"doc_id".cast("string").as("doc_id"), $"text")
-          .orderBy($"doc_id".cast("long"))
-          .write.format("graftlog")
-          .option("path", r).option("stream", "docs")
-          .mode("append").save()
+          .orderBy($"doc_id".cast("long")))
+        append(s.range(1).selectExpr(s"'$SentinelId' AS doc_id",
+          "'watermark advance sentinel row' AS text"))
       }
-      graft.streaming.StreamHarness.runToMemory(s, "q120", 4) {
+      graft.streaming.StreamHarness.runToMemory(s, "q120", 4, rocksdb = true) {
         val banded = s.readStream.format("graftlog")
           .option("path", root).option("stream", "docs")
           .option("startingOffsets", "earliest")
@@ -417,18 +430,27 @@ object StreamLog {
           .load()
           .selectExpr("CAST(values['doc_id'] AS BIGINT) AS doc_id",
             "values['text'] AS text")
+          // event time strictly monotone in doc_id: finalization order =
+          // verdict order; 1 day of allowed arrival disorder. The +1 keeps
+          // doc_id 0 ABOVE the initial zero watermark — rows at exactly the
+          // watermark are dropped as late (epoch-0 event times are the
+          // degenerate case the late-drop guard in StreamHarness caught)
+          .withColumn("ets", timestamp_seconds($"doc_id" + 1))
+          .withWatermark("ets", "24 hours")
           .withColumn("w", split($"text", " "))
           .filter(size($"w") >= 3)
           .withColumn("hh", expr(
             s"array_distinct(transform(${graft.functions.TextHash.shinglesSql("w")}, s -> graft_polyhash(s)))"))
           .withColumn("mh", expr("graft_minhash(hh)"))
-          .select($"doc_id", explode(sequence(lit(0),
+          .select($"doc_id", $"ets", explode(sequence(lit(0),
             lit(graft.functions.TextHash.MinhashBands - 1))).as("band"), $"mh")
           .withColumn("bkey", expr(
             "concat(CAST(band AS STRING), ':', concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING))))"))
-        graft.streaming.StreamingOps.minSeenCollisions(s, banded, "bkey", "doc_id")
+        graft.streaming.StreamingOps
+          .watermarkedBandCollisions(s, banded, "bkey", "doc_id", "ets")
           .toDF("doc_id", "hit")
       }
+        .filter($"doc_id" =!= SentinelId)
         .groupBy($"doc_id")
         .agg(max($"hit").as("is_dup"))
         .orderBy($"doc_id")
@@ -571,6 +593,94 @@ object StreamLog {
         .orderBy($"user_id", $"session_start")
     },
 
+    q("q144_late_data_drop",
+      // Late-data DROP through the engine — the other half of the watermark
+      // contract (every other engine-streaming query produces its fixture so
+      // nothing is ever late; this one oracle-checks what the watermark
+      // EXCLUDES). Two deferred sets arrive only after the on-time phase was
+      // drained and its windows finalized at watermark m - 1 h (m = global
+      // max event time, which stays in the on-time phase): rows with
+      // event_id % 97 == 0 at least 2 h old (their hour windows closed a
+      // full hour below the watermark -> DROPPED, and the run asserts the
+      // engine counted them as watermark drops) and all rows in the last
+      // 30 min (their windows sit above the watermark -> still MERGED,
+      // proving the engine drops by window finalization, not by arrival
+      // batch). Both sets sit a window away from the cut, so no engine
+      // boundary convention can flip a row. The oracle aggregates exactly
+      // the survivors: everything except the first set.
+      """WITH x AS (SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS tss,
+        |    event_type, event_id FROM events),
+        |mx AS (SELECT MAX(tss) AS m FROM x),
+        |keep AS (
+        |  SELECT tss, event_type FROM x, mx
+        |  WHERE NOT (event_id % 97 = 0 AND tss <= m - INTERVAL 2 HOUR))
+        |SELECT strftime(CAST(date_trunc('hour', tss) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, COUNT(*) AS n
+        |FROM keep GROUP BY 1, 2 ORDER BY ws, event_type""") { (s, dir) =>
+      import s.implicits._
+      val tsFmt = "yyyy-MM-dd HH:mm:ss"
+      val evRaw = Tables.load(s, dir, "events")
+      // second-floored epoch keeps the watermark arithmetic exact in both
+      // engines (unix_millis floors micros; div 1000 floors to the second)
+      val ev = evRaw.selectExpr("event_id", "event_type",
+        s"date_format(ts, '$tsFmt') AS ts_s",
+        "unix_millis(ts) div 1000 AS es")
+      val mS = evRaw.agg(max(unix_millis($"ts")) / lit(1000))
+        .head().getDouble(0).toLong
+      val isDropped = $"event_id" % 97 === 0 && $"es" <= mS - 7200
+      val isLateKept = !isDropped && $"es" > mS - 1800 && $"es" < mS
+      // fresh per run: the DROP depends on produce/drain interleaving, so
+      // this fixture cannot be memoized like the nothing-late ones
+      val root = graft.TempDirs.scratch("graft-q144")
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        df.filter($"keep").orderBy($"ts_s", $"event_id")
+          .select($"event_type", $"ts_s")
+          .write.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .mode("append").save()
+      append(ev.withColumn("keep", !isDropped && !isLateKept))
+      val sinkName = s"q144_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .load()
+          .select(to_timestamp($"values.ts_s").as("ets"),
+            $"values.event_type".as("event_type"))
+          .withWatermark("ets", "1 hour")
+          .groupBy(window($"ets", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", graft.TempDirs.scratch("graft-q144-ckpt"))
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.CacheScope.sinkView(s, sinkName)
+      q.processAllAvailable() // on-time phase drains; wm -> m - 1 h; evict
+      append(ev.withColumn("keep", isDropped || isLateKept))
+      q.processAllAvailable() // deferred phase meets the advanced watermark
+      val flushMs = (mS + 72L * 3600) * 1000
+      append(s.range(1).selectExpr("CAST(0 AS BIGINT) AS event_id",
+        "'__flush' AS event_type",
+        s"date_format(timestamp_millis($flushMs), '$tsFmt') AS ts_s",
+        "true AS keep"))
+      q.processAllAvailable() // finalizes every real window
+      q.stop()
+      val dropped = q.recentProgress.iterator
+        .flatMap(p => Option(p.stateOperators).iterator.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      val expectDropped = ev.filter(isDropped).count()
+      require(dropped == expectDropped,
+        s"engine dropped $dropped late rows, fixture deferred $expectDropped " +
+          "past the watermark — the drop contract regressed")
+      s.table(sinkName)
+        .filter($"event_type" =!= "__flush")
+        .select(date_format($"w.start", tsFmt).as("ws"), $"event_type", $"n")
+        .orderBy($"ws", $"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty
@@ -578,7 +688,7 @@ object StreamLog {
       import s.implicits._
       // source-format coverage: columnar fixture → CSV → scan with explicit
       // schema (never inferSchema at scale: it double-reads) → aggregate.
-      val tmp = Files.createTempDirectory("graft-q70").toString
+      val tmp = graft.TempDirs.scratch("graft-q70")
       Tables.load(s, dir, "lineitem")
         .select($"l_returnflag", $"l_quantity")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -594,7 +704,7 @@ object StreamLog {
          |  ${graft.ColFns.dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
       import s.implicits._
-      val tmp = Files.createTempDirectory("graft-q71").toString
+      val tmp = graft.TempDirs.scratch("graft-q71")
       Tables.load(s, dir, "orders")
         .select($"o_orderstatus", $"o_totalprice")
         .write.mode("overwrite").json(tmp)

@@ -195,7 +195,12 @@ object TextAnalysis {
       // log-prob is rounded to an integer micro-log (1e-6) BEFORE the
       // per-doc sum, so the aggregate is exact integer addition in both
       // engines and the one IEEE division at the end starts from identical
-      // operands.
+      // operands. Known 1-ulp hazard (accepted repo-wide, r6 has the same
+      // cliff): the rounding assumes DuckDB's ln and the JVM's log agree on
+      // these inputs — libm implementations may differ by 1 ulp, so a value
+      // landing EXACTLY on a x.5 micro-log boundary could flip the integer
+      // mlp. Verified empirically at sf0.001/0.01/0.1; a flip would surface
+      // as a loud hash mismatch, not silent corruption.
       val toks = T(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
       val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))

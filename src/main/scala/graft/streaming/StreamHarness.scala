@@ -27,8 +27,17 @@ object StreamHarness {
     * `rocksdb` selects the RocksDB provider (required by transformWithState
     * for column families).
     */
+  /** With `failOnLateDrop` (the default), a drained query that silently
+    * dropped rows at the watermark ABORTS instead of returning a plausible
+    * wrong answer: every engine-streaming oracle query's fixture is produced
+    * so nothing is ever late, so a nonzero drop count means the fixture's
+    * order/watermark discipline broke (round-4 advice: q139's 0 s watermark
+    * depends on cross-batch event-time order — make disorder fail loudly).
+    * q144, which oracle-checks the drop semantics themselves, opts out.
+    */
   def runToMemory(s: SparkSession, prefix: String, statePartitions: Int,
-      mode: String = "append", rocksdb: Boolean = false)
+      mode: String = "append", rocksdb: Boolean = false,
+      failOnLateDrop: Boolean = true)
       (build: => DataFrame): DataFrame = {
     val sinkName = s"${prefix}_sink_${System.nanoTime()}"
     val prevShuffle = s.conf.get(ShuffleKey)
@@ -53,6 +62,15 @@ object StreamHarness {
     // its partially filled sink dropped at the next release
     graft.CacheScope.sinkView(s, sinkName)
     q.awaitTermination()
+    if (failOnLateDrop) {
+      val dropped = q.recentProgress.iterator
+        .flatMap(p => Option(p.stateOperators).iterator.flatten)
+        .map(_.numRowsDroppedByWatermark)
+        .sum
+      require(dropped == 0L,
+        s"$prefix dropped $dropped late rows at the watermark — the fixture's " +
+          "event-time order or watermark delay no longer covers its disorder")
+    }
     s.table(sinkName)
   }
 }

@@ -186,7 +186,9 @@ object StreamingOps {
       }
       cur.foreach { c =>
         sess.update(c)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // materialize before mutating: deleting while iterating the live
+        // timer iterator is provider-dependent
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         // timers are registered in event-time MILLIseconds (the engine
         // compares them against the watermark); round the deadline UP so
         // the timer can never fire before the exact micro deadline
@@ -271,8 +273,13 @@ object StreamingOps {
     * state) or earlier in this batch. State per key is ONE long (the
     * minimum id), so the store is O(distinct keys) no matter how long the
     * stream runs; with LSH band keys that is O(corpus bands), the same
-    * budget the batch LSH join shuffles. Requires ids to arrive in
-    * ascending order across batches (the log source's delivery order).
+    * budget the batch LSH join shuffles.
+    *
+    * ORDER-DEPENDENT (verdicts emit on arrival, so a reordered delivery of
+    * the same log flips them): kept as the minimal-state/minimal-latency
+    * variant for ordered feeds; [[watermarkedBandCollisions]] is the
+    * order-robust successor q120 runs — same verdict rule, emitted only at
+    * watermark finalization.
     */
   def minSeenCollisions(spark: SparkSession, rows: DataFrame,
       keyCol: String, idCol: String): Dataset[(Long, Boolean)] = {
@@ -293,6 +300,94 @@ object StreamingOps {
           state.update(minSeen)
           out.iterator
       }
+  }
+
+  /** Watermark-finalized per-band near-dup state (the order-robust successor
+    * of [[minSeenCollisions]]): rows are (bandKey, docId, eventTime) with the
+    * event time STRICTLY MONOTONE in docId (e.g. `to_timestamp(doc_id)`), so
+    * "every smaller doc has arrived" is exactly "the watermark passed this
+    * doc's event time". Each doc's verdict — is the band's running minimum
+    * smaller than me? — is emitted only when the watermark finalizes it,
+    * which makes the output a pure function of the log CONTENT: any arrival
+    * order within the watermark delay yields identical results (asserted by
+    * StreamingOpsSpec's shuffled-order test), unlike emit-on-collision where
+    * a reordered delivery flips verdicts. Long-run state per band stays ONE
+    * long (the running minimum); pending docs awaiting their watermark are
+    * buffered in ListState and drained by event-time timers, so the buffer
+    * is bounded by the watermark horizon, not the stream length.
+    */
+  private class BandMinFinalizeProcessor
+      extends StatefulProcessor[String, (String, Long, java.sql.Timestamp), (Long, Boolean)] {
+    @transient private var minSeen: ValueState[Long] = _
+    @transient private var pending: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      minSeen = getHandle.getValueState[Long]("minSeen", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Emit every pending doc the watermark has finalized (all smaller ids
+      * have arrived — late ones were dropped under the watermark contract),
+      * hold the rest, and keep exactly one timer at the earliest remaining
+      * deadline. The band minimum is read AFTER this batch's inputs landed,
+      * so a finalized doc's verdict covers every doc that can ever precede
+      * it.
+      */
+    private def drainFinalized(wmMs: Long,
+        expiredTs: Option[Long] = None): Iterator[(Long, Boolean)] = {
+      val all = pending.get().toList
+      val (ready, hold) = all.partition(_._2 <= wmMs)
+      // materialize before mutating: deleting while iterating the live
+      // timer iterator is provider-dependent; the just-expired timer is
+      // removed by the engine itself, so deleting it again only warns
+      getHandle.listTimers().toList
+        .filterNot(expiredTs.contains).foreach(getHandle.deleteTimer)
+      if (hold.isEmpty) pending.clear()
+      else {
+        pending.put(hold.toArray)
+        getHandle.registerTimer(hold.iterator.map(_._2).min + 1L)
+      }
+      val mn = if (minSeen.exists()) minSeen.get() else Long.MaxValue
+      ready.sortBy(_._1).iterator.map { case (id, _) => (id, mn < id) }
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Boolean)] = {
+      var mn = if (minSeen.exists()) minSeen.get() else Long.MaxValue
+      rows.foreach { case (_, id, ts) =>
+        if (id < mn) mn = id
+        pending.appendValue((id, ts.getTime))
+      }
+      minSeen.update(mn)
+      drainFinalized(timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Boolean)] =
+      drainFinalized(timerValues.getCurrentWatermarkInMs(),
+        Some(expiredTimerInfo.getExpiryTimeInMs()))
+  }
+
+  /** Order-robust streaming near-dup verdicts: `rows` must carry a
+    * watermarked TimestampType column `tsCol` strictly monotone in `idCol`;
+    * emits (docId, hit) once the watermark finalizes each doc. See
+    * [[BandMinFinalizeProcessor]]. The stream needs one trailing sentinel
+    * row whose event time exceeds every real doc's by more than the
+    * watermark delay, else the final docs' timers never fire.
+    */
+  def watermarkedBandCollisions(spark: SparkSession, rows: DataFrame,
+      keyCol: String, idCol: String, tsCol: String): Dataset[(Long, Boolean)] = {
+    import spark.implicits._
+    rows
+      .select(col(keyCol).cast("string").as("k"),
+        col(idCol).cast("long").as("id"), col(tsCol))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new BandMinFinalizeProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-static enrichment join: the static dimension is broadcast, so

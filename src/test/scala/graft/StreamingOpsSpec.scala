@@ -244,6 +244,61 @@ class StreamingOpsSpec extends AnyFunSuite {
       30L -> false, 31L -> true, 40L -> true))
   }
 
+  test("watermarkedBandCollisions emits identical verdicts for any arrival order") {
+    // Same log CONTENT in three arrival orders (ascending, descending,
+    // interleaved); the watermark-finalized operator must emit identical
+    // verdicts for all three — the property the round-4 verdict flagged as
+    // missing from emit-on-collision (q120's old state shape).
+    val entries = Seq(("A", 10L), ("A", 20L), ("B", 5L), ("C", 30L),
+      ("C", 31L), ("A", 40L), ("D", 50L))
+    // hit iff some smaller id shares the key
+    val expected = Map(10L -> false, 20L -> true, 5L -> false, 30L -> false,
+      31L -> true, 40L -> true, 50L -> false)
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(storeKey)
+    spark.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(order: Seq[(String, Long)], sink: String): Map[Long, Boolean] = {
+        val root = TestSpark.tmpDir("slog")
+        var now = 0L
+        val w = new LogWriter(root, "ev", () => now)
+        order.zipWithIndex.foreach { case ((k, id), i) =>
+          now = (i + 1) * 1000L
+          w.produce(Map("k" -> k, "id" -> id))
+        }
+        now += 1000L
+        w.produce(Map("k" -> "Z", "id" -> 1000000L)) // watermark sentinel
+        val src = spark.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "3") // several batches per run
+          .load()
+          .selectExpr("values['k'] AS k", "CAST(values['id'] AS BIGINT) AS id")
+          .withColumn("ets", org.apache.spark.sql.functions.timestamp_seconds(
+            org.apache.spark.sql.functions.col("id")))
+          .withWatermark("ets", "1 day") // allowed disorder >> the shuffle span
+        runToMemory(StreamingOps
+          .watermarkedBandCollisions(spark, src, "k", "id", "ets")
+          .toDF("id", "hit"), sink)
+        spark.sql(s"select id, hit from $sink where id < 1000000").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      }
+      val asc = run(entries.sortBy(_._2), "wmc_asc")
+      val desc = run(entries.sortBy(-_._2), "wmc_desc")
+      val mixed = run(Seq(entries(3), entries(5), entries(0), entries(6),
+        entries(2), entries(4), entries(1)), "wmc_mixed")
+      assert(asc == expected, s"ascending order diverged: $asc")
+      assert(desc == expected, s"descending order diverged: $desc")
+      assert(mixed == expected, s"interleaved order diverged: $mixed")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(storeKey, v)
+        case None => spark.conf.unset(storeKey)
+      }
+    }
+  }
+
   test("event-time-timer sessionization: in-batch close, cross-batch state, timer flush") {
     // key a: two events 1 s apart (one session), then one 11+ min later
     // (closes session 1 in-batch, opens session 2); key b: one event.
