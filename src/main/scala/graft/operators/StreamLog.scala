@@ -681,6 +681,59 @@ object StreamLog {
         .orderBy($"ws", $"event_type")
     },
 
+    q("q145_state_inspection",
+      // OFFLINE state inspection through the engine (SURVEY §2B
+      // statestore/state-metadata reads, previously only spec-tested): a
+      // streaming aggregation drains into a checkpoint, the query result is
+      // then read NOT from the sink but from the checkpoint's state store
+      // itself via the `statestore` source — the engine-side answer to
+      // attaching to a live consumer and dumping its state map
+      // (/root/reference/lib/redix/stream/consumer.ex:10-18). The oracle is
+      // the plain batch aggregate: checkpointed state after the drain IS
+      // the full group-by result, so a hash match certifies both the
+      // stateful execution and the offline state read.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q105") { r =>
+        Tables.load(s, dir, "events")
+          .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
+      val ckpt = graft.TempDirs.scratch("graft-q145-ckpt")
+      val sinkName = s"q145_sink_${System.nanoTime()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // tiny state keyspace
+      val q = try {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "50000") // multi-batch at sf0.1
+          .load()
+          .select($"values.event_type".as("event_type"))
+          .groupBy($"event_type").count()
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.CacheScope.sinkView(s, sinkName)
+      q.awaitTermination()
+      // sanity: the checkpoint really holds the aggregation's operator
+      val ops = s.read.format("state-metadata").load(ckpt)
+        .select($"operatorName").collect().map(_.getString(0)).toSet
+      require(ops.contains("stateStoreSave"),
+        s"checkpoint operator inventory $ops lacks the aggregation state")
+      // the RESULT is read from the state store, not the sink
+      s.read.format("statestore").load(ckpt)
+        .select($"key.event_type".as("event_type"),
+          $"value.count".as("n"))
+        .orderBy($"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty

@@ -12,6 +12,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("AQE splits a deliberately skewed join partition (runtime probe)") {
+    assert(graft.tools.PlanAudit.skewJoinHandled(spark),
+      "adaptive executed plan lacks skew=true — AQE skew-join handling regressed")
+  }
+
   graft.tools.PlanAudit.Audited.foreach { case (name, checks) =>
     test(s"$name plan shape") {
       val df = SparkEntry.queries(name)(spark, dir)
