@@ -266,6 +266,78 @@ object Codecs {
     RgbImage(w, h, px)
   }
 
+  // --- WAV (RIFF, 16-bit little-endian PCM) ---
+
+  /** Decoded audio: interleaved 16-bit samples (channel-major per frame). */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short]) {
+    require(sampleRate > 0 && channels > 0, s"bad wav params $sampleRate/$channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not divisible by $channels channels")
+    def frames: Int = samples.length / channels
+    /** Whole microseconds of audio (floor) — integer-exact for the oracle. */
+    def durationMicros: Long = frames.toLong * 1000000L / sampleRate
+  }
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Canonical 44-byte-header WAV: RIFF / fmt (PCM, 16-bit) / data. */
+  def encodeWav(audio: PcmAudio): Array[Byte] = {
+    val dataSize = audio.samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize)
+    out.put("WAVE".getBytes(US_ASCII))
+    out.put("fmt ".getBytes(US_ASCII)).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(audio.channels.toShort)
+    out.putInt(audio.sampleRate)
+    out.putInt(audio.sampleRate * audio.channels * 2) // byte rate
+    out.putShort((audio.channels * 2).toShort) // block align
+    out.putShort(16) // bits per sample
+    out.put("data".getBytes(US_ASCII)).putInt(dataSize)
+    audio.samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Parse a PCM WAV: walks the RIFF chunk list (fmt may be followed by
+    * LIST/fact chunks before data), 16-bit PCM only.
+    */
+  def decodeWav(bytes: Array[Byte]): PcmAudio = {
+    require(isWav(bytes), "not a RIFF/WAVE file")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(12)
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val tag = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), US_ASCII)
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(), s"truncated $tag chunk")
+      val next = buf.position() + size + (size & 1) // chunks are word-aligned
+      tag match {
+        case "fmt " =>
+          val format = buf.getShort
+          channels = buf.getShort.toInt
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          val bits = buf.getShort
+          require(format == 1 && bits == 16,
+            s"unsupported WAV variant: format=$format bits=$bits (16-bit PCM only)")
+        case "data" =>
+          require(sampleRate > 0, "WAV data chunk before fmt")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+        case _ => () // LIST/fact/cue: skip
+      }
+      buf.position(next)
+    }
+    require(samples != null, "WAV has no data chunk")
+    PcmAudio(sampleRate, channels, samples)
+  }
+
   /** Nearest-neighbor resample — integer source mapping (x*srcW/dstW), fully
     * deterministic across JVMs, no float rounding to diverge from an oracle.
     */

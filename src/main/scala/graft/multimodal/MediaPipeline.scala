@@ -104,6 +104,63 @@ object MediaPipeline {
     }
   }
 
+  /** Extracted audio features for one record: REAL RIFF/PCM parse for WAV
+    * payloads (sample rate / channels / frame count from the fmt and data
+    * chunks, peak and energy from the actual samples — integer-exact);
+    * formats with no pure-JVM decoder (MP3/AAC/…) get the deterministic
+    * stand-in, mirroring the image Decoder's contract.
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      mime: String,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_us: Long,
+      peak: Long,
+      energy: Long)
+
+  /** Batched audio decode + feature extraction, one decoder per partition —
+    * the audio twin of [[extractFeatures]].
+    */
+  def extractAudioFeatures(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        if (Codecs.isWav(rec.payload)) {
+          val a = try Codecs.decodeWav(rec.payload) catch {
+            case _: IllegalArgumentException => null // corrupt: fall through
+          }
+          if (a != null) {
+            var peak = 0L
+            var energy = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toLong
+              val av = math.abs(v)
+              if (av > peak) peak = av
+              energy += v * v
+              i += 1
+            }
+            AudioFeatures(rec.media_id, rec.mime, a.sampleRate, a.channels,
+              a.frames, a.durationMicros, peak, energy)
+          } else audioFallback(rec)
+        } else audioFallback(rec)
+      }
+    }
+  }
+
+  /** Deterministic stand-in for codec-less audio formats: stable fake
+    * duration from a payload hash, zero signal stats.
+    */
+  private[multimodal] def audioFallback(rec: MediaRecord): AudioFeatures = {
+    val h = rec.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val frames = math.abs(h % 480000) + 8000
+    AudioFeatures(rec.media_id, rec.mime, 48000, 1, frames,
+      frames * 1000000L / 48000, 0L, 0L)
+  }
+
   /** Fit-within resize plan preserving aspect ratio: target dims for a
     * (maxW, maxH) box; identity when already inside. Pure metadata math.
     */

@@ -197,5 +197,45 @@ object EventTime {
         .select($"event_id", date_format($"prev_click_ts", fmt).as("prev_click"))
         .orderBy($"event_id")
     },
+
+    q("q148_scd2_dimension",
+      // Slowly-changing-dimension (type 2) build from a change stream — the
+      // warehouse twin of q121's changelog compaction: per user, keep only
+      // the rows where event_type CHANGED from its predecessor, then stitch
+      // validity intervals with LEAD (valid_from = the change, valid_to =
+      // the next change, open interval -> is_current). Two window passes
+      // over ONE shuffle on user_id — no self-join, no per-row correlated
+      // lookup; interval times are integer epoch-micros, exact in both
+      // engines. The reference keeps only latest-state in handlers; this is
+      // the engine's history-preserving dimension surface.
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, us AS valid_from,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version
+        |  FROM ch)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  valid_from, COALESCE(valid_to, CAST(-1 AS BIGINT)) AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""") { (s, dir) =>
+      import s.implicits._
+      val byTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+        .withColumn("prev", lag($"event_type", 1).over(byTime))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_to_n", lead($"us", 1).over(byTime))
+        .withColumn("version", row_number().over(byTime).cast("long"))
+        .select($"user_id", $"version", $"event_type",
+          $"us".as("valid_from"),
+          coalesce($"valid_to_n", lit(-1L)).as("valid_to"),
+          $"valid_to_n".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
   )
 }

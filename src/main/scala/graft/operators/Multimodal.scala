@@ -45,6 +45,21 @@ object Multimodal {
     Codecs.RgbImage(w, h, px)
   }
 
+  /** Deterministic fixture waveform: mono 8 kHz 16-bit PCM, 64 + (id % 128)
+    * frames, sample i = ((id*31 + i*17) mod 65536) - 32768 — closed-form in
+    * SQL, full int16 range exercised including the -32768 edge.
+    */
+  private[graft] def fixtureAudio(id: Long): Codecs.PcmAudio = {
+    val nf = (64 + id % 128).toInt
+    val smp = new Array[Short](nf)
+    var i = 0
+    while (i < nf) {
+      smp(i) = (((id * 31 + i * 17) % 65536) - 32768).toShort
+      i += 1
+    }
+    Codecs.PcmAudio(8000, 1, smp)
+  }
+
   private[graft] def fixtureRecord(id: Long): MediaRecord = {
     val img = fixtureImage(id)
     if (id % 2 == 0) MediaRecord(id, "image/x-portable-pixmap", Codecs.encodePpm(img))
@@ -162,6 +177,39 @@ object Multimodal {
         .select($"media_id", $"width", $"height", $"first_px", $"corner_g",
           $"r_width", $"r_height", $"r_corner")
         .orderBy($"media_id")
+    },
+
+    q("q146_audio_decode",
+      // REAL audio decode: a closed-form 16-bit PCM waveform is encoded as a
+      // RIFF/WAVE file on executors, pushed through the production audio
+      // pipeline (RIFF chunk walk, fmt parse, sample materialization), and
+      // the decoded header fields AND signal statistics (peak |sample|,
+      // integer energy) are compared against DuckDB computing the same
+      // quantities purely arithmetically — a parse that skipped the actual
+      // sample bytes cannot produce the right energy.
+      """WITH m AS (SELECT doc_id, 64 + (doc_id % 128) AS nf FROM documents),
+        |ix AS (SELECT doc_id, nf, unnest(range(nf)) AS i FROM m),
+        |s AS (SELECT doc_id, nf,
+        |    ((doc_id*31 + i*17) % 65536) - 32768 AS smp FROM ix)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 125 AS BIGINT) AS duration_us,
+        |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+        |  CAST(SUM(smp*smp) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, nf ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "audio/wav", Codecs.encodeWav(fixtureAudio(id)))))
+      MediaPipeline.extractAudioFeatures(s, media)
+        .select($"media_id".as("doc_id"),
+          $"sample_rate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"),
+          $"n_frames", $"duration_us", $"peak", $"energy")
+        .orderBy($"doc_id")
     },
   )
 }

@@ -463,5 +463,75 @@ object Similarity {
         .join(a2.select($"vec_id", $"c".as("c_iter2"), $"dist".as("dist2")), "vec_id")
         .orderBy($"vec_id")
     },
+
+    q("q147_product_quantization",
+      // Product quantization (Jégou et al. 2011) — the memory-compression
+      // half of IVF-PQ, the canonical 100 TB ANN layout (q46 is the IVF
+      // half, q142 trains its coarse quantizer): each vector splits into 4
+      // sub-vectors of 16 dims, each sub-vector is replaced by the id of
+      // its nearest codeword (codebooks = the first 8 vectors' sub-vectors;
+      // training them is q142's certified k-means), and query distance is
+      // ASYMMETRIC DISTANCE COMPUTATION — a per-subspace lookup table built
+      // once against the query (vec 42), summed over the stored codes, so
+      // scoring touches 4 bytes per vector instead of 64 floats. All
+      // arithmetic is the integer-exact shifted-int8 scheme of q141/q142.
+      // Scale posture: codebooks (4x8 sub-vectors) and the ADC table (4x8
+      // longs) broadcast; shuffles are per-(vec, subspace) argmins on
+      // fixed-width keys; nothing is all-pairs.
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x FROM qz),
+         |sx AS (SELECT vec_id, pos // 16 AS s, pos % 16 AS p, x FROM ex),
+         |cb AS (SELECT vec_id AS c, s, p, x AS cx FROM sx WHERE vec_id < 8),
+         |d AS (SELECT v.vec_id, v.s, c.c,
+         |    CAST(SUM((v.x - c.cx)*(v.x - c.cx)) AS BIGINT) AS dist
+         |  FROM sx v JOIN cb c ON v.s = c.s AND v.p = c.p
+         |  GROUP BY v.vec_id, v.s, c.c),
+         |enc AS (SELECT vec_id, s, c,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) rn FROM d),
+         |codes AS (SELECT vec_id, s, c FROM enc WHERE rn = 1),
+         |qs AS (SELECT s, p, x AS qx FROM sx WHERE vec_id = 42),
+         |dt AS (SELECT c.s, c.c, CAST(SUM((q.qx - c.cx)*(q.qx - c.cx)) AS BIGINT) AS qd
+         |  FROM cb c JOIN qs q ON c.s = q.s AND c.p = q.p GROUP BY c.s, c.c)
+         |SELECT k.vec_id,
+         |  CAST(MAX(CASE WHEN k.s = 0 THEN k.c END) AS BIGINT) AS code0,
+         |  CAST(MAX(CASE WHEN k.s = 1 THEN k.c END) AS BIGINT) AS code1,
+         |  CAST(MAX(CASE WHEN k.s = 2 THEN k.c END) AS BIGINT) AS code2,
+         |  CAST(MAX(CASE WHEN k.s = 3 THEN k.c END) AS BIGINT) AS code3,
+         |  CAST(SUM(dt.qd) AS BIGINT) AS adc
+         |FROM codes k JOIN dt ON k.s = dt.s AND k.c = dt.c
+         |GROUP BY k.vec_id ORDER BY k.vec_id""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val sub = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)").as("qv"))
+        .select($"vec_id", explode(sequence(lit(0), lit(3))).as("s"), $"qv")
+        .select($"vec_id", $"s", expr("slice(qv, s*16 + 1, 16)").as("sv"))
+        .transform(graft.CacheScope.cached) // encode + codebook + query reuse
+      val cb = sub.filter($"vec_id" < 8).select($"vec_id".as("c"), $"s", $"sv".as("cw"))
+      val sqd = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("dist", expr(sqd.format("sv", "cw")))
+        .groupBy($"vec_id", $"s").agg(min(struct($"dist", $"c")).as("mc"))
+        .select($"vec_id", $"s", $"mc.c".as("c"))
+      val dt = cb.join(broadcast(sub.filter($"vec_id" === 42)
+          .select($"s", $"sv".as("qsv"))), "s")
+        .withColumn("qd", expr(sqd.format("cw", "qsv")))
+        .select($"s", $"c", $"qd")
+      codes.join(broadcast(dt), Seq("s", "c"))
+        .groupBy($"vec_id")
+        .agg(max(when($"s" === 0, $"c")).as("code0"),
+          max(when($"s" === 1, $"c")).as("code1"),
+          max(when($"s" === 2, $"c")).as("code2"),
+          max(when($"s" === 3, $"c")).as("code3"),
+          sum($"qd").as("adc"))
+        .orderBy($"vec_id")
+    },
   )
 }

@@ -431,12 +431,16 @@ object StreamLog {
           .selectExpr("CAST(values['doc_id'] AS BIGINT) AS doc_id",
             "values['text'] AS text")
           // event time strictly monotone in doc_id: finalization order =
-          // verdict order; 1 day of allowed arrival disorder. The +1 keeps
-          // doc_id 0 ABOVE the initial zero watermark — rows at exactly the
-          // watermark are dropped as late (epoch-0 event times are the
-          // degenerate case the late-drop guard in StreamHarness caught)
+          // verdict order; 10 min of allowed arrival disorder — small
+          // enough that the pending buffer DRAINS MID-STREAM as the
+          // watermark advances (a delay past the whole corpus would hold
+          // every band pending until the sentinel, growing state to corpus
+          // size). The +1 keeps doc_id 0 ABOVE the initial zero watermark —
+          // rows at exactly the watermark are dropped as late (epoch-0
+          // event times are the degenerate case the late-drop guard in
+          // StreamHarness caught)
           .withColumn("ets", timestamp_seconds($"doc_id" + 1))
-          .withWatermark("ets", "24 hours")
+          .withWatermark("ets", "600 seconds")
           .withColumn("w", split($"text", " "))
           .filter(size($"w") >= 3)
           .withColumn("hh", expr(

@@ -144,6 +144,50 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(resized.forall(!_.mime.contains(";")))
   }
 
+  test("WAV encode/decode round-trips samples exactly (incl. chunk padding)") {
+    val smp = Array.tabulate(333)(i => ((i * 977) % 65536 - 32768).toShort)
+    val audio = Codecs.PcmAudio(16000, 1, smp)
+    val bytes = Codecs.encodeWav(audio)
+    assert(Codecs.isWav(bytes) && !Codecs.isPpm(bytes))
+    val back = Codecs.decodeWav(bytes)
+    assert(back.sampleRate == 16000 && back.channels == 1)
+    assert(back.samples.toSeq == smp.toSeq)
+    assert(back.durationMicros == 333L * 1000000 / 16000)
+    // stereo interleave: frames = samples / channels
+    val st = Codecs.PcmAudio(8000, 2, smp.take(332))
+    assert(Codecs.decodeWav(Codecs.encodeWav(st)).frames == 166)
+  }
+
+  test("WAV decode walks intermediate RIFF chunks before data") {
+    val audio = Codecs.PcmAudio(8000, 1, Array[Short](1, -2, 3))
+    val canonical = Codecs.encodeWav(audio)
+    // splice a LIST chunk (odd-sized, exercising word alignment) between
+    // fmt and data, as real encoders emit
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 'x', 0)
+    val spliced = canonical.take(36) ++ list ++ canonical.drop(36)
+    // patch the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val back = Codecs.decodeWav(spliced)
+    assert(back.samples.toSeq == Seq[Short](1, -2, 3))
+  }
+
+  test("audio features: real parse for wav, deterministic stand-in otherwise") {
+    import spark.implicits._
+    val wav = Codecs.encodeWav(Codecs.PcmAudio(8000, 1, Array[Short](100, -200, 300)))
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", wav),
+      MediaRecord(2L, "audio/mpeg", Array[Byte](1, 2, 3)))
+    val feats = MediaPipeline.extractAudioFeatures(spark, spark.createDataset(recs))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).n_frames == 3 && feats(0).peak == 300)
+    assert(feats(0).energy == 100L * 100 + 200L * 200 + 300L * 300)
+    val again = MediaPipeline.extractAudioFeatures(spark, spark.createDataset(recs))
+      .collect().sortBy(_.media_id)
+    assert(feats(1) == again(1)) // stand-in is stable
+    assert(feats(1).peak == 0 && feats(1).energy == 0) // and clearly fake
+  }
+
   test("batched feature extraction over binary payloads") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
