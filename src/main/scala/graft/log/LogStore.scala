@@ -465,6 +465,42 @@ object LogStore {
     }
   }
 
+  /** Retention: drop every entry with id <= `upTo` (≙ XTRIM MINID on the
+    * Redis stream type the reference rides on — the reference itself never
+    * trims, but an unbounded 100 TB log needs a lifecycle). Segments fully
+    * below the cutoff are deleted outright — O(#files), no rewrite; the one
+    * straddling segment is rewritten to its retained suffix (tmp + atomic
+    * move before the old file is deleted, and readers dedup by id, so the
+    * momentary overlap is safe — the same contract as every compaction
+    * here). Consumers positioned below the cutoff simply resume at the
+    * first retained entry; ids never change. Returns entries dropped.
+    */
+  def trim(root: String, stream: String, upTo: LogId): Long = {
+    var dropped = 0L
+    segments(root, stream).foreach { s =>
+      if (s.last <= upTo) {
+        dropped += countEntries(s)
+        Files.deleteIfExists(Paths.get(s.path))
+      } else if (s.first <= upTo) {
+        val entries = readSegment(s.path)
+        val keep = entries.filter(_.id > upTo)
+        dropped += entries.size - keep.size
+        if (keep.size < entries.size) {
+          writeSegment(root, stream, keep, overwrite = true)
+          Files.deleteIfExists(Paths.get(s.path))
+        }
+      }
+    }
+    dropped
+  }
+
+  /** Entry count of a segment; for values-only segments it is derived from
+    * the file name alone (zero IO), matching the id model.
+    */
+  private def countEntries(s: Segment): Long =
+    if (s.path.endsWith(".vjsonl")) s.last.seq - s.first.seq + 1
+    else readSegment(s.path).size.toLong
+
   private[log] def segmentName(first: LogId, last: LogId, gzip: Boolean): String =
     s"${first}__$last.jsonl" + (if (gzip) ".gz" else "")
 

@@ -738,6 +738,38 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q149_retention_trim",
+      // Log retention (≙ XTRIM MINID on the stream data type the reference
+      // rides on): the event-time-clocked log is trimmed to the last 12 h+
+      // of entries — whole segments below the cutoff are deleted without a
+      // rewrite, the one straddling segment is rewritten to its suffix —
+      // and the batch read over the TRIMMED log must equal the batch
+      // aggregate over only the retained time range. Ids are event millis
+      // (bulk produce), so the id cutoff IS the time cutoff.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_ms
+        |FROM events
+        |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >=
+        |  (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 43200000 FROM events)
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // fresh log per run: trim MUTATES it (the memoized fixtures must stay
+      // immutable for the other queries)
+      val root = graft.TempDirs.scratch("graft-q149")
+      graft.log.LogBulkProducer.produceAt(
+        Tables.load(s, dir, "events")
+          .select(unix_millis($"ts").as("ms"), $"event_type"),
+        "ms", root, "ev", orderCols = Seq("event_type"))
+      val cutoff = cutoffMs(s, dir)
+      graft.log.LogStore.trim(root, "ev", graft.log.LogId.startBefore(cutoff))
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .load()
+        .groupBy($"values.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"), min(unix_millis($"ts")).as("first_ms"))
+        .orderBy($"event_type")
+    },
+
     q("q70_csv_roundtrip",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${graft.ColFns.dsumSql("l_quantity")} AS qty

@@ -16,6 +16,7 @@ object CompactionProps extends Properties("LogCompaction") {
 
   private sealed trait Op
   private case class Produce(n: Int) extends Op
+  private case class StagedPublish(n: Int) extends Op
   private case object CompactAll extends Op
   private case class Tiered(target: Long, minMerge: Int) extends Op
   private case class Freeze(minBytes: Long, keepHot: Int) extends Op
@@ -23,6 +24,7 @@ object CompactionProps extends Properties("LogCompaction") {
 
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> Gen.chooseNum(1, 40).map(Produce),
+    2 -> Gen.chooseNum(1, 25).map(StagedPublish),
     1 -> Gen.const(CompactAll),
     2 -> (for {
       t <- Gen.chooseNum(64L, 4096L)
@@ -48,6 +50,25 @@ object CompactionProps extends Properties("LogCompaction") {
             w.produce(Map("i" -> (produced + 1), "p" -> ("x" * 20)))
             produced += 1
           }
+        case StagedPublish(n) =>
+          // the sink's de-funneled path: values-only staged files renamed
+          // into a reserved id range — compaction must fold these exactly
+          // like ordinary segments
+          now += 7
+          val staging = LogStore.streamDir(root, "s").resolve(".staging")
+          java.nio.file.Files.createDirectories(staging)
+          val files = (1 to n).grouped(4).map { chunk =>
+            val f = staging.resolve(s"${java.util.UUID.randomUUID()}.vjsonl")
+            val lines = chunk.map { k =>
+              LogStore.encodeValuesLine(Map(
+                "i" -> (produced + k).toString, "p" -> ("x" * 20)))
+            }.mkString("", "\n", "\n")
+            java.nio.file.Files.write(f,
+              lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (f, chunk.size.toLong)
+          }.toSeq
+          w.publishStagedValues(files)
+          produced += n
         case CompactAll => LogStore.compact(root, "s", LogStore.maxId(root, "s"))
         case Tiered(t, m) => LogStore.compactTiered(root, "s", t, m)
         case Freeze(b, k) => LogStore.freezeColdSegments(root, "s", b, k)

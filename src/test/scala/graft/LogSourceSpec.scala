@@ -333,6 +333,25 @@ class LogSourceSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("trim drops entries at and below the cutoff; straddlers rewritten, ids stable") {
+    // 3-entry segments: ids 10,20,30 | 40,50,60 | 70,80,90 (ms = 10*i)
+    val root2 = TestSpark.tmpDir("graftlog")
+    val w2 = new LogWriter(root2, "s", maxSegmentEntries = 3)
+    w2.produceAllAt((1 to 9).map(i => (i * 10L, Map[String, Any]("i" -> i))))
+    assert(LogStore.segments(root2, "s").size == 3)
+    // cutoff mid-segment-2: drops ids up to ms 50 inclusive
+    val dropped = LogStore.trim(root2, "s", LogId(50L, Long.MaxValue))
+    assert(dropped == 5, s"dropped $dropped entries, wanted 5")
+    val left = LogStore.readRange(root2, "s", LogId.Zero, LogStore.maxId(root2, "s"))
+    assert(left.map(_.values("i").toInt) == (6 to 9))
+    assert(left.map(_.id.millis) == Seq(60L, 70L, 80L, 90L)) // ids unchanged
+    // segment 1 deleted without rewrite; straddler rewritten to its suffix
+    val segs = LogStore.segments(root2, "s")
+    assert(segs.size == 2 && segs.head.first == LogId(60L, 0L))
+    // trimming below the retained range is a no-op
+    assert(LogStore.trim(root2, "s", LogId(50L, Long.MaxValue)) == 0L)
+  }
+
   test("compaction merges segments; readers see identical data") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
