@@ -525,6 +525,66 @@ object StreamLog {
         .orderBy($"user_id", $"click_ts", $"purchase_ts")
     },
 
+    q("q150_streaming_full_outer_join",
+      // FULL-OUTER stream-stream join THROUGH the engine — completes the
+      // streaming join matrix (q107 inner, q138 left-outer): unmatched rows
+      // from BOTH sides must emit once both watermarks pass their match
+      // windows, i.e. the engine evicts from both join-state stores. Same
+      // fixture logs as q138 (memoized); the oracle is the equivalent batch
+      // FULL JOIN with each unmatched side canonicalized to ''.
+      """WITH c AS (SELECT user_id AS cu, CAST(ts AS TIMESTAMP) cts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id AS pu, CAST(ts AS TIMESTAMP) pts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.cu, p.pu) AS user_id,
+        |  COALESCE(strftime(c.cts, '%Y-%m-%d %H:%M:%S'), '') AS click_ts,
+        |  COALESCE(strftime(p.pts, '%Y-%m-%d %H:%M:%S'), '') AS purchase_ts
+        |FROM c FULL JOIN p ON c.cu = p.pu
+        |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""") { (s, dir) =>
+      import s.implicits._
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val root = graft.LogFixtures.producedLog(dir, "q138") { r =>
+        val ev = Tables.load(s, dir, "events")
+        val sentinelMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0) +
+          48L * 3600 * 1000
+        def sink(eventType: String, stream: String): Unit = {
+          def append(df: org.apache.spark.sql.DataFrame): Unit =
+            df.write.format("graftlog")
+              .option("path", r).option("stream", stream)
+              .mode("append").save()
+          append(ev.filter($"event_type" === eventType)
+            .selectExpr("CAST(user_id AS STRING) AS user_id",
+              s"date_format(ts, '$tsFmt') AS ts_s"))
+          append(s.range(1).selectExpr("'-1' AS user_id",
+            s"date_format(timestamp_millis($sentinelMs), '$tsFmt') AS ts_s"))
+        }
+        sink("click", "clicks")
+        sink("purchase", "purchases")
+      }
+      def src(stream: String, tsCol: String, userCol: String) =
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", stream)
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "12000") // 2 micro-batches at sf0.1
+          .load()
+          .select(to_timestamp($"values.ts_s").as(tsCol),
+            $"values.user_id".as(userCol))
+          .withWatermark(tsCol, "2 hours") // generous: fixture ts out of order
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      graft.streaming.StreamHarness.runToMemory(s, "q150", 2) {
+        src("clicks", "cts", "cu")
+          .join(src("purchases", "pts", "pu"),
+            expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL 10 MINUTES"),
+            "fullOuter")
+      }
+        .filter(coalesce($"cu", $"pu") =!= "-1") // the sentinels' self-match
+        .select(coalesce($"cu", $"pu").cast("long").as("user_id"),
+          coalesce(date_format($"cts", fmt), lit("")).as("click_ts"),
+          coalesce(date_format($"pts", fmt), lit("")).as("purchase_ts"))
+        .orderBy($"user_id", $"click_ts", $"purchase_ts")
+    },
+
     q("q139_streaming_timers",
       // EVENT-TIME TIMERS through the engine: gap-based sessionization on
       // transformWithState, where per-key arbitrary state (start, last, n)

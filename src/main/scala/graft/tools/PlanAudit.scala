@@ -139,7 +139,18 @@ object PlanAudit {
     "q142_kmeans" -> Seq(
       "centroid table broadcast (assignment never shuffles the vectors)" -> "BroadcastNestedLoopJoin",
       "argmin is an aggregation, not a window sort" -> "min(struct(dist",
-      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"))
+      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"),
+    "q146_audio_decode" -> Seq(
+      "decode runs as an object mapPartitions stage (no per-row UDF)" -> "MapPartitions",
+      "no join anywhere in the audio pipeline" -> "!Join"),
+    "q147_product_quantization" -> Seq(
+      "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
+      "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
+      "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q148_scd2_dimension" -> Seq(
+      "interval stitching is window passes, not a self-join" -> "Window",
+      "no join anywhere in the dimension build" -> "!Join",
+      "only the four needed columns read (ts arrives as nano-long)" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

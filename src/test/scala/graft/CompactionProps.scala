@@ -21,10 +21,12 @@ object CompactionProps extends Properties("LogCompaction") {
   private case class Tiered(target: Long, minMerge: Int) extends Op
   private case class Freeze(minBytes: Long, keepHot: Int) extends Op
   private case object ToParquet extends Op
+  private case class Trim(frac: Double) extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> Gen.chooseNum(1, 40).map(Produce),
     2 -> Gen.chooseNum(1, 25).map(StagedPublish),
+    1 -> Gen.choose(0.1, 0.6).map(Trim),
     1 -> Gen.const(CompactAll),
     2 -> (for {
       t <- Gen.chooseNum(64L, 4096L)
@@ -43,6 +45,7 @@ object CompactionProps extends Properties("LogCompaction") {
       // tiny segments (3 entries) so a short sequence spans many files
       val w = new LogWriter(root, "s", () => now, maxSegmentEntries = 3)
       var produced = 0
+      var trimmedBelow = 0 // highest payload value dropped by retention
       ops.foreach {
         case Produce(n) =>
           (1 to n).foreach { _ =>
@@ -69,6 +72,16 @@ object CompactionProps extends Properties("LogCompaction") {
           }.toSeq
           w.publishStagedValues(files)
           produced += n
+        case Trim(frac) =>
+          // retention composes with every compaction flavor: cut at the id
+          // of the frac-th remaining entry and track what must be gone
+          val entries = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+          val k = (entries.size * frac).toInt
+          if (k > 0) {
+            val dropped = LogStore.trim(root, "s", entries(k - 1).id)
+            assert(dropped == k, s"trim dropped $dropped, asked for $k")
+            trimmedBelow = math.max(trimmedBelow, entries(k - 1).values("i").toInt)
+          }
         case CompactAll => LogStore.compact(root, "s", LogStore.maxId(root, "s"))
         case Tiered(t, m) => LogStore.compactTiered(root, "s", t, m)
         case Freeze(b, k) => LogStore.freezeColdSegments(root, "s", b, k)
@@ -82,8 +95,9 @@ object CompactionProps extends Properties("LogCompaction") {
         case _ => true
       }
       val values = entries.map(_.values("i").toInt)
-      (entries.size == produced) :| s"${entries.size} entries != $produced produced" &&
-        (values == (1 to produced).toList) :| "entry order/content diverged" &&
+      val expected = (trimmedBelow + 1) to produced
+      (entries.size == expected.size) :| s"${entries.size} entries != ${expected.size} retained" &&
+        (values == expected.toList) :| "entry order/content diverged" &&
         sortedByFirst :| "segments not sorted by first id" &&
         nonOverlapping :| "segment ranges overlap"
     }
