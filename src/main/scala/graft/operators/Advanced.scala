@@ -332,5 +332,85 @@ object Advanced {
             .cast("double") / 1000000.0).as("p90"))
         .orderBy($"l_returnflag")
     },
+
+    q("q151_interval_overlap_join",
+      // Interval-OVERLAP join (ranges x ranges — q10 joins points into
+      // ranges) via time-bucket banding, the plan that survives 100 TB:
+      // each interval explodes into the hour buckets it covers (<= 2 here,
+      // durations are < 1 h), candidates meet in an EQUI join on
+      // (user, bucket), the exact overlap predicate verifies, and a
+      // distinct collapses pairs that met in two buckets. No nested-loop,
+      // no per-row range probe; the oracle states the plain theta join.
+      """WITH c AS (SELECT user_id, event_id AS cid, epoch_us(CAST(ts AS TIMESTAMP)) AS cs,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 3600) * 1000000 AS ce
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, epoch_us(CAST(ts AS TIMESTAMP)) AS ps,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 3600) * 1000000 AS pe
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        |FROM c JOIN p ON c.user_id = p.user_id AND p.ps <= c.ce AND c.cs <= p.pe
+        |GROUP BY c.user_id ORDER BY c.user_id""") { (s, dir) =>
+      import s.implicits._
+      val HourUs = 3600L * 1000000L
+      def side(eventType: String, idCol: String, sCol: String, eCol: String) =
+        T(s, dir, "events")
+          .filter($"event_type" === eventType)
+          .select($"user_id", $"event_id".as(idCol),
+            unix_micros($"ts").as(sCol),
+            (unix_micros($"ts") + ($"event_id" % 3600) * 1000000L).as(eCol))
+          // banding: one row per covered hour bucket — the equi key that
+          // replaces the non-equi range condition in the shuffle
+          .withColumn("hb", explode(sequence(
+            expr(s"$sCol div $HourUs"), expr(s"$eCol div $HourUs"))))
+      side("click", "cid", "cs", "ce")
+        .join(side("purchase", "pid", "ps", "pe"), Seq("user_id", "hb"))
+        .filter($"ps" <= $"ce" && $"cs" <= $"pe") // exact overlap verify
+        .select($"user_id", $"cid", $"pid").distinct() // met in >1 bucket
+        .groupBy($"user_id").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy($"user_id")
+    },
+
+    q("q152_merge_upsert",
+      // MERGE INTO semantics as one plan (the Delta/Iceberg upsert shape,
+      // declaratively): the snapshot is each user's latest even-event state,
+      // the change feed is each user's latest odd event — a DELETE when its
+      // id % 3 = 0, an UPSERT otherwise. One latest-per-key aggregation per
+      // side (partial max_by, no window sort), one full-outer equi join,
+      // and a CASE resolves kept / updated / inserted / deleted. The oracle
+      // states the same merge relationally.
+      """WITH base AS (SELECT user_id, MAX(event_id) AS bid FROM events
+        |              WHERE event_id % 2 = 0 GROUP BY user_id),
+        |chg AS (SELECT user_id, MAX(event_id) AS cid FROM events
+        |        WHERE event_id % 2 = 1 GROUP BY user_id),
+        |m AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id, b.bid, c.cid,
+        |        CASE WHEN c.cid IS NULL THEN 'kept'
+        |             WHEN c.cid % 3 = 0 THEN 'deleted'
+        |             WHEN b.bid IS NULL THEN 'inserted'
+        |             ELSE 'updated' END AS action
+        |  FROM base b FULL JOIN chg c ON b.user_id = c.user_id)
+        |SELECT user_id, action,
+        |  CAST(CASE WHEN action IN ('updated', 'inserted') THEN cid
+        |            ELSE bid END AS BIGINT) AS state_id
+        |FROM m WHERE action <> 'deleted'
+        |ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      def latest(parity: Int, out: String) =
+        ev.filter($"event_id" % 2 === parity)
+          .groupBy($"user_id").agg(max($"event_id").as(out))
+      latest(0, "bid").join(latest(1, "cid").withColumnRenamed("user_id", "cu"),
+          $"user_id" === $"cu", "full_outer")
+        .select(coalesce($"user_id", $"cu").as("user_id"), $"bid", $"cid")
+        .withColumn("action",
+          when($"cid".isNull, "kept")
+            .when($"cid" % 3 === 0, "deleted")
+            .when($"bid".isNull, "inserted")
+            .otherwise("updated"))
+        .filter($"action" =!= "deleted")
+        .select($"user_id", $"action",
+          when($"action".isin("updated", "inserted"), $"cid")
+            .otherwise($"bid").as("state_id"))
+        .orderBy($"user_id")
+    },
   )
 }

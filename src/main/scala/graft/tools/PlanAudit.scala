@@ -147,6 +147,14 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q151_interval_overlap_join" -> Seq(
+      "bucket-banded candidate join is an equi hash join" -> "HashJoin",
+      "no nested-loop join for the overlap condition" -> "!BroadcastNestedLoopJoin",
+      "no cartesian product in the interval join" -> "!CartesianProduct"),
+    "q152_merge_upsert" -> Seq(
+      "latest-per-key is a partial max before the shuffle" -> "partial_max",
+      "merge is one equi join (full outer)" -> "FullOuter",
+      "no window sort in the merge" -> "!Window"),
     "q148_scd2_dimension" -> Seq(
       "interval stitching is window passes, not a self-join" -> "Window",
       "no join anywhere in the dimension build" -> "!Join",
