@@ -216,6 +216,75 @@ object TextAnalysis {
         .withColumn("ppl", r6(exp(-$"avg_logprob")))
         .orderBy($"doc_id")
     },
+    q("q153_bigram_backoff_lm",
+      // Bigram LM with Stupid Backoff (Brants et al. 2007), scored on a
+      // HELD-OUT split so the backoff path actually fires (q136's unigram
+      // LM trains on the scored corpus, where every observed n-gram has a
+      // count): even docs train counts, odd docs score. Seen bigram ->
+      // ln(c2/c1(w1)); unseen -> ln(0.4) + add-one unigram ln((c1(w2)+1)/
+      // (N+V)), so OOV test tokens are defined too. Bigrams come from one
+      // LAG window per split (one doc_id shuffle, no self-join); count
+      // joins are keyed on token strings — hot heads are exactly the skew
+      // AQE's join handling splits, and the vocabulary is deliberately NOT
+      // hand-broadcast (it grows with the corpus — q136's rationale).
+      // Micro-log integer rounding before the per-doc sum keeps the
+      // aggregate exact in both engines (same accepted 1-ulp ln caveat).
+      """WITH tk AS (SELECT doc_id,
+        |    CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |big AS (SELECT doc_id,
+        |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2
+        |  FROM tk),
+        |trb AS (SELECT w1, w2 FROM big WHERE doc_id % 2 = 0 AND w1 IS NOT NULL),
+        |c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c FROM tk
+        |       WHERE doc_id % 2 = 0 GROUP BY tok),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |       CAST(COUNT(DISTINCT tok) AS BIGINT) v FROM tk WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) c2c FROM trb GROUP BY 1, 2),
+        |te AS (SELECT doc_id, w1, w2 FROM big
+        |       WHERE doc_id % 2 = 1 AND w1 IS NOT NULL),
+        |sc AS (SELECT te.doc_id,
+        |    CASE WHEN c2.c2c IS NOT NULL
+        |      THEN CAST(FLOOR((ln(c2.c2c) - ln(u1.c)) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE CAST(FLOOR((ln(0.4) + ln(COALESCE(u2.c, 0) + 1)
+        |        - ln(nv.n + nv.v)) * 1000000 + 0.5) AS BIGINT) END AS mlp
+        |  FROM te
+        |  LEFT JOIN c2 ON te.w1 = c2.w1 AND te.w2 = c2.w2
+        |  LEFT JOIN c1 u1 ON te.w1 = u1.tok
+        |  LEFT JOIN c1 u2 ON te.w2 = u2.tok
+        |  CROSS JOIN nv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(mlp) AS BIGINT) AS sum_mlp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val big = T(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"pos", $"col".as("tok"))
+        .withColumn("w1", lag($"tok", 1).over(byPos))
+        .transform(graft.CacheScope.cached) // feeds c1/nv/c2 and the test side
+      val train = big.filter($"doc_id" % 2 === 0)
+      val c1 = train.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val nv = train.agg(count(lit(1)).as("n"), countDistinct($"tok").as("v"))
+      val c2 = train.filter($"w1".isNotNull)
+        .groupBy($"w1", $"tok".as("w2")).agg(count(lit(1)).as("c2c"))
+      big.filter($"doc_id" % 2 === 1 && $"w1".isNotNull)
+        .select($"doc_id", $"w1", $"tok".as("w2"))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1.select($"tok".as("w1"), $"c".as("c1w1")), Seq("w1"), "left")
+        .join(c1.select($"tok".as("w2"), $"c".as("c1w2")), Seq("w2"), "left")
+        .crossJoin(broadcast(nv))
+        .select($"doc_id",
+          when($"c2c".isNotNull,
+            floor((log($"c2c") - log($"c1w1")) * 1000000d + 0.5d))
+            .otherwise(floor((log(lit(0.4)) + log(coalesce($"c1w2", lit(0L)) + 1d)
+              - log(($"n" + $"v").cast("double"))) * 1000000d + 0.5d))
+            .cast("long").as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"mlp").as("sum_mlp"))
+        .orderBy($"doc_id")
+    },
   )
 
   /** Union of the per-language stopword profiles, deduped, stable order. */

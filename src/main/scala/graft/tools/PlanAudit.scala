@@ -147,6 +147,11 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q153_bigram_backoff_lm" -> Seq(
+      "bigrams come from one window pass, not a self-join" -> "Window",
+      "count joins are equi hash joins" -> "HashJoin",
+      "no cartesian product in the scoring pipeline" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q151_interval_overlap_join" -> Seq(
       "bucket-banded candidate join is an equi hash join" -> "HashJoin",
       "no nested-loop join for the overlap condition" -> "!BroadcastNestedLoopJoin",

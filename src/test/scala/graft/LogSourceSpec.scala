@@ -333,6 +333,33 @@ class LogSourceSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("concurrent de-funneled sink appends never assign duplicate ids") {
+    // two batch writes race into one stream: staged files are
+    // attempt-unique, and publishStagedValues serializes id reservation
+    // under the stream lock — both commits land, ids stay unique and dense
+    val root = TestSpark.tmpDir("graftlog")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            spark.range(t * 1000L, t * 1000L + 1000L)
+              .selectExpr("CAST(id AS STRING) AS n")
+              .write.format("graftlog")
+              .option("path", root).option("stream", "c")
+              .mode("append").save()
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val entries = LogStore.readRange(root, "c", LogId.Zero, LogStore.maxId(root, "c"))
+    assert(entries.size == 2000)
+    assert(entries.map(_.id).distinct.size == 2000, "duplicate ids assigned")
+    assert(entries.map(_.values("n").toInt).sorted == (0 until 2000))
+    val staging = LogStore.streamDir(root, "c").resolve(".staging")
+    assert(java.nio.file.Files.list(staging).count() == 0, "staging leaked")
+  }
+
   test("trim drops entries at and below the cutoff; straddlers rewritten, ids stable") {
     // 3-entry segments: ids 10,20,30 | 40,50,60 | 70,80,90 (ms = 10*i)
     val root2 = TestSpark.tmpDir("graftlog")
@@ -350,6 +377,26 @@ class LogSourceSpec extends AnyFunSuite {
     assert(segs.size == 2 && segs.head.first == LogId(60L, 0L))
     // trimming below the retained range is a no-op
     assert(LogStore.trim(root2, "s", LogId(50L, Long.MaxValue)) == 0L)
+  }
+
+  test("streaming read over a trimmed log resumes at the first retained entry") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s", maxSegmentEntries = 3)
+    w.produceAllAt((1 to 9).map(i => (i * 10L, Map[String, Any]("i" -> i))))
+    LogStore.trim(root, "s", LogId(50L, Long.MaxValue))
+    val q = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "s")
+      .option("startingOffsets", "earliest") // position below the cutoff
+      .load()
+      .selectExpr("values['i'] AS i")
+      .writeStream.format("memory").queryName("trimmed_read")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select i from trimmed_read").collect()
+      .map(_.getString(0).toInt).sorted.toSeq
+    assert(got == (6 to 9), s"trimmed stream read $got")
   }
 
   test("compaction merges segments; readers see identical data") {
