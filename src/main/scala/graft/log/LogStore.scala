@@ -77,10 +77,42 @@ object LogStore {
     }.toSeq.sortBy(_.first)
   }
 
-  /** Highest assigned id, or Zero for an empty/missing stream. */
+  /** Highest assigned id, or Zero for an empty/missing stream. Consults the
+    * `.highwater` marker [[trim]] leaves behind, so a FULLY trimmed stream
+    * still remembers every id it ever assigned — Redis streams keep
+    * `last-generated-id` across XTRIM for the same reason: ids double as
+    * positions, and reusing one would teleport consumers backwards.
+    */
   def maxId(root: String, stream: String): LogId = {
     val segs = segments(root, stream)
-    if (segs.isEmpty) LogId.Zero else segs.map(_.last).max
+    val segMax = if (segs.isEmpty) LogId.Zero else segs.map(_.last).max
+    val marker = highwaterMarker(root, stream)
+    if (marker > segMax) marker else segMax
+  }
+
+  private def highwaterPath(root: String, stream: String): Path =
+    streamDir(root, stream).resolve(".highwater")
+
+  private def highwaterMarker(root: String, stream: String): LogId =
+    try LogId.parse(Files.readString(highwaterPath(root, stream),
+      StandardCharsets.UTF_8).trim)
+    catch { case _: Exception => LogId.Zero }
+
+  /** Persist the stream's current high-water id (monotonic: never lowers an
+    * existing marker). Called by [[trim]] before any segment disappears.
+    */
+  private def recordHighwater(root: String, stream: String): Unit = {
+    val hw = maxId(root, stream)
+    if (hw > LogId.Zero) {
+      val p = highwaterPath(root, stream)
+      val tmp = streamDir(root, stream).resolve(".highwater.tmp")
+      Files.writeString(tmp, hw.toString, StandardCharsets.UTF_8)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
   }
 
   // --- JSONL codec (Jackson ships with Spark) ---
@@ -476,6 +508,9 @@ object LogStore {
     * first retained entry; ids never change. Returns entries dropped.
     */
   def trim(root: String, stream: String, upTo: LogId): Long = {
+    // remember the high water FIRST: a trim that empties the stream must
+    // not let a later explicit-timestamp append reuse a trimmed id
+    recordHighwater(root, stream)
     var dropped = 0L
     segments(root, stream).foreach { s =>
       if (s.last <= upTo) {

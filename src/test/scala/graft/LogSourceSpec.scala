@@ -379,6 +379,26 @@ class LogSourceSpec extends AnyFunSuite {
     assert(LogStore.trim(root2, "s", LogId(50L, Long.MaxValue)) == 0L)
   }
 
+  test("fully trimmed stream never reuses ids (persistent high-water)") {
+    // Redis keeps last-generated-id across XTRIM; the log's .highwater
+    // marker is the same contract — ids double as positions, so reuse
+    // would teleport consumers backwards
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s")
+    w.produceAllAt(Seq((100L, Map[String, Any]("i" -> 1)), (200L, Map[String, Any]("i" -> 2))))
+    LogStore.trim(root, "s", LogId(200L, Long.MaxValue)) // stream now EMPTY
+    assert(LogStore.segments(root, "s").isEmpty)
+    assert(LogStore.maxId(root, "s") == LogId(200L, 0L), "high water forgotten")
+    // a fresh writer must reject explicit timestamps at or below the
+    // trimmed range and keep clock-driven ids monotonic past it
+    val w2 = new LogWriter(root, "s", () => 150L)
+    intercept[IllegalArgumentException] {
+      w2.produceAllAt(Seq((150L, Map[String, Any]("i" -> 3))))
+    }
+    val id = w2.produce(Map[String, Any]("i" -> 4)) // clock 150 < hw 200
+    assert(id > LogId(200L, 0L), s"id $id reuses the trimmed range")
+  }
+
   test("streaming read over a trimmed log resumes at the first retained entry") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "s", maxSegmentEntries = 3)
