@@ -730,6 +730,27 @@ object GraftLogWritePath {
     // staged anything, so an all-empty write still creates the stream
     new LogWriter(root, stream, autoCompactSegments = 64)
       .publishStagedValues(staged)
+    sweepStaleStaging(root, stream)
+  }
+
+  /** Opportunistic GC of orphaned staged files: a hard-killed executor never
+    * calls abort(), so its staging files outlive the attempt. Anything older
+    * than a day cannot belong to a live attempt (a commit runs within the
+    * job that staged its files, and writes refresh mtime), so a long-running
+    * sink's staging dir stays bounded.
+    */
+  private def sweepStaleStaging(root: String, stream: String): Unit = {
+    val dir = LogStore.streamDir(root, stream).resolve(".staging")
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach { p =>
+        try {
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            java.nio.file.Files.deleteIfExists(p)
+        } catch { case _: java.io.IOException => () }
+      } finally listing.close()
+    }
   }
 
   /** Best-effort cleanup of staged files on job abort / duplicate epoch. */
