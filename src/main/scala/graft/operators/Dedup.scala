@@ -148,6 +148,76 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    q("q154_lsh_recall_eval",
+      // Dedup-quality EVALUATION (the q95-for-text analog): the minhash-LSH
+      // candidate generator (q42's bands) is scored against exact-Jaccard
+      // ground truth (q41's inverted index) as a RECALL CURVE — true pairs
+      // bucketed by integer jaccard decile ((inter*10) div union, exact in
+      // both engines; jac >= 0.5 stated as 2*inter >= union), each bucket
+      // counting how many pairs some band caught. This is the knob-tuning
+      // query for bands-vs-rows tradeoffs: at 100 TB you run it on a sample
+      // BEFORE committing a band count to the full corpus.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+         |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(hh) n FROM hs),
+         |truth AS (SELECT da, db,
+         |    CAST((inter*10) // (sa.n + sb.n - inter) AS BIGINT) AS bucket
+         |  FROM pair JOIN sz sa ON sa.doc_id = pair.da
+         |            JOIN sz sb ON sb.doc_id = pair.db
+         |  WHERE 2*inter >= sa.n + sb.n - inter),
+         |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id cda, b.doc_id cdb FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN c.cda IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |FROM truth t LEFT JOIN cand c ON t.da = c.cda AND t.db = c.cdb
+         |GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      import s.implicits._
+      val sh = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"hh")
+        .transform(graft.CacheScope.cached) // truth index + signatures
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
+      val pair = ex.as("a").join(ex.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
+      val truth = pair
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("un", $"sa.n" + $"sb.n" - $"inter")
+        .filter($"inter" * 2 >= $"un")
+        .select($"da", $"db", expr("(inter*10) div un").as("bucket"))
+      val bands = sh
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"doc_id",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"), $"mh")
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val cand = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("cda"), $"y.doc_id".as("cdb"))
+        .distinct()
+      truth.join(cand, $"da" === $"cda" && $"db" === $"cdb", "left")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when($"cda".isNotNull, 1L).otherwise(0L)).as("n_caught"))
+        .orderBy($"bucket")
+    },
+
     q("q43_dedup_simhash",
       s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
