@@ -153,7 +153,7 @@ object Dedup {
       // candidate generator (q42's bands) is scored against exact-Jaccard
       // ground truth (q41's inverted index) as a RECALL CURVE — true pairs
       // bucketed by integer jaccard decile ((inter*10) div union, exact in
-      // both engines; jac >= 0.5 stated as 2*inter >= union), each bucket
+      // both engines; jac >= 0.3 stated as 10*inter >= 3*union), each bucket
       // counting how many pairs some band caught. This is the knob-tuning
       // query for bands-vs-rows tradeoffs: at 100 TB you run it on a sample
       // BEFORE committing a band count to the full corpus.
@@ -169,7 +169,7 @@ object Dedup {
          |    CAST((inter*10) // (sa.n + sb.n - inter) AS BIGINT) AS bucket
          |  FROM pair JOIN sz sa ON sa.doc_id = pair.da
          |            JOIN sz sb ON sb.doc_id = pair.db
-         |  WHERE 2*inter >= sa.n + sb.n - inter),
+         |  WHERE 10*inter >= 3*(sa.n + sb.n - inter)),
          |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
          |bands AS (SELECT doc_id, b.band,
          |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
@@ -197,7 +197,7 @@ object Dedup {
         .join(sz.as("sa"), $"da" === $"sa.doc_id")
         .join(sz.as("sb"), $"db" === $"sb.doc_id")
         .withColumn("un", $"sa.n" + $"sb.n" - $"inter")
-        .filter($"inter" * 2 >= $"un")
+        .filter($"inter" * 10 >= $"un" * 3)
         .select($"da", $"db", expr("(inter*10) div un").as("bucket"))
       val bands = sh
         .withColumn("mh", expr("graft_minhash(hh)"))
