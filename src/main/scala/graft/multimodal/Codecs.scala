@@ -12,10 +12,13 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *    of. PNG is lossless, so pixels round-trip exactly; JPEG decode is
   *    exact for dimensions but lossy for pixels.
   *
-  * Everything lands in one [[RgbImage]] raster, so MediaPipeline's decode /
-  * resample / re-encode stages are REAL for all four formats. Only formats
-  * beyond these (video containers, audio) fall back to MediaPipeline's
-  * documented deterministic stand-in.
+  * Plus two RIFF containers, hand-parsed: WAV (16-bit PCM audio) and AVI
+  * (uncompressed 24bpp DIB video frames). Images land in one [[RgbImage]]
+  * raster, audio in [[PcmAudio]], video in [[RgbVideo]] — MediaPipeline's
+  * decode / resample / re-encode / frame-sample stages are REAL for every
+  * modality; only compressed codecs with no pure-JVM decoder (MP4/H.264,
+  * MP3/AAC) fall back to MediaPipeline's documented deterministic
+  * stand-in.
   *
   * The reference has no media path at all (its payloads are flat string
   * maps, /root/reference/lib/stream.ex:15-16); this is part of the engine's
@@ -336,6 +339,136 @@ object Codecs {
     }
     require(samples != null, "WAV has no data chunk")
     PcmAudio(sampleRate, channels, samples)
+  }
+
+  // --- AVI (RIFF container, uncompressed 24bpp DIB frames) ---
+
+  /** Decoded video: per-frame row-major RGB rasters, frame order preserved. */
+  final case class RgbVideo(width: Int, height: Int, frames: Vector[Array[Byte]]) {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(frames.forall(_.length == 3 * width * height), "frame size mismatch")
+    def frame(i: Int): RgbImage = RgbImage(width, height, frames(i))
+  }
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Canonical uncompressed AVI: RIFF(AVI ) > LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} > LIST(movi){00db per frame}. Frames are
+    * BMP-style rasters (bottom-up, BGR, 4-byte-padded rows), so the frame
+    * payload layout is shared with [[encodeBmp]].
+    */
+  def encodeAvi(video: RgbVideo, fps: Int = 10): Array[Byte] = {
+    val rowBytes = bmpRowBytes(video.width)
+    val frameBytes = rowBytes * video.height
+    val nf = video.frames.size
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = out.put(s.getBytes(US_ASCII))
+    fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); out.putInt(56)
+    out.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+    out.putInt(nf).putInt(0).putInt(1).putInt(frameBytes)
+    out.putInt(video.width).putInt(video.height)
+    out.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); out.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    out.putInt(0).putShort(0).putShort(0).putInt(0)
+    out.putInt(1).putInt(fps) // scale / rate
+    out.putInt(0).putInt(nf).putInt(frameBytes).putInt(-1).putInt(0)
+    out.putShort(0).putShort(0)
+    out.putShort(video.width.toShort).putShort(video.height.toShort)
+    fourcc("strf"); out.putInt(40)
+    out.putInt(40).putInt(video.width).putInt(video.height)
+    out.putShort(1).putShort(24).putInt(0).putInt(frameBytes)
+    out.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+    video.frames.foreach { px =>
+      fourcc("00db"); out.putInt(frameBytes)
+      // bottom-up BGR padded rows, identical to the BMP raster layout
+      var y = 0
+      while (y < video.height) {
+        val srcRow = video.height - 1 - y
+        val srcOff = 3 * srcRow * video.width
+        var x = 0
+        while (x < video.width) {
+          out.put(px(srcOff + 3 * x + 2)) // B
+          out.put(px(srcOff + 3 * x + 1)) // G
+          out.put(px(srcOff + 3 * x)) // R
+          x += 1
+        }
+        var pad = rowBytes - 3 * video.width
+        while (pad > 0) { out.put(0: Byte); pad -= 1 }
+        y += 1
+      }
+    }
+    out.array()
+  }
+
+  /** Parse an uncompressed AVI by walking the RIFF chunk tree (LISTs
+    * recursively; unknown chunks skipped) — dims and frame count from the
+    * avih header, 24bpp BI_RGB enforced from strf, every 00db/00dc frame
+    * materialized as an RGB raster. The declared frame count must match the
+    * frames present (a mismatch means a corrupt container).
+    */
+  def decodeAvi(bytes: Array[Byte]): RgbVideo = {
+    require(isAvi(bytes), "not a RIFF/AVI file")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1; var declared = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val tag = new String(bytes, p, 4, US_ASCII)
+        val size = buf.getInt(p + 4)
+        require(size >= 0 && p + 8 + size <= end, s"truncated $tag chunk")
+        val data = p + 8
+        tag match {
+          case "LIST" => walk(data + 4, data + size) // skip the list type
+          case "avih" =>
+            declared = buf.getInt(data + 16)
+            w = buf.getInt(data + 32)
+            h = buf.getInt(data + 36)
+          case "strf" =>
+            val bpp = buf.getShort(data + 14)
+            val comp = buf.getInt(data + 16)
+            require(bpp == 24 && comp == 0,
+              s"unsupported AVI frames: bpp=$bpp compression=$comp (24bpp BI_RGB only)")
+          case "00db" | "00dc" =>
+            require(w > 0 && h > 0, "AVI frame before avih header")
+            val rowBytes = bmpRowBytes(w)
+            require(size >= rowBytes * h, "AVI frame truncated")
+            val px = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              val srcOff = data + (h - 1 - y) * rowBytes
+              val dstOff = 3 * y * w
+              var x = 0
+              while (x < w) {
+                px(dstOff + 3 * x) = bytes(srcOff + 3 * x + 2) // R
+                px(dstOff + 3 * x + 1) = bytes(srcOff + 3 * x + 1) // G
+                px(dstOff + 3 * x + 2) = bytes(srcOff + 3 * x) // B
+                x += 1
+              }
+              y += 1
+            }
+            frames += px
+          case _ => () // idx1, JUNK, strn...: skip
+        }
+        p = data + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    val fs = frames.result()
+    require(declared == fs.size,
+      s"AVI declares $declared frames but holds ${fs.size}")
+    RgbVideo(w, h, fs)
   }
 
   /** Nearest-neighbor resample — integer source mapping (x*srcW/dstW), fully

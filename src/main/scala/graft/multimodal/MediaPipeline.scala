@@ -12,8 +12,9 @@ final case class MediaRecord(
     mime: String,
     payload: Array[Byte])
 
-/** Extracted features for one record. `width`/`height`/`frames` come from the
-  * (stubbed) decoder; `byteMean`/`byteVar` are computed from the real bytes.
+/** Extracted features for one record. `width`/`height`/`frames` come from
+  * the decoder (real parse for PPM/BMP/PNG/JPEG/AVI, stand-in otherwise);
+  * `byteMean`/`byteVar` are computed from the real bytes.
   */
 final case class MediaFeatures(
     media_id: Long,
@@ -32,18 +33,20 @@ final case class MediaFeatures(
   * embarrassingly parallel; partition sizing is controlled upstream by
   * `spark.sql.files.maxPartitionBytes` on the payload source.
   *
-  * Decode is REAL for PPM (P6), BMP (24-bit BI_RGB), PNG and JPEG — the
-  * first two hand-parsed, the last two through the JDK's own
-  * `javax.imageio` (see [[Codecs]]) — including actual pixel resampling and
-  * in-format re-encode on resize. Only formats with no JDK reader (video
-  * containers, audio) fall back to a documented deterministic stand-in, so
-  * the pipeline shape stays exercised end-to-end for every mime. Tested in
-  * MediaPipelineSpec (real files) and oracle-checked by q134 (PPM/BMP) and
-  * q143 (PNG) against closed-form DuckDB arithmetic.
+  * Decode is REAL for every modality: PPM (P6), BMP (24-bit BI_RGB), PNG
+  * and JPEG images (the first two hand-parsed, the last two through the
+  * JDK's own `javax.imageio`), WAV PCM audio, and uncompressed-AVI video
+  * (see [[Codecs]]) — including actual pixel resampling, in-format
+  * re-encode on resize, real signal statistics, and real frame rasters.
+  * Only compressed codecs with no pure-JVM decoder (MP4/H.264, MP3/AAC)
+  * fall back to a documented deterministic stand-in, so the pipeline shape
+  * stays exercised end-to-end for every mime. Tested in MediaPipelineSpec
+  * (real files) and oracle-checked by q134 (PPM/BMP), q143 (PNG), q146
+  * (WAV), and q155 (AVI) against closed-form DuckDB arithmetic.
   */
 object MediaPipeline {
 
-  /** Image/video decoder: real parse for PPM/BMP/PNG/JPEG payloads (dispatch
+  /** Image/video decoder: real parse for PPM/BMP/PNG/JPEG/AVI payloads (dispatch
     * on magic bytes); other formats get a deterministic stand-in derived from
     * the payload, clearly separated below — a real deployment swaps ONLY the
     * fallback for the actual library call, nothing else changes.
@@ -52,13 +55,18 @@ object MediaPipeline {
     final case class Decoded(width: Int, height: Int, frames: Int)
 
     def decode(mime: String, payload: Array[Byte]): Decoded =
-      Codecs.decode(payload) match {
+      if (Codecs.isAvi(payload))
+        try {
+          val v = Codecs.decodeAvi(payload)
+          Decoded(v.width, v.height, v.frames.size)
+        } catch { case scala.util.control.NonFatal(_) => fallback(mime, payload) }
+      else Codecs.decode(payload) match {
         case Some(img) => Decoded(img.width, img.height, 1)
         case None => fallback(mime, payload)
       }
 
-    /** Deterministic stand-in for formats with no JDK reader (video
-      * containers, audio): fake-but-stable dims from a payload hash.
+    /** Deterministic stand-in for compressed codecs with no pure-JVM
+      * decoder (MP4/H.264, …): fake-but-stable dims from a payload hash.
       */
     private[multimodal] def fallback(mime: String, payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))

@@ -60,6 +60,32 @@ object Multimodal {
     Codecs.PcmAudio(8000, 1, smp)
   }
 
+  /** Deterministic fixture clip: 3 + (id % 5) frames of the affine pattern
+    * shifted 7 per frame — every frame's every pixel is closed-form in SQL.
+    */
+  private[graft] def fixtureVideo(id: Long): Codecs.RgbVideo = {
+    val w = 16 + (id % 16).toInt
+    val h = 8 + (id % 8).toInt
+    val frames = Vector.tabulate(3 + (id % 5).toInt) { f =>
+      val px = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (x + 2 * y + 7 * f + id) % 256
+          val o = 3 * (y * w + x)
+          px(o) = base.toByte
+          px(o + 1) = ((base + 85) % 256).toByte
+          px(o + 2) = ((base + 170) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    Codecs.RgbVideo(w, h, frames)
+  }
+
   private[graft] def fixtureRecord(id: Long): MediaRecord = {
     val img = fixtureImage(id)
     if (id % 2 == 0) MediaRecord(id, "image/x-portable-pixmap", Codecs.encodePpm(img))
@@ -209,6 +235,52 @@ object Multimodal {
           $"sample_rate".cast("long").as("sample_rate"),
           $"channels".cast("long").as("channels"),
           $"n_frames", $"duration_us", $"peak", $"energy")
+        .orderBy($"doc_id")
+    },
+
+    q("q155_video_decode",
+      // REAL video decode — the last modality: a closed-form multi-frame
+      // clip is packed into an uncompressed AVI (RIFF chunk tree, DIB
+      // frames) on executors, the production pipeline parses the container
+      // (extractFeatures now reports REAL dims and frame counts for video),
+      // and pixel probes read an actual frame RASTER — frame 0's origin and
+      // the corner of the frame [[MediaPipeline.sampleFrames]] picks second
+      // (floor(nf/2 + 0.5), the deterministic frame-sampling plan) — so a
+      // parse that skipped the movi payload cannot pass. DuckDB computes
+      // every probe arithmetically.
+      """WITH m AS (SELECT doc_id,
+        |    16 + (doc_id % 16) AS w, 8 + (doc_id % 8) AS h,
+        |    3 + (doc_id % 5) AS nf FROM documents),
+        |s AS (SELECT doc_id, w, h, nf,
+        |    LEAST(nf - 1, CAST(FLOOR(nf / 2.0 + 0.5) AS BIGINT)) AS f1 FROM m)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 256 AS BIGINT) AS f0_px,
+        |  CAST(((w-1) + 2*(h-1) + 7*f1 + doc_id) % 256 AS BIGINT) AS fs_px
+        |FROM s ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "video/avi", Codecs.encodeAvi(fixtureVideo(id)))))
+      // container parse through the production feature stage (real dims +
+      // frame count for video now, not the stand-in)
+      val feats = MediaPipeline.extractFeatures(s, media)
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"frames".cast("long").as("n_frames"))
+      // raster probes: frame 0 origin red; the sampled frame's corner red
+      val probes = media.map { r =>
+        val v = Codecs.decodeAvi(r.payload)
+        val f1 = MediaPipeline.sampleFrames(v.frames.size, 2).last
+        (r.media_id,
+          v.frame(0).pixel(0, 0)._1.toLong,
+          v.frame(f1).pixel(v.width - 1, v.height - 1)._1.toLong)
+      }.toDF("p_id", "f0_px", "fs_px")
+      feats.join(probes, $"media_id" === $"p_id")
+        .select($"media_id".as("doc_id"), $"width", $"height", $"n_frames",
+          $"f0_px", $"fs_px")
         .orderBy($"doc_id")
     },
   )
