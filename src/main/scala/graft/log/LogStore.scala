@@ -93,10 +93,23 @@ object LogStore {
   private def highwaterPath(root: String, stream: String): Path =
     streamDir(root, stream).resolve(".highwater")
 
-  private def highwaterMarker(root: String, stream: String): LogId =
-    try LogId.parse(Files.readString(highwaterPath(root, stream),
-      StandardCharsets.UTF_8).trim)
-    catch { case _: Exception => LogId.Zero }
+  /** The persisted high-water marker, Zero ONLY when the file does not
+    * exist. A marker that exists but cannot be parsed fails loudly: the
+    * marker is the id-reuse guard for fully trimmed streams, and silently
+    * treating corruption as Zero would re-enable exactly the hazard it
+    * prevents (a trimmed id reassigned, teleporting consumers backwards).
+    */
+  private def highwaterMarker(root: String, stream: String): LogId = {
+    val p = highwaterPath(root, stream)
+    try LogId.parse(Files.readString(p, StandardCharsets.UTF_8).trim)
+    catch {
+      case _: java.nio.file.NoSuchFileException => LogId.Zero
+      case e: Exception => throw new IllegalStateException(
+        s"corrupt .highwater marker for stream '$stream' at $p — refusing " +
+          "to guess the id high-water (id reuse would teleport consumers " +
+          "backwards); repair or delete the marker explicitly", e)
+    }
+  }
 
   /** Persist the stream's current high-water id (monotonic: never lowers an
     * existing marker). Called by [[trim]] before any segment disappears.
@@ -507,7 +520,17 @@ object LogStore {
     * here). Consumers positioned below the cutoff simply resume at the
     * first retained entry; ids never change. Returns entries dropped.
     */
-  def trim(root: String, stream: String, upTo: LogId): Long = {
+  def trim(root: String, stream: String, upTo: LogId): Long =
+    LogWriter.withExclusiveStreamLock(root, stream) {
+      trimLocked(root, stream, upTo)
+    }
+
+  /** [[trim]] body; caller must hold the per-stream writer lock (trim
+    * deletes and rewrites segment files, so it races the produce-path
+    * compaction passes otherwise — a compaction's snapshot read could
+    * re-publish entries the trim just dropped).
+    */
+  private[log] def trimLocked(root: String, stream: String, upTo: LogId): Long = {
     // remember the high water FIRST: a trim that empties the stream must
     // not let a later explicit-timestamp append reuse a trimmed id
     recordHighwater(root, stream)
@@ -521,7 +544,7 @@ object LogStore {
         val keep = entries.filter(_.id > upTo)
         dropped += entries.size - keep.size
         if (keep.size < entries.size) {
-          writeSegment(root, stream, keep, overwrite = true)
+          writeRetainedLike(root, stream, s.path, keep)
           Files.deleteIfExists(Paths.get(s.path))
         }
       }
@@ -529,11 +552,40 @@ object LogStore {
     dropped
   }
 
-  /** Entry count of a segment; for values-only segments it is derived from
-    * the file name alone (zero IO), matching the id model.
+  /** Rewrite a straddling segment's retained suffix IN THE SAME storage
+    * format as the source segment: a frozen parquet cold-tier or gzip'd
+    * segment must not silently come back as plain JSONL (that would undo
+    * [[freezeColdSegments]] until the next freeze pass). `.vjsonl` retains
+    * its values-only form — the kept suffix is contiguous within the
+    * segment's single millisecond, so the name-derived id contract holds.
+    */
+  private def writeRetainedLike(root: String, stream: String,
+      srcPath: String, keep: Seq[LogEntry]): Unit = {
+    val dir = streamDir(root, stream)
+    if (srcPath.endsWith(".parquet")) {
+      val name = s"${keep.head.id}__${keep.last.id}.parquet"
+      val tmp = dir.resolve(s".$name.tmp")
+      ParquetSegments.write(tmp, keep)
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    } else if (srcPath.endsWith(".vjsonl")) {
+      val name = valuesSegmentName(keep.head.id, keep.last.id)
+      val tmp = dir.resolve(s".$name.tmp")
+      val lines = keep.map(e => encodeValuesLine(e.values)).mkString("", "\n", "\n")
+      Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      writeSegment(root, stream, keep, gzip = srcPath.endsWith(".gz"),
+        overwrite = true)
+    }
+  }
+
+  /** Entry count of a segment without a full decode where the format allows:
+    * values-only segments derive it from the file name alone (zero IO), and
+    * parquet segments read it from the footer metadata.
     */
   private def countEntries(s: Segment): Long =
     if (s.path.endsWith(".vjsonl")) s.last.seq - s.first.seq + 1
+    else if (s.path.endsWith(".parquet")) ParquetSegments.rowCount(s.path)
     else readSegment(s.path).size.toLong
 
   private[log] def segmentName(first: LogId, last: LogId, gzip: Boolean): String =

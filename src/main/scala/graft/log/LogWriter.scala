@@ -56,30 +56,22 @@ final class LogWriter(root: String, stream: String,
     * writer last looked).
     */
   private def withStreamLock[T](f: => T): T =
-    LogWriter.jvmLock(root, stream).synchronized {
-      val lockPath = LogStore.streamDir(root, stream).resolve(".writer.lock")
-      val ch = FileChannel.open(lockPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        var lock: FileLock = null
-        val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
-        while (lock == null) {
-          lock = ch.tryLock()
-          if (lock == null) {
-            if (System.nanoTime() > deadline)
-              throw new IllegalStateException(
-                s"timed out acquiring writer lock for stream '$stream' after " +
-                  s"${lockTimeoutMs}ms — another writer holds it (single-writer contract)")
-            Thread.sleep(5)
-          }
-        }
-        try {
-          val diskMax = LogStore.maxId(root, stream)
-          if (diskMax > last) last = diskMax
-          f
-        } finally lock.release()
-      } finally ch.close()
+    LogWriter.withExclusiveStreamLock(root, stream, lockTimeoutMs) {
+      val diskMax = LogStore.maxId(root, stream)
+      if (diskMax > last) last = diskMax
+      f
     }
+
+  /** Retention trim ([[LogStore.trim]]) under this writer's stream lock:
+    * trim mutates and deletes segments, so it must serialize with appends
+    * and the produce-path compaction passes — a trim racing a compaction
+    * could otherwise resurrect trimmed entries (the compaction's snapshot
+    * read still sees segments the trim is about to delete, and its merged
+    * segment would re-publish them).
+    */
+  def trim(upTo: LogId): Long = withStreamLock {
+    LogStore.trimLocked(root, stream, upTo)
+  }
 
   /** Coerce any payload value the way the reference does (`to_string/1`). */
   def coerce(values: Map[String, Any]): Map[String, String] =
@@ -242,6 +234,36 @@ object LogWriter {
   private def jvmLock(root: String, stream: String): Object =
     locks.computeIfAbsent(
       LogStore.streamDir(root, stream).toAbsolutePath.toString, _ => new Object)
+
+  /** Acquire the per-stream exclusive lock (JVM mutex + cross-process file
+    * lock on `<streamDir>/.writer.lock`) and run `f` under it. Shared by the
+    * produce paths and every segment-mutating maintenance operation
+    * ([[LogStore.trim]]): any operation that deletes or rewrites segment
+    * files must hold this lock, or it races the produce-path compaction
+    * passes that snapshot-read those same files.
+    */
+  private[log] def withExclusiveStreamLock[T](root: String, stream: String,
+      lockTimeoutMs: Long = 30000L)(f: => T): T =
+    jvmLock(root, stream).synchronized {
+      val lockPath = LogStore.streamDir(root, stream).resolve(".writer.lock")
+      val ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        var lock: FileLock = null
+        val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+        while (lock == null) {
+          lock = ch.tryLock()
+          if (lock == null) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"timed out acquiring writer lock for stream '$stream' after " +
+                  s"${lockTimeoutMs}ms — another writer holds it (single-writer contract)")
+            Thread.sleep(5)
+          }
+        }
+        try f finally lock.release()
+      } finally ch.close()
+    }
 
   // Shared pool for fanning out chunked segment writes (encode + IO bound).
   private[log] lazy val writeEc: scala.concurrent.ExecutionContext =

@@ -92,4 +92,12 @@ object ParquetSegments {
     } finally reader.close()
     out.toSeq
   }
+
+  /** Row count from the footer metadata alone — no row-group decode. */
+  def rowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(java.nio.file.Paths.get(path).toUri), new Configuration(false))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
 }

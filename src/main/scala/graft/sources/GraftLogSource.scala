@@ -113,7 +113,8 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId(),
-      Option(options.get("tsColumn")), options.getInt("maxSegmentEntries", 10000))
+      Option(options.get("tsColumn")), options.getInt("maxSegmentEntries", 10000),
+      options.getLong("stagingTtlMs", GraftLogWritePath.DefaultStagingTtlMs))
 }
 
 /** Scan builder with filter pushdown and column pruning — the file-level
@@ -523,16 +524,17 @@ final class GraftLogReaderFactory(dropTombstones: Boolean,
 
 final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType,
     queryId: String, tsColumn: Option[String] = None,
-    segmentEntries: Int = 10000) extends WriteBuilder {
+    segmentEntries: Int = 10000,
+    stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs) extends WriteBuilder {
   override def build(): Write = tsColumn match {
     case None =>
       // driver-side DDL + name validation BEFORE tasks stage files
       LogStore.ensureStream(root, stream)
       new Write {
         override def toBatch: BatchWrite =
-          new GraftLogBatchWrite(root, stream, schema, segmentEntries)
+          new GraftLogBatchWrite(root, stream, schema, segmentEntries, queryId, stagingTtlMs)
         override def toStreaming: StreamingWrite =
-          new GraftLogStreamingWrite(root, stream, schema, queryId, segmentEntries)
+          new GraftLogStreamingWrite(root, stream, schema, queryId, segmentEntries, stagingTtlMs)
       }
     case Some(tsCol) =>
       require(schema.fieldNames.contains(tsCol),
@@ -720,7 +722,22 @@ object GraftLogWritePath {
     * tiered auto-compaction keeps a long-running sink's file count and the
     * per-append maxId directory listing bounded.
     */
-  def commitAll(root: String, stream: String, messages: Array[WriterCommitMessage]): Unit = {
+  /** Default orphan-sweep TTL (24 h); override per write with the
+    * `stagingTtlMs` option (a backfill whose tasks may stage more than a
+    * day before the job commits needs a larger TTL), `<= 0` disables the
+    * sweep entirely.
+    */
+  val DefaultStagingTtlMs: Long = 24L * 3600 * 1000
+
+  /** Filesystem-safe staging-name prefix for a query id (Spark query ids
+    * are UUIDs, but don't trust the format).
+    */
+  private[sources] def stagingPrefix(queryId: String): String =
+    if (queryId == null || queryId.isEmpty) ""
+    else queryId.filter(c => c.isLetterOrDigit || c == '-' || c == '_') + "__"
+
+  def commitAll(root: String, stream: String, messages: Array[WriterCommitMessage],
+      queryId: String = "", stagingTtlMs: Long = DefaultStagingTtlMs): Unit = {
     val staged = messages.iterator
       .collect { case m: GraftLogStagedCommit => m }
       .toSeq.sortBy(_.partitionId)
@@ -730,23 +747,30 @@ object GraftLogWritePath {
     // staged anything, so an all-empty write still creates the stream
     new LogWriter(root, stream, autoCompactSegments = 64)
       .publishStagedValues(staged)
-    sweepStaleStaging(root, stream)
+    sweepStaleStaging(root, stream, queryId, stagingTtlMs)
   }
 
   /** Opportunistic GC of orphaned staged files: a hard-killed executor never
-    * calls abort(), so its staging files outlive the attempt. Anything older
-    * than a day cannot belong to a live attempt (a commit runs within the
-    * job that staged its files, and writes refresh mtime), so a long-running
-    * sink's staging dir stays bounded.
+    * calls abort(), so its staging files outlive the attempt. Staged names
+    * are prefixed with the writing query's id, so a sweep NEVER touches the
+    * committing query's own files (a straggler task of a long job can stage
+    * arbitrarily early without a concurrent writer's commit deleting it);
+    * foreign files are only removed past `ttlMs` (configurable per write via
+    * `stagingTtlMs`; `<= 0` disables the sweep).
     */
-  private def sweepStaleStaging(root: String, stream: String): Unit = {
+  private def sweepStaleStaging(root: String, stream: String,
+      ownQueryId: String, ttlMs: Long): Unit = {
+    if (ttlMs <= 0) return
     val dir = LogStore.streamDir(root, stream).resolve(".staging")
+    val own = stagingPrefix(ownQueryId)
     if (java.nio.file.Files.isDirectory(dir)) {
-      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val cutoff = System.currentTimeMillis() - ttlMs
       val listing = java.nio.file.Files.list(dir)
       try listing.forEach { p =>
         try {
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          val foreign = own.isEmpty || !p.getFileName.toString.startsWith(own)
+          if (foreign &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
             java.nio.file.Files.deleteIfExists(p)
         } catch { case _: java.io.IOException => () }
       } finally listing.close()
@@ -773,7 +797,8 @@ object GraftLogWritePath {
   * message Spark accepts gets published; abort deletes this attempt's files.
   */
 final class GraftLogDataWriter(root: String, stream: String, schema: StructType,
-    partitionId: Int, maxSegmentEntries: Int) extends DataWriter[InternalRow] {
+    partitionId: Int, maxSegmentEntries: Int,
+    queryId: String = "") extends DataWriter[InternalRow] {
   import java.nio.file.{Files, Path, Paths}
   private val stagingDir: Path = {
     val d = LogStore.streamDir(root, stream).resolve(".staging")
@@ -792,7 +817,8 @@ final class GraftLogDataWriter(root: String, stream: String, schema: StructType,
 
   override def write(record: InternalRow): Unit = {
     if (out == null) {
-      current = stagingDir.resolve(s"${java.util.UUID.randomUUID()}.vjsonl")
+      current = stagingDir.resolve(
+        s"${GraftLogWritePath.stagingPrefix(queryId)}${java.util.UUID.randomUUID()}.vjsonl")
       out = Files.newBufferedWriter(current, java.nio.charset.StandardCharsets.UTF_8)
       count = 0L
     }
@@ -819,28 +845,30 @@ final class GraftLogDataWriter(root: String, stream: String, schema: StructType,
 
 /** Serializable factory shipped to executors (must not capture the write). */
 final case class GraftLogWriterFactory(root: String, stream: String,
-    schema: StructType, maxSegmentEntries: Int)
+    schema: StructType, maxSegmentEntries: Int, queryId: String = "")
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries)
+    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries, queryId)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries)
+    new GraftLogDataWriter(root, stream, schema, partitionId, maxSegmentEntries, queryId)
 }
 
 final class GraftLogBatchWrite(root: String, stream: String, schema: StructType,
-    maxSegmentEntries: Int = 10000) extends BatchWrite {
+    maxSegmentEntries: Int = 10000, queryId: String = "",
+    stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries)
+    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries, queryId)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftLogWritePath.commitAll(root, stream, messages)
+    GraftLogWritePath.commitAll(root, stream, messages, queryId, stagingTtlMs)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftLogWritePath.dropStaged(messages)
 }
 
 final class GraftLogStreamingWrite(root: String, stream: String, schema: StructType,
-    queryId: String, maxSegmentEntries: Int = 10000) extends StreamingWrite {
+    queryId: String, maxSegmentEntries: Int = 10000,
+    stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries)
+    GraftLogWriterFactory(root, stream, schema, maxSegmentEntries, queryId)
 
   /** Idempotent per epoch *within a query*: Structured Streaming may
     * re-deliver a committed epoch after a driver failure; a marker file makes

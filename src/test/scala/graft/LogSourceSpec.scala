@@ -399,6 +399,142 @@ class LogSourceSpec extends AnyFunSuite {
     assert(id > LogId(200L, 0L), s"id $id reuses the trimmed range")
   }
 
+  test("trim preserves the straddler's storage format (gz, parquet, vjsonl)") {
+    // gz straddler stays gz (a silent JSONL rewrite would undo compression)
+    val rootG = TestSpark.tmpDir("graftlog")
+    LogStore.ensureStream(rootG, "s")
+    LogStore.writeSegment(rootG, "s",
+      (1 to 6).map(i => graft.log.LogEntry(LogId(i * 10L, 0L), Map("i" -> i.toString))),
+      gzip = true)
+    assert(LogStore.trim(rootG, "s", LogId(30L, Long.MaxValue)) == 3L)
+    val segsG = LogStore.segments(rootG, "s")
+    assert(segsG.size == 1 && segsG.head.path.endsWith(".jsonl.gz"),
+      s"gz straddler rewritten to ${segsG.map(_.path)}")
+    assert(LogStore.readRange(rootG, "s", LogId.Zero, LogStore.maxId(rootG, "s"))
+      .map(_.values("i").toInt) == (4 to 6))
+
+    // parquet cold-tier straddler stays parquet (freeze must not be undone)
+    val rootP = TestSpark.tmpDir("graftlog")
+    val wp = new LogWriter(rootP, "s")
+    wp.produceAllAt((1 to 6).map(i => (i * 10L, Map[String, Any]("i" -> i))))
+    assert(LogStore.compactToParquet(rootP, "s", LogStore.maxId(rootP, "s")) > 0)
+    assert(LogStore.trim(rootP, "s", LogId(30L, Long.MaxValue)) == 3L)
+    val segsP = LogStore.segments(rootP, "s")
+    assert(segsP.size == 1 && segsP.head.path.endsWith(".parquet"),
+      s"parquet straddler rewritten to ${segsP.map(_.path)}")
+    assert(LogStore.readRange(rootP, "s", LogId.Zero, LogStore.maxId(rootP, "s"))
+      .map(_.values("i").toInt) == (4 to 6))
+
+    // vjsonl straddler keeps its values-only form (suffix ids stay
+    // contiguous within the segment's single millisecond)
+    val rootV = TestSpark.tmpDir("graftlog")
+    val wv = new LogWriter(rootV, "s", () => 1000L)
+    val staging = LogStore.streamDir(rootV, "s").resolve(".staging")
+    java.nio.file.Files.createDirectories(staging)
+    val f = staging.resolve("a.vjsonl")
+    java.nio.file.Files.write(f,
+      (1 to 6).map(i => LogStore.encodeValuesLine(Map("i" -> i.toString)))
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    wv.publishStagedValues(Seq((f, 6L)))
+    assert(LogStore.trim(rootV, "s", LogId(1000L, 2L)) == 3L)
+    val segsV = LogStore.segments(rootV, "s")
+    assert(segsV.size == 1 && segsV.head.path.endsWith(".vjsonl"),
+      s"vjsonl straddler rewritten to ${segsV.map(_.path)}")
+    assert(LogStore.readRange(rootV, "s", LogId.Zero, LogStore.maxId(rootV, "s"))
+      .map(_.values("i").toInt) == (4 to 6))
+  }
+
+  test("corrupt .highwater marker fails loudly instead of disabling the guard") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s")
+    w.produceAllAt(Seq((100L, Map[String, Any]("i" -> 1))))
+    LogStore.trim(root, "s", LogId(100L, Long.MaxValue)) // writes .highwater
+    java.nio.file.Files.writeString(
+      LogStore.streamDir(root, "s").resolve(".highwater"), "not-an-id")
+    val e = intercept[IllegalStateException] { LogStore.maxId(root, "s") }
+    assert(e.getMessage.contains("highwater"))
+    // absent marker is still simply Zero
+    java.nio.file.Files.delete(LogStore.streamDir(root, "s").resolve(".highwater"))
+    assert(LogStore.maxId(root, "s") == LogId.Zero)
+  }
+
+  test("trim serializes with a live writer's appends and compactions") {
+    // a trim racing the produce-path compaction could resurrect trimmed
+    // entries (compaction snapshot-reads segments the trim deletes, then
+    // re-publishes them merged); under the shared stream lock the
+    // invariant below must hold on every interleaving
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "s",
+      () => { now += 1; now },
+      compaction = Some(LogStore.CompactionPolicy(4, targetBytes = 1L << 20, minMerge = 2)))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val trimmedUpTo = new java.util.concurrent.atomic.AtomicReference(LogId.Zero)
+    val trimmer = new Thread(() => {
+      while (!stop.get()) {
+        val mid = LogId(now - 200, Long.MaxValue)
+        if (mid > trimmedUpTo.get()) {
+          LogStore.trim(root, "s", mid)
+          trimmedUpTo.set(mid)
+        }
+        Thread.sleep(2)
+      }
+    })
+    trimmer.start()
+    val ids = (1 to 60).flatMap(i =>
+      w.produceAll((1 to 10).map(j => Map[String, Any]("n" -> (i * 10 + j)))))
+    stop.set(true); trimmer.join()
+    val cutoff = trimmedUpTo.get()
+    val all = LogStore.readRange(root, "s", LogId.Zero, LogStore.maxId(root, "s"))
+    assert(all.map(_.id).distinct.size == all.size, "duplicate ids after trim race")
+    assert(all.forall(_.id > cutoff), "trimmed entries resurrected by compaction")
+    // every id above the cutoff survived — trim never eats live appends
+    assert(all.map(_.id).toSet == ids.filter(_ > cutoff).toSet)
+  }
+
+  test("staging sweep spares the committing query's own files; TTL configurable") {
+    import graft.sources.{GraftLogStagedCommit, GraftLogWritePath}
+    val root = TestSpark.tmpDir("graftlog")
+    LogStore.ensureStream(root, "s")
+    val staging = LogStore.streamDir(root, "s").resolve(".staging")
+    java.nio.file.Files.createDirectories(staging)
+    def stale(name: String): java.nio.file.Path = {
+      val p = staging.resolve(name)
+      java.nio.file.Files.write(p,
+        (LogStore.encodeValuesLine(Map("k" -> "v")) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 25L * 3600 * 1000))
+      p
+    }
+    val ownStale = stale("q1__straggler.vjsonl")     // committing query's own
+    val foreignStale = stale("q0__orphan.vjsonl")    // dead attempt, past TTL
+    def commitOne(): Unit = {
+      val f = staging.resolve(s"q1__${java.util.UUID.randomUUID()}.vjsonl")
+      java.nio.file.Files.write(f,
+        (LogStore.encodeValuesLine(Map("k" -> "v")) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      GraftLogWritePath.commitAll(root, "s",
+        Array(GraftLogStagedCommit(0, Seq((f.toString, 1L)))), queryId = "q1")
+    }
+    commitOne()
+    assert(java.nio.file.Files.exists(ownStale),
+      "sweep deleted the committing query's own staged file")
+    assert(!java.nio.file.Files.exists(foreignStale),
+      "sweep left a foreign file past the TTL")
+    // TTL <= 0 disables the sweep entirely
+    val foreignStale2 = stale("q0__orphan2.vjsonl")
+    val f2 = staging.resolve(s"q1__${java.util.UUID.randomUUID()}.vjsonl")
+    java.nio.file.Files.write(f2,
+      (LogStore.encodeValuesLine(Map("k" -> "v")) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    GraftLogWritePath.commitAll(root, "s",
+      Array(GraftLogStagedCommit(0, Seq((f2.toString, 1L)))),
+      queryId = "q1", stagingTtlMs = -1L)
+    assert(java.nio.file.Files.exists(foreignStale2), "disabled sweep still deleted")
+  }
+
   test("streaming read over a trimmed log resumes at the first retained entry") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "s", maxSegmentEntries = 3)
