@@ -533,5 +533,179 @@ object Similarity {
           sum($"qd").as("adc"))
         .orderBy($"vec_id")
     },
+
+    q("q156_ivfpq_ann",
+      // The COMPOSED IVF-PQ index (Jégou et al. 2011), end to end — the ANN
+      // layout a 100 TB retrieval deployment actually runs, assembled from
+      // the three separately-certified parts: q142's integer-exact Lloyd
+      // k-means trains the coarse quantizer (k=8, 2 iterations, seeded by
+      // the first k vectors); every vector is assigned to its nearest cell
+      // and PQ-encoded on its RESIDUAL (vector minus own-cell centroid —
+      // what distinguishes IVF-PQ from flat PQ, q147); queries probe their
+      // nprobe=2 nearest cells, build one ADC lookup table per probed cell
+      // against the QUERY residual (4 subspaces x 32 codewords), rank the
+      // probed cells' members by summed table lookups — 4 small ints per
+      // candidate instead of 64 floats — and exact-re-rank only the ADC
+      // top-50 shortlist (the FAISS refine step: full vectors are touched
+      // for 50 candidates per query, never the corpus). The output is the
+      // index's end-to-end recall@10 per query
+      // against the exact integer-L2 top-10 — the number that matters for
+      // the composition (each stage being correct does not imply the
+      // assembled index recalls well). All arithmetic is the shifted-int8
+      // integer scheme of q141/q142/q147, so both engines agree bit-for-bit.
+      // Scale posture: centroids (8x64) and codebooks (4x32x16) broadcast at
+      // every use; shuffles key on fixed-width (vec_id), (c,pos),
+      // (vec_id,s), (q_id,cand_id) — the corpus vectors never all-pairs
+      // with anything; candidate scoring touches only the probed cells'
+      // postings (n*nprobe/nlist of the corpus per query).
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x FROM qz),
+         |c0 AS (SELECT vec_id AS c, pos, x AS cm FROM ex WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c.c, CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |asg1 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn FROM d1) WHERE rn = 1),
+         |c1 AS (SELECT a.c, e.pos, CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+         |  FROM ex e JOIN asg1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.pos),
+         |d2 AS (SELECT e.vec_id, c.c, CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |asg2 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn FROM d2) WHERE rn = 1),
+         |res AS (SELECT e.vec_id, a.c, e.pos // 16 AS s, e.pos % 16 AS p, e.x - c.cm AS r
+         |  FROM ex e JOIN asg2 a ON e.vec_id = a.vec_id
+         |            JOIN c1 c ON c.c = a.c AND c.pos = e.pos),
+         |cb AS (SELECT vec_id AS cw, s, p, r AS cx FROM res WHERE vec_id < 32),
+         |encd AS (SELECT v.vec_id, v.s, c.cw, CAST(SUM((v.r - c.cx)*(v.r - c.cx)) AS BIGINT) AS dist
+         |  FROM res v JOIN cb c ON v.s = c.s AND v.p = c.p GROUP BY v.vec_id, v.s, c.cw),
+         |codes AS (SELECT vec_id, s, cw FROM (SELECT vec_id, s, cw,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) rn FROM encd) WHERE rn = 1),
+         |pd AS (SELECT e.vec_id AS q_id, c.c, CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c1 c ON e.pos = c.pos WHERE e.vec_id < 10 GROUP BY e.vec_id, c.c),
+         |probes AS (SELECT q_id, c FROM (SELECT q_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c) rn FROM pd) WHERE rn <= 2),
+         |qres AS (SELECT p.q_id, p.c, e.pos // 16 AS s, e.pos % 16 AS pp, e.x - c.cm AS r
+         |  FROM probes p JOIN ex e ON e.vec_id = p.q_id
+         |                JOIN c1 c ON c.c = p.c AND c.pos = e.pos),
+         |dt AS (SELECT q.q_id, q.c, b.s, b.cw, CAST(SUM((q.r - b.cx)*(q.r - b.cx)) AS BIGINT) AS qd
+         |  FROM qres q JOIN cb b ON b.s = q.s AND b.p = q.pp GROUP BY q.q_id, q.c, b.s, b.cw),
+         |cand AS (SELECT p.q_id, p.c, a.vec_id AS cand_id FROM probes p
+         |  JOIN asg2 a ON a.c = p.c WHERE a.vec_id <> p.q_id),
+         |adc AS (SELECT cand.q_id, cand.cand_id, CAST(SUM(dt.qd) AS BIGINT) AS adist
+         |  FROM cand JOIN codes k ON k.vec_id = cand.cand_id
+         |            JOIN dt ON dt.q_id = cand.q_id AND dt.c = cand.c
+         |                   AND dt.s = k.s AND dt.cw = k.cw
+         |  GROUP BY cand.q_id, cand.cand_id),
+         |short AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) rn FROM adc) WHERE rn <= 50),
+         |rr AS (SELECT s.q_id, s.cand_id, CAST(SUM((a.x - b.x)*(a.x - b.x)) AS BIGINT) AS dist
+         |  FROM short s JOIN ex a ON a.vec_id = s.q_id
+         |               JOIN ex b ON b.vec_id = s.cand_id AND b.pos = a.pos
+         |  GROUP BY s.q_id, s.cand_id),
+         |itop AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) rn FROM rr) WHERE rn <= 10),
+         |bd AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+         |    CAST(SUM((a.x - b.x)*(a.x - b.x)) AS BIGINT) AS dist
+         |  FROM ex a JOIN ex b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10 GROUP BY a.vec_id, b.vec_id),
+         |btop AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) rn FROM bd) WHERE rn <= 10),
+         |hits AS (SELECT b.q_id, COUNT(*) AS n_hit FROM btop b
+         |  JOIN itop i ON i.q_id = b.q_id AND i.cand_id = b.cand_id GROUP BY 1)
+         |SELECT b.q_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM (SELECT DISTINCT q_id FROM btop) b LEFT JOIN hits h ON h.q_id = b.q_id
+         |ORDER BY b.q_id""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)").as("qv"))
+        .transform(graft.CacheScope.cached) // train + assign + encode + truth
+      val sqd = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      // --- coarse quantizer: q142's integer-exact Lloyd, 2 iterations ---
+      def assign(cents: DataFrame): DataFrame =
+        qz.crossJoin(broadcast(cents))
+          .withColumn("dist", expr(sqd.format("qv", "cm")))
+          .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
+          .select($"vec_id", $"mc.c".as("c"))
+      val c0 = qz.filter($"vec_id" < 8).select($"vec_id".as("c"), $"qv".as("cm"))
+      val c1 = qz.join(assign(c0), "vec_id")
+        .select($"c", posexplode($"qv"))
+        .groupBy($"c", $"pos").agg(expr("sum(col) DIV count(1)").as("cm"))
+        .groupBy($"c")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+        .transform(graft.CacheScope.cached) // probes + residuals + assignment
+      val cells = assign(c1).transform(graft.CacheScope.cached)
+      // --- residual PQ encode (4 subspaces x 16 dims, codebook = first 8) ---
+      val rsub = qz.join(cells, "vec_id").join(broadcast(c1), "c")
+        .select($"vec_id", $"c", expr("zip_with(qv, cm, (x, m) -> x - m)").as("rv"))
+        .select($"vec_id", $"c", explode(sequence(lit(0), lit(3))).as("s"), $"rv")
+        .select($"vec_id", $"c", $"s", expr("slice(rv, s*16 + 1, 16)").as("sv"))
+        .transform(graft.CacheScope.cached) // codebook + encode
+      val cb = rsub.filter($"vec_id" < 32)
+        .select($"vec_id".as("cw"), $"s", $"sv".as("cwv"))
+      val codes = rsub.join(broadcast(cb), "s")
+        .withColumn("dist", expr(sqd.format("sv", "cwv")))
+        .groupBy($"vec_id", $"s").agg(min(struct($"dist", $"cw")).as("mc"))
+        .select($"vec_id", $"s", $"mc.cw".as("cw"))
+      // --- query: nprobe=2 cells, ADC table per (query, probed cell) ---
+      val wP = Window.partitionBy($"q_id").orderBy($"dist", $"c")
+      val probes = qz.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"qv".as("qqv"))
+        .crossJoin(broadcast(c1))
+        .withColumn("dist", expr(sqd.format("qqv", "cm")))
+        .withColumn("rn", row_number().over(wP))
+        .filter($"rn" <= 2)
+        .select($"q_id", $"c", expr("zip_with(qqv, cm, (x, m) -> x - m)").as("qrv"))
+        .transform(graft.CacheScope.cached) // ADC tables + candidate postings
+      val dt = probes
+        .select($"q_id", $"c", explode(sequence(lit(0), lit(3))).as("s"), $"qrv")
+        .select($"q_id", $"c", $"s", expr("slice(qrv, s*16 + 1, 16)").as("qsv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qd", expr(sqd.format("qsv", "cwv")))
+        .select($"q_id", $"c", $"s", $"cw", $"qd")
+      val cand = probes.select($"q_id", $"c")
+        .join(cells.select($"vec_id".as("cand_id"), $"c"), "c")
+        .filter($"cand_id" =!= $"q_id")
+      val adc = cand
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(dt), Seq("q_id", "c", "s", "cw"))
+        .groupBy($"q_id", $"cand_id").agg(sum($"qd").as("adist"))
+      val wA = Window.partitionBy($"q_id").orderBy($"adist", $"cand_id")
+      val short = adc.withColumn("rn", row_number().over(wA))
+        .filter($"rn" <= 50).select($"q_id", $"cand_id")
+      // exact re-rank of the ADC shortlist (FAISS-style refine): the index
+      // answers from 4-int codes; only the top-50 shortlist ever touches
+      // full vectors again — 50 exact distances per query, not the corpus
+      val qs = broadcast(qz.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"qv".as("tqv")))
+      val wR = Window.partitionBy($"q_id").orderBy($"dist", $"cand_id")
+      val itop = short
+        .join(qz.select($"vec_id".as("cand_id"), $"qv".as("cqv")), "cand_id")
+        .join(qs, "q_id")
+        .withColumn("dist", expr(sqd.format("tqv", "cqv")))
+        .withColumn("rn", row_number().over(wR))
+        .filter($"rn" <= 10).select($"q_id", $"cand_id")
+      // --- exact integer-L2 truth and end-to-end recall@10 ---
+      val wB = Window.partitionBy($"q_id").orderBy($"dist", $"cand_id")
+      val btop = qs
+        .join(qz.select($"vec_id".as("cand_id"), $"qv".as("cqv")), $"q_id" =!= $"cand_id")
+        .withColumn("dist", expr(sqd.format("tqv", "cqv")))
+        .withColumn("rn", row_number().over(wB))
+        .filter($"rn" <= 10).select($"q_id", $"cand_id")
+      val hits = btop.as("b")
+        .join(itop.as("i"), $"b.q_id" === $"i.q_id" && $"b.cand_id" === $"i.cand_id")
+        .groupBy($"b.q_id".as("q_id")).agg(count(lit(1)).as("n_hit"))
+      btop.select($"q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          (coalesce($"n_hit", lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy($"q_id")
+    },
   )
 }

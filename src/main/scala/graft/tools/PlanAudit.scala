@@ -147,6 +147,11 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q156_ivfpq_ann" -> Seq(
+      "centroids and codebooks broadcast (corpus vectors never shuffle to assign/encode)" -> "BroadcastNestedLoopJoin",
+      "cell/code argmins are aggregations, not window sorts" -> "min(struct(dist",
+      "ADC scoring joins are equi hash joins on fixed-width keys" -> "HashJoin",
+      "no cartesian product anywhere in the index pipeline" -> "!CartesianProduct"),
     "q153_bigram_backoff_lm" -> Seq(
       "bigrams come from one window pass, not a self-join" -> "Window",
       "count joins are equi hash joins" -> "HashJoin",
