@@ -50,6 +50,35 @@ object StreamLog {
 
   val defs: Seq[QueryDef] = Seq(
 
+    q("q158_schema_on_read",
+      // Schema-on-read projection on the log source (SURVEY §1.4): the
+      // payload stays schemaless on the wire (to_string coercion,
+      // /root/reference/lib/stream.ex:15-16), but a consumer that declares
+      // `valueSchema` gets typed, pruned columns parsed straight out of the
+      // payload — no MapType ever materializes in the rows, and unprojected
+      // keys are never touched. The oracle is the original typed table:
+      // to_string round-trips every supported type exactly (Java shortest-
+      // roundtrip double rendering included), so the typed read-back must
+      // hash-match the source rows bit for bit.
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q158") { r =>
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.format("graftlog")
+          .option("path", r).option("stream", "ev")
+          .mode("append").save()
+      }
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("valueSchema",
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .load()
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+
     q("q60_log_roundtrip",
       """SELECT CAST(event_id AS VARCHAR) AS event_id_s,
         |  event_type AS event_type_s,

@@ -47,7 +47,7 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlog"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLogSource.Schema
+    GraftLogSource.schemaFor(options)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -86,6 +86,43 @@ object GraftLogSource {
     // the per-stream maxRows quota would be divided by the wrong count.
     stream(o).split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
 
+  private val ReservedColumns = Set("stream", "id", "ts", "seq", "values")
+
+  /** Schema-on-read projection (`valueSchema` option, a DDL string like
+    * `"n INT, name STRING"`): the payload stays schemaless on the wire —
+    * the reference's to_string contract, /root/reference/lib/stream.ex:15-16
+    * — but a consumer that KNOWS its payload shape reads typed, pruned
+    * columns instead of paying MapType access and per-column string casts.
+    * Only types `to_string` round-trips are legal; anything else must stay
+    * STRING and cast downstream.
+    */
+  def valueSchema(o: CaseInsensitiveStringMap): Option[StructType] =
+    Option(o.get("valueSchema")).map { ddl =>
+      val st = StructType.fromDDL(ddl)
+      st.fields.foreach { f =>
+        require(!ReservedColumns.contains(f.name),
+          s"valueSchema field '${f.name}' collides with a reserved graftlog column")
+        f.dataType match {
+          case StringType | IntegerType | LongType | ShortType | ByteType |
+               DoubleType | FloatType | BooleanType => ()
+          case dt => throw new IllegalArgumentException(
+            s"valueSchema field '${f.name}': type ${dt.simpleString} is not " +
+              "to_string-invertible; declare STRING and cast downstream")
+        }
+      }
+      st
+    }
+
+  /** The table's read schema: metadata columns plus either the schemaless
+    * payload map (default) or the declared typed projection (`valueSchema`).
+    * Typed fields are always nullable — a schemaless producer may omit keys.
+    */
+  def schemaFor(o: CaseInsensitiveStringMap): StructType = valueSchema(o) match {
+    case None => Schema
+    case Some(vs) => StructType(
+      Schema.fields.filterNot(_.name == "values") ++
+        vs.fields.map(_.copy(nullable = true)))
+  }
 }
 
 final class GraftLogTable(options: CaseInsensitiveStringMap)
@@ -101,7 +138,7 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
       s"graftlog writes target exactly one stream, got: ${ss.mkString(",")}")
     ss.head
   }
-  override def schema(): StructType = GraftLogSource.Schema
+  override def schema(): StructType = GraftLogSource.schemaFor(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -136,7 +173,7 @@ final class GraftLogScanBuilder(root: String, options: CaseInsensitiveStringMap)
   private var tsUpperMillis: Option[Long] = None // inclusive, conservative
   private var streamKeep: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftLogSource.Schema
+  private var required: StructType = GraftLogSource.schemaFor(options)
 
   private def toMillisFloor(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(t.getTime)
@@ -477,20 +514,25 @@ final class GraftLogReaderFactory(dropTombstones: Boolean,
     val streamName = UTF8String.fromString(p.stream)
     // column pruning: one extractor per required field, bound once per
     // partition — a scan that doesn't select `values` never materializes
-    // the payload map into rows
-    val extractors: Array[LogEntry => Any] = required.fieldNames.map {
-      case "stream" => (_: LogEntry) => streamName
-      case "id" => (e: LogEntry) => UTF8String.fromString(e.id.toString)
-      case "ts" => (e: LogEntry) => e.id.millis * 1000L // epoch micros
-      case "seq" => (e: LogEntry) => e.id.seq
-      case "values" => (e: LogEntry) => {
-        val keys = e.values.keys.toArray[Any]
-          .map(k => UTF8String.fromString(k.asInstanceOf[String]))
-        val vals = e.values.values.toArray[Any]
-          .map(v => UTF8String.fromString(v.asInstanceOf[String]))
-        ArrayBasedMapData(keys, vals)
+    // the payload map into rows, and under `valueSchema` each typed column
+    // is parsed straight out of the payload (to_string inverse), so a
+    // projected read touches only its declared keys and no MapData exists
+    // anywhere in the row
+    val extractors: Array[LogEntry => Any] = required.fields.map { f =>
+      f.name match {
+        case "stream" => (_: LogEntry) => streamName
+        case "id" => (e: LogEntry) => UTF8String.fromString(e.id.toString)
+        case "ts" => (e: LogEntry) => e.id.millis * 1000L // epoch micros
+        case "seq" => (e: LogEntry) => e.id.seq
+        case "values" => (e: LogEntry) => {
+          val keys = e.values.keys.toArray[Any]
+            .map(k => UTF8String.fromString(k.asInstanceOf[String]))
+          val vals = e.values.values.toArray[Any]
+            .map(v => UTF8String.fromString(v.asInstanceOf[String]))
+          ArrayBasedMapData(keys, vals)
+        }
+        case key => GraftLogReaderFactory.typedExtractor(key, f.dataType)
       }
-      case other => throw new IllegalArgumentException(s"unknown column: $other")
     }
     // If a planned segment was compacted away between planning and read,
     // fall back to a range scan over the live segment set — ids are stable
@@ -514,6 +556,41 @@ final class GraftLogReaderFactory(dropTombstones: Boolean,
       override def get(): InternalRow =
         new GenericInternalRow(extractors.map(_(current)))
       override def close(): Unit = ()
+    }
+  }
+}
+
+object GraftLogReaderFactory {
+  /** Typed payload extractor for a `valueSchema` column: the exact inverse
+    * of the write-side to_string coercion. Missing key → null; empty string
+    * → null for non-string types (the writer renders null as ""); a value
+    * that does not parse as the declared type fails LOUDLY with the entry
+    * id — silently nulling would hide producer/schema drift.
+    */
+  private[sources] def typedExtractor(key: String,
+      dt: org.apache.spark.sql.types.DataType): LogEntry => Any = {
+    val parse: String => Any = dt match {
+      case StringType => s => UTF8String.fromString(s)
+      case IntegerType => s => java.lang.Integer.valueOf(s.trim.toInt)
+      case LongType => s => java.lang.Long.valueOf(s.trim.toLong)
+      case ShortType => s => java.lang.Short.valueOf(s.trim.toShort)
+      case ByteType => s => java.lang.Byte.valueOf(s.trim.toByte)
+      case DoubleType => s => java.lang.Double.valueOf(s.trim.toDouble)
+      case FloatType => s => java.lang.Float.valueOf(s.trim.toFloat)
+      case BooleanType => s => java.lang.Boolean.valueOf(s.trim.toBoolean)
+      case other => throw new IllegalArgumentException(
+        s"valueSchema type ${other.simpleString} unsupported for '$key'")
+    }
+    (e: LogEntry) => e.values.get(key) match {
+      case None => null
+      case Some("") if dt != StringType => null
+      case Some(s) =>
+        try parse(s)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"graftlog valueSchema: payload key '$key' of entry ${e.id} " +
+              s"holds '$s', which does not parse as ${dt.simpleString}")
+        }
     }
   }
 }
