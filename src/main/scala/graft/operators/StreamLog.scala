@@ -310,6 +310,67 @@ object StreamLog {
         .orderBy($"event_type", $"bucket")
     },
 
+    q("q159_consumer_lag",
+      // Stream introspection / consumer lag (XLEN + XINFO GROUPS analog,
+      // [[StreamInspect]]): two groups drain the event-time log to
+      // different positions — gA all the way, gB exactly one admission-
+      // controlled micro-batch of total/2 entries — and the operator
+      // reports each group's committed id, the stream high-water, and the
+      // lag. Ids are event-time-derived (same log as q131), so both the
+      // committed ids and the lag are stated exactly over the batch events
+      // table: the id at position k is (ms of the bucket containing k,
+      // k - entries_before_bucket - 1).
+      """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+        |k AS (SELECT total // 2 AS half FROM n),
+        |b AS (SELECT ms, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY ms),
+        |w AS (SELECT ms, c, SUM(c) OVER (ORDER BY ms) AS cum FROM b),
+        |halfid AS (SELECT ms || '-' || CAST(kk.half - (w.cum - w.c) - 1 AS BIGINT) AS id
+        |           FROM w, k kk WHERE w.cum >= kk.half AND w.cum - w.c < kk.half),
+        |hwid AS (SELECT ms || '-' || CAST(c - 1 AS BIGINT) AS id
+        |         FROM w, n WHERE cum = total)
+        |SELECT 'gA' AS grp, 'ev' AS stream,
+        |  (SELECT id FROM hwid) AS committed_id,
+        |  (SELECT id FROM hwid) AS high_water, CAST(0 AS BIGINT) AS lag
+        |UNION ALL
+        |SELECT 'gB', 'ev', (SELECT id FROM halfid), (SELECT id FROM hwid),
+        |  (SELECT total - kk.half FROM n, k kk)
+        |ORDER BY grp""") { (s, dir) =>
+      import s.implicits._
+      val root = eventTimeLog(s, dir)
+      val total = Tables.load(s, dir, "events").count()
+      val src = s.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+      // gA: full drain (its committed offset IS the high water)
+      val ckptA = graft.TempDirs.scratch("graft-q159-gA")
+      val qA = src.load().writeStream.format("noop")
+        .option("checkpointLocation", ckptA)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { qA.awaitTermination(120000) } finally qA.stop()
+      // gB: exactly ONE admission-controlled batch of total/2 entries —
+      // a long processing-time trigger fires the first batch immediately
+      // and the second in an hour; stop as soon as batch 0 commits
+      val ckptB = graft.TempDirs.scratch("graft-q159-gB")
+      val qB = src.option("maxEntriesPerTrigger", (total / 2).toString)
+        .load().writeStream.format("noop")
+        .option("checkpointLocation", ckptB)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"))
+        .start()
+      try {
+        val commit0 = java.nio.file.Paths.get(ckptB, "commits", "0")
+        val deadline = System.currentTimeMillis() + 120000
+        while (!java.nio.file.Files.exists(commit0) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+        require(java.nio.file.Files.exists(commit0),
+          "q159: gB's first micro-batch did not commit within 120s")
+      } finally qB.stop()
+      StreamInspect.groupLag(s, root, Seq("ev"),
+          Seq(("gA", ckptA), ("gB", ckptB)))
+        .orderBy($"grp")
+    },
+
     q("q131_replay_from_time",
       // Time-based replay THROUGH the engine (startingTimestamp, §2A#12's
       // explicit-position start expressed as a timestamp): the log is

@@ -147,6 +147,10 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q159_consumer_lag" -> Seq(
+      "committed-offset table broadcast over the distributed log scan" -> "BroadcastHashJoin",
+      "lag count partial-aggregates before the group shuffle" -> "partial_count",
+      "no cartesian product in the lag pipeline" -> "!CartesianProduct"),
     "q158_schema_on_read" -> Seq(
       "typed pruned projection reaches the log scan (4 payload columns only)" -> "Output [4]: [event_id",
       "no schemaless values map anywhere in the plan" -> "!values#",

@@ -634,6 +634,37 @@ class LogSourceSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
   }
 
+  test("streamInfo reports entry counts and high water; tombstones excluded") {
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 1000L
+    val w = new LogWriter(root, "a", () => now)
+    w.produceTombstone() // MKSTREAM-style placeholder must not count
+    (1 to 5).foreach { i => now += 10; w.produce(Map("i" -> i)) }
+    val w2 = new LogWriter(root, "b", () => 5000L)
+    w2.produceAll((1 to 3).map(i => Map[String, Any]("i" -> i)))
+    val rows = graft.operators.StreamInspect.streamInfo(spark, root, Seq("a", "b"))
+      .orderBy("stream").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("b", 3L)))
+    assert(rows(0).getAs[String]("first_id") == "1010-0")
+    assert(rows(0).getAs[String]("high_water") == "1050-0")
+    assert(rows(1).getAs[String]("high_water") == "5000-2")
+  }
+
+  test("groupLag: uncommitted group lags the whole stream from 0-0") {
+    val root = TestSpark.tmpDir("graftlog")
+    val w = new LogWriter(root, "s", () => 2000L)
+    w.produceAll((1 to 7).map(i => Map[String, Any]("i" -> i)))
+    val ckpt = TestSpark.tmpDir("ckpt") // no commits yet
+    val rows = graft.operators.StreamInspect
+      .groupLag(spark, root, Seq("s"), Seq(("g0", ckpt))).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("committed_id") == "0-0")
+    assert(r.getAs[String]("high_water") == "2000-6")
+    assert(r.getAs[Long]("lag") == 7L)
+  }
+
   test("valueSchema reads typed columns; missing keys and blanks are null") {
     val root = TestSpark.tmpDir("graftlog")
     val w = new LogWriter(root, "s")
