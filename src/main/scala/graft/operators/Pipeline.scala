@@ -527,6 +527,60 @@ object Pipeline {
         .orderBy($"split", $"lang")
     },
 
+    q("q157_streaming_curation",
+      // The curation pipeline RUNNING CONTINUOUSLY through the engine —
+      // q133's batch release job restated as one streaming query over the
+      // log: documents stream in (typed via q158's valueSchema read),
+      // duplicates are dropped in bounded state
+      // (dropDuplicatesWithinWatermark keyed on (lang, text-hash) — state
+      // lives only for the watermark horizon, the 100 TB requirement), the
+      // integer-exact quality gates run map-side on the survivors, the
+      // leakage-safe split keys on the DEDUP KEY itself (every duplicate of
+      // a text shares its hash, so whichever copy survives, its split is
+      // identical — no leakage across train/val/test by construction), and
+      // the per-(split, lang) dataset card aggregates in complete mode.
+      // The oracle is the batch twin stated over the same documents: one
+      // row per distinct (lang, text), same gates, same split function.
+      // Event time = produce time (ids' ms prefixes are doc_id-derived),
+      // arrival is id-ordered, so the late-drop guard stays on and proves
+      // nothing was silently dropped at the watermark.
+      s"""WITH d AS (SELECT lang, text FROM documents GROUP BY lang, text),
+         |t AS (SELECT lang, md5(text) AS h, string_split(text,' ') w FROM d),
+         |m AS (SELECT lang, h, ${qualityMetricsDuck("w").mkString(", ")} FROM t),
+         |k AS (SELECT lang, h, n_words FROM m WHERE $QualityKeep),
+         |s AS (SELECT lang, n_words, ${splitCaseDuck("h")} AS split FROM k)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q157") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "documents")
+            .select((lit(1700000000000L) + $"doc_id").as("ms"),
+              $"doc_id", $"lang", $"text"),
+          "ms", r, "docs", orderCols = Seq("doc_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q157", 4, mode = "complete") {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "docs")
+          .option("valueSchema", "doc_id BIGINT, lang STRING, text STRING")
+          .option("startingOffsets", "earliest")
+          // 2 batches at bench scale: dedup state must survive a batch
+          // boundary, not just a single drain
+          .option("maxEntriesPerTrigger", "3000")
+          .load()
+          .select($"ts", $"lang", md5($"text".cast("binary")).as("h"), $"text")
+        graft.streaming.StreamingOps
+          .dedupWithinWatermark(src, "ts", "30 days", "lang", "h")
+          .withColumn("w", split($"text", " "))
+          .selectExpr(Seq("lang", "h") ++ qualityMetricsSpark("w"): _*)
+          .filter(expr(QualityKeep))
+          .selectExpr(s"${splitCaseSpark("h")} AS split", "lang", "n_words")
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("sum_tokens"))
+      }.orderBy($"split", $"lang")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents
