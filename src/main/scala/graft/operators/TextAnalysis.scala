@@ -40,7 +40,86 @@ object TextAnalysis {
       |     WHEN s_fr >= s_de THEN 'fr'
       |     ELSE 'de' END""".stripMargin
 
+  /** Fixture subword vocabulary for q160 (BPE-style merges a real tokenizer
+    * would learn: common English affixes and digraphs), grouped by unit
+    * length for the greedy longest-match ladder. Any character not starting
+    * a vocab unit falls back to a single-character token — the standard
+    * byte-fallback contract.
+    */
+  private val subwordVocab: Map[Int, Seq[String]] = Map(
+    4 -> Seq("tion", "ment", "ther", "ight", "ound", "ough"),
+    3 -> Seq("ing", "ion", "ent", "ati", "ter", "est", "ers", "and",
+      "the", "for", "ere", "his", "ith", "ver"),
+    2 -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+      "ti", "es", "or", "te", "ed", "is", "it", "al", "ar", "st",
+      "to", "nt", "ha", "ou", "le", "se"))
+
+  private def vocabIn(len: Int): String =
+    subwordVocab(len).map(v => s"'$v'").mkString(", ")
+
+  /** Greedy longest-match step length at position `i` of `w` — identical
+    * text in both dialects (substring is 1-based in both; a tail shorter
+    * than the probe never equals a full-width vocab unit).
+    */
+  private def stepCase(w: String, i: String): String =
+    s"""CASE WHEN substring($w, $i, 4) IN (${vocabIn(4)}) THEN 4
+       |     WHEN substring($w, $i, 3) IN (${vocabIn(3)}) THEN 3
+       |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
+       |     ELSE 1 END""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q160_subword_tokens",
+      // Subword tokenization — how an LLM pipeline actually budgets tokens
+      // (q49's whitespace count approximates length, not cost): greedy
+      // longest-match against the fixture vocabulary, single-char fallback.
+      // The tokenizer runs once per DISTINCT word (the corpus-scale plan:
+      // distinct words are a dictionary, orders of magnitude smaller than
+      // the token stream; per-doc totals come from an equi join of per-doc
+      // word counts against that dictionary). Spark folds the match loop
+      // into one codegen'd `aggregate` over character positions; DuckDB
+      // states the same walk as a recursive CTE. cpt_micro is the
+      // integer-exact chars-per-token (x1e6, DIV) — no float division.
+      s"""WITH RECURSIVE dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY doc_id, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |tok AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCase("word", "CAST(i AS INT)")}, n + 1
+         |  FROM tok WHERE i <= len(word)),
+         |tc AS (SELECT word, MAX(n) AS n_tok FROM tok GROUP BY word)
+         |SELECT wc.doc_id,
+         |  CAST(SUM(wc.cnt * tc.n_tok) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(wc.cnt * len(wc.word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(wc.cnt * len(wc.word)) * 1000000 AS BIGINT)
+         |    // CAST(SUM(wc.cnt * tc.n_tok) AS BIGINT) AS cpt_micro
+         |FROM wc JOIN tc ON wc.word = tc.word
+         |GROUP BY wc.doc_id ORDER BY wc.doc_id""") { (s, dir) =>
+      import s.implicits._
+      val wc = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached) // dictionary + per-doc totals
+      val tc = wc.select($"word").distinct()
+        .withColumn("n_tok", expr(
+          s"""aggregate(sequence(1, length(word)),
+             |  named_struct('i', 1, 'n', CAST(0 AS BIGINT)),
+             |  (acc, p) -> IF(p <> acc.i, acc, named_struct(
+             |    'i', acc.i + ${stepCase("word", "acc.i")},
+             |    'n', acc.n + CAST(1 AS BIGINT))),
+             |  acc -> acc.n)""".stripMargin))
+      wc.join(tc, "word")
+        .groupBy($"doc_id")
+        .agg(sum($"cnt" * $"n_tok").as("n_subwords"),
+          sum($"cnt" * length($"word")).as("n_chars"))
+        .select($"doc_id", $"n_subwords", $"n_chars",
+          expr("(n_chars * 1000000) DIV n_subwords").as("cpt_micro"))
+        .orderBy($"doc_id")
+    },
 
     q("q47_text_langid",
       s"""WITH words AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),

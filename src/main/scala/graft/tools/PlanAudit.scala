@@ -147,6 +147,11 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q160_subword_tokens" -> Seq(
+      "dictionary join is an equi hash join (tokenizer runs once per distinct word)" -> "HashJoin",
+      "per-doc totals partial-aggregate before the shuffle" -> "partial_sum",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "no cartesian product in the tokenizer pipeline" -> "!CartesianProduct"),
     "q159_consumer_lag" -> Seq(
       "committed-offset table broadcast over the distributed log scan" -> "BroadcastHashJoin",
       "lag count partial-aggregates before the group shuffle" -> "partial_count",
