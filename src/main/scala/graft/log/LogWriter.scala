@@ -265,8 +265,9 @@ object LogWriter {
       } finally ch.close()
     }
 
-  // Shared pool for fanning out chunked segment writes (encode + IO bound).
-  private[log] lazy val writeEc: scala.concurrent.ExecutionContext =
+  // Shared pool for fanning out chunked segment writes (encode + IO bound)
+  // and parallel per-shard commits of sharded sink writes.
+  private[graft] lazy val writeEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         math.min(8, Runtime.getRuntime.availableProcessors()),

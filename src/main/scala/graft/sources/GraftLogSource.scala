@@ -86,6 +86,43 @@ object GraftLogSource {
     // the per-stream maxRows quota would be divided by the wrong count.
     stream(o).split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
 
+  /** Sharding of one LOGICAL stream over N physical streams
+    * (`<name>.s<k>`): the id contract (`"<millis>-<seq>"`, one dense
+    * sequence — /root/reference/lib/stream.ex:21-23) holds PER SHARD, so
+    * each shard keeps its own sequencer and writer lock and N concurrent
+    * commits proceed without serializing on one stream — the write-scale
+    * answer to the one-commit-point-per-stream ceiling. Reads fan the
+    * shards back in through the existing multi-stream machinery (per-shard
+    * offsets, per-shard in-order delivery; global order across shards is
+    * intentionally not promised, exactly like partitioned Kafka topics).
+    */
+  def shards(o: CaseInsensitiveStringMap): Int = {
+    val n = o.getInt("shards", 1)
+    require(n >= 1 && n <= 4096, s"shards must be in [1, 4096], got $n")
+    n
+  }
+
+  def shardName(stream: String, k: Int): String = s"$stream.s$k"
+
+  def shardNames(stream: String, n: Int): Seq[String] =
+    (0 until n).map(shardName(stream, _))
+
+  /** The physical streams a READ scans: the declared list, expanded to
+    * shard names when `shards` is set. Writes do their own fan-out.
+    */
+  def readStreams(o: CaseInsensitiveStringMap): Seq[String] = {
+    val base = streams(o)
+    val n = shards(o)
+    if (n <= 1) base else base.flatMap(st => shardNames(st, n))
+  }
+
+  /** Deterministic key→shard routing (MurmurHash3 over the to_string-coerced
+    * key): stable across JVMs, runs, and writers — a key's entries always
+    * land on one shard, preserving per-key order.
+    */
+  def shardOf(key: String, n: Int): Int =
+    java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c), n)
+
   private val ReservedColumns = Set("stream", "id", "ts", "seq", "values")
 
   /** Schema-on-read projection (`valueSchema` option, a DDL string like
@@ -151,7 +188,8 @@ final class GraftLogTable(options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(root, singleWriteStream, info.schema(), info.queryId(),
       Option(options.get("tsColumn")), options.getInt("maxSegmentEntries", 10000),
-      options.getLong("stagingTtlMs", GraftLogWritePath.DefaultStagingTtlMs))
+      options.getLong("stagingTtlMs", GraftLogWritePath.DefaultStagingTtlMs),
+      GraftLogSource.shards(options), Option(options.get("shardKey")))
 }
 
 /** Scan builder with filter pushdown and column pruning — the file-level
@@ -233,7 +271,7 @@ final class GraftLogScan(root: String, options: CaseInsensitiveStringMap,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val sts = GraftLogSource.streams(options)
+      val sts = GraftLogSource.readStreams(options)
         .filter(st => streamKeep.forall(_.contains(st)))
       sts.toArray.flatMap { st =>
         // exclusive start just below the lower-bound millisecond; inclusive
@@ -308,7 +346,7 @@ final class GraftLogMicroBatchStream(root: String, stream: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private val streams: Seq[String] = GraftLogSource.streams(options)
+  private val streams: Seq[String] = GraftLogSource.readStreams(options)
 
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxEntriesPerTrigger")).map { s =>
@@ -602,8 +640,25 @@ object GraftLogReaderFactory {
 final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType,
     queryId: String, tsColumn: Option[String] = None,
     segmentEntries: Int = 10000,
-    stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs) extends WriteBuilder {
+    stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs,
+    shardCount: Int = 1, shardKey: Option[String] = None) extends WriteBuilder {
   override def build(): Write = tsColumn match {
+    case None if shardCount > 1 =>
+      // sharded logical stream: N independent sequencers, one per shard
+      val key = shardKey.getOrElse(throw new IllegalArgumentException(
+        "sharded graftlog writes require option 'shardKey' (the routing column)"))
+      require(schema.fieldNames.contains(key),
+        s"shardKey '$key' not in write schema ${schema.fieldNames.mkString(",")}")
+      GraftLogSource.shardNames(stream, shardCount)
+        .foreach(LogStore.ensureStream(root, _))
+      new Write {
+        override def toBatch: BatchWrite =
+          new GraftLogShardedBatchWrite(root, stream, schema, segmentEntries,
+            queryId, stagingTtlMs, shardCount, key)
+        override def toStreaming: StreamingWrite =
+          new GraftLogShardedStreamingWrite(root, stream, schema, queryId,
+            segmentEntries, stagingTtlMs, shardCount, key)
+      }
     case None =>
       // driver-side DDL + name validation BEFORE tasks stage files
       LogStore.ensureStream(root, stream)
@@ -614,6 +669,9 @@ final class GraftLogWriteBuilder(root: String, stream: String, schema: StructTyp
           new GraftLogStreamingWrite(root, stream, schema, queryId, segmentEntries, stagingTtlMs)
       }
     case Some(tsCol) =>
+      require(shardCount == 1,
+        "tsColumn bulk writes do not shard (ids are data-derived; write each " +
+          "shard's slice as its own bulk job instead)")
       require(schema.fieldNames.contains(tsCol),
         s"tsColumn '$tsCol' not in write schema ${schema.fieldNames.mkString(",")}")
       schema(tsCol).dataType match {
@@ -748,6 +806,12 @@ final class GraftLogBulkDataWriter(root: String, stream: String,
 final case class GraftLogStagedCommit(partitionId: Int,
     files: Seq[(String, Long)]) extends WriterCommitMessage
 
+/** Staged-file manifest of a sharded-sink task: per shard index, the staged
+  * `.vjsonl` files (path, entry count) in write order.
+  */
+final case class GraftLogShardedCommit(partitionId: Int,
+    shards: Map[Int, Seq[(String, Long)]]) extends WriterCommitMessage
+
 /** Count-only ack for writes whose tasks publish segments themselves
   * (the tsColumn bulk path).
   */
@@ -854,13 +918,44 @@ object GraftLogWritePath {
     }
   }
 
+  /** Sharded-sink commit: one [[commitAll]]-shaped publish PER SHARD, run
+    * concurrently — each shard has its own writer lock and id sequencer, so
+    * the N commits never serialize on one stream. Commit cost per shard is
+    * O(#files of that shard); the logical stream's write ceiling scales
+    * with the shard count.
+    */
+  def commitAllSharded(root: String, stream: String, shardCount: Int,
+      messages: Array[WriterCommitMessage],
+      queryId: String = "", stagingTtlMs: Long = DefaultStagingTtlMs): Unit = {
+    val cms = messages.iterator
+      .collect { case m: GraftLogShardedCommit => m }
+      .toSeq.sortBy(_.partitionId)
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = graft.log.LogWriter.writeEc
+    val perShard = (0 until shardCount).map { k =>
+      Future {
+        val shardStream = GraftLogSource.shardName(stream, k)
+        val staged = cms.flatMap(_.shards.getOrElse(k, Nil))
+          .map { case (p, c) => (java.nio.file.Paths.get(p), c) }
+        new LogWriter(root, shardStream, autoCompactSegments = 64)
+          .publishStagedValues(staged)
+        sweepStaleStaging(root, shardStream, queryId, stagingTtlMs)
+      }
+    }
+    Await.result(Future.sequence(perShard), 10.minutes)
+  }
+
   /** Best-effort cleanup of staged files on job abort / duplicate epoch. */
   def dropStaged(messages: Array[WriterCommitMessage]): Unit =
-    messages.iterator.collect { case m: GraftLogStagedCommit => m }
-      .flatMap(_.files).foreach { case (p, _) =>
-        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
-        catch { case _: java.io.IOException => () }
-      }
+    messages.iterator.flatMap {
+      case m: GraftLogStagedCommit => m.files.iterator.map(_._1)
+      case m: GraftLogShardedCommit => m.shards.valuesIterator.flatten.map(_._1)
+      case _ => Iterator.empty
+    }.foreach { p =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      catch { case _: java.io.IOException => () }
+    }
 }
 
 /** Executor-side append writer: encodes each row's payload into staged
@@ -961,10 +1056,126 @@ final class GraftLogStreamingWrite(root: String, stream: String, schema: StructT
     java.nio.file.Files.createDirectories(epochs)
     val marker = epochs.resolve(epochId.toString)
     if (!java.nio.file.Files.exists(marker)) {
-      GraftLogWritePath.commitAll(root, stream, messages)
+      GraftLogWritePath.commitAll(root, stream, messages, queryId, stagingTtlMs)
       java.nio.file.Files.createFile(marker)
     } else GraftLogWritePath.dropStaged(messages) // duplicate epoch: drop, don't leak
 
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.dropStaged(messages)
+}
+
+/** Executor-side writer for a SHARDED logical stream: each row is routed by
+  * the deterministic key hash to one of `shardCount` physical shards and
+  * staged into that shard's `.staging` dir — the same values-only segment
+  * bytes as the unsharded path, times N independent commit points.
+  */
+final class GraftLogShardedDataWriter(root: String, stream: String,
+    schema: StructType, partitionId: Int, maxSegmentEntries: Int,
+    queryId: String, shardCount: Int, keyName: String)
+    extends DataWriter[InternalRow] {
+  import java.nio.file.{Files, Path, Paths}
+  private val stagingDirs: Array[Path] = Array.tabulate(shardCount) { k =>
+    val d = LogStore.streamDir(root, GraftLogSource.shardName(stream, k))
+      .resolve(".staging")
+    Files.createDirectories(d)
+    d
+  }
+  private val files =
+    Array.fill(shardCount)(scala.collection.mutable.ArrayBuffer.empty[(String, Long)])
+  private val out = new Array[java.io.Writer](shardCount)
+  private val current = new Array[Path](shardCount)
+  private val counts = new Array[Long](shardCount)
+
+  private def roll(k: Int): Unit = if (out(k) != null) {
+    out(k).close(); out(k) = null
+    files(k) += ((current(k).toString, counts(k)))
+    current(k) = null
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val payload = GraftLogWritePath.toPayload(schema, record)
+    val k = GraftLogSource.shardOf(payload.getOrElse(keyName, ""), shardCount)
+    if (out(k) == null) {
+      current(k) = stagingDirs(k).resolve(
+        s"${GraftLogWritePath.stagingPrefix(queryId)}${java.util.UUID.randomUUID()}.vjsonl")
+      out(k) = Files.newBufferedWriter(current(k), java.nio.charset.StandardCharsets.UTF_8)
+      counts(k) = 0L
+    }
+    out(k).write(LogStore.encodeValuesLine(payload))
+    out(k).write('\n')
+    counts(k) += 1
+    if (counts(k) >= maxSegmentEntries) roll(k)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    (0 until shardCount).foreach(roll)
+    GraftLogShardedCommit(partitionId,
+      (0 until shardCount).iterator
+        .map(k => k -> files(k).toSeq).filter(_._2.nonEmpty).toMap)
+  }
+
+  override def abort(): Unit = {
+    (0 until shardCount).foreach { k =>
+      if (out(k) != null) { out(k).close(); out(k) = null }
+    }
+    (files.iterator.flatMap(_.iterator.map(_._1)) ++
+      current.iterator.filter(_ != null).map(_.toString))
+      .foreach(p => try Files.deleteIfExists(Paths.get(p))
+        catch { case _: java.io.IOException => () })
+  }
+
+  override def close(): Unit = ()
+}
+
+final case class GraftLogShardedWriterFactory(root: String, stream: String,
+    schema: StructType, maxSegmentEntries: Int, queryId: String,
+    shardCount: Int, keyName: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogShardedDataWriter(root, stream, schema, partitionId,
+      maxSegmentEntries, queryId, shardCount, keyName)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftLogShardedDataWriter(root, stream, schema, partitionId,
+      maxSegmentEntries, queryId, shardCount, keyName)
+}
+
+final class GraftLogShardedBatchWrite(root: String, stream: String,
+    schema: StructType, maxSegmentEntries: Int, queryId: String,
+    stagingTtlMs: Long, shardCount: Int, keyName: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftLogShardedWriterFactory(root, stream, schema, maxSegmentEntries,
+      queryId, shardCount, keyName)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.commitAllSharded(root, stream, shardCount, messages,
+      queryId, stagingTtlMs)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogWritePath.dropStaged(messages)
+}
+
+/** Sharded streaming append; epoch-idempotence markers live under shard 0
+  * (one marker guards the WHOLE epoch — commitAllSharded either ran or
+  * did not; a crash mid-commit replays the epoch, at-least-once like every
+  * produce path).
+  */
+final class GraftLogShardedStreamingWrite(root: String, stream: String,
+    schema: StructType, queryId: String, maxSegmentEntries: Int,
+    stagingTtlMs: Long, shardCount: Int, keyName: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftLogShardedWriterFactory(root, stream, schema, maxSegmentEntries,
+      queryId, shardCount, keyName)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = LogStore.streamDir(root, GraftLogSource.shardName(stream, 0))
+    val epochs = dir.resolve("_epochs").resolve(queryId)
+    java.nio.file.Files.createDirectories(epochs)
+    val marker = epochs.resolve(epochId.toString)
+    if (!java.nio.file.Files.exists(marker)) {
+      GraftLogWritePath.commitAllSharded(root, stream, shardCount, messages,
+        queryId, stagingTtlMs)
+      java.nio.file.Files.createFile(marker)
+    } else GraftLogWritePath.dropStaged(messages)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

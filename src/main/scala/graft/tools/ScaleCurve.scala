@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scaling-curve bench: runs ten headline BATCH operators at sf0.1 and at a
+  * synthetic 10x row-count scale-up of the tables they touch, and reports
+  * per-query scaling exponents (exp = log10(t10x / t1x); 1.0 = perfectly
+  * linear, < 1 = fixed costs still amortizing, > 1.3 = something
+  * super-linear hides in the plan). This is the direct measurement behind
+  * the "survives 100x" claims PLANS.md argues structurally.
+  *
+  * The scale-up preserves each operator's semantic shape instead of naively
+  * duplicating rows:
+  *  - lineitem/orders: 10 copies with key offsets (order keys and customer
+  *    keys shift per copy, so group sizes and join fan-outs stay constant);
+  *  - documents: 10 copies with doc_id offsets AND a per-copy word prefix —
+  *    duplicating text verbatim would hand the dedup family 10-member dup
+  *    groups everywhere (a quadratic artifact of the synthesis, not of the
+  *    plan); prefixing every word decorrelates copies while keeping the
+  *    WITHIN-copy duplicate rate identical to the source corpus;
+  *  - embeddings: 10 copies with vec_id offsets; the fixed probe/plane/seed
+  *    vectors (vec_id < k, or 100..105) exist only in copy 0, so broadcast
+  *    side sizes stay constant and only the corpus side grows.
+  */
+object ScaleCurve {
+
+  /** Ten headline batch operators, chosen to cover the shuffle profiles:
+    * full-scan agg, pushdown filter, window, top-k, hash-window dedup,
+    * map-side scoring, ppjoin candidate generation, dictionary join,
+    * map-side quantization, LSH-bucketed clustering.
+    */
+  val Queries: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q18_window_topk",
+    "q23_top20", "q40_dedup_exact", "q47_text_langid",
+    "q92_dedup_jaccard_prefix", "q160_subword_tokens",
+    "q97_embedding_quantize", "q141_semantic_dedup")
+
+  private val KeyOffset = 1000000000000L // far above any fixture key
+
+  private def copies(spark: SparkSession, base: DataFrame, factor: Int)
+      (shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(c => shift(base, c)).reduce(_ unionAll _)
+
+  /** Materialize the scaled tables under `out` with the fixture layout
+    * (`<name>.parquet`), so `graft.Tables.load(out, name)` serves them.
+    */
+  def buildScaled(spark: SparkSession, baseDir: String, out: String,
+      factor: Int): Unit = {
+    def read(name: String): DataFrame = graft.Tables.load(spark, baseDir, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    write(copies(spark, read("lineitem"), factor) { (df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyOffset))
+    }, "lineitem")
+    write(copies(spark, read("orders"), factor) { (df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyOffset))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * KeyOffset))
+    }, "orders")
+    write(copies(spark, read("documents"), factor) { (df, c) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(c * KeyOffset))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"c${c}_"), w)), " "))
+    }, "documents")
+    write(copies(spark, read("embeddings"), factor) { (df, c) =>
+      df.withColumn("vec_id", col("vec_id") + lit(c * KeyOffset))
+    }, "embeddings")
+  }
+
+  private def time(fn: => Long): Double = {
+    val t0 = System.nanoTime()
+    fn
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = graft.TempDirs.scratch("graft-scalecurve")
+    buildScaled(spark, baseDir, scaledDir, factor)
+
+    // warm-up (codegen, parquet readers), same discipline as Bench
+    try graft.SparkEntry.queries("q01_pricing_summary")(spark, baseDir).count()
+    catch { case _: Throwable => () }
+
+    def best2(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val ts = (1 to 2).map(_ => time(fn(spark, dir).count()))
+      graft.CacheScope.release()
+      ts.min
+    }
+
+    val rows = Queries.map { name =>
+      val t1 = best2(name, baseDir)
+      val tN = best2(name, scaledDir)
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      (name, t1, tN, exp)
+    }
+    val json = rows.map { case (n, t1, tN, e) =>
+      f""""$n":{"t1":$t1%.3f,"t$factor":$tN%.3f,"exp":$e%.2f}"""
+    }.mkString(s"""{"metric":"scale_curve","factor":$factor,"base":"$baseDir","queries":{""", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir"), "SCALE_CURVE.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -14,7 +14,7 @@ class BenchSpec extends AnyFunSuite {
   private val results: Map[String, Double] =
     SparkEntry.queries.keySet.map(_ -> 9999.999).toMap
   private val line = Bench.headlineLine(results, 99999999L, 99999999L,
-    99999999L, "/root/testdata/sf0.1", "/root/repo/BENCH_DETAIL.json")
+    99999999L, 99999999L, "/root/testdata/sf0.1", "/root/repo/BENCH_DETAIL.json")
 
   test("headline stdout line stays within the driver's tail budget") {
     assert(line.length < 1500,
@@ -22,7 +22,7 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("headline and detail lines are valid single-line JSON with the contract keys") {
-    for (l <- Seq(line, Bench.detailLine(results, 1L, 1L, 1L, "/sf"))) {
+    for (l <- Seq(line, Bench.detailLine(results, 1L, 1L, 1L, 1L, "/sf"))) {
       assert(!l.contains("\n"))
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
       assert(node.get("metric").asText() == "total")

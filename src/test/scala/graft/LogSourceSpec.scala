@@ -634,6 +634,78 @@ class LogSourceSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
   }
 
+  test("sharded write: union of shards equals unsharded content, keys pinned to shards") {
+    val root = TestSpark.tmpDir("graftlog")
+    val df = spark.range(1000).selectExpr(
+      "CAST(id % 37 AS STRING) AS k", "CAST(id AS STRING) AS n")
+    df.write.format("graftlog").option("path", root).option("stream", "s")
+      .option("shards", "4").option("shardKey", "k").mode("append").save()
+    // fan-in read sees every row exactly once (PARITY with unsharded content)
+    val got = spark.read.format("graftlog")
+      .option("path", root).option("stream", "s").option("shards", "4")
+      .load().selectExpr("values['n'] AS n")
+      .collect().map(_.getString(0).toInt).sorted
+    assert(got.toSeq == (0 until 1000), "sharded union diverges from input")
+    // per-shard ids are dense + unique; every key sits on its routed shard
+    val perShard = (0 until 4).map { k =>
+      val st = graft.sources.GraftLogSource.shardName("s", k)
+      val es = LogStore.readRange(root, st, LogId.Zero, LogStore.maxId(root, st))
+      assert(es.map(_.id).distinct.size == es.size, s"duplicate ids on shard $k")
+      k -> es
+    }
+    assert(perShard.map(_._2.size).sum == 1000)
+    assert(perShard.count(_._2.nonEmpty) == 4, "a shard stayed empty (bad spread)")
+    perShard.foreach { case (k, es) =>
+      es.foreach { e =>
+        assert(graft.sources.GraftLogSource.shardOf(e.values("k"), 4) == k,
+          s"key ${e.values("k")} landed on shard $k, not its routed shard")
+      }
+    }
+    // a second append routes identically (cross-writer determinism) and
+    // each shard's sequencer keeps advancing independently
+    df.write.format("graftlog").option("path", root).option("stream", "s")
+      .option("shards", "4").option("shardKey", "k").mode("append").save()
+    (0 until 4).foreach { k =>
+      val st = graft.sources.GraftLogSource.shardName("s", k)
+      val es = LogStore.readRange(root, st, LogId.Zero, LogStore.maxId(root, st))
+      assert(es.size == 2 * perShard(k)._2.size, s"shard $k second append skewed")
+      assert(es.map(_.id).distinct.size == es.size)
+    }
+  }
+
+  test("sharded streaming write + sharded streaming read round-trip") {
+    val root = TestSpark.tmpDir("graftlog")
+    val src = TestSpark.tmpDir("srclog")
+    val w = new LogWriter(src, "in")
+    w.produceAll((0 until 50).map(i => Map[String, Any]("k" -> (i % 7), "n" -> i)))
+    // stream through a sharded sink
+    val q = spark.readStream.format("graftlog")
+      .option("path", src).option("stream", "in")
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("values['k'] AS k", "values['n'] AS n")
+      .writeStream.format("graftlog")
+      .option("path", root).option("stream", "out")
+      .option("shards", "2").option("shardKey", "k")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    // sharded streaming read fans the shards back in
+    val q2 = spark.readStream.format("graftlog")
+      .option("path", root).option("stream", "out").option("shards", "2")
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("values['n'] AS n")
+      .writeStream.format("memory").queryName("sharded_fanin")
+      .option("checkpointLocation", TestSpark.tmpDir("ckpt"))
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    val ns = spark.sql("select n from sharded_fanin")
+      .collect().map(_.getString(0).toInt).sorted
+    assert(ns.toSeq == (0 until 50))
+  }
+
   test("streamInfo reports entry counts and high water; tombstones excluded") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
