@@ -581,6 +581,39 @@ object Pipeline {
       }.orderBy($"split", $"lang")
     },
 
+    q("q162_chunk_overlap",
+      // Overlapping-window chunking — the RAG / long-context prep step:
+      // each document becomes ceil-spaced word windows of 64 with stride 48
+      // (16-word overlap keeps boundary context in both neighbors), each
+      // chunk carrying its md5 fingerprint (the key chunk-level dedup and
+      // provenance tracking join on; q116's fixed-chunk dedup is the
+      // non-overlapping cousin). Pure map-side + one explode — no shuffle
+      // at all until a downstream consumer groups by fingerprint; the
+      // chunk count per doc is closed-form integer arithmetic, so both
+      // engines enumerate identical windows.
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |    1 + (GREATEST(CAST(len(ws) AS BIGINT) - 64, 0) + 47) // 48 AS n_chunks
+        |  FROM w),
+        |c AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[CAST(chunk_idx*48+1 AS INT):CAST(chunk_idx*48+64 AS INT)]) AS BIGINT) AS n_words_chunk,
+        |  md5(array_to_string(ws[CAST(chunk_idx*48+1 AS INT):CAST(chunk_idx*48+64 AS INT)], ' ')) AS fp
+        |FROM c ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .withColumn("n_chunks",
+          lit(1L) + expr("(GREATEST(CAST(size(ws) AS BIGINT) - 64, 0) + 47) DIV 48"))
+        .select($"doc_id", $"ws",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_idx"))
+        .withColumn("chunk", expr("slice(ws, CAST(chunk_idx*48 + 1 AS INT), 64)"))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").cast("long").as("n_words_chunk"),
+          md5(array_join($"chunk", " ").cast("binary")).as("fp"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     q("q104_stratified_sample",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |FROM documents

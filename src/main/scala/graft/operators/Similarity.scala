@@ -707,5 +707,65 @@ object Similarity {
           (coalesce($"n_hit", lit(0L)).cast("double") / 10.0).as("recall_at_10"))
         .orderBy($"q_id")
     },
+
+    q("q161_matryoshka_recall", {
+      def duckTop(alias: String, scoreExpr: String): String =
+        s"""$alias AS (SELECT q_id, cand_id FROM (
+           |  SELECT q.vec_id q_id, c.vec_id cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $scoreExpr DESC, c.vec_id) rn
+           |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10) WHERE rn <= 10)"""
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |${duckTop("brute", duckDotSql("q.embedding", "c.embedding")).stripMargin},
+         |${duckTop("t16", duckDotSql("q.embedding[1:16]", "c.embedding[1:16]")).stripMargin},
+         |${duckTop("t32", duckDotSql("q.embedding[1:32]", "c.embedding[1:32]")).stripMargin},
+         |h16 AS (SELECT b.q_id, COUNT(*) n FROM brute b
+         |  JOIN t16 t ON t.q_id = b.q_id AND t.cand_id = b.cand_id GROUP BY 1),
+         |h32 AS (SELECT b.q_id, COUNT(*) n FROM brute b
+         |  JOIN t32 t ON t.q_id = b.q_id AND t.cand_id = b.cand_id GROUP BY 1)
+         |SELECT b.q_id,
+         |  CAST(COALESCE(h16.n, 0) AS DOUBLE) / 10.0 AS recall_16d,
+         |  CAST(COALESCE(h32.n, 0) AS DOUBLE) / 10.0 AS recall_32d
+         |FROM (SELECT DISTINCT q_id FROM brute) b
+         |LEFT JOIN h16 ON h16.q_id = b.q_id
+         |LEFT JOIN h32 ON h32.q_id = b.q_id
+         |ORDER BY b.q_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Matryoshka (MRL-style) truncation eval: how much retrieval quality
+      // survives keeping only the first 16 / 32 of 64 dims — the dimension-
+      // vs-recall curve that decides how small the serving index can be
+      // (a 4x dim cut is a 4x memory/bandwidth cut at 100 TB). Same
+      // broadcast-queries shape as q95: the corpus side scans shuffle-free,
+      // one window ranks per truncation width, recall measured against the
+      // full-width exact top-10.
+      val e = T(s, dir, "embeddings")
+      val vecs = e.select($"vec_id", $"embedding")
+      val qs = broadcast(e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe")))
+      val joined = qs
+        .join(vecs.select($"vec_id".as("cand_id"), $"embedding".as("ce")),
+          $"q_id" =!= $"cand_id")
+        .transform(graft.CacheScope.cached) // three rankings over one scan
+      val wQ = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")
+      def top(scoreExpr: String): DataFrame = joined
+        .withColumn("sim", expr(scoreExpr))
+        .withColumn("rn", row_number().over(wQ))
+        .filter($"rn" <= 10).select($"q_id", $"cand_id")
+      val brute = top("graft_dot(qe, ce)")
+      def hits(t: DataFrame): DataFrame = brute.as("b")
+        .join(t.as("t"), $"b.q_id" === $"t.q_id" && $"b.cand_id" === $"t.cand_id")
+        .groupBy($"b.q_id".as("q_id")).agg(count(lit(1)).as("n"))
+      val h16 = hits(top("graft_dot(slice(qe, 1, 16), slice(ce, 1, 16))"))
+      val h32 = hits(top("graft_dot(slice(qe, 1, 32), slice(ce, 1, 32))"))
+      brute.select($"q_id").distinct()
+        .join(h16.withColumnRenamed("n", "n16"), Seq("q_id"), "left")
+        .join(h32.withColumnRenamed("n", "n32"), Seq("q_id"), "left")
+        .select($"q_id",
+          (coalesce($"n16", lit(0L)).cast("double") / 10.0).as("recall_16d"),
+          (coalesce($"n32", lit(0L)).cast("double") / 10.0).as("recall_32d"))
+        .orderBy($"q_id")
+    },
   )
 }

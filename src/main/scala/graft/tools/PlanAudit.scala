@@ -147,6 +147,14 @@ object PlanAudit {
       "codebooks and ADC table broadcast (vectors never shuffle to encode)" -> "BroadcastHashJoin",
       "sub-vector argmin is an aggregation, not a window sort" -> "min(struct(dist",
       "no cartesian product in the PQ pipeline" -> "!CartesianProduct"),
+    "q161_matryoshka_recall" -> Seq(
+      "query set broadcast (corpus side scans shuffle-free for all three rankings)" -> "BroadcastNestedLoopJoin",
+      "recall joins are equi joins (hash or sort-merge, never nested-loop)" -> "SortMergeJoin",
+      "no cartesian product in the truncation eval" -> "!CartesianProduct"),
+    "q162_chunk_overlap" -> Seq(
+      "chunking is map-side explode — no join anywhere" -> "!Join",
+      "no aggregation shuffle (fingerprints are per-chunk map-side)" -> "!partial_count",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q160_subword_tokens" -> Seq(
       "dictionary join is an equi hash join (tokenizer runs once per distinct word)" -> "HashJoin",
       "per-doc totals partial-aggregate before the shuffle" -> "partial_sum",
