@@ -706,6 +706,23 @@ class LogSourceSpec extends AnyFunSuite {
     assert(ns.toSeq == (0 until 50))
   }
 
+  test("streamInfo and groupLag compose with sharded streams") {
+    val root = TestSpark.tmpDir("graftlog")
+    val df = spark.range(100).selectExpr(
+      "CAST(id % 11 AS STRING) AS k", "CAST(id AS STRING) AS n")
+    df.write.format("graftlog").option("path", root).option("stream", "s")
+      .option("shards", "3").option("shardKey", "k").mode("append").save()
+    val names = graft.sources.GraftLogSource.shardNames("s", 3)
+    val info = graft.operators.StreamInspect.streamInfo(spark, root, names)
+      .collect()
+    assert(info.map(_.getLong(1)).sum == 100, "shard counts don't sum to input")
+    // an uncommitted group lags each shard by that shard's full length
+    val lag = graft.operators.StreamInspect
+      .groupLag(spark, root, names, Seq(("g", TestSpark.tmpDir("ckpt"))))
+      .collect()
+    assert(lag.length == 3 && lag.map(_.getAs[Long]("lag")).sum == 100)
+  }
+
   test("streamInfo reports entry counts and high water; tombstones excluded") {
     val root = TestSpark.tmpDir("graftlog")
     var now = 1000L
