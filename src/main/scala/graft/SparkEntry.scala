@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.TextAnalysis.defs ++
       operators.StreamLog.defs ++ operators.UdfSurface.defs ++
       operators.Advanced.defs ++ operators.Extras.defs ++
-      operators.Pipeline.defs ++ operators.Multimodal.defs
+      operators.Pipeline.defs ++ operators.Multimodal.defs ++
+      operators.WebCorpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -31,7 +31,129 @@ object Advanced {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** PageRank fixed-point scale: ranks are integers in 1e-12ths of total
+    * mass, so every engine-side op is exact BIGINT arithmetic (q142's
+    * integer-Lloyd discipline — no float accumulation order to disagree
+    * on). Non-negative throughout, so Spark's truncating DIV and DuckDB's
+    * floor `//` agree.
+    */
+  private val PrScale = 1000000000000L
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q167_bucketed_join",
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderpriority
+         |ORDER BY o_orderkey""") { (s, dir) =>
+      import s.implicits._
+      // Co-located fact-fact join via bucketing — THE technique for a join
+      // both of whose sides are too big to broadcast and which runs often
+      // enough to amortize a one-time layout: both tables are written
+      // bucketed 8 ways on the join key, so the sort-merge join consumes
+      // bucket files directly and NO hash shuffle happens anywhere in the
+      // plan (PLANS.md asserts it) — the per-orderkey aggregation reuses
+      // the same bucketing. At 100 TB this turns the nightly fact-fact
+      // join from the cluster's biggest shuffle into a bucket-local merge;
+      // the only exchange left is the presentation sort's range partition.
+      // Only the joined/aggregated columns are written into the bucketed
+      // copies (column-pruned layout, smaller files).
+      val tmpO = graft.TempDirs.scratch("graft-q167-orders")
+      val tmpL = graft.TempDirs.scratch("graft-q167-lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      T(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmpO).saveAsTable("graft_b_orders")
+      T(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmpL).saveAsTable("graft_b_lineitem")
+      s.table("graft_b_lineitem")
+        .join(s.table("graft_b_orders").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"o_orderkey")
+    },
+
+    q("q168_pagerank", {
+      val iter = (k: Int) =>
+        s"""i$k AS (
+           |  SELECT nd.n_name AS node, nn.base + COALESCE(c.s, 0) AS pr
+           |  FROM nation nd CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(SUM((85 * r.pr) // (100 * od.deg)) AS BIGINT) AS s
+           |    FROM i${k - 1} r JOIN e ON r.node = e.src JOIN od ON e.src = od.src
+           |    GROUP BY e.dst) c ON nd.n_name = c.node)"""
+      s"""WITH e AS (
+         |  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+         |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST((15 * $PrScale) // (100 * COUNT(*)) AS BIGINT) AS base FROM nation),
+         |i0 AS (SELECT n_name AS node, CAST($PrScale // n AS BIGINT) AS pr
+         |  FROM nation, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, CAST(pr // 1000000 AS BIGINT) AS rank_micro
+         |FROM i3 ORDER BY rank_micro DESC, node"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // PageRank (3 unrolled power iterations, damping 0.85) over the
+      // who-buys-from-whom nation graph — the join-based propagation shape
+      // of every large-scale graph metric (link analysis for crawl
+      // prioritization, dedup-cluster authority). Each iteration is one
+      // equi join of ranks to edges plus one keyed aggregation — at 100 TB
+      // both shuffle on the node key, and pre-partitioning ranks AND edges
+      // on that key (bucketing, q167) makes every subsequent iteration
+      // shuffle-free. The 25-node dimension side (nation list, degree
+      // table, scalar N) is broadcast. Dangling-node mass is dropped (the
+      // simplified formulation); integer truncation makes both engines
+      // bit-identical. Edge derivation hash-joins the two fact tables and
+      // broadcasts all dimensions.
+      val nation = T(s, dir, "nation")
+      val edges = T(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(T(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(T(s, dir, "customer").select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation.select($"n_nationkey".as("cnk"), $"n_name".as("src"))),
+          $"c_nationkey" === $"cnk")
+        .join(broadcast(T(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation.select($"n_nationkey".as("snk"), $"n_name".as("dst"))),
+          $"s_nationkey" === $"snk")
+        .select($"src", $"dst").distinct()
+        .transform(graft.CacheScope.cached) // reused by deg + all 3 iterations
+      val od = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nn = nation.agg(count(lit(1)).cast("long").as("n"))
+        .select($"n", expr(s"(15 * CAST($PrScale AS BIGINT)) DIV (100 * n)").as("base"))
+      val nodes = nation.select($"n_name".as("node"))
+      var ranks = nodes.crossJoin(broadcast(nn))
+        .select($"node", expr(s"CAST($PrScale AS BIGINT) DIV n").as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = ranks.join(edges, $"node" === $"src")
+          .join(broadcast(od), "src")
+          .select($"dst", expr("(85 * pr) DIV (100 * deg)").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+        ranks = nodes.crossJoin(broadcast(nn))
+          .join(contrib, $"node" === $"dst", "left")
+          .select($"node", ($"base" + coalesce($"s", lit(0L))).as("pr"))
+      }
+      ranks.select($"node", expr("pr DIV 1000000").as("rank_micro"))
+        .orderBy($"rank_micro".desc, $"node")
+    },
 
     q("q117_zorder_layout",
       s"""WITH b AS (SELECT MIN(l_partkey) p0, MAX(l_partkey) p1,

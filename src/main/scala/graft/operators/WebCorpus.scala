@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.functions.TextHash.{P, duckPolyHash, polyHashSql}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+
+/** Web-corpus curation operators — the ingest-side stages a crawl-derived
+  * training-data pipeline runs BEFORE the dedup/quality family: HTML
+  * boilerplate stripping, URL canonicalization, temperature-based source
+  * mixing, and count-min-sketch frequency estimation.
+  *
+  * The reference delegates all per-entry computation to handler callbacks
+  * (/root/reference/lib/redix/stream/consumer.ex:283-299); these make the
+  * standard web-curation handlers first-class engine operators. Everything
+  * here is map-side or one keyed shuffle — the 100 TB posture is stated per
+  * query.
+  */
+object WebCorpus {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- q163 fixture synthesis + extraction, rendered into both dialects.
+  // The fixture wraps each document in deterministic HTML (head/script/style,
+  // nav + footer boilerplate, entity-encoded suffix) so the extraction has
+  // real markup to strip; both engines synthesize and strip the SAME bytes,
+  // so the oracle checks the extraction arithmetic, not the corpus.
+
+  /** Dialect-aware global regexp_replace (Spark replaces all matches by
+    * default; DuckDB needs the 'g' option). Patterns avoid backslash escapes
+    * entirely — Spark string literals eat backslashes, DuckDB's don't, so a
+    * pattern with them could silently differ between engines.
+    */
+  private def rr(duck: Boolean)(s: String, pat: String, rep: String): String =
+    if (duck) s"regexp_replace($s, '$pat', '$rep', 'g')"
+    else s"regexp_replace($s, '$pat', '$rep')"
+
+  /** The synthesized page: one concat() both engines parse identically. */
+  private val htmlExpr: String =
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), " +
+      "'</title><script type=\"text/javascript\">var n=1;</script>" +
+      "<style>p{color:red}</style></head><body>" +
+      "<nav>Home | About | Contact</nav><h1>', source, '</h1><p>', text, " +
+      "'</p><p>Q&amp;A &lt;faq&gt;</p>" +
+      "<footer>&copy; 2026 example.com</footer></body></html>')"
+
+  /** trafilatura-style extraction: drop head (scripts/styles with it), drop
+    * nav/footer boilerplate, strip remaining tags to spaces, decode the
+    * basic entities (amp last, so '&amp;lt;' would stay literal '&lt;'),
+    * collapse runs of spaces, trim.
+    */
+  private def extractExpr(duck: Boolean, h: String): String = {
+    val g = rr(duck) _
+    val noHead = g(h, "<head>.*?</head>", "")
+    val noBoiler = g(noHead, "<nav>.*?</nav>|<footer>.*?</footer>", "")
+    val noTags = g(noBoiler, "<[^>]+>", " ")
+    val decoded = s"replace(replace(replace(replace($noTags, " +
+      "'&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'), '&amp;', '&')"
+    s"trim(${g(decoded, "  +", " ")})"
+  }
+
+  // ---- q164 fixture synthesis + canonicalization ----
+
+  /** Messy-but-equivalent URL variants per doc: mixed-case scheme/host,
+    * optional www, default and non-default ports, optional path, tracking
+    * params mixed into real ones, optional fragment.
+    */
+  private val urlExpr: String =
+    "concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END, '://', " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, " +
+      "CASE WHEN doc_id % 5 < 2 THEN upper(source) ELSE source END, " +
+      "'.Example.COM', " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443' " +
+      "     WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '' " +
+      "     ELSE concat('/docs/', CAST(doc_id % 7 AS STRING)) END, " +
+      "'?utm_source=feed&id=', CAST(doc_id % 13 AS STRING), " +
+      "'&utm_campaign=spring&ref=rss', " +
+      "CASE WHEN doc_id % 3 = 1 THEN '#sec2' ELSE '' END)"
+
+  /** Canonicalization fragments over an aliased `url` column. The regexes use
+    * character classes instead of backslash escapes ('[?]', '[0-9]') for the
+    * same cross-dialect reason as [[rr]].
+    */
+  private val schemeExpr = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
+  private val authExpr = "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))"
+  /** path + query, fragment dropped. */
+  private val pathqExpr = "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1)"
+
+  /** Canonical host over an aliased `auth` column: port stripped, leading
+    * www. dropped (auth is already lowercased).
+    */
+  private val hostSql: String = {
+    val hostRaw = "regexp_extract(auth, '^([^:]+)', 1)"
+    s"CASE WHEN $hostRaw LIKE 'www.%' THEN substring($hostRaw, 5) ELSE $hostRaw END"
+  }
+
+  /** Canonical URL over aliased `scheme`/`auth`/`pathq` columns. */
+  private def canonUrlSql(duck: Boolean): String = {
+    val port = "regexp_extract(auth, ':([0-9]+)$', 1)"
+    val canonPort = s"CASE WHEN $port = '' THEN '' " +
+      s"WHEN scheme = 'http' AND $port = '80' THEN '' " +
+      s"WHEN scheme = 'https' AND $port = '443' THEN '' " +
+      s"ELSE concat(':', $port) END"
+    val path = "regexp_extract(pathq, '^([^?]*)', 1)"
+    val canonPath = s"CASE WHEN $path = '' THEN '/' ELSE $path END"
+    val qs = "regexp_extract(pathq, '[?](.*)$', 1)"
+    // drop tracking params, order-normalize the rest (literal compare, not
+    // LIKE — '_' is a LIKE wildcard)
+    val kept =
+      if (duck) s"array_to_string(list_sort(list_filter(string_split($qs, '&'), " +
+        "p -> substring(p, 1, 4) <> 'utm_')), '&')"
+      else s"array_join(array_sort(filter(split($qs, '&'), " +
+        "p -> substring(p, 1, 4) <> 'utm_')), '&')"
+    s"concat(scheme, '://', $hostSql, $canonPort, $canonPath, " +
+      s"CASE WHEN $kept = '' THEN '' ELSE concat('?', $kept) END)"
+  }
+
+  /** The Spark-dialect canonicalizer, exposed for WebCorpusSpec's
+    * idempotence property.
+    */
+  private[graft] def canonUrlSqlForTest: String = canonUrlSql(duck = false)
+
+  // ---- q165: temperature-flattened source mixing ----
+
+  /** Macro-source with deliberately skewed sizes derived from the uniform
+    * srcN fixture (web 10 sources, books 5, code 3, wiki 2), so alpha=0.5
+    * flattening visibly up-weights the small sources.
+    */
+  private val macroExpr: String =
+    "CASE WHEN CAST(substring(source, 4) AS BIGINT) < 10 THEN 'web' " +
+      "WHEN CAST(substring(source, 4) AS BIGINT) < 15 THEN 'books' " +
+      "WHEN CAST(substring(source, 4) AS BIGINT) < 18 THEN 'code' " +
+      "ELSE 'wiki' END"
+
+  /** Total docs the mixture should select (expectation). */
+  private val MixTarget = 200L
+
+  // ---- q166: count-min sketch ----
+
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64
+
+  /** Row d of the sketch hashes key-hash `h` with the same affine family the
+    * minhash permutations use; the double mod keeps everything in the
+    * polyhash domain first, so both engines agree.
+    */
+  private def bucket(d: Long, h: Long): Int =
+    (((2 * d + 1) * h + 1000003L * d + 12345L) % P % CmsWidth).toInt
+
+  private def bucketSql(d: String, h: String): String =
+    s"((2*$d + 1) * $h + 1000003*$d + 12345) % $P % $CmsWidth"
+
+  /** Mergeable count-min sketch over pre-hashed keys: a depth x width grid of
+    * counters; update increments one counter per row, merge is element-wise
+    * addition (commutative + associative, so Spark partial-aggregates it
+    * map-side and only DepthxWidth longs cross the shuffle — the point of the
+    * sketch at 100 TB, where the exact key space would not fit). Estimates
+    * (min over rows) only ever over-count: est >= true, and with prob
+    * 1-(1/2)^depth the error is <= 2n/width.
+    */
+  private[graft] object CmsSketch extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](CmsDepth * CmsWidth)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var d = 0
+      while (d < CmsDepth) { b(d * CmsWidth + bucket(d, h)) += 1; d += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q163_html_extract", {
+      val ext = extractExpr(duck = true, "html")
+      s"""WITH pages AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+         |ex AS (SELECT doc_id, html, $ext AS extracted FROM pages)
+         |SELECT doc_id,
+         |  CAST(length(html) AS BIGINT) AS n_html,
+         |  CAST(length(extracted) AS BIGINT) AS n_text,
+         |  CAST(length(extracted) AS BIGINT) * 1000000
+         |    // CAST(length(html) AS BIGINT) AS text_ratio_micro,
+         |  md5(extracted) AS digest
+         |FROM ex ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // HTML -> text extraction, the first stage of every crawl pipeline:
+      // drop <head> (scripts/styles with it), drop nav/footer boilerplate,
+      // strip tags, decode entities, normalize whitespace; emit the
+      // text-to-markup ratio every boilerplate classifier thresholds on.
+      // Pure map-side regex/string work — embarrassingly parallel, no
+      // shuffle at any scale (the final sort is presentation).
+      T(s, dir, "documents")
+        .withColumn("html", expr(htmlExpr))
+        .withColumn("extracted", expr(extractExpr(duck = false, "html")))
+        .select($"doc_id",
+          length($"html").cast("long").as("n_html"),
+          length($"extracted").cast("long").as("n_text"),
+          expr("CAST(length(extracted) AS BIGINT) * 1000000 DIV length(html)")
+            .as("text_ratio_micro"),
+          md5($"extracted").as("digest"))
+        .orderBy($"doc_id")
+    },
+
+    q("q164_url_canonicalize", {
+      s"""WITH u AS (SELECT doc_id, $urlExpr AS url FROM documents),
+         |parts AS (SELECT doc_id, url, $schemeExpr AS scheme, $authExpr AS auth,
+         |  $pathqExpr AS pathq FROM u),
+         |c AS (SELECT doc_id, ${canonUrlSql(duck = true)} AS canon_url,
+         |  $hostSql AS host FROM parts)
+         |SELECT doc_id, canon_url, host,
+         |  CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_same,
+         |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS is_rep
+         |FROM c ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // URL canonicalization + duplicate grouping, how a crawl dedups BEFORE
+      // fetching content twice: lowercase scheme/host, strip www and default
+      // ports, drop fragments and utm_* tracking params, order-normalize the
+      // query string, root empty paths. Canonicalization is map-side; the
+      // duplicate-group window is ONE shuffle on canon_url (at 100 TB the
+      // same shuffle any url-keyed groupBy pays; the text column is never
+      // read). is_rep keys keep-first retention on MIN(doc_id) — the same
+      // canonical-representative contract as q40's exact dedup.
+      val byCanon = Window.partitionBy($"canon_url")
+      T(s, dir, "documents")
+        .withColumn("url", expr(urlExpr))
+        .withColumn("scheme", expr(schemeExpr))
+        .withColumn("auth", expr(authExpr))
+        .withColumn("pathq", expr(pathqExpr))
+        .select($"doc_id",
+          expr(canonUrlSql(duck = false)).as("canon_url"),
+          expr(hostSql).as("host"))
+        .withColumn("n_same", count(lit(1)).over(byCanon).cast("long"))
+        .withColumn("is_rep", $"doc_id" === min($"doc_id").over(byCanon))
+        .orderBy($"doc_id")
+    },
+
+    q("q165_source_mixture", {
+      val ph = duckPolyHash("CAST(doc_id AS STRING)")
+      s"""WITH docs AS (SELECT doc_id, $macroExpr AS source_group FROM documents),
+         |sc AS (SELECT source_group, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM docs GROUP BY source_group),
+         |ms AS (SELECT source_group, n_docs,
+         |  CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS msqrt
+         |  FROM sc),
+         |tot AS (SELECT CAST(SUM(msqrt) AS BIGINT) AS t FROM ms),
+         |rates AS (SELECT source_group, n_docs, msqrt,
+         |  LEAST(1000000, (msqrt * $MixTarget * 1000000) // (t * n_docs)) AS rate_ppm
+         |  FROM ms, tot),
+         |picked AS (SELECT d.source_group,
+         |    CASE WHEN (($ph) * 2654435761) % ${P} % 1000000 < r.rate_ppm
+         |      THEN 1 ELSE 0 END AS pick
+         |  FROM docs d JOIN rates r USING (source_group))
+         |SELECT r.source_group, r.n_docs, r.rate_ppm,
+         |  p.n_sampled
+         |FROM rates r JOIN (SELECT source_group, CAST(SUM(pick) AS BIGINT) AS n_sampled
+         |  FROM picked GROUP BY source_group) p USING (source_group)
+         |ORDER BY r.source_group"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Temperature-based source mixing (the XLM-R / multilingual-LM recipe
+      // at alpha = 0.5): sampling probability proportional to n^alpha, so
+      // small sources are up-weighted relative to their share. Float
+      // discipline: each sqrt is rounded to integer micro-units BEFORE the
+      // cross-source sum (double addition is order-dependent; integer
+      // addition is exact in both engines), and the per-source rate is one
+      // integer expression. Selection is the deterministic hash-threshold
+      // trick (q87) with one extra mixing step: polyhash of a SHORT string
+      // (doc_id is 1-5 chars) lands in a tiny range, so it is multiplied by
+      // a large odd constant mod P (a bijection on [0,P) — Knuth's
+      // multiplicative scatter) before the % 1e6 threshold; without it the
+      // raw hash of every 3-char id sits below any realistic rate and the
+      // "sample" keeps everything (caught by WebCorpusSpec). Reproducible
+      // across engines, runs, and cluster sizes. The rate table is tiny and
+      // broadcast; the corpus is never shuffled (one map-side pick + one
+      // groupBy on the handful of source groups).
+      val docs = T(s, dir, "documents")
+        .select($"doc_id", expr(macroExpr).as("source_group"))
+        .transform(graft.CacheScope.cached)
+      val sc = docs.groupBy($"source_group")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("msqrt",
+          floor(sqrt($"n_docs".cast("double")) * 1000000d + 0.5d).cast("long"))
+        .transform(graft.CacheScope.cached) // feeds both the rate table and the total
+      val rates = sc.crossJoin(broadcast(sc.agg(sum($"msqrt").as("t"))))
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            expr(s"(msqrt * $MixTarget * 1000000) DIV (t * n_docs)")))
+        .select($"source_group", $"n_docs", $"rate_ppm")
+      val picked = docs
+        .join(broadcast(rates), "source_group")
+        .withColumn("pick",
+          (expr(polyHashSql("CAST(doc_id AS STRING)")) * 2654435761L % P % 1000000L
+            < $"rate_ppm").cast("int"))
+        .groupBy($"source_group").agg(sum($"pick").cast("long").as("n_sampled"))
+      rates.join(picked, "source_group")
+        .select($"source_group", $"n_docs", $"rate_ppm", $"n_sampled")
+        .orderBy($"source_group")
+    },
+
+    q("q166_count_min", {
+      val ph = duckPolyHash("tok")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n, $ph AS h
+         |  FROM toks GROUP BY tok),
+         |lk AS (SELECT tok, exact_n, d, ${bucketSql("d", "h")} AS bucket
+         |  FROM tf, (SELECT unnest([0,1,2,3]) AS d)),
+         |cnt AS (SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS c
+         |  FROM lk GROUP BY d, bucket),
+         |est AS (SELECT tok, exact_n, MIN(c) AS est_n
+         |  FROM lk JOIN cnt USING (d, bucket) GROUP BY tok, exact_n)
+         |SELECT tok, exact_n, est_n, est_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, tok LIMIT 20"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Count-min sketch (Cormode & Muthukrishnan): fixed DepthxWidth counter
+      // grid, mergeable by element-wise addition — the Spark side runs the
+      // REAL sketch as a typed Aggregator UDAF over the raw token stream
+      // (partial sketches merge map-side; only 256 longs cross the shuffle),
+      // then answers point queries from the broadcast sketch array. The
+      // width is sized BELOW the vocabulary so collisions actually occur and
+      // the overcount column shows the sketch's one-sided error; the oracle
+      // replays the identical counter arithmetic in SQL. At 100 TB this is
+      // the frequency-estimation plan when the key space doesn't fit:
+      // sketch size is constant in the data.
+      val cms = udaf(CmsSketch)
+      val toks = T(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached)
+      val sketch = toks
+        .select(expr(polyHashSql("tok")).as("h"))
+        .agg(cms($"h").as("sk"))
+      val tf = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+        .withColumn("h", expr(polyHashSql("tok")))
+      tf.crossJoin(broadcast(sketch))
+        .withColumn("est_n", expr(
+          s"""array_min(transform(sequence(0, ${CmsDepth - 1}, 1),
+             |  d -> element_at(sk, CAST(d * $CmsWidth + ${bucketSql("d", "h")} + 1 AS INT))))""".stripMargin))
+        .select($"tok", $"exact_n", $"est_n",
+          ($"est_n" - $"exact_n").as("overcount"))
+        .orderBy($"exact_n".desc, $"tok".asc)
+        .limit(20)
+    },
+  )
+}

@@ -189,7 +189,33 @@ object PlanAudit {
     "q148_scd2_dimension" -> Seq(
       "interval stitching is window passes, not a self-join" -> "Window",
       "no join anywhere in the dimension build" -> "!Join",
-      "only the four needed columns read (ts arrives as nano-long)" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+      "only the four needed columns read (ts arrives as nano-long)" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+    "q163_html_extract" -> Seq(
+      "extraction is pure map-side (no join, no aggregation shuffle)" -> "!Join",
+      "no aggregation anywhere before the presentation sort" -> "!HashAggregate",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q164_url_canonicalize" -> Seq(
+      "duplicate grouping is one window pass on canon_url" -> "Window",
+      "no join in the canonicalize pipeline" -> "!Join",
+      "text column never read (urls derive from doc_id+source)" -> "ReadSchema: struct<doc_id:bigint,source:string>"),
+    "q165_source_mixture" -> Seq(
+      "rate table broadcast back over the corpus (docs never shuffle to pick)" -> "BroadcastHashJoin",
+      "per-group counts partial-aggregate before their shuffle" -> "partial_count",
+      "no cartesian product in the mixture pipeline" -> "!CartesianProduct",
+      "text column never read for mixing" -> "ReadSchema: struct<doc_id:bigint,source:string>"),
+    "q166_count_min" -> Seq(
+      "sketch is a partial-aggregating UDAF (256 longs cross the shuffle)" -> "partial_cmssketch",
+      "one-row sketch broadcast to the estimate lookup" -> "BroadcastNestedLoopJoin",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "only text read for the token stream" -> "ReadSchema: struct<text:string>"),
+    "q167_bucketed_join" -> Seq(
+      "fact-fact join is sort-merge over bucket files" -> "SortMergeJoin",
+      "NO hash shuffle anywhere — join AND aggregation reuse the bucketing" -> "!Exchange hashpartitioning",
+      "per-order aggregation reuses the join's bucket partitioning" -> "HashAggregate"),
+    "q168_pagerank" -> Seq(
+      "dimension/degree/scalar sides broadcast" -> "BroadcastHashJoin",
+      "contributions partial-aggregate before the node shuffle" -> "partial_sum",
+      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
