@@ -3,6 +3,7 @@ package graft.operators
 import graft.ColFns._
 import graft.QueryDef.q
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -533,6 +534,207 @@ object Advanced {
           when($"action".isin("updated", "inserted"), $"cid")
             .otherwise($"bid").as("state_id"))
         .orderBy($"user_id")
+    },
+
+    q("q171_incremental_agg",
+      // The ORACLE is the full recompute — the point of the query is that
+      // the incremental plan (merge of two partial aggregate states) is
+      // provably equivalent to rescanning everything.
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""") { (s, dir) =>
+      import s.implicits._
+      // Incremental materialized-view maintenance: the per-customer order
+      // aggregate is kept as a STATE table (one row per key); when a new
+      // partition of facts arrives, only the DELTA is aggregated and merged
+      // into the state via one full-outer join on the key — the base facts
+      // are never rescanned. Here base = orders before 1997-01-01, delta =
+      // the rest, and the DuckDB oracle recomputes from scratch, certifying
+      // merge(partial(base), partial(delta)) == full. Amounts are summed in
+      // integer cents (floor(x*100+0.5) per row), so partial sums are exact
+      // and merge order cannot matter. At 100 TB this is THE pattern for
+      // keeping derived tables fresh: aggregate state is key-sized, the
+      // daily scan is delta-sized, and the merge join shuffles only
+      // aggregate rows, never facts. The state-vs-state join is sort-merge
+      // (full-outer cannot broadcast); both sides arrive pre-aggregated.
+      val orders = T(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate",
+          expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("pn"), sum($"cents").as("ps"))
+      val base = partial(orders.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp")))
+        .select($"o_custkey", $"pn".as("bn"), $"ps".as("bs"))
+      val delta = partial(orders.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")))
+        .select($"o_custkey", $"pn".as("dn"), $"ps".as("ds"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+          (coalesce($"bs", lit(0L)) + coalesce($"ds", lit(0L))).as("sum_cents"))
+        .orderBy($"o_custkey")
+    },
+
+    q("q173_mad_outliers",
+      // Integer discipline: values in cents; medians doubled (2x / 4x) so
+      // the interpolated midpoint of an even-count group stays integer; the
+      // outlier rule |x - med| > 3.5 * MAD cross-multiplies to
+      // 2*dev2 > 7*mad4 with no division anywhere. The one DIV (the
+      // magnitude column) has a non-negative numerator by construction.
+      """WITH v AS (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM v GROUP BY event_type),
+        |d AS (SELECT v.event_id, v.event_type, v.vc, m.med2,
+        |    abs(2 * v.vc - m.med2) AS dev2
+        |  FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM d GROUP BY event_type)
+        |SELECT event_id, d.event_type, vc, med2, mad4,
+        |  (dev2 * 2000) // GREATEST(mad4, 1) AS absz_milli,
+        |  2 * dev2 > 7 * mad4 AS is_outlier
+        |FROM d JOIN md USING (event_type) ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      // Robust outlier detection via median absolute deviation — the
+      // heavy-tail-safe alternative to q109's z-score (one wild sensor
+      // value shifts a mean, not a median). Two grouped exact medians
+      // (Spark `percentile`), each a tiny per-type stats frame BROADCAST
+      // back over the facts, so the flagging itself is map-side. At 100 TB
+      // the exact per-group percentile (which buffers group values) swaps
+      // for approx_percentile with the same downstream arithmetic — the
+      // documented sketch path; the fixture keeps it exact so the oracle
+      // can replicate bit-for-bit.
+      val v = T(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .transform(graft.CacheScope.cached) // median pass + deviation pass
+      val m = v.groupBy($"event_type")
+        .agg(expr("CAST(percentile(vc, 0.5) * 2 AS BIGINT)").as("med2"))
+      val d = v.join(broadcast(m), "event_type")
+        .withColumn("dev2", abs(lit(2) * $"vc" - $"med2"))
+        .transform(graft.CacheScope.cached) // MAD pass + output pass
+      val md = d.groupBy($"event_type")
+        .agg(expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").as("mad4"))
+      d.join(broadcast(md), "event_type")
+        .select($"event_id", $"event_type", $"vc", $"med2", $"mad4",
+          expr("(dev2 * 2000) DIV GREATEST(mad4, 1)").as("absz_milli"),
+          (lit(2) * $"dev2" > lit(7) * $"mad4").as("is_outlier"))
+        .orderBy($"event_id")
+    },
+
+    q("q174_ohlc_bars",
+      // Tie-breaks order on (micros, event_id) in BOTH engines: DuckDB sees
+      // the parquet nanos, Spark's Tables.load floors to micros — epoch_us
+      // puts the two dialects on the identical key.
+      """WITH v AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    epoch_us(ts) AS tsu, event_id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tsu, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tsu DESC, event_id DESC) AS rl FROM v)
+        |SELECT event_type, hr,
+        |  CAST(MAX(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS open_c,
+        |  CAST(MAX(vc) AS BIGINT) AS high_c,
+        |  CAST(MIN(vc) AS BIGINT) AS low_c,
+        |  CAST(MAX(CASE WHEN rl = 1 THEN vc END) AS BIGINT) AS close_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(vc) AS BIGINT) AS sum_c
+        |FROM w GROUP BY event_type, hr ORDER BY event_type, hr""") { (s, dir) =>
+      import s.implicits._
+      // OHLC bar aggregation — the time-series downsampling every metrics /
+      // market pipeline runs. One shuffle on (event_type, hour): the two
+      // row-number orderings share the window partitioning (one exchange,
+      // two sorts) and the bar aggregation reuses it. Open/close are
+      // first/last by (event-time, id) — deterministic under ties; high /
+      // low / volume partial-aggregate map-side. At 100 TB bars are
+      // time-partitioned: the shuffle key is (type, hour), so a day's bars
+      // never touch another day's partitions.
+      val w = Seq(
+        ("rf", Window.partitionBy($"event_type", $"hr").orderBy($"tsu".asc, $"event_id".asc)),
+        ("rl", Window.partitionBy($"event_type", $"hr").orderBy($"tsu".desc, $"event_id".desc)))
+      val v = T(s, dir, "events")
+        .select($"event_type", date_trunc("hour", $"ts").as("hr"),
+          unix_micros($"ts").as("tsu"), $"event_id",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      w.foldLeft(v) { case (df, (name, spec)) =>
+          df.withColumn(name, row_number().over(spec))
+        }
+        .groupBy($"event_type", $"hr")
+        .agg(
+          max(when($"rf" === 1, $"vc")).cast("long").as("open_c"),
+          max($"vc").cast("long").as("high_c"),
+          min($"vc").cast("long").as("low_c"),
+          max(when($"rl" === 1, $"vc")).cast("long").as("close_c"),
+          count(lit(1)).as("n_events"),
+          sum($"vc").cast("long").as("sum_c"))
+        .orderBy($"event_type", $"hr")
+    },
+
+    q("q176_triangle_count",
+      // Degree-oriented triangle counting: undirected co-supply edges are
+      // oriented from the (degree, id)-smaller endpoint to the larger, so
+      // every triangle survives as exactly ONE directed wedge + closing
+      // edge and the wedge join fans out on sqrt-degree, not max-degree —
+      // the standard scalable formulation.
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT s1 AS s FROM e0 UNION ALL SELECT s2 AS s FROM e0)
+        |  GROUP BY s),
+        |eo AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND s1 < s2)
+        |      THEN s1 ELSE s2 END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND s1 < s2)
+        |      THEN s2 ELSE s1 END AS v
+        |  FROM e0 JOIN deg da ON da.s = s1 JOIN deg db ON db.s = s2)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |    FROM eo e1 JOIN eo e2 ON e1.v = e2.u
+        |      JOIN eo e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""") { (s, dir) =>
+      import s.implicits._
+      // Triangle counting over the supplier co-occurrence graph (two
+      // suppliers connect when they serve the same order) — the clustering
+      // primitive behind community detection and spam-graph analysis. All
+      // joins are equi-joins; the degree table is node-sized and BROADCAST;
+      // the wedge join e1.v = e2.u runs on the oriented edge list, whose
+      // per-node out-degree is bounded by ~sqrt(2m) — the property that
+      // keeps the join's fan-out survivable when a hub node would otherwise
+      // square a 10^6 degree at 100 TB.
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+        .transform(graft.CacheScope.cached)
+      val e0 = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .select($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .distinct()
+        .transform(graft.CacheScope.cached)
+      val deg = e0.select($"s1".as("s")).unionAll(e0.select($"s2".as("s")))
+        .groupBy($"s").agg(count(lit(1)).as("d"))
+        .transform(graft.CacheScope.cached)
+      val fwd = $"da.d" < $"db.d" || ($"da.d" === $"db.d" && $"s1" < $"s2")
+      val eo = e0
+        .join(broadcast(deg.as("da")), $"da.s" === $"s1")
+        .join(broadcast(deg.as("db")), $"db.s" === $"s2")
+        .select(when(fwd, $"s1").otherwise($"s2").as("u"),
+          when(fwd, $"s2").otherwise($"s1").as("v"))
+        .transform(graft.CacheScope.cached)
+      val tri = eo.as("e1")
+        .join(eo.as("e2"), $"e1.v" === $"e2.u")
+        .join(eo.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select($"n_nodes", $"n_edges", $"n_triangles")
     },
   )
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Retrieval-side operators for an LLM data/serving pipeline: lexical BM25
+  * ranking and ColBERT-style late-interaction (MaxSim) re-ranking. Both are
+  * the standard second half of a retrieval stack whose first half (ANN
+  * shortlist) is q156's IVF-PQ index.
+  *
+  * The reference delegates all per-entry computation to handler callbacks
+  * (/root/reference/lib/redix/stream/consumer.ex:283-299); these make the
+  * standard retrieval handlers first-class engine operators.
+  */
+object Retrieval {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** BM25 constants, scaled to integers: k1 = 1.2 (=12/10), b = 0.75 (=3/4).
+    * With num/den cross-multiplied by 10*avgdl_micro every division in the
+    * term-frequency saturation is a single non-negative integer DIV, so
+    * Spark's truncating DIV and DuckDB's floor `//` agree (q142's
+    * discipline). idf may legitimately go negative for very common terms;
+    * it is only ever multiplied and summed, never divided.
+    */
+  private val Bm25K = 5 // query terms
+  private val Bm25TopK = 20
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q169_bm25_topk",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tf) AS BIGINT) AS n_toks FROM tf),
+         |st AS (SELECT n_docs, (n_toks * 1000000) // n_docs AS a FROM stats),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |qt AS (SELECT tok, df FROM df WHERE length(tok) >= 4
+         |  ORDER BY df DESC, tok LIMIT $Bm25K),
+         |qi AS (SELECT tok,
+         |    CAST(FLOOR((ln(2*n_docs - 2*df + 1) - ln(2*df + 1)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |  FROM qt, st),
+         |sc AS (SELECT f.doc_id,
+         |    qi.idf_micro * ((22 * f.tf * st.a * 1000000)
+         |      // (10 * f.tf * st.a + 3 * st.a + 9 * d.dl * 1000000)) AS contrib
+         |  FROM tf f JOIN qi USING (tok) JOIN dl d ON f.doc_id = d.doc_id, st)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_match,
+         |  CAST(SUM(contrib) AS BIGINT) AS score_pico
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_pico DESC, doc_id LIMIT $Bm25TopK""") { (s, dir) =>
+      import s.implicits._
+      // BM25 lexical ranking (Robertson-Sparck Jones), the retrieval baseline
+      // every dense index is measured against. Postings = one (doc, term)
+      // aggregation; document length and document frequency are two more
+      // keyed aggregations over the SAME postings table (the corpus text is
+      // tokenized exactly once). The query-term table (terms + integer
+      // micro-idf) is tiny by construction and BROADCAST into the postings
+      // join, so the corpus side never shuffles for the probe; the final
+      // top-k is TakeOrderedAndProject, not a global sort. Float discipline:
+      // idf is rounded to integer micro-units per DISTINCT (df, N) pair
+      // (q136's trick) and the tf-saturation fraction is one non-negative
+      // integer DIV, so the per-doc sum is exact integer addition in both
+      // engines. At 100 TB the plan is unchanged: postings are the one big
+      // shuffle, everything query-sided is broadcast.
+      val toks = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"))
+        .transform(graft.CacheScope.cached) // feeds dl, stats, df, and the probe
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val st = tf.agg(countDistinct($"doc_id").as("n_docs"), sum($"tf").as("n_toks"))
+        .withColumn("a", expr("n_toks * 1000000 DIV n_docs"))
+        .select($"n_docs", $"a")
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val qi = df.filter(length($"tok") >= 4)
+        .orderBy($"df".desc, $"tok".asc).limit(Bm25K)
+        .crossJoin(broadcast(st))
+        .withColumn("idf_micro",
+          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
+            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+        .select($"tok", $"idf_micro")
+      tf.join(broadcast(qi), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st.select($"a")))
+        .withColumn("contrib", expr(
+          "idf_micro * ((22 * tf * a * 1000000) DIV (10 * tf * a + 3 * a + 9 * dl * 1000000))"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_match"), sum($"contrib").as("score_pico"))
+        .orderBy($"score_pico".desc, $"doc_id".asc)
+        .limit(Bm25TopK)
+    },
+
+    q("q172_late_interaction", {
+      val qdot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] * dv[CAST(i+1 AS INT)])), " +
+        "(acc, x) -> acc + x)"
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |tok AS (SELECT vec_id, t,
+         |    list_transform(embedding[CAST(t*16+1 AS INT):CAST(t*16+16 AS INT)],
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT)) AS tv
+         |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS t), m),
+         |qtok AS (SELECT vec_id AS q_id, t AS qt, tv AS qv FROM tok WHERE vec_id < 8),
+         |pair AS (SELECT q.q_id, d.vec_id AS cand_id, q.qt, d.t AS dt,
+         |    $qdot AS dot
+         |  FROM qtok q JOIN (SELECT vec_id, t, tv AS dv FROM tok) d
+         |    ON q.q_id <> d.vec_id),
+         |mx AS (SELECT q_id, cand_id, qt, CAST(MAX(dot) AS BIGINT) AS md
+         |  FROM pair GROUP BY q_id, cand_id, qt),
+         |sc AS (SELECT q_id, cand_id, CAST(SUM(md) AS BIGINT) AS score
+         |  FROM mx GROUP BY q_id, cand_id),
+         |rk AS (SELECT q_id, cand_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, cand_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, cand_id, rnk, score FROM rk WHERE rnk <= 3
+         |ORDER BY q_id, rnk"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // ColBERT-style late interaction (Khattab & Zaharia 2020): each vector
+      // is treated as 4 token sub-vectors of 16 dims (a Matryoshka-flavored
+      // stand-in for real token embeddings — the PLUMBING is the operator);
+      // score(q, d) = sum over query tokens of the MAX dot product against
+      // any doc token. Arithmetic is integer-exact: sub-vectors are
+      // quantized on one GLOBAL max-abs scale (q141's discipline — a
+      // per-vector scale would distort cross-vector dots), every dot is a
+      // BIGINT fold. The 8x4 query-token table is BROADCAST, so the corpus
+      // token side scans shuffle-free; the per-(q, cand, qt) max and the
+      // per-(q, cand) sum both partial-aggregate map-side. At 100 TB this
+      // operator re-ranks an ANN SHORTLIST (q156 produces it), where the
+      // candidate side is thousands of rows per query, not the corpus — the
+      // same plan, with the broadcast side swapped.
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val tok = e.crossJoin(broadcast(gm))
+        .select($"vec_id", explode(expr("sequence(0, 3)")).as("t"), $"embedding", $"gm")
+        .withColumn("tv", expr(
+          "transform(slice(embedding, t*16+1, 16), " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))"))
+        .select($"vec_id", $"t", $"tv")
+        .transform(graft.CacheScope.cached) // query side and candidate side
+      val qtok = broadcast(tok.filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"), $"t".as("qt"), $"tv".as("qv")))
+      val wQ = Window.partitionBy($"q_id").orderBy($"score".desc, $"cand_id".asc)
+      qtok.join(tok.select($"vec_id".as("cand_id"), $"t".as("dt"), $"tv".as("dv")),
+          $"q_id" =!= $"cand_id")
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qv, dv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy($"q_id", $"cand_id", $"qt")
+        .agg(max($"dot").as("md"))
+        .groupBy($"q_id", $"cand_id")
+        .agg(sum($"md").as("score"))
+        .withColumn("rnk", row_number().over(wQ).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"q_id", $"cand_id", $"rnk", $"score")
+        .orderBy($"q_id", $"rnk")
+    },
+  )
+}

@@ -364,6 +364,70 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_bigrams"), sum($"mlp").as("sum_mlp"))
         .orderBy($"doc_id")
     },
+
+    q("q175_dsir_resample",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tgt AS (SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS ct FROM toks t
+         |  JOIN documents d ON t.doc_id = d.doc_id AND d.lang = 'en'
+         |  GROUP BY t.tok),
+         |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cc FROM toks GROUP BY tok),
+         |consts AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM toks t
+         |      JOIN documents d ON t.doc_id = d.doc_id AND d.lang = 'en') AS nt,
+         |    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks) AS v,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS nc),
+         |diffs AS (SELECT t.doc_id,
+         |    CAST(FLOOR((ln(COALESCE(g.ct, 0) + 1) - ln(nt + v)
+         |      - ln(c.cc) + ln(nc)) * 1000000 + 0.5) AS BIGINT) AS dm
+         |  FROM toks t JOIN cf c USING (tok) LEFT JOIN tgt g ON t.tok = g.tok,
+         |    consts),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(dm) AS BIGINT) AS sum_diff_micro
+         |  FROM diffs GROUP BY doc_id)
+         |SELECT s.doc_id, d.lang, s.n_tokens, s.sum_diff_micro,
+         |  ${graft.ColFns.r6Sql(
+               "CAST(s.sum_diff_micro AS DOUBLE) / (CAST(1000000 AS DOUBLE) * s.n_tokens)")} AS avg_log_ratio
+         |FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+         |ORDER BY avg_log_ratio DESC, s.doc_id LIMIT 100""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // DSIR-style importance resampling (Xie et al. 2023): score every doc
+      // by how much more likely its tokens are under a TARGET distribution
+      // (the English subset's unigram LM, add-one smoothed) than under the
+      // corpus-wide proposal LM, and keep the top of the ranking — the
+      // hashed-n-gram trick for steering a 100 TB crawl toward a domain
+      // with one cheap pass. Both LMs are token-keyed aggregations over the
+      // SAME tokenization; per-token log-ratios are rounded to integer
+      // micro-logs BEFORE the per-doc sum (q136's float discipline), so the
+      // ranking key is exact integer arithmetic plus one final IEEE
+      // division on identical operands. The vocabulary is deliberately NOT
+      // hand-broadcast (it grows with the corpus); the top-k is
+      // TakeOrderedAndProject, never a global sort.
+      val docs = T(s, dir, "documents")
+      val toks = docs
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // target LM, proposal LM, scoring
+      val en = toks.filter($"lang" === "en")
+      val tgt = en.groupBy($"tok").agg(count(lit(1)).as("ct"))
+      val cf = toks.groupBy($"tok").agg(count(lit(1)).as("cc"))
+      val consts = en.agg(count(lit(1)).as("nt"))
+        .crossJoin(toks.agg(countDistinct($"tok").as("v"), count(lit(1)).as("nc")))
+      toks.join(cf, "tok")
+        .join(tgt, Seq("tok"), "left")
+        .crossJoin(broadcast(consts))
+        .select($"doc_id",
+          floor((log(coalesce($"ct", lit(0L)) + 1d) - log(($"nt" + $"v").cast("double"))
+            - log($"cc") + log($"nc")) * 1000000d + 0.5d).cast("long").as("dm"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"dm").as("sum_diff_micro"))
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .withColumn("avg_log_ratio",
+          r6($"sum_diff_micro".cast("double") / (lit(1000000d) * $"n_tokens")))
+        .select($"doc_id", $"lang", $"n_tokens", $"sum_diff_micro", $"avg_log_ratio")
+        .orderBy($"avg_log_ratio".desc, $"doc_id".asc)
+        .limit(100)
+    },
   )
 
   /** Union of the per-language stopword profiles, deduped, stable order. */

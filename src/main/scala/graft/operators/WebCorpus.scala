@@ -354,5 +354,69 @@ object WebCorpus {
         .orderBy($"exact_n".desc, $"tok".asc)
         .limit(20)
     },
+
+    q("q170_line_dedup", {
+      val duckLines =
+        "list_concat(list_concat(['NAV HOME ' || source], " +
+          "list_transform(range((len(words)+7)//8), " +
+          "i -> array_to_string(words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))), " +
+          "['COPYRIGHT 2026 EXAMPLE'])"
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS words
+         |  FROM documents),
+         |l AS (SELECT doc_id, $duckLines AS lines FROM d),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |c AS (SELECT line, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM l)
+         |  GROUP BY line),
+         |b AS (SELECT COALESCE((SELECT list(line ORDER BY line) FROM c, n
+         |    WHERE cnt * 50 >= n_docs), []) AS bl)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  md5(array_to_string(kept, '|')) AS kept_digest
+         |FROM (SELECT doc_id, lines,
+         |    list_filter(lines, x -> NOT list_contains(bl, x)) AS kept
+         |  FROM l, b)
+         |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // CCNet-style line-level boilerplate removal: split each page into
+      // lines (synthesized here as a nav header, 8-word chunks of the real
+      // text, and a copyright footer — the corpus has no newlines, so the
+      // framing gives the dedup real boilerplate to find), count how many
+      // DOCUMENTS each exact line appears in, and drop lines above a 2%
+      // document-frequency threshold, rebuilding the page with surviving
+      // lines IN ORDER. One shuffle on the line string for the frequency
+      // count; the boilerplate vocabulary is inherently small (that is what
+      // makes it boilerplate — bounded per-domain nav/footer text), so the
+      // drop list is BROADCAST and the rebuild is a map-side list_filter
+      // that preserves position without a posexplode round-trip. At 100 TB
+      // the same shape holds per domain shard; if a drop list ever outgrew
+      // broadcast, the fallback is an anti-join on (doc, line, pos) with a
+      // positional rebuild — noted, not needed.
+      val sparkLines =
+        "concat(array(concat('NAV HOME ', source)), " +
+          "transform(sequence(0, (size(words)+7) DIV 8 - 1), " +
+          "i -> concat_ws(' ', slice(words, i*8+1, 8))), " +
+          "array('COPYRIGHT 2026 EXAMPLE'))"
+      val l = T(s, dir, "documents")
+        .withColumn("words", split($"text", " "))
+        .select($"doc_id", expr(sparkLines).as("lines"))
+        .transform(graft.CacheScope.cached) // frequency pass + rebuild pass
+      val nDocs = l.agg(count(lit(1)).as("n_docs"))
+      val boiler = l
+        .select($"doc_id", explode(array_distinct($"lines")).as("line"))
+        .groupBy($"line").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nDocs))
+        .filter($"cnt" * 50 >= $"n_docs")
+        .agg(sort_array(collect_list($"line")).as("bl"))
+      l.crossJoin(broadcast(boiler))
+        .withColumn("kept", expr("filter(lines, x -> NOT array_contains(bl, x))"))
+        .select($"doc_id",
+          size($"lines").cast("long").as("n_lines"),
+          size($"kept").cast("long").as("n_kept"),
+          md5(concat_ws("|", $"kept").cast("binary")).as("kept_digest"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -215,7 +215,23 @@ object PlanAudit {
     "q168_pagerank" -> Seq(
       "dimension/degree/scalar sides broadcast" -> "BroadcastHashJoin",
       "contributions partial-aggregate before the node shuffle" -> "partial_sum",
-      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"))
+      "no cartesian product across the unrolled iterations" -> "!CartesianProduct"),
+    "q169_bm25_topk" -> Seq(
+      "query-term table broadcast into the postings join" -> "BroadcastHashJoin",
+      "top-k without global sort" -> "TakeOrderedAndProject",
+      "postings partial-aggregate before the shuffle" -> "HashAggregate"),
+    "q170_line_dedup" -> Seq(
+      "boilerplate drop list broadcast (rebuild stays map-side)" -> "BroadcastNestedLoopJoin",
+      "line-frequency partial aggregation before the shuffle" -> "HashAggregate",
+      "only the needed columns read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q171_incremental_agg" -> Seq(
+      "both partial states aggregate before the merge join" -> "HashAggregate",
+      "state-vs-state merge is a full-outer sort-merge join" -> "FullOuter",
+      "only the three needed columns read" -> "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz>"),
+    "q172_late_interaction" -> Seq(
+      "query tokens broadcast (corpus token side scans shuffle-free)" -> "BroadcastNestedLoopJoin",
+      "per-(query,candidate) MaxSim partial-aggregates map-side" -> "partial_max",
+      "no cartesian product" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
