@@ -231,7 +231,21 @@ object PlanAudit {
     "q172_late_interaction" -> Seq(
       "query tokens broadcast (corpus token side scans shuffle-free)" -> "BroadcastNestedLoopJoin",
       "per-(query,candidate) MaxSim partial-aggregates map-side" -> "partial_max",
-      "no cartesian product" -> "!CartesianProduct"))
+      "no cartesian product" -> "!CartesianProduct"),
+    "q173_mad_outliers" -> Seq(
+      "per-type median stats broadcast back over the facts" -> "BroadcastHashJoin",
+      "only the three needed columns read" -> "ReadSchema: struct<event_id:bigint,event_type:string,value:double>"),
+    "q174_ohlc_bars" -> Seq(
+      "both window orderings and the bar agg share one (type,hour) exchange" -> "Window",
+      "bar metrics partial-aggregate before the presentation sort" -> "HashAggregate",
+      "no join anywhere (single-pass downsample)" -> "!Join"),
+    "q175_dsir_resample" -> Seq(
+      "top-k without global sort" -> "TakeOrderedAndProject",
+      "per-doc scores partial-aggregate before the shuffle" -> "HashAggregate",
+      "no cartesian product from the constants frame" -> "!CartesianProduct"),
+    "q176_triangle_count" -> Seq(
+      "degree table broadcast into the orientation join" -> "BroadcastHashJoin",
+      "wedge closure is an equi join, not a cross product" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

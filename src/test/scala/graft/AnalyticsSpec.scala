@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the analytics batch (q173-q176) that the hash oracles can't
+  * state directly: MAD's resistance to planted outliers, OHLC bar
+  * invariants, DSIR's target-language enrichment, and the oriented
+  * triangle-closure formulation checked against hand-counted graphs.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q173 MAD flags a planted wild value that would drag a mean") {
+    import spark.implicits._
+    // 100 benign values around 50 plus one wild point: the wild point must
+    // be the ONLY outlier, and the per-group median/MAD must sit in the
+    // benign range (a mean/stddev would be dragged ~100x by the plant).
+    val vals = ((1 to 100).map(i => (i.toLong, 5000L + (i % 7))) :+ (101L, 500000L))
+    val v = vals.toDF("event_id", "vc")
+    val med2 = v.agg(expr("CAST(percentile(vc, 0.5) * 2 AS BIGINT)").as("med2"))
+    val d = v.crossJoin(med2).withColumn("dev2", abs(lit(2) * $"vc" - $"med2"))
+    val mad4 = d.agg(expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").as("mad4"))
+    val flagged = d.crossJoin(mad4)
+      .filter(lit(2) * $"dev2" > lit(7) * $"mad4")
+      .select($"event_id").as[Long].collect()
+    assert(flagged.toSeq == Seq(101L), s"only the plant should flag, got ${flagged.toSeq}")
+    val m2 = med2.as[Long].head()
+    assert(m2 / 2 >= 5000L && m2 / 2 <= 5007L, "median must ignore the plant")
+  }
+
+  test("q174 OHLC bars satisfy low <= open/close <= high and cover all events") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q174_ohlc_bars")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (o, h, l, c) = (r.getAs[Long]("open_c"), r.getAs[Long]("high_c"),
+          r.getAs[Long]("low_c"), r.getAs[Long]("close_c"))
+        assert(l <= o && o <= h, s"open outside [low, high] in $r")
+        assert(l <= c && c <= h, s"close outside [low, high] in $r")
+      }
+      val total = rows.map(_.getAs[Long]("n_events")).sum
+      val nEvents = Tables.load(spark, dir, "events").count()
+      assert(total == nEvents, "bars must partition the event stream exactly")
+    } finally CacheScope.release()
+  }
+
+  test("q175 DSIR top-100 is enriched in the target language") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q175_dsir_resample")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.length == 100)
+      val enTop = rows.count(_.getAs[String]("lang") == "en")
+      val docs = Tables.load(spark, dir, "documents")
+      val enAll = docs.filter($"lang" === "en").count().toDouble / docs.count()
+      // the synthetic corpus shares most vocabulary across languages, so
+      // the lift is moderate (measured ~54% vs a 38.6% base rate at
+      // sf0.001) — assert a clear positive margin, not a fantasy one
+      assert(enTop / 100.0 > enAll + 0.05,
+        s"top-100 en fraction ${enTop / 100.0} must clearly exceed corpus rate $enAll")
+    } finally CacheScope.release()
+  }
+
+  test("q176 oriented closure counts triangles exactly on known graphs") {
+    import spark.implicits._
+    // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
+    val k4 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val path = Seq((20L, 21L), (21L, 22L), (22L, 23L))
+    val e0 = (k4 ++ tri ++ path).toDF("s1", "s2")
+    val deg = e0.select($"s1".as("s")).unionAll(e0.select($"s2".as("s")))
+      .groupBy($"s").agg(count(lit(1)).as("d"))
+    val fwd = $"da.d" < $"db.d" || ($"da.d" === $"db.d" && $"s1" < $"s2")
+    val eo = e0
+      .join(broadcast(deg.as("da")), $"da.s" === $"s1")
+      .join(broadcast(deg.as("db")), $"db.s" === $"s2")
+      .select(when(fwd, $"s1").otherwise($"s2").as("u"),
+        when(fwd, $"s2").otherwise($"s1").as("v"))
+    val n = eo.as("e1")
+      .join(eo.as("e2"), $"e1.v" === $"e2.u")
+      .join(eo.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    assert(n == 5L, s"K4 + triangle + path must have 5 triangles, got $n")
+  }
+}
