@@ -736,5 +736,92 @@ object Advanced {
         .crossJoin(tri)
         .select($"n_nodes", $"n_edges", $"n_triangles")
     },
+
+    q("q179_histogram_quantiles",
+      // Everything runs on SHIFTED values sv = cents - lo >= 0, so every
+      // DIV has non-negative operands (Spark trunc == DuckDB floor) even
+      // though raw event values can be negative. Doubled "x2" true
+      // quantiles keep the even-count interpolation midpoint integer.
+      """WITH v0 AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT CAST(MIN(vc) AS BIGINT) AS lo,
+        |    CAST(MAX(vc) - MIN(vc) + 1 AS BIGINT) AS w FROM v0),
+        |v AS (SELECT event_type, vc - lo AS sv, w FROM v0, b),
+        |h AS (SELECT event_type, (sv * 64) // w AS bin, w,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY event_type, (sv * 64) // w, w),
+        |cum AS (SELECT event_type, bin, c, w,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |est AS (SELECT event_type, ANY_VALUE(w) AS w,
+        |    CAST(MIN(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum * 2 >= n THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum * 10 >= 9 * n THEN bin END) AS b90
+        |  FROM cum GROUP BY event_type),
+        |ranked AS (SELECT event_type, sv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cn FROM v),
+        |tq AS (SELECT event_type,
+        |    CAST(MAX(CASE WHEN rn = (cn + 1) // 2 THEN sv END) AS BIGINT) AS true50,
+        |    CAST(MAX(CASE WHEN rn = (9 * cn + 9) // 10 THEN sv END) AS BIGINT) AS true90
+        |  FROM ranked GROUP BY event_type)
+        |SELECT e.event_type, n, b50,
+        |  (b50 * w) // 64 AS est50_lo, ((b50 + 1) * w) // 64 - 1 AS est50_hi,
+        |  true50,
+        |  (true50 * 64) // w - b50 AS p50_bin_err,
+        |  b90,
+        |  (b90 * w) // 64 AS est90_lo, ((b90 + 1) * w) // 64 - 1 AS est90_hi,
+        |  true90,
+        |  (true90 * 64) // w - b90 AS p90_bin_err
+        |FROM est e JOIN tq ON e.event_type = tq.event_type
+        |ORDER BY e.event_type""") { (s, dir) =>
+      import s.implicits._
+      // Fixed-bin histogram quantile sketch — the mergeable streaming
+      // estimator (64 counters per group, element-wise addable like q166's
+      // count-min) next to its exact ground truth. The histogram is one
+      // grouped count whose partial aggregation IS the sketch merge; the
+      // quantile estimate is a cumulative-sum scan over 64 rows per group;
+      // the bin-error columns pin the estimator's guarantee (the true
+      // quantile's bin is the estimated bin, give or take interpolation at
+      // an edge). At 100 TB the exact quantile_cont side disappears and
+      // only the 64-long vectors move — that is the point of the sketch;
+      // here both run so the oracle can certify the error, not just the
+      // estimate.
+      val v0 = T(s, dir, "events")
+        .select($"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val b = v0.agg(min($"vc").as("lo"), (max($"vc") - min($"vc") + 1).as("w"))
+      val v = v0.crossJoin(broadcast(b))
+        .select($"event_type", ($"vc" - $"lo").as("sv"), $"w")
+        .transform(graft.CacheScope.cached) // histogram pass + exact pass
+      val h = v.groupBy($"event_type", expr("(sv * 64) DIV w").as("bin"), $"w")
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy($"event_type")
+      val cum = h
+        .withColumn("cum", sum($"c").over(byType.orderBy($"bin")))
+        .withColumn("n", sum($"c").over(byType))
+      val est = cum.groupBy($"event_type")
+        .agg(first($"w").as("w"), min($"n").as("n"),
+          min(when($"cum" * 2 >= $"n", $"bin")).as("b50"),
+          min(when($"cum" * 10 >= lit(9) * $"n", $"bin")).as("b90"))
+      val ranked = v
+        .withColumn("rn", row_number().over(byType.orderBy($"sv")))
+        .withColumn("cn", count(lit(1)).over(byType))
+      val tq = ranked.groupBy($"event_type")
+        .agg(max(when($"rn" === expr("(cn + 1) DIV 2"), $"sv")).cast("long").as("true50"),
+          max(when($"rn" === expr("(9 * cn + 9) DIV 10"), $"sv")).cast("long").as("true90"))
+      est.join(tq, "event_type")
+        .select($"event_type", $"n", $"b50",
+          expr("(b50 * w) DIV 64").as("est50_lo"),
+          expr("((b50 + 1) * w) DIV 64 - 1").as("est50_hi"),
+          $"true50",
+          expr("(true50 * 64) DIV w - b50").as("p50_bin_err"),
+          $"b90",
+          expr("(b90 * w) DIV 64").as("est90_lo"),
+          expr("((b90 + 1) * w) DIV 64 - 1").as("est90_hi"),
+          $"true90",
+          expr("(true90 * 64) DIV w - b90").as("p90_bin_err"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -162,5 +162,76 @@ object Retrieval {
         .select($"q_id", $"cand_id", $"rnk", $"score")
         .orderBy($"q_id", $"rnk")
     },
+
+    q("q178_rank_fusion", {
+      val qdot = (qc: String, dc: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(len($qc)), i -> $qc[CAST(i+1 AS INT)] * $dc[CAST(i+1 AS INT)])), " +
+          "(acc, x) -> acc + x)"
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, m),
+         |pr AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ${qdot("q.qv", "c.qv")} AS dot_full,
+         |    ${qdot("q.qv[1:16]", "c.qv[1:16]")} AS dot_16
+         |  FROM qz q JOIN qz c ON q.vec_id < 6 AND q.vec_id <> c.vec_id),
+         |rk AS (SELECT q_id, cand_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY dot_full DESC, cand_id) AS BIGINT) AS rank_a,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY dot_16 DESC, cand_id) AS BIGINT) AS rank_b
+         |  FROM pr),
+         |fu AS (SELECT q_id, cand_id, rank_a, rank_b,
+         |    (1000000 // (60 + rank_a)) + (1000000 // (60 + rank_b)) AS rrf_micro
+         |  FROM rk),
+         |out AS (SELECT q_id, cand_id, rank_a, rank_b, rrf_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_micro DESC, cand_id) AS BIGINT) AS fused_rank FROM fu)
+         |SELECT q_id, cand_id, fused_rank, rrf_micro, rank_a, rank_b
+         |FROM out WHERE fused_rank <= 10 ORDER BY q_id, fused_rank"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Reciprocal-rank fusion (Cormack et al. 2009) — the standard way a
+      // hybrid retriever combines rankers without score calibration. Two
+      // rankers share ONE scan and one broadcast join: the full-dim int8
+      // dot and its 16-dim truncated (Matryoshka, q161) counterpart; both
+      // row_number passes and the fused re-rank partition on q_id, so the
+      // three windows share a single exchange. RRF scores are fixed-point
+      // (1e6 // (60 + rank)) — integer in both engines, no float ordering.
+      // At 100 TB each ranker is its own index probe (BM25 q169, ANN
+      // q156) producing per-query top-k lists a few hundred rows long;
+      // fusion joins those lists, never the corpus — this query IS that
+      // join, with the rankers inlined.
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))")
+          .as("qv"))
+      val dot = (qc: String, dc: String) =>
+        s"aggregate(zip_with($qc, $dc, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val pr = broadcast(qz.filter($"vec_id" < 6)
+          .select($"vec_id".as("q_id"), $"qv"))
+        .join(qz.select($"vec_id".as("cand_id"), $"qv".as("cv")),
+          $"q_id" =!= $"cand_id")
+        .withColumn("dot_full", expr(dot("qv", "cv")))
+        .withColumn("dot_16", expr(dot("slice(qv, 1, 16)", "slice(cv, 1, 16)")))
+      val byQ = Window.partitionBy($"q_id")
+      pr
+        .withColumn("rank_a", row_number().over(
+          byQ.orderBy($"dot_full".desc, $"cand_id")).cast("long"))
+        .withColumn("rank_b", row_number().over(
+          byQ.orderBy($"dot_16".desc, $"cand_id")).cast("long"))
+        .withColumn("rrf_micro", expr(
+          "(1000000 DIV (60 + rank_a)) + (1000000 DIV (60 + rank_b))"))
+        .withColumn("fused_rank", row_number().over(
+          byQ.orderBy($"rrf_micro".desc, $"cand_id")).cast("long"))
+        .filter($"fused_rank" <= 10)
+        .select($"q_id", $"cand_id", $"fused_rank", $"rrf_micro", $"rank_a", $"rank_b")
+        .orderBy($"q_id", $"fused_rank")
+    },
   )
 }

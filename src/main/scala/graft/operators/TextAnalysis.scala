@@ -428,6 +428,84 @@ object TextAnalysis {
         .orderBy($"avg_log_ratio".desc, $"doc_id".asc)
         .limit(100)
     },
+
+    q("q177_bpe_train", {
+      // One BPE iteration in the DuckDB dialect: count weighted adjacent
+      // symbol pairs, pick the most frequent (tie-break lexicographic),
+      // apply the merge via space-delimited replace.
+      def iter(k: Int): String = {
+        val prev = s"w${k - 1}"
+        s"""p$k AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
+           |    SELECT wf, unnest(list_transform(range(1, len(sy)),
+           |      i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i+1 AS INT)])) AS pair
+           |    FROM (SELECT wf, string_split(seq, ' ') AS sy FROM $prev)
+           |    WHERE len(sy) >= 2) GROUP BY pair),
+           |b$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+           |w$k AS (SELECT word, wf,
+           |    trim(replace(' ' || seq || ' ', ' ' || pair || ' ',
+           |      ' ' || replace(pair, ' ', '') || ' ')) AS seq
+           |  FROM $prev, b$k)"""
+      }
+      s"""WITH wf AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wf
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) >= 2 GROUP BY tok),
+         |w0 AS (SELECT word, wf, array_to_string(list_transform(
+         |    range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq
+         |  FROM wf),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT iter, pair, c FROM (
+         |  SELECT 1 AS iter, pair, c FROM b1
+         |  UNION ALL SELECT 2, pair, c FROM b2
+         |  UNION ALL SELECT 3, pair, c FROM b3) ORDER BY iter"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // BPE merge training (Sennrich et al. 2016), the vocabulary-learning
+      // half of every LLM tokenizer, in its SCALABLE formulation: the
+      // corpus collapses to the word-frequency table ONCE (one token
+      // shuffle), then each merge iteration runs over the vocabulary only —
+      // pair counts partial-aggregate map-side, the winning merge is a
+      // one-row frame BROADCAST into the re-segmentation, and no iteration
+      // ever touches the corpus again. Three iterations driver-unrolled
+      // (q142's k-means pattern); the merge application is the
+      // space-delimited replace trick (' a b ' -> ' ab '), identical
+      // left-to-right non-overlapping semantics in both engines. At 100 TB
+      // the word-frequency table is Zipf-bounded (vocab grows ~log with
+      // corpus), so the iteration cost is independent of corpus size — the
+      // reason real BPE trainers work on exactly this table.
+      val wfT = T(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .groupBy($"tok").agg(count(lit(1)).as("wf"))
+        .select($"tok".as("word"), $"wf")
+      val w0 = wfT.withColumn("seq", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
+        .transform(graft.CacheScope.cached)
+      def step(prev: DataFrame): (DataFrame, DataFrame) = {
+        val best = prev
+          .withColumn("sy", split($"seq", " "))
+          .filter(size($"sy") >= 2)
+          .select($"wf", explode(expr(
+            "transform(sequence(1, size(sy) - 1), i -> concat(sy[i-1], ' ', sy[i]))")).as("pair"))
+          .groupBy($"pair").agg(sum($"wf").as("c"))
+          .orderBy($"c".desc, $"pair".asc).limit(1)
+        val merged = prev.crossJoin(broadcast(best.select($"pair")))
+          .withColumn("seq", trim(expr(
+            "replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
+              "concat(' ', replace(pair, ' ', ''), ' '))")))
+          .select($"word", $"wf", $"seq")
+          .transform(graft.CacheScope.cached)
+        (best, merged)
+      }
+      val (b1, w1) = step(w0)
+      val (b2, w2) = step(w1)
+      val (b3, _) = step(w2)
+      Seq((b1, 1), (b2, 2), (b3, 3))
+        .map { case (b, k) => b.select(lit(k).as("iter"), $"pair", $"c") }
+        .reduce(_.unionAll(_))
+        .orderBy($"iter")
+    },
   )
 
   /** Union of the per-language stopword profiles, deduped, stable order. */

@@ -245,7 +245,18 @@ object PlanAudit {
       "no cartesian product from the constants frame" -> "!CartesianProduct"),
     "q176_triangle_count" -> Seq(
       "degree table broadcast into the orientation join" -> "BroadcastHashJoin",
-      "wedge closure is an equi join, not a cross product" -> "!CartesianProduct"))
+      "wedge closure is an equi join, not a cross product" -> "!CartesianProduct"),
+    "q177_bpe_train" -> Seq(
+      "winning merge broadcast into the re-segmentation" -> "BroadcastNestedLoopJoin",
+      "pair counts partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian product across the unrolled merges" -> "!CartesianProduct"),
+    "q178_rank_fusion" -> Seq(
+      "query side broadcast (candidate scan shuffle-free)" -> "BroadcastNestedLoopJoin",
+      "all three rankings share the q_id window partition" -> "Window"),
+    "q179_histogram_quantiles" -> Seq(
+      "histogram partial-aggregates before the shuffle (the sketch merge)" -> "HashAggregate",
+      "global bounds broadcast (bin assignment stays map-side)" -> "BroadcastNestedLoopJoin",
+      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

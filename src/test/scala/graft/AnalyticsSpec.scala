@@ -65,6 +65,69 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q177 merge application is left-to-right non-overlapping") {
+    import spark.implicits._
+    // The BPE apply step's correctness rests on replace() semantics both
+    // engines share: scanning left to right, a consumed character cannot
+    // start a second match. ' a a a ' must become ' aa a ', not ' aa aa '.
+    val out = Seq(("a a a")).toDF("seq")
+      .select(expr(
+        "trim(replace(concat(' ', seq, ' '), ' a a ', ' aa '))").as("merged"))
+      .as[String].head()
+    assert(out == "aa a", s"greedy non-overlapping merge expected, got '$out'")
+  }
+
+  test("q177 learns the planted dominant pair first") {
+    import spark.implicits._
+    // Fixture where 'x y' dominates: BPE's first merge must be it.
+    val wf = Seq(("xy", 50L), ("xz", 3L), ("zy", 2L)).toDF("word", "wf")
+    val pairs = wf
+      .withColumn("seq", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
+      .withColumn("sy", split($"seq", " "))
+      .select($"wf", explode(expr(
+        "transform(sequence(1, size(sy) - 1), i -> concat(sy[i-1], ' ', sy[i]))")).as("pair"))
+      .groupBy($"pair").agg(sum($"wf").as("c"))
+      .orderBy($"c".desc, $"pair".asc)
+    val top = pairs.head()
+    assert(top.getAs[String]("pair") == "x y" && top.getAs[Long]("c") == 50L)
+  }
+
+  test("q178 RRF: a candidate winning both rankers wins the fusion") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q178_rank_fusion")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.length == 60, "6 queries x top-10")
+      rows.foreach { r =>
+        val (ra, rb, rrf) = (r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"),
+          r.getAs[Long]("rrf_micro"))
+        assert(rrf == 1000000L / (60 + ra) + 1000000L / (60 + rb),
+          s"rrf must equal its formula in $r")
+      }
+      // double winners (rank_a = rank_b = 1) must be fused_rank 1
+      rows.filter(r => r.getAs[Long]("rank_a") == 1 && r.getAs[Long]("rank_b") == 1)
+        .foreach(r => assert(r.getAs[Long]("fused_rank") == 1L))
+    } finally CacheScope.release()
+  }
+
+  test("q179 sketch bin always contains the discrete true quantile") {
+    import spark.implicits._
+    // This is a theorem of the construction (the cumulative rule and the
+    // rank rule pick the same position), so any nonzero bin error is a
+    // real arithmetic bug, not fixture luck.
+    val out = SparkEntry.queries("q179_histogram_quantiles")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("p50_bin_err") == 0L, s"p50 bin error in $r")
+        assert(r.getAs[Long]("p90_bin_err") == 0L, s"p90 bin error in $r")
+        assert(r.getAs[Long]("est50_lo") <= r.getAs[Long]("est50_hi"))
+      }
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
