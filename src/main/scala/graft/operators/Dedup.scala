@@ -420,5 +420,57 @@ object Dedup {
           ($"n_dup" * 5 > $"n_spans").as("contaminated"))
         .orderBy($"doc_id")
     },
+
+    q("q181_containment",
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+         |pair AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) inter
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(hh) AS BIGINT) n FROM hs)
+         |SELECT da AS doc_a, db AS doc_b, inter,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  (inter * 1000000) // LEAST(sa.n, sb.n) AS contain_ppm
+         |FROM pair JOIN sz sa ON sa.doc_id = pair.da
+         |          JOIN sz sb ON sb.doc_id = pair.db
+         |WHERE (inter * 1000000) // LEAST(sa.n, sb.n) >= 800000
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import s.implicits._
+      // Shingle CONTAINMENT (Broder's resemblance's asymmetric sibling):
+      // |A intersect B| / min(|A|, |B|) — catches a short document quoted
+      // inside a long one, which Jaccard structurally cannot (the union
+      // term drowns it: a 10-shingle doc inside a 1000-shingle doc has
+      // containment 1.0 but Jaccard < 0.01, invisible to q41/q92's 0.6
+      // cut). Same inverted-index candidate plan as q41 — only docs
+      // sharing a shingle hash ever meet, the join key is the 8-byte hash.
+      // The fixed-point threshold is one non-negative integer DIV. At
+      // 100 TB the index gets df-capped exactly like q118's probe (drop
+      // shingles seen in > K docs before the self-join — a stop-shingle
+      // list); the fixture corpus needs no cap, so the operator stays
+      // exact here.
+      val sh = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .withColumn("shingles", expr(shinglesSql("w")))
+        .withColumn("hh", expr(hashedSetSql("shingles")))
+        .select($"doc_id", $"hh")
+        .transform(graft.CacheScope.cached) // index join + two size lookups
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
+      ex.as("a").join(ex.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("contain_ppm",
+          expr("(inter * 1000000) DIV LEAST(sa.n, sb.n)"))
+        .filter($"contain_ppm" >= 800000L)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter",
+          $"sa.n".as("n_a"), $"sb.n".as("n_b"), $"contain_ppm")
+        .orderBy($"doc_a", $"doc_b")
+    },
   )
 }

@@ -429,37 +429,12 @@ object TextAnalysis {
         .limit(100)
     },
 
-    q("q177_bpe_train", {
-      // One BPE iteration in the DuckDB dialect: count weighted adjacent
-      // symbol pairs, pick the most frequent (tie-break lexicographic),
-      // apply the merge via space-delimited replace.
-      def iter(k: Int): String = {
-        val prev = s"w${k - 1}"
-        s"""p$k AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
-           |    SELECT wf, unnest(list_transform(range(1, len(sy)),
-           |      i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i+1 AS INT)])) AS pair
-           |    FROM (SELECT wf, string_split(seq, ' ') AS sy FROM $prev)
-           |    WHERE len(sy) >= 2) GROUP BY pair),
-           |b$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
-           |w$k AS (SELECT word, wf,
-           |    trim(replace(' ' || seq || ' ', ' ' || pair || ' ',
-           |      ' ' || replace(pair, ' ', '') || ' ')) AS seq
-           |  FROM $prev, b$k)"""
-      }
-      s"""WITH wf AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wf
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  WHERE length(tok) >= 2 GROUP BY tok),
-         |w0 AS (SELECT word, wf, array_to_string(list_transform(
-         |    range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq
-         |  FROM wf),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
+    q("q177_bpe_train",
+      s"""WITH $duckBpeCtes
          |SELECT iter, pair, c FROM (
          |  SELECT 1 AS iter, pair, c FROM b1
          |  UNION ALL SELECT 2, pair, c FROM b2
-         |  UNION ALL SELECT 3, pair, c FROM b3) ORDER BY iter"""
-    }) { (s, dir) =>
+         |  UNION ALL SELECT 3, pair, c FROM b3) ORDER BY iter""") { (s, dir) =>
       import s.implicits._
       // BPE merge training (Sennrich et al. 2016), the vocabulary-learning
       // half of every LLM tokenizer, in its SCALABLE formulation: the
@@ -474,39 +449,116 @@ object TextAnalysis {
       // the word-frequency table is Zipf-bounded (vocab grows ~log with
       // corpus), so the iteration cost is independent of corpus size — the
       // reason real BPE trainers work on exactly this table.
-      val wfT = T(s, dir, "documents")
-        .select(explode(split($"text", " ")).as("tok"))
-        .filter(length($"tok") >= 2)
-        .groupBy($"tok").agg(count(lit(1)).as("wf"))
-        .select($"tok".as("word"), $"wf")
-      val w0 = wfT.withColumn("seq", expr(
-        "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
-        .transform(graft.CacheScope.cached)
-      def step(prev: DataFrame): (DataFrame, DataFrame) = {
-        val best = prev
-          .withColumn("sy", split($"seq", " "))
-          .filter(size($"sy") >= 2)
-          .select($"wf", explode(expr(
-            "transform(sequence(1, size(sy) - 1), i -> concat(sy[i-1], ' ', sy[i]))")).as("pair"))
-          .groupBy($"pair").agg(sum($"wf").as("c"))
-          .orderBy($"c".desc, $"pair".asc).limit(1)
-        val merged = prev.crossJoin(broadcast(best.select($"pair")))
-          .withColumn("seq", trim(expr(
-            "replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
-              "concat(' ', replace(pair, ' ', ''), ' '))")))
-          .select($"word", $"wf", $"seq")
-          .transform(graft.CacheScope.cached)
-        (best, merged)
-      }
-      val (b1, w1) = step(w0)
-      val (b2, w2) = step(w1)
-      val (b3, _) = step(w2)
-      Seq((b1, 1), (b2, 2), (b3, 3))
-        .map { case (b, k) => b.select(lit(k).as("iter"), $"pair", $"c") }
+      val (bests, _) = bpeTrain(s, dir)
+      bests.zipWithIndex
+        .map { case (b, k) => b.select(lit(k + 1).as("iter"), $"pair", $"c") }
         .reduce(_.unionAll(_))
         .orderBy($"iter")
     },
+
+    q("q180_bpe_segment",
+      s"""WITH $duckBpeCtes,
+         |wp AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS np
+         |  FROM w3),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |per AS (SELECT t.doc_id, COALESCE(wp.np, 1) AS np
+         |  FROM toks t LEFT JOIN wp ON t.tok = wp.word)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+         |  (CAST(SUM(np) AS BIGINT) * 1000000) // COUNT(*) AS pieces_per_word_micro
+         |FROM per GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // The APPLY half of q177: segment the corpus with the learned merges
+      // and report the pieces-per-word fertility every tokenizer budget is
+      // planned around. The scalable shape is the point — segmentation is
+      // computed once per VOCABULARY entry (Zipf-bounded), and the corpus
+      // pays only a token->vocab join (hot heads are the skew AQE splits,
+      // q136's rationale for not hand-broadcasting a corpus-growing
+      // vocab); single-character words fall back to one piece, the byte-
+      // fallback contract of real tokenizers.
+      val (_, w3) = bpeTrain(s, dir)
+      val wp = w3.select($"word",
+        size(split($"seq", " ")).cast("long").as("np"))
+      T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .join(wp.withColumnRenamed("word", "tok"), Seq("tok"), "left")
+        .select($"doc_id", coalesce($"np", lit(1L)).as("np"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"np").as("n_pieces"))
+        .withColumn("pieces_per_word_micro", expr("(n_pieces * 1000000) DIV n_words"))
+        .orderBy($"doc_id")
+    },
   )
+
+  /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol
+    * pairs, pick the most frequent (tie-break lexicographic), apply the
+    * merge via space-delimited replace. Shared by q177 (reports the merges)
+    * and q180 (applies the final segmentation).
+    */
+  private def duckBpeIter(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS c FROM (
+       |    SELECT wf, unnest(list_transform(range(1, len(sy)),
+       |      i -> sy[CAST(i AS INT)] || ' ' || sy[CAST(i+1 AS INT)])) AS pair
+       |    FROM (SELECT wf, string_split(seq, ' ') AS sy FROM $prev)
+       |    WHERE len(sy) >= 2) GROUP BY pair),
+       |b$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+       |w$k AS (SELECT word, wf,
+       |    trim(replace(' ' || seq || ' ', ' ' || pair || ' ',
+       |      ' ' || replace(pair, ' ', '') || ' ')) AS seq
+       |  FROM $prev, b$k)"""
+  }
+
+  /** The word-frequency table, initial char segmentation, and three merge
+    * iterations (w0..w3, b1..b3) as DuckDB CTE bodies (no WITH keyword).
+    */
+  private def duckBpeCtes: String =
+    s"""wf AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |w0 AS (SELECT word, wf, array_to_string(list_transform(
+       |    range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq
+       |  FROM wf),
+       |${duckBpeIter(1)},
+       |${duckBpeIter(2)},
+       |${duckBpeIter(3)}"""
+
+  /** Spark-side BPE trainer shared by q177/q180: returns the three winning
+    * merges (one-row frames) and the vocabulary segmented by all three.
+    * See q177's scaladoc for the scale argument.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    val wfT = T(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .groupBy($"tok").agg(count(lit(1)).as("wf"))
+      .select($"tok".as("word"), $"wf")
+    val w0 = wfT.withColumn("seq", expr(
+      "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"))
+      .transform(graft.CacheScope.cached)
+    def step(prev: DataFrame): (DataFrame, DataFrame) = {
+      val best = prev
+        .withColumn("sy", split($"seq", " "))
+        .filter(size($"sy") >= 2)
+        .select($"wf", explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> concat(sy[i-1], ' ', sy[i]))")).as("pair"))
+        .groupBy($"pair").agg(sum($"wf").as("c"))
+        .orderBy($"c".desc, $"pair".asc).limit(1)
+      val merged = prev.crossJoin(broadcast(best.select($"pair")))
+        .withColumn("seq", trim(expr(
+          "replace(concat(' ', seq, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' '))")))
+        .select($"word", $"wf", $"seq")
+        .transform(graft.CacheScope.cached)
+      (best, merged)
+    }
+    val (b1, w1) = step(w0)
+    val (b2, w2) = step(w1)
+    val (b3, w3) = step(w2)
+    (Seq(b1, b2, b3), w3)
+  }
 
   /** Union of the per-language stopword profiles, deduped, stable order. */
   private[operators] def allStops: Seq[String] =

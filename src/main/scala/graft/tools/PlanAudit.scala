@@ -256,7 +256,15 @@ object PlanAudit {
     "q179_histogram_quantiles" -> Seq(
       "histogram partial-aggregates before the shuffle (the sketch merge)" -> "HashAggregate",
       "global bounds broadcast (bin assignment stays map-side)" -> "BroadcastNestedLoopJoin",
-      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"))
+      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"),
+    "q180_bpe_segment" -> Seq(
+      "winning merges broadcast into the vocab re-segmentation" -> "BroadcastNestedLoopJoin",
+      "per-doc piece counts partial-aggregate before the shuffle" -> "HashAggregate",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q181_containment" -> Seq(
+      "candidate pairs meet in an equi hash join on the shingle hash" -> "HashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -128,6 +128,59 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q180 fertility is bounded and consistent with word counts") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q180_bpe_segment")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nw, np, ppw) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Long]("pieces_per_word_micro"))
+        assert(np >= nw, "every word is at least one piece")
+        assert(ppw >= 1000000L, "fertility >= 1 piece/word")
+        assert(ppw == np * 1000000L / nw, "fertility must equal its formula")
+        // three merges can't collapse typical words below ~2 pieces on
+        // average; a fertility of exactly 1.0 would mean every word became
+        // one token — impossible with 3 merges over multi-char words
+        assert(ppw > 1500000L, s"implausibly low fertility $ppw")
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q181 containment catches a short doc quoted in a long one") {
+    import spark.implicits._
+    import graft.functions.TextHash.{hashedSetSql, shinglesSql}
+    graft.functions.GraftExpressions.register(spark)
+    // A is 12 words; B embeds A verbatim inside 40 words of padding.
+    // Containment must be ~1.0 while Jaccard stays far below the 0.6
+    // near-dup cut — the case this operator exists for.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val pad1 = (1 to 20).map(i => s"pad$i").mkString(" ")
+    val pad2 = (21 to 40).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, s"$pad1 $a $pad2")).toDF("doc_id", "text")
+    val hs = docs
+      .withColumn("w", split($"text", " "))
+      .withColumn("hh", expr(hashedSetSql(shinglesSql("w"))))
+      .select($"doc_id", $"hh")
+    val ex = hs.select($"doc_id", explode($"hh").as("h"))
+    val sz = hs.select($"doc_id", size($"hh").cast("long").as("n"))
+    val row = ex.as("a").join(ex.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), $"da" === $"sa.doc_id")
+      .join(sz.as("sb"), $"db" === $"sb.doc_id")
+      .select($"inter", $"sa.n".as("na"), $"sb.n".as("nb"))
+      .head()
+    val (inter, na, nb) = (row.getAs[Long]("inter"), row.getAs[Long]("na"),
+      row.getAs[Long]("nb"))
+    assert(inter * 1000000L / math.min(na, nb) == 1000000L,
+      "A's shingles must all appear in B (containment 1.0)")
+    assert(inter.toDouble / (na + nb - inter) < 0.6,
+      "Jaccard must miss this pair — that asymmetry is the operator's point")
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
