@@ -28,6 +28,8 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_doti", es => DotProductInt(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sqdisti", es => SquaredDistInt(es(0), es(1)), "built-in")
     // Spark's internal bloom pair (what its own runtime filters use),
     // surfaced as engine functions: build a filter over the small side's
     // keys, probe it map-side on the fact side BEFORE the shuffle — the
@@ -183,6 +185,93 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** doti(a, b) over ARRAY<BIGINT>: integer dot product as one codegen'd loop.
+  * Replaces the interpreted `aggregate(zip_with(...))` HOF in the quantized
+  * retrieval kernels (q172/q178) — same left-to-right integer arithmetic
+  * (associative, so identical to the fold and the DuckDB list_reduce
+  * mirror), no per-element lambda dispatch.
+  */
+case class DotProductInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doti"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sqdist(a, b) over ARRAY<BIGINT>: integer squared L2 distance as one
+  * codegen'd loop — the inner kernel of the quantized k-means / PQ / IVF-PQ
+  * family (q142/q147/q156), where it runs once per (vector, centroid) pair.
+  */
+case class SquaredDistInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdisti"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -17,8 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Retrieval {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
     Tables.load(s, dir, name)
+  }
 
   /** BM25 constants, scaled to integers: k1 = 1.2 (=12/10), b = 0.75 (=3/4).
     * With num/den cross-multiplied by 10*avgdl_micro every division in the
@@ -151,8 +153,7 @@ object Retrieval {
       val wQ = Window.partitionBy($"q_id").orderBy($"score".desc, $"cand_id".asc)
       qtok.join(tok.select($"vec_id".as("cand_id"), $"t".as("dt"), $"tv".as("dv")),
           $"q_id" =!= $"cand_id")
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qv, dv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot", expr("graft_doti(qv, dv)"))
         .groupBy($"q_id", $"cand_id", $"qt")
         .agg(max($"dot").as("md"))
         .groupBy($"q_id", $"cand_id")
@@ -211,8 +212,7 @@ object Retrieval {
         .select($"vec_id", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))")
           .as("qv"))
-      val dot = (qc: String, dc: String) =>
-        s"aggregate(zip_with($qc, $dc, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val dot = (qc: String, dc: String) => s"graft_doti($qc, $dc)"
       val pr = broadcast(qz.filter($"vec_id" < 6)
           .select($"vec_id".as("q_id"), $"qv"))
         .join(qz.select($"vec_id".as("cand_id"), $"qv".as("cv")),

@@ -446,7 +446,7 @@ object Similarity {
       def assign(cents: org.apache.spark.sql.DataFrame) =
         qz.crossJoin(broadcast(cents))
           .withColumn("dist", expr(
-            "aggregate(zip_with(qv, cm, (x, m) -> (x-m)*(x-m)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+            "graft_sqdisti(qv, cm)"))
           .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
           .select($"vec_id", $"mc.c".as("c"), $"mc.dist".as("dist"))
       def recompute(asg: org.apache.spark.sql.DataFrame) =
@@ -515,7 +515,7 @@ object Similarity {
         .select($"vec_id", $"s", expr("slice(qv, s*16 + 1, 16)").as("sv"))
         .transform(graft.CacheScope.cached) // encode + codebook + query reuse
       val cb = sub.filter($"vec_id" < 8).select($"vec_id".as("c"), $"s", $"sv".as("cw"))
-      val sqd = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val sqd = "graft_sqdisti(%s, %s)"
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("dist", expr(sqd.format("sv", "cw")))
         .groupBy($"vec_id", $"s").agg(min(struct($"dist", $"c")).as("mc"))
@@ -626,7 +626,7 @@ object Similarity {
         .select($"vec_id", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)").as("qv"))
         .transform(graft.CacheScope.cached) // train + assign + encode + truth
-      val sqd = "aggregate(zip_with(%s, %s, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val sqd = "graft_sqdisti(%s, %s)"
       // --- coarse quantizer: q142's integer-exact Lloyd, 2 iterations ---
       def assign(cents: DataFrame): DataFrame =
         qz.crossJoin(broadcast(cents))

@@ -57,4 +57,25 @@ class ExpressionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+
+  test("native graft_doti / graft_sqdisti equal the integer HOF folds") {
+    GraftExpressions.register(spark)
+    import spark.implicits._
+    // int8-quantized range, the retrieval kernels' domain; exact equality is
+    // required (integer arithmetic, no rounding anywhere)
+    val vecs = Seq.fill(50)((
+      List.fill(64)((rnd.nextInt(255) - 127).toLong),
+      List.fill(64)((rnd.nextInt(255) - 127).toLong)))
+    val rows = vecs.toDF("a", "b")
+      .selectExpr(
+        "graft_doti(a, b) AS ndot",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hdot",
+        "graft_sqdisti(a, b) AS nsq",
+        "aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hsq")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "doti must equal the HOF fold")
+      assert(r.getLong(2) == r.getLong(3), "sqdisti must equal the HOF fold")
+    }
+  }
 }
