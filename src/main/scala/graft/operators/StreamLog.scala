@@ -952,5 +952,83 @@ object StreamLog {
         .agg(count(lit(1)).as("n"), graft.ColFns.dsum($"o_totalprice").as("total"))
         .orderBy($"o_orderstatus")
     },
+
+    q("q182_streaming_quantiles",
+      // Oracle = q179's histogram arithmetic minus the exact-truth columns:
+      // the stream only ever holds the 64-bin sketch, so the sketch IS the
+      // answer; the bin edges are what a monitoring dashboard reads.
+      """WITH v0 AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT CAST(MIN(vc) AS BIGINT) AS lo,
+        |    CAST(MAX(vc) - MIN(vc) + 1 AS BIGINT) AS w FROM v0),
+        |h AS (SELECT event_type, ((vc - lo) * 64) // w AS bin, w,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v0, b GROUP BY event_type, ((vc - lo) * 64) // w, w),
+        |cum AS (SELECT event_type, bin, c, w,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |est AS (SELECT event_type, ANY_VALUE(w) AS w,
+        |    CAST(MIN(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum * 2 >= n THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum * 10 >= 9 * n THEN bin END) AS b90
+        |  FROM cum GROUP BY event_type)
+        |SELECT event_type, n, b50,
+        |  (b50 * w) // 64 AS est50_lo, ((b50 + 1) * w) // 64 - 1 AS est50_hi,
+        |  b90,
+        |  (b90 * w) // 64 AS est90_lo, ((b90 + 1) * w) // 64 - 1 AS est90_hi
+        |FROM est ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // q179's quantile sketch RUNNING CONTINUOUSLY through the engine —
+      // the streaming shape every latency/price monitor needs: values
+      // stream in from the log (integer cents, pre-derived so no float
+      // ever rides the wire), the bin bounds are a STATIC one-row frame
+      // broadcast into the stream (a stream-static join: in production the
+      // bounds come from yesterday's batch job, exactly like this), and
+      // the state per event type is the 64-counter histogram — bounded
+      // regardless of stream length, the property that lets it run
+      // forever. Complete-mode output; the cumulative-scan finalization
+      // runs batch-side on the drained sink, the way a dashboard queries
+      // the live sketch table. Multi-batch drain (4 triggers at sf0.01)
+      // proves the counters accumulate across micro-batches.
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val root = graft.LogFixtures.producedLog(dir, "q182") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"vc"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val bounds = v0.agg(min($"vc").as("lo"),
+        (max($"vc") - min($"vc") + 1).as("w"))
+      val sketch = graft.streaming.StreamHarness.runToMemory(
+          s, "q182", 4, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING, vc BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "3000")
+          .load()
+          .crossJoin(broadcast(bounds))
+          .select($"event_type", expr("((vc - lo) * 64) DIV w").as("bin"), $"w")
+          .groupBy($"event_type", $"bin", $"w")
+          .agg(count(lit(1)).as("c"))
+      }
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+      val cum = sketch
+        .withColumn("cum", sum($"c").over(byType.orderBy($"bin")))
+        .withColumn("n", sum($"c").over(byType))
+      cum.groupBy($"event_type")
+        .agg(first($"w").as("w"), min($"n").as("n"),
+          min(when($"cum" * 2 >= $"n", $"bin")).as("b50"),
+          min(when($"cum" * 10 >= lit(9) * $"n", $"bin")).as("b90"))
+        .select($"event_type", $"n", $"b50",
+          expr("(b50 * w) DIV 64").as("est50_lo"),
+          expr("((b50 + 1) * w) DIV 64 - 1").as("est50_hi"),
+          $"b90",
+          expr("(b90 * w) DIV 64").as("est90_lo"),
+          expr("((b90 + 1) * w) DIV 64 - 1").as("est90_hi"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -181,6 +181,25 @@ class AnalyticsSpec extends AnyFunSuite {
       "Jaccard must miss this pair — that asymmetry is the operator's point")
   }
 
+  test("q182 streaming sketch state is bounded and covers every event") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q182_streaming_quantiles")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // the whole point of the sketch: per-type state is <= 64 counters no
+      // matter how long the stream runs, and nothing is lost on the way
+      val total = rows.map(_.getAs[Long]("n")).sum
+      val nEvents = Tables.load(spark, dir, "events").count()
+      assert(total == nEvents, "histogram totals must cover every event")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("b50") >= 0 && r.getAs[Long]("b50") < 64)
+        assert(r.getAs[Long]("b90") >= r.getAs[Long]("b50"),
+          "p90 bin cannot precede the p50 bin")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
