@@ -706,5 +706,42 @@ object Pipeline {
           ($"top3_chars" * 50 > $"n_chars" * 9).as("flag3"))
         .orderBy($"doc_id")
     },
+
+    q("q183_weighted_sample", {
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |    (($ph) * 2654435761) % $P % 1000000 + 1 AS u_ppm
+         |  FROM documents),
+         |k AS (SELECT doc_id, n_chars, u_ppm,
+         |    CAST(FLOOR((ln(u_ppm) - ln(1000000)) * 1000000000000
+         |      / n_chars + 0.5) AS BIGINT) AS key_pico
+         |  FROM u)
+         |SELECT doc_id, n_chars, u_ppm, key_pico FROM k
+         |ORDER BY key_pico DESC, doc_id LIMIT 50"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+      // each item draws a deterministic pseudo-uniform u from its id hash
+      // (scattered — q165's short-key lesson) and gets key = ln(u)/w; the
+      // top-k keys ARE a weighted sample without replacement. This is THE
+      // distributed algorithm for "sample 10k docs proportional to length
+      // from 100 TB" — one map to compute keys, one TakeOrderedAndProject,
+      // no sequential pass, reproducible across runs and cluster sizes
+      // (q87's hash-threshold trick does Bernoulli sampling; this one hits
+      // an exact k with weights). Float discipline: one ln() per row
+      // rounded to pico units in an identical expression both engines
+      // evaluate on identical integer operands (q136's accepted 1-ulp
+      // cliff); ordering ties break on doc_id.
+      T(s, dir, "documents")
+        .select($"doc_id", $"n_chars", expr(
+          s"(graft_polyhash(CAST(doc_id AS STRING)) * 2654435761) % ${graft.functions.TextHash.P} % 1000000 + 1")
+          .as("u_ppm"))
+        .withColumn("key_pico", expr(
+          "CAST(FLOOR((ln(u_ppm) - ln(1000000)) * 1000000000000 / n_chars + 0.5) AS BIGINT)"))
+        .orderBy($"key_pico".desc, $"doc_id".asc)
+        .limit(50)
+    },
   )
 }

@@ -77,6 +77,32 @@ object UdfSurface {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** KMV sketch capacity: the K smallest distinct hashes kept per group. */
+  private[graft] val KmvK = 8
+
+  /** K-minimum-values buffer: a sorted array of at most KmvK DISTINCT hash
+    * values. reduce inserts (dedup + trim), merge is a sorted-merge + trim —
+    * both keep the invariant, so partial aggregation anywhere in the plan
+    * yields the same sketch (partitioning-invariant; SketchSpec pins it).
+    */
+  private[graft] object KmvSketch extends Aggregator[Long, Array[Long], Array[Long]] {
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      if (b.length == KmvK && h >= b(KmvK - 1)) return b
+      if (java.util.Arrays.binarySearch(b, h) >= 0) return b
+      val merged = (b :+ h).sorted
+      if (merged.length > KmvK) merged.take(KmvK) else merged
+    }
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(insert)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q119_heavy_hitters",
@@ -145,5 +171,55 @@ object UdfSurface {
         .groupBy($"word").agg(count(lit(1)).as("n"))
         .orderBy($"word")
     },
+
+    q("q184_kmv_distinct", {
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT DISTINCT event_type,
+         |    (($ph) * 2654435761) % $P AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM u),
+         |k AS (SELECT event_type,
+         |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth_min,
+         |    CAST(MIN(nd) AS BIGINT) AS n_exact FROM r GROUP BY event_type)
+         |SELECT event_type, n_exact, kth_min,
+         |  CASE WHEN kth_min IS NULL THEN n_exact
+         |    ELSE (${(KmvK - 1) * P}) // kth_min END AS est_n,
+         |  CASE WHEN kth_min IS NULL THEN 0
+         |    ELSE (${(KmvK - 1) * P}) // kth_min - n_exact END AS err
+         |FROM k ORDER BY event_type"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // K-minimum-values distinct-count sketch (Bar-Yossef et al.): keep the
+      // K smallest distinct hash values; estimate = (K-1) * P / kth_min.
+      // Unlike approx_count_distinct's opaque HLL (q13), every byte of this
+      // sketch is integer arithmetic the oracle replays exactly — and it is
+      // MERGEABLE: merging two sketches is merging two sorted K-lists and
+      // trimming, which is what the typed Aggregator's partial aggregation
+      // does map-side, so only K longs per group cross the shuffle. The
+      // short-key hash is scattered (q165's multiplicative-mix lesson)
+      // before the order statistics — raw polyhashes of small integers
+      // cluster near 0 and would wreck the (K-1)*P/kth estimator.
+      val kmv = udaf(KmvSketch)
+      val hashed = T(s, dir, "events")
+        .select($"event_type", expr(
+          s"(graft_polyhash(CAST(user_id AS STRING)) * 2654435761) % ${graft.functions.TextHash.P}")
+          .as("h"))
+      val sk = hashed.groupBy($"event_type").agg(kmv($"h").as("mins"))
+      val exact = hashed.groupBy($"event_type")
+        .agg(countDistinct($"h").as("n_exact"))
+      sk.join(exact, "event_type")
+        .withColumn("kth_min",
+          when(size($"mins") >= KmvK, element_at($"mins", KmvK)))
+        .select($"event_type", $"n_exact", $"kth_min",
+          expr(s"CASE WHEN kth_min IS NULL THEN n_exact " +
+            s"ELSE ${(KmvK - 1) * graft.functions.TextHash.P} DIV kth_min END").as("est_n"),
+          expr(s"CASE WHEN kth_min IS NULL THEN 0 " +
+            s"ELSE ${(KmvK - 1) * graft.functions.TextHash.P} DIV kth_min - n_exact END").as("err"))
+        .orderBy($"event_type")
+    },
   )
+
 }

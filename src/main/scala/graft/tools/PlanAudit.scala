@@ -264,7 +264,14 @@ object PlanAudit {
     "q181_containment" -> Seq(
       "candidate pairs meet in an equi hash join on the shingle hash" -> "HashJoin",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q183_weighted_sample" -> Seq(
+      "weighted top-k without a global sort" -> "TakeOrderedAndProject",
+      "key computation is pure map-side (no join, no aggregation)" -> "!HashAggregate",
+      "only doc_id and n_chars read" -> "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+    "q184_kmv_distinct" -> Seq(
+      "sketch partial-aggregates map-side (K longs cross the shuffle)" -> "partial_kmvsketch",
+      "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

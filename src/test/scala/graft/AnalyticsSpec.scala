@@ -200,6 +200,24 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q183 weighted sample over-selects heavy documents") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q183_weighted_sample")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.length == 50)
+      val selMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+      val corpusMean = Tables.load(spark, dir, "documents")
+        .agg(avg($"n_chars")).head().getDouble(0)
+      assert(selMean > corpusMean,
+        s"length-weighted sample mean $selMean must exceed corpus mean $corpusMean")
+      // keys are negative (ln of a sub-1 uniform); ordering must be desc
+      val keys = rows.map(_.getAs[Long]("key_pico"))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+      assert(keys.forall(_ <= 0L))
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
