@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, PolyHash, SimHash32}
+import graft.functions.{DotProduct, DotProductInt, MinHashSig, PolyHash, SimHash32, SquaredDistInt}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       es => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_doti"),
+      new ExpressionInfo(classOf[DotProductInt].getName, "graft_doti"),
+      es => DotProductInt(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_sqdisti"),
+      new ExpressionInfo(classOf[SquaredDistInt].getName, "graft_sqdisti"),
+      es => SquaredDistInt(es(0), es(1))))
   }
 }

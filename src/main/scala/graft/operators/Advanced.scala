@@ -823,5 +823,105 @@ object Advanced {
           expr("(true90 * 64) DIV w - b90").as("p90_bin_err"))
         .orderBy($"event_type")
     },
+
+    q("q185_click_attribution",
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.pid, p.user_id, c.cid, c.ctsu FROM p
+        |  JOIN c ON p.user_id = c.user_id
+        |    AND c.ctsu <= p.ptsu AND c.ctsu > p.ptsu - 604800000000),
+        |r AS (SELECT pid, user_id, cid, ctsu,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ctsu, cid) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ctsu DESC, cid DESC) AS rl
+        |  FROM j),
+        |a AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |    CAST(MAX(CASE WHEN rf = 1 THEN cid END) AS BIGINT) AS first_click,
+        |    CAST(MAX(CASE WHEN rl = 1 THEN cid END) AS BIGINT) AS last_click
+        |  FROM r GROUP BY pid)
+        |SELECT p.pid AS purchase_id, p.user_id,
+        |  COALESCE(a.n_clicks, 0) AS n_clicks, a.first_click, a.last_click
+        |FROM p LEFT JOIN a ON p.pid = a.pid
+        |ORDER BY purchase_id""") { (s, dir) =>
+      import s.implicits._
+      // First-/last-touch attribution: every purchase credits the earliest
+      // and latest click by the same user in the preceding 7 days — the
+      // query behind every marketing-spend dashboard. One user-keyed
+      // equi-join (the time window is a post-join filter, so no nested
+      // loop); first/last are the two row_number orderings on one pid
+      // partition (q174's shared-exchange pattern); purchases with no
+      // clicks survive the left join with n_clicks = 0. At 100 TB both
+      // sides co-partition on user_id and the 7-day bound keeps join state
+      // small under AQE; hot users are exactly the skew the salted variant
+      // (q89) handles if one key outgrows a partition.
+      val ev = T(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", unix_micros($"ts").as("ptsu"))
+        .transform(graft.CacheScope.cached) // join side + left-join spine
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("cid"), $"user_id", unix_micros($"ts").as("ctsu"))
+      val j = p.join(c, Seq("user_id"))
+        .filter($"ctsu" <= $"ptsu" && $"ctsu" > $"ptsu" - lit(604800000000L))
+      val byP = Window.partitionBy($"pid")
+      val a = j
+        .withColumn("rf", row_number().over(byP.orderBy($"ctsu".asc, $"cid".asc)))
+        .withColumn("rl", row_number().over(byP.orderBy($"ctsu".desc, $"cid".desc)))
+        .groupBy($"pid")
+        .agg(count(lit(1)).as("n_clicks"),
+          max(when($"rf" === 1, $"cid")).cast("long").as("first_click"),
+          max(when($"rl" === 1, $"cid")).cast("long").as("last_click"))
+      p.select($"pid", $"user_id")
+        .join(a, Seq("pid"), "left")
+        .select($"pid".as("purchase_id"), $"user_id",
+          coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+          $"first_click", $"last_click")
+        .orderBy($"purchase_id")
+    },
+
+    q("q186_twap",
+      // Products scaled to (cents x interval-MILLIS) so a day of intervals
+      // stays orders of magnitude inside Long; the one double division per
+      // group happens on identical integer operands in both engines.
+      s"""WITH v AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    epoch_us(ts) AS tsu, event_id,
+         |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+         |iv AS (SELECT event_type, day, vc,
+         |    (LEAD(tsu) OVER (PARTITION BY event_type, day
+         |      ORDER BY tsu, event_id) - tsu) // 1000 AS dur_ms
+         |  FROM v),
+         |k AS (SELECT event_type, day, vc, dur_ms FROM iv WHERE dur_ms IS NOT NULL)
+         |SELECT event_type, day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         |  CAST(SUM(vc * dur_ms) AS BIGINT) AS sum_vdur,
+         |  CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+         |  ${graft.ColFns.r6Sql(
+             "CAST(SUM(vc * dur_ms) AS DOUBLE) / CAST(SUM(dur_ms) AS DOUBLE)")} AS twap_c
+         |FROM k GROUP BY event_type, day ORDER BY event_type, day""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Time-weighted average price/value — the downsample that weights
+      // each reading by how long it was CURRENT, not by how often it was
+      // sampled (irregular telemetry makes plain AVG lie). One (type, day)
+      // shuffle shared by the LEAD window and the aggregation; the final
+      // interval of each day is open-ended and excluded (the standard
+      // convention). Weights are interval-millis integers; the per-group
+      // sums partial-aggregate map-side.
+      val w = Window.partitionBy($"event_type", $"day").orderBy($"tsu", $"event_id")
+      T(s, dir, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          unix_micros($"ts").as("tsu"), $"event_id",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+        .withColumn("next_tsu", lead($"tsu", 1).over(w))
+        .withColumn("dur_ms", expr("(next_tsu - tsu) DIV 1000"))
+        .filter($"dur_ms".isNotNull)
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"vc" * $"dur_ms").as("sum_vdur"),
+          sum($"dur_ms").as("sum_dur_ms"))
+        .withColumn("twap_c",
+          r6($"sum_vdur".cast("double") / $"sum_dur_ms".cast("double")))
+        .orderBy($"event_type", $"day")
+    },
   )
 }

@@ -489,6 +489,85 @@ object TextAnalysis {
         .withColumn("pieces_per_word_micro", expr("(n_pieces * 1000000) DIV n_words"))
         .orderBy($"doc_id")
     },
+  ) ++ noveltyAndEntropy
+
+  private lazy val noveltyAndEntropy: Seq[QueryDef] = Seq(
+    q("q187_ngram_novelty", {
+      val w = "string_split(text, ' ')"
+      s"""WITH sh AS (SELECT doc_id, ${duckHashedSet(duckShingles(w))} AS hh
+         |  FROM documents WHERE len($w) >= 3),
+         |ex AS (SELECT doc_id, unnest(hh) AS h FROM sh),
+         |fo AS (SELECT doc_id, h,
+         |    MIN(doc_id) OVER (PARTITION BY h) AS first_doc FROM ex)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  (CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // COUNT(*) AS novelty_ppm
+         |FROM fo GROUP BY doc_id ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // N-gram novelty: what fraction of a document's distinct 3-grams has
+      // never appeared in any EARLIER document (doc_id = ingest order) —
+      // the incremental-crawl signal for "is this new content or a re-hash
+      // of what we already have", and the streaming-friendly cousin of the
+      // pairwise dedup family (no pairs: one window over the gram hash).
+      // One shuffle on the 8-byte gram hash; text never moves. At 100 TB
+      // the same shape runs per ingest batch against a gram->first-seen
+      // index instead of a window — the arithmetic is identical.
+      val sh = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .withColumn("hh", expr(hashedSetSql(shinglesSql("w"))))
+        .select($"doc_id", explode($"hh").as("h"))
+      val byH = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+      sh.withColumn("first_doc", min($"doc_id").over(byH))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
+        .orderBy($"doc_id")
+    },
+
+    q("q188_char_entropy",
+      s"""WITH ch AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, length(text) + 1),
+         |      i -> substr(text, CAST(i AS INT), 1))) AS c
+         |  FROM documents),
+         |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM ch GROUP BY doc_id, c),
+         |d AS (SELECT doc_id,
+         |    CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(cnt * CAST(FLOOR(ln(cnt) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_clnc
+         |  FROM cc GROUP BY doc_id)
+         |SELECT doc_id, n, n_distinct, sum_clnc,
+         |  ${graft.ColFns.r6Sql(
+             "ln(n) - CAST(sum_clnc AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n)")} AS entropy
+         |FROM d ORDER BY doc_id""") { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Character-level Shannon entropy — the cheap gibberish/encoded-blob
+      // detector every quality stack runs (natural language sits ~2.5-4.5
+      // bits; base64 and key dumps saturate). H = ln(n) - sum(c*ln c)/n:
+      // each ln(c) is micro-rounded once per distinct count (q136's
+      // discipline) and multiplied by the exact integer c, so the per-doc
+      // sum is exact and the single closing division runs on identical
+      // operands in both engines. Per-char explode then two keyed
+      // aggregations on (doc, char) — map-heavy, shuffle-light (the
+      // (doc,char) space is alphabet-bounded per doc).
+      T(s, dir, "documents")
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+        .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(sum($"cnt").as("n"), count(lit(1)).as("n_distinct"),
+          sum($"cnt" * floor(log($"cnt") * 1000000d + 0.5d).cast("long")).as("sum_clnc"))
+        .withColumn("entropy",
+          r6(log($"n") - $"sum_clnc".cast("double") / (lit(1000000d) * $"n")))
+        .orderBy($"doc_id")
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

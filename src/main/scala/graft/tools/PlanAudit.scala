@@ -271,7 +271,22 @@ object PlanAudit {
       "only doc_id and n_chars read" -> "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
     "q184_kmv_distinct" -> Seq(
       "sketch partial-aggregates map-side (K longs cross the shuffle)" -> "partial_kmvsketch",
-      "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"))
+      "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q185_click_attribution" -> Seq(
+      "time window rides the user equi-join, not a nested loop" -> "!BroadcastNestedLoopJoin",
+      "no cartesian product" -> "!CartesianProduct",
+      "first/last touch are window passes on one pid partition" -> "Window"),
+    "q186_twap" -> Seq(
+      "single-pass downsample (no join anywhere)" -> "!Join",
+      "interval weights from one LEAD window pass" -> "Window",
+      "weighted sums partial-aggregate before the presentation sort" -> "HashAggregate"),
+    "q187_ngram_novelty" -> Seq(
+      "first-seen resolution is one window pass on the gram hash" -> "Window",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q188_char_entropy" -> Seq(
+      "both aggregations partial before their shuffles" -> "HashAggregate",
+      "no join anywhere (pure per-doc statistic)" -> "!Join",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -34,7 +34,10 @@ object ScaleCurve {
     "q01_pricing_summary", "q02_filter_project", "q18_window_topk",
     "q23_top20", "q40_dedup_exact", "q47_text_langid",
     "q92_dedup_jaccard_prefix", "q160_subword_tokens",
-    "q97_embedding_quantize", "q141_semantic_dedup")
+    "q97_embedding_quantize", "q141_semantic_dedup",
+    // round-6 continuation: the two new data-dominated plans — BM25's
+    // postings shuffle and containment's inverted-index self-join
+    "q169_bm25_topk", "q181_containment")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 

@@ -218,6 +218,74 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q185 attribution covers every purchase; singleton clicks self-attribute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q185_click_attribution")(spark, dir)
+    try {
+      val rows = out.collect()
+      val nPurchases = Tables.load(spark, dir, "events")
+        .filter($"event_type" === "purchase").count()
+      assert(rows.length.toLong == nPurchases,
+        "left join must keep purchases with no preceding clicks")
+      rows.foreach { r =>
+        val n = r.getAs[Long]("n_clicks")
+        if (n == 0) assert(r.isNullAt(r.fieldIndex("first_click")))
+        if (n == 1) assert(r.getAs[Long]("first_click") == r.getAs[Long]("last_click"),
+          "a single attributed click is both first and last touch")
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q186 TWAP is a true weighted mean of the interval values") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q186_twap")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (sv, sd) = (r.getAs[Long]("sum_vdur"), r.getAs[Long]("sum_dur_ms"))
+        assert(sd > 0L)
+        val twap = r.getAs[Double]("twap_c")
+        assert(math.abs(twap - sv.toDouble / sd) < 1e-6,
+          "twap must equal its weighted-mean formula")
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q187 novelty: the earliest document is fully novel, ratios bounded") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q187_ngram_novelty")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val ppm = r.getAs[Long]("novelty_ppm")
+        assert(ppm >= 0L && ppm <= 1000000L)
+        assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+      }
+      // the smallest doc_id can only be beaten by itself: novelty = 1.0
+      val first = rows.minBy(_.getAs[Long]("doc_id"))
+      assert(first.getAs[Long]("novelty_ppm") == 1000000L,
+        "the earliest document's grams are first-seen by construction")
+    } finally CacheScope.release()
+  }
+
+  test("q188 entropy is bounded by ln of the alphabet size") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q188_char_entropy")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val h = r.getAs[Double]("entropy")
+        val nd = r.getAs[Long]("n_distinct")
+        assert(h >= -1e-6, s"entropy must be non-negative in $r")
+        assert(h <= math.log(nd.toDouble) + 1e-6,
+          s"entropy cannot exceed ln(alphabet) in $r")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.

@@ -24,6 +24,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()(0).getDouble(0)
       assert(d == 11.0)
+      val di = s.sql(
+        "SELECT graft_doti(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+        .collect()(0).getLong(0)
+      assert(di == 32L)
+      val sq = s.sql(
+        "SELECT graft_sqdisti(array(1L, 2L), array(4L, 6L)) AS d")
+        .collect()(0).getLong(0)
+      assert(sq == 25L)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
