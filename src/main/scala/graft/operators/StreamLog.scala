@@ -1001,13 +1001,18 @@ object StreamLog {
       }
       val bounds = v0.agg(min($"vc").as("lo"),
         (max($"vc") - min($"vc") + 1).as("w"))
+      // 2 state partitions: the keyspace is (5 types x <=64 bins); each
+      // extra partition costs a state commit per micro-batch (NOTES floor)
       val sketch = graft.streaming.StreamHarness.runToMemory(
-          s, "q182", 4, mode = "complete") {
+          s, "q182", 2, mode = "complete") {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, vc BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "3000")
+          // 2 batches at the sf0.01 correctness gate (10k events), ~13 at
+          // sf0.1 — counters must accumulate across batches either way
+          // without the micro-batch floor dominating the bench
+          .option("maxEntriesPerTrigger", "8000")
           .load()
           .crossJoin(broadcast(bounds))
           .select($"event_type", expr("((vc - lo) * 64) DIV w").as("bin"), $"w")
