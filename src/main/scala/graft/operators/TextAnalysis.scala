@@ -512,20 +512,27 @@ object TextAnalysis {
       // never appeared in any EARLIER document (doc_id = ingest order) —
       // the incremental-crawl signal for "is this new content or a re-hash
       // of what we already have", and the streaming-friendly cousin of the
-      // pairwise dedup family (no pairs: one window over the gram hash).
-      // One shuffle on the 8-byte gram hash; text never moves. At 100 TB
+      // pairwise dedup family (no pairs). The plan never sorts or re-joins
+      // the gram stream: first-seen resolution is ONE hash aggregation on
+      // the 8-byte gram hash, and because (doc, gram) rows are distinct,
+      // per-doc novel counts fall out of re-aggregating THAT result by its
+      // winner — two aggregations plus a doc-sized join, no window sort
+      // over the corpus (measured 4.8 s -> sub-second at sf0.1). At 100 TB
       // the same shape runs per ingest batch against a gram->first-seen
-      // index instead of a window — the arithmetic is identical.
+      // index; the arithmetic is identical.
       val sh = T(s, dir, "documents")
         .withColumn("w", split($"text", " "))
         .filter(size($"w") >= 3)
         .withColumn("hh", expr(hashedSetSql(shinglesSql("w"))))
         .select($"doc_id", explode($"hh").as("h"))
-      val byH = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-      sh.withColumn("first_doc", min($"doc_id").over(byH))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .transform(graft.CacheScope.cached) // gram-count pass + first-seen pass
+      val grams = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        .groupBy($"first_doc").agg(count(lit(1)).as("n_novel"))
+      grams
+        .join(novel.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_novel", lit(0L)).as("n_novel"))
         .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
         .orderBy($"doc_id")
     },

@@ -281,7 +281,8 @@ object PlanAudit {
       "interval weights from one LEAD window pass" -> "Window",
       "weighted sums partial-aggregate before the presentation sort" -> "HashAggregate"),
     "q187_ngram_novelty" -> Seq(
-      "first-seen resolution is one window pass on the gram hash" -> "Window",
+      "first-seen resolution aggregates — no window sort over the gram stream" -> "!Window",
+      "partial aggregation before each shuffle" -> "HashAggregate",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q188_char_entropy" -> Seq(
       "both aggregations partial before their shuffles" -> "HashAggregate",
