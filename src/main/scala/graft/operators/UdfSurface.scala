@@ -172,6 +172,37 @@ object UdfSurface {
         .orderBy($"word")
     },
 
+    q("q189_sql_entry", {
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
+      s"""WITH fx AS (SELECT user_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events)
+         |SELECT event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users_first,
+         |  CAST(MIN($ph) AS BIGINT) AS min_uhash
+         |FROM fx WHERE rn = 1 GROUP BY event_type ORDER BY event_type"""
+    }) { (s, dir) =>
+      // The pure-SQL-TEXT entry path: temp view + spark.sql(...), no
+      // DataFrame DSL anywhere — what a spark-sql / Thrift / notebook user
+      // runs, with the engine's graft_* natives resolving inside the SQL
+      // (GraftExtensions injects them at session build; register() covers
+      // vanilla sessions). The query itself is "which event type wins each
+      // user's FIRST touch" — one window over user_id + one aggregation,
+      // with the same (micros, id) tie-break discipline as q174/q185.
+      graft.functions.GraftExpressions.register(s)
+      T(s, dir, "events").createOrReplaceTempView("g_events")
+      s.sql(
+        """WITH fx AS (SELECT user_id, event_type,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY unix_micros(ts), event_id) AS rn
+          |  FROM g_events)
+          |SELECT event_type,
+          |  CAST(COUNT(*) AS BIGINT) AS n_users_first,
+          |  CAST(MIN(graft_polyhash(CAST(user_id AS STRING))) AS BIGINT) AS min_uhash
+          |FROM fx WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     q("q184_kmv_distinct", {
       val P = graft.functions.TextHash.P
       val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")

@@ -287,7 +287,11 @@ object PlanAudit {
     "q188_char_entropy" -> Seq(
       "both aggregations partial before their shuffles" -> "HashAggregate",
       "no join anywhere (pure per-doc statistic)" -> "!Join",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"))
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q189_sql_entry" -> Seq(
+      "SQL-text entry plans the same window as the DSL would" -> "Window",
+      "aggregation partial before the shuffle" -> "HashAggregate",
+      "column pruning reaches the scan through the temp view" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
