@@ -932,5 +932,43 @@ object Advanced {
           r6($"sum_vdur".cast("double") / $"sum_dur_ms".cast("double")))
         .orderBy($"event_type", $"day")
     },
+
+    q("q190_decayed_counts",
+      // Weights are exact powers of two (2^20 >> age_weeks), so the decay
+      // is integer arithmetic end to end — no exp()/pow() to diverge by a
+      // ulp between engines; a >=64-week shift would zero out naturally.
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS mday FROM d),
+        |c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY event_type, day),
+        |w AS (SELECT event_type, n,
+        |    (CAST(1048576 AS BIGINT) >> CAST((mday - day) // 7 AS INT)) AS wgt
+        |  FROM c, mx)
+        |SELECT event_type,
+        |  CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(SUM(n * wgt) AS BIGINT) AS decayed_mega
+        |FROM w GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // Time-decayed activity scoring — the freshness-weighted counter
+      // behind trending/ranking surfaces: each day's events count at
+      // half-weight per week of age (quantized to power-of-two weights in
+      // 2^-20 fixed point, so both engines are bit-identical — the usual
+      // exp(-lambda*age) is one libm call away from a cross-engine ulp
+      // flap). Two keyed aggregations: (type, day) pre-aggregation first,
+      // so the decay math runs on day-counts, never raw events; the
+      // one-row max-day frame is broadcast. At 100 TB the same shape
+      // incrementally maintains: yesterday's score halves by table lookup,
+      // today's partition aggregates fresh (q171's delta pattern).
+      val d = T(s, dir, "events")
+        .select($"event_type", to_date($"ts").as("day"))
+      val mx = d.agg(max($"day").as("mday"))
+      d.groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(mx))
+        .withColumn("wgt", expr(
+          "shiftright(CAST(1048576 AS BIGINT), CAST(datediff(mday, day) DIV 7 AS INT))"))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_total"), sum($"n" * $"wgt").as("decayed_mega"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -291,7 +291,11 @@ object PlanAudit {
     "q189_sql_entry" -> Seq(
       "SQL-text entry plans the same window as the DSL would" -> "Window",
       "aggregation partial before the shuffle" -> "HashAggregate",
-      "column pruning reaches the scan through the temp view" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+      "column pruning reaches the scan through the temp view" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+    "q190_decayed_counts" -> Seq(
+      "decay math runs on day-counts (pre-aggregated), never raw events" -> "HashAggregate",
+      "max-day frame broadcast (weighting stays map-side)" -> "BroadcastNestedLoopJoin",
+      "only event_type and ts read" -> "ReadSchema: struct<ts:bigint,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -286,6 +286,22 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q190 decay weights are bounded and favor recency") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q190_decayed_counts")(spark, dir)
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (n, dm) = (r.getAs[Long]("n_total"), r.getAs[Long]("decayed_mega"))
+        assert(dm <= n * 1048576L, "no event can weigh more than 2^20")
+        // the fixture spans ~30 days (< 5 weeks), so the oldest weight is
+        // >= 2^16 and the decayed score cannot collapse toward zero
+        assert(dm >= n * 65536L, "a 30-day corpus keeps >= 1/16 weight")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
