@@ -1035,5 +1035,61 @@ object StreamLog {
           expr("((b90 + 1) * w) DIV 64 - 1").as("est90_hi"))
         .orderBy($"event_type")
     },
+
+    q("q191_streaming_kmv", {
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
+      val k = graft.operators.UdfSurface.KmvK
+      s"""WITH u AS (SELECT DISTINCT event_type,
+         |    (($ph) * 2654435761) % $P AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM u)
+         |SELECT event_type,
+         |  CAST(MAX(CASE WHEN rn = $k THEN h END) AS BIGINT) AS kth_min,
+         |  (${(k - 1) * graft.functions.TextHash.P})
+         |    // MAX(CASE WHEN rn = $k THEN h END) AS est_n
+         |FROM r GROUP BY event_type ORDER BY event_type"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // q184's KMV sketch AS STREAMING STATE: the typed Aggregator rides a
+      // complete-mode streaming aggregation, so each micro-batch merges new
+      // hashes into the persisted K-long buffer — the distinct-count-
+      // forever query whose state stays K longs per group no matter how
+      // long the stream runs (an exact streaming countDistinct would hold
+      // the whole key set in state). The estimate is finalized batch-side
+      // from the drained sketch, like q182's dashboard read. The oracle
+      // replays the order statistics exactly — est included, since the
+      // sketch is deterministic in the data.
+      val kmvK = graft.operators.UdfSurface.KmvK
+      val kmv = udaf(graft.operators.UdfSurface.KmvSketch)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+      val root = graft.LogFixtures.producedLog(dir, "q191") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"user_id"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val sk = graft.streaming.StreamHarness.runToMemory(
+          s, "q191", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING, user_id BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .select($"event_type", expr(
+            s"(graft_polyhash(CAST(user_id AS STRING)) * 2654435761) % ${graft.functions.TextHash.P}")
+            .as("h"))
+          .groupBy($"event_type")
+          .agg(kmv($"h").as("mins"))
+      }
+      sk.withColumn("kth_min",
+          when(size($"mins") >= kmvK, element_at($"mins", kmvK)).cast("long"))
+        .select($"event_type", $"kth_min",
+          expr(s"${(kmvK - 1) * graft.functions.TextHash.P} DIV kth_min").as("est_n"))
+        .orderBy($"event_type")
+    },
   )
 }
