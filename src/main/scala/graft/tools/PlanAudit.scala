@@ -295,7 +295,11 @@ object PlanAudit {
     "q190_decayed_counts" -> Seq(
       "decay math runs on day-counts (pre-aggregated), never raw events" -> "HashAggregate",
       "max-day frame broadcast (weighting stays map-side)" -> "BroadcastNestedLoopJoin",
-      "only event_type and ts read" -> "ReadSchema: struct<ts:bigint,event_type:string>"))
+      "only event_type and ts read" -> "ReadSchema: struct<ts:bigint,event_type:string>"),
+    "q192_incremental_novelty" -> Seq(
+      "index and delta meet in gram-keyed equi joins (index never broadcast by hand)" -> "HashJoin",
+      "no window sort over the gram stream" -> "!Window",
+      "no cartesian product" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -302,6 +302,20 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q192 incremental novelty equals the full recompute on the delta") {
+    import spark.implicits._
+    // The same maintenance theorem the oracle certifies, pinned in-engine:
+    // q187's from-scratch ranking, restricted to the delta docs, must be
+    // row-identical to the index-based incremental computation.
+    val full = SparkEntry.queries("q187_ngram_novelty")(spark, dir)
+      .filter($"doc_id" >= 250)
+    val inc = SparkEntry.queries("q192_incremental_novelty")(spark, dir)
+    try {
+      assert(full.exceptAll(inc).isEmpty && inc.exceptAll(full).isEmpty,
+        "incremental-vs-index must equal full recompute on the delta")
+    } finally CacheScope.release()
+  }
+
   test("q176 oriented closure counts triangles exactly on known graphs") {
     import spark.implicits._
     // K4 (4 triangles) + a disjoint triangle (1) + a 3-path (0): expect 5.
