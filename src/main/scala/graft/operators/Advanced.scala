@@ -970,5 +970,66 @@ object Advanced {
         .agg(sum($"n").as("n_total"), sum($"n" * $"wgt").as("decayed_mega"))
         .orderBy($"event_type")
     },
+
+    q("q195_bfs_hops",
+      // Single-source BFS over the q176 co-supply graph (co-supplied >= 4
+      // orders), 3 unrolled hop iterations: d_{k+1}(v) = min(d_k(v),
+      // min over edges (u,v) of d_k(u) + 1). Source = smallest node id in
+      // the graph, so the query is deterministic at every SF.
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2 HAVING COUNT(*) >= 4),
+        |e AS (SELECT s1 AS u, s2 AS v FROM e0
+        |  UNION ALL SELECT s2 AS u, s1 AS v FROM e0),
+        |src AS (SELECT MIN(u) AS sn FROM e),
+        |d0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS hops FROM src),
+        |d1 AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM d0
+        |    UNION ALL SELECT e.v AS node, d0.hops + 1 AS hops
+        |      FROM e JOIN d0 ON e.u = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM d1
+        |    UNION ALL SELECT e.v AS node, d1.hops + 1 AS hops
+        |      FROM e JOIN d1 ON e.u = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM d2
+        |    UNION ALL SELECT e.v AS node, d2.hops + 1 AS hops
+        |      FROM e JOIN d2 ON e.u = d2.node) GROUP BY node)
+        |SELECT node, hops FROM d3 ORDER BY node""") { (s, dir) =>
+      import s.implicits._
+      // Multi-hop reachability — the supply-chain blast-radius question
+      // ("every supplier within 3 relationships of this one") and the
+      // building block of label propagation / community detection. Each
+      // iteration is ONE equi-join of the edge list against the frontier
+      // plus ONE min-aggregation: the frontier is node-sized, so it is
+      // BROADCAST into the join while small (here always); at 100 TB, once
+      // a frontier outgrows broadcast the same plan degrades gracefully to
+      // a shuffle join co-partitioned with the cached edge list — the
+      // q106/q168 iterative-join discipline. The edge list is built once
+      // and cached across all three iterations.
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+        .transform(graft.CacheScope.cached)
+      val e0 = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 4)
+        .select($"s1", $"s2")
+      val e = e0.select($"s1".as("u"), $"s2".as("v"))
+        .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
+        .transform(graft.CacheScope.cached)
+      val d0 = e.agg(min($"u").as("node")).select($"node", lit(0L).as("hops"))
+      def step(dk: DataFrame): DataFrame =
+        dk.unionAll(
+            e.join(broadcast(dk), e("u") === dk("node"))
+              .select(e("v").as("node"), (dk("hops") + 1L).as("hops")))
+          .groupBy($"node").agg(min($"hops").as("hops"))
+      val d3 = step(step(step(d0)))
+      d3.select($"node", $"hops").orderBy($"node")
+    },
   )
 }

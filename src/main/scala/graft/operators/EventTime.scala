@@ -237,5 +237,104 @@ object EventTime {
           $"valid_to_n".isNull.as("is_current"))
         .orderBy($"user_id", $"version")
     },
+
+    q("q194_markov_transitions",
+      // First-order Markov transition matrix over per-user event sequences:
+      // P(next=to | cur=from) in integer MICRO units (one non-negative DIV
+      // per row — no float division to diverge between engines). DuckDB's
+      // SUM(BIGINT) widens to HUGEINT, so the quotient is cast back.
+      """WITH v AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |n AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS to_type
+        |  FROM v),
+        |p AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM n WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST((n_trans * 1000000)
+        |    // SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS prob_micro
+        |FROM p ORDER BY from_type, to_type""") { (s, dir) =>
+      import s.implicits._
+      // The sequence-model training signal behind next-event prediction and
+      // session simulators: count from->to adjacencies per user timeline,
+      // normalize per source state. One user-keyed window (same (tsu,
+      // event_id) tie-break discipline as q174/q185), one (from, to) keyed
+      // aggregation — both partial-aggregate map-side — and a final window
+      // over the #states^2-row matrix, which is trivially small however big
+      // the corpus is. At 100 TB the only material shuffle is the user_id
+      // exchange the window needs; everything after runs on state-pair
+      // granularity.
+      val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      T(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"),
+          $"event_id")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("prob_micro", expr(
+          "(n_trans * 1000000) DIV SUM(n_trans) OVER (PARTITION BY from_type)"))
+        .orderBy($"from_type", $"to_type")
+    },
+
+    q("q198_session_paths",
+      // Top-20 most common 3-event paths WITHIN a session (30-min
+      // inactivity gap, q37's sessionization rule): sessionize via a
+      // gap-marker running sum, slide a length-3 window with two LEADs,
+      // count path triples. Ties break lexicographically so the top-20 cut
+      // is deterministic in both engines.
+      """WITH v AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |g AS (SELECT user_id, event_type, tsu, event_id,
+        |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id) > 1800000000
+        |      OR LAG(tsu) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM v),
+        |sd AS (SELECT user_id, event_type, tsu, event_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS sess_id
+        |  FROM g),
+        |p AS (SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id, sess_id
+        |      ORDER BY tsu, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id, sess_id
+        |      ORDER BY tsu, event_id) AS e3
+        |  FROM sd)
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM p WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      // Open-ended path mining — "what do users actually DO in a session"
+      // — the exploratory complement to q112's fixed funnel (which counts
+      // ONE prescribed sequence). All three windows ride the same user_id
+      // exchange (the session re-partition adds sess_id to the KEY but not
+      // a new shuffle — Spark reuses the user_id exchange since
+      // (user_id, sess_id) is partition-prefix-compatible); the path count
+      // partial-aggregates map-side and the top-20 is
+      // TakeOrderedAndProject, never a global sort. At 100 TB the only
+      // material exchange is the per-user one every sessionization pays.
+      val byU = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      val sess = T(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"),
+          $"event_id")
+        .withColumn("prev_tsu", lag($"tsu", 1).over(byU))
+        .withColumn("new_sess",
+          when($"prev_tsu".isNull || $"tsu" - $"prev_tsu" > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum($"new_sess").over(byU))
+      val byS = Window.partitionBy($"user_id", $"sess_id")
+        .orderBy($"tsu", $"event_id")
+      sess
+        .select($"event_type".as("e1"),
+          lead($"event_type", 1).over(byS).as("e2"),
+          lead($"event_type", 2).over(byS).as("e3"))
+        .filter($"e3".isNotNull)
+        .groupBy($"e1", $"e2", $"e3")
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy($"n_paths".desc, $"e1", $"e2", $"e3")
+        .limit(20)
+    },
   )
 }

@@ -456,5 +456,77 @@ object Extras {
           last($"v", ignoreNulls = true).over(w).as("v_filled"))
         .orderBy($"user_id", $"event_id")
     },
+
+    q("q193_column_profile",
+      // One row per column: non-null count, exact distinct count, min/max
+      // rendered as VARCHAR. Profiled on NORMALIZED values (epoch micros,
+      // value cents) so every rendered string is integer text — identical
+      // across engines, with no timestamp/float formatting divergence.
+      """WITH v AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c, props
+        |  FROM events)
+        |SELECT 'event_id' AS col_name,
+        |  CAST(COUNT(event_id) AS BIGINT) AS n_nonnull,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(event_id) AS VARCHAR) AS min_s,
+        |  CAST(MAX(event_id) AS VARCHAR) AS max_s FROM v
+        |UNION ALL SELECT 'ts_us', CAST(COUNT(ts_us) AS BIGINT),
+        |  CAST(COUNT(DISTINCT ts_us) AS BIGINT),
+        |  CAST(MIN(ts_us) AS VARCHAR), CAST(MAX(ts_us) AS VARCHAR) FROM v
+        |UNION ALL SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM v
+        |UNION ALL SELECT 'event_type', CAST(COUNT(event_type) AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |  MIN(event_type), MAX(event_type) FROM v
+        |UNION ALL SELECT 'value_c', CAST(COUNT(value_c) AS BIGINT),
+        |  CAST(COUNT(DISTINCT value_c) AS BIGINT),
+        |  CAST(MIN(value_c) AS VARCHAR), CAST(MAX(value_c) AS VARCHAR) FROM v
+        |UNION ALL SELECT 'props', CAST(COUNT(props) AS BIGINT),
+        |  CAST(COUNT(DISTINCT props) AS BIGINT),
+        |  MIN(props), MAX(props) FROM v
+        |ORDER BY col_name""") { (s, dir) =>
+      import s.implicits._
+      // Dataset profiling — the first query anyone runs against an unknown
+      // table, and the backbone of data-quality gates (null-rate and
+      // cardinality drift between ingest batches). ONE scan: all 24
+      // aggregates ride a single aggregation (Catalyst plans the six exact
+      // count-distincts as one Expand — a 6x row multiplication before the
+      // partial aggregate), then stack() unpivots the single result row
+      // into one row per column. At 100 TB the same shape swaps
+      // countDistinct for approx_count_distinct (q13's HLL path) and the
+      // Expand disappears; min/max/count stay partial-aggregated map-side.
+      T(s, dir, "events")
+        .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+          $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("value_c"),
+          $"props")
+        .agg(
+          count($"event_id").as("a_n"), countDistinct($"event_id").as("a_d"),
+          min($"event_id").cast("string").as("a_mn"),
+          max($"event_id").cast("string").as("a_mx"),
+          count($"ts_us").as("b_n"), countDistinct($"ts_us").as("b_d"),
+          min($"ts_us").cast("string").as("b_mn"),
+          max($"ts_us").cast("string").as("b_mx"),
+          count($"user_id").as("c_n"), countDistinct($"user_id").as("c_d"),
+          min($"user_id").cast("string").as("c_mn"),
+          max($"user_id").cast("string").as("c_mx"),
+          count($"event_type").as("d_n"), countDistinct($"event_type").as("d_d"),
+          min($"event_type").as("d_mn"), max($"event_type").as("d_mx"),
+          count($"value_c").as("e_n"), countDistinct($"value_c").as("e_d"),
+          min($"value_c").cast("string").as("e_mn"),
+          max($"value_c").cast("string").as("e_mx"),
+          count($"props").as("f_n"), countDistinct($"props").as("f_d"),
+          min($"props").as("f_mn"), max($"props").as("f_mx"))
+        .selectExpr("""stack(6,
+          'event_id',   a_n, a_d, a_mn, a_mx,
+          'ts_us',      b_n, b_d, b_mn, b_mx,
+          'user_id',    c_n, c_d, c_mn, c_mx,
+          'event_type', d_n, d_d, d_mn, d_mx,
+          'value_c',    e_n, e_d, e_mn, e_mx,
+          'props',      f_n, f_d, f_mn, f_mx
+          ) AS (col_name, n_nonnull, n_distinct, min_s, max_s)""")
+        .orderBy($"col_name")
+    },
   )
 }

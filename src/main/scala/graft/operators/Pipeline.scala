@@ -743,5 +743,38 @@ object Pipeline {
         .orderBy($"key_pico".desc, $"doc_id".asc)
         .limit(50)
     },
+
+    q("q197_group_topk_sample",
+      // Exactly-k-per-group deterministic sample: rank every doc inside its
+      // language by the md5 of its id (q87's engine-agnostic "uniform"
+      // order) and keep the first 5 — the reservoir-sample-per-key analog
+      // that is reproducible across engines, runs, and partitionings.
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (SELECT doc_id, lang, hk,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY lang, rn""") { (s, dir) =>
+      import s.implicits._
+      // Per-stratum exact-k sampling — eval-set carving ("5 held-out docs
+      // per language") and per-source spot-check panels, where q104's
+      // rate-based stratified sample gives binomial counts, not exactly k.
+      // One lang-keyed exchange + window; the hash order makes the pick
+      // uniform-ish yet stable. At 100 TB a giant stratum still sorts only
+      // WITHIN its partition and the window's rank short-circuits nothing —
+      // the heavy-group refinement is a per-partition top-k pre-prune
+      // (mapPartitions keeping k per group) before the window, the same
+      // two-phase shape TakeOrderedAndProject applies globally; unnecessary
+      // at fixture scale.
+      val w = Window.partitionBy($"lang").orderBy($"hk", $"doc_id")
+      T(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          md5($"doc_id".cast("string").cast("binary")).as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"lang", $"rn", $"doc_id")
+        .orderBy($"lang", $"rn")
+    },
   )
 }

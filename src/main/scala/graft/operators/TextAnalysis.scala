@@ -627,6 +627,64 @@ object TextAnalysis {
           r6(log($"n") - $"sum_clnc".cast("double") / (lit(1000000d) * $"n")))
         .orderBy($"doc_id")
     },
+
+    q("q196_readability",
+      // Flesch reading-ease in integer MICRO units: counts come from the
+      // same regex in both engines ('[.!?]+' sentence runs, '[aeiouy]+'
+      // vowel groups as the syllable proxy, clamped to >= 1 per word), and
+      // every division is a non-negative integer DIV — no float ratio to
+      // diverge. FRE = 206.835 - 1.015*(W/S) - 84.6*(Syl/W).
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(GREATEST(len(string_split(text, ' ')),
+        |      len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    (n_words * 1000000) // n_sentences AS wps_micro,
+        |    (n_syllables * 1000000) // n_words AS spw_micro
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835000 - (1015 * wps_micro) // 1000 - (84600 * spw_micro) // 1000
+        |    AS fre_micro,
+        |  CASE WHEN 206835000 - (1015 * wps_micro) // 1000
+        |      - (84600 * spw_micro) // 1000 >= 60000000 THEN 'easy'
+        |    WHEN 206835000 - (1015 * wps_micro) // 1000
+        |      - (84600 * spw_micro) // 1000 >= 30000000 THEN 'medium'
+        |    ELSE 'hard' END AS band
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Readability scoring — the curation signal that separates
+      // encyclopedic prose from listicles and SEO sludge when length and
+      // stopword ratios (q48) look identical. Pure map-side: three regex
+      // counts and four integer ops per doc, no shuffle except the
+      // presentation sort; composes with q129's gate stack as one more
+      // AND-able integer column. The vowel-group syllable proxy is the
+      // standard cheap estimator (exact syllabification needs a dictionary);
+      // clamping syllables to >= words keeps the estimate sane on
+      // digit/symbol-heavy docs.
+      val counted = T(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_words"),
+          greatest(lit(1), size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+            .cast("long").as("n_sentences"),
+          greatest(size(split($"text", " ")),
+            size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")))
+            .cast("long").as("n_syllables"))
+        .withColumn("wps_micro", expr("(n_words * 1000000) DIV n_sentences"))
+        .withColumn("spw_micro", expr("(n_syllables * 1000000) DIV n_words"))
+        .withColumn("fre_micro", expr(
+          "206835000 - (1015 * wps_micro) DIV 1000 - (84600 * spw_micro) DIV 1000"))
+      counted
+        .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+          $"fre_micro",
+          when($"fre_micro" >= 60000000L, "easy")
+            .when($"fre_micro" >= 30000000L, "medium")
+            .otherwise("hard").as("band"))
+        .orderBy($"doc_id")
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

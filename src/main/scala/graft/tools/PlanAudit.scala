@@ -299,7 +299,34 @@ object PlanAudit {
     "q192_incremental_novelty" -> Seq(
       "index and delta meet in gram-keyed equi joins (index never broadcast by hand)" -> "HashJoin",
       "no window sort over the gram stream" -> "!Window",
-      "no cartesian product" -> "!CartesianProduct"))
+      "no cartesian product" -> "!CartesianProduct"),
+    "q193_column_profile" -> Seq(
+      // string-buffered min/max forces sort-based aggregation (hash agg
+      // needs fixed-width mutable buffers) — still partial before the
+      // one exchange, still a single scan
+      "all 24 profile aggregates partial-aggregate before the one exchange" -> "SortAggregate",
+      "exact multi-column count-distinct planned as a single Expand" -> "Expand",
+      "no join anywhere (profile is scan + aggregate + unpivot)" -> "!Join"),
+    "q194_markov_transitions" -> Seq(
+      "adjacency pairs from one user-keyed window pass" -> "Window",
+      "transition counts partial-aggregate before the shuffle" -> "HashAggregate",
+      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+    "q195_bfs_hops" -> Seq(
+      "node-sized frontier broadcast into every hop join" -> "BroadcastHashJoin",
+      "no cartesian product in any iteration" -> "!CartesianProduct",
+      "min-distance resolution partial-aggregates before each shuffle" -> "HashAggregate"),
+    "q196_readability" -> Seq(
+      "pure map-side scoring (no join, no aggregation)" -> "!Join",
+      "no shuffle except the presentation sort" -> "!HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q197_group_topk_sample" -> Seq(
+      "one lang-keyed window pass ranks every stratum" -> "Window",
+      "no join anywhere" -> "!Join",
+      "text column never read for the sampling pass" -> "ReadSchema: struct<doc_id:bigint,lang:string>"),
+    "q198_session_paths" -> Seq(
+      "top-20 cut without a global sort" -> "TakeOrderedAndProject",
+      "path counts partial-aggregate before the shuffle" -> "HashAggregate",
+      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
