@@ -5,7 +5,7 @@ import graft.QueryDef.q
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Deeper relational coverage: multi-table join pipelines, correlated scalar
   * subqueries (Catalyst decorrelation), pivot / conditional aggregation, and
@@ -1030,6 +1030,83 @@ object Advanced {
           .groupBy($"node").agg(min($"hops").as("hops"))
       val d3 = step(step(step(d0)))
       d3.select($"node", $"hops").orderBy($"node")
+    },
+
+    q("q199_correlation_matrix", {
+      def corrSql(sxy: String, sx: String, sy: String,
+          sxx: String, syy: String): String =
+        graft.ColFns.r6Sql(s"(n*$sxy - $sx*$sy) / " +
+          s"SQRT((n*$sxx - $sx*$sx) * (n*$syy - $sy*$sy))")
+      // All 15 moment sums ride ONE aggregation pass (q126's decimal-exact
+      // sum discipline); price is pre-scaled by 1e-5 so every squared sum
+      // stays far below 2^53, where DECIMAL->DOUBLE casts are exact.
+      s"""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         |    l_extendedprice / 100000 AS x2, l_discount AS x3, l_tax AS x4
+         |  FROM lineitem),
+         |s AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+         |    ${dsumSql("x1")} s1, ${dsumSql("x2")} s2,
+         |    ${dsumSql("x3")} s3, ${dsumSql("x4")} s4,
+         |    ${dsumSql("x1*x1")} s11, ${dsumSql("x2*x2")} s22,
+         |    ${dsumSql("x3*x3")} s33, ${dsumSql("x4*x4")} s44,
+         |    ${dsumSql("x1*x2")} s12, ${dsumSql("x1*x3")} s13,
+         |    ${dsumSql("x1*x4")} s14, ${dsumSql("x2*x3")} s23,
+         |    ${dsumSql("x2*x4")} s24, ${dsumSql("x3*x4")} s34
+         |  FROM b)
+         |SELECT col_a, col_b, corr FROM (
+         |  SELECT 'qty' AS col_a, 'price' AS col_b,
+         |    ${corrSql("s12", "s1", "s2", "s11", "s22")} AS corr FROM s
+         |  UNION ALL SELECT 'qty', 'disc',
+         |    ${corrSql("s13", "s1", "s3", "s11", "s33")} FROM s
+         |  UNION ALL SELECT 'qty', 'tax',
+         |    ${corrSql("s14", "s1", "s4", "s11", "s44")} FROM s
+         |  UNION ALL SELECT 'price', 'disc',
+         |    ${corrSql("s23", "s2", "s3", "s22", "s33")} FROM s
+         |  UNION ALL SELECT 'price', 'tax',
+         |    ${corrSql("s24", "s2", "s4", "s22", "s44")} FROM s
+         |  UNION ALL SELECT 'disc', 'tax',
+         |    ${corrSql("s34", "s3", "s4", "s33", "s44")} FROM s)
+         |ORDER BY col_a, col_b"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Pairwise Pearson correlation matrix — the feature-redundancy /
+      // leakage screen run before any model training. ONE scan computes all
+      // 15 moment sums as order-independent DECIMAL aggregates (q126's
+      // discipline — raw double sums would flap run-to-run under parallel
+      // partial aggregation); the 6 upper-triangle correlations are then
+      // scalar IEEE expressions over those exact sums, identical op order
+      // in both engines, r6-rounded. Unpivot to (col_a, col_b, corr) rows
+      // via stack on the single result row. At 100 TB this stays one scan
+      // + one single-row exchange however many column pairs are profiled.
+      def corrC(sxy: Column, sx: Column, sy: Column,
+          sxx: Column, syy: Column): Column =
+        r6(($"n" * sxy - sx * sy) /
+          sqrt(($"n" * sxx - sx * sx) * ($"n" * syy - sy * sy)))
+      val b = T(s, dir, "lineitem").select(
+        $"l_quantity".cast("double").as("x1"),
+        ($"l_extendedprice" / 100000).as("x2"),
+        $"l_discount".as("x3"), $"l_tax".as("x4"))
+      b.agg(count(lit(1)).cast("double").as("n"),
+          dsum($"x1").as("s1"), dsum($"x2").as("s2"),
+          dsum($"x3").as("s3"), dsum($"x4").as("s4"),
+          dsum($"x1" * $"x1").as("s11"), dsum($"x2" * $"x2").as("s22"),
+          dsum($"x3" * $"x3").as("s33"), dsum($"x4" * $"x4").as("s44"),
+          dsum($"x1" * $"x2").as("s12"), dsum($"x1" * $"x3").as("s13"),
+          dsum($"x1" * $"x4").as("s14"), dsum($"x2" * $"x3").as("s23"),
+          dsum($"x2" * $"x4").as("s24"), dsum($"x3" * $"x4").as("s34"))
+        .withColumn("c12", corrC($"s12", $"s1", $"s2", $"s11", $"s22"))
+        .withColumn("c13", corrC($"s13", $"s1", $"s3", $"s11", $"s33"))
+        .withColumn("c14", corrC($"s14", $"s1", $"s4", $"s11", $"s44"))
+        .withColumn("c23", corrC($"s23", $"s2", $"s3", $"s22", $"s33"))
+        .withColumn("c24", corrC($"s24", $"s2", $"s4", $"s22", $"s44"))
+        .withColumn("c34", corrC($"s34", $"s3", $"s4", $"s33", $"s44"))
+        .selectExpr("""stack(6,
+          'qty',   'price', c12,
+          'qty',   'disc',  c13,
+          'qty',   'tax',   c14,
+          'price', 'disc',  c23,
+          'price', 'tax',   c24,
+          'disc',  'tax',   c34) AS (col_a, col_b, corr)""")
+        .orderBy($"col_a", $"col_b")
     },
   )
 }

@@ -528,5 +528,35 @@ object Extras {
           ) AS (col_name, n_nonnull, n_distinct, min_s, max_s)""")
         .orderBy($"col_name")
     },
+
+    q("q201_skew_profile",
+      // Hot-key diagnostics: top-20 keys by row count, each with its
+      // parts-per-million share and an integer-exact >2% hot flag
+      // (n * 50 > total — no float threshold to flap).
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT user_id, n, (n * 1000000) // total AS share_ppm,
+        |  n * 50 > total AS hot
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      // The operational query behind every "why is this stage slow" page:
+      // which keys dominate the distribution a join/agg is about to
+      // shuffle on. Exactly the probe an operator runs before choosing
+      // q89's salting or trusting AQE's skew split — made a first-class
+      // operator so the diagnosis itself scales: one keyed aggregation
+      // (partial map-side), a 1-row total broadcast, and a
+      // TakeOrderedAndProject top-20 — never a global sort, never the full
+      // key list on the driver.
+      val c = T(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum($"n").as("total"))
+      c.crossJoin(broadcast(t))
+        .select($"user_id", $"n",
+          expr("(n * 1000000) DIV total").as("share_ppm"),
+          ($"n" * 50 > $"total").as("hot"))
+        .orderBy($"n".desc, $"user_id")
+        .limit(20)
+    },
   )
 }

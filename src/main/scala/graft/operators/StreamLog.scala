@@ -1091,5 +1091,51 @@ object StreamLog {
           expr(s"${(kmvK - 1) * graft.functions.TextHash.P} DIV kth_min").as("est_n"))
         .orderBy($"event_type")
     },
+
+    q("q200_streaming_heavy_hitters",
+      // The fixture key space (user_id % 40 per event type) sits below the
+      // MgK=64 counter budget, so no eviction fires and the sketch is
+      // EXACT — the oracle hash-checks the streamed estimates against true
+      // counts, certifying reduce/merge through the streaming state path.
+      """SELECT event_type, CAST(user_id % 40 AS VARCHAR) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS est_n
+        |FROM events GROUP BY event_type, CAST(user_id % 40 AS VARCHAR)
+        |ORDER BY event_type, k""") { (s, dir) =>
+      import s.implicits._
+      // q119's Misra-Gries sketch AS STREAMING STATE: the mergeable
+      // Aggregator rides a complete-mode streaming aggregation, so each
+      // micro-batch folds new keys into the persisted <=MgK-counter map —
+      // the trending/top-keys-forever query whose per-group state is
+      // BOUNDED by the counter budget no matter how long the stream runs
+      // (an exact streaming count would hold the full key space; at real
+      // cardinality MG keeps the n/(k+1) heavy-hitter contract instead of
+      // exactness). Estimates are finalized batch-side off the drained
+      // sketch, q182/q191's dashboard-read pattern.
+      val mg = udaf(graft.operators.UdfSurface.MisraGries)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+      val root = graft.LogFixtures.producedLog(dir, "q200") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"user_id"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val sk = graft.streaming.StreamHarness.runToMemory(
+          s, "q200", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING, user_id BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .select($"event_type",
+            expr("CAST(user_id % 40 AS STRING)").as("k"))
+          .groupBy($"event_type")
+          .agg(mg($"k").as("sk"))
+      }
+      sk.select($"event_type", explode($"sk"))
+        .toDF("event_type", "k", "est_n")
+        .orderBy($"event_type", $"k")
+    },
   )
 }

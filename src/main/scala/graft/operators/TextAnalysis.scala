@@ -4,7 +4,7 @@ import graft.QueryDef.q
 import graft.functions.TextHash._
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text analysis + multimodal-column plumbing for training-data pipelines:
   * language-ID (stopword-profile heuristic), quality scoring, token counting
@@ -684,6 +684,66 @@ object TextAnalysis {
             .when($"fre_micro" >= 30000000L, "medium")
             .otherwise("hard").as("band"))
         .orderBy($"doc_id")
+    },
+
+    q("q202_source_kl_divergence", {
+      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      // KL(P_source || P_corpus) over unigram LMs, micro-log integers:
+      // each ln is rounded ONCE per distinct integer count (q136's
+      // discipline), every product/sum is exact, and only the final
+      // normalization divides — so the divergence is bit-identical across
+      // engines. No smoothing needed: every source word exists in the
+      // corpus LM by construction.
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |ws AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+         |  FROM w GROUP BY source, word),
+         |wc AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w
+         |  FROM ws GROUP BY word),
+         |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+         |  FROM ws GROUP BY source),
+         |nt AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS n FROM ws),
+         |t AS (SELECT ws.source, MAX(ns.n_s) AS n_tokens,
+         |    CAST(SUM(ws.c_sw * (${lnm("ws.c_sw")} - ${lnm("ns.n_s")}
+         |      - ${lnm("wc.c_w")} + ${lnm("nt.n")})) AS BIGINT) AS kl_sum_micro
+         |  FROM ws JOIN wc ON ws.word = wc.word
+         |    JOIN ns ON ws.source = ns.source CROSS JOIN nt
+         |  GROUP BY ws.source)
+         |SELECT source, n_tokens, kl_sum_micro,
+         |  ${graft.ColFns.r6Sql(
+             "CAST(kl_sum_micro AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n_tokens)")}
+         |    AS kl_nats
+         |FROM t ORDER BY source"""
+    }) { (s, dir) =>
+      import graft.ColFns.r6
+      import s.implicits._
+      // Corpus drift / domain-shift measurement — the data-mixing signal
+      // behind "how far is this source's language from the blend" (DSIR's
+      // q175 ranks DOCS against a target; this scores SOURCES against the
+      // corpus — the dashboard number a curation team tracks per crawl).
+      // Token counts aggregate once; the per-(source,word) table joins the
+      // vocab-sized corpus LM on word (keyed equi-join — the corpus never
+      // re-shuffles) and the source-count-sized tables broadcast. KL term
+      // c_sw*(ln c_sw - ln n_s - ln c_w + ln n) sums exactly per source.
+      def lnmC(c: Column): Column =
+        floor(log(c) * 1000000d + 0.5d).cast("long")
+      val ws = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
+        .transform(graft.CacheScope.cached)
+      val wc = ws.groupBy($"word").agg(sum($"c_sw").as("c_w"))
+      val ns = ws.groupBy($"source").agg(sum($"c_sw").as("n_s"))
+      val nt = ws.agg(sum($"c_sw").as("n"))
+      ws.join(wc, "word")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nt))
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_tokens"),
+          sum($"c_sw" * (lnmC($"c_sw") - lnmC($"n_s") - lnmC($"c_w")
+            + lnmC($"n"))).as("kl_sum_micro"))
+        .withColumn("kl_nats",
+          r6($"kl_sum_micro".cast("double") / (lit(1000000d) * $"n_tokens")))
+        .orderBy($"source")
     },
   )
 

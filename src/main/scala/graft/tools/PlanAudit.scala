@@ -326,7 +326,19 @@ object PlanAudit {
     "q198_session_paths" -> Seq(
       "top-20 cut without a global sort" -> "TakeOrderedAndProject",
       "path counts partial-aggregate before the shuffle" -> "HashAggregate",
-      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+    "q199_correlation_matrix" -> Seq(
+      "all 15 moment sums ride ONE aggregation pass" -> "HashAggregate",
+      "no join anywhere (single scan + single-row unpivot)" -> "!Join",
+      "only the four profiled columns read" -> "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+    "q201_skew_profile" -> Seq(
+      "top-20 hot keys without a global sort" -> "TakeOrderedAndProject",
+      "per-key counts partial-aggregate map-side" -> "HashAggregate",
+      "1-row total broadcast into the share projection" -> "BroadcastNestedLoopJoin"),
+    "q202_source_kl_divergence" -> Seq(
+      "corpus LM meets source counts in a word-keyed equi join" -> "HashJoin",
+      "source-sized tables broadcast" -> "BroadcastHashJoin",
+      "no cartesian product except the 1-row total" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
