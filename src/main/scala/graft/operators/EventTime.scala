@@ -336,5 +336,86 @@ object EventTime {
         .orderBy($"n_paths".desc, $"e1", $"e2", $"e3")
         .limit(20)
     },
+
+    q("q203_churn_labels",
+      // Per-user churn label + activity features: inactive > 14 days at the
+      // corpus horizon = churned. All integer (day arithmetic + counts);
+      // the 1-row horizon is broadcast.
+      """WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS mday FROM v),
+        |u AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+        |    MAX(day) AS last_day
+        |  FROM v GROUP BY user_id)
+        |SELECT user_id, n_events, n_types, active_days,
+        |  CAST(mday - last_day AS BIGINT) AS days_inactive,
+        |  (mday - last_day) > 14 AS churned
+        |FROM u, mx ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      // The label-generation pass of a churn model: one user-keyed
+      // aggregation produces the label AND the feature row in the same
+      // shuffle (last-seen recency, volume, breadth, active days) — no
+      // second pass over the corpus for features. The corpus horizon
+      // (max day) is a 1-row broadcast; the churn threshold is integer day
+      // arithmetic, so the boolean cannot flap. At 100 TB this is exactly
+      // one exchange on user_id; the two count-distincts stay bounded
+      // (#types, #days) per user.
+      val v = T(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      val mx = v.agg(max($"day").as("mday"))
+      v.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"),
+          countDistinct($"day").as("active_days"),
+          max($"day").as("last_day"))
+        .crossJoin(broadcast(mx))
+        .select($"user_id", $"n_events", $"n_types", $"active_days",
+          datediff($"mday", $"last_day").cast("long").as("days_inactive"),
+          (datediff($"mday", $"last_day") > 14).as("churned"))
+        .orderBy($"user_id")
+    },
+
+    q("q204_cumulative_reach",
+      // Growth-accounting series: DAU, new users, and cumulative distinct
+      // reach per day. Cumulative distinct WITHOUT a running dedup: each
+      // user collapses to a first-seen day once, then a running sum over
+      // the day-sized series — the only way the metric scales.
+      """WITH v AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM v GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS first_day FROM v GROUP BY user_id),
+        |nu AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY first_day)
+        |SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+        |    AS cum_users
+        |FROM dau d LEFT JOIN nu n ON d.day = n.day
+        |ORDER BY d.day""") { (s, dir) =>
+      import s.implicits._
+      // The dashboard triple behind every launch review. The distinct
+      // (day, user) pre-aggregation carries both downstream metrics; the
+      // first-seen table is the cumulative-distinct trick (min-day per
+      // user, then count per day) — no day-over-day set union, state is
+      // one row per user then one per day. The final running sum windows
+      // over a day-cardinality series: trivially small forever. Two
+      // keyed shuffles (day+user distinct, then user min) — both partial
+      // map-side.
+      val v = T(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+        .transform(graft.CacheScope.cached)
+      val dau = v.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val nu = v.groupBy($"user_id").agg(min($"day").as("first_day"))
+        .groupBy($"first_day".as("day")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(nu, Seq("day"), "left")
+        .withColumn("new_users", coalesce($"new_users", lit(0L)))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .select($"day", $"dau", $"new_users", $"cum_users")
+        .orderBy($"day")
+    },
   )
 }

@@ -233,5 +233,42 @@ object Retrieval {
         .select($"q_id", $"cand_id", $"fused_rank", $"rrf_micro", $"rank_a", $"rank_b")
         .orderBy($"q_id", $"fused_rank")
     },
+
+    q("q205_inverted_index",
+      // Materialized posting-list build: term -> (document frequency,
+      // total term frequency, sorted doc-id postings). Postings are
+      // ORDER-PINNED (sorted by doc_id) so the list column hash-compares;
+      // emitted for terms with df >= 20 — the index segment a search
+      // engine would actually flush.
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY term, doc_id)
+        |SELECT term,
+        |  CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS ttf,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING COUNT(*) >= 20
+        |ORDER BY term""") { (s, dir) =>
+      import s.implicits._
+      // The index-BUILD half of the retrieval stack (q169's BM25 consumes
+      // these statistics query-side): one (term, doc) aggregation for term
+      // frequencies, one term aggregation assembling df/ttf/postings. The
+      // posting list is sort_array(collect_list(...)) — deterministic
+      // regardless of partitioning, which is what makes the build
+      // idempotent across cluster layouts. At 100 TB postings are the
+      // big shuffle (they are the index); per-term lists are Zipf-bounded
+      // and the df floor caps emitted segment size — the same cut real
+      // segment writers make before merging tails.
+      T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("ttf"),
+          sort_array(collect_list($"doc_id")).as("postings"))
+        .filter($"df" >= 20)
+        .orderBy($"term")
+    },
   )
 }

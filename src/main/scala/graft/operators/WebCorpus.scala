@@ -418,5 +418,71 @@ object WebCorpus {
           md5(concat_ws("|", $"kept").cast("binary")).as("kept_digest"))
         .orderBy($"doc_id")
     },
+
+    q("q206_cms_join_estimate", {
+      val ph = duckPolyHash("CAST(user_id AS VARCHAR)")
+      // CMS inner-product join-size estimation: est_d = sum_i A_d[i]*B_d[i]
+      // over each depth row, estimate = min over depths. One-sided like the
+      // point query: est >= true join size, and the oracle replays the
+      // identical counter arithmetic from exact per-bucket counts.
+      s"""WITH a AS (SELECT $ph AS h FROM events WHERE event_type = 'click'),
+         |b AS (SELECT $ph AS h FROM events WHERE event_type = 'purchase'),
+         |la AS (SELECT d, ${bucketSql("d", "h")} AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS ca
+         |  FROM a, (SELECT unnest([0,1,2,3]) AS d) GROUP BY d, bucket),
+         |lb AS (SELECT d, ${bucketSql("d", "h")} AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cb
+         |  FROM b, (SELECT unnest([0,1,2,3]) AS d) GROUP BY d, bucket),
+         |ip AS (SELECT la.d, CAST(SUM(la.ca * lb.cb) AS BIGINT) AS dot
+         |  FROM la JOIN lb ON la.d = lb.d AND la.bucket = lb.bucket
+         |  GROUP BY la.d),
+         |ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact_join
+         |  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na FROM events
+         |      WHERE event_type = 'click' GROUP BY user_id) x
+         |    JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb FROM events
+         |      WHERE event_type = 'purchase' GROUP BY user_id) y
+         |    ON x.user_id = y.user_id)
+         |SELECT (SELECT MIN(dot) FROM ip) AS est_join,
+         |  exact_join,
+         |  (SELECT MIN(dot) FROM ip) - exact_join AS overcount
+         |FROM ex"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Join-cardinality estimation from two count-min sketches — what a
+      // planner (or an operator sizing a shuffle) does BEFORE running the
+      // join: sketch each side's key distribution in one pass, estimate
+      // |A JOIN B| as the minimum depth-row inner product. Both sketches
+      // partial-aggregate map-side (256 longs each cross their shuffles),
+      // the inner product is a 1-row-x-1-row broadcast cross join, and the
+      // exact join runs alongside as the certificate — at 100 TB you keep
+      // the sketches and drop the exact pass, which is the point: estimate
+      // cost is constant in the data.
+      graft.functions.GraftExpressions.register(s)
+      val cms = udaf(CmsSketch)
+      val ev = T(s, dir, "events")
+        .select($"event_type", expr(
+          s"(graft_polyhash(CAST(user_id AS STRING)))").as("h"), $"user_id")
+        .transform(graft.CacheScope.cached)
+      val ska = ev.filter($"event_type" === "click").agg(cms($"h").as("ska"))
+      val skb = ev.filter($"event_type" === "purchase").agg(cms($"h").as("skb"))
+      val est = ska.crossJoin(broadcast(skb))
+        .withColumn("est_join", expr(
+          s"""array_min(transform(sequence(0, ${CmsDepth - 1}, 1),
+             |  d -> aggregate(
+             |    zip_with(slice(ska, d * $CmsWidth + 1, $CmsWidth),
+             |             slice(skb, d * $CmsWidth + 1, $CmsWidth),
+             |             (x, y) -> x * y),
+             |    CAST(0 AS BIGINT), (acc, v) -> acc + v)))""".stripMargin))
+        .select($"est_join")
+      val na = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(count(lit(1)).as("na"))
+      val nb = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(count(lit(1)).as("nb"))
+      val exact = na.join(nb, "user_id")
+        .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("exact_join"))
+      est.crossJoin(broadcast(exact))
+        .select($"est_join", $"exact_join",
+          ($"est_join" - $"exact_join").as("overcount"))
+    },
   )
 }

@@ -338,7 +338,23 @@ object PlanAudit {
     "q202_source_kl_divergence" -> Seq(
       "corpus LM meets source counts in a word-keyed equi join" -> "HashJoin",
       "source-sized tables broadcast" -> "BroadcastHashJoin",
-      "no cartesian product except the 1-row total" -> "!CartesianProduct"))
+      "no cartesian product except the 1-row total" -> "!CartesianProduct"),
+    "q203_churn_labels" -> Seq(
+      "label and features from ONE user-keyed aggregation" -> "HashAggregate",
+      "corpus horizon broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "props/value never read" -> "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"),
+    "q204_cumulative_reach" -> Seq(
+      "day-keyed DAU/new-user join is an equi join" -> "HashJoin",
+      "distinct and first-seen partial-aggregate map-side" -> "HashAggregate",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:bigint,user_id:bigint>"),
+    "q205_inverted_index" -> Seq(
+      "postings assembled by aggregation, no self-join" -> "!Join",
+      "term frequencies partial-aggregate before the shuffle" -> "HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q206_cms_join_estimate" -> Seq(
+      "both sketches partial-aggregate map-side" -> "partial_cmssketch",
+      "sketch inner product is a 1-row broadcast cross join" -> "BroadcastNestedLoopJoin",
+      "exact certificate join is user-keyed equi, never nested-loop" -> "HashJoin"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
