@@ -417,5 +417,99 @@ object EventTime {
         .select($"day", $"dau", $"new_users", $"cum_users")
         .orderBy($"day")
     },
+
+    q("q207_gap_fill",
+      // Dense (event_type x day) grid: sequence over the corpus day span,
+      // cross the bounded type dimension, left-join observed counts,
+      // zero-fill — downstream windows (lag/moving averages) then see a
+      // complete series instead of silently skipping missing days.
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |grid AS (SELECT t.event_type, days.day
+        |  FROM (SELECT DISTINCT event_type FROM c) t, days)
+        |SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n,
+        |  (c.n IS NULL) AS filled
+        |FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+        |  AND g.day = c.day
+        |ORDER BY g.event_type, g.day""") { (s, dir) =>
+      import s.implicits._
+      // Gap filling — the repair q99's forward-fill can't do (it fixes
+      // null VALUES; missing ROWS need the grid). The grid is generated,
+      // not scanned: day span from a 1-row bounds aggregate, types from a
+      // bounded-cardinality distinct, crossed while both are broadcast-
+      // small; observed counts then LEFT-join the grid on (type, day).
+      // At 100 TB the grid is #types x #days rows — independent of event
+      // volume — and the one material shuffle is the pre-aggregation of
+      // counts.
+      val c = T(s, dir, "events")
+        .select($"event_type", to_date($"ts").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached)
+      val b = c.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val days = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val grid = c.select($"event_type").distinct().crossJoin(broadcast(days))
+      grid.as("g").join(c.as("o"),
+          $"g.event_type" === $"o.event_type" && $"g.day" === $"o.day", "left")
+        .select($"g.event_type", $"g.day",
+          coalesce($"o.n", lit(0L)).as("n"),
+          $"o.n".isNull.as("filled"))
+        .orderBy($"g.event_type", $"g.day")
+    },
+
+    q("q208_ab_readout",
+      // Deterministic variant split (user_id parity), per-user conversion
+      // collapse, per-variant rates in integer PPM, lift as one subtraction
+      // — the whole readout is integer-exact.
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY variant),
+        |p AS (SELECT
+        |    MAX(CASE WHEN variant = 0 THEN n_users END) AS users_a,
+        |    MAX(CASE WHEN variant = 1 THEN n_users END) AS users_b,
+        |    MAX(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+        |    MAX(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+        |  FROM v)
+        |SELECT users_a, users_b, conv_a, conv_b,
+        |  (conv_a * 1000000) // users_a AS cr_a_ppm,
+        |  (conv_b * 1000000) // users_b AS cr_b_ppm,
+        |  (conv_b * 1000000) // users_b - (conv_a * 1000000) // users_a
+        |    AS lift_ppm
+        |FROM p""") { (s, dir) =>
+      import s.implicits._
+      // The experiment-readout query every growth team runs: unit of
+      // analysis is the USER (converted = did the user EVER purchase —
+      // the per-user collapse prevents heavy users from double-counting),
+      // variants split by a deterministic id hash. Two keyed aggregations
+      // (user, then 2-row variant) and a 1-row pivot; at 100 TB the only
+      // material exchange is the user collapse, which partial-aggregates
+      // map-side. The PPM rates and lift are integer DIV/subtraction, so
+      // the sign of the lift cannot flap on a float edge.
+      val u = T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
+          .cast("long").as("converted"))
+        .withColumn("variant", $"user_id" % 2)
+      u.groupBy($"variant")
+        .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+        .agg(
+          max(when($"variant" === 0, $"n_users")).as("users_a"),
+          max(when($"variant" === 1, $"n_users")).as("users_b"),
+          max(when($"variant" === 0, $"n_conv")).as("conv_a"),
+          max(when($"variant" === 1, $"n_conv")).as("conv_b"))
+        .select($"users_a", $"users_b", $"conv_a", $"conv_b",
+          expr("(conv_a * 1000000) DIV users_a").as("cr_a_ppm"),
+          expr("(conv_b * 1000000) DIV users_b").as("cr_b_ppm"),
+          expr("(conv_b * 1000000) DIV users_b - (conv_a * 1000000) DIV users_a")
+            .as("lift_ppm"))
+    },
   )
 }

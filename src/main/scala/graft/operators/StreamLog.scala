@@ -1137,5 +1137,48 @@ object StreamLog {
         .toDF("event_type", "k", "est_n")
         .orderBy($"event_type", $"k")
     },
+
+    q("q209_streaming_profile",
+      // The streaming twin of q193's batch profiler: per-type count /
+      // min / max / exact integer sum maintained as complete-mode
+      // streaming state — the live drift monitor a data-quality gate
+      // reads between ingest batches. Values ride as pre-normalized
+      // cents so every streamed aggregate is integer-exact.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_c,
+        |  CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_c,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // Complete-mode built-in streaming aggregation (no custom state):
+      // per-group state is the four scalar aggregates forever — constant
+      // per key — while each micro-batch folds its partial aggregates in.
+      // This is the query behind a "source health" dashboard: null-rate /
+      // range drift shows up as min/max movement between reads of the
+      // sink table. Distinct from q78 (windowed event-time agg) and
+      // q191/q200 (sketch state): plain keyed aggregates as long-lived
+      // streaming state through the engine's source.
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("value_c"))
+      val root = graft.LogFixtures.producedLog(dir, "q209") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"value_c"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(
+          s, "q209", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING, value_c BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"value_c").as("min_c"),
+            max($"value_c").as("max_c"), sum($"value_c").as("sum_c"))
+      }.orderBy($"event_type")
+    },
   )
 }

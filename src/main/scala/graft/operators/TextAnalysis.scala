@@ -745,6 +745,71 @@ object TextAnalysis {
           r6($"kl_sum_micro".cast("double") / (lit(1000000d) * $"n_tokens")))
         .orderBy($"source")
     },
+
+    q("q210_pmi_collocations", {
+      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      // Pointwise mutual information over a forward 4-word window:
+      // PMI = ln(c_xy * N / (c_x * c_y)) as a SUM of micro-rounded logs
+      // (q136's discipline) — integer-exact ranking in both engines.
+      // Pairs are generated MAP-SIDE inside the token array (no positional
+      // self-join): each position pairs with the next <= 4 positions.
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |pr AS (SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+         |    list_transform(range(i + 1, least(i + 4, len(w)) + 1), j ->
+         |      w[CAST(i AS INT)] || ' ' || w[CAST(j AS INT)])))) AS pair
+         |  FROM d WHERE len(w) >= 2),
+         |cp AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_xy
+         |  FROM pr GROUP BY pair HAVING COUNT(*) >= 20),
+         |tok AS (SELECT unnest(w) AS word FROM d),
+         |cx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+         |  GROUP BY word),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+         |sc AS (SELECT cp.pair, cp.c_xy,
+         |    ${lnm("cp.c_xy")} + ${lnm("nt.n")} - ${lnm("a.c")} - ${lnm("b.c")}
+         |      AS pmi_micro
+         |  FROM cp
+         |    JOIN cx a ON a.word = split_part(cp.pair, ' ', 1)
+         |    JOIN cx b ON b.word = split_part(cp.pair, ' ', 2)
+         |    CROSS JOIN nt)
+         |SELECT pair, c_xy, pmi_micro FROM sc
+         |ORDER BY pmi_micro DESC, pair LIMIT 30"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Collocation extraction — the phrase-mining pass that finds "new
+      // york"-style units a whitespace tokenizer misses (feeds tokenizer
+      // vocab curation and q177's BPE merge priors). The pair stream is
+      // generated inside each token array (window <= 4 ahead), so there is
+      // NO positional self-join — the classic formulation joins the token
+      // table to itself on doc + position band, which at 100 TB shuffles
+      // the corpus twice; this shape pays one pair aggregation instead,
+      // and the support floor (c_xy >= 20) cuts the Zipf tail before the
+      // vocab-keyed PMI joins. Top-30 via TakeOrderedAndProject.
+      def lnmC(c: Column): Column =
+        floor(log(c) * 1000000d + 0.5d).cast("long")
+      val d = T(s, dir, "documents")
+        .select(split($"text", " ").as("w"))
+        .transform(graft.CacheScope.cached)
+      val pr = d.filter(size($"w") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(w) - 1), i ->
+            |  transform(sequence(i + 1, least(i + 4, size(w))), j ->
+            |    concat(element_at(w, i), ' ', element_at(w, j)))))""".stripMargin))
+          .as("pair"))
+      val cp = pr.groupBy($"pair").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 20)
+      val tok = d.select(explode($"w").as("word"))
+      val cx = tok.groupBy($"word").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached)
+      val nt = tok.agg(count(lit(1)).as("n"))
+      cp.join(cx.as("a"), expr("a.word = split_part(pair, ' ', 1)"))
+        .join(cx.as("b"), expr("b.word = split_part(pair, ' ', 2)"))
+        .crossJoin(broadcast(nt))
+        .select($"pair", $"c_xy",
+          (lnmC($"c_xy") + lnmC($"n") - lnmC($"a.c") - lnmC($"b.c"))
+            .as("pmi_micro"))
+        .orderBy($"pmi_micro".desc, $"pair")
+        .limit(30)
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

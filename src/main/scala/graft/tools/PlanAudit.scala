@@ -354,7 +354,19 @@ object PlanAudit {
     "q206_cms_join_estimate" -> Seq(
       "both sketches partial-aggregate map-side" -> "partial_cmssketch",
       "sketch inner product is a 1-row broadcast cross join" -> "BroadcastNestedLoopJoin",
-      "exact certificate join is user-keyed equi, never nested-loop" -> "HashJoin"))
+      "exact certificate join is user-keyed equi, never nested-loop" -> "HashJoin"),
+    "q207_gap_fill" -> Seq(
+      "observed counts meet the grid in an equi join" -> "HashJoin",
+      "grid generated from broadcast-small sides" -> "BroadcastNestedLoopJoin",
+      "counts partial-aggregate before the grid join" -> "HashAggregate"),
+    "q208_ab_readout" -> Seq(
+      "per-user collapse partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere (pivot is an aggregation)" -> "!Join",
+      "only user_id and event_type read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q210_pmi_collocations" -> Seq(
+      "top-30 collocations without a global sort" -> "TakeOrderedAndProject",
+      "no positional self-join (pairs generated inside the token array)" -> "Generate",
+      "PMI joins are vocab-keyed equi joins" -> "HashJoin"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
