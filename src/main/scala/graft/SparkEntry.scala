@@ -17,7 +17,8 @@ object SparkEntry {
       operators.StreamLog.defs ++ operators.UdfSurface.defs ++
       operators.Advanced.defs ++ operators.Extras.defs ++
       operators.Pipeline.defs ++ operators.Multimodal.defs ++
-      operators.WebCorpus.defs ++ operators.Retrieval.defs
+      operators.WebCorpus.defs ++ operators.Retrieval.defs ++
+      operators.Evaluation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.ColFns._
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model-evaluation and experiment-analytics operators: the readouts a
+  * training-data pipeline runs AFTER curation to decide whether a quality
+  * classifier, a labeling rule, or a data mix actually works — ROC AUC,
+  * calibration bins, inter-annotator agreement, burst detection, and
+  * association rules. The reference delegates all such computation to user
+  * handlers (`/root/reference/lib/consumer.ex:283-299` — a handler is an
+  * arbitrary fold over the stream); the engine owns them as first-class,
+  * oracle-checked operators.
+  *
+  * Numeric discipline: every statistic is computed from exact BIGINT
+  * counts/rank-sums (order-independent), with ONE trailing IEEE division
+  * per output value, r6-rounded — the q126/q142 playbook, so Spark and
+  * DuckDB agree bit-for-bit.
+  */
+object Evaluation {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q211_roc_auc",
+      // Mann-Whitney rank-sum AUC with exact tie handling: per distinct
+      // score, 2x(average rank) = 2*cum - cnt + 1 is an INTEGER, so the
+      // whole rank-sum stays in BIGINT; AUC is one double division.
+      s"""WITH e AS (SELECT value AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |g AS (SELECT score, COUNT(*) AS cnt, SUM(pos) AS pos
+         |  FROM e GROUP BY score),
+         |r AS (SELECT *, SUM(cnt) OVER (ORDER BY score) AS cum FROM g),
+         |a AS (SELECT CAST(SUM(pos * (2*cum - cnt + 1)) AS BIGINT) AS r2,
+         |    CAST(SUM(pos) AS BIGINT) AS npos,
+         |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nneg
+         |  FROM r)
+         |SELECT npos, nneg,
+         |  ${r6Sql("CAST(r2 - npos*(npos+1) AS DOUBLE) / CAST(2*npos*nneg AS DOUBLE)")} AS auc
+         |FROM a""") { (s, dir) =>
+      import s.implicits._
+      // Does `value` predict a purchase? AUC via the rank-sum identity:
+      // AUC = (R_pos - npos(npos+1)/2) / (npos*nneg), ties at average rank.
+      // The window runs over the per-SCORE compacted table (one row per
+      // distinct 2-decimal value — bounded domain, NOT corpus-sized), so
+      // the single-partition rank pass is a few KB however large the event
+      // log is; the heavy lifting is the groupBy, which scales.
+      val e = T(s, dir, "events").select($"value".as("score"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = e.groupBy($"score")
+        .agg(count(lit(1)).as("cnt"), sum($"pos").as("pos"))
+      val r = g.withColumn("cum",
+        sum($"cnt").over(Window.orderBy($"score")))
+      r.agg(
+          sum($"pos" * (lit(2) * $"cum" - $"cnt" + 1)).as("r2"),
+          sum($"pos").as("npos"),
+          (sum($"cnt") - sum($"pos")).as("nneg"))
+        .select($"npos", $"nneg",
+          r6(($"r2" - $"npos" * ($"npos" + 1)).cast("double") /
+            (lit(2) * $"npos" * $"nneg").cast("double")).as("auc"))
+    },
+
+    q("q212_calibration_bins",
+      // Reliability diagram: predicted probability = cume_dist of the score
+      // (an exact rational cum/n), decile-binned by INTEGER division
+      // (10*cum) DIV n — no float boundary ambiguity at bin edges.
+      s"""WITH e AS (SELECT value AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |g AS (SELECT score, COUNT(*) AS cnt, SUM(pos) AS pos
+         |  FROM e GROUP BY score),
+         |r AS (SELECT *, SUM(cnt) OVER (ORDER BY score) AS cum,
+         |    SUM(cnt) OVER () AS n FROM g),
+         |b AS (SELECT LEAST((10*cum) // n, 9) AS bin, cnt, pos, cum, n FROM r)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  ${r6Sql("CAST(SUM(cnt*cum) AS DOUBLE) / CAST(MIN(n)*SUM(cnt) AS DOUBLE)")} AS pred_mean,
+         |  ${r6Sql("CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)")} AS obs_rate
+         |FROM b GROUP BY bin ORDER BY bin""") { (s, dir) =>
+      import s.implicits._
+      // A calibrated score has pred_mean ~ obs_rate per bin. All bin
+      // statistics are exact integer sums; the two output rates are one
+      // IEEE division each. Window over the per-score compacted table
+      // (bounded domain) as in q211.
+      val e = T(s, dir, "events").select($"value".as("score"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = e.groupBy($"score")
+        .agg(count(lit(1)).as("cnt"), sum($"pos").as("pos"))
+      val r = g
+        .withColumn("cum", sum($"cnt").over(Window.orderBy($"score")))
+        .withColumn("n", sum($"cnt").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      r.withColumn("bin", least(expr("(10*cum) div n"), lit(9)))
+        .groupBy($"bin")
+        .agg(sum($"cnt").as("n_events"), sum($"pos").as("n_pos"),
+          r6(sum($"cnt" * $"cum").cast("double") /
+            (min($"n") * sum($"cnt")).cast("double")).as("pred_mean"),
+          r6(sum($"pos").cast("double") /
+            sum($"cnt").cast("double")).as("obs_rate"))
+        .orderBy($"bin")
+    },
+
+    q("q213_cohens_kappa",
+      // Two deterministic rule annotators on documents; kappa from the
+      // integer confusion matrix in single-division form:
+      // kappa = (n*(n11+n00) - (a1*b1 + a0*b0)) / (n*n - (a1*b1 + a0*b0)).
+      s"""WITH l AS (SELECT
+         |    CASE WHEN n_chars >= 311 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 54
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(a*b) AS BIGINT) AS n11,
+         |    CAST(SUM(a*(1-b)) AS BIGINT) AS n10,
+         |    CAST(SUM((1-a)*b) AS BIGINT) AS n01,
+         |    CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00
+         |  FROM l)
+         |SELECT n, n11, n10, n01, n00,
+         |  ${r6Sql("CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE) / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)")} AS kappa
+         |FROM c""") { (s, dir) =>
+      import s.implicits._
+      // Inter-annotator agreement beyond chance between a length rule and a
+      // word-count rule — the QA readout for any labeling campaign. One
+      // map-side pass + a single-row aggregate; trivially 100 TB-safe.
+      val l = T(s, dir, "documents").select(
+        when($"n_chars" >= 311, 1L).otherwise(0L).as("a"),
+        when(length($"text") - length(regexp_replace($"text", " ", "")) >= 54,
+          1L).otherwise(0L).as("b"))
+      val c = l.agg(count(lit(1)).as("n"),
+        sum($"a" * $"b").as("n11"),
+        sum($"a" * (lit(1) - $"b")).as("n10"),
+        sum((lit(1) - $"a") * $"b").as("n01"),
+        sum((lit(1) - $"a") * (lit(1) - $"b")).as("n00"))
+      val pe = ($"n11" + $"n10") * ($"n11" + $"n01") +
+        ($"n01" + $"n00") * ($"n10" + $"n00")
+      c.select($"n", $"n11", $"n10", $"n01", $"n00",
+        r6(($"n" * ($"n11" + $"n00") - pe).cast("double") /
+          ($"n" * $"n" - pe).cast("double")).as("kappa"))
+    },
+
+    q("q214_burst_detection",
+      // Daily event-type counts vs the trailing 3-observed-day baseline.
+      // is_burst: cnt >= 1.5x the trailing mean, tested as 2*cnt >= sum3
+      // (pure integer compare — no float threshold to disagree on).
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |w AS (SELECT *,
+         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS sum3,
+         |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS c3
+         |  FROM d)
+         |SELECT event_type, day, cnt, CAST(sum3 AS BIGINT) AS sum3,
+         |  ${r6Sql("3.0*cnt / sum3")} AS burst_ratio,
+         |  CASE WHEN 2*cnt >= sum3 THEN 1 ELSE 0 END AS is_burst
+         |FROM w WHERE c3 = 3 ORDER BY event_type, day""") { (s, dir) =>
+      import s.implicits._
+      // Emits EVERY fully-windowed day with its ratio + flag (not only
+      // bursts) so the readout is non-empty at any scale and the oracle
+      // checks the arithmetic everywhere. One shuffle to (type, day)
+      // counts, one partitioned window pass — the day-granularity table is
+      // ~|types| x |days| however many raw events feed it.
+      val d = T(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-3, -1)
+      d.withColumn("sum3", sum($"cnt").over(win))
+        .withColumn("c3", count(lit(1)).over(win))
+        .where($"c3" === 3)
+        .select($"event_type", $"day", $"cnt", $"sum3",
+          r6(lit(3.0) * $"cnt" / $"sum3").as("burst_ratio"),
+          when(lit(2) * $"cnt" >= $"sum3", 1).otherwise(0).as("is_burst"))
+        .orderBy($"event_type", $"day")
+    },
+
+    q("q215_association_rules",
+      // Market-basket rules over orders: pair support via a per-order
+      // equi self-join on the deduped (order, part) table, confidence and
+      // lift from exact counts, top-20 by (lift, p1, p2) — a total order,
+      // so the LIMIT is deterministic in both engines.
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |c AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY p),
+         |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+         |pr AS (SELECT a.p AS p1, b2.p AS p2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+         |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+         |  GROUP BY a.p, b2.p HAVING COUNT(*) >= 3)
+         |SELECT p1, p2, pair_cnt,
+         |  ${r6Sql("CAST(pair_cnt AS DOUBLE) / c1.cnt")} AS confidence,
+         |  ${r6Sql("CAST(n.n_orders * pair_cnt AS DOUBLE) / CAST(c1.cnt * c2.cnt AS DOUBLE)")} AS lift
+         |FROM pr
+         |JOIN c c1 ON c1.p = pr.p1 JOIN c c2 ON c2.p = pr.p2 CROSS JOIN n
+         |ORDER BY lift DESC, p1, p2 LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      // Co-purchase rules p1 => p2. The self-join is an EQUI join on the
+      // order key — pair expansion is bounded by basket size (quadratic in
+      // items-per-order, tiny), never all-pairs across parts. Per-part
+      // counts are broadcast back onto the (far smaller) surviving pairs;
+      // top-20 compiles to TakeOrderedAndProject, no global sort.
+      val b = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val c = b.groupBy($"p").agg(count(lit(1)).as("cnt"))
+      val nOrders = b.agg(countDistinct($"o").as("n_orders"))
+      val pairs = b.as("a")
+        .join(b.as("b2"), $"a.o" === $"b2.o" && $"a.p" < $"b2.p")
+        .groupBy($"a.p".as("p1"), $"b2.p".as("p2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .where($"pair_cnt" >= 3)
+      pairs
+        .join(broadcast(c.as("c1")), $"c1.p" === $"p1")
+        .join(broadcast(c.as("c2")), $"c2.p" === $"p2")
+        .crossJoin(broadcast(nOrders))
+        .select($"p1", $"p2", $"pair_cnt",
+          r6($"pair_cnt".cast("double") / $"c1.cnt").as("confidence"),
+          r6(($"n_orders" * $"pair_cnt").cast("double") /
+            ($"c1.cnt" * $"c2.cnt").cast("double")).as("lift"))
+        .orderBy($"lift".desc, $"p1", $"p2")
+        .limit(20)
+    },
+  )
+}

