@@ -511,5 +511,42 @@ object EventTime {
           expr("(conv_b * 1000000) DIV users_b - (conv_a * 1000000) DIV users_a")
             .as("lift_ppm"))
     },
+
+    q("q218_seasonal_index",
+      // Day-of-week seasonal indices per event type: mean(dow) / mean(all)
+      // from integer cent sums, one trailing IEEE expression per row.
+      // Spark's dayofweek is 1-7 (Sun=1), DuckDB's 0-6 (Sun=0) — the Spark
+      // side subtracts 1 so both emit 0=Sunday.
+      s"""WITH e AS (SELECT event_type, dayofweek(ts) AS dow,
+         |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+         |  FROM events),
+         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tot,
+         |    CAST(SUM(vc) AS BIGINT) AS sum_tot FROM e GROUP BY 1),
+         |d AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(vc) AS BIGINT) AS sum_c FROM e GROUP BY 1, 2)
+         |SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, cnt, sum_c,
+         |  ${r6Sql("(CAST(sum_c AS DOUBLE) * CAST(n_tot AS DOUBLE)) / (CAST(cnt AS DOUBLE) * CAST(sum_tot AS DOUBLE))")} AS seasonal_idx
+         |FROM d JOIN t USING (event_type) ORDER BY event_type, dow""") { (s, dir) =>
+      import s.implicits._
+      // The multiplicative seasonal-decomposition readout (index > 1 =
+      // that weekday runs hot) — what a forecasting/capacity pass computes
+      // before de-seasonalizing. Two keyed aggregations on one scan; the
+      // per-type totals (|types| rows) broadcast onto the (type, dow)
+      // cells. Values pre-normalized to integer cents so every sum is
+      // exact; the index is one IEEE mul/div chain, r6-rounded.
+      val e = T(s, dir, "events").select($"event_type",
+        (dayofweek($"ts") - 1).as("dow"),
+        expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").as("vc"))
+      val t = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_tot"), sum($"vc").as("sum_tot"))
+      val d = e.groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("cnt"), sum($"vc").as("sum_c"))
+      d.join(broadcast(t), Seq("event_type"))
+        .select($"event_type", $"dow".cast("long").as("dow"), $"cnt", $"sum_c",
+          r6(($"sum_c".cast("double") * $"n_tot".cast("double")) /
+            ($"cnt".cast("double") * $"sum_tot".cast("double")))
+            .as("seasonal_idx"))
+        .orderBy($"event_type", $"dow")
+    },
   )
 }

@@ -776,5 +776,55 @@ object Pipeline {
         .select($"lang", $"rn", $"doc_id")
         .orderBy($"lang", $"rn")
     },
+
+    q("q219_quantile_normalize",
+      // Cross-source quantile normalization: map each source's n_chars
+      // distribution onto the GLOBAL distribution so per-source scale
+      // drift can't bias downstream gates. Scale-safe formulation: all
+      // ranking runs over the COMPACTED value domain (distinct n_chars
+      // per source / globally — bounded, never corpus-sized); docs join
+      // the mapping back on (source, value) equi keys.
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         |gs AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |ss AS (SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+         |    SUM(cnt) OVER (PARTITION BY source) AS ns FROM gs),
+         |gg AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cntg FROM d GROUP BY 1),
+         |gw AS (SELECT n_chars AS gval, SUM(cntg) OVER (ORDER BY n_chars) AS cum_g
+         |  FROM gg),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d),
+         |tgt AS (SELECT source, n_chars, (cum_s * nt + ns - 1) // ns AS gpos
+         |  FROM ss, n),
+         |mapv AS (SELECT t.source, t.n_chars, CAST(MIN(g.gval) AS BIGINT) AS norm_chars
+         |  FROM tgt t JOIN gw g ON g.cum_g >= t.gpos
+         |  GROUP BY t.source, t.n_chars)
+         |SELECT d.doc_id, d.source, d.n_chars, m.norm_chars
+         |FROM d JOIN mapv m USING (source, n_chars) ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      // Upper-cume position within the source maps to ceil(p * n_total)
+      // in the global order; the normalized value is the smallest global
+      // value covering that position (pure integers — ceil(a/b) as
+      // (a+b-1) DIV b). The only non-equi join is value-domain x
+      // value-domain (both tiny, broadcast); every corpus-sized op is a
+      // keyed aggregation or an equi join on (source, value).
+      val d = T(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+      val gs = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
+      val ss = gs
+        .withColumn("cum_s", sum($"cnt").over(
+          Window.partitionBy($"source").orderBy($"n_chars")))
+        .withColumn("ns", sum($"cnt").over(Window.partitionBy($"source")))
+      val gw = d.groupBy($"n_chars".as("gval")).agg(count(lit(1)).as("cntg"))
+        .withColumn("cum_g", sum($"cntg").over(Window.orderBy($"gval")))
+      val nt = d.agg(count(lit(1)).as("nt"))
+      val tgt = ss.crossJoin(broadcast(nt))
+        .select($"source", $"n_chars",
+          expr("(cum_s * nt + ns - 1) div ns").as("gpos"))
+      val mapv = tgt.join(broadcast(gw), $"cum_g" >= $"gpos")
+        .groupBy($"source", $"n_chars")
+        .agg(min($"gval").as("norm_chars"))
+      d.join(broadcast(mapv), Seq("source", "n_chars"))
+        .select($"doc_id", $"source", $"n_chars", $"norm_chars")
+        .orderBy($"doc_id")
+    },
   )
 }

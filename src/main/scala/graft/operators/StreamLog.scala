@@ -1180,5 +1180,53 @@ object StreamLog {
             max($"value_c").as("max_c"), sum($"value_c").as("sum_c"))
       }.orderBy($"event_type")
     },
+
+    q("q216_streaming_locf",
+      // Streaming forward fill THROUGH the engine (q99's batch window as
+      // unbounded per-key ValueState): 'error' readings are missing and
+      // inherit the user's last good value, -1 before any. The oracle is
+      // the batch LOCF twin over the same events in integer cents.
+      """WITH t AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE CAST(FLOOR(value*100 + 0.5) AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT)
+        |    AS filled_c
+        |FROM t ORDER BY user_id, event_id""") { (s, dir) =>
+      import s.implicits._
+      // transformWithState ValueState LOCF (StreamingOps.LocfProcessor):
+      // one long per user forever, point-updated in RocksDB — the repair
+      // pass a live feature pipeline runs where q99 needs the whole
+      // history in a window. In-batch rows sort by event_id inside the
+      // processor; across batches the log's id-ordered delivery is the
+      // sequence order, so the streamed fill equals the batch window
+      // exactly — the oracle hash-checks every row.
+      val v0 = Tables.load(s, dir, "events").select(
+        $"event_id", $"user_id",
+        when($"event_type" === "error", lit(Long.MinValue))
+          .otherwise(expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)")).as("obs"))
+      val root = graft.LogFixtures.producedLog(dir, "q216") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"user_id", $"obs"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q216", 4, rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, user_id BIGINT, obs BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+        graft.streaming.StreamingOps
+          .forwardFillByKeyTws(s, src, "user_id", "event_id", "obs")
+          .toDF("user_id", "event_id", "filled_c")
+      }
+        .select($"user_id".cast("long").as("user_id"), $"event_id", $"filled_c")
+        .orderBy($"user_id", $"event_id")
+    },
   )
 }

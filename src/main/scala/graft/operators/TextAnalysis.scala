@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef.q
 import graft.functions.TextHash._
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -809,6 +810,76 @@ object TextAnalysis {
             .as("pmi_micro"))
         .orderBy($"pmi_micro".desc, $"pair")
         .limit(30)
+    },
+
+    q("q217_rake_keywords", {
+      val all = allStops.map(w => s"'$w'").mkString(", ")
+      // RAKE (Rose et al. 2010): candidate phrases = maximal stopword-free
+      // word runs capped at 2-4 words; word score = ((deg+freq)*1e6) DIV
+      // freq in integer micro units; phrase score = sum of word scores.
+      s"""WITH w0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |w AS (SELECT doc_id, CAST(generate_subscripts(w,1)-1 AS BIGINT) AS pos,
+         |    unnest(w) AS word FROM w0),
+         |m AS (SELECT doc_id, pos, word,
+         |    CASE WHEN word IN ($all) THEN 1 ELSE 0 END AS stop FROM w),
+         |seg AS (SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+         |  FROM m),
+         |pw AS (SELECT doc_id, sid, pos, word FROM seg WHERE stop = 0),
+         |ph AS (SELECT doc_id, sid, CAST(COUNT(*) AS BIGINT) AS len,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase
+         |  FROM pw GROUP BY doc_id, sid),
+         |ph4 AS (SELECT * FROM ph WHERE len BETWEEN 2 AND 4),
+         |pw4 AS (SELECT pw.*, ph4.len, ph4.phrase
+         |  FROM pw JOIN ph4 USING (doc_id, sid)),
+         |ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(len - 1) AS BIGINT) AS deg
+         |  FROM pw4 GROUP BY word),
+         |sc AS (SELECT word, ((deg + freq) * 1000000) // freq AS score_u FROM ws),
+         |pph AS (SELECT pw4.doc_id, pw4.sid, pw4.phrase,
+         |    CAST(SUM(sc.score_u) AS BIGINT) AS score_u
+         |  FROM pw4 JOIN sc USING (word) GROUP BY pw4.doc_id, pw4.sid, pw4.phrase),
+         |agg AS (SELECT phrase, CAST(MIN(score_u) AS BIGINT) AS score_u,
+         |    CAST(COUNT(*) AS BIGINT) AS n_occ
+         |  FROM pph GROUP BY phrase)
+         |SELECT phrase, n_occ, score_u FROM agg
+         |ORDER BY score_u DESC, phrase LIMIT 20"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // RAKE keyword extraction — the unsupervised keyphrase pass that
+      // needs no trained model, run to tag a corpus before mixing. Phrase
+      // segmentation is a per-doc window (stopword-run cumulative sum);
+      // word degree/frequency aggregate over phrase words; the vocab-sized
+      // score table is broadcast back onto phrase words. No self-joins —
+      // every heavy op is a keyed aggregation, so the plan survives a
+      // corpus-sized scale-up; phrases are capped at 4 words (standard
+      // RAKE practice, and it bounds the string_agg state per group).
+      val all = allStops.map(w => s"'$w'").mkString(", ")
+      val w = T(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "word")
+      val seg = w
+        .withColumn("stop", when(expr(s"word IN ($all)"), 1).otherwise(0))
+        .withColumn("sid", sum($"stop")
+          .over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      val pw = seg.where($"stop" === 0)
+        .select($"doc_id", $"sid", $"pos", $"word")
+      val ph = pw.groupBy($"doc_id", $"sid").agg(
+        count(lit(1)).as("len"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+          .as("phrase"))
+      val ph4 = ph.where($"len".between(2, 4))
+      val pw4 = pw.join(ph4, Seq("doc_id", "sid"))
+      val sc = pw4.groupBy($"word")
+        .agg(count(lit(1)).as("freq"), sum($"len" - 1).as("deg"))
+        .select($"word", expr("((deg + freq) * 1000000) div freq").as("score_u"))
+      pw4.join(broadcast(sc), Seq("word"))
+        .groupBy($"doc_id", $"sid", $"phrase")
+        .agg(sum($"score_u").as("score_u"))
+        .groupBy($"phrase")
+        .agg(min($"score_u").as("score_u"), count(lit(1)).as("n_occ"))
+        .select($"phrase", $"n_occ", $"score_u")
+        .orderBy($"score_u".desc, $"phrase")
+        .limit(20)
     },
   )
 

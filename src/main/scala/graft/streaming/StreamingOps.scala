@@ -92,6 +92,49 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState processor over typed `ValueState`: per key, carry
+    * the last observed (non-missing) reading forward — streaming LOCF
+    * (last observation carried forward), the unbounded twin of the batch
+    * forward-fill window (q99). Input rows are (key, seq, obs) with
+    * obs == Long.MinValue marking a missing reading; in-batch rows are
+    * sorted by seq before processing, and across batches the log source's
+    * id-ordered delivery IS the sequence order, so the fill is exactly the
+    * batch semantics. State per key is ONE long forever — O(distinct keys)
+    * however long the stream runs. Emits (key, seq, filled), -1 before the
+    * key's first observation.
+    */
+  private class LocfProcessor
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long)] {
+    @transient private var last: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val out = rows.toIndexedSeq.sortBy(_._2).map { case (_, seq, obs) =>
+        if (obs != Long.MinValue) last.update(obs)
+        (key, seq, if (last.exists()) last.get() else -1L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming forward fill on [[LocfProcessor]]: `events` must carry a
+    * key column, a monotonically-increasing sequence column, and an
+    * observation column where `Long.MinValue` means missing.
+    */
+  def forwardFillByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, seqCol: String, obsCol: String): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k",
+        s"CAST($seqCol AS BIGINT) AS seq", s"CAST($obsCol AS BIGINT) AS obs")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new LocfProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** transformWithState processor over typed `MapState`: per grouping key,
     * a map of sub-key -> running count. The sub-key space lives INSIDE the
     * state store (one map entry per live sub-key, point-updated), not in

@@ -379,7 +379,15 @@ object PlanAudit {
       "basket self-join is an equi hash join on the order key" -> "HashJoin",
       "per-part counts broadcast onto surviving pairs" -> "BroadcastHashJoin",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
-      "no cartesian product anywhere" -> "!CartesianProduct"))
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q217_rake_keywords" -> Seq(
+      "vocab-sized score table broadcast onto phrase words" -> "BroadcastHashJoin",
+      "top-20 phrases without a global sort" -> "TakeOrderedAndProject",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q219_quantile_normalize" -> Seq(
+      "mapping joined back on (source, value) equi keys" -> "BroadcastHashJoin",
+      "value-domain inequality join stays broadcast-small" -> "BroadcastNestedLoopJoin",
+      "no corpus-sized cartesian product" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

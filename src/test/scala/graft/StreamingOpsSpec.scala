@@ -172,6 +172,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("a", 2L, 1L), ("b", 1L, 1L)))
   }
 
+  test("streaming LOCF carries the last observation across micro-batch boundaries") {
+    // maxEntriesPerTrigger=2 → batches [1,2] [3,4] [5]: id 3 (missing) must
+    // inherit id 2's value FROM STATE (prior batch), id 5 (missing) must
+    // inherit id 4's across another boundary; key b never observes → -1.
+    val M = Long.MinValue
+    val root = mkLog("ev", Seq(
+      (1000L, Map("k" -> "a", "seq" -> 1L, "obs" -> M)),
+      (2000L, Map("k" -> "a", "seq" -> 2L, "obs" -> 70L)),
+      (3000L, Map("k" -> "a", "seq" -> 3L, "obs" -> M)),
+      (4000L, Map("k" -> "a", "seq" -> 4L, "obs" -> 80L)),
+      (5000L, Map("k" -> "b", "seq" -> 5L, "obs" -> M))))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "2").load()
+        .selectExpr("values['k'] AS k", "CAST(values['seq'] AS BIGINT) AS seq",
+          "CAST(values['obs'] AS BIGINT) AS obs")
+      val filled = StreamingOps.forwardFillByKeyTws(spark, src, "k", "seq", "obs")
+      runToMemory(filled.toDF("key", "seq", "filled"), "locf")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql("select key, seq, filled from locf order by seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(("a", 1L, -1L), ("a", 2L, 70L), ("a", 3L, 70L),
+      ("a", 4L, 80L), ("b", 5L, -1L)))
+  }
+
   test("per-key bounded history via transformWithState ListState") {
     // maxEntriesPerTrigger=3 → batches [1,2,3] and [4,5]: id 4's history
     // must come from state built in batch one, and the n=3 cap must have
