@@ -228,5 +228,188 @@ object Evaluation {
         .orderBy($"lift".desc, $"p1", $"p2")
         .limit(20)
     },
+
+    q("q220_pr_curve",
+      // Precision/recall/F1 at the 9 decile thresholds of the score
+      // distribution. Thresholds and all TP/PP counts come from cumulative
+      // sums over the per-score COMPACTED table (q211's bounded-domain
+      // discipline); each rate is one trailing IEEE division.
+      s"""WITH e AS (SELECT value AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |  FROM events),
+         |g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(pos) AS BIGINT) AS pos FROM e GROUP BY 1),
+         |r AS (SELECT *, SUM(cnt) OVER (ORDER BY score) AS cum_cnt,
+         |    SUM(pos) OVER (ORDER BY score) AS cum_pos,
+         |    SUM(cnt) OVER () AS n, SUM(pos) OVER () AS npos FROM g),
+         |ks AS (SELECT range AS k FROM range(1, 10)),
+         |thr AS (SELECT k, MIN(score) AS thr FROM ks
+         |  JOIN r ON r.cum_cnt >= (k*r.n + 9) // 10 GROUP BY k),
+         |j AS (SELECT t.k, t.thr, r.cnt, r.pos, r.cum_cnt, r.cum_pos, r.n, r.npos
+         |  FROM thr t JOIN r ON r.score = t.thr),
+         |o AS (SELECT k, thr, npos - cum_pos + pos AS tp,
+         |    n - cum_cnt + cnt AS pp, npos FROM j)
+         |SELECT CAST(k AS BIGINT) AS k, thr, CAST(tp AS BIGINT) AS tp,
+         |  CAST(pp AS BIGINT) AS pred_pos,
+         |  ${r6Sql("CAST(tp AS DOUBLE)/CAST(pp AS DOUBLE)")} AS precision_,
+         |  ${r6Sql("CAST(tp AS DOUBLE)/CAST(npos AS DOUBLE)")} AS recall_,
+         |  ${r6Sql("CAST(2*tp AS DOUBLE)/CAST(pp + npos AS DOUBLE)")} AS f1
+         |FROM o ORDER BY k""") { (s, dir) =>
+      import s.implicits._
+      // The threshold-picking readout for any quality classifier: where
+      // q211 summarizes ranking power in one number, this shows the
+      // operating points. "Classify positive when score >= decile-k
+      // threshold" — TP and predicted-positive counts fall out of the
+      // same cumulative sums that define the thresholds. The 9-row
+      // threshold table meets the compacted score table in a broadcast
+      // join; nothing corpus-sized shuffles twice.
+      val e = T(s, dir, "events").select($"value".as("score"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = e.groupBy($"score")
+        .agg(count(lit(1)).as("cnt"), sum($"pos").as("pos"))
+      val all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val r = g
+        .withColumn("cum_cnt", sum($"cnt").over(Window.orderBy($"score")))
+        .withColumn("cum_pos", sum($"pos").over(Window.orderBy($"score")))
+        .withColumn("n", sum($"cnt").over(all))
+        .withColumn("npos", sum($"pos").over(all))
+      val ks = s.range(1, 10).select($"id".as("k"))
+      val thr = broadcast(ks)
+        .join(r, $"cum_cnt" >= expr("(k*n + 9) div 10"))
+        .groupBy($"k").agg(min($"score").as("thr"))
+      val j = broadcast(thr).join(r, $"score" === $"thr")
+      j.select($"k", $"thr",
+          ($"npos" - $"cum_pos" + $"pos").as("tp"),
+          ($"n" - $"cum_cnt" + $"cnt").as("pp"), $"npos")
+        .select($"k", $"thr", $"tp", $"pp".as("pred_pos"),
+          r6($"tp".cast("double") / $"pp".cast("double")).as("precision_"),
+          r6($"tp".cast("double") / $"npos".cast("double")).as("recall_"),
+          r6((lit(2) * $"tp").cast("double") /
+            ($"pp" + $"npos").cast("double")).as("f1"))
+        .orderBy($"k")
+    },
+
+    q("q221_cuped",
+      // CUPED variance-reduced A/B readout: pre-period covariate x,
+      // post-period metric y per user, pooled theta = cov(x,y)/var(x) from
+      // BIGINT moment sums (deci-dollar units keep n*sxy far below 2^63),
+      // adjusted lift = raw lift - theta * covariate imbalance.
+      s"""WITH e AS (SELECT user_id,
+         |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS per,
+         |    CAST(FLOOR(value*10 + 0.5) AS BIGINT) AS vd
+         |  FROM events),
+         |u AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN per = 0 THEN vd ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN per = 1 THEN vd ELSE 0 END) AS BIGINT) AS y,
+         |    user_id % 2 AS v
+         |  FROM e GROUP BY user_id),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x*y) AS BIGINT) AS sxy FROM u),
+         |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sxg,
+         |    CAST(SUM(y) AS BIGINT) AS syg FROM u GROUP BY v),
+         |p AS (SELECT MAX(CASE WHEN v = 0 THEN ng END) AS na,
+         |    MAX(CASE WHEN v = 1 THEN ng END) AS nb,
+         |    MAX(CASE WHEN v = 0 THEN sxg END) AS sxa,
+         |    MAX(CASE WHEN v = 1 THEN sxg END) AS sxb,
+         |    MAX(CASE WHEN v = 0 THEN syg END) AS sya,
+         |    MAX(CASE WHEN v = 1 THEN syg END) AS syb FROM g)
+         |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  ${r6Sql("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)")} AS theta,
+         |  ${r6Sql("CAST(syb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)")} AS raw_diff_d,
+         |  ${r6Sql("(CAST(syb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * (CAST(sxb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(sxa AS DOUBLE)/CAST(na AS DOUBLE))")} AS adj_diff_d
+         |FROM m, p""") { (s, dir) =>
+      import s.implicits._
+      // The experiment readout q208 can't give: when the variants start
+      // imbalanced on a pre-period covariate, the raw lift lies; CUPED
+      // subtracts theta x the imbalance. One user-keyed aggregation, then
+      // two single-row aggregates cross-joined (both broadcast) — the
+      // 100 TB plan is identical. Every moment is an exact BIGINT sum;
+      // the three outputs are fixed IEEE op chains written identically in
+      // both engines, r6-rounded.
+      val e = T(s, dir, "events").select($"user_id",
+        when(to_date($"ts") < lit("2024-01-16").cast("date"), 0).otherwise(1).as("per"),
+        expr("CAST(FLOOR(value*10 + 0.5) AS BIGINT)").as("vd"))
+      val u = e.groupBy($"user_id").agg(
+          sum(when($"per" === 0, $"vd").otherwise(0L)).as("x"),
+          sum(when($"per" === 1, $"vd").otherwise(0L)).as("y"))
+        .withColumn("v", $"user_id" % 2)
+      val m = u.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      val p = u.groupBy($"v")
+        .agg(count(lit(1)).as("ng"), sum($"x").as("sxg"), sum($"y").as("syg"))
+        .agg(max(when($"v" === 0, $"ng")).as("na"),
+          max(when($"v" === 1, $"ng")).as("nb"),
+          max(when($"v" === 0, $"sxg")).as("sxa"),
+          max(when($"v" === 1, $"sxg")).as("sxb"),
+          max(when($"v" === 0, $"syg")).as("sya"),
+          max(when($"v" === 1, $"syg")).as("syb"))
+      val theta = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+      val rawDiff = $"syb".cast("double") / $"nb".cast("double") -
+        $"sya".cast("double") / $"na".cast("double")
+      val xDiff = $"sxb".cast("double") / $"nb".cast("double") -
+        $"sxa".cast("double") / $"na".cast("double")
+      m.crossJoin(broadcast(p)).select($"na", $"nb",
+        r6(theta).as("theta"), r6(rawDiff).as("raw_diff_d"),
+        r6(rawDiff - theta * xDiff).as("adj_diff_d"))
+    },
+
+    q("q223_poisson_bootstrap", {
+      val P = graft.functions.TextHash.P
+      val u = graft.functions.TextHash
+        .duckPolyHash("CAST(e.event_id*64 + bs.b AS VARCHAR)")
+      // Poisson(1) bootstrap weights from a deterministic per-(row,
+      // replica) hash uniform in ppm; CDF cut points are fixed integer
+      // literals, so the draw is identical in both engines.
+      s"""WITH e AS (SELECT event_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+         |  FROM events),
+         |bs AS (SELECT range AS b FROM range(0, 64)),
+         |w AS (SELECT e.vc, bs.b,
+         |    (($u) * 2654435761) % $P % 1000000 + 1 AS u FROM e, bs),
+         |ww AS (SELECT b, vc, CASE WHEN u <= 367879 THEN 0 WHEN u <= 735759 THEN 1
+         |    WHEN u <= 919699 THEN 2 WHEN u <= 981012 THEN 3 ELSE 4 END AS wt
+         |  FROM w),
+         |rm AS (SELECT b, (1000000 * SUM(wt*vc)) // SUM(wt) AS mean_u
+         |  FROM ww GROUP BY b),
+         |rk AS (SELECT mean_u, ROW_NUMBER() OVER (ORDER BY mean_u, b) AS rn FROM rm),
+         |sel AS (SELECT CAST(MAX(CASE WHEN rn = 4 THEN mean_u END) AS BIGINT) AS lo_u,
+         |    CAST(MAX(CASE WHEN rn = 61 THEN mean_u END) AS BIGINT) AS hi_u FROM rk),
+         |pt AS (SELECT (1000000 * SUM(vc)) // COUNT(*) AS point_u FROM e)
+         |SELECT CAST(point_u AS BIGINT) AS point_u, lo_u, hi_u,
+         |  CAST(64 AS BIGINT) AS n_replicas FROM pt, sel"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // THE distributed bootstrap: resampling-with-replacement is
+      // impossible to coordinate across a 100 TB shuffle, but Poisson(1)
+      // weights are independent per (row, replica) — one map to draw 64
+      // deterministic weights per row, one aggregation to 64 replica
+      // means, a 64-row sort for the percentile CI. The cut points are
+      // the Poisson(1) CDF in fixed ppm literals (367879/735759/919699/
+      // 981012 — the distribution is exactly the stated discretization,
+      // identically in both engines). Replica means are integer
+      // micro-cents via non-negative DIV.
+      val P = graft.functions.TextHash.P
+      val e = T(s, dir, "events").select($"event_id",
+        expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").as("vc"))
+      val w = e.select($"event_id", $"vc",
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("u", expr(
+          s"(graft_polyhash(CAST(event_id*64 + b AS STRING)) * 2654435761) % $P % 1000000 + 1"))
+      val ww = w.withColumn("wt",
+        when($"u" <= 367879, 0L).when($"u" <= 735759, 1L)
+          .when($"u" <= 919699, 2L).when($"u" <= 981012, 3L).otherwise(4L))
+      val rm = ww.groupBy($"b")
+        .agg(expr("(1000000 * SUM(wt*vc)) div SUM(wt)").as("mean_u"))
+      val rk = rm.withColumn("rn",
+        row_number().over(Window.orderBy($"mean_u", $"b")))
+      val sel = rk.agg(max(when($"rn" === 4, $"mean_u")).as("lo_u"),
+        max(when($"rn" === 61, $"mean_u")).as("hi_u"))
+      val pt = e.agg(expr("(1000000 * SUM(vc)) div COUNT(*)").as("point_u"))
+      pt.crossJoin(broadcast(sel))
+        .select($"point_u", $"lo_u", $"hi_u", lit(64L).as("n_replicas"))
+    },
   )
 }

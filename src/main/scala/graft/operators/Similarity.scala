@@ -767,5 +767,47 @@ object Similarity {
           (coalesce($"n32", lit(0L)).cast("double") / 10.0).as("recall_32d"))
         .orderBy($"q_id")
     },
+
+    q("q222_label_noise",
+      // kNN label-disagreement audit (Confident-Learning-style signal):
+      // an anchor whose 3 nearest neighbors mostly carry a DIFFERENT
+      // label is a mislabel candidate. Anchors sampled; neighbors by the
+      // exact fold-ordered dot product with (sim DESC, vec_id) ties.
+      s"""WITH qv AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE vec_id % 25 = 1),
+         |d AS (SELECT qv.vec_id, qv.label, c.vec_id AS cid, c.label AS clabel,
+         |    ${duckDotSql("qv.embedding", "c.embedding")} AS sim
+         |  FROM qv, embeddings c WHERE c.vec_id <> qv.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cid) AS rn FROM d)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+         |  CASE WHEN SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) <= 1
+         |    THEN 1 ELSE 0 END AS noisy
+         |FROM r WHERE rn <= 3 GROUP BY vec_id, label ORDER BY vec_id""") { (s, dir) =>
+      import s.implicits._
+      // The label-QA pass run before training on weak labels: q124's plan
+      // shape (anchors broadcast, corpus scanned shuffle-free, per-anchor
+      // top-k window), but the readout is the neighbor VOTE — votes <= 1
+      // of 3 means the local neighborhood outvotes the assigned label.
+      // At scale the exact scan swaps for q156's ANN shortlist; the vote
+      // logic is unchanged.
+      val e = T(s, dir, "embeddings")
+      val qv = broadcast(e.filter($"vec_id" % 25 === 1)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"),
+          $"embedding".as("qe")))
+      val cands = e.select($"vec_id".as("cid"), $"label".as("clabel"),
+        $"embedding".as("ce"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"cid")
+      qv.join(cands, $"cid" =!= $"q_id")
+        .withColumn("sim", expr("graft_dot(qe, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"q_id".as("vec_id"), $"q_label".cast("long").as("label"))
+        .agg(sum(when($"clabel" === $"q_label", 1L).otherwise(0L)).as("votes"))
+        .select($"vec_id", $"label", $"votes",
+          when($"votes" <= 1, 1).otherwise(0).as("noisy"))
+        .orderBy($"vec_id")
+    },
   )
 }

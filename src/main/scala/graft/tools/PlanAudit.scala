@@ -387,7 +387,15 @@ object PlanAudit {
     "q219_quantile_normalize" -> Seq(
       "mapping joined back on (source, value) equi keys" -> "BroadcastHashJoin",
       "value-domain inequality join stays broadcast-small" -> "BroadcastNestedLoopJoin",
-      "no corpus-sized cartesian product" -> "!CartesianProduct"))
+      "no corpus-sized cartesian product" -> "!CartesianProduct"),
+    "q222_label_noise" -> Seq(
+      "anchors broadcast, corpus scanned shuffle-free" -> "BroadcastNestedLoopJoin",
+      "per-anchor neighbor rank is one window pass" -> "Window",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q223_poisson_bootstrap" -> Seq(
+      "replica weights generated map-side (explode, no join)" -> "Generate",
+      "replica means partial-aggregate before the 64-key shuffle" -> "HashAggregate",
+      "CI selection crosses only broadcast-1-row sides" -> "BroadcastNestedLoopJoin"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

