@@ -411,5 +411,75 @@ object Evaluation {
       pt.crossJoin(broadcast(sel))
         .select($"point_u", $"lo_u", $"hi_u", lit(64L).as("n_replicas"))
     },
+
+    q("q225_conformal_interval",
+      // Split-conformal prediction intervals per event type: train/cal/
+      // test split on event_id parity, qhat = the ceil(0.9*(nc+1))-th
+      // smallest calibration residual, coverage checked on the held-out
+      // quarter. Micro-deci integer residuals end to end; the finite-
+      // sample guarantee (coverage >= 90%) is the property conformal
+      // buys, and the readout shows it.
+      s"""WITH e AS (SELECT event_type, event_id,
+         |    CAST(FLOOR(value*10 + 0.5) AS BIGINT) AS vd FROM events),
+         |tr AS (SELECT event_type, (1000000 * SUM(vd)) // COUNT(*) AS mean_u
+         |  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+         |cal AS (SELECT e.event_type, ABS(e.vd*1000000 - tr.mean_u) AS r
+         |  FROM e JOIN tr USING (event_type) WHERE e.event_id % 4 = 1),
+         |cn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM cal GROUP BY 1),
+         |rk AS (SELECT event_type, r, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type ORDER BY r) AS rn FROM cal),
+         |qh AS (SELECT rk.event_type, CAST(rk.r AS BIGINT) AS qhat
+         |  FROM rk JOIN cn USING (event_type)
+         |  WHERE rn = LEAST((9*(nc+1) + 9) // 10, nc)),
+         |te AS (SELECT e.event_type,
+         |    CASE WHEN ABS(e.vd*1000000 - tr.mean_u) <= qh.qhat
+         |      THEN 1 ELSE 0 END AS c
+         |  FROM e JOIN tr USING (event_type) JOIN qh USING (event_type)
+         |  WHERE e.event_id % 4 = 3),
+         |ta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |    CAST(SUM(c) AS BIGINT) AS n_cov FROM te GROUP BY 1)
+         |SELECT t.event_type, CAST(t.mean_u AS BIGINT) AS mean_u, qh.qhat,
+         |  cn.nc AS n_cal, ta.n_test, ta.n_cov,
+         |  ${r6Sql("CAST(ta.n_cov AS DOUBLE) / CAST(ta.n_test AS DOUBLE)")} AS coverage
+         |FROM tr t JOIN qh USING (event_type) JOIN cn USING (event_type)
+         |  JOIN ta USING (event_type)
+         |ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // Distribution-free uncertainty for ANY point predictor (here the
+      // per-type train mean): the calibration quantile of residuals is
+      // the interval half-width. The per-type tables are |types|-sized
+      // and broadcast; the residual rank is one partitioned window over
+      // the calibration slice. This is the modern replacement for
+      // assuming Gaussian residuals (contrast q224's 3-sigma rule).
+      val e = T(s, dir, "events").select($"event_type", $"event_id",
+        expr("CAST(FLOOR(value*10 + 0.5) AS BIGINT)").as("vd"))
+      val tr = e.filter($"event_id" % 2 === 0).groupBy($"event_type")
+        .agg(expr("(1000000 * SUM(vd)) div COUNT(*)").as("mean_u"))
+      val cal = e.filter($"event_id" % 4 === 1)
+        .join(broadcast(tr), Seq("event_type"))
+        .select($"event_type", abs($"vd" * 1000000L - $"mean_u").as("r"))
+      val cn = cal.groupBy($"event_type").agg(count(lit(1)).as("nc"))
+      val rk = cal.withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"r")))
+      val qh = rk.join(broadcast(cn), Seq("event_type"))
+        .filter($"rn" === least(expr("(9*(nc+1) + 9) div 10"), $"nc"))
+        .select($"event_type", $"r".as("qhat"))
+      val ta = e.filter($"event_id" % 4 === 3)
+        .join(broadcast(tr), Seq("event_type"))
+        .join(broadcast(qh), Seq("event_type"))
+        .select($"event_type",
+          when(abs($"vd" * 1000000L - $"mean_u") <= $"qhat", 1L)
+            .otherwise(0L).as("c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_test"), sum($"c").as("n_cov"))
+      tr.join(broadcast(qh), Seq("event_type"))
+        .join(broadcast(cn), Seq("event_type"))
+        .join(broadcast(ta), Seq("event_type"))
+        .select($"event_type", $"mean_u", $"qhat", $"nc".as("n_cal"),
+          $"n_test", $"n_cov",
+          r6($"n_cov".cast("double") / $"n_test".cast("double")).as("coverage"))
+        .orderBy($"event_type")
+    },
   )
 }

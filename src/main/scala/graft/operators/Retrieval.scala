@@ -270,5 +270,107 @@ object Retrieval {
         .filter($"df" >= 20)
         .orderBy($"term")
     },
+
+    q("q226_mmr_rerank", {
+      val dot = graft.functions.VectorFns.duckDot _
+      // MMR (Carbonell & Goldstein 1998) with lambda = 1/2: the greedy
+      // pick maximizes simq - max(sim to already-selected) — unrolled for
+      // k=3 selections over a top-10 shortlist, exactly as the engine
+      // side. Dots are the fold-ordered exact doubles; margins are IEEE
+      // subtractions of identical bit values, r6 only at output.
+      s"""WITH qv AS (SELECT vec_id qid, embedding qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |d AS (SELECT qv.qid, c.vec_id cid,
+         |    ${dot("qv.qe", "c.embedding")} AS simq
+         |  FROM qv, embeddings c WHERE c.vec_id <> qv.qid),
+         |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY simq DESC, cid) rn FROM d) WHERE rn <= 10),
+         |pair AS (SELECT a.qid, a.cid ca, b.cid cb,
+         |    ${dot("ea.embedding", "eb.embedding")} AS sim
+         |  FROM top a JOIN top b ON a.qid = b.qid AND a.cid <> b.cid
+         |  JOIN embeddings ea ON ea.vec_id = a.cid
+         |  JOIN embeddings eb ON eb.vec_id = b.cid),
+         |s1 AS (SELECT qid, cid AS sel1, simq AS m1 FROM top WHERE rn = 1),
+         |m2 AS (SELECT t.qid, t.cid, t.simq - p.sim AS mmr FROM top t
+         |  JOIN s1 ON s1.qid = t.qid AND t.cid <> s1.sel1
+         |  JOIN pair p ON p.qid = t.qid AND p.ca = t.cid AND p.cb = s1.sel1),
+         |s2 AS (SELECT qid, cid AS sel2, mmr AS m2 FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) rn2
+         |  FROM m2) WHERE rn2 = 1),
+         |m3 AS (SELECT t.qid, t.cid, t.simq - GREATEST(p1.sim, p2.sim) AS mmr
+         |  FROM top t
+         |  JOIN s1 ON s1.qid = t.qid JOIN s2 ON s2.qid = t.qid
+         |  JOIN pair p1 ON p1.qid = t.qid AND p1.ca = t.cid AND p1.cb = s1.sel1
+         |  JOIN pair p2 ON p2.qid = t.qid AND p2.ca = t.cid AND p2.cb = s2.sel2
+         |  WHERE t.cid <> s1.sel1 AND t.cid <> s2.sel2),
+         |s3 AS (SELECT qid, cid AS sel3, mmr AS m3 FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) rn3
+         |  FROM m3) WHERE rn3 = 1)
+         |SELECT qid AS q_id, CAST(rk AS BIGINT) AS rk, cand_id,
+         |  FLOOR(margin * 1000000 + 0.5) / 1000000 AS mmr_margin FROM (
+         |  SELECT qid, 1 AS rk, sel1 AS cand_id, m1 AS margin FROM s1
+         |  UNION ALL SELECT qid, 2, sel2, m2 FROM s2
+         |  UNION ALL SELECT qid, 3, sel3, m3 FROM s3)
+         |ORDER BY q_id, rk"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Diversified re-ranking — the answer to "my top-k are 5 copies of
+      // the same document": after relevance ranks a shortlist, MMR
+      // penalizes each candidate by its similarity to what's already
+      // picked. Greedy is inherently sequential, so it runs UNROLLED on
+      // the shortlist only (10 rows/query; q177's unrolled-iteration
+      // pattern): the corpus-sized work is the one broadcast scan that
+      // builds the shortlist — everything after is per-query-constant.
+      import graft.ColFns.r6
+      val e = T(s, dir, "embeddings")
+      val qv = broadcast(e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qe")))
+      val d = qv.join(e.select($"vec_id".as("cid"), $"embedding".as("ce")),
+          $"cid" =!= $"qid")
+        .withColumn("simq", expr("graft_dot(qe, ce)"))
+      val top = d.withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"simq".desc, $"cid")))
+        .filter($"rn" <= 10)
+        .select($"qid", $"cid", $"ce", $"simq", $"rn")
+      val pair = top.as("a").join(top.as("b"),
+          $"a.qid" === $"b.qid" && $"a.cid" =!= $"b.cid")
+        .select($"a.qid".as("qid"), $"a.cid".as("ca"), $"b.cid".as("cb"),
+          expr("graft_dot(a.ce, b.ce)").as("sim"))
+      val s1 = top.filter($"rn" === 1)
+        .select($"qid", $"cid".as("sel1"), $"simq".as("m1"))
+      val pair1 = pair.select($"qid".as("p1qid"), $"ca".as("p1ca"),
+        $"cb".as("p1cb"), $"sim".as("p1sim"))
+      val pair2 = pair.select($"qid".as("p2qid"), $"ca".as("p2ca"),
+        $"cb".as("p2cb"), $"sim".as("p2sim"))
+      val m2 = top.join(broadcast(s1), Seq("qid")).filter($"cid" =!= $"sel1")
+        .join(pair1, $"p1qid" === $"qid" &&
+          $"p1ca" === $"cid" && $"p1cb" === $"sel1")
+        .select($"qid", $"cid", ($"simq" - $"p1sim").as("mmr"))
+      val s2 = m2.withColumn("rn2", row_number().over(
+          Window.partitionBy($"qid").orderBy($"mmr".desc, $"cid")))
+        .filter($"rn2" === 1)
+        .select($"qid", $"cid".as("sel2"), $"mmr".as("m2"))
+      val m3 = top.join(broadcast(s1), Seq("qid"))
+        .join(broadcast(s2), Seq("qid"))
+        .filter($"cid" =!= $"sel1" && $"cid" =!= $"sel2")
+        .join(pair1, $"p1qid" === $"qid" &&
+          $"p1ca" === $"cid" && $"p1cb" === $"sel1")
+        .join(pair2, $"p2qid" === $"qid" &&
+          $"p2ca" === $"cid" && $"p2cb" === $"sel2")
+        .select($"qid", $"cid",
+          ($"simq" - greatest($"p1sim", $"p2sim")).as("mmr"))
+      val s3 = m3.withColumn("rn3", row_number().over(
+          Window.partitionBy($"qid").orderBy($"mmr".desc, $"cid")))
+        .filter($"rn3" === 1)
+        .select($"qid", $"cid".as("sel3"), $"mmr".as("m3"))
+      s1.select($"qid", lit(1L).as("rk"), $"sel1".as("cand_id"), $"m1".as("margin"))
+        .unionAll(s2.select($"qid", lit(2L).as("rk"), $"sel2".as("cand_id"),
+          $"m2".as("margin")))
+        .unionAll(s3.select($"qid", lit(3L).as("rk"), $"sel3".as("cand_id"),
+          $"m3".as("margin")))
+        .select($"qid".as("q_id"), $"rk", $"cand_id",
+          r6($"margin").as("mmr_margin"))
+        .orderBy($"q_id", $"rk")
+    },
   )
 }

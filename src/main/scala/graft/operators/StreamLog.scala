@@ -1228,5 +1228,58 @@ object StreamLog {
         .select($"user_id".cast("long").as("user_id"), $"event_id", $"filled_c")
         .orderBy($"user_id", $"event_id")
     },
+
+    q("q224_streaming_anomaly",
+      // Streaming 3-sigma anomaly flags THROUGH the engine: each reading
+      // judged against its type's running moments BEFORE it (state can't
+      // be polluted by the value it judges), cross-multiplied integers so
+      // there is no float mean/variance. Oracle = the batch cumulative
+      // window stating the identical arithmetic. flag -1 = warm-up (n<30).
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value*10 + 0.5) AS BIGINT) AS vd
+        |  FROM events),
+        |w AS (SELECT event_type, event_id, vd,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n,
+        |    SUM(vd) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s,
+        |    SUM(vd*vd) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ss
+        |  FROM e)
+        |SELECT event_type, event_id, vd,
+        |  CASE WHEN n < 30 THEN -1
+        |       WHEN (n*vd - s)*(n*vd - s) > 9*(n*ss - s*s) THEN 1
+        |       ELSE 0 END AS flag
+        |FROM w ORDER BY event_type, event_id""") { (s, dir) =>
+      import s.implicits._
+      // The live data-quality tripwire: per-type running (n, sum, sumsq)
+      // as ONE ValueState tuple — constant state per key forever — with
+      // deci-dollar values keeping the cross-multiplied test far below
+      // 2^63. The streamed verdict equals the batch window's row for row
+      // (in-batch sort + id-ordered delivery), so the oracle hash-checks
+      // every event's flag, warm-up included.
+      val v0 = Tables.load(s, dir, "events").select(
+        $"event_id", $"event_type",
+        expr("CAST(FLOOR(value*10 + 0.5) AS BIGINT)").as("vd"))
+      val root = graft.LogFixtures.producedLog(dir, "q224") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"vd"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q224", 4, rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING, vd BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+        graft.streaming.StreamingOps
+          .anomalyFlagsByKeyTws(s, src, "event_type", "event_id", "vd", 30L)
+          .toDF("event_type", "event_id", "vd", "flag")
+      }
+        .select($"event_type", $"event_id", $"vd", $"flag")
+        .orderBy($"event_type", $"event_id")
+    },
   )
 }

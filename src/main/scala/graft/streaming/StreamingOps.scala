@@ -135,6 +135,53 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** transformWithState processor for streaming 3-sigma anomaly flags: per
+    * key, running (n, sum, sumsq) in one ValueState tuple; each reading is
+    * judged against the state BEFORE it (so a wild value can't mask
+    * itself), then folded in. The test is the cross-multiplied integer
+    * compare (n*v - sum)^2 > 9*(n*sumsq - sum^2) — no float mean/variance
+    * to diverge, and the same arithmetic a batch cumulative window states.
+    * Emits (key, seq, v, flag) with flag = -1 during warm-up (n < minN).
+    */
+  private class AnomalyProcessor(minN: Long)
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Int)] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("moments",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Int)] = {
+      var (n, sum, sumsq) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = rows.toIndexedSeq.sortBy(_._2).map { case (_, seq, v) =>
+        val flag =
+          if (n < minN) -1
+          else {
+            val dev = n * v - sum
+            if (dev * dev > 9L * (n * sumsq - sum * sum)) 1 else 0
+          }
+        n += 1; sum += v; sumsq += v * v
+        (key, seq, v, flag)
+      }
+      st.update((n, sum, sumsq))
+      out.iterator
+    }
+  }
+
+  /** Streaming per-key 3-sigma anomaly detection on [[AnomalyProcessor]]. */
+  def anomalyFlagsByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, seqCol: String, valCol: String,
+      minN: Long): Dataset[(String, Long, Long, Int)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k",
+        s"CAST($seqCol AS BIGINT) AS seq", s"CAST($valCol AS BIGINT) AS v")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(minN),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** transformWithState processor over typed `MapState`: per grouping key,
     * a map of sub-key -> running count. The sub-key space lives INSIDE the
     * state store (one map entry per live sub-key, point-updated), not in

@@ -134,6 +134,37 @@ class EvaluationSpec extends AnyFunSuite {
     assert(lo > 3L * 1000000 / 100 && hi < 32753L * 1000000)
   }
 
+  test("q225 conformal coverage clears the finite-sample floor per type") {
+    val rows = SparkEntry.queries("q225_conformal_interval")(spark, dir).collect()
+    try {
+      assert(rows.length == 5)
+      rows.foreach { r =>
+        val cov = r.getAs[Double]("coverage")
+        // 90%-target split conformal with ~45-60 calibration points: allow
+        // finite-sample slack but fail if the guarantee is broken badly
+        assert(cov >= 0.8 && cov <= 1.0,
+          s"${r.getAs[String]("event_type")}: coverage $cov outside [0.8, 1]")
+        assert(r.getAs[Long]("qhat") > 0)
+      }
+    } finally CacheScope.release()
+  }
+
+  test("q226 MMR picks are distinct and rank 1 is the relevance argmax") {
+    val rows = SparkEntry.queries("q226_mmr_rerank")(spark, dir).collect()
+    try {
+      assert(rows.length == 15)
+      rows.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rs) =>
+        val cands = rs.map(_.getAs[Long]("cand_id"))
+        assert(cands.distinct.length == 3, s"q$qid: picks must be distinct")
+        val byRank = rs.sortBy(_.getAs[Long]("rk"))
+        // rank 1 has no diversity penalty: its margin is the raw top sim,
+        // which must be >= every later (penalized) margin
+        assert(byRank.tail.forall(r => r.getAs[Double]("mmr_margin") <=
+          byRank.head.getAs[Double]("mmr_margin") + 1e-9), s"q$qid margin order")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q215 lift matches a hand-computed basket fixture") {
     import spark.implicits._
     // 4 baskets: {A,B} x3, {A,C} x1 => rule A->B: support 3, conf 3/4,

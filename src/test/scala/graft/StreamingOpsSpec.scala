@@ -208,6 +208,38 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("a", 4L, 80L), ("b", 5L, -1L)))
   }
 
+  test("streaming anomaly flags judge against pre-event state across batches") {
+    // 6 flat readings then a wild one, split into 3 batches: the wild
+    // value (seq 7) must flag against the flat history held in state, and
+    // the flat readings must not flag (warm-up -1 for the first minN=5).
+    val root = mkLog("ev", (1L to 6L).map(i =>
+      (i * 1000L, Map[String, Any]("k" -> "a", "seq" -> i, "v" -> (50L + i % 2)))) :+
+      (7000L, Map[String, Any]("k" -> "a", "seq" -> 7L, "v" -> 5000L)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3").load()
+        .selectExpr("values['k'] AS k", "CAST(values['seq'] AS BIGINT) AS seq",
+          "CAST(values['v'] AS BIGINT) AS v")
+      val flags = StreamingOps.anomalyFlagsByKeyTws(spark, src, "k", "seq", "v", 5L)
+      runToMemory(flags.toDF("key", "seq", "v", "flag"), "anom")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.sql("select seq, flag from anom order by seq")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(got == List((1L, -1), (2L, -1), (3L, -1), (4L, -1), (5L, -1),
+      (6L, 0), (7L, 1)))
+  }
+
   test("per-key bounded history via transformWithState ListState") {
     // maxEntriesPerTrigger=3 → batches [1,2,3] and [4,5]: id 4's history
     // must come from state built in batch one, and the n=3 cap must have
