@@ -112,20 +112,31 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // best of 2 runs per query: single-run numbers on a shared box swing
-    // ±20% with background load; the min is the engine's actual cost
+    // ±20% with background load; the min is the engine's actual cost.
+    // A throwing query must NOT blend into the timings: an analysis error
+    // surfaces in ~50 ms, which reads as a 30-50x "speedup" (exactly the
+    // round-6 incident — a fixture-schema change broke every events query
+    // and the bench recorded them as fast). Failures are tracked by name
+    // and excluded from the per-query map and the suite total.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => Bench.BenchExcluded(name) }
-      .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      .flatMap { case (name, fn) =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                   false
+                 }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
       // drop query-internal caches AFTER both runs: storage memory must not
       // grow across the full suite, but within one query's best-of-2
       // the warm second run is the measurement (same as any warmed engine)
       CacheScope.release()
-      name -> times.min
+      if (runs.exists(_._1)) Some(name -> runs.filter(_._1).map(_._2).min)
+      else { failed += name; None }
     }.toMap
     val eps = streamIngestEps(spark)
     val bulkEps = bulkProduceEps(spark)
@@ -138,10 +149,11 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.props("user.dir"), "BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
-      detailLine(results, eps, bulkEps, sinkEps, shardedEps, sfDir)
+      detailLine(results, eps, bulkEps, sinkEps, shardedEps, sfDir,
+        failed.toSeq)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(headlineLine(results, eps, bulkEps, sinkEps, shardedEps, sfDir,
-      detailPath.toString))
+      detailPath.toString, failed.toSeq))
     spark.stop()
   }
 
@@ -171,17 +183,26 @@ object Bench {
     "q114_bloom_semijoin", "q116_paragraph_dedup", "q120_streaming_lsh_dedup",
     "q131_replay_from_time", "q132_batch_time_slice", "q134_multimodal_decode")
 
+  private def jarr(names: Seq[String]): String =
+    names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   private[graft] def detailLine(results: Map[String, Double], eps: Long,
-      bulkEps: Long, sinkEps: Long, shardedEps: Long, sfDir: String): String = {
+      bulkEps: Long, sinkEps: Long, shardedEps: Long, sfDir: String,
+      failed: Seq[String] = Nil): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(results.toSeq.sortBy(_._1))},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failures":${failed.size},"failed":${jarr(failed.sorted)},"queries":${jmap(results.toSeq.sortBy(_._1))},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir"}"""
   }
 
+  /** The headline (stdout) line carries only the failure COUNT — the names
+    * live in the detail file, because a mass failure (the round-6 mode:
+    * one shared loader breaks 80 queries) would blow the driver's ~2000-char
+    * stdout tail and zero the whole round's bench parse.
+    */
   private[graft] def headlineLine(results: Map[String, Double], eps: Long,
       bulkEps: Long, sinkEps: Long, shardedEps: Long, sfDir: String,
-      detailPath: String): String = {
+      detailPath: String, failed: Seq[String] = Nil): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val headline = HeadlineQueries.flatMap(n => results.get(n).map(n -> _))
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir","detail":"$detailPath"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failures":${failed.size},"queries":${jmap(headline)},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir","detail":"$detailPath"}"""
   }
 }

@@ -33,15 +33,32 @@ object Tables {
     })
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by default
-    * ([PARQUET_TYPE_ILLEGAL]). Read the nanos as LONG and floor-convert to a
-    * microsecond TIMESTAMP — the same truncation DuckDB applies when casting
-    * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+  /** `events.ts` has shipped as two physical types across fixture
+    * generations, so the loader dispatches on what it finds:
+    *
+    *  - parquet TIMESTAMP(NANOS), which Spark refuses by default
+    *    ([PARQUET_TYPE_ILLEGAL]): read the nanos as LONG and floor-convert
+    *    to a microsecond TIMESTAMP — the same truncation DuckDB applies
+    *    when casting TIMESTAMP_NS to TIMESTAMP;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    *    reads as TIMESTAMP_NTZ: cast to the session-zoned TIMESTAMP (all
+    *    entry points pin the session timezone to UTC, so the wall-clock
+    *    reinterpretation is the identity and `unix_millis`/`unix_micros`
+    *    agree with DuckDB's `epoch_ms`/`epoch_us` on the same file).
+    *
+    * Either way every downstream query sees one canonical shape: a
+    * microsecond-precision session-zoned TIMESTAMP.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
 
   /** Register every fixture as a temp view so queries can be written in SQL

@@ -237,9 +237,13 @@ object Retrieval {
     q("q205_inverted_index",
       // Materialized posting-list build: term -> (document frequency,
       // total term frequency, sorted doc-id postings). Postings are
-      // ORDER-PINNED (sorted by doc_id) so the list column hash-compares;
-      // emitted for terms with df >= 20 — the index segment a search
-      // engine would actually flush.
+      // ORDER-PINNED (sorted by doc_id) and serialized as one
+      // comma-joined string — a list column would be the natural segment
+      // shape, but the driver's comparator sorts rows by every output
+      // column and array-typed sort keys crash it (round-6 ADVICE), and a
+      // delimited string hash-compares identically; emitted for terms
+      // with df >= 20 — the index segment a search engine would actually
+      // flush.
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
         |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
@@ -247,7 +251,7 @@ object Retrieval {
         |SELECT term,
         |  CAST(COUNT(*) AS BIGINT) AS df,
         |  CAST(SUM(tf) AS BIGINT) AS ttf,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM tf GROUP BY term HAVING COUNT(*) >= 20
         |ORDER BY term""") { (s, dir) =>
       import s.implicits._
@@ -266,7 +270,7 @@ object Retrieval {
         .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
         .groupBy($"term")
         .agg(count(lit(1)).as("df"), sum($"tf").as("ttf"),
-          sort_array(collect_list($"doc_id")).as("postings"))
+          array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
         .filter($"df" >= 20)
         .orderBy($"term")
     },

@@ -189,7 +189,7 @@ object PlanAudit {
     "q148_scd2_dimension" -> Seq(
       "interval stitching is window passes, not a self-join" -> "Window",
       "no join anywhere in the dimension build" -> "!Join",
-      "only the four needed columns read (ts arrives as nano-long)" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "only the four needed columns read (ts arrives as parquet micros)" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
     "q163_html_extract" -> Seq(
       "extraction is pure map-side (no join, no aggregation shuffle)" -> "!Join",
       "no aggregation anywhere before the presentation sort" -> "!HashAggregate",
@@ -291,11 +291,11 @@ object PlanAudit {
     "q189_sql_entry" -> Seq(
       "SQL-text entry plans the same window as the DSL would" -> "Window",
       "aggregation partial before the shuffle" -> "HashAggregate",
-      "column pruning reaches the scan through the temp view" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "column pruning reaches the scan through the temp view" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
     "q190_decayed_counts" -> Seq(
       "decay math runs on day-counts (pre-aggregated), never raw events" -> "HashAggregate",
       "max-day frame broadcast (weighting stays map-side)" -> "BroadcastNestedLoopJoin",
-      "only event_type and ts read" -> "ReadSchema: struct<ts:bigint,event_type:string>"),
+      "only event_type and ts read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
     "q192_incremental_novelty" -> Seq(
       "index and delta meet in gram-keyed equi joins (index never broadcast by hand)" -> "HashJoin",
       "no window sort over the gram stream" -> "!Window",
@@ -310,7 +310,7 @@ object PlanAudit {
     "q194_markov_transitions" -> Seq(
       "adjacency pairs from one user-keyed window pass" -> "Window",
       "transition counts partial-aggregate before the shuffle" -> "HashAggregate",
-      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
     "q195_bfs_hops" -> Seq(
       "node-sized frontier broadcast into every hop join" -> "BroadcastHashJoin",
       "no cartesian product in any iteration" -> "!CartesianProduct",
@@ -326,7 +326,7 @@ object PlanAudit {
     "q198_session_paths" -> Seq(
       "top-20 cut without a global sort" -> "TakeOrderedAndProject",
       "path counts partial-aggregate before the shuffle" -> "HashAggregate",
-      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "props/value never read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
     "q199_correlation_matrix" -> Seq(
       "all 15 moment sums ride ONE aggregation pass" -> "HashAggregate",
       "no join anywhere (single scan + single-row unpivot)" -> "!Join",
@@ -342,11 +342,11 @@ object PlanAudit {
     "q203_churn_labels" -> Seq(
       "label and features from ONE user-keyed aggregation" -> "HashAggregate",
       "corpus horizon broadcast (1 row)" -> "BroadcastNestedLoopJoin",
-      "props/value never read" -> "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"),
+      "props/value never read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"),
     "q204_cumulative_reach" -> Seq(
       "day-keyed DAU/new-user join is an equi join" -> "HashJoin",
       "distinct and first-seen partial-aggregate map-side" -> "HashAggregate",
-      "only ts and user_id read" -> "ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
     "q205_inverted_index" -> Seq(
       "postings assembled by aggregation, no self-join" -> "!Join",
       "term frequencies partial-aggregate before the shuffle" -> "HashAggregate",

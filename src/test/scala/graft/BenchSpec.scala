@@ -28,8 +28,26 @@ class BenchSpec extends AnyFunSuite {
       assert(node.get("metric").asText() == "total")
       assert(node.get("value").isNumber && node.get("unit").asText() == "sec")
       assert(node.get("n_queries").asLong() == SparkEntry.queries.size)
+      assert(node.get("failures").asLong() == 0L)
       assert(node.get("queries").isObject)
     }
+  }
+
+  test("failed queries are counted, named in detail, and excluded from totals") {
+    val ok = Map("q01_pricing_summary" -> 1.0)
+    val head = Bench.headlineLine(ok, 1L, 1L, 1L, 1L, "/sf", "/d.json",
+      failed = Seq("q78_streaming_agg", "q60_log_roundtrip"))
+    val detail = Bench.detailLine(ok, 1L, 1L, 1L, 1L, "/sf",
+      failed = Seq("q78_streaming_agg", "q60_log_roundtrip"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val h = om.readTree(head)
+    assert(h.get("failures").asLong() == 2L)
+    assert(h.get("n_queries").asLong() == 1L)
+    assert(h.get("value").asDouble() == 1.0) // failures add no fake time
+    val d = om.readTree(detail)
+    assert(d.get("failures").asLong() == 2L)
+    assert(d.get("failed").isArray && d.get("failed").size() == 2)
+    assert(!d.get("queries").has("q78_streaming_agg"))
   }
 
   test("every headline query name is a real query") {
