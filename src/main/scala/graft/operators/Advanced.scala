@@ -746,6 +746,85 @@ object Advanced {
         .select($"n_nodes", $"n_edges", $"n_triangles")
     },
 
+    q("q229_kcore_decomposition",
+      // 3-core peeling on the q176 co-supply graph, 3 unrolled rounds:
+      // each round drops nodes with degree < 3 and every edge touching
+      // them, then re-counts degrees on the shrunk graph. Reports the
+      // (nodes, undirected edges) trajectory — convergence is visible as
+      // consecutive equal rows. The density primitive behind community
+      // seeding and spam-ring mining.
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2 HAVING COUNT(*) >= 4),
+        |d1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT s1 AS s FROM e0 UNION ALL SELECT s2 AS s FROM e0)
+        |  GROUP BY s),
+        |v1 AS (SELECT s FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT s1, s2 FROM e0
+        |  WHERE s1 IN (SELECT s FROM v1) AND s2 IN (SELECT s FROM v1)),
+        |d2 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT s1 AS s FROM e1 UNION ALL SELECT s2 AS s FROM e1)
+        |  GROUP BY s),
+        |v2 AS (SELECT s FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT s1, s2 FROM e1
+        |  WHERE s1 IN (SELECT s FROM v2) AND s2 IN (SELECT s FROM v2)),
+        |d3 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT s1 AS s FROM e2 UNION ALL SELECT s2 AS s FROM e2)
+        |  GROUP BY s),
+        |v3 AS (SELECT s FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT s1, s2 FROM e2
+        |  WHERE s1 IN (SELECT s FROM v3) AND s2 IN (SELECT s FROM v3))
+        |SELECT CAST(1 AS BIGINT) AS peel,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+        |UNION ALL SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM v2),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM v3),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+        |ORDER BY peel""") { (s, dir) =>
+      import s.implicits._
+      // Iterative peel with the surviving-node set BROADCAST into a
+      // semi-join each round (node sets are orders of magnitude smaller
+      // than edge sets — the same asymmetry GraphX's Pregel exploits);
+      // edges only ever shrink, and each round is one degree aggregation
+      // + one semi-join on the cached frame. Unrolled to a fixed depth
+      // exactly like q195's BFS — at 100 TB you run peels to a fixed
+      // budget, checkpointing between rounds, not to convergence.
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val e0 = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 4)
+        .select($"s1", $"s2")
+        .transform(graft.CacheScope.cached)
+      def peel(e: DataFrame): (DataFrame, DataFrame) = {
+        val deg = e.select($"s1".as("s")).unionAll(e.select($"s2".as("s")))
+          .groupBy($"s").agg(count(lit(1)).as("d"))
+        val v = deg.filter($"d" >= 3).select($"s")
+          .transform(graft.CacheScope.cached)
+        val e2 = e
+          .join(broadcast(v.withColumnRenamed("s", "s1")), Seq("s1"), "left_semi")
+          .join(broadcast(v.withColumnRenamed("s", "s2")), Seq("s2"), "left_semi")
+          .select($"s1", $"s2")
+          .transform(graft.CacheScope.cached)
+        (v, e2)
+      }
+      val (v1, e1) = peel(e0)
+      val (v2, e2) = peel(e1)
+      val (v3, e3) = peel(e2)
+      def row(i: Long, v: DataFrame, e: DataFrame): DataFrame =
+        v.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(i).as("peel"), $"n_nodes", $"n_edges")
+      row(1L, v1, e1).unionAll(row(2L, v2, e2)).unionAll(row(3L, v3, e3))
+        .orderBy($"peel")
+    },
+
     q("q179_histogram_quantiles",
       // Everything runs on SHIFTED values sv = cents - lo >= 0, so every
       // DIV has non-negative operands (Spark trunc == DuckDB floor) even

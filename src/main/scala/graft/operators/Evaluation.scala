@@ -5,7 +5,7 @@ import graft.QueryDef.q
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Model-evaluation and experiment-analytics operators: the readouts a
   * training-data pipeline runs AFTER curation to decide whether a quality
@@ -480,6 +480,71 @@ object Evaluation {
           $"n_test", $"n_cov",
           r6($"n_cov".cast("double") / $"n_test".cast("double")).as("coverage"))
         .orderBy($"event_type")
+    },
+
+    q("q231_llr_copurchase", {
+      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      def xlx(x: String) = s"(CASE WHEN $x = 0 THEN 0 ELSE $x * ${lnm(x)} END)"
+      // Dunning's log-likelihood-ratio association over co-ordered part
+      // pairs — the significance-aware complement of q215's lift (lift
+      // explodes on rare pairs; LLR discounts them by the evidence mass)
+      // and q210's PMI. G2 = 2 * (sum xlogx over the 2x2 cells + xlogx(N)
+      // - xlogx of the margins); every xlogx is n * micro-rounded ln(n)
+      // (q136's one-rounding-per-distinct-integer discipline), so the
+      // score is an exact BIGINT in micro-nat units and the top-20 order
+      // cannot flap across engines.
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |c AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY p),
+         |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+         |pr AS (SELECT a.p AS p1, b2.p AS p2,
+         |    CAST(COUNT(*) AS BIGINT) AS k11
+         |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+         |  GROUP BY a.p, b2.p HAVING COUNT(*) >= 3),
+         |k AS (SELECT p1, p2, k11, c1.cnt - k11 AS k12, c2.cnt - k11 AS k21,
+         |    n.n_orders - c1.cnt - c2.cnt + k11 AS k22, n.n_orders AS nn
+         |  FROM pr JOIN c c1 ON c1.p = pr.p1 JOIN c c2 ON c2.p = pr.p2
+         |  CROSS JOIN n)
+         |SELECT p1, p2, k11,
+         |  2 * (${xlx("k11")} + ${xlx("k12")} + ${xlx("k21")} + ${xlx("k22")}
+         |    + ${xlx("nn")} - ${xlx("(k11 + k12)")} - ${xlx("(k21 + k22)")}
+         |    - ${xlx("(k11 + k21)")} - ${xlx("(k12 + k22)")}) AS llr_micro
+         |FROM k ORDER BY llr_micro DESC, p1, p2 LIMIT 20"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Same candidate generation as q215 (per-order equi self-join, pair
+      // support floor); the 2x2 contingency margins come from broadcast
+      // per-part counts, so the LLR itself is map-side arithmetic on the
+      // surviving pairs. At 100 TB the xlogx terms cost nothing — the
+      // shuffle is the pair aggregation, identical to q215's.
+      def lnmC(c: Column): Column =
+        floor(log(c.cast("double")) * 1000000d + 0.5d).cast("long")
+      def xlxC(c: Column): Column =
+        when(c === 0L, 0L).otherwise(c * lnmC(c))
+      val b = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val c = b.groupBy($"p").agg(count(lit(1)).as("cnt"))
+      val nOrders = b.agg(countDistinct($"o").as("n_orders"))
+      val pairs = b.as("a")
+        .join(b.as("b2"), $"a.o" === $"b2.o" && $"a.p" < $"b2.p")
+        .groupBy($"a.p".as("p1"), $"b2.p".as("p2"))
+        .agg(count(lit(1)).as("k11"))
+        .where($"k11" >= 3)
+      pairs
+        .join(broadcast(c.as("c1")), $"c1.p" === $"p1")
+        .join(broadcast(c.as("c2")), $"c2.p" === $"p2")
+        .crossJoin(broadcast(nOrders))
+        .select($"p1", $"p2", $"k11",
+          ($"c1.cnt" - $"k11").as("k12"), ($"c2.cnt" - $"k11").as("k21"),
+          ($"n_orders" - $"c1.cnt" - $"c2.cnt" + $"k11").as("k22"),
+          $"n_orders".as("nn"))
+        .select($"p1", $"p2", $"k11",
+          (lit(2L) * (xlxC($"k11") + xlxC($"k12") + xlxC($"k21")
+            + xlxC($"k22") + xlxC($"nn") - xlxC($"k11" + $"k12")
+            - xlxC($"k21" + $"k22") - xlxC($"k11" + $"k21")
+            - xlxC($"k12" + $"k22"))).as("llr_micro"))
+        .orderBy($"llr_micro".desc, $"p1", $"p2")
+        .limit(20)
     },
   )
 }

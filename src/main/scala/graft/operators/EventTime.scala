@@ -548,5 +548,167 @@ object EventTime {
             .as("seasonal_idx"))
         .orderBy($"event_type", $"dow")
     },
+
+    q("q227_funnel_conversion",
+      // Ordered 3-step funnel (view -> click -> purchase): a user reaches
+      // step k only via a strictly-later event than their step-k-1 time.
+      // Chained MIN-ts semantics — the standard "first conversion path"
+      // definition, immune to event multiplicity, and STRICTER than q112's
+      // first-occurrence comparison (q112 compares the global first times,
+      // which misses a later re-view completing the chain; the chained min
+      // re-anchors each step on the previous step's time). conv_ppm is an
+      // integer DIV against the step-1 population. q233 runs this same
+      // contract THROUGH the streaming engine.
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |c AS (SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |    CAST(COUNT(*) AS BIGINT) AS users_reached FROM s1
+        |  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3),
+        |base AS (SELECT users_reached AS u1 FROM c WHERE step = 1)
+        |SELECT step, step_name, users_reached,
+        |  users_reached * 1000000 // u1 AS conv_ppm
+        |FROM c, base ORDER BY step""") { (s, dir) =>
+      import s.implicits._
+      // The conversion-funnel primitive of product analytics. Every stage
+      // is one aggregation + one equi-join ON THE SAME user_id key, so at
+      // 100 TB the whole chain rides a single hash-partitioning of the
+      // events scan (exchange reuse across stages); per-stage frames
+      // shrink monotonically (only converting users survive). No window
+      // sort over the raw event stream — the chained-min formulation
+      // aggregates before it joins.
+      val ev = T(s, dir, "events").select($"user_id", $"ts", $"event_type")
+      def step(src: DataFrame, prev: DataFrame, et: String, tPrev: String,
+          tOut: String): DataFrame =
+        src.filter($"event_type" === et)
+          .join(prev, Seq("user_id"))
+          .filter($"ts" > col(tPrev))
+          .groupBy($"user_id").agg(min($"ts").as(tOut))
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = step(ev, s1, "click", "t1", "t2")
+      val s3 = step(ev, s2, "purchase", "t2", "t3")
+      val counts = s1.agg(count(lit(1)).as("users_reached"))
+        .select(lit(1L).as("step"), lit("view").as("step_name"), $"users_reached")
+        .unionAll(s2.agg(count(lit(1)).as("u"))
+          .select(lit(2L), lit("click"), $"u"))
+        .unionAll(s3.agg(count(lit(1)).as("u"))
+          .select(lit(3L), lit("purchase"), $"u"))
+      val base = counts.filter($"step" === 1L)
+        .select($"users_reached".as("u1"))
+      counts.crossJoin(broadcast(base))
+        .select($"step", $"step_name", $"users_reached",
+          expr("(users_reached * 1000000) DIV u1").as("conv_ppm"))
+        .orderBy($"step")
+    },
+
+    q("q228_retention_matrix",
+      // Day-N cohort retention: users grouped by first-seen day,
+      // re-activity counted per day offset (0..13), each cell NORMALIZED
+      // by its cohort's day-0 size (retention_ppm, integer DIV) — the
+      // dashboard-ready complement of q113's raw weekly cohort counts
+      // (daily granularity, rate not count, bounded horizon).
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |    CAST(ts AS DATE) - cohort_day AS offset_days
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  WHERE CAST(ts AS DATE) - cohort_day BETWEEN 0 AND 13),
+        |m AS (SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM a GROUP BY cohort_day, offset_days),
+        |c0 AS (SELECT cohort_day, n_users AS cohort_size FROM m
+        |  WHERE offset_days = 0)
+        |SELECT m.cohort_day, m.offset_days, m.n_users,
+        |  m.n_users * 1000000 // c0.cohort_size AS retention_ppm
+        |FROM m JOIN c0 ON c0.cohort_day = m.cohort_day
+        |ORDER BY m.cohort_day, m.offset_days""") { (s, dir) =>
+      import s.implicits._
+      // The day-N retention matrix every growth dashboard is built on.
+      // Two user_id-keyed steps (first-seen agg, then the activity join)
+      // share one partitioning; the (cohort, offset) matrix is tiny
+      // (#days x 14) so the day-0 self-join is broadcast. The 0..13
+      // offset cap bounds output and state regardless of corpus span —
+      // the knob that keeps this shape fixed-size at 100 TB.
+      val ev = T(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day"))
+      val f = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      val a = ev.join(f, Seq("user_id"))
+        .withColumn("offset_days", datediff($"day", $"cohort_day"))
+        .filter($"offset_days".between(0, 13))
+        .select($"user_id", $"cohort_day", $"offset_days").distinct()
+      val m = a.groupBy($"cohort_day", $"offset_days".cast("long").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+      val c0 = m.filter($"offset_days" === 0L)
+        .select($"cohort_day", $"n_users".as("cohort_size"))
+      m.join(broadcast(c0), Seq("cohort_day"))
+        .select($"cohort_day", $"offset_days", $"n_users",
+          expr("(n_users * 1000000) DIV cohort_size").as("retention_ppm"))
+        .orderBy($"cohort_day", $"offset_days")
+    },
+
+    q("q232_cusum_changepoint",
+      // One-sided CUSUM over daily counts, recursion-free: S_t =
+      // (C_t - C_min-so-far) where C is the running sum of (cnt*1e6 - k)
+      // and k is the per-type mean daily count in micro units — the
+      // prefix-sum-minus-running-min identity turns max(0, S+x) recursion
+      // into two windows. Alarm when the cumulative excess tops one full
+      // mean day (h = k). All integer micro arithmetic; deviations go
+      // negative but are only ever summed.
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |k AS (SELECT event_type,
+        |    SUM(cnt) * 1000000 // COUNT(*) AS k_micro FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, day, cnt, k_micro,
+        |    SUM(cnt * 1000000 - k_micro) OVER (PARTITION BY d.event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM d JOIN k ON k.event_type = d.event_type),
+        |sx AS (SELECT event_type, day, cnt, k_micro, cum,
+        |    cum - LEAST(COALESCE(MIN(cum) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0), 0) AS s
+        |  FROM c)
+        |SELECT event_type,
+        |  MIN(CASE WHEN s > k_micro THEN day END) AS first_alarm_day,
+        |  CAST(MAX(s) AS BIGINT) AS max_s_micro,
+        |  CAST(SUM(CASE WHEN s > k_micro THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days
+        |FROM sx GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      // Level-shift detection on a metric stream (complement of q214's
+      // spike detector: CUSUM accumulates small sustained drifts a
+      // trailing-mean test never trips on). The day table is
+      // aggregate-sized, the per-type mean broadcasts back, both windows
+      // and the final rollup share the event_type partitioning — one real
+      // shuffle over the raw corpus, window work on #days-sized frames.
+      val d = T(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val k = d.groupBy($"event_type")
+        .agg(expr("(SUM(cnt) * 1000000) DIV COUNT(*)").as("k_micro"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMin = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sx = d.join(broadcast(k), Seq("event_type"))
+        .withColumn("cum", sum($"cnt" * 1000000L - $"k_micro").over(wCum))
+        .withColumn("s",
+          $"cum" - least(coalesce(min($"cum").over(wMin), lit(0L)), lit(0L)))
+      sx.groupBy($"event_type")
+        .agg(
+          min(when($"s" > $"k_micro", $"day")).as("first_alarm_day"),
+          max($"s").cast("long").as("max_s_micro"),
+          sum(when($"s" > $"k_micro", 1L).otherwise(0L)).cast("long")
+            .as("n_alarm_days"))
+        .orderBy($"event_type")
+    },
   )
 }

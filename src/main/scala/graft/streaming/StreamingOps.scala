@@ -182,6 +182,59 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** transformWithState processor for a per-user conversion funnel: a
+    * 3-stage state machine over an ordered step list. State is ONE
+    * ValueState tuple (stage, tStage) — constant per user forever; a step-k
+    * event advances the machine only when the user sits at stage k-1 and
+    * the event is STRICTLY later than the stage-(k-1) time, which is
+    * exactly the chained-min-ts funnel (q227's batch semantics). Rows are
+    * sorted by (ts, seq) inside each batch; across batches the log's id
+    * order must itself be event-time order (bulk-produce keyed on event
+    * time) — same delivery discipline as [[AnomalyProcessor]]'s callers.
+    * Emits (user, stage) once per stage TRANSITION, so sink volume is
+    * bounded by 3 rows/user no matter how long the stream runs.
+    */
+  private class FunnelProcessor(steps: IndexedSeq[String])
+      extends StatefulProcessor[String, (String, Long, String, Long), (String, Int)] {
+    @transient private var st: ValueState[(Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long)]("funnel",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(String, Int)] = {
+      var (stage, tStage) = if (st.exists()) st.get() else (0, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+      rows.toIndexedSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, _) =>
+        if (stage < steps.length && et == steps(stage) &&
+            (stage == 0 || ts > tStage)) {
+          stage += 1; tStage = ts
+          out += ((key, stage))
+        }
+      }
+      st.update((stage, tStage))
+      out.iterator
+    }
+  }
+
+  /** Streaming funnel on [[FunnelProcessor]]: emits stage-transition rows
+    * (user, stage reached).
+    */
+  def funnelByUserTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, typeCol: String, seqCol: String,
+      steps: Seq[String]): Dataset[(String, Int)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k",
+        s"CAST($tsCol AS BIGINT) AS tsu", s"CAST($typeCol AS STRING) AS et",
+        s"CAST($seqCol AS BIGINT) AS seq")
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(steps.toIndexedSeq),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** transformWithState processor over typed `MapState`: per grouping key,
     * a map of sub-key -> running count. The sub-key space lives INSIDE the
     * state store (one map entry per live sub-key, point-updated), not in

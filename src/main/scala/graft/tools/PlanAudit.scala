@@ -395,7 +395,29 @@ object PlanAudit {
     "q223_poisson_bootstrap" -> Seq(
       "replica weights generated map-side (explode, no join)" -> "Generate",
       "replica means partial-aggregate before the 64-key shuffle" -> "HashAggregate",
-      "CI selection crosses only broadcast-1-row sides" -> "BroadcastNestedLoopJoin"))
+      "CI selection crosses only broadcast-1-row sides" -> "BroadcastNestedLoopJoin"),
+    "q227_funnel_conversion" -> Seq(
+      "each step's type filter pushed to its scan" -> "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)",
+      "every stage joins/aggregates on the one user_id key" -> "HashAggregate",
+      "props/value never read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>",
+      "no cartesian product outside the 1-row baseline" -> "!CartesianProduct"),
+    "q228_retention_matrix" -> Seq(
+      "cohort day-0 sizes broadcast onto the matrix" -> "BroadcastHashJoin",
+      "first-seen and matrix cells partial-aggregate map-side" -> "HashAggregate",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q229_kcore_decomposition" -> Seq(
+      "surviving-node sets broadcast into every peel's semi-joins" -> "BroadcastHashJoin LeftSemi",
+      "degree counts partial-aggregate before each shuffle" -> "HashAggregate",
+      "only the order/supplier edge columns read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>",
+      "no cartesian product in any peel" -> "!CartesianProduct"),
+    "q231_llr_copurchase" -> Seq(
+      "margins meet the pairs in broadcast equi joins" -> "BroadcastHashJoin",
+      "top-20 cut without a global sort" -> "TakeOrderedAndProject",
+      "only the basket columns read" -> "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+    "q232_cusum_changepoint" -> Seq(
+      "CUSUM windows run on day-counts, never raw events" -> "Window",
+      "daily counts partial-aggregate before the one shuffle" -> "HashAggregate",
+      "only ts and event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

@@ -337,4 +337,94 @@ class AnalyticsSpec extends AnyFunSuite {
       .count()
     assert(n == 5L, s"K4 + triangle + path must have 5 triangles, got $n")
   }
+
+  test("q227 funnel steps shrink monotonically and step 1 is the ppm baseline") {
+    val rows = SparkEntry.queries("q227_funnel_conversion")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    val reached = rows.map(_.getAs[Long]("users_reached"))
+    assert(reached(0) >= reached(1) && reached(1) >= reached(2),
+      s"funnel must narrow: ${reached.toSeq}")
+    assert(rows.head.getAs[Long]("conv_ppm") == 1000000L,
+      "step 1 converts at exactly 1e6 ppm of itself")
+    assert(rows.forall(r => r.getAs[Long]("conv_ppm") <= 1000000L))
+  }
+
+  test("q233 streaming funnel equals the q227 batch funnel row for row") {
+    // engine/batch parity: the per-user transformWithState machine over the
+    // event-time-ordered log must land on exactly the chained-min counts
+    val batch = SparkEntry.queries("q227_funnel_conversion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val stream = SparkEntry.queries("q233_streaming_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    try assert(stream.toSeq == batch.toSeq)
+    finally CacheScope.release()
+  }
+
+  test("q228 retention matrix: day 0 is always the full cohort") {
+    val rows = SparkEntry.queries("q228_retention_matrix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, ppm) = (r.getAs[Long]("offset_days"), r.getAs[Long]("retention_ppm"))
+      assert(off >= 0 && off <= 13)
+      if (off == 0) assert(ppm == 1000000L, s"day-0 retention must be 1e6, got $ppm")
+      assert(ppm <= 1000000L, "no offset can retain more users than the cohort")
+    }
+  }
+
+  test("q229 k-core peels never grow and a pure 3-core is a fixed point") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q229_kcore_decomposition")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("peel"))
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(nodes.sliding(2).forall(p => p(0) >= p(1)), s"nodes grew: ${nodes.toSeq}")
+    assert(edges.sliding(2).forall(p => p(0) >= p(1)), s"edges grew: ${edges.toSeq}")
+    // hand graph: K4 (every node degree 3 — survives any number of peels)
+    // plus a tail path that the first peel must fully strip
+    val k4 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val tail = Seq((3L, 10L), (10L, 11L))
+    val e0 = (k4 ++ tail).toDF("s1", "s2")
+    def peel(e: org.apache.spark.sql.DataFrame) = {
+      val deg = e.select($"s1".as("s")).unionAll(e.select($"s2".as("s")))
+        .groupBy($"s").agg(count(lit(1)).as("d"))
+      val v = deg.filter($"d" >= 3).select($"s")
+      e.join(v.withColumnRenamed("s", "s1"), Seq("s1"), "left_semi")
+        .join(v.withColumnRenamed("s", "s2"), Seq("s2"), "left_semi")
+        .select($"s1", $"s2")
+    }
+    val e1 = peel(e0); val e2 = peel(e1)
+    assert(e1.count() == 6L, "first peel must strip the tail, keeping K4's 6 edges")
+    assert(e2.count() == 6L, "K4 is a 3-core fixed point")
+  }
+
+  test("q232 CUSUM alarms are coherent and fire on a planted level shift") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q232_cusum_changepoint")(spark, dir).collect()
+    rows.foreach { r =>
+      val alarms = r.getAs[Long]("n_alarm_days")
+      val first = r.getAs[java.sql.Date]("first_alarm_day")
+      assert((alarms == 0) == (first == null),
+        "first_alarm_day must exist iff any alarm day exists")
+      assert(r.getAs[Long]("max_s_micro") >= 0L)
+    }
+    // planted shift: 20 days at 10/day then 10 days at 30/day. The CUSUM
+    // S_t over deviations from the global mean (≈16.7) must alarm inside
+    // the shifted regime, never before it.
+    val daily = (1 to 20).map(d => (d, 10L)) ++ (21 to 30).map(d => (d, 30L))
+    val d = daily.toDF("day", "cnt")
+    val k = d.agg(expr("(SUM(cnt) * 1000000) DIV COUNT(*)").as("k_micro"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wMin = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sx = d.crossJoin(k)
+      .withColumn("cum", sum($"cnt" * 1000000L - $"k_micro").over(wCum))
+      .withColumn("s",
+        $"cum" - least(coalesce(min($"cum").over(wMin), lit(0L)), lit(0L)))
+      .filter($"s" > $"k_micro").select($"day").as[Int].collect()
+    assert(sx.nonEmpty && sx.min > 20,
+      s"alarm must fire only after the day-21 shift, got ${sx.toSeq.sorted.take(3)}")
+  }
 }

@@ -170,6 +170,33 @@ class EvaluationSpec extends AnyFunSuite {
     } finally CacheScope.release()
   }
 
+  test("q231 LLR is near-zero on independence and large on perfect association") {
+    // Closed-form check of the 2x2 G2 in the operator's exact micro-nat
+    // arithmetic. Independence (cells proportional to margins) must give
+    // ~0 (micro-rounding allows a few micro-nats of slack); a perfectly
+    // associated table must give 2*N*ln(2) (N=200: ~277.2 nats).
+    def lnm(n: Long): Long = if (n == 0) 0 else math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+    def xlx(n: Long): Long = if (n == 0) 0 else n * lnm(n)
+    def llr(k11: Long, k12: Long, k21: Long, k22: Long): Long = {
+      val n = k11 + k12 + k21 + k22
+      2 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(n)
+        - xlx(k11 + k12) - xlx(k21 + k22) - xlx(k11 + k21) - xlx(k12 + k22))
+    }
+    val indep = llr(50, 50, 50, 50)
+    assert(math.abs(indep) < 1000L, s"independent table must score ~0, got $indep")
+    val assoc = llr(100, 0, 0, 100)
+    val expect = math.round(2 * 200 * math.log(2.0) * 1e6)
+    assert(math.abs(assoc - expect) < 1000000L,
+      s"perfect association must score ~2N ln2 ($expect), got $assoc")
+    // and the operator's top-20 must come out sorted by that score
+    val rows = SparkEntry.queries("q231_llr_copurchase")(spark, dir).collect()
+    try {
+      val scores = rows.map(_.getAs[Long]("llr_micro")).toSeq
+      assert(scores == scores.sortBy(-_), "top-20 must be LLR-descending")
+      assert(rows.forall(_.getAs[Long]("k11") >= 3L), "support floor holds")
+    } finally CacheScope.release()
+  }
+
   test("q215 lift matches a hand-computed basket fixture") {
     import spark.implicits._
     // 4 baskets: {A,B} x3, {A,C} x1 => rule A->B: support 3, conf 3/4,

@@ -418,4 +418,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("a", 700000000L, 700000000L, 1L),
       ("b", 800000000L, 800000000L, 1L)))
   }
+
+  test("funnelByUserTws advances stages across micro-batch boundaries") {
+    // maxEntriesPerTrigger=2 → batches [1,2][3,4][5,6][7]. u1's purchase
+    // (batch 2) must find stage-2 state from batch 1; u2's pre-view click
+    // is a no-op, the equal-timestamp click must NOT count (strict >), and
+    // only the final click advances u2 to stage 2.
+    val root = mkLog("ev", Seq(
+      (1000L, Map("u" -> "u1", "tsu" -> 1000000L, "et" -> "view", "id" -> 1L)),
+      (2000L, Map("u" -> "u1", "tsu" -> 2000000L, "et" -> "click", "id" -> 2L)),
+      (3000L, Map("u" -> "u1", "tsu" -> 3000000L, "et" -> "purchase", "id" -> 3L)),
+      (4000L, Map("u" -> "u2", "tsu" -> 4000000L, "et" -> "click", "id" -> 4L)),
+      (5000L, Map("u" -> "u2", "tsu" -> 5000000L, "et" -> "view", "id" -> 5L)),
+      (6000L, Map("u" -> "u2", "tsu" -> 5000000L, "et" -> "click", "id" -> 6L)),
+      (7000L, Map("u" -> "u2", "tsu" -> 7000000L, "et" -> "click", "id" -> 7L))))
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(storeKey)
+    spark.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "2").load()
+        .selectExpr("values['u'] AS u", "values['tsu'] AS tsu",
+          "values['et'] AS et", "values['id'] AS id")
+      val fin = StreamingOps.funnelByUserTws(spark, src, "u", "tsu", "et", "id",
+        Seq("view", "click", "purchase"))
+      runToMemory(fin.toDF("user_id", "stage"), "funnel")
+      val got = spark.sql("select user_id, stage from funnel order by user_id, stage")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toList
+      assert(got == List(("u1", 1), ("u1", 2), ("u1", 3), ("u2", 1), ("u2", 2)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(storeKey, v)
+      case None => spark.conf.unset(storeKey)
+    }
+  }
 }
