@@ -817,12 +817,15 @@ object Advanced {
       val (v1, e1) = peel(e0)
       val (v2, e2) = peel(e1)
       val (v3, e3) = peel(e2)
-      def row(i: Long, v: DataFrame, e: DataFrame): DataFrame =
-        v.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(i).as("peel"), $"n_nodes", $"n_edges")
-      row(1L, v1, e1).unionAll(row(2L, v2, e2)).unionAll(row(3L, v3, e3))
-        .orderBy($"peel")
+      // materialize each cached peel ONCE with a count action and emit the
+      // trajectory as literals: a single union query over the 3-deep tree
+      // of cached join chains re-planned every branch under AQE and cost
+      // ~10 s of pure scheduling on a graph whose data fits in one task —
+      // the iterative-algorithm pattern (like q106/q142) is drive the
+      // rounds imperatively, counts landing driver-side between rounds.
+      val traj = Seq((v1, e1), (v2, e2), (v3, e3)).zipWithIndex
+        .map { case ((v, e), i) => (i + 1L, v.count(), e.count()) }
+      traj.toDF("peel", "n_nodes", "n_edges").orderBy($"peel")
     },
 
     q("q179_histogram_quantiles",

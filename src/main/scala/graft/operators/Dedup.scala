@@ -472,5 +472,67 @@ object Dedup {
           $"sa.n".as("n_a"), $"sb.n".as("n_b"), $"contain_ppm")
         .orderBy($"doc_a", $"doc_b")
     },
+
+    q("q234_source_dup_matrix",
+      // Cross-source contamination matrix: q42's minhash-LSH near-dup
+      // pairs rolled up into a source x source count table (pair key
+      // sorted, so the matrix is upper-triangular incl. the intra-source
+      // diagonal) — the governance readout that tells a data-mixing pass
+      // WHICH feeds overlap before any weights are chosen. Candidates
+      // come only from LSH band collisions; no all-pairs anywhere.
+      s"""WITH words AS (SELECT doc_id, source, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, source, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, source, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, source, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id),
+         |est AS (SELECT da, db, sa.source ssa, sb.source ssb,
+         |    CAST(len(list_filter(range($MinhashSigs), i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)])) AS DOUBLE)/$MinhashSigs AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.da
+         |            JOIN sig sb ON sb.doc_id = cand.db)
+         |SELECT LEAST(ssa, ssb) AS source_a, GREATEST(ssa, ssb) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM est WHERE est_sim >= 0.5
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""") { (s, dir) =>
+      import s.implicits._
+      // Same signature/band machinery as q42 (shared CacheScope'd helper
+      // would cross queries — kept local); the only additions are the
+      // source column riding the signature table and the final roll-up,
+      // so the scale profile is exactly q42's: banded equi-join
+      // candidates, signature-agreement verify, then a tiny matrix
+      // aggregation (|sources|^2 cells).
+      val sig = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"doc_id", $"source", $"mh")
+        .transform(graft.CacheScope.cached)
+      val bands = sig
+        .select($"doc_id", $"mh",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      cand
+        .join(sig.as("sa"), $"da" === $"sa.doc_id")
+        .join(sig.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("est_sim",
+          expr(s"size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), b -> b)) / CAST($MinhashSigs AS DOUBLE)"))
+        .filter($"est_sim" >= 0.5)
+        .select(least($"sa.source", $"sb.source").as("source_a"),
+          greatest($"sa.source", $"sb.source").as("source_b"))
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"source_a", $"source_b")
+    },
   )
 }

@@ -37,7 +37,12 @@ object ScaleCurve {
     "q97_embedding_quantize", "q141_semantic_dedup",
     // round-6 continuation: the two new data-dominated plans — BM25's
     // postings shuffle and containment's inverted-index self-join
-    "q169_bm25_topk", "q181_containment")
+    "q169_bm25_topk", "q181_containment",
+    // round 7: chained funnel (user-keyed agg-join chain over scaled
+    // events), k-core peeling (pair-gen + iterative rounds), LLR pairs
+    // (basket-bounded expansion)
+    "q227_funnel_conversion", "q229_kcore_decomposition",
+    "q231_llr_copurchase")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
@@ -71,6 +76,15 @@ object ScaleCurve {
     write(copies(spark, read("embeddings"), factor) { (df, c) =>
       df.withColumn("vec_id", col("vec_id") + lit(c * KeyOffset))
     }, "embeddings")
+    // events: 10x USERS (user_id/event_id offsets), same time span — each
+    // copy keeps every user's event chain intact, so funnel/retention
+    // group sizes stay constant and only the population grows (the shape
+    // those operators scale along in production). `ts` is written as the
+    // canonical zoned TIMESTAMP; Tables.load passes it through unchanged.
+    write(copies(spark, read("events"), factor) { (df, c) =>
+      df.withColumn("user_id", col("user_id") + lit(c * KeyOffset))
+        .withColumn("event_id", col("event_id") + lit(c * KeyOffset))
+    }, "events")
   }
 
   private def time(fn: => Long): Double = {
