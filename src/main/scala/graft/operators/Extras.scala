@@ -558,5 +558,82 @@ object Extras {
         .orderBy($"n".desc, $"user_id")
         .limit(20)
     },
+
+    q("q235_partition_backfill",
+      // Idempotent partition backfill — the reprocessing primitive every
+      // 100 TB pipeline runs daily: a day-partitioned aggregate table is
+      // first loaded with two deliberately corrupted days, then ONLY those
+      // two partitions are recomputed and swapped via dynamic partition
+      // overwrite (mode=dynamic replaces exactly the partitions present in
+      // the incoming frame; a static overwrite would truncate the table).
+      // The oracle is the clean full recompute from events — a hash match
+      // proves the backfill repaired the corrupted partitions and touched
+      // nothing else. ExtrasMaintenanceSpec additionally pins that
+      // untouched partitions' files are byte-identical after the swap.
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""") { (s, dir) =>
+      import s.implicits._
+      val daily = T(s, dir, "events")
+        .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+      // the two most recent days arrive corrupted (doubled counts) —
+      // a bounded 2-row driver probe picks them, like q78's cutoff scalar
+      val bad = daily.select($"day").distinct().orderBy($"day".desc)
+        .limit(2).collect().map(_.getString(0)).toSeq
+      val table = graft.TempDirs.scratch("graft-q235")
+      daily.withColumn("n",
+          when($"day".isin(bad: _*), $"n" * 2L).otherwise($"n"))
+        .write.mode("overwrite").partitionBy("day").parquet(table)
+      // backfill: recompute ONLY the bad days, swap their partitions
+      daily.filter($"day".isin(bad: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(table)
+      s.read.parquet(table)
+        .select(to_date($"day").as("day"), $"event_type", $"n")
+        .orderBy($"day", $"event_type")
+    },
+
+    q("q236_small_file_compaction",
+      // Small-file compaction — the table-maintenance pass that keeps a
+      // 100 TB lake scannable (thousands of streaming micro-batch files
+      // per partition destroy scan throughput): a 64-fragment copy of
+      // documents is rewritten into size-targeted files (#files =
+      // ceil(bytes / 4 MiB), never fewer than 1), and the oracle checks
+      // content parity through the fragment->compact round trip. The
+      // repartition is the only shuffle — exactly what the rewrite costs
+      // in production, where it buys back every later scan.
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val frag = graft.TempDirs.scratch("graft-q236-frag")
+      T(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val bytes = parquetBytes(frag)
+      val nOut = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+      val compact = graft.TempDirs.scratch("graft-q236-out")
+      s.read.parquet(frag).repartition(nOut)
+        .write.mode("overwrite").parquet(compact)
+      val (before, after) = (parquetFileCount(frag), parquetFileCount(compact))
+      require(after <= nOut && after < before,
+        s"compaction must shrink the file count below $before, got $after")
+      s.read.parquet(compact)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang")
+    },
   )
+
+  private val TargetFileBytes = 4L * 1024 * 1024
+
+  private def parquetParts(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).fold(Seq.empty[java.io.File])(
+      _.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet")))
+
+  private def parquetBytes(dir: String): Long = parquetParts(dir).map(_.length).sum
+
+  private def parquetFileCount(dir: String): Int = parquetParts(dir).size
 }

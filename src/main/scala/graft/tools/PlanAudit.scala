@@ -425,7 +425,18 @@ object PlanAudit {
     "q234_source_dup_matrix" -> Seq(
       "band candidates meet in an equi hash join" -> "HashJoin",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"))
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    // q235/q236 are table-MAINTENANCE ops: the interesting behavior (which
+    // partitions a dynamic overwrite swaps, how many files a compaction
+    // emits) lives in the write path and is pinned by
+    // ExtrasMaintenanceSpec; the returned frames are plain reads of the
+    // maintained tables.
+    "q235_partition_backfill" -> Seq(
+      "result is a plain scan of the repaired partitioned table" -> "Scan parquet",
+      "no join anywhere in the readback" -> "!Join"),
+    "q236_small_file_compaction" -> Seq(
+      "parity counts partial-aggregate over the compacted scan" -> "HashAggregate",
+      "result reads the compacted files, not the fragments" -> "Scan parquet"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the
