@@ -1190,5 +1190,44 @@ object Advanced {
           'disc',  'tax',   c34) AS (col_a, col_b, corr)""")
         .orderBy($"col_a", $"col_b")
     },
+
+    q("q241_pareto_frontier",
+      // 2-D skyline (Börzsönyi et al. 2001): the parts no other part beats
+      // on BOTH price and size — multi-objective shortlisting (e.g. "best
+      // quality at every cost point" in a data-mix search). The naive plan
+      // is the O(n²) dominance anti-join; this one is the sort-based
+      // linear skyline made scale-safe the q211 way: compact to the
+      // DISTINCT price domain (max size per price), one cumulative-max
+      // window over that bounded domain finds the frontier prices (max
+      // size strictly above every higher price's best), and a keyed join
+      // brings back the winning rows. Ties on both dims don't dominate,
+      // so equal (price, size) parts all surface. Prices compare as exact
+      // cents; every output is integer.
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) cents,
+        |    p_size FROM part),
+        |m AS (SELECT cents, MAX(p_size) ms FROM p GROUP BY cents),
+        |r AS (SELECT cents, ms, MAX(ms) OVER (ORDER BY cents DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev FROM m),
+        |f AS (SELECT cents, ms FROM r WHERE prev IS NULL OR ms > prev)
+        |SELECT p.p_partkey, p.cents AS price_cents,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM p JOIN f ON p.cents = f.cents AND p.p_size = f.ms
+        |ORDER BY price_cents DESC, p_partkey""") { (s, dir) =>
+      import s.implicits._
+      val p = T(s, dir, "part").select($"p_partkey",
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as("cents"),
+        $"p_size")
+      val m = p.groupBy($"cents").agg(max($"p_size").as("ms"))
+      val prev = Window.orderBy($"cents".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = m.withColumn("prev", max($"ms").over(prev))
+        .filter($"prev".isNull || $"ms" > $"prev")
+        .select($"cents".as("fc"), $"ms")
+      p.join(f, $"cents" === $"fc" && $"p_size" === $"ms")
+        .select($"p_partkey", $"cents".as("price_cents"),
+          $"p_size".cast("long").as("p_size"))
+        .orderBy($"price_cents".desc, $"p_partkey")
+    },
   )
 }

@@ -546,5 +546,66 @@ object Evaluation {
         .orderBy($"llr_micro".desc, $"p1", $"p2")
         .limit(20)
     },
+
+    q("q239_kaplan_meier",
+      // Kaplan-Meier survival over user lifetimes (product-limit estimator
+      // with right censoring — the retention readout experiment platforms
+      // publish): lifetime = HOURS between a user's first and last event
+      // (the fixture's users live ~the whole 30-day window, so hours are
+      // the granularity with an actual curve); a user whose last event is
+      // within 12 h of the corpus high-water is CENSORED (still alive),
+      // not churned. S(t) multiplies
+      // (1 - d_i/n_i) over event times <= t; the product becomes an exact
+      // BIGINT cumsum of per-time micro-log(1 - d/n) rationals, with ONE
+      // exp at the end (q136's discipline, same 1-ulp ln caveat). Every
+      // window runs over the compacted per-DURATION table (bounded by the
+      // corpus span in days, not by users), so the single-partition pass
+      // is constant-size at any scale; the one data-sized shuffle is the
+      // per-user groupBy. Terminal rows where the whole risk set churns
+      // (S would hit exactly 0) are dropped, commented on both sides.
+      s"""WITH u AS (SELECT user_id,
+        |    CAST(MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) f,
+        |    CAST(MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) l
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) gmax
+        |  FROM events),
+        |d AS (SELECT (l - f) // 3600000 dur,
+        |    CASE WHEN l <= gmax - 43200000 THEN 1 ELSE 0 END churned
+        |  FROM u CROSS JOIN g),
+        |pd AS (SELECT dur, CAST(COUNT(*) AS BIGINT) n_u,
+        |    CAST(SUM(churned) AS BIGINT) n_e FROM d GROUP BY dur),
+        |rk AS (SELECT dur, n_u, n_e,
+        |    SUM(n_u) OVER (ORDER BY dur DESC) n_risk FROM pd),
+        |ev AS (SELECT dur, n_risk, n_e,
+        |    CAST(FLOOR((ln(n_risk - n_e) - ln(n_risk)) * 1000000 + 0.5)
+        |      AS BIGINT) mln
+        |  FROM rk WHERE n_e > 0 AND n_risk > n_e),
+        |s AS (SELECT dur, n_risk, n_e,
+        |    CAST(SUM(mln) OVER (ORDER BY dur) AS BIGINT) cum FROM ev)
+        |SELECT CAST(dur AS BIGINT) AS t_hours, n_risk, n_e AS n_events,
+        |  ${graft.ColFns.r6Sql("exp(CAST(cum AS DOUBLE) / 1000000)")} AS survival
+        |FROM s ORDER BY t_hours""") { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      val u = ev.groupBy($"user_id")
+        .agg(min(unix_millis($"ts")).as("f"), max(unix_millis($"ts")).as("l"))
+      val g = ev.agg(max(unix_millis($"ts")).as("gmax"))
+      val pd = u.crossJoin(broadcast(g))
+        .select(expr("(l - f) div 3600000").as("dur"),
+          when($"l" <= $"gmax" - 43200000L, 1L).otherwise(0L).as("churned"))
+        .groupBy($"dur")
+        .agg(count(lit(1)).as("n_u"), sum($"churned").as("n_e"))
+      val rk = pd.withColumn("n_risk",
+        sum($"n_u").over(Window.orderBy($"dur".desc)))
+      val evt = rk.filter($"n_e" > 0 && $"n_risk" > $"n_e")
+        .select($"dur", $"n_risk", $"n_e",
+          floor((log(($"n_risk" - $"n_e").cast("double"))
+            - log($"n_risk".cast("double"))) * 1000000d + 0.5d)
+            .cast("long").as("mln"))
+      evt.withColumn("cum", sum($"mln").over(Window.orderBy($"dur")))
+        .select($"dur".as("t_hours"), $"n_risk", $"n_e".as("n_events"),
+          r6(exp($"cum".cast("double") / 1000000d)).as("survival"))
+        .orderBy($"t_hours")
+    },
   )
 }

@@ -625,6 +625,66 @@ object Extras {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
         .orderBy($"lang")
     },
+
+    q("q237_table_diff",
+      // Snapshot reconciliation — the validation pass run after every
+      // backfill/migration at lake scale: diff two versions of a table and
+      // report added / removed / changed / unchanged keys plus which
+      // columns drifted. Snapshots are derived deterministically from
+      // orders (keys % 97 = 3 exist only in the new version, % 97 = 5 only
+      // in the old; % 89 = 7 got a price bump, % 89 = 11 a status flip), so
+      // the oracle can derive the identical pair. The diff itself is ONE
+      // full-outer sort-merge join on the key — both sides shuffle once on
+      // o_orderkey and nothing else moves, which is the whole cost at
+      // 100 TB — and the per-status roll-up is a four-row aggregate.
+      // All outputs are integer counts; prices compare as exact cents.
+      """WITH base AS (SELECT o_orderkey k,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) cents,
+        |    o_orderstatus st FROM orders),
+        |a AS (SELECT * FROM base WHERE k % 97 <> 3),
+        |b AS (SELECT k,
+        |    cents + CASE WHEN k % 89 = 7 THEN 100000 ELSE 0 END cents,
+        |    CASE WHEN k % 89 = 11 THEN 'X' ELSE st END st
+        |  FROM base WHERE k % 97 <> 5),
+        |d AS (SELECT
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.cents <> b.cents OR a.st <> b.st THEN 'changed'
+        |         ELSE 'unchanged' END diff_status,
+        |    CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+        |              AND a.cents <> b.cents THEN 1 ELSE 0 END price_chg,
+        |    CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+        |              AND a.st <> b.st THEN 1 ELSE 0 END status_chg
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_chg) AS BIGINT) AS n_price_changed,
+        |  CAST(SUM(status_chg) AS BIGINT) AS n_status_changed
+        |FROM d GROUP BY diff_status ORDER BY diff_status""") { (s, dir) =>
+      import s.implicits._
+      val base = T(s, dir, "orders").select($"o_orderkey".as("k"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        $"o_orderstatus".as("st"))
+      val a = base.filter($"k" % 97 =!= 3)
+      val b = base.filter($"k" % 97 =!= 5).select($"k",
+        ($"cents" + when($"k" % 89 === 7, 100000L).otherwise(0L)).as("cents"),
+        when($"k" % 89 === 11, "X").otherwise($"st").as("st"))
+      val j = a.select($"k".as("ak"), $"cents".as("ac"), $"st".as("ast"))
+        .join(b.select($"k".as("bk"), $"cents".as("bc"), $"st".as("bst")),
+          $"ak" === $"bk", "full_outer")
+      j.select(
+          when($"ak".isNull, "added")
+            .when($"bk".isNull, "removed")
+            .when($"ac" =!= $"bc" || $"ast" =!= $"bst", "changed")
+            .otherwise("unchanged").as("diff_status"),
+          when($"ak".isNotNull && $"bk".isNotNull && $"ac" =!= $"bc", 1L)
+            .otherwise(0L).as("price_chg"),
+          when($"ak".isNotNull && $"bk".isNotNull && $"ast" =!= $"bst", 1L)
+            .otherwise(0L).as("status_chg"))
+        .groupBy($"diff_status")
+        .agg(count(lit(1)).as("n"), sum($"price_chg").as("n_price_changed"),
+          sum($"status_chg").as("n_status_changed"))
+        .orderBy($"diff_status")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -275,6 +275,94 @@ object Retrieval {
         .orderBy($"term")
     },
 
+    q("q240_retrieval_metrics", {
+      val dot = graft.functions.VectorFns.duckDot _
+      // Integer DCG weights: w_i = floor(1e6/log2(i+1) + 0.5) for ranks
+      // 1..10, and their prefix sums for the ideal DCG — precomputed
+      // constants inlined IDENTICALLY in both engines, so DCG/IDCG are
+      // exact BIGINT sums and NDCG is one IEEE division.
+      s"""WITH qv AS (SELECT vec_id qid, embedding qe, label ql
+         |  FROM embeddings WHERE vec_id % 25 = 2),
+         |w(wrk, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+         |  (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+         |  (8, 315465), (9, 301030), (10, 289065)),
+         |cw(k, cwt) AS (VALUES (1, 1000000), (2, 1630930), (3, 2130930),
+         |  (4, 2561607), (5, 2948460), (6, 3304667), (7, 3638000),
+         |  (8, 3953465), (9, 4254495), (10, 4543560)),
+         |d AS (SELECT qv.qid, qv.ql, c.vec_id cid, c.label cl,
+         |    ${dot("qv.qe", "c.embedding")} AS sim
+         |  FROM qv, embeddings c WHERE c.vec_id <> qv.qid),
+         |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, cid) rk FROM d)
+         |  WHERE rk <= 10),
+         |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) n_rel FROM d
+         |  WHERE cl = ql GROUP BY qid),
+         |dcg AS (SELECT qid,
+         |    CAST(SUM(CASE WHEN cl = ql THEN wt ELSE 0 END) AS BIGINT)
+         |      dcg_micro,
+         |    MIN(CASE WHEN cl = ql THEN rk END) first_rel
+         |  FROM top JOIN w ON w.wrk = top.rk GROUP BY qid),
+         |o AS (SELECT dcg.qid, COALESCE(nrel.n_rel, 0) n_rel,
+         |    dcg.dcg_micro, dcg.first_rel, cw.cwt
+         |  FROM dcg LEFT JOIN nrel ON nrel.qid = dcg.qid
+         |  LEFT JOIN cw ON cw.k = LEAST(COALESCE(nrel.n_rel, 0), 10))
+         |SELECT qid AS q_id, CAST(n_rel AS BIGINT) AS n_rel, dcg_micro,
+         |  CAST(COALESCE(cwt, 0) AS BIGINT) AS idcg_micro,
+         |  CASE WHEN COALESCE(cwt, 0) > 0 THEN
+         |    ${graft.ColFns.r6Sql("CAST(dcg_micro AS DOUBLE) / cwt")}
+         |    ELSE 0.0 END AS ndcg,
+         |  CASE WHEN first_rel IS NOT NULL THEN
+         |    ${graft.ColFns.r6Sql("1.0 / first_rel")} ELSE 0.0 END AS rr
+         |FROM o ORDER BY q_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Ranking-quality metrics for a retrieval run — NDCG@10 and MRR@10
+      // against label-match relevance, the readout that decides whether an
+      // ANN index or a reranker actually helps. The probe set (vec_id
+      // % 25 = 2, disjoint from q46/q222/q124's probes) is broadcast, so
+      // the corpus scan is shuffle-free and per-query top-10 is a window
+      // over the probe-keyed candidates — q45's brute-force shape, which
+      // at 100 TB swaps in any certified ANN shortlist (q156) unchanged:
+      // the metric layer only needs (qid, rank, relevance).
+      import graft.ColFns.r6
+      val wts = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val cums = wts.scanLeft(0L)(_ + _).tail
+      val wArr = array(wts.map(lit): _*)
+      val cwArr = array(cums.map(lit): _*)
+      val e = T(s, dir, "embeddings")
+      val qv = broadcast(e.filter($"vec_id" % 25 === 2)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".as("ql")))
+      val d = qv.join(e.select($"vec_id".as("cid"), $"embedding".as("ce"),
+          $"label".as("cl")), $"qid" =!= $"cid")
+        .withColumn("sim", expr("graft_dot(qe, ce)"))
+        .transform(graft.CacheScope.cached) // feeds top-10 AND the n_rel count
+      val byQ = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+      val top = d.withColumn("rk", row_number().over(byQ)).filter($"rk" <= 10)
+      val nrel = d.filter($"cl" === $"ql")
+        .groupBy($"qid").agg(count(lit(1)).as("n_rel"))
+      val dcg = top
+        .withColumn("wt", element_at(wArr, $"rk"))
+        .groupBy($"qid")
+        .agg(sum(when($"cl" === $"ql", $"wt").otherwise(0L)).as("dcg_micro"),
+          min(when($"cl" === $"ql", $"rk")).as("first_rel"))
+      dcg.join(nrel, Seq("qid"), "left")
+        .select($"qid".as("q_id"),
+          coalesce($"n_rel", lit(0L)).as("n_rel"), $"dcg_micro",
+          when(coalesce($"n_rel", lit(0L)) > 0,
+            element_at(cwArr, least($"n_rel", lit(10L)).cast("int")))
+            .otherwise(0L).as("idcg_micro"),
+          $"first_rel")
+        .select($"q_id", $"n_rel", $"dcg_micro", $"idcg_micro",
+          when($"idcg_micro" > 0,
+            r6($"dcg_micro".cast("double") / $"idcg_micro"))
+            .otherwise(0.0d).as("ndcg"),
+          when($"first_rel".isNotNull, r6(lit(1.0d) / $"first_rel"))
+            .otherwise(0.0d).as("rr"))
+        .orderBy($"q_id")
+    },
+
     q("q226_mmr_rerank", {
       val dot = graft.functions.VectorFns.duckDot _
       // MMR (Carbonell & Goldstein 1998) with lambda = 1/2: the greedy

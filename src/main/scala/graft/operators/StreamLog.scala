@@ -36,6 +36,28 @@ object StreamLog {
     }
   }
 
+  /** Shared clicks/purchases log pair (memoized per sfDir) behind the
+    * stream-stream join family (q107 inner, q242 left-semi): the events
+    * table split into two engine streams, timestamps carried as
+    * microsecond strings through the schemaless payload.
+    */
+  private def clickPurchaseLog(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    graft.LogFixtures.producedLog(dir, "q107") { r =>
+      def sink(eventType: String, stream: String): Unit =
+        Tables.load(s, dir, "events")
+          .filter($"event_type" === eventType)
+          .selectExpr("CAST(user_id AS STRING) AS user_id",
+            s"date_format(ts, '$tsFmt') AS ts_s")
+          .write.format("graftlog")
+          .option("path", r).option("stream", stream)
+          .mode("append").save()
+      sink("click", "clicks")
+      sink("purchase", "purchases")
+    }
+  }
+
   /** 12 h past the stream's first event — the cutoff q131/q132 replay from.
     * Memoized per sfDir: one single-column min-scan per JVM instead of 4+
     * redundant jobs per bench invocation of either query.
@@ -203,19 +225,7 @@ object StreamLog {
         |  AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE
         |ORDER BY 1, 2, 3""") { (s, dir) =>
       import s.implicits._
-      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val root = graft.LogFixtures.producedLog(dir, "q107") { r =>
-        def sink(eventType: String, stream: String): Unit =
-          Tables.load(s, dir, "events")
-            .filter($"event_type" === eventType)
-            .selectExpr("CAST(user_id AS STRING) AS user_id",
-              s"date_format(ts, '$tsFmt') AS ts_s")
-            .write.format("graftlog")
-            .option("path", r).option("stream", stream)
-            .mode("append").save()
-        sink("click", "clicks")
-        sink("purchase", "purchases")
-      }
+      val root = clickPurchaseLog(s, dir)
       def src(stream: String, tsCol: String, userCol: String) =
         s.readStream.format("graftlog")
           .option("path", root).option("stream", stream)
@@ -240,6 +250,47 @@ object StreamLog {
           date_format($"cts", fmt).as("click_ts"),
           date_format($"pts", fmt).as("purchase_ts"))
         .orderBy($"user_id", $"click_ts", $"purchase_ts")
+    },
+
+    q("q242_streaming_semi_join",
+      // Stream-stream LEFT SEMI join through the engine — "which clicks
+      // converted?" without materializing the purchase columns: each click
+      // is emitted AT MOST ONCE however many qualifying purchases arrive,
+      // so the output stays click-sized (the inner join q107 multiplies by
+      // match count). Same watermark/state mechanics as q107 — matches
+      // must cross micro-batch boundaries through the join state — and
+      // the oracle is the batch EXISTS over the identical interval.
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) cts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) pts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM c WHERE EXISTS (SELECT 1 FROM p
+        |  WHERE p.user_id = c.user_id
+        |    AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 10 MINUTE)
+        |ORDER BY 1, 2""") { (s, dir) =>
+      import s.implicits._
+      val root = clickPurchaseLog(s, dir)
+      def src(stream: String, tsCol: String, userCol: String) =
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", stream)
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "12000") // 2 micro-batches at sf0.1
+          .load()
+          .select(to_timestamp($"values.ts_s").as(tsCol),
+            $"values.user_id".as(userCol))
+          .withWatermark(tsCol, "2 hours") // q107's late-safety rationale
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      graft.streaming.StreamHarness.runToMemory(s, "q242", 2) {
+        src("clicks", "cts", "cu")
+          .join(src("purchases", "pts", "pu"),
+            expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL 10 MINUTES"),
+            "left_semi")
+      }
+        .select($"cu".cast("long").as("user_id"),
+          date_format($"cts", fmt).as("click_ts"))
+        .orderBy($"user_id", $"click_ts")
     },
 
     q("q115_streaming_custom_state",

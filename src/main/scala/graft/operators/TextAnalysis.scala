@@ -881,6 +881,85 @@ object TextAnalysis {
         .orderBy($"score_u".desc, $"phrase")
         .limit(20)
     },
+
+    q("q238_naive_bayes", {
+      // Trained multinomial Naive Bayes language classifier — the
+      // fastText-style learned filter every LLM curation stack runs
+      // (vs q47's fixed stopword heuristic): even docs train per-lang
+      // token counts with add-one smoothing, odd docs are scored and the
+      // confusion matrix comes back. Scale shape: the class stats (a few
+      // rows) and doc priors broadcast; the (lang, tok) likelihood table
+      // is vocab-sized and joins KEYED on the token pair — it grows with
+      // the corpus, so it is deliberately not hand-broadcast (q136's
+      // rationale); test tokens fan out only by |classes| (bounded).
+      // Micro-log integers before every sum keep both engines exact
+      // (accepted repo-wide 1-ulp ln caveat); argmax tie-breaks on the
+      // class name.
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split(text,' ')) tok FROM documents),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_tok FROM tr GROUP BY lang),
+        |docs AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs
+        |  FROM tr GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) v FROM tr),
+        |ct AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) c FROM tr GROUP BY 1, 2),
+        |te AS (SELECT doc_id, lang AS lang_true, tok FROM tk WHERE doc_id % 2 = 1),
+        |sc AS (SELECT te.doc_id, te.lang_true, cls.lang AS cand,
+        |    CAST(FLOOR((ln(COALESCE(ct.c, 0) + 1) - ln(cls.n_tok + tot.v))
+        |      * 1000000 + 0.5) AS BIGINT) mlp
+        |  FROM te CROSS JOIN cls CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = te.tok),
+        |ds AS (SELECT doc_id, lang_true, cand, CAST(SUM(mlp) AS BIGINT) s
+        |  FROM sc GROUP BY 1, 2, 3),
+        |dsp AS (SELECT ds.doc_id, ds.lang_true, ds.cand,
+        |    ds.s + CAST(FLOOR((ln(docs.n_docs) - ln(tot.nd)) * 1000000 + 0.5)
+        |      AS BIGINT) score
+        |  FROM ds JOIN docs ON ds.cand = docs.lang CROSS JOIN tot),
+        |pred AS (SELECT doc_id, lang_true, cand AS lang_pred,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) rn FROM dsp)
+        |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+    }) { (s, dir) =>
+      import s.implicits._
+      val tk = T(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // feeds train stats + test side
+      val tr = tk.filter($"doc_id" % 2 === 0)
+      val cls = tr.groupBy($"lang").agg(count(lit(1)).as("n_tok"))
+      val docs = tr.groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      val tot = tr.agg(countDistinct($"doc_id").as("nd"),
+        countDistinct($"tok").as("v"))
+      val ct = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      val te = tk.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang".as("lang_true"), $"tok")
+      val sc = te
+        .crossJoin(broadcast(cls.select($"lang".as("cand"), $"n_tok")))
+        .crossJoin(broadcast(tot))
+        .join(ct.select($"lang".as("cand"), $"tok", $"c"),
+          Seq("cand", "tok"), "left")
+        .select($"doc_id", $"lang_true", $"cand",
+          floor((log(coalesce($"c", lit(0L)) + 1d)
+            - log(($"n_tok" + $"v").cast("double"))) * 1000000d + 0.5d)
+            .cast("long").as("mlp"))
+      val ds = sc.groupBy($"doc_id", $"lang_true", $"cand")
+        .agg(sum($"mlp").as("s"))
+      val dsp = ds
+        .join(broadcast(docs.select($"lang".as("cand"), $"n_docs")), Seq("cand"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"lang_true", $"cand",
+          ($"s" + floor((log($"n_docs") - log($"nd")) * 1000000d + 0.5d)
+            .cast("long")).as("score"))
+      val byDoc = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"cand")
+      dsp.withColumn("rn", row_number().over(byDoc))
+        .filter($"rn" === 1)
+        .groupBy($"lang_true", $"cand".as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang_true", $"lang_pred")
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

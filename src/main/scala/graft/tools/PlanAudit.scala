@@ -436,7 +436,31 @@ object PlanAudit {
       "no join anywhere in the readback" -> "!Join"),
     "q236_small_file_compaction" -> Seq(
       "parity counts partial-aggregate over the compacted scan" -> "HashAggregate",
-      "result reads the compacted files, not the fragments" -> "Scan parquet"))
+      "result reads the compacted files, not the fragments" -> "Scan parquet"),
+    "q237_table_diff" -> Seq(
+      "reconciliation is ONE full-outer join on the key" -> "FullOuter",
+      "per-status rollup partial-aggregates before its shuffle" -> "HashAggregate",
+      "only key, price, status read" -> "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q238_naive_bayes" -> Seq(
+      "bounded class/prior tables broadcast onto test tokens" -> "BroadcastNestedLoopJoin",
+      "per-(doc,class) score partial-aggregates map-side" -> "HashAggregate",
+      "argmax is one window pass per doc" -> "Window",
+      "no cartesian product beyond the broadcast class fan-out" -> "!CartesianProduct"),
+    "q239_kaplan_meier" -> Seq(
+      "per-user extents partial-aggregate before the one user shuffle" -> "HashAggregate",
+      "corpus high-water broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "risk-set windows run on the compacted duration domain" -> "Window",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q240_retrieval_metrics" -> Seq(
+      "probe queries broadcast, corpus scanned shuffle-free" -> "BroadcastNestedLoopJoin",
+      "per-query top-10 is one window pass" -> "Window",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q241_pareto_frontier" -> Seq(
+      "skyline window runs on the compacted price domain, not raw parts" -> "Window",
+      "frontier joined back on equi keys" -> "HashJoin",
+      "only partkey, price, size read" -> "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>",
+      "no quadratic dominance join anywhere" -> "!CartesianProduct"))
 
   /** Runtime AQE skew-join probe (static plans can't show it — the
     * `skew=true` marker only exists in the ADAPTIVE executed plan after the

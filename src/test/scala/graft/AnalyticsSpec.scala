@@ -427,4 +427,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sx.nonEmpty && sx.min > 20,
       s"alarm must fire only after the day-21 shift, got ${sx.toSeq.sorted.take(3)}")
   }
+
+  test("q241 skyline is exactly the non-dominated set (brute-force check)") {
+    import spark.implicits._
+    // The window formulation must agree with the O(n²) dominance
+    // definition it replaces: a part is dominated iff another part is >=
+    // on both (price, size) and > on at least one. Brute-forced over the
+    // sf0.001 part table (driver-side; the fixture is small).
+    val parts = Tables.load(spark, dir, "part")
+      .select($"p_partkey".as[Long],
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as[Long],
+        $"p_size".cast("long").as[Long]).collect()
+    val frontier = try {
+      SparkEntry.queries("q241_pareto_frontier")(spark, dir)
+        .select($"p_partkey").as[Long].collect().toSet
+    } finally CacheScope.release()
+    val expected = parts.filter { case (_, c, z) =>
+      !parts.exists { case (_, c2, z2) =>
+        c2 >= c && z2 >= z && (c2 > c || z2 > z) }
+    }.map(_._1).toSet
+    assert(frontier == expected,
+      s"skyline mismatch: missing=${expected -- frontier} extra=${frontier -- expected}")
+  }
+
+  test("q239 Kaplan-Meier curve is non-increasing and inside (0, 1]") {
+    import spark.implicits._
+    val rows = try {
+      SparkEntry.queries("q239_kaplan_meier")(spark, dir)
+        .select($"t_hours".as[Long], $"survival".as[Double]).collect()
+    } finally CacheScope.release()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, s) => s > 0.0 && s <= 1.0 })
+    rows.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"survival must not rise: $a -> $b")
+      case _ =>
+    }
+  }
 }
