@@ -1229,5 +1229,109 @@ object Advanced {
           $"p_size".cast("long").as("p_size"))
         .orderBy($"price_cents".desc, $"p_partkey")
     },
+
+    q("q243_acf",
+      // Autocorrelation of the daily event-count series at lags 1..7 — the
+      // seasonality probe run before choosing q218's period or q246's
+      // seasonal-naive horizon. Exact integers end to end: with n days,
+      // total S, the centered value n*cnt_i - S is a BIGINT, so numerator
+      // Σ X_i·X_{i+k} and denominator Σ X_i² are exact in both engines and
+      // each acf is one IEEE division. Everything after the one daily
+      // groupBy runs on the COMPACTED day domain (~corpus span in days):
+      // the lag self-join is a bounded-side nested loop over ~30 rows,
+      // constant whatever the event volume.
+      s"""WITH c AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) cnt
+         |  FROM events GROUP BY day),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cnt) AS BIGINT) s
+         |  FROM c),
+         |x AS (SELECT ROW_NUMBER() OVER (ORDER BY day) idx, n*cnt - s AS xv
+         |  FROM c, st),
+         |den AS (SELECT CAST(SUM(xv*xv) AS BIGINT) d FROM x),
+         |num AS (SELECT b.idx - a.idx AS lag_k,
+         |    CAST(COUNT(*) AS BIGINT) n_pairs,
+         |    CAST(SUM(a.xv*b.xv) AS BIGINT) num
+         |  FROM x a JOIN x b ON b.idx - a.idx BETWEEN 1 AND 7 GROUP BY 1)
+         |SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs, num, den.d AS den,
+         |  ${graft.ColFns.r6Sql("CAST(num AS DOUBLE) / den.d")} AS acf
+         |FROM num, den ORDER BY lag_k""") { (s, dir) =>
+      import s.implicits._
+      import graft.ColFns.r6
+      val c = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+      val st = c.agg(count(lit(1)).as("n"), sum($"cnt").as("s"))
+      val x = c.crossJoin(broadcast(st))
+        .withColumn("idx", row_number().over(Window.orderBy($"day")))
+        .select($"idx", ($"n" * $"cnt" - $"s").as("xv"))
+        .transform(graft.CacheScope.cached) // both join sides + denominator
+      val den = x.agg(sum($"xv" * $"xv").as("d"))
+      x.as("a").join(x.as("b"), ($"b.idx" - $"a.idx").between(1, 7))
+        .groupBy(($"b.idx" - $"a.idx").as("lag_k"))
+        .agg(count(lit(1)).as("n_pairs"), sum($"a.xv" * $"b.xv").as("num"))
+        .crossJoin(broadcast(den))
+        .select($"lag_k".cast("long").as("lag_k"), $"n_pairs", $"num",
+          $"d".as("den"), r6($"num".cast("double") / $"d").as("acf"))
+        .orderBy($"lag_k")
+    },
+
+    q("q244_grid_spatial_join", {
+      // Grid-bucketed spatial self-join — the geohash-join pattern for
+      // "all pairs within distance r" without an O(n²) cross join:
+      // fixed-point coordinates (milli-degrees, derived deterministically
+      // from the customer key so the oracle can re-derive them) bucket
+      // into r-sized cells; candidates meet in an EQUI join on the 9
+      // neighbor cells (each candidate pair arises under exactly one
+      // offset — no dedup pass) and the exact integer distance² filter
+      // finishes. Bucketing uses each engine's native integer division —
+      // truncation vs floor differ on negatives, but any monotone
+      // width-≥r bucketing yields a candidate SUPERSET, and the exact
+      // filter equalizes. At 100 TB this is one shuffle on the cell key;
+      // skew = dense cells, the documented salting/AQE case.
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(c_custkey AS VARCHAR)")
+      s"""WITH pts AS (SELECT c_custkey k,
+        |    (($ph) * 2654435761) % $P % 180000 - 90000 AS y,
+        |    (($ph) * 2246822519) % $P % 360000 - 180000 AS x
+        |  FROM customer),
+        |cells AS (SELECT k, x, y, x // 2000 cx, y // 2000 cy FROM pts),
+        |off(ox, oy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)),
+        |cand AS (SELECT a.k ka, a.x xa, a.y ya, b.k kb, b.x xb, b.y yb
+        |  FROM cells a CROSS JOIN off o JOIN cells b
+        |    ON b.cx = a.cx + o.ox AND b.cy = a.cy + o.oy AND a.k < b.k)
+        |SELECT ka, kb,
+        |  (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) AS dist2
+        |FROM cand
+        |WHERE (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) <= 4000000
+        |ORDER BY ka, kb"""
+      }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val P = graft.functions.TextHash.P
+      // raw LCG mixes of the key are degenerate here: x and y would both
+      // be linear in c_custkey, so the points fall on one lattice line and
+      // no pair lands within r. Polyhash the key first (q183's scattered-
+      // hash lesson), then two independent multiplicative mixes.
+      val pts = T(s, dir, "customer")
+        .withColumn("h", expr("graft_polyhash(CAST(c_custkey AS STRING))"))
+        .select($"c_custkey".as("k"),
+          (($"h" * 2654435761L) % P % 180000L - 90000L).as("y"),
+          (($"h" * 2246822519L) % P % 360000L - 180000L).as("x"))
+      val cells = pts.select($"k", $"x", $"y",
+        expr("x div 2000").as("cx"), expr("y div 2000").as("cy"))
+        .transform(graft.CacheScope.cached) // both sides of the pair join
+      val off = broadcast(Seq(-1, 0, 1).flatMap(ox =>
+        Seq(-1, 0, 1).map(oy => (ox, oy))).toDF("ox", "oy"))
+      val a = cells.select($"k".as("ka"), $"x".as("xa"), $"y".as("ya"),
+        $"cx", $"cy").crossJoin(off)
+        .select($"ka", $"xa", $"ya",
+          ($"cx" + $"ox").as("jx"), ($"cy" + $"oy").as("jy"))
+      val b = cells.select($"k".as("kb"), $"x".as("xb"), $"y".as("yb"),
+        $"cx".as("jx"), $"cy".as("jy"))
+      val d2 = ($"xa" - $"xb") * ($"xa" - $"xb") +
+        ($"ya" - $"yb") * ($"ya" - $"yb")
+      a.join(b, Seq("jx", "jy")).filter($"ka" < $"kb" && d2 <= 4000000L)
+        .select($"ka", $"kb", d2.as("dist2"))
+        .orderBy($"ka", $"kb")
+    },
   )
 }

@@ -607,5 +607,65 @@ object Evaluation {
           r6(exp($"cum".cast("double") / 1000000d)).as("survival"))
         .orderBy($"t_hours")
     },
+
+    q("q246_forecast_backtest",
+      // Seasonal-naive forecast backtest with a MASE-style readout: per
+      // event type, forecast day d's count with day d-7 and score mean
+      // absolute error against the naive-1 (yesterday) baseline — the
+      // standard scale-free "is weekly seasonality real signal" test
+      // (Hyndman & Koehler 2006) run before any fancier model. Series
+      // come zero-filled from q207's generated (type x day) grid so gaps
+      // don't silently shrink the error sums; both MAEs are exact BIGINT
+      // sums over the bounded grid and the ratio is cross-multiplied into
+      // ONE IEEE division (mase < 1 means the seasonal forecast beats
+      // naive-1). The only data-sized work is the daily pre-aggregation.
+      s"""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) n FROM events GROUP BY 1, 2),
+         |b AS (SELECT MIN(day) lo, MAX(day) hi FROM c),
+         |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         |g AS (SELECT t.event_type, days.day, COALESCE(c.n, 0) n
+         |  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN days
+         |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day),
+         |l AS (SELECT event_type, n,
+         |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) n7,
+         |    LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) n1
+         |  FROM g),
+         |e AS (SELECT event_type,
+         |    CAST(COUNT(n7) AS BIGINT) c7, CAST(SUM(ABS(n - n7)) AS BIGINT) e7,
+         |    CAST(COUNT(n1) AS BIGINT) c1, CAST(SUM(ABS(n - n1)) AS BIGINT) e1
+         |  FROM l GROUP BY event_type)
+         |SELECT event_type, c7 AS n_pairs_s7, e7 AS abs_err_s7,
+         |  c1 AS n_pairs_n1, e1 AS abs_err_n1,
+         |  CASE WHEN e1 > 0 THEN
+         |    ${r6Sql("CAST(e7 * c1 AS DOUBLE) / (e1 * c7)")}
+         |    ELSE NULL END AS mase
+         |FROM e ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val c = T(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached) // grid left side + bounds + types
+      val b = c.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val days = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val g = c.select($"event_type").distinct().crossJoin(broadcast(days))
+        .as("g").join(c.as("o"),
+          $"g.event_type" === $"o.event_type" && $"g.day" === $"o.day", "left")
+        .select($"g.event_type", $"g.day", coalesce($"o.n", lit(0L)).as("n"))
+      val byDay = Window.partitionBy($"event_type").orderBy($"day")
+      val l = g
+        .withColumn("n7", lag($"n", 7).over(byDay))
+        .withColumn("n1", lag($"n", 1).over(byDay))
+      l.groupBy($"event_type")
+        .agg(count($"n7").as("c7"), sum(abs($"n" - $"n7")).as("e7"),
+          count($"n1").as("c1"), sum(abs($"n" - $"n1")).as("e1"))
+        .select($"event_type", $"c7".as("n_pairs_s7"), $"e7".as("abs_err_s7"),
+          $"c1".as("n_pairs_n1"), $"e1".as("abs_err_n1"),
+          when($"e1" > 0,
+            r6(($"e7" * $"c1").cast("double") / ($"e1" * $"c7")))
+            .otherwise(lit(null).cast("double")).as("mase"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -238,6 +238,59 @@ object EventTime {
         .orderBy($"user_id", $"version")
     },
 
+    q("q247_point_in_time_join",
+      // Point-in-time (as-of-validity) join against the SCD2 dimension —
+      // the feature-store primitive that prevents training leakage: each
+      // purchase fact is labeled with the state version that was valid AT
+      // its event time, never a later one. Dimension = q148's build
+      // (change rows + LEAD validity intervals); the lookup is an EQUI
+      // join on user_id with the interval predicate riding it — per-key
+      // version lists are bounded by change count, so at 100 TB this is
+      // one keyed shuffle, not an interval cross join. Every purchase
+      // lands in exactly one non-degenerate interval (intervals partition
+      // [first_event, inf) per user; zero-width [t,t) never matches), so
+      // the output is exactly fact-sized — the leakage-free row-count
+      // invariant the oracle pins.
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, us AS valid_from,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version
+        |  FROM ch),
+        |f AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, CAST(v.version AS BIGINT) AS version,
+        |  v.event_type AS state_at_fact
+        |FROM f JOIN v ON v.user_id = f.user_id
+        |  AND v.valid_from <= f.us AND (v.valid_to IS NULL OR f.us < v.valid_to)
+        |ORDER BY f.event_id""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"))
+        .transform(graft.CacheScope.cached) // dimension source + fact side
+      val byTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val dim = e
+        .withColumn("prev", lag($"event_type", 1).over(byTime))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_to", lead($"us", 1).over(byTime))
+        .withColumn("version", row_number().over(byTime).cast("long"))
+        .select($"user_id".as("d_user_id"), $"version",
+          $"event_type".as("state_at_fact"),
+          $"us".as("valid_from"), $"valid_to")
+      val facts = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"us")
+      facts.join(dim, $"user_id" === $"d_user_id" &&
+          $"valid_from" <= $"us" &&
+          ($"valid_to".isNull || $"us" < $"valid_to"))
+        .select($"event_id", $"user_id", $"version", $"state_at_fact")
+        .orderBy($"event_id")
+    },
+
     q("q194_markov_transitions",
       // First-order Markov transition matrix over per-user event sequences:
       // P(next=to | cur=from) in integer MICRO units (one non-negative DIV

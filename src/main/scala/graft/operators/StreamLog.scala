@@ -58,6 +58,19 @@ object StreamLog {
     }
   }
 
+  /** Shared (user_id, event_type) log (memoized per sfDir) behind the
+    * stream-static join family (q105 inner enrichment, q245 anti
+    * blocklist): the events table as one engine stream.
+    */
+  private def userEventLog(s: SparkSession, dir: String): String =
+    graft.LogFixtures.producedLog(dir, "q105") { r =>
+      Tables.load(s, dir, "events")
+        .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
+        .write.format("graftlog")
+        .option("path", r).option("stream", "ev")
+        .mode("append").save()
+    }
+
   /** 12 h past the stream's first event — the cutoff q131/q132 replay from.
     * Memoized per sfDir: one single-column min-scan per JVM instead of 4+
     * redundant jobs per bench invocation of either query.
@@ -177,13 +190,7 @@ object StreamLog {
         |FROM events WHERE user_id % 3 <> 0
         |GROUP BY 1, 2 ORDER BY cohort, event_type""") { (s, dir) =>
       import s.implicits._
-      val root = graft.LogFixtures.producedLog(dir, "q105") { r =>
-        Tables.load(s, dir, "events")
-          .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
-          .write.format("graftlog")
-          .option("path", r).option("stream", "ev")
-          .mode("append").save()
-      }
+      val root = userEventLog(s, dir)
       // static dimension: the allow-listed users with their cohort label
       val dim = Tables.load(s, dir, "events")
         .select($"user_id").distinct()
@@ -205,6 +212,42 @@ object StreamLog {
       }
         .select($"cohort", $"event_type", $"n")
         .orderBy($"cohort", $"event_type")
+    },
+
+    q("q245_streaming_anti_join",
+      // Stream-static LEFT ANTI through the engine — blocklist filtering,
+      // THE streaming-curation primitive (drop every event from a banned
+      // user without touching the rest): the blocklist is broadcast into
+      // each micro-batch and the stream never shuffles for the join; the
+      // running per-type counts prove nothing blocked leaked through and
+      // nothing allowed was lost. q105 is the inner (keep-listed) twin on
+      // the same log.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events b
+        |  WHERE b.user_id % 3 = 0 AND b.user_id = e.user_id)
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = userEventLog(s, dir)
+      val blocklist = Tables.load(s, dir, "events")
+        .select($"user_id").distinct()
+        .filter($"user_id" % 3 === 0)
+        .select($"user_id".cast("string").as("b_user_id"))
+      graft.streaming.StreamHarness.runToMemory(s, "q245", 4, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "50000") // multi-batch at sf0.1
+          .load()
+          .select($"values.user_id".as("user_id"),
+            $"values.event_type".as("event_type"))
+          .join(broadcast(blocklist), $"user_id" === $"b_user_id",
+            "left_anti") // stream-static anti
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+      }
+        .select($"event_type", $"n")
+        .orderBy($"event_type")
     },
 
     q("q107_streaming_join",
@@ -912,13 +955,7 @@ object StreamLog {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       import s.implicits._
-      val root = graft.LogFixtures.producedLog(dir, "q105") { r =>
-        Tables.load(s, dir, "events")
-          .selectExpr("CAST(user_id AS STRING) AS user_id", "event_type")
-          .write.format("graftlog")
-          .option("path", r).option("stream", "ev")
-          .mode("append").save()
-      }
+      val root = userEventLog(s, dir)
       val ckpt = graft.TempDirs.scratch("graft-q145-ckpt")
       val sinkName = s"q145_sink_${System.nanoTime()}"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")

@@ -251,6 +251,82 @@ object UdfSurface {
             s"ELSE ${(KmvK - 1) * graft.functions.TextHash.P} DIV kth_min - n_exact END").as("err"))
         .orderBy($"event_type")
     },
+
+    q("q249_sketch_table_merge", {
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    (($ph) * 2654435761) % $P AS h FROM events),
+         |b AS (SELECT MIN(day) AS lo FROM u),
+         |d AS (SELECT (day - lo) AS dayoff, h FROM u, b),
+         |sk AS (SELECT dayoff, h,
+         |    ROW_NUMBER() OVER (PARTITION BY dayoff ORDER BY h) AS rn FROM d),
+         |sketch AS (SELECT dayoff, h FROM sk WHERE rn <= $KmvK),
+         |ranges(rname, rlo, rhi) AS (VALUES ('d00_06', 0, 6),
+         |  ('d07_20', 7, 20), ('d00_99', 0, 99)),
+         |m0 AS (SELECT DISTINCT rname, h FROM ranges r JOIN sketch s
+         |  ON s.dayoff BETWEEN r.rlo AND r.rhi),
+         |m AS (SELECT rname, h,
+         |    ROW_NUMBER() OVER (PARTITION BY rname ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY rname) AS nh FROM m0),
+         |k AS (SELECT rname, MAX(CASE WHEN rn = $KmvK THEN h END) AS kth_min,
+         |    CAST(MIN(nh) AS BIGINT) AS n_sketch FROM m GROUP BY rname),
+         |ex AS (SELECT rname, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM ranges r JOIN d ON d.dayoff BETWEEN r.rlo AND r.rhi
+         |  GROUP BY rname)
+         |SELECT k.rname AS range_name, ex.n_exact, k.kth_min,
+         |  CASE WHEN k.kth_min IS NULL THEN k.n_sketch
+         |    ELSE (${(KmvK - 1) * P}) // k.kth_min END AS est_n
+         |FROM k JOIN ex ON ex.rname = k.rname ORDER BY range_name"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // The SKETCH-TABLE pattern q184's UDAF enables at warehouse scale:
+      // persist one tiny KMV sketch per day-partition, then answer any
+      // day-range distinct-count from the sketches ALONE — the raw rows
+      // are never rescanned for a range query (here the exact side reads
+      // them only to certify the estimates). Merging = union the per-day
+      // K-lists, dedup, trim to the K smallest — valid because the range's
+      // k-th smallest hash is necessarily among its days' k-smallest
+      // lists. When a merged list holds fewer than K hashes every
+      // contributing day was complete, so the "estimate" is exact — the
+      // same CASE as q184. All integer arithmetic; both engines replay
+      // every byte.
+      val P = graft.functions.TextHash.P
+      val u = T(s, dir, "events")
+        .select(to_date($"ts").as("day"), expr(
+          s"(graft_polyhash(CAST(user_id AS STRING)) * 2654435761) % $P")
+          .as("h"))
+        .distinct()
+      val lo = u.agg(min($"day").as("lo"))
+      val d = u.crossJoin(broadcast(lo))
+        .select(datediff($"day", $"lo").as("dayoff"), $"h")
+        .transform(graft.CacheScope.cached) // sketch build + exact foil
+      val byDay = org.apache.spark.sql.expressions.Window
+        .partitionBy($"dayoff").orderBy($"h")
+      val sketch = d.withColumn("rn", row_number().over(byDay))
+        .filter($"rn" <= KmvK).select($"dayoff", $"h")
+      val ranges = broadcast(Seq(("d00_06", 0, 6), ("d07_20", 7, 20),
+        ("d00_99", 0, 99)).toDF("rname", "rlo", "rhi"))
+      val m0 = ranges.join(sketch,
+          $"dayoff".between($"rlo", $"rhi"))
+        .select($"rname", $"h").distinct()
+      val byRange = org.apache.spark.sql.expressions.Window
+        .partitionBy($"rname").orderBy($"h")
+      val m = m0.withColumn("rn", row_number().over(byRange))
+        .withColumn("nh", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"rname")))
+      val k = m.groupBy($"rname")
+        .agg(max(when($"rn" === KmvK, $"h")).as("kth_min"),
+          min($"nh").as("n_sketch"))
+      val ex = ranges.join(d, $"dayoff".between($"rlo", $"rhi"))
+        .groupBy($"rname").agg(countDistinct($"h").as("n_exact"))
+      k.join(ex, Seq("rname"))
+        .select($"rname".as("range_name"), $"n_exact", $"kth_min",
+          expr(s"CASE WHEN kth_min IS NULL THEN n_sketch " +
+            s"ELSE ${(KmvK - 1) * P} DIV kth_min END").as("est_n"))
+        .orderBy($"range_name")
+    },
   )
 
 }

@@ -456,6 +456,27 @@ object PlanAudit {
       "probe queries broadcast, corpus scanned shuffle-free" -> "BroadcastNestedLoopJoin",
       "per-query top-10 is one window pass" -> "Window",
       "no cartesian product" -> "!CartesianProduct"),
+    "q243_acf" -> Seq(
+      "daily counts partial-aggregate before the one data-sized shuffle" -> "HashAggregate",
+      "lag self-join runs on the bounded day domain (broadcast-small)" -> "BroadcastNestedLoopJoin",
+      "only ts read" -> "ReadSchema: struct<ts:timestamp_ntz>"),
+    "q244_grid_spatial_join" -> Seq(
+      "spatial candidates meet in an EQUI join on the cell key" -> "HashJoin",
+      "9-offset fan-out rides a broadcast, not a cartesian" -> "!CartesianProduct",
+      "only the key column read (coords are derived)" -> "ReadSchema: struct<c_custkey:bigint>"),
+    "q246_forecast_backtest" -> Seq(
+      "daily counts partial-aggregate before the one shuffle" -> "HashAggregate",
+      "lag features are window passes over the bounded grid" -> "Window",
+      "only ts and event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
+    "q247_point_in_time_join" -> Seq(
+      "as-of lookup is an EQUI join on user_id (interval rides it)" -> "HashJoin",
+      "dimension intervals are window passes on one user shuffle" -> "Window",
+      "only the four needed columns read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>",
+      "no interval cross join" -> "!CartesianProduct"),
+    "q249_sketch_table_merge" -> Seq(
+      "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
+      "per-day and per-range order statistics are window passes" -> "Window",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
     "q241_pareto_frontier" -> Seq(
       "skyline window runs on the compacted price domain, not raw parts" -> "Window",
       "frontier joined back on equi keys" -> "HashJoin",
