@@ -283,5 +283,127 @@ object Multimodal {
           $"f0_px", $"fs_px")
         .orderBy($"doc_id")
     },
+
+    q("q250_image_phash",
+      // Perceptual image hash (average-hash) over the REAL decode path —
+      // the image-dedup fingerprint (think pHash near-dup buckets for a
+      // multimodal corpus): decode the PPM/BMP payload, nearest-neighbor
+      // downsample to 8x8 with the production resampler, gray = (r+g+b)/3
+      // per cell, bit = cell brighter than the image mean (strict >, the
+      // integer compare gray*64 > sum — no float mean), bits packed into
+      // two 32-bit halves. The oracle replays every step arithmetically
+      // from the closed-form raster (sx = x*w//8 — Codecs.resizeNearest's
+      // exact mapping), so the equality certifies decoder + resampler +
+      // hash together. n_same (hash-bucket size) is the dedup readout; at
+      // corpus scale the groupBy on the 64-bit hash is the only shuffle
+      // and candidate verification joins stay inside buckets.
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    16 + (doc_id % 48) AS w, 8 + (doc_id % 24) AS h FROM documents),
+        |px AS (SELECT media_id, w, h, i % 8 AS x, i // 8 AS y
+        |  FROM m, (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT media_id, (y*8 + x) AS i,
+        |    ((x * w // 8) + 2 * (y * h // 8) + media_id) % 256 AS base
+        |  FROM px),
+        |g AS (SELECT media_id, i,
+        |    (base + ((base + 85) % 256) + ((base + 170) % 256)) // 3 AS gray
+        |  FROM s),
+        |t AS (SELECT media_id, CAST(SUM(gray) AS BIGINT) AS total
+        |  FROM g GROUP BY media_id),
+        |bits AS (SELECT g.media_id, g.i,
+        |    CASE WHEN g.gray * 64 > t.total THEN 1 ELSE 0 END AS b
+        |  FROM g JOIN t ON t.media_id = g.media_id),
+        |hsh AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i)
+        |      ELSE 0 END) AS BIGINT) AS hash_a,
+        |    CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32))
+        |      ELSE 0 END) AS BIGINT) AS hash_b
+        |  FROM bits GROUP BY media_id)
+        |SELECT media_id, hash_a, hash_b,
+        |  CAST(COUNT(*) OVER (PARTITION BY hash_a, hash_b) AS BIGINT) AS n_same
+        |FROM hsh ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val img = Codecs.resizeNearest(
+            Codecs.decode(fixtureRecord(id).payload).get, 8, 8)
+          val gray = Array.tabulate(64) { i =>
+            val (r, g, b) = img.pixel(i % 8, i / 8)
+            (r + g + b) / 3
+          }
+          val total = gray.sum.toLong
+          var (ha, hb) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (gray(i) * 64L > total) {
+              if (i < 32) ha |= 1L << i else hb |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, ha, hb)
+        })
+        .toDF("media_id", "hash_a", "hash_b")
+      import org.apache.spark.sql.expressions.Window
+      hashed
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy($"hash_a", $"hash_b")))
+        .orderBy($"media_id")
+    },
+
+    q("q251_audio_fingerprint",
+      // Acoustic fingerprint over the REAL WAV decode path — q250's audio
+      // twin (a Shazam-style energy-profile signature, radically
+      // simplified): decode the RIFF/WAVE payload, split the sample stream
+      // into 8 equal-ish segments (seg = i*8//nf — exact integer
+      // boundaries however nf divides), segment loudness = Σ|sample|, bit
+      // = segment louder than the mean (the integer compare 8*seg > total,
+      // no float). The oracle replays the waveform arithmetic closed-form
+      // (q146's fixture), so a decoder that skipped sample bytes cannot
+      // produce the right fingerprint. n_same buckets are the audio-dedup
+      // readout; one groupBy on the byte-sized hash at any corpus scale.
+      """WITH m AS (SELECT doc_id AS media_id, 64 + (doc_id % 128) AS nf
+        |  FROM documents),
+        |ix AS (SELECT media_id, nf, unnest(range(nf)) AS i FROM m),
+        |s AS (SELECT media_id, i * 8 // nf AS seg,
+        |    ABS(((media_id*31 + i*17) % 65536) - 32768) AS a FROM ix),
+        |e AS (SELECT media_id, seg, CAST(SUM(a) AS BIGINT) AS seg_e
+        |  FROM s GROUP BY media_id, seg),
+        |t AS (SELECT media_id, CAST(SUM(seg_e) AS BIGINT) AS total
+        |  FROM e GROUP BY media_id),
+        |h AS (SELECT e.media_id,
+        |    CAST(SUM(CASE WHEN e.seg_e * 8 > t.total
+        |      THEN (CAST(1 AS BIGINT) << CAST(e.seg AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM e JOIN t ON t.media_id = e.media_id GROUP BY e.media_id)
+        |SELECT media_id, fp,
+        |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+        |FROM h ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val pcm = Codecs.decodeWav(Codecs.encodeWav(fixtureAudio(id)))
+          val nf = pcm.samples.length
+          val segE = new Array[Long](8)
+          var i = 0
+          while (i < nf) {
+            segE(i * 8 / nf) += math.abs(pcm.samples(i).toInt).toLong
+            i += 1
+          }
+          val total = segE.sum
+          var fp = 0L
+          var k = 0
+          while (k < 8) {
+            if (segE(k) * 8 > total) fp |= 1L << k
+            k += 1
+          }
+          (id, fp)
+        })
+        .toDF("media_id", "fp")
+      import org.apache.spark.sql.expressions.Window
+      fps.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy($"fp")))
+        .orderBy($"media_id")
+    },
   )
 }

@@ -477,6 +477,17 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    // q250/q251 hash on executors inside the binary-codec mapPartitions
+    // stage (no Catalyst expression decodes PPM/WAV); the plan surface to
+    // pin is that bucket sizes come from ONE window pass and nothing joins.
+    "q250_image_phash" -> Seq(
+      "hash-bucket sizes are one window pass" -> "Window",
+      "no join anywhere (hash computed map-side)" -> "!SortMergeJoin",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q251_audio_fingerprint" -> Seq(
+      "fingerprint-bucket sizes are one window pass" -> "Window",
+      "no join anywhere (fingerprint computed map-side)" -> "!SortMergeJoin",
+      "no cartesian product" -> "!CartesianProduct"),
     "q241_pareto_frontier" -> Seq(
       "skyline window runs on the compacted price domain, not raw parts" -> "Window",
       "frontier joined back on equi keys" -> "HashJoin",
