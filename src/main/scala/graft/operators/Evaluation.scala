@@ -667,5 +667,39 @@ object Evaluation {
             .otherwise(lit(null).cast("double")).as("mase"))
         .orderBy($"event_type")
     },
+
+    q("q253_srm_check",
+      // Sample-ratio-mismatch guard for q208's A/B split — the sanity
+      // check every experiment platform runs BEFORE reading the lift
+      // (an unbalanced split invalidates the whole readout): per segment,
+      // distinct users per arm under the user-parity assignment, chi²
+      // against the expected 50/50 as the pure-integer compare
+      // 100·(a-b)² > 384·(a+b) (chi² = (a-b)²/n for two equal-expectation
+      // cells; 3.84 = the 95% critical value) — the flag cannot flap on a
+      // float edge. chi2_milli is reported for magnitude. One distinct
+      // collapse + one bounded groupBy; trivially scale-safe.
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) n_b
+        |  FROM u GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  CAST((1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS BIGINT)
+        |    AS chi2_milli,
+        |  (100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b)) AS srm_flag
+        |FROM c ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val u = T(s, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+      u.groupBy($"event_type")
+        .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        .select($"event_type", $"n_a", $"n_b",
+          expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+            .as("chi2_milli"),
+          (lit(100L) * ($"n_a" - $"n_b") * ($"n_a" - $"n_b") >
+            lit(384L) * ($"n_a" + $"n_b")).as("srm_flag"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -291,6 +291,54 @@ object EventTime {
         .orderBy($"event_id")
     },
 
+    q("q254_cohort_ltv",
+      // Cumulative cohort LTV curve — the growth readout next to q228's
+      // retention matrix: users cohorted by first-seen day, purchase
+      // revenue (exact cents) accumulated by day offset, reported as
+      // cohort-level cumulative revenue and integer cents-per-user. The
+      // heavy work is two user-keyed aggregations (first-seen + the
+      // revenue join-back); the cumulative window runs per cohort over
+      // the bounded (cohort x offset) grid — days, not events. LTV is an
+      // integer division so no float can flap the curve.
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END cents
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) cday FROM e GROUP BY user_id),
+        |cs AS (SELECT cday, CAST(COUNT(*) AS BIGINT) cohort_n FROM f
+        |  GROUP BY cday),
+        |r AS (SELECT f.cday, (e.day - f.cday) AS offs,
+        |    CAST(SUM(e.cents) AS BIGINT) rev
+        |  FROM e JOIN f ON f.user_id = e.user_id GROUP BY f.cday, offs),
+        |c AS (SELECT cday, offs,
+        |    CAST(SUM(rev) OVER (PARTITION BY cday ORDER BY offs) AS BIGINT) cum
+        |  FROM r)
+        |SELECT c.cday AS cohort_day, CAST(c.offs AS BIGINT) AS day_offset,
+        |  cs.cohort_n, c.cum AS cum_rev_cents,
+        |  CAST(c.cum // cs.cohort_n AS BIGINT) AS ltv_cents_per_user
+        |FROM c JOIN cs ON cs.cday = c.cday
+        |ORDER BY cohort_day, day_offset""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day"),
+          when($"event_type" === "purchase",
+            floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)
+            .as("cents"))
+        .transform(graft.CacheScope.cached) // first-seen + revenue join-back
+      val f = e.groupBy($"user_id").agg(min($"day").as("cday"))
+      val cs = f.groupBy($"cday").agg(count(lit(1)).as("cohort_n"))
+      val r = e.join(f, Seq("user_id"))
+        .groupBy($"cday", datediff($"day", $"cday").as("offs"))
+        .agg(sum($"cents").as("rev"))
+      val c = r.withColumn("cum", sum($"rev")
+        .over(Window.partitionBy($"cday").orderBy($"offs")))
+      c.join(broadcast(cs), Seq("cday"))
+        .select($"cday".as("cohort_day"), $"offs".cast("long").as("day_offset"),
+          $"cohort_n", $"cum".as("cum_rev_cents"),
+          expr("cum div cohort_n").as("ltv_cents_per_user"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+
     q("q194_markov_transitions",
       // First-order Markov transition matrix over per-user event sequences:
       // P(next=to | cur=from) in integer MICRO units (one non-negative DIV

@@ -685,6 +685,71 @@ object Extras {
           sum($"status_chg").as("n_status_changed"))
         .orderBy($"diff_status")
     },
+
+    q("q252_data_contract",
+      // Data-contract validation (the dbt-tests / Great Expectations pass
+      // run before a load is accepted): a deliberately dirtied orders
+      // snapshot — key-mod-derived duplicate rows, broken customer FKs,
+      // nulled priorities, negated prices, so the oracle re-derives the
+      // identical mess — is checked against four rules and the violations
+      // report comes back as one integer table. Scale shape: uniqueness
+      // is one groupBy on the key, the FK probe is a keyed LEFT ANTI join
+      // against the dimension (broadcast when it fits, shuffle otherwise),
+      // null/range checks are map-side; each rule is one pass over the
+      // cached dirty frame.
+      """WITH base AS (SELECT o_orderkey k, o_custkey ck,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) cents,
+        |    o_orderpriority pr FROM orders),
+        |dirty AS (
+        |  SELECT k,
+        |    CASE WHEN k % 107 = 3 THEN ck + 100000000 ELSE ck END ck,
+        |    CASE WHEN k % 109 = 11 THEN -cents ELSE cents END cents,
+        |    CASE WHEN k % 103 = 5 THEN NULL ELSE pr END pr
+        |  FROM base
+        |  UNION ALL SELECT k, ck, cents, pr FROM base WHERE k % 101 = 7),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM dirty),
+        |dup AS (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) v FROM
+        |  (SELECT COUNT(*) c FROM dirty GROUP BY k) WHERE c > 1),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) v FROM dirty d
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.ck)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) v FROM dirty WHERE pr IS NULL),
+        |rg AS (SELECT CAST(COUNT(*) AS BIGINT) v FROM dirty WHERE cents <= 0)
+        |SELECT 'fk_custkey' AS rule, n.n AS n_checked, fk.v AS n_violations
+        |  FROM n, fk
+        |UNION ALL SELECT 'not_null_priority', n.n, nn.v FROM n, nn
+        |UNION ALL SELECT 'range_totalprice', n.n, rg.v FROM n, rg
+        |UNION ALL SELECT 'unique_orderkey', n.n, dup.v FROM n, dup
+        |ORDER BY rule""") { (s, dir) =>
+      import s.implicits._
+      val base = T(s, dir, "orders").select($"o_orderkey".as("k"),
+        $"o_custkey".as("ck"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        $"o_orderpriority".as("pr"))
+      val dirty = base.select($"k",
+          when($"k" % 107 === 3, $"ck" + 100000000L).otherwise($"ck").as("ck"),
+          when($"k" % 109 === 11, -$"cents").otherwise($"cents").as("cents"),
+          when($"k" % 103 === 5, lit(null).cast("string")).otherwise($"pr")
+            .as("pr"))
+        .unionAll(base.filter($"k" % 101 === 7))
+        .transform(graft.CacheScope.cached) // one pass per rule below
+      val n = dirty.agg(count(lit(1)).as("n_checked"))
+      val dup = dirty.groupBy($"k").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1)
+        .agg(coalesce(sum($"c" - 1), lit(0L)).as("v"))
+      val fk = dirty.join(T(s, dir, "customer")
+          .select($"c_custkey".as("ck")), Seq("ck"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val nn = dirty.filter($"pr".isNull).agg(count(lit(1)).as("v"))
+      val rg = dirty.filter($"cents" <= 0).agg(count(lit(1)).as("v"))
+      def rule(name: String, v: DataFrame): DataFrame =
+        broadcast(n).crossJoin(broadcast(v))
+          .select(lit(name).as("rule"), $"n_checked", $"v".as("n_violations"))
+      rule("fk_custkey", fk)
+        .unionAll(rule("not_null_priority", nn))
+        .unionAll(rule("range_totalprice", rg))
+        .unionAll(rule("unique_orderkey", dup))
+        .orderBy($"rule")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

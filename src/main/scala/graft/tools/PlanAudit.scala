@@ -477,6 +477,19 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q252_data_contract" -> Seq(
+      "FK probe is a LEFT ANTI join against the dimension" -> "LeftAnti",
+      "uniqueness check partial-aggregates on the key" -> "HashAggregate",
+      "rule rows assemble from broadcast 1-row sides" -> "BroadcastNestedLoopJoin",
+      "no cartesian beyond the 1-row assembly" -> "!CartesianProduct"),
+    "q253_srm_check" -> Seq(
+      "per-arm user counts partial-aggregate map-side" -> "HashAggregate",
+      "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
+      "no join anywhere" -> "!Join"),
+    "q254_cohort_ltv" -> Seq(
+      "revenue joins first-seen on the one user key" -> "HashJoin",
+      "cumulative window runs per cohort on the bounded grid" -> "Window",
+      "only the three needed columns read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string,value:double>"),
     // q250/q251 hash on executors inside the binary-codec mapPartitions
     // stage (no Catalyst expression decodes PPM/WAV); the plan surface to
     // pin is that bucket sizes come from ONE window pass and nothing joins.

@@ -42,7 +42,11 @@ object ScaleCurve {
     // events), k-core peeling (pair-gen + iterative rounds), LLR pairs
     // (basket-bounded expansion)
     "q227_funnel_conversion", "q229_kcore_decomposition",
-    "q231_llr_copurchase")
+    "q231_llr_copurchase",
+    // round-7 continuation: trained-NB scoring (vocab-keyed likelihood
+    // join over scaled documents) and the point-in-time SCD2 lookup
+    // (user-keyed interval join over scaled events)
+    "q238_naive_bayes", "q247_point_in_time_join")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
