@@ -339,6 +339,119 @@ object EventTime {
         .orderBy($"cohort_day", $"day_offset")
     },
 
+    q("q255_stl_decompose",
+      // Additive STL-style decomposition of the daily count series:
+      // trend = centered 7-day moving average (full windows only),
+      // seasonal = per-weekday mean of the detrended series, remainder =
+      // what's left — the structural complement of q218's multiplicative
+      // index (which day is big) and q243's ACF (is there a cycle at
+      // all). Exact integers in milli units throughout; the one floored
+      // division (seasonal mean of possibly-NEGATIVE detrended values)
+      // uses q179's shift-to-non-negative trick, because Spark's DIV
+      // truncates while DuckDB's // floors and they disagree below zero:
+      // (sum(x + 1e9·n)/n) − 1e9 floors exactly in both. Weekday =
+      // idx % 7 relative to the first day — engine-neutral, no dayofweek
+      // dialect skew. All windows run on the zero-filled bounded day grid.
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) lo, MAX(day) hi FROM c),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |g AS (SELECT days.day, COALESCE(c.n, 0) AS n
+        |  FROM days LEFT JOIN c ON c.day = days.day),
+        |ix AS (SELECT day, n,
+        |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx FROM g),
+        |tr AS (SELECT idx, n,
+        |    (1000 * SUM(n) OVER (ORDER BY idx
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) // 7 AS trend_mi,
+        |    COUNT(*) OVER (ORDER BY idx
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM ix),
+        |dt AS (SELECT idx, n, trend_mi,
+        |    1000 * n - trend_mi AS detr_mi, idx % 7 AS dow
+        |  FROM tr WHERE wn = 7),
+        |se AS (SELECT dow,
+        |    (SUM(detr_mi + 1000000000) // COUNT(*)) - 1000000000 AS seas_mi
+        |  FROM dt GROUP BY dow)
+        |SELECT CAST(dt.idx AS BIGINT) AS idx, dt.n,
+        |  CAST(dt.trend_mi AS BIGINT) AS trend_milli,
+        |  CAST(se.seas_mi AS BIGINT) AS seasonal_milli,
+        |  CAST(dt.detr_mi - se.seas_mi AS BIGINT) AS resid_milli
+        |FROM dt JOIN se ON se.dow = dt.dow ORDER BY idx""") { (s, dir) =>
+      import s.implicits._
+      val c = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached)
+      val b = c.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val days = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val g = days.join(c, Seq("day"), "left")
+        .select($"day", coalesce($"n", lit(0L)).as("n"))
+      val ix = g.withColumn("idx",
+        row_number().over(Window.orderBy($"day")) - 1)
+      val w7 = Window.orderBy($"idx").rowsBetween(-3, 3)
+      val dt2 = ix
+        .withColumn("n_sum", sum($"n").over(w7))
+        .withColumn("wn", count(lit(1)).over(w7))
+        .filter($"wn" === 7)
+        .withColumn("trend_mi", expr("(1000 * n_sum) div 7"))
+        .withColumn("detr_mi", lit(1000L) * $"n" - $"trend_mi")
+        .withColumn("dow", $"idx" % 7)
+      val se = dt2.groupBy($"dow")
+        .agg(((sum($"detr_mi" + 1000000000L)).cast("long")).as("sd"),
+          count(lit(1)).as("cnt"))
+        .select($"dow", (expr("sd div cnt") - 1000000000L).as("seas_mi"))
+      dt2.join(broadcast(se), Seq("dow"))
+        .select($"idx".cast("long").as("idx"), $"n",
+          $"trend_mi".cast("long").as("trend_milli"),
+          $"seas_mi".cast("long").as("seasonal_milli"),
+          ($"detr_mi" - $"seas_mi").cast("long").as("resid_milli"))
+        .orderBy($"idx")
+    },
+
+    q("q256_time_to_convert",
+      // Click-to-purchase latency histogram — the distribution behind
+      // q227's funnel rates (HOW FAST do converters convert, which sets
+      // any attribution window honestly): each click finds the user's
+      // next purchase with ONE reverse-running-min window over the
+      // user-keyed ordering (no self-join, no interval join), latencies
+      // under 24 h bucket into fixed integer edges. One shuffle on
+      // user_id; counts are exact.
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |n AS (SELECT user_id, event_type, us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e),
+        |c AS (SELECT np - us AS lat FROM n
+        |  WHERE event_type = 'click' AND np IS NOT NULL
+        |    AND np - us < 86400000000)
+        |SELECT CASE WHEN lat < 60000000 THEN '0_under_1m'
+        |    WHEN lat < 600000000 THEN '1_1m_10m'
+        |    WHEN lat < 3600000000 THEN '2_10m_1h'
+        |    ELSE '3_1h_24h' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"))
+      val fut = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("np",
+          min(when($"event_type" === "purchase", $"us")).over(fut))
+        .filter($"event_type" === "click" && $"np".isNotNull &&
+          $"np" - $"us" < 86400000000L)
+        .select(($"np" - $"us").as("lat"))
+        .select(when($"lat" < 60000000L, "0_under_1m")
+          .when($"lat" < 600000000L, "1_1m_10m")
+          .when($"lat" < 3600000000L, "2_10m_1h")
+          .otherwise("3_1h_24h").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
     q("q194_markov_transitions",
       // First-order Markov transition matrix over per-user event sequences:
       // P(next=to | cur=from) in integer MICRO units (one non-negative DIV

@@ -826,5 +826,64 @@ object Pipeline {
         .select($"doc_id", $"source", $"n_chars", $"norm_chars")
         .orderBy($"doc_id")
     },
+
+    q("q257_negative_sampling",
+      // Uniform negative sampling for contrastive / recsys training — the
+      // cheap-negatives complement of q124's hard negatives: for every
+      // positive (customer, part) purchase pair, draw 2 deterministic
+      // pseudo-uniform candidate parts (multiplicative mix of (c, p, k) —
+      // reproducible, so the oracle re-draws the identical sample), keep
+      // only candidates that are REAL parts (equi join on the drawn key)
+      // and are NOT already purchased by that customer (keyed LEFT ANTI
+      // against the positives — the false-negative filter). The report
+      // pins the whole pipeline's integrity: candidates drawn, valid
+      // parts, survivors per draw index. Candidate generation is
+      // map-side; both joins are keyed; nothing is all-pairs.
+      """WITH pos AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT CAST(MAX(p_partkey) AS BIGINT) maxp FROM part),
+        |ks(k) AS (VALUES (0), (1)),
+        |cand AS (SELECT c, p, k,
+        |    ((c * 2654435761 + p * 40503 + k * 97) % 1000000007) % maxp + 1
+        |      AS negp
+        |  FROM pos, ks, np),
+        |valid AS (SELECT cand.c, cand.k, cand.negp FROM cand
+        |  JOIN part ON part.p_partkey = cand.negp),
+        |kept AS (SELECT v.c, v.k, v.negp FROM valid v
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos d
+        |    WHERE d.c = v.c AND d.p = v.negp))
+        |SELECT CAST(ks.k AS BIGINT) AS draw_k,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_positives,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM valid v WHERE v.k = ks.k)
+        |    AS n_valid,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept t WHERE t.k = ks.k)
+        |    AS n_kept
+        |FROM ks ORDER BY draw_k""") { (s, dir) =>
+      import s.implicits._
+      val pos = T(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(T(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+        .transform(graft.CacheScope.cached) // candidate gen + anti filter
+      val np = T(s, dir, "part").agg(max($"p_partkey").as("maxp"))
+      val ks = broadcast(Seq(0L, 1L).toDF("k"))
+      val cand = pos.crossJoin(ks).crossJoin(broadcast(np))
+        .select($"c", $"k",
+          expr("((c * 2654435761 + p * 40503 + k * 97) % 1000000007) % maxp + 1")
+            .as("negp"))
+      val valid = cand
+        .join(T(s, dir, "part").select($"p_partkey".as("negp")), Seq("negp"))
+        .transform(graft.CacheScope.cached) // counted + anti-filtered below
+      val kept = valid.join(
+        pos.select($"c", $"p".as("negp")), Seq("c", "negp"), "left_anti")
+      val nPos = pos.agg(count(lit(1)).as("n_positives"))
+      val nValid = valid.groupBy($"k").agg(count(lit(1)).as("n_valid"))
+      val nKept = kept.groupBy($"k").agg(count(lit(1)).as("n_kept"))
+      ks.join(broadcast(nValid), Seq("k"))
+        .join(broadcast(nKept), Seq("k"))
+        .crossJoin(broadcast(nPos))
+        .select($"k".as("draw_k"), $"n_positives", $"n_valid", $"n_kept")
+        .orderBy($"draw_k")
+    },
   )
 }

@@ -477,6 +477,18 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q255_stl_decompose" -> Seq(
+      "trend/seasonal windows run on the bounded day grid" -> "Window",
+      "daily counts partial-aggregate before the one shuffle" -> "HashAggregate",
+      "only ts read" -> "ReadSchema: struct<ts:timestamp_ntz>"),
+    "q256_time_to_convert" -> Seq(
+      "next-purchase lookup is ONE reverse-running-min window" -> "Window",
+      "no self-join / interval join for the next-event search" -> "!SortMergeJoin",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q257_negative_sampling" -> Seq(
+      "false-negative filter is a keyed LEFT ANTI join" -> "LeftAnti",
+      "drawn keys validated by an equi join against part" -> "HashJoin",
+      "no cartesian beyond the 2-row draw fan-out" -> "!CartesianProduct"),
     "q252_data_contract" -> Seq(
       "FK probe is a LEFT ANTI join against the dimension" -> "LeftAnti",
       "uniqueness check partial-aggregates on the key" -> "HashAggregate",
