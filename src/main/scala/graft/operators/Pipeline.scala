@@ -885,5 +885,57 @@ object Pipeline {
         .select($"k".as("draw_k"), $"n_positives", $"n_valid", $"n_kept")
         .orderBy($"draw_k")
     },
+
+    q("q258_ipf_mixture",
+      // Data-mixture weight fitting by iterative proportional fitting
+      // (2 unrolled rounds — q177's fixed-budget iteration pattern): given
+      // the observed (source x lang) contingency table, find per-cell
+      // sampling weights that hit EQUAL language shares while restoring
+      // the observed source marginals — the solve behind "reweight the
+      // crawl so every language gets its target share without starving a
+      // source". Everything after the one corpus groupBy runs on the tiny
+      // contingency table; weights are integer ppm with every division a
+      // non-negative floor DIV, so both engines land the identical mix.
+      """WITH n AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) c
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) t,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) nl FROM n),
+        |tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) cl FROM n GROUP BY lang),
+        |tsrc AS (SELECT source, CAST(SUM(c) AS BIGINT) cs FROM n
+        |  GROUP BY source),
+        |w1 AS (SELECT n.source, n.lang, n.c,
+        |    ((tot.t // tot.nl) * 1000000) // tl.cl AS w
+        |  FROM n JOIN tl ON tl.lang = n.lang CROSS JOIN tot),
+        |m1 AS (SELECT source, CAST(SUM(c * w // 1000000) AS BIGINT) cur
+        |  FROM w1 GROUP BY source),
+        |r2 AS (SELECT w1.source, w1.lang, w1.c,
+        |    (w1.w * ((tsrc.cs * 1000000) // NULLIF(m1.cur, 0))) // 1000000
+        |      AS w2
+        |  FROM w1 JOIN m1 ON m1.source = w1.source
+        |  JOIN tsrc ON tsrc.source = w1.source)
+        |SELECT source, lang, c AS n_docs, CAST(w2 AS BIGINT) AS weight_ppm,
+        |  CAST(c * w2 // 1000000 AS BIGINT) AS resampled_n
+        |FROM r2 ORDER BY source, lang""") { (s, dir) =>
+      import s.implicits._
+      val n = T(s, dir, "documents")
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // marginals + both fit rounds
+      val tot = n.agg(sum($"c").as("t"), countDistinct($"lang").as("nl"))
+      val tl = n.groupBy($"lang").agg(sum($"c").as("cl"))
+      val tsrc = n.groupBy($"source").agg(sum($"c").as("cs"))
+      val w1 = n.join(broadcast(tl), Seq("lang")).crossJoin(broadcast(tot))
+        .select($"source", $"lang", $"c",
+          expr("((t div nl) * 1000000) div cl").as("w"))
+      val m1 = w1.groupBy($"source")
+        .agg(sum(expr("(c * w) div 1000000")).as("cur"))
+      w1.join(broadcast(m1), Seq("source"))
+        .join(broadcast(tsrc), Seq("source"))
+        .select($"source", $"lang", $"c".as("n_docs"),
+          expr("(w * ((cs * 1000000) div nullif(cur, 0))) div 1000000")
+            .as("weight_ppm"))
+        .select($"source", $"lang", $"n_docs", $"weight_ppm",
+          expr("(n_docs * weight_ppm) div 1000000").as("resampled_n"))
+        .orderBy($"source", $"lang")
+    },
   )
 }

@@ -519,6 +519,53 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q259_bootstrap_tail_seam",
+      // Kappa-architecture bridge: bootstrap from a BATCH scan of the log
+      // up to a cutoff, then tail the STREAM from exactly that cutoff —
+      // the backfill-then-go-live pattern every log consumer runs on day
+      // one. The seam must be exact: batch takes ts < T (pruned segment
+      // scan, q132's path), the stream starts at the first entry at or
+      // after T (startingTimestamp, q131's path), and the oracle pins
+      // BOTH sides plus their sum against the batch table — one row
+      // duplicated or dropped at the boundary and the totals hash-fail.
+      """WITH cut AS (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) + 43200000 c
+        |  FROM events),
+        |e AS (SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) ms
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN ms < cut.c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_batch,
+        |  CAST(SUM(CASE WHEN ms >= cut.c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stream,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total
+        |FROM e, cut GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = eventTimeLog(s, dir)
+      val cut = cutoffMs(s, dir)
+      val batch = s.read.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .load()
+        .filter($"ts" < lit(new java.sql.Timestamp(cut)))
+        .groupBy($"values.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n_batch"))
+      val tail = graft.streaming.StreamHarness.runToMemory(
+          s, "q259", 4, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("startingTimestamp", cut.toString)
+          .option("maxEntriesPerTrigger", "60000")
+          .load()
+          .groupBy($"values.event_type".as("event_type"))
+          .agg(count(lit(1)).as("n_stream"))
+      }
+      batch.join(tail, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          coalesce($"n_batch", lit(0L)).as("n_batch"),
+          coalesce($"n_stream", lit(0L)).as("n_stream"))
+        .withColumn("n_total", $"n_batch" + $"n_stream")
+        .orderBy($"event_type")
+    },
+
     q("q128_streaming_liststate",
       // transformWithState ListState THROUGH the engine — the third typed
       // state primitive (q115 ValueState, q125 MapState): per event_type,

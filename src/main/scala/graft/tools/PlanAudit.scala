@@ -477,6 +477,10 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q258_ipf_mixture" -> Seq(
+      "contingency counts partial-aggregate before the one shuffle" -> "HashAggregate",
+      "marginals broadcast back onto the tiny cell table" -> "BroadcastHashJoin",
+      "only source and lang read" -> "ReadSchema: struct<lang:string,source:string>"),
     "q255_stl_decompose" -> Seq(
       "trend/seasonal windows run on the bounded day grid" -> "Window",
       "daily counts partial-aggregate before the one shuffle" -> "HashAggregate",
