@@ -828,6 +828,81 @@ object Advanced {
       traj.toDF("peel", "n_nodes", "n_edges").orderBy($"peel")
     },
 
+    q("q261_link_prediction",
+      // Common-neighbor / Jaccard link prediction on the co-supply graph
+      // (the "suppliers likely to co-supply next" recommender; Liben-
+      // Nowell & Kleinberg 2003): candidate pairs are generated by the
+      // same wedge join as q176's triangles (fans on shared neighbors,
+      // never all-pairs), EXISTING edges are removed by a keyed LEFT ANTI,
+      // and the score is integer-ppm Jaccard cn/(da+db-cn) with a
+      // deterministic (score, id) tie-break into a TakeOrderedAndProject
+      // top-20. At 100 TB: hub neighbors dominate the wedge fan-out —
+      // q176's degree-orientation note applies; cap or sample hub
+      // adjacency before the wedge join.
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2),
+        |r AS (SELECT s1, s2, ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2) rn,
+        |    COUNT(*) OVER () nw FROM w),
+        |e0 AS (SELECT s1, s2 FROM r WHERE rn * 10 <= 3 * nw),
+        |adj AS (SELECT s1 u, s2 v FROM e0 UNION ALL SELECT s2, s1 FROM e0),
+        |deg AS (SELECT u s, CAST(COUNT(*) AS BIGINT) d FROM adj GROUP BY u),
+        |cand AS (SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) cn
+        |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u GROUP BY x, y),
+        |ne AS (SELECT c.x, c.y, c.cn FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0
+        |    WHERE e0.s1 = c.x AND e0.s2 = c.y))
+        |SELECT ne.x AS s_a, ne.y AS s_b, ne.cn AS common_neighbors,
+        |  da.d AS deg_a, db.d AS deg_b,
+        |  CAST((ne.cn * 1000000) // (da.d + db.d - ne.cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM ne JOIN deg da ON da.s = ne.x JOIN deg db ON db.s = ne.y
+        |ORDER BY jaccard_ppm DESC, s_a, s_b LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      // edge set = the top-30%-strongest co-supply pairs by (weight, id)
+      // rank — the fixture graph is COMPLETE at every SF (every supplier
+      // pair shares >= 4 orders), so an absolute weight threshold leaves
+      // no non-edges to predict. The global rank runs on the bounded
+      // supplier-pair domain; at real scale the cutoff weight would come
+      // from a percentile sketch (q88) instead of a global row_number.
+      val wts = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val rkW = Window.orderBy($"c".desc, $"s1", $"s2")
+      val e0 = wts
+        .withColumn("rn", row_number().over(rkW))
+        .withColumn("nw", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter($"rn" * 10 <= $"nw" * 3)
+        .select($"s1", $"s2")
+        .transform(graft.CacheScope.cached) // adjacency + anti filter
+      val adj = e0.select($"s1".as("u"), $"s2".as("v"))
+        .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
+        .transform(graft.CacheScope.cached)
+      val deg = adj.groupBy($"u".as("s")).agg(count(lit(1)).as("d"))
+      val cand = adj.as("a")
+        .join(adj.as("b"), $"a.v" === $"b.v" && $"a.u" < $"b.u")
+        .groupBy($"a.u".as("x"), $"b.u".as("y"))
+        .agg(count(lit(1)).as("cn"))
+      val ne = cand.join(e0,
+        $"x" === $"s1" && $"y" === $"s2", "left_anti")
+      ne.join(broadcast(deg.select($"s".as("x"), $"d".as("deg_a"))), Seq("x"))
+        .join(broadcast(deg.select($"s".as("y"), $"d".as("deg_b"))), Seq("y"))
+        .select($"x".as("s_a"), $"y".as("s_b"),
+          $"cn".as("common_neighbors"), $"deg_a", $"deg_b",
+          expr("(cn * 1000000) div (deg_a + deg_b - cn)").as("jaccard_ppm"))
+        .orderBy($"jaccard_ppm".desc, $"s_a", $"s_b")
+        .limit(20)
+    },
+
     q("q179_histogram_quantiles",
       // Everything runs on SHIFTED values sv = cents - lo >= 0, so every
       // DIV has non-negative operands (Spark trunc == DuckDB floor) even

@@ -327,6 +327,94 @@ object UdfSurface {
             s"ELSE ${(KmvK - 1) * P} DIV kth_min END").as("est_n"))
         .orderBy($"range_name")
     },
+
+    q("q260_kmv_audience_overlap", {
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT DISTINCT event_type,
+         |    (($ph) * 2654435761) % $P AS h FROM events),
+         |sk AS (SELECT event_type, h FROM (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) rn
+         |  FROM u) WHERE rn <= $KmvK),
+         |tt AS (SELECT DISTINCT event_type FROM u),
+         |pairs AS (SELECT a.event_type ta, b.event_type tb FROM tt a
+         |  JOIN tt b ON a.event_type < b.event_type),
+         |m0 AS (SELECT p.ta, p.tb, s.h,
+         |    MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) ina,
+         |    MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) inb
+         |  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+         |  GROUP BY p.ta, p.tb, s.h),
+         |mr AS (SELECT ta, tb, h, ina, inb,
+         |    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) rn,
+         |    COUNT(*) OVER (PARTITION BY ta, tb) nu FROM m0),
+         |kk AS (SELECT ta, tb, MAX(CASE WHEN rn = $KmvK THEN h END) kh,
+         |    CAST(MIN(nu) AS BIGINT) nu,
+         |    CAST(SUM(CASE WHEN rn <= $KmvK AND ina = 1 AND inb = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) ic
+         |  FROM mr GROUP BY ta, tb),
+         |ex AS (SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) exact_inter
+         |  FROM pairs p JOIN u ua ON ua.event_type = p.ta
+         |  JOIN u ub ON ub.event_type = p.tb AND ub.h = ua.h
+         |  GROUP BY p.ta, p.tb)
+         |SELECT kk.ta AS type_a, kk.tb AS type_b,
+         |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+         |  CASE WHEN kk.kh IS NULL THEN kk.ic
+         |    ELSE (kk.ic * ((${(KmvK - 1) * P}) // kk.kh)) // $KmvK END
+         |    AS est_inter
+         |FROM kk LEFT JOIN ex ON ex.ta = kk.ta AND ex.tb = kk.tb
+         |ORDER BY type_a, type_b"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // Audience-overlap matrix from KMV sketches alone — the classic
+      // inclusion estimate (Beyer et al. 2007): for each segment pair,
+      // merge the two K-lists, take the K smallest, estimate the union
+      // with (K-1)P/kth, and scale by the fraction of merged-K hashes
+      // present in BOTH sketches. The raw rows certify (exact_inter);
+      // at warehouse scale only the K-long sketch per segment is stored
+      // and every pairwise overlap is answered without rescanning. When
+      // the merged list holds < K hashes both sketches were complete and
+      // the estimate is exact (q249's CASE).
+      val P = graft.functions.TextHash.P
+      val W = org.apache.spark.sql.expressions.Window
+      val u = T(s, dir, "events")
+        .select($"event_type", expr(
+          s"(graft_polyhash(CAST(user_id AS STRING)) * 2654435761) % $P")
+          .as("h"))
+        .distinct()
+        .transform(graft.CacheScope.cached) // sketches + exact foil
+      val sk = u.withColumn("rn",
+          row_number().over(W.partitionBy($"event_type").orderBy($"h")))
+        .filter($"rn" <= KmvK).select($"event_type", $"h")
+      val tt = u.select($"event_type").distinct()
+      val pairs = broadcast(tt.select($"event_type".as("ta"))
+        .join(tt.select($"event_type".as("tb")), $"ta" < $"tb"))
+      val m0 = pairs.join(sk,
+          $"event_type" === $"ta" || $"event_type" === $"tb")
+        .groupBy($"ta", $"tb", $"h")
+        .agg(max(when($"event_type" === $"ta", 1).otherwise(0)).as("ina"),
+          max(when($"event_type" === $"tb", 1).otherwise(0)).as("inb"))
+      val mr = m0
+        .withColumn("rn",
+          row_number().over(W.partitionBy($"ta", $"tb").orderBy($"h")))
+        .withColumn("nu", count(lit(1)).over(W.partitionBy($"ta", $"tb")))
+      val kk = mr.groupBy($"ta", $"tb")
+        .agg(max(when($"rn" === KmvK, $"h")).as("kh"),
+          min($"nu").as("nu"),
+          sum(when($"rn" <= KmvK && $"ina" === 1 && $"inb" === 1, 1L)
+            .otherwise(0L)).as("ic"))
+      val ex = pairs
+        .join(u.select($"event_type".as("ta"), $"h"), Seq("ta"))
+        .join(u.select($"event_type".as("tb"), $"h"), Seq("tb", "h"))
+        .groupBy($"ta", $"tb").agg(count(lit(1)).as("exact_inter"))
+      kk.join(ex, Seq("ta", "tb"), "left")
+        .select($"ta".as("type_a"), $"tb".as("type_b"),
+          coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+          expr(s"CASE WHEN kh IS NULL THEN ic " +
+            s"ELSE (ic * ((${(KmvK - 1) * P}) DIV kh)) DIV $KmvK END")
+            .as("est_inter"))
+        .orderBy($"type_a", $"type_b")
+    },
   )
 
 }

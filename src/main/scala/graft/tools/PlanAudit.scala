@@ -477,6 +477,15 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q260_kmv_audience_overlap" -> Seq(
+      "per-segment order statistics are window passes" -> "Window",
+      "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
+      "no cartesian beyond the bounded pair fan-out" -> "!CartesianProduct"),
+    "q261_link_prediction" -> Seq(
+      "candidates come from the wedge EQUI join, never all-pairs" -> "HashJoin",
+      "existing edges removed by a keyed LEFT ANTI" -> "LeftAnti",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "no cartesian product" -> "!CartesianProduct"),
     "q258_ipf_mixture" -> Seq(
       "contingency counts partial-aggregate before the one shuffle" -> "HashAggregate",
       "marginals broadcast back onto the tiny cell table" -> "BroadcastHashJoin",
