@@ -701,5 +701,111 @@ object Evaluation {
             lit(384L) * ($"n_a" + $"n_b")).as("srm_flag"))
         .orderBy($"event_type")
     },
+
+    q("q262_gini_lorenz",
+      // Revenue-concentration readout: the Lorenz curve at deciles plus
+      // the Gini coefficient — "how much of the data/spend do the top
+      // customers carry", the skew diagnostic run before quota or salting
+      // decisions. Exact integers: customers rank by (cents, key), decile
+      // = ((rank-1)*10)//n, cumulative shares in ppm, and Gini from the
+      // closed form G = 2Σ(r·x)/(n·Σx) − (n+1)/n as two floor divisions
+      // in ppm — identical in both engines. The rank runs on the
+      // PER-CUSTOMER aggregate (entity-sized, far below fact volume; at
+      // extreme scale a range-partitioned sort replaces the single
+      // window, same arithmetic).
+      """WITH r0 AS (SELECT o_custkey k,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) x
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT k, x, ROW_NUMBER() OVER (ORDER BY x, k) rn,
+        |    COUNT(*) OVER () n, SUM(x) OVER () t FROM r0),
+        |g AS (SELECT CAST((2000000 * SUM(rn * x)) // (MIN(n) * MIN(t))
+        |      - (1000000 * (MIN(n) + 1)) // MIN(n) AS BIGINT) gini_ppm
+        |  FROM rk),
+        |d AS (SELECT ((rn - 1) * 10) // n AS decile,
+        |    CAST(COUNT(*) AS BIGINT) n_cust, CAST(SUM(x) AS BIGINT) rev,
+        |    CAST(MIN(t) AS BIGINT) t
+        |  FROM rk GROUP BY decile),
+        |c AS (SELECT decile, n_cust, rev,
+        |    CAST((1000000 * SUM(rev) OVER (ORDER BY decile)) // t AS BIGINT)
+        |      cum_share_ppm
+        |  FROM d)
+        |SELECT CAST(c.decile AS BIGINT) AS decile, c.n_cust,
+        |  c.rev AS rev_cents, c.cum_share_ppm, g.gini_ppm
+        |FROM c, g ORDER BY decile""") { (s, dir) =>
+      import s.implicits._
+      val r0 = T(s, dir, "orders")
+        .groupBy($"o_custkey".as("k"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("x"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = r0
+        .withColumn("rn", row_number().over(Window.orderBy($"x", $"k")))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("t", sum($"x").over(all))
+        .transform(graft.CacheScope.cached) // gini + decile rollup
+      // Σ(rn·x) fits a Long, but ×2e6 it overflows past sf0.001 — widen
+      // through DECIMAL(38,0) for the one big product (DuckDB's SUM is
+      // already HUGEINT); all operands positive, so trunc == floor.
+      val g = rk.agg(
+        (expr("CAST((2000000 * CAST(sum(rn * x) AS DECIMAL(38,0))) " +
+          "div (min(n) * min(t)) AS BIGINT)") -
+          expr("(1000000 * (min(n) + 1)) div min(n)")).as("gini_ppm"))
+      val d = rk.groupBy(expr("((rn - 1) * 10) div n").as("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum($"x").as("rev"),
+          min($"t").as("t"))
+      d.withColumn("cum",
+          sum($"rev").over(Window.orderBy($"decile")))
+        .select($"decile".cast("long").as("decile"), $"n_cust",
+          $"rev".as("rev_cents"),
+          expr("(1000000 * cum) div t").as("cum_share_ppm"))
+        .crossJoin(broadcast(g))
+        .orderBy($"decile")
+    },
+
+    q("q263_neyman_allocation",
+      // Stratified sampling-budget allocation with exact largest-remainder
+      // (Hamilton) apportionment: each language stratum weighs in at
+      // N_h x spread_h (the Neyman N·S shape with an integer spread proxy),
+      // floors get the guaranteed seats, and the leftover budget goes to
+      // the largest remainders with a deterministic (remainder, lang)
+      // tie-break — allocations sum to the budget EXACTLY, no float
+      // rounding can gain or lose a seat. Everything after the one
+      // per-stratum aggregation runs on the bounded strata table.
+      """WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) nh,
+        |    CAST(MAX(n_chars) - MIN(n_chars) + 1 AS BIGINT) spread
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, nh, spread, nh * spread AS wt,
+        |    SUM(nh * spread) OVER () AS tw FROM st),
+        |f AS (SELECT lang, nh, spread, wt,
+        |    (1000 * wt) // tw AS fl, (1000 * wt) % tw AS rem FROM w),
+        |lv AS (SELECT CAST(1000 - SUM(fl) AS BIGINT) leftover FROM f),
+        |rr AS (SELECT lang, nh, spread, fl, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) rr FROM f)
+        |SELECT rr.lang, rr.nh AS n_docs, rr.spread,
+        |  CAST(rr.fl + CASE WHEN rr.rr <= lv.leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rr, lv ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val st = T(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("nh"),
+          (max($"n_chars") - min($"n_chars") + 1).as("spread"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val f = st
+        .withColumn("wt", $"nh" * $"spread")
+        .withColumn("tw", sum($"nh" * $"spread").over(all))
+        .withColumn("fl", expr("(1000 * wt) div tw"))
+        .withColumn("rem", expr("(1000 * wt) % tw"))
+        .transform(graft.CacheScope.cached) // leftover + remainder rank
+      val lv = f.agg((lit(1000L) - sum($"fl")).as("leftover"))
+      f.withColumn("rr",
+          row_number().over(Window.orderBy($"rem".desc, $"lang")))
+        .crossJoin(broadcast(lv))
+        .select($"lang", $"nh".as("n_docs"), $"spread",
+          ($"fl" + when($"rr" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+        .orderBy($"lang")
+    },
   )
 }

@@ -477,6 +477,14 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q262_gini_lorenz" -> Seq(
+      "per-customer revenue partial-aggregates before the rank" -> "HashAggregate",
+      "Lorenz/Gini windows run on the entity-sized aggregate" -> "Window",
+      "only custkey and totalprice read" -> "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
+    "q263_neyman_allocation" -> Seq(
+      "per-stratum stats partial-aggregate before one shuffle" -> "HashAggregate",
+      "apportionment windows run on the bounded strata table" -> "Window",
+      "only lang and n_chars read" -> "ReadSchema: struct<lang:string,n_chars:bigint>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
