@@ -960,6 +960,66 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang_true", $"lang_pred")
     },
+
+    q("q264_zipf_fit",
+      // Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
+      // ln(rank) — the rank-frequency diagnostic that tells you whether a
+      // corpus is natural-language-shaped (slope near -1) or synthetic/
+      // boilerplate-heavy. Numeric discipline: each point's logs are
+      // micro-log BIGINTs (q136), the OLS moment sums widen through
+      // DECIMAL(38,0) (micro-log products overflow Long at vocab scale —
+      // q262's lesson), and slope/intercept land as integer-ppm floor
+      // divisions over all-positive-denominator operands, identical in
+      // both engines (DuckDB sums are HUGEINT natively). The rank window
+      // runs over the vocabulary (Zipf-bounded), not the corpus.
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c FROM w GROUP BY tok),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) rk FROM f),
+        |p AS (SELECT
+        |    CAST(FLOOR(ln(rk) * 1000000 + 0.5) AS BIGINT) x,
+        |    CAST(FLOOR(ln(c) * 1000000 + 0.5) AS BIGINT) y FROM r),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    CAST(SUM(x) AS HUGEINT) sx, CAST(SUM(y) AS HUGEINT) sy,
+        |    CAST(SUM(x*y) AS HUGEINT) sxy, CAST(SUM(x*x) AS HUGEINT) sxx
+        |  FROM p),
+        |sl AS (SELECT n, sx, sy,
+        |    (1000000 * (n*sxy - sx*sy) + 10000000 * (n*sxx - sx*sx))
+        |      // (n*sxx - sx*sx) - 10000000 AS slope_ppm
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS vocab_size,
+        |  CAST(slope_ppm AS BIGINT) AS slope_ppm,
+        |  CAST((sy * 1000000 - slope_ppm * sx) // (1000000 * n) AS BIGINT)
+        |    AS intercept_micro
+        |FROM sl""") { (s, dir) =>
+      import s.implicits._
+      val f = T(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val r = f.withColumn("rk",
+        row_number().over(Window.orderBy($"c".desc, $"tok")))
+      val p = r.select(
+        floor(log($"rk".cast("double")) * 1000000d + 0.5d).cast("long").as("x"),
+        floor(log($"c".cast("double")) * 1000000d + 0.5d).cast("long").as("y"))
+      val D = "DECIMAL(38,0)"
+      p.agg(
+          count(lit(1)).cast(D).as("n"),
+          sum($"x").cast(D).as("sx"), sum($"y").cast(D).as("sy"),
+          sum(($"x" * $"y").cast(D)).as("sxy"),
+          sum(($"x" * $"x").cast(D)).as("sxx"))
+        // slope is NEGATIVE and Spark DIV truncates while DuckDB // floors
+        // (q255's lesson): shift the numerator by +1e7 denominators so the
+        // division sees positive operands in both engines, then unshift.
+        // Intercept is arranged so its numerator is positive too (the
+        // -slope_ppm*sx term adds when the slope is negative).
+        .withColumn("slope_ppm", expr(
+          "(1000000 * (n*sxy - sx*sy) + 10000000 * (n*sxx - sx*sx)) " +
+            "div (n*sxx - sx*sx) - 10000000"))
+        .select(
+          $"n".cast("long").as("vocab_size"),
+          $"slope_ppm".cast("long").as("slope_ppm"),
+          expr("CAST((sy * 1000000 - slope_ppm * sx) div (1000000 * n) AS BIGINT)")
+            .as("intercept_micro"))
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

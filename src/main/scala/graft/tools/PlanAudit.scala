@@ -477,6 +477,10 @@ object PlanAudit {
       "range membership rides the broadcast ranges table" -> "BroadcastNestedLoopJoin",
       "per-day and per-range order statistics are window passes" -> "Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q264_zipf_fit" -> Seq(
+      "token counts partial-aggregate before the vocab shuffle" -> "HashAggregate",
+      "rank window runs on the Zipf-bounded vocabulary" -> "Window",
+      "only text read" -> "ReadSchema: struct<text:string>"),
     "q262_gini_lorenz" -> Seq(
       "per-customer revenue partial-aggregates before the rank" -> "HashAggregate",
       "Lorenz/Gini windows run on the entity-sized aggregate" -> "Window",
