@@ -807,5 +807,125 @@ object Evaluation {
           ($"fl" + when($"rr" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
         .orderBy($"lang")
     },
+
+    q("q265_benford_audit",
+      // Benford first-significant-digit audit of order totals — the
+      // fabricated-or-degenerate-amounts screen an ingestion pipeline runs
+      // on any money/count column before trusting it. The expected-share
+      // table is the 9 constants floor(log10(1+1/d)*1e6+0.5) INLINED as
+      // literals (they sum to exactly 1e6) — computing ln() at runtime
+      // would put a 1-ulp libm divergence inside an equality-checked
+      // column for zero benefit. Digit extraction is map-side string math
+      // on exact cents; everything after the 9-key aggregation runs on a
+      // 9-row table. MAD vs Benford is the single summary column
+      // dashboards threshold on (Nigrini's conformity bands).
+      """WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit FROM c),
+        |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |  GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM o),
+        |e AS (SELECT CAST(dg AS BIGINT) AS digit,
+        |    CAST(ep AS BIGINT) AS expected_ppm
+        |  FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |    v(dg, ep)),
+        |j AS (SELECT e.digit, COALESCE(o.n, 0) AS n, e.expected_ppm,
+        |    (1000000 * COALESCE(o.n, 0)) // t.total AS observed_ppm
+        |  FROM e LEFT JOIN o ON o.digit = e.digit, t)
+        |SELECT digit, n, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+        |  expected_ppm,
+        |  CAST(abs(observed_ppm - expected_ppm) AS BIGINT) AS dev_ppm,
+        |  CAST(SUM(abs(observed_ppm - expected_ppm)) OVER () // 9 AS BIGINT)
+        |    AS mad_ppm
+        |FROM j ORDER BY digit""") { (s, dir) =>
+      import s.implicits._
+      val o = T(s, dir, "orders")
+        .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .select(substring($"cents".cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val t = o.agg(sum($"n").as("total"))
+      // digit spine as a literal local relation: a digit with zero hits
+      // (possible under a degenerate price domain) must still emit its row
+      // or the MAD summary silently understates the deviation.
+      val e = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+          4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+          8L -> 51153L, 9L -> 45757L)
+        .toDF("digit", "expected_ppm")
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.join(o, Seq("digit"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .crossJoin(broadcast(t))
+        .withColumn("observed_ppm", expr("(1000000 * n) div total"))
+        .withColumn("dev_ppm", abs($"observed_ppm" - $"expected_ppm"))
+        .withColumn("mad_ppm", expr("sum(dev_ppm)").over(all))
+        .select($"digit", $"n", $"observed_ppm", $"expected_ppm",
+          $"dev_ppm", expr("mad_ppm div 9").as("mad_ppm"))
+        .orderBy($"digit")
+    },
+
+    q("q266_spearman_corr",
+      // Spearman rank correlation between two per-document metrics
+      // (n_chars vs whitespace token count) — the monotone-association
+      // readout that survives the heavy-tailed marginals Pearson (q199)
+      // chokes on. Exact tie handling via the q211 identity: per DISTINCT
+      // value, 2x(average rank) = 2*cum - cnt + 1 stays an integer, and
+      // the rank windows run over the two COMPACTED value domains
+      // (bounded), never the corpus. Docs rejoin their ranks on equi keys
+      // with the rank maps broadcast; the five moment sums widen through
+      // DECIMAL(38,0)/HUGEINT and rho is ONE trailing IEEE chain written
+      // op-for-op identically in both engines (q221 discipline).
+      """WITH v AS (SELECT n_chars AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x),
+        |rx AS (SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS r2x
+        |  FROM gx),
+        |gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY y),
+        |ry AS (SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS r2y
+        |  FROM gy),
+        |p AS (SELECT r2x, r2y FROM v
+        |  JOIN rx ON rx.x = v.x JOIN ry ON ry.y = v.y),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(r2x) AS HUGEINT) AS sx, CAST(SUM(r2y) AS HUGEINT) AS sy,
+        |    CAST(SUM(r2x * r2y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(r2x * r2x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(r2y * r2y) AS HUGEINT) AS syy FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS rho_ppm
+        |FROM m""") { (s, dir) =>
+      import s.implicits._
+      val v = T(s, dir, "documents")
+        .select($"n_chars".as("x"),
+          size(split($"text", " ")).cast("long").as("y"))
+        .transform(graft.CacheScope.cached) // feeds both rank maps + rejoin
+      def ranks(col: String, out: String): DataFrame = {
+        val w = Window.orderBy(org.apache.spark.sql.functions.col(col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        v.groupBy(org.apache.spark.sql.functions.col(col))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(out, lit(2L) * sum($"cnt").over(w) - $"cnt" + 1L)
+          .drop("cnt")
+      }
+      val D = "DECIMAL(38,0)"
+      v.join(broadcast(ranks("x", "r2x")), Seq("x"))
+        .join(broadcast(ranks("y", "r2y")), Seq("y"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum($"r2x").cast(D).as("sx"), sum($"r2y").cast(D).as("sy"),
+          sum(($"r2x" * $"r2y").cast(D)).as("sxy"),
+          sum(($"r2x" * $"r2x").cast(D)).as("sxx"),
+          sum(($"r2y" * $"r2y").cast(D)).as("syy"))
+        .select($"n".cast("long").as("n_docs"),
+          expr("CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) " +
+            "* CAST(n * syy - sy * sy AS DOUBLE)) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("rho_ppm"))
+    },
   )
 }

@@ -924,5 +924,49 @@ object EventTime {
             .as("n_alarm_days"))
         .orderBy($"event_type")
     },
+
+    q("q267_rolling_wau",
+      // Rolling 7-day active users (WAU) + same-day DAU + stickiness —
+      // the engagement ratio every growth dashboard carries. A windowed
+      // COUNT(DISTINCT) over a sliding range doesn't distribute; the
+      // scalable identity is coverage expansion: each (user, active-day)
+      // covers the 7 report days [d, d+6], so WAU(day) = distinct users
+      // covering it. That is a fixed 7x fan-out of the ALREADY-collapsed
+      // per-user-day table (never the raw corpus) followed by one keyed
+      // distinct — two bounded shuffles, no window-distinct, the same
+      // collapse-then-count shape as q204's cumulative reach. Only days
+      // with a full 7-day lookback inside the observed span are emitted
+      // (the ramp-up rows would understate WAU).
+      """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT MIN(day) AS mind FROM a),
+        |cov AS (SELECT DISTINCT u, day + CAST(t.o AS INTEGER) AS cd
+        |  FROM a, range(0, 7) t(o)),
+        |w AS (SELECT cd, CAST(COUNT(*) AS BIGINT) AS wau FROM cov
+        |  GROUP BY cd),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM a
+        |  GROUP BY day)
+        |SELECT dau.day, dau.dau, w.wau,
+        |  CAST((1000000 * dau.dau) // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN w ON w.cd = dau.day, b
+        |WHERE dau.day >= b.mind + 6
+        |ORDER BY day""") { (s, dir) =>
+      import s.implicits._
+      val a = T(s, dir, "events")
+        .select($"user_id".as("u"), to_date($"ts").as("day")).distinct()
+        .transform(graft.CacheScope.cached) // feeds coverage + DAU + span
+      val b = a.agg(min($"day").as("mind"))
+      val w = a
+        .withColumn("o", explode(expr("sequence(0, 6)")))
+        .select($"u", expr("date_add(day, o)").as("cd")).distinct()
+        .groupBy($"cd").agg(count(lit(1)).as("wau"))
+      val dau = a.groupBy($"day").agg(count(lit(1)).as("dau"))
+      dau.join(w, dau("day") === w("cd"))
+        .crossJoin(broadcast(b))
+        .filter($"day" >= expr("date_add(mind, 6)"))
+        .select($"day", $"dau", $"wau",
+          expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+        .orderBy($"day")
+    },
   )
 }

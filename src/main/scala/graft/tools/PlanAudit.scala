@@ -489,6 +489,20 @@ object PlanAudit {
       "per-stratum stats partial-aggregate before one shuffle" -> "HashAggregate",
       "apportionment windows run on the bounded strata table" -> "Window",
       "only lang and n_chars read" -> "ReadSchema: struct<lang:string,n_chars:bigint>"),
+    "q265_benford_audit" -> Seq(
+      "digit counts partial-aggregate into a 9-key shuffle" -> "HashAggregate",
+      "expected table and total broadcast onto the 9-row join" -> "BroadcastHashJoin",
+      "only totalprice read" -> "ReadSchema: struct<o_totalprice:double>"),
+    "q266_spearman_corr" -> Seq(
+      "rank maps broadcast back onto the corpus" -> "BroadcastHashJoin",
+      "rank windows run on the compacted value domains" -> "Window",
+      "moment sums partial-aggregate map-side" -> "HashAggregate",
+      "only text and n_chars read" -> "ReadSchema: struct<text:string,n_chars:bigint>"),
+    "q267_rolling_wau" -> Seq(
+      "coverage fan-out joins DAU in a day-keyed equi join" -> "HashJoin",
+      "per-user-day collapse partial-aggregates map-side" -> "HashAggregate",
+      "no windowed distinct anywhere" -> "!Window",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
