@@ -52,6 +52,9 @@ object Codecs {
   def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
   def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
@@ -66,7 +69,8 @@ object Codecs {
     try {
       if (isPpm(payload)) Some(decodePpm(payload))
       else if (isBmp(payload)) Some(decodeBmp(payload))
-      else if (isPng(payload) || isJpeg(payload)) decodeImageIo(payload)
+      else if (isPng(payload) || isJpeg(payload) || isGif(payload))
+        decodeImageIo(payload)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -131,6 +135,55 @@ object Codecs {
 
   /** Lossless: decodePng(encodePng(img)) == img pixel-for-pixel. */
   def encodePng(img: RgbImage): Array[Byte] = encodeImageIo(img, "png")
+
+  /** GIF, lossless for rasters with <= 256 distinct colors: the writer is
+    * handed a TYPE_BYTE_INDEXED image over the EXACT used-color palette, so
+    * the LZW stream round-trips pixel-for-pixel. (Handing the JDK GIF
+    * writer a TYPE_INT_RGB raster instead would let it substitute its own
+    * uniform quantization palette and silently shift colors.) Rasters with
+    * more colors are a caller error, not a quantization surprise.
+    */
+  def encodeGif(img: RgbImage): Array[Byte] = {
+    val index = new java.util.LinkedHashMap[Integer, Integer]()
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val o = 3 * i
+      val c = ((img.pixels(o) & 0xff) << 16) |
+        ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff)
+      if (!index.containsKey(c)) {
+        require(index.size < 256,
+          "encodeGif: raster exceeds 256 distinct colors")
+        index.put(c, index.size)
+      }
+      i += 1
+    }
+    val cmap = new Array[Int](index.size)
+    index.forEach((c, idx) => cmap(idx) = c)
+    val cm = new java.awt.image.IndexColorModel(
+      8, cmap.length, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = 3 * (y * img.width + x)
+        val c = ((img.pixels(o) & 0xff) << 16) |
+          ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff)
+        raster.setSample(x, y, 0, index.get(c).intValue())
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64 + img.pixels.length / 2)
+    val ok = javax.imageio.ImageIO.write(bi, "gif", out)
+    require(ok, "no ImageIO writer for gif")
+    out.toByteArray
+  }
 
   /** Lossy: dimensions round-trip exactly, pixel values approximately. */
   def encodeJpeg(img: RgbImage): Array[Byte] = encodeImageIo(img, "jpg")

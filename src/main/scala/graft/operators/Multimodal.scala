@@ -405,5 +405,51 @@ object Multimodal {
           count(lit(1)).over(Window.partitionBy($"fp")))
         .orderBy($"media_id")
     },
+
+    q("q269_gif_roundtrip",
+      // REAL GIF decode through JDK ImageIO: each fixture raster is
+      // LZW-encoded over its exact used-color palette (Codecs.encodeGif),
+      // decoded back, and probed pixel-by-pixel. The distinct-color count
+      // is the anti-quantization probe: the fixture's palette is exactly
+      // w + 2h - 2 colors closed-form (base = (x + 2y + id) % 256 sweeps a
+      // contiguous range), so any writer that substituted its own uniform
+      // palette — what the JDK does if handed a plain RGB raster — would
+      // collapse or shift colors and fail the count, not just a corner.
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + (doc_id % 48) AS w,
+        |    8 + (doc_id % 24) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(media_id % 256 AS BIGINT) AS first_px,
+        |  CAST(((w-1) + 2*(h-1) + media_id + 85) % 256 AS BIGINT) AS corner_g,
+        |  CAST(w + 2*h - 2 AS BIGINT) AS n_colors
+        |FROM m ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "image/gif", Codecs.encodeGif(fixtureImage(id)))))
+      media.map { r =>
+        val img = Codecs.decode(r.payload).get
+        val seen = new java.util.HashSet[Integer]()
+        var i = 0
+        val n = img.width * img.height
+        while (i < n) {
+          val o = 3 * i
+          seen.add(((img.pixels(o) & 0xff) << 16) |
+            ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff))
+          i += 1
+        }
+        (r.media_id, img.width.toLong, img.height.toLong,
+          img.pixel(0, 0)._1.toLong,
+          img.pixel(img.width - 1, img.height - 1)._2.toLong,
+          seen.size.toLong)
+      }.toDF("media_id", "width", "height", "first_px", "corner_g",
+          "n_colors")
+        .orderBy($"media_id")
+    },
   )
 }

@@ -937,5 +937,49 @@ object Pipeline {
           expr("(n_docs * weight_ppm) div 1000000").as("resampled_n"))
         .orderBy($"source", $"lang")
     },
+
+    q("q268_k_anonymity",
+      // k-anonymity audit over quasi-identifiers (nation x market segment x
+      // coarse balance bucket) — the re-identification screen run before a
+      // dataset containing user attributes is released or joined into
+      // training data (Sweeney 2002). Reports every equivalence class
+      // smaller than k=5 plus the corpus-wide at-risk share in ppm. The
+      // bucket is integer math on exact cents SHIFTED non-negative (acctbal
+      // goes negative; trunc-vs-floor div would disagree across engines —
+      // the q142 shift trick). One quasi-identifier aggregation, a 1-row
+      // broadcast total, map-side everything else; the violations output is
+      // class-sized, tiny by construction.
+      """WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+        |      // 100000 AS bal_bucket
+        |  FROM customer),
+        |g AS (SELECT nation, segment, bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM q GROUP BY nation, segment, bal_bucket),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS at_risk
+        |  FROM g)
+        |SELECT g.nation, g.segment, g.bal_bucket, g.n,
+        |  CAST((1000000 * t.at_risk) // t.total AS BIGINT) AS at_risk_ppm
+        |FROM g, t WHERE g.n < 5
+        |ORDER BY nation, segment, bal_bucket""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "customer")
+        .select($"c_nationkey".cast("long").as("nation"),
+          $"c_mktsegment".as("segment"),
+          expr("(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) " +
+            "div 100000").as("bal_bucket"))
+        .groupBy($"nation", $"segment", $"bal_bucket")
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached) // total + violations
+      val t = g.agg(sum($"n").as("total"),
+        sum(when($"n" < 5, $"n").otherwise(0L)).as("at_risk"))
+      g.filter($"n" < 5)
+        .crossJoin(broadcast(t))
+        .select($"nation", $"segment", $"bal_bucket", $"n",
+          expr("(1000000 * at_risk) div total").as("at_risk_ppm"))
+        .orderBy($"nation", $"segment", $"bal_bucket")
+    },
   )
 }

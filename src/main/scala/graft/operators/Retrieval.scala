@@ -31,6 +31,8 @@ object Retrieval {
     */
   private val Bm25K = 5 // query terms
   private val Bm25TopK = 20
+  private val PrfFbDocs = 10 // q270 pseudo-relevance feedback depth
+  private val PrfExpTerms = 10 // q270 expansion terms emitted
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -463,6 +465,99 @@ object Retrieval {
         .select($"qid".as("q_id"), $"rk", $"cand_id",
           r6($"margin").as("mmr_margin"))
         .orderBy($"q_id", $"rk")
+    },
+
+    q("q270_prf_expansion",
+      // Pseudo-relevance-feedback query expansion (Rocchio/RM3 shape): run
+      // q169's BM25 probe, take the top-10 feedback docs, and mine the
+      // expansion terms a second retrieval pass would add — candidates are
+      // the feedback docs' terms minus the original query terms, weighted
+      // by feedback mass x global idf (fb_tf * idf_micro, exact integers).
+      // Scale posture: the feedback set is 10 doc ids BROADCAST into a
+      // semi-join against the postings (the corpus never reshuffles for
+      // the probe), the candidate table is feedback-doc-sized and rides a
+      // keyed equi join against global df, and both top-k cuts are
+      // TakeOrderedAndProject. idf reuses q169's micro-rounded form so the
+      // two stages of the retrieval stack stay mutually consistent.
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tf) AS BIGINT) AS n_toks FROM tf),
+         |st AS (SELECT n_docs, (n_toks * 1000000) // n_docs AS a FROM stats),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY tok),
+         |qt AS (SELECT tok, df FROM df WHERE length(tok) >= 4
+         |  ORDER BY df DESC, tok LIMIT $Bm25K),
+         |qi AS (SELECT tok,
+         |    CAST(FLOOR((ln(2*n_docs - 2*df + 1) - ln(2*df + 1)) * 1000000
+         |      + 0.5) AS BIGINT) AS idf_micro
+         |  FROM qt, st),
+         |sc AS (SELECT f.doc_id,
+         |    qi.idf_micro * ((22 * f.tf * st.a * 1000000)
+         |      // (10 * f.tf * st.a + 3 * st.a + 9 * d.dl * 1000000)) AS contrib
+         |  FROM tf f JOIN qi USING (tok) JOIN dl d ON f.doc_id = d.doc_id, st),
+         |top AS (SELECT doc_id FROM (SELECT doc_id, SUM(contrib) AS sp
+         |  FROM sc GROUP BY doc_id ORDER BY sp DESC, doc_id LIMIT $PrfFbDocs)),
+         |cand AS (SELECT f.tok, CAST(COUNT(*) AS BIGINT) AS fb_df,
+         |    CAST(SUM(f.tf) AS BIGINT) AS fb_tf
+         |  FROM tf f JOIN top USING (doc_id)
+         |  WHERE length(f.tok) >= 4
+         |    AND f.tok NOT IN (SELECT tok FROM qi)
+         |  GROUP BY f.tok)
+         |SELECT c.tok AS term, c.fb_df, c.fb_tf,
+         |  CAST(FLOOR((ln(2*st.n_docs - 2*d.df + 1) - ln(2*d.df + 1))
+         |    * 1000000 + 0.5) AS BIGINT) AS idf_micro,
+         |  CAST(c.fb_tf * CAST(FLOOR((ln(2*st.n_docs - 2*d.df + 1)
+         |    - ln(2*d.df + 1)) * 1000000 + 0.5) AS BIGINT) AS BIGINT)
+         |    AS rocchio_micro
+         |FROM cand c JOIN df d ON d.tok = c.tok, st
+         |ORDER BY rocchio_micro DESC, term LIMIT $PrfExpTerms""") { (s, dir) =>
+      import s.implicits._
+      val tf = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .transform(graft.CacheScope.cached) // dl/stats/df/score/candidates
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val st = tf.agg(countDistinct($"doc_id").as("n_docs"),
+          sum($"tf").as("n_toks"))
+        .withColumn("a", expr("n_toks * 1000000 DIV n_docs"))
+        .select($"n_docs", $"a")
+      val dfT = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .transform(graft.CacheScope.cached) // probe terms + candidate idf
+      val qi = dfT.filter(length($"tok") >= 4)
+        .orderBy($"df".desc, $"tok".asc).limit(Bm25K)
+        .crossJoin(broadcast(st))
+        .withColumn("idf_micro",
+          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
+            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+        .select($"tok", $"idf_micro")
+      val top = tf.join(broadcast(qi), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st.select($"a")))
+        .withColumn("contrib", expr(
+          "idf_micro * ((22 * tf * a * 1000000) DIV " +
+            "(10 * tf * a + 3 * a + 9 * dl * 1000000))"))
+        .groupBy($"doc_id").agg(sum($"contrib").as("sp"))
+        .orderBy($"sp".desc, $"doc_id".asc).limit(PrfFbDocs)
+        .select($"doc_id")
+      val cand = tf
+        .join(broadcast(top), Seq("doc_id"), "left_semi")
+        .filter(length($"tok") >= 4)
+        .join(broadcast(qi.select($"tok")), Seq("tok"), "left_anti")
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("fb_df"), sum($"tf").as("fb_tf"))
+      dfT.join(broadcast(cand), Seq("tok"))
+        .crossJoin(broadcast(st.select($"n_docs")))
+        .withColumn("idf_micro",
+          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
+            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+        .select($"tok".as("term"), $"fb_df", $"fb_tf", $"idf_micro",
+          ($"fb_tf" * $"idf_micro").as("rocchio_micro"))
+        .orderBy($"rocchio_micro".desc, $"term".asc).limit(PrfExpTerms)
     },
   )
 }

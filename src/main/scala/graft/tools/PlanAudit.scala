@@ -503,6 +503,15 @@ object PlanAudit {
       "per-user-day collapse partial-aggregates map-side" -> "HashAggregate",
       "no windowed distinct anywhere" -> "!Window",
       "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q268_k_anonymity" -> Seq(
+      "quasi-identifier classes partial-aggregate map-side" -> "HashAggregate",
+      "1-row totals broadcast into the violations projection" -> "BroadcastNestedLoopJoin",
+      "only the three quasi-identifier columns read" -> "ReadSchema: struct<c_nationkey:int,c_acctbal:double,c_mktsegment:string>"),
+    "q270_prf_expansion" -> Seq(
+      "feedback doc ids broadcast into a semi-join on the postings" -> "BroadcastHashJoin",
+      "both top-k cuts avoid a global sort" -> "TakeOrderedAndProject",
+      "term stats partial-aggregate before the one postings shuffle" -> "HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",

@@ -115,6 +115,27 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(back.pixels.toSeq == img.pixels.toSeq, "PNG must be lossless")
   }
 
+  test("GIF encode/decode round-trips pixels exactly (exact palette)") {
+    // pattern(37, 21) exercises the full 256-entry palette budget (21p+13
+    // mod 256 sweeps all residues over 777 pixels)
+    val img = pattern(37, 21)
+    val gif = Codecs.encodeGif(img)
+    assert(Codecs.isGif(gif) && !Codecs.isPng(gif) && !Codecs.isBmp(gif))
+    val back = Codecs.decode(gif).get
+    assert(back.width == 37 && back.height == 21)
+    assert(back.pixels.toSeq == img.pixels.toSeq,
+      "GIF over an exact palette must be lossless")
+    // over-budget rasters must fail loudly, not quantize silently
+    // (300 distinct colors: red wraps at 256, so green disambiguates)
+    val wide = Codecs.RgbImage(300, 1,
+      Array.tabulate(3 * 300) { i =>
+        val p = i / 3
+        (i % 3 match { case 0 => p % 256; case 1 => p / 256; case _ => 0 })
+          .toByte
+      })
+    intercept[IllegalArgumentException](Codecs.encodeGif(wide))
+  }
+
   test("JPEG round-trips dimensions exactly, pixels approximately (lossy)") {
     val img = pattern(32, 24)
     val jpg = Codecs.encodeJpeg(img)
