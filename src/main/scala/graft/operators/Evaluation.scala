@@ -927,5 +927,85 @@ object Evaluation {
             "* CAST(n * syy - sy * sy AS DOUBLE)) " +
             "* 1000000.0 + 0.5) AS BIGINT)").as("rho_ppm"))
     },
+
+    q("q273_chi2_independence",
+      // Chi-square independence test on the (market segment x region)
+      // contingency table — the is-this-attribute-actually-correlated
+      // screen behind stratification and mix decisions (generalizes q253's
+      // 2x2 SRM guard to full R x C). Exact integers throughout: each
+      // cell's contribution is ((n*O - r*c)^2 * 1e6) // (n*r*c) with the
+      // square widened through DECIMAL(38,0)/HUGEINT (it overflows BIGINT
+      // past sf0.01), summed over the COMPLETE dimension grid — absent
+      // cells still contribute their full expected mass, so the statistic
+      // can't silently shrink when a stratum empties out. Both dimension
+      // tables broadcast; one fact aggregation; everything after runs on
+      // <= 25 rows.
+      """WITH f AS (SELECT c.c_mktsegment AS segment, r.r_name AS region
+        |  FROM customer c
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |o AS (SELECT segment, region, CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM f GROUP BY segment, region),
+        |grid AS (SELECT s.segment, g.region
+        |  FROM (SELECT DISTINCT segment FROM f) s,
+        |       (SELECT DISTINCT region FROM f) g),
+        |cell AS (SELECT grid.segment, grid.region,
+        |    COALESCE(o.obs, 0) AS obs
+        |  FROM grid LEFT JOIN o
+        |    ON o.segment = grid.segment AND o.region = grid.region),
+        |m AS (SELECT segment, region, obs,
+        |    SUM(obs) OVER (PARTITION BY segment) AS rs,
+        |    SUM(obs) OVER (PARTITION BY region) AS cs,
+        |    SUM(obs) OVER () AS n FROM cell),
+        |x AS (SELECT segment, region, obs,
+        |    (1000 * rs * cs) // n AS expected_milli,
+        |    CAST((CAST(n*obs - rs*cs AS HUGEINT)
+        |      * CAST(n*obs - rs*cs AS HUGEINT) * 1000000)
+        |      // (CAST(n AS HUGEINT) * rs * cs) AS BIGINT) AS contrib_micro
+        |  FROM m),
+        |dd AS (SELECT
+        |    CAST(((SELECT COUNT(*) FROM (SELECT DISTINCT segment FROM f)) - 1)
+        |      * ((SELECT COUNT(*) FROM (SELECT DISTINCT region FROM f)) - 1)
+        |      AS BIGINT) AS dof)
+        |SELECT segment, region, obs,
+        |  CAST(expected_milli AS BIGINT) AS expected_milli, contrib_micro,
+        |  CAST(SUM(contrib_micro) OVER () AS BIGINT) AS chi2_micro, dd.dof
+        |FROM x, dd ORDER BY segment, region""") { (s, dir) =>
+      import s.implicits._
+      val f = T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          $"n_nationkey" === $"c_nationkey")
+        .join(broadcast(T(s, dir, "region")),
+          $"r_regionkey" === $"n_regionkey")
+        .select($"c_mktsegment".as("segment"), $"r_name".as("region"))
+        .transform(graft.CacheScope.cached) // observed + both dimension sets
+      val o = f.groupBy($"segment", $"region").agg(count(lit(1)).as("obs"))
+      val segD = f.select($"segment").distinct()
+        .transform(graft.CacheScope.cached)
+      val regD = f.select($"region").distinct()
+        .transform(graft.CacheScope.cached)
+      val dof = segD.agg(count(lit(1)).as("ns"))
+        .crossJoin(regD.agg(count(lit(1)).as("nr")))
+        .select((($"ns" - 1) * ($"nr" - 1)).as("dof"))
+      val grid = segD.crossJoin(broadcast(regD))
+      val cell = grid.join(o, Seq("segment", "region"), "left")
+        .withColumn("obs", coalesce($"obs", lit(0L)))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val D = "DECIMAL(38,0)"
+      cell
+        .withColumn("rs", sum($"obs").over(Window.partitionBy($"segment")))
+        .withColumn("cs", sum($"obs").over(Window.partitionBy($"region")))
+        .withColumn("n", sum($"obs").over(all))
+        .withColumn("expected_milli", expr("(1000 * rs * cs) div n"))
+        .withColumn("contrib_micro", expr(
+          s"CAST((CAST(n*obs - rs*cs AS $D) * CAST(n*obs - rs*cs AS $D) " +
+            s"* 1000000) div (CAST(n AS $D) * rs * cs) AS BIGINT)"))
+        .withColumn("chi2_micro", sum($"contrib_micro").over(all))
+        .crossJoin(broadcast(dof))
+        .select($"segment", $"region", $"obs", $"expected_milli",
+          $"contrib_micro", $"chi2_micro", $"dof")
+        .orderBy($"segment", $"region")
+    },
   )
 }

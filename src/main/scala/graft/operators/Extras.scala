@@ -750,6 +750,86 @@ object Extras {
         .unionAll(rule("unique_orderkey", dup))
         .orderBy($"rule")
     },
+
+    q("q271_erasure_sweep",
+      // Right-to-be-forgotten sweep + audit: given a deletion-request list
+      // (fixture stand-in: every 97th user — in production an external
+      // requests table), purge every fact row for those users via a keyed
+      // LEFT ANTI join and report, per event type, rows before/purged/
+      // after plus the zero-rows-remaining verification the auditor
+      // actually signs off on (computed FROM the swept output, not assumed).
+      // Scale posture: the request list is tiny vs the corpus — broadcast
+      // anti join, corpus never reshuffles; a bulk backlog would swap in
+      // the q114 bloom pre-filter + shuffled anti join, same plan shape.
+      """WITH req AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id % 97 = 0),
+        |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before
+        |  FROM events GROUP BY event_type),
+        |sw AS (SELECT e.event_type, e.user_id FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM req WHERE req.user_id = e.user_id)),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after
+        |  FROM sw GROUP BY event_type),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS remaining_requested
+        |  FROM sw WHERE EXISTS (SELECT 1 FROM req
+        |    WHERE req.user_id = sw.user_id))
+        |SELECT b.event_type, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+        |  b.n_before - COALESCE(a.n_after, 0) AS n_purged,
+        |  v.remaining_requested
+        |FROM b LEFT JOIN a ON a.event_type = b.event_type, v
+        |ORDER BY b.event_type""") { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events").select($"event_type", $"user_id")
+      val req = ev.filter($"user_id" % 97 === 0)
+        .select($"user_id").distinct()
+        .transform(graft.CacheScope.cached) // sweep + verification
+      val swept = ev.join(broadcast(req), Seq("user_id"), "left_anti")
+        .transform(graft.CacheScope.cached) // after-counts + verification
+      val before = ev.groupBy($"event_type").agg(count(lit(1)).as("n_before"))
+      val after = swept.groupBy($"event_type").agg(count(lit(1)).as("n_after"))
+      val verify = swept.join(broadcast(req), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("remaining_requested"))
+      before.join(after, Seq("event_type"), "left")
+        .withColumn("n_after", coalesce($"n_after", lit(0L)))
+        .withColumn("n_purged", $"n_before" - $"n_after")
+        .crossJoin(broadcast(verify))
+        .select($"event_type", $"n_before", $"n_after", $"n_purged",
+          $"remaining_requested")
+        .orderBy($"event_type")
+    },
+
+    q("q272_spend_deciles",
+      // Equal-frequency customer spend bands via ntile(10) — the
+      // feature-engineering decile assignment (spend tier features, VIP
+      // cut-offs) and the window-API surface Spark shares with every SQL
+      // dialect. The tile window runs on the per-customer aggregate
+      // (entity-sized), ordered (cents, key) so ties land
+      // deterministically; per-band stats collapse the tiles right back
+      // to 10 rows. At extreme entity counts the single ntile window
+      // becomes a range-partitioned sort over percentile-sketch cut
+      // points (q88) — same output contract.
+      """WITH sp AS (SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT k, cents,
+        |    CAST(NTILE(10) OVER (ORDER BY cents, k) AS BIGINT) AS decile
+        |  FROM sp)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM t GROUP BY decile ORDER BY decile""") { (s, dir) =>
+      import s.implicits._
+      val sp = T(s, dir, "orders")
+        .groupBy($"o_custkey".as("k"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+      sp.withColumn("decile",
+          ntile(10).over(Window.orderBy($"cents", $"k")).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_cust"), min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"), sum($"cents").as("total_cents"))
+        .orderBy($"decile")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -512,6 +512,18 @@ object PlanAudit {
       "both top-k cuts avoid a global sort" -> "TakeOrderedAndProject",
       "term stats partial-aggregate before the one postings shuffle" -> "HashAggregate",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q271_erasure_sweep" -> Seq(
+      "purge is a keyed LEFT ANTI with the request list broadcast" -> "BroadcastHashJoin LeftAnti",
+      "zero-remaining verification is a broadcast semi join" -> "LeftSemi",
+      "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q272_spend_deciles" -> Seq(
+      "tile window runs on the per-customer aggregate" -> "Window",
+      "spend partial-aggregates before the entity shuffle" -> "HashAggregate",
+      "only custkey and totalprice read" -> "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
+    "q273_chi2_independence" -> Seq(
+      "both dimension tables broadcast into the fact join" -> "BroadcastHashJoin",
+      "contingency cells partial-aggregate map-side" -> "HashAggregate",
+      "marginal/total sums are window passes on <= 25 cells" -> "Window"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
