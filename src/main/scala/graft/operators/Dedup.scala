@@ -534,5 +534,43 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy($"source_a", $"source_b")
     },
+
+    q("q275_dedup_retention",
+      // Quality-aware duplicate-cluster retention: exact dedup (q40) keeps
+      // an arbitrary row and identical texts tie on every metric, but real
+      // retention policies pick the BEST member of a near-dup cluster.
+      // Cluster key here is the 128-char prefix hash (truncation/extension
+      // near-dups share it while tails differ); the kept representative is
+      // the longest member, (n_chars DESC, doc_id) deterministic. One
+      // shuffle on the hash key carrying (hash, id, n_chars) only — the
+      // text never shuffles (hash computed map-side), which is what makes
+      // the policy runnable at corpus scale; with q106's connected
+      // components as the cluster id instead, the same window applies
+      // unchanged.
+      """WITH g AS (SELECT md5(substr(text, 1, 128)) AS cluster_md5,
+        |    doc_id, n_chars FROM documents),
+        |r AS (SELECT cluster_md5, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_md5
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_md5) AS n_members
+        |  FROM g)
+        |SELECT cluster_md5, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS rep_doc, n_chars AS rep_chars,
+        |  CAST(n_members - 1 AS BIGINT) AS n_purged
+        |FROM r WHERE rn = 1 AND n_members >= 2
+        |ORDER BY cluster_md5""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "documents")
+        .select(md5(substring($"text", 1, 128).cast("binary"))
+          .as("cluster_md5"), $"doc_id", $"n_chars")
+      val w = Window.partitionBy($"cluster_md5")
+      g.withColumn("rn", row_number().over(
+          w.orderBy($"n_chars".desc, $"doc_id")))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter($"rn" === 1 && $"n_members" >= 2)
+        .select($"cluster_md5", $"n_members", $"doc_id".as("rep_doc"),
+          $"n_chars".as("rep_chars"), ($"n_members" - 1).as("n_purged"))
+        .orderBy($"cluster_md5")
+    },
   )
 }

@@ -830,6 +830,48 @@ object Extras {
           max($"cents").as("max_cents"), sum($"cents").as("total_cents"))
         .orderBy($"decile")
     },
+
+    q("q276_file_provenance",
+      // File-provenance / lineage audit via the parquet source's hidden
+      // `_metadata` column: per table, how many physical files feed the
+      // scan, scanned row count, and the row-index integrity probe —
+      // sum over files of (max(_metadata.row_index)+1) must equal the
+      // scanned count, or the source skipped/duplicated rows within a
+      // file. The per-file aggregation is the provenance primitive
+      // (which file did this row come from) that incident response runs
+      // when one bad upstream file poisons a table; here it collapses to
+      // a per-table audit line. All partial-aggregated map-side; output
+      // is #tables rows. (The oracle pins the fixture layout: one file
+      // per table, footer rows == scan rows.)
+      """SELECT 'customer' AS table_name, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS indexed_rows FROM customer
+        |UNION ALL
+        |SELECT 'documents', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'lineitem', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT) FROM orders
+        |ORDER BY table_name""") { (s, dir) =>
+      import s.implicits._
+      def audit(name: String): DataFrame =
+        s.read.parquet(s"$dir/$name.parquet")
+          .select(col("_metadata.file_name").as("fn"),
+            col("_metadata.row_index").as("ri"))
+          .groupBy($"fn")
+          .agg(count(lit(1)).as("rows_in_file"), max($"ri").as("max_ri"))
+          .agg(count(lit(1)).as("n_files"),
+            sum($"rows_in_file").as("n_rows"),
+            sum($"max_ri" + 1).as("indexed_rows"))
+          .select(lit(name).as("table_name"), $"n_files", $"n_rows",
+            $"indexed_rows")
+      audit("customer").unionAll(audit("documents"))
+        .unionAll(audit("lineitem")).unionAll(audit("orders"))
+        .orderBy($"table_name")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -981,5 +981,40 @@ object Pipeline {
           expr("(1000000 * at_risk) div total").as("at_risk_ppm"))
         .orderBy($"nation", $"segment", $"bal_bucket")
     },
+
+    q("q274_doc_chunking",
+      // Sliding-window document chunking — the retrieval/embedding prep
+      // step that turns documents into fixed-budget overlapping chunks
+      // (40 tokens, stride 30) with STABLE ids: chunk identity is the
+      // content hash, so re-chunking a re-crawled corpus reproduces ids
+      // for unchanged chunks and embedding caches stay valid. Pure
+      // map-side explode (token positions from one sequence(), slice per
+      // start) — no shuffle at all until a consumer aggregates; the text
+      // leaves the scan only as 40-token chunks.
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(1, len(w)+1, 30)) AS start
+        |  FROM w),
+        |ch AS (SELECT doc_id, CAST((start-1)//30 AS BIGINT) AS chunk_idx,
+        |    CAST(start AS BIGINT) AS start_pos, w[start:start+39] AS cw
+        |  FROM st)
+        |SELECT doc_id, chunk_idx, start_pos,
+        |  CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", $"w",
+          explode(expr("sequence(1, size(w), 30)")).as("start"))
+        .select($"doc_id",
+          expr("(start - 1) div 30").cast("long").as("chunk_idx"),
+          $"start".cast("long").as("start_pos"),
+          expr("slice(w, start, 40)").as("cw"))
+        .select($"doc_id", $"chunk_idx", $"start_pos",
+          size($"cw").cast("long").as("n_tokens"),
+          md5(concat_ws(" ", $"cw").cast("binary")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
   )
 }

@@ -524,6 +524,20 @@ object PlanAudit {
       "both dimension tables broadcast into the fact join" -> "BroadcastHashJoin",
       "contingency cells partial-aggregate map-side" -> "HashAggregate",
       "marginal/total sums are window passes on <= 25 cells" -> "Window"),
+    // q274's only exchange is the oracle's deterministic ORDER BY on the
+    // emitted chunks; the chunking itself is map-side (no agg, no join).
+    "q274_doc_chunking" -> Seq(
+      "no aggregation anywhere (chunks emitted straight off the scan)" -> "!HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q275_dedup_retention" -> Seq(
+      "one shuffle on the cluster hash, both windows share it" -> "Window",
+      "no join anywhere (representative picked by window, not self-join)" -> "!Join",
+      "only doc_id, text, n_chars read" -> "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"),
+    "q276_file_provenance" -> Seq(
+      "per-file stats partial-aggregate map-side" -> "HashAggregate",
+      "no join anywhere (union of per-table audits)" -> "!Join",
+      "row_index rides the scan as metadata, no data columns read" -> "_metadata"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
