@@ -1007,5 +1007,140 @@ object Evaluation {
           $"contrib_micro", $"chi2_micro", $"dof")
         .orderBy($"segment", $"region")
     },
+
+    q("q277_item_cf",
+      // Item-item collaborative filtering: cosine similarity over co-order
+      // incidence (Sarwar et al. 2001) — the "customers who bought X also
+      // bought Y" neighbor list. Same basket-bounded pair expansion as
+      // q215's association rules (per-order EQUI self-join, never
+      // all-pairs across the catalog), but normalized by sqrt(c_a*c_b) so
+      // popular items don't drown the list, support-floored, global
+      // top-20 via TakeOrderedAndProject. Item counts are catalog-sized
+      // and broadcast onto the surviving pairs; cosine is ONE trailing
+      // IEEE chain written op-for-op identically (counts <= 2^26, exact
+      // in double).
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p),
+        |pr AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY pa, pb HAVING COUNT(*) >= 3)
+        |SELECT pr.pa, pr.pb, pr.cab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(FLOOR(CAST(pr.cab AS DOUBLE)
+        |    / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |FROM pr JOIN cnt ca ON ca.p = pr.pa JOIN cnt cb ON cb.p = pr.pb
+        |ORDER BY cos_ppm DESC, pa, pb LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .transform(graft.CacheScope.cached) // item counts + pair expansion
+      val cnt = li.groupBy($"p").agg(count(lit(1)).as("c"))
+      val pr = li.as("a")
+        .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter($"cab" >= 3)
+      pr.join(broadcast(cnt.select($"p".as("pa"), $"c".as("c_a"))), Seq("pa"))
+        .join(broadcast(cnt.select($"p".as("pb"), $"c".as("c_b"))), Seq("pb"))
+        .withColumn("cos_ppm", expr(
+          "CAST(FLOOR(CAST(cab AS DOUBLE) " +
+            "/ sqrt(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) " +
+            "* 1000000.0 + 0.5) AS BIGINT)"))
+        .select($"pa", $"pb", $"cab", $"c_a", $"c_b", $"cos_ppm")
+        .orderBy($"cos_ppm".desc, $"pa", $"pb").limit(20)
+    },
+
+    q("q278_markov_backtest",
+      // Backtest of q194's first-order Markov next-event model: train the
+      // argmax-next transition table on EVEN users, score it on ODD users'
+      // actual transitions — per source state, held-out accuracy in ppm.
+      // The per-user adjacency comes from one LEAD window per split (both
+      // on the same user_id partitioning, (ts, event_id)-ordered so ties
+      // can't flap); the trained model is vocab x vocab bounded and
+      // BROADCAST into the test transitions. The readout is the
+      // keep-or-retrain gate for any next-event model.
+      """WITH sq AS (SELECT user_id, event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |tr AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sq WHERE dst IS NOT NULL AND user_id % 2 = 0
+        |  GROUP BY src, dst),
+        |md AS (SELECT src, dst AS pred FROM (SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+        |  FROM tr) WHERE rn = 1),
+        |te AS (SELECT src, dst FROM sq
+        |  WHERE dst IS NOT NULL AND user_id % 2 = 1)
+        |SELECT te.src, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN te.dst = md.pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST((1000000 * SUM(CASE WHEN te.dst = md.pred THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT) AS acc_ppm
+        |FROM te JOIN md ON md.src = te.src
+        |GROUP BY te.src ORDER BY te.src""") { (s, dir) =>
+      import s.implicits._
+      val sq = T(s, dir, "events")
+        .select($"user_id", $"event_type".as("src"),
+          lead($"event_type", 1).over(Window.partitionBy($"user_id")
+            .orderBy($"ts", $"event_id")).as("dst"))
+        .filter($"dst".isNotNull)
+        .transform(graft.CacheScope.cached) // train + test splits
+      val tr = sq.filter($"user_id" % 2 === 0)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+      val md = tr.withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"c".desc, $"dst")))
+        .filter($"rn" === 1).select($"src", $"dst".as("pred"))
+      sq.filter($"user_id" % 2 === 1)
+        .join(broadcast(md), Seq("src"))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"dst" === $"pred", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_test"))
+        .orderBy($"src")
+    },
+
+    q("q279_capture_recapture",
+      // Chapman capture-recapture population estimate: treat two event
+      // types' user sets as two independent "captures" and estimate the
+      // total population from their overlap — N = (n1+1)(n2+1)//(m+1) - 1.
+      // The corpus-coverage estimator (how many distinct users/docs exist
+      // beyond what either crawl saw); the true distinct count rides along
+      // so the readout certifies the estimator's bias on this fixture.
+      // Three distinct-collapses on the one user key + 1-row arithmetic.
+      """WITH s1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'),
+        |s2 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s1
+        |  WHERE EXISTS (SELECT 1 FROM s2 WHERE s2.user_id = s1.user_id)),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s1),
+        |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM s2),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+        |  FROM events)
+        |SELECT n1.n1, n2.n2, m.m,
+        |  CAST(((n1.n1 + 1) * (n2.n2 + 1)) // (m.m + 1) - 1 AS BIGINT)
+        |    AS n_est,
+        |  tot.n_true
+        |FROM n1, n2, m, tot""") { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events").select($"user_id", $"event_type")
+      val s1 = ev.filter($"event_type" === "click")
+        .select($"user_id").distinct()
+        .transform(graft.CacheScope.cached)
+      val s2 = ev.filter($"event_type" === "purchase")
+        .select($"user_id").distinct()
+        .transform(graft.CacheScope.cached)
+      val m = s1.join(s2, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val n1 = s1.agg(count(lit(1)).as("n1"))
+      val n2 = s2.agg(count(lit(1)).as("n2"))
+      val tot = ev.agg(countDistinct($"user_id").as("n_true"))
+      broadcast(n1).crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .crossJoin(broadcast(tot))
+        .select($"n1", $"n2", $"m",
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_est"),
+          $"n_true")
+    },
   )
 }

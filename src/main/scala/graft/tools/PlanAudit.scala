@@ -538,6 +538,19 @@ object PlanAudit {
       "per-file stats partial-aggregate map-side" -> "HashAggregate",
       "no join anywhere (union of per-table audits)" -> "!Join",
       "row_index rides the scan as metadata, no data columns read" -> "_metadata"),
+    "q277_item_cf" -> Seq(
+      "pairs come from the per-order equi self-join, never all-pairs" -> "HashJoin",
+      "item counts broadcast onto surviving pairs" -> "BroadcastHashJoin",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q278_markov_backtest" -> Seq(
+      "adjacency windows run on the user partitioning" -> "Window",
+      "trained model broadcast into the test transitions" -> "BroadcastHashJoin",
+      "only the four needed event columns read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+    "q279_capture_recapture" -> Seq(
+      "overlap is a keyed LEFT SEMI on the collapsed user sets" -> "LeftSemi",
+      "estimator arithmetic runs on broadcast 1-row sides" -> "BroadcastNestedLoopJoin",
+      "only user_id and event_type read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
