@@ -1408,5 +1408,71 @@ object Advanced {
         .select($"ka", $"kb", d2.as("dist2"))
         .orderBy($"ka", $"kb")
     },
+
+    q("q280_spatial_hotspot", {
+      // Grid-density hotspot detection (Getis-Ord flavor): per occupied
+      // cell, the 3x3 neighborhood point mass vs the expected mass under a
+      // uniform spread over occupied cells — ratio >= 2x flags the
+      // hotspot. Same synthetic fixed-point coordinates as q244, but the
+      // coordinates are SHIFTED non-negative before bucketing: here the
+      // cell ids ARE the output (not a candidate superset an exact filter
+      // later equalizes), so Spark's truncating div and DuckDB's floor //
+      // must see non-negative operands. The neighbor sum is a 9-offset
+      // EQUI join on the CELL table (bounded by occupancy, already
+      // aggregated) — the raw points shuffle once into cells and never
+      // again.
+      val P = graft.functions.TextHash.P
+      val ph = graft.functions.TextHash.duckPolyHash("CAST(c_custkey AS VARCHAR)")
+      s"""WITH pts AS (SELECT
+        |    (($ph) * 2654435761) % $P % 180000 + 90000 AS y,
+        |    (($ph) * 2246822519) % $P % 360000 + 180000 AS x
+        |  FROM customer),
+        |cells AS (SELECT x // 2000 AS cx, y // 2000 AS cy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pts
+        |  FROM pts GROUP BY cx, cy),
+        |tot AS (SELECT CAST(SUM(n_pts) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+        |off(ox, oy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+        |  (1,-1),(1,0),(1,1)),
+        |nb AS (SELECT a.cx, a.cy, a.n_pts,
+        |    CAST(SUM(b.n_pts) AS BIGINT) AS neighbor_sum
+        |  FROM cells a CROSS JOIN off o JOIN cells b
+        |    ON b.cx = a.cx + o.ox AND b.cy = a.cy + o.oy
+        |  GROUP BY a.cx, a.cy, a.n_pts)
+        |SELECT nb.cx, nb.cy, nb.n_pts, nb.neighbor_sum,
+        |  CAST((nb.neighbor_sum * t.n_cells * 1000000)
+        |    // (9 * t.total) AS BIGINT) AS density_ratio_ppm,
+        |  (nb.neighbor_sum * t.n_cells) >= (2 * 9 * t.total) AS hot
+        |FROM nb, tot t ORDER BY cx, cy"""
+      }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val P = graft.functions.TextHash.P
+      val cells = T(s, dir, "customer")
+        .withColumn("h", expr("graft_polyhash(CAST(c_custkey AS STRING))"))
+        .select((($"h" * 2654435761L) % P % 180000L + 90000L).as("y"),
+          (($"h" * 2246822519L) % P % 360000L + 180000L).as("x"))
+        .groupBy(expr("x div 2000").as("cx"), expr("y div 2000").as("cy"))
+        .agg(count(lit(1)).as("n_pts"))
+        .transform(graft.CacheScope.cached) // totals + both join sides
+      val tot = cells.agg(sum($"n_pts").as("total"),
+        count(lit(1)).as("n_cells"))
+      val off = broadcast(Seq(-1, 0, 1).flatMap(ox =>
+        Seq(-1, 0, 1).map(oy => (ox, oy))).toDF("ox", "oy"))
+      val a = cells.select($"cx", $"cy", $"n_pts").crossJoin(off)
+        .select($"cx", $"cy", $"n_pts",
+          ($"cx" + $"ox").as("jx"), ($"cy" + $"oy").as("jy"))
+      val b = cells.select($"cx".as("jx"), $"cy".as("jy"),
+        $"n_pts".as("nb_pts"))
+      a.join(b, Seq("jx", "jy"))
+        .groupBy($"cx", $"cy", $"n_pts")
+        .agg(sum($"nb_pts").as("neighbor_sum"))
+        .crossJoin(broadcast(tot))
+        .select($"cx", $"cy", $"n_pts", $"neighbor_sum",
+          expr("(neighbor_sum * n_cells * 1000000) div (9 * total)")
+            .as("density_ratio_ppm"),
+          ($"neighbor_sum" * $"n_cells" >= lit(18L) * $"total").as("hot"))
+        .orderBy($"cx", $"cy")
+    },
   )
 }

@@ -872,6 +872,46 @@ object Extras {
         .unionAll(audit("lineitem")).unionAll(audit("orders"))
         .orderBy($"table_name")
     },
+
+    q("q281_schema_evolution",
+      // Schema-on-read evolution: an old parquet epoch written WITHOUT a
+      // column and a new epoch written WITH it are read back as ONE table
+      // via mergeSchema — the added column null-fills for old files, no
+      // rewrite of historical data (how a 100 TB lake absorbs a schema
+      // change; rewriting history is not an option). The query writes
+      // both epochs from the documents fixture (even docs = v1 without
+      // `lang`, odd docs = v2 with it), reads the union scan, and reports
+      // per epoch: rows, null-filled lang cells, and an exact content sum
+      // — the oracle re-derives all of it closed-form from the fixture,
+      // so a reader that dropped or mis-aligned the evolved column cannot
+      // match.
+      """SELECT 'v1_no_lang' AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_null_lang,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'v2_with_lang', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY epoch""") { (s, dir) =>
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val base = graft.TempDirs.scratch("graft-q281-evolve")
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"n_chars")
+        .write.mode("overwrite").parquet(s"$base/epoch=1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"n_chars", $"lang")
+        .write.mode("overwrite").parquet(s"$base/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(when($"lang".isNull, "v1_no_lang").otherwise("v2_with_lang")
+          .as("epoch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"lang".isNull, 1L).otherwise(0L)).as("n_null_lang"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"epoch")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

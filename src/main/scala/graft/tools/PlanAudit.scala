@@ -551,6 +551,15 @@ object PlanAudit {
       "overlap is a keyed LEFT SEMI on the collapsed user sets" -> "LeftSemi",
       "estimator arithmetic runs on broadcast 1-row sides" -> "BroadcastNestedLoopJoin",
       "only user_id and event_type read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q280_spatial_hotspot" -> Seq(
+      "neighbor mass via the 9-offset EQUI join on the cell table" -> "HashJoin",
+      "points shuffle once into cells, partial-aggregated map-side" -> "HashAggregate",
+      "totals broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "no all-pairs cell join" -> "!CartesianProduct"),
+    "q281_schema_evolution" -> Seq(
+      "pruning reaches THROUGH the merged scan (doc_id dropped)" -> "ReadSchema: struct<n_chars:bigint,lang:string>",
+      "epoch rollup partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere" -> "!Join"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
