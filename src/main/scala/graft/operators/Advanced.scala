@@ -1474,5 +1474,56 @@ object Advanced {
           ($"neighbor_sum" * $"n_cells" >= lit(18L) * $"total").as("hot"))
         .orderBy($"cx", $"cy")
     },
+
+    q("q284_share_of_parent",
+      // Hierarchical share-of-parent rollup (region -> nation revenue):
+      // each nation's revenue as ppm of its region and of the world — the
+      // contribution readout every drill-down dashboard renders next to
+      // the raw number. Revenue partial-aggregates on the customer join
+      // key, dims broadcast, and BOTH share windows run on the
+      // nation-sized rollup (bounded forever) — the fact table is touched
+      // exactly once. Exact cents; shares are non-negative floor
+      // divisions.
+      """WITH rev AS (SELECT c.c_nationkey AS nk,
+        |    CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY nk),
+        |j AS (SELECT r.r_name AS region, n.n_name AS nation, rev.cents
+        |  FROM rev JOIN nation n ON n.n_nationkey = rev.nk
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |w AS (SELECT region, nation, cents,
+        |    CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+        |      AS region_cents,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS total_cents FROM j)
+        |SELECT region, nation, cents AS rev_cents,
+        |  CAST((1000000 * cents) // region_cents AS BIGINT)
+        |    AS share_of_region_ppm,
+        |  CAST((1000000 * cents) // total_cents AS BIGINT)
+        |    AS share_of_total_ppm
+        |FROM w ORDER BY region, nation""") { (s, dir) =>
+      import s.implicits._
+      val rev = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_nationkey".as("nk"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val j = rev
+        .join(broadcast(T(s, dir, "nation")), $"n_nationkey" === $"nk")
+        .join(broadcast(T(s, dir, "region")),
+          $"r_regionkey" === $"n_regionkey")
+        .select($"r_name".as("region"), $"n_name".as("nation"), $"cents")
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      j.withColumn("region_cents",
+          sum($"cents").over(Window.partitionBy($"region")))
+        .withColumn("total_cents", sum($"cents").over(all))
+        .select($"region", $"nation", $"cents".as("rev_cents"),
+          expr("(1000000 * cents) div region_cents")
+            .as("share_of_region_ppm"),
+          expr("(1000000 * cents) div total_cents")
+            .as("share_of_total_ppm"))
+        .orderBy($"region", $"nation")
+    },
   )
 }

@@ -1016,5 +1016,78 @@ object Pipeline {
           md5(concat_ws(" ", $"cw").cast("binary")).as("chunk_md5"))
         .orderBy($"doc_id", $"chunk_idx")
     },
+
+    q("q283_generalization_tradeoff",
+      // The anonymization ladder readout: re-run q268's k-anonymity audit
+      // at two generalization levels — fine (nation x segment x $1k
+      // balance bucket) vs generalized (REGION x segment x $10k bucket) —
+      // and report classes / violations / at-risk mass side by side. This
+      // is the utility-vs-privacy table a release review actually looks
+      // at: how much coarsening buys how much risk reduction. Each level
+      // is one quasi-identifier aggregation collapsed to a 1-row summary;
+      // the region rollup rides the broadcast nation/region dims.
+      """WITH f1 AS (SELECT CAST(c_nationkey AS BIGINT) AS g, c_mktsegment
+        |    AS seg, (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+        |      // 100000 AS b
+        |  FROM customer),
+        |l1 AS (SELECT g, seg, b, CAST(COUNT(*) AS BIGINT) AS n FROM f1
+        |  GROUP BY g, seg, b),
+        |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS at_risk_rows,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM l1),
+        |f2 AS (SELECT CAST(r.r_regionkey AS BIGINT) AS g,
+        |    c.c_mktsegment AS seg,
+        |    (CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+        |      // 1000000 AS b
+        |  FROM customer c
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n2.n_regionkey),
+        |l2 AS (SELECT g, seg, b, CAST(COUNT(*) AS BIGINT) AS n FROM f2
+        |  GROUP BY g, seg, b),
+        |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS at_risk_rows,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM l2)
+        |SELECT 'L1_fine' AS level_, n_classes, n_violating, at_risk_rows,
+        |  CAST((1000000 * at_risk_rows) // total AS BIGINT) AS at_risk_ppm
+        |FROM s1
+        |UNION ALL
+        |SELECT 'L2_generalized', n_classes, n_violating, at_risk_rows,
+        |  CAST((1000000 * at_risk_rows) // total AS BIGINT) FROM s2
+        |ORDER BY level_""") { (s, dir) =>
+      import s.implicits._
+      def summarize(classes: DataFrame, name: String): DataFrame =
+        classes.agg(count(lit(1)).as("n_classes"),
+            sum(when($"n" < 5, 1L).otherwise(0L)).as("n_violating"),
+            sum(when($"n" < 5, $"n").otherwise(0L)).as("at_risk_rows"),
+            sum($"n").as("total"))
+          .select(lit(name).as("level_"), $"n_classes", $"n_violating",
+            $"at_risk_rows",
+            expr("(1000000 * at_risk_rows) div total").as("at_risk_ppm"))
+      val cust = T(s, dir, "customer")
+      val l1 = cust
+        .groupBy($"c_nationkey".cast("long").as("g"),
+          $"c_mktsegment".as("seg"),
+          expr("(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) " +
+            "div 100000").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val l2 = cust
+        .join(broadcast(T(s, dir, "nation")),
+          $"n_nationkey" === $"c_nationkey")
+        .join(broadcast(T(s, dir, "region")),
+          $"r_regionkey" === $"n_regionkey")
+        .groupBy($"r_regionkey".cast("long").as("g"),
+          $"c_mktsegment".as("seg"),
+          expr("(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 1000000) " +
+            "div 1000000").as("b"))
+        .agg(count(lit(1)).as("n"))
+      summarize(l1, "L1_fine").unionAll(summarize(l2, "L2_generalized"))
+        .orderBy($"level_")
+    },
   )
 }

@@ -1491,5 +1491,72 @@ object StreamLog {
           expr("(users_reached * 1000000) DIV u1").as("conv_ppm"))
         .orderBy($"step")
     },
+
+    q("q282_streaming_benford",
+      // q265's Benford screen as a LIVE data-quality monitor: per-digit
+      // counts maintained as complete-mode streaming state (9 counters
+      // forever), with the expected-share comparison finalized batch-side
+      // off the sink — the pattern of a dashboard reading a live counter
+      // table (q182/q209). A fabricated-amounts incident shows up as
+      // dev_ppm drift between reads without rescanning history. Zero
+      // amounts carry no leading digit and are filtered ON INGEST in both
+      // engines (stated contract).
+      """WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit FROM c WHERE cents > 0),
+        |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |  GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM o),
+        |e AS (SELECT CAST(dg AS BIGINT) AS digit,
+        |    CAST(ep AS BIGINT) AS expected_ppm
+        |  FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |    v(dg, ep))
+        |SELECT e.digit, COALESCE(o.n, 0) AS n,
+        |  CAST((1000000 * COALESCE(o.n, 0)) // t.total AS BIGINT)
+        |    AS observed_ppm,
+        |  e.expected_ppm,
+        |  CAST(abs((1000000 * COALESCE(o.n, 0)) // t.total - e.expected_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM e LEFT JOIN o ON o.digit = e.digit, t
+        |ORDER BY e.digit""") { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val root = graft.LogFixtures.producedLog(dir, "q282") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"cents"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val streamed = graft.streaming.StreamHarness.runToMemory(
+          s, "q282", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, cents BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .filter($"cents" > 0)
+          .select(substring($"cents".cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+      }
+      val t = streamed.agg(sum($"n").as("total"))
+      val e = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+          4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+          8L -> 51153L, 9L -> 45757L)
+        .toDF("digit", "expected_ppm")
+      e.join(streamed, Seq("digit"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .crossJoin(broadcast(t))
+        .select($"digit", $"n",
+          expr("(1000000 * n) div total").as("observed_ppm"),
+          $"expected_ppm",
+          expr("abs((1000000 * n) div total - expected_ppm)").as("dev_ppm"))
+        .orderBy($"digit")
+    },
   )
 }

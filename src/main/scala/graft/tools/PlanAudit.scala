@@ -560,6 +560,14 @@ object PlanAudit {
       "pruning reaches THROUGH the merged scan (doc_id dropped)" -> "ReadSchema: struct<n_chars:bigint,lang:string>",
       "epoch rollup partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
+    "q283_generalization_tradeoff" -> Seq(
+      "region rollup rides broadcast dims" -> "BroadcastHashJoin",
+      "both levels partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q284_share_of_parent" -> Seq(
+      "fact touched once; revenue partial-aggregates on the join" -> "HashAggregate",
+      "dims broadcast into the rollup" -> "BroadcastHashJoin",
+      "share windows run on the nation-sized rollup" -> "Window"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
