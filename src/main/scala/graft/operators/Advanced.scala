@@ -1525,5 +1525,88 @@ object Advanced {
             .as("share_of_total_ppm"))
         .orderBy($"region", $"nation")
     },
+
+    q("q285_personalized_pagerank",
+      // Personalized PageRank (random walk with restart) from a seed set —
+      // the graph-proximity primitive behind "suppliers related to THESE
+      // suppliers" recommendations, vs q168's global rank. Same rank-
+      // selected co-supply edges as q261 (the fixture graph is complete,
+      // so edges are the top-30% by weight); alpha = 0.15 teleports to the
+      // SEEDS only. All-integer mass (micro units, m' = 150000*seed +
+      // (850000 * sum_in(m DIV deg)) DIV 1e6), 3 unrolled power
+      // iterations, each one equi join + one keyed aggregation with the
+      // node-sized degree table riding the join — q168's discipline on a
+      // personalized walk. Top-20 by (mass, id).
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+        |  FROM lineitem),
+        |w AS (SELECT a.p AS s1, b.p AS s2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY s1, s2),
+        |r AS (SELECT s1, s2, ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2) rn,
+        |    COUNT(*) OVER () nw FROM w),
+        |e0 AS (SELECT s1, s2 FROM r WHERE rn * 10 <= 3 * nw),
+        |adj AS (SELECT s1 AS u, s2 AS v FROM e0
+        |  UNION ALL SELECT s2, s1 FROM e0),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+        |nodes AS (SELECT u, d,
+        |    CASE WHEN u % 10 = 0 THEN 1 ELSE 0 END AS seed FROM deg),
+        |m0 AS (SELECT u, d, seed, CAST(seed * 1000000 AS BIGINT) AS m
+        |  FROM nodes),
+        |i1 AS (SELECT n.u, n.d, n.seed,
+        |    150000 * n.seed + (850000 * COALESCE(SUM(s.m // s.d), 0))
+        |      // 1000000 AS m
+        |  FROM nodes n LEFT JOIN adj ON adj.v = n.u
+        |    LEFT JOIN m0 s ON s.u = adj.u
+        |  GROUP BY n.u, n.d, n.seed),
+        |i2 AS (SELECT n.u, n.d, n.seed,
+        |    150000 * n.seed + (850000 * COALESCE(SUM(s.m // s.d), 0))
+        |      // 1000000 AS m
+        |  FROM nodes n LEFT JOIN adj ON adj.v = n.u
+        |    LEFT JOIN i1 s ON s.u = adj.u
+        |  GROUP BY n.u, n.d, n.seed),
+        |i3 AS (SELECT n.u, n.d, n.seed,
+        |    150000 * n.seed + (850000 * COALESCE(SUM(s.m // s.d), 0))
+        |      // 1000000 AS m
+        |  FROM nodes n LEFT JOIN adj ON adj.v = n.u
+        |    LEFT JOIN i2 s ON s.u = adj.u
+        |  GROUP BY n.u, n.d, n.seed)
+        |SELECT u AS supplier, CAST(seed AS BIGINT) AS is_seed,
+        |  d AS degree, CAST(m AS BIGINT) AS ppr_micro
+        |FROM i3 ORDER BY ppr_micro DESC, supplier LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
+      val wts = li.as("a")
+        .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val allW = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val e0 = wts
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
+        .withColumn("nw", count(lit(1)).over(allW))
+        .filter($"rn" * 10 <= $"nw" * 3)
+        .select($"s1", $"s2")
+      val adj = e0.select($"s1".as("u"), $"s2".as("v"))
+        .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
+        .transform(graft.CacheScope.cached) // reused every iteration
+      val nodes = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+        .withColumn("seed", when($"u" % 10 === 0, 1L).otherwise(0L))
+        .transform(graft.CacheScope.cached)
+      def step(m: DataFrame): DataFrame = {
+        val inflow = m.select($"u".as("src"), expr("m div d").as("c"))
+          .join(adj, $"src" === $"u")
+          .groupBy($"v".as("u")).agg(sum($"c").as("inflow"))
+        nodes.join(inflow, Seq("u"), "left")
+          .select($"u", $"d", $"seed",
+            (lit(150000L) * $"seed" +
+              expr("(850000 * COALESCE(inflow, 0)) div 1000000")).as("m"))
+      }
+      val m0 = nodes.withColumn("m", $"seed" * 1000000L)
+      val m3 = step(step(step(m0)))
+      m3.select($"u".as("supplier"), $"seed".as("is_seed"),
+          $"d".as("degree"), $"m".cast("long").as("ppr_micro"))
+        .orderBy($"ppr_micro".desc, $"supplier").limit(20)
+    },
   )
 }

@@ -968,5 +968,28 @@ object EventTime {
           expr("(1000000 * dau) div wau").as("stickiness_ppm"))
         .orderBy($"day")
     },
+
+    q("q287_rate_limit_audit",
+      // Abuse / rate-limit audit: the top-20 heaviest (user, day) activity
+      // cells with an over-limit flag (>= 8 events/day on this fixture's
+      // traffic shape) — the who-is-hammering-us readout a throttling
+      // policy is tuned against. One keyed aggregation over the raw
+      // events, then TakeOrderedAndProject with a fully deterministic
+      // (count desc, user, day) cut; emitting the top-k rather than only
+      // violators keeps the readout non-empty at any scale (q214's
+      // lesson) while the flag carries the policy decision.
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id, day)
+        |SELECT user_id, day, n_events, n_events >= 8 AS over_limit
+        |FROM b ORDER BY n_events DESC, user_id, day LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "events")
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"day", $"n_events",
+          ($"n_events" >= 8).as("over_limit"))
+        .orderBy($"n_events".desc, $"user_id", $"day").limit(20)
+    },
   )
 }

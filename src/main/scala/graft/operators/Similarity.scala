@@ -809,5 +809,72 @@ object Similarity {
           when($"votes" <= 1, 1).otherwise(0).as("noisy"))
         .orderBy($"vec_id")
     },
+
+    q("q288_embedding_drift",
+      // Embedding-distribution drift monitor: per label, the squared
+      // distance between the centroid of one half of the corpus (vec_id
+      // parity) and the other — the did-the-embedding-space-move check run
+      // before reusing a trained ANN index (q156) on refreshed vectors.
+      // Integer-exact end to end: GLOBAL-scale int8 quantization (q141's
+      // shared scale, so halves are comparable), per-(label, half, dim)
+      // integer sums, and the centroid difference compared WITHOUT
+      // division — per dim, d = sa*nb - sb*na, drift = (Σ d²) // (na·nb)²
+      // with the square widened through DECIMAL(38,0)/HUGEINT. One explode
+      // + one keyed aggregation; everything after runs on labels x 64 rows.
+      """WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+        |qz AS (SELECT vec_id, label, vec_id % 2 AS half,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+        |        AS BIGINT)) AS qv
+        |  FROM embeddings, m),
+        |d AS (SELECT label, half, CAST(i AS BIGINT) AS dim,
+        |    qv[CAST(i AS INT)] AS q
+        |  FROM (SELECT label, half, qv,
+        |      unnest(range(1, len(qv) + 1)) AS i FROM qz)),
+        |agg AS (SELECT label, half, dim, CAST(SUM(q) AS BIGINT) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY label, half, dim),
+        |pair AS (SELECT a.label, a.dim, a.sv AS sa, a.n AS na,
+        |    b.sv AS sb, b.n AS nb
+        |  FROM agg a JOIN agg b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1)
+        |SELECT label, CAST(MIN(na) AS BIGINT) AS n_a,
+        |  CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  CAST(SUM(CAST(sa*nb - sb*na AS HUGEINT)
+        |    * CAST(sa*nb - sb*na AS HUGEINT))
+        |    // (CAST(MIN(na) AS HUGEINT) * MIN(na) * MIN(nb) * MIN(nb))
+        |    AS BIGINT) AS drift_q2
+        |FROM pair GROUP BY label ORDER BY label""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val agg = e.crossJoin(broadcast(gm))
+        .select($"label".cast("long").as("label"),
+          ($"vec_id" % 2).as("half"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+              "* 127.0 / gm + 0.5) AS BIGINT))")))
+        .select($"label", $"half", ($"pos" + 1).cast("long").as("dim"),
+          $"col".as("q"))
+        .groupBy($"label", $"half", $"dim")
+        .agg(sum($"q").as("sv"), count(lit(1)).as("n"))
+      val D = "DECIMAL(38,0)"
+      agg.filter($"half" === 0)
+        .select($"label", $"dim", $"sv".as("sa"), $"n".as("na"))
+        .join(agg.filter($"half" === 1)
+          .select($"label", $"dim", $"sv".as("sb"), $"n".as("nb")),
+          Seq("label", "dim"))
+        .groupBy($"label")
+        .agg(min($"na").as("n_a"), min($"nb").as("n_b"),
+          sum(expr(s"CAST(sa*nb - sb*na AS $D) * CAST(sa*nb - sb*na AS $D)"))
+            .as("num"))
+        .select($"label", $"n_a", $"n_b",
+          expr(s"CAST(num div (CAST(n_a AS $D) * n_a * n_b * n_b) AS BIGINT)")
+            .as("drift_q2"))
+        .orderBy($"label")
+    },
   )
 }

@@ -1020,6 +1020,56 @@ object TextAnalysis {
           expr("CAST((sy * 1000000 - slope_ppm * sx) div (1000000 * n) AS BIGINT)")
             .as("intercept_micro"))
     },
+
+    q("q286_kwic_concordance",
+      // Keyword-in-context concordance: every occurrence of the probe term
+      // (the corpus's most document-frequent >= 4-char token, q169's
+      // deterministic probe convention) with its +/-3-word context — the
+      // how-is-this-term-actually-used readout behind lexicon debugging
+      // and contamination triage. The probe is a 1-row broadcast; matches
+      // are found map-side inside the token array (posexplode + equality,
+      // no positional self-join) and context is array slicing on the row
+      // the match came from. Top-50 by (doc, pos) bounds the emission.
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks WHERE length(tok) >= 4 GROUP BY tok),
+        |probe AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w),
+        |hit AS (SELECT ix.doc_id, ix.w, CAST(ix.i AS BIGINT) AS pos
+        |  FROM ix, probe WHERE ix.w[CAST(ix.i AS INT)] = probe.tok)
+        |SELECT doc_id, pos,
+        |  COALESCE(array_to_string(w[CAST(GREATEST(1, pos - 3) AS INT)
+        |    :CAST(pos - 1 AS INT)], ' '), '') AS left_ctx,
+        |  w[CAST(pos AS INT)] AS term,
+        |  COALESCE(array_to_string(w[CAST(pos + 1 AS INT)
+        |    :CAST(pos + 3 AS INT)], ' '), '') AS right_ctx
+        |FROM hit ORDER BY doc_id, pos LIMIT 50""") { (s, dir) =>
+      import s.implicits._
+      val toks = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") >= 4)
+      val probe = toks.distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"tok").limit(1)
+        .select($"tok".as("probe"))
+      T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .crossJoin(broadcast(probe))
+        .select($"doc_id", $"w", $"probe",
+          posexplode($"w"))
+        .filter($"col" === $"probe")
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"w")
+        .select($"doc_id", $"pos",
+          concat_ws(" ", expr(
+            "slice(w, CAST(greatest(1, pos - 3) AS INT), " +
+              "CAST(pos - greatest(1, pos - 3) AS INT))")).as("left_ctx"),
+          expr("element_at(w, CAST(pos AS INT))").as("term"),
+          concat_ws(" ", expr("slice(w, CAST(pos + 1 AS INT), 3)"))
+            .as("right_ctx"))
+        .orderBy($"doc_id", $"pos").limit(50)
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

@@ -568,6 +568,22 @@ object PlanAudit {
       "fact touched once; revenue partial-aggregates on the join" -> "HashAggregate",
       "dims broadcast into the rollup" -> "BroadcastHashJoin",
       "share windows run on the nation-sized rollup" -> "Window"),
+    "q285_personalized_pagerank" -> Seq(
+      "each power iteration is an equi join + keyed aggregation" -> "HashJoin",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q286_kwic_concordance" -> Seq(
+      "probe broadcast; matches found map-side in the token array" -> "BroadcastNestedLoopJoin",
+      "top-50 without a global sort" -> "TakeOrderedAndProject",
+      "no positional self-join" -> "!SortMergeJoin"),
+    "q287_rate_limit_audit" -> Seq(
+      "activity cells partial-aggregate map-side" -> "HashAggregate",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "only ts and user_id read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+    "q288_embedding_drift" -> Seq(
+      "global scale broadcast into the quantization" -> "BroadcastNestedLoopJoin",
+      "per-(label,half,dim) sums partial-aggregate map-side" -> "HashAggregate",
+      "halves meet in a keyed equi join on (label, dim)" -> "HashJoin"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
