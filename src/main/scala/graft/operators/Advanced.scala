@@ -1608,5 +1608,49 @@ object Advanced {
           $"d".as("degree"), $"m".cast("long").as("ppr_micro"))
         .orderBy($"ppr_micro".desc, $"supplier").limit(20)
     },
+
+    q("q289_weighted_median",
+      // Weighted order statistics: quantity-weighted median and P90 of
+      // the unit price per return flag — the fair-aggregate form (each
+      // unit sold votes, not each line) that plain percentile_cont can't
+      // express. Exact integers: prices compact to cents, weights to
+      // integer units, and the quantile is the smallest price whose
+      // cumulative weight crosses the threshold (2*cum >= total for the
+      // median, 10*cum >= 9*total for P90) — cross-multiplied, no float
+      // boundary. The cumulative window runs per flag over the COMPACTED
+      // price domain, never raw lineitems.
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS w
+        |  FROM lineitem GROUP BY flag, price_c),
+        |c AS (SELECT flag, price_c, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY price_c) AS cum,
+        |    SUM(w) OVER (PARTITION BY flag) AS total FROM g)
+        |SELECT flag, CAST(MIN(total) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN 2 * cum >= total THEN price_c END) AS BIGINT)
+        |    AS median_price_c,
+        |  CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN price_c END)
+        |    AS BIGINT) AS p90_price_c
+        |FROM c GROUP BY flag ORDER BY flag""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("flag"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("price_c"))
+        .agg(sum(floor($"l_quantity" + 0.5).cast("long")).as("w"))
+      val wc = Window.partitionBy($"flag").orderBy($"price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"flag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum", sum($"w").over(wc))
+        .withColumn("total", sum($"w").over(wt))
+        .groupBy($"flag")
+        .agg(min($"total").as("total_weight"),
+          min(when(lit(2) * $"cum" >= $"total", $"price_c"))
+            .as("median_price_c"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"total", $"price_c"))
+            .as("p90_price_c"))
+        .orderBy($"flag")
+    },
   )
 }

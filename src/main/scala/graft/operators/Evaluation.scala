@@ -1142,5 +1142,60 @@ object Evaluation {
           expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_est"),
           $"n_true")
     },
+
+    q("q290_ks_test",
+      // Two-sample Kolmogorov-Smirnov distance between two sources'
+      // length distributions — the distribution-drift test that, unlike
+      // q202's KL, needs no smoothing and catches shape changes KL's
+      // support mismatch hides. Exact integers throughout: both ECDFs
+      // accumulate over the MERGED compacted value domain (zero counts
+      // fill by grouping, so no forward-fill pass), D's numerator is
+      // max|cum1*n2 - cum2*n1| (cross-multiplied, division-free), and the
+      // alpha=0.05 rejection is the integer compare 1e6*max^2 >
+      // 1844164*(n1+n2)*n1*n2 (1.358^2 scaled) widened through
+      // DECIMAL(38,0)/HUGEINT. Everything after the per-value counts runs
+      // on the bounded domain.
+      """WITH v AS (SELECT source, n_chars AS v FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |g AS (SELECT v,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM v GROUP BY v),
+        |w AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM g),
+        |t AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+        |    CAST(MAX(cum2) AS BIGINT) AS n2,
+        |    CAST(MAX(ABS(cum1 * (SELECT MAX(cum2) FROM w)
+        |      - cum2 * (SELECT MAX(cum1) FROM w))) AS BIGINT) AS mx
+        |  FROM w)
+        |SELECT n1, n2,
+        |  CAST((1000000 * mx) // (n1 * n2) AS BIGINT) AS d_ppm,
+        |  CAST(1000000 AS HUGEINT) * mx * mx
+        |    > CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2 AS reject_05
+        |FROM t""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "documents")
+        .filter($"source".isin("src0", "src1"))
+        .groupBy($"n_chars".as("v"))
+        .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+          sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+      val wc = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val D = "DECIMAL(38,0)"
+      g.withColumn("cum1", sum($"c1").over(wc))
+        .withColumn("cum2", sum($"c2").over(wc))
+        .withColumn("n1", max($"cum1").over(all))
+        .withColumn("n2", max($"cum2").over(all))
+        .agg(min($"n1").as("n1"), min($"n2").as("n2"),
+          max(abs($"cum1" * $"n2" - $"cum2" * $"n1")).as("mx"))
+        .select($"n1", $"n2",
+          expr("(1000000 * mx) div (n1 * n2)").as("d_ppm"),
+          expr(s"CAST(1000000 AS $D) * mx * mx " +
+            s"> CAST(1844164 AS $D) * (n1 + n2) * n1 * n2").as("reject_05"))
+    },
   )
 }

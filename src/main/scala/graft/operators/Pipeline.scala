@@ -1089,5 +1089,55 @@ object Pipeline {
       summarize(l1, "L1_fine").unionAll(summarize(l2, "L2_generalized"))
         .orderBy($"level_")
     },
+
+    q("q291_pseudonymization",
+      // Keyed-hash pseudonymization with a referential-integrity
+      // certificate: customer keys are replaced by a salted md5 token on
+      // BOTH sides of the orders join, and the audit proves the
+      // anonymization is lossless for analytics — token cardinality equals
+      // key cardinality (no collisions) and the fact join matches exactly
+      // as many rows through tokens as through raw keys. This is the
+      // share-data-without-identifiers primitive the privacy family
+      // (q268/q283) assumes; the certificate is what a reviewer signs.
+      // Map-side hashing; two keyed joins; 1-row output.
+      """WITH c AS (SELECT c_custkey,
+        |    md5('salt42:' || CAST(c_custkey AS VARCHAR)) AS token
+        |  FROM customer),
+        |o AS (SELECT o_custkey,
+        |    md5('salt42:' || CAST(o_custkey AS VARCHAR)) AS token
+        |  FROM orders),
+        |card AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens FROM c),
+        |jr AS (SELECT CAST(COUNT(*) AS BIGINT) AS joined_raw
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |jt AS (SELECT CAST(COUNT(*) AS BIGINT) AS joined_token
+        |  FROM o JOIN c ON c.token = o.token)
+        |SELECT card.n_customers, card.n_tokens, jr.joined_raw,
+        |  jt.joined_token,
+        |  card.n_customers = card.n_tokens
+        |    AND jr.joined_raw = jt.joined_token AS lossless
+        |FROM card, jr, jt""") { (s, dir) =>
+      import s.implicits._
+      val c = T(s, dir, "customer")
+        .select($"c_custkey",
+          md5(concat(lit("salt42:"), $"c_custkey".cast("string"))
+            .cast("binary")).as("token"))
+        .transform(graft.CacheScope.cached) // cardinality + token join
+      val o = T(s, dir, "orders")
+        .select($"o_custkey",
+          md5(concat(lit("salt42:"), $"o_custkey".cast("string"))
+            .cast("binary")).as("token"))
+      val card = c.agg(count(lit(1)).as("n_customers"),
+        countDistinct($"token").as("n_tokens"))
+      val jr = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+        .agg(count(lit(1)).as("joined_raw"))
+      val jt = o.join(c.select($"token"), Seq("token"))
+        .agg(count(lit(1)).as("joined_token"))
+      broadcast(card).crossJoin(broadcast(jr)).crossJoin(broadcast(jt))
+        .select($"n_customers", $"n_tokens", $"joined_raw", $"joined_token",
+          ($"n_customers" === $"n_tokens" &&
+            $"joined_raw" === $"joined_token").as("lossless"))
+    },
   )
 }

@@ -584,6 +584,18 @@ object PlanAudit {
       "global scale broadcast into the quantization" -> "BroadcastNestedLoopJoin",
       "per-(label,half,dim) sums partial-aggregate map-side" -> "HashAggregate",
       "halves meet in a keyed equi join on (label, dim)" -> "HashJoin"),
+    "q289_weighted_median" -> Seq(
+      "price domain compacts before the cumulative windows" -> "HashAggregate",
+      "cumulative/total windows share the flag partitioning" -> "Window",
+      "only the three needed columns read" -> "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+    "q290_ks_test" -> Seq(
+      "both ECDFs accumulate on one merged compacted domain" -> "Window",
+      "per-value counts partial-aggregate map-side" -> "HashAggregate",
+      "no join anywhere" -> "!Join"),
+    "q291_pseudonymization" -> Seq(
+      "token join is a keyed equi join, never nested-loop" -> "HashJoin",
+      "certificate assembled from broadcast 1-row sides" -> "BroadcastNestedLoopJoin",
+      "no cartesian beyond the 1-row certificate assembly" -> "!CartesianProduct"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",

@@ -46,7 +46,12 @@ object ScaleCurve {
     // round-7 continuation: trained-NB scoring (vocab-keyed likelihood
     // join over scaled documents) and the point-in-time SCD2 lookup
     // (user-keyed interval join over scaled events)
-    "q238_naive_bayes", "q247_point_in_time_join")
+    "q238_naive_bayes", "q247_point_in_time_join",
+    // round-7 session additions: coverage-expansion rolling distinct
+    // (7x fan-out of the collapsed user-day table), basket-bounded CF
+    // pair expansion + broadcast counts, and the pure map-side chunker
+    // as the linear baseline every other exponent is read against
+    "q267_rolling_wau", "q277_item_cf", "q274_doc_chunking")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
