@@ -991,5 +991,118 @@ object EventTime {
           ($"n_events" >= 8).as("over_limit"))
         .orderBy($"n_events".desc, $"user_id", $"day").limit(20)
     },
+
+    q("q292_cep_pattern",
+      // Complex-event-processing pattern match: click FOLLOWED BY purchase
+      // within 30 minutes with NO error in between — the A-then-B-unless-C
+      // primitive CEP engines (Flink MATCH_RECOGNIZE) own, expressed as
+      // ONE window pass: per user in (ts, event_id) order, running "last
+      // click micros" and "last error micros" carried by conditional MAX
+      // windows; each purchase row then decides the pattern locally. No
+      // self-join, no per-pattern state machine — the whole match is one
+      // user-keyed shuffle, which is the 100 TB shape (q227's funnel
+      // discipline applied to a guarded pattern). Per-user match counts +
+      // tightest gap; users with zero matches are dropped (match-sized
+      // output).
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS us, event_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+        |  FROM events),
+        |m AS (SELECT user_id, us - last_click AS gap_us FROM e
+        |  WHERE event_type = 'purchase' AND last_click IS NOT NULL
+        |    AND us - last_click <= 1800000000
+        |    AND (last_error IS NULL OR last_error < last_click))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+        |FROM m GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .select($"user_id", $"event_type", $"event_id", $"ts",
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("last_click",
+          max(when($"event_type" === "click", expr("unix_micros(ts)")))
+            .over(w))
+        .withColumn("last_error",
+          max(when($"event_type" === "error", expr("unix_micros(ts)")))
+            .over(w))
+        .filter($"event_type" === "purchase" && $"last_click".isNotNull &&
+          $"us" - $"last_click" <= 1800000000L &&
+          ($"last_error".isNull || $"last_error" < $"last_click"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min($"us" - $"last_click").as("min_gap_us"))
+        .orderBy($"user_id")
+    },
+
+    q("q294_rolling_corr",
+      // Rolling 7-day correlation between two event types' daily volumes —
+      // the co-movement monitor behind "did clicks decouple from
+      // purchases this week". Exact integer moments per 7-row window over
+      // the ZERO-FILLED day grid (q207's repair first: a missing day must
+      // enter as 0, not be skipped); correlation is one trailing IEEE
+      // chain per emitted day, identical op-for-op. Only full windows
+      // with nonzero variance on both sides emit. All windows run on the
+      // bounded day domain.
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        |grid AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY))::DATE AS day FROM b),
+        |z AS (SELECT g.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+        |  FROM grid g LEFT JOIN d ON d.day = g.day),
+        |w AS (SELECT day,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS rk,
+        |    SUM(x) OVER w7 AS sx, SUM(y) OVER w7 AS sy,
+        |    SUM(x*y) OVER w7 AS sxy, SUM(x*x) OVER w7 AS sxx,
+        |    SUM(y*y) OVER w7 AS syy
+        |  FROM z WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+        |  CAST(FLOOR(CAST(7*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(7*sxx - sx*sx AS DOUBLE)
+        |           * CAST(7*syy - sy*sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS corr_ppm
+        |FROM w WHERE rk >= 7 AND 7*sxx - sx*sx > 0 AND 7*syy - sy*sy > 0
+        |ORDER BY day""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val b = d.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val grid = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val z = grid.join(d, Seq("day"), "left")
+        .withColumn("x", coalesce($"x", lit(0L)))
+        .withColumn("y", coalesce($"y", lit(0L)))
+      val w7 = Window.orderBy($"day").rowsBetween(-6, 0)
+      val wr = Window.orderBy($"day")
+      z.withColumn("rk", row_number().over(wr))
+        .withColumn("sx", sum($"x").over(w7))
+        .withColumn("sy", sum($"y").over(w7))
+        .withColumn("sxy", sum($"x" * $"y").over(w7))
+        .withColumn("sxx", sum($"x" * $"x").over(w7))
+        .withColumn("syy", sum($"y" * $"y").over(w7))
+        .filter($"rk" >= 7 &&
+          lit(7) * $"sxx" - $"sx" * $"sx" > 0 &&
+          lit(7) * $"syy" - $"sy" * $"sy" > 0)
+        .select($"day", $"sx".as("sum_x"), $"sy".as("sum_y"),
+          expr("CAST(FLOOR(CAST(7*sxy - sx*sy AS DOUBLE) " +
+            "/ sqrt(CAST(7*sxx - sx*sx AS DOUBLE) " +
+            "* CAST(7*syy - sy*sy AS DOUBLE)) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("corr_ppm"))
+        .orderBy($"day")
+    },
   )
 }

@@ -912,6 +912,65 @@ object Extras {
           sum($"n_chars").as("sum_chars"))
         .orderBy($"epoch")
     },
+
+    q("q293_fk_conformance",
+      // Dimensional-conformance matrix: every fact->dimension foreign key
+      // in the star schema audited in one report — fact rows, orphan rows
+      // (keyed LEFT ANTI against the dimension), orphan ppm. q252 checks
+      // one FK as a contract rule; this is the schema-wide referential
+      // health dashboard a warehouse runs nightly. Each audit is one
+      // anti-join with the dimension's KEY COLUMN ONLY broadcast; fact
+      // tables are scanned once per edge with only the key column read.
+      """SELECT 'lineitem.l_partkey->part' AS fk,
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_facts,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS BIGINT) AS n_orphans,
+        |  CAST(1000000 * (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    // (SELECT COUNT(*) FROM lineitem) AS BIGINT) AS orphan_ppm
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    AS BIGINT),
+        |  CAST(1000000 * (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    // (SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT),
+        |  CAST(1000000 * (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    // (SELECT COUNT(*) FROM orders) AS BIGINT)
+        |ORDER BY fk""") { (s, dir) =>
+      import s.implicits._
+      def audit(name: String, fact: DataFrame, key: String,
+          dim: DataFrame, dimKey: String): DataFrame = {
+        val facts = fact.select(col(key))
+          .transform(graft.CacheScope.cached) // total + anti-join
+        val n = facts.agg(count(lit(1)).as("n_facts"))
+        val orphans = facts
+          .join(broadcast(dim.select(col(dimKey).as(key))), Seq(key),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        broadcast(n).crossJoin(broadcast(orphans))
+          .select(lit(name).as("fk"), $"n_facts", $"n_orphans",
+            expr("(1000000 * n_orphans) div n_facts").as("orphan_ppm"))
+      }
+      val li = T(s, dir, "lineitem")
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+          T(s, dir, "part"), "p_partkey")
+        .unionAll(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          T(s, dir, "supplier"), "s_suppkey"))
+        .unionAll(audit("orders.o_custkey->customer", T(s, dir, "orders"),
+          "o_custkey", T(s, dir, "customer"), "c_custkey"))
+        .orderBy($"fk")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -596,6 +596,18 @@ object PlanAudit {
       "token join is a keyed equi join, never nested-loop" -> "HashJoin",
       "certificate assembled from broadcast 1-row sides" -> "BroadcastNestedLoopJoin",
       "no cartesian beyond the 1-row certificate assembly" -> "!CartesianProduct"),
+    "q292_cep_pattern" -> Seq(
+      "whole pattern is one user-keyed window pass" -> "Window",
+      "no self-join per pattern stage" -> "!SortMergeJoin",
+      "only the four needed event columns read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+    "q293_fk_conformance" -> Seq(
+      "orphans found by keyed LEFT ANTI with the dimension broadcast" -> "BroadcastHashJoin LeftAnti",
+      "fact scans read only the key column" -> "ReadSchema: struct<l_partkey:bigint>",
+      "no cartesian beyond 1-row report assembly" -> "!CartesianProduct"),
+    "q294_rolling_corr" -> Seq(
+      "moment windows run on the bounded zero-filled day grid" -> "Window",
+      "daily counts partial-aggregate map-side" -> "HashAggregate",
+      "grid join is day-keyed equi" -> "HashJoin"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
