@@ -1197,5 +1197,60 @@ object Evaluation {
           expr(s"CAST(1000000 AS $D) * mx * mx " +
             s"> CAST(1844164 AS $D) * (n1 + n2) * n1 * n2").as("reject_05"))
     },
+
+    q("q295_delta_attribution",
+      // Root-cause contribution analysis: the latest day's revenue vs each
+      // segment's trailing-7-day baseline, ranked by who moved the total —
+      // the "which segment explains the drop" readout an on-call run
+      // opens with. Exact cents; the baseline is an integer floor-div of
+      // the 7-day sum; shares are computed on |delta| with an explicit
+      // sign column because a signed ppm would put truncating-vs-floor
+      // division on negative operands between the engines (q264's
+      // lesson, solved by construction instead of shifting). One fact
+      // aggregation; everything after runs on the segment dimension.
+      """WITH f AS (SELECT c.c_mktsegment AS segment,
+        |    CAST(o.o_orderdate AS DATE) AS day,
+        |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |hi AS (SELECT MAX(day) AS d0 FROM f),
+        |cur AS (SELECT segment, CAST(SUM(cents) AS BIGINT) AS rev_c
+        |  FROM f, hi WHERE day = d0 GROUP BY segment),
+        |base AS (SELECT segment,
+        |    CAST(SUM(cents) // 7 AS BIGINT) AS base_c
+        |  FROM f, hi WHERE day >= d0 - 7 AND day < d0 GROUP BY segment),
+        |d AS (SELECT b.segment, COALESCE(c.rev_c, 0) AS rev_c, b.base_c,
+        |    COALESCE(c.rev_c, 0) - b.base_c AS delta_c
+        |  FROM base b LEFT JOIN cur c ON c.segment = b.segment),
+        |t AS (SELECT CAST(SUM(ABS(delta_c)) AS BIGINT) AS tot FROM d)
+        |SELECT d.segment, d.rev_c, d.base_c, d.delta_c,
+        |  CAST((1000000 * ABS(d.delta_c)) // t.tot AS BIGINT)
+        |    AS abs_share_ppm,
+        |  CASE WHEN d.delta_c < 0 THEN -1 ELSE 1 END AS sign
+        |FROM d, t ORDER BY ABS(d.delta_c) DESC, d.segment""") { (s, dir) =>
+      import s.implicits._
+      val f = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+        .select($"c_mktsegment".as("segment"),
+          to_date($"o_orderdate").as("day"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .transform(graft.CacheScope.cached) // horizon + current + baseline
+      val hi = f.agg(max($"day").as("d0"))
+      val cur = f.crossJoin(broadcast(hi)).filter($"day" === $"d0")
+        .groupBy($"segment").agg(sum($"cents").as("rev_c"))
+      val base = f.crossJoin(broadcast(hi))
+        .filter($"day" >= expr("date_sub(d0, 7)") && $"day" < $"d0")
+        .groupBy($"segment")
+        .agg(expr("CAST(SUM(cents) div 7 AS BIGINT)").as("base_c"))
+      val d = base.join(cur, Seq("segment"), "left")
+        .withColumn("rev_c", coalesce($"rev_c", lit(0L)))
+        .withColumn("delta_c", $"rev_c" - $"base_c")
+        .transform(graft.CacheScope.cached) // total + report
+      val t = d.agg(sum(abs($"delta_c")).as("tot"))
+      d.crossJoin(broadcast(t))
+        .select($"segment", $"rev_c", $"base_c", $"delta_c",
+          expr("(1000000 * ABS(delta_c)) div tot").as("abs_share_ppm"),
+          when($"delta_c" < 0, -1).otherwise(1).as("sign"))
+        .orderBy(abs($"delta_c").desc, $"segment")
+    },
   )
 }

@@ -971,6 +971,75 @@ object Extras {
           "o_custkey", T(s, dir, "customer"), "c_custkey"))
         .orderBy($"fk")
     },
+
+    q("q296_column_matching",
+      // Value-fingerprint column matching (data discovery / schema
+      // matching): profile every money-like column across the star schema
+      // (exact-cents min/max/NDV from one aggregation per table), then
+      // score all column pairs by range overlap and NDV ratio — the
+      // "which columns look like the same quantity" report a catalog
+      // builds when onboarding undocumented tables. The pair scoring runs
+      // on the 5-row profile table; integer ppm everywhere (overlap and
+      // ratio denominators are positive by construction).
+      """WITH p AS (
+        |  SELECT 'customer.c_acctbal' AS col_,
+        |    CAST(MIN(FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT) AS mn,
+        |    CAST(MAX(FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT) AS mx,
+        |    CAST(COUNT(DISTINCT FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT)
+        |      AS ndv FROM customer
+        |  UNION ALL SELECT 'supplier.s_acctbal',
+        |    CAST(MIN(FLOOR(s_acctbal * 100 + 0.5)) AS BIGINT),
+        |    CAST(MAX(FLOOR(s_acctbal * 100 + 0.5)) AS BIGINT),
+        |    CAST(COUNT(DISTINCT FLOOR(s_acctbal * 100 + 0.5)) AS BIGINT)
+        |    FROM supplier
+        |  UNION ALL SELECT 'orders.o_totalprice',
+        |    CAST(MIN(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(MAX(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(COUNT(DISTINCT FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL SELECT 'part.p_retailprice',
+        |    CAST(MIN(FLOOR(p_retailprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(MAX(FLOOR(p_retailprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(COUNT(DISTINCT FLOOR(p_retailprice * 100 + 0.5)) AS BIGINT)
+        |    FROM part
+        |  UNION ALL SELECT 'lineitem.l_extendedprice',
+        |    CAST(MIN(FLOOR(l_extendedprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(MAX(FLOOR(l_extendedprice * 100 + 0.5)) AS BIGINT),
+        |    CAST(COUNT(DISTINCT FLOOR(l_extendedprice * 100 + 0.5))
+        |      AS BIGINT) FROM lineitem)
+        |SELECT a.col_ AS col_a, b.col_ AS col_b,
+        |  CAST((1000000 * GREATEST(0, LEAST(a.mx, b.mx)
+        |      - GREATEST(a.mn, b.mn) + 1))
+        |    // (GREATEST(a.mx, b.mx) - LEAST(a.mn, b.mn) + 1) AS BIGINT)
+        |    AS range_overlap_ppm,
+        |  CAST((1000000 * LEAST(a.ndv, b.ndv)) // GREATEST(a.ndv, b.ndv)
+        |    AS BIGINT) AS ndv_ratio_ppm
+        |FROM p a JOIN p b ON a.col_ < b.col_
+        |ORDER BY range_overlap_ppm DESC, col_a, col_b""") { (s, dir) =>
+      import s.implicits._
+      def profile(label: String, table: String, col0: String): DataFrame = {
+        val c = floor(col(col0) * 100 + 0.5).cast("long")
+        T(s, dir, table).agg(min(c).as("mn"), max(c).as("mx"),
+            countDistinct(c).as("ndv"))
+          .select(lit(label).as("col_"), $"mn", $"mx", $"ndv")
+      }
+      val p = profile("customer.c_acctbal", "customer", "c_acctbal")
+        .unionAll(profile("supplier.s_acctbal", "supplier", "s_acctbal"))
+        .unionAll(profile("orders.o_totalprice", "orders", "o_totalprice"))
+        .unionAll(profile("part.p_retailprice", "part", "p_retailprice"))
+        .unionAll(profile("lineitem.l_extendedprice", "lineitem",
+          "l_extendedprice"))
+        .transform(graft.CacheScope.cached) // both sides of the pair join
+      p.as("a").join(p.as("b"), $"a.col_" < $"b.col_")
+        .select($"a.col_".as("col_a"), $"b.col_".as("col_b"),
+          expr("(1000000 * GREATEST(0, LEAST(a.mx, b.mx) " +
+            "- GREATEST(a.mn, b.mn) + 1)) " +
+            "div (GREATEST(a.mx, b.mx) - LEAST(a.mn, b.mn) + 1)")
+            .as("range_overlap_ppm"),
+          expr("(1000000 * LEAST(a.ndv, b.ndv)) div GREATEST(a.ndv, b.ndv)")
+            .as("ndv_ratio_ppm"))
+        .orderBy($"range_overlap_ppm".desc, $"col_a", $"col_b")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

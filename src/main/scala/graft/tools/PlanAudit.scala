@@ -608,6 +608,14 @@ object PlanAudit {
       "moment windows run on the bounded zero-filled day grid" -> "Window",
       "daily counts partial-aggregate map-side" -> "HashAggregate",
       "grid join is day-keyed equi" -> "HashJoin"),
+    "q295_delta_attribution" -> Seq(
+      "one fact aggregation feeds current and baseline" -> "HashAggregate",
+      "horizon and totals broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "segment report join is keyed equi" -> "HashJoin"),
+    "q296_column_matching" -> Seq(
+      "per-table profiles are single-pass aggregations" -> "HashAggregate",
+      "pair scoring runs on the 5-row profile table" -> "BroadcastNestedLoopJoin",
+      "each profile reads only its one column" -> "ReadSchema: struct<c_acctbal:double>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
