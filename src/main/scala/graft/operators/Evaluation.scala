@@ -1252,5 +1252,214 @@ object Evaluation {
           when($"delta_c" < 0, -1).otherwise(1).as("sign"))
         .orderBy(abs($"delta_c").desc, $"segment")
     },
+
+    q("q297_conformal_interval",
+      // Split-conformal prediction interval: train a per-quantity price
+      // model on one split, take the ceil((n+1)*0.9)-th smallest absolute
+      // residual on a CALIBRATION split as the interval half-width, and
+      // certify the ~90% coverage guarantee on a held-out TEST split —
+      // the distribution-free uncertainty wrapper modern eval stacks put
+      // around any point model. Exact integers: the model is integer-cents
+      // means over the bounded quantity domain (broadcast), the
+      // calibration quantile is an order statistic over the compacted
+      // residual domain, and coverage is a ppm count. Three disjoint
+      // orderkey splits; one shuffle each.
+      """WITH b AS (SELECT l_orderkey % 4 AS split,
+        |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |mdl AS (SELECT qty, CAST(SUM(price_c) // COUNT(*) AS BIGINT)
+        |    AS pred_c
+        |  FROM b WHERE split = 0 GROUP BY qty),
+        |cal AS (SELECT ABS(b.price_c - m.pred_c) AS r FROM b
+        |  JOIN mdl m ON m.qty = b.qty WHERE b.split = 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+        |rk AS (SELECT r, SUM(cnt) OVER (ORDER BY r) AS cum FROM
+        |  (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY r)),
+        |qh AS (SELECT CAST(MIN(r) AS BIGINT) AS qhat_c FROM rk, n
+        |  WHERE 10 * cum >= 9 * (n.n_cal + 1)),
+        |te AS (SELECT ABS(b.price_c - m.pred_c) AS r FROM b
+        |  JOIN mdl m ON m.qty = b.qty WHERE b.split = 3)
+        |SELECT n.n_cal, CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test,
+        |  qh.qhat_c,
+        |  CAST((1000000 * (SELECT COUNT(*) FROM te, qh
+        |    WHERE te.r <= qh.qhat_c))
+        |    // (SELECT COUNT(*) FROM te) AS BIGINT) AS coverage_ppm
+        |FROM n, qh""") { (s, dir) =>
+      import s.implicits._
+      val b = T(s, dir, "lineitem")
+        .select(($"l_orderkey" % 4).as("split"),
+          floor($"l_quantity" + 0.5).cast("long").as("qty"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("price_c"))
+        .transform(graft.CacheScope.cached) // model + calibration + test
+      val mdl = b.filter($"split" === 0).groupBy($"qty")
+        .agg(expr("CAST(SUM(price_c) div COUNT(*) AS BIGINT)").as("pred_c"))
+        .transform(graft.CacheScope.cached) // joined by cal and test
+      val cal = b.filter($"split" === 1)
+        .join(broadcast(mdl), Seq("qty"))
+        .select(abs($"price_c" - $"pred_c").as("r"))
+        .transform(graft.CacheScope.cached) // count + order statistic
+      val n = cal.agg(count(lit(1)).as("n_cal"))
+      val wc = Window.orderBy($"r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qh = cal.groupBy($"r").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wc))
+        .crossJoin(broadcast(n))
+        .filter(lit(10) * $"cum" >= lit(9) * ($"n_cal" + 1))
+        .agg(min($"r").as("qhat_c"))
+      val te = b.filter($"split" === 3)
+        .join(broadcast(mdl), Seq("qty"))
+        .select(abs($"price_c" - $"pred_c").as("r"))
+        .transform(graft.CacheScope.cached) // count + coverage
+      val cov = te.crossJoin(broadcast(qh))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"r" <= $"qhat_c", 1L).otherwise(0L)).as("n_in"))
+      broadcast(n).crossJoin(broadcast(qh)).crossJoin(broadcast(cov))
+        .select($"n_cal", $"n_test", $"qhat_c",
+          expr("(1000000 * n_in) div n_test").as("coverage_ppm"))
+    },
+
+    q("q298_kfold_cv",
+      // 5-fold cross-validated OLS (price ~ quantity) with the
+      // leave-one-fold-out moments computed as GLOBAL minus FOLD — the
+      // subtraction trick that makes K-fold training O(one aggregation)
+      // instead of K passes over the data, which is exactly how K-fold
+      // survives a 100 TB fact table. Per fold: integer-micro slope,
+      // integer-cents intercept, and the OUT-OF-FOLD mean absolute error
+      // — the model-selection readout. Moments widen through
+      // DECIMAL(38,0)/HUGEINT; every division has positive operands on
+      // this fixture's positively-sloped data.
+      """WITH b AS (SELECT l_orderkey % 5 AS fold,
+        |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |fm AS (SELECT fold, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx
+        |  FROM b GROUP BY fold),
+        |g AS (SELECT CAST(SUM(n) AS HUGEINT) AS n,
+        |    CAST(SUM(sx) AS HUGEINT) AS sx, CAST(SUM(sy) AS HUGEINT) AS sy,
+        |    CAST(SUM(sxy) AS HUGEINT) AS sxy,
+        |    CAST(SUM(sxx) AS HUGEINT) AS sxx FROM fm),
+        |tr AS (SELECT fm.fold,
+        |    (g.n - fm.n) AS n, (g.sx - fm.sx) AS sx, (g.sy - fm.sy) AS sy,
+        |    (g.sxy - fm.sxy) AS sxy, (g.sxx - fm.sxx) AS sxx FROM fm, g),
+        |co AS (SELECT fold,
+        |    (1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS slope_micro,
+        |    ((1000000 * sy - ((1000000 * (n*sxy - sx*sy))
+        |      // (n*sxx - sx*sx)) * sx) // (1000000 * n)) AS intercept_c
+        |  FROM tr),
+        |er AS (SELECT b.fold,
+        |    ABS(b.y - ((co.slope_micro * b.x) // 1000000 + co.intercept_c))
+        |      AS r
+        |  FROM b JOIN co ON co.fold = b.fold)
+        |SELECT fold, CAST(MIN(co.slope_micro) AS BIGINT) AS slope_micro,
+        |  CAST(MIN(co.intercept_c) AS BIGINT) AS intercept_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_oof,
+        |  CAST(SUM(er.r) // COUNT(*) AS BIGINT) AS mae_c
+        |FROM er JOIN co USING (fold) GROUP BY fold ORDER BY fold""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val b = T(s, dir, "lineitem")
+        .select(($"l_orderkey" % 5).as("fold"),
+          floor($"l_quantity" + 0.5).cast("long").as("x"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y"))
+        .transform(graft.CacheScope.cached) // moments + out-of-fold error
+      val fm = b.groupBy($"fold")
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum($"x").cast(D).as("sx"), sum($"y").cast(D).as("sy"),
+          sum(($"x" * $"y").cast(D)).as("sxy"),
+          sum(($"x" * $"x").cast(D)).as("sxx"))
+        .transform(graft.CacheScope.cached) // global rollup + per-fold
+      val g = fm.agg(sum($"n").as("gn"), sum($"sx").as("gsx"),
+        sum($"sy").as("gsy"), sum($"sxy").as("gsxy"),
+        sum($"sxx").as("gsxx"))
+      val co = fm.crossJoin(broadcast(g))
+        .select($"fold", ($"gn" - $"n").as("n"), ($"gsx" - $"sx").as("sx"),
+          ($"gsy" - $"sy").as("sy"), ($"gsxy" - $"sxy").as("sxy"),
+          ($"gsxx" - $"sxx").as("sxx"))
+        .select($"fold",
+          expr("(1000000 * (n*sxy - sx*sy)) div (n*sxx - sx*sx)")
+            .as("slope_micro"),
+          expr("(1000000 * sy - ((1000000 * (n*sxy - sx*sy)) " +
+            "div (n*sxx - sx*sx)) * sx) div (1000000 * n)")
+            .as("intercept_c"))
+      b.join(broadcast(co), Seq("fold"))
+        .select($"fold", $"slope_micro", $"intercept_c",
+          abs($"y" - (expr("(slope_micro * x) div 1000000") +
+            $"intercept_c")).as("r"))
+        .groupBy($"fold")
+        .agg(min($"slope_micro").cast("long").as("slope_micro"),
+          min($"intercept_c").cast("long").as("intercept_c"),
+          count(lit(1)).as("n_oof"),
+          expr("CAST(SUM(r) div COUNT(*) AS BIGINT)").as("mae_c"))
+        .orderBy($"fold")
+    },
+
+    q("q299_diff_in_diff",
+      // Difference-in-differences readout: treated segment vs control
+      // segment, recent 30-day window vs the prior 30 days — the
+      // quasi-experimental estimate (did the treated group's CHANGE exceed
+      // the control's change) a launch review runs when there was no
+      // randomized holdout. All exact cents and subtraction only — the DiD
+      // estimate itself never divides, so no negative-operand division
+      // discipline is even needed; the per-day means are positive floor
+      // divisions. One fact aggregation on (segment, period).
+      """WITH hi AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders),
+        |f AS (SELECT c.c_mktsegment AS segment,
+        |    CASE WHEN CAST(o.o_orderdate AS DATE) > d0 - 30 THEN 'post'
+        |         ELSE 'pre' END AS period,
+        |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey, hi
+        |  WHERE CAST(o.o_orderdate AS DATE) > d0 - 60
+        |    AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |a AS (SELECT segment, period,
+        |    CAST(SUM(cents) // 30 AS BIGINT) AS daily_c
+        |  FROM f GROUP BY segment, period)
+        |SELECT
+        |  MAX(CASE WHEN segment = 'BUILDING' AND period = 'pre'
+        |    THEN daily_c END) AS treated_pre_c,
+        |  MAX(CASE WHEN segment = 'BUILDING' AND period = 'post'
+        |    THEN daily_c END) AS treated_post_c,
+        |  MAX(CASE WHEN segment = 'MACHINERY' AND period = 'pre'
+        |    THEN daily_c END) AS control_pre_c,
+        |  MAX(CASE WHEN segment = 'MACHINERY' AND period = 'post'
+        |    THEN daily_c END) AS control_post_c,
+        |  (MAX(CASE WHEN segment = 'BUILDING' AND period = 'post'
+        |    THEN daily_c END)
+        |   - MAX(CASE WHEN segment = 'BUILDING' AND period = 'pre'
+        |    THEN daily_c END))
+        |  - (MAX(CASE WHEN segment = 'MACHINERY' AND period = 'post'
+        |    THEN daily_c END)
+        |   - MAX(CASE WHEN segment = 'MACHINERY' AND period = 'pre'
+        |    THEN daily_c END)) AS did_c
+        |FROM a""") { (s, dir) =>
+      import s.implicits._
+      val hi = T(s, dir, "orders")
+        .agg(max(to_date($"o_orderdate")).as("d0"))
+      val a = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+        .crossJoin(broadcast(hi))
+        .filter(to_date($"o_orderdate") > expr("date_sub(d0, 60)") &&
+          $"c_mktsegment".isin("BUILDING", "MACHINERY"))
+        .select($"c_mktsegment".as("segment"),
+          when(to_date($"o_orderdate") > expr("date_sub(d0, 30)"), "post")
+            .otherwise("pre").as("period"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"segment", $"period")
+        .agg(expr("CAST(SUM(cents) div 30 AS BIGINT)").as("daily_c"))
+      def cell(seg: String, per: String) =
+        max(when($"segment" === seg && $"period" === per, $"daily_c"))
+      a.agg(
+          cell("BUILDING", "pre").as("treated_pre_c"),
+          cell("BUILDING", "post").as("treated_post_c"),
+          cell("MACHINERY", "pre").as("control_pre_c"),
+          cell("MACHINERY", "post").as("control_post_c"),
+          ((cell("BUILDING", "post") - cell("BUILDING", "pre")) -
+            (cell("MACHINERY", "post") - cell("MACHINERY", "pre")))
+            .as("did_c"))
+    },
   )
 }

@@ -616,6 +616,18 @@ object PlanAudit {
       "per-table profiles are single-pass aggregations" -> "HashAggregate",
       "pair scoring runs on the 5-row profile table" -> "BroadcastNestedLoopJoin",
       "each profile reads only its one column" -> "ReadSchema: struct<c_acctbal:double>"),
+    "q297_conformal_interval" -> Seq(
+      "per-quantity model broadcast into both residual joins" -> "BroadcastHashJoin",
+      "calibration quantile is a window over the compacted residuals" -> "Window",
+      "only quantity/price/orderkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_extendedprice:double>"),
+    "q298_kfold_cv" -> Seq(
+      "one moment aggregation serves all 5 folds (global-minus-fold)" -> "HashAggregate",
+      "fold coefficients broadcast into the out-of-fold scoring" -> "BroadcastHashJoin",
+      "no per-fold rescan join" -> "!SortMergeJoin"),
+    "q299_diff_in_diff" -> Seq(
+      "customer dimension broadcast into the fact join" -> "BroadcastHashJoin",
+      "one (segment, period) aggregation; DiD is 1-row arithmetic" -> "HashAggregate",
+      "no cartesian beyond the 1-row horizon" -> "!CartesianProduct"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
