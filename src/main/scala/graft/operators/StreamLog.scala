@@ -1558,5 +1558,60 @@ object StreamLog {
           expr("abs((1000000 * n) div total - expected_ppm)").as("dev_ppm"))
         .orderBy($"digit")
     },
+
+    q("q300_streaming_cep",
+      // q292's CEP pattern (click-then-purchase-within-30min-unless-error)
+      // run LIVE through the engine on transformWithState: per user, ONE
+      // (lastClick, lastError) ValueState pair forever — constant state
+      // however long the stream runs, where the batch form needs the full
+      // history in a window. Matches emit as append-mode events the moment
+      // the purchase arrives (the alerting shape); the per-user rollup
+      // happens batch-side off the sink. Oracle = q292's batch window
+      // twin over the same events — the streamed state machine must
+      // reproduce it row for row across micro-batch boundaries.
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS us, event_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+        |  FROM events),
+        |m AS (SELECT user_id, us - last_click AS gap_us FROM e
+        |  WHERE event_type = 'purchase' AND last_click IS NOT NULL
+        |    AND us - last_click <= 1800000000
+        |    AND (last_error IS NULL OR last_error < last_click))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+        |FROM m GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("unix_micros(ts)").as("us"))
+      val root = graft.LogFixtures.producedLog(dir, "q300") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"user_id", $"event_type", $"us"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q300", 4,
+          rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema",
+            "event_id BIGINT, user_id BIGINT, event_type STRING, us BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .load()
+        graft.streaming.StreamingOps
+          .cepMatchesByKeyTws(s, src, "user_id", "event_id", "us",
+            "event_type", 1800000000L)
+          .toDF("user_id", "match_id", "gap_us")
+      }
+        .groupBy($"user_id".cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_matches"), min($"gap_us").as("min_gap_us"))
+        .orderBy($"user_id")
+    },
   )
 }

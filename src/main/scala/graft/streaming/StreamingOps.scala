@@ -168,6 +168,60 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState processor for streaming CEP (A-then-B-unless-C):
+    * per key, ONE ValueState pair (lastClickUs, lastErrorUs); a purchase
+    * row matches when a click precedes it within the window and no error
+    * arrived after that click. Constant state per user forever; in-batch
+    * rows sort by (us, seq) and cross-batch order rides the log's
+    * id-ordered delivery — the streamed matches equal q292's batch window
+    * semantics row for row. Emits one (key, matchSeq, gapUs) per match.
+    */
+  private class CepProcessor(windowUs: Long)
+      extends StatefulProcessor[String, (String, Long, Long, String), (String, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cep",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      var (lastClick, lastError) = if (st.exists()) st.get() else (-1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      rows.toIndexedSeq.sortBy(r => (r._3, r._2)).foreach {
+        case (_, seq, us, et) =>
+          et match {
+            case "purchase" =>
+              if (lastClick >= 0 && us - lastClick <= windowUs &&
+                lastError < lastClick)
+                out += ((key, seq, us - lastClick))
+            case "click" => lastClick = us
+            case "error" => lastError = us
+            case _ => ()
+          }
+      }
+      st.update((lastClick, lastError))
+      out.iterator
+    }
+  }
+
+  /** Streaming CEP pattern matching on [[CepProcessor]]: `events` must
+    * carry key, sequence, event-time micros, and event-type columns.
+    */
+  def cepMatchesByKeyTws(spark: SparkSession, events: DataFrame,
+      keyCol: String, seqCol: String, usCol: String, typeCol: String,
+      windowUs: Long): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k",
+        s"CAST($seqCol AS BIGINT) AS seq", s"CAST($usCol AS BIGINT) AS us",
+        s"CAST($typeCol AS STRING) AS et")
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CepProcessor(windowUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming per-key 3-sigma anomaly detection on [[AnomalyProcessor]]. */
   def anomalyFlagsByKeyTws(spark: SparkSession, events: DataFrame,
       keyCol: String, seqCol: String, valCol: String,

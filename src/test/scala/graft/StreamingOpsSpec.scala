@@ -419,6 +419,44 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("b", 800000000L, 800000000L, 1L)))
   }
 
+  test("cepMatchesByKeyTws matches patterns across micro-batch boundaries") {
+    // maxEntriesPerTrigger=2 → batches [1,2][3,4][5,6][7]. u1's purchase
+    // (seq 3, batch 2) must see the click held in state from batch 1 and
+    // match; the error at seq 4 invalidates the click so the purchase at
+    // seq 5 must NOT match; a fresh click + purchase (6, 7) matches again.
+    // Window 10s; the purchase at seq 7 arrives 1s after its click.
+    val root = mkLog("ev", Seq(
+      (1000L, Map("u" -> "u1", "id" -> 1L, "us" -> 1000000L, "et" -> "click")),
+      (2000L, Map("u" -> "u2", "id" -> 2L, "us" -> 2000000L, "et" -> "view")),
+      (3000L, Map("u" -> "u1", "id" -> 3L, "us" -> 3000000L, "et" -> "purchase")),
+      (4000L, Map("u" -> "u1", "id" -> 4L, "us" -> 4000000L, "et" -> "error")),
+      (5000L, Map("u" -> "u1", "id" -> 5L, "us" -> 5000000L, "et" -> "purchase")),
+      (6000L, Map("u" -> "u1", "id" -> 6L, "us" -> 6000000L, "et" -> "click")),
+      (7000L, Map("u" -> "u1", "id" -> 7L, "us" -> 7000000L, "et" -> "purchase"))))
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(storeKey)
+    spark.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.format("graftlog")
+        .option("path", root).option("stream", "ev")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "2").load()
+        .selectExpr("values['u'] AS u", "CAST(values['id'] AS BIGINT) AS id",
+          "CAST(values['us'] AS BIGINT) AS us", "values['et'] AS et")
+      val m = StreamingOps.cepMatchesByKeyTws(spark, src, "u", "id", "us",
+        "et", 10000000L)
+      runToMemory(m.toDF("user_id", "match_id", "gap_us"), "cep")
+      val got = spark.sql(
+          "select user_id, match_id, gap_us from cep order by match_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(got == List(("u1", 3L, 2000000L), ("u1", 7L, 1000000L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(storeKey, v)
+      case None => spark.conf.unset(storeKey)
+    }
+  }
+
   test("funnelByUserTws advances stages across micro-batch boundaries") {
     // maxEntriesPerTrigger=2 → batches [1,2][3,4][5,6][7]. u1's purchase
     // (batch 2) must find stage-2 state from batch 1; u2's pre-view click
