@@ -1040,6 +1040,163 @@ object Extras {
             .as("ndv_ratio_ppm"))
         .orderBy($"range_overlap_ppm".desc, $"col_a", $"col_b")
     },
+
+    q("q301_incremental_join",
+      // Incremental maintenance of a JOIN view (ΔV = Δfact ⋈ dim): the
+      // per-nation revenue view is maintained by joining ONLY the late
+      // delta batch (every 97th order, the fixture stand-in for a
+      // late-arriving load) against the unchanged dimension and ADDING it
+      // to the base view — q171's incremental-aggregate rule lifted to a
+      // join view. The full recompute runs alongside and the match column
+      // certifies maintained == recomputed per nation; at 100 TB the
+      // point is the daily work is delta-sized, base is never rescanned.
+      """WITH b AS (SELECT o.o_orderkey, o.o_custkey,
+        |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o),
+        |dim AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+        |  FROM customer),
+        |base AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS base_c
+        |  FROM b JOIN dim ON c_custkey = o_custkey
+        |  WHERE o_orderkey % 97 <> 0 GROUP BY nation),
+        |delta AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS delta_c
+        |  FROM b JOIN dim ON c_custkey = o_custkey
+        |  WHERE o_orderkey % 97 = 0 GROUP BY nation),
+        |full_ AS (SELECT nation, CAST(SUM(cents) AS BIGINT) AS full_c
+        |  FROM b JOIN dim ON c_custkey = o_custkey GROUP BY nation)
+        |SELECT f.nation, COALESCE(base.base_c, 0) AS base_c,
+        |  COALESCE(delta.delta_c, 0) AS delta_c,
+        |  COALESCE(base.base_c, 0) + COALESCE(delta.delta_c, 0)
+        |    AS maintained_c,
+        |  f.full_c,
+        |  COALESCE(base.base_c, 0) + COALESCE(delta.delta_c, 0) = f.full_c
+        |    AS consistent
+        |FROM full_ f
+        |LEFT JOIN base ON base.nation = f.nation
+        |LEFT JOIN delta ON delta.nation = f.nation
+        |ORDER BY f.nation""") { (s, dir) =>
+      import s.implicits._
+      val b = T(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      val dim = T(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey".cast("long").as("nation"))
+      def view(f: DataFrame, out: String): DataFrame =
+        f.join(broadcast(dim), $"c_custkey" === $"o_custkey")
+          .groupBy($"nation").agg(sum($"cents").as(out))
+      val base = view(b.filter($"o_orderkey" % 97 =!= 0), "base_c")
+      val delta = view(b.filter($"o_orderkey" % 97 === 0), "delta_c")
+      val full = view(b, "full_c")
+      full.join(base, Seq("nation"), "left")
+        .join(delta, Seq("nation"), "left")
+        .withColumn("base_c", coalesce($"base_c", lit(0L)))
+        .withColumn("delta_c", coalesce($"delta_c", lit(0L)))
+        .withColumn("maintained_c", $"base_c" + $"delta_c")
+        .select($"nation", $"base_c", $"delta_c", $"maintained_c",
+          $"full_c", ($"maintained_c" === $"full_c").as("consistent"))
+        .orderBy($"nation")
+    },
+
+    q("q302_rank_movers",
+      // Week-over-week rank movement leaderboard: parts ranked by revenue
+      // in the trailing 30 days vs the prior 30, top-10 biggest rank
+      // movers among parts active in BOTH periods — the risers/fallers
+      // readout every category dashboard leads with. One fact aggregation
+      // on (part, period); both rank windows run on the part-sized
+      // rollup; the cut is TakeOrderedAndProject with a deterministic
+      // (|delta|, part) order.
+      """WITH hi AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS d0
+        |  FROM lineitem),
+        |f AS (SELECT l_partkey AS part,
+        |    CASE WHEN CAST(l_shipdate AS DATE) > d0 - 30 THEN 'post'
+        |         ELSE 'pre' END AS period,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem, hi WHERE CAST(l_shipdate AS DATE) > d0 - 60),
+        |a AS (SELECT part, period, CAST(SUM(cents) AS BIGINT) AS rev_c
+        |  FROM f GROUP BY part, period),
+        |p2 AS (SELECT pre.part, pre.rev_c AS rev_pre_c,
+        |    post.rev_c AS rev_post_c
+        |  FROM (SELECT part, rev_c FROM a WHERE period = 'pre') pre
+        |  JOIN (SELECT part, rev_c FROM a WHERE period = 'post') post
+        |    ON post.part = pre.part),
+        |rk AS (SELECT part, rev_pre_c, rev_post_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_pre_c DESC, part)
+        |      AS BIGINT) AS rank_pre,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_post_c DESC, part)
+        |      AS BIGINT) AS rank_post
+        |  FROM p2)
+        |SELECT part, rev_pre_c, rev_post_c, rank_pre, rank_post,
+        |  rank_pre - rank_post AS rank_delta
+        |FROM rk
+        |ORDER BY ABS(rank_pre - rank_post) DESC, part LIMIT 10""") { (s, dir) =>
+      import s.implicits._
+      val hi = T(s, dir, "lineitem")
+        .agg(max(to_date($"l_shipdate")).as("d0"))
+      val a = T(s, dir, "lineitem")
+        .crossJoin(broadcast(hi))
+        .filter(to_date($"l_shipdate") > expr("date_sub(d0, 60)"))
+        .select($"l_partkey".as("part"),
+          when(to_date($"l_shipdate") > expr("date_sub(d0, 30)"), "post")
+            .otherwise("pre").as("period"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"part", $"period").agg(sum($"cents").as("rev_c"))
+        .transform(graft.CacheScope.cached) // both period sides
+      val p2 = a.filter($"period" === "pre")
+        .select($"part", $"rev_c".as("rev_pre_c"))
+        .join(a.filter($"period" === "post")
+          .select($"part", $"rev_c".as("rev_post_c")), Seq("part"))
+      p2.withColumn("rank_pre", row_number().over(
+          Window.orderBy($"rev_pre_c".desc, $"part")).cast("long"))
+        .withColumn("rank_post", row_number().over(
+          Window.orderBy($"rev_post_c".desc, $"part")).cast("long"))
+        .withColumn("rank_delta", $"rank_pre" - $"rank_post")
+        .select($"part", $"rev_pre_c", $"rev_post_c", $"rank_pre",
+          $"rank_post", $"rank_delta")
+        .orderBy(abs($"rank_delta").desc, $"part").limit(10)
+    },
+
+    q("q303_trimmed_mean",
+      // 10%-trimmed mean (robust location) per order priority — the
+      // outlier-resistant aggregate reported when a handful of whale
+      // orders would drag a plain mean. Scale-right formulation: the trim
+      // happens on the COMPACTED (value, count) domain with EXACT partial
+      // weights — each distinct price keeps overlap([cum-cnt+1, cum],
+      // [lo+1, n-lo]) units — so no per-row rank over the facts, just one
+      // group compaction and a bounded-domain window. All integer.
+      """WITH g AS (SELECT o_orderpriority AS pri,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY pri, cents),
+        |c AS (SELECT pri, cents, cnt,
+        |    SUM(cnt) OVER (PARTITION BY pri ORDER BY cents) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY pri) AS n FROM g),
+        |k AS (SELECT pri, cents,
+        |    GREATEST(0, LEAST(cum, n - n // 10)
+        |      - GREATEST(cum - cnt + 1, n // 10 + 1) + 1) AS keep,
+        |    n FROM c)
+        |SELECT pri, CAST(MIN(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST(SUM(cents * keep) // SUM(keep) AS BIGINT) AS trimmed_mean_c
+        |FROM k GROUP BY pri ORDER BY pri""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("pri"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"pri").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"pri")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n", sum($"cnt").over(wt))
+        .withColumn("keep", expr(
+          "GREATEST(0, LEAST(cum, n - n div 10) " +
+            "- GREATEST(cum - cnt + 1, n div 10 + 1) + 1)"))
+        .groupBy($"pri")
+        .agg(min($"n").as("n_rows"), sum($"keep").as("n_kept"),
+          expr("CAST(SUM(cents * keep) div SUM(keep) AS BIGINT)")
+            .as("trimmed_mean_c"))
+        .orderBy($"pri")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -628,6 +628,18 @@ object PlanAudit {
       "customer dimension broadcast into the fact join" -> "BroadcastHashJoin",
       "one (segment, period) aggregation; DiD is 1-row arithmetic" -> "HashAggregate",
       "no cartesian beyond the 1-row horizon" -> "!CartesianProduct"),
+    "q301_incremental_join" -> Seq(
+      "dimension broadcast into every view join" -> "BroadcastHashJoin",
+      "view rollups partial-aggregate map-side" -> "HashAggregate",
+      "report joins are nation-keyed equi" -> "!CartesianProduct"),
+    "q302_rank_movers" -> Seq(
+      "rank windows run on the part-sized rollup" -> "Window",
+      "top-10 without a global sort" -> "TakeOrderedAndProject",
+      "period rollup partial-aggregates map-side" -> "HashAggregate"),
+    "q303_trimmed_mean" -> Seq(
+      "trim weights computed on the compacted value domain" -> "Window",
+      "value compaction partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere" -> "!Join"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
