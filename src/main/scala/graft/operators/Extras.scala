@@ -1197,6 +1197,129 @@ object Extras {
             .as("trimmed_mean_c"))
         .orderBy($"pri")
     },
+
+    q("q305_late_dimension",
+      // Late-arriving dimension reconciliation: facts whose dimension row
+      // hasn't landed yet are PARKED (keyed LEFT ANTI against the initial
+      // dim), then re-joined once the dimension delta arrives; the report
+      // certifies conservation (matched + parked = total; resolved +
+      // still-pending = parked) and that nothing stays pending once the
+      // full dimension exists. The standard warehouse pattern for
+      // out-of-order loads — q247's point-in-time join assumes the dim is
+      // there; this is what happens when it isn't. All keyed semi/anti
+      // joins with the dimension keys broadcast.
+      """WITH dim0 AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 13 <> 0),
+        |delta AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_facts FROM orders),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM dim0 WHERE c_custkey = o.o_custkey)),
+        |p AS (SELECT o_orderkey, o_custkey FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM dim0
+        |    WHERE c_custkey = o.o_custkey)),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_resolved FROM p
+        |  WHERE EXISTS (SELECT 1 FROM delta WHERE c_custkey = p.o_custkey)),
+        |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_still FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey = p.o_custkey))
+        |SELECT t.n_facts, m.n_matched,
+        |  t.n_facts - m.n_matched AS n_parked, r.n_resolved, sp.n_still,
+        |  m.n_matched + r.n_resolved + sp.n_still = t.n_facts AS conserved
+        |FROM t, m, r, sp""") { (s, dir) =>
+      import s.implicits._
+      val cust = T(s, dir, "customer").select($"c_custkey")
+      val dim0 = cust.filter($"c_custkey" % 13 =!= 0)
+      val delta = cust.filter($"c_custkey" % 13 === 0)
+      val facts = T(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val t = facts.agg(count(lit(1)).as("n_facts"))
+      val m = facts.join(broadcast(dim0), $"c_custkey" === $"o_custkey",
+          "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      val parked = facts.join(broadcast(dim0),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .transform(graft.CacheScope.cached) // resolved + still-pending
+      val r = parked.join(broadcast(delta), $"c_custkey" === $"o_custkey",
+          "left_semi")
+        .agg(count(lit(1)).as("n_resolved"))
+      val sp = parked.join(broadcast(cust), $"c_custkey" === $"o_custkey",
+          "left_anti")
+        .agg(count(lit(1)).as("n_still"))
+      broadcast(t).crossJoin(broadcast(m)).crossJoin(broadcast(r))
+        .crossJoin(broadcast(sp))
+        .select($"n_facts", $"n_matched",
+          ($"n_facts" - $"n_matched").as("n_parked"), $"n_resolved",
+          $"n_still",
+          ($"n_matched" + $"n_resolved" + $"n_still" === $"n_facts")
+            .as("conserved"))
+    },
+
+    q("q306_encoding_advisor",
+      // Storage-encoding advisor: per low-cardinality string column,
+      // estimate dictionary-encoded size (distinct bytes + 4-byte codes)
+      // vs plain size and recommend dictionary encoding when it at least
+      // halves the bytes — the layout-maintenance readout behind parquet
+      // encoding choices (q236's compaction decides file sizes; this
+      // decides bytes IN the files). One profile aggregation per column;
+      // everything is exact integer byte arithmetic.
+      """WITH p AS (
+        |  SELECT 'orders.o_orderpriority' AS col_,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+        |    CAST(SUM(length(o_orderpriority)) AS BIGINT) AS plain_bytes,
+        |    CAST((SELECT SUM(length(v)) FROM
+        |      (SELECT DISTINCT o_orderpriority AS v FROM orders)) AS BIGINT)
+        |      AS distinct_bytes
+        |  FROM orders
+        |  UNION ALL SELECT 'customer.c_mktsegment',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(SUM(length(c_mktsegment)) AS BIGINT),
+        |    CAST((SELECT SUM(length(v)) FROM
+        |      (SELECT DISTINCT c_mktsegment AS v FROM customer)) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL SELECT 'documents.lang',
+        |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT lang) AS BIGINT),
+        |    CAST(SUM(length(lang)) AS BIGINT),
+        |    CAST((SELECT SUM(length(v)) FROM
+        |      (SELECT DISTINCT lang AS v FROM documents)) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL SELECT 'part.p_brand',
+        |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_brand) AS BIGINT),
+        |    CAST(SUM(length(p_brand)) AS BIGINT),
+        |    CAST((SELECT SUM(length(v)) FROM
+        |      (SELECT DISTINCT p_brand AS v FROM part)) AS BIGINT)
+        |  FROM part)
+        |SELECT col_, n_rows, ndv, plain_bytes,
+        |  distinct_bytes + 4 * n_rows AS dict_bytes,
+        |  CAST((1000000 * (distinct_bytes + 4 * n_rows)) // plain_bytes
+        |    AS BIGINT) AS dict_ratio_ppm,
+        |  2 * (distinct_bytes + 4 * n_rows) < plain_bytes AS recommend_dict
+        |FROM p ORDER BY col_""") { (s, dir) =>
+      import s.implicits._
+      def profile(label: String, table: String, c: String): DataFrame = {
+        val base = T(s, dir, table)
+        val d = base.select(col(c).as("v")).distinct()
+          .agg(sum(length($"v")).as("distinct_bytes"))
+        base.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("ndv"),
+            sum(length(col(c))).as("plain_bytes"))
+          .crossJoin(broadcast(d))
+          .select(lit(label).as("col_"), $"n_rows", $"ndv", $"plain_bytes",
+            $"distinct_bytes")
+      }
+      profile("orders.o_orderpriority", "orders", "o_orderpriority")
+        .unionAll(profile("customer.c_mktsegment", "customer",
+          "c_mktsegment"))
+        .unionAll(profile("documents.lang", "documents", "lang"))
+        .unionAll(profile("part.p_brand", "part", "p_brand"))
+        .select($"col_", $"n_rows", $"ndv", $"plain_bytes",
+          ($"distinct_bytes" + lit(4L) * $"n_rows").as("dict_bytes"),
+          expr("(1000000 * (distinct_bytes + 4 * n_rows)) div plain_bytes")
+            .as("dict_ratio_ppm"),
+          (lit(2L) * ($"distinct_bytes" + lit(4L) * $"n_rows") <
+            $"plain_bytes").as("recommend_dict"))
+        .orderBy($"col_")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

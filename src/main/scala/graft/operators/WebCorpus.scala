@@ -484,5 +484,44 @@ object WebCorpus {
         .select($"est_join", $"exact_join",
           ($"est_join" - $"exact_join").as("overcount"))
     },
+    q("q304_crawl_schedule",
+      // Politeness-aware crawl-frontier scheduling: per-source queues
+      // interleaved round-robin (slot = position within source, global
+      // order = (slot, source)) so no host is hammered twice before every
+      // other active host got its turn — the fetch-order planner of any
+      // crawler. The certificate rides the output: each row carries its
+      // gap to the SAME source's previous scheduled fetch, which stays >=
+      // the number of active sources during full rounds. Both windows run
+      // per-source or on the bounded schedule prefix; at corpus scale the
+      // slot window is the only per-source pass.
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS slot
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, slot,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY slot, source, doc_id)
+        |      AS BIGINT) AS rank_
+        |  FROM s),
+        |g AS (SELECT rank_, source, doc_id, slot,
+        |    COALESCE(rank_ - LAG(rank_) OVER (PARTITION BY source
+        |      ORDER BY rank_), 0) AS same_source_gap
+        |  FROM r)
+        |SELECT rank_, source, doc_id, slot, same_source_gap
+        |FROM g WHERE rank_ <= 40 ORDER BY rank_""") { (s, dir) =>
+      import s.implicits._
+      val sl = T(s, dir, "documents")
+        .select($"doc_id", $"source",
+          row_number().over(Window.partitionBy($"source")
+            .orderBy($"doc_id")).cast("long").as("slot"))
+      val r = sl.withColumn("rank_",
+        row_number().over(Window.orderBy($"slot", $"source", $"doc_id"))
+          .cast("long"))
+      r.withColumn("same_source_gap",
+          coalesce($"rank_" - lag($"rank_", 1).over(
+            Window.partitionBy($"source").orderBy($"rank_")), lit(0L)))
+        .filter($"rank_" <= 40)
+        .select($"rank_", $"source", $"doc_id", $"slot", $"same_source_gap")
+        .orderBy($"rank_")
+    },
   )
 }

@@ -640,6 +640,18 @@ object PlanAudit {
       "trim weights computed on the compacted value domain" -> "Window",
       "value compaction partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
+    "q304_crawl_schedule" -> Seq(
+      "slot assignment is one per-source window pass" -> "Window",
+      "no join anywhere" -> "!Join",
+      "only doc_id and source read" -> "ReadSchema: struct<doc_id:bigint,source:string>"),
+    "q305_late_dimension" -> Seq(
+      "park/resolve are keyed ANTI/SEMI with dim keys broadcast" -> "BroadcastHashJoin LeftAnti",
+      "resolution is a broadcast semi join" -> "LeftSemi",
+      "facts read key columns only" -> "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+    "q306_encoding_advisor" -> Seq(
+      "per-column profiles are single-pass aggregations" -> "HashAggregate",
+      "distinct-bytes side broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "no cartesian beyond the 1-row profile assembly" -> "!CartesianProduct"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
