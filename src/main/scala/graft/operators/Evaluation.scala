@@ -1461,5 +1461,64 @@ object Evaluation {
             (cell("MACHINERY", "post") - cell("MACHINERY", "pre")))
             .as("did_c"))
     },
+
+    q("q309_design_effect",
+      // Cluster-sampling design effect: the ANOVA intraclass correlation
+      // of account balances within nations and DEFF = 1 + (m-1)*ICC — the
+      // variance-inflation factor that says how much a cluster-randomized
+      // experiment (or cluster sample) loses vs simple random sampling;
+      // the number that sizes geo experiments. Exact DECIMAL(38,0)/HUGEINT
+      // sums of shifted non-negative cents feed ONE trailing IEEE chain
+      // (MSB/MSW/ICC/DEFF written op-for-op identically). One group
+      // aggregation; everything after runs on 25 rows.
+      """WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000 AS y
+        |  FROM customer),
+        |pg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(y) AS HUGEINT) AS s,
+        |    CAST(SUM(y*y) AS HUGEINT) AS ss FROM v GROUP BY g),
+        |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+        |    CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(s) AS HUGEINT) AS st,
+        |    CAST(SUM(ss) AS HUGEINT) AS sst,
+        |    CAST(SUM((s*s) // n) AS HUGEINT) AS sbn FROM pg),
+        |m AS (SELECT CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT)
+        |      AS n_groups,
+        |    CAST(sbn - (st*st) // nn AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |      AS msb,
+        |    CAST(sst - sbn AS DOUBLE) / CAST(nn - k AS DOUBLE) AS msw,
+        |    CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) AS mbar
+        |  FROM t)
+        |SELECT n_rows, n_groups,
+        |  CAST(FLOOR((msb - msw) / (msb + (mbar - 1.0) * msw)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS icc_ppm,
+        |  CAST(FLOOR((1.0 + (mbar - 1.0)
+        |      * ((msb - msw) / (msb + (mbar - 1.0) * msw)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS deff_ppm
+        |FROM m""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val pg = T(s, dir, "customer")
+        .select($"c_nationkey".cast("long").as("g"),
+          (floor($"c_acctbal" * 100 + 0.5).cast("long") + 100000L).as("y"))
+        .groupBy($"g")
+        .agg(count(lit(1)).cast(D).as("n"), sum($"y").cast(D).as("s"),
+          sum(($"y" * $"y").cast(D)).as("ss"))
+      pg.agg(count(lit(1)).cast(D).as("k"), sum($"n").as("nn"),
+          sum($"s").as("st"), sum($"ss").as("sst"),
+          sum(expr("(s*s) div n")).as("sbn"))
+        .select($"nn".cast("long").as("n_rows"),
+          $"k".cast("long").as("n_groups"),
+          expr("CAST(sbn - (st*st) div nn AS DOUBLE) " +
+            "/ CAST(k - 1 AS DOUBLE)").as("msb"),
+          expr("CAST(sst - sbn AS DOUBLE) / CAST(nn - k AS DOUBLE)")
+            .as("msw"),
+          expr("CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)").as("mbar"))
+        .select($"n_rows", $"n_groups",
+          expr("CAST(FLOOR((msb - msw) / (msb + (mbar - 1.0) * msw) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("icc_ppm"),
+          expr("CAST(FLOOR((1.0 + (mbar - 1.0) " +
+            "* ((msb - msw) / (msb + (mbar - 1.0) * msw))) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("deff_ppm"))
+    },
   )
 }

@@ -1104,5 +1104,45 @@ object EventTime {
             "* 1000000.0 + 0.5) AS BIGINT)").as("corr_ppm"))
         .orderBy($"day")
     },
+
+    q("q308_backfill_plan",
+      // Backfill planner: per event type, how many days of the corpus
+      // span are missing entirely and how many rows a backfill should
+      // expect (missing days x the type's observed daily average) — the
+      // work-order list q235's partition backfill executes. The expected
+      // grid comes from the span boundaries (broadcast), presence from
+      // the one (type, day) aggregation, and the whole report runs on
+      // type-sized rows.
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, day),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        |sp AS (SELECT CAST(date_diff('day', lo, hi) + 1 AS BIGINT)
+        |    AS n_days FROM b),
+        |a AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_present,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows
+        |  FROM d GROUP BY event_type)
+        |SELECT a.event_type, sp.n_days AS n_expected_days, a.n_present,
+        |  sp.n_days - a.n_present AS n_missing,
+        |  CAST((sp.n_days - a.n_present) * (a.n_rows // a.n_present)
+        |    AS BIGINT) AS est_backfill_rows
+        |FROM a, sp ORDER BY a.event_type""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached) // span + per-type rollup
+      val sp = d.agg(min($"day").as("lo"), max($"day").as("hi"))
+        .select((datediff($"hi", $"lo") + 1).cast("long").as("n_days"))
+      d.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_present"), sum($"n").as("n_rows"))
+        .crossJoin(broadcast(sp))
+        .select($"event_type", $"n_days".as("n_expected_days"),
+          $"n_present", ($"n_days" - $"n_present").as("n_missing"),
+          expr("(n_days - n_present) * (n_rows div n_present)")
+            .as("est_backfill_rows"))
+        .orderBy($"event_type")
+    },
   )
 }

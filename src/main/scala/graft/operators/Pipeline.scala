@@ -1139,5 +1139,52 @@ object Pipeline {
           ($"n_customers" === $"n_tokens" &&
             $"joined_raw" === $"joined_token").as("lossless"))
     },
+
+    q("q307_shadow_gate_diff",
+      // Shadow-deployment agreement matrix for a quality-gate change: the
+      // candidate gate (tighter length band) runs ALONGSIDE the live gate
+      // over the same corpus and the report is the 2x2 keep/drop
+      // confusion — both_keep / only_live / only_candidate / both_drop
+      // with corpus shares — plus the flip rate the rollout review
+      // thresholds on. One map-side double evaluation + a 4-key
+      // aggregation; no second corpus pass, which is the whole point of
+      // shadowing the gate instead of re-running the pipeline.
+      """WITH g AS (SELECT doc_id,
+        |    n_chars BETWEEN 100 AND 3000 AS live,
+        |    n_chars BETWEEN 150 AND 2500 AS cand
+        |  FROM documents),
+        |c AS (SELECT CASE
+        |      WHEN live AND cand THEN 'both_keep'
+        |      WHEN live AND NOT cand THEN 'only_live'
+        |      WHEN cand AND NOT live THEN 'only_candidate'
+        |      ELSE 'both_drop' END AS cell,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY cell),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN cell IN ('only_live', 'only_candidate')
+        |      THEN n ELSE 0 END) AS BIGINT) AS flips FROM c)
+        |SELECT c.cell, c.n,
+        |  CAST((1000000 * c.n) // t.total AS BIGINT) AS share_ppm,
+        |  CAST((1000000 * t.flips) // t.total AS BIGINT) AS flip_ppm
+        |FROM c, t ORDER BY cell""") { (s, dir) =>
+      import s.implicits._
+      val c = T(s, dir, "documents")
+        .select($"n_chars".between(100, 3000).as("live"),
+          $"n_chars".between(150, 2500).as("cand"))
+        .groupBy(when($"live" && $"cand", "both_keep")
+          .when($"live" && !$"cand", "only_live")
+          .when($"cand" && !$"live", "only_candidate")
+          .otherwise("both_drop").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached) // totals + report
+      val t = c.agg(sum($"n").as("total"),
+        sum(when($"cell".isin("only_live", "only_candidate"), $"n")
+          .otherwise(0L)).as("flips"))
+      c.crossJoin(broadcast(t))
+        .select($"cell", $"n",
+          expr("(1000000 * n) div total").as("share_ppm"),
+          expr("(1000000 * flips) div total").as("flip_ppm"))
+        .orderBy($"cell")
+    },
   )
 }

@@ -652,6 +652,18 @@ object PlanAudit {
       "per-column profiles are single-pass aggregations" -> "HashAggregate",
       "distinct-bytes side broadcast (1 row)" -> "BroadcastNestedLoopJoin",
       "no cartesian beyond the 1-row profile assembly" -> "!CartesianProduct"),
+    "q307_shadow_gate_diff" -> Seq(
+      "both gates evaluate in one map-side pass" -> "HashAggregate",
+      "no join anywhere (confusion cells from one aggregation)" -> "!SortMergeJoin",
+      "only n_chars read" -> "ReadSchema: struct<n_chars:bigint>"),
+    "q308_backfill_plan" -> Seq(
+      "presence counts partial-aggregate map-side" -> "HashAggregate",
+      "span broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "only ts and event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
+    "q309_design_effect" -> Seq(
+      "per-cluster moments partial-aggregate map-side" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only nationkey and acctbal read" -> "ReadSchema: struct<c_nationkey:int,c_acctbal:double>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
