@@ -1144,5 +1144,48 @@ object EventTime {
             .as("est_backfill_rows"))
         .orderBy($"event_type")
     },
+
+    q("q310_bot_regularity",
+      // Automation / bot detection by inter-arrival regularity: humans
+      // burst and idle, schedulers tick — so a LOW squared coefficient of
+      // variation of the gap series is the bot signal. Per user (>= 10
+      // events), CV² in ppm from exact moments: (n·Σd² − (Σd)²) / (Σd)²,
+      // cross-multiplied and widened through DECIMAL(38,0)/HUGEINT (gap
+      // sums in micros square past BIGINT). One LAG window on the user
+      // ordering + one keyed aggregation; top-20 most regular via
+      // TakeOrderedAndProject with the < 0.1 CV² flag riding along.
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(COUNT(d) AS HUGEINT) AS n,
+        |    CAST(SUM(d) AS HUGEINT) AS sd,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ssd
+        |  FROM g WHERE d IS NOT NULL GROUP BY user_id
+        |  HAVING COUNT(d) >= 9)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST((1000000 * (n * ssd - sd * sd)) // (sd * sd) AS BIGINT)
+        |    AS cv2_ppm,
+        |  (1000000 * (n * ssd - sd * sd)) // (sd * sd) < 100000
+        |    AS bot_like
+        |FROM m ORDER BY cv2_ppm, user_id LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id",
+          (expr("unix_micros(ts)") -
+            lag(expr("unix_micros(ts)"), 1).over(w)).as("d"))
+        .filter($"d".isNotNull)
+        .groupBy($"user_id")
+        .agg(count($"d").cast(D).as("n"), sum($"d").cast(D).as("sd"),
+          sum(($"d".cast(D)) * $"d").as("ssd"))
+        .filter($"n" >= 9)
+        .select($"user_id", $"n".cast("long").as("n_gaps"),
+          expr("CAST((1000000 * (n * ssd - sd * sd)) div (sd * sd) " +
+            "AS BIGINT)").as("cv2_ppm"))
+        .withColumn("bot_like", $"cv2_ppm" < 100000L)
+        .orderBy($"cv2_ppm", $"user_id").limit(20)
+    },
   )
 }

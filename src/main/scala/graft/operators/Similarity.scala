@@ -876,5 +876,78 @@ object Similarity {
             .as("drift_q2"))
         .orderBy($"label")
     },
+
+    q("q311_quantization_ladder", {
+      val dot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(len(qv)), i -> qv[CAST(i+1 AS INT)] " +
+        "* cv[CAST(i+1 AS INT)])), (acc, x) -> acc + x)"
+      // Quantization-ladder retrieval eval: per probe, the top-10 under
+      // 4-bit codes vs the top-10 under 8-bit codes (both on the SAME
+      // global scale) — overlap@10 says whether the 8x-smaller index
+      // still retrieves the same neighbors, BEFORE committing the fleet
+      // to int4. All-integer dots (graft_doti / list_reduce), brute-force
+      // over the corpus as the eval (run on a sample at scale — the
+      // metric, not the index, is the operator); deterministic
+      // (dot, cand) tie-breaks.
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |q8 AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+         |        AS BIGINT)) AS v
+         |  FROM embeddings, m),
+         |q4 AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 7.0 / gm + 0.5)
+         |        AS BIGINT)) AS v
+         |  FROM embeddings, m),
+         |pr AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 2),
+         |d8 AS (SELECT q_id, cand, $dot AS dot FROM (
+         |  SELECT p.vec_id AS q_id, c.vec_id AS cand, pq.v AS qv, c.v AS cv
+         |  FROM pr p JOIN q8 pq ON pq.vec_id = p.vec_id
+         |    JOIN q8 c ON c.vec_id <> p.vec_id)),
+         |t8 AS (SELECT q_id, cand FROM (
+         |  SELECT q_id, cand, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, cand) AS rn FROM d8) WHERE rn <= 10),
+         |d4 AS (SELECT q_id, cand, $dot AS dot FROM (
+         |  SELECT p.vec_id AS q_id, c.vec_id AS cand, pq.v AS qv, c.v AS cv
+         |  FROM pr p JOIN q4 pq ON pq.vec_id = p.vec_id
+         |    JOIN q4 c ON c.vec_id <> p.vec_id)),
+         |t4 AS (SELECT q_id, cand FROM (
+         |  SELECT q_id, cand, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, cand) AS rn FROM d4) WHERE rn <= 10)
+         |SELECT t8.q_id, CAST(COUNT(t4.cand) AS BIGINT) AS n_common,
+         |  CAST((1000000 * COUNT(t4.cand)) // 10 AS BIGINT) AS overlap_ppm
+         |FROM t8 LEFT JOIN t4 ON t4.q_id = t8.q_id AND t4.cand = t8.cand
+         |GROUP BY t8.q_id ORDER BY t8.q_id"""
+      }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      def quant(scale: String): DataFrame = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            s"* $scale / gm + 0.5) AS BIGINT))").as("v"))
+      def topk(qz: DataFrame): DataFrame = {
+        val cached = qz.transform(graft.CacheScope.cached)
+        broadcast(cached.filter($"vec_id" % 25 === 2)
+            .select($"vec_id".as("q_id"), $"v".as("qv")))
+          .join(cached.select($"vec_id".as("cand"), $"v".as("cv")),
+            $"q_id" =!= $"cand")
+          .withColumn("dot", expr("graft_doti(qv, cv)"))
+          .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+            .orderBy($"dot".desc, $"cand")))
+          .filter($"rn" <= 10)
+          .select($"q_id", $"cand")
+      }
+      val t8 = topk(quant("127.0"))
+      val t4 = topk(quant("7.0")).withColumnRenamed("cand", "cand4")
+      t8.join(t4, t8("q_id") === t4("q_id") && $"cand" === $"cand4", "left")
+        .groupBy(t8("q_id").as("q_id"))
+        .agg(count($"cand4").as("n_common"),
+          expr("(1000000 * COUNT(cand4)) div 10").as("overlap_ppm"))
+        .orderBy($"q_id")
+    },
   )
 }

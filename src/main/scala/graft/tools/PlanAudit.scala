@@ -664,6 +664,14 @@ object PlanAudit {
       "per-cluster moments partial-aggregate map-side" -> "HashAggregate",
       "no join anywhere" -> "!Join",
       "only nationkey and acctbal read" -> "ReadSchema: struct<c_nationkey:int,c_acctbal:double>"),
+    "q310_bot_regularity" -> Seq(
+      "gap series is one LAG window on the user partitioning" -> "Window",
+      "moments partial-aggregate map-side" -> "HashAggregate",
+      "top-20 without a global sort" -> "TakeOrderedAndProject"),
+    "q311_quantization_ladder" -> Seq(
+      "probe side broadcast before both brute passes" -> "BroadcastNestedLoopJoin",
+      "per-probe top-10 are windows on the probe partitioning" -> "Window",
+      "overlap join is keyed equi" -> "!CartesianProduct"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
