@@ -1187,5 +1187,48 @@ object EventTime {
         .withColumn("bot_like", $"cv2_ppm" < 100000L)
         .orderBy($"cv2_ppm", $"user_id").limit(20)
     },
+
+    q("q313_percentile_ribbon",
+      // Daily p10/p50/p90 ribbon of event values — the spread band every
+      // latency/spend dashboard draws around its median line. Exact order
+      // statistics per day over the COMPACTED (day, cents) domain:
+      // cumulative counts + cross-multiplied threshold picks (10·cum >=
+      // total / 2·cum >= total / 10·cum >= 9·total), so no float
+      // percentile and no per-row rank over raw events. One compaction
+      // shuffle; the windows run per day on value-domain-sized frames.
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY day, cents),
+        |c AS (SELECT day, cents, cnt,
+        |    SUM(cnt) OVER (PARTITION BY day ORDER BY cents) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY day) AS total FROM g)
+        |SELECT day, CAST(MIN(total) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN 10 * cum >= total THEN cents END) AS BIGINT)
+        |    AS p10_c,
+        |  CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT)
+        |    AS p50_c,
+        |  CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN cents END)
+        |    AS BIGINT) AS p90_c
+        |FROM c GROUP BY day ORDER BY day""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"),
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"day").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("total", sum($"cnt").over(wt))
+        .groupBy($"day")
+        .agg(min($"total").as("n"),
+          min(when(lit(10) * $"cum" >= $"total", $"cents")).as("p10_c"),
+          min(when(lit(2) * $"cum" >= $"total", $"cents")).as("p50_c"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"total", $"cents"))
+            .as("p90_c"))
+        .orderBy($"day")
+    },
   )
 }

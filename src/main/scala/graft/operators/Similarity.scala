@@ -949,5 +949,107 @@ object Similarity {
           expr("(1000000 * COUNT(cand4)) div 10").as("overlap_ppm"))
         .orderBy($"q_id")
     },
+
+    q("q312_class_separation",
+      // Embedding class-separation diagnostic WITHOUT materializing any
+      // pair: all mean pairwise squared distances come from per-label
+      // sufficient statistics (n, per-dim sum vector S, Σ||x||²) via the
+      // identities Σ_{i≠j}||xi−xj||² = 2(n·Q − ||S||²) (intra) and
+      // Σ_{i∈A,j∈B} = n_B·Q_A + n_A·Q_B − 2⟨S_A,S_B⟩ (inter) — ONE
+      // aggregation over the corpus however large it is, then label-pair
+      // arithmetic on a 10-row table. Reported per label: intra average,
+      // the NEAREST other label's inter average, and their ratio — the
+      // are-my-labels-actually-clusters check run before trusting them
+      // for training. Integer-exact on globally-scaled int8 codes.
+      """WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+        |qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+        |        AS BIGINT)) AS v
+        |  FROM embeddings, m),
+        |d AS (SELECT label, CAST(i AS BIGINT) AS dim, qv AS q
+        |  FROM (SELECT label, v, unnest(v) AS qv,
+        |      generate_subscripts(v, 1) AS i FROM qz)),
+        |sums AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd
+        |  FROM d GROUP BY label, dim),
+        |st AS (SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS s2
+        |  FROM sums GROUP BY label),
+        |nq AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q2) AS BIGINT) AS qq FROM
+        |  (SELECT label, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(v, x -> x * x)), (a, x) -> a + x) AS q2
+        |    FROM qz) GROUP BY label),
+        |lab AS (SELECT nq.label, nq.n, nq.qq, st.s2,
+        |    (2 * (nq.n * nq.qq - st.s2)) // (nq.n * (nq.n - 1))
+        |      AS intra_avg
+        |  FROM nq JOIN st ON st.label = nq.label),
+        |cross_ AS (SELECT a.label AS la, b.label AS lb,
+        |    CAST(SUM(sa.sd * sb.sd) AS BIGINT) AS sab,
+        |    MIN(a.n) AS na, MIN(b.n) AS nb,
+        |    MIN(a.qq) AS qa, MIN(b.qq) AS qb
+        |  FROM lab a JOIN lab b ON a.label <> b.label
+        |    JOIN sums sa ON sa.label = a.label
+        |    JOIN sums sb ON sb.label = b.label AND sb.dim = sa.dim
+        |  GROUP BY la, lb),
+        |inter AS (SELECT la, lb,
+        |    (nb * qa + na * qb - 2 * sab) // (na * nb) AS inter_avg
+        |  FROM cross_),
+        |nearest AS (SELECT la AS label, lb AS nearest_label, inter_avg,
+        |    ROW_NUMBER() OVER (PARTITION BY la ORDER BY inter_avg, lb)
+        |      AS rn FROM inter)
+        |SELECT l.label, l.n, CAST(l.intra_avg AS BIGINT) AS intra_avg_q2,
+        |  ne.nearest_label, CAST(ne.inter_avg AS BIGINT) AS inter_avg_q2,
+        |  CAST((1000000 * ne.inter_avg) // l.intra_avg AS BIGINT)
+        |    AS separation_ppm
+        |FROM lab l JOIN nearest ne ON ne.label = l.label AND ne.rn = 1
+        |ORDER BY l.label""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", $"label".cast("long").as("label"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 127.0 / gm + 0.5) AS BIGINT))").as("v"))
+        .transform(graft.CacheScope.cached) // per-dim sums + self-dots
+      val sums = qz
+        .select($"label", posexplode($"v"))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
+        .agg(sum($"col").as("sd"))
+        .transform(graft.CacheScope.cached) // ||S||^2 + cross terms
+      val st = sums.groupBy($"label").agg(sum($"sd" * $"sd").as("s2"))
+      val nq = qz
+        .select($"label",
+          expr("aggregate(transform(v, x -> x * x), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)").as("q2"))
+        .groupBy($"label").agg(count(lit(1)).as("n"), sum($"q2").as("qq"))
+      val lab = nq.join(st, Seq("label"))
+        .withColumn("intra_avg",
+          expr("(2 * (n * qq - s2)) div (n * (n - 1))"))
+        .transform(graft.CacheScope.cached) // pair arithmetic both sides
+      val cross = lab.as("a")
+        .join(lab.as("b"), $"a.label" =!= $"b.label")
+        .join(sums.as("sa"), $"sa.label" === $"a.label")
+        .join(sums.as("sb"),
+          $"sb.label" === $"b.label" && $"sb.dim" === $"sa.dim")
+        .groupBy($"a.label".as("la"), $"b.label".as("lb"))
+        .agg(sum($"sa.sd" * $"sb.sd").as("sab"),
+          min($"a.n").as("na"), min($"b.n").as("nb"),
+          min($"a.qq").as("qa"), min($"b.qq").as("qb"))
+        .withColumn("inter_avg",
+          expr("(nb * qa + na * qb - 2 * sab) div (na * nb)"))
+      val nearest = cross
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"la").orderBy($"inter_avg", $"lb")))
+        .filter($"rn" === 1)
+        .select($"la".as("label"), $"lb".as("nearest_label"), $"inter_avg")
+      lab.join(nearest, Seq("label"))
+        .select($"label", $"n", $"intra_avg".cast("long").as("intra_avg_q2"),
+          $"nearest_label", $"inter_avg".cast("long").as("inter_avg_q2"),
+          expr("(1000000 * inter_avg) div intra_avg").as("separation_ppm"))
+        .orderBy($"label")
+    },
   )
 }

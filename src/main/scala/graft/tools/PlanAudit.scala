@@ -672,6 +672,14 @@ object PlanAudit {
       "probe side broadcast before both brute passes" -> "BroadcastNestedLoopJoin",
       "per-probe top-10 are windows on the probe partitioning" -> "Window",
       "overlap join is keyed equi" -> "!CartesianProduct"),
+    "q312_class_separation" -> Seq(
+      "sufficient statistics partial-aggregate map-side" -> "HashAggregate",
+      "label-pair arithmetic runs on the 10-row table" -> "BroadcastHashJoin",
+      "no pairwise distance materialization" -> "!CartesianProduct"),
+    "q313_percentile_ribbon" -> Seq(
+      "order statistics over the compacted (day, cents) domain" -> "Window",
+      "compaction partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere" -> "!Join"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
