@@ -572,5 +572,149 @@ object Dedup {
           $"n_chars".as("rep_chars"), ($"n_members" - 1).as("n_purged"))
         .orderBy($"cluster_md5")
     },
+
+    q("q314_lsh_tuner",
+      // MinHash-LSH parameter auto-tuner: the measured pairwise-Jaccard
+      // decile masses of a deterministic corpus sample are pushed through
+      // the S-curve p(s) = 1-(1-s^r)^b for every 16-signature (bands,
+      // rows) split, yielding expected recall (sim >= 0.5 pairs) and
+      // expected candidate-FP rate per config — the evidence for choosing
+      // q42's knobs instead of folklore. The S-curve values at decile
+      // midpoints are INLINED integer-ppm constants (computing pow() at
+      // runtime would put libm in an equality-checked column); the data
+      // enters only through the decile masses. Sample-pair exact Jaccard
+      // runs on the 50% sample's gram postings — the tuning cost model at
+      // any corpus scale.
+      """WITH sd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT DISTINCT doc_id,
+        |    md5(list_aggregate(w[CAST(i AS INT):CAST(i+2 AS INT)],
+        |      'string_agg', ' ')) AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |    FROM sd)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g
+        |  GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY da, db),
+        |jp AS (SELECT LEAST((10 * (1000000 * ix.inter
+        |      // (sa.n + sb.n - ix.inter))) // 1000000, 9) AS dec_,
+        |    CAST(COUNT(*) AS BIGINT) AS mass
+        |  FROM ix JOIN sz sa ON sa.doc_id = ix.da
+        |    JOIN sz sb ON sb.doc_id = ix.db
+        |  GROUP BY dec_),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST((SELECT COUNT(*) FROM sz) AS BIGINT) AS nd FROM ix),
+        |m0 AS (SELECT d.k AS dec_,
+        |    CASE WHEN d.k = 0 THEN COALESCE(jp.mass, 0)
+        |      + (tot.nd * (tot.nd - 1)) // 2 - tot.np
+        |    ELSE COALESCE(jp.mass, 0) END AS mass
+        |  FROM (SELECT unnest(range(0, 10)) AS k) d
+        |  LEFT JOIN jp ON jp.dec_ = d.k, tot),
+        |p AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT)
+        |    AS rows_, CAST(k AS BIGINT) AS dec_, CAST(pp AS BIGINT)
+        |    AS p_ppm
+        |  FROM (VALUES
+        |    (16,1,0,559873),(16,1,1,925749),(16,1,2,989977),
+        |    (16,1,3,998985),(16,1,4,999930),(16,1,5,999997),
+        |    (16,1,6,1000000),(16,1,7,1000000),(16,1,8,1000000),
+        |    (16,1,9,1000000),
+        |    (8,2,0,19826),(8,2,1,166445),(8,2,2,403281),(8,2,3,648458),
+        |    (8,2,4,836377),(8,2,5,943979),(8,2,6,987629),(8,2,7,998658),
+        |    (8,2,8,999965),(8,2,9,1000000),
+        |    (4,4,0,25),(4,4,1,2023),(4,4,2,15534),(4,4,3,58687),
+        |    (4,4,4,154209),(4,4,5,318779),(4,4,6,544575),(4,4,7,781630),
+        |    (4,4,8,947798),(4,4,9,998816),
+        |    (2,8,0,0),(2,8,1,1),(2,8,2,31),(2,8,3,450),(2,8,4,3360),
+        |    (2,8,5,16677),(2,8,6,62714),(2,8,7,190203),(2,8,8,470730),
+        |    (2,8,9,886714),
+        |    (1,16,0,0),(1,16,1,0),(1,16,2,0),(1,16,3,0),(1,16,4,3),
+        |    (1,16,5,70),(1,16,6,1015),(1,16,7,10023),(1,16,8,74251),
+        |    (1,16,9,440127)) v(b, r, k, pp))
+        |SELECT p.bands, p.rows_,
+        |  CAST(CASE WHEN SUM(CASE WHEN p.dec_ >= 5 THEN m0.mass ELSE 0
+        |      END) = 0 THEN -1
+        |    ELSE SUM(CASE WHEN p.dec_ >= 5 THEN m0.mass * p.p_ppm
+        |      ELSE 0 END)
+        |      // SUM(CASE WHEN p.dec_ >= 5 THEN m0.mass ELSE 0 END)
+        |    END AS BIGINT) AS est_recall_ppm,
+        |  CAST(CASE WHEN SUM(CASE WHEN p.dec_ < 5 THEN m0.mass ELSE 0
+        |      END) = 0 THEN -1
+        |    ELSE SUM(CASE WHEN p.dec_ < 5 THEN m0.mass * p.p_ppm
+        |      ELSE 0 END)
+        |      // SUM(CASE WHEN p.dec_ < 5 THEN m0.mass ELSE 0 END)
+        |    END AS BIGINT) AS est_fp_ppm
+        |FROM p JOIN m0 ON m0.dec_ = p.dec_
+        |GROUP BY p.bands, p.rows_ ORDER BY p.bands DESC""") { (s, dir) =>
+      import s.implicits._
+      val sd = T(s, dir, "documents")
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", split($"text", " ").as("w"))
+      val g = sd
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(1, size(w) - 2)), " +
+            "i -> concat_ws(' ', slice(w, i, 3)))")).as("gr"))
+        .filter(expr("size(split(gr, ' ')) = 3"))
+        .select($"doc_id", md5($"gr".cast("binary")).as("gram")).distinct()
+        .transform(graft.CacheScope.cached) // sizes + intersections
+      val sz = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val ix = g.as("a")
+        .join(g.as("b"),
+          $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .transform(graft.CacheScope.cached) // masses + totals
+      val jp = ix
+        .join(broadcast(sz.select($"doc_id".as("da"), $"n".as("na"))),
+          Seq("da"))
+        .join(broadcast(sz.select($"doc_id".as("db"), $"n".as("nb"))),
+          Seq("db"))
+        .groupBy(expr("LEAST((10 * (1000000 * inter " +
+          "div (na + nb - inter))) div 1000000, 9)").as("dec_"))
+        .agg(count(lit(1)).as("mass"))
+      val tot = ix.agg(count(lit(1)).as("np"))
+        .crossJoin(broadcast(sz.agg(count(lit(1)).as("nd"))))
+      val spine = Seq.range(0L, 10L).toDF("dec_")
+      val m0 = spine.join(jp, Seq("dec_"), "left")
+        .withColumn("mass", coalesce($"mass", lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("mass", when($"dec_" === 0,
+          $"mass" + expr("(nd * (nd - 1)) div 2") - $"np")
+          .otherwise($"mass"))
+        .select($"dec_", $"mass")
+      val p = Seq(
+          (16L,1L,0L,559873L),(16L,1L,1L,925749L),(16L,1L,2L,989977L),
+          (16L,1L,3L,998985L),(16L,1L,4L,999930L),(16L,1L,5L,999997L),
+          (16L,1L,6L,1000000L),(16L,1L,7L,1000000L),(16L,1L,8L,1000000L),
+          (16L,1L,9L,1000000L),
+          (8L,2L,0L,19826L),(8L,2L,1L,166445L),(8L,2L,2L,403281L),
+          (8L,2L,3L,648458L),(8L,2L,4L,836377L),(8L,2L,5L,943979L),
+          (8L,2L,6L,987629L),(8L,2L,7L,998658L),(8L,2L,8L,999965L),
+          (8L,2L,9L,1000000L),
+          (4L,4L,0L,25L),(4L,4L,1L,2023L),(4L,4L,2L,15534L),
+          (4L,4L,3L,58687L),(4L,4L,4L,154209L),(4L,4L,5L,318779L),
+          (4L,4L,6L,544575L),(4L,4L,7L,781630L),(4L,4L,8L,947798L),
+          (4L,4L,9L,998816L),
+          (2L,8L,0L,0L),(2L,8L,1L,1L),(2L,8L,2L,31L),(2L,8L,3L,450L),
+          (2L,8L,4L,3360L),(2L,8L,5L,16677L),(2L,8L,6L,62714L),
+          (2L,8L,7L,190203L),(2L,8L,8L,470730L),(2L,8L,9L,886714L),
+          (1L,16L,0L,0L),(1L,16L,1L,0L),(1L,16L,2L,0L),(1L,16L,3L,0L),
+          (1L,16L,4L,3L),(1L,16L,5L,70L),(1L,16L,6L,1015L),
+          (1L,16L,7L,10023L),(1L,16L,8L,74251L),(1L,16L,9L,440127L))
+        .toDF("bands", "rows_", "dec_", "p_ppm")
+      p.join(broadcast(m0), Seq("dec_"))
+        .groupBy($"bands", $"rows_")
+        .agg(
+          expr("CAST(CASE WHEN SUM(CASE WHEN dec_ >= 5 THEN mass ELSE 0 " +
+            "END) = 0 THEN -1 ELSE SUM(CASE WHEN dec_ >= 5 THEN mass * " +
+            "p_ppm ELSE 0 END) div SUM(CASE WHEN dec_ >= 5 THEN mass " +
+            "ELSE 0 END) END AS BIGINT)").as("est_recall_ppm"),
+          expr("CAST(CASE WHEN SUM(CASE WHEN dec_ < 5 THEN mass ELSE 0 " +
+            "END) = 0 THEN -1 ELSE SUM(CASE WHEN dec_ < 5 THEN mass * " +
+            "p_ppm ELSE 0 END) div SUM(CASE WHEN dec_ < 5 THEN mass " +
+            "ELSE 0 END) END AS BIGINT)").as("est_fp_ppm"))
+        .orderBy($"bands".desc)
+    },
   )
 }

@@ -1070,6 +1070,77 @@ object TextAnalysis {
             .as("right_ctx"))
         .orderBy($"doc_id", $"pos").limit(50)
     },
+
+    q("q315_heaps_law",
+      // Heaps'-law vocabulary-growth fit: V(n) ~ K·n^beta estimated by
+      // micro-log OLS over ingest checkpoints (every 50 docs) — the
+      // sizing curve that predicts dictionary/posting growth at 100 TB
+      // from a prefix of the corpus. Cumulative distinct WITHOUT running
+      // dedup: each token collapses to its first-seen checkpoint once
+      // (q204's trick), so both cumulative series are running sums over
+      // the checkpoint-sized table. Same numeric discipline as q264:
+      // per-point micro-log BIGINTs, DECIMAL(38,0)/HUGEINT moment sums,
+      // all-positive floor divisions (beta and ln K are positive here).
+      """WITH tk AS (SELECT doc_id // 50 AS ck,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS toks FROM tk
+        |  GROUP BY ck),
+        |fs AS (SELECT tok, CAST(MIN(ck) AS BIGINT) AS fck FROM tk
+        |  GROUP BY tok),
+        |nv AS (SELECT fck AS ck, CAST(COUNT(*) AS BIGINT) AS new_toks
+        |  FROM fs GROUP BY fck),
+        |pt AS (SELECT tc.ck,
+        |    SUM(tc.toks) OVER (ORDER BY tc.ck) AS cum_toks,
+        |    SUM(COALESCE(nv.new_toks, 0)) OVER (ORDER BY tc.ck)
+        |      AS cum_vocab
+        |  FROM tc LEFT JOIN nv ON nv.ck = tc.ck),
+        |lp AS (SELECT
+        |    CAST(FLOOR(ln(cum_toks) * 1000000 + 0.5) AS BIGINT) AS x,
+        |    CAST(FLOOR(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT) AS y
+        |  FROM pt),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx FROM lp)
+        |SELECT CAST(n AS BIGINT) AS n_checkpoints,
+        |  CAST((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT)
+        |    AS beta_ppm,
+        |  CAST((sy * 1000000 - ((1000000 * (n*sxy - sx*sy))
+        |    // (n*sxx - sx*sx)) * sx) // (1000000 * n) AS BIGINT)
+        |    AS ln_k_micro
+        |FROM m""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val tk = T(s, dir, "documents")
+        .select(expr("doc_id div 50").as("ck"),
+          explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // token counts + first-seen
+      val tc = tk.groupBy($"ck").agg(count(lit(1)).as("toks"))
+      val nv = tk.groupBy($"tok").agg(min($"ck").as("fck"))
+        .groupBy($"fck".as("ck")).agg(count(lit(1)).as("new_toks"))
+      val wc = Window.orderBy($"ck")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pt = tc.join(nv, Seq("ck"), "left")
+        .withColumn("cum_toks", sum($"toks").over(wc))
+        .withColumn("cum_vocab",
+          sum(coalesce($"new_toks", lit(0L))).over(wc))
+      val lp = pt.select(
+        floor(log($"cum_toks".cast("double")) * 1000000d + 0.5d)
+          .cast("long").as("x"),
+        floor(log($"cum_vocab".cast("double")) * 1000000d + 0.5d)
+          .cast("long").as("y"))
+      lp.agg(count(lit(1)).cast(D).as("n"),
+          sum($"x").cast(D).as("sx"), sum($"y").cast(D).as("sy"),
+          sum(($"x" * $"y").cast(D)).as("sxy"),
+          sum(($"x" * $"x").cast(D)).as("sxx"))
+        .select($"n".cast("long").as("n_checkpoints"),
+          expr("CAST((1000000 * (n*sxy - sx*sy)) div (n*sxx - sx*sx) " +
+            "AS BIGINT)").as("beta_ppm"),
+          expr("CAST((sy * 1000000 - ((1000000 * (n*sxy - sx*sy)) " +
+            "div (n*sxx - sx*sx)) * sx) div (1000000 * n) AS BIGINT)")
+            .as("ln_k_micro"))
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

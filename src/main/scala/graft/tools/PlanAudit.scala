@@ -680,6 +680,14 @@ object PlanAudit {
       "order statistics over the compacted (day, cents) domain" -> "Window",
       "compaction partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
+    "q314_lsh_tuner" -> Seq(
+      "sample pairs come from the gram-keyed equi join" -> "HashJoin",
+      "S-curve table and masses meet on the 10-row decile key" -> "BroadcastHashJoin",
+      "no all-pairs cross join" -> "!CartesianProduct"),
+    "q315_heaps_law" -> Seq(
+      "first-seen collapse partial-aggregates map-side" -> "HashAggregate",
+      "cumulative series are windows on the checkpoint domain" -> "Window",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
