@@ -179,9 +179,22 @@ object Codecs {
       }
       y += 1
     }
+    // write with interlacing explicitly DISABLED: the JDK GIF writer
+    // interlaces by default, and its pass bookkeeping corrupts rasters
+    // shorter than ~5 rows (rows 1+ come back scrambled) — found by the
+    // MediaGifProps random-raster law, invisible to the taller fixture.
     val out = new java.io.ByteArrayOutputStream(64 + img.pixels.length / 2)
-    val ok = javax.imageio.ImageIO.write(bi, "gif", out)
-    require(ok, "no ImageIO writer for gif")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 
