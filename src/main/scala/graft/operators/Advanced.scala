@@ -1652,5 +1652,152 @@ object Advanced {
             .as("p90_price_c"))
         .orderBy($"flag")
     },
+
+    q("q316_assortativity",
+      // Degree assortativity of the co-supply graph (Newman 2002): the
+      // Pearson correlation of endpoint degrees over directed edge stubs —
+      // positive means hubs link hubs (social shape), negative means
+      // hub-and-spoke (infrastructure shape); the one-number structure
+      // diagnostic that tells you which skew strategy the graph's joins
+      // need. Degrees come from one aggregation, ride the edge list in a
+      // keyed join, and the moments are exact DECIMAL(38,0)/HUGEINT sums
+      // feeding ONE trailing IEEE chain.
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+        |  FROM lineitem),
+        |w AS (SELECT a.p AS s1, b.p AS s2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY s1, s2),
+        |r AS (SELECT s1, s2, ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2) rn,
+        |    COUNT(*) OVER () nw FROM w),
+        |e0 AS (SELECT s1, s2 FROM r WHERE rn * 10 <= 3 * nw),
+        |adj AS (SELECT s1 AS u, s2 AS v FROM e0
+        |  UNION ALL SELECT s2, s1 FROM e0),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+        |st AS (SELECT du.d AS x, dv.d AS y FROM adj
+        |  JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(y*y) AS HUGEINT) AS syy FROM st)
+        |SELECT CAST(n AS BIGINT) AS n_stubs,
+        |  CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n*syy - sy*sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS assortativity_ppm
+        |FROM m""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
+      val wts = li.as("a")
+        .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val allW = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val e0 = wts
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
+        .withColumn("nw", count(lit(1)).over(allW))
+        .filter($"rn" * 10 <= $"nw" * 3)
+        .select($"s1", $"s2")
+      val adj = e0.select($"s1".as("u"), $"s2".as("v"))
+        .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
+        .transform(graft.CacheScope.cached) // degrees + stub join
+      val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+        .transform(graft.CacheScope.cached) // both stub ends
+      adj
+        .join(broadcast(deg.select($"u".as("ju"), $"d".as("x"))),
+          $"ju" === adj("u"))
+        .join(broadcast(deg.select($"u".as("jv"), $"d".as("y"))),
+          $"jv" === adj("v"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum($"x").cast(D).as("sx"), sum($"y").cast(D).as("sy"),
+          sum(($"x" * $"y").cast(D)).as("sxy"),
+          sum(($"x" * $"x").cast(D)).as("sxx"),
+          sum(($"y" * $"y").cast(D)).as("syy"))
+        .select($"n".cast("long").as("n_stubs"),
+          expr("CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) " +
+            "/ sqrt(CAST(n*sxx - sx*sx AS DOUBLE) " +
+            "* CAST(n*syy - sy*sy AS DOUBLE)) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("assortativity_ppm"))
+    },
+
+    q("q317_modularity",
+      // Modularity of the nation partition on the co-supply graph — does
+      // geography actually explain the graph's community structure, the
+      // yes/no a label-based segmentation needs before anyone trusts it.
+      // Exact rational form: Q*4m^2 = Sum_c (4m*e_cc - d_c^2), emitted as
+      // a SHIFTED floor division in ppm (Q can be negative — q264's
+      // positive-operand trick). Edge endpoints pick up their community
+      // from the broadcast supplier dimension; within-community edges and
+      // community degree sums are two keyed aggregations on the bounded
+      // community table.
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+        |  FROM lineitem),
+        |w AS (SELECT a.p AS s1, b.p AS s2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY s1, s2),
+        |r AS (SELECT s1, s2, ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2) rn,
+        |    COUNT(*) OVER () nw FROM w),
+        |e0 AS (SELECT s1, s2 FROM r WHERE rn * 10 <= 3 * nw),
+        |lab AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS com
+        |  FROM supplier),
+        |el AS (SELECT la.com AS ca, lb.com AS cb FROM e0
+        |  JOIN lab la ON la.s_suppkey = e0.s1
+        |  JOIN lab lb ON lb.s_suppkey = e0.s2),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM el),
+        |ecc AS (SELECT ca AS com, CAST(COUNT(*) AS BIGINT) AS e_in
+        |  FROM el WHERE ca = cb GROUP BY ca),
+        |dc AS (SELECT com, CAST(SUM(cnt) AS BIGINT) AS d FROM (
+        |  SELECT ca AS com, CAST(COUNT(*) AS BIGINT) AS cnt FROM el
+        |    GROUP BY ca
+        |  UNION ALL SELECT cb, CAST(COUNT(*) AS BIGINT) FROM el GROUP BY cb)
+        |  GROUP BY com),
+        |s AS (SELECT CAST(SUM(4 * mm.m * COALESCE(ecc.e_in, 0)
+        |    - dc.d * dc.d) AS BIGINT) AS num, CAST(MIN(mm.m) AS BIGINT) AS m
+        |  FROM dc LEFT JOIN ecc ON ecc.com = dc.com, mm)
+        |SELECT m AS n_edges,
+        |  CAST((1000000 * (num + 4*m*m)) // (4*m*m) - 1000000 AS BIGINT)
+        |    AS modularity_ppm
+        |FROM s""") { (s, dir) =>
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("p")).distinct()
+      val wts = li.as("a")
+        .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val allW = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val e0 = wts
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
+        .withColumn("nw", count(lit(1)).over(allW))
+        .filter($"rn" * 10 <= $"nw" * 3)
+        .select($"s1", $"s2")
+      val lab = T(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("com"))
+      val el = e0
+        .join(broadcast(lab.select($"s_suppkey".as("s1"),
+          $"com".as("ca"))), Seq("s1"))
+        .join(broadcast(lab.select($"s_suppkey".as("s2"),
+          $"com".as("cb"))), Seq("s2"))
+        .select($"ca", $"cb")
+        .transform(graft.CacheScope.cached) // m + e_cc + degree sums
+      val mm = el.agg(count(lit(1)).as("m"))
+      val ecc = el.filter($"ca" === $"cb")
+        .groupBy($"ca".as("com")).agg(count(lit(1)).as("e_in"))
+      val dc = el.groupBy($"ca".as("com")).agg(count(lit(1)).as("cnt"))
+        .unionAll(el.groupBy($"cb".as("com")).agg(count(lit(1)).as("cnt")))
+        .groupBy($"com").agg(sum($"cnt").as("d"))
+      dc.join(broadcast(ecc), Seq("com"), "left")
+        .withColumn("e_in", coalesce($"e_in", lit(0L)))
+        .crossJoin(broadcast(mm))
+        .agg(sum(lit(4L) * $"m" * $"e_in" - $"d" * $"d").as("num"),
+          min($"m").as("m"))
+        .select($"m".as("n_edges"),
+          expr("(1000000 * (num + 4*m*m)) div (4*m*m) - 1000000")
+            .as("modularity_ppm"))
+    },
   )
 }

@@ -688,6 +688,14 @@ object PlanAudit {
       "first-seen collapse partial-aggregates map-side" -> "HashAggregate",
       "cumulative series are windows on the checkpoint domain" -> "Window",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q316_assortativity" -> Seq(
+      "degrees ride the edge list in broadcast keyed joins" -> "BroadcastHashJoin",
+      "moment sums partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q317_modularity" -> Seq(
+      "communities ride the broadcast supplier dimension" -> "BroadcastHashJoin",
+      "within-edge and degree rollups are keyed aggregations" -> "HashAggregate",
+      "no cartesian beyond the 1-row edge total" -> "!SortMergeJoin"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
