@@ -493,5 +493,86 @@ object Relational {
         .distinct()
         .orderBy($"l_returnflag", $"l_linestatus")
     },
+    q("q318_sla_attainment",
+      // Operational SLA attainment: order-to-ship latency per order
+      // priority — share of line items shipped within 30/60/90 days plus
+      // the exact P90 latency, the fulfillment dashboard row. Latencies
+      // are integer day diffs; attainment is a ppm count; P90 is a
+      // cross-multiplied order statistic over the COMPACTED per-priority
+      // latency domain (bounded by the latency range, never fact-sized).
+      // One fact join with the orders side on the join key, one
+      // compaction, windows on the bounded domain.
+      """WITH f AS (SELECT o.o_orderpriority AS pri,
+        |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS lat
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |g AS (SELECT pri, lat, CAST(COUNT(*) AS BIGINT) AS cnt FROM f
+        |  GROUP BY pri, lat),
+        |c AS (SELECT pri, lat, cnt,
+        |    SUM(cnt) OVER (PARTITION BY pri ORDER BY lat) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY pri) AS total FROM g)
+        |SELECT pri, CAST(MIN(total) AS BIGINT) AS n_lines,
+        |  CAST((1000000 * SUM(CASE WHEN lat <= 30 THEN cnt ELSE 0 END))
+        |    // MIN(total) AS BIGINT) AS within_30d_ppm,
+        |  CAST((1000000 * SUM(CASE WHEN lat <= 60 THEN cnt ELSE 0 END))
+        |    // MIN(total) AS BIGINT) AS within_60d_ppm,
+        |  CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN lat END) AS BIGINT)
+        |    AS p90_days
+        |FROM c GROUP BY pri ORDER BY pri""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderpriority".as("pri"),
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("lat"))
+        .groupBy($"pri", $"lat").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"pri").orderBy($"lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"pri")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("total", sum($"cnt").over(wt))
+        .groupBy($"pri")
+        .agg(min($"total").as("n_lines"),
+          expr("(1000000 * SUM(CASE WHEN lat <= 30 THEN cnt ELSE 0 END)) " +
+            "div MIN(total)").as("within_30d_ppm"),
+          expr("(1000000 * SUM(CASE WHEN lat <= 60 THEN cnt ELSE 0 END)) " +
+            "div MIN(total)").as("within_60d_ppm"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"total", $"lat"))
+            .as("p90_days"))
+        .orderBy($"pri")
+    },
+
+    q("q319_mode_agg",
+      // MODE — the most frequent value per group with a fully
+      // deterministic (count DESC, value) tie-break, plus its support
+      // share in ppm: the categorical summary statistic the engine's
+      // min/max/avg family lacked. Two keyed aggregations and one window
+      // on the compacted (group, value) table; no fact-sized ranking.
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY flag, qty),
+        |r AS (SELECT flag, qty, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty)
+        |      AS rn,
+        |    SUM(cnt) OVER (PARTITION BY flag) AS total FROM g)
+        |SELECT flag, qty AS mode_qty, cnt AS mode_count,
+        |  CAST((1000000 * cnt) // total AS BIGINT) AS support_ppm
+        |FROM r WHERE rn = 1 ORDER BY flag""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("flag"),
+          floor($"l_quantity" + 0.5).cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"flag")
+      g.withColumn("rn",
+          row_number().over(w.orderBy($"cnt".desc, $"qty")))
+        .withColumn("total", sum($"cnt").over(w))
+        .filter($"rn" === 1)
+        .select($"flag", $"qty".as("mode_qty"), $"cnt".as("mode_count"),
+          expr("(1000000 * cnt) div total").as("support_ppm"))
+        .orderBy($"flag")
+    },
   )
 }

@@ -696,6 +696,14 @@ object PlanAudit {
       "communities ride the broadcast supplier dimension" -> "BroadcastHashJoin",
       "within-edge and degree rollups are keyed aggregations" -> "HashAggregate",
       "no cartesian beyond the 1-row edge total" -> "!SortMergeJoin"),
+    "q318_sla_attainment" -> Seq(
+      "latency domain compacts before the order-statistic windows" -> "HashAggregate",
+      "orders ride the join key (no cartesian)" -> "!CartesianProduct",
+      "P90 windows run on the bounded latency domain" -> "Window"),
+    "q319_mode_agg" -> Seq(
+      "value compaction partial-aggregates map-side" -> "HashAggregate",
+      "mode picked by a window on the compacted table" -> "Window",
+      "no join anywhere" -> "!Join"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
