@@ -1520,5 +1520,112 @@ object Evaluation {
             "* ((msb - msw) / (msb + (mbar - 1.0) * msw))) " +
             "* 1000000.0 + 0.5) AS BIGINT)").as("deff_ppm"))
     },
+
+    q("q320_fdr_drift_screen",
+      // FDR-controlled multi-source drift screen: q290's two-sample KS
+      // statistic computed for EVERY source against the rest of the
+      // corpus, then Benjamini-Hochberg at alpha=0.05 over all 20 tests —
+      // without the FDR step, screening 20 sources at per-test alpha
+      // fires ~1 false alarm per run by construction. The per-test
+      // statistic is the integer T_micro = (1e6·mx²)//(n1·n2·(n1+n2))
+      // (the exponent of the one-term KS bound p = 2e^{-2T}); the BH
+      // step-up compares the rank-k statistic against the INLINED
+      // constant ln(2m/(alpha·k))/2 in micro units — runtime ln() never
+      // touches an equality-checked column. Every window runs on the
+      // 20-source table; the per-source ECDFs accumulate on merged
+      // compacted value domains.
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY source, v),
+        |dom AS (SELECT DISTINCT v FROM v),
+        |grid AS (SELECT s.source, dom.v,
+        |    COALESCE(g.c, 0) AS c_in
+        |  FROM (SELECT DISTINCT source FROM v) s CROSS JOIN dom
+        |  LEFT JOIN g ON g.source = s.source AND g.v = dom.v),
+        |tot AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM g GROUP BY v),
+        |w AS (SELECT grid.source, grid.v,
+        |    SUM(grid.c_in) OVER (PARTITION BY grid.source ORDER BY grid.v)
+        |      AS cum_in,
+        |    SUM(tot.c_all - grid.c_in) OVER (PARTITION BY grid.source
+        |      ORDER BY grid.v) AS cum_out
+        |  FROM grid JOIN tot ON tot.v = grid.v),
+        |wmx AS (SELECT source, cum_in, cum_out,
+        |    MAX(cum_in) OVER (PARTITION BY source) AS n1,
+        |    MAX(cum_out) OVER (PARTITION BY source) AS n2 FROM w),
+        |st AS (SELECT source, CAST(MIN(n1) AS BIGINT) AS n1,
+        |    CAST(MIN(n2) AS BIGINT) AS n2,
+        |    CAST(MAX(ABS(cum_in * n2 - cum_out * n1)) AS BIGINT) AS mx
+        |  FROM wmx GROUP BY source),
+        |t AS (SELECT source, n1, n2,
+        |    CAST((1000000 * CAST(mx AS HUGEINT) * mx)
+        |      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * n1 * n2)
+        |      AS BIGINT) AS t_micro
+        |  FROM st),
+        |rk AS (SELECT source, n1, n2, t_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t_micro DESC, source)
+        |      AS BIGINT) AS rnk FROM t),
+        |thr AS (SELECT CAST(k AS BIGINT) AS rnk, CAST(th AS BIGINT)
+        |    AS thr_micro FROM (VALUES
+        |  (1, 3342306), (2, 2995732), (3, 2793000), (4, 2649159),
+        |  (5, 2537587), (6, 2446426), (7, 2369351), (8, 2302585),
+        |  (9, 2243694), (10, 2191013), (11, 2143358), (12, 2099853),
+        |  (13, 2059831), (14, 2022777), (15, 1988281), (16, 1956012),
+        |  (17, 1925699), (18, 1897120), (19, 1870086), (20, 1844440))
+        |  x(k, th)),
+        |fl AS (SELECT rk.source, rk.n1, rk.n2, rk.t_micro, rk.rnk,
+        |    thr.thr_micro,
+        |    CASE WHEN rk.t_micro >= thr.thr_micro THEN rk.rnk ELSE 0 END
+        |      AS pass_rnk
+        |  FROM rk JOIN thr ON thr.rnk = rk.rnk),
+        |ks AS (SELECT CAST(MAX(pass_rnk) AS BIGINT) AS kstar FROM fl)
+        |SELECT fl.source, fl.n1, fl.n2, fl.t_micro, fl.rnk,
+        |  fl.thr_micro, fl.rnk <= ks.kstar AS drift_flag
+        |FROM fl, ks ORDER BY fl.rnk""") { (s, dir) =>
+      import s.implicits._
+      val v = T(s, dir, "documents").select($"source", $"n_chars".as("v"))
+      val g = v.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // grid + totals
+      val dom = g.select($"v").distinct()
+      val grid = g.select($"source").distinct()
+        .crossJoin(broadcast(dom))
+        .join(g, Seq("source", "v"), "left")
+        .withColumn("c_in", coalesce($"c", lit(0L)))
+      val tot = g.groupBy($"v").agg(sum($"c").as("c_all"))
+      val wc = Window.partitionBy($"source").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy($"source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val D = "DECIMAL(38,0)"
+      val st = grid.join(tot, Seq("v"))
+        .withColumn("cum_in", sum($"c_in").over(wc))
+        .withColumn("cum_out", sum($"c_all" - $"c_in").over(wc))
+        .withColumn("n1", max($"cum_in").over(wall))
+        .withColumn("n2", max($"cum_out").over(wall))
+        .groupBy($"source")
+        .agg(min($"n1").as("n1"), min($"n2").as("n2"),
+          max(abs($"cum_in" * $"n2" - $"cum_out" * $"n1")).as("mx"))
+      val t = st.select($"source", $"n1", $"n2",
+        expr(s"CAST((1000000 * CAST(mx AS $D) * mx) " +
+          s"div (CAST(n1 AS $D) * n2 * (n1 + n2) * n1 * n2) AS BIGINT)")
+          .as("t_micro"))
+      val thr = Seq((1L,3342306L),(2L,2995732L),(3L,2793000L),
+          (4L,2649159L),(5L,2537587L),(6L,2446426L),(7L,2369351L),
+          (8L,2302585L),(9L,2243694L),(10L,2191013L),(11L,2143358L),
+          (12L,2099853L),(13L,2059831L),(14L,2022777L),(15L,1988281L),
+          (16L,1956012L),(17L,1925699L),(18L,1897120L),(19L,1870086L),
+          (20L,1844440L))
+        .toDF("rnk", "thr_micro")
+      val fl = t.withColumn("rnk", row_number().over(
+          Window.orderBy($"t_micro".desc, $"source")).cast("long"))
+        .join(broadcast(thr), Seq("rnk"))
+        .withColumn("pass_rnk",
+          when($"t_micro" >= $"thr_micro", $"rnk").otherwise(0L))
+        .transform(graft.CacheScope.cached) // k* + report
+      val ks = fl.agg(max($"pass_rnk").as("kstar"))
+      fl.crossJoin(broadcast(ks))
+        .select($"source", $"n1", $"n2", $"t_micro", $"rnk",
+          $"thr_micro", ($"rnk" <= $"kstar").as("drift_flag"))
+        .orderBy($"rnk")
+    },
   )
 }

@@ -704,6 +704,10 @@ object PlanAudit {
       "value compaction partial-aggregates map-side" -> "HashAggregate",
       "mode picked by a window on the compacted table" -> "Window",
       "no join anywhere" -> "!Join"),
+    "q320_fdr_drift_screen" -> Seq(
+      "per-source ECDFs accumulate on the compacted merged grid" -> "Window",
+      "BH thresholds meet ranks in a broadcast keyed join" -> "BroadcastHashJoin",
+      "per-value counts partial-aggregate map-side" -> "HashAggregate"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
