@@ -1627,5 +1627,63 @@ object Evaluation {
           $"thr_micro", ($"rnk" <= $"kstar").as("drift_flag"))
         .orderBy($"rnk")
     },
+
+    q("q321_gini_split",
+      // Decision-stump training: the best single threshold on a feature
+      // (per-user event volume) for predicting conversion, by EXACT
+      // weighted Gini impurity — the split-search primitive inside every
+      // tree ensemble, expressed as cumulative sums over the compacted
+      // feature domain (one candidate per distinct value, never per row).
+      // The weighted impurity collapses to ONE integer fraction:
+      // 2·(posL·negL·nR + posR·negR·nL) / (n·nL·nR) in micro units, so
+      // the argmin can't flap on float error; deterministic (impurity,
+      // threshold) tie-break. Top-5 thresholds emitted with the baseline
+      // (no-split) impurity alongside.
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(y) AS BIGINT) AS pos FROM u GROUP BY x),
+        |c AS (SELECT x, SUM(cnt) OVER (ORDER BY x) AS nl,
+        |    SUM(pos) OVER (ORDER BY x) AS posl,
+        |    SUM(cnt) OVER () AS n, SUM(pos) OVER () AS pos FROM g),
+        |sp AS (SELECT x AS threshold, nl, n - nl AS nr, posl,
+        |    pos - posl AS posr, n, pos FROM c WHERE nl < n),
+        |gi AS (SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+        |    CAST(nr AS BIGINT) AS n_right,
+        |    CAST((2000000 * (posl * (nl - posl) * nr
+        |      + posr * (nr - posr) * nl)) // (n * nl * nr) AS BIGINT)
+        |      AS gini_micro,
+        |    CAST((2000000 * pos * (n - pos)) // (n * n) AS BIGINT)
+        |      AS baseline_micro
+        |  FROM sp)
+        |SELECT threshold, n_left, n_right, gini_micro, baseline_micro
+        |FROM gi ORDER BY gini_micro, threshold LIMIT 5""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("x"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+        .groupBy($"x")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      val wc = Window.orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("nl", sum($"cnt").over(wc))
+        .withColumn("posl", sum($"pos").over(wc))
+        .withColumn("n", sum($"cnt").over(all))
+        .withColumn("pos", sum($"pos").over(all))
+        .filter($"nl" < $"n")
+        .select($"x".as("threshold"), $"nl".as("n_left"),
+          ($"n" - $"nl").as("n_right"),
+          expr("(2000000 * (posl * (nl - posl) * (n - nl) " +
+            "+ (pos - posl) * ((n - nl) - (pos - posl)) * nl)) " +
+            "div (n * nl * (n - nl))").as("gini_micro"),
+          expr("(2000000 * pos * (n - pos)) div (n * n)")
+            .as("baseline_micro"))
+        .orderBy($"gini_micro", $"threshold").limit(5)
+    },
   )
 }

@@ -708,6 +708,10 @@ object PlanAudit {
       "per-source ECDFs accumulate on the compacted merged grid" -> "Window",
       "BH thresholds meet ranks in a broadcast keyed join" -> "BroadcastHashJoin",
       "per-value counts partial-aggregate map-side" -> "HashAggregate"),
+    "q321_gini_split" -> Seq(
+      "candidate splits are the compacted feature domain" -> "Window",
+      "per-user collapse partial-aggregates map-side" -> "HashAggregate",
+      "top-5 without a global sort" -> "TakeOrderedAndProject"),
     "q260_kmv_audience_overlap" -> Seq(
       "per-segment order statistics are window passes" -> "Window",
       "only ts-free columns read (event_type, user_id)" -> "ReadSchema: struct<user_id:bigint,event_type:string>",
