@@ -40,4 +40,15 @@ object ColFns {
   /** SQL mirror of [[r6]]. */
   def r6Sql(expr: String): String =
     s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
+
+  /** Coarser round-half-up (4 decimals) for columns derived from a libm call
+    * (exp/ln) where the two engines may differ by 1 ulp: at 1e-4 granularity a
+    * 1-ulp input divergence cannot flip the floor except on an exact halfway
+    * boundary ~1e-12 wide.
+    */
+  def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+
+  /** SQL mirror of [[r4]]. */
+  def r4Sql(expr: String): String =
+    s"FLOOR(($expr) * 10000 + 0.5) / 10000"
 }

@@ -22,6 +22,46 @@ object Advanced {
     * (shiftleft/shiftright functions) and DuckDB (<</>> operators), so the
     * oracle replicates the curve bit for bit.
     */
+  /** Top-30% co-supply edge selection WITHOUT a pair-sized global window.
+    *
+    * Input: the weighted pair table (s1, s2, c). Output: exactly the first
+    * floor(3·nw/10) pairs in (c DESC, s1, s2) order — bit-identical to the
+    * rank-selection `rn*10 <= 3*nw` that the SQL oracles keep as the SPEC
+    * (the oracle gate therefore certifies this plan's equality on every
+    * fixture). The scale path: a cumulative count over the COMPACTED weight
+    * histogram (bounded by distinct weight values, the q289/q179 discipline)
+    * finds the cutoff weight; every pair strictly inside the quota streams
+    * through a broadcast semi filter, and only the single boundary-weight
+    * tie cell is ranked — with a per-weight PARTITIONED window — to fill the
+    * remaining quota. No Window.orderBy without partitionBy ever sees a
+    * pair-sized input. (Degenerate all-weights-equal graphs would put every
+    * pair in the boundary cell; natural co-supply weights spread across the
+    * histogram, and an approximate variant could shard that cell by hashed
+    * tie instead of (s1,s2).)
+    */
+  private[graft] def topWeightEdges(wts: DataFrame): DataFrame = {
+    val s = wts.sparkSession
+    import s.implicits._
+    val allW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cw = wts.groupBy($"c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"c".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nw", sum($"cnt").over(allW))
+      .withColumn("quota", expr("(3 * nw) div 10"))
+      .select($"c", ($"cum" - $"cnt").as("cum_prev"), $"cum", $"quota")
+    val full = cw.filter($"cum" <= $"quota").select($"c")
+    val bd = cw.filter($"cum_prev" < $"quota" && $"cum" > $"quota")
+      .select($"c", ($"quota" - $"cum_prev").as("need"))
+    wts.join(broadcast(full), Seq("c"), "left_semi")
+      .select($"s1", $"s2")
+      .unionAll(wts.join(broadcast(bd), Seq("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"c").orderBy($"s1", $"s2")))
+        .filter($"rn" <= $"need")
+        .select($"s1", $"s2"))
+  }
+
   private def zOrderSpark(x: String, y: String): String =
     (0 until 16).map(i =>
       s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
@@ -867,22 +907,16 @@ object Advanced {
       // edge set = the top-30%-strongest co-supply pairs by (weight, id)
       // rank — the fixture graph is COMPLETE at every SF (every supplier
       // pair shares >= 4 orders), so an absolute weight threshold leaves
-      // no non-edges to predict. The global rank runs on the bounded
-      // supplier-pair domain; at real scale the cutoff weight would come
-      // from a percentile sketch (q88) instead of a global row_number.
+      // no non-edges to predict. Selection runs through topWeightEdges
+      // (histogram cutoff + boundary-cell tie rank, no pair-sized global
+      // window); the SQL oracle keeps the equivalent rank-selection as
+      // the spec, so the gate certifies the scalable plan's equality.
       val wts = li.as("a")
         .join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
         .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
         .agg(count(lit(1)).as("c"))
-      val rkW = Window.orderBy($"c".desc, $"s1", $"s2")
-      val e0 = wts
-        .withColumn("rn", row_number().over(rkW))
-        .withColumn("nw", count(lit(1)).over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .filter($"rn" * 10 <= $"nw" * 3)
-        .select($"s1", $"s2")
+      val e0 = topWeightEdges(wts)
         .transform(graft.CacheScope.cached) // adjacency + anti filter
       val adj = e0.select($"s1".as("u"), $"s2".as("v"))
         .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
@@ -1579,14 +1613,7 @@ object Advanced {
         .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
         .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
         .agg(count(lit(1)).as("c"))
-      val allW = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val e0 = wts
-        .withColumn("rn",
-          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
-        .withColumn("nw", count(lit(1)).over(allW))
-        .filter($"rn" * 10 <= $"nw" * 3)
-        .select($"s1", $"s2")
+      val e0 = topWeightEdges(wts)
       val adj = e0.select($"s1".as("u"), $"s2".as("v"))
         .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
         .transform(graft.CacheScope.cached) // reused every iteration
@@ -1693,14 +1720,7 @@ object Advanced {
         .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
         .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
         .agg(count(lit(1)).as("c"))
-      val allW = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val e0 = wts
-        .withColumn("rn",
-          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
-        .withColumn("nw", count(lit(1)).over(allW))
-        .filter($"rn" * 10 <= $"nw" * 3)
-        .select($"s1", $"s2")
+      val e0 = topWeightEdges(wts)
       val adj = e0.select($"s1".as("u"), $"s2".as("v"))
         .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
         .transform(graft.CacheScope.cached) // degrees + stub join
@@ -1767,14 +1787,7 @@ object Advanced {
         .join(li.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
         .groupBy($"a.p".as("s1"), $"b.p".as("s2"))
         .agg(count(lit(1)).as("c"))
-      val allW = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val e0 = wts
-        .withColumn("rn",
-          row_number().over(Window.orderBy($"c".desc, $"s1", $"s2")))
-        .withColumn("nw", count(lit(1)).over(allW))
-        .filter($"rn" * 10 <= $"nw" * 3)
-        .select($"s1", $"s2")
+      val e0 = topWeightEdges(wts)
       val lab = T(s, dir, "supplier")
         .select($"s_suppkey", $"s_nationkey".cast("long").as("com"))
       val el = e0

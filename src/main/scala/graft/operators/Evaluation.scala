@@ -556,8 +556,14 @@ object Evaluation {
       // within 12 h of the corpus high-water is CENSORED (still alive),
       // not churned. S(t) multiplies
       // (1 - d_i/n_i) over event times <= t; the product becomes an exact
-      // BIGINT cumsum of per-time micro-log(1 - d/n) rationals, with ONE
-      // exp at the end (q136's discipline, same 1-ulp ln caveat). Every
+      // BIGINT cumsum of per-time micro-log(1 - d/n) rationals. The
+      // hash-checked survival column IS that exact integer cumsum
+      // (survival_mln_micro = round(1e6*ln S), monotone in S); the IEEE
+      // exp readout rides alongside at r4 granularity only, so a 1-ulp
+      // libm divergence cannot flip a hashed bit, and mln comes from ONE
+      // ln of the single rational (n_risk-n_e)/n_risk — one exact IEEE
+      // division then one ln — instead of two independent ln calls whose
+      // errors can straddle a rounding boundary (the round-7 flake). Every
       // window runs over the compacted per-DURATION table (bounded by the
       // corpus span in days, not by users), so the single-partition pass
       // is constant-size at any scale; the one data-sized shuffle is the
@@ -577,13 +583,15 @@ object Evaluation {
         |rk AS (SELECT dur, n_u, n_e,
         |    SUM(n_u) OVER (ORDER BY dur DESC) n_risk FROM pd),
         |ev AS (SELECT dur, n_risk, n_e,
-        |    CAST(FLOOR((ln(n_risk - n_e) - ln(n_risk)) * 1000000 + 0.5)
-        |      AS BIGINT) mln
+        |    CAST(FLOOR(ln(CAST(n_risk - n_e AS DOUBLE) / n_risk)
+        |      * 1000000 + 0.5) AS BIGINT) mln
         |  FROM rk WHERE n_e > 0 AND n_risk > n_e),
         |s AS (SELECT dur, n_risk, n_e,
         |    CAST(SUM(mln) OVER (ORDER BY dur) AS BIGINT) cum FROM ev)
         |SELECT CAST(dur AS BIGINT) AS t_hours, n_risk, n_e AS n_events,
-        |  ${graft.ColFns.r6Sql("exp(CAST(cum AS DOUBLE) / 1000000)")} AS survival
+        |  cum AS survival_mln_micro,
+        |  ${graft.ColFns.r4Sql("exp(CAST(cum AS DOUBLE) / 1000000)")}
+        |    AS survival_r4
         |FROM s ORDER BY t_hours""") { (s, dir) =>
       import s.implicits._
       val ev = T(s, dir, "events")
@@ -599,12 +607,13 @@ object Evaluation {
         sum($"n_u").over(Window.orderBy($"dur".desc)))
       val evt = rk.filter($"n_e" > 0 && $"n_risk" > $"n_e")
         .select($"dur", $"n_risk", $"n_e",
-          floor((log(($"n_risk" - $"n_e").cast("double"))
-            - log($"n_risk".cast("double"))) * 1000000d + 0.5d)
-            .cast("long").as("mln"))
+          floor(log(($"n_risk" - $"n_e").cast("double") / $"n_risk")
+            * 1000000d + 0.5d).cast("long").as("mln"))
       evt.withColumn("cum", sum($"mln").over(Window.orderBy($"dur")))
         .select($"dur".as("t_hours"), $"n_risk", $"n_e".as("n_events"),
-          r6(exp($"cum".cast("double") / 1000000d)).as("survival"))
+          $"cum".as("survival_mln_micro"),
+          graft.ColFns.r4(exp($"cum".cast("double") / 1000000d))
+            .as("survival_r4"))
         .orderBy($"t_hours")
     },
 
@@ -1558,7 +1567,7 @@ object Evaluation {
         |  FROM wmx GROUP BY source),
         |t AS (SELECT source, n1, n2,
         |    CAST((1000000 * CAST(mx AS HUGEINT) * mx)
-        |      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * n1 * n2)
+        |      // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2))
         |      AS BIGINT) AS t_micro
         |  FROM st),
         |rk AS (SELECT source, n1, n2, t_micro,
@@ -1606,7 +1615,7 @@ object Evaluation {
           max(abs($"cum_in" * $"n2" - $"cum_out" * $"n1")).as("mx"))
       val t = st.select($"source", $"n1", $"n2",
         expr(s"CAST((1000000 * CAST(mx AS $D) * mx) " +
-          s"div (CAST(n1 AS $D) * n2 * (n1 + n2) * n1 * n2) AS BIGINT)")
+          s"div (CAST(n1 AS $D) * n2 * (n1 + n2)) AS BIGINT)")
           .as("t_micro"))
       val thr = Seq((1L,3342306L),(2L,2995732L),(3L,2793000L),
           (4L,2649159L),(5L,2537587L),(6L,2446426L),(7L,2369351L),
@@ -1652,11 +1661,11 @@ object Evaluation {
         |    pos - posl AS posr, n, pos FROM c WHERE nl < n),
         |gi AS (SELECT threshold, CAST(nl AS BIGINT) AS n_left,
         |    CAST(nr AS BIGINT) AS n_right,
-        |    CAST((2000000 * (posl * (nl - posl) * nr
-        |      + posr * (nr - posr) * nl)) // (n * nl * nr) AS BIGINT)
-        |      AS gini_micro,
-        |    CAST((2000000 * pos * (n - pos)) // (n * n) AS BIGINT)
-        |      AS baseline_micro
+        |    CAST((2000000 * (CAST(posl AS HUGEINT) * (nl - posl) * nr
+        |      + CAST(posr AS HUGEINT) * (nr - posr) * nl))
+        |      // (CAST(n AS HUGEINT) * nl * nr) AS BIGINT) AS gini_micro,
+        |    CAST((2000000 * CAST(pos AS HUGEINT) * (n - pos))
+        |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS baseline_micro
         |  FROM sp)
         |SELECT threshold, n_left, n_right, gini_micro, baseline_micro
         |FROM gi ORDER BY gini_micro, threshold LIMIT 5""") { (s, dir) =>
@@ -1678,10 +1687,14 @@ object Evaluation {
         .filter($"nl" < $"n")
         .select($"x".as("threshold"), $"nl".as("n_left"),
           ($"n" - $"nl").as("n_right"),
-          expr("(2000000 * (posl * (nl - posl) * (n - nl) " +
-            "+ (pos - posl) * ((n - nl) - (pos - posl)) * nl)) " +
-            "div (n * nl * (n - nl))").as("gini_micro"),
-          expr("(2000000 * pos * (n - pos)) div (n * n)")
+          expr("CAST((2000000 * (CAST(posl AS DECIMAL(38,0)) " +
+            "* (nl - posl) * (n - nl) " +
+            "+ CAST(pos - posl AS DECIMAL(38,0)) " +
+            "* ((n - nl) - (pos - posl)) * nl)) " +
+            "div (CAST(n AS DECIMAL(38,0)) * nl * (n - nl)) AS BIGINT)")
+            .as("gini_micro"),
+          expr("CAST((2000000 * CAST(pos AS DECIMAL(38,0)) * (n - pos)) " +
+            "div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
             .as("baseline_micro"))
         .orderBy($"gini_micro", $"threshold").limit(5)
     },

@@ -841,19 +841,23 @@ object Extras {
       // (which file did this row come from) that incident response runs
       // when one bad upstream file poisons a table; here it collapses to
       // a per-table audit line. All partial-aggregated map-side; output
-      // is #tables rows. (The oracle pins the fixture layout: one file
-      // per table, footer rows == scan rows.)
-      """SELECT 'customer' AS table_name, CAST(1 AS BIGINT) AS n_files,
+      // is #tables rows. The hashed contract is layout-independent:
+      // indexed_rows == n_rows holds for ANY file count when the reader
+      // is correct (per-file row_index is dense from 0), so a fixture
+      // re-written as multi-file parquet still gates — only a real
+      // skip/duplicate within a file breaks it. File count itself is
+      // reported as the boolean files_positive, not a pinned literal.
+      """SELECT 'customer' AS table_name, TRUE AS files_positive,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(*) AS BIGINT) AS indexed_rows FROM customer
         |UNION ALL
-        |SELECT 'documents', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |SELECT 'documents', TRUE, CAST(COUNT(*) AS BIGINT),
         |  CAST(COUNT(*) AS BIGINT) FROM documents
         |UNION ALL
-        |SELECT 'lineitem', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |SELECT 'lineitem', TRUE, CAST(COUNT(*) AS BIGINT),
         |  CAST(COUNT(*) AS BIGINT) FROM lineitem
         |UNION ALL
-        |SELECT 'orders', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |SELECT 'orders', TRUE, CAST(COUNT(*) AS BIGINT),
         |  CAST(COUNT(*) AS BIGINT) FROM orders
         |ORDER BY table_name""") { (s, dir) =>
       import s.implicits._
@@ -866,7 +870,8 @@ object Extras {
           .agg(count(lit(1)).as("n_files"),
             sum($"rows_in_file").as("n_rows"),
             sum($"max_ri" + 1).as("indexed_rows"))
-          .select(lit(name).as("table_name"), $"n_files", $"n_rows",
+          .select(lit(name).as("table_name"),
+            ($"n_files" >= 1).as("files_positive"), $"n_rows",
             $"indexed_rows")
       audit("customer").unionAll(audit("documents"))
         .unionAll(audit("lineitem")).unionAll(audit("orders"))

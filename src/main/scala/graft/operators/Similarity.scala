@@ -983,7 +983,8 @@ object Similarity {
         |lab AS (SELECT nq.label, nq.n, nq.qq, st.s2,
         |    (2 * (nq.n * nq.qq - st.s2)) // (nq.n * (nq.n - 1))
         |      AS intra_avg
-        |  FROM nq JOIN st ON st.label = nq.label),
+        |  FROM nq JOIN st ON st.label = nq.label
+        |  WHERE nq.n >= 2),
         |cross_ AS (SELECT a.label AS la, b.label AS lb,
         |    CAST(SUM(sa.sd * sb.sd) AS BIGINT) AS sab,
         |    MIN(a.n) AS na, MIN(b.n) AS nb,
@@ -1026,6 +1027,8 @@ object Similarity {
             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("q2"))
         .groupBy($"label").agg(count(lit(1)).as("n"), sum($"q2").as("qq"))
       val lab = nq.join(st, Seq("label"))
+        .filter($"n" >= 2) // singleton labels have no intra pairs:
+        // DuckDB would abort on the 0-denominator where Spark NULLs
         .withColumn("intra_avg",
           expr("(2 * (n * qq - s2)) div (n * (n - 1))"))
         .transform(graft.CacheScope.cached) // pair arithmetic both sides

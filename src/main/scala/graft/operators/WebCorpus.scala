@@ -491,9 +491,15 @@ object WebCorpus {
       // other active host got its turn — the fetch-order planner of any
       // crawler. The certificate rides the output: each row carries its
       // gap to the SAME source's previous scheduled fetch, which stays >=
-      // the number of active sources during full rounds. Both windows run
-      // per-source or on the bounded schedule prefix; at corpus scale the
-      // slot window is the only per-source pass.
+      // the number of active sources during full rounds. The global
+      // interleave window only ever sees the slot <= 40 prefix: slots are
+      // DENSE per source, so a row with slot 41 has >= 40 same-source
+      // predecessors in (slot, source, doc_id) order and its global rank
+      // is >= 41 — pre-filtering cannot change any surviving rank or gap
+      // (the same-source predecessor of a kept row sits at slot-1, also
+      // kept). That caps the single-partition pass at 40 x #sources rows
+      // at ANY corpus size; the per-source slot window is the only
+      // data-sized pass.
       """WITH s AS (SELECT doc_id, source,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
         |      AS BIGINT) AS slot
@@ -501,7 +507,7 @@ object WebCorpus {
         |r AS (SELECT doc_id, source, slot,
         |    CAST(ROW_NUMBER() OVER (ORDER BY slot, source, doc_id)
         |      AS BIGINT) AS rank_
-        |  FROM s),
+        |  FROM s WHERE slot <= 40),
         |g AS (SELECT rank_, source, doc_id, slot,
         |    COALESCE(rank_ - LAG(rank_) OVER (PARTITION BY source
         |      ORDER BY rank_), 0) AS same_source_gap
@@ -513,9 +519,10 @@ object WebCorpus {
         .select($"doc_id", $"source",
           row_number().over(Window.partitionBy($"source")
             .orderBy($"doc_id")).cast("long").as("slot"))
-      val r = sl.withColumn("rank_",
-        row_number().over(Window.orderBy($"slot", $"source", $"doc_id"))
-          .cast("long"))
+      val r = sl.filter($"slot" <= 40)
+        .withColumn("rank_",
+          row_number().over(Window.orderBy($"slot", $"source", $"doc_id"))
+            .cast("long"))
       r.withColumn("same_source_gap",
           coalesce($"rank_" - lag($"rank_", 1).over(
             Window.partitionBy($"source").orderBy($"rank_")), lit(0L)))

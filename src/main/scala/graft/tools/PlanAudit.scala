@@ -642,6 +642,7 @@ object PlanAudit {
       "no join anywhere" -> "!Join"),
     "q304_crawl_schedule" -> Seq(
       "slot assignment is one per-source window pass" -> "Window",
+      "global interleave window bounded by the slot<=40 prefix filter" -> "<= 40)",
       "no join anywhere" -> "!Join",
       "only doc_id and source read" -> "ReadSchema: struct<doc_id:bigint,source:string>"),
     "q305_late_dimension" -> Seq(

@@ -454,11 +454,16 @@ class AnalyticsSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = try {
       SparkEntry.queries("q239_kaplan_meier")(spark, dir)
-        .select($"t_hours".as[Long], $"survival".as[Double]).collect()
+        .select($"t_hours".as[Long], $"survival_r4".as[Double],
+          $"survival_mln_micro".as[Long]).collect()
     } finally CacheScope.release()
     assert(rows.nonEmpty)
-    assert(rows.forall { case (_, s) => s > 0.0 && s <= 1.0 })
-    rows.map(_._2).sliding(2).foreach {
+    assert(rows.forall { case (_, s, _) => s > 0.0 && s <= 1.0 })
+    // the exact column agrees with the readout: r4(exp(cum/1e6)) == s
+    assert(rows.forall { case (_, s, c) =>
+      math.abs(math.floor(math.exp(c / 1e6) * 10000 + 0.5) / 10000 - s) == 0.0
+    })
+    rows.map(_._3).sliding(2).foreach {
       case Array(a, b) => assert(b <= a, s"survival must not rise: $a -> $b")
       case _ =>
     }
