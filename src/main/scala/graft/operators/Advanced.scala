@@ -877,8 +877,8 @@ object Advanced {
       // and the score is integer-ppm Jaccard cn/(da+db-cn) with a
       // deterministic (score, id) tie-break into a TakeOrderedAndProject
       // top-20. At 100 TB: hub neighbors dominate the wedge fan-out —
-      // q176's degree-orientation note applies; cap or sample hub
-      // adjacency before the wedge join.
+      // q322 ships the top-k hub-capped variant (cappedAdjacency) whose
+      // wedge volume stays <= k x edges on any degree distribution.
       """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
         |    CAST(COUNT(*) AS BIGINT) c
@@ -1812,5 +1812,73 @@ object Advanced {
           expr("(1000000 * (num + 4*m*m)) div (4*m*m) - 1000000")
             .as("modularity_ppm"))
     },
+
+    q("q322_capped_common_neighbors",
+      // Hub-capped wedge join — the bounded-fan-out variant of q261's
+      // common-neighbor counting that survives power-law hubs: every
+      // node's adjacency is truncated to its top-8 neighbors by
+      // (co-supply weight DESC, neighbor id) BEFORE the wedge join, so
+      // the per-center fan-out is <= 8 and total wedge volume is
+      // <= 8 x capped-edges at ANY graph size (a single million-degree
+      // hub otherwise contributes 10^12 wedges on its own). The cap is a
+      // per-node PARTITIONED window — embarrassingly parallel — and the
+      // capped count is a lower bound on the true common-neighbor count
+      // that preserves the strongest-tie structure (the standard
+      // top-k-neighbors sparsification used by large-scale similarity
+      // graphs). Deterministic (cn DESC, pair) top-20; the oracle runs
+      // the identical capped definition, so the gate checks the whole
+      // cap-then-wedge pipeline cross-engine.
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |w AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY s1, s2),
+        |adj AS (SELECT s1 AS u, s2 AS v, c FROM w
+        |  UNION ALL SELECT s2, s1, c FROM w),
+        |cap AS (SELECT u, v FROM (SELECT u, v,
+        |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, v) rn
+        |  FROM adj) WHERE rn <= 8),
+        |wed AS (SELECT a.v AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) cn
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.v < b.v
+        |  GROUP BY x, y)
+        |SELECT x AS s_a, y AS s_b, cn AS capped_common_neighbors
+        |FROM wed ORDER BY cn DESC, s_a, s_b LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val wts = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+        .groupBy($"a.l_suppkey".as("s1"), $"b.l_suppkey".as("s2"))
+        .agg(count(lit(1)).as("c"))
+      val cap = cappedAdjacency(wts, 8)
+        .transform(graft.CacheScope.cached) // both wedge sides
+      cap.as("a")
+        .join(cap.as("b"), $"a.u" === $"b.u" && $"a.v" < $"b.v")
+        .groupBy($"a.v".as("s_a"), $"b.v".as("s_b"))
+        .agg(count(lit(1)).as("capped_common_neighbors"))
+        .orderBy($"capped_common_neighbors".desc, $"s_a", $"s_b")
+        .limit(20)
+    },
   )
+
+  /** Per-node top-k adjacency sparsification: symmetrize the weighted pair
+    * table and keep each node's k strongest neighbors by (weight DESC,
+    * neighbor id). The rank window partitions by node — no global pass —
+    * and caps every downstream wedge fan-out at k, which is what keeps
+    * wedge volume <= k·|capped edges| no matter how extreme the degree
+    * distribution gets (q322; probed at runtime by PlanAudit on a planted
+    * hub).
+    */
+  private[graft] def cappedAdjacency(wts: DataFrame, k: Int): DataFrame = {
+    val s = wts.sparkSession
+    import s.implicits._
+    val adj = wts.select($"s1".as("u"), $"s2".as("v"), $"c")
+      .unionAll(wts.select($"s2".as("u"), $"s1".as("v"), $"c"))
+    adj.withColumn("rn", row_number().over(
+        Window.partitionBy($"u").orderBy($"c".desc, $"v")))
+      .filter($"rn" <= k)
+      .select($"u", $"v")
+  }
 }

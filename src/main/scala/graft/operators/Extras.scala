@@ -798,15 +798,20 @@ object Extras {
     },
 
     q("q272_spend_deciles",
-      // Equal-frequency customer spend bands via ntile(10) — the
-      // feature-engineering decile assignment (spend tier features, VIP
-      // cut-offs) and the window-API surface Spark shares with every SQL
-      // dialect. The tile window runs on the per-customer aggregate
-      // (entity-sized), ordered (cents, key) so ties land
-      // deterministically; per-band stats collapse the tiles right back
-      // to 10 rows. At extreme entity counts the single ntile window
-      // becomes a range-partitioned sort over percentile-sketch cut
-      // points (q88) — same output contract.
+      // Equal-frequency customer spend bands — ntile(10) semantics
+      // WITHOUT an entity-sized single-partition sort. The Spark side
+      // runs the distributed exact-rank plan: repartitionByRange on
+      // (cents, k) makes partitions globally ordered and disjoint, so a
+      // row's global rank = its partition's offset + its LOCAL
+      // row_number; offsets come from a 32-row per-partition-count
+      // prefix sum (bounded by the partition count at any entity
+      // count — correct for ANY sampled range boundaries, so the range
+      // partitioner's sampling never touches the result). The tile is
+      // then pure integer arithmetic on the rank (first n mod 10 tiles
+      // get the extra row — the NTILE definition); the SQL oracle keeps
+      // NTILE(10) as the spec, so the gate certifies the scalable
+      // plan's equality. Ties are impossible: (cents, k) is unique
+      // per customer.
       """WITH sp AS (SELECT o_custkey AS k,
         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
         |      AS BIGINT) AS cents
@@ -823,8 +828,32 @@ object Extras {
       val sp = T(s, dir, "orders")
         .groupBy($"o_custkey".as("k"))
         .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
-      sp.withColumn("decile",
-          ntile(10).over(Window.orderBy($"cents", $"k")).cast("long"))
+      // cache so the offset branch and the rank branch see the SAME
+      // physical range partitioning (sampled boundaries are otherwise
+      // free to differ between plan executions)
+      val parts = sp.repartitionByRange(32, $"cents", $"k")
+        .withColumn("pid", spark_partition_id().cast("long"))
+        .transform(graft.CacheScope.cached)
+      val offs = parts.groupBy($"pid").agg(count(lit(1)).as("pc"))
+        .withColumn("off", coalesce(sum($"pc").over(
+          Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum($"pc").over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select($"pid", $"off", $"n")
+      val ranked = parts
+        .withColumn("lr", row_number().over(
+          Window.partitionBy($"pid").orderBy($"cents", $"k")).cast("long"))
+        .join(broadcast(offs), Seq("pid"))
+        .withColumn("rnk", $"off" + $"lr")
+      // NTILE(10): q = n div 10 rows per tile, first rem = n mod 10
+      // tiles take one extra
+      ranked
+        .withColumn("decile",
+          expr("CASE WHEN rnk <= (n % 10) * (n div 10 + 1) " +
+            "THEN (rnk - 1) div (n div 10 + 1) + 1 " +
+            "ELSE (n % 10) + (rnk - (n % 10) * (n div 10 + 1) - 1) " +
+            "div (n div 10) + 1 END"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_cust"), min($"cents").as("min_cents"),
           max($"cents").as("max_cents"), sum($"cents").as("total_cents"))

@@ -517,7 +517,8 @@ object PlanAudit {
       "zero-remaining verification is a broadcast semi join" -> "LeftSemi",
       "only event_type and user_id read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
     "q272_spend_deciles" -> Seq(
-      "tile window runs on the per-customer aggregate" -> "Window",
+      "entities range-partition instead of a global sort" -> "rangepartitioning(cents",
+      "rank window is per-range-partition" -> "Window",
       "spend partial-aggregates before the entity shuffle" -> "HashAggregate",
       "only custkey and totalprice read" -> "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
     "q273_chi2_independence" -> Seq(
@@ -640,6 +641,11 @@ object PlanAudit {
       "trim weights computed on the compacted value domain" -> "Window",
       "value compaction partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
+    "q322_capped_common_neighbors" -> Seq(
+      "adjacency cap is a per-node partitioned rank window" -> "Window",
+      "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
+      "top-20 without a global sort" -> "TakeOrderedAndProject",
+      "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
     "q304_crawl_schedule" -> Seq(
       "slot assignment is one per-source window pass" -> "Window",
       "global interleave window bounded by the slot<=40 prefix filter" -> "<= 40)",
@@ -810,6 +816,32 @@ object PlanAudit {
     }
   }
 
+  /** Runtime hub-cap wedge probe: on a planted hub (one node adjacent to
+    * every other), the UNCAPPED wedge join would materialize ~n²/2 wedges
+    * through the hub; q322's cappedAdjacency must keep the materialized
+    * wedge volume <= cap × |capped edges|. Counted on the actual join
+    * output (before the group-by), not inferred from the plan shape.
+    */
+  private[graft] def hubCapBounded(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val cap = 8
+    val n = 2000
+    // star: hub 0 with weight-ranked spokes, plus a sparse ring so
+    // non-hub nodes have >1 neighbor
+    val star = (1 until n).map(i => (0L, i.toLong, (n - i).toLong))
+    val ring = (1 until n - 1).map(i => (i.toLong, (i + 1).toLong, 1L))
+    val wts = (star ++ ring).toDF("s1", "s2", "c")
+    val capped = graft.operators.Advanced.cappedAdjacency(wts, cap).cache()
+    try {
+      val edges = capped.count()
+      val wedges = capped.as("a")
+        .join(capped.as("b"), $"a.u" === $"b.u" && $"a.v" < $"b.v")
+        .count()
+      // uncapped volume through the hub alone would be (n-1)(n-2)/2 ≈ 2M
+      wedges <= cap.toLong * edges && wedges < (n.toLong - 1) * (n - 2) / 4
+    } finally { capped.unpersist(); () }
+  }
+
   /** One needle interpreter for the audit tool AND PlanShapeSpec: plain
     * substring, "!" negation, or "codegen:" against the codegen plan.
     */
@@ -861,6 +893,15 @@ object PlanAudit {
     sb.append("- fallback policy: AQE splits skewed JOIN partitions at " +
       "runtime; explicit salting (q89) remains the plan for skewed " +
       "AGGREGATION keys and for hot keys needing the KEY itself divided.\n")
+    // runtime probe: hub-capped wedge volume stays <= cap × edges on a
+    // planted hub (see scaladoc)
+    val hubOk = hubCapBounded(spark)
+    if (!hubOk) failures += 1
+    sb.append("\n## hub_cap_wedge (runtime probe)\n\n")
+    sb.append(s"- ${if (hubOk) "PASS" else "FAIL"}: planted-hub star graph " +
+      "(degree ~2000) wedge volume bounded by cap(8) x capped-edges under " +
+      "q322's cappedAdjacency, where the uncapped join would materialize " +
+      "~2M wedges through the hub\n")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written; ${Audited.map(_._2.size).sum + 1 - failures} checks passed, $failures failed")
     spark.stop()

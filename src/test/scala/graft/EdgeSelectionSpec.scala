@@ -57,6 +57,28 @@ class EdgeSelectionSpec extends AnyFunSuite {
     check(pairs, "exact-edge")
   }
 
+  test("cappedAdjacency keeps exactly the top-k by (weight desc, id) per node") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // planted hub 0 adjacent to all, plus random sparse edges
+    val pairs = ((1L to 40L).map(i => (0L, i, rnd.nextInt(9) + 1L)) ++
+      (1 to 60).map(_ => (1L + rnd.nextInt(40), 41L + rnd.nextInt(40),
+        rnd.nextInt(9) + 1L))).distinct
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq // unique pairs
+    val k = 5
+    val got = operators.Advanced.cappedAdjacency(pairs.toDF("s1", "s2", "c"), k)
+      .select($"u".as[Long], $"v".as[Long]).collect().toSet
+    val brute = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (u, nbrs) =>
+        nbrs.sortBy { case (_, v, c) => (-c, v) }.take(k)
+          .map { case (_, v, _) => (u, v) }
+      }.toSet
+    assert(got == brute,
+      s"capped adjacency mismatch missing=${brute -- got} extra=${got -- brute}")
+    // the hub's fan-out is capped at k even though its degree is 40
+    assert(got.count(_._1 == 0L) == k)
+  }
+
   test("random weighted graphs agree with the rank spec") {
     val rnd = new scala.util.Random(20260814L)
     (1 to 5).foreach { trial =>
