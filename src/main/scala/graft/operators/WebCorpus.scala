@@ -34,12 +34,12 @@ object WebCorpus {
     * entirely — Spark string literals eat backslashes, DuckDB's don't, so a
     * pattern with them could silently differ between engines.
     */
-  private def rr(duck: Boolean)(s: String, pat: String, rep: String): String =
+  private[operators] def rr(duck: Boolean)(s: String, pat: String, rep: String): String =
     if (duck) s"regexp_replace($s, '$pat', '$rep', 'g')"
     else s"regexp_replace($s, '$pat', '$rep')"
 
   /** The synthesized page: one concat() both engines parse identically. */
-  private val htmlExpr: String =
+  private[operators] val htmlExpr: String =
     "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), " +
       "'</title><script type=\"text/javascript\">var n=1;</script>" +
       "<style>p{color:red}</style></head><body>" +
@@ -52,7 +52,7 @@ object WebCorpus {
     * basic entities (amp last, so '&amp;lt;' would stay literal '&lt;'),
     * collapse runs of spaces, trim.
     */
-  private def extractExpr(duck: Boolean, h: String): String = {
+  private[operators] def extractExpr(duck: Boolean, h: String): String = {
     val g = rr(duck) _
     val noHead = g(h, "<head>.*?</head>", "")
     val noBoiler = g(noHead, "<nav>.*?</nav>|<footer>.*?</footer>", "")
@@ -68,7 +68,7 @@ object WebCorpus {
     * optional www, default and non-default ports, optional path, tracking
     * params mixed into real ones, optional fragment.
     */
-  private val urlExpr: String =
+  private[operators] val urlExpr: String =
     "concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END, '://', " +
       "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, " +
       "CASE WHEN doc_id % 5 < 2 THEN upper(source) ELSE source END, " +
@@ -85,21 +85,21 @@ object WebCorpus {
     * character classes instead of backslash escapes ('[?]', '[0-9]') for the
     * same cross-dialect reason as [[rr]].
     */
-  private val schemeExpr = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
-  private val authExpr = "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))"
+  private[operators] val schemeExpr = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
+  private[operators] val authExpr = "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))"
   /** path + query, fragment dropped. */
-  private val pathqExpr = "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1)"
+  private[operators] val pathqExpr = "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1)"
 
   /** Canonical host over an aliased `auth` column: port stripped, leading
     * www. dropped (auth is already lowercased).
     */
-  private val hostSql: String = {
+  private[operators] val hostSql: String = {
     val hostRaw = "regexp_extract(auth, '^([^:]+)', 1)"
     s"CASE WHEN $hostRaw LIKE 'www.%' THEN substring($hostRaw, 5) ELSE $hostRaw END"
   }
 
   /** Canonical URL over aliased `scheme`/`auth`/`pathq` columns. */
-  private def canonUrlSql(duck: Boolean): String = {
+  private[operators] def canonUrlSql(duck: Boolean): String = {
     val port = "regexp_extract(auth, ':([0-9]+)$', 1)"
     val canonPort = s"CASE WHEN $port = '' THEN '' " +
       s"WHEN scheme = 'http' AND $port = '80' THEN '' " +

@@ -646,6 +646,11 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q323_release_pipeline" -> Seq(
+      "LSH candidates are an equi join on (band, key), never all-pairs" -> "!CartesianProduct",
+      "BM25 query terms broadcast into the postings join" -> "BroadcastHashJoin",
+      "released corpus is a materialized parquet seam" -> "Scan parquet",
+      "near-dup retention is a keyed LEFT ANTI" -> "LeftAnti"),
     "q304_crawl_schedule" -> Seq(
       "slot assignment is one per-source window pass" -> "Window",
       "global interleave window bounded by the slot<=40 prefix filter" -> "<= 40)",

@@ -450,6 +450,32 @@ class AnalyticsSpec extends AnyFunSuite {
       s"skyline mismatch: missing=${expected -- frontier} extra=${frontier -- expected}")
   }
 
+  test("q323 release funnel only ever shrinks and stages stay consistent") {
+    import spark.implicits._
+    val rows = try {
+      SparkEntry.queries("q323_release_pipeline")(spark, dir)
+        .select($"stage".as[String], $"n_rows".as[Long], $"metric".as[Long])
+        .collect().toSeq
+    } finally CacheScope.release()
+    val byStage = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1) ==
+      Seq("1_crawled", "2_url_unique", "3_quality_kept", "4_near_deduped",
+        "5_index_terms", "6_bm25_smoke"))
+    // doc counts can only shrink through crawl-dedup, gates, near-dedup
+    val funnel = Seq("1_crawled", "2_url_unique", "3_quality_kept",
+      "4_near_deduped").map(byStage(_)._2)
+    assert(funnel.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"funnel must be non-increasing: $funnel")
+    assert(funnel.last > 0, "release must not be empty")
+    // token metric shrinks with the docs
+    val toks = Seq("1_crawled", "2_url_unique", "3_quality_kept",
+      "4_near_deduped").map(byStage(_)._3)
+    assert(toks.sliding(2).forall { case Seq(a, b) => b <= a })
+    // indexed mass is bounded by the released token mass; smoke top-k <= 10
+    assert(byStage("5_index_terms")._3 <= byStage("4_near_deduped")._3)
+    assert(byStage("6_bm25_smoke")._2 <= 10)
+  }
+
   test("q239 Kaplan-Meier curve is non-increasing and inside (0, 1]") {
     import spark.implicits._
     val rows = try {
