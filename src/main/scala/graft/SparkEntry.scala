@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Advanced.defs ++ operators.Extras.defs ++
       operators.Pipeline.defs ++ operators.Multimodal.defs ++
       operators.WebCorpus.defs ++ operators.Retrieval.defs ++
-      operators.Evaluation.defs ++ operators.Release.defs
+      operators.Evaluation.defs ++ operators.Release.defs ++
+      operators.Monitoring.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,480 @@
+package graft.operators
+
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Production-monitoring operators: sequential change detection (CUSUM,
+  * SPRT), distribution drift (PSI), rank agreement (Kendall tau-b), PII
+  * redaction audit, and quantile-forecast scoring (pinball loss) — the
+  * queries that run CONTINUOUSLY against a production corpus/event stream
+  * to decide when the data changed out from under the models.
+  *
+  * The reference delegates all per-entry computation to handler callbacks
+  * (/root/reference/lib/redix/stream/consumer.ex:283-299); these are the
+  * standard monitoring handlers made first-class. Shared discipline: every
+  * sequential statistic is a prefix-sum identity over a BOUNDED grid (days,
+  * bins, compacted domains), never an entity-sized ordered walk; every ln is
+  * a single call on a single rational rounded to integer micro units (the
+  * q239 rule); thresholds are inlined integer constants.
+  */
+object Monitoring {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // SPRT design constants (H0: p = 0.18 vs H1: p = 0.22, alpha = beta =
+  // 0.05), inlined in micro units identically in both dialects:
+  // ln(22/18), ln(78/82), ln(19).
+  private val SprtLa = 200671L
+  private val SprtLb = -50010L
+  private val SprtThr = 2944439L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q324_cusum_change",
+      // One-sided CUSUM change detection on daily event volume, per type —
+      // the sequential alarm that catches a sustained upward shift long
+      // before a fixed threshold on any single day would. The textbook
+      // recursion S_t = max(0, S_{t-1} + x_t - k) is NOT a prefix sum, but
+      // its closed form IS: S_t = P_t - min(0, min_{j<=t} P_j) with
+      // P_t = cum_x*1e6 - t*k_micro — so the whole detector is two window
+      // passes (cumsum + running min) over the zero-filled (type x day)
+      // grid, bounded by the calendar at any event volume. k = the type's
+      // own mean daily volume; alarm when S >= k (one reference-day of
+      // cumulative excess — policy constant, stated in-band). Exact
+      // integers end to end.
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) lo, MAX(day) hi FROM c),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |g AS (SELECT t.event_type, days.day, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN days
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    (CAST(SUM(n) AS BIGINT) * 1000000) // COUNT(*) AS k_micro
+        |  FROM g GROUP BY event_type),
+        |p AS (SELECT g.event_type, g.day, k.n_days, k.k_micro,
+        |    SUM(g.n) OVER (PARTITION BY g.event_type ORDER BY g.day)
+        |      * 1000000
+        |    - CAST(ROW_NUMBER() OVER (PARTITION BY g.event_type
+        |        ORDER BY g.day) AS BIGINT) * k.k_micro AS pm
+        |  FROM g JOIN k ON k.event_type = g.event_type),
+        |s AS (SELECT event_type, day, n_days, k_micro,
+        |    pm - LEAST(CAST(0 AS BIGINT), MIN(pm) OVER (
+        |      PARTITION BY event_type ORDER BY day)) AS cusum_micro
+        |  FROM p),
+        |r AS (SELECT event_type, day, n_days, k_micro, cusum_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cusum_micro DESC, day) AS rk,
+        |    CASE WHEN cusum_micro >= k_micro THEN 1 ELSE 0 END AS alarm
+        |  FROM s)
+        |SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days,
+        |  CAST(MIN(k_micro) AS BIGINT) AS k_micro,
+        |  CAST(MAX(cusum_micro) AS BIGINT) AS max_cusum_micro,
+        |  MIN(CASE WHEN rk = 1 THEN day END) AS peak_day,
+        |  CAST(SUM(alarm) AS BIGINT) AS n_alarm_days
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val c = T(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .transform(graft.CacheScope.cached) // grid left side + bounds
+      val b = c.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val days = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val g = c.select($"event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(c, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+        .transform(graft.CacheScope.cached) // k + the window passes
+      val k = g.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("(SUM(n) * 1000000) div COUNT(*)").as("k_micro"))
+      val byDay = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.join(broadcast(k), Seq("event_type"))
+        .withColumn("pm",
+          sum($"n").over(byDay) * 1000000L -
+            row_number().over(Window.partitionBy($"event_type")
+              .orderBy($"day")).cast("long") * $"k_micro")
+        .withColumn("cusum_micro",
+          $"pm" - least(lit(0L), min($"pm").over(byDay)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy($"cusum_micro".desc, $"day")))
+        .withColumn("alarm",
+          when($"cusum_micro" >= $"k_micro", 1L).otherwise(0L))
+      r.groupBy($"event_type")
+        .agg(min($"n_days").as("n_days"), min($"k_micro").as("k_micro"),
+          max($"cusum_micro").as("max_cusum_micro"),
+          min(when($"rk" === 1, $"day")).as("peak_day"),
+          sum($"alarm").as("n_alarm_days"))
+        .orderBy($"event_type")
+    },
+
+    q("q325_pii_redaction",
+      // PII scrub audit — the curation stage every released corpus runs:
+      // find and redact emails, phone numbers, and SSN-shaped ids, then
+      // PROVE the scrub completed (zero residual matches ride the output).
+      // The fixture plants deterministic PII per document (two emails, a
+      // phone, an SSN), so the oracle checks detection counts, the
+      // redacted byte length, and residuals cross-engine. Pure map-side
+      // regex at any corpus size; the only shuffle is the per-source
+      // rollup. Patterns avoid backslash escapes (the q163 dialect rule).
+      """WITH d AS (SELECT doc_id, source,
+        |    concat(text, ' contact user', CAST(doc_id AS STRING),
+        |      '@mail.example.com or u', CAST(doc_id AS STRING),
+        |      '@backup.example.org phone 555-',
+        |      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ssn 123-45-',
+        |      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, t,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[a-z0-9]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+        |      AS n_phone,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn
+        |  FROM d),
+        |r AS (SELECT doc_id, source, n_email, n_phone, n_ssn,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g'),
+        |      '[a-z0-9]+@[a-z0-9.]+[.][a-z]+', '[EMAIL]', 'g') AS red
+        |  FROM m),
+        |v AS (SELECT doc_id, source, n_email, n_phone, n_ssn,
+        |    CAST(length(red) AS BIGINT) AS red_len,
+        |    CAST(len(regexp_extract_all(red,
+        |      '[a-z0-9]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(red, '555-[0-9]{4}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(red,
+        |        '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_residual
+        |  FROM r)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+        |  CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
+        |  CAST(SUM(n_residual) AS BIGINT) AS n_residual,
+        |  CAST(SUM(red_len) AS BIGINT) AS sum_redacted_len
+        |FROM v GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val email = "[a-z0-9]+@[a-z0-9.]+[.][a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      T(s, dir, "documents")
+        .withColumn("t", concat($"text", lit(" contact user"),
+          $"doc_id".cast("string"), lit("@mail.example.com or u"),
+          $"doc_id".cast("string"), lit("@backup.example.org phone 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .withColumn("n_email", expr(s"regexp_count(t, '$email')").cast("long"))
+        .withColumn("n_phone", expr(s"regexp_count(t, '$phone')").cast("long"))
+        .withColumn("n_ssn", expr(s"regexp_count(t, '$ssn')").cast("long"))
+        .withColumn("red", regexp_replace(regexp_replace(regexp_replace(
+          $"t", ssn, "[SSN]"), phone, "[PHONE]"), email, "[EMAIL]"))
+        .withColumn("n_residual",
+          (expr(s"regexp_count(red, '$email')") +
+            expr(s"regexp_count(red, '$phone')") +
+            expr(s"regexp_count(red, '$ssn')")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_email").as("n_emails"),
+          sum($"n_phone").as("n_phones"), sum($"n_ssn").as("n_ssns"),
+          sum($"n_residual").as("n_residual"),
+          sum(length($"red").cast("long")).as("sum_redacted_len"))
+        .orderBy($"source")
+    },
+
+    q("q326_kendall_tau",
+      // Kendall tau-b rank agreement between per-user activity volume and
+      // purchase count — the tie-aware rank correlation reported when
+      // Spearman's squared-rank-difference form is distorted by heavy ties
+      // (integer metrics ARE heavily tied). Concordant/discordant pairs
+      // come from a self-join of the COMPACTED (x, y) cell grid (bounded
+      // by the two metric domains, never user-sized); tie corrections
+      // n1/n2 are per-marginal sums. Products widen through
+      // HUGEINT/DECIMAL(38,0) (pair counts are O(n^2)); the tau-b
+      // denominator sqrt is the single trailing IEEE chain.
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM u GROUP BY x, y),
+        |n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS conc,
+        |    CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS HUGEINT) AS disc
+        |  FROM cells a, cells b),
+        |tx AS (SELECT CAST(SUM(CAST(tc AS HUGEINT) * (tc - 1) // 2)
+        |    AS HUGEINT) AS n1 FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS tc
+        |  FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(SUM(CAST(tc AS HUGEINT) * (tc - 1) // 2)
+        |    AS HUGEINT) AS n2 FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS tc
+        |  FROM cells GROUP BY y))
+        |SELECT CAST(n.n AS BIGINT) AS n_users,
+        |  CAST(cd.conc AS BIGINT) AS concordant,
+        |  CAST(cd.disc AS BIGINT) AS discordant,
+        |  CAST(tx.n1 AS BIGINT) AS ties_x, CAST(ty.n2 AS BIGINT) AS ties_y,
+        |  CAST(FLOOR(CAST(cd.conc - cd.disc AS DOUBLE)
+        |    / sqrt(CAST(n.n * (n.n - 1) // 2 - tx.n1 AS DOUBLE)
+        |           * CAST(n.n * (n.n - 1) // 2 - ty.n2 AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS tau_b_ppm
+        |FROM n, cd, tx, ty""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val cells = T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+        .groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // self-join + marginals + n
+      val n = cells.agg(sum($"c").cast(D).as("n"))
+      val cd = cells.as("a").crossJoin(broadcast(cells.as("b")))
+        .agg(
+          coalesce(sum(when($"a.x" < $"b.x" && $"a.y" < $"b.y",
+            $"a.c".cast(D) * $"b.c")), lit(0L).cast(D)).as("conc"),
+          coalesce(sum(when($"a.x" < $"b.x" && $"a.y" > $"b.y",
+            $"a.c".cast(D) * $"b.c")), lit(0L).cast(D)).as("disc"))
+      val tx = cells.groupBy($"x").agg(sum($"c").as("tc"))
+        .agg(sum(expr(s"CAST(tc AS $D) * (tc - 1) div 2")).as("n1"))
+      val ty = cells.groupBy($"y").agg(sum($"c").as("tc"))
+        .agg(sum(expr(s"CAST(tc AS $D) * (tc - 1) div 2")).as("n2"))
+      broadcast(n).crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select($"n".cast("long").as("n_users"),
+          $"conc".cast("long").as("concordant"),
+          $"disc".cast("long").as("discordant"),
+          $"n1".cast("long").as("ties_x"), $"n2".cast("long").as("ties_y"),
+          expr("CAST(FLOOR(CAST(conc - disc AS DOUBLE) " +
+            "/ sqrt(CAST(n * (n - 1) div 2 - n1 AS DOUBLE) " +
+            "* CAST(n * (n - 1) div 2 - n2 AS DOUBLE)) " +
+            "* 1000000 + 0.5) AS BIGINT)").as("tau_b_ppm"))
+    },
+
+    q("q327_psi_drift",
+      // Population Stability Index between the first and second half of
+      // the event timeline over the value distribution — the industry
+      // drift score (credit-risk lineage) every model-monitoring dashboard
+      // thresholds at 0.1 / 0.25. Ten equal-width bins over the global
+      // integer cents domain, Laplace-smoothed ppm shares so empty bins
+      // can't blow up the log, and each bin's term is ONE ln of a single
+      // ppm rational rounded to integer micro units before the sum (the
+      // q239 rule — engines cannot disagree on addition order). Bounded
+      // work after the two binning aggregations; midpoint, bins, and
+      // shares all derive from the data.
+      """WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
+        |  FROM events),
+        |b AS (SELECT MIN(vc) lo, MAX(vc) - MIN(vc) + 1 AS w,
+        |    (MIN(ms) + MAX(ms)) // 2 AS mid FROM e),
+        |h AS (SELECT ((vc - lo) * 10) // w AS bin,
+        |    CASE WHEN ms <= mid THEN 1 ELSE 0 END AS in_a FROM e, b),
+        |cnt AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - in_a) AS BIGINT) AS cb FROM h GROUP BY bin),
+        |grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+        |z AS (SELECT grid.bin, COALESCE(cnt.ca, 0) AS ca,
+        |    COALESCE(cnt.cb, 0) AS cb
+        |  FROM grid LEFT JOIN cnt ON cnt.bin = grid.bin),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM z),
+        |pq AS (SELECT bin, ca, cb,
+        |    ((ca + 1) * 1000000) // (na + 10) AS p_ppm,
+        |    ((cb + 1) * 1000000) // (nb + 10) AS q_ppm FROM z, tot),
+        |t AS (SELECT bin, ca, cb, p_ppm, q_ppm,
+        |    CAST(FLOOR((p_ppm - q_ppm)
+        |      * ln(CAST(p_ppm AS DOUBLE) / q_ppm) + 0.5) AS BIGINT)
+        |      AS term_micro
+        |  FROM pq)
+        |SELECT bin, ca AS n_first_half, cb AS n_second_half, p_ppm, q_ppm,
+        |  term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro,
+        |  CASE WHEN SUM(term_micro) OVER () < 100000 THEN 'stable'
+        |       WHEN SUM(term_micro) OVER () < 250000 THEN 'moderate'
+        |       ELSE 'major' END AS drift_band
+        |FROM t ORDER BY bin""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select(floor($"value" * 100 + 0.5).cast("long").as("vc"),
+          unix_millis($"ts").as("ms"))
+      val b = e.agg(min($"vc").as("lo"),
+        (max($"vc") - min($"vc") + 1).as("w"),
+        expr("(MIN(ms) + MAX(ms)) div 2").as("mid"))
+      val cnt = e.crossJoin(broadcast(b))
+        .select(expr("((vc - lo) * 10) div w").as("bin"),
+          when($"ms" <= $"mid", 1L).otherwise(0L).as("in_a"))
+        .groupBy($"bin")
+        .agg(sum($"in_a").as("ca"), sum(lit(1L) - $"in_a").as("cb"))
+      val grid = s.range(0, 10).select($"id".as("bin"))
+      val z = grid.join(broadcast(cnt), Seq("bin"), "left")
+        .select($"bin", coalesce($"ca", lit(0L)).as("ca"),
+          coalesce($"cb", lit(0L)).as("cb"))
+        .transform(graft.CacheScope.cached) // totals + terms
+      val tot = z.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      z.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("((ca + 1) * 1000000) div (na + 10)"))
+        .withColumn("q_ppm", expr("((cb + 1) * 1000000) div (nb + 10)"))
+        .withColumn("term_micro",
+          floor(($"p_ppm" - $"q_ppm")
+            * log($"p_ppm".cast("double") / $"q_ppm") + 0.5).cast("long"))
+        .withColumn("psi_micro", sum($"term_micro").over(all))
+        .select($"bin", $"ca".as("n_first_half"), $"cb".as("n_second_half"),
+          $"p_ppm", $"q_ppm", $"term_micro", $"psi_micro",
+          when($"psi_micro" < 100000L, "stable")
+            .when($"psi_micro" < 250000L, "moderate")
+            .otherwise("major").as("drift_band"))
+        .orderBy($"bin")
+    },
+
+    q("q328_sprt_ab",
+      // Wald's Sequential Probability Ratio Test on an A/B conversion
+      // stream — the always-valid early-stopping test that replaces the
+      // fixed-horizon z-test when peeking daily: H0 p=0.18 vs H1 p=0.22 at
+      // alpha = beta = 0.05, decided per variant from the DAILY cumulative
+      // (trials, successes) walk (trial = event, success = purchase;
+      // variant = user hash). LLR_t = s_t*ln(p1/p0) + (n_t-s_t)*
+      // ln((1-p1)/(1-p0)) is LINEAR in the prefix counts — the inlined
+      // micro constants 200671 / -50010 and the ln(19) barrier 2944439
+      // keep every compared value an exact BIGINT. All windows run on the
+      // bounded (variant x day) grid; the per-day aggregation is the only
+      // data-sized work. The fixture's true rate ~0.198 sits between the
+      // hypotheses, so 'continue' at the horizon is the HONEST verdict.
+      s"""WITH d AS (SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT variant, day,
+        |    SUM(n) OVER (PARTITION BY variant ORDER BY day) AS n_cum,
+        |    SUM(s) OVER (PARTITION BY variant ORDER BY day) AS s_cum
+        |  FROM d),
+        |l AS (SELECT variant, day, n_cum, s_cum,
+        |    s_cum * $SprtLa + (n_cum - s_cum) * $SprtLb AS llr_micro
+        |  FROM c),
+        |x AS (SELECT variant, day, n_cum, s_cum, llr_micro,
+        |    CASE WHEN llr_micro >= $SprtThr THEN 'accept_h1'
+        |         WHEN llr_micro <= -$SprtThr THEN 'accept_h0'
+        |         ELSE 'continue' END AS state,
+        |    ROW_NUMBER() OVER (PARTITION BY variant ORDER BY day DESC)
+        |      AS rev,
+        |    MIN(CASE WHEN llr_micro >= $SprtThr
+        |          OR llr_micro <= -$SprtThr THEN day END)
+        |      OVER (PARTITION BY variant) AS cross_day
+        |  FROM l),
+        |dec AS (SELECT variant,
+        |    MIN(CASE WHEN day = cross_day THEN state END) AS decision
+        |  FROM x GROUP BY variant)
+        |SELECT CAST(x.variant AS BIGINT) AS variant,
+        |  CAST(n_cum AS BIGINT) AS n_trials,
+        |  CAST(s_cum AS BIGINT) AS n_success,
+        |  CAST(llr_micro AS BIGINT) AS final_llr_micro,
+        |  COALESCE(CAST(cross_day AS VARCHAR), 'none') AS first_cross_day,
+        |  COALESCE(dec.decision, 'continue') AS decision
+        |FROM x JOIN dec ON dec.variant = x.variant
+        |WHERE rev = 1 ORDER BY variant""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "events")
+        .groupBy(($"user_id" % 2).as("variant"), to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("s"))
+      val byDay = Window.partitionBy($"variant").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVar = Window.partitionBy($"variant")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("n_cum", sum($"n").over(byDay))
+        .withColumn("s_cum", sum($"s").over(byDay))
+        .withColumn("llr_micro",
+          $"s_cum" * SprtLa + ($"n_cum" - $"s_cum") * SprtLb)
+        .withColumn("state",
+          when($"llr_micro" >= SprtThr, "accept_h1")
+            .when($"llr_micro" <= -SprtThr, "accept_h0")
+            .otherwise("continue"))
+        .withColumn("rev", row_number().over(
+          Window.partitionBy($"variant").orderBy($"day".desc)))
+        .withColumn("cross_day", min(when($"llr_micro" >= SprtThr ||
+          $"llr_micro" <= -SprtThr, $"day")).over(byVar))
+        // SPRT is absorbing: the verdict is the barrier hit at the FIRST
+        // crossing, not the state at the horizon
+        .withColumn("decision", coalesce(
+          min(when($"day" === $"cross_day", $"state")).over(byVar),
+          lit("continue")))
+        .filter($"rev" === 1)
+        .select($"variant".cast("long").as("variant"),
+          $"n_cum".as("n_trials"), $"s_cum".as("n_success"),
+          $"llr_micro".as("final_llr_micro"),
+          coalesce($"cross_day".cast("string"), lit("none"))
+            .as("first_cross_day"),
+          $"decision")
+        .orderBy($"variant")
+    },
+
+    q("q329_pinball_eval",
+      // Pinball (quantile) loss scoring of per-type constant P90
+      // forecasts — the proper scoring rule for quantile predictions
+      // (Koenker & Bassett 1978): a forecaster claiming "the 90th
+      // percentile" is graded by L_0.9, and the CERTIFICATE rides the
+      // output — the exact P90 must score no worse than the exact median
+      // under L_0.9 (P90 is the L_0.9 minimizer over constants). tau = 0.9
+      // is cross-multiplied (x10), so both losses are exact BIGINT sums
+      // over the COMPACTED per-type cents domain; quantiles come from the
+      // same cumulative-threshold pass as q289.
+      """WITH g AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, vc),
+        |cum AS (SELECT event_type, vc, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM g),
+        |qs AS (SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN 2 * cum >= n THEN vc END) AS BIGINT) AS p50,
+        |    CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN vc END) AS BIGINT)
+        |      AS p90
+        |  FROM cum GROUP BY event_type),
+        |l AS (SELECT g.event_type, qs.n, qs.p50, qs.p90,
+        |    CAST(SUM(g.c * (9 * GREATEST(g.vc - qs.p90, 0)
+        |      + GREATEST(qs.p90 - g.vc, 0))) AS BIGINT) AS loss10_p90,
+        |    CAST(SUM(g.c * (9 * GREATEST(g.vc - qs.p50, 0)
+        |      + GREATEST(qs.p50 - g.vc, 0))) AS BIGINT) AS loss10_p50
+        |  FROM g JOIN qs ON qs.event_type = g.event_type
+        |  GROUP BY g.event_type, qs.n, qs.p50, qs.p90)
+        |SELECT event_type, n, p50, p90, loss10_p90, loss10_p50,
+        |  loss10_p90 <= loss10_p50 AS p90_is_optimal
+        |FROM l ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "events")
+        .groupBy($"event_type",
+          floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // quantile pass + loss join
+      val wc = Window.partitionBy($"event_type").orderBy($"vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val qs = g.withColumn("cum", sum($"c").over(wc))
+        .withColumn("n", sum($"c").over(wt))
+        .groupBy($"event_type")
+        .agg(min($"n").as("n"),
+          min(when(lit(2) * $"cum" >= $"n", $"vc")).as("p50"),
+          min(when(lit(10) * $"cum" >= lit(9) * $"n", $"vc")).as("p90"))
+      g.join(broadcast(qs), Seq("event_type"))
+        .groupBy($"event_type", $"n", $"p50", $"p90")
+        .agg(
+          sum($"c" * (lit(9) * greatest($"vc" - $"p90", lit(0L))
+            + greatest($"p90" - $"vc", lit(0L)))).as("loss10_p90"),
+          sum($"c" * (lit(9) * greatest($"vc" - $"p50", lit(0L))
+            + greatest($"p50" - $"vc", lit(0L)))).as("loss10_p50"))
+        .select($"event_type", $"n", $"p50", $"p90", $"loss10_p90",
+          $"loss10_p50",
+          ($"loss10_p90" <= $"loss10_p50").as("p90_is_optimal"))
+        .orderBy($"event_type")
+    },
+  )
+}

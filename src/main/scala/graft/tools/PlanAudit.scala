@@ -646,6 +646,30 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q324_cusum_change" -> Seq(
+      "cusum is two window passes on the bounded day grid" -> "Window",
+      "daily pre-aggregation partial-aggregates map-side" -> "HashAggregate",
+      "only ts and event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
+    "q325_pii_redaction" -> Seq(
+      "redaction is pure map-side regex, no join anywhere" -> "!Join",
+      "per-source rollup partial-aggregates map-side" -> "HashAggregate",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q326_kendall_tau" -> Seq(
+      "concordance self-join runs on the broadcast compacted cell grid" -> "BroadcastNestedLoopJoin",
+      "cell compaction partial-aggregates map-side" -> "HashAggregate",
+      "only user_id and event_type read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q327_psi_drift" -> Seq(
+      "bin counts partial-aggregate map-side" -> "HashAggregate",
+      "bounds broadcast (1 row) into the binning pass" -> "BroadcastNestedLoopJoin",
+      "only ts and value read" -> "ReadSchema: struct<ts:timestamp_ntz,value:double>"),
+    "q328_sprt_ab" -> Seq(
+      "llr walk is window passes on the bounded (variant x day) grid" -> "Window",
+      "daily conversion rollup partial-aggregates map-side" -> "HashAggregate",
+      "only ts, user_id, event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+    "q329_pinball_eval" -> Seq(
+      "quantiles from cumulative windows on the compacted value domain" -> "Window",
+      "per-type quantile table broadcast into the loss join" -> "BroadcastHashJoin",
+      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"),
     "q323_release_pipeline" -> Seq(
       "LSH candidates are an equi join on (band, key), never all-pairs" -> "!CartesianProduct",
       "BM25 query terms broadcast into the postings join" -> "BroadcastHashJoin",
