@@ -716,5 +716,69 @@ object Dedup {
             "ELSE 0 END) END AS BIGINT)").as("est_fp_ppm"))
         .orderBy($"bands".desc)
     },
+
+    q("q331_minhash_merge",
+      // MinHash MERGEABILITY certificate — the algebra that makes the
+      // sketch work as a distributed partial aggregate: minhash(A ∪ B) =
+      // elementwise-min(minhash(A), minhash(B)). Per source, the signature
+      // of the source's whole shingle union is computed BOTH ways — (a)
+      // directly over the flattened distinct hash set, (b) by merging the
+      // per-document signatures with a per-permutation MIN aggregation
+      // (exactly what Spark's map-side partial aggregation does with
+      // sketch state at 100 TB, where per-doc signatures are all that
+      // ever crosses the shuffle) — and the output carries both digests
+      // plus the law's verdict. A signature is serialized as a
+      // comma-joined string (q205's rule: array sort keys crash the
+      // driver comparator).
+      s"""WITH words AS (SELECT doc_id, source, string_split(text,' ') w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, ${duckShingles("w")} shingles
+         |  FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, source, ${duckHashedSet("shingles")} hh
+         |  FROM sh),
+         |direct AS (SELECT source, ${duckMinhash("hh")} dm FROM
+         |  (SELECT source, list_distinct(flatten(list(hh))) AS hh
+         |   FROM hs GROUP BY source)),
+         |persig AS (SELECT doc_id, source, ${duckMinhash("hh")} mh FROM hs),
+         |exsig AS (SELECT source, i, mh[CAST(i+1 AS INT)] AS v
+         |  FROM persig, unnest(range($MinhashSigs)) AS t(i)),
+         |merged AS (SELECT source, list(mn ORDER BY i) AS mm FROM
+         |  (SELECT source, i, MIN(v) AS mn FROM exsig GROUP BY source, i)
+         |  GROUP BY source),
+         |j AS (SELECT d.source,
+         |    array_to_string(d.dm, ',') AS direct_sig,
+         |    array_to_string(m.mm, ',') AS merged_sig,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hs
+         |     WHERE hs.source = d.source) AS n_docs
+         |  FROM direct d JOIN merged m ON m.source = d.source)
+         |SELECT source, n_docs, direct_sig, merged_sig,
+         |  direct_sig = merged_sig AS merge_law_holds
+         |FROM j ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val hs = shingled(s, dir)
+        .withColumn("hh",
+          expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"source", $"hh")
+        .transform(graft.CacheScope.cached) // direct union + per-doc sigs
+      val direct = hs.select($"source", explode($"hh").as("h")).distinct()
+        .groupBy($"source").agg(collect_list($"h").as("hh"))
+        .select($"source", expr("graft_minhash(hh)").as("dm"))
+      val merged = hs
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"source", posexplode($"mh"))
+        .groupBy($"source", $"pos").agg(min($"col").as("mn"))
+        .groupBy($"source")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), " +
+          "x -> x.mn)").as("mm"))
+      val nd = hs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      direct.join(merged, Seq("source")).join(broadcast(nd), Seq("source"))
+        .select($"source", $"n_docs",
+          array_join(expr("transform(dm, x -> CAST(x AS STRING))"), ",")
+            .as("direct_sig"),
+          array_join(expr("transform(mm, x -> CAST(x AS STRING))"), ",")
+            .as("merged_sig"))
+        .withColumn("merge_law_holds", $"direct_sig" === $"merged_sig")
+        .orderBy($"source")
+    },
   )
 }

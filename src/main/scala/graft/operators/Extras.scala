@@ -1354,6 +1354,71 @@ object Extras {
             $"plain_bytes").as("recommend_dict"))
         .orderBy($"col_")
     },
+
+    q("q332_zonemap_advisor",
+      // Partition zone-map pruning advisor: write the fact table
+      // PARTITIONED BY day (the real lake layout), read it back through
+      // the partitioned scan, and compute each partition's value zone
+      // (min/max) plus whether a high-value predicate (vc >= lo + 9w/10,
+      // derived from the data) could SKIP it entirely — max(vc) < thr
+      // means zero matching rows can live there, so a planner that keeps
+      // partition-level stats rewrites the scan to the surviving day set.
+      // The summary columns quantify the win: partitions skipped and the
+      // ppm of rows that never need reading. The oracle re-derives all of
+      // it from day groups — equal for ANY physical file count inside a
+      // partition, because zones here are the day partitions themselves.
+      // At 100 TB this is the difference between a full scan and reading
+      // a few percent; the same arithmetic runs per parquet row-group.
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT MIN(vc) lo, MAX(vc) - MIN(vc) + 1 AS w FROM e),
+        |thr AS (SELECT lo + (9 * w) // 10 AS t FROM b),
+        |z AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(MIN(vc) AS BIGINT) AS zone_min,
+        |    CAST(MAX(vc) AS BIGINT) AS zone_max,
+        |    CAST(SUM(CASE WHEN vc >= (SELECT t FROM thr) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_match
+        |  FROM e GROUP BY day)
+        |SELECT CAST(day AS VARCHAR) AS day, n_rows, zone_min, zone_max,
+        |  n_match, zone_max < (SELECT t FROM thr) AS skippable,
+        |  CAST(SUM(CASE WHEN zone_max < (SELECT t FROM thr) THEN 1 ELSE 0
+        |    END) OVER () AS BIGINT) AS n_skipped_parts,
+        |  CAST((1000000 * SUM(CASE WHEN zone_max < (SELECT t FROM thr)
+        |      THEN n_rows ELSE 0 END) OVER ())
+        |    // SUM(n_rows) OVER () AS BIGINT) AS rows_skipped_ppm
+        |FROM z ORDER BY day""") { (s, dir) =>
+      import s.implicits._
+      // the real seam: a partitioned write + partitioned read-back (day
+      // comes back as a partition column from the directory layout)
+      val base = graft.TempDirs.scratch("graft-q332-zones")
+      T(s, dir, "events")
+        .select(to_date($"ts").as("day"),
+          floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      val e = s.read.parquet(base).select($"day", $"vc")
+        .transform(graft.CacheScope.cached) // bounds + zones
+      val thr = e.agg(min($"vc").as("lo"), (max($"vc") - min($"vc") + 1)
+          .as("w"))
+        .select(expr("lo + (9 * w) div 10").as("t"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.crossJoin(broadcast(thr))
+        .withColumn("m", when($"vc" >= $"t", 1L).otherwise(0L))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_rows"), min($"vc").as("zone_min"),
+          max($"vc").as("zone_max"), sum($"m").as("n_match"),
+          max($"t").as("t"))
+        .withColumn("skippable", $"zone_max" < $"t")
+        .withColumn("n_skipped_parts",
+          sum(when($"skippable", 1L).otherwise(0L)).over(all))
+        .withColumn("rows_skipped_ppm",
+          expr("(1000000 * SUM(CASE WHEN skippable THEN n_rows ELSE 0 END) " +
+            "OVER ()) div SUM(n_rows) OVER ()"))
+        .select($"day".cast("string").as("day"), $"n_rows", $"zone_min",
+          $"zone_max", $"n_match", $"skippable", $"n_skipped_parts",
+          $"rows_skipped_ppm")
+        .orderBy($"day")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

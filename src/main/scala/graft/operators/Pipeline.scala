@@ -1186,5 +1186,68 @@ object Pipeline {
           expr("(1000000 * flips) div total").as("flip_ppm"))
         .orderBy($"cell")
     },
+
+    q("q333_length_batching",
+      // Length-bucketed batch planning — the training-throughput lever:
+      // batching sequences of similar length cuts padding waste (every
+      // batch pads to its own max, not the corpus max). Documents are
+      // assigned to 8 equal-frequency length buckets from the cumulative
+      // count over the COMPACTED length domain (cells assigned wholly by
+      // the position of their first row — bounded window, the q289
+      // discipline), and the padding accounting is exact integer token
+      // math: pad = n·max_len − Σ len per bucket, against the naive
+      // one-global-batch baseline. saved_ppm is the fraction of padding
+      // tokens the bucketing eliminates — the number that decides whether
+      // the pipeline ships a bucketed sampler.
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS len FROM documents),
+        |g AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS cnt FROM d
+        |  GROUP BY len),
+        |c AS (SELECT len, cnt,
+        |    SUM(cnt) OVER (ORDER BY len) AS cum,
+        |    SUM(cnt) OVER () AS n FROM g),
+        |bk AS (SELECT len, cnt, ((cum - cnt) * 8) // n + 1 AS bucket
+        |  FROM c),
+        |b AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(MIN(len) AS BIGINT) AS min_len,
+        |    CAST(MAX(len) AS BIGINT) AS max_len,
+        |    CAST(SUM(cnt * len) AS BIGINT) AS sum_len
+        |  FROM bk GROUP BY bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, min_len, max_len,
+        |  n_docs * max_len - sum_len AS pad_bucketed,
+        |  CAST(SUM(n_docs) OVER () * MAX(max_len) OVER ()
+        |    - SUM(sum_len) OVER () AS BIGINT) AS pad_naive_total,
+        |  CAST((1000000 * (SUM(n_docs) OVER () * MAX(max_len) OVER ()
+        |      - SUM(sum_len) OVER ()
+        |      - SUM(n_docs * max_len - sum_len) OVER ()))
+        |    // (SUM(n_docs) OVER () * MAX(max_len) OVER ()
+        |      - SUM(sum_len) OVER ()) AS BIGINT) AS saved_ppm
+        |FROM b ORDER BY bucket""") { (s, dir) =>
+      import s.implicits._
+      val g = T(s, dir, "documents")
+        .select(size(split($"text", " ")).cast("long").as("len"))
+        .groupBy($"len").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy($"len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val b = g.withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n", sum($"cnt").over(all))
+        .withColumn("bucket", expr("((cum - cnt) * 8) div n + 1"))
+        .groupBy($"bucket")
+        .agg(sum($"cnt").as("n_docs"), min($"len").as("min_len"),
+          max($"len").as("max_len"), sum($"cnt" * $"len").as("sum_len"))
+      b.withColumn("pad_bucketed", $"n_docs" * $"max_len" - $"sum_len")
+        .withColumn("pad_naive_total",
+          sum($"n_docs").over(all) * max($"max_len").over(all)
+            - sum($"sum_len").over(all))
+        .withColumn("saved_ppm",
+          expr("(1000000 * (pad_naive_total " +
+            "- SUM(n_docs * max_len - sum_len) OVER ())) " +
+            "div pad_naive_total"))
+        .select($"bucket", $"n_docs", $"min_len", $"max_len",
+          $"pad_bucketed", $"pad_naive_total", $"saved_ppm")
+        .orderBy($"bucket")
+    },
   )
 }

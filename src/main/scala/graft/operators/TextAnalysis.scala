@@ -490,6 +490,74 @@ object TextAnalysis {
         .withColumn("pieces_per_word_micro", expr("(n_pieces * 1000000) DIV n_words"))
         .orderBy($"doc_id")
     },
+
+    q("q330_bigram_perplexity",
+      // Bigram language-model quality scoring — the CCNet/C4-style filter:
+      // train an add-one-smoothed bigram LM on 80% of the corpus (doc-hash
+      // split), score the held-out 20% by per-source perplexity. The LM is
+      // two keyed aggregations (bigram + unigram counts); scoring is one
+      // join of held-out bigrams against the trained counts, and every log
+      // probability is ONE ln of the single rational (c2+1)/(c1+V) rounded
+      // to integer micro units per instance (the q239 rule), so the
+      // per-source sum is exact BIGINT. Perplexity = exp(-avg) is the one
+      // trailing IEEE chain at r4. Unseen contexts fall back to 1/V via
+      // the same formula (c2=0, c1=0) — no special-casing to diverge on.
+      // Held-out = the md5-prefix 20% (q123's split trick): a modular
+      // doc_id split would correlate with the fixture's source assignment
+      // and starve most sources of held docs.
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+        |    ${splitCaseDuck("doc_id")} AS split FROM documents),
+        |bg AS (SELECT doc_id, source, split, w[CAST(i AS INT)] AS w1,
+        |    w[CAST(i+1 AS INT)] AS w2
+        |  FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE split = 'train' GROUP BY w1, w2),
+        |tu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg
+        |  WHERE split = 'train' GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vocab FROM tb),
+        |h AS (SELECT bg.source,
+        |    CAST(FLOOR(ln(CAST(COALESCE(tb.c2, 0) + 1 AS DOUBLE)
+        |      / (COALESCE(tu.c1, 0) + v.vocab)) * 1000000 + 0.5) AS BIGINT)
+        |      AS mln
+        |  FROM bg LEFT JOIN tb ON tb.w1 = bg.w1 AND tb.w2 = bg.w2
+        |    LEFT JOIN tu ON tu.w1 = bg.w1, v
+        |  WHERE bg.split <> 'train')
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(mln) AS BIGINT) AS nll_micro_total,
+        |  FLOOR(exp(-CAST(SUM(mln) AS DOUBLE) / COUNT(*) / 1000000)
+        |    * 10000 + 0.5) / 10000 AS perplexity_r4
+        |FROM h GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val bg = T(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("w"),
+          expr(splitCaseSpark("doc_id")).as("split"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", $"source", $"split", explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i+1) AS w2))"))
+          .as("p"))
+        .select($"doc_id", $"source", $"split", $"p.w1", $"p.w2")
+        .transform(graft.CacheScope.cached) // train counts + held scoring
+      val train = bg.filter($"split" === "train")
+      val tb = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        .transform(graft.CacheScope.cached) // vocab + scoring join
+      val tu = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val v = tb.agg(countDistinct($"w2").as("vocab"))
+      bg.filter($"split" =!= "train")
+        .join(tb, Seq("w1", "w2"), "left")
+        .join(tu, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select($"source",
+          floor(log((coalesce($"c2", lit(0L)) + 1).cast("double")
+            / (coalesce($"c1", lit(0L)) + $"vocab")) * 1000000d + 0.5d)
+            .cast("long").as("mln"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"mln").as("nll_micro_total"))
+        .select($"source", $"n_bigrams", $"nll_micro_total",
+          (floor(exp(-$"nll_micro_total".cast("double") / $"n_bigrams"
+            / 1000000d) * 10000d + 0.5d) / 10000d).as("perplexity_r4"))
+        .orderBy($"source")
+    },
   ) ++ noveltyAndEntropy
 
   private lazy val noveltyAndEntropy: Seq[QueryDef] = Seq(

@@ -646,6 +646,22 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q330_bigram_perplexity" -> Seq(
+      "bigram/unigram LM counts partial-aggregate map-side" -> "HashAggregate",
+      "vocab size broadcast (1 row) into scoring" -> "BroadcastNestedLoopJoin",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q331_minhash_merge" -> Seq(
+      "per-permutation signature merge partial-aggregates map-side" -> "HashAggregate",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q332_zonemap_advisor" -> Seq(
+      "zones read back through the partitioned parquet seam" -> "Scan parquet",
+      "threshold broadcast (1 row) into the zone pass" -> "BroadcastNestedLoopJoin",
+      "zone stats partial-aggregate map-side" -> "HashAggregate"),
+    "q333_length_batching" -> Seq(
+      "bucketing windows run on the compacted length domain" -> "Window",
+      "length compaction partial-aggregates map-side" -> "HashAggregate",
+      "only text read" -> "ReadSchema: struct<text:string>"),
     "q324_cusum_change" -> Seq(
       "cusum is two window passes on the bounded day grid" -> "Window",
       "daily pre-aggregation partial-aggregates map-side" -> "HashAggregate",
