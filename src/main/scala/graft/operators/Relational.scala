@@ -574,5 +574,79 @@ object Relational {
           expr("(1000000 * cnt) div total").as("support_ppm"))
         .orderBy($"flag")
     },
+
+    q("q334_rollup_revenue",
+      // ROLLUP(region, nation) — the hierarchical subtotal operator
+      // itself (not a hand-built union of grouping levels): per-nation
+      // revenue, per-region subtotals, and the grand total in ONE
+      // aggregation pass, exactly how a reporting layer asks for it.
+      // Spark expands the grouping sets BEFORE the shuffle so all three
+      // levels partial-aggregate map-side. Levels are disambiguated by
+      // the per-column GROUPING flags (portable across engines, unlike
+      // the packed grouping_id whose bit order is dialect-defined);
+      // labels COALESCE to 'ALL'. Revenue is exact integer cents.
+      """SELECT COALESCE(r.r_name, 'ALL') AS region,
+        |  CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END
+        |    AS nation,
+        |  CAST(GROUPING(r.r_name) AS BIGINT) AS region_rolled,
+        |  CAST(GROUPING(n.n_name) AS BIGINT) AS nation_rolled,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY region, nation""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), $"c_custkey" === $"o_custkey")
+        .join(broadcast(T(s, dir, "nation")),
+          $"n_nationkey" === $"c_nationkey")
+        .join(broadcast(T(s, dir, "region")),
+          $"r_regionkey" === $"n_regionkey")
+        .select($"r_name", $"n_name",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .rollup($"r_name", $"n_name")
+        .agg(grouping($"r_name").cast("long").as("region_rolled"),
+          grouping($"n_name").cast("long").as("nation_rolled"),
+          count(lit(1)).as("n_orders"), sum($"cents").as("revenue_cents"))
+        .select(coalesce($"r_name", lit("ALL")).as("region"),
+          when($"nation_rolled" === 1, "ALL").otherwise($"n_name")
+            .as("nation"),
+          $"region_rolled", $"nation_rolled", $"n_orders", $"revenue_cents")
+        .orderBy($"region", $"nation")
+    },
+
+    q("q335_cube_quantity",
+      // CUBE(returnflag, linestatus) — every marginal of the 2-D
+      // contingency in one pass: per-cell, per-flag, per-status, and
+      // grand-total quantity sums, the cross-tab a BI layer renders with
+      // both margins. Same portable GROUPING-flag discipline as q334;
+      // exact integer units.
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS flag_rolled,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS status_rolled,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus",
+          floor($"l_quantity" + 0.5).cast("long").as("q"))
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").cast("long").as("flag_rolled"),
+          grouping($"l_linestatus").cast("long").as("status_rolled"),
+          count(lit(1)).as("n_lines"), sum($"q").as("total_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"flag_rolled", $"status_rolled", $"n_lines", $"total_qty")
+        .orderBy($"flag", $"status")
+    },
   )
 }

@@ -1183,6 +1183,116 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q336_streaming_cusum",
+      // q324's CUSUM change detector RUNNING CONTINUOUSLY through the
+      // engine: daily volumes accumulate per (type, day) in complete-mode
+      // streaming state — bounded by the calendar regardless of stream
+      // length, the run-forever property — and the prefix-min closed form
+      // finalizes batch-side on the drained sink, exactly how an alerting
+      // dashboard reads the live counter table. Oracle = the batch twin's
+      // arithmetic over the same events. Multi-batch drain proves the
+      // counters accumulate across micro-batches before the detector
+      // scans them.
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) lo, MAX(day) hi FROM c),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |g AS (SELECT t.event_type, days.day, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN days
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    (CAST(SUM(n) AS BIGINT) * 1000000) // COUNT(*) AS k_micro
+        |  FROM g GROUP BY event_type),
+        |p AS (SELECT g.event_type, g.day, k.n_days, k.k_micro,
+        |    SUM(g.n) OVER (PARTITION BY g.event_type ORDER BY g.day)
+        |      * 1000000
+        |    - CAST(ROW_NUMBER() OVER (PARTITION BY g.event_type
+        |        ORDER BY g.day) AS BIGINT) * k.k_micro AS pm
+        |  FROM g JOIN k ON k.event_type = g.event_type),
+        |s AS (SELECT event_type, day, n_days, k_micro,
+        |    pm - LEAST(CAST(0 AS BIGINT), MIN(pm) OVER (
+        |      PARTITION BY event_type ORDER BY day)) AS cusum_micro
+        |  FROM p),
+        |r AS (SELECT event_type, day, n_days, k_micro, cusum_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cusum_micro DESC, day) AS rk,
+        |    CASE WHEN cusum_micro >= k_micro THEN 1 ELSE 0 END AS alarm
+        |  FROM s)
+        |SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days,
+        |  CAST(MIN(k_micro) AS BIGINT) AS k_micro,
+        |  CAST(MAX(cusum_micro) AS BIGINT) AS max_cusum_micro,
+        |  MIN(CASE WHEN rk = 1 THEN day END) AS peak_day,
+        |  CAST(SUM(alarm) AS BIGINT) AS n_alarm_days
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          to_date($"ts").cast("string").as("day"))
+      val root = graft.LogFixtures.producedLog(dir, "q336") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"day"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      // streaming state = one counter per (type, day) — calendar-bounded
+      val sink = graft.streaming.StreamHarness.runToMemory(
+          s, "q336", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema",
+            "event_id BIGINT, event_type STRING, day STRING")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .groupBy($"event_type", $"day".cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+      }
+      // rebuild the drained sink as a fresh frame: the finalization joins
+      // the counter table against itself, and MemoryPlan views fail
+      // Spark's self-join attribute dedup (fresh expr-ids sidestep it);
+      // the table is calendar-bounded, so the rebuild is constant-size
+      val daily = s.createDataFrame(sink.rdd, sink.schema)
+        .transform(graft.CacheScope.cached) // grid + bounds
+      // batch-side finalization — identical arithmetic to q324
+      val b = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val days = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val g = daily.select($"event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+        .transform(graft.CacheScope.cached) // k + window passes
+      val k = g.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("(SUM(n) * 1000000) div COUNT(*)").as("k_micro"))
+      val byDayW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val r = g.join(broadcast(k), Seq("event_type"))
+        .withColumn("pm",
+          sum($"n").over(byDayW) * 1000000L -
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"event_type").orderBy($"day")).cast("long")
+              * $"k_micro")
+        .withColumn("cusum_micro",
+          $"pm" - least(lit(0L), min($"pm").over(byDayW)))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type")
+            .orderBy($"cusum_micro".desc, $"day")))
+        .withColumn("alarm",
+          when($"cusum_micro" >= $"k_micro", 1L).otherwise(0L))
+      r.groupBy($"event_type")
+        .agg(min($"n_days").as("n_days"), min($"k_micro").as("k_micro"),
+          max($"cusum_micro").as("max_cusum_micro"),
+          min(when($"rk" === 1, $"day")).as("peak_day"),
+          sum($"alarm").as("n_alarm_days"))
+        .orderBy($"event_type")
+    },
+
     q("q191_streaming_kmv", {
       val P = graft.functions.TextHash.P
       val ph = graft.functions.TextHash.duckPolyHash("CAST(user_id AS VARCHAR)")
