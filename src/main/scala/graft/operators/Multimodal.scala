@@ -25,7 +25,14 @@ object Multimodal {
     * channel values an affine pattern mod 256 (pixel (0,0) red = id % 256,
     * the oracle's pixel-level probe).
     */
-  private[graft] def fixtureImage(id: Long): Codecs.RgbImage = {
+  private[graft] def fixtureImage(id: Long): Codecs.RgbImage =
+    fixtureImage(id, 0L)
+
+  /** The same raster with the pattern brightness-shifted by `delta` — the
+    * q338 near-duplicate fixture (a re-encoded copy whose few mod-256 wrap
+    * cells are the only hash bits that can flip).
+    */
+  private[graft] def fixtureImage(id: Long, delta: Long): Codecs.RgbImage = {
     val w = 16 + (id % 48).toInt
     val h = 8 + (id % 24).toInt
     val px = new Array[Byte](3 * w * h)
@@ -33,7 +40,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val base = (x + 2 * y + id) % 256
+        val base = (x + 2 * y + id + delta) % 256
         val o = 3 * (y * w + x)
         px(o) = base.toByte
         px(o + 1) = ((base + 85) % 256).toByte
@@ -450,6 +457,106 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "first_px", "corner_g",
           "n_colors")
         .orderBy($"media_id")
+    },
+
+    q("q338_image_near_dup",
+      // Image NEAR-duplicate detection at corpus scale: q250's perceptual
+      // hash (real encode → decode → resample → hash path) plus q43's
+      // band-blocked Hamming join. The corpus doubles each raster with a
+      // brightness-shifted re-encode (pattern +3 — only the few mod-256
+      // wrap cells can flip hash bits, the classic re-encoded-copy
+      // signature); the 64-bit hash splits into four 16-bit bands, and by
+      // pigeonhole hamming <= 3 GUARANTEES a shared band — so the
+      // candidate join is an equi join on (band, key), never all-pairs,
+      // and blocking provably loses no pair below the radius. The oracle
+      // replays raster, resample, hash, banding, and Hamming arithmetic
+      // closed-form; n_pairs per Hamming distance is the dedup readout.
+      """WITH v AS (SELECT doc_id * 2 + var AS vid, doc_id AS id,
+        |    3 * var AS delta, 16 + (doc_id % 48) AS w,
+        |    8 + (doc_id % 24) AS h
+        |  FROM documents, (SELECT unnest(range(2)) AS var)),
+        |px AS (SELECT vid, id, delta, w, h, i % 8 AS x, i // 8 AS y
+        |  FROM v, (SELECT unnest(range(0, 64)) AS i)),
+        |s AS (SELECT vid, (y*8 + x) AS i,
+        |    ((x * w // 8) + 2 * (y * h // 8) + id + delta) % 256 AS base
+        |  FROM px),
+        |g AS (SELECT vid, i,
+        |    (base + ((base + 85) % 256) + ((base + 170) % 256)) // 3 AS gray
+        |  FROM s),
+        |t AS (SELECT vid, CAST(SUM(gray) AS BIGINT) AS total
+        |  FROM g GROUP BY vid),
+        |bits AS (SELECT g.vid, g.i,
+        |    CASE WHEN g.gray * 64 > t.total THEN 1 ELSE 0 END AS b
+        |  FROM g JOIN t ON t.vid = g.vid),
+        |hsh AS (SELECT vid,
+        |    CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i)
+        |      ELSE 0 END) AS BIGINT) AS ha,
+        |    CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32))
+        |      ELSE 0 END) AS BIGINT) AS hb
+        |  FROM bits GROUP BY vid),
+        |bands AS (SELECT vid, ha, hb, bd,
+        |    CASE bd WHEN 0 THEN ha & 65535 WHEN 1 THEN (ha >> 16) & 65535
+        |      WHEN 2 THEN hb & 65535 ELSE (hb >> 16) & 65535 END AS key
+        |  FROM hsh, (SELECT unnest(range(4)) AS bd)),
+        |cand AS (SELECT DISTINCT a.vid va, b.vid vb, a.ha ha1, a.hb hb1,
+        |    b.ha ha2, b.hb hb2
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.key = b.key
+        |    AND a.vid < b.vid),
+        |ham AS (SELECT va, vb,
+        |    CAST(bit_count(xor(ha1, ha2)) + bit_count(xor(hb1, hb2))
+        |      AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(va) AS BIGINT) AS min_vid_a,
+        |  CAST(MAX(vb) AS BIGINT) AS max_vid_b
+        |FROM ham WHERE hamming <= 3 GROUP BY hamming
+        |ORDER BY hamming""") { (s, dir) =>
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .flatMap(id => Seq((id, 0L), (id, 1L)))
+        .mapPartitions(_.map { case (id, varnt) =>
+          val img0 = fixtureImage(id, 3L * varnt)
+          val payload = if (id % 2 == 0) Codecs.encodePpm(img0)
+            else Codecs.encodeBmp(img0)
+          val img = Codecs.resizeNearest(Codecs.decode(payload).get, 8, 8)
+          val gray = Array.tabulate(64) { i =>
+            val (r, g, b) = img.pixel(i % 8, i / 8)
+            (r + g + b) / 3
+          }
+          val total = gray.sum.toLong
+          var (ha, hb) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (gray(i) * 64L > total) {
+              if (i < 32) ha |= 1L << i else hb |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id * 2 + varnt, ha, hb)
+        })
+        .toDF("vid", "ha", "hb")
+        .transform(graft.CacheScope.cached) // both band-join sides
+      val bands = hashed
+        .select($"vid", $"ha", $"hb",
+          explode(sequence(lit(0), lit(3))).as("bd"))
+        .withColumn("key", expr("CASE bd WHEN 0 THEN ha & 65535 " +
+          "WHEN 1 THEN (ha >> 16) & 65535 WHEN 2 THEN hb & 65535 " +
+          "ELSE (hb >> 16) & 65535 END"))
+      bands.as("a").join(bands.as("b"),
+          $"a.bd" === $"b.bd" && $"a.key" === $"b.key" &&
+            $"a.vid" < $"b.vid")
+        .select($"a.vid".as("va"), $"b.vid".as("vb"),
+          $"a.ha".as("ha1"), $"a.hb".as("hb1"),
+          $"b.ha".as("ha2"), $"b.hb".as("hb2"))
+        .distinct()
+        .withColumn("hamming", expr(
+          "CAST(bit_count(ha1 ^ ha2) + bit_count(hb1 ^ hb2) AS BIGINT)"))
+        .filter($"hamming" <= 3)
+        .groupBy($"hamming")
+        .agg(count(lit(1)).as("n_pairs"), min($"va").as("min_vid_a"),
+          max($"vb").as("max_vid_b"))
+        .orderBy($"hamming")
     },
   )
 }
