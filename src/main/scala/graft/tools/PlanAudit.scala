@@ -646,6 +646,22 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q334_rollup_revenue" -> Seq(
+      "all rollup levels expand before one shuffle (Expand operator)" -> "Expand",
+      "dimension tables broadcast into the fact join" -> "BroadcastHashJoin",
+      "levels partial-aggregate map-side" -> "HashAggregate"),
+    "q335_cube_quantity" -> Seq(
+      "all cube margins expand before one shuffle" -> "Expand",
+      "margins partial-aggregate map-side" -> "HashAggregate",
+      "only flag, status, quantity read" -> "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_linestatus:string>"),
+    "q337_entity_resolution" -> Seq(
+      "candidates form via an equi join on the block key" -> "HashJoin",
+      "no cartesian distance matrix" -> "!CartesianProduct",
+      "best match is a per-record partitioned rank window" -> "Window"),
+    "q338_image_near_dup" -> Seq(
+      "candidates form via an equi join on (band, key)" -> "HashJoin",
+      "no all-pairs hamming comparison" -> "!CartesianProduct",
+      "per-distance rollup partial-aggregates map-side" -> "HashAggregate"),
     "q330_bigram_perplexity" -> Seq(
       "bigram/unigram LM counts partial-aggregate map-side" -> "HashAggregate",
       "vocab size broadcast (1 row) into scoring" -> "BroadcastNestedLoopJoin",
