@@ -1698,5 +1698,108 @@ object Evaluation {
             .as("baseline_micro"))
         .orderBy($"gini_micro", $"threshold").limit(5)
     },
+
+    q("q340_raking_weights",
+      // Survey raking (iterative proportional fitting, Deming-Stephan
+      // 1940): a hash-sampled ~30% of customers has (segment x region)
+      // cell counts that drift from the population margins; IPF
+      // alternately rescales weights to match the segment margins then
+      // the region margins, 3 unrolled rounds — the post-stratification
+      // weighting every experimentation/survey platform applies before
+      // reading a mean off a biased sample. All arithmetic is integer
+      // ppm with a deterministic floor division per step, and every pass
+      // after the two data-sized aggregations (population margins,
+      // sample cells) runs on the bounded 25-cell grid. The readout
+      // carries the final per-cell weight and both achieved-vs-target
+      // margin gaps, which shrink round over round.
+      """WITH pop AS (SELECT c.c_mktsegment AS seg,
+        |    CAST(n.n_regionkey AS BIGINT) AS reg
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |samp AS (SELECT seg, reg FROM (SELECT seg, reg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg, reg ORDER BY seg) AS rn,
+        |    COUNT(*) OVER (PARTITION BY seg, reg) AS cn FROM pop)
+        |  WHERE rn * 10 <= cn * 3),
+        |tseg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS t FROM pop
+        |  GROUP BY seg),
+        |treg AS (SELECT reg, CAST(COUNT(*) AS BIGINT) AS t FROM pop
+        |  GROUP BY reg),
+        |c0 AS (SELECT seg, reg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(1000000 AS BIGINT) AS w FROM samp GROUP BY seg, reg),
+        |r1 AS (SELECT c0.seg, c0.reg, n,
+        |    (CAST(w AS HUGEINT) * tseg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY c0.seg)) AS w
+        |  FROM c0 JOIN tseg ON tseg.seg = c0.seg),
+        |r2 AS (SELECT r1.seg, r1.reg, n,
+        |    (CAST(w AS HUGEINT) * treg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY r1.reg)) AS w
+        |  FROM r1 JOIN treg ON treg.reg = r1.reg),
+        |r3 AS (SELECT r2.seg, r2.reg, n,
+        |    (CAST(w AS HUGEINT) * tseg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY r2.seg)) AS w
+        |  FROM r2 JOIN tseg ON tseg.seg = r2.seg),
+        |r4 AS (SELECT r3.seg, r3.reg, n,
+        |    (CAST(w AS HUGEINT) * treg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY r3.reg)) AS w
+        |  FROM r3 JOIN treg ON treg.reg = r3.reg),
+        |r5 AS (SELECT r4.seg, r4.reg, n,
+        |    (CAST(w AS HUGEINT) * tseg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY r4.seg)) AS w
+        |  FROM r4 JOIN tseg ON tseg.seg = r4.seg),
+        |r6 AS (SELECT r5.seg, r5.reg, n,
+        |    (CAST(w AS HUGEINT) * treg.t * 1000000 //
+        |      SUM(n * w) OVER (PARTITION BY r5.reg)) AS w
+        |  FROM r5 JOIN treg ON treg.reg = r5.reg)
+        |SELECT r6.seg AS segment, CAST(r6.reg AS BIGINT) AS region,
+        |  n AS n_sample, CAST(w AS BIGINT) AS weight_ppm,
+        |  CAST(SUM(n * w) OVER (PARTITION BY r6.seg) // 1000000
+        |    - tseg.t AS BIGINT) AS seg_gap,
+        |  CAST(SUM(n * w) OVER (PARTITION BY r6.reg) // 1000000
+        |    - treg.t AS BIGINT) AS reg_gap
+        |FROM r6 JOIN tseg ON tseg.seg = r6.seg
+        |  JOIN treg ON treg.reg = r6.reg
+        |ORDER BY segment, region""") { (s, dir) =>
+      import s.implicits._
+      val pop = T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          $"n_nationkey" === $"c_nationkey")
+        .select($"c_mktsegment".as("seg"),
+          $"n_regionkey".cast("long").as("reg"))
+        .transform(graft.CacheScope.cached) // margins + the sample
+      // deterministic 30% per-cell sample (rank-prefix — any shared
+      // deterministic rule works; the oracle replicates it exactly)
+      val samp = pop
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"seg", $"reg").orderBy($"seg")))
+        .withColumn("cn", count(lit(1)).over(
+          Window.partitionBy($"seg", $"reg")))
+        .filter($"rn" * 10 <= $"cn" * 3)
+      val tseg = pop.groupBy($"seg").agg(count(lit(1)).as("t"))
+      val treg = pop.groupBy($"reg").agg(count(lit(1)).as("t"))
+      val c0 = samp.groupBy($"seg", $"reg")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", lit(1000000L))
+      def scaleSeg(df: DataFrame): DataFrame =
+        df.join(broadcast(tseg), Seq("seg"))
+          .withColumn("w", expr(
+            "CAST(CAST(w AS DECIMAL(38,0)) * t * 1000000 div " +
+              "(SUM(n * w) OVER (PARTITION BY seg)) AS BIGINT)"))
+          .select($"seg", $"reg", $"n", $"w")
+      def scaleReg(df: DataFrame): DataFrame =
+        df.join(broadcast(treg), Seq("reg"))
+          .withColumn("w", expr(
+            "CAST(CAST(w AS DECIMAL(38,0)) * t * 1000000 div " +
+              "(SUM(n * w) OVER (PARTITION BY reg)) AS BIGINT)"))
+          .select($"seg", $"reg", $"n", $"w")
+      val r6 = scaleReg(scaleSeg(scaleReg(scaleSeg(scaleReg(scaleSeg(c0))))))
+      r6.join(broadcast(tseg.withColumnRenamed("t", "ts")), Seq("seg"))
+        .join(broadcast(treg.withColumnRenamed("t", "tr")), Seq("reg"))
+        .withColumn("seg_gap", expr(
+          "SUM(n * w) OVER (PARTITION BY seg) div 1000000 - ts"))
+        .withColumn("reg_gap", expr(
+          "SUM(n * w) OVER (PARTITION BY reg) div 1000000 - tr"))
+        .select($"seg".as("segment"), $"reg".as("region"),
+          $"n".as("n_sample"), $"w".as("weight_ppm"), $"seg_gap", $"reg_gap")
+        .orderBy($"segment", $"region")
+    },
   )
 }

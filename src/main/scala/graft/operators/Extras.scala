@@ -1419,6 +1419,63 @@ object Extras {
           $"rows_skipped_ppm")
         .orderBy($"day")
     },
+
+    q("q339_table_checksum", {
+      def duckRow(cols: String) =
+        graft.functions.TextHash.duckPolyHash(s"concat_ws('|', $cols)")
+      // Order-independent table checksums — the cross-system validation a
+      // migration OFF the reference (or any replication pipeline) runs on
+      // both sides: per table, row count plus two independent commutative
+      // digests of the canonical row string (bit_xor of the polyhash, and
+      // its sum mod P) — both are order- and partitioning-independent, so
+      // ANY cluster layout produces the same triple, and a single
+      // corrupted/duplicated/dropped row flips them. Floats ride as exact
+      // cents; the digests partial-aggregate map-side (three longs per
+      // table cross the shuffle, whatever the table size).
+      s"""SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT ${duckRow("c_custkey, c_name, " +
+          "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")} AS h
+        |  FROM customer)
+        |UNION ALL
+        |SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(h) AS BIGINT),
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT)
+        |FROM (SELECT ${duckRow("doc_id, lang, n_chars")} AS h
+        |  FROM documents)
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(h) AS BIGINT),
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT)
+        |FROM (SELECT ${duckRow("o_orderkey, o_custkey, " +
+          "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")} AS h
+        |  FROM orders)
+        |ORDER BY table_name"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      def sums(df: DataFrame, name: String, cols: String): DataFrame =
+        df.select(expr(
+            s"graft_polyhash(concat_ws('|', $cols))").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_hash"),
+            expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+              " % 1000000007 AS BIGINT)").as("sum_hash"))
+          .select(lit(name).as("table_name"), $"n_rows", $"xor_hash",
+            $"sum_hash")
+      sums(T(s, dir, "customer"), "customer",
+          "c_custkey, c_name, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .unionAll(sums(T(s, dir, "documents"), "documents",
+          "doc_id, lang, n_chars"))
+        .unionAll(sums(T(s, dir, "orders"), "orders",
+          "o_orderkey, o_custkey, " +
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .orderBy($"table_name")
+    },
   )
 
   private val TargetFileBytes = 4L * 1024 * 1024

@@ -646,6 +646,13 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q339_table_checksum" -> Seq(
+      "digests partial-aggregate map-side (3 longs per table cross the shuffle)" -> "HashAggregate",
+      "no join anywhere" -> "!Join"),
+    "q340_raking_weights" -> Seq(
+      "margins broadcast into every IPF round" -> "BroadcastHashJoin",
+      "IPF rounds are windows on the bounded cell grid" -> "Window",
+      "only mktsegment and nationkey read" -> "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>"),
     "q334_rollup_revenue" -> Seq(
       "all rollup levels expand before one shuffle (Expand operator)" -> "Expand",
       "dimension tables broadcast into the fact join" -> "BroadcastHashJoin",
