@@ -51,7 +51,13 @@ object ScaleCurve {
     // (7x fan-out of the collapsed user-day table), basket-bounded CF
     // pair expansion + broadcast counts, and the pure map-side chunker
     // as the linear baseline every other exponent is read against
-    "q267_rolling_wau", "q277_item_cf", "q274_doc_chunking")
+    "q267_rolling_wau", "q277_item_cf", "q274_doc_chunking",
+    // round 8: the composed release DAG (LSH + materialized seam + BM25),
+    // banded perceptual-hash image dedup, the capped wedge join (bounded
+    // fan-out must show in the exponent), and the bigram-LM scorer
+    // (bigram-keyed train/held join)
+    "q323_release_pipeline", "q338_image_near_dup",
+    "q322_capped_common_neighbors", "q330_bigram_perplexity")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
