@@ -1183,6 +1183,68 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q341_stream_pipe_replication", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', event_id, event_type, vc)")
+      // Stream-to-stream replication with an exactly-once certificate —
+      // THE reference workload (a consumer handler that filters a stream
+      // and produces into another stream), run through the engine's own
+      // source AND sink: events stream out of log A in multiple
+      // micro-batches, the handler drops the 'error' lane, and the
+      // survivors are appended to log B through the de-funneled staged
+      // streaming sink with a checkpoint. The certificate is q339's
+      // order/partitioning-independent digest triple over the REPLICA,
+      // hash-compared against the oracle computing the same digests from
+      // the source table directly — equal only if every surviving entry
+      // crossed the pipe exactly once, whatever the batch boundaries did.
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT $ph AS h FROM (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events WHERE event_type <> 'error'))"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val rootA = graft.LogFixtures.producedLog(dir, "q341") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"vc"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      // the pipe: source A -> handler filter -> engine streaming sink B
+      val rootB = graft.TempDirs.scratch("graft-q341-replica")
+      val pipe = s.readStream.format("graftlog")
+        .option("path", rootA).option("stream", "events")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3000") // several commits
+        .load()
+        .filter($"values".getItem("event_type") =!= "error")
+        .select($"values")
+        .writeStream.format("graftlog")
+        .option("path", rootB).option("stream", "replica")
+        .option("checkpointLocation", graft.TempDirs.scratch("graft-q341-ckpt"))
+        .start()
+      pipe.processAllAvailable()
+      pipe.stop()
+      // certificate over the replica, read back through the typed source
+      s.read.format("graftlog")
+        .option("path", rootB).option("stream", "replica")
+        .option("valueSchema",
+          "event_id BIGINT, event_type STRING, vc BIGINT")
+        .load()
+        .select(expr(
+          "graft_polyhash(concat_ws('|', event_id, event_type, vc))")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " % 1000000007 AS BIGINT)").as("sum_hash"))
+    },
+
     q("q336_streaming_cusum",
       // q324's CUSUM change detector RUNNING CONTINUOUSLY through the
       // engine: daily volumes accumulate per (type, day) in complete-mode

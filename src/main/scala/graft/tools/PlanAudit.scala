@@ -646,6 +646,9 @@ object PlanAudit {
       "wedge join is an equi hash/merge join on the center key" -> "!CartesianProduct",
       "top-20 without a global sort" -> "TakeOrderedAndProject",
       "only orderkey and suppkey read" -> "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+    "q341_stream_pipe_replication" -> Seq(
+      "replica digest partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere in the certificate" -> "!Join"),
     "q339_table_checksum" -> Seq(
       "digests partial-aggregate map-side (3 longs per table cross the shuffle)" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
