@@ -1245,6 +1245,140 @@ object StreamLog {
             " % 1000000007 AS BIGINT)").as("sum_hash"))
     },
 
+    q("q342_pipe_resume_replication", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', event_id, event_type, vc)")
+      // q341's pipe interrupted and RESUMED: the first query processes
+      // exactly one committed micro-batch (Trigger.Once + a trigger cap
+      // of ~a third of the stream) and stops; a second query on the SAME
+      // checkpoint drains the remainder with AvailableNow. The replica's
+      // digest triple still equals the oracle's source digests — the
+      // checkpoint-resume exactly-once contract (no re-append of the
+      // committed batch, no gap at the seam), which is precisely what the
+      // reference's crash-replay + ack machinery promises (consumer.ex
+      // error channel -> supervised restart -> unacked reprocessing).
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT $ph AS h FROM (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events WHERE event_type <> 'error'))"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val rootA = graft.LogFixtures.producedLog(dir, "q341") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"vc"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val rootB = graft.TempDirs.scratch("graft-q342-replica")
+      val ckpt = graft.TempDirs.scratch("graft-q342-ckpt")
+      def pipe(trigger: org.apache.spark.sql.streaming.Trigger,
+          cap: String): Unit = {
+        val q = s.readStream.format("graftlog")
+          .option("path", rootA).option("stream", "events")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", cap)
+          .load()
+          .filter($"values".getItem("event_type") =!= "error")
+          .select($"values")
+          .writeStream.format("graftlog")
+          .option("path", rootB).option("stream", "replica")
+          .option("checkpointLocation", ckpt)
+          .trigger(trigger)
+          .start()
+        q.awaitTermination()
+      }
+      // phase 1: one committed batch, then stop (the "crash")
+      pipe(org.apache.spark.sql.streaming.Trigger.Once(), "3000")
+      // phase 2: resume from the checkpoint, drain the rest
+      pipe(org.apache.spark.sql.streaming.Trigger.AvailableNow(), "3000")
+      s.read.format("graftlog")
+        .option("path", rootB).option("stream", "replica")
+        .option("valueSchema",
+          "event_id BIGINT, event_type STRING, vc BIGINT")
+        .load()
+        .select(expr(
+          "graft_polyhash(concat_ws('|', event_id, event_type, vc))")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " % 1000000007 AS BIGINT)").as("sum_hash"))
+    },
+
+    q("q343_sharded_pipe_replication", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', event_id, event_type, vc)")
+      // q341's pipe through the SHARDED streaming sink (shards=4,
+      // user-keyed): the scale path where one logical stream fans out to
+      // four physical shard streams so sink append parallelism is not
+      // bottlenecked on a single tail — per-shard ids stay monotonic,
+      // global order across shards is explicitly surrendered (the same
+      // trade every partitioned log makes), and shardKey=user_id keeps
+      // each user's events in ONE shard (per-key order preserved). The
+      // digest certificate is shard-count-invariant by construction, so
+      // the oracle is identical to q341's — equal only if the fan-out
+      // neither dropped, duplicated, nor cross-wired an entry.
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT $ph AS h FROM (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events WHERE event_type <> 'error'))"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val rootA = graft.LogFixtures.producedLog(dir, "q343") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"user_id", $"event_type", $"vc"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val rootB = graft.TempDirs.scratch("graft-q343-replica")
+      val pipe = s.readStream.format("graftlog")
+        .option("path", rootA).option("stream", "events")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3000")
+        .load()
+        .filter($"values".getItem("event_type") =!= "error")
+        // the sharded sink routes on a top-level column of the write
+        // schema, so the payload is re-projected to typed columns here
+        .select($"values".getItem("event_id").as("event_id"),
+          $"values".getItem("user_id").as("user_id"),
+          $"values".getItem("event_type").as("event_type"),
+          $"values".getItem("vc").as("vc"))
+        .writeStream.format("graftlog")
+        .option("path", rootB).option("stream", "replica")
+        .option("shards", "4").option("shardKey", "user_id")
+        .option("checkpointLocation", graft.TempDirs.scratch("graft-q343-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      pipe.awaitTermination()
+      // read all four shard streams back through the multi-stream reader
+      val shardNames = (0 until 4).map(i => s"replica.s$i")
+      val replica = s.read.format("graftlog")
+        .option("path", rootB).option("stream", shardNames.mkString(","))
+        .option("valueSchema",
+          "event_id BIGINT, event_type STRING, vc BIGINT")
+        .load()
+      replica
+        .select(expr(
+          "graft_polyhash(concat_ws('|', event_id, event_type, vc))")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " % 1000000007 AS BIGINT)").as("sum_hash"))
+    },
+
     q("q336_streaming_cusum",
       // q324's CUSUM change detector RUNNING CONTINUOUSLY through the
       // engine: daily volumes accumulate per (type, day) in complete-mode
