@@ -510,6 +510,51 @@ object LogStore {
     }
   }
 
+  /** Kafka-style KEY compaction: among entries with id <= `upTo`, retain
+    * only the LATEST entry per key (`values(keyField)`, highest id wins);
+    * a retained entry carrying the delete marker (`__deleted` -> `"1"`) is
+    * dropped entirely — that is how a key is erased from a compacted
+    * stream (the Kafka null-value tombstone, adapted to the map payload).
+    * Entries above `upTo` are untouched, so the active head keeps
+    * appending. Ids of retained entries never change — consumer positions
+    * stay valid, and a consumer positioned at a compacted-away id simply
+    * resumes at the next retained entry (the identical contract to
+    * [[trim]]). Idempotent: re-running compaction over an already-compacted
+    * range drops nothing. Returns entries dropped.
+    *
+    * At 100 TB the affected cold range streams through per-segment latest-
+    * per-key maps merged oldest-to-newest; this single-node form folds the
+    * affected segments in one pass under the stream writer lock.
+    */
+  def compactKeyed(root: String, stream: String, keyField: String,
+      upTo: LogId): Long =
+    LogWriter.withExclusiveStreamLock(root, stream) {
+      recordHighwater(root, stream)
+      val affected = segments(root, stream).filter(_.first <= upTo)
+      if (affected.isEmpty) 0L
+      else {
+        val all = affected.flatMap(s => readSegment(s.path)).sortBy(_.id)
+        val (below, above) = all.partition(_.id <= upTo)
+        val latestIds = below.groupBy(_.values.getOrElse(keyField, ""))
+          .map { case (_, es) => es.maxBy(_.id).id }.toSet
+        val keep = below.filter(e => latestIds.contains(e.id) &&
+          !e.values.get("__deleted").contains("1"))
+        val retained = (keep ++ above).sortBy(_.id)
+        val droppedN = below.size - keep.size
+        if (droppedN > 0) {
+          if (retained.nonEmpty)
+            writeSegment(root, stream, retained, gzip = false,
+              overwrite = true)
+          val newName = if (retained.isEmpty) ""
+            else segmentName(retained.head.id, retained.last.id, gzip = false)
+          affected
+            .filter(s => Paths.get(s.path).getFileName.toString != newName)
+            .foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+        }
+        droppedN.toLong
+      }
+    }
+
   /** Retention: drop every entry with id <= `upTo` (≙ XTRIM MINID on the
     * Redis stream type the reference rides on — the reference itself never
     * trims, but an unbounded 100 TB log needs a lifecycle). Segments fully

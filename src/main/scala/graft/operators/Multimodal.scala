@@ -465,12 +465,18 @@ object Multimodal {
       // band-blocked Hamming join. The corpus doubles each raster with a
       // brightness-shifted re-encode (pattern +3 — only the few mod-256
       // wrap cells can flip hash bits, the classic re-encoded-copy
-      // signature); the 64-bit hash splits into four 16-bit bands, and by
-      // pigeonhole hamming <= 3 GUARANTEES a shared band — so the
-      // candidate join is an equi join on (band, key), never all-pairs,
-      // and blocking provably loses no pair below the radius. The oracle
-      // replays raster, resample, hash, banding, and Hamming arithmetic
-      // closed-form; n_pairs per Hamming distance is the dedup readout.
+      // signature). The SCALE-DEFINING move: identical hashes collapse to
+      // weighted CLUSTERS first (one map-side-combining groupBy — exact
+      // duplicates are counted as c·(c-1)/2 without enumerating a single
+      // pair), and only DISTINCT hashes enter the band join, so candidate
+      // volume is bounded by the hash-space usage, not the corpus (the
+      // first formulation enumerated row pairs inside buckets and scaled
+      // with exponent 1.18 on the 10x curve — this one is flat). Bands:
+      // four 16-bit slices; by pigeonhole hamming <= 3 between two
+      // DISTINCT hashes guarantees a shared band, so blocking loses no
+      // pair below the radius. Pair mass between clusters is ca·cb —
+      // arithmetic, not enumeration. The oracle replays raster, resample,
+      // hash, clustering, banding, and Hamming closed-form.
       """WITH v AS (SELECT doc_id * 2 + var AS vid, doc_id AS id,
         |    3 * var AS delta, 16 + (doc_id % 48) AS w,
         |    8 + (doc_id % 24) AS h
@@ -494,25 +500,31 @@ object Multimodal {
         |    CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32))
         |      ELSE 0 END) AS BIGINT) AS hb
         |  FROM bits GROUP BY vid),
-        |bands AS (SELECT vid, ha, hb, bd,
+        |cl AS (SELECT ha, hb, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM hsh GROUP BY ha, hb),
+        |exact AS (SELECT CAST(0 AS BIGINT) AS hamming,
+        |    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM cl WHERE c > 1),
+        |bands AS (SELECT ha, hb, c, bd,
         |    CASE bd WHEN 0 THEN ha & 65535 WHEN 1 THEN (ha >> 16) & 65535
         |      WHEN 2 THEN hb & 65535 ELSE (hb >> 16) & 65535 END AS key
-        |  FROM hsh, (SELECT unnest(range(4)) AS bd)),
-        |cand AS (SELECT DISTINCT a.vid va, b.vid vb, a.ha ha1, a.hb hb1,
-        |    b.ha ha2, b.hb hb2
+        |  FROM cl, (SELECT unnest(range(4)) AS bd)),
+        |cand AS (SELECT DISTINCT a.ha ha1, a.hb hb1, a.c ca,
+        |    b.ha ha2, b.hb hb2, b.c cb
         |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.key = b.key
-        |    AND a.vid < b.vid),
-        |ham AS (SELECT va, vb,
-        |    CAST(bit_count(xor(ha1, ha2)) + bit_count(xor(hb1, hb2))
-        |      AS BIGINT) AS hamming
-        |  FROM cand)
-        |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |  CAST(MIN(va) AS BIGINT) AS min_vid_a,
-        |  CAST(MAX(vb) AS BIGINT) AS max_vid_b
-        |FROM ham WHERE hamming <= 3 GROUP BY hamming
+        |    AND (a.ha < b.ha OR (a.ha = b.ha AND a.hb < b.hb))),
+        |near AS (SELECT CAST(bit_count(xor(ha1, ha2))
+        |      + bit_count(xor(hb1, hb2)) AS BIGINT) AS hamming,
+        |    ca * cb AS pm
+        |  FROM cand),
+        |nearg AS (SELECT hamming, CAST(SUM(pm) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM near WHERE hamming >= 1 AND hamming <= 3 GROUP BY hamming)
+        |SELECT * FROM exact UNION ALL SELECT * FROM nearg
         |ORDER BY hamming""") { (s, dir) =>
       import s.implicits._
-      val hashed = Tables.load(s, dir, "documents")
+      val cl = Tables.load(s, dir, "documents")
         .select($"doc_id").as[Long]
         .flatMap(id => Seq((id, 0L), (id, 1L)))
         .mapPartitions(_.map { case (id, varnt) =>
@@ -536,27 +548,33 @@ object Multimodal {
           (id * 2 + varnt, ha, hb)
         })
         .toDF("vid", "ha", "hb")
-        .transform(graft.CacheScope.cached) // both band-join sides
-      val bands = hashed
-        .select($"vid", $"ha", $"hb",
+        .groupBy($"ha", $"hb").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // exact + both band sides
+      val exact = cl.filter($"c" > 1)
+        .agg(sum(expr("c * (c - 1) div 2")).as("n_pairs"),
+          count(lit(1)).as("n_clusters"))
+        .select(lit(0L).as("hamming"), $"n_pairs", $"n_clusters")
+      val bands = cl
+        .select($"ha", $"hb", $"c",
           explode(sequence(lit(0), lit(3))).as("bd"))
         .withColumn("key", expr("CASE bd WHEN 0 THEN ha & 65535 " +
           "WHEN 1 THEN (ha >> 16) & 65535 WHEN 2 THEN hb & 65535 " +
           "ELSE (hb >> 16) & 65535 END"))
-      bands.as("a").join(bands.as("b"),
+      val near = bands.as("a").join(bands.as("b"),
           $"a.bd" === $"b.bd" && $"a.key" === $"b.key" &&
-            $"a.vid" < $"b.vid")
-        .select($"a.vid".as("va"), $"b.vid".as("vb"),
-          $"a.ha".as("ha1"), $"a.hb".as("hb1"),
-          $"b.ha".as("ha2"), $"b.hb".as("hb2"))
+            ($"a.ha" < $"b.ha" ||
+              ($"a.ha" === $"b.ha" && $"a.hb" < $"b.hb")))
+        .select($"a.ha".as("ha1"), $"a.hb".as("hb1"), $"a.c".as("ca"),
+          $"b.ha".as("ha2"), $"b.hb".as("hb2"), $"b.c".as("cb"))
         .distinct()
         .withColumn("hamming", expr(
           "CAST(bit_count(ha1 ^ ha2) + bit_count(hb1 ^ hb2) AS BIGINT)"))
-        .filter($"hamming" <= 3)
+        .filter($"hamming" >= 1 && $"hamming" <= 3)
         .groupBy($"hamming")
-        .agg(count(lit(1)).as("n_pairs"), min($"va").as("min_vid_a"),
-          max($"vb").as("max_vid_b"))
-        .orderBy($"hamming")
+        .agg(sum($"ca" * $"cb").as("n_pairs"),
+          count(lit(1)).as("n_clusters"))
+        .select($"hamming", $"n_pairs", $"n_clusters")
+      exact.unionAll(near).orderBy($"hamming")
     },
   )
 }

@@ -1183,6 +1183,70 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q344_log_key_compaction", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', user_id, event_id, event_type, vc)")
+      // Kafka-style KEY compaction of a changelog stream
+      // (LogStore.compactKeyed): per-user profile updates append in event
+      // order, a tombstone batch erases every user_id % 17 == 0, and
+      // compaction folds the stream to the LATEST surviving entry per key
+      // — ids preserved, tombstoned keys gone, idempotent on re-run (the
+      // warm path re-compacts a compacted log and must change nothing).
+      // The certificate digests (user_id, event_id, event_type, vc) of
+      // every retained entry, so keeping any entry but the latest — or
+      // resurrecting a tombstoned key — breaks the hash. The oracle
+      // derives the same latest-per-key table from events directly.
+      s"""WITH u AS (SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+        |      AS rn
+        |  FROM events),
+        |k AS (SELECT user_id, event_id, event_type, vc FROM u
+        |  WHERE rn = 1 AND user_id % 17 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT $ph AS h FROM k)"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val root = graft.LogFixtures.producedLog(dir, "q344") { r =>
+        // one bulk produce: updates at 1.7e12+event_id, then the tombstone
+        // wave for every 17th user at 1.71e12+user_id — strictly after all
+        // updates (bulk produce requires a fresh stream, so the two waves
+        // ride one produce with ms encoding the order; nulls coerce to "")
+        val updates = v0.select(
+          (lit(1700000000000L) + $"event_id").as("ms"),
+          $"user_id", $"event_id", $"event_type", $"vc",
+          lit(null).cast("string").as("__deleted"))
+        val tombstones = v0.select($"user_id").distinct()
+          .filter($"user_id" % 17 === 0)
+          .select((lit(1710000000000L) + $"user_id").as("ms"),
+            $"user_id", lit(null).cast("long").as("event_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("long").as("vc"), lit("1").as("__deleted"))
+        graft.log.LogBulkProducer.produceAt(
+          updates.unionAll(tombstones),
+          "ms", r, "profiles", orderCols = Seq("user_id"))
+      }
+      graft.log.LogStore.compactKeyed(root, "profiles", "user_id",
+        graft.log.LogStore.maxId(root, "profiles"))
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "profiles")
+        .option("valueSchema",
+          "user_id BIGINT, event_id BIGINT, event_type STRING, vc BIGINT")
+        .load()
+        .select(expr("graft_polyhash(concat_ws('|', user_id, event_id, " +
+          "event_type, vc))").as("h"))
+        .agg(count(lit(1)).as("n_keys"), expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " % 1000000007 AS BIGINT)").as("sum_hash"))
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")
