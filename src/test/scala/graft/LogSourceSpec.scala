@@ -379,6 +379,38 @@ class LogSourceSpec extends AnyFunSuite {
     assert(LogStore.trim(root2, "s", LogId(50L, Long.MaxValue)) == 0L)
   }
 
+  test("compactKeyed keeps latest per key, erases tombstoned keys, ids stable, idempotent") {
+    val root2 = TestSpark.tmpDir("graftlog")
+    val w2 = new LogWriter(root2, "kc", maxSegmentEntries = 3)
+    // key a: updates at ms 10, 40 (latest 40); key b: 20, then tombstone
+    // at 50; key c: single update 30; key d: update 60 ABOVE the cutoff
+    w2.produceAllAt(Seq(
+      (10L, Map[String, Any]("k" -> "a", "v" -> 1)),
+      (20L, Map[String, Any]("k" -> "b", "v" -> 2)),
+      (30L, Map[String, Any]("k" -> "c", "v" -> 3)),
+      (40L, Map[String, Any]("k" -> "a", "v" -> 4)),
+      (50L, Map[String, Any]("k" -> "b", "__deleted" -> 1)),
+      (60L, Map[String, Any]("k" -> "d", "v" -> 6))))
+    val dropped = LogStore.compactKeyed(root2, "kc", "k",
+      LogId(55L, Long.MaxValue))
+    // dropped: a@10 (stale), b@20 (stale), b@50 (tombstone itself) = 3
+    assert(dropped == 3, s"dropped $dropped entries, wanted 3")
+    val left = LogStore.readRange(root2, "kc", LogId.Zero,
+      LogStore.maxId(root2, "kc"))
+    assert(left.map(e => (e.values("k"), e.values.get("v"))) ==
+      Seq(("c", Some("3")), ("a", Some("4")), ("d", Some("6"))))
+    // ids of retained entries unchanged
+    assert(left.map(_.id.millis) == Seq(30L, 40L, 60L))
+    // idempotent: a second pass over the compacted range drops nothing
+    assert(LogStore.compactKeyed(root2, "kc", "k",
+      LogId(55L, Long.MaxValue)) == 0L)
+    // the live head still appends after compaction
+    w2.produceAllAt(Seq((70L, Map[String, Any]("k" -> "a", "v" -> 7))))
+    val after = LogStore.readRange(root2, "kc", LogId.Zero,
+      LogStore.maxId(root2, "kc"))
+    assert(after.map(_.id.millis) == Seq(30L, 40L, 60L, 70L))
+  }
+
   test("fully trimmed stream never reuses ids (persistent high-water)") {
     // Redis keeps last-generated-id across XTRIM; the log's .highwater
     // marker is the same contract — ids double as positions, so reuse
