@@ -1054,5 +1054,86 @@ object Similarity {
           expr("(1000000 * inter_avg) div intra_avg").as("separation_ppm"))
         .orderBy($"label")
     },
+
+    q("q345_embedding_drift",
+      // MULTIVARIATE drift monitor for an embedding column — the
+      // vector-space companion to q327's univariate PSI: per label, the
+      // squared L2 shift of the centroid between two corpus halves
+      // (vec_id parity as the stand-in for two time windows), computed
+      // ENTIRELY from per-half sufficient statistics (n, per-dim sum
+      // vector) — ||S1/n1 - S2/n2||² = Σ_d (S1_d·n2 - S2_d·n1)² /
+      // (n1·n2)², exact on globally-scaled int8 codes with
+      // HUGEINT/DECIMAL(38,0) widening (the q312 discipline: no pair,
+      // no per-vector float, one aggregation over the corpus however
+      // large). Reported in micro units of squared quantized distance,
+      // with each label's share of the worst shift — the
+      // which-slice-moved readout a retraining trigger reads.
+      """WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+        |qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS half,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+        |        AS BIGINT)) AS v
+        |  FROM embeddings, m),
+        |d AS (SELECT label, half, CAST(i AS BIGINT) AS dim, qv AS q
+        |  FROM (SELECT label, half, v, unnest(v) AS qv,
+        |      generate_subscripts(v, 1) AS i FROM qz)),
+        |sums AS (SELECT label, dim,
+        |    CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s2
+        |  FROM d GROUP BY label, dim),
+        |ns AS (SELECT label,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM qz GROUP BY label),
+        |sh AS (SELECT sums.label, ns.n1, ns.n2,
+        |    CAST(SUM(CAST(s1 * ns.n2 - s2 * ns.n1 AS HUGEINT)
+        |      * (s1 * ns.n2 - s2 * ns.n1)) AS HUGEINT) AS num
+        |  FROM sums JOIN ns ON ns.label = sums.label
+        |  WHERE ns.n1 > 0 AND ns.n2 > 0
+        |  GROUP BY sums.label, ns.n1, ns.n2),
+        |r AS (SELECT label, n1, n2,
+        |    CAST((num * 1000000) // (CAST(n1 AS HUGEINT) * n1 * n2 * n2)
+        |      AS BIGINT) AS shift_q2_micro
+        |  FROM sh)
+        |SELECT label, n1 AS n_first, n2 AS n_second, shift_q2_micro,
+        |  CAST((1000000 * shift_q2_micro)
+        |    // MAX(shift_q2_micro) OVER () AS BIGINT) AS share_of_worst_ppm
+        |FROM r ORDER BY label""") { (s, dir) =>
+      import s.implicits._
+      val D = "DECIMAL(38,0)"
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", $"label".cast("long").as("label"),
+          ($"vec_id" % 2).as("half"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 127.0 / gm + 0.5) AS BIGINT))").as("v"))
+        .transform(graft.CacheScope.cached) // sums + half counts
+      val sums = qz.select($"label", $"half", posexplode($"v"))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
+        .agg(sum(when($"half" === 0, $"col").otherwise(0L)).as("s1"),
+          sum(when($"half" === 1, $"col").otherwise(0L)).as("s2"))
+      val ns = qz.groupBy($"label")
+        .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when($"half" === 1, 1L).otherwise(0L)).as("n2"))
+      val r = sums.join(broadcast(ns), Seq("label"))
+        .filter($"n1" > 0 && $"n2" > 0)
+        .groupBy($"label", $"n1", $"n2")
+        .agg(sum(expr(s"CAST(s1 * n2 - s2 * n1 AS $D) " +
+          "* (s1 * n2 - s2 * n1)")).as("num"))
+        .select($"label", $"n1", $"n2",
+          expr(s"CAST((num * 1000000) div (CAST(n1 AS $D) * n1 * n2 * n2) " +
+            "AS BIGINT)").as("shift_q2_micro"))
+      r.withColumn("share_of_worst_ppm",
+          expr("CAST((1000000 * shift_q2_micro) div " +
+            "(MAX(shift_q2_micro) OVER ()) AS BIGINT)"))
+        .select($"label".as("label"), $"n1".as("n_first"),
+          $"n2".as("n_second"), $"shift_q2_micro", $"share_of_worst_ppm")
+        .orderBy($"label")
+    },
   )
 }
