@@ -1247,6 +1247,86 @@ object StreamLog {
             " % 1000000007 AS BIGINT)").as("sum_hash"))
     },
 
+    q("q346_changelog_to_scd2", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', user_id, event_id, valid_to)")
+      // Changelog -> SCD2 dimension materialization: the q344 profiles
+      // stream (updates + tombstone wave) read back UNcompacted and
+      // folded into validity intervals — each update's valid_to is the
+      // ms of the key's NEXT change (LEAD over the per-key id order), a
+      // tombstone closes the final interval without opening one, and a
+      // never-deleted key's last version stays open (valid_to -1). This
+      // is how a warehouse keeps history while the compacted stream
+      // (q344) keeps only serving state — same log, two read paths. The
+      // certificate digests every version's (key, version id, valid_to),
+      // so a missed close, a phantom open, or an interval attached to
+      // the wrong key breaks the hash; the oracle re-derives the
+      // intervals from the source table and the tombstone rule.
+      s"""WITH u AS (SELECT user_id, event_id,
+        |    1700000000000 + event_id AS ms FROM events),
+        |t AS (SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0),
+        |v AS (SELECT u.user_id, u.event_id, u.ms,
+        |    LEAD(u.ms) OVER (PARTITION BY u.user_id ORDER BY u.event_id)
+        |      AS next_ms
+        |  FROM u),
+        |iv AS (SELECT v.user_id, v.event_id,
+        |    CASE WHEN v.next_ms IS NOT NULL THEN v.next_ms
+        |      WHEN t.user_id IS NOT NULL THEN 1710000000000 + v.user_id
+        |      ELSE -1 END AS valid_to
+        |  FROM v LEFT JOIN t ON t.user_id = v.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(SUM(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_current,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |    AS BIGINT) AS sum_hash
+        |FROM (SELECT user_id, event_id, valid_to, $ph AS h FROM iv)"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      // same fixture construction as q344, own key: this read path needs
+      // the UNcompacted history (q344 compacts its copy in place)
+      val root = graft.LogFixtures.producedLog(dir, "q346") { r =>
+        val updates = v0.select(
+          (lit(1700000000000L) + $"event_id").as("ms"),
+          $"user_id", $"event_id", $"event_type", $"vc",
+          lit(null).cast("string").as("__deleted"))
+        val tombstones = v0.select($"user_id").distinct()
+          .filter($"user_id" % 17 === 0)
+          .select((lit(1710000000000L) + $"user_id").as("ms"),
+            $"user_id", lit(null).cast("long").as("event_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("long").as("vc"), lit("1").as("__deleted"))
+        graft.log.LogBulkProducer.produceAt(
+          updates.unionAll(tombstones),
+          "ms", r, "profiles", orderCols = Seq("user_id"))
+      }
+      val log = s.read.format("graftlog")
+        .option("path", root).option("stream", "profiles")
+        .option("valueSchema", "user_id BIGINT, event_id BIGINT, " +
+          "event_type STRING, vc BIGINT, __deleted STRING")
+        .load()
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          coalesce($"__deleted" === "1", lit(false)).as("del"))
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ms")
+      val iv = log
+        .withColumn("next_ms", lead($"ms", 1).over(byKey))
+        .filter(!$"del") // tombstones close intervals, they are not versions
+        .withColumn("valid_to", coalesce($"next_ms", lit(-1L)))
+      iv.select($"user_id", $"event_id", $"valid_to",
+          expr("graft_polyhash(concat_ws('|', user_id, event_id, " +
+            "valid_to))").as("h"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when($"valid_to" === -1L, 1L).otherwise(0L)).as("n_current"),
+          expr("bit_xor(h)").as("xor_hash"),
+          expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " % 1000000007 AS BIGINT)").as("sum_hash"))
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")
