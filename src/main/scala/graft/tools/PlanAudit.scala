@@ -649,6 +649,22 @@ object PlanAudit {
     "q341_stream_pipe_replication" -> Seq(
       "replica digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
+    "q342_pipe_resume_replication" -> Seq(
+      "resumed-replica digest partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere in the certificate" -> "!Join"),
+    "q343_sharded_pipe_replication" -> Seq(
+      "four shard streams digest through one aggregation" -> "HashAggregate",
+      "no join anywhere in the certificate" -> "!Join"),
+    "q344_log_key_compaction" -> Seq(
+      "compacted-log digest partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere in the certificate" -> "!Join"),
+    "q345_embedding_drift" -> Seq(
+      "per-dim sufficient statistics partial-aggregate map-side" -> "HashAggregate",
+      "half counts broadcast into the shift assembly" -> "BroadcastHashJoin",
+      "no pairwise comparison anywhere" -> "!CartesianProduct"),
+    "q346_changelog_to_scd2" -> Seq(
+      "interval fold is one LEAD window on the key partitioning" -> "Window",
+      "version digest partial-aggregates map-side" -> "HashAggregate"),
     "q339_table_checksum" -> Seq(
       "digests partial-aggregate map-side (3 longs per table cross the shuffle)" -> "HashAggregate",
       "no join anywhere" -> "!Join"),

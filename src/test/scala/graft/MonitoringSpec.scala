@@ -39,6 +39,24 @@ object MonitoringSpec extends Properties("Monitoring") {
       quiet && fired
     }
 
+  property("fixed KS T_micro reaches the BH thresholds under real drift") =
+    // The round-7 bug divided T by an extra n1*n2, collapsing it to ~0 for
+    // any realistic n — no drift could ever flag. With the correct
+    // T = mx^2/(n1*n2*(n1+n2)): two clearly different samples (one all
+    // below, one all above a split point) give D=1, so T = n1*n2/(n1+n2)
+    // >= min(n1,n2)/2, which crosses the strictest q320 threshold
+    // (3.342306 in natural units) for min(n1,n2) >= 7.
+    Prop.forAll(Gen.chooseNum(10L, 3000L), Gen.chooseNum(10L, 3000L)) {
+      (n1, n2) =>
+        val mx = n1 * n2 // max |cum_in*n2 - cum_out*n1| at total separation
+        val tMicro = (BigInt(1000000) * BigInt(mx) * BigInt(mx) /
+          (BigInt(n1) * BigInt(n2) * BigInt(n1 + n2))).toLong
+        val buggy = (BigInt(1000000) * BigInt(mx) * BigInt(mx) /
+          (BigInt(n1) * BigInt(n2) * BigInt(n1 + n2) *
+            BigInt(n1) * BigInt(n2))).toLong
+        tMicro >= 3342306L && buggy < 1844440L // fixed fires; old never did
+    }
+
   property("SPRT llr walk is linear in the prefix counts") =
     Prop.forAll(Gen.listOf(Gen.oneOf(0L, 1L))) { trials =>
       val la = 200671L
