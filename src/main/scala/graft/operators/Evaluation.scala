@@ -1699,6 +1699,96 @@ object Evaluation {
         .orderBy($"gini_micro", $"threshold").limit(5)
     },
 
+    q("q347_isotonic_calibration",
+      // Isotonic calibration (pool-adjacent-violators) of a 10-bin score
+      // -> conversion-rate curve, via the exact minimax identity
+      // m_i = max_{j<=i} min_{k>=i} pooledRate(j..k) — PAV without the
+      // sequential pooling loop, because over the BOUNDED bin grid the
+      // <= 1000 (i,j,k) windows are a three-way join of the 10-row prefix
+      // table (constant work at any event volume; the only data-sized
+      // pass is the binning aggregation). Pooled rates are single
+      // rationals rounded once to ppm before min/max (deterministic in
+      // both engines); the monotonicity certificate rides the output.
+      // This is the calibration layer applied to any score a ranker or
+      // risk model emits before its probabilities are trusted.
+      """WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT MIN(vc) lo, MAX(vc) - MIN(vc) + 1 AS w FROM e),
+        |h AS (SELECT ((vc - lo) * 10) // w AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS p
+        |  FROM e, b GROUP BY bin),
+        |grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+        |z AS (SELECT grid.bin, COALESCE(h.cnt, 0) AS cnt,
+        |    COALESCE(h.p, 0) AS p
+        |  FROM grid LEFT JOIN h ON h.bin = grid.bin),
+        |pre AS (SELECT bin, cnt, p,
+        |    SUM(cnt) OVER (ORDER BY bin) AS pc,
+        |    SUM(p) OVER (ORDER BY bin) AS pp FROM z),
+        |pj AS (SELECT bin, pc, pp,
+        |    COALESCE(LAG(pc) OVER (ORDER BY bin), 0) AS pc0,
+        |    COALESCE(LAG(pp) OVER (ORDER BY bin), 0) AS pp0 FROM pre),
+        |win AS (SELECT i.bin AS i, j.bin AS j, k.bin AS k,
+        |    CASE WHEN k.pc - j.pc0 > 0 THEN
+        |      ((k.pp - j.pp0) * 1000000) // (k.pc - j.pc0) ELSE 0 END
+        |      AS rate_ppm
+        |  FROM pj i JOIN pj j ON j.bin <= i.bin
+        |    JOIN pj k ON k.bin >= i.bin),
+        |mm AS (SELECT i, j, CAST(MIN(rate_ppm) AS BIGINT) AS mn
+        |  FROM win GROUP BY i, j),
+        |iso AS (SELECT i AS bin, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+        |  FROM mm GROUP BY i)
+        |SELECT z.bin, z.cnt AS n_events, z.p AS n_pos,
+        |  CAST(CASE WHEN z.cnt > 0 THEN (z.p * 1000000) // z.cnt
+        |    ELSE 0 END AS BIGINT) AS raw_ppm,
+        |  iso.iso_ppm,
+        |  iso.iso_ppm >= COALESCE(LAG(iso.iso_ppm)
+        |    OVER (ORDER BY z.bin), 0) AS monotone
+        |FROM z JOIN iso ON iso.bin = z.bin ORDER BY z.bin""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select(floor($"value" * 100 + 0.5).cast("long").as("vc"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+      val b = e.agg(min($"vc").as("lo"),
+        (max($"vc") - min($"vc") + 1).as("w"))
+      val h = e.crossJoin(broadcast(b))
+        .groupBy(expr("((vc - lo) * 10) div w").as("bin"))
+        .agg(count(lit(1)).as("cnt"), sum($"pos").as("p"))
+      val z = s.range(0, 10).select($"id".as("bin"))
+        .join(broadcast(h), Seq("bin"), "left")
+        .select($"bin", coalesce($"cnt", lit(0L)).as("cnt"),
+          coalesce($"p", lit(0L)).as("p"))
+        .transform(graft.CacheScope.cached) // prefix + final report
+      val ord = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pj = z
+        .withColumn("pc", sum($"cnt").over(ord))
+        .withColumn("pp", sum($"p").over(ord))
+        .withColumn("pc0", coalesce(lag($"pc", 1).over(Window.orderBy($"bin")), lit(0L)))
+        .withColumn("pp0", coalesce(lag($"pp", 1).over(Window.orderBy($"bin")), lit(0L)))
+        .select($"bin", $"pc", $"pp", $"pc0", $"pp0")
+        .transform(graft.CacheScope.cached) // three join sides
+      val win = pj.as("i")
+        .join(broadcast(pj.as("j")), $"j.bin" <= $"i.bin")
+        .join(broadcast(pj.as("k")), $"k.bin" >= $"i.bin")
+        .select($"i.bin".as("i"), $"j.bin".as("j"),
+          expr("CASE WHEN k.pc - j.pc0 > 0 THEN " +
+            "((k.pp - j.pp0) * 1000000) div (k.pc - j.pc0) ELSE 0 END")
+            .as("rate_ppm"))
+      val iso = win.groupBy($"i", $"j").agg(min($"rate_ppm").as("mn"))
+        .groupBy($"i").agg(max($"mn").as("iso_ppm"))
+        .select($"i".as("bin"), $"iso_ppm")
+      z.join(broadcast(iso), Seq("bin"))
+        .withColumn("raw_ppm", expr(
+          "CAST(CASE WHEN cnt > 0 THEN (p * 1000000) div cnt ELSE 0 END " +
+            "AS BIGINT)"))
+        .withColumn("monotone", $"iso_ppm" >= coalesce(
+          lag($"iso_ppm", 1).over(Window.orderBy($"bin")), lit(0L)))
+        .select($"bin", $"cnt".as("n_events"), $"p".as("n_pos"),
+          $"raw_ppm", $"iso_ppm", $"monotone")
+        .orderBy($"bin")
+    },
+
     q("q340_raking_weights",
       // Survey raking (iterative proportional fitting, Deming-Stephan
       // 1940): a hash-sampled ~30% of customers has (segment x region)
