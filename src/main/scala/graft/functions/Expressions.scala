@@ -86,9 +86,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 }
 
 /** 16-permutation minhash signature of an ARRAY<BIGINT> feature-hash set:
-  * sig[i] = min over h of ((2i+1)*h + 1000003*i + 12345) mod P.
+  * sig[i] = min over h of ((2i+1)*h + 1000003*i + 12345) mod P. Codegen'd
+  * double loop (the LSH family's map-side hot path — a fallback here
+  * breaks whole-stage fusion of the entire signature stage).
   */
-case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
@@ -114,14 +116,42 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val mn = ctx.freshName("mn")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[${TextHash.MinhashSigs}];
+         |for (int $i = 0; $i < ${TextHash.MinhashSigs}; $i++) {
+         |  long $a = 2L * $i + 1L;
+         |  long $b = 1000003L * $i + 12345L;
+         |  long $mn = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $v = ($a * $c.getLong($j) + $b) % ${GraftExpressions.P}L;
+         |    if ($v < $mn) $mn = $v;
+         |  }
+         |  $out[$i] = $mn;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** 32-bit simhash of an ARRAY<BIGINT> feature-hash set: bit j is set iff the
-  * sum of (+1 / -1) votes from each hash's j-th bit is positive.
+  * sum of (+1 / -1) votes from each hash's j-th bit is positive. Codegen'd
+  * (same rationale as [[MinHashSig]]).
   */
-case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash32"
@@ -148,6 +178,31 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $votes = new int[32];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($votes[$b] > 0) $acc |= (1L << $b);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
