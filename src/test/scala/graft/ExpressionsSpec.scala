@@ -42,6 +42,32 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash/simhash codegen compiles and agrees (CODEGEN_ONLY, no fallback)") {
+    // force the generated-code path: with factoryMode=CODEGEN_ONLY a
+    // broken doGenCode fails loudly instead of silently interpreting
+    GraftExpressions.register(spark)
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val texts = Seq.fill(10)(Seq.fill(20)(word()).mkString(" "))
+      val rows = texts.toDF("text")
+        .selectExpr(
+          "array_distinct(transform(split(text, ' '), s -> graft_polyhash(s))) AS hh")
+        .selectExpr("graft_minhash(hh) AS mh", "graft_simhash32(hh) AS sh",
+          s"${TextHash.minhashSql("hh")} AS mh_hof",
+          s"${TextHash.simhashSql("hh")} AS sh_hof")
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+        assert(r.getLong(1) == r.getLong(3))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("native graft_dot equals the zip_with/aggregate fold bit-for-bit") {
     GraftExpressions.register(spark)
     import spark.implicits._
