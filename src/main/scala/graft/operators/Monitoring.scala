@@ -416,6 +416,85 @@ object Monitoring {
         .orderBy($"variant")
     },
 
+    q("q348_srm_check",
+      // Sample-ratio-mismatch guardrail — the FIRST check any A/B readout
+      // must pass: with a deterministic 50/50 user hash split, the
+      // chi-square statistic over (observed A, observed B) against the
+      // expected half-half must stay below the df=1 critical value
+      // (3.841459 at alpha=0.05, inlined micro constant). SRM firing
+      // means the assignment or logging pipeline is biased and every
+      // downstream metric is untrustworthy. chi2 = (nA-nB)^2/(nA+nB)
+      // exactly (both cells deviate by the same delta); cross-multiplied
+      // into integers, one per-user aggregation then constant work.
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant FROM
+        |  (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM u)
+        |SELECT na AS n_variant_a, nb AS n_variant_b,
+        |  CAST(((na - nb) * (na - nb) * 1000000) // (na + nb) AS BIGINT)
+        |    AS chi2_micro,
+        |  ((na - nb) * (na - nb) * 1000000) // (na + nb) < 3841459
+        |    AS ratio_ok
+        |FROM c""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "events")
+        .select($"user_id").distinct()
+        .select(($"user_id" % 2).as("variant"))
+        .agg(sum(when($"variant" === 0, 1L).otherwise(0L)).as("na"),
+          sum(when($"variant" === 1, 1L).otherwise(0L)).as("nb"))
+        .select($"na".as("n_variant_a"), $"nb".as("n_variant_b"),
+          expr("((na - nb) * (na - nb) * 1000000) div (na + nb)")
+            .as("chi2_micro"),
+          expr("((na - nb) * (na - nb) * 1000000) div (na + nb) < 3841459")
+            .as("ratio_ok"))
+    },
+
+    q("q349_shard_balance",
+      // Data-parallel training shard assignment audit: documents hash
+      // deterministically into 8 dataloader shards (multiplicative
+      // scatter of doc_id, the q165 trick — modular doc_id would
+      // correlate with the fixture's source striping) and the audit
+      // proves (a) the assignment is a PARTITION (token sums add back to
+      // the corpus total — certificate column) and (b) per-shard token
+      // skew is within tolerance: a slow shard sets the step time of
+      // every data-parallel worker, so max/mean token imbalance is the
+      // number that decides whether the loader needs length-aware
+      // balancing (q333). Integer token counts; one doc-level pass.
+      """WITH d AS (SELECT (doc_id * 2654435761) % 1000000007 % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY shard)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+        |  CAST((n_tokens * 8000000) // SUM(n_tokens) OVER () AS BIGINT)
+        |    AS share_x8_ppm,
+        |  CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+        |  CAST((MAX(n_tokens) OVER () * 1000000)
+        |    // (SUM(n_tokens) OVER () // 8) AS BIGINT) AS max_over_mean_ppm
+        |FROM s ORDER BY shard""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "documents")
+        .select(expr("(doc_id * 2654435761) % 1000000007 % 8").as("shard"),
+          size(split($"text", " ")).cast("long").as("toks"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("share_x8_ppm",
+          expr("(n_tokens * 8000000) div (SUM(n_tokens) OVER ())"))
+        .withColumn("total_tokens", sum($"n_tokens").over(all))
+        .withColumn("max_over_mean_ppm",
+          expr("(MAX(n_tokens) OVER () * 1000000) " +
+            "div ((SUM(n_tokens) OVER ()) div 8)"))
+        .select($"shard".cast("long").as("shard"), $"n_docs", $"n_tokens",
+          $"share_x8_ppm", $"total_tokens", $"max_over_mean_ppm")
+        .orderBy($"shard")
+    },
+
     q("q329_pinball_eval",
       // Pinball (quantile) loss scoring of per-type constant P90
       // forecasts — the proper scoring rule for quantile predictions
