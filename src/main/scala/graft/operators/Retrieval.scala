@@ -559,5 +559,98 @@ object Retrieval {
           ($"fb_tf" * $"idf_micro").as("rocchio_micro"))
         .orderBy($"rocchio_micro".desc, $"term".asc).limit(PrfExpTerms)
     },
+
+    q("q350_index_segment_merge", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', term, df, ttf, postings)")
+      // Inverted-index SEGMENT MERGE certificate — the Lucene-style
+      // incremental-indexing algebra: two index segments built over
+      // disjoint doc-id ranges (an ingestion-time split, so segment A's
+      // postings all precede segment B's) merge by TERM with df/ttf
+      // addition and posting-list concatenation, and the merged index
+      // must equal the single-pass build over the whole corpus — digest
+      // for digest. This is what makes indexing INCREMENTAL at 100 TB:
+      // new data builds its own segment and merges in term-keyed linear
+      // work, instead of re-indexing the corpus. Merge is a full-outer
+      // term join (terms may exist in only one half); df floor >= 5 is
+      // applied AFTER the merge, exactly as the full build applies it.
+      s"""WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |    doc_id <= (SELECT mid FROM b) AS in_a
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, in_a, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY term, doc_id, in_a),
+        |seg AS (SELECT term, in_a, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS ttf,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |  FROM tf GROUP BY term, in_a),
+        |merged AS (SELECT term,
+        |    CAST(COALESCE(a.df, 0) + COALESCE(bb.df, 0) AS BIGINT) AS df,
+        |    CAST(COALESCE(a.ttf, 0) + COALESCE(bb.ttf, 0) AS BIGINT) AS ttf,
+        |    concat(COALESCE(a.postings, ''),
+        |      CASE WHEN a.postings IS NOT NULL AND bb.postings IS NOT NULL
+        |        THEN ',' ELSE '' END, COALESCE(bb.postings, '')) AS postings
+        |  FROM (SELECT * FROM seg WHERE in_a) a
+        |  FULL OUTER JOIN (SELECT * FROM seg WHERE NOT in_a) bb
+        |    USING (term)),
+        |mk AS (SELECT term, df, ttf, postings FROM merged WHERE df >= 5),
+        |full_ AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS ttf,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |  FROM tf GROUP BY term HAVING COUNT(*) >= 5),
+        |dm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(bit_xor(h) AS BIGINT) AS xor_hash FROM
+        |  (SELECT $ph AS h FROM mk)),
+        |df_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(bit_xor(h) AS BIGINT) AS xor_hash FROM
+        |  (SELECT $ph AS h FROM full_))
+        |SELECT dm.n_terms AS merged_terms, df_.n_terms AS full_terms,
+        |  dm.xor_hash AS merged_hash, df_.xor_hash AS full_hash,
+        |  dm.n_terms = df_.n_terms AND dm.xor_hash = df_.xor_hash
+        |    AS merge_law_holds
+        |FROM dm, df_"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val docs = T(s, dir, "documents")
+      val mid = docs.agg(
+        expr("(MIN(doc_id) + MAX(doc_id)) div 2").as("mid"))
+      val tf = docs.crossJoin(broadcast(mid))
+        .select($"doc_id", ($"doc_id" <= $"mid").as("in_a"),
+          explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term", $"doc_id", $"in_a")
+        .agg(count(lit(1)).as("tf"))
+        .transform(graft.CacheScope.cached) // segments + the full build
+      def seg(df0: DataFrame): DataFrame = df0
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("ttf"),
+          array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
+      val a = seg(tf.filter($"in_a"))
+      val b = seg(tf.filter(!$"in_a"))
+      val merged = a.withColumnRenamed("df", "dfa")
+        .withColumnRenamed("ttf", "ttfa").withColumnRenamed("postings", "pa")
+        .join(b.withColumnRenamed("df", "dfb")
+          .withColumnRenamed("ttf", "ttfb")
+          .withColumnRenamed("postings", "pb"), Seq("term"), "full_outer")
+        .select($"term",
+          (coalesce($"dfa", lit(0L)) + coalesce($"dfb", lit(0L))).as("df"),
+          (coalesce($"ttfa", lit(0L)) + coalesce($"ttfb", lit(0L))).as("ttf"),
+          concat(coalesce($"pa", lit("")),
+            when($"pa".isNotNull && $"pb".isNotNull, ",").otherwise(""),
+            coalesce($"pb", lit(""))).as("postings"))
+        .filter($"df" >= 5)
+      val full = seg(tf).filter($"df" >= 5)
+      def digest(df0: DataFrame, nc: String, hc: String): DataFrame = df0
+        .select(expr("graft_polyhash(concat_ws('|', term, df, ttf, " +
+          "postings))").as("h"))
+        .agg(count(lit(1)).as(nc), expr("bit_xor(h)").as(hc))
+      digest(merged, "merged_terms", "merged_hash")
+        .crossJoin(digest(full, "full_terms", "full_hash"))
+        .withColumn("merge_law_holds",
+          $"merged_terms" === $"full_terms" &&
+            $"merged_hash" === $"full_hash")
+    },
   )
 }
