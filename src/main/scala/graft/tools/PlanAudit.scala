@@ -665,6 +665,22 @@ object PlanAudit {
     "q346_changelog_to_scd2" -> Seq(
       "interval fold is one LEAD window on the key partitioning" -> "Window",
       "version digest partial-aggregates map-side" -> "HashAggregate"),
+    "q347_isotonic_calibration" -> Seq(
+      "minimax windows are joins of the broadcast 10-row prefix table" -> "BroadcastNestedLoopJoin",
+      "binning partial-aggregates map-side" -> "HashAggregate",
+      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"),
+    "q348_srm_check" -> Seq(
+      "variant counts partial-aggregate map-side" -> "HashAggregate",
+      "only user_id read" -> "ReadSchema: struct<user_id:bigint>",
+      "no join anywhere" -> "!Join"),
+    "q349_shard_balance" -> Seq(
+      "shard stats partial-aggregate map-side" -> "HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "no join anywhere" -> "!Join"),
+    "q350_index_segment_merge" -> Seq(
+      "segment merge is a term-keyed full-outer join" -> "FullOuter",
+      "postings partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian beyond the 1-row digest assembly" -> "!CartesianProduct"),
     "q339_table_checksum" -> Seq(
       "digests partial-aggregate map-side (3 longs per table cross the shuffle)" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
