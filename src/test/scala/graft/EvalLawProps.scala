@@ -1,0 +1,130 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Laws behind q347 (isotonic calibration) and q340 (raking) that the
+  * fixture oracles cannot state:
+  *  - the minimax identity m_i = max_{j<=i} min_{k>=i} pooledRate(j..k)
+  *    must equal the classic sequential PAV pooling on exact rationals
+  *    (that identity is what lets the query run as a bounded join instead
+  *    of a sequential loop), the micro-rounded form must stay within one
+  *    unit of it, and any minimax output is monotone by construction;
+  *  - one IPF scaling round must land its own margin within one floor
+  *    unit per cell (the reason q340's gaps read -1..0 on the fixture).
+  */
+object EvalLawProps extends Properties("EvalLaws") {
+
+  private case class Bin(cnt: Long, pos: Long)
+  private val genBin: Gen[Bin] = for {
+    c <- Gen.chooseNum(0L, 50L)
+    p <- Gen.chooseNum(0L, c max 0L)
+  } yield Bin(c, p)
+  private val genBins: Gen[Vector[Bin]] =
+    Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, genBin)).map(_.toVector)
+      .suchThat(_.exists(_.cnt > 0))
+
+  /** Classic PAV: pool adjacent violators left to right, exact rationals
+    * as (pos, cnt) pairs compared by cross-multiplication.
+    */
+  private def pav(bins: Vector[Bin]): Vector[(Long, Long)] = {
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    bins.foreach { b =>
+      pools += ((b.pos, b.cnt, 1))
+      // merge while the last pool's rate < the previous pool's rate
+      while (pools.size >= 2 && {
+        val (p2, c2, _) = pools(pools.size - 1)
+        val (p1, c1, _) = pools(pools.size - 2)
+        // p2/c2 < p1/c1 with empty pools treated as rate 0
+        val l = if (c2 == 0) BigInt(0) else BigInt(p2) * (if (c1 == 0) 1L else c1)
+        val r = if (c1 == 0) BigInt(0) else BigInt(p1) * (if (c2 == 0) 1L else c2)
+        l < r
+      }) {
+        val (p2, c2, n2) = pools.remove(pools.size - 1)
+        val (p1, c1, n1) = pools.remove(pools.size - 1)
+        pools += ((p1 + p2, c1 + c2, n1 + n2))
+      }
+    }
+    pools.toVector.flatMap { case (p, c, n) => Vector.fill(n)((p, c)) }
+  }
+
+  /** Exact minimax over pooled windows, as BigInt-compared rationals. */
+  private def minimax(bins: Vector[Bin]): Vector[(Long, Long)] = {
+    val n = bins.size
+    val pp = bins.scanLeft(0L)(_ + _.pos)
+    val pc = bins.scanLeft(0L)(_ + _.cnt)
+    def rate(j: Int, k: Int): (Long, Long) = (pp(k + 1) - pp(j), pc(k + 1) - pc(j))
+    def lt(a: (Long, Long), b: (Long, Long)): Boolean = {
+      val av = if (a._2 == 0) BigInt(0) else BigInt(a._1) * (if (b._2 == 0) 1L else b._2)
+      val bv = if (b._2 == 0) BigInt(0) else BigInt(b._1) * (if (a._2 == 0) 1L else a._2)
+      av < bv
+    }
+    (0 until n).toVector.map { i =>
+      var best: Option[(Long, Long)] = None
+      (0 to i).foreach { j =>
+        var mn: Option[(Long, Long)] = None
+        (i until n).foreach { k =>
+          val r = rate(j, k)
+          if (mn.isEmpty || lt(r, mn.get)) mn = Some(r)
+        }
+        if (best.isEmpty || lt(best.get, mn.get)) best = mn
+      }
+      best.get
+    }
+  }
+
+  private def ppm(r: (Long, Long)): Long =
+    if (r._2 == 0) 0L else r._1 * 1000000L / r._2
+
+  property("minimax identity equals sequential PAV on exact rationals") =
+    Prop.forAll(genBins) { bins =>
+      val a = minimax(bins).map(r => (BigInt(r._1), BigInt(r._2)))
+      val b = pav(bins).map(r => (BigInt(r._1), BigInt(r._2)))
+      // compare as exact rationals (empty cells rate 0)
+      a.zip(b).forall { case ((p1, c1), (p2, c2)) =>
+        val l = if (c1 == 0) BigInt(0) else p1 * (if (c2 == 0) 1 else c2)
+        val r = if (c2 == 0) BigInt(0) else p2 * (if (c1 == 0) 1 else c1)
+        l == r
+      }
+    }
+
+  property("micro-rounded minimax (the query's form) is within 1 of exact, and monotone") =
+    Prop.forAll(genBins) { bins =>
+      val n = bins.size
+      val pp = bins.scanLeft(0L)(_ + _.pos)
+      val pc = bins.scanLeft(0L)(_ + _.cnt)
+      val rounded = (0 until n).map { i =>
+        (0 to i).map { j =>
+          (i until n).map { k =>
+            val c = pc(k + 1) - pc(j)
+            if (c > 0) (pp(k + 1) - pp(j)) * 1000000L / c else 0L
+          }.min
+        }.max
+      }
+      val exact = minimax(bins).map(ppm)
+      rounded.zip(exact).forall { case (r, e) => math.abs(r - e) <= 1 } &&
+        rounded.sliding(2).forall {
+          case Seq(a, b) => b >= a
+          case _ => true
+        }
+    }
+
+  property("one IPF scaling round lands its margin within one floor unit per cell") =
+    Prop.forAll(Gen.chooseNum(2, 5), Gen.chooseNum(2, 5)) { (nr, nc) =>
+      val rnd = new scala.util.Random(nr * 31 + nc)
+      val cells = for (r <- 0 until nr; c <- 0 until nc)
+        yield (r, c, 1L + rnd.nextInt(50)) // sample counts
+      val target = (0 until nr).map(r => r -> (50L + rnd.nextInt(500))).toMap
+      val w0 = 1000000L
+      // one row-scaling round: w' = w * t * 1e6 / sum(n*w) over the row
+      val rowSum = cells.groupBy(_._1).view
+        .mapValues(_.map { case (_, _, n) => n * w0 }.sum).toMap
+      val w1 = cells.map { case (r, c, n) =>
+        (r, c, n, w0 * target(r) * 1000000L / rowSum(r))
+      }
+      // achieved margin in whole units vs target: within one unit per cell
+      w1.groupBy(_._1).forall { case (r, cs) =>
+        val achieved = cs.map { case (_, _, n, w) => n * w }.sum / 1000000L
+        target(r) - achieved >= 0 && target(r) - achieved <= cs.size
+      }
+    }
+}
