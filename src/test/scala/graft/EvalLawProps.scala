@@ -108,6 +108,19 @@ object EvalLawProps extends Properties("EvalLaws") {
         }
     }
 
+  property("the cross-multiplied P90 minimizes pinball loss over all constants (q329)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-500L, 500L))) { ys =>
+      val n = ys.size.toLong
+      val sorted = ys.sorted
+      // q329's definition: smallest v in the domain with 10*cum >= 9*n
+      val cum = sorted.distinct.map(v => v -> sorted.count(_ <= v).toLong)
+      val p90 = cum.collectFirst { case (v, c) if 10 * c >= 9 * n => v }.get
+      def loss10(q: Long): Long =
+        ys.map(y => 9L * math.max(y - q, 0L) + math.max(q - y, 0L)).sum
+      val atQ = loss10(p90)
+      sorted.distinct.forall(v => atQ <= loss10(v))
+    }
+
   property("one IPF scaling round lands its margin within one floor unit per cell") =
     Prop.forAll(Gen.chooseNum(2, 5), Gen.chooseNum(2, 5)) { (nr, nc) =>
       val rnd = new scala.util.Random(nr * 31 + nc)
