@@ -181,7 +181,8 @@ object Bench {
     "q65_multijoin_revenue", "q78_streaming_agg", "q94_streaming_session",
     "q100_decontaminate", "q107_streaming_join", "q111_multijoin_profit",
     "q114_bloom_semijoin", "q116_paragraph_dedup", "q120_streaming_lsh_dedup",
-    "q131_replay_from_time", "q132_batch_time_slice", "q134_multimodal_decode")
+    "q131_replay_from_time", "q132_batch_time_slice", "q134_multimodal_decode",
+    "q323_release_pipeline", "q341_stream_pipe_replication")
 
   private def jarr(names: Seq[String]): String =
     names.map("\"" + _ + "\"").mkString("[", ",", "]")
