@@ -1789,6 +1789,151 @@ object Evaluation {
         .orderBy($"bin")
     },
 
+    q("q351_experiment_readout", {
+      val P = graft.functions.TextHash.P
+      val u = graft.functions.TextHash
+        .duckPolyHash("CAST(u.user_id*16 + bs.b AS VARCHAR)")
+      // The composed experiment-analysis DAG — assignment → SRM gate →
+      // CUPED adjustment → replica CI → decision, chained the way an
+      // experimentation platform actually reads out a test (each stage
+      // certified standalone: q348, q221, q223): deterministic 50/50 user
+      // hash split with the chi-square SRM certificate riding the output;
+      // per-user pre/post metrics; the POINT estimate is q221's CUPED
+      // chain; and the uncertainty band re-runs the FULL pipeline — theta
+      // included — under 16 deterministic Poisson(1) user weights (q223's
+      // distributed bootstrap), taking the 2nd/15th order statistics of
+      // the adjusted lift as the band. decision = 'ship'/'abandon' only
+      // when the whole band clears zero, else 'continue'; srm_ok false
+      // voids everything downstream by construction. Every moment is an
+      // exact BIGINT sum; IEEE chains are written identically in both
+      // engines and r6-rounded BEFORE the order-statistic rank.
+      s"""WITH e AS (SELECT user_id,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1
+        |      END AS per,
+        |    CAST(FLOOR(value*10 + 0.5) AS BIGINT) AS vd
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN per = 0 THEN vd ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN per = 1 THEN vd ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 AS v
+        |  FROM e GROUP BY user_id),
+        |srm AS (SELECT CAST(SUM(1 - v) AS BIGINT) AS na,
+        |    CAST(SUM(v) AS BIGINT) AS nb,
+        |    ((SUM(1 - v) - SUM(v)) * (SUM(1 - v) - SUM(v)) * 1000000)
+        |      // COUNT(*) < 3841459 AS srm_ok
+        |  FROM u),
+        |bs AS (SELECT range AS b FROM range(0, 16)),
+        |w AS (SELECT u.user_id, u.x, u.y, u.v, bs.b,
+        |    (($u) * 2654435761) % $P % 1000000 + 1 AS uu FROM u, bs),
+        |ww AS (SELECT b, x, y, v,
+        |    CASE WHEN uu <= 367879 THEN 0 WHEN uu <= 735759 THEN 1
+        |      WHEN uu <= 919699 THEN 2 WHEN uu <= 981012 THEN 3 ELSE 4
+        |      END AS wt
+        |  FROM w),
+        |mom AS (SELECT b, CAST(SUM(wt) AS BIGINT) AS n,
+        |    CAST(SUM(wt*x) AS BIGINT) AS sx, CAST(SUM(wt*y) AS BIGINT) AS sy,
+        |    CAST(SUM(wt*x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(wt*x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(wt * (1 - v)) AS BIGINT) AS nwa,
+        |    CAST(SUM(wt * v) AS BIGINT) AS nwb,
+        |    CAST(SUM(wt * (1 - v) * x) AS BIGINT) AS sxa,
+        |    CAST(SUM(wt * v * x) AS BIGINT) AS sxb,
+        |    CAST(SUM(wt * (1 - v) * y) AS BIGINT) AS sya,
+        |    CAST(SUM(wt * v * y) AS BIGINT) AS syb
+        |  FROM ww GROUP BY b),
+        |adj AS (SELECT b,
+        |    ${r6Sql("(CAST(syb AS DOUBLE)/nwb - CAST(sya AS DOUBLE)/nwa)" +
+          " - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))" +
+          " * (CAST(sxb AS DOUBLE)/nwb - CAST(sxa AS DOUBLE)/nwa)")} AS a
+        |  FROM mom),
+        |rk AS (SELECT a, ROW_NUMBER() OVER (ORDER BY a, b) AS rn FROM adj),
+        |ci AS (SELECT MAX(CASE WHEN rn = 2 THEN a END) AS lo,
+        |    MAX(CASE WHEN rn = 15 THEN a END) AS hi FROM rk),
+        |pm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM((1 - v) * x) AS BIGINT) AS sxa,
+        |    CAST(SUM(v * x) AS BIGINT) AS sxb,
+        |    CAST(SUM((1 - v) * y) AS BIGINT) AS sya,
+        |    CAST(SUM(v * y) AS BIGINT) AS syb FROM u),
+        |pt AS (SELECT
+        |    ${r6Sql("(CAST(syb AS DOUBLE)/(SELECT nb FROM srm)" +
+          " - CAST(sya AS DOUBLE)/(SELECT na FROM srm))" +
+          " - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))" +
+          " * (CAST(sxb AS DOUBLE)/(SELECT nb FROM srm)" +
+          " - CAST(sxa AS DOUBLE)/(SELECT na FROM srm))")} AS adj_diff
+        |  FROM pm)
+        |SELECT srm.na, srm.nb, srm.srm_ok, pt.adj_diff AS adj_diff_d,
+        |  ci.lo AS ci_lo_d, ci.hi AS ci_hi_d,
+        |  CASE WHEN NOT srm.srm_ok THEN 'invalid_srm'
+        |       WHEN ci.lo > 0 THEN 'ship'
+        |       WHEN ci.hi < 0 THEN 'abandon'
+        |       ELSE 'continue' END AS decision
+        |FROM srm, pt, ci"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val P = graft.functions.TextHash.P
+      val e = T(s, dir, "events").select($"user_id",
+        when(to_date($"ts") < lit("2024-01-16").cast("date"), 0).otherwise(1)
+          .as("per"),
+        expr("CAST(FLOOR(value*10 + 0.5) AS BIGINT)").as("vd"))
+      val u = e.groupBy($"user_id").agg(
+          sum(when($"per" === 0, $"vd").otherwise(0L)).as("x"),
+          sum(when($"per" === 1, $"vd").otherwise(0L)).as("y"))
+        .withColumn("v", $"user_id" % 2)
+        .transform(graft.CacheScope.cached) // srm + point + replicas
+      val srm = u.agg(sum(lit(1L) - $"v").as("na"), sum($"v").as("nb"),
+        expr("((SUM(1 - v) - SUM(v)) * (SUM(1 - v) - SUM(v)) * 1000000) " +
+          "div COUNT(*) < 3841459").as("srm_ok"))
+      val ww = u.select($"user_id", $"x", $"y", $"v",
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("uu", expr(
+          s"(graft_polyhash(CAST(user_id*16 + b AS STRING)) * 2654435761)" +
+            s" % $P % 1000000 + 1"))
+        .withColumn("wt",
+          when($"uu" <= 367879, 0L).when($"uu" <= 735759, 1L)
+            .when($"uu" <= 919699, 2L).when($"uu" <= 981012, 3L)
+            .otherwise(4L))
+      val mom = ww.groupBy($"b").agg(
+        sum($"wt").as("n"), sum($"wt" * $"x").as("sx"),
+        sum($"wt" * $"y").as("sy"), sum($"wt" * $"x" * $"x").as("sxx"),
+        sum($"wt" * $"x" * $"y").as("sxy"),
+        sum($"wt" * (lit(1L) - $"v")).as("nwa"), sum($"wt" * $"v").as("nwb"),
+        sum($"wt" * (lit(1L) - $"v") * $"x").as("sxa"),
+        sum($"wt" * $"v" * $"x").as("sxb"),
+        sum($"wt" * (lit(1L) - $"v") * $"y").as("sya"),
+        sum($"wt" * $"v" * $"y").as("syb"))
+      val adjExpr = "(CAST(syb AS DOUBLE)/nwb - CAST(sya AS DOUBLE)/nwa)" +
+        " - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))" +
+        " * (CAST(sxb AS DOUBLE)/nwb - CAST(sxa AS DOUBLE)/nwa)"
+      val adj = mom.select($"b",
+        expr(graft.ColFns.r6Sql(adjExpr)).as("a"))
+      val ci = adj.withColumn("rn",
+          row_number().over(Window.orderBy($"a", $"b")))
+        .agg(max(when($"rn" === 2, $"a")).as("lo"),
+          max(when($"rn" === 15, $"a")).as("hi"))
+      val pm = u.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"),
+        sum((lit(1L) - $"v") * $"x").as("sxa"), sum($"v" * $"x").as("sxb"),
+        sum((lit(1L) - $"v") * $"y").as("sya"), sum($"v" * $"y").as("syb"))
+      val pt = pm.crossJoin(broadcast(srm.select($"na", $"nb")))
+        .select(expr(graft.ColFns.r6Sql(
+          "(CAST(syb AS DOUBLE)/nb - CAST(sya AS DOUBLE)/na)" +
+            " - (CAST(n*sxy - sx*sy AS DOUBLE) " +
+            "/ CAST(n*sxx - sx*sx AS DOUBLE))" +
+            " * (CAST(sxb AS DOUBLE)/nb - CAST(sxa AS DOUBLE)/na)"))
+          .as("adj_diff_d"))
+      broadcast(srm).crossJoin(broadcast(pt)).crossJoin(broadcast(ci))
+        .select($"na", $"nb", $"srm_ok", $"adj_diff_d",
+          $"lo".as("ci_lo_d"), $"hi".as("ci_hi_d"),
+          when(!$"srm_ok", "invalid_srm")
+            .when($"lo" > 0, "ship")
+            .when($"hi" < 0, "abandon")
+            .otherwise("continue").as("decision"))
+    },
+
     q("q340_raking_weights",
       // Survey raking (iterative proportional fitting, Deming-Stephan
       // 1940): a hash-sampled ~30% of customers has (segment x region)

@@ -665,6 +665,10 @@ object PlanAudit {
     "q346_changelog_to_scd2" -> Seq(
       "interval fold is one LEAD window on the key partitioning" -> "Window",
       "version digest partial-aggregates map-side" -> "HashAggregate"),
+    "q351_experiment_readout" -> Seq(
+      "per-user metrics aggregate once, replicas ride one explode" -> "HashAggregate",
+      "srm/point/ci assemble via broadcast (1-row sides)" -> "BroadcastNestedLoopJoin",
+      "only user_id, ts, value read" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,value:double>"),
     "q347_isotonic_calibration" -> Seq(
       "minimax windows are joins of the broadcast 10-row prefix table" -> "BroadcastNestedLoopJoin",
       "binning partial-aggregates map-side" -> "HashAggregate",
