@@ -1327,6 +1327,57 @@ object StreamLog {
             " % 1000000007 AS BIGINT)").as("sum_hash"))
     },
 
+    q("q352_ktable_materialization",
+      // KTable semantics end-to-end: a streaming aggregation in UPDATE
+      // mode appends its CHANGED per-type counts to the log every
+      // micro-batch (SupportsStreamingUpdateAsAppend on the sink — the
+      // same contract the built-in Kafka sink uses; this is literally
+      // the changelog a Kafka Streams KTable writes), and keyed
+      // compaction (q344's LogStore.compactKeyed) folds the changelog to
+      // its latest value per key — which must equal the one-shot batch
+      // aggregation exactly. That is the materialized-view contract a
+      // compacted topic serves: however many intermediate updates the
+      // stream produced, compaction leaves current state and nothing
+      // else. The oracle is just the batch GROUP BY.
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type")
+      val rootA = graft.LogFixtures.producedLog(dir, "q352") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      // the changelog: complete-mode snapshots appended per micro-batch
+      val rootB = graft.TempDirs.scratch("graft-q352-ktable")
+      val q = s.readStream.format("graftlog")
+        .option("path", rootA).option("stream", "events")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3000") // several snapshot epochs
+        .load()
+        .select($"values".getItem("event_type").as("event_type"))
+        .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+        .writeStream.format("graftlog")
+        .option("path", rootB).option("stream", "counts")
+        .option("checkpointLocation",
+          graft.TempDirs.scratch("graft-q352-ckpt"))
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // compaction folds the changelog to current state per key
+      graft.log.LogStore.compactKeyed(rootB, "counts", "event_type",
+        graft.log.LogStore.maxId(rootB, "counts"))
+      s.read.format("graftlog")
+        .option("path", rootB).option("stream", "counts")
+        .option("valueSchema", "event_type STRING, n_events BIGINT")
+        .load()
+        .select($"event_type", $"n_events")
+        .orderBy($"event_type")
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")

@@ -637,11 +637,18 @@ object GraftLogReaderFactory {
 // Write path
 // ---------------------------------------------------------------------------
 
+/** SupportsStreamingUpdateAsAppend (the marker the built-in Kafka sink
+  * uses): an UPDATE-mode streaming aggregation appends its changed rows to
+  * the log each micro-batch — exactly a KTable changelog. The log stays
+  * append-only; "update" is a property of the reader's interpretation
+  * (keyed compaction folds the changelog to current state, q344/q352).
+  */
 final class GraftLogWriteBuilder(root: String, stream: String, schema: StructType,
     queryId: String, tsColumn: Option[String] = None,
     segmentEntries: Int = 10000,
     stagingTtlMs: Long = GraftLogWritePath.DefaultStagingTtlMs,
-    shardCount: Int = 1, shardKey: Option[String] = None) extends WriteBuilder {
+    shardCount: Int = 1, shardKey: Option[String] = None) extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   override def build(): Write = tsColumn match {
     case None if shardCount > 1 =>
       // sharded logical stream: N independent sequencers, one per shard
