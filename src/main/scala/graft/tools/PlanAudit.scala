@@ -649,6 +649,9 @@ object PlanAudit {
     "q341_stream_pipe_replication" -> Seq(
       "replica digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
+    "q352_ktable_materialization" -> Seq(
+      "compacted state reads back through one ordered projection" -> "Sort",
+      "no join anywhere in the readback" -> "!Join"),
     "q342_pipe_resume_replication" -> Seq(
       "resumed-replica digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
