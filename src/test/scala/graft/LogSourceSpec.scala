@@ -524,6 +524,47 @@ class LogSourceSpec extends AnyFunSuite {
     assert(all.map(_.id).toSet == ids.filter(_ > cutoff).toSet)
   }
 
+  test("compactKeyed serializes with a live writer's appends and compactions") {
+    // keyed compaction rewrites and deletes segments like trim does, so the
+    // same races apply: a produce-path size-compaction snapshot could
+    // re-publish entries the key compaction dropped. Under the shared
+    // stream lock the latest-per-key invariant must hold on every
+    // interleaving, and no live append may be lost.
+    val root = TestSpark.tmpDir("graftlog")
+    var now = 2000L
+    val w = new LogWriter(root, "kc2",
+      () => { now += 1; now },
+      compaction = Some(LogStore.CompactionPolicy(4, targetBytes = 1L << 20, minMerge = 2)))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      while (!stop.get()) {
+        LogStore.compactKeyed(root, "kc2", "k", LogId(now - 100, Long.MaxValue))
+        Thread.sleep(2)
+      }
+    })
+    compactor.start()
+    // 40 keys, 15 updates each, interleaved
+    (1 to 15).foreach { round =>
+      w.produceAll((1 to 40).map(k =>
+        Map[String, Any]("k" -> k, "v" -> (round * 100 + k))))
+    }
+    stop.set(true); compactor.join()
+    // one final compaction over everything
+    LogStore.compactKeyed(root, "kc2", "k", LogStore.maxId(root, "kc2"))
+    val all = LogStore.readRange(root, "kc2", LogId.Zero,
+      LogStore.maxId(root, "kc2"))
+    assert(all.map(_.id).distinct.size == all.size,
+      "duplicate ids after compaction race")
+    // exactly the latest value per key survives
+    val byKey = all.groupBy(_.values("k"))
+    assert(byKey.size == 40, s"expected 40 keys, got ${byKey.size}")
+    byKey.foreach { case (k, es) =>
+      assert(es.size == 1, s"key $k kept ${es.size} entries")
+      assert(es.head.values("v") == (1500 + k.toInt).toString,
+        s"key $k kept stale value ${es.head.values("v")}")
+    }
+  }
+
   test("staging sweep spares the committing query's own files; TTL configurable") {
     import graft.sources.{GraftLogStagedCommit, GraftLogWritePath}
     val root = TestSpark.tmpDir("graftlog")
