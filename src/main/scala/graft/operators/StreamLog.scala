@@ -1378,6 +1378,101 @@ object StreamLog {
         .orderBy($"event_type")
     },
 
+    q("q353_streaming_psi",
+      // q327's Population Stability Index RUNNING THROUGH the engine: the
+      // stream maintains one (bin x period) counter grid in complete-mode
+      // state — 20 cells, bounded forever — with bin bounds and the
+      // period midpoint broadcast from the static side (production: the
+      // reference window comes from yesterday's batch job, exactly like
+      // this), and the Laplace-smoothed ln-term finalization runs
+      // batch-side on the drained sink. Same oracle as the batch twin;
+      // multi-batch drain proves the counters accumulate across commits.
+      """WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
+        |  FROM events),
+        |b AS (SELECT MIN(vc) lo, MAX(vc) - MIN(vc) + 1 AS w,
+        |    (MIN(ms) + MAX(ms)) // 2 AS mid FROM e),
+        |h AS (SELECT ((vc - lo) * 10) // w AS bin,
+        |    CASE WHEN ms <= mid THEN 1 ELSE 0 END AS in_a FROM e, b),
+        |cnt AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - in_a) AS BIGINT) AS cb FROM h GROUP BY bin),
+        |grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+        |z AS (SELECT grid.bin, COALESCE(cnt.ca, 0) AS ca,
+        |    COALESCE(cnt.cb, 0) AS cb
+        |  FROM grid LEFT JOIN cnt ON cnt.bin = grid.bin),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM z),
+        |pq AS (SELECT bin, ca, cb,
+        |    ((ca + 1) * 1000000) // (na + 10) AS p_ppm,
+        |    ((cb + 1) * 1000000) // (nb + 10) AS q_ppm FROM z, tot),
+        |t AS (SELECT bin, ca, cb, p_ppm, q_ppm,
+        |    CAST(FLOOR((p_ppm - q_ppm)
+        |      * ln(CAST(p_ppm AS DOUBLE) / q_ppm) + 0.5) AS BIGINT)
+        |      AS term_micro
+        |  FROM pq)
+        |SELECT bin, ca AS n_first_half, cb AS n_second_half, p_ppm, q_ppm,
+        |  term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro,
+        |  CASE WHEN SUM(term_micro) OVER () < 100000 THEN 'stable'
+        |       WHEN SUM(term_micro) OVER () < 250000 THEN 'moderate'
+        |       ELSE 'major' END AS drift_band
+        |FROM t ORDER BY bin""") { (s, dir) =>
+      import s.implicits._
+      val e0 = Tables.load(s, dir, "events")
+        .select($"event_id",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"),
+          unix_millis($"ts").as("ms"))
+      val root = graft.LogFixtures.producedLog(dir, "q353") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          e0.select((lit(1700000000000L) + $"event_id").as("ms_id"),
+            $"event_id", $"vc", $"ms"),
+          "ms_id", r, "events", orderCols = Seq("event_id"))
+      }
+      val bounds = e0.agg(min($"vc").as("lo"),
+        (max($"vc") - min($"vc") + 1).as("w"),
+        expr("(MIN(ms) + MAX(ms)) div 2").as("mid"))
+      val sink = graft.streaming.StreamHarness.runToMemory(
+          s, "q353", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, vc BIGINT, ms BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .crossJoin(broadcast(bounds))
+          .select(expr("((vc - lo) * 10) div w").as("bin"),
+            when($"ms" <= $"mid", 1L).otherwise(0L).as("in_a"))
+          .groupBy($"bin")
+          .agg(sum($"in_a").as("ca"), sum(lit(1L) - $"in_a").as("cb"))
+      }
+      // fresh expr-ids: the finalization left-joins the sink into the
+      // zero-filled grid (the q336 MemoryPlan dedup rule)
+      val cnt = s.createDataFrame(sink.rdd, sink.schema)
+      val z = s.range(0, 10).select($"id".as("bin"))
+        .join(broadcast(cnt), Seq("bin"), "left")
+        .select($"bin", coalesce($"ca", lit(0L)).as("ca"),
+          coalesce($"cb", lit(0L)).as("cb"))
+        .transform(graft.CacheScope.cached) // totals + terms
+      val tot = z.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      z.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("((ca + 1) * 1000000) div (na + 10)"))
+        .withColumn("q_ppm", expr("((cb + 1) * 1000000) div (nb + 10)"))
+        .withColumn("term_micro",
+          floor(($"p_ppm" - $"q_ppm")
+            * log($"p_ppm".cast("double") / $"q_ppm") + 0.5).cast("long"))
+        .withColumn("psi_micro", sum($"term_micro").over(all))
+        .select($"bin", $"ca".as("n_first_half"), $"cb".as("n_second_half"),
+          $"p_ppm", $"q_ppm", $"term_micro", $"psi_micro",
+          when($"psi_micro" < 100000L, "stable")
+            .when($"psi_micro" < 250000L, "moderate")
+            .otherwise("major").as("drift_band"))
+        .orderBy($"bin")
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")
