@@ -1420,6 +1420,87 @@ object Extras {
         .orderBy($"day")
     },
 
+    q("q354_data_contract",
+      // Data-contract validation sweep — the dbt-tests /
+      // great-expectations primitive run as ONE query: primary-key
+      // uniqueness, FK integrity (keyed anti semantics via a broadcast
+      // dimension), range, domain-enum, and null checks over the orders
+      // fact, each emitted as a (check, n_checked, n_violations, pass)
+      // row. Every check is a conditional aggregate over ONE scan of the
+      // fact (the FK probe adds one broadcast join) — at 100 TB the
+      // whole contract costs a single pass, which is why platforms run
+      // it on every load. The fixture is clean, so all checks pass —
+      // and the oracle proves the CHECKS compute the right zeros, not
+      // just that the data is nice.
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority,
+        |    CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS fk_miss
+        |  FROM orders LEFT JOIN customer c ON c.c_custkey = orders.o_custkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+        |    CAST(SUM(fk_miss) AS BIGINT) AS fk_viol,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price_viol,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |      OR CAST(o_orderdate AS DATE) > DATE '2002-01-01' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS date_viol,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH',
+        |      '3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS prio_viol,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1
+        |      ELSE 0 END) AS BIGINT) AS status_viol,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+        |      OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_viol
+        |  FROM o)
+        |SELECT * FROM (
+        |  SELECT '1_pk_unique' AS check_name, n AS n_checked,
+        |    dup_pk AS n_violations, dup_pk = 0 AS pass FROM m
+        |  UNION ALL SELECT '2_fk_customer', n, fk_viol, fk_viol = 0 FROM m
+        |  UNION ALL SELECT '3_price_positive', n, price_viol,
+        |    price_viol = 0 FROM m
+        |  UNION ALL SELECT '4_date_in_window', n, date_viol,
+        |    date_viol = 0 FROM m
+        |  UNION ALL SELECT '5_priority_domain', n, prio_viol,
+        |    prio_viol = 0 FROM m
+        |  UNION ALL SELECT '6_status_domain', n, status_viol,
+        |    status_viol = 0 FROM m
+        |  UNION ALL SELECT '7_required_not_null', n, null_viol,
+        |    null_viol = 0 FROM m
+        |) ORDER BY check_name""") { (s, dir) =>
+      import s.implicits._
+      val o = T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer").select($"c_custkey")),
+          $"c_custkey" === $"o_custkey", "left")
+        .withColumn("fk_miss", when($"c_custkey".isNull, 1L).otherwise(0L))
+      val m = o.agg(count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_pk"),
+          sum($"fk_miss").as("fk_viol"),
+          sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("price_viol"),
+          sum(when(to_date($"o_orderdate") < lit("1995-01-01").cast("date")
+            || to_date($"o_orderdate") > lit("2002-01-01").cast("date"), 1L)
+            .otherwise(0L)).as("date_viol"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH",
+            "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L).otherwise(0L))
+            .as("prio_viol"),
+          sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L))
+            .as("status_viol"),
+          sum(when($"o_orderkey".isNull || $"o_custkey".isNull ||
+            $"o_totalprice".isNull, 1L).otherwise(0L)).as("null_viol"))
+        .transform(graft.CacheScope.cached) // seven report rows
+      def row(name: String, viol: String): DataFrame =
+        m.select(lit(name).as("check_name"), $"n".as("n_checked"),
+          col(viol).as("n_violations"), (col(viol) === 0L).as("pass"))
+      row("1_pk_unique", "dup_pk")
+        .unionAll(row("2_fk_customer", "fk_viol"))
+        .unionAll(row("3_price_positive", "price_viol"))
+        .unionAll(row("4_date_in_window", "date_viol"))
+        .unionAll(row("5_priority_domain", "prio_viol"))
+        .unionAll(row("6_status_domain", "status_viol"))
+        .unionAll(row("7_required_not_null", "null_viol"))
+        .orderBy($"check_name")
+    },
+
     q("q339_table_checksum", {
       def duckRow(cols: String) =
         graft.functions.TextHash.duckPolyHash(s"concat_ws('|', $cols)")
