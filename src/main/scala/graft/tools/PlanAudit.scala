@@ -649,6 +649,13 @@ object PlanAudit {
     "q341_stream_pipe_replication" -> Seq(
       "replica digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
+    "q353_streaming_psi" -> Seq(
+      "ln-term finalization runs on the bounded 10-bin grid" -> "Window",
+      "grid join broadcasts the drained 20-cell sink" -> "BroadcastHashJoin"),
+    "q354_data_contract" -> Seq(
+      "whole contract is one scan + conditional aggregates" -> "HashAggregate",
+      "FK probe is a broadcast join against the dimension" -> "BroadcastHashJoin",
+      "no cartesian anywhere" -> "!CartesianProduct"),
     "q352_ktable_materialization" -> Seq(
       "compacted state reads back through one ordered projection" -> "Sort",
       "no join anywhere in the readback" -> "!Join"),
