@@ -1473,6 +1473,96 @@ object StreamLog {
         .orderBy($"bin")
     },
 
+    q("q355_quarantine_pipeline", {
+      val ph = graft.functions.TextHash.duckPolyHash(
+        "concat_ws('|', event_id, event_type, vc)")
+      // Quarantine split — ingestion's bad-row routing: entries failing
+      // the validation rule (the 'error' lane, or a negative amount)
+      // divert to a QUARANTINE stream for triage, clean rows flow on,
+      // and NOTHING is dropped. Two checkpointed pipe queries share the
+      // source (each lane gets its own consumer position, exactly how a
+      // production splitter is operated so lanes fail independently);
+      // the certificate digests BOTH replicas and proves they PARTITION
+      // the source: clean + quarantine counts and hashes reassemble the
+      // whole input (xor of the two lane xors = source xor; sums add mod
+      // P). The oracle computes all three digest sets from the table.
+      s"""WITH src AS (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |lane AS (SELECT event_id, event_type, vc,
+        |    event_type = 'error' OR vc < 0 AS bad, $ph AS h FROM src),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(h) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |      AS BIGINT) AS sm FROM lane WHERE NOT bad),
+        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(h) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) % 1000000007
+        |      AS BIGINT) AS sm FROM lane WHERE bad),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(h) AS BIGINT) AS x FROM lane)
+        |SELECT c.n AS n_clean, q.n AS n_quarantine,
+        |  c.x AS clean_xor, q.x AS quarantine_xor,
+        |  c.n + q.n = t.n AND xor(c.x, q.x) = t.x AS partitions_source
+        |FROM c, q, t"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val rootA = graft.LogFixtures.producedLog(dir, "q355") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type", $"vc"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val rootB = graft.TempDirs.scratch("graft-q355-lanes")
+      val badPred = "values['event_type'] = 'error' OR " +
+        "CAST(values['vc'] AS BIGINT) < 0"
+      def lane(stream: String, keep: String): Unit = {
+        val q = s.readStream.format("graftlog")
+          .option("path", rootA).option("stream", "events")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "4000")
+          .load()
+          .filter(expr(keep))
+          .select($"values")
+          .writeStream.format("graftlog")
+          .option("path", rootB).option("stream", stream)
+          .option("checkpointLocation",
+            graft.TempDirs.scratch(s"graft-q355-ckpt-$stream"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      lane("clean", s"NOT ($badPred)")
+      lane("quarantine", badPred)
+      def digest(stream: String): DataFrame =
+        s.read.format("graftlog")
+          .option("path", rootB).option("stream", stream)
+          .option("valueSchema",
+            "event_id BIGINT, event_type STRING, vc BIGINT")
+          .load()
+          .select(expr("graft_polyhash(concat_ws('|', event_id, " +
+            "event_type, vc))").as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+            expr("CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) " +
+              "AS DECIMAL(38,0)) % 1000000007 AS BIGINT)").as("sm"))
+      val t = v0
+        .select(expr("graft_polyhash(concat_ws('|', event_id, " +
+          "event_type, vc))").as("h"))
+        .agg(count(lit(1)).as("tn"), expr("bit_xor(h)").as("tx"))
+      broadcast(digest("clean")
+          .select($"n".as("n_clean"), $"x".as("clean_xor")))
+        .crossJoin(broadcast(digest("quarantine")
+          .select($"n".as("n_quarantine"), $"x".as("quarantine_xor"))))
+        .crossJoin(broadcast(t))
+        .select($"n_clean", $"n_quarantine", $"clean_xor", $"quarantine_xor",
+          ($"n_clean" + $"n_quarantine" === $"tn" &&
+            expr("clean_xor ^ quarantine_xor") === $"tx")
+            .as("partitions_source"))
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")
