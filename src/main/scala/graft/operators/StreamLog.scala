@@ -1563,6 +1563,96 @@ object StreamLog {
             .as("partitions_source"))
     },
 
+    q("q356_time_travel_diff",
+      // Time-travel STATE DIFF over the changelog — the "what changed
+      // between snapshot T1 and T2" readout a lakehouse answers from its
+      // log without materializing either snapshot: per key, the latest
+      // entry at or below each cutoff decides presence (tombstone-aware),
+      // and the diff classifies every key as added / updated / deleted /
+      // unchanged. Ids ARE timestamps in this log (millis-prefixed), so
+      // any cutoff is exact. One per-key aggregation computes both
+      // as-of states in a single pass (conditional MAX per cutoff — the
+      // log is never read twice); the oracle re-derives the classes from
+      // the source table and the tombstone rule. T1 = the update wave's
+      // midpoint, T2 = the head (after the tombstone wave).
+      """WITH h AS (SELECT (MAX(event_id)) // 2 AS hcut FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(MIN(event_id) AS BIGINT) AS min_eid,
+        |    CAST(MAX(event_id) AS BIGINT) AS max_eid,
+        |    CAST(MAX(CASE WHEN event_id <= (SELECT hcut FROM h)
+        |      THEN event_id END) AS BIGINT) AS pre_eid
+        |  FROM events GROUP BY user_id),
+        |cls AS (SELECT user_id,
+        |    pre_eid IS NOT NULL AS at_t1,
+        |    user_id % 17 <> 0 AS at_t2,
+        |    max_eid > COALESCE(pre_eid, -1) AS changed
+        |  FROM u)
+        |SELECT
+        |  CAST(SUM(CASE WHEN at_t1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_t1_keys,
+        |  CAST(SUM(CASE WHEN at_t2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_t2_keys,
+        |  CAST(SUM(CASE WHEN NOT at_t1 AND at_t2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN at_t1 AND at_t2 AND changed THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_updated,
+        |  CAST(SUM(CASE WHEN at_t1 AND NOT at_t2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_deleted,
+        |  CAST(SUM(CASE WHEN at_t1 AND at_t2 AND NOT changed THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM cls""") { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      // same changelog fixture as q346 (shared memoized log)
+      val root = graft.LogFixtures.producedLog(dir, "q346") { r =>
+        val updates = v0.select(
+          (lit(1700000000000L) + $"event_id").as("ms"),
+          $"user_id", $"event_id", $"event_type", $"vc",
+          lit(null).cast("string").as("__deleted"))
+        val tombstones = v0.select($"user_id").distinct()
+          .filter($"user_id" % 17 === 0)
+          .select((lit(1710000000000L) + $"user_id").as("ms"),
+            $"user_id", lit(null).cast("long").as("event_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("long").as("vc"), lit("1").as("__deleted"))
+        graft.log.LogBulkProducer.produceAt(
+          updates.unionAll(tombstones),
+          "ms", r, "profiles", orderCols = Seq("user_id"))
+      }
+      val log = s.read.format("graftlog")
+        .option("path", root).option("stream", "profiles")
+        .option("valueSchema", "user_id BIGINT, event_id BIGINT, " +
+          "event_type STRING, vc BIGINT, __deleted STRING")
+        .load()
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          coalesce($"__deleted" === "1", lit(false)).as("del"))
+        .transform(graft.CacheScope.cached) // cutoff + the state fold
+      val t1 = log.filter(!$"del")
+        .agg(expr("(MAX(ms) - 1700000000000) div 2 + 1700000000000")
+          .as("t1"))
+      val cls = log.crossJoin(broadcast(t1))
+        .groupBy($"user_id")
+        .agg(
+          max(when(!$"del" && $"ms" <= $"t1", $"ms")).as("pre_ms"),
+          max(when(!$"del", $"ms")).as("max_ms"),
+          max(when($"del", 1L).otherwise(0L)).as("tomb"))
+        .select($"user_id",
+          $"pre_ms".isNotNull.as("at_t1"),
+          ($"tomb" === 0L).as("at_t2"),
+          ($"max_ms" > coalesce($"pre_ms", lit(-1L))).as("changed"))
+      cls.agg(
+        sum(when($"at_t1", 1L).otherwise(0L)).as("n_t1_keys"),
+        sum(when($"at_t2", 1L).otherwise(0L)).as("n_t2_keys"),
+        sum(when(!$"at_t1" && $"at_t2", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"at_t1" && $"at_t2" && $"changed", 1L).otherwise(0L))
+          .as("n_updated"),
+        sum(when($"at_t1" && !$"at_t2", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when($"at_t1" && $"at_t2" && !$"changed", 1L).otherwise(0L))
+          .as("n_unchanged"))
+    },
+
     q("q341_stream_pipe_replication", {
       val ph = graft.functions.TextHash.duckPolyHash(
         "concat_ws('|', event_id, event_type, vc)")
