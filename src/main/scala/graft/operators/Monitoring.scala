@@ -495,6 +495,61 @@ object Monitoring {
         .orderBy($"shard")
     },
 
+    q("q357_slo_burn_rate",
+      // Multiwindow error-budget burn rate (the Google SRE alerting
+      // recipe): with an SLO of 75% non-error events (budget = 25%),
+      // burn = error_share / budget per window; the alert fires only
+      // when BOTH the short (3-day) and long (14-day) windows burn
+      // faster than 1x — the two-window AND is what kills both
+      // flappy-spike pages and slow-leak blindness. Windows anchor to
+      // the corpus high-water day; everything is integer ppm over the
+      // bounded day grid after one daily pre-aggregation.
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad
+        |  FROM events GROUP BY day),
+        |hw AS (SELECT MAX(day) AS hi FROM d),
+        |w AS (SELECT
+        |    CAST(SUM(CASE WHEN day > hi - INTERVAL 3 DAY THEN n ELSE 0 END)
+        |      AS BIGINT) AS n_short,
+        |    CAST(SUM(CASE WHEN day > hi - INTERVAL 3 DAY THEN bad ELSE 0
+        |      END) AS BIGINT) AS bad_short,
+        |    CAST(SUM(CASE WHEN day > hi - INTERVAL 14 DAY THEN n ELSE 0
+        |      END) AS BIGINT) AS n_long,
+        |    CAST(SUM(CASE WHEN day > hi - INTERVAL 14 DAY THEN bad ELSE 0
+        |      END) AS BIGINT) AS bad_long
+        |  FROM d, hw)
+        |SELECT n_short, bad_short, n_long, bad_long,
+        |  CAST((bad_short * 4000000) // n_short AS BIGINT)
+        |    AS burn_short_ppm,
+        |  CAST((bad_long * 4000000) // n_long AS BIGINT) AS burn_long_ppm,
+        |  (bad_short * 4000000) // n_short > 1000000
+        |    AND (bad_long * 4000000) // n_long > 1000000 AS page
+        |FROM w""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("bad"))
+      val hw = d.agg(max($"day").as("hi"))
+      d.crossJoin(broadcast(hw))
+        .agg(
+          sum(when($"day" > expr("hi - interval 3 day"), $"n")
+            .otherwise(0L)).as("n_short"),
+          sum(when($"day" > expr("hi - interval 3 day"), $"bad")
+            .otherwise(0L)).as("bad_short"),
+          sum(when($"day" > expr("hi - interval 14 day"), $"n")
+            .otherwise(0L)).as("n_long"),
+          sum(when($"day" > expr("hi - interval 14 day"), $"bad")
+            .otherwise(0L)).as("bad_long"))
+        .select($"n_short", $"bad_short", $"n_long", $"bad_long",
+          expr("(bad_short * 4000000) div n_short").as("burn_short_ppm"),
+          expr("(bad_long * 4000000) div n_long").as("burn_long_ppm"),
+          (expr("(bad_short * 4000000) div n_short") > 1000000L &&
+            expr("(bad_long * 4000000) div n_long") > 1000000L).as("page"))
+    },
+
     q("q329_pinball_eval",
       // Pinball (quantile) loss scoring of per-type constant P90
       // forecasts — the proper scoring rule for quantile predictions
