@@ -649,6 +649,17 @@ object PlanAudit {
     "q341_stream_pipe_replication" -> Seq(
       "replica digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
+    "q355_quarantine_pipeline" -> Seq(
+      "lane digests partial-aggregate map-side" -> "HashAggregate",
+      "certificate assembles via broadcast (1-row sides)" -> "BroadcastNestedLoopJoin"),
+    "q356_time_travel_diff" -> Seq(
+      "both as-of states fold in ONE per-key aggregation" -> "HashAggregate",
+      "cutoff broadcast (1 row)" -> "BroadcastNestedLoopJoin",
+      "no per-key window anywhere" -> "!Window"),
+    "q357_slo_burn_rate" -> Seq(
+      "daily pre-aggregation partial-aggregates map-side" -> "HashAggregate",
+      "high-water broadcast (1 row) into the window sums" -> "BroadcastNestedLoopJoin",
+      "only ts and event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
     "q353_streaming_psi" -> Seq(
       "ln-term finalization runs on the bounded 10-bin grid" -> "Window",
       "grid join broadcasts the drained 20-cell sink" -> "BroadcastHashJoin"),
