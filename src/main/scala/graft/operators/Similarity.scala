@@ -1055,6 +1055,57 @@ object Similarity {
         .orderBy($"label")
     },
 
+    q("q358_index_freshness_audit",
+      // Embedding-index freshness/coverage audit — the referential
+      // integrity check between a corpus and its ANN index that decides
+      // whether retrieval results can be trusted: a full-outer id join
+      // classifies every id as fresh / STALE (indexed before the doc's
+      // last edit — planted here as a version-fingerprint mismatch on
+      // every 31st doc, the docs-updated-after-embedding case) /
+      // missing_vector / orphan_vector, with ppm shares. The fingerprint
+      // the index carries is md5 of what it actually embedded, so the
+      // comparison needs no timestamps — content IS the version. One id
+      // join; at 100 TB both sides are id-bucketed and the join is
+      // shuffle-free.
+      """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |idx AS (SELECT vec_id, CASE WHEN vec_id % 31 = 0
+        |    THEN md5(concat(text, 'v0')) ELSE md5(text) END AS embedded_fp
+        |  FROM embeddings JOIN documents ON doc_id = vec_id),
+        |j AS (SELECT docs.doc_id, idx.vec_id,
+        |    CASE WHEN docs.doc_id IS NULL THEN 'orphan_vector'
+        |         WHEN idx.vec_id IS NULL THEN 'missing_vector'
+        |         WHEN docs.fp = idx.embedded_fp THEN 'fresh'
+        |         ELSE 'stale' END AS cls
+        |  FROM docs FULL OUTER JOIN idx ON idx.vec_id = docs.doc_id)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM j GROUP BY cls ORDER BY cls""") { (s, dir) =>
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("fp"))
+      // the index side: what the embedding job fingerprinted when it ran
+      // (every 31st doc was edited afterwards — its stored fp no longer
+      // matches the corpus)
+      val idx = T(s, dir, "embeddings").select($"vec_id")
+        .join(T(s, dir, "documents").select($"doc_id", $"text"),
+          $"doc_id" === $"vec_id")
+        .select($"vec_id",
+          when($"vec_id" % 31 === 0, md5(concat($"text", lit("v0"))))
+            .otherwise(md5($"text")).as("embedded_fp"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      docs.join(idx, $"vec_id" === $"doc_id", "full_outer")
+        .select(when($"doc_id".isNull, "orphan_vector")
+          .when($"vec_id".isNull, "missing_vector")
+          .when($"fp" === $"embedded_fp", "fresh")
+          .otherwise("stale").as("cls"))
+        .groupBy($"cls").agg(count(lit(1)).as("n_ids"))
+        .withColumn("share_ppm",
+          expr("(n_ids * 1000000) div (SUM(n_ids) OVER ())"))
+        .orderBy($"cls")
+    },
+
     q("q345_embedding_drift",
       // MULTIVARIATE drift monitor for an embedding column — the
       // vector-space companion to q327's univariate PSI: per label, the
