@@ -1187,6 +1187,70 @@ object Pipeline {
         .orderBy($"cell")
     },
 
+    q("q359_dataloader_replay",
+      // Dataloader replay-determinism certificate — what makes a training
+      // run RESUMABLE and a loss spike attributable to data: the batch
+      // order for (epoch, shard) is a pure function of (seed, epoch,
+      // doc_id) (multiplicative scatter — no RNG state to lose), so any
+      // worker can replay any epoch bit-for-bit. Per (epoch, shard):
+      // the order fingerprint (md5 over the hash-ordered id sequence) and
+      // the content digest (order-independent xor). The certificate: the
+      // two epochs' order fingerprints DIFFER per shard (reshuffling is
+      // real) while content digests MATCH (epochs visit identical data).
+      // Per-shard sequence assembly is the only non-scalable-looking
+      // step, and it is per-shard bounded by construction — exactly the
+      // unit a dataloader materializes anyway.
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 1000000007 % 8 AS shard FROM documents),
+        |e AS (SELECT d.doc_id, d.shard, ep.epoch,
+        |    ((d.doc_id + 1000003 * ep.epoch) * 2654435761) % 1000000007
+        |      AS ord
+        |  FROM d, (SELECT unnest(range(2)) AS epoch) ep),
+        |fp AS (SELECT epoch, shard,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    md5(array_to_string(list(doc_id ORDER BY ord, doc_id), ','))
+        |      AS order_fp,
+        |    CAST(bit_xor((doc_id * 2654435761) % 1000000007) AS BIGINT)
+        |      AS content_xor
+        |  FROM e GROUP BY epoch, shard),
+        |chk AS (SELECT a.shard,
+        |    a.order_fp <> b.order_fp AS reshuffled,
+        |    a.content_xor = b.content_xor AND a.n_docs = b.n_docs
+        |      AS same_content
+        |  FROM (SELECT * FROM fp WHERE epoch = 0) a
+        |  JOIN (SELECT * FROM fp WHERE epoch = 1) b ON b.shard = a.shard)
+        |SELECT fp.epoch, fp.shard, fp.n_docs, fp.order_fp,
+        |  fp.content_xor, chk.reshuffled, chk.same_content
+        |FROM fp JOIN chk ON chk.shard = fp.shard
+        |ORDER BY fp.epoch, fp.shard""") { (s, dir) =>
+      import s.implicits._
+      val d = T(s, dir, "documents")
+        .select($"doc_id",
+          expr("(doc_id * 2654435761) % 1000000007 % 8").as("shard"))
+      val e = d.select($"doc_id", $"shard",
+          explode(sequence(lit(0), lit(1))).as("epoch"))
+        .withColumn("ord", expr(
+          "((doc_id + 1000003 * epoch) * 2654435761) % 1000000007"))
+      val fp = e.groupBy($"epoch", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(struct(ord, doc_id))), " +
+              "x -> CAST(x.doc_id AS STRING))"), ",")).as("order_fp"),
+          expr("bit_xor((doc_id * 2654435761) % 1000000007)")
+            .as("content_xor"))
+        .transform(graft.CacheScope.cached) // both epoch sides + report
+      val chk = fp.filter($"epoch" === 0).as("a")
+        .join(fp.filter($"epoch" === 1).as("b"), $"a.shard" === $"b.shard")
+        .select($"a.shard".as("cshard"),
+          ($"a.order_fp" =!= $"b.order_fp").as("reshuffled"),
+          ($"a.content_xor" === $"b.content_xor" &&
+            $"a.n_docs" === $"b.n_docs").as("same_content"))
+      fp.join(broadcast(chk), $"shard" === $"cshard")
+        .select($"epoch", $"shard", $"n_docs", $"order_fp", $"content_xor",
+          $"reshuffled", $"same_content")
+        .orderBy($"epoch", $"shard")
+    },
+
     q("q333_length_batching",
       // Length-bucketed batch planning — the training-throughput lever:
       // batching sequences of similar length cuts padding waste (every
