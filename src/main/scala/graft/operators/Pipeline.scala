@@ -1219,8 +1219,8 @@ object Pipeline {
         |      AS same_content
         |  FROM (SELECT * FROM fp WHERE epoch = 0) a
         |  JOIN (SELECT * FROM fp WHERE epoch = 1) b ON b.shard = a.shard)
-        |SELECT fp.epoch, fp.shard, fp.n_docs, fp.order_fp,
-        |  fp.content_xor, chk.reshuffled, chk.same_content
+        |SELECT CAST(fp.epoch AS BIGINT) AS epoch, fp.shard, fp.n_docs,
+        |  fp.order_fp, fp.content_xor, chk.reshuffled, chk.same_content
         |FROM fp JOIN chk ON chk.shard = fp.shard
         |ORDER BY fp.epoch, fp.shard""") { (s, dir) =>
       import s.implicits._
@@ -1246,8 +1246,8 @@ object Pipeline {
           ($"a.content_xor" === $"b.content_xor" &&
             $"a.n_docs" === $"b.n_docs").as("same_content"))
       fp.join(broadcast(chk), $"shard" === $"cshard")
-        .select($"epoch", $"shard", $"n_docs", $"order_fp", $"content_xor",
-          $"reshuffled", $"same_content")
+        .select($"epoch".cast("long").as("epoch"), $"shard", $"n_docs",
+          $"order_fp", $"content_xor", $"reshuffled", $"same_content")
         .orderBy($"epoch", $"shard")
     },
 
