@@ -1029,6 +1029,114 @@ object TextAnalysis {
         .orderBy($"lang_true", $"lang_pred")
     },
 
+    q("q360_label_noise",
+      // Label-noise triage (confident-learning style): the q238 Naive
+      // Bayes model trained on even docs scores the held-out odd docs,
+      // and a doc whose PREDICTED class beats its GIVEN label by a wide
+      // margin (>= 2e6 micro-log = 2 nats) is flagged a label-noise
+      // SUSPECT — the cleanlab-style disagreement queue a labeling
+      // operation reviews before the next training run. Per language:
+      // scored docs, suspects, suspect ppm, and the single worst doc
+      // (max margin, doc_id tie) for spot-checking. Margins are exact
+      // differences of the integer micro-log scores, so the flag cannot
+      // flap across engines.
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split(text,' ')) tok FROM documents),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_tok FROM tr
+        |  GROUP BY lang),
+        |docs AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs
+        |  FROM tr GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) v FROM tr),
+        |ct AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) c FROM tr
+        |  GROUP BY 1, 2),
+        |te AS (SELECT doc_id, lang AS lang_true, tok FROM tk
+        |  WHERE doc_id % 2 = 1),
+        |sc AS (SELECT te.doc_id, te.lang_true, cls.lang AS cand,
+        |    CAST(FLOOR((ln(COALESCE(ct.c, 0) + 1) - ln(cls.n_tok + tot.v))
+        |      * 1000000 + 0.5) AS BIGINT) mlp
+        |  FROM te CROSS JOIN cls CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = te.tok),
+        |ds AS (SELECT doc_id, lang_true, cand, CAST(SUM(mlp) AS BIGINT) s
+        |  FROM sc GROUP BY 1, 2, 3),
+        |dsp AS (SELECT ds.doc_id, ds.lang_true, ds.cand,
+        |    ds.s + CAST(FLOOR((ln(docs.n_docs) - ln(tot.nd))
+        |      * 1000000 + 0.5) AS BIGINT) score
+        |  FROM ds JOIN docs ON ds.cand = docs.lang CROSS JOIN tot),
+        |top AS (SELECT doc_id, lang_true, cand AS lang_pred, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) rn FROM dsp),
+        |own AS (SELECT doc_id, score AS own_score FROM dsp
+        |  WHERE cand = lang_true),
+        |m AS (SELECT t.doc_id, t.lang_true, t.lang_pred,
+        |    t.score - own.own_score AS margin
+        |  FROM (SELECT * FROM top WHERE rn = 1) t
+        |  JOIN own ON own.doc_id = t.doc_id),
+        |sus AS (SELECT doc_id, lang_true, margin,
+        |    CASE WHEN lang_pred <> lang_true AND margin >= 2000000
+        |      THEN 1 ELSE 0 END AS suspect FROM m),
+        |rk AS (SELECT lang_true, doc_id, margin, suspect,
+        |    ROW_NUMBER() OVER (PARTITION BY lang_true
+        |      ORDER BY margin DESC, doc_id) wr FROM sus)
+        |SELECT lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(suspect) AS BIGINT) AS n_suspect,
+        |  CAST((SUM(suspect) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS suspect_ppm,
+        |  CAST(MIN(CASE WHEN wr = 1 THEN doc_id END) AS BIGINT)
+        |    AS worst_doc_id
+        |FROM rk GROUP BY lang_true ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val tk = T(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // train stats + held side
+      val tr = tk.filter($"doc_id" % 2 === 0)
+      val cls = tr.groupBy($"lang").agg(count(lit(1)).as("n_tok"))
+      val docs = tr.groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      val tot = tr.agg(countDistinct($"doc_id").as("nd"),
+        countDistinct($"tok").as("v"))
+      val ct = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      val te = tk.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang".as("lang_true"), $"tok")
+      val dsp = te
+        .crossJoin(broadcast(cls.select($"lang".as("cand"), $"n_tok")))
+        .crossJoin(broadcast(tot))
+        .join(ct.select($"lang".as("cand"), $"tok", $"c"),
+          Seq("cand", "tok"), "left")
+        .select($"doc_id", $"lang_true", $"cand",
+          floor((log(coalesce($"c", lit(0L)) + 1d)
+            - log(($"n_tok" + $"v").cast("double"))) * 1000000d + 0.5d)
+            .cast("long").as("mlp"))
+        .groupBy($"doc_id", $"lang_true", $"cand").agg(sum($"mlp").as("s"))
+        .join(broadcast(docs.select($"lang".as("cand"), $"n_docs")),
+          Seq("cand"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"lang_true", $"cand",
+          ($"s" + floor((log($"n_docs") - log($"nd")) * 1000000d + 0.5d)
+            .cast("long")).as("score"))
+        .transform(graft.CacheScope.cached) // argmax side + own-score side
+      val top = dsp.withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang_true", $"cand".as("lang_pred"), $"score")
+      val own = dsp.filter($"cand" === $"lang_true")
+        .select($"doc_id", $"score".as("own_score"))
+      val sus = top.join(own, Seq("doc_id"))
+        .withColumn("margin", $"score" - $"own_score")
+        .withColumn("suspect",
+          when($"lang_pred" =!= $"lang_true" && $"margin" >= 2000000L, 1L)
+            .otherwise(0L))
+      sus.withColumn("wr", row_number().over(
+          Window.partitionBy($"lang_true")
+            .orderBy($"margin".desc, $"doc_id")))
+        .groupBy($"lang_true".as("lang"))
+        .agg(count(lit(1)).as("n_scored"), sum($"suspect").as("n_suspect"),
+          expr("(SUM(suspect) * 1000000) div COUNT(*)").as("suspect_ppm"),
+          min(when($"wr" === 1, $"doc_id")).as("worst_doc_id"))
+        .orderBy($"lang")
+    },
+
     q("q264_zipf_fit",
       // Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
       // ln(rank) — the rank-frequency diagnostic that tells you whether a
