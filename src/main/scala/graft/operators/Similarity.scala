@@ -1055,6 +1055,86 @@ object Similarity {
         .orderBy($"label")
     },
 
+    q("q361_hard_negative_mining",
+      // Hard-negative mining — the training-pair generator behind every
+      // contrastive embedding fine-tune: for each probe, the most similar
+      // SAME-label vector is the positive and the most similar
+      // OTHER-label vector is the hard negative (the pair that actually
+      // moves the loss); the margin pos_sim - neg_sim is the difficulty
+      // readout, and margin <= 0 probes are ACTIVE VIOLATIONS (the
+      // negative currently outranks the positive — the first pairs any
+      // curriculum should schedule). Dots are exact integers on the
+      // globally-scaled int8 codes (graft_doti — the q97/q312
+      // discipline), probes broadcast so the corpus never shuffles;
+      // per-label rollup: probes, mean margin (exact integer division),
+      // violations.
+      """WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+        |qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+        |        AS BIGINT)) AS v
+        |  FROM embeddings, m),
+        |pr AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM qz
+        |  WHERE vec_id % 25 = 2),
+        |d AS (SELECT pr.qid, pr.ql, c.vec_id AS cid, c.label AS cl,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(len(pr.qv)),
+        |        i -> pr.qv[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, x) -> a + x) AS dot
+        |  FROM pr, qz c WHERE c.vec_id <> pr.qid),
+        |pos AS (SELECT qid, ql, dot AS pos_dot FROM (SELECT qid, ql, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) rn
+        |  FROM d WHERE cl = ql) WHERE rn = 1),
+        |neg AS (SELECT qid, dot AS neg_dot FROM (SELECT qid, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) rn
+        |  FROM d WHERE cl <> ql) WHERE rn = 1),
+        |mg AS (SELECT pos.qid, pos.ql AS label,
+        |    pos.pos_dot - neg.neg_dot AS margin
+        |  FROM pos JOIN neg ON neg.qid = pos.qid)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST((SUM(margin) + 10000000 * COUNT(*)) // COUNT(*) - 10000000
+        |    AS BIGINT) AS mean_margin_q2,
+        |  CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations
+        |FROM mg GROUP BY label ORDER BY label""") { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", $"label".cast("long").as("label"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 127.0 / gm + 0.5) AS BIGINT))").as("v"))
+        .transform(graft.CacheScope.cached) // probes + candidates
+      val pr = broadcast(qz.filter($"vec_id" % 25 === 2)
+        .select($"vec_id".as("qid"), $"label".as("ql"), $"v".as("qv")))
+      val d = pr.join(qz.select($"vec_id".as("cid"), $"label".as("cl"),
+          $"v".as("cv")), $"qid" =!= $"cid")
+        .withColumn("dot", expr("graft_doti(qv, cv)"))
+        .transform(graft.CacheScope.cached) // positive + negative picks
+      def pick(cond: org.apache.spark.sql.Column, out: String): DataFrame =
+        d.filter(cond)
+          .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+            .orderBy($"dot".desc, $"cid")))
+          .filter($"rn" === 1)
+          .select($"qid", $"ql", $"dot".as(out))
+      val pos = pick($"cl" === $"ql", "pos_dot")
+      val neg = pick($"cl" =!= $"ql", "neg_dot").drop("ql")
+      pos.join(neg, Seq("qid"))
+        .withColumn("margin", $"pos_dot" - $"neg_dot")
+        .groupBy($"ql".as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          // sign-safe floor mean (q264 shift trick: Spark div truncates,
+          // DuckDB // floors — the shift keeps the numerator positive)
+          expr("(SUM(margin) + 10000000 * COUNT(*)) div COUNT(*) " +
+            "- 10000000").as("mean_margin_q2"),
+          sum(when($"margin" <= 0, 1L).otherwise(0L)).as("n_violations"))
+        .orderBy($"label")
+    },
+
     q("q358_index_freshness_audit",
       // Embedding-index freshness/coverage audit — the referential
       // integrity check between a corpus and its ANN index that decides
