@@ -679,6 +679,21 @@ object PlanAudit {
     "q344_log_key_compaction" -> Seq(
       "compacted-log digest partial-aggregates map-side" -> "HashAggregate",
       "no join anywhere in the certificate" -> "!Join"),
+    "q358_index_freshness_audit" -> Seq(
+      "coverage classes from one full-outer id join" -> "FullOuter",
+      "class rollup partial-aggregates map-side" -> "HashAggregate"),
+    "q359_dataloader_replay" -> Seq(
+      "per-shard fingerprints partial-aggregate map-side" -> "HashAggregate",
+      "epoch check assembles via broadcast" -> "BroadcastHashJoin",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q360_label_noise" -> Seq(
+      "class/prior/vocab stats broadcast into scoring" -> "BroadcastHashJoin",
+      "likelihood table joins KEYED on (class, token)" -> "!CartesianProduct",
+      "argmax and margins are per-doc partitioned windows" -> "Window"),
+    "q361_hard_negative_mining" -> Seq(
+      "probes broadcast, corpus never shuffles for the scan" -> "BroadcastNestedLoopJoin",
+      "positive/negative picks are per-probe partitioned windows" -> "Window",
+      "per-label rollup partial-aggregates map-side" -> "HashAggregate"),
     "q345_embedding_drift" -> Seq(
       "per-dim sufficient statistics partial-aggregate map-side" -> "HashAggregate",
       "half counts broadcast into the shift assembly" -> "BroadcastHashJoin",
