@@ -1501,6 +1501,52 @@ object Extras {
         .orderBy($"check_name")
     },
 
+    q("q362_schema_drift",
+      // Schema-drift detector — the schema-registry diff run when a new
+      // data epoch lands: two epochs of the same logical table are
+      // written to storage (v2 adds a column, drops one, and changes a
+      // type — the three mutations that break consumers), read back, and
+      // their PHYSICAL schemas are diffed AS DATA: one row per column
+      // with presence, types, and the change class. Consumers alert on
+      // anything but 'unchanged'/'added' (removals and type changes are
+      // the breaking ones). The schemas come from the real parquet
+      // footers of the round-tripped epochs, so a writer that silently
+      // coerced a type would be caught, not assumed.
+      """SELECT * FROM (VALUES
+        |  ('doc_id', TRUE, TRUE, 'bigint', 'bigint', 'unchanged'),
+        |  ('lang', FALSE, TRUE, '', 'string', 'added'),
+        |  ('n_chars', TRUE, TRUE, 'bigint', 'string', 'type_changed'),
+        |  ('source', TRUE, FALSE, 'string', '', 'removed'))
+        |  t(column_name, in_v1, in_v2, type_v1, type_v2, change)
+        |ORDER BY column_name""") { (s, dir) =>
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val base = graft.TempDirs.scratch("graft-q362-epochs")
+      docs.select($"doc_id", $"n_chars", $"source")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.select($"doc_id", $"n_chars".cast("string").as("n_chars"),
+          $"lang")
+        .write.mode("overwrite").parquet(s"$base/v2")
+      def schemaRows(path: String): Seq[(String, String)] =
+        s.read.parquet(path).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.sql.toLowerCase) // SQL type names
+      val v1 = schemaRows(s"$base/v1").toMap
+      val v2 = schemaRows(s"$base/v2").toMap
+      val cols = (v1.keySet ++ v2.keySet).toSeq.sorted
+      cols.map { c =>
+        val t1 = v1.getOrElse(c, "")
+        val t2 = v2.getOrElse(c, "")
+        val change =
+          if (t1.isEmpty) "added"
+          else if (t2.isEmpty) "removed"
+          else if (t1 != t2) "type_changed"
+          else "unchanged"
+        (c, v1.contains(c), v2.contains(c), t1, t2, change)
+      }.toDF("column_name", "in_v1", "in_v2", "type_v1", "type_v2",
+        "change")
+        .orderBy($"column_name")
+    },
+
     q("q339_table_checksum", {
       def duckRow(cols: String) =
         graft.functions.TextHash.duckPolyHash(s"concat_ws('|', $cols)")
