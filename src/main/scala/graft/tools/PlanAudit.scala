@@ -721,6 +721,11 @@ object PlanAudit {
       "segment merge is a term-keyed full-outer join" -> "FullOuter",
       "postings partial-aggregate map-side" -> "HashAggregate",
       "no cartesian beyond the 1-row digest assembly" -> "!CartesianProduct"),
+    "q362_schema_drift" -> Seq(
+      // the parquet round-trip + footer introspection happen at plan-build
+      // time; the emitted diff is a bounded local relation by design
+      "diff emission is a bounded local relation" -> "LocalTableScan",
+      "no join anywhere" -> "!SortMergeJoin"),
     "q339_table_checksum" -> Seq(
       "digests partial-aggregate map-side (3 longs per table cross the shuffle)" -> "HashAggregate",
       "no join anywhere" -> "!Join"),
