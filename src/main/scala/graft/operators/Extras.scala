@@ -1547,6 +1547,87 @@ object Extras {
         .orderBy($"column_name")
     },
 
+    q("q363_join_fanout_audit",
+      // Join fan-out audit — the silent-row-duplication check every
+      // pipeline needs before trusting a metric computed downstream of a
+      // join: for each declared FK relationship, joining the fact to its
+      // dimension must preserve the fact's row count EXACTLY (fanout
+      // 1.0); a fanout above 1 means the "dimension" has duplicate keys
+      // and every downstream SUM is inflated. One row per relationship
+      // with left/joined counts, integer fanout ppm, and the pass flag.
+      // Each probe is one broadcast join + count — the cheapest insurance
+      // in the warehouse.
+      """SELECT * FROM (
+        |  SELECT 'orders->customer' AS relationship,
+        |    (SELECT COUNT(*) FROM orders) AS left_rows,
+        |    (SELECT COUNT(*) FROM orders o JOIN customer c
+        |      ON c.c_custkey = o.o_custkey) AS joined_rows
+        |  UNION ALL
+        |  SELECT 'lineitem->orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
+        |      ON o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c JOIN nation n
+        |      ON n.n_nationkey = c.c_nationkey)
+        |  UNION ALL
+        |  SELECT 'nation->region',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n JOIN region r
+        |      ON r.r_regionkey = n.n_regionkey)
+        |)
+        |SELECT relationship, CAST(left_rows AS BIGINT) AS left_rows,
+        |  CAST(joined_rows AS BIGINT) AS joined_rows,
+        |  CAST((joined_rows * 1000000) // left_rows AS BIGINT)
+        |    AS fanout_ppm,
+        |  joined_rows = left_rows AS fanout_ok
+        |FROM (SELECT * FROM (
+        |  SELECT 'orders->customer' AS relationship,
+        |    (SELECT COUNT(*) FROM orders) AS left_rows,
+        |    (SELECT COUNT(*) FROM orders o JOIN customer c
+        |      ON c.c_custkey = o.o_custkey) AS joined_rows
+        |  UNION ALL
+        |  SELECT 'lineitem->orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
+        |      ON o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c JOIN nation n
+        |      ON n.n_nationkey = c.c_nationkey)
+        |  UNION ALL
+        |  SELECT 'nation->region',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n JOIN region r
+        |      ON r.r_regionkey = n.n_regionkey)
+        |)) ORDER BY relationship""") { (s, dir) =>
+      import s.implicits._
+      def probe(rel: String, fact: DataFrame, factKey: String,
+          dim: DataFrame, dimKey: String): DataFrame = {
+        val joined = fact.join(broadcast(dim), col(factKey) === col(dimKey))
+        fact.agg(count(lit(1)).as("left_rows"))
+          .crossJoin(broadcast(joined.agg(count(lit(1)).as("joined_rows"))))
+          .select(lit(rel).as("relationship"), $"left_rows", $"joined_rows",
+            expr("(joined_rows * 1000000) div left_rows").as("fanout_ppm"),
+            ($"joined_rows" === $"left_rows").as("fanout_ok"))
+      }
+      probe("orders->customer", T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer").select($"c_custkey"), "c_custkey")
+        .unionAll(probe("lineitem->orders", T(s, dir, "lineitem")
+            .select($"l_orderkey"), "l_orderkey",
+          T(s, dir, "orders").select($"o_orderkey"), "o_orderkey"))
+        .unionAll(probe("customer->nation", T(s, dir, "customer")
+            .select($"c_nationkey"), "c_nationkey",
+          T(s, dir, "nation").select($"n_nationkey"), "n_nationkey"))
+        .unionAll(probe("nation->region", T(s, dir, "nation")
+            .select($"n_regionkey"), "n_regionkey",
+          T(s, dir, "region").select($"r_regionkey"), "r_regionkey"))
+        .orderBy($"relationship")
+    },
+
     q("q339_table_checksum", {
       def duckRow(cols: String) =
         graft.functions.TextHash.duckPolyHash(s"concat_ws('|', $cols)")
