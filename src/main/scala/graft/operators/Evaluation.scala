@@ -558,12 +558,13 @@ object Evaluation {
       // (1 - d_i/n_i) over event times <= t; the product becomes an exact
       // BIGINT cumsum of per-time micro-log(1 - d/n) rationals. The
       // hash-checked survival column IS that exact integer cumsum
-      // (survival_mln_micro = round(1e6*ln S), monotone in S); the IEEE
-      // exp readout rides alongside at r4 granularity only, so a 1-ulp
-      // libm divergence cannot flip a hashed bit, and mln comes from ONE
-      // ln of the single rational (n_risk-n_e)/n_risk — one exact IEEE
-      // division then one ln — instead of two independent ln calls whose
-      // errors can straddle a rounding boundary (the round-7 flake). Every
+      // (survival_mln_micro = round(1e6*ln S), monotone in S). After the
+      // round-7 AND round-8 fresh-run flips proved any libm ln call is a
+      // boundary hazard, mln is now computed by ColFns.detMln — a fixed
+      // IEEE-double program (integer bit-length range reduction + atanh
+      // Horner) both engines evaluate op-for-op, so the micro-log is
+      // bit-identical BY CONSTRUCTION, not by 1-ulp luck; the survival
+      // readout likewise uses ColFns.detExpMicro (software exp). Every
       // window runs over the compacted per-DURATION table (bounded by the
       // corpus span in days, not by users), so the single-partition pass
       // is constant-size at any scale; the one data-sized shuffle is the
@@ -583,14 +584,13 @@ object Evaluation {
         |rk AS (SELECT dur, n_u, n_e,
         |    SUM(n_u) OVER (ORDER BY dur DESC) n_risk FROM pd),
         |ev AS (SELECT dur, n_risk, n_e,
-        |    CAST(FLOOR(ln(CAST(n_risk - n_e AS DOUBLE) / n_risk)
-        |      * 1000000 + 0.5) AS BIGINT) mln
+        |    ${graft.ColFns.detMlnSql("n_risk - n_e", "n_risk")} mln
         |  FROM rk WHERE n_e > 0 AND n_risk > n_e),
         |s AS (SELECT dur, n_risk, n_e,
         |    CAST(SUM(mln) OVER (ORDER BY dur) AS BIGINT) cum FROM ev)
         |SELECT CAST(dur AS BIGINT) AS t_hours, n_risk, n_e AS n_events,
         |  cum AS survival_mln_micro,
-        |  ${graft.ColFns.r4Sql("exp(CAST(cum AS DOUBLE) / 1000000)")}
+        |  ${graft.ColFns.r4Sql(graft.ColFns.detExpMicroSql("cum"))}
         |    AS survival_r4
         |FROM s ORDER BY t_hours""") { (s, dir) =>
       import s.implicits._
@@ -607,12 +607,11 @@ object Evaluation {
         sum($"n_u").over(Window.orderBy($"dur".desc)))
       val evt = rk.filter($"n_e" > 0 && $"n_risk" > $"n_e")
         .select($"dur", $"n_risk", $"n_e",
-          floor(log(($"n_risk" - $"n_e").cast("double") / $"n_risk")
-            * 1000000d + 0.5d).cast("long").as("mln"))
+          graft.ColFns.detMln($"n_risk" - $"n_e", $"n_risk").as("mln"))
       evt.withColumn("cum", sum($"mln").over(Window.orderBy($"dur")))
         .select($"dur".as("t_hours"), $"n_risk", $"n_e".as("n_events"),
           $"cum".as("survival_mln_micro"),
-          graft.ColFns.r4(exp($"cum".cast("double") / 1000000d))
+          graft.ColFns.r4(graft.ColFns.detExpMicro($"cum"))
             .as("survival_r4"))
         .orderBy($"t_hours")
     },

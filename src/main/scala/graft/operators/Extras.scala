@@ -1557,28 +1557,7 @@ object Extras {
       // with left/joined counts, integer fanout ppm, and the pass flag.
       // Each probe is one broadcast join + count — the cheapest insurance
       // in the warehouse.
-      """SELECT * FROM (
-        |  SELECT 'orders->customer' AS relationship,
-        |    (SELECT COUNT(*) FROM orders) AS left_rows,
-        |    (SELECT COUNT(*) FROM orders o JOIN customer c
-        |      ON c.c_custkey = o.o_custkey) AS joined_rows
-        |  UNION ALL
-        |  SELECT 'lineitem->orders',
-        |    (SELECT COUNT(*) FROM lineitem),
-        |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
-        |      ON o.o_orderkey = l.l_orderkey)
-        |  UNION ALL
-        |  SELECT 'customer->nation',
-        |    (SELECT COUNT(*) FROM customer),
-        |    (SELECT COUNT(*) FROM customer c JOIN nation n
-        |      ON n.n_nationkey = c.c_nationkey)
-        |  UNION ALL
-        |  SELECT 'nation->region',
-        |    (SELECT COUNT(*) FROM nation),
-        |    (SELECT COUNT(*) FROM nation n JOIN region r
-        |      ON r.r_regionkey = n.n_regionkey)
-        |)
-        |SELECT relationship, CAST(left_rows AS BIGINT) AS left_rows,
+      """SELECT relationship, CAST(left_rows AS BIGINT) AS left_rows,
         |  CAST(joined_rows AS BIGINT) AS joined_rows,
         |  CAST((joined_rows * 1000000) // left_rows AS BIGINT)
         |    AS fanout_ppm,

@@ -251,7 +251,7 @@ object TextAnalysis {
          |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) cnt FROM toks GROUP BY tok),
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM toks),
          |sc AS (SELECT doc_id,
-         |    CAST(FLOOR((ln(cnt) - ln(n)) * 1000000 + 0.5) AS BIGINT) mlp
+         |    ${graft.ColFns.detMlnSql("cnt", "n")} mlp
          |  FROM toks JOIN freq USING (tok), tot),
          |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
          |    CAST(SUM(mlp) AS BIGINT) sum_mlp
@@ -260,7 +260,8 @@ object TextAnalysis {
          |    ${graft.ColFns.r6Sql("CAST(sum_mlp AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n_tokens)")} AS avg_logprob
          |  FROM d)
          |SELECT doc_id, n_tokens, sum_mlp, avg_logprob,
-         |  ${graft.ColFns.r6Sql("exp(-avg_logprob)")} AS ppl
+         |  ${graft.ColFns.r6Sql(graft.ColFns.detExpMicroSql(
+               "-FLOOR(CAST(sum_mlp AS DOUBLE) / n_tokens + 0.5)"))} AS ppl
          |FROM o ORDER BY doc_id""") { (s, dir) =>
       import graft.ColFns.r6
       import s.implicits._
@@ -275,12 +276,10 @@ object TextAnalysis {
       // log-prob is rounded to an integer micro-log (1e-6) BEFORE the
       // per-doc sum, so the aggregate is exact integer addition in both
       // engines and the one IEEE division at the end starts from identical
-      // operands. Known 1-ulp hazard (accepted repo-wide, r6 has the same
-      // cliff): the rounding assumes DuckDB's ln and the JVM's log agree on
-      // these inputs — libm implementations may differ by 1 ulp, so a value
-      // landing EXACTLY on a x.5 micro-log boundary could flip the integer
-      // mlp. Verified empirically at sf0.001/0.01/0.1; a flip would surface
-      // as a loud hash mismatch, not silent corruption.
+      // operands. The micro-log itself is ColFns.detMln (software ln) and
+      // the perplexity readout ColFns.detExpMicro — fixed IEEE programs
+      // both engines evaluate op-for-op, so there is no libm boundary to
+      // flip (the round-7/8 q239 lesson applied corpus-wide).
       val toks = T(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
       val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
@@ -288,12 +287,13 @@ object TextAnalysis {
       toks.join(freq, "tok")
         .crossJoin(broadcast(tot))
         .select($"doc_id",
-          floor((log($"cnt") - log($"n")) * 1000000d + 0.5d).cast("long").as("mlp"))
+          graft.ColFns.detMln($"cnt", $"n").as("mlp"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"mlp").as("sum_mlp"))
         .withColumn("avg_logprob",
           r6($"sum_mlp".cast("double") / (lit(1000000d) * $"n_tokens")))
-        .withColumn("ppl", r6(exp(-$"avg_logprob")))
+        .withColumn("ppl", r6(graft.ColFns.detExpMicro(
+          -floor($"sum_mlp".cast("double") / $"n_tokens" + 0.5d))))
         .orderBy($"doc_id")
     },
     q("q153_bigram_backoff_lm",
