@@ -483,7 +483,7 @@ object Evaluation {
     },
 
     q("q231_llr_copurchase", {
-      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      def lnm(x: String) = graft.ColFns.detMlnIntSql(x)
       def xlx(x: String) = s"(CASE WHEN $x = 0 THEN 0 ELSE $x * ${lnm(x)} END)"
       // Dunning's log-likelihood-ratio association over co-ordered part
       // pairs — the significance-aware complement of q215's lift (lift
@@ -517,8 +517,7 @@ object Evaluation {
       // per-part counts, so the LLR itself is map-side arithmetic on the
       // surviving pairs. At 100 TB the xlogx terms cost nothing — the
       // shuffle is the pair aggregation, identical to q215's.
-      def lnmC(c: Column): Column =
-        floor(log(c.cast("double")) * 1000000d + 0.5d).cast("long")
+      def lnmC(c: Column): Column = graft.ColFns.detMlnInt(c)
       def xlxC(c: Column): Column =
         when(c === 0L, 0L).otherwise(c * lnmC(c))
       val b = T(s, dir, "lineitem")

@@ -29,14 +29,15 @@ object Extras {
   val defs: Seq[QueryDef] = Seq(
 
     q("q79_tfidf_top_term",
-      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         |tf AS (SELECT doc_id, unnest(w) term FROM words),
         |tfc AS (SELECT doc_id, term, COUNT(*) tf FROM tf GROUP BY 1, 2),
         |n AS (SELECT COUNT(*) nd FROM documents),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tf GROUP BY 1),
         |len AS (SELECT doc_id, COUNT(*) dl FROM tf GROUP BY 1),
         |score AS (SELECT t.doc_id, t.term,
-        |    ROUND((CAST(t.tf AS DOUBLE)/len.dl) * (ln((n.nd + 1.0)/(df.df + 1.0)) + 1.0), 6) s
+        |    ROUND((CAST(t.tf AS DOUBLE)/len.dl) * (${
+               graft.ColFns.detLnSql("n.nd + 1", "df.df + 1")} + 1.0), 6) s
         |  FROM tfc t, n JOIN df ON t.term = df.term JOIN len ON t.doc_id = len.doc_id),
         |rk AS (SELECT doc_id, term, s,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) rn FROM score)
@@ -59,7 +60,7 @@ object Extras {
         .join(dl, "doc_id")
         .select($"doc_id", $"term",
           round(($"tf".cast("double") / $"dl") *
-            (log((lit(nd) + 1.0) / ($"df" + 1.0)) + 1.0), 6).as("s"))
+            (graft.ColFns.detLn(lit(nd) + 1, $"df" + 1) + 1.0), 6).as("s"))
       val w = Window.partitionBy($"doc_id").orderBy($"s".desc, $"term")
       score.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)

@@ -714,8 +714,8 @@ object Pipeline {
          |    (($ph) * 2654435761) % $P % 1000000 + 1 AS u_ppm
          |  FROM documents),
          |k AS (SELECT doc_id, n_chars, u_ppm,
-         |    CAST(FLOOR((ln(u_ppm) - ln(1000000)) * 1000000000000
-         |      / n_chars + 0.5) AS BIGINT) AS key_pico
+         |    CAST(FLOOR(${graft.ColFns.detLnSql("u_ppm", "1000000")}
+         |      * 1000000000000 / n_chars + 0.5) AS BIGINT) AS key_pico
          |  FROM u)
          |SELECT doc_id, n_chars, u_ppm, key_pico FROM k
          |ORDER BY key_pico DESC, doc_id LIMIT 50"""
@@ -731,15 +731,16 @@ object Pipeline {
       // no sequential pass, reproducible across runs and cluster sizes
       // (q87's hash-threshold trick does Bernoulli sampling; this one hits
       // an exact k with weights). Float discipline: one ln() per row
-      // rounded to pico units in an identical expression both engines
-      // evaluate on identical integer operands (q136's accepted 1-ulp
-      // cliff); ordering ties break on doc_id.
+      // rounded to pico units via ColFns.detLn (deterministic software ln)
+      // on identical integer operands — bit-identical across engines;
+      // ordering ties break on doc_id.
       T(s, dir, "documents")
         .select($"doc_id", $"n_chars", expr(
           s"(graft_polyhash(CAST(doc_id AS STRING)) * 2654435761) % ${graft.functions.TextHash.P} % 1000000 + 1")
           .as("u_ppm"))
-        .withColumn("key_pico", expr(
-          "CAST(FLOOR((ln(u_ppm) - ln(1000000)) * 1000000000000 / n_chars + 0.5) AS BIGINT)"))
+        .withColumn("key_pico", floor(
+          graft.ColFns.detLn($"u_ppm", lit(1000000L))
+            * lit(1000000000000d) / $"n_chars" + lit(0.5d)).cast("long"))
         .orderBy($"key_pico".desc, $"doc_id".asc)
         .limit(50)
     },

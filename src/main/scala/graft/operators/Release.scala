@@ -27,8 +27,7 @@ object Release {
 
     q("q323_release_pipeline", {
       val ext = WebCorpus.extractExpr(duck = true, "html")
-      val idf = "CAST(FLOOR(ln(CAST(2*n_docs - 2*df + 1 AS DOUBLE) " +
-        "/ (2*df + 1)) * 1000000 + 0.5) AS BIGINT)"
+      val idf = graft.ColFns.detMlnSql("2*n_docs - 2*df + 1", "2*df + 1")
       s"""WITH pages AS (SELECT doc_id, ${WebCorpus.htmlExpr} AS html,
          |    ${WebCorpus.urlExpr} AS url FROM documents),
          |ex AS (SELECT doc_id, url, $ext AS extracted FROM pages),
@@ -190,8 +189,8 @@ object Release {
         .orderBy($"df".desc, $"term".asc).limit(5)
         .crossJoin(broadcast(st))
         .withColumn("idf_micro",
-          floor(log((lit(2) * $"n_docs" - lit(2) * $"df" + 1).cast("double")
-            / (lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+          graft.ColFns.detMln(lit(2) * $"n_docs" - lit(2) * $"df" + 1,
+            lit(2) * $"df" + 1))
         .select($"term", $"idf_micro")
       val bm = tf.join(broadcast(qi), "term")
         .join(dl, "doc_id")

@@ -49,7 +49,7 @@ object Retrieval {
          |qt AS (SELECT tok, df FROM df WHERE length(tok) >= 4
          |  ORDER BY df DESC, tok LIMIT $Bm25K),
          |qi AS (SELECT tok,
-         |    CAST(FLOOR((ln(2*n_docs - 2*df + 1) - ln(2*df + 1)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |    ${graft.ColFns.detMlnSql("2*n_docs - 2*df + 1", "2*df + 1")} AS idf_micro
          |  FROM qt, st),
          |sc AS (SELECT f.doc_id,
          |    qi.idf_micro * ((22 * f.tf * st.a * 1000000)
@@ -87,8 +87,8 @@ object Retrieval {
         .orderBy($"df".desc, $"tok".asc).limit(Bm25K)
         .crossJoin(broadcast(st))
         .withColumn("idf_micro",
-          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
-            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+          graft.ColFns.detMln(lit(2) * $"n_docs" - lit(2) * $"df" + 1,
+            lit(2) * $"df" + 1))
         .select($"tok", $"idf_micro")
       tf.join(broadcast(qi), "tok")
         .join(dl, "doc_id")
@@ -493,8 +493,7 @@ object Retrieval {
          |qt AS (SELECT tok, df FROM df WHERE length(tok) >= 4
          |  ORDER BY df DESC, tok LIMIT $Bm25K),
          |qi AS (SELECT tok,
-         |    CAST(FLOOR((ln(2*n_docs - 2*df + 1) - ln(2*df + 1)) * 1000000
-         |      + 0.5) AS BIGINT) AS idf_micro
+         |    ${graft.ColFns.detMlnSql("2*n_docs - 2*df + 1", "2*df + 1")} AS idf_micro
          |  FROM qt, st),
          |sc AS (SELECT f.doc_id,
          |    qi.idf_micro * ((22 * f.tf * st.a * 1000000)
@@ -509,10 +508,10 @@ object Retrieval {
          |    AND f.tok NOT IN (SELECT tok FROM qi)
          |  GROUP BY f.tok)
          |SELECT c.tok AS term, c.fb_df, c.fb_tf,
-         |  CAST(FLOOR((ln(2*st.n_docs - 2*d.df + 1) - ln(2*d.df + 1))
-         |    * 1000000 + 0.5) AS BIGINT) AS idf_micro,
-         |  CAST(c.fb_tf * CAST(FLOOR((ln(2*st.n_docs - 2*d.df + 1)
-         |    - ln(2*d.df + 1)) * 1000000 + 0.5) AS BIGINT) AS BIGINT)
+         |  ${graft.ColFns.detMlnSql("2*st.n_docs - 2*d.df + 1", "2*d.df + 1")}
+         |    AS idf_micro,
+         |  CAST(c.fb_tf * ${graft.ColFns.detMlnSql("2*st.n_docs - 2*d.df + 1",
+                "2*d.df + 1")} AS BIGINT)
          |    AS rocchio_micro
          |FROM cand c JOIN df d ON d.tok = c.tok, st
          |ORDER BY rocchio_micro DESC, term LIMIT $PrfExpTerms""") { (s, dir) =>
@@ -532,8 +531,8 @@ object Retrieval {
         .orderBy($"df".desc, $"tok".asc).limit(Bm25K)
         .crossJoin(broadcast(st))
         .withColumn("idf_micro",
-          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
-            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+          graft.ColFns.detMln(lit(2) * $"n_docs" - lit(2) * $"df" + 1,
+            lit(2) * $"df" + 1))
         .select($"tok", $"idf_micro")
       val top = tf.join(broadcast(qi), "tok")
         .join(dl, "doc_id")
@@ -553,8 +552,8 @@ object Retrieval {
       dfT.join(broadcast(cand), Seq("tok"))
         .crossJoin(broadcast(st.select($"n_docs")))
         .withColumn("idf_micro",
-          floor((log(lit(2) * $"n_docs" - lit(2) * $"df" + 1) -
-            log(lit(2) * $"df" + 1)) * 1000000d + 0.5d).cast("long"))
+          graft.ColFns.detMln(lit(2) * $"n_docs" - lit(2) * $"df" + 1,
+            lit(2) * $"df" + 1))
         .select($"tok".as("term"), $"fb_df", $"fb_tf", $"idf_micro",
           ($"fb_tf" * $"idf_micro").as("rocchio_micro"))
         .orderBy($"rocchio_micro".desc, $"term".asc).limit(PrfExpTerms)

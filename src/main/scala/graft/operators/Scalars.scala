@@ -68,14 +68,16 @@ object Scalars {
     },
 
     q("q30_math_fns",
-      """SELECT l_orderkey, l_linenumber,
+      s"""SELECT l_orderkey, l_linenumber,
         |  ABS(l_discount - 0.05) AS abs_d,
         |  CAST(FLOOR(l_extendedprice * l_tax * 100 + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS tax_amt,
         |  SQRT(l_extendedprice) AS sq,
         |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
         |  CAST(CEIL(l_extendedprice) AS BIGINT) AS cl,
         |  l_orderkey % 7 AS mod7,
-        |  CAST(FLOOR(LN(l_extendedprice) * 1000000 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ln6,
+        |  CAST(${graft.ColFns.detMlnSql(
+             "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)", "100")}
+        |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ln6,
         |  l_quantity * l_quantity AS qty_sq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
       import s.implicits._
@@ -90,7 +92,10 @@ object Scalars {
         floor($"l_extendedprice").as("fl"),
         ceil($"l_extendedprice").as("cl"),
         ($"l_orderkey" % 7).as("mod7"),
-        (floor(log($"l_extendedprice") * 1000000 + 0.5).cast("double") / 1000000.0).as("ln6"),
+        // ln over the EXACT cents rational via the deterministic software
+        // ln — no libm in a hashed column
+        (graft.ColFns.detMln(floor($"l_extendedprice" * 100 + 0.5), lit(100L))
+          .cast("double") / 1000000.0).as("ln6"),
         ($"l_quantity" * $"l_quantity").as("qty_sq")
       ).orderBy($"l_orderkey", $"l_linenumber")
     },

@@ -1387,7 +1387,7 @@ object StreamLog {
       // this), and the Laplace-smoothed ln-term finalization runs
       // batch-side on the drained sink. Same oracle as the batch twin;
       // multi-batch drain proves the counters accumulate across commits.
-      """WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+      s"""WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
         |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
         |  FROM events),
         |b AS (SELECT MIN(vc) lo, MAX(vc) - MIN(vc) + 1 AS w,
@@ -1407,7 +1407,7 @@ object StreamLog {
         |    ((cb + 1) * 1000000) // (nb + 10) AS q_ppm FROM z, tot),
         |t AS (SELECT bin, ca, cb, p_ppm, q_ppm,
         |    CAST(FLOOR((p_ppm - q_ppm)
-        |      * ln(CAST(p_ppm AS DOUBLE) / q_ppm) + 0.5) AS BIGINT)
+        |      * ${graft.ColFns.detLnSql("p_ppm", "q_ppm")} + 0.5) AS BIGINT)
         |      AS term_micro
         |  FROM pq)
         |SELECT bin, ca AS n_first_half, cb AS n_second_half, p_ppm, q_ppm,
@@ -1463,7 +1463,7 @@ object StreamLog {
         .withColumn("q_ppm", expr("((cb + 1) * 1000000) div (nb + 10)"))
         .withColumn("term_micro",
           floor(($"p_ppm" - $"q_ppm")
-            * log($"p_ppm".cast("double") / $"q_ppm") + 0.5).cast("long"))
+            * graft.ColFns.detLn($"p_ppm", $"q_ppm") + 0.5).cast("long"))
         .withColumn("psi_micro", sum($"term_micro").over(all))
         .select($"bin", $"ca".as("n_first_half"), $"cb".as("n_second_half"),
           $"p_ppm", $"q_ppm", $"term_micro", $"psi_micro",

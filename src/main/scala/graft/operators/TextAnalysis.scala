@@ -307,9 +307,10 @@ object TextAnalysis {
       // joins are keyed on token strings — hot heads are exactly the skew
       // AQE's join handling splits, and the vocabulary is deliberately NOT
       // hand-broadcast (it grows with the corpus — q136's rationale).
-      // Micro-log integer rounding before the per-doc sum keeps the
-      // aggregate exact in both engines (same accepted 1-ulp ln caveat).
-      """WITH tk AS (SELECT doc_id,
+      // Micro-log integer rounding (ColFns.detMln — deterministic software
+      // ln, no libm) before the per-doc sum keeps the aggregate exact and
+      // bit-identical in both engines.
+      s"""WITH tk AS (SELECT doc_id,
         |    CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos, unnest(w) AS tok
         |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
         |big AS (SELECT doc_id,
@@ -325,9 +326,9 @@ object TextAnalysis {
         |       WHERE doc_id % 2 = 1 AND w1 IS NOT NULL),
         |sc AS (SELECT te.doc_id,
         |    CASE WHEN c2.c2c IS NOT NULL
-        |      THEN CAST(FLOOR((ln(c2.c2c) - ln(u1.c)) * 1000000 + 0.5) AS BIGINT)
-        |      ELSE CAST(FLOOR((ln(0.4) + ln(COALESCE(u2.c, 0) + 1)
-        |        - ln(nv.n + nv.v)) * 1000000 + 0.5) AS BIGINT) END AS mlp
+        |      THEN ${graft.ColFns.detMlnSql("c2.c2c", "u1.c")}
+        |      ELSE ${graft.ColFns.detMlnSql("2 * (COALESCE(u2.c, 0) + 1)",
+                 "5 * (nv.n + nv.v)")} END AS mlp
         |  FROM te
         |  LEFT JOIN c2 ON te.w1 = c2.w1 AND te.w2 = c2.w2
         |  LEFT JOIN c1 u1 ON te.w1 = u1.tok
@@ -357,10 +358,13 @@ object TextAnalysis {
         .crossJoin(broadcast(nv))
         .select($"doc_id",
           when($"c2c".isNotNull,
-            floor((log($"c2c") - log($"c1w1")) * 1000000d + 0.5d))
-            .otherwise(floor((log(lit(0.4)) + log(coalesce($"c1w2", lit(0L)) + 1d)
-              - log(($"n" + $"v").cast("double"))) * 1000000d + 0.5d))
-            .cast("long").as("mlp"))
+            graft.ColFns.detMln($"c2c", $"c1w1"))
+            // ln(0.4 * x) = ln(2x/5): the backoff constant folds into the
+            // rational so the whole branch stays one deterministic micro-log
+            .otherwise(graft.ColFns.detMln(
+              lit(2L) * (coalesce($"c1w2", lit(0L)) + 1L),
+              lit(5L) * ($"n" + $"v")))
+            .as("mlp"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum($"mlp").as("sum_mlp"))
         .orderBy($"doc_id")
@@ -379,8 +383,8 @@ object TextAnalysis {
          |    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks) AS v,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS nc),
          |diffs AS (SELECT t.doc_id,
-         |    CAST(FLOOR((ln(COALESCE(g.ct, 0) + 1) - ln(nt + v)
-         |      - ln(c.cc) + ln(nc)) * 1000000 + 0.5) AS BIGINT) AS dm
+         |    (${graft.ColFns.detMlnSql("COALESCE(g.ct, 0) + 1", "nt + v")}
+         |      + ${graft.ColFns.detMlnSql("nc", "c.cc")}) AS dm
          |  FROM toks t JOIN cf c USING (tok) LEFT JOIN tgt g ON t.tok = g.tok,
          |    consts),
          |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -418,8 +422,11 @@ object TextAnalysis {
         .join(tgt, Seq("tok"), "left")
         .crossJoin(broadcast(consts))
         .select($"doc_id",
-          floor((log(coalesce($"ct", lit(0L)) + 1d) - log(($"nt" + $"v").cast("double"))
-            - log($"cc") + log($"nc")) * 1000000d + 0.5d).cast("long").as("dm"))
+          // target and proposal log-ratios each get ONE deterministic
+          // micro-round (the 1e13-scale products a single-round form would
+          // need overflow the <2^51 detMln domain at corpus scale)
+          (graft.ColFns.detMln(coalesce($"ct", lit(0L)) + 1, $"nt" + $"v")
+            + graft.ColFns.detMln($"nc", $"cc")).as("dm"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"dm").as("sum_diff_micro"))
         .join(docs.select($"doc_id", $"lang"), "doc_id")
@@ -516,16 +523,17 @@ object TextAnalysis {
         |  WHERE split = 'train' GROUP BY w1),
         |v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vocab FROM tb),
         |h AS (SELECT bg.source,
-        |    CAST(FLOOR(ln(CAST(COALESCE(tb.c2, 0) + 1 AS DOUBLE)
-        |      / (COALESCE(tu.c1, 0) + v.vocab)) * 1000000 + 0.5) AS BIGINT)
+        |    ${graft.ColFns.detMlnSql("COALESCE(tb.c2, 0) + 1",
+               "COALESCE(tu.c1, 0) + v.vocab")}
         |      AS mln
         |  FROM bg LEFT JOIN tb ON tb.w1 = bg.w1 AND tb.w2 = bg.w2
         |    LEFT JOIN tu ON tu.w1 = bg.w1, v
         |  WHERE bg.split <> 'train')
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(mln) AS BIGINT) AS nll_micro_total,
-        |  FLOOR(exp(-CAST(SUM(mln) AS DOUBLE) / COUNT(*) / 1000000)
-        |    * 10000 + 0.5) / 10000 AS perplexity_r4
+        |  ${graft.ColFns.r4Sql(graft.ColFns.detExpMicroSql(
+             "-FLOOR(CAST(SUM(mln) AS DOUBLE) / COUNT(*) + 0.5)"))}
+        |    AS perplexity_r4
         |FROM h GROUP BY source ORDER BY source""") { (s, dir) =>
       import s.implicits._
       val bg = T(s, dir, "documents")
@@ -548,14 +556,14 @@ object TextAnalysis {
         .join(tu, Seq("w1"), "left")
         .crossJoin(broadcast(v))
         .select($"source",
-          floor(log((coalesce($"c2", lit(0L)) + 1).cast("double")
-            / (coalesce($"c1", lit(0L)) + $"vocab")) * 1000000d + 0.5d)
-            .cast("long").as("mln"))
+          graft.ColFns.detMln(coalesce($"c2", lit(0L)) + 1,
+            coalesce($"c1", lit(0L)) + $"vocab").as("mln"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_bigrams"), sum($"mln").as("nll_micro_total"))
         .select($"source", $"n_bigrams", $"nll_micro_total",
-          (floor(exp(-$"nll_micro_total".cast("double") / $"n_bigrams"
-            / 1000000d) * 10000d + 0.5d) / 10000d).as("perplexity_r4"))
+          graft.ColFns.r4(graft.ColFns.detExpMicro(
+            -floor($"nll_micro_total".cast("double") / $"n_bigrams" + 0.5d)))
+            .as("perplexity_r4"))
         .orderBy($"source")
     },
   ) ++ noveltyAndEntropy
@@ -668,11 +676,11 @@ object TextAnalysis {
          |d AS (SELECT doc_id,
          |    CAST(SUM(cnt) AS BIGINT) AS n,
          |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         |    CAST(SUM(cnt * CAST(FLOOR(ln(cnt) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_clnc
+         |    CAST(SUM(cnt * ${graft.ColFns.detMlnIntSql("cnt")}) AS BIGINT) AS sum_clnc
          |  FROM cc GROUP BY doc_id)
          |SELECT doc_id, n, n_distinct, sum_clnc,
-         |  ${graft.ColFns.r6Sql(
-             "ln(n) - CAST(sum_clnc AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n)")} AS entropy
+         |  ${graft.ColFns.r6Sql(graft.ColFns.detLnSql("n", "1")
+             + " - CAST(sum_clnc AS DOUBLE) / (CAST(1000000 AS DOUBLE) * n)")} AS entropy
          |FROM d ORDER BY doc_id""") { (s, dir) =>
       import graft.ColFns.r6
       import s.implicits._
@@ -691,9 +699,10 @@ object TextAnalysis {
         .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
         .groupBy($"doc_id")
         .agg(sum($"cnt").as("n"), count(lit(1)).as("n_distinct"),
-          sum($"cnt" * floor(log($"cnt") * 1000000d + 0.5d).cast("long")).as("sum_clnc"))
+          sum($"cnt" * graft.ColFns.detMlnInt($"cnt")).as("sum_clnc"))
         .withColumn("entropy",
-          r6(log($"n") - $"sum_clnc".cast("double") / (lit(1000000d) * $"n")))
+          r6(graft.ColFns.detLn($"n", lit(1L))
+            - $"sum_clnc".cast("double") / (lit(1000000d) * $"n")))
         .orderBy($"doc_id")
     },
 
@@ -756,7 +765,7 @@ object TextAnalysis {
     },
 
     q("q202_source_kl_divergence", {
-      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      def lnm(x: String) = graft.ColFns.detMlnIntSql(x)
       // KL(P_source || P_corpus) over unigram LMs, micro-log integers:
       // each ln is rounded ONCE per distinct integer count (q136's
       // discipline), every product/sum is exact, and only the final
@@ -794,8 +803,7 @@ object TextAnalysis {
       // vocab-sized corpus LM on word (keyed equi-join — the corpus never
       // re-shuffles) and the source-count-sized tables broadcast. KL term
       // c_sw*(ln c_sw - ln n_s - ln c_w + ln n) sums exactly per source.
-      def lnmC(c: Column): Column =
-        floor(log(c) * 1000000d + 0.5d).cast("long")
+      def lnmC(c: Column): Column = graft.ColFns.detMlnInt(c)
       val ws = T(s, dir, "documents")
         .select($"source", explode(split($"text", " ")).as("word"))
         .groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
@@ -816,7 +824,7 @@ object TextAnalysis {
     },
 
     q("q210_pmi_collocations", {
-      def lnm(x: String) = s"CAST(FLOOR(ln($x) * 1000000 + 0.5) AS BIGINT)"
+      def lnm(x: String) = graft.ColFns.detMlnIntSql(x)
       // Pointwise mutual information over a forward 4-word window:
       // PMI = ln(c_xy * N / (c_x * c_y)) as a SUM of micro-rounded logs
       // (q136's discipline) — integer-exact ranking in both engines.
@@ -853,8 +861,7 @@ object TextAnalysis {
       // the corpus twice; this shape pays one pair aggregation instead,
       // and the support floor (c_xy >= 20) cuts the Zipf tail before the
       // vocab-keyed PMI joins. Top-30 via TakeOrderedAndProject.
-      def lnmC(c: Column): Column =
-        floor(log(c) * 1000000d + 0.5d).cast("long")
+      def lnmC(c: Column): Column = graft.ColFns.detMlnInt(c)
       val d = T(s, dir, "documents")
         .select(split($"text", " ").as("w"))
         .transform(graft.CacheScope.cached)
@@ -960,10 +967,10 @@ object TextAnalysis {
       // is vocab-sized and joins KEYED on the token pair — it grows with
       // the corpus, so it is deliberately not hand-broadcast (q136's
       // rationale); test tokens fan out only by |classes| (bounded).
-      // Micro-log integers before every sum keep both engines exact
-      // (accepted repo-wide 1-ulp ln caveat); argmax tie-breaks on the
+      // Micro-log integers (ColFns.detMln — deterministic software ln)
+      // before every sum keep both engines exact; argmax tie-breaks on the
       // class name.
-      """WITH tk AS (SELECT doc_id, lang,
+      s"""WITH tk AS (SELECT doc_id, lang,
         |    unnest(string_split(text,' ')) tok FROM documents),
         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
         |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_tok FROM tr GROUP BY lang),
@@ -974,15 +981,14 @@ object TextAnalysis {
         |ct AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) c FROM tr GROUP BY 1, 2),
         |te AS (SELECT doc_id, lang AS lang_true, tok FROM tk WHERE doc_id % 2 = 1),
         |sc AS (SELECT te.doc_id, te.lang_true, cls.lang AS cand,
-        |    CAST(FLOOR((ln(COALESCE(ct.c, 0) + 1) - ln(cls.n_tok + tot.v))
-        |      * 1000000 + 0.5) AS BIGINT) mlp
+        |    ${graft.ColFns.detMlnSql("COALESCE(ct.c, 0) + 1",
+               "cls.n_tok + tot.v")} mlp
         |  FROM te CROSS JOIN cls CROSS JOIN tot
         |  LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = te.tok),
         |ds AS (SELECT doc_id, lang_true, cand, CAST(SUM(mlp) AS BIGINT) s
         |  FROM sc GROUP BY 1, 2, 3),
         |dsp AS (SELECT ds.doc_id, ds.lang_true, ds.cand,
-        |    ds.s + CAST(FLOOR((ln(docs.n_docs) - ln(tot.nd)) * 1000000 + 0.5)
-        |      AS BIGINT) score
+        |    ds.s + ${graft.ColFns.detMlnSql("docs.n_docs", "tot.nd")} score
         |  FROM ds JOIN docs ON ds.cand = docs.lang CROSS JOIN tot),
         |pred AS (SELECT doc_id, lang_true, cand AS lang_pred,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1009,17 +1015,15 @@ object TextAnalysis {
         .join(ct.select($"lang".as("cand"), $"tok", $"c"),
           Seq("cand", "tok"), "left")
         .select($"doc_id", $"lang_true", $"cand",
-          floor((log(coalesce($"c", lit(0L)) + 1d)
-            - log(($"n_tok" + $"v").cast("double"))) * 1000000d + 0.5d)
-            .cast("long").as("mlp"))
+          graft.ColFns.detMln(coalesce($"c", lit(0L)) + 1,
+            $"n_tok" + $"v").as("mlp"))
       val ds = sc.groupBy($"doc_id", $"lang_true", $"cand")
         .agg(sum($"mlp").as("s"))
       val dsp = ds
         .join(broadcast(docs.select($"lang".as("cand"), $"n_docs")), Seq("cand"))
         .crossJoin(broadcast(tot))
         .select($"doc_id", $"lang_true", $"cand",
-          ($"s" + floor((log($"n_docs") - log($"nd")) * 1000000d + 0.5d)
-            .cast("long")).as("score"))
+          ($"s" + graft.ColFns.detMln($"n_docs", $"nd")).as("score"))
       val byDoc = Window.partitionBy($"doc_id")
         .orderBy($"score".desc, $"cand")
       dsp.withColumn("rn", row_number().over(byDoc))
@@ -1040,7 +1044,7 @@ object TextAnalysis {
       // (max margin, doc_id tie) for spot-checking. Margins are exact
       // differences of the integer micro-log scores, so the flag cannot
       // flap across engines.
-      """WITH tk AS (SELECT doc_id, lang,
+      s"""WITH tk AS (SELECT doc_id, lang,
         |    unnest(string_split(text,' ')) tok FROM documents),
         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
         |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_tok FROM tr
@@ -1054,15 +1058,14 @@ object TextAnalysis {
         |te AS (SELECT doc_id, lang AS lang_true, tok FROM tk
         |  WHERE doc_id % 2 = 1),
         |sc AS (SELECT te.doc_id, te.lang_true, cls.lang AS cand,
-        |    CAST(FLOOR((ln(COALESCE(ct.c, 0) + 1) - ln(cls.n_tok + tot.v))
-        |      * 1000000 + 0.5) AS BIGINT) mlp
+        |    ${graft.ColFns.detMlnSql("COALESCE(ct.c, 0) + 1",
+               "cls.n_tok + tot.v")} mlp
         |  FROM te CROSS JOIN cls CROSS JOIN tot
         |  LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = te.tok),
         |ds AS (SELECT doc_id, lang_true, cand, CAST(SUM(mlp) AS BIGINT) s
         |  FROM sc GROUP BY 1, 2, 3),
         |dsp AS (SELECT ds.doc_id, ds.lang_true, ds.cand,
-        |    ds.s + CAST(FLOOR((ln(docs.n_docs) - ln(tot.nd))
-        |      * 1000000 + 0.5) AS BIGINT) score
+        |    ds.s + ${graft.ColFns.detMlnSql("docs.n_docs", "tot.nd")} score
         |  FROM ds JOIN docs ON ds.cand = docs.lang CROSS JOIN tot),
         |top AS (SELECT doc_id, lang_true, cand AS lang_pred, score,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1105,16 +1108,14 @@ object TextAnalysis {
         .join(ct.select($"lang".as("cand"), $"tok", $"c"),
           Seq("cand", "tok"), "left")
         .select($"doc_id", $"lang_true", $"cand",
-          floor((log(coalesce($"c", lit(0L)) + 1d)
-            - log(($"n_tok" + $"v").cast("double"))) * 1000000d + 0.5d)
-            .cast("long").as("mlp"))
+          graft.ColFns.detMln(coalesce($"c", lit(0L)) + 1,
+            $"n_tok" + $"v").as("mlp"))
         .groupBy($"doc_id", $"lang_true", $"cand").agg(sum($"mlp").as("s"))
         .join(broadcast(docs.select($"lang".as("cand"), $"n_docs")),
           Seq("cand"))
         .crossJoin(broadcast(tot))
         .select($"doc_id", $"lang_true", $"cand",
-          ($"s" + floor((log($"n_docs") - log($"nd")) * 1000000d + 0.5d)
-            .cast("long")).as("score"))
+          ($"s" + graft.ColFns.detMln($"n_docs", $"nd")).as("score"))
         .transform(graft.CacheScope.cached) // argmax side + own-score side
       val top = dsp.withColumn("rn", row_number().over(
           Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
@@ -1148,12 +1149,12 @@ object TextAnalysis {
       // divisions over all-positive-denominator operands, identical in
       // both engines (DuckDB sums are HUGEINT natively). The rank window
       // runs over the vocabulary (Zipf-bounded), not the corpus.
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c FROM w GROUP BY tok),
         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) rk FROM f),
         |p AS (SELECT
-        |    CAST(FLOOR(ln(rk) * 1000000 + 0.5) AS BIGINT) x,
-        |    CAST(FLOOR(ln(c) * 1000000 + 0.5) AS BIGINT) y FROM r),
+        |    ${graft.ColFns.detMlnIntSql("rk")} x,
+        |    ${graft.ColFns.detMlnIntSql("c")} y FROM r),
         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
         |    CAST(SUM(x) AS HUGEINT) sx, CAST(SUM(y) AS HUGEINT) sy,
         |    CAST(SUM(x*y) AS HUGEINT) sxy, CAST(SUM(x*x) AS HUGEINT) sxx
@@ -1174,8 +1175,8 @@ object TextAnalysis {
       val r = f.withColumn("rk",
         row_number().over(Window.orderBy($"c".desc, $"tok")))
       val p = r.select(
-        floor(log($"rk".cast("double")) * 1000000d + 0.5d).cast("long").as("x"),
-        floor(log($"c".cast("double")) * 1000000d + 0.5d).cast("long").as("y"))
+        graft.ColFns.detMlnInt($"rk").as("x"),
+        graft.ColFns.detMlnInt($"c").as("y"))
       val D = "DECIMAL(38,0)"
       p.agg(
           count(lit(1)).cast(D).as("n"),
@@ -1257,7 +1258,7 @@ object TextAnalysis {
       // the checkpoint-sized table. Same numeric discipline as q264:
       // per-point micro-log BIGINTs, DECIMAL(38,0)/HUGEINT moment sums,
       // all-positive floor divisions (beta and ln K are positive here).
-      """WITH tk AS (SELECT doc_id // 50 AS ck,
+      s"""WITH tk AS (SELECT doc_id // 50 AS ck,
         |    unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |tc AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS toks FROM tk
@@ -1272,8 +1273,8 @@ object TextAnalysis {
         |      AS cum_vocab
         |  FROM tc LEFT JOIN nv ON nv.ck = tc.ck),
         |lp AS (SELECT
-        |    CAST(FLOOR(ln(cum_toks) * 1000000 + 0.5) AS BIGINT) AS x,
-        |    CAST(FLOOR(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT) AS y
+        |    ${graft.ColFns.detMlnIntSql("cum_toks")} AS x,
+        |    ${graft.ColFns.detMlnIntSql("cum_vocab")} AS y
         |  FROM pt),
         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
@@ -1302,10 +1303,8 @@ object TextAnalysis {
         .withColumn("cum_vocab",
           sum(coalesce($"new_toks", lit(0L))).over(wc))
       val lp = pt.select(
-        floor(log($"cum_toks".cast("double")) * 1000000d + 0.5d)
-          .cast("long").as("x"),
-        floor(log($"cum_vocab".cast("double")) * 1000000d + 0.5d)
-          .cast("long").as("y"))
+        graft.ColFns.detMlnInt($"cum_toks").as("x"),
+        graft.ColFns.detMlnInt($"cum_vocab").as("y"))
       lp.agg(count(lit(1)).cast(D).as("n"),
           sum($"x").cast(D).as("sx"), sum($"y").cast(D).as("sy"),
           sum(($"x" * $"y").cast(D)).as("sxy"),
