@@ -1,0 +1,475 @@
+package graft.operators
+
+import graft.ColFns.{detExpMicro, detExpMicroSql, detMln, detMlnInt, detMlnIntSql, detMlnSql}
+import graft.QueryDef.q
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-mix and data-selection operators — the decisions a pretraining /
+  * post-training data team makes AFTER curation: how much of each language
+  * to sample (alpha-temperature mixing, mT5/XLM-R style), which behavioral
+  * preferences the event stream implies (Bradley-Terry), what a source
+  * contributes to corpus diversity (leave-one-out ablation), which examples
+  * cover the embedding space (k-center coreset), how a span-corruption
+  * objective reshapes token budgets (T5 accounting), and where to set a
+  * quality gate with a finite-sample guarantee (split conformal). The
+  * reference delegates every such computation to consumer handlers
+  * (`/root/reference/lib/consumer.ex:283-299`); the engine owns them as
+  * first-class, oracle-checked operators.
+  *
+  * Numeric discipline: counts stay BIGINT; every ln/exp/pow runs through
+  * ColFns.detLn/detExpMicro (fixed IEEE programs — bit-identical across
+  * engines, no libm); every division is a floor DIV on non-negative
+  * operands so Spark's truncating `div` and DuckDB's flooring `//` agree.
+  */
+object Training {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q364_alpha_mixture",
+      // Alpha-temperature multinomial mixing weights (the mT5/XLM-R
+      // p_l ∝ n_l^0.7 rule): per-language token counts, the 0.7-power via
+      // the deterministic micro-log/exp pair (n^0.7 = exp(0.7·ln n) with
+      // the exponent floored in integer micro units), weights re-floored
+      // to micro, and the shares + a 10M-token budget allocation as floor
+      // divisions of exact integers. The only corpus-sized work is the
+      // per-language token count; everything after runs on |langs| rows.
+      // At 100 TB the weight*budget products widen through HUGEINT /
+      // DECIMAL(38,0) (q264's pattern) — at fixture scale they fit BIGINT
+      // with >400x headroom.
+      s"""WITH tk AS (SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents),
+         |n AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY lang),
+         |w0 AS (SELECT lang, n_tokens,
+         |    (7 * ${detMlnIntSql("n_tokens")}) // 10 AS sc FROM n),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(FLOOR(${detExpMicroSql("sc")}
+         |      * 1000000 + 0.5) AS BIGINT) AS weight_micro
+         |  FROM w0),
+         |t AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tot FROM w)
+         |SELECT lang, n_tokens, weight_micro,
+         |  (weight_micro * 1000000) // tot AS share_ppm,
+         |  (weight_micro * 10000000) // tot AS alloc_10m
+         |FROM w, t ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val n = T(s, dir, "documents")
+        .select($"lang", size(split($"text", " ")).cast("long").as("nt"))
+        .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
+      // (7·mln)/10 via double division then truncation — exact-equal to the
+      // oracle's integer // for non-negative operands (the 0.1 gap to the
+      // next integer dwarfs the 1e-16 division rounding)
+      val w = n.select($"lang", $"n_tokens",
+        floor(detExpMicro(((detMlnInt($"n_tokens") * 7) / 10).cast("long"))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("weight_micro"))
+        .transform(graft.CacheScope.cached) // totals + shares share the scan
+      val t = w.agg(sum($"weight_micro").as("tot"))
+      w.crossJoin(broadcast(t))
+        .select($"lang", $"n_tokens", $"weight_micro",
+          expr("(weight_micro * 1000000) div tot").as("share_ppm"),
+          expr("(weight_micro * 10000000) div tot").as("alloc_10m"))
+        .orderBy($"lang")
+    },
+
+    q("q365_bradley_terry", {
+      def iter(i: Int, p: String): String =
+        s"""t$i AS (SELECT p.i, (p.n_sm * 1000000000000) // (pa.pi + pb.pi) AS t
+           |  FROM pairs p JOIN $p pa ON pa.it = p.i JOIN $p pb ON pb.it = p.j),
+           |s$i AS (SELECT i, CAST(SUM(t) AS BIGINT) AS st FROM t$i GROUP BY i),
+           |u$i AS (SELECT w.i, (w.wsum * 1000000000000) // s.st AS pu
+           |  FROM tot w JOIN s$i s ON s.i = w.i),
+           |ns$i AS (SELECT CAST(SUM(pu) AS BIGINT) AS ns FROM u$i),
+           |p$i AS (SELECT u.i AS it, (u.pu * k.kk * 1000000) // n.ns AS pi
+           |  FROM u$i u, ns$i n, k)"""
+      // Bradley-Terry preference strengths over the event-type transition
+      // graph (Hunter 2004 MM, 3 unrolled iterations) — the
+      // pairwise-preference fit post-training teams run on comparison data;
+      // here each consecutive same-user transition A->B votes "B over A".
+      // Everything after the one user-keyed transition window runs on the
+      // |types|^2 pair table (bounded). The MM update is all-integer: pi
+      // lives in micro units, each term (n_ij·1e12)//(pi_i+pi_j) and each
+      // update/normalization is a floor DIV on non-negative operands, so
+      // three iterations stay bit-identical across engines (no float sums
+      // whose order could drift). Add-one virtual comparisons regularize
+      // zero-win types (the standard BT prior). At 100 TB the 1e12-scaled
+      // products widen through HUGEINT/DECIMAL(38,0).
+      s"""WITH tr AS (SELECT user_id,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    event_type AS nxt
+         |  FROM events),
+         |wm AS (SELECT nxt AS wi, prev AS lo, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM tr WHERE prev IS NOT NULL AND prev <> nxt GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT event_type AS it FROM events),
+         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM items),
+         |pairs AS (SELECT a.it AS i, b.it AS j,
+         |    COALESCE(w1.w, 0) + 1 AS win_sm,
+         |    COALESCE(w1.w, 0) + COALESCE(w2.w, 0) + 2 AS n_sm
+         |  FROM items a JOIN items b ON a.it <> b.it
+         |  LEFT JOIN wm w1 ON w1.wi = a.it AND w1.lo = b.it
+         |  LEFT JOIN wm w2 ON w2.wi = b.it AND w2.lo = a.it),
+         |tot AS (SELECT i, CAST(SUM(win_sm) AS BIGINT) AS wsum,
+         |    CAST(SUM(win_sm - 1) AS BIGINT) AS wins_raw,
+         |    CAST(SUM(n_sm - 2) AS BIGINT) AS comps_raw
+         |  FROM pairs GROUP BY i),
+         |p0 AS (SELECT it, CAST(1000000 AS BIGINT) AS pi FROM items),
+         |${iter(1, "p0").stripMargin},
+         |${iter(2, "p1").stripMargin},
+         |${iter(3, "p2").stripMargin}
+         |SELECT t.i AS event_type, t.wins_raw AS wins,
+         |  t.comps_raw AS comparisons, p.pi AS bt_micro,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY p.pi DESC, t.i) AS BIGINT)
+         |    AS rank
+         |FROM tot t JOIN p3 p ON p.it = t.i ORDER BY event_type"""
+    }) { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events")
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = ev.select($"user_id",
+        lag($"event_type", 1).over(byUser).as("prev"),
+        $"event_type".as("nxt"))
+      val wm = tr.filter($"prev".isNotNull && $"prev" =!= $"nxt")
+        .groupBy($"nxt".as("wi"), $"prev".as("lo"))
+        .agg(count(lit(1)).as("w"))
+      val items = ev.select($"event_type".as("it")).distinct()
+        .transform(graft.CacheScope.cached) // pair grid + init + k
+      val k = items.agg(count(lit(1)).as("kk"))
+      val pairs = items.as("a").join(items.as("b"), $"a.it" =!= $"b.it")
+        .select($"a.it".as("i"), $"b.it".as("j"))
+        .join(broadcast(wm.select($"wi".as("i"), $"lo".as("j"),
+          $"w".as("w1"))), Seq("i", "j"), "left")
+        .join(broadcast(wm.select($"lo".as("i"), $"wi".as("j"),
+          $"w".as("w2"))), Seq("i", "j"), "left")
+        .select($"i", $"j",
+          (coalesce($"w1", lit(0L)) + 1L).as("win_sm"),
+          (coalesce($"w1", lit(0L)) + coalesce($"w2", lit(0L)) + 2L)
+            .as("n_sm"))
+        .transform(graft.CacheScope.cached) // three MM iterations
+      val tot = pairs.groupBy($"i")
+        .agg(sum($"win_sm").as("wsum"), sum($"win_sm" - 1).as("wins_raw"),
+          sum($"n_sm" - 2).as("comps_raw"))
+        .transform(graft.CacheScope.cached)
+      def mmIter(p: DataFrame): DataFrame = {
+        val t = pairs
+          .join(broadcast(p.select($"it".as("i"), $"pi".as("pi_i"))), Seq("i"))
+          .join(broadcast(p.select($"it".as("j"), $"pi".as("pi_j"))), Seq("j"))
+          .select($"i", expr("(n_sm * 1000000000000) div (pi_i + pi_j)").as("t"))
+          .groupBy($"i").agg(sum($"t").as("st"))
+        val u = tot.join(t, "i")
+          .select($"i", expr("(wsum * 1000000000000) div st").as("pu"))
+        val ns = u.agg(sum($"pu").as("ns"))
+        u.crossJoin(broadcast(ns)).crossJoin(broadcast(k))
+          .select($"i".as("it"), expr("(pu * kk * 1000000) div ns").as("pi"))
+      }
+      val p0 = items.select($"it", lit(1000000L).as("pi"))
+      val p3 = mmIter(mmIter(mmIter(p0)))
+      tot.join(p3.select($"it".as("i"), $"pi"), "i")
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"pi".desc, $"i")).cast("long"))
+        .select($"i".as("event_type"), $"wins_raw".as("wins"),
+          $"comps_raw".as("comparisons"), $"pi".as("bt_micro"), $"rank")
+        .orderBy($"event_type")
+    },
+
+    q("q366_source_ablation", {
+      val xlx = (c: String) =>
+        s"(CASE WHEN $c = 0 THEN 0 ELSE $c * ${detMlnIntSql(c)} END)"
+      // Leave-one-source-out ablation of corpus language diversity — the
+      // data-valuation readout ("what does dropping this feed cost?") that
+      // would need |sources| corpus rescans done naively. Here ONE
+      // (source x lang) token aggregation feeds every ablation by group
+      // subtraction: remaining-language entropy for "corpus minus s" is
+      // recomputed from (T_l - T_sl) on the bounded grid, with
+      // H = ln T - sum(T_l·ln T_l)/T in exact micro integers
+      // (ColFns.detMln software ln; the closing division a floor DIV on
+      // non-negative operands). delta > 0 means removing the source
+      // INCREASES diversity (it was skewing the mix).
+      s"""WITH sl AS (SELECT source, lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+         |  FROM documents GROUP BY source, lang),
+         |lt AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS tl FROM sl
+         |  GROUP BY lang),
+         |tt AS (SELECT CAST(SUM(t) AS BIGINT) AS tall FROM sl),
+         |h0 AS (SELECT ${detMlnIntSql("tall")}
+         |    - (SELECT CAST(SUM(${xlx("tl")}) AS BIGINT) FROM lt) // tall
+         |    AS h_micro FROM tt),
+         |st AS (SELECT source, CAST(SUM(t) AS BIGINT) AS ts FROM sl
+         |  GROUP BY source),
+         |sd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs FROM documents
+         |  GROUP BY source),
+         |rem AS (SELECT s.source, l.lang, l.tl - COALESCE(x.t, 0) AS tr
+         |  FROM (SELECT DISTINCT source FROM sl) s
+         |  CROSS JOIN lt l
+         |  LEFT JOIN sl x ON x.source = s.source AND x.lang = l.lang),
+         |hs AS (SELECT r.source,
+         |    CAST(SUM(${xlx("r.tr")}) AS BIGINT) AS sxlx,
+         |    CAST(SUM(r.tr) AS BIGINT) AS trem
+         |  FROM rem r GROUP BY r.source),
+         |hs2 AS (SELECT source, sxlx, trem,
+         |    ${detMlnIntSql("trem")} - sxlx // trem AS h_rem FROM hs)
+         |SELECT h.source, d.docs AS docs_removed, s.ts AS tokens_removed,
+         |  h.trem AS tokens_remaining,
+         |  h.h_rem AS entropy_remaining_micro,
+         |  h.h_rem - h0.h_micro AS entropy_delta_micro
+         |FROM hs2 h JOIN st s ON s.source = h.source
+         |JOIN sd d ON d.source = h.source, h0
+         |ORDER BY h.source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      def xlxC(c: org.apache.spark.sql.Column) =
+        when(c === 0L, 0L).otherwise(c * detMlnInt(c))
+      val sl = T(s, dir, "documents")
+        .groupBy($"source", $"lang")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("t"))
+        .transform(graft.CacheScope.cached) // totals + grid + ablations
+      val lt = sl.groupBy($"lang").agg(sum($"t").as("tl"))
+        .transform(graft.CacheScope.cached)
+      val h0 = sl.agg(sum($"t").as("tall"))
+        .crossJoin(broadcast(lt.agg(sum(xlxC($"tl")).as("sx"))))
+        .select((detMlnInt($"tall") - expr("sx div tall")).as("h_micro"))
+      val st = sl.groupBy($"source").agg(sum($"t").as("ts"))
+      val sd = T(s, dir, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("docs"))
+      val hs = sl.select($"source").distinct()
+        .crossJoin(broadcast(lt))
+        .join(sl.select($"source", $"lang", $"t"), Seq("source", "lang"), "left")
+        .select($"source", ($"tl" - coalesce($"t", lit(0L))).as("tr"))
+        .groupBy($"source")
+        .agg(sum(xlxC($"tr")).as("sxlx"), sum($"tr").as("trem"))
+      hs.join(st, "source").join(sd, "source")
+        .crossJoin(broadcast(h0))
+        .select($"source", $"docs".as("docs_removed"),
+          $"ts".as("tokens_removed"), $"trem".as("tokens_remaining"),
+          (detMlnInt($"trem") - expr("sxlx div trem"))
+            .as("entropy_remaining_micro"),
+          (detMlnInt($"trem") - expr("sxlx div trem") - $"h_micro")
+            .as("entropy_delta_micro"))
+        .orderBy($"source")
+    },
+
+    q("q367_kcenter_coreset", {
+      val sq = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(list_zip($a, $b), " +
+          s"z -> (z[1] - z[2]) * (z[1] - z[2]))), (acc, x) -> acc + x)"
+      // Greedy k-center coreset selection (Gonzalez 1985) over the
+      // int8-quantized embeddings — the diversity-first data-selection
+      // pass (pick examples that COVER the space, the complement of
+      // similarity dedup): seed with vec_id 0, then 3 unrolled farthest-
+      // point picks; each pick is one broadcast of the chosen centers, a
+      // map-side integer min-distance (q142's shifted-int8 scheme makes
+      // every distance exact BIGINT), and one TakeOrderedAndProject argmax
+      // — never a pairwise join. The final row reports the 4-center
+      // coverage radius (the k-center objective, and the 2-approximation
+      // certificate). Scale: k broadcasts of <=k vectors + k linear scans.
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+         |        AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |c0 AS (SELECT qv AS cv FROM qz WHERE vec_id = 0),
+         |d1 AS (SELECT v.vec_id, ${sq("v.qv", "c0.cv")} AS d
+         |  FROM qz v, c0),
+         |p1 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+         |c1 AS (SELECT qv AS cv FROM qz WHERE vec_id = (SELECT vec_id FROM p1)),
+         |d2 AS (SELECT d1.vec_id, least(d1.d, ${sq("v.qv", "c1.cv")}) AS d
+         |  FROM d1 JOIN qz v ON v.vec_id = d1.vec_id, c1),
+         |p2 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+         |c2 AS (SELECT qv AS cv FROM qz WHERE vec_id = (SELECT vec_id FROM p2)),
+         |d3 AS (SELECT d2.vec_id, least(d2.d, ${sq("v.qv", "c2.cv")}) AS d
+         |  FROM d2 JOIN qz v ON v.vec_id = d2.vec_id, c2),
+         |p3 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+         |c3 AS (SELECT qv AS cv FROM qz WHERE vec_id = (SELECT vec_id FROM p3)),
+         |d4 AS (SELECT d3.vec_id, least(d3.d, ${sq("v.qv", "c3.cv")}) AS d
+         |  FROM d3 JOIN qz v ON v.vec_id = d3.vec_id, c3),
+         |cov AS (SELECT MAX(d) AS r FROM d4)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS pick_no, CAST(0 AS BIGINT) AS vec_id,
+         |    CAST(0 AS BIGINT) AS dist
+         |  UNION ALL SELECT 1, vec_id, d FROM p1
+         |  UNION ALL SELECT 2, vec_id, d FROM p2
+         |  UNION ALL SELECT 3, vec_id, d FROM p3
+         |  UNION ALL SELECT 4, -1, r FROM cov)
+         |ORDER BY pick_no"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)")
+          .as("qv"))
+        .transform(graft.CacheScope.cached) // 4 passes share the quantization
+      val c0 = qz.filter($"vec_id" === 0).select($"qv".as("cv"))
+      val d1 = qz.crossJoin(broadcast(c0))
+        .select($"vec_id", $"qv", expr("graft_sqdisti(qv, cv)").as("d"))
+        .transform(graft.CacheScope.cached)
+      def pick(d: DataFrame): DataFrame =
+        d.orderBy($"d".desc, $"vec_id".asc).limit(1).select($"vec_id", $"d")
+      def refine(d: DataFrame, p: DataFrame): DataFrame =
+        d.crossJoin(broadcast(
+            qz.join(p.select($"vec_id"), "vec_id").select($"qv".as("cv"))))
+          .select($"vec_id", $"qv",
+            least($"d", expr("graft_sqdisti(qv, cv)")).as("d"))
+          .transform(graft.CacheScope.cached)
+      val p1 = pick(d1)
+      val d2 = refine(d1, p1)
+      val p2 = pick(d2)
+      val d3 = refine(d2, p2)
+      val p3 = pick(d3)
+      val d4 = refine(d3, p3)
+      val cov = d4.agg(max($"d").as("r"))
+      Seq((0L, 0L, 0L)).toDF("pick_no", "vec_id", "dist")
+        .unionAll(p1.select(lit(1L), $"vec_id", $"d"))
+        .unionAll(p2.select(lit(2L), $"vec_id", $"d"))
+        .unionAll(p3.select(lit(3L), $"vec_id", $"d"))
+        .unionAll(cov.select(lit(4L), lit(-1L), $"r"))
+        .orderBy($"pick_no")
+    },
+
+    q("q368_span_corruption", {
+      val keyDuck = graft.functions.TextHash.duckPolyHash(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)")
+      // T5-style span-corruption accounting: fixed 5-token blocks are
+      // masked when a deterministic hash of (doc_id, block) clears a 15%
+      // rate, and the query reports exactly how the objective reshapes
+      // token budgets per doc — masked tokens, span count, encoder input
+      // length (unmasked + one sentinel per span) and decoder target
+      // length (masked + sentinels + EOS). The hash-block rule is the
+      // distributed version of the sequential span sampler: no RNG state,
+      // no order dependence, identical masks on any partitioning or
+      // engine, and re-runs are reproducible (the property a data loader
+      // actually needs). Entirely map-side: one split + one bounded
+      // explode per doc, no shuffle except the final ORDER BY.
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (SELECT doc_id, n, CAST(unnest(range((n + 4) // 5)) AS BIGINT)
+         |    AS blk FROM d),
+         |mk AS (SELECT doc_id, n, blk,
+         |    CASE WHEN ($keyDuck) % 1000 < 150
+         |      THEN least(5, n - blk * 5) ELSE 0 END AS masked
+         |  FROM b),
+         |agg AS (SELECT doc_id, MAX(n) AS n_tokens,
+         |    CAST(SUM(CASE WHEN masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_spans,
+         |    CAST(SUM(masked) AS BIGINT) AS n_masked
+         |  FROM mk GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_spans, n_masked,
+         |  n_tokens - n_masked + n_spans AS input_len,
+         |  n_masked + n_spans + 1 AS target_len,
+         |  (n_masked * 1000000) // n_tokens AS mask_ratio_ppm
+         |FROM agg ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val d = T(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      val mk = d
+        .select($"doc_id", $"n",
+          explode(expr("sequence(0, (n + 4) div 5 - 1)")).as("blk"))
+        .select($"doc_id", $"n", $"blk",
+          when(expr("graft_polyhash(CAST(doc_id AS STRING) || ':' || " +
+            "CAST(blk AS STRING)) % 1000") < 150,
+            least(lit(5L), $"n" - $"blk" * 5)).otherwise(0L).as("masked"))
+      mk.groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"),
+          sum(when($"masked" > 0, 1L).otherwise(0L)).as("n_spans"),
+          sum($"masked").as("n_masked"))
+        .select($"doc_id", $"n_tokens", $"n_spans", $"n_masked",
+          ($"n_tokens" - $"n_masked" + $"n_spans").as("input_len"),
+          ($"n_masked" + $"n_spans" + 1).as("target_len"),
+          expr("(n_masked * 1000000) div n_tokens").as("mask_ratio_ppm"))
+        .orderBy($"doc_id")
+    },
+
+    q("q369_conformal_threshold",
+      // Split-conformal quality gate with a finite-sample guarantee
+      // (Vovk et al.): a 20% md5-keyed calibration split per language
+      // yields the ceil(0.9·(n+1))-th smallest mean-chars-per-token score
+      // as the 90% threshold; the evaluation split then reports realized
+      // keep-rates. Scores are exact integer micro units, the order
+      // statistic comes from the COMPACTED per-(lang, score) domain via a
+      // cumulative-count window (bounded, never corpus-sized — the q211
+      // rank discipline), and the split is engine-agnostic md5 hex
+      // (q123's trick). A calibration split smaller than the rank (tiny
+      // languages at tiny SF) yields a NULL threshold = keep-everything,
+      // stated rather than silently clamped.
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    (n_chars * 1000000) // CAST(len(string_split(text, ' '))
+         |      AS BIGINT) AS s,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+         |      THEN 1 ELSE 0 END AS is_cal
+         |  FROM documents),
+         |cal AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc
+         |  WHERE is_cal = 1 GROUP BY lang, s),
+         |nc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_cal FROM cal
+         |  GROUP BY lang),
+         |rk AS (SELECT lang, s, SUM(cnt) OVER (PARTITION BY lang
+         |    ORDER BY s) AS cum FROM cal),
+         |kq AS (SELECT lang, n_cal,
+         |    (9 * (n_cal + 1) + 9) // 10 AS k_rank FROM nc),
+         |th AS (SELECT k.lang, k.n_cal, k.k_rank,
+         |    MIN(CASE WHEN r.cum >= k.k_rank THEN r.s END) AS threshold_micro
+         |  FROM kq k LEFT JOIN rk r ON r.lang = k.lang
+         |  GROUP BY k.lang, k.n_cal, k.k_rank),
+         |langs AS (SELECT DISTINCT lang FROM sc),
+         |thf AS (SELECT l.lang, COALESCE(t.n_cal, 0) AS n_cal,
+         |    COALESCE(t.k_rank, 1) AS k_rank, t.threshold_micro
+         |  FROM langs l LEFT JOIN th t ON t.lang = l.lang),
+         |ev AS (SELECT t.lang, t.n_cal, t.k_rank, t.threshold_micro,
+         |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |    CAST(SUM(CASE WHEN t.threshold_micro IS NULL
+         |      OR e.s <= t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept
+         |  FROM thf t JOIN sc e ON e.lang = t.lang AND e.is_cal = 0
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT lang, n_cal AS n_calib, k_rank, threshold_micro, n_eval,
+         |  n_kept, (n_kept * 1000000) // n_eval AS kept_ppm
+         |FROM ev ORDER BY lang""") { (s, dir) =>
+      import s.implicits._
+      val sc = T(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("(n_chars * 1000000) div CAST(size(split(text, ' ')) AS BIGINT)")
+            .as("s"),
+          when(expr(
+            "substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2)")
+            < "33", 1L).otherwise(0L).as("is_cal"))
+        .transform(graft.CacheScope.cached) // calibration + evaluation sides
+      val cal = sc.filter($"is_cal" === 1)
+        .groupBy($"lang", $"s").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached)
+      val nc = cal.groupBy($"lang").agg(sum($"cnt").as("n_cal"))
+      val rk = cal.withColumn("cum",
+        sum($"cnt").over(Window.partitionBy($"lang").orderBy($"s")))
+      val kq = nc.select($"lang", $"n_cal",
+        expr("(9 * (n_cal + 1) + 9) div 10").as("k_rank"))
+      val th = kq.join(rk, Seq("lang"), "left")
+        .groupBy($"lang", $"n_cal", $"k_rank")
+        .agg(min(when($"cum" >= $"k_rank", $"s")).as("threshold_micro"))
+      val thf = sc.select($"lang").distinct()
+        .join(broadcast(th), Seq("lang"), "left")
+        .select($"lang", coalesce($"n_cal", lit(0L)).as("n_cal"),
+          coalesce($"k_rank", lit(1L)).as("k_rank"), $"threshold_micro")
+      sc.filter($"is_cal" === 0)
+        .join(broadcast(thf), "lang")
+        .groupBy($"lang", $"n_cal", $"k_rank", $"threshold_micro")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when($"threshold_micro".isNull
+            || $"s" <= $"threshold_micro", 1L).otherwise(0L)).as("n_kept"))
+        .select($"lang", $"n_cal".as("n_calib"), $"k_rank",
+          $"threshold_micro", $"n_eval", $"n_kept",
+          expr("(n_kept * 1000000) div n_eval").as("kept_ppm"))
+        .orderBy($"lang")
+    }
+  )
+}

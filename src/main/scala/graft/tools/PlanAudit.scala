@@ -733,6 +733,29 @@ object PlanAudit {
       "margins broadcast into every IPF round" -> "BroadcastHashJoin",
       "IPF rounds are windows on the bounded cell grid" -> "Window",
       "only mktsegment and nationkey read" -> "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>"),
+    "q364_alpha_mixture" -> Seq(
+      "token counts partial-aggregate map-side" -> "HashAggregate",
+      "weight total broadcast over the lang rows" -> "BroadcastNestedLoopJoin",
+      "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"),
+    "q365_bradley_terry" -> Seq(
+      "one user-keyed transition window" -> "Window",
+      "pair-table MM updates join broadcast" -> "BroadcastHashJoin",
+      "no cartesian beyond the bounded item grid" -> "!CartesianProduct"),
+    "q366_source_ablation" -> Seq(
+      "one (source,lang) aggregation feeds every ablation" -> "HashAggregate",
+      "lang totals broadcast into the subtraction grid" -> "BroadcastNestedLoopJoin",
+      "no shuffle-side join of corpus-sized tables" -> "!SortMergeJoin"),
+    "q367_kcenter_coreset" -> Seq(
+      "chosen centers broadcast each round" -> "BroadcastNestedLoopJoin",
+      "farthest-point argmax without a global sort" -> "TakeOrderedAndProject",
+      "only vec_id and embedding read" -> "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+    "q368_span_corruption" -> Seq(
+      "mask accounting partial-aggregates map-side" -> "HashAggregate",
+      "no join anywhere (pure map + one doc aggregation)" -> "!Join"),
+    "q369_conformal_threshold" -> Seq(
+      "per-lang thresholds broadcast over the evaluation split" -> "BroadcastHashJoin",
+      "order statistic on the compacted (lang,score) domain" -> "Window",
+      "no cartesian product" -> "!CartesianProduct"),
     "q334_rollup_revenue" -> Seq(
       "all rollup levels expand before one shuffle (Expand operator)" -> "Expand",
       "dimension tables broadcast into the fact join" -> "BroadcastHashJoin",

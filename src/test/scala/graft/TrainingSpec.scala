@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the training-mix / data-selection family (q364-q369) that the
+  * row-level oracle can't see: the alpha-mixture flattens shares toward
+  * uniform (the whole point of temperature sampling), Bradley-Terry ranks
+  * are a permutation and strengths stay normalized, greedy k-center
+  * coverage radii are non-increasing in pick order, and the conformal
+  * gate's realized keep-rate sits at-or-above its nominal level on the
+  * language with a large calibration split.
+  */
+class TrainingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("q364: alpha-mixture shares flatten toward uniform and sum to ~1e6") {
+    val rows = run("q364_alpha_mixture")
+    val n = rows.map(_.getAs[Long]("n_tokens"))
+    val share = rows.map(_.getAs[Long]("share_ppm"))
+    val tokTotal = n.sum.toDouble
+    // each language's sampled share must sit between its raw share and
+    // uniform (alpha in (0,1) contracts toward 1/K)
+    rows.indices.foreach { i =>
+      val raw = n(i) / tokTotal * 1e6
+      val uni = 1e6 / rows.length
+      val lo = math.min(raw, uni) - 1
+      val hi = math.max(raw, uni) + 1
+      assert(share(i) >= lo && share(i) <= hi,
+        s"share ${share(i)} outside [$lo, $hi]")
+    }
+    assert(math.abs(share.sum - 1000000L) <= rows.length) // floor-div slack
+  }
+
+  test("q365: BT ranks are a permutation and strengths stay normalized") {
+    val rows = run("q365_bradley_terry")
+    val ranks = rows.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.toSeq == (1L to rows.length).toSeq)
+    val pis = rows.map(_.getAs[Long]("bt_micro"))
+    // normalization keeps sum at K*1e6 (floor-div slack per item)
+    assert(math.abs(pis.sum - rows.length * 1000000L) <= rows.length)
+    assert(pis.forall(_ > 0))
+  }
+
+  test("q367: k-center pick distances are non-increasing; coverage bounds them") {
+    val rows = run("q367_kcenter_coreset").sortBy(_.getAs[Long]("pick_no"))
+    val d = rows.map(_.getAs[Long]("dist"))
+    // picks 1..3: farthest-point distances shrink (or tie) as centers accrue
+    assert(d(1) >= d(2) && d(2) >= d(3), s"picks not monotone: ${d.toSeq}")
+    // final coverage radius can't exceed the last pick's distance
+    assert(d(4) <= d(3), s"coverage ${d(4)} > last pick ${d(3)}")
+  }
+
+  test("q369: realized keep-rate >= nominal 90% minus finite-sample slack") {
+    val rows = run("q369_conformal_threshold")
+    val en = rows.filter(_.getAs[String]("lang") == "en").head
+    val nCal = en.getAs[Long]("n_calib")
+    assert(nCal >= 20, s"fixture drift: en calibration split only $nCal")
+    // split-conformal guarantee: P(keep) >= ceil(0.9(n+1))/(n+1) - slack;
+    // allow generous sampling slack on the evaluation split
+    val keptPpm = en.getAs[Long]("kept_ppm")
+    assert(keptPpm >= 800000L, s"en kept_ppm $keptPpm way below nominal 90%")
+  }
+}
