@@ -858,5 +858,78 @@ object Dedup {
             1L).otherwise(0L)).as("n_neighbor"))
         .orderBy($"mod_class")
     },
+
+    q("q372_dedup_roi_curve",
+      // Dedup ROI curve — the evidence behind choosing a near-dup
+      // similarity threshold: for every observed signature-agreement level
+      // m (of 16 minhash sigs, est. Jaccard m/16), how many documents and
+      // how many bytes become removable if the threshold is set there.
+      // Candidates come from q42's banded LSH (never all-pairs); each
+      // removable doc (the LARGER id of a pair — q40's keep-first policy)
+      // counts ONCE at the HIGHEST agreement level any pair gives it, so
+      // the descending-cumulative columns are an honest dedup yield curve,
+      // not a pair count that double-books cluster members. Everything
+      // after the candidate join runs on the <=17-level rollup.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words
+         |  WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id),
+         |est AS (SELECT da, db, CAST(len(list_filter(range($MinhashSigs),
+         |      i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)]))
+         |      AS BIGINT) AS m
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.da
+         |            JOIN sig sb ON sb.doc_id = cand.db),
+         |rm AS (SELECT db AS doc_id, CAST(MAX(m) AS BIGINT) AS m FROM est
+         |  GROUP BY db),
+         |lvl AS (SELECT r.m, CAST(COUNT(*) AS BIGINT) AS docs_new,
+         |    CAST(SUM(d.n_chars) AS BIGINT) AS bytes_new
+         |  FROM rm r JOIN documents d ON d.doc_id = r.doc_id GROUP BY r.m)
+         |SELECT m AS match_sigs, (m * 1000000) // $MinhashSigs AS est_ppm,
+         |  docs_new, bytes_new,
+         |  CAST(SUM(docs_new) OVER (ORDER BY m DESC) AS BIGINT) AS docs_cum,
+         |  CAST(SUM(bytes_new) OVER (ORDER BY m DESC) AS BIGINT) AS bytes_cum
+         |FROM lvl ORDER BY match_sigs DESC""") { (s, dir) =>
+      import s.implicits._
+      val sig = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"doc_id", $"mh")
+        .transform(graft.CacheScope.cached) // bands + both signature probes
+      val bands = sig
+        .select($"doc_id", explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"), $"mh")
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      val rm = cand
+        .join(sig.as("sa"), $"da" === $"sa.doc_id")
+        .join(sig.as("sb"), $"db" === $"sb.doc_id")
+        .withColumn("m", expr(
+          "CAST(size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), b -> b)) AS BIGINT)"))
+        .groupBy($"db".as("doc_id")).agg(max($"m").as("m"))
+      rm.join(T(s, dir, "documents").select($"doc_id", $"n_chars"), "doc_id")
+        .groupBy($"m")
+        .agg(count(lit(1)).as("docs_new"), sum($"n_chars").as("bytes_new"))
+        .select($"m".as("match_sigs"),
+          expr(s"(m * 1000000) div $MinhashSigs").as("est_ppm"),
+          $"docs_new", $"bytes_new",
+          sum($"docs_new").over(Window.orderBy($"m".desc)).cast("long")
+            .as("docs_cum"),
+          sum($"bytes_new").over(Window.orderBy($"m".desc)).cast("long")
+            .as("bytes_cum"))
+        .orderBy($"match_sigs".desc)
+    },
   )
 }

@@ -2034,5 +2034,43 @@ object Evaluation {
           $"n".as("n_sample"), $"w".as("weight_ppm"), $"seg_gap", $"reg_gap")
         .orderBy($"segment", $"region")
     },
+
+    q("q370_monotone_calibration",
+      // Monotone score calibration — the "does a higher quality score
+      // actually mean a higher conversion/keep rate, and what calibrated
+      // probability should downstream thresholds use" readout: the value
+      // score is binned into 10 equal-width bins (q327's integer binning),
+      // per-bin positive rates land as exact integer ppm, and the
+      // calibrated curve is the running-max monotone envelope over bins —
+      // the cheap monotonization a dashboard applies (full PAV pooling is
+      // sequential; the envelope is its upper bound and is one bounded
+      // window). Everything after the one groupBy runs on <= 10 rows.
+      """WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT MIN(vc) AS lo, MAX(vc) - MIN(vc) + 1 AS w FROM e),
+        |h AS (SELECT ((vc - lo) * 10) // w AS bin, pos FROM e, b),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS np FROM h GROUP BY bin),
+        |r AS (SELECT bin, n, np, (np * 1000000) // n AS raw_ppm FROM g)
+        |SELECT bin, n, np AS n_pos, raw_ppm,
+        |  CAST(MAX(raw_ppm) OVER (ORDER BY bin) AS BIGINT) AS iso_ppm
+        |FROM r ORDER BY bin""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select(floor($"value" * 100 + 0.5).cast("long").as("vc"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+      val b = e.agg(min($"vc").as("lo"),
+        (max($"vc") - min($"vc") + 1).as("w"))
+      e.crossJoin(broadcast(b))
+        .select(expr("((vc - lo) * 10) div w").as("bin"), $"pos")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("np"))
+        .withColumn("raw_ppm", expr("(np * 1000000) div n"))
+        .withColumn("iso_ppm",
+          max($"raw_ppm").over(Window.orderBy($"bin")).cast("long"))
+        .select($"bin", $"n", $"np".as("n_pos"), $"raw_ppm", $"iso_ppm")
+        .orderBy($"bin")
+    },
   )
 }

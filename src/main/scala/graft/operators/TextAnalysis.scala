@@ -1316,6 +1316,191 @@ object TextAnalysis {
             "div (n*sxx - sx*sx)) * sx) div (1000000 * n) AS BIGINT)")
             .as("ln_k_micro"))
     },
+
+    q("q371_kneser_ney",
+      // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the Chen &
+      // Goodman 1999 benchmark smoother, a strict upgrade over q153's
+      // Stupid Backoff): absolute discount D = 3/4 folds into EXACT
+      // integer-ppm probabilities — max(4c2-3,0)/(4c1) for the discounted
+      // bigram term, lambda = 3·N1+(w1·)/(4c1) for the backoff mass, and
+      // the CONTINUATION unigram N1+(·w2)/N1+(··) (how many contexts a
+      // word completes — KN's defining idea) — so every probability is a
+      // floor DIV of exact counts and both engines agree bit-for-bit; the
+      // only transcendentals are detMln/detExpMicro on the final ppm.
+      // Train on even docs, score odd docs (the backoff path fires on
+      // held-out data), roll up NLL and perplexity per source. Count
+      // tables are vocab-sized and join KEYED on tokens (q136's rationale:
+      // they grow with the corpus); the type-count table N1+(··) is 1 row.
+      s"""WITH tk AS (SELECT doc_id, source,
+        |    CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(w) AS tok
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS w
+        |        FROM documents)),
+        |big AS (SELECT doc_id, source,
+        |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    tok AS w2 FROM tk),
+        |trb AS (SELECT w1, w2 FROM big
+        |  WHERE doc_id % 2 = 0 AND w1 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM trb
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY w1),
+        |cfw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n FROM c2
+        |  GROUP BY w1),
+        |ctw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n FROM c2
+        |  GROUP BY w2),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c2),
+        |te AS (SELECT doc_id, source, w1, w2 FROM big
+        |  WHERE doc_id % 2 = 1 AND w1 IS NOT NULL),
+        |p AS (SELECT te.source,
+        |    CASE WHEN COALESCE(u.c, 0) > 0 THEN GREATEST(
+        |        (GREATEST(4 * COALESCE(b.c, 0) - 3, 0) * 1000000)
+        |          // (4 * u.c)
+        |        + (3 * COALESCE(f.n, 0)
+        |            * ((COALESCE(t.n, 0) * 1000000) // nb.n))
+        |          // (4 * u.c), 1)
+        |      ELSE GREATEST((COALESCE(t.n, 0) * 1000000) // nb.n, 1)
+        |      END AS p_ppm
+        |  FROM te
+        |  LEFT JOIN c2 b ON b.w1 = te.w1 AND b.w2 = te.w2
+        |  LEFT JOIN c1 u ON u.w1 = te.w1
+        |  LEFT JOIN cfw f ON f.w1 = te.w1
+        |  LEFT JOIN ctw t ON t.w2 = te.w2
+        |  CROSS JOIN nb),
+        |pm AS (SELECT source, ${graft.ColFns.detMlnSql("p_ppm", "1000000")}
+        |    AS mln FROM p)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(mln) AS BIGINT) AS nll_micro_total,
+        |  ${graft.ColFns.r4Sql(graft.ColFns.detExpMicroSql(
+             "-FLOOR(CAST(SUM(mln) AS DOUBLE) / COUNT(*) + 0.5)"))}
+        |    AS perplexity_r4
+        |FROM pm GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+      val big = T(s, dir, "documents")
+        .select($"doc_id", $"source", posexplode(split($"text", " ")))
+        .select($"doc_id", $"source", $"pos", $"col".as("tok"))
+        .withColumn("w1", lag($"tok", 1).over(byPos))
+        .transform(graft.CacheScope.cached) // train counts + test side
+      val trb = big.filter($"doc_id" % 2 === 0 && $"w1".isNotNull)
+        .select($"w1", $"tok".as("w2"))
+      val c2 = trb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // feeds c1/cfw/ctw/nb + probe
+      val c1 = c2.groupBy($"w1").agg(sum($"c").as("cu"))
+      val cfw = c2.groupBy($"w1").agg(count(lit(1)).as("nf"))
+      val ctw = c2.groupBy($"w2").agg(count(lit(1)).as("nt"))
+      val nb = c2.agg(count(lit(1)).as("nall"))
+      val p = big.filter($"doc_id" % 2 === 1 && $"w1".isNotNull)
+        .select($"doc_id", $"source", $"w1", $"tok".as("w2"))
+        .join(c2.select($"w1", $"w2", $"c".as("cb")), Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(cfw, Seq("w1"), "left")
+        .join(ctw, Seq("w2"), "left")
+        .crossJoin(broadcast(nb))
+        .select($"source",
+          when(coalesce($"cu", lit(0L)) > 0, greatest(
+            expr("(GREATEST(4 * COALESCE(cb, 0) - 3, 0) * 1000000) " +
+              "div (4 * cu)")
+              + expr("(3 * COALESCE(nf, 0) * " +
+                "((COALESCE(nt, 0) * 1000000) div nall)) div (4 * cu)"),
+            lit(1L)))
+            .otherwise(greatest(
+              expr("(COALESCE(nt, 0) * 1000000) div nall"), lit(1L)))
+            .as("p_ppm"))
+      p.select($"source", graft.ColFns.detMln($"p_ppm", lit(1000000L))
+          .as("mln"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"mln").as("nll_micro_total"))
+        .select($"source", $"n_bigrams", $"nll_micro_total",
+          graft.ColFns.r4(graft.ColFns.detExpMicro(
+            -floor($"nll_micro_total".cast("double") / $"n_bigrams" + 0.5d)))
+            .as("perplexity_r4"))
+        .orderBy($"source")
+    },
+
+    q("q373_uncertainty_sampling",
+      // Margin-based uncertainty sampling — the active-learning labeling
+      // queue (Lewis & Gale 1994): q238's trained Naive Bayes scores the
+      // held-out docs and the 20 docs where the top two classes are
+      // CLOSEST (smallest exact integer micro-log margin) go to human
+      // annotators first. q360 uses the same scores to flag docs whose
+      // GIVEN label loses by a wide margin (label noise); this query ranks
+      // by ambiguity regardless of label — the two queues a labeling
+      // operation actually runs. Margins are exact integer differences,
+      // the per-doc argmax/argmax2 is one bounded window over |classes|
+      // rows per doc, and the queue cut is TakeOrderedAndProject.
+      s"""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_tok FROM tr
+        |  GROUP BY lang),
+        |docs AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs
+        |  FROM tr GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) v FROM tr),
+        |ct AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) c FROM tr
+        |  GROUP BY 1, 2),
+        |te AS (SELECT doc_id, lang AS lang_true, tok FROM tk
+        |  WHERE doc_id % 2 = 1),
+        |sc AS (SELECT te.doc_id, te.lang_true, cls.lang AS cand,
+        |    ${graft.ColFns.detMlnSql("COALESCE(ct.c, 0) + 1",
+               "cls.n_tok + tot.v")} mlp
+        |  FROM te CROSS JOIN cls CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = te.tok),
+        |ds AS (SELECT doc_id, lang_true, cand, CAST(SUM(mlp) AS BIGINT) s
+        |  FROM sc GROUP BY 1, 2, 3),
+        |dsp AS (SELECT ds.doc_id, ds.lang_true, ds.cand,
+        |    ds.s + ${graft.ColFns.detMlnSql("docs.n_docs", "tot.nd")} score
+        |  FROM ds JOIN docs ON ds.cand = docs.lang CROSS JOIN tot),
+        |rk AS (SELECT doc_id, lang_true, cand, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) rn FROM dsp),
+        |t1 AS (SELECT doc_id, lang_true, cand AS top_lang, score AS s1
+        |  FROM rk WHERE rn = 1),
+        |t2 AS (SELECT doc_id, cand AS second_lang, score AS s2
+        |  FROM rk WHERE rn = 2)
+        |SELECT t1.doc_id, t1.lang_true, t1.top_lang, t2.second_lang,
+        |  t1.s1 - t2.s2 AS margin_micro
+        |FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+        |ORDER BY margin_micro, t1.doc_id LIMIT 20""") { (s, dir) =>
+      import s.implicits._
+      val tk = T(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // train stats + held side
+      val tr = tk.filter($"doc_id" % 2 === 0)
+      val cls = tr.groupBy($"lang").agg(count(lit(1)).as("n_tok"))
+      val docs = tr.groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      val tot = tr.agg(countDistinct($"doc_id").as("nd"),
+        countDistinct($"tok").as("v"))
+      val ct = tr.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      val dsp = tk.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang".as("lang_true"), $"tok")
+        .crossJoin(broadcast(cls.select($"lang".as("cand"), $"n_tok")))
+        .crossJoin(broadcast(tot))
+        .join(ct.select($"lang".as("cand"), $"tok", $"c"),
+          Seq("cand", "tok"), "left")
+        .select($"doc_id", $"lang_true", $"cand",
+          graft.ColFns.detMln(coalesce($"c", lit(0L)) + 1,
+            $"n_tok" + $"v").as("mlp"))
+        .groupBy($"doc_id", $"lang_true", $"cand").agg(sum($"mlp").as("s"))
+        .join(broadcast(docs.select($"lang".as("cand"), $"n_docs")),
+          Seq("cand"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"lang_true", $"cand",
+          ($"s" + graft.ColFns.detMln($"n_docs", $"nd")).as("score"))
+        .transform(graft.CacheScope.cached) // rn=1 and rn=2 sides
+      val rk = dsp.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
+      val t1 = rk.filter($"rn" === 1)
+        .select($"doc_id", $"lang_true", $"cand".as("top_lang"),
+          $"score".as("s1"))
+      val t2 = rk.filter($"rn" === 2)
+        .select($"doc_id", $"cand".as("second_lang"), $"score".as("s2"))
+      t1.join(t2, "doc_id")
+        .select($"doc_id", $"lang_true", $"top_lang", $"second_lang",
+          ($"s1" - $"s2").as("margin_micro"))
+        .orderBy($"margin_micro", $"doc_id").limit(20)
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

@@ -64,9 +64,17 @@ object Training {
         .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
       // (7·mln)/10 via double division then truncation — exact-equal to the
       // oracle's integer // for non-negative operands (the 0.1 gap to the
-      // next integer dwarfs the 1e-16 division rounding)
-      val w = n.select($"lang", $"n_tokens",
-        floor(detExpMicro(((detMlnInt($"n_tokens") * 7) / 10).cast("long"))
+      // next integer dwarfs the 1e-16 division rounding). The micro-log is
+      // STAGED as its own cached projection before feeding the software
+      // exp: detExpMicro references its argument ~20 times, and inlining
+      // the (large) detMln tree at every occurrence multiplies the plan to
+      // megabytes of codegen (the round-9 q364 8s lesson — tree size, not
+      // row count, was the cost on a 5-row table).
+      val w0 = n.select($"lang", $"n_tokens",
+          ((detMlnInt($"n_tokens") * 7) / 10).cast("long").as("sc"))
+        .transform(graft.CacheScope.cached) // projection barrier (see above)
+      val w = w0.select($"lang", $"n_tokens",
+        floor(detExpMicro($"sc")
           * lit(1000000.0d) + lit(0.5d)).cast("long").as("weight_micro"))
         .transform(graft.CacheScope.cached) // totals + shares share the scan
       val t = w.agg(sum($"weight_micro").as("tot"))
@@ -129,51 +137,52 @@ object Training {
          |FROM tot t JOIN p3 p ON p.it = t.i ORDER BY event_type"""
     }) { (s, dir) =>
       import s.implicits._
+      // The DISTRIBUTED work is the user-keyed transition window and the
+      // pairwise-win aggregation; what comes back to the driver is the
+      // bounded |types|^2 sufficient-statistics table (the event-type
+      // vocabulary is bounded, q119's counter-budget argument), and the MM
+      // iterations run as exact driver-side Long arithmetic — the standard
+      // shape for fitting a bounded-parameter model after a distributed
+      // statistics pass (q142's centroids, q229's per-round scalars). The
+      // first all-DataFrame formulation spent ~8 s scheduling ~15 tiny
+      // broadcast stages for 25 rows of arithmetic.
       val ev = T(s, dir, "events")
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val tr = ev.select($"user_id",
-        lag($"event_type", 1).over(byUser).as("prev"),
-        $"event_type".as("nxt"))
-      val wm = tr.filter($"prev".isNotNull && $"prev" =!= $"nxt")
+      val wm = ev.select($"user_id",
+          lag($"event_type", 1).over(byUser).as("prev"),
+          $"event_type".as("nxt"))
+        .filter($"prev".isNotNull && $"prev" =!= $"nxt")
         .groupBy($"nxt".as("wi"), $"prev".as("lo"))
         .agg(count(lit(1)).as("w"))
-      val items = ev.select($"event_type".as("it")).distinct()
-        .transform(graft.CacheScope.cached) // pair grid + init + k
-      val k = items.agg(count(lit(1)).as("kk"))
-      val pairs = items.as("a").join(items.as("b"), $"a.it" =!= $"b.it")
-        .select($"a.it".as("i"), $"b.it".as("j"))
-        .join(broadcast(wm.select($"wi".as("i"), $"lo".as("j"),
-          $"w".as("w1"))), Seq("i", "j"), "left")
-        .join(broadcast(wm.select($"lo".as("i"), $"wi".as("j"),
-          $"w".as("w2"))), Seq("i", "j"), "left")
-        .select($"i", $"j",
-          (coalesce($"w1", lit(0L)) + 1L).as("win_sm"),
-          (coalesce($"w1", lit(0L)) + coalesce($"w2", lit(0L)) + 2L)
-            .as("n_sm"))
-        .transform(graft.CacheScope.cached) // three MM iterations
-      val tot = pairs.groupBy($"i")
-        .agg(sum($"win_sm").as("wsum"), sum($"win_sm" - 1).as("wins_raw"),
-          sum($"n_sm" - 2).as("comps_raw"))
-        .transform(graft.CacheScope.cached)
-      def mmIter(p: DataFrame): DataFrame = {
-        val t = pairs
-          .join(broadcast(p.select($"it".as("i"), $"pi".as("pi_i"))), Seq("i"))
-          .join(broadcast(p.select($"it".as("j"), $"pi".as("pi_j"))), Seq("j"))
-          .select($"i", expr("(n_sm * 1000000000000) div (pi_i + pi_j)").as("t"))
-          .groupBy($"i").agg(sum($"t").as("st"))
-        val u = tot.join(t, "i")
-          .select($"i", expr("(wsum * 1000000000000) div st").as("pu"))
-        val ns = u.agg(sum($"pu").as("ns"))
-        u.crossJoin(broadcast(ns)).crossJoin(broadcast(k))
-          .select($"i".as("it"), expr("(pu * kk * 1000000) div ns").as("pi"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val items = ev.select($"event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val kk = items.length.toLong
+      def w(i: String, j: String): Long = wm.getOrElse((i, j), 0L)
+      // floor DIV on non-negative Longs == DuckDB's // on the same operands
+      val winSm = (for { i <- items; j <- items if i != j }
+        yield (i, j) -> (w(i, j) + 1L)).toMap
+      val nSm = (for { i <- items; j <- items if i != j }
+        yield (i, j) -> (w(i, j) + w(j, i) + 2L)).toMap
+      val wsum = items.map(i =>
+        i -> items.filter(_ != i).map(j => winSm((i, j))).sum).toMap
+      var pi = items.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val st = items.map(i => i -> items.filter(_ != i)
+          .map(j => nSm((i, j)) * 1000000000000L / (pi(i) + pi(j))).sum).toMap
+        val pu = items.map(i => i -> wsum(i) * 1000000000000L / st(i)).toMap
+        val ns = items.map(pu).sum
+        pi = items.map(i => i -> pu(i) * kk * 1000000L / ns).toMap
       }
-      val p0 = items.select($"it", lit(1000000L).as("pi"))
-      val p3 = mmIter(mmIter(mmIter(p0)))
-      tot.join(p3.select($"it".as("i"), $"pi"), "i")
-        .withColumn("rank",
-          row_number().over(Window.orderBy($"pi".desc, $"i")).cast("long"))
-        .select($"i".as("event_type"), $"wins_raw".as("wins"),
-          $"comps_raw".as("comparisons"), $"pi".as("bt_micro"), $"rank")
+      val ranked = items.sortBy(i => (-pi(i), i)).zipWithIndex
+        .map { case (i, r) => i -> (r + 1L) }.toMap
+      items.map { i =>
+        (i, items.filter(_ != i).map(j => w(i, j)).sum,
+          items.filter(_ != i).map(j => nSm((i, j)) - 2L).sum,
+          pi(i), ranked(i))
+      }.toSeq
+        .toDF("event_type", "wins", "comparisons", "bt_micro", "rank")
         .orderBy($"event_type")
     },
 

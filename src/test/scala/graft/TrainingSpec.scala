@@ -54,6 +54,33 @@ class TrainingSpec extends AnyFunSuite {
     assert(d(4) <= d(3), s"coverage ${d(4)} > last pick ${d(3)}")
   }
 
+  test("q370: calibrated curve is monotone and dominates the raw rates") {
+    val rows = run("q370_monotone_calibration")
+      .sortBy(_.getAs[Long]("bin"))
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    val raw = rows.map(_.getAs[Long]("raw_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    assert(iso.zip(raw).forall { case (i, r) => i >= r })
+  }
+
+  test("q372: ROI curve cumulative columns are monotone along the sweep") {
+    val rows = run("q372_dedup_roi_curve")
+      .sortBy(-_.getAs[Long]("match_sigs"))
+    val dc = rows.map(_.getAs[Long]("docs_cum"))
+    val bc = rows.map(_.getAs[Long]("bytes_cum"))
+    assert(dc.zip(dc.tail).forall { case (a, b) => a <= b })
+    assert(bc.zip(bc.tail).forall { case (a, b) => a <= b })
+    assert(dc.last == rows.map(_.getAs[Long]("docs_new")).sum)
+  }
+
+  test("q374: count-min never undercounts (the CMS law)") {
+    val rows = run("q374_countmin_sketch")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
   test("q369: realized keep-rate >= nominal 90% minus finite-sample slack") {
     val rows = run("q369_conformal_threshold")
     val en = rows.filter(_.getAs[String]("lang") == "en").head
