@@ -1327,8 +1327,10 @@ object TextAnalysis {
       // word completes — KN's defining idea) — so every probability is a
       // floor DIV of exact counts and both engines agree bit-for-bit; the
       // only transcendentals are detMln/detExpMicro on the final ppm.
-      // Train on even docs, score odd docs (the backoff path fires on
-      // held-out data), roll up NLL and perplexity per source. Count
+      // Train on the md5-keyed 80% split, score the held 20% (the q330
+      // lesson: a parity split correlates with the fixture's source
+      // assignment and starves half the sources of held docs; the md5
+      // split covers all of them), roll up NLL and perplexity per source. Count
       // tables are vocab-sized and join KEYED on tokens (q136's rationale:
       // they grow with the corpus); the type-count table N1+(··) is 1 row.
       s"""WITH tk AS (SELECT doc_id, source,
@@ -1340,7 +1342,7 @@ object TextAnalysis {
         |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
         |    tok AS w2 FROM tk),
         |trb AS (SELECT w1, w2 FROM big
-        |  WHERE doc_id % 2 = 0 AND w1 IS NOT NULL),
+        |  WHERE ${splitCaseDuck("doc_id")} = 'train' AND w1 IS NOT NULL),
         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM trb
         |  GROUP BY 1, 2),
         |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY w1),
@@ -1350,7 +1352,7 @@ object TextAnalysis {
         |  GROUP BY w2),
         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c2),
         |te AS (SELECT doc_id, source, w1, w2 FROM big
-        |  WHERE doc_id % 2 = 1 AND w1 IS NOT NULL),
+        |  WHERE ${splitCaseDuck("doc_id")} <> 'train' AND w1 IS NOT NULL),
         |p AS (SELECT te.source,
         |    CASE WHEN COALESCE(u.c, 0) > 0 THEN GREATEST(
         |        (GREATEST(4 * COALESCE(b.c, 0) - 3, 0) * 1000000)
@@ -1381,7 +1383,8 @@ object TextAnalysis {
         .select($"doc_id", $"source", $"pos", $"col".as("tok"))
         .withColumn("w1", lag($"tok", 1).over(byPos))
         .transform(graft.CacheScope.cached) // train counts + test side
-      val trb = big.filter($"doc_id" % 2 === 0 && $"w1".isNotNull)
+      val trb = big
+        .filter(expr(splitCaseSpark("doc_id")) === "train" && $"w1".isNotNull)
         .select($"w1", $"tok".as("w2"))
       val c2 = trb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
         .transform(graft.CacheScope.cached) // feeds c1/cfw/ctw/nb + probe
@@ -1389,7 +1392,8 @@ object TextAnalysis {
       val cfw = c2.groupBy($"w1").agg(count(lit(1)).as("nf"))
       val ctw = c2.groupBy($"w2").agg(count(lit(1)).as("nt"))
       val nb = c2.agg(count(lit(1)).as("nall"))
-      val p = big.filter($"doc_id" % 2 === 1 && $"w1".isNotNull)
+      val p = big
+        .filter(expr(splitCaseSpark("doc_id")) =!= "train" && $"w1".isNotNull)
         .select($"doc_id", $"source", $"w1", $"tok".as("w2"))
         .join(c2.select($"w1", $"w2", $"c".as("cb")), Seq("w1", "w2"), "left")
         .join(c1, Seq("w1"), "left")
