@@ -2061,6 +2061,81 @@ object StreamLog {
         .orderBy($"event_type", $"k")
     },
 
+    q("q375_streaming_countmin", {
+      val duckCell = graft.functions.TextHash.duckPolyHash(
+        "CAST(user_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)")
+      // q374's count-min sketch AS STREAMING STATE through the engine's
+      // source: each micro-batch votes its events into the 4x256 cell
+      // grid via a plain complete-mode keyed count — CMS updates ARE
+      // counter additions, so the engine's built-in partial-aggregate
+      // merge IS the sketch merge, no custom state needed, and state
+      // stays <=1024 counters forever whatever the stream length. The
+      // probe finalizes batch-side (q182/q191's dashboard-read pattern)
+      // against the exact top-10, and the oracle replays the whole thing
+      // from the batch table — streamed cells must equal batch cells
+      // exactly or the min-over-rows estimates flip.
+      s"""WITH ex AS (SELECT user_id, CAST(unnest(range(4)) AS BIGINT) AS r
+         |  FROM events),
+         |cms AS (SELECT r, ($duckCell) % 256 AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ex GROUP BY r, ($duckCell) % 256),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+         |top AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |  FROM events GROUP BY user_id
+         |  ORDER BY exact_n DESC, user_id LIMIT 10),
+         |probe AS (SELECT t.user_id, t.exact_n, x.r, ($duckCell) % 256 AS c
+         |  FROM top t CROSS JOIN (SELECT CAST(unnest(range(4)) AS BIGINT)
+         |    AS r) x),
+         |est AS (SELECT p.user_id, p.exact_n, MIN(s.n) AS est_n
+         |  FROM probe p JOIN cms s ON s.r = p.r AND s.c = p.c
+         |  GROUP BY p.user_id, p.exact_n)
+         |SELECT e.user_id, e.exact_n, CAST(e.est_n AS BIGINT) AS est_n,
+         |  CAST(e.est_n - e.exact_n AS BIGINT) AS overcount,
+         |  CAST(((e.est_n - e.exact_n) * 256) // nn.n AS BIGINT)
+         |    AS over_x256_per_n
+         |FROM est e, nn ORDER BY exact_n DESC, user_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val cellExpr = "graft_polyhash(CAST(user_id AS STRING) || '#' || " +
+        "CAST(r AS STRING)) % 256"
+      val v0 = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id")
+      val root = graft.LogFixtures.producedLog(dir, "q375") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"user_id"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val cms = graft.streaming.StreamHarness.runToMemory(
+          s, "q375", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, user_id BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .select($"user_id", explode(sequence(lit(0L), lit(3L))).as("r"))
+          .select($"r", expr(cellExpr).as("c"))
+          .groupBy($"r", $"c").count().withColumnRenamed("count", "n")
+      }
+      val ev = Tables.load(s, dir, "events").select($"user_id")
+        .transform(graft.CacheScope.cached) // total + exact probe
+      val nn = ev.agg(count(lit(1)).as("n_total"))
+      val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"user_id").limit(10)
+      top.select($"user_id", $"exact_n",
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select($"user_id", $"exact_n", $"r", expr(cellExpr).as("c"))
+        .join(broadcast(cms), Seq("r", "c"))
+        .groupBy($"user_id", $"exact_n").agg(min($"n").as("est_n"))
+        .crossJoin(broadcast(nn))
+        .select($"user_id", $"exact_n", $"est_n",
+          ($"est_n" - $"exact_n").as("overcount"),
+          expr("((est_n - exact_n) * 256) div n_total").as("over_x256_per_n"))
+        .orderBy($"exact_n".desc, $"user_id")
+    },
+
     q("q209_streaming_profile",
       // The streaming twin of q193's batch profiler: per-type count /
       // min / max / exact integer sum maintained as complete-mode

@@ -57,7 +57,15 @@ object ScaleCurve {
     // fan-out must show in the exponent), and the bigram-LM scorer
     // (bigram-keyed train/held join)
     "q323_release_pipeline", "q338_image_near_dup",
-    "q322_capped_common_neighbors", "q330_bigram_perplexity")
+    "q322_capped_common_neighbors", "q330_bigram_perplexity",
+    // round 9: Kneser-Ney scoring (three vocab-keyed count joins over
+    // scaled documents), the dedup ROI rollup (banded candidates + yield
+    // windows), span-corruption accounting (pure map-side linear
+    // baseline), the conformal gate (compacted-domain rank + broadcast
+    // threshold probe), and the count-min build (map-side sketch, 1 KB
+    // across the shuffle)
+    "q371_kneser_ney", "q372_dedup_roi_curve", "q368_span_corruption",
+    "q369_conformal_threshold", "q374_countmin_sketch")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
