@@ -1266,5 +1266,170 @@ object Similarity {
           $"n2".as("n_second"), $"shift_q2_micro", $"share_of_worst_ppm")
         .orderBy($"label")
     },
+
+    q("q376_ivf_delta_assign",
+      // IVF index MAINTENANCE — the decision an ANN deployment faces when
+      // a delta batch of embeddings lands: assign the NEW vectors to the
+      // PERSISTED coarse centroids (never retrain on every ingest) and
+      // read the cell-balance drift to decide when a retrain is actually
+      // due. The persisted index is modeled exactly as q142 trains it
+      // (int8 shifted quantization on the BASE half's own max-abs scale,
+      // one Lloyd round from the first-k seeds, integer-mean centroids —
+      // every distance and centroid exact BIGINT); the delta half is
+      // quantized on the SAME persisted scale (an index's scale is part
+      // of its contract — q288's lesson) and assigned by broadcast
+      // integer argmin. Per cell: base/delta counts, growth ppm, and the
+      // the post-ingest share with a >25% imbalance retrain flag. The
+      // corpus-sized work is two broadcast-argmin passes; everything
+      // else is k-row arithmetic.
+      s"""WITH half AS (SELECT CAST(MAX(vec_id) AS BIGINT) // 2 AS h
+         |  FROM embeddings),
+         |m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm
+         |  FROM embeddings, half WHERE vec_id < h),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz, half WHERE vec_id < h),
+         |c0 AS (SELECT vec_id AS c, pos, x AS cm FROM ex WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |a1 AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, c) rn FROM d1),
+         |asg1 AS (SELECT vec_id, c FROM a1 WHERE rn = 1),
+         |c1 AS (SELECT a.c, e.pos,
+         |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+         |  FROM ex e JOIN asg1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.pos),
+         |db AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ab AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM db) WHERE rn = 1),
+         |exd AS (SELECT vec_id, unnest(range(len(qv))) AS pos,
+         |    unnest(qv) AS x FROM qz, half WHERE vec_id >= h),
+         |dd AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM exd e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ad AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM dd) WHERE rn = 1),
+         |cb AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS base_n FROM ab
+         |  GROUP BY c),
+         |cd AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS delta_n FROM ad
+         |  GROUP BY c),
+         |tot AS (SELECT CAST(SUM(base_n) AS BIGINT) AS nb FROM cb),
+         |totd AS (SELECT CAST(COALESCE(SUM(delta_n), 0) AS BIGINT) AS nd
+         |  FROM cd)
+         |SELECT cb.c AS cell, cb.base_n, COALESCE(cd.delta_n, 0) AS delta_n,
+         |  (COALESCE(cd.delta_n, 0) * 1000000) // cb.base_n AS growth_ppm,
+         |  ((cb.base_n + COALESCE(cd.delta_n, 0)) * 1000000)
+         |    // (tot.nb + totd.nd) AS share_ppm,
+         |  ((cb.base_n + COALESCE(cd.delta_n, 0)) * 1000000)
+         |    // (tot.nb + totd.nd) > 250000 AS retrain_flag
+         |FROM cb LEFT JOIN cd ON cd.c = cb.c, tot, totd
+         |ORDER BY cell""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val half = e.agg(expr("CAST(MAX(vec_id) AS BIGINT) div 2").as("h"))
+      val base = e.crossJoin(broadcast(half)).filter($"vec_id" < $"h")
+        .select($"vec_id", $"embedding")
+        .transform(graft.CacheScope.cached) // scale + quantize + train
+      val gm = base.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      def quant(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(gm)).select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)")
+          .as("qv"))
+      val qb = quant(base).transform(graft.CacheScope.cached)
+      def assign(df: org.apache.spark.sql.DataFrame,
+          cents: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(cents))
+          .withColumn("dist", expr("graft_sqdisti(qv, cm)"))
+          .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
+          .select($"vec_id", $"mc.c".as("c"))
+      val c0 = qb.filter($"vec_id" < 8).select($"vec_id".as("c"), $"qv".as("cm"))
+      val c1 = qb.join(assign(qb, c0), "vec_id")
+        .select($"c", posexplode($"qv"))
+        .groupBy($"c", $"pos")
+        .agg(expr("sum(col) DIV count(1)").as("cm"))
+        .groupBy($"c")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+        .transform(graft.CacheScope.cached) // base re-assign + delta assign
+      val cb = assign(qb, c1).groupBy($"c").agg(count(lit(1)).as("base_n"))
+      val delta = quant(e.crossJoin(broadcast(half)).filter($"vec_id" >= $"h")
+        .select($"vec_id", $"embedding"))
+      val cd = assign(delta, c1).groupBy($"c").agg(count(lit(1)).as("delta_n"))
+      val tot = cb.agg(sum($"base_n").as("nb"))
+      val totd = cd.agg(coalesce(sum($"delta_n"), lit(0L)).as("nd"))
+      cb.join(cd, Seq("c"), "left")
+        .withColumn("delta_n", coalesce($"delta_n", lit(0L)))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(totd))
+        .select($"c".as("cell"), $"base_n", $"delta_n",
+          expr("(delta_n * 1000000) div base_n").as("growth_ppm"),
+          expr("((base_n + delta_n) * 1000000) div (nb + nd)").as("share_ppm"),
+          (expr("((base_n + delta_n) * 1000000) div (nb + nd)") > 250000L)
+            .as("retrain_flag"))
+        .orderBy($"cell")
+    },
+
+    q("q377_embedding_outlier_triage",
+      // Embedding outlier triage — the mislabeled/OOD review queue in
+      // EMBEDDING space (q373 ranks by classifier ambiguity; this ranks
+      // by geometric atypicality): per label, the 3 members FARTHEST from
+      // their own label centroid under the exact shifted-int8 metric
+      // (q142's scheme: global scale, integer-mean centroids, BIGINT
+      // distances). One corpus aggregation builds the centroids, one
+      // broadcast join scores membership, and the per-label queue is a
+      // bounded rank window over |label| partitions. The same readout at
+      // 100 TB: centroids are |labels| x dims (broadcast), scoring is
+      // map-side, the queue is per-label top-k.
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id, label, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+         |        AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, label, unnest(range(len(qv))) AS pos,
+         |    unnest(qv) AS x FROM qz),
+         |c AS (SELECT label, pos,
+         |    CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+         |  FROM ex GROUP BY label, pos),
+         |d AS (SELECT e.vec_id, e.label,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c ON c.label = e.label AND c.pos = e.pos
+         |  GROUP BY e.vec_id, e.label),
+         |rk AS (SELECT vec_id, label, dist, row_number() OVER (
+         |    PARTITION BY label ORDER BY dist DESC, vec_id) rn FROM d)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(rn AS BIGINT) AS rnk,
+         |  vec_id, dist AS sq_dist
+         |FROM rk WHERE rn <= 3 ORDER BY label, rnk""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", $"label", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)")
+          .as("qv"))
+        .transform(graft.CacheScope.cached) // centroid build + scoring
+      val c = qz.select($"label", posexplode($"qv"))
+        .groupBy($"label", $"pos")
+        .agg(expr("sum(col) DIV count(1)").as("cm"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+      qz.join(broadcast(c), "label")
+        .withColumn("dist", expr("graft_sqdisti(qv, cm)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"label").orderBy($"dist".desc, $"vec_id")))
+        .filter($"rn" <= 3)
+        .select($"label".cast("long").as("label"),
+          $"rn".cast("long").as("rnk"), $"vec_id", $"dist".as("sq_dist"))
+        .orderBy($"label", $"rnk")
+    },
   )
 }

@@ -775,6 +775,14 @@ object PlanAudit {
       "class stats broadcast over the scored tokens" -> "BroadcastNestedLoopJoin",
       "labeling queue cut without a global sort" -> "TakeOrderedAndProject",
       "likelihoods join keyed on the token" -> "HashJoin"),
+    "q376_ivf_delta_assign" -> Seq(
+      "persisted centroids broadcast into every assignment pass" -> "BroadcastNestedLoopJoin",
+      "assignment argmin partial-aggregates map-side" -> "HashAggregate",
+      "no cartesian beyond the broadcast centroid fan-out" -> "!CartesianProduct"),
+    "q377_embedding_outlier_triage" -> Seq(
+      "label centroids broadcast over the scoring pass" -> "BroadcastHashJoin",
+      "per-label queue is a bounded rank window" -> "Window",
+      "only vec_id, label, embedding read" -> "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
     "q374_countmin_sketch" -> Seq(
       "sketch cells partial-aggregate map-side (1 KB summary crosses the shuffle)" -> "HashAggregate",
       "probe joins the bounded sketch broadcast" -> "BroadcastHashJoin",
