@@ -416,66 +416,6 @@ object UdfSurface {
         .orderBy($"type_a", $"type_b")
     },
 
-    q("q374_countmin_sketch", {
-      val duckCell = graft.functions.TextHash.duckPolyHash(
-        "CAST(user_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)")
-      // Count-min sketch (Cormode & Muthukrishnan 2005) with its
-      // overestimate-only certificate: 4 rows x 256 columns of exact
-      // counters built in ONE map-side pass (each event votes in 4 cells
-      // via the deterministic polyhash — a 1 KB mergeable summary whatever
-      // the stream size), then the 10 heaviest users are probed and
-      // est = min over rows is checked against their exact counts. The
-      // emitted `overcount` column IS the CMS law (est >= exact, always);
-      // `over_x256_per_n` states the expected-error scale (overcount·256/N
-      // ~ small). This is the frequency complement of q119's Misra-Gries
-      // (which keeps KEYS; CMS answers point queries for any key,
-      // including ones it never stored).
-      s"""WITH ex AS (SELECT user_id, CAST(unnest(range(4)) AS BIGINT) AS r
-         |  FROM events),
-         |cms AS (SELECT r, ($duckCell) % 256 AS c,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM ex GROUP BY r, ($duckCell) % 256),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
-         |top AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
-         |  FROM events GROUP BY user_id
-         |  ORDER BY exact_n DESC, user_id LIMIT 10),
-         |probe AS (SELECT t.user_id, t.exact_n, x.r, ($duckCell) % 256 AS c
-         |  FROM top t CROSS JOIN (SELECT CAST(unnest(range(4)) AS BIGINT)
-         |    AS r) x),
-         |est AS (SELECT p.user_id, p.exact_n, MIN(s.n) AS est_n
-         |  FROM probe p JOIN cms s ON s.r = p.r AND s.c = p.c
-         |  GROUP BY p.user_id, p.exact_n)
-         |SELECT e.user_id, e.exact_n, CAST(e.est_n AS BIGINT) AS est_n,
-         |  CAST(e.est_n - e.exact_n AS BIGINT) AS overcount,
-         |  CAST(((e.est_n - e.exact_n) * 256) // nn.n AS BIGINT)
-         |    AS over_x256_per_n
-         |FROM est e, nn ORDER BY exact_n DESC, user_id"""
-    }) { (s, dir) =>
-      import s.implicits._
-      graft.functions.GraftExpressions.register(s)
-      val cellExpr = "graft_polyhash(CAST(user_id AS STRING) || '#' || " +
-        "CAST(r AS STRING)) % 256"
-      val ev = T(s, dir, "events").select($"user_id")
-        .transform(graft.CacheScope.cached) // sketch build + exact probe
-      val cms = ev
-        .select($"user_id", explode(sequence(lit(0L), lit(3L))).as("r"))
-        .select($"r", expr(cellExpr).as("c"))
-        .groupBy($"r", $"c").agg(count(lit(1)).as("n"))
-      val nn = ev.agg(count(lit(1)).as("n_total"))
-      val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
-        .orderBy($"exact_n".desc, $"user_id").limit(10)
-      val probe = top
-        .select($"user_id", $"exact_n",
-          explode(sequence(lit(0L), lit(3L))).as("r"))
-        .select($"user_id", $"exact_n", $"r", expr(cellExpr).as("c"))
-      probe.join(broadcast(cms), Seq("r", "c"))
-        .groupBy($"user_id", $"exact_n").agg(min($"n").as("est_n"))
-        .crossJoin(broadcast(nn))
-        .select($"user_id", $"exact_n", $"est_n",
-          ($"est_n" - $"exact_n").as("overcount"),
-          expr("((est_n - exact_n) * 256) div n_total").as("over_x256_per_n"))
-        .orderBy($"exact_n".desc, $"user_id")
-    },
   )
 
 }

@@ -783,10 +783,6 @@ object PlanAudit {
       "label centroids broadcast over the scoring pass" -> "BroadcastHashJoin",
       "per-label queue is a bounded rank window" -> "Window",
       "only vec_id, label, embedding read" -> "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
-    "q374_countmin_sketch" -> Seq(
-      "sketch cells partial-aggregate map-side (1 KB summary crosses the shuffle)" -> "HashAggregate",
-      "probe joins the bounded sketch broadcast" -> "BroadcastHashJoin",
-      "top-k probe set without a global sort" -> "TakeOrderedAndProject"),
     "q334_rollup_revenue" -> Seq(
       "all rollup levels expand before one shuffle (Expand operator)" -> "Expand",
       "dimension tables broadcast into the fact join" -> "BroadcastHashJoin",

@@ -65,7 +65,7 @@ object ScaleCurve {
     // threshold probe), and the count-min build (map-side sketch, 1 KB
     // across the shuffle)
     "q371_kneser_ney", "q372_dedup_roi_curve", "q368_span_corruption",
-    "q369_conformal_threshold", "q374_countmin_sketch")
+    "q369_conformal_threshold")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 

@@ -73,8 +73,8 @@ class TrainingSpec extends AnyFunSuite {
     assert(dc.last == rows.map(_.getAs[Long]("docs_new")).sum)
   }
 
-  test("q374: count-min never undercounts (the CMS law)") {
-    val rows = run("q374_countmin_sketch")
+  test("q375: streamed count-min never undercounts (the CMS law)") {
+    val rows = run("q375_streaming_countmin")
     rows.foreach { r =>
       assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"))
       assert(r.getAs[Long]("overcount") >= 0L)
