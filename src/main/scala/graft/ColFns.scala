@@ -110,28 +110,14 @@ object ColFns {
     */
   /** The raw deterministic ln(p/q) double (the fixed IEEE program, no
     * micro rounding) — for call sites that scale or combine before their
-    * own single rounding. Bit-identical to [[detLnSql]].
+    * own single rounding. Bit-identical to [[detLnSql]]. A single native
+    * codegen'd plan node (functions.DetLnRat — the Column-composed form of
+    * the same program built ~1.5k-node trees whose duplication through
+    * downstream operators cost whole seconds of analysis/codegen);
+    * resolution is guaranteed by the Tables.load registration chokepoint.
     */
-  def detLn(p0: Column, q0: Column): Column = {
-    val p = p0.cast("long")
-    val q = q0.cast("long")
-    val e = length(bin(q)) - length(bin(p))
-    val sp = greatest(e, lit(0))
-    val sq = greatest(-e, lit(0))
-    val p1 = call_function("shiftleft", p, sp)
-    val q1 = call_function("shiftleft", q, sq)
-    val adj = when(p1 >= q1, 1).otherwise(0)
-    val q2 = call_function("shiftleft", q1, adj)
-    val k = (adj + sq - sp).cast("double")
-    val z = (p1 - q2).cast("double") / (p1 + q2).cast("double")
-    val w = z * z
-    val horner = AtanhDenoms.foldLeft(lit(1.0d) / lit(17.0d)) {
-      (acc, d) => lit(1.0d) / lit(d.toDouble) + w * acc
-    }
-    val s = lit(1.0d) + w * horner
-    val lnm = lit(2.0d) * z * s
-    lnm + k * lit(Ln2)
-  }
+  def detLn(p0: Column, q0: Column): Column =
+    call_function("graft_detln", p0.cast("long"), q0.cast("long"))
 
   def detMln(p0: Column, q0: Column): Column =
     floor(detLn(p0, q0) * lit(1000000.0d) + lit(0.5d)).cast("long")
@@ -178,22 +164,8 @@ object ColFns {
     * below -40e6, saturates at +40e6). Bit-identical to
     * [[detExpMicroSql]].
     */
-  def detExpMicro(m0: Column): Column = {
-    val mc = least(m0.cast("long"), lit(40000000L))
-    val x = mc.cast("double") / lit(1000000.0d)
-    val n = floor(x / lit(Ln2) + lit(0.5d)).cast("long")
-    val r = x - n.cast("double") * lit(Ln2)
-    val horner = ExpFacts.reverse.tail.foldLeft(
-      lit(1.0d) / lit(ExpFacts.last.toDouble)) { (acc, f) =>
-      lit(1.0d) / lit(f.toDouble) + r * acc
-    }
-    val s = lit(1.0d) + r * horner
-    val pwUp = call_function("shiftleft", lit(1L), n.cast("int")).cast("double")
-    val pwDn = call_function("shiftleft", lit(1L), (-n).cast("int")).cast("double")
-    when(mc < lit(-40000000L), lit(0.0d))
-      .when(n >= 0, s * pwUp)
-      .otherwise(s / pwDn)
-  }
+  def detExpMicro(m0: Column): Column =
+    call_function("graft_detexp", m0.cast("long"))
 
   /** SQL mirror of [[detExpMicro]]. */
   def detExpMicroSql(m0: String): String = {

@@ -30,6 +30,8 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_doti", es => DotProductInt(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sqdisti", es => SquaredDistInt(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_detln", es => DetLnRat(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_detexp", es => DetExpMicro(es.head), "built-in")
     // Spark's internal bloom pair (what its own runtime filters use),
     // surfaced as engine functions: build a filter over the small side's
     // keys, probe it map-side on the fact side BEFORE the shuffle — the

@@ -25,6 +25,7 @@ object DetSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExpressions.register(spark)
     import spark.implicits._
     val small = for { q <- 1L to 200L; p <- 1L to 200L } yield (p, q)
     val rnd = new scala.util.Random(42)
