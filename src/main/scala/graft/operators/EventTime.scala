@@ -291,6 +291,81 @@ object EventTime {
         .orderBy($"event_id")
     },
 
+    q("q378_leakage_audit",
+      // Temporal-leakage audit — the certificate that QUANTIFIES why
+      // q247's point-in-time join exists: every purchase fact is labeled
+      // both with the state valid AT its event time (the leakage-free
+      // join) and with the user's CURRENT state (what a naive latest-
+      // snapshot feature join silently uses), and the confusion between
+      // the two is rolled up per state pair with an overall leak rate.
+      // Every off-diagonal row is a training example whose feature came
+      // from the future. Same one user-keyed shuffle as q247 (the naive
+      // state is just the dimension's open interval — no extra pass);
+      // the rollup is |states|^2-bounded.
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, us AS valid_from,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        |  FROM ch),
+        |nw AS (SELECT user_id, event_type AS state_now FROM v
+        |  WHERE valid_to IS NULL),
+        |f AS (SELECT user_id, event_id, us FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT f.event_id, v.event_type AS state_at_fact, nw.state_now
+        |  FROM f JOIN v ON v.user_id = f.user_id
+        |    AND v.valid_from <= f.us AND (v.valid_to IS NULL OR f.us < v.valid_to)
+        |  JOIN nw ON nw.user_id = f.user_id),
+        |g AS (SELECT state_at_fact, state_now, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2)
+        |SELECT state_at_fact, state_now, n,
+        |  state_at_fact <> state_now AS is_leak,
+        |  CAST((n * 1000000) // (SUM(n) OVER ()) AS BIGINT) AS share_ppm,
+        |  CAST((SUM(CASE WHEN state_at_fact <> state_now THEN n ELSE 0 END)
+        |      OVER () * 1000000) // (SUM(n) OVER ()) AS BIGINT)
+        |    AS total_leak_ppm
+        |FROM g ORDER BY state_at_fact, state_now""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"))
+        .transform(graft.CacheScope.cached) // dimension + fact sides
+      val byTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val dim = e
+        .withColumn("prev", lag($"event_type", 1).over(byTime))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_to", lead($"us", 1).over(byTime))
+        .select($"user_id".as("d_user_id"), $"event_type".as("state_at_fact"),
+          $"us".as("valid_from"), $"valid_to")
+        .transform(graft.CacheScope.cached) // PIT side + current-state side
+      val now = dim.filter($"valid_to".isNull)
+        .select($"d_user_id".as("n_user_id"),
+          $"state_at_fact".as("state_now"))
+      val g = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"us")
+        .join(dim, $"user_id" === $"d_user_id" &&
+          $"valid_from" <= $"us" &&
+          ($"valid_to".isNull || $"us" < $"valid_to"))
+        .join(now, $"user_id" === $"n_user_id")
+        .groupBy($"state_at_fact", $"state_now")
+        .agg(count(lit(1)).as("n"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("tot", sum($"n").over(all))
+        .withColumn("leak_tot",
+          sum(when($"state_at_fact" =!= $"state_now", $"n").otherwise(0L))
+            .over(all))
+        .select($"state_at_fact", $"state_now", $"n",
+          ($"state_at_fact" =!= $"state_now").as("is_leak"),
+          expr("(n * 1000000) div tot").as("share_ppm"),
+          expr("(leak_tot * 1000000) div tot").as("total_leak_ppm"))
+        .orderBy($"state_at_fact", $"state_now")
+    },
+
     q("q254_cohort_ltv",
       // Cumulative cohort LTV curve — the growth readout next to q228's
       // retention matrix: users cohorted by first-seen day, purchase

@@ -1314,5 +1314,46 @@ object Pipeline {
           $"pad_bucketed", $"pad_naive_total", $"saved_ppm")
         .orderBy($"bucket")
     },
+
+    q("q379_prefix_cache_share",
+      // Prefix-cache sharing estimator — the serving-side question vLLM-era
+      // deployments ask of a corpus/prompt set: how many requests share a
+      // 10-token prefix (and could reuse a KV-cache entry)? Docs group by
+      // the polyhash of their 10-token prefix (shorter docs hash their
+      // whole text — they share iff identical); the cluster-size histogram
+      // is the answer, with docs_sharing = (size-1)·n_clusters counting
+      // the requests after each cluster's first (the cache-hit candidates)
+      // and hit_ppm the corpus-wide reuse rate. One map-side hash + two
+      // bounded aggregations; the histogram is tiny whatever the corpus.
+      s"""WITH p AS (SELECT doc_id,
+         |    ${duckPolyHash(
+               "array_to_string(string_split(text, ' ')[1:10], ' ')")} AS h
+         |  FROM documents),
+         |cl AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS sz FROM p GROUP BY h),
+         |hist AS (SELECT sz AS cluster_size,
+         |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(SUM(sz) AS BIGINT) AS n_docs FROM cl GROUP BY sz)
+         |SELECT cluster_size, n_clusters, n_docs,
+         |  (cluster_size - 1) * n_clusters AS docs_sharing,
+         |  CAST((SUM((cluster_size - 1) * n_clusters) OVER () * 1000000)
+         |    // (SUM(n_docs) OVER ()) AS BIGINT) AS hit_ppm
+         |FROM hist ORDER BY cluster_size""") { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val cl = T(s, dir, "documents")
+        .select(expr("graft_polyhash(concat_ws(' ', " +
+          "slice(split(text, ' '), 1, 10)))").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("sz"))
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cl.groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
+        .withColumn("docs_sharing", ($"cluster_size" - 1) * $"n_clusters")
+        .withColumn("hit_ppm", expr(
+          "(SUM(docs_sharing) OVER () * 1000000) div (SUM(n_docs) OVER ())"))
+        .select($"cluster_size", $"n_clusters", $"n_docs", $"docs_sharing",
+          $"hit_ppm")
+        .orderBy($"cluster_size")
+    },
   )
 }

@@ -775,6 +775,14 @@ object PlanAudit {
       "class stats broadcast over the scored tokens" -> "BroadcastNestedLoopJoin",
       "labeling queue cut without a global sort" -> "TakeOrderedAndProject",
       "likelihoods join keyed on the token" -> "HashJoin"),
+    "q378_leakage_audit" -> Seq(
+      "one user-keyed dimension window (no self-join beyond the PIT lookup)" -> "Window",
+      "PIT and current-state lookups are equi hash joins" -> "HashJoin",
+      "only user_id, event_id, event_type, ts read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+    "q379_prefix_cache_share" -> Seq(
+      "prefix hash computed map-side before the one aggregation" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only text read" -> "ReadSchema: struct<text:string>"),
     "q376_ivf_delta_assign" -> Seq(
       "persisted centroids broadcast into every assignment pass" -> "BroadcastNestedLoopJoin",
       "assignment argmin partial-aggregates map-side" -> "HashAggregate",
