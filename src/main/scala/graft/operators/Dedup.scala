@@ -931,5 +931,114 @@ object Dedup {
             .as("bytes_cum"))
         .orderBy($"match_sigs".desc)
     },
+
+    q("q385_incremental_dedup", {
+      val sp = splitCaseDuck("doc_id")
+      s"""WITH words AS (SELECT doc_id, $sp AS sp, string_split(text,' ') w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, sp, ${duckShingles("w")} shingles
+         |  FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, sp, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, sp, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, sp, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |c1 AS (SELECT DISTINCT d.doc_id dd, i.doc_id oi FROM bands d
+         |  JOIN bands i ON d.band = i.band AND d.key = i.key
+         |  WHERE d.sp = 'test' AND i.sp <> 'test'),
+         |c2 AS (SELECT DISTINCT a.doc_id dd, b.doc_id ob FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.sp = 'test' AND b.sp = 'test' AND b.doc_id < a.doc_id),
+         |m1 AS (SELECT dd, CAST(COUNT(*) AS BIGINT) n_index_cand,
+         |    CAST(MAX(len(list_filter(range($MinhashSigs),
+         |      i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)])))
+         |      AS BIGINT) max_match_index
+         |  FROM c1 JOIN sig sa ON sa.doc_id = c1.dd
+         |          JOIN sig sb ON sb.doc_id = c1.oi GROUP BY dd),
+         |m2 AS (SELECT dd, CAST(COUNT(*) AS BIGINT) n_batch_cand,
+         |    CAST(MAX(len(list_filter(range($MinhashSigs),
+         |      i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)])))
+         |      AS BIGINT) max_match_batch
+         |  FROM c2 JOIN sig sa ON sa.doc_id = c2.dd
+         |          JOIN sig sb ON sb.doc_id = c2.ob GROUP BY dd)
+         |SELECT s.doc_id,
+         |  COALESCE(m1.n_index_cand, 0) AS n_index_cand,
+         |  COALESCE(m1.max_match_index, 0) AS max_match_index,
+         |  COALESCE(m2.n_batch_cand, 0) AS n_batch_cand,
+         |  COALESCE(m2.max_match_batch, 0) AS max_match_batch,
+         |  CASE WHEN COALESCE(m1.max_match_index, 0) >= 8 THEN 'dup_vs_index'
+         |       WHEN COALESCE(m2.max_match_batch, 0) >= 8 THEN 'dup_in_batch'
+         |       ELSE 'admit' END AS verdict
+         |FROM sig s LEFT JOIN m1 ON m1.dd = s.doc_id
+         |           LEFT JOIN m2 ON m2.dd = s.doc_id
+         |WHERE s.sp = 'test' ORDER BY s.doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Incremental MinHash dedup — the per-ingest shape of q42: a DELTA
+      // batch (the md5 'test' slice standing in for today's crawl) checked
+      // against the PERSISTED band index of the existing corpus (in
+      // production a table keyed by (band, key); here derived from the
+      // non-delta slice — same contract as q376's persisted centroids).
+      // The corpus is NEVER re-shingled per ingest: only the delta is
+      // signed map-side, index candidates come from the (band, key)
+      // equi-join against the stored bands, and in-batch duplicates use
+      // the single-pass keep-first rule (collide with a SMALLER admitted
+      // id — the greedy approximation every streaming dedup ships; the
+      // full transitive closure is q106's offline job). Verdict ladder:
+      // dup_vs_index beats dup_in_batch beats admit, thresholds on exact
+      // signature-agreement counts (8/16 = the q42 0.5 estimate). At
+      // 100 TB: delta is days-sized, index lookup is a bucketed equi-join,
+      // and admitted rows append their bands to the index — O(delta), not
+      // O(corpus), per ingest.
+      val sp = splitCaseSpark("doc_id")
+      val sig = shingled(s, dir)
+        .withColumn("sp", expr(sp))
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"doc_id", $"sp", $"mh")
+        .transform(graft.CacheScope.cached)
+      val bands = sig
+        .select($"doc_id", $"sp", $"mh",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"sp", $"band", $"key")
+        .transform(graft.CacheScope.cached)
+      val delta = bands.filter($"sp" === "test")
+      val idx = bands.filter($"sp" =!= "test")
+      def agreed(cand: DataFrame, nCol: String, mCol: String): DataFrame =
+        cand
+          .join(sig.select($"doc_id".as("dd"), $"mh".as("ma")), "dd")
+          .join(sig.select($"doc_id".as("oi"), $"mh".as("mb")), "oi")
+          .groupBy($"dd")
+          .agg(count(lit(1)).as(nCol),
+            max(expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b)) AS BIGINT)"))
+              .as(mCol))
+      val m1 = agreed(
+        delta.as("d").join(idx.as("i"),
+            $"d.band" === $"i.band" && $"d.key" === $"i.key")
+          .select($"d.doc_id".as("dd"), $"i.doc_id".as("oi")).distinct(),
+        "n_index_cand", "max_match_index")
+      val m2 = agreed(
+        delta.as("a").join(delta.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"b.doc_id" < $"a.doc_id")
+          .select($"a.doc_id".as("dd"), $"b.doc_id".as("oi")).distinct(),
+        "n_batch_cand", "max_match_batch")
+      sig.filter($"sp" === "test").select($"doc_id")
+        .join(m1.withColumnRenamed("dd", "doc_id"), Seq("doc_id"), "left")
+        .join(m2.withColumnRenamed("dd", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_index_cand", lit(0L)).as("n_index_cand"),
+          coalesce($"max_match_index", lit(0L)).as("max_match_index"),
+          coalesce($"n_batch_cand", lit(0L)).as("n_batch_cand"),
+          coalesce($"max_match_batch", lit(0L)).as("max_match_batch"))
+        .withColumn("verdict",
+          when($"max_match_index" >= 8, "dup_vs_index")
+            .when($"max_match_batch" >= 8, "dup_in_batch")
+            .otherwise("admit"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -2072,5 +2072,156 @@ object Evaluation {
         .select($"bin", $"n", $"np".as("n_pos"), $"raw_ppm", $"iso_ppm")
         .orderBy($"bin")
     },
+
+    q("q381_fleiss_kappa", {
+      val sw = graft.functions.TextHash.stopWordsDuckList
+      s"""WITH t AS (SELECT len(string_split(text, ' ')) AS wc,
+         |    len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($sw, x))) AS ns,
+         |    len(list_distinct(string_split(text, ' '))) AS nd
+         |  FROM documents),
+         |r AS (SELECT
+         |    CASE WHEN wc < 40 THEN 0 WHEN wc < 69 THEN 1 ELSE 2 END AS a,
+         |    CASE WHEN ns*1000 < wc*24 THEN 0 WHEN ns*1000 < wc*46 THEN 1
+         |      ELSE 2 END AS b,
+         |    CASE WHEN nd*1000 >= wc*556 THEN 0 WHEN nd*1000 >= wc*394 THEN 1
+         |      ELSE 2 END AS c
+         |  FROM t),
+         |nij AS (SELECT
+         |    (CASE WHEN a=0 THEN 1 ELSE 0 END) + (CASE WHEN b=0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN c=0 THEN 1 ELSE 0 END) AS n0,
+         |    (CASE WHEN a=1 THEN 1 ELSE 0 END) + (CASE WHEN b=1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN c=1 THEN 1 ELSE 0 END) AS n1,
+         |    (CASE WHEN a=2 THEN 1 ELSE 0 END) + (CASE WHEN b=2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN c=2 THEN 1 ELSE 0 END) AS n2
+         |  FROM r),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(n0*n0 + n1*n1 + n2*n2) AS BIGINT) AS s,
+         |    CAST(SUM(n0) AS BIGINT) AS c0, CAST(SUM(n1) AS BIGINT) AS c1,
+         |    CAST(SUM(n2) AS BIGINT) AS c2
+         |  FROM nij)
+         |SELECT n_items, s AS sum_sq, c0, c1, c2,
+         |  ${r6Sql("CAST(3*n_items*(s - 3*n_items) - 2*(c0*c0 + c1*c1 + c2*c2) AS DOUBLE) / CAST(18*n_items*n_items - 2*(c0*c0 + c1*c1 + c2*c2) AS DOUBLE)")} AS kappa
+         |FROM agg"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Fleiss' kappa — q213's Cohen kappa generalized to n raters x k
+      // categories, the agreement statistic for multi-annotator labeling
+      // campaigns (3+ raters is the norm for preference/quality labels).
+      // Three deterministic rule raters tri-bin every document: length
+      // terciles, stopword-ratio terciles, and type-token-ratio terciles
+      // (oriented so low diversity = category 2, aligning with the length
+      // raters on repetitive long docs — fixture kappa ~0.32, "fair").
+      // All thresholds are integer cross-multiplications; the per-item
+      // agreement sum S = sum_i sum_j n_ij^2 and category marginals c_j
+      // are exact BIGINTs, and kappa collapses to the single division
+      // (3N(S-3N) - 2*sum c_j^2) / (18N^2 - 2*sum c_j^2) — one r6'd IEEE
+      // divide, the q213 discipline. Map-side rating + one single-row
+      // aggregate: trivially 100 TB-safe.
+      val sw = graft.functions.TextHash.stopWordsSparkArray
+      val t = T(s, dir, "documents").select(
+        expr("size(split(text, ' '))").as("wc"),
+        expr(s"size(filter(split(text, ' '), x -> array_contains($sw, x)))").as("ns"),
+        expr("size(array_distinct(split(text, ' ')))").as("nd"))
+      val r = t.select(
+        when($"wc" < 40, 0).when($"wc" < 69, 1).otherwise(2).as("a"),
+        when($"ns" * 1000 < $"wc" * 24, 0)
+          .when($"ns" * 1000 < $"wc" * 46, 1).otherwise(2).as("b"),
+        when($"nd" * 1000 >= $"wc" * 556, 0)
+          .when($"nd" * 1000 >= $"wc" * 394, 1).otherwise(2).as("c"))
+      def nj(j: Int): Column =
+        (when($"a" === j, 1).otherwise(0) + when($"b" === j, 1).otherwise(0) +
+          when($"c" === j, 1).otherwise(0)).as(s"n$j")
+      val agg = r.select(nj(0), nj(1), nj(2))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"n0" * $"n0" + $"n1" * $"n1" + $"n2" * $"n2").as("s"),
+          sum($"n0").as("c0"), sum($"n1").as("c1"), sum($"n2").as("c2"))
+      val cc = $"c0" * $"c0" + $"c1" * $"c1" + $"c2" * $"c2"
+      agg.select($"n_items", $"s".as("sum_sq"), $"c0", $"c1", $"c2",
+        r6((lit(3) * $"n_items" * ($"s" - lit(3) * $"n_items") - lit(2) * cc)
+          .cast("double") /
+          (lit(18) * $"n_items" * $"n_items" - lit(2) * cc).cast("double"))
+          .as("kappa"))
+    },
+
+    q("q383_paired_bootstrap", {
+      val P = graft.functions.TextHash.P
+      val sw = graft.functions.TextHash.stopWordsDuckList
+      val u = graft.functions.TextHash
+        .duckPolyHash("CAST(t.doc_id*64 + bs.b AS VARCHAR)")
+      val sp = graft.functions.TextHash.splitCaseDuck("doc_id")
+      s"""WITH t AS (SELECT doc_id,
+         |    (len(list_filter(string_split(text, ' '),
+         |       x -> list_contains($sw, x))) * 1000000)
+         |      // len(string_split(text, ' ')) AS sa,
+         |    (len(list_distinct(string_split(text, ' '))) * 1000000)
+         |      // len(string_split(text, ' ')) AS sb
+         |  FROM documents WHERE $sp = 'test'),
+         |bs AS (SELECT range AS b FROM range(0, 64)),
+         |w AS (SELECT t.sa, t.sb, bs.b,
+         |    (($u) * 2654435761) % $P % 1000000 + 1 AS u FROM t, bs),
+         |ww AS (SELECT b, sa, sb, CASE WHEN u <= 367879 THEN 0
+         |    WHEN u <= 735759 THEN 1 WHEN u <= 919699 THEN 2
+         |    WHEN u <= 981012 THEN 3 ELSE 4 END AS wt
+         |  FROM w),
+         |rep AS (SELECT b, CAST(SUM(wt*(sa - sb)) AS BIGINT) AS dsum,
+         |    CAST(SUM(wt) AS BIGINT) AS n FROM ww GROUP BY b HAVING SUM(wt) > 0),
+         |rd AS (SELECT b, CASE WHEN dsum >= 0 THEN (dsum * 1000) // n
+         |    ELSE -(((-dsum) * 1000) // n) END AS dmean FROM rep),
+         |pt AS (SELECT CAST(SUM(sa - sb) AS BIGINT) AS psum,
+         |    CAST(COUNT(*) AS BIGINT) AS pn FROM t)
+         |SELECT CAST(CASE WHEN psum >= 0 THEN (psum * 1000) // pn
+         |    ELSE -(((-psum) * 1000) // pn) END AS BIGINT) AS point_diff_nano,
+         |  CAST((SELECT COUNT(*) FROM rd) AS BIGINT) AS n_replicas,
+         |  CAST((SELECT (SUM(CASE WHEN dmean > 0 THEN 1 ELSE 0 END) * 1000000)
+         |      // COUNT(*) FROM rd) AS BIGINT) AS a_wins_ppm,
+         |  CAST((SELECT MIN(dmean) FROM rd) AS BIGINT) AS min_diff_nano,
+         |  CAST((SELECT MAX(dmean) FROM rd) AS BIGINT) AS max_diff_nano
+         |FROM pt"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // Paired bootstrap model comparison — the standard significance test
+      // for "is scorer A actually better than scorer B on this eval set?"
+      // (Koehn 2004 for MT; universal for LM evals). The two "models" are
+      // the stopword-ratio and type-token-ratio quality scorers over the
+      // held-out (md5) test split; PAIRED means each bootstrap replicate
+      // applies the SAME Poisson(1) weight to both scores of a document
+      // (the q223 deterministic per-(row,replica) hash draw), so replicate
+      // means of the DIFFERENCE are compared. Negative sums divide via the
+      // sign-symmetric floor (both dialects state the identical CASE), and
+      // a_wins_ppm is the fraction of replicates where A's mean exceeds
+      // B's — the bootstrap p-value readout. Per-row weight draw is
+      // map-side; the replicate table is 64 rows. 100 TB-safe.
+      val P = graft.functions.TextHash.P
+      val sw = graft.functions.TextHash.stopWordsSparkArray
+      val sp = graft.functions.TextHash.splitCaseSpark("doc_id")
+      val t = T(s, dir, "documents")
+        .filter(expr(sp) === "test")
+        .select($"doc_id",
+          expr(s"(size(filter(split(text, ' '), x -> array_contains($sw, x))) * 1000000) div size(split(text, ' '))").as("sa"),
+          expr("(size(array_distinct(split(text, ' '))) * 1000000) div size(split(text, ' '))").as("sb"))
+      val w = t.select($"doc_id", $"sa", $"sb",
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("u", expr(
+          s"(graft_polyhash(CAST(doc_id*64 + b AS STRING)) * 2654435761) % $P % 1000000 + 1"))
+        .withColumn("wt", when($"u" <= 367879, 0L).when($"u" <= 735759, 1L)
+          .when($"u" <= 919699, 2L).when($"u" <= 981012, 3L).otherwise(4L))
+      val rep = w.groupBy($"b")
+        .agg(sum($"wt" * ($"sa" - $"sb")).as("dsum"), sum($"wt").as("n"))
+        .filter($"n" > 0)
+        .withColumn("dmean", expr(
+          "CASE WHEN dsum >= 0 THEN (dsum * 1000) div n ELSE -(((-dsum) * 1000) div n) END"))
+        .agg(count(lit(1)).as("n_replicas"),
+          expr("(SUM(CASE WHEN dmean > 0 THEN 1 ELSE 0 END) * 1000000) div COUNT(1)").as("a_wins_ppm"),
+          min($"dmean").as("min_diff_nano"), max($"dmean").as("max_diff_nano"))
+      val pt = t.agg(sum($"sa" - $"sb").as("psum"), count(lit(1)).as("pn"))
+        .select(expr(
+          "CAST(CASE WHEN psum >= 0 THEN (psum * 1000) div pn ELSE -(((-psum) * 1000) div pn) END AS BIGINT)")
+          .as("point_diff_nano"))
+      pt.crossJoin(broadcast(rep))
+        .select($"point_diff_nano", $"n_replicas", $"a_wins_ppm",
+          $"min_diff_nano", $"max_diff_nano")
+    },
   )
 }

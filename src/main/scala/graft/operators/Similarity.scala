@@ -1431,5 +1431,98 @@ object Similarity {
           $"rn".cast("long").as("rnk"), $"vec_id", $"dist".as("sq_dist"))
         .orderBy($"label", $"rnk")
     },
+
+    q("q380_semantic_decontaminate", {
+      val sp = graft.functions.TextHash.splitCaseDuck("vec_id")
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id, $sp AS sp, embedding,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * 127.0 / gm + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, m WHERE $sp <> 'val'),
+         |h AS (SELECT vec_id - 100 AS hid, embedding he FROM embeddings
+         |      WHERE vec_id BETWEEN 100 AND 115),
+         |sig AS (SELECT v.vec_id, v.sp, CAST(h.hid // 4 AS BIGINT) AS band,
+         |    SUM(CASE WHEN ${duckDotSql("v.embedding", "h.he")} >= 0
+         |        THEN (1::BIGINT << CAST(h.hid % 4 AS INT)) ELSE 0 END) AS bucket
+         |  FROM qz v, h GROUP BY v.vec_id, v.sp, h.hid // 4),
+         |cand AS (SELECT DISTINCT a.vec_id ta, b.vec_id tb
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.sp = 'train' AND b.sp = 'test'),
+         |sc AS (SELECT ta, tb,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_zip(x.qv, y.qv),
+         |        z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))),
+         |      (acc, v) -> acc + v) AS d,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(x.qv, v -> v*v)), (acc, v) -> acc + v) AS na,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(y.qv, v -> v*v)), (acc, v) -> acc + v) AS nb
+         |  FROM cand JOIN qz x ON x.vec_id = cand.ta
+         |            JOIN qz y ON y.vec_id = cand.tb),
+         |hit AS (SELECT ta, tb, (d*d*1000000) // (na*nb) AS cos2_ppm
+         |  FROM sc WHERE d > 0 AND d*d*100 >= 9*na*nb)
+         |SELECT ta AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+         |  CAST(MAX(cos2_ppm) AS BIGINT) AS max_cos2_ppm,
+         |  CAST(MIN(tb) AS BIGINT) AS first_test_id
+         |FROM hit GROUP BY ta ORDER BY vec_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Semantic decontamination — the embedding-level complement of the
+      // n-gram passes (q100 exact 32-gram, q118 13-gram): a TRAIN document
+      // whose embedding lands within cos >= 0.3 of any TEST document is a
+      // paraphrase-level leak the n-gram checks cannot see (GPT-3 appendix
+      // C / SemDeDup both motivate this). Split is the md5-prefix trick
+      // (leakage-safe, engine-identical); candidates come from the q69
+      // banded hyperplane LSH (4 bands x 4 bits, planes broadcast) so the
+      // train x test comparison is an equi-join on (band, bucket) — never
+      // the cross product — and only candidates are scored exactly. The
+      // score is INTEGER-exact on globally-scaled int8 vectors:
+      // cos^2 * 1e6 = dot^2*1e6 DIV (|a|^2*|b|^2), threshold stated as the
+      // cross-multiplication d^2*100 >= 9*na*nb (cos >= 0.3, d > 0) — no
+      // float sqrt on either engine. Output: per contaminated train vec,
+      // how many test docs it collides with and the worst (highest-cos^2)
+      // collision. At 100 TB: test split is tiny — its signatures AND int8
+      // vectors broadcast; the train side stays map-side until the final
+      // per-train-doc aggregation over the (small) hit set.
+      val e = T(s, dir, "embeddings")
+      val sp = graft.functions.TextHash.splitCaseSpark("vec_id")
+      val gm = e.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qz = e.crossJoin(broadcast(gm))
+        .select($"vec_id", expr(sp).as("sp"), $"embedding", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))")
+          .as("qv"))
+        .filter($"sp" =!= "val")
+        .transform(graft.CacheScope.cached) // signatures + exact scoring
+      val planes = broadcast(e.filter($"vec_id".between(100, 115))
+        .select(($"vec_id" - 100).as("hid"), $"embedding".as("he")))
+      val sig = qz.select($"vec_id", $"sp", $"embedding")
+        .crossJoin(planes)
+        .withColumn("bit",
+          when(expr("graft_dot(embedding, he)") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(hid % 4 AS INT))"))
+            .otherwise(lit(0L)))
+        .groupBy($"vec_id", $"sp", ($"hid" / 4).cast("long").as("band"))
+        .agg(sum($"bit").as("bucket"))
+      val cand = sig.filter($"sp" === "train").as("a")
+        .join(sig.filter($"sp" === "test").as("b"),
+          $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
+        .select($"a.vec_id".as("ta"), $"b.vec_id".as("tb"))
+        .distinct()
+      cand
+        .join(qz.select($"vec_id".as("ta"), $"qv".as("qa")), "ta")
+        .join(qz.select($"vec_id".as("tb"), $"qv".as("qb")), "tb")
+        .withColumn("d", expr("graft_doti(qa, qb)"))
+        .withColumn("na", expr("graft_doti(qa, qa)"))
+        .withColumn("nb", expr("graft_doti(qb, qb)"))
+        .filter($"d" > 0 && $"d" * $"d" * 100 >= $"na" * $"nb" * 9)
+        .withColumn("cos2_ppm", expr("(d*d*1000000) div (na*nb)"))
+        .groupBy($"ta".as("vec_id"))
+        .agg(count(lit(1)).as("n_test_matches"),
+          max($"cos2_ppm").as("max_cos2_ppm"),
+          min($"tb").as("first_test_id"))
+        .orderBy($"vec_id")
+    },
   )
 }

@@ -566,6 +566,73 @@ object TextAnalysis {
             .as("perplexity_r4"))
         .orderBy($"source")
     },
+
+    q("q384_tokenizer_fertility",
+      // Tokenizer fertility audit — the per-source cost table a tokenizer
+      // eval produces: fertility (subword tokens per whitespace word, x1e6)
+      // and compression (chars per subword token, x1e6) under the fixture
+      // subword vocabulary (q160's greedy longest-match), per source, with
+      // each source's fertility delta vs the corpus-wide rate. High
+      // fertility marks sources the tokenizer serves poorly (morphology /
+      // domain mismatch) — they cost more context budget per word and
+      // typically train worse per token. Same scale shape as q160: the
+      // tokenizer runs ONCE per distinct word (the dictionary is orders of
+      // magnitude smaller than the token stream — at 100 TB it is the only
+      // thing tokenized; per-source totals are an equi-join rollup), and
+      // the corpus baseline is a 1-row broadcast. All ratios are integer
+      // micro/ppm via non-negative DIV.
+      s"""WITH RECURSIVE dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY source, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |tok AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCase("word", "CAST(i AS INT)")}, n + 1
+         |  FROM tok WHERE i <= len(word)),
+         |tc AS (SELECT word, MAX(n) AS n_tok FROM tok GROUP BY word),
+         |s AS (SELECT wc.source,
+         |    CAST(SUM(wc.cnt) AS BIGINT) AS n_words,
+         |    CAST(SUM(wc.cnt * tc.n_tok) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(wc.cnt * len(wc.word)) AS BIGINT) AS n_chars
+         |  FROM wc JOIN tc ON wc.word = tc.word GROUP BY wc.source),
+         |g AS (SELECT CAST(SUM(n_subwords) AS BIGINT) AS gs,
+         |    CAST(SUM(n_words) AS BIGINT) AS gw FROM s)
+         |SELECT source, n_words, n_subwords, n_chars,
+         |  (n_subwords * 1000000) // n_words AS fertility_ppm,
+         |  (n_chars * 1000000) // n_subwords AS cpt_micro,
+         |  (n_subwords * 1000000) // n_words
+         |    - (g.gs * 1000000) // g.gw AS delta_vs_corpus_ppm
+         |FROM s, g ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val wc = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached) // dictionary + per-source totals
+      val tc = wc.select($"word").distinct()
+        .withColumn("n_tok", expr(
+          s"""aggregate(sequence(1, length(word)),
+             |  named_struct('i', 1, 'n', CAST(0 AS BIGINT)),
+             |  (acc, p) -> IF(p <> acc.i, acc, named_struct(
+             |    'i', acc.i + ${stepCase("word", "acc.i")},
+             |    'n', acc.n + CAST(1 AS BIGINT))),
+             |  acc -> acc.n)""".stripMargin))
+      val srcAgg = wc.join(tc, "word")
+        .groupBy($"source")
+        .agg(sum($"cnt").as("n_words"),
+          sum($"cnt" * $"n_tok").as("n_subwords"),
+          sum($"cnt" * length($"word")).as("n_chars"))
+      val g = srcAgg.agg(sum($"n_subwords").as("gs"), sum($"n_words").as("gw"))
+      srcAgg.crossJoin(broadcast(g))
+        .select($"source", $"n_words", $"n_subwords", $"n_chars",
+          expr("(n_subwords * 1000000) div n_words").as("fertility_ppm"),
+          expr("(n_chars * 1000000) div n_subwords").as("cpt_micro"),
+          expr("(n_subwords * 1000000) div n_words - (gs * 1000000) div gw")
+            .as("delta_vs_corpus_ppm"))
+        .orderBy($"source")
+    },
   ) ++ noveltyAndEntropy
 
   private lazy val noveltyAndEntropy: Seq[QueryDef] = Seq(

@@ -479,6 +479,81 @@ object Training {
           $"threshold_micro", $"n_eval", $"n_kept",
           expr("(n_kept * 1000000) div n_eval").as("kept_ppm"))
         .orderBy($"lang")
+    },
+
+    q("q382_data_budget_epochs", {
+      val expSql = detExpMicroSql("m")
+      s"""WITH d AS (SELECT source, lower(text) AS nt,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+         |  FROM documents),
+         |u AS (SELECT source, nt, MIN(wc) AS wc, CAST(COUNT(*) AS BIGINT) AS reps
+         |  FROM d GROUP BY source, nt),
+         |s AS (SELECT source, CAST(SUM(wc * reps) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(wc) AS BIGINT) AS unique_tokens
+         |  FROM u GROUP BY source),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM s),
+         |a AS (SELECT s.*, (200000 // ns.k) AS alloc_tokens,
+         |    ((200000 // ns.k) * 1000000) // s.unique_tokens AS epochs_micro
+         |  FROM s, ns),
+         |e AS (SELECT *,
+         |    -(GREATEST(epochs_micro - 1000000, 0) // 15) AS m FROM a),
+         |x AS (SELECT *, $expSql AS decay FROM e),
+         |f AS (SELECT source, total_tokens, unique_tokens,
+         |    ((total_tokens - unique_tokens) * 1000000) // total_tokens
+         |      AS dup_ppm,
+         |    alloc_tokens, epochs_micro,
+         |    unique_tokens + CAST(FLOOR(CAST(unique_tokens * 15 AS DOUBLE)
+         |      * (CAST(1 AS DOUBLE) - decay) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS effective_tokens
+         |  FROM x)
+         |SELECT source, total_tokens, unique_tokens, dup_ppm, alloc_tokens,
+         |  epochs_micro, effective_tokens,
+         |  (effective_tokens * 1000000) // alloc_tokens AS util_ppm,
+         |  (epochs_micro > 4000000) AS over_four_epochs
+         |FROM f ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Data-constrained token budgeting (Muennighoff et al. 2023): given a
+      // training budget of B tokens split uniformly across sources, how many
+      // EPOCHS does each source run, and what is the repetition-discounted
+      // EFFECTIVE data it contributes? Per source: unique tokens after
+      // normalized exact dedup (the budget repeats unique data, not raw
+      // rows; fixture has no planted raw dups so dup_ppm reads 0 — the
+      // stage is load-bearing on real crawls), epochs = alloc/U in exact
+      // micro units, and the diminishing-returns discount
+      // D' = U + U*R*(1 - exp(-(epochs-1)/R*)) with R* = 15 — the decay
+      // exp runs through the graft_detexp kernel on a STAGED micro column
+      // (never nested — the standing det* rule), so both engines produce
+      // the bit-identical double and one identical floor. over_four_epochs
+      // is the paper's "repeating beyond ~4 epochs is near-worthless"
+      // flag. Shape at 100 TB: dedup is a per-source groupBy (bucketable),
+      // the rest is a |sources|-row table; the single-row source count
+      // broadcasts.
+      val d = T(s, dir, "documents").select($"source",
+        lower($"text").as("nt"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("wc"))
+      val u = d.groupBy($"source", $"nt")
+        .agg(min($"wc").as("wc"), count(lit(1)).as("reps"))
+      val src = u.groupBy($"source")
+        .agg(sum($"wc" * $"reps").as("total_tokens"),
+          sum($"wc").as("unique_tokens"))
+      val ns = src.agg(count(lit(1)).as("k"))
+      val a = src.crossJoin(broadcast(ns))
+        .withColumn("alloc_tokens", expr("200000 div k"))
+        .withColumn("epochs_micro",
+          expr("(alloc_tokens * 1000000) div unique_tokens"))
+        .withColumn("m",
+          expr("-(GREATEST(epochs_micro - 1000000, 0) div 15)"))
+        .withColumn("decay", detExpMicro($"m"))
+        .withColumn("effective_tokens", expr(
+          "unique_tokens + CAST(FLOOR(CAST(unique_tokens * 15 AS DOUBLE) * (CAST(1 AS DOUBLE) - decay) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      a.select($"source", $"total_tokens", $"unique_tokens",
+        expr("((total_tokens - unique_tokens) * 1000000) div total_tokens")
+          .as("dup_ppm"),
+        $"alloc_tokens", $"epochs_micro", $"effective_tokens",
+        expr("(effective_tokens * 1000000) div alloc_tokens").as("util_ppm"),
+        ($"epochs_micro" > 4000000L).as("over_four_epochs"))
+        .orderBy($"source")
     }
   )
 }

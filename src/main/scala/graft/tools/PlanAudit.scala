@@ -783,6 +783,31 @@ object PlanAudit {
       "prefix hash computed map-side before the one aggregation" -> "HashAggregate",
       "no join anywhere" -> "!Join",
       "only text read" -> "ReadSchema: struct<text:string>"),
+    "q380_semantic_decontaminate" -> Seq(
+      "train x test candidates from an equi hash join on (band, bucket)" -> "HashJoin",
+      "no cartesian product (never all-pairs across splits)" -> "!CartesianProduct",
+      "hyperplanes and global scale broadcast" -> "BroadcastNestedLoopJoin"),
+    "q381_fleiss_kappa" -> Seq(
+      "raters are map-side; agreement sums partial-aggregate before the single-row exchange" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only text read" -> "ReadSchema: struct<text:string>"),
+    "q382_data_budget_epochs" -> Seq(
+      "single-row source count broadcast over the per-source table" -> "BroadcastNestedLoopJoin",
+      "dedup + source rollup partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian beyond the 1-row broadcast" -> "!CartesianProduct"),
+    "q383_paired_bootstrap" -> Seq(
+      "per-(doc,replica) weight draw map-side before the 64-row replicate aggregation" -> "HashAggregate",
+      "replicate stats broadcast onto the 1-row point estimate" -> "BroadcastNestedLoopJoin",
+      "no cartesian beyond the 1-row broadcast" -> "!CartesianProduct"),
+    "q384_tokenizer_fertility" -> Seq(
+      "tokenizer applied after the distinct-word dictionary aggregation" -> "HashAggregate",
+      "dictionary joined back by an equi hash join" -> "HashJoin",
+      "corpus baseline broadcast; no cartesian" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q385_incremental_dedup" -> Seq(
+      "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
+      "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
+      "signature agreement partial-aggregates before the verdict join" -> "HashAggregate"),
     "q376_ivf_delta_assign" -> Seq(
       "persisted centroids broadcast into every assignment pass" -> "BroadcastNestedLoopJoin",
       "assignment argmin partial-aggregates map-side" -> "HashAggregate",

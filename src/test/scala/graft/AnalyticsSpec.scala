@@ -494,4 +494,24 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q385 verdict ladder is consistent with its own agreement counts") {
+    // dup_vs_index requires an index collision at >= 8/16; dup_in_batch
+    // requires NO index dup but a smaller-id batch collision at >= 8/16;
+    // admit requires neither. Candidate counts must support the maxima.
+    val rows = try SparkEntry.queries("q385_incremental_dedup")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mi = r.getAs[Long]("max_match_index")
+      val mb = r.getAs[Long]("max_match_batch")
+      val v = r.getAs[String]("verdict")
+      assert(mi <= 16 && mb <= 16)
+      if (mi > 0) assert(r.getAs[Long]("n_index_cand") >= 1)
+      if (mb > 0) assert(r.getAs[Long]("n_batch_cand") >= 1)
+      val expect = if (mi >= 8) "dup_vs_index"
+        else if (mb >= 8) "dup_in_batch" else "admit"
+      assert(v == expect, s"doc ${r.getAs[Long]("doc_id")}: $v != $expect")
+    }
+  }
 }

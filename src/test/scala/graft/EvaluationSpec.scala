@@ -222,4 +222,35 @@ class EvaluationSpec extends AnyFunSuite {
     try assert(rows.length == 20 && rows.forall(_.getAs[Double]("lift") > 0))
     finally CacheScope.release()
   }
+
+  test("q381 Fleiss kappa is internally consistent with its own counts") {
+    // The single-division form must equal the textbook
+    // (P_bar - P_e) / (1 - P_e) recomputed in double from the emitted
+    // BIGINT counts, and the marginals must partition 3N ratings.
+    val r = try SparkEntry.queries("q381_fleiss_kappa")(spark, dir).head()
+    finally CacheScope.release()
+    val n = r.getAs[Long]("n_items"); val s = r.getAs[Long]("sum_sq")
+    val (c0, c1, c2) = (r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+    assert(c0 + c1 + c2 == 3 * n, "marginals partition the 3N ratings")
+    assert(s >= 3 * n && s <= 9 * n, "per-item agreement sum in [3N, 9N]")
+    val pBar = (s - 3.0 * n) / (6.0 * n)
+    val pE = (c0.toDouble * c0 + c1.toDouble * c1 + c2.toDouble * c2) / (9.0 * n * n)
+    val kappa = (pBar - pE) / (1 - pE)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-6)
+    assert(kappa <= 1.0)
+  }
+
+  test("q383 paired bootstrap replicate stats bound the point estimate") {
+    val r = try SparkEntry.queries("q383_paired_bootstrap")(spark, dir).head()
+    finally CacheScope.release()
+    val wins = r.getAs[Long]("a_wins_ppm")
+    assert(wins >= 0L && wins <= 1000000L)
+    assert(r.getAs[Long]("n_replicas") == 64L,
+      "every Poisson(1) replicate draws at least one nonzero weight at this n")
+    val (lo, hi) = (r.getAs[Long]("min_diff_nano"), r.getAs[Long]("max_diff_nano"))
+    assert(lo <= hi)
+    // resampling means straddle the full-sample mean on any non-degenerate set
+    val pt = r.getAs[Long]("point_diff_nano")
+    assert(pt >= lo - math.abs(pt) && pt <= hi + math.abs(pt))
+  }
 }

@@ -42,6 +42,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
   }
 
+  test("q380 decontamination flags only train docs, against only test docs") {
+    // Split-membership law the hash oracle can't state: every flagged vec
+    // must be in the md5 train split, every cited collision in the test
+    // split, and every reported worst-case cos^2 must clear the stated
+    // 0.09 (cos >= 0.3) threshold.
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+    }
+    val q380 = SparkEntry.all.find(_.name == "q380_semantic_decontaminate").get
+    val rows = try q380.run(spark, dir).collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(split(r.getAs[Long]("vec_id")) == "train")
+      assert(split(r.getAs[Long]("first_test_id")) == "test")
+      assert(r.getAs[Long]("max_cos2_ppm") >= 90000L)
+      assert(r.getAs[Long]("n_test_matches") >= 1L)
+    }
+  }
+
   test("q94 streaming sessions are invariant to the JVM default timezone") {
     // Timestamp.toString renders in the JVM default TZ; interpolating it
     // into a SQL literal shifted the sentinel/flush events on non-UTC JVMs

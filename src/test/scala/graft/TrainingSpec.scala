@@ -91,4 +91,23 @@ class TrainingSpec extends AnyFunSuite {
     val keptPpm = en.getAs[Long]("kept_ppm")
     assert(keptPpm >= 800000L, s"en kept_ppm $keptPpm way below nominal 90%")
   }
+
+  test("q382: effective data sits between unique tokens and the raw allocation") {
+    // D' = U + U*R*(1 - exp(-(R-1)/R*)) obeys U <= D' <= alloc whenever a
+    // source runs at least one epoch (R*(1-e^(-x/R*)) <= x), and the
+    // 4-epoch flag must agree with the emitted epochs_micro.
+    val rows = run("q382_data_budget_epochs")
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("unique_tokens")
+      val eff = r.getAs[Long]("effective_tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val ep = r.getAs[Long]("epochs_micro")
+      assert(eff >= u, "repetition can only add effective data")
+      if (ep >= 1000000L)
+        assert(eff <= alloc, s"effective $eff exceeds allocation $alloc")
+      assert(r.getAs[Boolean]("over_four_epochs") == (ep > 4000000L))
+      assert(r.getAs[Long]("util_ppm") <= 1000000L || ep < 1000000L)
+    }
+  }
 }
