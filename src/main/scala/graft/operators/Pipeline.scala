@@ -1355,5 +1355,65 @@ object Pipeline {
           $"hit_ppm")
         .orderBy($"cluster_size")
     },
+
+    q("q387_watermark_screen",
+      // Synthetic-text watermark screen — the curation pass that keeps
+      // model-generated text out of the next model's training set
+      // (Kirchenbauer et al. 2023: a watermarked generator biases each
+      // token toward a "green list" keyed by the previous token's hash;
+      // the detector needs only the hash rule, not the model). Every
+      // bigram position is green iff polyhash(prev·' '·next) is even —
+      // natural text sits at ~1/2 green; watermarked text shows excess.
+      // The per-doc flag is the z >= 3 one-sided test stated as a pure
+      // integer cross-multiplication ((2g-n) >= 0 AND (2g-n)^2 >= 9n — no
+      // float sqrt, no per-doc IEEE at all), and the per-source readout
+      // carries the signed squared z in ppm ((2G-N)^2·1e6 // N, negated
+      // when the bias runs anti-green). On this natural-text fixture every
+      // source reads ~470k green ppm and zero flags — the correct null
+      // result; the planted-watermark law in AnalyticsSpec proves the
+      // detector fires. Map-side hashing + one source aggregation;
+      // 100 TB-trivial.
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, source, unnest(list_transform(range(len(w)-1),
+         |    i -> w[CAST(i+1 AS INT)]||' '||w[CAST(i+2 AS INT)])) AS bgm
+         |  FROM w),
+         |gr AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN (${duckPolyHash("bgm")}) % 2 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS g
+         |  FROM bg GROUP BY 1, 2),
+         |d AS (SELECT *, 2*g - n AS b FROM gr)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_pos, CAST(SUM(g) AS BIGINT) AS n_green,
+         |  (SUM(g) * 1000000) // SUM(n) AS green_ppm,
+         |  CASE WHEN SUM(b) >= 0
+         |    THEN (SUM(b)*SUM(b)*1000000) // SUM(n)
+         |    ELSE -((SUM(b)*SUM(b)*1000000) // SUM(n)) END AS z2_signed_ppm,
+         |  CAST(SUM(CASE WHEN b >= 0 AND b*b >= 9*n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged
+         |FROM d GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val w = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 2)
+      val gr = w.select($"doc_id", $"source", explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .as("bgm"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(expr("graft_polyhash(bgm) % 2 = 0"), 1L).otherwise(0L))
+            .as("g"))
+        .withColumn("b", lit(2) * $"g" - $"n")
+      gr.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_pos"),
+          sum($"g").as("n_green"),
+          expr("(SUM(g) * 1000000) div SUM(n)").as("green_ppm"),
+          expr("CASE WHEN SUM(b) >= 0 THEN (SUM(b)*SUM(b)*1000000) div SUM(n) " +
+            "ELSE -((SUM(b)*SUM(b)*1000000) div SUM(n)) END").as("z2_signed_ppm"),
+          sum(when($"b" >= 0 && $"b" * $"b" >= lit(9) * $"n", 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy($"source")
+    },
   )
 }

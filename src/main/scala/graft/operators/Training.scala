@@ -554,6 +554,87 @@ object Training {
         expr("(effective_tokens * 1000000) div alloc_tokens").as("util_ppm"),
         ($"epochs_micro" > 4000000L).as("over_four_epochs"))
         .orderBy($"source")
+    },
+
+    q("q386_preference_cycles",
+      // Preference-transitivity audit — the annotation-quality gate run on
+      // pairwise comparison data BEFORE fitting q365's Bradley-Terry: if
+      // the majority-vote tournament has many cyclic triads (A>B>C>A), the
+      // preferences are noisy/inconsistent and the fitted strengths mean
+      // little (Kendall & Babington Smith 1940). Votes are q365's
+      // transitions (A->B votes "B over A"); each unordered pair gets its
+      // strict majority direction (ties drop); cyclic triads come from a
+      // triple join over the DECIDED edge set — bounded by |event types|^2
+      // edges, so the triple join is tiny however big the event stream —
+      // and, as a self-certifying cross-check, Kendall's closed form
+      // d = C(k,3) - sum C(outdeg,2) is emitted beside it (equal whenever
+      // the tournament is complete, as it is here: the one corpus-sized
+      // pass is the q365 transition window; everything after runs on the
+      // bounded pair table).
+      s"""WITH tr AS (SELECT user_id,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    event_type AS nxt
+         |  FROM events),
+         |wm AS (SELECT nxt AS wi, prev AS lo, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM tr WHERE prev IS NOT NULL AND prev <> nxt GROUP BY 1, 2),
+         |e AS (SELECT a.wi, a.lo FROM wm a LEFT JOIN wm b
+         |    ON b.wi = a.lo AND b.lo = a.wi
+         |  WHERE a.w > COALESCE(b.w, 0)),
+         |k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+         |  FROM events),
+         |cyc AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e e1
+         |  JOIN e e2 ON e2.lo = e1.wi
+         |  JOIN e e3 ON e3.lo = e2.wi AND e3.wi = e1.lo
+         |  WHERE e1.lo < e1.wi AND e1.lo < e2.wi),
+         |od AS (SELECT CAST(SUM((d*(d-1))//2) AS BIGINT) AS s
+         |  FROM (SELECT wi, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY wi)),
+         |ud AS (SELECT LEAST(wi, lo) AS a, GREATEST(wi, lo) AS b FROM e),
+         |dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ud p1
+         |  JOIN ud p2 ON p2.a = p1.b
+         |  JOIN ud p3 ON p3.a = p1.a AND p3.b = p2.b)
+         |SELECT k.k AS n_items, (k.k*(k.k-1))//2 AS n_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_decided,
+         |  dt.t AS decided_triples, cyc.c AS cyclic_triads,
+         |  (k.k*(k.k-1)*(k.k-2))//6 - od.s AS kendall_cyclic,
+         |  ((dt.t - cyc.c) * 1000000) // dt.t AS consistency_ppm
+         |FROM k, cyc, od, dt""") { (s, dir) =>
+      import s.implicits._
+      val tr = T(s, dir, "events")
+        .withColumn("prev", lag($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      val wm = tr.filter($"prev".isNotNull && $"prev" =!= $"event_type")
+        .groupBy($"event_type".as("wi"), $"prev".as("lo"))
+        .agg(count(lit(1)).as("w"))
+      val e = wm.as("a").join(wm.as("b"),
+          $"b.wi" === $"a.lo" && $"b.lo" === $"a.wi", "left")
+        .filter($"a.w" > coalesce($"b.w", lit(0L)))
+        .select($"a.wi".as("wi"), $"a.lo".as("lo"))
+        .transform(graft.CacheScope.cached) // tiny: |types|^2 bound
+      val k = T(s, dir, "events")
+        .agg(countDistinct($"event_type").as("k"))
+      val cyc = e.as("e1")
+        .join(e.as("e2"), $"e2.lo" === $"e1.wi")
+        .join(e.as("e3"), $"e3.lo" === $"e2.wi" && $"e3.wi" === $"e1.lo")
+        .filter($"e1.lo" < $"e1.wi" && $"e1.lo" < $"e2.wi")
+        .agg(count(lit(1)).as("c"))
+      val od = e.groupBy($"wi").agg(count(lit(1)).as("d"))
+        .agg(sum(expr("(d * (d - 1)) div 2")).as("s"))
+      val ud = e.select(least($"wi", $"lo").as("a"),
+        greatest($"wi", $"lo").as("b"))
+      val dt = ud.as("p1")
+        .join(ud.as("p2"), $"p2.a" === $"p1.b")
+        .join(ud.as("p3"), $"p3.a" === $"p1.a" && $"p3.b" === $"p2.b")
+        .agg(count(lit(1)).as("t"))
+      val nd = e.agg(count(lit(1)).as("n_decided"))
+      k.crossJoin(broadcast(cyc)).crossJoin(broadcast(od))
+        .crossJoin(broadcast(dt)).crossJoin(broadcast(nd))
+        .select($"k".as("n_items"),
+          expr("(k * (k - 1)) div 2").as("n_pairs"),
+          $"n_decided",
+          $"t".as("decided_triples"), $"c".as("cyclic_triads"),
+          expr("(k * (k - 1) * (k - 2)) div 6 - s").as("kendall_cyclic"),
+          expr("((t - c) * 1000000) div t").as("consistency_ppm"))
     }
   )
 }

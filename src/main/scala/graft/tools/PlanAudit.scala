@@ -804,6 +804,14 @@ object PlanAudit {
       "dictionary joined back by an equi hash join" -> "HashJoin",
       "corpus baseline broadcast; no cartesian" -> "!CartesianProduct",
       "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q386_preference_cycles" -> Seq(
+      "one user-keyed transition window is the only corpus-sized pass" -> "Window",
+      "cycle/triple joins run on the bounded majority-edge set" -> "HashJoin",
+      "only ts, event_id, user_id, event_type read" -> "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+    "q387_watermark_screen" -> Seq(
+      "bigram hashing map-side before the doc aggregation" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -514,4 +514,35 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(v == expect, s"doc ${r.getAs[Long]("doc_id")}: $v != $expect")
     }
   }
+
+  test("q387 detector fires on a planted watermarked doc, stays silent on the fixture") {
+    // Simulate the watermarked generator: at each step pick whichever of
+    // two candidate words makes the (prev, next) bigram green under the
+    // SAME hash rule the detector uses. 100% green at n=99 positions gives
+    // (2g-n)^2 = n^2 >> 9n — the integer flag must fire. The fixture
+    // (natural text) must keep all sources unflagged.
+    def green(prev: String, next: String): Boolean =
+      graft.functions.GraftExpressions.polyHashBytes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          prev + " " + next)) % 2 == 0
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val words = Iterator.iterate(List("alpha")) { acc =>
+      val cand = vocab.find(green(acc.head, _)).getOrElse(vocab.head)
+      cand :: acc
+    }.drop(99).next().reverse
+    val n = words.length - 1
+    val g = words.sliding(2).count { case Seq(a, b) => green(a, b) }
+    assert(g >= 80, s"greedy green generator only hit $g/$n") // ~1/16 dead-end rate per step
+    val b = 2L * g - n
+    assert(b >= 0 && b * b >= 9L * n, "planted doc must clear the z>=3 flag")
+    val rows = try SparkEntry.queries("q387_watermark_screen")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") == 0L,
+        s"natural-text source ${r.getAs[String]("source")} falsely flagged")
+      val ppm = r.getAs[Long]("green_ppm")
+      assert(ppm > 350000L && ppm < 650000L, s"natural green_ppm $ppm off 1/2")
+    }
+  }
 }
