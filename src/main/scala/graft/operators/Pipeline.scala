@@ -1415,5 +1415,141 @@ object Pipeline {
             .as("n_flagged"))
         .orderBy($"source")
     },
+
+    q("q388_streaming_watermark", {
+      // Streaming twin of q387 through the engine's source — the shape a
+      // live ingest gate takes: per-doc green counts and the integer z>=3
+      // flag are computed MAP-SIDE on each micro-batch's rows (one row =
+      // one document, so the flag needs no cross-batch state at all), and
+      // the per-source screen is a complete-mode keyed aggregation whose
+      // state is four counters per source forever. The oracle is q387's
+      // batch statement over the same documents: streamed counters must
+      // equal the batch aggregation exactly.
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, source, unnest(list_transform(range(len(w)-1),
+         |    i -> w[CAST(i+1 AS INT)]||' '||w[CAST(i+2 AS INT)])) AS bgm
+         |  FROM w),
+         |gr AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN (${duckPolyHash("bgm")}) % 2 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS g
+         |  FROM bg GROUP BY 1, 2),
+         |d AS (SELECT *, 2*g - n AS b FROM gr)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_pos, CAST(SUM(g) AS BIGINT) AS n_green,
+         |  CAST(SUM(CASE WHEN b >= 0 AND b*b >= 9*n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged
+         |FROM d GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val root = graft.LogFixtures.producedLog(dir, "q388") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "documents")
+            .withColumn("wz", split($"text", " "))
+            .filter(size($"wz") >= 2)
+            .select((lit(1700000000000L) + $"doc_id").as("ms"),
+              $"doc_id", $"source", $"text"),
+          "ms", r, "docs", orderCols = Seq("doc_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q388", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "docs")
+          .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "3000")
+          .load()
+          .withColumn("w", split($"text", " "))
+          .withColumn("stats", expr(
+            """aggregate(transform(sequence(1, size(w) - 1),
+              |  i -> IF(graft_polyhash(concat(w[i-1], ' ', w[i])) % 2 = 0, 1, 0)),
+              |  named_struct('n', CAST(0 AS BIGINT), 'g', CAST(0 AS BIGINT)),
+              |  (acc, x) -> named_struct('n', acc.n + CAST(1 AS BIGINT),
+              |    'g', acc.g + CAST(x AS BIGINT)))""".stripMargin))
+          .select($"source", $"stats.n".as("n"), $"stats.g".as("g"))
+          .withColumn("b", lit(2) * $"g" - $"n")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_pos"),
+            sum($"g").as("n_green"),
+            sum(when($"b" >= 0 && $"b" * $"b" >= lit(9) * $"n", 1L)
+              .otherwise(0L)).as("n_flagged"))
+      }.orderBy($"source")
+    },
+
+    q("q389_spec_decode_acceptance", {
+      val sp = splitCaseDuck("doc_id")
+      val r6 = graft.ColFns.r6Sql(
+        "CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a)))")
+      s"""WITH w AS (SELECT doc_id, source, $sp AS sp,
+         |    string_split(text, ' ') AS w
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, source, sp,
+         |    unnest(list_transform(range(len(w)-1), i ->
+         |      {'w1': w[CAST(i+1 AS INT)], 'w2': w[CAST(i+2 AS INT)]})) AS b
+         |  FROM w),
+         |bgf AS (SELECT source, sp, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |tc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bgf
+         |  WHERE sp = 'train' GROUP BY 1, 2),
+         |dr AS (SELECT w1, w2 AS pred FROM (SELECT w1, w2,
+         |    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+         |  FROM tc) WHERE rn = 1),
+         |ev AS (SELECT bgf.source, CAST(COUNT(*) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN dr.pred = bgf.w2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_accept
+         |  FROM bgf LEFT JOIN dr ON dr.w1 = bgf.w1
+         |  WHERE bgf.sp = 'test' GROUP BY bgf.source),
+         |ar AS (SELECT source, n_pos, n_accept,
+         |    (n_accept * 1000000) // n_pos AS accept_ppm,
+         |    CAST(n_accept AS DOUBLE) / CAST(n_pos AS DOUBLE) AS a
+         |  FROM ev)
+         |SELECT source, n_pos, n_accept, accept_ppm,
+         |  $r6 AS tokens_per_step
+         |FROM ar ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Speculative-decoding acceptance estimator — the serving-economics
+      // readout next to q379's prefix-cache share: if a cheap draft model
+      // proposes tokens and the target verifies, throughput scales with the
+      // draft's acceptance rate (Leviathan et al. 2023). The corpus-side
+      // proxy: train a bigram-argmax draft on the md5 TRAIN split (the
+      // deterministic argmax: count desc, word asc), measure on the TEST
+      // split the fraction of next-words the draft gets right; unseen
+      // contexts count as rejects (LEFT JOIN null never equals). The
+      // gamma=4 expected accepted-run length (1-a^5)/(1-a) is emitted via
+      // the Horner 1+a(1+a(1+a(1+a))) — the SAME IEEE op sequence in both
+      // engines off one staged division, r6-rounded. Scale shape: the
+      // transition table is vocabulary^2-bounded and aggregates map-side;
+      // the draft table (one row per w1) joins by hash equi-join; nothing
+      // corpus-sized shuffles twice.
+      val sp = splitCaseSpark("doc_id")
+      val bgf = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 2)
+        .withColumn("sp", expr(sp))
+        .select($"source", $"sp", explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+          .as("b"))
+        .select($"source", $"sp", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .transform(graft.CacheScope.cached) // train counts + test eval
+      val dr = bgf.filter($"sp" === "train")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"w1").orderBy($"c".desc, $"w2")))
+        .filter($"rn" === 1)
+        .select($"w1", $"w2".as("pred"))
+      val ev = bgf.filter($"sp" === "test")
+        .join(dr, Seq("w1"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when($"pred" === $"w2", 1L).otherwise(0L)).as("n_accept"))
+      ev.withColumn("accept_ppm", expr("(n_accept * 1000000) div n_pos"))
+        .withColumn("a",
+          $"n_accept".cast("double") / $"n_pos".cast("double"))
+        .select($"source", $"n_pos", $"n_accept", $"accept_ppm",
+          graft.ColFns.r6(expr(
+            "CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a*(CAST(1 AS DOUBLE) + a)))"))
+            .as("tokens_per_step"))
+        .orderBy($"source")
+    },
   )
 }

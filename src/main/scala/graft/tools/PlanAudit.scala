@@ -812,6 +812,11 @@ object PlanAudit {
       "bigram hashing map-side before the doc aggregation" -> "HashAggregate",
       "no join anywhere" -> "!Join",
       "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q389_spec_decode_acceptance" -> Seq(
+      "draft argmax is a per-context (vocabulary-bounded) rank window" -> "Window",
+      "draft table joined by an equi hash join" -> "HashJoin",
+      "no cartesian product" -> "!CartesianProduct",
+      "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
