@@ -53,9 +53,25 @@ final case class ConsumerConfig(
     raiseErrors: Boolean = true,
     ordered: Boolean = true,
     drainAndStop: Boolean = false,
-    supTimeoutMs: Long = 5000L) {
+    supTimeoutMs: Long = 5000L,
+    // Dead-letter queue (engine extension; the reference's errored message
+    // stays in the PEL forever, /root/reference/lib/redix/stream/
+    // consumer.ex:206-216 — at scale that is a crash loop or an unbounded
+    // pending set): after `maxDeliveries` FAILED deliveries of one message,
+    // route it to `deadLetterStream` (same log root) with provenance
+    // metadata and ack it, whatever `raiseErrors` says. Requires group mode
+    // — delivery counts live in the ledger, like the PEL they generalize.
+    maxDeliveries: Option[Int] = None,
+    deadLetterStream: Option[String] = None) {
 
   require(timeoutMs >= 0, s"timeoutMs must be >= 0 (0 = block forever), got $timeoutMs")
+  require(maxDeliveries.forall(_ >= 1), s"maxDeliveries must be >= 1, got $maxDeliveries")
+  require(deadLetterStream.isEmpty || (groupName.isDefined && maxDeliveries.isDefined),
+    "deadLetterStream requires group mode (the delivery counter lives in the " +
+      "group ledger) and an explicit maxDeliveries")
+  require(deadLetterStream.forall(d => !streams.contains(d)),
+    s"deadLetterStream $deadLetterStream must not be one of the consumed streams " +
+      "(a poison message would cycle forever)")
 
   def resolvedStartingOffsets: String = startPos match {
     case "default" => "latest"
@@ -94,9 +110,25 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)).toSet
   }
 
+  private val failsFile = dir.resolve(s"fails-$writerTag.log")
+
+  /** Multiset of a prefix's records across every writer — the delivery
+    * failure counter must survive restarts (a poison message's whole point
+    * is that it keeps crashing consumers), so each failure appends a line
+    * and the count is line-occurrences.
+    */
+  private def readCounts(prefix: String): Map[String, Int] = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+    files.iterator.flatMap(f =>
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty))
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
   // In-memory mirror of this writer's view; files are the restart truth.
   private var ackedSet: Set[String] = readSet("acks-")
   private var pendingSet: Set[String] = readSet("pending-")
+  private var failCounts: Map[String, Int] = readCounts("fails-")
 
   private def appendLine(p: Path, line: String): Unit =
     Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
@@ -117,15 +149,24 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
     */
   def compact(unreachable: String => Boolean): Unit = synchronized {
     val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-    val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString)
+    val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString,
+      failsFile.getFileName.toString)
     val others = all.filter(f => !mine.contains(f.getName))
     val retained = ackedSet.filter(id =>
       pendingSet.contains(id) || !unreachable(id))
-    if (others.nonEmpty || retained.size != ackedSet.size) {
+    // failure counts for acked (resolved) messages are unreachable too —
+    // an acked id never dispatches again, so its counter can never matter
+    val retainedFails = failCounts.filter { case (id, _) => !ackedSet.contains(id) }
+    if (others.nonEmpty || retained.size != ackedSet.size ||
+        retainedFails.size != failCounts.size) {
       ackedSet = retained
+      failCounts = retainedFails
       Files.write(acksFile, (ackedSet.toSeq.sorted.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
       Files.write(pendingFile, (pendingSet.toSeq.sorted.mkString("", "\n", "\n"))
+        .getBytes(StandardCharsets.UTF_8))
+      Files.write(failsFile, failCounts.toSeq.sorted
+        .flatMap { case (k, n) => Seq.fill(n)(k) }.mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
       others.foreach(f => Files.deleteIfExists(f.toPath))
     }
@@ -139,6 +180,18 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
   def defer(id: String): Unit = synchronized {
     pendingSet += id; appendLine(pendingFile, id)
   }
+
+  /** Record one failed delivery; returns the total failure count for the
+    * key (across restarts and writers).
+    */
+  def fail(id: String): Int = synchronized {
+    val n = failCounts.getOrElse(id, 0) + 1
+    failCounts = failCounts.updated(id, n)
+    appendLine(failsFile, id)
+    n
+  }
+
+  def failures(id: String): Int = synchronized(failCounts.getOrElse(id, 0))
 }
 
 /** A running consumer: the Spark rebuild of the reference's Consumer
@@ -152,6 +205,8 @@ final class GraftConsumer(
     handler: (String, Option[String], String, Map[String, String]) => HandlerResult) {
 
   private val ledger: Option[AckLedger] = cfg.ledgerDir.map(new AckLedger(_))
+  private lazy val deadLetterWriter: Option[graft.log.LogWriter] =
+    cfg.deadLetterStream.map(d => new graft.log.LogWriter(cfg.logRoot, d))
   @volatile private var query: Option[StreamingQuery] = None
 
   /** Manual ack for `Defer`red messages (≙ `Consumer.ack/2`,
@@ -174,7 +229,22 @@ final class GraftConsumer(
         case HandlerResult.Ok => ledger.foreach(_.ack(key))
         case HandlerResult.Defer => ledger.foreach(_.defer(key))
         case HandlerResult.Err(cause) =>
-          if (cfg.raiseErrors) throw cause
+          // dead-letter routing: count the failed delivery first; once a
+          // message has failed maxDeliveries times it is poison — park it
+          // in the DLQ stream with provenance and ack it, BEFORE any
+          // raise, so a crash-looping consumer breaks the loop on the
+          // delivery after the limit instead of crashing forever.
+          val attempts = ledger.map(_.fail(key)).getOrElse(0)
+          val poison = cfg.deadLetterStream.isDefined &&
+            cfg.maxDeliveries.exists(attempts >= _)
+          if (poison) {
+            deadLetterWriter.foreach(_.produce(values ++ Map(
+              "__dlq_stream" -> stream,
+              "__dlq_id" -> id,
+              "__dlq_attempts" -> attempts.toString,
+              "__dlq_error" -> String.valueOf(cause.getMessage))))
+            ledger.foreach(_.ack(key))
+          } else if (cfg.raiseErrors) throw cause
           // non-raising error in group mode: leave the id unacked-but-pending
           // (≙ the reference's errored message staying in the PEL,
           // /root/reference/lib/redix/stream/consumer.ex:206-216) so

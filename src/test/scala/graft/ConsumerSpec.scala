@@ -154,6 +154,83 @@ class ConsumerSpec extends AnyFunSuite {
     assert(invocations.toList == List("x", "x"))
   }
 
+  test("poison message parks in the dead-letter stream after maxDeliveries, then stays gone") {
+    import graft.log.{LogId, LogStore}
+    // Delivery 1 fails -> pending (the PEL path). The restart's drain is
+    // delivery 2 = maxDeliveries: the message must be appended ONCE to the
+    // DLQ stream with provenance metadata and acked; a third restart must
+    // not dispatch it again.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "good"))
+    val pid = w.produce(Map("job" -> "poison")).toString
+    val shared = cfg(root, "s", Some("g1")).copy(
+      raiseErrors = false, maxDeliveries = Some(2), deadLetterStream = Some("dlq"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    val handler: (String, Option[String], String, Map[String, String]) => HandlerResult =
+      (_, _, _, values) =>
+        if (values("job") == "poison") HandlerResult.Err(new RuntimeException("boom"))
+        else { seen += values("job"); HandlerResult.Ok }
+    ConsumerRunner.runSupervised(spark, shared, handler,
+      until = _ => seen.nonEmpty).stop()
+    assert(LogStore.readRange(root, "dlq", LogId.Zero,
+      LogStore.maxId(root, "dlq")).isEmpty, "one failure must not dead-letter yet")
+    ConsumerRunner.runSupervised(spark, shared, handler, until = _ => true).stop()
+    val dlq = LogStore.readRange(root, "dlq", LogId.Zero, LogStore.maxId(root, "dlq"))
+    assert(dlq.size == 1, s"exactly one dead-lettered entry, got ${dlq.size}")
+    assert(dlq.head.values("job") == "poison")
+    assert(dlq.head.values("__dlq_stream") == "s")
+    assert(dlq.head.values("__dlq_id") == pid)
+    assert(dlq.head.values("__dlq_attempts") == "2")
+    assert(dlq.head.values("__dlq_error") == "boom")
+    // parked = acked: a further restart neither re-dispatches nor re-parks
+    val invocations = mutable.ArrayBuffer.empty[String]
+    ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Ok },
+      until = _ => true).stop()
+    assert(!invocations.contains("poison"), "parked message must stay gone")
+    assert(LogStore.readRange(root, "dlq", LogId.Zero,
+      LogStore.maxId(root, "dlq")).size == 1)
+  }
+
+  test("dead-letter routing breaks a raiseErrors crash loop") {
+    import graft.log.{LogId, LogStore}
+    // raiseErrors=true: each delivery of the poison message crashes the
+    // query and the supervisor restarts it — the reference's PEL would
+    // crash-loop forever. With maxDeliveries=3 the third delivery must
+    // route to the DLQ INSTEAD of raising, the loop ends, and the healthy
+    // message processes.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "poison"))
+    w.produce(Map("job" -> "good"))
+    val shared = cfg(root, "s", Some("g1")).copy(
+      raiseErrors = true, maxDeliveries = Some(3), deadLetterStream = Some("dlq"))
+    val seen = mutable.ArrayBuffer.empty[String]
+    ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) =>
+        if (values("job") == "poison") HandlerResult.Err(new RuntimeException("boom"))
+        else { seen += values("job"); HandlerResult.Ok },
+      maxRestarts = 5, until = _ => seen.contains("good")).stop()
+    val dlq = LogStore.readRange(root, "dlq", LogId.Zero, LogStore.maxId(root, "dlq"))
+    assert(dlq.size == 1 && dlq.head.values("__dlq_attempts") == "3")
+    assert(seen.contains("good"), "healthy traffic must flow once the poison parks")
+  }
+
+  test("DLQ config is rejected without group mode or with a self-referential stream") {
+    intercept[IllegalArgumentException] {
+      cfg("/tmp/x", "s", None).copy(
+        maxDeliveries = Some(2), deadLetterStream = Some("dlq"))
+    }
+    intercept[IllegalArgumentException] {
+      cfg("/tmp/x", "s", Some("g")).copy(deadLetterStream = Some("dlq"))
+    }
+    intercept[IllegalArgumentException] {
+      cfg("/tmp/x", "s", Some("g")).copy(
+        maxDeliveries = Some(2), deadLetterStream = Some("s"))
+    }
+  }
+
   test("group consumer starting at latest skips history") {
     // ≙ consumer_test.exs:282-322 (group from :end_of_stream)
     val root = TestSpark.tmpDir("log")
