@@ -1416,6 +1416,71 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    q("q392_dataset_card", {
+      val m = qualityMetricsDuck("w").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, source, lang, lower(text) AS nt,
+         |    string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT source, lang, nt, n_words,
+         |    CASE WHEN $QualityKeep THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT source, lang, nt, $m FROM b)),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(keep) AS BIGINT) AS n_keep,
+         |    CAST(COUNT(DISTINCT nt) AS BIGINT) AS n_distinct_texts
+         |  FROM q GROUP BY source),
+         |l AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY COUNT(*) DESC, lang) AS rn
+         |  FROM b GROUP BY source, lang),
+         |tl AS (SELECT source, lang AS top_lang, c AS top_lang_docs
+         |  FROM l WHERE rn = 1)
+         |SELECT s.source, s.n_docs, s.n_tokens,
+         |  (s.n_tokens * 1000000) // s.n_docs AS mean_tokens_micro,
+         |  tl.top_lang, (tl.top_lang_docs * 1000000) // s.n_docs
+         |    AS top_lang_ppm,
+         |  (s.n_keep * 1000000) // s.n_docs AS keep_ppm,
+         |  ((s.n_docs - s.n_distinct_texts) * 1000000) // s.n_docs
+         |    AS dup_ppm
+         |FROM s JOIN tl ON tl.source = s.source ORDER BY s.source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // The dataset card — "Datasheets for Datasets" (Gebru et al. 2021)
+      // distilled to the per-source table a release actually ships: volume
+      // (docs, tokens, mean length), language composition (majority lang +
+      // share), quality (the q129/q133 integer gate pass rate), and
+      // within-source exact duplication (normalized text). Every number is
+      // an exact BIGINT or a ppm floor DIV — the card is diffable across
+      // releases (q307's shadow-gate pattern applies verbatim). One scan
+      // feeds both rollups; the language majority is a per-source rank
+      // over a |sources|x|langs| table. The composed release pipeline
+      // (q323) emits data; this emits its documentation.
+      val b = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"lang", lower($"text").as("nt"),
+          split($"text", " ").as("w"))
+        .transform(graft.CacheScope.cached) // stats + language rollups
+      val q0 = b.selectExpr(Seq("source", "lang", "nt") ++
+          qualityMetricsSpark("w"): _*)
+        .withColumn("keep", when(expr(QualityKeep), 1L).otherwise(0L))
+      val st = q0.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"),
+          sum($"keep").as("n_keep"),
+          countDistinct($"nt").as("n_distinct_texts"))
+      val tl = b.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
+        .filter($"rn" === 1)
+        .select($"source", $"lang".as("top_lang"), $"c".as("top_lang_docs"))
+      st.join(tl, "source")
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_micro"),
+          $"top_lang",
+          expr("(top_lang_docs * 1000000) div n_docs").as("top_lang_ppm"),
+          expr("(n_keep * 1000000) div n_docs").as("keep_ppm"),
+          expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")
+            .as("dup_ppm"))
+        .orderBy($"source")
+    },
+
     q("q388_streaming_watermark", {
       // Streaming twin of q387 through the engine's source — the shape a
       // live ingest gate takes: per-doc green counts and the integer z>=3

@@ -1524,5 +1524,88 @@ object Similarity {
           min($"tb").as("first_test_id"))
         .orderBy($"vec_id")
     },
+
+    q("q390_knn_ood", {
+      val sp = graft.functions.TextHash.splitCaseDuck("vec_id")
+      s"""WITH c AS (SELECT vec_id cid, embedding ce FROM embeddings
+         |           WHERE vec_id % 25 = 0),
+         |v AS (SELECT vec_id, embedding, $sp AS sp FROM embeddings),
+         |ref AS (SELECT vec_id, embedding FROM v WHERE sp = 'train'),
+         |qs AS (SELECT vec_id, embedding FROM v WHERE sp = 'test'),
+         |ra AS (SELECT r.vec_id, cid FROM (SELECT r.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |      ORDER BY ${duckDot("r.embedding", "c.ce")} DESC, c.cid) rn
+         |  FROM ref r, c) r WHERE rn = 1),
+         |qp AS (SELECT vec_id q_id, cid FROM (SELECT q.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDot("q.embedding", "c.ce")} DESC, c.cid) rn
+         |  FROM qs q, c) q WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id cand_id FROM qp p
+         |         JOIN ra a ON a.cid = p.cid),
+         |sc AS (SELECT q_id, cand_id,
+         |    ${duckDot("qv.embedding", "rv.embedding")} AS sim
+         |  FROM cand JOIN qs qv ON qv.vec_id = cand.q_id
+         |            JOIN ref rv ON rv.vec_id = cand.cand_id),
+         |rk AS (SELECT q_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, cand_id) rn FROM sc),
+         |agg AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |    MAX(CASE WHEN rn = 3 THEN sim END) AS s3 FROM rk GROUP BY q_id)
+         |SELECT q.vec_id AS q_id,
+         |  COALESCE(a.n_cand, 0) AS n_cand,
+         |  ${graft.ColFns.r6Sql("a.s3")} AS knn3_sim,
+         |  (a.n_cand IS NULL OR a.n_cand < 3
+         |    OR a.s3 < CAST(0.1 AS DOUBLE)) AS is_ood
+         |FROM qs q LEFT JOIN agg a ON a.q_id = q.vec_id
+         |ORDER BY q_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // kNN-distance OOD scoring (Sun et al. 2022) — the non-parametric
+      // complement of q377's centroid triage: a TEST vector whose 3rd-
+      // nearest TRAIN neighbor is still far (or which has <3 candidates at
+      // all) sits in a sparse region the reference distribution never
+      // covered. The search reuses the IVF contract (q46): coarse cells
+      // from the deterministic seed centroids, reference vectors assigned
+      // to 1 cell, queries probing nprobe=2 — candidates are cell-mates
+      // only, an equi-join on cid, never test x train. Sparse-cell
+      // queries (n_cand < 3) are flagged OOD BY CONSTRUCTION — at scale
+      // that is precisely the "no density nearby" signal, and the nprobe
+      // widening knob is the recall dial. Exact sims via the codegen'd
+      // graft_dot fold (bit-identical in both engines), r6'd once.
+      val sp = graft.functions.TextHash.splitCaseSpark("vec_id")
+      val e = T(s, dir, "embeddings")
+      val cents = broadcast(e.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("ce")))
+      val v = e.select($"vec_id", $"embedding", expr(sp).as("sp"))
+        .filter($"sp" =!= "val")
+        .transform(graft.CacheScope.cached)
+      def nearCells(side: DataFrame, n: Int): DataFrame = {
+        val w = Window.partitionBy($"vec_id").orderBy($"d".desc, $"cid")
+        side.crossJoin(cents)
+          .withColumn("d", expr("graft_dot(embedding, ce)"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= n)
+          .select($"vec_id", $"cid")
+      }
+      val ref = v.filter($"sp" === "train").select($"vec_id", $"embedding")
+      val qs = v.filter($"sp" === "test").select($"vec_id", $"embedding")
+        .transform(graft.CacheScope.cached)
+      val ra = nearCells(ref, 1)
+      val qp = nearCells(qs, 2).withColumnRenamed("vec_id", "q_id")
+      val rk = qp.join(ra.withColumnRenamed("vec_id", "cand_id"), "cid")
+        .join(qs.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+        .join(ref.select($"vec_id".as("cand_id"), $"embedding".as("re")), "cand_id")
+        .withColumn("sim", expr("graft_dot(qe, re)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"sim".desc, $"cand_id")))
+      val agg = rk.groupBy($"q_id")
+        .agg(count(lit(1)).as("n_cand"),
+          max(when($"rn" === 3, $"sim")).as("s3"))
+      qs.select($"vec_id".as("q_id"))
+        .join(agg, Seq("q_id"), "left")
+        .select($"q_id", coalesce($"n_cand", lit(0L)).as("n_cand"),
+          graft.ColFns.r6($"s3").as("knn3_sim"),
+          ($"n_cand".isNull || $"n_cand" < 3 || $"s3" < 0.1d).as("is_ood"))
+        .orderBy($"q_id")
+    },
   )
 }

@@ -635,6 +635,82 @@ object Training {
           $"t".as("decided_triples"), $"c".as("cyclic_triads"),
           expr("(k * (k - 1) * (k - 2)) div 6 - s").as("kendall_cyclic"),
           expr("((t - c) * 1000000) div t").as("consistency_ppm"))
+    },
+
+    q("q391_doremi_reweight", {
+      val mln = detMlnSql("cnt", "n")
+      val ex = detExpMicroSql("m")
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |sc AS (SELECT source, $mln AS mlp
+         |  FROM toks JOIN freq USING (tok), tot),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(-SUM(mlp) AS BIGINT) AS nll_sum FROM sc GROUP BY source),
+         |g AS (SELECT CAST(SUM(nll_sum) AS BIGINT) // CAST(SUM(n_tokens)
+         |    AS BIGINT) AS nll_corpus,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM s),
+         |e AS (SELECT s.source, s.n_tokens, g.n_total,
+         |    s.nll_sum // s.n_tokens AS nll_micro, g.nll_corpus,
+         |    2 * GREATEST(s.nll_sum // s.n_tokens - g.nll_corpus, 0) AS m
+         |  FROM s, g),
+         |w AS (SELECT *, CAST(FLOOR($ex * 1000000 + 0.5) AS BIGINT)
+         |    AS weight_micro FROM e),
+         |tw AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS wt FROM w)
+         |SELECT source, n_tokens, nll_micro, nll_corpus,
+         |  (m // 2) AS excess_micro, weight_micro,
+         |  (weight_micro * 1000000) // tw.wt AS share_ppm,
+         |  (n_tokens * 1000000) // n_total AS token_ppm,
+         |  ((weight_micro * 1000000) // tw.wt
+         |    > (n_tokens * 1000000) // n_total) AS upweighted
+         |FROM w, tw ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Excess-loss domain reweighting (DoReMi, Xie et al. 2023 — the
+      // Group-DRO view of mixture design): domains where the reference
+      // model's loss EXCEEDS the corpus-wide loss are upweighted
+      // exponentially, w_d ∝ exp(eta·max(0, L_d − L)), here with the
+      // corpus-trained unigram LM as the reference scorer (q136's signal,
+      // eta = 2). The mT5 temperature rule (q364) keys on SIZE; this keys
+      // on LOSS — the two bracket how production mixtures are actually
+      // set. Determinism: per-token micro-logs (detMln) sum exactly per
+      // source; the source mean, excess, and the staged exp argument are
+      // floor DIVs on non-negative BIGINTs; weights return to integer
+      // micro BEFORE the share division, so no float ever aggregates.
+      // Scale shape = q136's: token-keyed count + join (AQE splits hot
+      // tokens), then a |sources|-row table; the corpus scalar broadcasts.
+      val toks = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // vocab count + scoring join
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val srcS = toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select($"source", detMln($"cnt", $"n").as("mlp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), (-sum($"mlp")).as("nll_sum"))
+        .transform(graft.CacheScope.cached) // corpus scalar + per-source rows
+      val g = srcS.agg(
+        expr("SUM(nll_sum) div SUM(n_tokens)").as("nll_corpus"),
+        sum($"n_tokens").as("n_total"))
+      val w = srcS.crossJoin(broadcast(g))
+        .withColumn("nll_micro", expr("nll_sum div n_tokens"))
+        .withColumn("m",
+          expr("2 * GREATEST(nll_sum div n_tokens - nll_corpus, 0)"))
+        .withColumn("weight_micro",
+          floor(detExpMicro($"m") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+        .transform(graft.CacheScope.cached) // total + shares share the scan
+      val tw = w.agg(sum($"weight_micro").as("wt"))
+      w.crossJoin(broadcast(tw))
+        .select($"source", $"n_tokens", $"nll_micro", $"nll_corpus",
+          expr("m div 2").as("excess_micro"), $"weight_micro",
+          expr("(weight_micro * 1000000) div wt").as("share_ppm"),
+          expr("(n_tokens * 1000000) div n_total").as("token_ppm"),
+          expr("(weight_micro * 1000000) div wt > (n_tokens * 1000000) div n_total")
+            .as("upweighted"))
+        .orderBy($"source")
     }
   )
 }

@@ -817,6 +817,19 @@ object PlanAudit {
       "draft table joined by an equi hash join" -> "HashJoin",
       "no cartesian product" -> "!CartesianProduct",
       "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q390_knn_ood" -> Seq(
+      "coarse centroids broadcast into both assignment passes" -> "BroadcastNestedLoopJoin",
+      "candidates from the cell equi-join, never test x train" -> "HashJoin",
+      "no cartesian beyond the centroid broadcast" -> "!CartesianProduct"),
+    "q391_doremi_reweight" -> Seq(
+      "token-keyed frequency join (the corpus-sized shuffle)" -> "HashJoin",
+      "per-source loss partial-aggregates map-side" -> "HashAggregate",
+      "corpus scalar broadcast; no cartesian" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q392_dataset_card" -> Seq(
+      "both rollups partial-aggregate before their source-keyed exchanges" -> "HashAggregate",
+      "language majority is a per-source bounded rank window" -> "Window",
+      "card join on source is an equi hash join" -> "HashJoin"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -64,6 +64,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q390 OOD flag is consistent and every query id is a test-split vector") {
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+    }
+    val rows = try SparkEntry.queries("q390_knn_ood")(spark, dir).collect()
+    finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(split(r.getAs[Long]("q_id")) == "test")
+      val n = r.getAs[Long]("n_cand")
+      val ood = r.getAs[Boolean]("is_ood")
+      if (n < 3) assert(ood, "sparse-cell query must flag OOD by construction")
+      else {
+        val s3 = r.getAs[Double]("knn3_sim")
+        assert(ood == (s3 < 0.1), s"flag must equal the threshold rule at sim $s3")
+      }
+    }
+  }
+
+  test("q392 dataset card internal consistency (shares bounded, majority is a plurality)") {
+    val rows = try SparkEntry.queries("q392_dataset_card")(spark, dir).collect()
+    finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("top_lang_ppm", "keep_ppm", "dup_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000000L, s"$c out of [0, 1e6]: $v")
+      }
+      assert(r.getAs[Long]("mean_tokens_micro") ==
+        r.getAs[Long]("n_tokens") * 1000000L / r.getAs[Long]("n_docs"))
+      // a plurality over k=5 fixture languages must hold at least 1/5
+      assert(r.getAs[Long]("top_lang_ppm") * 5 >= 1000000L,
+        "plurality share below 1/5 with 5 fixture languages is impossible")
+    }
+  }
+
   test("q94 streaming sessions are invariant to the JVM default timezone") {
     // Timestamp.toString renders in the JVM default TZ; interpolating it
     // into a SQL literal shifted the sentinel/flush events on non-UTC JVMs

@@ -110,4 +110,32 @@ class TrainingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("util_ppm") <= 1000000L || ep < 1000000L)
     }
   }
+
+  test("q391: DoReMi weights floor at 1.0 for at-or-below-corpus loss and shares sum to ~1e6") {
+    val rows = run("q391_doremi_reweight")
+    assert(rows.length == 20)
+    var shareSum = 0L
+    rows.foreach { r =>
+      val excess = r.getAs[Long]("excess_micro")
+      val wm = r.getAs[Long]("weight_micro")
+      if (excess == 0L) assert(wm == 1000000L, "exp(0) domain weight must be exactly 1.0")
+      else assert(wm > 1000000L, "positive excess loss must upweight")
+      assert(r.getAs[Boolean]("upweighted") ==
+        (r.getAs[Long]("share_ppm") > r.getAs[Long]("token_ppm")))
+      shareSum += r.getAs[Long]("share_ppm")
+    }
+    assert(shareSum > 1000000L - 20 && shareSum <= 1000000L,
+      s"floor-div shares must sum to 1e6 minus at most one ulp per source, got $shareSum")
+  }
+
+  test("q386: direct triple-join cyclic count equals Kendall's closed form on the complete tournament") {
+    val r = run("q386_preference_cycles").head
+    assert(r.getAs[Long]("n_decided") == r.getAs[Long]("n_pairs"),
+      "fixture tournament must be complete for the closed-form cross-check")
+    assert(r.getAs[Long]("cyclic_triads") == r.getAs[Long]("kendall_cyclic"),
+      "triple join and degree formula must agree")
+    val (dt, cy) = (r.getAs[Long]("decided_triples"), r.getAs[Long]("cyclic_triads"))
+    assert(dt >= cy)
+    assert(r.getAs[Long]("consistency_ppm") == (dt - cy) * 1000000L / dt)
+  }
 }
