@@ -7,10 +7,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *
   *  - hand-rolled PPM (netpbm P6 binary RGB) and BMP (24-bit uncompressed
   *    BI_RGB) — byte-level parse/encode, fully closed-form file sizes;
-  *  - PNG and JPEG through `javax.imageio.ImageIO`, which ships INSIDE
-  *    JDK 17 (headless-safe) — the formats a real corpus is actually made
-  *    of. PNG is lossless, so pixels round-trip exactly; JPEG decode is
-  *    exact for dimensions but lossy for pixels.
+  *  - PNG, TIFF, and JPEG through `javax.imageio.ImageIO`, which ships
+  *    INSIDE JDK 17 (headless-safe) — the formats a real corpus is
+  *    actually made of. PNG and TIFF are lossless, so pixels round-trip
+  *    exactly; JPEG decode is exact for dimensions but lossy for pixels.
   *
   * Plus two RIFF containers, hand-parsed: WAV (16-bit PCM audio) and AVI
   * (uncompressed 24bpp DIB video frames). Images land in one [[RgbImage]]
@@ -58,6 +58,11 @@ object Codecs {
   def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
+  /** TIFF: little-endian "II*\0" or big-endian "MM\0*" header. */
+  def isTiff(b: Array[Byte]): Boolean =
+    b.length > 4 && ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 0x2a &&
+      b(3) == 0) || (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+      (b(3) & 0xff) == 0x2a))
 
   /** Decode by magic bytes; None for formats this container cannot parse.
     * A payload that merely STARTS like a format (text beginning "BM...",
@@ -69,7 +74,8 @@ object Codecs {
     try {
       if (isPpm(payload)) Some(decodePpm(payload))
       else if (isBmp(payload)) Some(decodeBmp(payload))
-      else if (isPng(payload) || isJpeg(payload) || isGif(payload))
+      else if (isPng(payload) || isJpeg(payload) || isGif(payload) ||
+        isTiff(payload))
         decodeImageIo(payload)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -135,6 +141,11 @@ object Codecs {
 
   /** Lossless: decodePng(encodePng(img)) == img pixel-for-pixel. */
   def encodePng(img: RgbImage): Array[Byte] = encodeImageIo(img, "png")
+
+  /** Lossless: the JDK 9+ built-in TIFF plugin writes uncompressed RGB
+    * strips, so decode(encodeTiff(img)) == img pixel-for-pixel (q393).
+    */
+  def encodeTiff(img: RgbImage): Array[Byte] = encodeImageIo(img, "tiff")
 
   /** GIF, lossless for rasters with <= 256 distinct colors: the writer is
     * handed a TYPE_BYTE_INDEXED image over the EXACT used-color palette, so

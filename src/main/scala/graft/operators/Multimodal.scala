@@ -576,5 +576,66 @@ object Multimodal {
         .select($"hamming", $"n_pairs", $"n_clusters")
       exact.unionAll(near).orderBy($"hamming")
     },
+
+    q("q393_tiff_roundtrip",
+      // TIFF via the JDK 9+ built-in ImageIO plugin — the archival /
+      // scientific-corpus sibling of q143's PNG: uncompressed RGB strips,
+      // so the fixture raster survives encode→decode EXACTLY, and a
+      // horizontal-flip augmentation stage (the pixel permutation
+      // fl(x,y) = orig(w-1-x, y)) is re-encoded and re-decoded so the
+      // probes certify the SECOND-generation file. Every probe is
+      // closed-form from the fixture pattern (r = (x + 2y + id) % 256,
+      // g = r+85, b = r+170): original first/center pixels, and the
+      // flipped corners which must equal the opposite original column.
+      // mapPartitions batching as in all codec stages; no shuffle at all.
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + (doc_id % 48) AS w,
+        |    8 + (doc_id % 24) AS h
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(media_id % 256 AS BIGINT) AS first_r,
+        |  CAST(((w // 2) + 2*(h // 2) + media_id) % 256 AS BIGINT)
+        |    AS center_r,
+        |  CAST(((w-1) + media_id) % 256 AS BIGINT) AS flip_first_r,
+        |  CAST((2*(h-1) + media_id + 85) % 256 AS BIGINT) AS flip_corner_g
+        |FROM m ORDER BY media_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "image/tiff", Codecs.encodeTiff(fixtureImage(id)))))
+      def flip(img: Codecs.RgbImage): Codecs.RgbImage = {
+        val out = new Array[Byte](img.pixels.length)
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val src = 3 * (y * img.width + (img.width - 1 - x))
+            val dst = 3 * (y * img.width + x)
+            out(dst) = img.pixels(src)
+            out(dst + 1) = img.pixels(src + 1)
+            out(dst + 2) = img.pixels(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        Codecs.RgbImage(img.width, img.height, out)
+      }
+      media.mapPartitions(_.map { r =>
+        val img = Codecs.decode(r.payload).get
+        // second generation: flip -> TIFF re-encode -> decode again
+        val fl = Codecs.decode(Codecs.encodeTiff(flip(img))).get
+        (r.media_id, img.width.toLong, img.height.toLong,
+          img.pixel(0, 0)._1.toLong,
+          img.pixel(img.width / 2, img.height / 2)._1.toLong,
+          fl.pixel(0, 0)._1.toLong,
+          fl.pixel(fl.width - 1, fl.height - 1)._2.toLong)
+      }).toDF("media_id", "width", "height", "first_r", "center_r",
+          "flip_first_r", "flip_corner_g")
+        .orderBy($"media_id")
+    },
   )
 }

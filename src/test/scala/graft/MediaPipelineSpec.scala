@@ -20,6 +20,18 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(back.pixels.toSeq == img.pixels.toSeq)
   }
 
+  test("TIFF encode/decode round-trips pixels exactly and sniffs both byte orders") {
+    val img = pattern(41, 19)
+    val bytes = Codecs.encodeTiff(img)
+    assert(Codecs.isTiff(bytes) && !Codecs.isPng(bytes) && !Codecs.isBmp(bytes))
+    val back = Codecs.decode(bytes).get
+    assert(back.width == 41 && back.height == 19)
+    assert(back.pixels.toSeq == img.pixels.toSeq, "TIFF must be lossless")
+    // the sniffer accepts the big-endian header form too
+    assert(Codecs.isTiff(Array[Byte]('M', 'M', 0, 0x2a, 0)))
+    assert(!Codecs.isTiff(Array[Byte]('M', 'I', 0, 0x2a, 0)))
+  }
+
   test("PPM decode handles header comments and multi-whitespace") {
     val img = pattern(4, 2)
     val withComment = ("P6\n# a netpbm comment\n 4  2\n# another\n255\n"
