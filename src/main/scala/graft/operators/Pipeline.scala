@@ -1481,6 +1481,57 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    q("q395_gate_length_bias", {
+      val m = qualityMetricsDuck("w").mkString(", ")
+      s"""WITH b AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT LEAST(n_words // 10, 9) AS bin,
+         |    CASE WHEN $QualityKeep THEN 1 ELSE 0 END AS keep,
+         |    CASE WHEN $GateTooShort THEN 1 ELSE 0 END AS g_short,
+         |    CASE WHEN $GateRepetitive THEN 1 ELSE 0 END AS g_rep,
+         |    CASE WHEN $GateLowStopword THEN 1 ELSE 0 END AS g_stop,
+         |    CASE WHEN $GateLowTtr THEN 1 ELSE 0 END AS g_ttr
+         |  FROM (SELECT $m FROM b))
+         |SELECT CAST(bin AS BIGINT) AS len_bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  (SUM(keep) * 1000000) // COUNT(*) AS keep_ppm,
+         |  (SUM(g_short) * 1000000) // COUNT(*) AS short_ppm,
+         |  (SUM(g_rep) * 1000000) // COUNT(*) AS rep_ppm,
+         |  (SUM(g_stop) * 1000000) // COUNT(*) AS stop_ppm,
+         |  (SUM(g_ttr) * 1000000) // COUNT(*) AS ttr_ppm
+         |FROM q GROUP BY bin ORDER BY len_bin"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Length-bias audit of the quality gate — the confound check a
+      // filtering paper's appendix runs: per 10-word length bin, the keep
+      // rate AND each individual gate's fire rate. The too-short gate
+      // firing at low bins is by design; what the audit exposes is whether
+      // the OTHER gates (repetition, stopword, TTR) also correlate with
+      // length — if they do, the "quality" filter is quietly a length
+      // filter, which shifts the corpus length distribution and with it
+      // downstream context statistics (q333's batching assumptions, q101's
+      // packing efficiency). All gates are the q129/q133 integer
+      // cross-multiplications over the shared TextHash metric definitions
+      // — one map-side pass, a 10-row output; trivially 100 TB-safe.
+      val b = T(s, dir, "documents").select(split($"text", " ").as("w"))
+        .selectExpr(qualityMetricsSpark("w"): _*)
+      b.select(expr("LEAST(n_words div 10, 9)").as("len_bin"),
+          when(expr(QualityKeep), 1L).otherwise(0L).as("keep"),
+          when(expr(GateTooShort), 1L).otherwise(0L).as("g_short"),
+          when(expr(GateRepetitive), 1L).otherwise(0L).as("g_rep"),
+          when(expr(GateLowStopword), 1L).otherwise(0L).as("g_stop"),
+          when(expr(GateLowTtr), 1L).otherwise(0L).as("g_ttr"))
+        .groupBy($"len_bin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(SUM(keep) * 1000000) div COUNT(1)").as("keep_ppm"),
+          expr("(SUM(g_short) * 1000000) div COUNT(1)").as("short_ppm"),
+          expr("(SUM(g_rep) * 1000000) div COUNT(1)").as("rep_ppm"),
+          expr("(SUM(g_stop) * 1000000) div COUNT(1)").as("stop_ppm"),
+          expr("(SUM(g_ttr) * 1000000) div COUNT(1)").as("ttr_ppm"))
+        .select($"len_bin".cast("long").as("len_bin"), $"n_docs",
+          $"keep_ppm", $"short_ppm", $"rep_ppm", $"stop_ppm", $"ttr_ppm")
+        .orderBy($"len_bin")
+    },
+
     q("q388_streaming_watermark", {
       // Streaming twin of q387 through the engine's source — the shape a
       // live ingest gate takes: per-doc green counts and the integer z>=3

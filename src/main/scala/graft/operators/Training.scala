@@ -711,6 +711,73 @@ object Training {
           expr("(weight_micro * 1000000) div wt > (n_tokens * 1000000) div n_total")
             .as("upweighted"))
         .orderBy($"source")
+    },
+
+    q("q394_ess_diagnostic", {
+      val mln = detMlnSql("cnt", "n")
+      val ex = detExpMicroSql("m")
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |sc AS (SELECT source, $mln AS mlp
+         |  FROM toks JOIN freq USING (tok), tot),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(-SUM(mlp) AS BIGINT) AS nll_sum FROM sc GROUP BY source),
+         |g AS (SELECT CAST(SUM(nll_sum) AS BIGINT) // CAST(SUM(n_tokens)
+         |    AS BIGINT) AS nll_corpus FROM s),
+         |e AS (SELECT s.source,
+         |    2 * GREATEST(s.nll_sum // s.n_tokens - g.nll_corpus, 0) AS m
+         |  FROM s, g),
+         |w AS (SELECT source, CAST(FLOOR($ex * 1000 + 0.5) AS BIGINT)
+         |    AS wm FROM e),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(wm) AS BIGINT) AS sw,
+         |    CAST(SUM(wm * wm) AS BIGINT) AS sww FROM w)
+         |SELECT k AS n_domains, sw AS sum_w_milli,
+         |  (sw * sw * 1000) // sww AS ess_milli_domains,
+         |  ((sw * sw * 1000) // sww * 1000) // k AS ess_ppm,
+         |  (((sw * sw * 1000) // sww * 1000) // k < 500000)
+         |    AS collapsed
+         |FROM a"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Effective sample size of an importance-weighting scheme — the
+      // one-number diagnostic that tells you whether a reweighting (q391's
+      // DoReMi weights here; the same readout applies to q175's DSIR
+      // weights) has quietly collapsed the mixture onto a handful of
+      // domains: ESS = (sum w)^2 / (sum w^2), in [1, k], and ESS/k < 0.5
+      // means half the nominal diversity is gone (Kong 1992, the particle-
+      // filter degeneracy test). Kish's formula is scale-invariant, so
+      // integer MILLI weights feed it exactly (milli, not micro: sw^2*1000
+      // must stay inside BIGINT at any plausible domain count):
+      // (sw*sw*1000) // sww is ESS in milli-domains, then ppm of k. Pure
+      // integer arithmetic after the staged det-exp weights; one row out.
+      val toks = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached)
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val srcS = toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select($"source", detMln($"cnt", $"n").as("mlp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), (-sum($"mlp")).as("nll_sum"))
+        .transform(graft.CacheScope.cached)
+      val g = srcS.agg(expr("SUM(nll_sum) div SUM(n_tokens)").as("nll_corpus"))
+      val w = srcS.crossJoin(broadcast(g))
+        .withColumn("m",
+          expr("2 * GREATEST(nll_sum div n_tokens - nll_corpus, 0)"))
+        .select(floor(detExpMicro($"m") * lit(1000.0d) + lit(0.5d))
+          .cast("long").as("wm"))
+      w.agg(count(lit(1)).as("k"), sum($"wm").as("sw"),
+          sum($"wm" * $"wm").as("sww"))
+        .select($"k".as("n_domains"), $"sw".as("sum_w_milli"),
+          expr("(sw * sw * 1000) div sww").as("ess_milli_domains"),
+          expr("((sw * sw * 1000) div sww * 1000) div k").as("ess_ppm"),
+          expr("((sw * sw * 1000) div sww * 1000) div k < 500000")
+            .as("collapsed"))
     }
   )
 }

@@ -830,6 +830,14 @@ object PlanAudit {
       "both rollups partial-aggregate before their source-keyed exchanges" -> "HashAggregate",
       "language majority is a per-source bounded rank window" -> "Window",
       "card join on source is an equi hash join" -> "HashJoin"),
+    "q394_ess_diagnostic" -> Seq(
+      "token-keyed frequency join (the corpus-sized shuffle)" -> "HashJoin",
+      "weight moments partial-aggregate before the single-row exchange" -> "HashAggregate",
+      "corpus scalar broadcast; no cartesian" -> "!CartesianProduct"),
+    "q395_gate_length_bias" -> Seq(
+      "gates evaluate map-side; 10-bin rollup partial-aggregates" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only text read" -> "ReadSchema: struct<text:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

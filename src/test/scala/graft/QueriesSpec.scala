@@ -103,6 +103,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q395 gate firing and the keep rate are mutually consistent per length bin") {
+    val rows = try SparkEntry.queries("q395_gate_length_bias")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("len_bin")
+      // the too-short gate is n_words < 20 — it cannot fire at bin >= 2
+      if (bin >= 2) assert(r.getAs[Long]("short_ppm") == 0L)
+      // a fired gate kills keep, so keep + any single gate rate <= 1 (+1
+      // ppm slack for the two independent floor divisions)
+      Seq("short_ppm", "rep_ppm", "stop_ppm", "ttr_ppm").foreach { g =>
+        assert(r.getAs[Long]("keep_ppm") + r.getAs[Long](g) <= 1000001L,
+          s"bin $bin: keep + $g exceeds 1")
+      }
+    }
+  }
+
   test("q94 streaming sessions are invariant to the JVM default timezone") {
     // Timestamp.toString renders in the JVM default TZ; interpolating it
     // into a SQL literal shifted the sentinel/flush events on non-UTC JVMs

@@ -128,6 +128,15 @@ class TrainingSpec extends AnyFunSuite {
       s"floor-div shares must sum to 1e6 minus at most one ulp per source, got $shareSum")
   }
 
+  test("q394: ESS lies in [1, k] domains and the collapse flag matches the 0.5k rule") {
+    val r = run("q394_ess_diagnostic").head
+    val k = r.getAs[Long]("n_domains")
+    val essMilli = r.getAs[Long]("ess_milli_domains")
+    assert(essMilli >= 1000L - 1 && essMilli <= k * 1000L,
+      s"Kish ESS must lie in [1, k=$k] domains, got $essMilli milli")
+    assert(r.getAs[Boolean]("collapsed") == (r.getAs[Long]("ess_ppm") < 500000L))
+  }
+
   test("q386: direct triple-join cyclic count equals Kendall's closed form on the complete tournament") {
     val r = run("q386_preference_cycles").head
     assert(r.getAs[Long]("n_decided") == r.getAs[Long]("n_pairs"),
