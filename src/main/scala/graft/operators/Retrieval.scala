@@ -651,5 +651,84 @@ object Retrieval {
           $"merged_terms" === $"full_terms" &&
             $"merged_hash" === $"full_hash")
     },
+
+    q("q396_incremental_bm25_idf", {
+      val sp = graft.functions.TextHash.splitCaseDuck("doc_id")
+      val idfOld = graft.ColFns.detMlnSql("2*no - 2*df_old + 1", "2*df_old + 1")
+      val idfNew = graft.ColFns.detMlnSql("2*nn - 2*df_new + 1", "2*df_new + 1")
+      s"""WITH d AS (SELECT doc_id, $sp AS sp, string_split(text, ' ') AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, sp, unnest(w) AS tok FROM d),
+         |dfo AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_old
+         |  FROM tf WHERE sp <> 'test' GROUP BY tok),
+         |dfd AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_d
+         |  FROM tf WHERE sp = 'test' GROUP BY tok),
+         |ns AS (SELECT
+         |    CAST(COUNT(DISTINCT CASE WHEN sp <> 'test' THEN doc_id END)
+         |      AS BIGINT) AS no,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nn FROM tf),
+         |m AS (SELECT COALESCE(o.tok, dx.tok) AS term,
+         |    COALESCE(o.df_old, 0) AS df_old,
+         |    COALESCE(o.df_old, 0) + COALESCE(dx.df_d, 0) AS df_new
+         |  FROM dfo o FULL OUTER JOIN dfd dx ON dx.tok = o.tok),
+         |sm AS (SELECT CAST(SUM(CASE WHEN df_old = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_new_terms,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM m),
+         |sc AS (SELECT term, df_old, df_new, no, nn,
+         |    $idfOld AS idf_old_micro, $idfNew AS idf_new_micro
+         |  FROM m, ns WHERE df_old > 0)
+         |SELECT term, df_old, df_new, idf_old_micro, idf_new_micro,
+         |  idf_new_micro - idf_old_micro AS delta_micro,
+         |  sm.n_new_terms, sm.n_terms
+         |FROM sc, sm
+         |ORDER BY ABS(idf_new_micro - idf_old_micro) DESC, term LIMIT 20"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Incremental BM25 index maintenance — the retrieval member of the
+      // delta-update triad (q376 IVF centroids, q385 minhash bands): a
+      // delta batch (the md5 'test' slice) lands on a PERSISTED postings
+      // index, document frequencies merge by a term-keyed outer join of
+      // old-df and delta-df (the corpus is never re-tokenized), and the
+      // idf column — the only index-WIDE statistic BM25 keeps — is
+      // recomputed on the |vocab|-sized table. The readout is what an
+      // index operator actually monitors after a merge: the 20 terms whose
+      // idf moved most (stale idf is the classic incremental-index bug —
+      // scores drift until a rebuild), plus how many brand-new vocabulary
+      // terms the delta introduced. idf stays the exact q169 rational
+      // through detMln, so old/new/delta are all integer micro.
+      val sp = graft.functions.TextHash.splitCaseSpark("doc_id")
+      val tf = T(s, dir, "documents")
+        .select($"doc_id", expr(sp).as("sp"),
+          explode(split($"text", " ")).as("tok"))
+        .transform(graft.CacheScope.cached) // old df + delta df + counts
+      val dfo = tf.filter($"sp" =!= "test")
+        .groupBy($"tok").agg(countDistinct($"doc_id").as("df_old"))
+      val dfd = tf.filter($"sp" === "test")
+        .groupBy($"tok").agg(countDistinct($"doc_id").as("df_d"))
+      val ns = tf.agg(
+        countDistinct(when($"sp" =!= "test", $"doc_id")).as("no"),
+        countDistinct($"doc_id").as("nn"))
+      val m = dfo.join(dfd, Seq("tok"), "full_outer")
+        .select($"tok".as("term"),
+          coalesce($"df_old", lit(0L)).as("df_old"),
+          (coalesce($"df_old", lit(0L)) + coalesce($"df_d", lit(0L)))
+            .as("df_new"))
+        .transform(graft.CacheScope.cached) // summary + scored share it
+      val sm = m.agg(
+        sum(when($"df_old" === 0, 1L).otherwise(0L)).as("n_new_terms"),
+        count(lit(1)).as("n_terms"))
+      m.filter($"df_old" > 0)
+        .crossJoin(broadcast(ns))
+        .withColumn("idf_old_micro", graft.ColFns.detMln(
+          lit(2) * $"no" - lit(2) * $"df_old" + 1, lit(2) * $"df_old" + 1))
+        .withColumn("idf_new_micro", graft.ColFns.detMln(
+          lit(2) * $"nn" - lit(2) * $"df_new" + 1, lit(2) * $"df_new" + 1))
+        .withColumn("delta_micro", $"idf_new_micro" - $"idf_old_micro")
+        .crossJoin(broadcast(sm))
+        .select($"term", $"df_old", $"df_new", $"idf_old_micro",
+          $"idf_new_micro", $"delta_micro", $"n_new_terms", $"n_terms")
+        .orderBy(abs($"delta_micro").desc, $"term")
+        .limit(20)
+    },
   )
 }

@@ -778,6 +778,73 @@ object Training {
           expr("((sw * sw * 1000) div sww * 1000) div k").as("ess_ppm"),
           expr("((sw * sw * 1000) div sww * 1000) div k < 500000")
             .as("collapsed"))
+    },
+
+    q("q397_preference_holdout", {
+      val sp = graft.functions.TextHash.splitCaseDuck("user_id")
+      s"""WITH tr AS (SELECT user_id, $sp AS sp,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    event_type AS nxt
+         |  FROM events),
+         |v AS (SELECT sp, prev, nxt FROM tr
+         |  WHERE prev IS NOT NULL AND prev <> nxt),
+         |wm AS (SELECT nxt AS wi, prev AS lo, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM v WHERE sp <> 'test' GROUP BY 1, 2),
+         |e AS (SELECT a.wi, a.lo FROM wm a LEFT JOIN wm b
+         |    ON b.wi = a.lo AND b.lo = a.wi
+         |  WHERE a.w > COALESCE(b.w, 0)),
+         |t AS (SELECT prev, nxt FROM v WHERE sp = 'test'),
+         |sc AS (SELECT t.prev, t.nxt,
+         |    CASE WHEN ew.wi IS NOT NULL THEN 1
+         |         WHEN el.wi IS NOT NULL THEN 0 END AS correct
+         |  FROM t LEFT JOIN e ew ON ew.wi = t.nxt AND ew.lo = t.prev
+         |         LEFT JOIN e el ON el.wi = t.prev AND el.lo = t.nxt)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_test_votes,
+         |  CAST(COUNT(correct) AS BIGINT) AS n_scored,
+         |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+         |  (SUM(correct) * 1000000) // COUNT(correct) AS acc_ppm,
+         |  CAST(COUNT(*) - COUNT(correct) AS BIGINT) AS n_undecided
+         |FROM sc"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Preference-model holdout accuracy — the eval a reward-model /
+      // ranking team runs before trusting fitted strengths (q365) or a
+      // transitivity audit (q386): fit the majority-direction tournament
+      // on TRAIN users' transition votes only (user-keyed md5 split — the
+      // split must key on the RATER, not the vote, or one user's habits
+      // leak across the boundary), then score each TEST user's vote
+      // against the trained direction. A test vote on a pair the training
+      // split never decided is 'undecided' (excluded from accuracy but
+      // counted — coverage is part of the readout). One corpus-sized
+      // transition window; the trained edge set is |types|^2-bounded and
+      // broadcast into the scoring joins.
+      val sp = graft.functions.TextHash.splitCaseSpark("user_id")
+      val v = T(s, dir, "events")
+        .withColumn("prev", lag($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+        .select(expr(sp).as("sp"), $"prev", $"event_type".as("nxt"))
+        .transform(graft.CacheScope.cached) // train fit + test scoring
+      val wm = v.filter($"sp" =!= "test")
+        .groupBy($"nxt".as("wi"), $"prev".as("lo"))
+        .agg(count(lit(1)).as("w"))
+      val e = wm.as("a").join(wm.as("b"),
+          $"b.wi" === $"a.lo" && $"b.lo" === $"a.wi", "left")
+        .filter($"a.w" > coalesce($"b.w", lit(0L)))
+        .select($"a.wi".as("wi"), $"a.lo".as("lo"))
+      val t = v.filter($"sp" === "test").select($"prev", $"nxt")
+      t.join(broadcast(e.as("ew")),
+          $"ew.wi" === $"nxt" && $"ew.lo" === $"prev", "left")
+        .join(broadcast(e.as("el")),
+          $"el.wi" === $"prev" && $"el.lo" === $"nxt", "left")
+        .select(when($"ew.wi".isNotNull, 1L)
+          .when($"el.wi".isNotNull, 0L).as("correct"))
+        .agg(count(lit(1)).as("n_test_votes"),
+          count($"correct").as("n_scored"),
+          sum($"correct").as("n_correct"),
+          expr("(SUM(correct) * 1000000) div COUNT(correct)").as("acc_ppm"),
+          (count(lit(1)) - count($"correct")).as("n_undecided"))
     }
   )
 }

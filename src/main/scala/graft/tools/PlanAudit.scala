@@ -838,6 +838,15 @@ object PlanAudit {
       "gates evaluate map-side; 10-bin rollup partial-aggregates" -> "HashAggregate",
       "no join anywhere" -> "!Join",
       "only text read" -> "ReadSchema: struct<text:string>"),
+    "q396_incremental_bm25_idf" -> Seq(
+      "old/delta document frequencies merge by a term-keyed join" -> "Join",
+      "no cartesian beyond the 1-row stats broadcasts" -> "!CartesianProduct",
+      "top movers cut without a global sort" -> "TakeOrderedAndProject",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q397_preference_holdout" -> Seq(
+      "one user-keyed transition window is the only corpus-sized pass" -> "Window",
+      "trained edge set broadcast into both scoring joins" -> "BroadcastHashJoin",
+      "no cartesian product" -> "!CartesianProduct"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -120,6 +120,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q396 merged document frequencies only grow and deltas equal their differences") {
+    val rows = try SparkEntry.queries("q396_incremental_bm25_idf")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df_new") >= r.getAs[Long]("df_old"),
+        "adding documents can only grow a term's df")
+      assert(r.getAs[Long]("delta_micro") ==
+        r.getAs[Long]("idf_new_micro") - r.getAs[Long]("idf_old_micro"))
+      assert(r.getAs[Long]("n_new_terms") <= r.getAs[Long]("n_terms"))
+    }
+  }
+
   test("q94 streaming sessions are invariant to the JVM default timezone") {
     // Timestamp.toString renders in the JVM default TZ; interpolating it
     // into a SQL literal shifted the sentinel/flush events on non-UTC JVMs

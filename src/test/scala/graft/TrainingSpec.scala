@@ -137,6 +137,16 @@ class TrainingSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("collapsed") == (r.getAs[Long]("ess_ppm") < 500000L))
   }
 
+  test("q397: holdout votes partition into scored + undecided; accuracy is a proper rate") {
+    val r = run("q397_preference_holdout").head
+    val (total, scored, undecided) = (r.getAs[Long]("n_test_votes"),
+      r.getAs[Long]("n_scored"), r.getAs[Long]("n_undecided"))
+    assert(scored + undecided == total)
+    val acc = r.getAs[Long]("acc_ppm")
+    assert(acc >= 0L && acc <= 1000000L)
+    assert(r.getAs[Long]("n_correct") * 1000000L / scored == acc)
+  }
+
   test("q386: direct triple-join cyclic count equals Kendall's closed form on the complete tournament") {
     val r = run("q386_preference_cycles").head
     assert(r.getAs[Long]("n_decided") == r.getAs[Long]("n_pairs"),
