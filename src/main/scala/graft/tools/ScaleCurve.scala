@@ -65,7 +65,14 @@ object ScaleCurve {
     // threshold probe), and the count-min build (map-side sketch, 1 KB
     // across the shuffle)
     "q371_kneser_ney", "q372_dedup_roi_curve", "q368_span_corruption",
-    "q369_conformal_threshold")
+    "q369_conformal_threshold",
+    // round-9 continuation: cross-split LSH decontamination (banded
+    // candidates must stay subquadratic), incremental minhash dedup
+    // (delta x index equi-join), IVF kNN-OOD (cell-mate candidates), and
+    // the DoReMi reweighting (token-keyed frequency join — the q136
+    // shape under a different readout)
+    "q380_semantic_decontaminate", "q385_incremental_dedup",
+    "q390_knn_ood", "q391_doremi_reweight")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
