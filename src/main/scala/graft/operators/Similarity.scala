@@ -1485,6 +1485,18 @@ object Similarity {
       // collision. At 100 TB: test split is tiny — its signatures AND int8
       // vectors broadcast; the train side stays map-side until the final
       // per-train-doc aggregation over the (small) hit set.
+      // SCALE NOTE (the round-9 curve lesson): candidate generation runs
+      // on DISTINCT quantized vectors, not raw rows. Exact-duplicate
+      // embeddings are abundant in real corpora (duplicated documents)
+      // and each duplicate group shares one signature, so pairing raw
+      // rows inside a bucket grows QUADRATICALLY with duplication (the
+      // 10x synthetic curve measured exponent 1.13); collapsing to one
+      // representative per (split, raw-embedding digest) before the LSH — and
+      // expanding match counts/ids afterward through the digest — gives
+      // the PROVABLY identical result (identical vectors have identical
+      // signatures, candidates, and scores) at one candidate pair per
+      // distinct-vector pair. The oracle states the uncollapsed form;
+      // equality of results is the point.
       val e = T(s, dir, "embeddings")
       val sp = graft.functions.TextHash.splitCaseSpark("vec_id")
       val gm = e.agg(max(expr(
@@ -1494,34 +1506,55 @@ object Similarity {
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))")
           .as("qv"))
         .filter($"sp" =!= "val")
+        // duplicate-group key = the RAW embedding (not the int8 qv): two
+        // near-identical vectors can quantize alike yet sign differently
+        // against a plane, so only exact duplicates may share one
+        // signature computation
+        .withColumn("dg",
+          md5(concat_ws(",", expr("transform(embedding, x -> CAST(x AS STRING))"))
+            .cast("binary")))
+        .transform(graft.CacheScope.cached) // reps + member expansion
+      val reps = qz.groupBy($"sp", $"dg")
+        .agg(min($"vec_id").as("rid"), count(lit(1)).as("members"),
+          first($"embedding").as("embedding"), first($"qv").as("qv"))
         .transform(graft.CacheScope.cached) // signatures + exact scoring
       val planes = broadcast(e.filter($"vec_id".between(100, 115))
         .select(($"vec_id" - 100).as("hid"), $"embedding".as("he")))
-      val sig = qz.select($"vec_id", $"sp", $"embedding")
+      val sig = reps.select($"sp", $"dg", $"embedding")
         .crossJoin(planes)
         .withColumn("bit",
           when(expr("graft_dot(embedding, he)") >= 0,
             expr("shiftleft(CAST(1 AS BIGINT), CAST(hid % 4 AS INT))"))
             .otherwise(lit(0L)))
-        .groupBy($"vec_id", $"sp", ($"hid" / 4).cast("long").as("band"))
+        .groupBy($"sp", $"dg", ($"hid" / 4).cast("long").as("band"))
         .agg(sum($"bit").as("bucket"))
       val cand = sig.filter($"sp" === "train").as("a")
         .join(sig.filter($"sp" === "test").as("b"),
           $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
-        .select($"a.vec_id".as("ta"), $"b.vec_id".as("tb"))
+        .select($"a.dg".as("dga"), $"b.dg".as("dgb"))
         .distinct()
-      cand
-        .join(qz.select($"vec_id".as("ta"), $"qv".as("qa")), "ta")
-        .join(qz.select($"vec_id".as("tb"), $"qv".as("qb")), "tb")
+      val trainReps = reps.filter($"sp" === "train")
+        .select($"dg".as("dga"), $"qv".as("qa"))
+      val testReps = reps.filter($"sp" === "test")
+        .select($"dg".as("dgb"), $"qv".as("qb"),
+          $"rid".as("tb_min"), $"members".as("tb_members"))
+      val hitsByDigest = cand
+        .join(trainReps, "dga")
+        .join(testReps, "dgb")
         .withColumn("d", expr("graft_doti(qa, qb)"))
         .withColumn("na", expr("graft_doti(qa, qa)"))
         .withColumn("nb", expr("graft_doti(qb, qb)"))
         .filter($"d" > 0 && $"d" * $"d" * 100 >= $"na" * $"nb" * 9)
         .withColumn("cos2_ppm", expr("(d*d*1000000) div (na*nb)"))
-        .groupBy($"ta".as("vec_id"))
-        .agg(count(lit(1)).as("n_test_matches"),
+        .groupBy($"dga")
+        .agg(sum($"tb_members").as("n_test_matches"),
           max($"cos2_ppm").as("max_cos2_ppm"),
-          min($"tb").as("first_test_id"))
+          min($"tb_min").as("first_test_id"))
+      qz.filter($"sp" === "train")
+        .select($"vec_id", $"dg".as("dga"))
+        .join(hitsByDigest, "dga")
+        .select($"vec_id", $"n_test_matches", $"max_cos2_ppm",
+          $"first_test_id")
         .orderBy($"vec_id")
     },
 

@@ -68,6 +68,23 @@ object TextAnalysis {
        |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
        |     ELSE 1 END""".stripMargin
 
+  /** Optimal-segmentation DP step (q398): the best token count for the
+    * prefix ending at position `i`, from the best counts of the previous
+    * four positions (`b1`..`b4` = best[i-1]..best[i-4]) — a piece of
+    * length L ending at i must be in the length-L vocabulary; single
+    * chars always segment. Identical text in both dialects (substring is
+    * 1-based in both; the i>=L guards keep the probe inside the word).
+    */
+  private def bestStep(w: String, i: String,
+      b1: String, b2: String, b3: String, b4: String): String =
+    s"""LEAST($b1 + 1,
+       |  CASE WHEN $i >= 2 AND substring($w, $i - 1, 2) IN (${vocabIn(2)})
+       |    THEN $b2 + 1 ELSE 9999999 END,
+       |  CASE WHEN $i >= 3 AND substring($w, $i - 2, 3) IN (${vocabIn(3)})
+       |    THEN $b3 + 1 ELSE 9999999 END,
+       |  CASE WHEN $i >= 4 AND substring($w, $i - 3, 4) IN (${vocabIn(4)})
+       |    THEN $b4 + 1 ELSE 9999999 END)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q160_subword_tokens",
@@ -631,6 +648,89 @@ object TextAnalysis {
           expr("(n_chars * 1000000) div n_subwords").as("cpt_micro"),
           expr("(n_subwords * 1000000) div n_words - (gs * 1000000) div gw")
             .as("delta_vs_corpus_ppm"))
+        .orderBy($"source")
+    },
+
+    q("q398_segmentation_optimality",
+      // How much does GREEDY longest-match tokenization (q160/q384's
+      // ladder — what byte-fallback BPE inference does) overshoot the
+      // OPTIMAL segmentation under the same vocabulary (what a
+      // SentencePiece-unigram Viterbi pass would produce with uniform
+      // piece costs)? Optimal counts come from the classic segmentation
+      // DP — best[i] = 1 + min over vocab pieces ending at i of
+      // best[i-L] — which, because the longest piece is 4 chars, runs as
+      // a LINEAR recursion carrying only the last four best values: the
+      // same dictionary-sized recursive walk as q160 (tokenize once per
+      // DISTINCT word; per-source totals by equi-join rollup). The
+      // readout is the per-source inflation ppm — the price of greedy
+      // inference a tokenizer team weighs against Viterbi's cost — plus
+      // the corpus-level worst word set certified optimal <= greedy by
+      // the AnalyticsSpec law. On this fixture the inflation reads an
+      // honest ZERO (no corpus word hits the greedy trap); the
+      // AnalyticsSpec plant ("tionating": greedy 4, optimal 3) proves
+      // the DP searches.
+      s"""WITH RECURSIVE dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY source, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |tok AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCase("word", "CAST(i AS INT)")}, n + 1
+         |  FROM tok WHERE i <= len(word)),
+         |tc AS (SELECT word, MAX(n) AS greedy_n FROM tok GROUP BY word),
+         |seg AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS b1,
+         |    CAST(9999999 AS BIGINT) AS b2, CAST(9999999 AS BIGINT) AS b3,
+         |    CAST(9999999 AS BIGINT) AS b4
+         |  FROM w
+         |  UNION ALL
+         |  SELECT word, i + 1,
+         |    ${bestStep("word", "CAST(i AS INT)", "b1", "b2", "b3", "b4")},
+         |    b1, b2, b3
+         |  FROM seg WHERE i <= len(word)),
+         |oc AS (SELECT word, b1 AS opt_n FROM seg WHERE i = len(word) + 1),
+         |s AS (SELECT wc.source,
+         |    CAST(SUM(wc.cnt * tc.greedy_n) AS BIGINT) AS greedy_subwords,
+         |    CAST(SUM(wc.cnt * oc.opt_n) AS BIGINT) AS opt_subwords
+         |  FROM wc JOIN tc ON tc.word = wc.word
+         |          JOIN oc ON oc.word = wc.word
+         |  GROUP BY wc.source)
+         |SELECT source, greedy_subwords, opt_subwords,
+         |  ((greedy_subwords - opt_subwords) * 1000000) // opt_subwords
+         |    AS inflation_ppm
+         |FROM s ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val wc = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached) // dictionary + rollup
+      val dict = wc.select($"word").distinct()
+        .transform(graft.CacheScope.cached) // greedy + DP share it
+      val tc = dict.withColumn("greedy_n", expr(
+        s"""aggregate(sequence(1, length(word)),
+           |  named_struct('i', 1, 'n', CAST(0 AS BIGINT)),
+           |  (acc, p) -> IF(p <> acc.i, acc, named_struct(
+           |    'i', acc.i + ${stepCase("word", "acc.i")},
+           |    'n', acc.n + CAST(1 AS BIGINT))),
+           |  acc -> acc.n)""".stripMargin))
+      val oc = dict.withColumn("opt_n", expr(
+        s"""aggregate(sequence(1, length(word)),
+           |  named_struct('b1', CAST(0 AS BIGINT), 'b2', CAST(9999999 AS BIGINT),
+           |    'b3', CAST(9999999 AS BIGINT), 'b4', CAST(9999999 AS BIGINT)),
+           |  (acc, i) -> named_struct(
+           |    'b1', ${bestStep("word", "i", "acc.b1", "acc.b2", "acc.b3", "acc.b4")},
+           |    'b2', acc.b1, 'b3', acc.b2, 'b4', acc.b3),
+           |  acc -> acc.b1)""".stripMargin))
+      wc.join(tc, "word").join(oc, "word")
+        .groupBy($"source")
+        .agg(sum($"cnt" * $"greedy_n").as("greedy_subwords"),
+          sum($"cnt" * $"opt_n").as("opt_subwords"))
+        .select($"source", $"greedy_subwords", $"opt_subwords",
+          expr("((greedy_subwords - opt_subwords) * 1000000) div opt_subwords")
+            .as("inflation_ppm"))
         .orderBy($"source")
     },
   ) ++ noveltyAndEntropy

@@ -847,6 +847,11 @@ object PlanAudit {
       "one user-keyed transition window is the only corpus-sized pass" -> "Window",
       "trained edge set broadcast into both scoring joins" -> "BroadcastHashJoin",
       "no cartesian product" -> "!CartesianProduct"),
+    "q398_segmentation_optimality" -> Seq(
+      "greedy and DP tokenize only the distinct-word dictionary" -> "HashAggregate",
+      "per-source totals from term-keyed equi hash joins" -> "HashJoin",
+      "no cartesian product" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -515,6 +515,50 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q398 DP beats greedy on a planted pathological word; fixture reads a true zero") {
+    import spark.implicits._
+    // "tionating" greedy-segments tion|ati|n|g (4 pieces) while the
+    // optimal split uses 3 — the canonical greedy-vs-Viterbi gap. The
+    // fixture corpus happens to contain no such word (inflation_ppm = 0
+    // everywhere), so this plant proves the DP actually searches.
+    val row = Seq("tionating").toDF("word")
+      .selectExpr("word",
+        s"""aggregate(sequence(1, length(word)),
+           |  named_struct('i', 1, 'n', CAST(0 AS BIGINT)),
+           |  (acc, p) -> IF(p <> acc.i, acc, named_struct(
+           |    'i', acc.i + CASE WHEN substring(word, acc.i, 4) IN ('tion','ment','ther','ight','ound','ough') THEN 4
+           |      WHEN substring(word, acc.i, 3) IN ('ing','ion','ent','ati','ter','est','ers','and','the','for','ere','his','ith','ver') THEN 3
+           |      WHEN substring(word, acc.i, 2) IN ('th','he','in','er','an','re','on','at','en','nd','ti','es','or','te','ed','is','it','al','ar','st','to','nt','ha','ou','le','se') THEN 2
+           |      ELSE 1 END,
+           |    'n', acc.n + CAST(1 AS BIGINT))),
+           |  acc -> acc.n) AS greedy_n""".stripMargin)
+      .head()
+    assert(row.getAs[Long]("greedy_n") == 4L)
+    val rows = try SparkEntry.queries("q398_segmentation_optimality")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("opt_subwords") <= r.getAs[Long]("greedy_subwords"),
+        "optimal segmentation can never use more pieces than greedy")
+      assert(r.getAs[Long]("inflation_ppm") >= 0L)
+    }
+    // and the DP itself, run on the plant through the same operator
+    // machinery, must find the 3-piece split
+    val opt = Seq("tionating").toDF("word").selectExpr(
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct('b1', CAST(0 AS BIGINT), 'b2', CAST(9999999 AS BIGINT),
+         |    'b3', CAST(9999999 AS BIGINT), 'b4', CAST(9999999 AS BIGINT)),
+         |  (acc, i) -> named_struct(
+         |    'b1', LEAST(acc.b1 + 1,
+         |      CASE WHEN i >= 2 AND substring(word, i - 1, 2) IN ('th','he','in','er','an','re','on','at','en','nd','ti','es','or','te','ed','is','it','al','ar','st','to','nt','ha','ou','le','se') THEN acc.b2 + 1 ELSE 9999999 END,
+         |      CASE WHEN i >= 3 AND substring(word, i - 2, 3) IN ('ing','ion','ent','ati','ter','est','ers','and','the','for','ere','his','ith','ver') THEN acc.b3 + 1 ELSE 9999999 END,
+         |      CASE WHEN i >= 4 AND substring(word, i - 3, 4) IN ('tion','ment','ther','ight','ound','ough') THEN acc.b4 + 1 ELSE 9999999 END),
+         |    'b2', acc.b1, 'b3', acc.b2, 'b4', acc.b3),
+         |  acc -> acc.b1) AS opt_n""".stripMargin)
+      .head().getAs[Long]("opt_n")
+    assert(opt == 3L, s"DP must find the 3-piece split, got $opt")
+  }
+
   test("q387 detector fires on a planted watermarked doc, stays silent on the fixture") {
     // Simulate the watermarked generator: at each step pick whichever of
     // two candidate words makes the (prev, next) bigram green under the
