@@ -2472,5 +2472,59 @@ object StreamLog {
         .agg(count(lit(1)).as("n_matches"), min($"gap_us").as("min_gap_us"))
         .orderBy($"user_id")
     },
+
+    q("q399_dlq_audit",
+      // The dead-letter queue contract, oracle-checked end-to-end: a
+      // consumer whose handler rejects every 'error' event (Err,
+      // raiseErrors=false) runs, restarts, and on the SECOND failed
+      // delivery (maxDeliveries=2) each poison message must be parked in
+      // the DLQ stream with provenance — exactly once, with the attempt
+      // count — and acked so it never redelivers. The oracle is the
+      // batch statement of which messages MUST be dead-lettered: every
+      // 'error' event in the consumed slice, each with attempts = 2.
+      // The slice is bounded (event_id < 2000) because this probes the
+      // per-message LIFECYCLE contract, not throughput — same posture as
+      // the trim/compaction lifecycle queries; logs, checkpoints, and
+      // the DLQ stream are all freshly scratch-rooted per run so replays
+      // of the query are deterministic.
+      """SELECT event_id, CAST(2 AS BIGINT) AS attempts,
+        |  'events' AS src_stream
+        |FROM events WHERE event_type = 'error' AND event_id < 2000
+        |ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.TempDirs.scratch("graft-q399-dlq")
+      val slice = Tables.load(s, dir, "events")
+        .filter($"event_id" < 2000)
+        .select((lit(1700000000000L) + $"event_id").as("ms"),
+          $"event_id", $"event_type")
+      graft.log.LogBulkProducer.produceAt(
+        slice, "ms", root, "events", orderCols = Seq("event_id"))
+      val cfg = graft.consumer.ConsumerConfig(
+        logRoot = root, stream = "events",
+        checkpointRoot = graft.TempDirs.scratch("graft-q399-ckpt"),
+        groupName = Some("dlq_audit"), startPos = "earliest",
+        raiseErrors = false, maxDeliveries = Some(2),
+        deadLetterStream = Some("dlq"))
+      val handler: (String, Option[String], String, Map[String, String]) =>
+          graft.consumer.HandlerResult = (_, _, _, values) =>
+        if (values("event_type") == "error")
+          graft.consumer.HandlerResult.Err(
+            new RuntimeException("validation failed"))
+        else graft.consumer.HandlerResult.Ok
+      // delivery 1: live batch — errors defer into the pending ledger
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, handler, until = _ => true).stop()
+      // delivery 2: the restart's pending drain — poison parks in the DLQ
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, handler, until = _ => true).stop()
+      s.read.format("graftlog")
+        .option("path", root).option("stream", "dlq")
+        .option("valueSchema",
+          "event_id BIGINT, __dlq_attempts BIGINT, __dlq_stream STRING")
+        .load()
+        .select($"event_id", $"__dlq_attempts".as("attempts"),
+          $"__dlq_stream".as("src_stream"))
+        .orderBy($"event_id")
+    },
   )
 }
