@@ -845,6 +845,126 @@ object Training {
           sum($"correct").as("n_correct"),
           expr("(SUM(correct) * 1000000) div COUNT(correct)").as("acc_ppm"),
           (count(lit(1)) - count($"correct")).as("n_undecided"))
+    },
+
+    q("q400_mix_planner", {
+      val m = graft.functions.TextHash.qualityMetricsDuck("w").mkString(", ")
+      val keep = graft.functions.TextHash.QualityKeep
+      val mln = detMlnSql("cnt", "n")
+      val exW = detExpMicroSql("m1")
+      val exD = detExpMicroSql("m2")
+      s"""WITH d AS (SELECT doc_id, source, lower(text) AS nt,
+         |    string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, source, nt, w FROM
+         |  (SELECT doc_id, source, nt, w, $m FROM d) WHERE $keep),
+         |rep AS (SELECT doc_id, source, w FROM
+         |  (SELECT doc_id, source, w,
+         |     MIN(doc_id) OVER (PARTITION BY nt) AS rep_id FROM g)
+         |  WHERE doc_id = rep_id),
+         |toks AS (SELECT source, unnest(w) AS tok FROM rep),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |sc AS (SELECT source, $mln AS mlp
+         |  FROM toks JOIN freq USING (tok), tot),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(-SUM(mlp) AS BIGINT) AS nll_sum FROM sc GROUP BY source),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept
+         |  FROM rep GROUP BY source),
+         |gg AS (SELECT CAST(SUM(nll_sum) AS BIGINT) // CAST(SUM(n_tokens)
+         |    AS BIGINT) AS nll_corpus FROM st),
+         |e1 AS (SELECT st.source, st.n_tokens,
+         |    st.nll_sum // st.n_tokens AS nll_micro,
+         |    2 * GREATEST(st.nll_sum // st.n_tokens - gg.nll_corpus, 0) AS m1
+         |  FROM st, gg),
+         |w1 AS (SELECT *, CAST(FLOOR($exW * 1000000 + 0.5) AS BIGINT)
+         |    AS wm FROM e1),
+         |tw AS (SELECT CAST(SUM(wm) AS BIGINT) AS twm FROM w1),
+         |al AS (SELECT w1.source, w1.n_tokens, w1.nll_micro,
+         |    (w1.wm * 1000000) // tw.twm AS share_ppm,
+         |    (200000 * ((w1.wm * 1000000) // tw.twm)) // 1000000
+         |      AS alloc_tokens
+         |  FROM w1, tw),
+         |ep AS (SELECT *,
+         |    (alloc_tokens * 1000000) // n_tokens AS epochs_micro FROM al),
+         |e2 AS (SELECT *,
+         |    -(GREATEST(epochs_micro - 1000000, 0) // 15) AS m2 FROM ep),
+         |x AS (SELECT *, $exD AS decay FROM e2)
+         |SELECT x.source, nd.n_docs_kept, x.n_tokens AS release_tokens,
+         |  x.nll_micro, x.share_ppm, x.alloc_tokens, x.epochs_micro,
+         |  x.n_tokens + CAST(FLOOR(CAST(x.n_tokens * 15 AS DOUBLE)
+         |    * (CAST(1 AS DOUBLE) - x.decay) + CAST(0.5 AS DOUBLE))
+         |    AS BIGINT) AS effective_tokens
+         |FROM x JOIN nd ON nd.source = x.source ORDER BY x.source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // The composed TRAINING-MIX planner — q323 releases a corpus; this
+      // plans how to TRAIN on one. One DAG through a materialized seam:
+      // (1) the q129/q133 integer quality gate; (2) corpus-wide exact
+      // dedup on normalized text (min-doc_id representative — the
+      // release's unique data); ---- seam: the release is written to
+      // parquet and read back, because the mix decision consumes a
+      // RELEASE, not a lineage of views ---- (3) a unigram reference LM
+      // trained on the release itself scores each source's mean NLL
+      // (q391's DoReMi machinery); (4) excess-loss weights via the
+      // staged det-exp; (5) a 200k-token budget allocated by weight
+      // share, per-source epochs in exact micro, and the Muennighoff
+      // effective-token discount (q382's decay, its own staged det-exp —
+      // the two exp stages NEVER nest, per the standing det* rule). The
+      // oracle states the identical chain in CTEs. Scale shape: gate +
+      // dedup + LM are the established per-stage plans; everything after
+      // the per-source rollup is a |sources|-row table.
+      val keep = graft.functions.TextHash.QualityKeep
+      val d = T(s, dir, "documents")
+        .select($"doc_id", $"source", lower($"text").as("nt"),
+          split($"text", " ").as("w"))
+      val g = d.selectExpr(Seq("doc_id", "source", "nt", "w") ++
+          graft.functions.TextHash.qualityMetricsSpark("w"): _*)
+        .filter(expr(keep))
+      val rep = g.withColumn("rep_id",
+          min($"doc_id").over(Window.partitionBy($"nt")))
+        .filter($"doc_id" === $"rep_id")
+        .select($"doc_id", $"source", $"w")
+      // ---- seam: the release is MATERIALIZED and the planner reads it
+      val relDir = graft.TempDirs.scratch("graft-q400-release")
+      rep.write.mode("overwrite").parquet(relDir)
+      val rel = s.read.parquet(relDir)
+      val toks = rel.select($"source", explode($"w").as("tok"))
+        .transform(graft.CacheScope.cached) // LM train + scoring
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val st = toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select($"source", detMln($"cnt", $"n").as("mlp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), (-sum($"mlp")).as("nll_sum"))
+        .transform(graft.CacheScope.cached)
+      val nd = rel.groupBy($"source").agg(count(lit(1)).as("n_docs_kept"))
+      val gg = st.agg(expr("SUM(nll_sum) div SUM(n_tokens)").as("nll_corpus"))
+      val w1 = st.crossJoin(broadcast(gg))
+        .withColumn("nll_micro", expr("nll_sum div n_tokens"))
+        .withColumn("m1",
+          expr("2 * GREATEST(nll_sum div n_tokens - nll_corpus, 0)"))
+        .withColumn("wm",
+          floor(detExpMicro($"m1") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+        .transform(graft.CacheScope.cached)
+      val tw = w1.agg(sum($"wm").as("twm"))
+      w1.crossJoin(broadcast(tw))
+        .withColumn("share_ppm", expr("(wm * 1000000) div twm"))
+        .withColumn("alloc_tokens",
+          expr("(200000 * ((wm * 1000000) div twm)) div 1000000"))
+        .withColumn("epochs_micro",
+          expr("(alloc_tokens * 1000000) div n_tokens"))
+        .withColumn("m2",
+          expr("-(GREATEST(epochs_micro - 1000000, 0) div 15)"))
+        .withColumn("decay", detExpMicro($"m2"))
+        .withColumn("effective_tokens", expr(
+          "n_tokens + CAST(FLOOR(CAST(n_tokens * 15 AS DOUBLE) * (CAST(1 AS DOUBLE) - decay) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .join(nd, "source")
+        .select($"source", $"n_docs_kept", $"n_tokens".as("release_tokens"),
+          $"nll_micro", $"share_ppm", $"alloc_tokens", $"epochs_micro",
+          $"effective_tokens")
+        .orderBy($"source")
     }
   )
 }

@@ -852,6 +852,11 @@ object PlanAudit {
       "per-source totals from term-keyed equi hash joins" -> "HashJoin",
       "no cartesian product" -> "!CartesianProduct",
       "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q400_mix_planner" -> Seq(
+      "gate evaluates map-side before the dedup window" -> "HashAggregate",
+      "planner reads the MATERIALIZED release seam" -> "Scan parquet",
+      "token-keyed LM join; corpus scalars broadcast" -> "HashJoin",
+      "no cartesian beyond the 1-row broadcasts" -> "!CartesianProduct"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

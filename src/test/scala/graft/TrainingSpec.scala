@@ -147,6 +147,24 @@ class TrainingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_correct") * 1000000L / scored == acc)
   }
 
+  test("q400: planner invariants — shares near 1e6, epochs consistent, effective bounded") {
+    val rows = run("q400_mix_planner")
+    assert(rows.length == 20)
+    var shareSum = 0L
+    rows.foreach { r =>
+      shareSum += r.getAs[Long]("share_ppm")
+      val (alloc, rt, ep) = (r.getAs[Long]("alloc_tokens"),
+        r.getAs[Long]("release_tokens"), r.getAs[Long]("epochs_micro"))
+      assert(ep == alloc * 1000000L / rt, "epochs must equal alloc/release")
+      val eff = r.getAs[Long]("effective_tokens")
+      assert(eff >= rt, "repetition only adds effective data")
+      if (ep >= 1000000L) assert(eff <= alloc,
+        "effective data cannot exceed the raw allocation")
+      assert(r.getAs[Long]("n_docs_kept") >= 1L)
+    }
+    assert(shareSum > 1000000L - 20 && shareSum <= 1000000L)
+  }
+
   test("q386: direct triple-join cyclic count equals Kendall's closed form on the complete tournament") {
     val r = run("q386_preference_cycles").head
     assert(r.getAs[Long]("n_decided") == r.getAs[Long]("n_pairs"),
