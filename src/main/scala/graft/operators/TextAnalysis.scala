@@ -68,6 +68,17 @@ object TextAnalysis {
        |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
        |     ELSE 1 END""".stripMargin
 
+  /** Greedy step with the 4-gram tier ablated (q401). */
+  private def stepCaseNo4(w: String, i: String): String =
+    s"""CASE WHEN substring($w, $i, 3) IN (${vocabIn(3)}) THEN 3
+       |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
+       |     ELSE 1 END""".stripMargin
+
+  /** Greedy step with the 4- and 3-gram tiers ablated (q401). */
+  private def stepCaseNo43(w: String, i: String): String =
+    s"""CASE WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
+       |     ELSE 1 END""".stripMargin
+
   /** Optimal-segmentation DP step (q398): the best token count for the
     * prefix ending at position `i`, from the best counts of the previous
     * four positions (`b1`..`b4` = best[i-1]..best[i-4]) — a piece of
@@ -731,6 +742,83 @@ object TextAnalysis {
         .select($"source", $"greedy_subwords", $"opt_subwords",
           expr("((greedy_subwords - opt_subwords) * 1000000) div opt_subwords")
             .as("inflation_ppm"))
+        .orderBy($"source")
+    },
+
+    q("q401_vocab_ablation",
+      // Vocabulary-tier ablation — the compression-vs-vocab-size curve a
+      // tokenizer team reads before pruning merges: re-tokenize the
+      // corpus with the 4-gram tier removed, then with the 3-gram tier
+      // also removed, and report each tier's marginal token inflation
+      // per source. Longest merges are the rarest-but-densest; if
+      // no4_inflation is small, those six 4-gram slots are better spent
+      // elsewhere. Same dictionary-sized shape as q160/q384/q398: three
+      // greedy walks over DISTINCT words, per-source totals by rollup.
+      s"""WITH RECURSIVE dw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY source, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |t0 AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCase("word", "CAST(i AS INT)")}, n + 1
+         |  FROM t0 WHERE i <= len(word)),
+         |c0 AS (SELECT word, MAX(n) AS n_full FROM t0 GROUP BY word),
+         |t1 AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCaseNo4("word", "CAST(i AS INT)")}, n + 1
+         |  FROM t1 WHERE i <= len(word)),
+         |c1 AS (SELECT word, MAX(n) AS n_no4 FROM t1 GROUP BY word),
+         |t2 AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS n FROM w
+         |  UNION ALL
+         |  SELECT word, i + ${stepCaseNo43("word", "CAST(i AS INT)")}, n + 1
+         |  FROM t2 WHERE i <= len(word)),
+         |c2 AS (SELECT word, MAX(n) AS n_no43 FROM t2 GROUP BY word),
+         |s AS (SELECT wc.source,
+         |    CAST(SUM(wc.cnt * c0.n_full) AS BIGINT) AS tokens_full,
+         |    CAST(SUM(wc.cnt * c1.n_no4) AS BIGINT) AS tokens_no4,
+         |    CAST(SUM(wc.cnt * c2.n_no43) AS BIGINT) AS tokens_no43
+         |  FROM wc JOIN c0 ON c0.word = wc.word
+         |          JOIN c1 ON c1.word = wc.word
+         |          JOIN c2 ON c2.word = wc.word
+         |  GROUP BY wc.source)
+         |SELECT source, tokens_full, tokens_no4, tokens_no43,
+         |  ((tokens_no4 - tokens_full) * 1000000) // tokens_full
+         |    AS no4_inflation_ppm,
+         |  ((tokens_no43 - tokens_no4) * 1000000) // tokens_no4
+         |    AS no43_inflation_ppm
+         |FROM s ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val wc = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached)
+      val dict = wc.select($"word").distinct()
+        .transform(graft.CacheScope.cached) // three walks share it
+      def walk(step: (String, String) => String, out: String): DataFrame =
+        dict.withColumn(out, expr(
+          s"""aggregate(sequence(1, length(word)),
+             |  named_struct('i', 1, 'n', CAST(0 AS BIGINT)),
+             |  (acc, p) -> IF(p <> acc.i, acc, named_struct(
+             |    'i', acc.i + ${step("word", "acc.i")},
+             |    'n', acc.n + CAST(1 AS BIGINT))),
+             |  acc -> acc.n)""".stripMargin))
+      wc.join(walk(stepCase, "n_full"), "word")
+        .join(walk(stepCaseNo4, "n_no4"), "word")
+        .join(walk(stepCaseNo43, "n_no43"), "word")
+        .groupBy($"source")
+        .agg(sum($"cnt" * $"n_full").as("tokens_full"),
+          sum($"cnt" * $"n_no4").as("tokens_no4"),
+          sum($"cnt" * $"n_no43").as("tokens_no43"))
+        .select($"source", $"tokens_full", $"tokens_no4", $"tokens_no43",
+          expr("((tokens_no4 - tokens_full) * 1000000) div tokens_full")
+            .as("no4_inflation_ppm"),
+          expr("((tokens_no43 - tokens_no4) * 1000000) div tokens_no4")
+            .as("no43_inflation_ppm"))
         .orderBy($"source")
     },
   ) ++ noveltyAndEntropy
