@@ -2223,5 +2223,137 @@ object Evaluation {
         .select($"point_diff_nano", $"n_replicas", $"a_wins_ppm",
           $"min_diff_nano", $"max_diff_nano")
     },
+
+    q("q402_pass_at_k",
+      // Unbiased pass@k (Chen et al. 2021, HumanEval appendix): with n
+      // samples per problem of which c succeed, the probability that a
+      // random size-k subset contains >=1 success is
+      // 1 - C(n-c,k)/C(n,k) — NOT 1-(1-c/n)^k, which the naive column
+      // computes side by side to expose its bias (sampling WITHOUT
+      // replacement always passes at least as often). Both engines run
+      // the identical integer recurrence in pico-units —
+      // acc_{i+1} = floor(acc_i * max(n-c-i,0) / (n-i)) — so the
+      // hypergeometric ratio needs no floats and no factorials (the
+      // running value never exceeds 1e12 * n). Problems = users,
+      // samples = their events, success = a purchase event; the operator
+      // certifies ESTIMATOR MECHANICS on fixture traffic, like q397.
+      // Per-problem (n, c) is one map-side-combinable groupBy; the k-fan
+      // is a 3-row broadcast. 100 TB-safe.
+      """WITH RECURSIVE s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |sk AS (SELECT s.user_id, s.n, s.c, ks.k FROM s, ks WHERE s.n >= ks.k),
+        |it AS (
+        |  SELECT user_id, n, c, k, CAST(0 AS BIGINT) AS i,
+        |    CAST(1000000000000 AS BIGINT) AS acc,
+        |    CAST(1000000000000 AS BIGINT) AS nacc
+        |  FROM sk
+        |  UNION ALL
+        |  SELECT user_id, n, c, k, i + 1,
+        |    (acc * GREATEST(n - c - i, 0)) // (n - i),
+        |    (nacc * (n - c)) // n
+        |  FROM it WHERE i < k),
+        |f AS (SELECT user_id, k,
+        |    1000000 - acc // 1000000 AS pass_ppm,
+        |    1000000 - nacc // 1000000 AS naive_ppm
+        |  FROM it WHERE i = k)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS problems,
+        |  CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm,
+        |  CAST(SUM(naive_ppm) // COUNT(*) AS BIGINT) AS mean_naive_ppm,
+        |  CAST(SUM(pass_ppm) // COUNT(*) - SUM(naive_ppm) // COUNT(*)
+        |    AS BIGINT) AS bias_ppm
+        |FROM f GROUP BY k ORDER BY k""") { (s, dir) =>
+      import s.implicits._
+      val perProblem = T(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
+      val ks = Seq(1L, 5L, 10L).toDF("k")
+      perProblem.crossJoin(broadcast(ks)).where($"n" >= $"k")
+        .withColumn("accs", expr(
+          """aggregate(sequence(CAST(0 AS BIGINT), k - 1),
+            |  named_struct('a', CAST(1000000000000 AS BIGINT),
+            |               'na', CAST(1000000000000 AS BIGINT)),
+            |  (acc, i) -> named_struct(
+            |    'a', (acc.a * GREATEST(n - c - i, CAST(0 AS BIGINT))) div (n - i),
+            |    'na', (acc.na * (n - c)) div n))""".stripMargin))
+        .select($"k",
+          (lit(1000000L) - expr("accs.a div 1000000")).as("pass_ppm"),
+          (lit(1000000L) - expr("accs.na div 1000000")).as("naive_ppm"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("problems"),
+          expr("SUM(pass_ppm) div COUNT(1)").as("mean_pass_ppm"),
+          expr("SUM(naive_ppm) div COUNT(1)").as("mean_naive_ppm"))
+        .select($"k", $"problems", $"mean_pass_ppm", $"mean_naive_ppm",
+          ($"mean_pass_ppm" - $"mean_naive_ppm").as("bias_ppm"))
+        .orderBy($"k")
+    },
+
+    q("q403_best_of_n",
+      // Unbiased best-of-n curve (Nakano et al. 2021, WebGPT appendix):
+      // with N scored samples per problem, the expected MAX reward of a
+      // random size-n subset is sum_i C(i-1,n-1)/C(N,n) * r_(i) over the
+      // ascending-sorted rewards — the standard readout for "how much
+      // does reward-model best-of-n buy at n=4, 16?" without throwing
+      // away samples per draw. The weight is a per-row integer recurrence
+      // in pico-units (acc_0 = 1e12*n/N; acc_j = acc*(i-j)/(N-j),
+      // floor each step, identical in both engines); ranks below n get a
+      // zero factor at j=i and stay zero, so no branch is needed. The sum
+      // is invariant to tied-reward rank order (weights depend only on
+      // position), rewards are exact centi-units via floor(value*100+.5)
+      // on the same IEEE double both engines read. problems = users,
+      // samples = their events, reward = the event value — estimator
+      // MECHANICS on fixture traffic, like q402/q397. Per-user windows
+      // are bounded (a problem's sample count), the n-fan is a 3-row
+      // broadcast; nothing global. 100 TB-safe.
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS r FROM events),
+        |rk AS (SELECT user_id, r,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY r, event_id) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn
+        |  FROM e),
+        |ns AS (SELECT CAST(unnest([1, 4, 16]) AS BIGINT) AS n),
+        |base AS (SELECT rk.user_id, rk.r, rk.i, rk.nn, ns.n
+        |  FROM rk, ns WHERE rk.nn >= ns.n),
+        |it AS (
+        |  SELECT user_id, r, i, nn, n, CAST(1 AS BIGINT) AS j,
+        |    (1000000000000 * n) // nn AS acc
+        |  FROM base
+        |  UNION ALL
+        |  SELECT user_id, r, i, nn, n, j + 1, (acc * (i - j)) // (nn - j)
+        |  FROM it WHERE j <= n - 1),
+        |w AS (SELECT user_id, n, r, acc FROM it WHERE j = n),
+        |pu AS (SELECT user_id, n,
+        |    CAST(SUM(acc * r) // 100000000 AS BIGINT) AS bon
+        |  FROM w GROUP BY user_id, n)
+        |SELECT n, CAST(COUNT(*) AS BIGINT) AS users,
+        |  CAST(SUM(bon) // COUNT(*) AS BIGINT) AS mean_bon_micro
+        |FROM pu GROUP BY n ORDER BY n""") { (s, dir) =>
+      import s.implicits._
+      val ranked = T(s, dir, "events")
+        .select($"user_id", $"event_id",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("r"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"r", $"event_id"))
+          .cast("long"))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy($"user_id")).cast("long"))
+      val ns = Seq(1L, 4L, 16L).toDF("n")
+      ranked.crossJoin(broadcast(ns)).where($"nn" >= $"n")
+        .withColumn("acc", expr(
+          """IF(n = 1, (1000000000000 * n) div nn,
+            |  aggregate(sequence(CAST(1 AS BIGINT), n - 1),
+            |    (1000000000000 * n) div nn,
+            |    (acc, j) -> (acc * (i - j)) div (nn - j)))""".stripMargin))
+        .groupBy($"user_id", $"n")
+        .agg(expr("SUM(acc * r) div 100000000").as("bon"))
+        .groupBy($"n")
+        .agg(count(lit(1)).as("users"),
+          expr("SUM(bon) div COUNT(1)").as("mean_bon_micro"))
+        .orderBy($"n")
+    },
   )
 }
