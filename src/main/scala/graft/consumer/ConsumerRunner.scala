@@ -62,9 +62,18 @@ final case class ConsumerConfig(
     // metadata and ack it, whatever `raiseErrors` says. Requires group mode
     // — delivery counts live in the ledger, like the PEL they generalize.
     maxDeliveries: Option[Int] = None,
-    deadLetterStream: Option[String] = None) {
+    deadLetterStream: Option[String] = None,
+    // XAUTOCLAIM's min-idle-time (engine extension): the pending drain only
+    // redelivers entries whose LAST recorded delivery is at least this many
+    // ms old, so a still-working consumer's in-flight deferrals aren't
+    // stolen by a restarting peer the moment it boots. 0 (the default, and
+    // the reference's behavior) reclaims everything; entries with no
+    // recorded delivery (pre-timestamp ledgers, crash-lost writes) count as
+    // infinitely idle and are always eligible.
+    minIdleMs: Long = 0L) {
 
   require(timeoutMs >= 0, s"timeoutMs must be >= 0 (0 = block forever), got $timeoutMs")
+  require(minIdleMs >= 0, s"minIdleMs must be >= 0, got $minIdleMs")
   require(maxDeliveries.forall(_ >= 1), s"maxDeliveries must be >= 1, got $maxDeliveries")
   require(deadLetterStream.isEmpty || (groupName.isDefined && maxDeliveries.isDefined),
     "deadLetterStream requires group mode (the delivery counter lives in the " +
@@ -97,7 +106,8 @@ final case class ConsumerConfig(
   * like Redis's pending-entries list. Append-only files; a compactor would
   * fold them at scale.
   */
-final class AckLedger(dir: Path, writerTag: String = "driver") {
+final class AckLedger(dir: Path, writerTag: String = "driver",
+    clock: () => Long = () => System.currentTimeMillis()) {
   private val acksFile = dir.resolve(s"acks-$writerTag.log")
   private val pendingFile = dir.resolve(s"pending-$writerTag.log")
   Files.createDirectories(dir)
@@ -125,10 +135,33 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
       .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
   }
 
+  private val timesFile = dir.resolve(s"times-$writerTag.log")
+
+  /** Delivery records `key<U+0001>epochMs`, one per recorded delivery attempt,
+    * across every writer — Redis's PEL carries (delivery_time,
+    * delivery_count) per pending entry and XPENDING/XAUTOCLAIM read them;
+    * line count per key is the delivery count, max ms is the last delivery.
+    * `U+0001` because multi-stream keys already embed a tab.
+    */
+  private def readTimes(prefix: String): Map[String, (Long, Int)] = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+    files.iterator.flatMap(f =>
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty))
+      .toSeq.flatMap { line =>
+        val cut = line.lastIndexOf('\u0001')
+        if (cut < 0) None
+        else Some((line.substring(0, cut), line.substring(cut + 1).toLong))
+      }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> (v.map(_._2).max, v.size) }
+  }
+
   // In-memory mirror of this writer's view; files are the restart truth.
   private var ackedSet: Set[String] = readSet("acks-")
   private var pendingSet: Set[String] = readSet("pending-")
   private var failCounts: Map[String, Int] = readCounts("fails-")
+  private var deliveryMeta: Map[String, (Long, Int)] = readTimes("times-")
 
   private def appendLine(p: Path, line: String): Unit =
     Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
@@ -150,17 +183,21 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
   def compact(unreachable: String => Boolean): Unit = synchronized {
     val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
     val mine = Set(acksFile.getFileName.toString, pendingFile.getFileName.toString,
-      failsFile.getFileName.toString)
+      failsFile.getFileName.toString, timesFile.getFileName.toString)
     val others = all.filter(f => !mine.contains(f.getName))
     val retained = ackedSet.filter(id =>
       pendingSet.contains(id) || !unreachable(id))
     // failure counts for acked (resolved) messages are unreachable too —
     // an acked id never dispatches again, so its counter can never matter
     val retainedFails = failCounts.filter { case (id, _) => !ackedSet.contains(id) }
+    // same for delivery times: the PEL entry of an acked message is gone
+    val retainedTimes = deliveryMeta.filter { case (id, _) => !ackedSet.contains(id) }
     if (others.nonEmpty || retained.size != ackedSet.size ||
-        retainedFails.size != failCounts.size) {
+        retainedFails.size != failCounts.size ||
+        retainedTimes.size != deliveryMeta.size) {
       ackedSet = retained
       failCounts = retainedFails
+      deliveryMeta = retainedTimes
       Files.write(acksFile, (ackedSet.toSeq.sorted.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
       Files.write(pendingFile, (pendingSet.toSeq.sorted.mkString("", "\n", "\n"))
@@ -168,6 +205,12 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
       Files.write(failsFile, failCounts.toSeq.sorted
         .flatMap { case (k, n) => Seq.fill(n)(k) }.mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
+      // intermediate delivery times are never read (only the latest and the
+      // count are), so the folded file repeats the latest time count-many
+      // times — count and last-delivery both survive the rewrite
+      Files.write(timesFile, deliveryMeta.toSeq.sortBy(_._1)
+        .flatMap { case (k, (ms, n)) => Seq.fill(n)(s"$k\u0001$ms") }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       others.foreach(f => Files.deleteIfExists(f.toPath))
     }
   }
@@ -179,6 +222,35 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
   }
   def defer(id: String): Unit = synchronized {
     pendingSet += id; appendLine(pendingFile, id)
+    touch(id)
+  }
+
+  /** Record one delivery attempt of a still-pending key — the PEL's
+    * (delivery_time, delivery_count) update. Called under `synchronized`
+    * by defer/fail.
+    */
+  private def touch(id: String): Unit = {
+    val now = clock()
+    val n = deliveryMeta.get(id).map(_._2).getOrElse(0) + 1
+    deliveryMeta = deliveryMeta.updated(id, (now, n))
+    appendLine(timesFile, s"$id\u0001$now")
+  }
+
+  /** (last delivery epoch-ms, recorded delivery attempts) for a key, if any
+    * delivery has been recorded. Entries written by pre-timestamp ledgers
+    * have no record — callers treat them as infinitely idle (immediately
+    * reclaimable), matching what a crashed-before-writing consumer leaves.
+    */
+  def deliveryInfo(id: String): Option[(Long, Int)] =
+    synchronized(deliveryMeta.get(id))
+
+  /** Milliseconds since a key's last recorded delivery; `Long.MaxValue`
+    * when no delivery was ever recorded (legacy or crash-lost entries are
+    * the MOST idle, like a Redis PEL entry whose consumer vanished).
+    */
+  def idleMs(id: String): Long = synchronized {
+    deliveryMeta.get(id).map(m => math.max(0L, clock() - m._1))
+      .getOrElse(Long.MaxValue)
   }
 
   /** Record one failed delivery; returns the total failure count for the
@@ -202,9 +274,10 @@ final class AckLedger(dir: Path, writerTag: String = "driver") {
 final class GraftConsumer(
     spark: SparkSession,
     cfg: ConsumerConfig,
-    handler: (String, Option[String], String, Map[String, String]) => HandlerResult) {
+    handler: (String, Option[String], String, Map[String, String]) => HandlerResult,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
-  private val ledger: Option[AckLedger] = cfg.ledgerDir.map(new AckLedger(_))
+  private val ledger: Option[AckLedger] = cfg.ledgerDir.map(new AckLedger(_, clock = clock))
   private lazy val deadLetterWriter: Option[graft.log.LogWriter] =
     cfg.deadLetterStream.map(d => new graft.log.LogWriter(cfg.logRoot, d))
   @volatile private var query: Option[StreamingQuery] = None
@@ -257,11 +330,16 @@ final class GraftConsumer(
 
   /** Drain this consumer's pending (deferred-unacked) backlog before going
     * live — the reference's pending→live switchover
-    * (/root/reference/lib/redix/stream/consumer.ex:159-165).
+    * (/root/reference/lib/redix/stream/consumer.ex:159-165). With
+    * `minIdleMs > 0` only entries idle at least that long are redelivered
+    * (XAUTOCLAIM's min-idle gate): the group ledger is shared, so "claiming"
+    * is simply redelivering here, but a fresh peer must not re-run work a
+    * live consumer deferred moments ago.
     */
   def drainPending(): Unit =
     for (l <- ledger if cfg.processPending) {
       val pending = l.deferred.toSeq
+        .filter(k => l.idleMs(k) >= cfg.minIdleMs)
         .map(k => GraftConsumer.parseLedgerKey(cfg, k))
         .sortBy(_._2)
       pending.foreach { case (stream, id) =>
@@ -269,6 +347,23 @@ final class GraftConsumer(
           .filter(_.id == id).filterNot(_.isTombstone)
           .foreach(e => dispatch(stream, e.id.toString, e.values))
       }
+    }
+
+  /** XPENDING-style snapshot of the group's pending entries: stream, id,
+    * ms since last recorded delivery (-1 when none was ever recorded —
+    * pre-timestamp ledger entries), and recorded delivery attempts. Driver-
+    * side and bounded by the live pending set, like the PEL it mirrors.
+    */
+  def pendingSummary(): Seq[GraftConsumer.PendingInfo] =
+    ledger.toSeq.flatMap { l =>
+      l.deferred.toSeq.map { k =>
+        val (stream, id) = GraftConsumer.parseLedgerKey(cfg, k)
+        val (idle, n) = l.deliveryInfo(k) match {
+          case Some((ms, cnt)) => (math.max(0L, clock() - ms), cnt)
+          case None => (-1L, 0)
+        }
+        GraftConsumer.PendingInfo(stream, id, idle, n)
+      }.sortBy(p => (p.stream, p.id))
     }
 
   /** Widening an existing single-stream consumer to a multi-stream list
@@ -428,6 +523,12 @@ final class GraftConsumer(
 }
 
 object GraftConsumer {
+  /** One XPENDING row: a pending entry's stream, id, idle time (ms since
+    * last recorded delivery; -1 = never recorded), and delivery attempts.
+    */
+  final case class PendingInfo(stream: String, id: LogId, idleMs: Long,
+      deliveries: Int)
+
   /** Ledger key for one message: the bare id for a single-stream consumer
     * (ledger format unchanged from earlier versions); stream-qualified with
     * a tab for multi-stream fan-in, where ids from different streams can
@@ -480,8 +581,9 @@ object ConsumerRunner {
       handler: (String, Option[String], String, Map[String, String]) => HandlerResult,
       maxRestarts: Int = 3,
       restart: RestartPolicy = RestartPolicy.Transient,
-      until: GraftConsumer => Boolean = _ => true): GraftConsumer = {
-    val consumer = new GraftConsumer(spark, cfg, handler)
+      until: GraftConsumer => Boolean = _ => true,
+      clock: () => Long = () => System.currentTimeMillis()): GraftConsumer = {
+    val consumer = new GraftConsumer(spark, cfg, handler, clock)
     var restarts = 0
     var done = false
     while (!done) {

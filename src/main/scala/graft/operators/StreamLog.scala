@@ -2526,5 +2526,56 @@ object StreamLog {
           $"__dlq_stream".as("src_stream"))
         .orderBy($"event_id")
     },
+
+    q("q404_pending_summary",
+      // XPENDING through the engine: a consumer that defers every 'error'
+      // and 'signup' event runs once live (delivery 1) and once more so
+      // the pending drain redelivers each entry (delivery 2, deferred
+      // again) — after which the group's pending-entries snapshot must
+      // list EXACTLY those messages, each with 2 recorded delivery
+      // attempts and the right source stream. The oracle is the batch
+      // statement of which messages must be pending. Idle times are
+      // wall-clock and excluded from the checked columns; the PEL is
+      // driver-side state by design (it mirrors Redis's, which lives on
+      // the server, not in the data path), so materializing the bounded
+      // summary from the driver is the operator's contract, not a scale
+      // compromise. Fresh scratch roots per run keep replays
+      // deterministic; the slice is bounded (event_id < 2000) — a
+      // lifecycle probe, same posture as q399.
+      """SELECT event_id, CAST(2 AS BIGINT) AS deliveries,
+        |  'events' AS stream
+        |FROM events WHERE event_type IN ('error', 'signup')
+        |  AND event_id < 2000
+        |ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.TempDirs.scratch("graft-q404-pel")
+      val slice = Tables.load(s, dir, "events")
+        .filter($"event_id" < 2000)
+        .select((lit(1700000000000L) + $"event_id").as("ms"),
+          $"event_id", $"event_type")
+      graft.log.LogBulkProducer.produceAt(
+        slice, "ms", root, "events", orderCols = Seq("event_id"))
+      val cfg = graft.consumer.ConsumerConfig(
+        logRoot = root, stream = "events",
+        checkpointRoot = graft.TempDirs.scratch("graft-q404-ckpt"),
+        groupName = Some("pel_audit"), startPos = "earliest",
+        raiseErrors = false)
+      val handler: (String, Option[String], String, Map[String, String]) =>
+          graft.consumer.HandlerResult = (_, _, _, values) =>
+        if (values("event_type") == "error" || values("event_type") == "signup")
+          graft.consumer.HandlerResult.Defer
+        else graft.consumer.HandlerResult.Ok
+      // delivery 1: live batch — the deferrals enter the PEL
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, handler, until = _ => true).stop()
+      // delivery 2: the restart's pending drain redelivers and re-defers
+      val c = graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, handler, until = _ => true)
+      c.stop()
+      c.pendingSummary()
+        .map(p => (p.id.millis - 1700000000000L, p.deliveries.toLong, p.stream))
+        .toDF("event_id", "deliveries", "stream")
+        .orderBy($"event_id")
+    },
   )
 }

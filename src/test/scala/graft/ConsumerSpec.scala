@@ -634,4 +634,97 @@ class ConsumerSpec extends AnyFunSuite {
     c.stop()
     assert(seen.toList == List(Map("k" -> "v")))
   }
+
+  test("min-idle gate: fresh deferrals are not reclaimed until they age past minIdleMs") {
+    // XAUTOCLAIM semantics: a restarting peer must not steal work another
+    // consumer deferred moments ago. Deterministic via an injected clock.
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "a"))
+    var now = 1700000000000L
+    val clock: () => Long = () => now
+    val shared = cfg(root, "s", Some("g1")).copy(minIdleMs = 60000L)
+    val invocations = mutable.ArrayBuffer.empty[String]
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Defer },
+      until = _ => invocations.nonEmpty, clock = clock)
+    c1.stop()
+    assert(invocations.toList == List("a"))
+    // immediate restart: entry is 0 ms idle < 60 s → NOT redelivered
+    val c2 = new GraftConsumer(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Defer },
+      clock)
+    c2.drainPending()
+    assert(invocations.toList == List("a"))
+    // age the entry past the threshold → reclaimed and redelivered
+    now += 61000L
+    val c3 = new GraftConsumer(spark, shared,
+      (_, _, _, values) => { invocations += values("job"); HandlerResult.Ok },
+      clock)
+    c3.drainPending()
+    assert(invocations.toList == List("a", "a"))
+  }
+
+  test("pendingSummary reports idle time and delivery attempts (XPENDING)") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    w.produce(Map("job" -> "a"))
+    w.produce(Map("job" -> "b"))
+    var now = 1700000000000L
+    val clock: () => Long = () => now
+    val shared = cfg(root, "s", Some("g1"))
+    var acked = 0
+    val c1 = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, values) =>
+        if (values("job") == "a") HandlerResult.Defer
+        else { acked += 1; HandlerResult.Ok },
+      until = _ => acked >= 1, clock = clock)
+    c1.stop()
+    // second delivery of the pending entry 5 s later, deferred again
+    now += 5000L
+    val c2 = new GraftConsumer(spark, shared,
+      (_, _, _, _) => HandlerResult.Defer, clock)
+    c2.drainPending()
+    now += 2000L
+    val summary = c2.pendingSummary()
+    assert(summary.size == 1)
+    val p = summary.head
+    assert(p.stream == "s")
+    assert(p.deliveries == 2) // live dispatch + the drain redelivery
+    assert(p.idleMs == 2000L) // since the drain's deferral
+  }
+
+  test("ledger delivery times survive restart and compaction; acked entries drop") {
+    var now = 1000L
+    val dir = java.nio.file.Paths.get(TestSpark.tmpDir("ledger-times"))
+    val l1 = new AckLedger(dir, clock = () => now)
+    l1.defer("100-0")
+    now = 4000L
+    l1.defer("100-0") // second delivery attempt
+    l1.defer("200-0")
+    assert(l1.deliveryInfo("100-0").contains((4000L, 2)))
+    // a fresh ledger over the same dir reads the times back
+    val l2 = new AckLedger(dir, writerTag = "driver2", clock = () => now)
+    assert(l2.deliveryInfo("100-0").contains((4000L, 2)))
+    assert(l2.deliveryInfo("200-0").contains((4000L, 1)))
+    // compaction folds writers and keeps unacked times (count + last ms)
+    l2.compact((_: String) => true)
+    assert(l2.deliveryInfo("100-0").contains((4000L, 2)))
+    // acked entry's PEL metadata is unreachable and compacts away
+    l2.ack("100-0")
+    l2.compact((_: String) => true)
+    val l3 = new AckLedger(dir, writerTag = "driver3", clock = () => now)
+    assert(l3.deliveryInfo("100-0").isEmpty)
+    assert(l3.deliveryInfo("200-0").contains((4000L, 1)))
+  }
+
+  test("legacy pending entries without delivery records are infinitely idle") {
+    val dir = java.nio.file.Paths.get(TestSpark.tmpDir("ledger-legacy"))
+    java.nio.file.Files.write(dir.resolve("pending-old.log"),
+      "100-0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val l = new AckLedger(dir)
+    assert(l.deferred == Set("100-0"))
+    assert(l.idleMs("100-0") == Long.MaxValue) // always eligible for reclaim
+    assert(l.deliveryInfo("100-0").isEmpty)
+  }
 }
