@@ -857,6 +857,19 @@ object PlanAudit {
       "planner reads the MATERIALIZED release seam" -> "Scan parquet",
       "token-keyed LM join; corpus scalars broadcast" -> "HashJoin",
       "no cartesian beyond the 1-row broadcasts" -> "!CartesianProduct"),
+    "q401_vocab_ablation" -> Seq(
+      "all three ablation walks tokenize only the distinct-word dictionary" -> "HashAggregate",
+      "per-source totals from term-keyed equi hash joins" -> "HashJoin",
+      "no cartesian product" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q402_pass_at_k" -> Seq(
+      "per-problem (n, c) partial-aggregates map-side" -> "HashAggregate",
+      "the k-fan is the 3-row broadcast, the only non-equi join" -> "BroadcastNestedLoopJoin",
+      "only user_id and event_type read" -> "ReadSchema: struct<user_id:bigint,event_type:string>"),
+    "q403_best_of_n" -> Seq(
+      "rank and sample-count are bounded per-problem windows" -> "Window",
+      "the n-fan is the 3-row broadcast, the only non-equi join" -> "BroadcastNestedLoopJoin",
+      "only event_id, user_id, value read" -> "ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
