@@ -2355,5 +2355,79 @@ object Evaluation {
           expr("SUM(bon) div COUNT(1)").as("mean_bon_micro"))
         .orderBy($"n")
     },
+
+    q("q405_simpsons_audit",
+      // Simpson's-paradox screen: the pooled association between two
+      // variables can flip sign against every stratum's association when
+      // stratum sizes confound (UC-Berkeley admissions being the canonical
+      // case) — the audit a data-mixing pass runs before trusting any
+      // pooled correlation across sources. Per stratum (event type) the
+      // regression-slope NUMERATOR n*Sxy - Sx*Sy carries the association
+      // sign in exact BIGINT sufficient statistics (x = hour-of-day by
+      // integer epoch math, y = centi-value via floor(value*100+.5) on
+      // the same IEEE double both engines read); the pooled row recomputes
+      // it from the summed statistics. reversal_flag fires only when every
+      // stratum agrees on a nonzero sign and the pooled sign is nonzero
+      // and opposite — the operator certifies the DETECTOR's mechanics on
+      // fixture traffic (a null result is the honest readout, q397-style).
+      // One map-side-combinable groupBy; the stratum table is bounded by
+      // the event-type vocabulary, so the flag fan-out is a broadcast.
+      // 100 TB-safe.
+      """WITH e AS (SELECT event_type AS stratum,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24 AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |st AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY stratum),
+        |pl AS (SELECT 'ALL' AS stratum, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+        |    CAST(SUM(sxy) AS BIGINT) AS sxy
+        |  FROM st),
+        |sl AS (SELECT stratum, n, n * sxy - sx * sy AS slope_num
+        |  FROM (SELECT * FROM st UNION ALL SELECT * FROM pl)),
+        |sg AS (SELECT stratum, n, slope_num,
+        |    CASE WHEN slope_num > 0 THEN 1
+        |         WHEN slope_num < 0 THEN -1 ELSE 0 END AS slope_sign
+        |  FROM sl),
+        |ag AS (SELECT CASE WHEN MIN(slope_sign) = MAX(slope_sign)
+        |      THEN MIN(slope_sign) ELSE 0 END AS common_sign
+        |  FROM sg WHERE stratum <> 'ALL'),
+        |fl AS (SELECT CASE WHEN ag.common_sign <> 0 AND p.slope_sign <> 0
+        |      AND p.slope_sign <> ag.common_sign THEN 1 ELSE 0 END AS rev
+        |  FROM ag, (SELECT slope_sign FROM sg WHERE stratum = 'ALL') p)
+        |SELECT sg.stratum, sg.n, sg.slope_num, sg.slope_sign,
+        |  CAST(fl.rev AS BIGINT) AS reversal_flag
+        |FROM sg, fl ORDER BY sg.stratum""") { (s, dir) =>
+      import s.implicits._
+      val st = T(s, dir, "events")
+        .select($"event_type".as("stratum"),
+          expr("(unix_millis(ts) div 3600000) % 24").as("x"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+        .groupBy($"stratum")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"))
+        .transform(graft.CacheScope.cached) // stratum rows + pooled fold
+      val pl = st.agg(sum($"n").as("n"), sum($"sx").as("sx"),
+          sum($"sy").as("sy"), sum($"sxy").as("sxy"))
+        .select(lit("ALL").as("stratum"), $"n", $"sx", $"sy", $"sxy")
+      val sg = st.unionByName(pl)
+        .withColumn("slope_num", $"n" * $"sxy" - $"sx" * $"sy")
+        .withColumn("slope_sign", expr(
+          "CASE WHEN slope_num > 0 THEN 1 WHEN slope_num < 0 THEN -1 ELSE 0 END"))
+      val common = sg.filter($"stratum" =!= "ALL")
+        .agg(expr("CASE WHEN MIN(slope_sign) = MAX(slope_sign) " +
+          "THEN MIN(slope_sign) ELSE 0 END").as("common_sign"))
+      val flag = sg.filter($"stratum" === "ALL")
+        .select($"slope_sign".as("pooled_sign"))
+        .crossJoin(broadcast(common))
+        .select(expr("CAST(CASE WHEN common_sign <> 0 AND pooled_sign <> 0 " +
+          "AND pooled_sign <> common_sign THEN 1 ELSE 0 END AS BIGINT)")
+          .as("reversal_flag"))
+      sg.select($"stratum", $"n", $"slope_num", $"slope_sign")
+        .crossJoin(broadcast(flag))
+        .orderBy($"stratum")
+    },
   )
 }

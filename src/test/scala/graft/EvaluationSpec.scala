@@ -253,4 +253,36 @@ class EvaluationSpec extends AnyFunSuite {
     val pt = r.getAs[Long]("point_diff_nano")
     assert(pt >= lo - math.abs(pt) && pt <= hi + math.abs(pt))
   }
+
+  test("q405's reversal detector fires on a planted Simpson's paradox") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Classic construction: within each stratum y RISES with x, but the
+    // low-x stratum sits at high y and dominates, so pooled y FALLS with
+    // x. Strata A: x in {0,1}, y = 100 + 10x (slope +). Strata B:
+    // x in {8,9}, y = 10x - 60 (slope +). Pooled: high-x points have the
+    // LOWER y values -> negative pooled slope. Same sufficient-statistics
+    // formula as the operator (slope numerator n*Sxy - Sx*Sy).
+    val rows = Seq.tabulate(40)(i => ("A", (i % 2).toLong, 100L + 10L * (i % 2))) ++
+      Seq.tabulate(40)(i => ("B", 8L + (i % 2).toLong, 10L * (8 + i % 2) - 60L))
+    val st = rows.toDF("stratum", "x", "y")
+      .groupBy($"stratum")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"))
+      .withColumn("slope_num", $"n" * $"sxy" - $"sx" * $"sy")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Long]("slope_num")).toMap
+    assert(st("A") > 0 && st("B") > 0, s"per-stratum slopes must be positive: $st")
+    val p = rows.map { case (_, x, y) => (x, y) }
+    val (n, sx, sy, sxy) =
+      (p.size.toLong, p.map(_._1).sum, p.map(_._2).sum,
+        p.map(t => t._1 * t._2).sum)
+    val pooled = n * sxy - sx * sy
+    assert(pooled < 0, s"pooled slope must reverse: $pooled")
+    // the flag rule: unanimous nonzero stratum sign opposite the pooled sign
+    val signs = st.values.map(v => if (v > 0) 1 else if (v < 0) -1 else 0).toSet
+    val common = if (signs.size == 1) signs.head else 0
+    val pooledSign = if (pooled > 0) 1 else if (pooled < 0) -1 else 0
+    assert(common != 0 && pooledSign != 0 && pooledSign != common)
+  }
 }
