@@ -1040,5 +1040,86 @@ object Dedup {
             .otherwise("admit"))
         .orderBy($"doc_id")
     },
+
+    q("q407_fold_leakage", {
+      val foldA = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id),
+         |est AS (SELECT da, db FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.da
+         |  JOIN sig sb ON sb.doc_id = cand.db
+         |  WHERE 2*len(list_filter(range($MinhashSigs),
+         |    i -> sa.mh[CAST(i+1 AS INT)] = sb.mh[CAST(i+1 AS INT)])) >= $MinhashSigs),
+         |fl AS (SELECT doc_id, CAST(CASE WHEN h < '33' THEN 0 WHEN h < '66' THEN 1
+         |    WHEN h < '99' THEN 2 WHEN h < 'cc' THEN 3 ELSE 4 END AS BIGINT) AS fold
+         |  FROM (SELECT doc_id, $foldA AS h FROM documents)),
+         |px AS (SELECT LEAST(fa.fold, fb.fold) AS fold_a,
+         |    GREATEST(fa.fold, fb.fold) AS fold_b
+         |  FROM est JOIN fl fa ON fa.doc_id = est.da
+         |           JOIN fl fb ON fb.doc_id = est.db)
+         |SELECT fold_a, fold_b, CAST(COUNT(*) AS BIGINT) AS pairs,
+         |  CAST(CASE WHEN fold_a <> fold_b THEN 1 ELSE 0 END AS BIGINT) AS cross_fold
+         |FROM px GROUP BY fold_a, fold_b ORDER BY fold_a, fold_b"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Cross-fold dedup-leakage audit (Lee et al. 2021's warning made
+      // measurable): assign documents to 5 folds by an md5 range split
+      // (hash-based, NOT id parity — parity correlates with the fixture's
+      // source assignment), find near-dup pairs with q42's banded
+      // MinHash-LSH (threshold stated as the integer comparison
+      // 2*matches >= sigs so no float divides), and count pairs per
+      // (fold_a, fold_b) cell. Off-diagonal cells ARE the leakage: a
+      // random split puts ~4/5 of every duplicate cluster's pairs across
+      // fold boundaries, which silently turns held-out evaluation into
+      // memorization credit — the measured case for q123's cluster-aware
+      // leakage-safe split. Candidates come from the (band, key)
+      // equi-join, never all pairs; the fold table joins by doc_id.
+      // 100 TB-safe.
+      val sig = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .withColumn("mh", expr("graft_minhash(hh)"))
+        .select($"doc_id", $"mh")
+        .transform(graft.CacheScope.cached)
+      val bands = sig
+        .select($"doc_id", $"mh",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val est = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+        .join(sig.as("sa"), $"da" === $"sa.doc_id")
+        .join(sig.as("sb"), $"db" === $"sb.doc_id")
+        .filter(expr(s"2 * size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), b -> b)) >= $MinhashSigs"))
+        .select($"da", $"db")
+      val folds = T(s, dir, "documents")
+        .select($"doc_id", expr(
+          "substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2)").as("h"))
+        .select($"doc_id", expr(
+          "CAST(CASE WHEN h < '33' THEN 0 WHEN h < '66' THEN 1 " +
+            "WHEN h < '99' THEN 2 WHEN h < 'cc' THEN 3 ELSE 4 END AS BIGINT)")
+          .as("fold"))
+      est.join(folds.as("fa"), $"da" === $"fa.doc_id")
+        .join(folds.as("fb"), $"db" === $"fb.doc_id")
+        .select(least($"fa.fold", $"fb.fold").as("fold_a"),
+          greatest($"fa.fold", $"fb.fold").as("fold_b"))
+        .groupBy($"fold_a", $"fold_b")
+        .agg(count(lit(1)).as("pairs"))
+        .withColumn("cross_fold", expr(
+          "CAST(CASE WHEN fold_a <> fold_b THEN 1 ELSE 0 END AS BIGINT)"))
+        .orderBy($"fold_a", $"fold_b")
+    },
   )
 }

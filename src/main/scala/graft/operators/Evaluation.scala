@@ -2429,5 +2429,63 @@ object Evaluation {
         .crossJoin(broadcast(flag))
         .orderBy($"stratum")
     },
+
+    q("q406_loo_influence",
+      // Leave-one-group-out influence on a fitted model, in closed form:
+      // for an OLS slope the sufficient statistics are additive, so the
+      // refit WITHOUT group g needs no second pass — subtract g's moment
+      // sums from the totals and re-evaluate the slope formula. This is
+      // the exact group-level influence function a data-curation pass
+      // uses to ask "which source is dragging the fit?" without one
+      // retrain per source (the q366 ablation needs one LM rescore per
+      // source; here additivity makes it free). Same global-minus-group
+      // subtraction as q298's k-fold trainer — but where q298 reads the
+      // held-out ERROR for model selection, this reads the COEFFICIENT
+      // SHIFT per left-out group: the influence-function attribution,
+      // signed toward the group that drags the fit. q126's discipline: every
+      // Σ is an order-independent DECIMAL sum, derived stats are one IEEE
+      // expression with identical op order in both dialects, r6-rounded;
+      // x is bounded (user_id % 100) so scaled sums stay far below 2^53.
+      // One groupBy plus a 1-row totals broadcast. 100 TB-safe.
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(user_id % 100 AS DOUBLE) x, value y FROM events),
+         |s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) n,
+         |    ${dsumSql("x")} sx, ${dsumSql("y")} sy,
+         |    ${dsumSql("x*y")} sxy, ${dsumSql("x*x")} sxx
+         |  FROM b GROUP BY event_type),
+         |t AS (SELECT CAST(COUNT(*) AS DOUBLE) nn,
+         |    ${dsumSql("x")} tsx, ${dsumSql("y")} tsy,
+         |    ${dsumSql("x*y")} tsxy, ${dsumSql("x*x")} tsxx
+         |  FROM b)
+         |SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+         |  ${r6Sql("(nn*tsxy - tsx*tsy) / (nn*tsxx - tsx*tsx)")} AS slope_full,
+         |  ${r6Sql("((nn - n)*(tsxy - sxy) - (tsx - sx)*(tsy - sy)) / ((nn - n)*(tsxx - sxx) - (tsx - sx)*(tsx - sx))")} AS slope_loo,
+         |  ${r6Sql("((nn - n)*(tsxy - sxy) - (tsx - sx)*(tsy - sy)) / ((nn - n)*(tsxx - sxx) - (tsx - sx)*(tsx - sx)) - (nn*tsxy - tsx*tsy) / (nn*tsxx - tsx*tsx)")} AS influence
+         |FROM s, t ORDER BY s.event_type""") { (s, dir) =>
+      import s.implicits._
+      val b = T(s, dir, "events")
+        .select($"event_type", ($"user_id" % 100).cast("double").as("x"),
+          $"value".as("y"))
+        .transform(graft.CacheScope.cached) // per-group pass + totals pass
+      val perGroup = b.groupBy($"event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum($"x").as("sx"), dsum($"y").as("sy"),
+          dsum($"x" * $"y").as("sxy"), dsum($"x" * $"x").as("sxx"))
+      val totals = b.agg(count(lit(1)).cast("double").as("nn"),
+        dsum($"x").as("tsx"), dsum($"y").as("tsy"),
+        dsum($"x" * $"y").as("tsxy"), dsum($"x" * $"x").as("tsxx"))
+      val full = ($"nn" * $"tsxy" - $"tsx" * $"tsy") /
+        ($"nn" * $"tsxx" - $"tsx" * $"tsx")
+      val loo = (($"nn" - $"n") * ($"tsxy" - $"sxy") -
+          ($"tsx" - $"sx") * ($"tsy" - $"sy")) /
+        (($"nn" - $"n") * ($"tsxx" - $"sxx") -
+          ($"tsx" - $"sx") * ($"tsx" - $"sx"))
+      perGroup.crossJoin(broadcast(totals))
+        .select($"event_type", $"n".cast("long").as("n"),
+          r6(full).as("slope_full"),
+          r6(loo).as("slope_loo"),
+          r6(loo - full).as("influence"))
+        .orderBy($"event_type")
+    },
   )
 }

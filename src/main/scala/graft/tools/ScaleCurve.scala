@@ -72,7 +72,12 @@ object ScaleCurve {
     // the DoReMi reweighting (token-keyed frequency join — the q136
     // shape under a different readout)
     "q380_semantic_decontaminate", "q385_incremental_dedup",
-    "q390_knn_ood", "q391_doremi_reweight")
+    "q390_knn_ood", "q391_doremi_reweight",
+    // round-9 session 3: the triple-walk vocabulary ablation (dictionary-
+    // sized compute, corpus-sized word-count joins) and the cross-fold
+    // leakage audit (banded LSH pairs + fold equi-joins — the candidate
+    // volume must stay subquadratic under the decorrelated 10x corpus)
+    "q401_vocab_ablation", "q407_fold_leakage")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
