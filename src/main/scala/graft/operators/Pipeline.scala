@@ -400,6 +400,98 @@ object Pipeline {
         .orderBy($"train_doc", $"eval_doc")
     },
 
+    q("q408_clean_eval_gap",
+      // Contamination-sensitive eval readout (GPT-3 appendix C's
+      // clean-vs-dirty protocol): split the eval metric by whether each
+      // held-out doc shares a rare 13-gram with any training doc, and
+      // report the per-source gap — a large clean/dirty divergence means
+      // the headline number is memorization credit, not capability. The
+      // held-out set keys on md5(doc_id) (never id parity), contamination
+      // is q118's machinery (df <= 10 cap over eval n-grams only, probe
+      // BROADCAST into the train scan so the corpus never shuffles), and
+      // the metric is the exact integer type-token ppm. Docs under 13
+      // words cannot carry a 13-gram and are excluded from the protocol
+      // (stated, not silent). Means are floor-divided sums; empty cells
+      // read 0 with their n columns beside them. 100 TB-safe.
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') w,
+         |    ${splitCaseDuck("doc_id")} sp FROM documents),
+         |g AS (SELECT doc_id, sp, ${duckHashedSet(duckNGrams("w", 13))} hh
+         |      FROM d WHERE len(w) >= 13),
+         |ex AS (SELECT doc_id, sp, unnest(hh) h FROM g),
+         |ev AS (SELECT doc_id, h FROM ex WHERE sp = 'test'),
+         |df AS (SELECT ex.h, CAST(COUNT(*) AS BIGINT) df FROM ex
+         |       JOIN (SELECT DISTINCT h FROM ev) e ON ex.h = e.h GROUP BY ex.h),
+         |probe AS (SELECT ev.doc_id, ev.h FROM ev
+         |          JOIN df ON ev.h = df.h WHERE df.df <= 10),
+         |dirty AS (SELECT DISTINCT p.doc_id FROM probe p
+         |          JOIN (SELECT h FROM ex WHERE sp <> 'test') t ON t.h = p.h),
+         |sc AS (SELECT doc_id, source,
+         |    (len(list_distinct(w)) * 1000000) // len(w) AS ttr_ppm
+         |  FROM d WHERE sp = 'test' AND len(w) >= 13),
+         |lab AS (SELECT sc.source, sc.ttr_ppm,
+         |    CASE WHEN dirty.doc_id IS NULL THEN 0 ELSE 1 END AS dirty
+         |  FROM sc LEFT JOIN dirty ON dirty.doc_id = sc.doc_id)
+         |SELECT source,
+         |  CAST(SUM(1 - dirty) AS BIGINT) AS n_clean,
+         |  CAST(SUM(dirty) AS BIGINT) AS n_dirty,
+         |  CAST(CASE WHEN SUM(1 - dirty) = 0 THEN 0 ELSE
+         |    SUM(CASE WHEN dirty = 0 THEN ttr_ppm ELSE 0 END) // SUM(1 - dirty)
+         |    END AS BIGINT) AS clean_mean_ppm,
+         |  CAST(CASE WHEN SUM(dirty) = 0 THEN 0 ELSE
+         |    SUM(CASE WHEN dirty = 1 THEN ttr_ppm ELSE 0 END) // SUM(dirty)
+         |    END AS BIGINT) AS dirty_mean_ppm,
+         |  CAST(CASE WHEN SUM(dirty) = 0 OR SUM(1 - dirty) = 0 THEN 0 ELSE
+         |    SUM(CASE WHEN dirty = 1 THEN ttr_ppm ELSE 0 END) // SUM(dirty)
+         |    - SUM(CASE WHEN dirty = 0 THEN ttr_ppm ELSE 0 END) // SUM(1 - dirty)
+         |    END AS BIGINT) AS gap_ppm
+         |FROM lab GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      val d = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .selectExpr("doc_id", "source", "w",
+          s"${splitCaseSpark("doc_id")} AS sp")
+        .filter(size($"w") >= 13)
+        .transform(graft.CacheScope.cached) // n-gram pass + scoring pass
+      val ex = d
+        .withColumn("hh", expr(
+          s"array_distinct(transform(${nGramsSql("w", 13)}, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"sp", explode($"hh").as("h"))
+        .transform(graft.CacheScope.cached)
+      val ev = ex.filter($"sp" === "test").select($"doc_id", $"h")
+      val df = ex.as("x")
+        .join(broadcast(ev.select($"h").distinct().as("e")), $"x.h" === $"e.h")
+        .groupBy($"x.h".as("h")).agg(count(lit(1)).as("df"))
+      val probe = ev.join(broadcast(df.filter($"df" <= 10)), "h")
+        .select($"doc_id", $"h")
+      val dirty = ex.filter($"sp" =!= "test").select($"h").as("t")
+        .join(broadcast(probe.as("p")), $"t.h" === $"p.h")
+        .select($"p.doc_id").distinct()
+        .withColumn("is_dirty", lit(1L))
+      d.filter($"sp" === "test")
+        .select($"doc_id", $"source",
+          expr("(size(array_distinct(w)) * 1000000) div size(w)").as("ttr_ppm"))
+        .join(broadcast(dirty), Seq("doc_id"), "left")
+        .withColumn("dirty", coalesce($"is_dirty", lit(0L)))
+        .groupBy($"source")
+        .agg(
+          expr("CAST(SUM(1 - dirty) AS BIGINT)").as("n_clean"),
+          expr("CAST(SUM(dirty) AS BIGINT)").as("n_dirty"),
+          expr("""CAST(CASE WHEN SUM(1 - dirty) = 0 THEN 0 ELSE
+            SUM(CASE WHEN dirty = 0 THEN ttr_ppm ELSE 0 END) div SUM(1 - dirty)
+            END AS BIGINT)""").as("clean_mean_ppm"),
+          expr("""CAST(CASE WHEN SUM(dirty) = 0 THEN 0 ELSE
+            SUM(CASE WHEN dirty = 1 THEN ttr_ppm ELSE 0 END) div SUM(dirty)
+            END AS BIGINT)""").as("dirty_mean_ppm"))
+        .select($"source", $"n_clean", $"n_dirty", $"clean_mean_ppm",
+          $"dirty_mean_ppm",
+          // gap only when both cells are populated: an empty cell's 0 mean
+          // must not masquerade as a huge divergence
+          expr("CASE WHEN n_dirty = 0 OR n_clean = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE dirty_mean_ppm - clean_mean_ppm END").as("gap_ppm"))
+        .orderBy($"source")
+    },
+
     q("q123_leakage_safe_split",
       // Train/val/test assignment that cannot leak duplicates across
       // splits: the split is keyed on the duplicate group's canonical

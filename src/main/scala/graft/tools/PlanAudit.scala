@@ -870,6 +870,18 @@ object PlanAudit {
       "rank and sample-count are bounded per-problem windows" -> "Window",
       "the n-fan is the 3-row broadcast, the only non-equi join" -> "BroadcastNestedLoopJoin",
       "only event_id, user_id, value read" -> "ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"),
+    "q405_simpsons_audit" -> Seq(
+      "stratum sufficient stats partial-aggregate map-side" -> "HashAggregate",
+      "the reversal flag is a 1-row broadcast over the bounded stratum table" -> "BroadcastNestedLoopJoin",
+      "only ts, event_type, value read" -> "ReadSchema: struct<ts:timestamp"),
+    "q406_loo_influence" -> Seq(
+      "moment sums partial-aggregate map-side" -> "HashAggregate",
+      "global totals broadcast onto the bounded group table" -> "BroadcastNestedLoopJoin",
+      "only user_id, event_type, value read" -> "ReadSchema: struct<user_id:bigint,event_type:string,value:double>"),
+    "q407_fold_leakage" -> Seq(
+      "near-dup candidates from the (band, key) equi hash join" -> "HashJoin",
+      "no all-pairs comparison anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
