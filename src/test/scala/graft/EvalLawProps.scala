@@ -140,4 +140,95 @@ object EvalLawProps extends Properties("EvalLaws") {
         target(r) - achieved >= 0 && target(r) - achieved <= cs.size
       }
     }
+
+  // ---- q402: the integer pass@k recurrence vs exact BigInt combinatorics
+
+  /** The query's per-step floor recurrence in pico-units. */
+  private def passAtKRecurrence(n: Long, c: Long, k: Long): Long = {
+    var acc = 1000000000000L
+    var i = 0L
+    while (i < k) {
+      acc = (acc * math.max(n - c - i, 0L)) / (n - i)
+      i += 1
+    }
+    1000000L - acc / 1000000L
+  }
+
+  private def choose(n: Long, k: Long): BigInt =
+    if (k < 0 || k > n) BigInt(0)
+    else (BigInt(n - k + 1) to BigInt(n)).product /
+      (BigInt(1) to BigInt(k)).product
+
+  property("q402 pass@k recurrence within 1 ppm of the exact hypergeometric") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1L, 200L)
+      c <- Gen.chooseNum(0L, n)
+      k <- Gen.chooseNum(1L, n)
+    } yield (n, c, k)) { case (n, c, k) =>
+      val rec = passAtKRecurrence(n, c, k)
+      // exact: floor(1e6 * (1 - C(n-c,k)/C(n,k)))
+      val exact =
+        (BigInt(1000000) * (choose(n, k) - choose(n - c, k)) / choose(n, k)).toLong
+      // the recurrence floors the FAIL probability downward (k losses of
+      // < 1 pico each, never amplified since every factor is <= 1), so the
+      // PASS side can only read high — by at most 2 ppm (one from the
+      // pico-loss crossing a 1e6 boundary, one from floor-vs-ceil)
+      rec >= exact && rec - exact <= 2L
+    }
+
+  property("q402 pass@k boundary laws: c=0 -> 0, c=n -> 1e6, k=n -> has-any") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1L, 150L)
+      c <- Gen.chooseNum(0L, n)
+    } yield (n, c)) { case (n, c) =>
+      passAtKRecurrence(n, 0L, math.max(1L, n / 2)) == 0L &&
+      (c == 0L || passAtKRecurrence(n, n, 1L) == 1000000L) &&
+      (if (c > 0) passAtKRecurrence(n, c, n) == 1000000L
+       else passAtKRecurrence(n, c, n) == 0L)
+    }
+
+  // ---- q403: best-of-n order-statistic weights
+
+  /** The query's per-row weight recurrence: pico C(i-1,n-1)/C(N,n). */
+  private def bonWeight(nn: Long, n: Long, i: Long): Long = {
+    var acc = (1000000000000L * n) / nn
+    var j = 1L
+    while (j <= n - 1) {
+      acc = (acc * (i - j)) / (nn - j)
+      j += 1
+    }
+    acc
+  }
+
+  property("q403 best-of-n weights sum to ~1 and concentrate on the top rank") =
+    Prop.forAll(for {
+      nn <- Gen.chooseNum(2L, 120L)
+      n <- Gen.chooseNum(1L, nn)
+    } yield (nn, n)) { case (nn, n) =>
+      val ws = (1L to nn).map(i => bonWeight(nn, n, i))
+      val sum = ws.sum
+      // true weights sum to exactly 1e12 (hockey-stick identity); each
+      // floored weight is short by < n picos (n floors, factors <= 1)
+      sum <= 1000000000000L && 1000000000000L - sum <= nn * n &&
+      // ranks below n carry exactly zero weight (a zero factor at j = i)
+      (1L until n).forall(i => ws((i - 1).toInt) == 0L) &&
+      // weights are monotone in rank (a higher rank tops at least as many
+      // subsets) up to per-weight floor slack of n picos
+      ws.sliding(2).forall { case Seq(a, b) => a <= b + n; case _ => true }
+    }
+
+  property("q403 best-of-1 is the mean and best-of-N is the max (floor error only)") =
+    Prop.forAll(for {
+      nn <- Gen.chooseNum(2L, 80L)
+      rs <- Gen.listOfN(nn.toInt, Gen.chooseNum(0L, 1000L))
+    } yield (nn, rs.sorted)) { case (nn, rs) =>
+      val bon1 = rs.zipWithIndex
+        .map { case (r, i0) => bonWeight(nn, 1L, i0 + 1L) * r }.sum / 100000000L
+      val exactMean = rs.sum * 10000L / nn // micro-units of centi-rewards
+      val bonN = rs.zipWithIndex
+        .map { case (r, i0) => bonWeight(nn, nn, i0 + 1L) * r }.sum / 100000000L
+      val exactMax = rs.max * 10000L
+      (exactMean - bon1 >= 0L && exactMean - bon1 <= 10000L) &&
+      (exactMax - bonN >= 0L && exactMax - bonN <= 10000L)
+    }
 }
