@@ -1759,5 +1759,69 @@ object Pipeline {
             .as("tokens_per_step"))
         .orderBy($"source")
     },
+
+    q("q409_curriculum_schedule",
+      // Curriculum schedule: order the corpus into easy → medium → hard
+      // training phases by a difficulty score, and report each phase's
+      // source mixture — the staged-pretraining planner (and the mixture
+      // drift it exposes: if src7 is 40% of phase 2 but 5% of phase 0,
+      // the model meets that source late and skewed). Difficulty is the
+      // exact integer mean word length (n_chars*1e6/words), COMPACTED to
+      // per-mille buckets so the tercile cutpoints come from an exact
+      // histogram cumsum — the q88/topWeightEdges pattern: the only
+      // window runs over the bounded score DOMAIN, never the corpus, and
+      // both engines derive identical integer cutpoints (no
+      // approx-percentile cross-engine drift). Assignment is a map-side
+      // comparison against the two broadcast cutpoints. Ties share a
+      // bucket, so phases are exactly reproducible. 100 TB-safe.
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    (n_chars * 1000000) // len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, words, score // 1000 AS bkt FROM d),
+        |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bkt),
+        |cum AS (SELECT bkt, SUM(c) OVER (ORDER BY bkt) AS cum,
+        |    (SELECT SUM(c) FROM h) AS n FROM h),
+        |cuts AS (SELECT
+        |    (SELECT MIN(bkt) FROM cum WHERE cum * 3 >= n) AS cut1,
+        |    (SELECT MIN(bkt) FROM cum WHERE cum * 3 >= 2 * n) AS cut2),
+        |ph AS (SELECT b.source, b.words,
+        |    CASE WHEN b.bkt <= cuts.cut1 THEN 0
+        |         WHEN b.bkt <= cuts.cut2 THEN 1 ELSE 2 END AS phase
+        |  FROM b, cuts),
+        |ps AS (SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(words) AS BIGINT) AS tokens
+        |  FROM ph GROUP BY phase, source),
+        |pt AS (SELECT phase, CAST(SUM(tokens) AS BIGINT) AS phase_tokens
+        |  FROM ps GROUP BY phase)
+        |SELECT ps.phase, ps.source, ps.docs, ps.tokens,
+        |  (ps.tokens * 1000000) // pt.phase_tokens AS share_ppm
+        |FROM ps JOIN pt ON pt.phase = ps.phase
+        |ORDER BY ps.phase, ps.source""") { (s, dir) =>
+      import s.implicits._
+      val b = T(s, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("words"),
+          expr("(n_chars * 1000000) div size(split(text, ' '))").as("score"))
+        .withColumn("bkt", expr("score div 1000"))
+        .transform(graft.CacheScope.cached) // histogram pass + assign pass
+      val cuts = b.groupBy($"bkt").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(
+          Window.orderBy($"bkt"))) // bounded: score DOMAIN, not corpus
+        .crossJoin(broadcast(b.groupBy($"bkt").agg(count(lit(1)).as("c2"))
+          .agg(sum($"c2").as("n"))))
+        .agg(min(when($"cum" * 3 >= $"n", $"bkt")).as("cut1"),
+          min(when($"cum" * 3 >= lit(2) * $"n", $"bkt")).as("cut2"))
+      val ps = b.crossJoin(broadcast(cuts))
+        .withColumn("phase", expr(
+          "CASE WHEN bkt <= cut1 THEN 0 WHEN bkt <= cut2 THEN 1 ELSE 2 END"))
+        .groupBy($"phase", $"source")
+        .agg(count(lit(1)).as("docs"), sum($"words").as("tokens"))
+      val pt = ps.groupBy($"phase").agg(sum($"tokens").as("phase_tokens"))
+      ps.join(broadcast(pt), "phase")
+        .select($"phase", $"source", $"docs", $"tokens",
+          expr("(tokens * 1000000) div phase_tokens").as("share_ppm"))
+        .orderBy($"phase", $"source")
+    },
   )
 }

@@ -882,6 +882,10 @@ object PlanAudit {
       "near-dup candidates from the (band, key) equi hash join" -> "HashJoin",
       "no all-pairs comparison anywhere" -> "!CartesianProduct",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q409_curriculum_schedule" -> Seq(
+      "difficulty histogram partial-aggregates map-side" -> "HashAggregate",
+      "cutpoints broadcast into the map-side phase assignment" -> "BroadcastNestedLoopJoin",
+      "the cumsum window runs over the bounded score domain, then 1-row aggregates" -> "Window"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
