@@ -74,6 +74,9 @@ final case class ConsumerConfig(
 
   require(timeoutMs >= 0, s"timeoutMs must be >= 0 (0 = block forever), got $timeoutMs")
   require(minIdleMs >= 0, s"minIdleMs must be >= 0, got $minIdleMs")
+  require(minIdleMs == 0 || groupName.isDefined,
+    "minIdleMs gates the pending drain, which only exists in group mode " +
+      "(no group => no ledger, so the setting would be silently inert)")
   require(maxDeliveries.forall(_ >= 1), s"maxDeliveries must be >= 1, got $maxDeliveries")
   require(deadLetterStream.isEmpty || (groupName.isDefined && maxDeliveries.isDefined),
     "deadLetterStream requires group mode (the delivery counter lives in the " +
@@ -149,9 +152,13 @@ final class AckLedger(dir: Path, writerTag: String = "driver",
     files.iterator.flatMap(f =>
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty))
       .toSeq.flatMap { line =>
+        // a torn/corrupt line (crash mid-append) must not brick the group:
+        // skip it, so the entry degrades to "no recorded delivery" =
+        // infinitely idle, the same contract as a pre-timestamp ledger
         val cut = line.lastIndexOf('\u0001')
         if (cut < 0) None
-        else Some((line.substring(0, cut), line.substring(cut + 1).toLong))
+        else line.substring(cut + 1).toLongOption
+          .map(ms => (line.substring(0, cut), ms))
       }
       .groupBy(_._1)
       .map { case (k, v) => k -> (v.map(_._2).max, v.size) }
@@ -213,6 +220,20 @@ final class AckLedger(dir: Path, writerTag: String = "driver",
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       others.foreach(f => Files.deleteIfExists(f.toPath))
     }
+  }
+
+  /** Re-read every writer's files into this ledger's in-memory view. In
+    * parallel mode the partition tasks append to their own `p<N>` files
+    * while this (driver) instance is live — a drain or XPENDING snapshot
+    * taken after a batch must see those writes, not the construction-time
+    * state. PEL-sized file reads; call sites are per-drain/per-snapshot,
+    * never per-message.
+    */
+  def refresh(): Unit = synchronized {
+    ackedSet = readSet("acks-")
+    pendingSet = readSet("pending-")
+    failCounts = readCounts("fails-")
+    deliveryMeta = readTimes("times-")
   }
 
   def acked: Set[String] = synchronized(ackedSet)
@@ -338,6 +359,7 @@ final class GraftConsumer(
     */
   def drainPending(): Unit =
     for (l <- ledger if cfg.processPending) {
+      l.refresh() // capture parallel-mode partition writes since construction
       val pending = l.deferred.toSeq
         .filter(k => l.idleMs(k) >= cfg.minIdleMs)
         .map(k => GraftConsumer.parseLedgerKey(cfg, k))
@@ -356,6 +378,7 @@ final class GraftConsumer(
     */
   def pendingSummary(): Seq[GraftConsumer.PendingInfo] =
     ledger.toSeq.flatMap { l =>
+      l.refresh() // capture parallel-mode partition writes since construction
       l.deferred.toSeq.map { k =>
         val (stream, id) = GraftConsumer.parseLedgerKey(cfg, k)
         val (idle, n) = l.deliveryInfo(k) match {
@@ -453,6 +476,11 @@ final class GraftConsumer(
             .sortWithinPartitions("ts", "seq")
             .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
+              // executor-side ledgers stamp delivery times with the EXECUTOR
+              // wall clock (like Redis stamps server time) — an injected
+              // driver clock is deliberately not shipped here: it exists for
+              // deterministic driver-side tests, and a test-clock closure
+              // over mutable spec state would not serialize meaningfully
               val ledger = ledgerDir.map(d =>
                 new AckLedger(Paths.get(d), s"p$pid"))
               val acked = ledger.map(_.acked).getOrElse(Set.empty[String])

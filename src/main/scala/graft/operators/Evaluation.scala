@@ -26,6 +26,65 @@ object Evaluation {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared oracle for q402/q410: the streaming twin must hash-match the
+    * batch estimator verbatim, so both declare the SAME SQL.
+    */
+  private val passAtKOracleSql: String =
+    """WITH RECURSIVE s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |sk AS (SELECT s.user_id, s.n, s.c, ks.k FROM s, ks WHERE s.n >= ks.k),
+        |it AS (
+        |  SELECT user_id, n, c, k, CAST(0 AS BIGINT) AS i,
+        |    CAST(1000000000000 AS BIGINT) AS acc,
+        |    CAST(1000000000000 AS BIGINT) AS nacc
+        |  FROM sk
+        |  UNION ALL
+        |  SELECT user_id, n, c, k, i + 1,
+        |    (acc * GREATEST(n - c - i, 0)) // (n - i),
+        |    (nacc * (n - c)) // n
+        |  FROM it WHERE i < k),
+        |f AS (SELECT user_id, k,
+        |    1000000 - acc // 1000000 AS pass_ppm,
+        |    1000000 - nacc // 1000000 AS naive_ppm
+        |  FROM it WHERE i = k)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS problems,
+        |  CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm,
+        |  CAST(SUM(naive_ppm) // COUNT(*) AS BIGINT) AS mean_naive_ppm,
+        |  CAST(SUM(pass_ppm) // COUNT(*) - SUM(naive_ppm) // COUNT(*)
+        |    AS BIGINT) AS bias_ppm
+        |FROM f GROUP BY k ORDER BY k"""
+
+  /** Shared hypergeometric pass@k readout over a per-problem
+    * (user_id, n, c) frame — q402 feeds it a batch groupBy, q410 the
+    * streamed state snapshot. One copy of the recurrence, so the twins
+    * cannot drift.
+    */
+  private def passAtKReadout(s: SparkSession, perProblem: DataFrame): DataFrame = {
+      import s.implicits._
+      val ks = Seq(1L, 5L, 10L).toDF("k")
+      perProblem.crossJoin(broadcast(ks)).where($"n" >= $"k")
+        .withColumn("accs", expr(
+          """aggregate(sequence(CAST(0 AS BIGINT), k - 1),
+            |  named_struct('a', CAST(1000000000000 AS BIGINT),
+            |               'na', CAST(1000000000000 AS BIGINT)),
+            |  (acc, i) -> named_struct(
+            |    'a', (acc.a * GREATEST(n - c - i, CAST(0 AS BIGINT))) div (n - i),
+            |    'na', (acc.na * (n - c)) div n))""".stripMargin))
+        .select($"k",
+          (lit(1000000L) - expr("accs.a div 1000000")).as("pass_ppm"),
+          (lit(1000000L) - expr("accs.na div 1000000")).as("naive_ppm"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("problems"),
+          expr("SUM(pass_ppm) div COUNT(1)").as("mean_pass_ppm"),
+          expr("SUM(naive_ppm) div COUNT(1)").as("mean_naive_ppm"))
+        .select($"k", $"problems", $"mean_pass_ppm", $"mean_naive_ppm",
+          ($"mean_pass_ppm" - $"mean_naive_ppm").as("bias_ppm"))
+        .orderBy($"k")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q211_roc_auc",
@@ -2239,56 +2298,12 @@ object Evaluation {
       // certifies ESTIMATOR MECHANICS on fixture traffic, like q397.
       // Per-problem (n, c) is one map-side-combinable groupBy; the k-fan
       // is a 3-row broadcast. 100 TB-safe.
-      """WITH RECURSIVE s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c
-        |  FROM events GROUP BY user_id),
-        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
-        |sk AS (SELECT s.user_id, s.n, s.c, ks.k FROM s, ks WHERE s.n >= ks.k),
-        |it AS (
-        |  SELECT user_id, n, c, k, CAST(0 AS BIGINT) AS i,
-        |    CAST(1000000000000 AS BIGINT) AS acc,
-        |    CAST(1000000000000 AS BIGINT) AS nacc
-        |  FROM sk
-        |  UNION ALL
-        |  SELECT user_id, n, c, k, i + 1,
-        |    (acc * GREATEST(n - c - i, 0)) // (n - i),
-        |    (nacc * (n - c)) // n
-        |  FROM it WHERE i < k),
-        |f AS (SELECT user_id, k,
-        |    1000000 - acc // 1000000 AS pass_ppm,
-        |    1000000 - nacc // 1000000 AS naive_ppm
-        |  FROM it WHERE i = k)
-        |SELECT k, CAST(COUNT(*) AS BIGINT) AS problems,
-        |  CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm,
-        |  CAST(SUM(naive_ppm) // COUNT(*) AS BIGINT) AS mean_naive_ppm,
-        |  CAST(SUM(pass_ppm) // COUNT(*) - SUM(naive_ppm) // COUNT(*)
-        |    AS BIGINT) AS bias_ppm
-        |FROM f GROUP BY k ORDER BY k""") { (s, dir) =>
+      passAtKOracleSql) { (s, dir) =>
       import s.implicits._
-      val perProblem = T(s, dir, "events")
+      passAtKReadout(s, T(s, dir, "events")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n"),
-          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
-      val ks = Seq(1L, 5L, 10L).toDF("k")
-      perProblem.crossJoin(broadcast(ks)).where($"n" >= $"k")
-        .withColumn("accs", expr(
-          """aggregate(sequence(CAST(0 AS BIGINT), k - 1),
-            |  named_struct('a', CAST(1000000000000 AS BIGINT),
-            |               'na', CAST(1000000000000 AS BIGINT)),
-            |  (acc, i) -> named_struct(
-            |    'a', (acc.a * GREATEST(n - c - i, CAST(0 AS BIGINT))) div (n - i),
-            |    'na', (acc.na * (n - c)) div n))""".stripMargin))
-        .select($"k",
-          (lit(1000000L) - expr("accs.a div 1000000")).as("pass_ppm"),
-          (lit(1000000L) - expr("accs.na div 1000000")).as("naive_ppm"))
-        .groupBy($"k")
-        .agg(count(lit(1)).as("problems"),
-          expr("SUM(pass_ppm) div COUNT(1)").as("mean_pass_ppm"),
-          expr("SUM(naive_ppm) div COUNT(1)").as("mean_naive_ppm"))
-        .select($"k", $"problems", $"mean_pass_ppm", $"mean_naive_ppm",
-          ($"mean_pass_ppm" - $"mean_naive_ppm").as("bias_ppm"))
-        .orderBy($"k")
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c")))
     },
 
     q("q403_best_of_n",
@@ -2367,32 +2382,7 @@ object Evaluation {
       // the same split q145/q388 use between streamed state and offline
       // readback. The oracle is q402's batch statement verbatim:
       // streamed counters must reproduce the batch estimator exactly.
-      """WITH RECURSIVE s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS c
-        |  FROM events GROUP BY user_id),
-        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
-        |sk AS (SELECT s.user_id, s.n, s.c, ks.k FROM s, ks WHERE s.n >= ks.k),
-        |it AS (
-        |  SELECT user_id, n, c, k, CAST(0 AS BIGINT) AS i,
-        |    CAST(1000000000000 AS BIGINT) AS acc,
-        |    CAST(1000000000000 AS BIGINT) AS nacc
-        |  FROM sk
-        |  UNION ALL
-        |  SELECT user_id, n, c, k, i + 1,
-        |    (acc * GREATEST(n - c - i, 0)) // (n - i),
-        |    (nacc * (n - c)) // n
-        |  FROM it WHERE i < k),
-        |f AS (SELECT user_id, k,
-        |    1000000 - acc // 1000000 AS pass_ppm,
-        |    1000000 - nacc // 1000000 AS naive_ppm
-        |  FROM it WHERE i = k)
-        |SELECT k, CAST(COUNT(*) AS BIGINT) AS problems,
-        |  CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm,
-        |  CAST(SUM(naive_ppm) // COUNT(*) AS BIGINT) AS mean_naive_ppm,
-        |  CAST(SUM(pass_ppm) // COUNT(*) - SUM(naive_ppm) // COUNT(*)
-        |    AS BIGINT) AS bias_ppm
-        |FROM f GROUP BY k ORDER BY k""") { (s, dir) =>
+      passAtKOracleSql) { (s, dir) =>
       import s.implicits._
       val root = graft.LogFixtures.producedLog(dir, "q410") { r =>
         graft.log.LogBulkProducer.produceAt(
@@ -2414,25 +2404,7 @@ object Evaluation {
             .agg(count(lit(1)).as("n"),
               sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
         }
-      val ks = Seq(1L, 5L, 10L).toDF("k")
-      state.crossJoin(broadcast(ks)).where($"n" >= $"k")
-        .withColumn("accs", expr(
-          """aggregate(sequence(CAST(0 AS BIGINT), k - 1),
-            |  named_struct('a', CAST(1000000000000 AS BIGINT),
-            |               'na', CAST(1000000000000 AS BIGINT)),
-            |  (acc, i) -> named_struct(
-            |    'a', (acc.a * GREATEST(n - c - i, CAST(0 AS BIGINT))) div (n - i),
-            |    'na', (acc.na * (n - c)) div n))""".stripMargin))
-        .select($"k",
-          (lit(1000000L) - expr("accs.a div 1000000")).as("pass_ppm"),
-          (lit(1000000L) - expr("accs.na div 1000000")).as("naive_ppm"))
-        .groupBy($"k")
-        .agg(count(lit(1)).as("problems"),
-          expr("SUM(pass_ppm) div COUNT(1)").as("mean_pass_ppm"),
-          expr("SUM(naive_ppm) div COUNT(1)").as("mean_naive_ppm"))
-        .select($"k", $"problems", $"mean_pass_ppm", $"mean_naive_ppm",
-          ($"mean_pass_ppm" - $"mean_naive_ppm").as("bias_ppm"))
-        .orderBy($"k")
+      passAtKReadout(s, state)
     },
 
     q("q405_simpsons_audit",

@@ -1805,11 +1805,12 @@ object Pipeline {
           expr("(n_chars * 1000000) div size(split(text, ' '))").as("score"))
         .withColumn("bkt", expr("score div 1000"))
         .transform(graft.CacheScope.cached) // histogram pass + assign pass
-      val cuts = b.groupBy($"bkt").agg(count(lit(1)).as("c"))
+      val hist = b.groupBy($"bkt").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // cumsum + total share one pass
+      val cuts = hist
         .withColumn("cum", sum($"c").over(
           Window.orderBy($"bkt"))) // bounded: score DOMAIN, not corpus
-        .crossJoin(broadcast(b.groupBy($"bkt").agg(count(lit(1)).as("c2"))
-          .agg(sum($"c2").as("n"))))
+        .crossJoin(broadcast(hist.agg(sum($"c").as("n"))))
         .agg(min(when($"cum" * 3 >= $"n", $"bkt")).as("cut1"),
           min(when($"cum" * 3 >= lit(2) * $"n", $"bkt")).as("cut2"))
       val ps = b.crossJoin(broadcast(cuts))

@@ -58,26 +58,26 @@ object TextAnalysis {
   private def vocabIn(len: Int): String =
     subwordVocab(len).map(v => s"'$v'").mkString(", ")
 
-  /** Greedy longest-match step length at position `i` of `w` — identical
-    * text in both dialects (substring is 1-based in both; a tail shorter
-    * than the probe never equals a full-width vocab unit).
+  /** Greedy longest-match step length at position `i` of `w`, probing
+    * vocab tiers from `maxTier` down to 2 (single chars always match) —
+    * identical text in both dialects (substring is 1-based in both; a
+    * tail shorter than the probe never equals a full-width vocab unit).
+    * One generator serves the full ladder (maxTier = 4, the q160/q384/
+    * q398 tokenizer) and q401's ablations (3, 2), so the tiers can never
+    * drift apart.
     */
-  private def stepCase(w: String, i: String): String =
-    s"""CASE WHEN substring($w, $i, 4) IN (${vocabIn(4)}) THEN 4
-       |     WHEN substring($w, $i, 3) IN (${vocabIn(3)}) THEN 3
-       |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
+  private def stepCase(w: String, i: String, maxTier: Int = 4): String = {
+    val arms = (maxTier to 2 by -1).map(l =>
+      s"WHEN substring($w, $i, $l) IN (${vocabIn(l)}) THEN $l")
+    s"""CASE ${arms.mkString("\n       |     ")}
        |     ELSE 1 END""".stripMargin
+  }
 
   /** Greedy step with the 4-gram tier ablated (q401). */
-  private def stepCaseNo4(w: String, i: String): String =
-    s"""CASE WHEN substring($w, $i, 3) IN (${vocabIn(3)}) THEN 3
-       |     WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
-       |     ELSE 1 END""".stripMargin
+  private def stepCaseNo4(w: String, i: String): String = stepCase(w, i, 3)
 
   /** Greedy step with the 4- and 3-gram tiers ablated (q401). */
-  private def stepCaseNo43(w: String, i: String): String =
-    s"""CASE WHEN substring($w, $i, 2) IN (${vocabIn(2)}) THEN 2
-       |     ELSE 1 END""".stripMargin
+  private def stepCaseNo43(w: String, i: String): String = stepCase(w, i, 2)
 
   /** Optimal-segmentation DP step (q398): the best token count for the
     * prefix ending at position `i`, from the best counts of the previous
@@ -807,7 +807,7 @@ object TextAnalysis {
              |    'i', acc.i + ${step("word", "acc.i")},
              |    'n', acc.n + CAST(1 AS BIGINT))),
              |  acc -> acc.n)""".stripMargin))
-      wc.join(walk(stepCase, "n_full"), "word")
+      wc.join(walk(stepCase(_, _), "n_full"), "word")
         .join(walk(stepCaseNo4, "n_no4"), "word")
         .join(walk(stepCaseNo43, "n_no43"), "word")
         .groupBy($"source")

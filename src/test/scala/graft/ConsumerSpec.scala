@@ -727,4 +727,40 @@ class ConsumerSpec extends AnyFunSuite {
     assert(l.idleMs("100-0") == Long.MaxValue) // always eligible for reclaim
     assert(l.deliveryInfo("100-0").isEmpty)
   }
+
+  test("a torn times-ledger line does not brick the group; the entry reads infinitely idle") {
+    val dir = java.nio.file.Paths.get(TestSpark.tmpDir("ledger-torn"))
+    // one good record, one torn (crash mid-append: no epoch after the
+    // separator), one with a garbage epoch
+    java.nio.file.Files.write(dir.resolve("times-old.log"),
+      "100-0\u00015000\n200-0\u0001\n300-0\u0001notanumber\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val l = new AckLedger(dir, clock = () => 9000L)
+    assert(l.deliveryInfo("100-0").contains((5000L, 1)))
+    assert(l.deliveryInfo("200-0").isEmpty) // degraded, not fatal
+    assert(l.deliveryInfo("300-0").isEmpty)
+    assert(l.idleMs("200-0") == Long.MaxValue)
+  }
+
+  test("minIdleMs without group mode is rejected (it would be silently inert)") {
+    intercept[IllegalArgumentException] {
+      cfg(TestSpark.tmpDir("log"), "s", None).copy(minIdleMs = 1000L)
+    }
+  }
+
+  test("pendingSummary sees parallel-mode partition deferrals (ledger refresh)") {
+    val root = TestSpark.tmpDir("log")
+    val w = new LogWriter(root, "s")
+    (1 to 4).foreach(i => w.produce(Map("n" -> i.toString)))
+    val shared = cfg(root, "s", Some("g1")).copy(ordered = false)
+    // parallel mode: partition tasks defer into their own p<N> ledger files;
+    // the driver instance must re-read them for the XPENDING snapshot
+    val c = ConsumerRunner.runSupervised(spark, shared,
+      (_, _, _, _) => HandlerResult.Defer,
+      until = cc => cc.pendingSummary().size >= 4)
+    c.stop()
+    val summary = c.pendingSummary()
+    assert(summary.size == 4)
+    assert(summary.forall(p => p.deliveries == 1 && p.idleMs >= 0))
+  }
 }

@@ -285,4 +285,36 @@ class EvaluationSpec extends AnyFunSuite {
     val pooledSign = if (pooled > 0) 1 else if (pooled < 0) -1 else 0
     assert(common != 0 && pooledSign != 0 && pooledSign != common)
   }
+
+  test("q405 operator fires reversal_flag=1 on a planted paradox, end-to-end") {
+    import spark.implicits._
+    // Same construction as the math test above, but written as an events
+    // fixture and run through the ACTUAL operator — certifying the flag
+    // plumbing (stratum/pooled union, sign agreement, broadcast flag
+    // fan-out), which the sf fixture's honest null never exercises.
+    // x rides in ts (hour-of-day = epoch-hour), y in value (centi-units).
+    val plantedDir = TestSpark.tmpDir("q405-planted")
+    val rows =
+      (0 until 40).map { i =>
+        val x = (i % 2).toLong // stratum A: y = 100 + 10x, slope +
+        (x, "A", (100.0 + 10.0 * x) / 100.0)
+      } ++ (0 until 40).map { i =>
+        val x = 8L + i % 2 // stratum B: y = 10x - 60, slope +
+        (x, "B", (10.0 * x - 60.0) / 100.0)
+      }
+    rows.zipWithIndex.map { case ((x, et, v), i) =>
+      (i.toLong, new java.sql.Timestamp(x * 3600L * 1000L), i.toLong % 7,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$plantedDir/events.parquet")
+    val out =
+      try SparkEntry.queries("q405_simpsons_audit")(spark, plantedDir).collect()
+      finally CacheScope.release()
+    val sign = out.map(r =>
+      r.getAs[String]("stratum") ->
+        r.getAs[Number]("slope_sign").longValue).toMap
+    assert(sign("A") == 1L && sign("B") == 1L, s"per-stratum slopes: $sign")
+    assert(sign("ALL") == -1L, s"pooled slope must reverse: $sign")
+    assert(out.forall(_.getAs[Long]("reversal_flag") == 1L))
+  }
 }
