@@ -882,6 +882,10 @@ object PlanAudit {
       "near-dup candidates from the (band, key) equi hash join" -> "HashJoin",
       "no all-pairs comparison anywhere" -> "!CartesianProduct",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q408_clean_eval_gap" -> Seq(
+      "rare eval n-grams broadcast into the train-side contamination probe" -> "BroadcastHashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q409_curriculum_schedule" -> Seq(
       "difficulty histogram partial-aggregates map-side" -> "HashAggregate",
       "cutpoints broadcast into the map-side phase assignment" -> "BroadcastNestedLoopJoin",
