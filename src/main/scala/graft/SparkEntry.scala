@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Pipeline.defs ++ operators.Multimodal.defs ++
       operators.WebCorpus.defs ++ operators.Retrieval.defs ++
       operators.Evaluation.defs ++ operators.Release.defs ++
-      operators.Monitoring.defs ++ operators.Training.defs
+      operators.Monitoring.defs ++ operators.Training.defs ++
+      operators.Assembly.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

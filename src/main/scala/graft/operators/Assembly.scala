@@ -1,0 +1,361 @@
+package graft.operators
+
+import graft.ColFns.{detMln, detMlnIntSql, detMlnSql}
+import graft.QueryDef.q
+import graft.functions.TextHash
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Example-assembly and training-run accounting — what happens to curated
+  * documents AFTER selection, when they are physically packed into training
+  * examples, and the privacy ledger a data platform keeps over the
+  * statistics it releases. The reference delegates all per-entry computation
+  * to consumer handler callbacks (`/root/reference/lib/consumer.ex:283-299`);
+  * the engine owns these as first-class, oracle-checked operators:
+  *
+  *  - q411 fill-in-the-middle span accounting (the FIM objective's
+  *    prefix/middle/suffix split, per source),
+  *  - q412 cross-document attention contamination of concat-and-chunk
+  *    packing (the cost of NOT using a block-diagonal attention mask),
+  *  - q415 per-window source-mixture entropy (how diverse each packed
+  *    context window actually is),
+  *  - q413 a zCDP differential-privacy accountant over released query
+  *    counts, and q414 its streaming twin through the engine's source.
+  *
+  * Scale posture: q412/q415 need every document's global token offset. A
+  * naive `SUM OVER (ORDER BY doc_id)` is a corpus-sized SinglePartition
+  * window (the q304 anti-pattern), so the offsets come from a TWO-PHASE
+  * cumulative sum: per-block sums (one shuffle of #blocks rows), a prefix
+  * sum over the bounded block table, then a broadcast join back and a
+  * window partitioned BY BLOCK — every row-level window partition is at
+  * most `CumsumBlock` rows. The block size is a knob: at 10^9 docs a 10^6
+  * block keeps the block table at ~1000 rows; the fixture uses 64 so the
+  * two-phase path is actually exercised across multiple blocks.
+  *
+  * Numeric discipline (round-9 standing rules): no libm in hashed columns —
+  * entropy goes through the deterministic `graft_detln` kernel; the DP
+  * epsilon needs a square root, and IEEE-754 REQUIRES sqrt to be correctly
+  * rounded (unlike ln/exp), so `FLOOR(SQRT(x))` is engine-identical, and
+  * the operands are kept below 2^40 where floor∘sqrt equals the exact
+  * integer square root with a >100x margin. All shares are integer ppm /
+  * centi floor-divisions on non-negative operands.
+  */
+object Assembly {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Context window length (tokens) for the packing audits. */
+  private val Ctx = 128L
+
+  /** Two-phase cumsum block size (docs per block) — see the scaling note. */
+  private val CumsumBlock = 64L
+
+  /** Global token start offset per doc via the two-phase cumulative sum:
+    * returns (doc_id, nt, st) where st = sum of nt over all doc_id' <
+    * doc_id. The only unbounded-partition window runs over the BLOCK table
+    * (#docs / CumsumBlock rows — bounded by construction); the row-level
+    * window partitions by block.
+    */
+  private def docStarts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = T(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"),
+        expr(s"doc_id DIV $CumsumBlock").as("blk"))
+    val blockOff = t.groupBy($"blk").agg(sum($"nt").as("bsum"))
+      .withColumn("boff",
+        sum($"bsum").over(Window.orderBy($"blk")) - $"bsum")
+      .drop("bsum")
+    t.join(broadcast(blockOff), "blk")
+      .withColumn("ib",
+        sum($"nt").over(Window.partitionBy($"blk").orderBy($"doc_id")) - $"nt")
+      .select($"doc_id", $"nt", ($"boff" + $"ib").as("st"))
+  }
+
+  /** Oracle-side mirror of [[docStarts]] + per-(doc, chunk) segment lengths.
+    * DuckDB runs the plain global window — the oracle states WHAT the
+    * two-phase sum must equal, not how to distribute it.
+    */
+  private val duckSegCte: String =
+    s"""t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |c AS (SELECT doc_id, nt,
+       |    CAST(SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt
+       |      AS BIGINT) AS st FROM t),
+       |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS ttot FROM t),
+       |seg0 AS (SELECT doc_id, st, nt,
+       |    unnest(generate_series(st // $Ctx, (st + nt - 1) // $Ctx)) AS chunk
+       |  FROM c),
+       |seg AS (SELECT doc_id, chunk,
+       |    LEAST(st + nt, (chunk + 1) * $Ctx) - GREATEST(st, chunk * $Ctx)
+       |      AS seg
+       |  FROM seg0)""".stripMargin
+
+  /** Spark-side (doc_id, chunk, seg) segments plus the broadcast total. */
+  private def chunkSegs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val starts = docStarts(s, dir)
+    val tot = starts.agg(sum($"nt").as("ttot"))
+    val seg = starts
+      .select($"doc_id", $"st", $"nt",
+        explode(sequence(expr(s"st DIV $Ctx"), expr(s"(st + nt - 1) DIV $Ctx")))
+          .as("chunk"))
+      .select($"doc_id", $"chunk",
+        (least($"st" + $"nt", ($"chunk" + 1) * Ctx) -
+          greatest($"st", $"chunk" * Ctx)).as("seg"))
+    (seg, tot)
+  }
+
+  /** Per-event-type Gaussian-mechanism noise scale, milli-units — the
+    * release policy table (coarser stats tolerate less noise). Rendered
+    * into both dialects from one constant so the engines cannot drift.
+    */
+  private val SigmaMilli: Seq[(String, Long)] = Seq(
+    "click" -> 2000L, "error" -> 8000L, "purchase" -> 500L,
+    "signup" -> 1000L, "view" -> 4000L)
+
+  private def sigmaValuesSql: String =
+    SigmaMilli.map { case (t, s) => s"('$t', $s)" }.mkString(", ")
+
+  /** Shared zCDP readout: from (event_type, n_queries) counts to the
+    * composed privacy ledger. rho of one sensitivity-1 Gaussian release is
+    * 1/(2 sigma^2) — in pico-units an exact integer floor-division — and
+    * zCDP composition is ADDITION, so the corpus-sized work is only the
+    * count; everything after runs on |event types| + 1 rows. The
+    * (rho, delta=1e-6) -> epsilon conversion eps = rho + 2*sqrt(rho *
+    * ln(1/delta)) runs in centi-units: ln(1e6) via the deterministic
+    * micro-log kernel, the square root over an operand <= ~1e9 where
+    * IEEE-correctly-rounded FLOOR(SQRT(x)) is the exact integer sqrt.
+    */
+  private def dpReadout(s: SparkSession, counts: DataFrame): DataFrame = {
+    import s.implicits._
+    val sig = SigmaMilli.toDF("event_type", "sigma_milli")
+    val perType = counts.join(broadcast(sig), "event_type")
+      .select($"event_type", $"n_queries", $"sigma_milli",
+        ($"n_queries" *
+          expr("1000000000000000000 DIV (2 * sigma_milli * sigma_milli)"))
+          .as("rho_pico"))
+    val total = perType.agg(sum($"n_queries").as("n_queries"),
+        sum($"rho_pico").as("rho_pico"))
+      .select(lit("__total").as("event_type"), $"n_queries",
+        lit(0L).as("sigma_milli"), $"rho_pico")
+    perType.unionByName(total)
+      .withColumn("rho_centi", expr("rho_pico DIV 10000000000"))
+      .withColumn("lc", expr(s"${detMlnIntSql("1000000")} DIV 10000"))
+      .select($"event_type", $"n_queries", $"sigma_milli", $"rho_pico",
+        ($"rho_centi" + lit(2L) *
+          floor(sqrt(($"rho_centi" * $"lc").cast("double"))).cast("long"))
+          .as("eps_centi"))
+      .orderBy($"event_type")
+  }
+
+  private val dpOracleSql: String =
+    s"""WITH sig(event_type, sigma_milli) AS (VALUES $sigmaValuesSql),
+       |n AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |    CAST(s.sigma_milli AS BIGINT) AS sigma_milli
+       |  FROM events e JOIN sig s USING (event_type)
+       |  GROUP BY e.event_type, s.sigma_milli),
+       |r AS (SELECT event_type, n_queries, sigma_milli,
+       |    n_queries * (1000000000000000000 // (2 * sigma_milli * sigma_milli))
+       |      AS rho_pico FROM n),
+       |a AS (SELECT * FROM r UNION ALL
+       |  SELECT '__total', CAST(SUM(n_queries) AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(SUM(rho_pico) AS BIGINT) FROM r),
+       |c AS (SELECT event_type, n_queries, sigma_milli, rho_pico,
+       |    rho_pico // 10000000000 AS rho_centi,
+       |    ${detMlnIntSql("1000000")} // 10000 AS lc FROM a)
+       |SELECT event_type, n_queries, sigma_milli,
+       |  CAST(rho_pico AS BIGINT) AS rho_pico,
+       |  CAST(rho_centi + 2 * CAST(FLOOR(SQRT(CAST(rho_centi * lc AS DOUBLE)))
+       |    AS BIGINT) AS BIGINT) AS eps_centi
+       |FROM c ORDER BY event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q411_fim_spans", {
+      val h = TextHash.duckPolyHash("text")
+      s"""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS L,
+         |    $h AS h
+         |  FROM documents WHERE length(text) >= 2),
+         |s AS (SELECT source, L, h, (h * 31 + 7) % ${TextHash.P} AS h2,
+         |    1 + (h % (L - 1)) AS a FROM d),
+         |m AS (SELECT source, L, h, a, a + (h2 % (L - a + 1)) AS b FROM s)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS spm_docs,
+         |  CAST(SUM(L) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(b - a) AS BIGINT) AS sum_middle,
+         |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(SUM(L) AS BIGINT)
+         |    AS middle_share_ppm,
+         |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+         |    AS avg_middle_micro,
+         |  CAST(MAX(b - a) AS BIGINT) AS max_middle
+         |FROM m GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // Fill-in-the-middle span accounting (the FIM transform of Bavarian
+      // et al.: move a middle span to the end so a causal LM learns to
+      // infill). The two cut points are derived per document from the
+      // deterministic polynomial hash — h picks the prefix end a in
+      // [1, L-1], a derived h2 picks the middle end b in [a, L] — and the
+      // PSM-vs-SPM mode flag is h's parity, so the accounting is
+      // reproducible run-to-run and engine-to-engine with no RNG state.
+      // Everything is one map-side pass + a |sources|-row aggregate; the
+      // per-source readout (middle-token share, mean middle length) is
+      // what a pretraining team checks before committing an infill mix.
+      T(s, dir, "documents")
+        .filter(length($"text") >= 2)
+        .select($"source", length($"text").cast("long").as("L"),
+          expr("graft_polyhash(text)").as("h"))
+        .withColumn("h2", ($"h" * 31 + 7) % TextHash.P)
+        .withColumn("a", lit(1L) + ($"h" % ($"L" - 1)))
+        .withColumn("b", $"a" + ($"h2" % ($"L" - $"a" + 1)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"h" % 2 === 0, 1L).otherwise(0L)).as("spm_docs"),
+          sum($"L").as("sum_chars"),
+          sum($"b" - $"a").as("sum_middle"),
+          max($"b" - $"a").as("max_middle"))
+        .select($"source", $"n_docs", $"spm_docs", $"sum_chars", $"sum_middle",
+          expr("(sum_middle * 1000000) DIV sum_chars").as("middle_share_ppm"),
+          expr("(sum_middle * 1000000) DIV n_docs").as("avg_middle_micro"),
+          $"max_middle")
+        .orderBy($"source")
+    },
+
+    q("q412_packing_contamination",
+      s"""WITH $duckSegCte,
+         |g AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM((seg * (seg - 1)) // 2) AS BIGINT) AS same_pairs
+         |  FROM seg GROUP BY chunk),
+         |f AS (SELECT g.chunk,
+         |    CAST(LEAST($Ctx, t.ttot - g.chunk * $Ctx) AS BIGINT) AS clen,
+         |    g.n_docs, g.same_pairs
+         |  FROM g, tot t)
+         |SELECT CAST(chunk AS BIGINT) AS chunk, clen, n_docs,
+         |  CAST((clen * (clen - 1)) // 2 - same_pairs AS BIGINT)
+         |    AS cross_pairs,
+         |  CAST(CASE WHEN clen >= 2 THEN
+         |      (((clen * (clen - 1)) // 2 - same_pairs) * 1000000)
+         |        // ((clen * (clen - 1)) // 2)
+         |    ELSE 0 END AS BIGINT) AS cross_ppm
+         |FROM f ORDER BY chunk""") { (s, dir) =>
+      import s.implicits._
+      // Concat-and-chunk packing (q101's scheme) trains with windows that
+      // straddle document boundaries; without a block-diagonal attention
+      // mask every (token, earlier-token) pair whose members come from
+      // DIFFERENT documents is contaminated context. Exact accounting per
+      // window: causal pairs = clen*(clen-1)/2, same-document pairs =
+      // sum over the window's doc segments of seg*(seg-1)/2, cross = the
+      // difference — all integers derived from each doc's global token
+      // offset (two-phase cumsum, see the object scaladoc; no
+      // corpus-sized window partition anywhere in the plan). The ~60-80%
+      // cross-pair shares on this fixture's short docs are the argument
+      // for masked packing.
+      val (seg, tot) = chunkSegs(s, dir)
+      seg.groupBy($"chunk")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(seg * (seg - 1)) DIV 2")).as("same_pairs"))
+        .crossJoin(broadcast(tot))
+        .select($"chunk", least(lit(Ctx), $"ttot" - $"chunk" * Ctx).as("clen"),
+          $"n_docs", $"same_pairs")
+        .select($"chunk", $"clen", $"n_docs",
+          expr("(clen * (clen - 1)) DIV 2 - same_pairs").as("cross_pairs"),
+          when($"clen" >= 2,
+            expr("(((clen * (clen - 1)) DIV 2 - same_pairs) * 1000000) " +
+              "DIV ((clen * (clen - 1)) DIV 2)"))
+            .otherwise(0L).as("cross_ppm"))
+        .orderBy($"chunk")
+    },
+
+    q("q413_dp_accountant", dpOracleSql) { (s, dir) =>
+      import s.implicits._
+      // zCDP privacy ledger over released statistics: each event is one
+      // released sensitivity-1 Gaussian query with a per-type noise scale
+      // from the release-policy table; composition is rho addition. The
+      // corpus-sized work is one keyed count; the ledger itself is
+      // |event types| + 1 rows. See dpReadout for the numeric discipline
+      // (integer pico-rho, deterministic ln, exact-by-margin FLOOR(SQRT)).
+      dpReadout(s,
+        T(s, dir, "events").groupBy($"event_type")
+          .agg(count(lit(1)).as("n_queries")))
+    },
+
+    q("q414_streaming_dp_ledger", dpOracleSql) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of q413 — which it literally shares its oracle
+      // statement and readout with: the per-type release counts accumulate
+      // as complete-mode keyed streaming state through the engine's own
+      // source (state = one counter per event type, bounded forever), and
+      // the batch-side ledger readout converts the live counts to the
+      // composed (rho, epsilon) — the privacy dashboard a platform reads
+      // between ingest batches, q375/q410's snapshot-readout shape.
+      val v0 = T(s, dir, "events").select($"event_id", $"event_type")
+      val root = graft.LogFixtures.producedLog(dir, "q414") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"event_id").as("ms"),
+            $"event_id", $"event_type"),
+          "ms", r, "events", orderCols = Seq("event_id"))
+      }
+      val counts = graft.streaming.StreamHarness.runToMemory(
+          s, "q414", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "events")
+          .option("valueSchema", "event_id BIGINT, event_type STRING")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "8000")
+          .load()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_queries"))
+      }
+      dpReadout(s, counts)
+    },
+
+    q("q415_window_mixture",
+      s"""WITH $duckSegCte,
+         |per AS (SELECT s.chunk, d.source, CAST(SUM(s.seg) AS BIGINT)
+         |      AS s_tokens
+         |  FROM seg s JOIN documents d USING (doc_id)
+         |  GROUP BY s.chunk, d.source),
+         |f AS (SELECT per.chunk,
+         |    CAST(LEAST($Ctx, t.ttot - per.chunk * $Ctx) AS BIGINT) AS clen,
+         |    source, s_tokens
+         |  FROM per, tot t),
+         |e AS (SELECT chunk, clen, source, s_tokens,
+         |    ${detMlnSql("s_tokens", "clen")} AS mln FROM f)
+         |SELECT CAST(chunk AS BIGINT) AS chunk, clen,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |  CAST(SUM((-(s_tokens * mln)) // clen) AS BIGINT) AS entropy_micro,
+         |  CAST(MAX(s_tokens) AS BIGINT) AS max_source_tokens
+         |FROM e GROUP BY chunk, clen ORDER BY chunk""") { (s, dir) =>
+      import s.implicits._
+      // Source-mixture entropy of each packed context window: with
+      // p_src = tokens-from-src / window-length, H = -sum p ln p in
+      // micro-nats — per-term -(s * mln(s/clen)) // clen keeps every
+      // operand a non-negative integer (mln <= 0 since s <= clen) through
+      // the deterministic log kernel. Low-entropy windows are runs of one
+      // source back-to-back — the signal that the packing order needs a
+      // shuffle; windows are chunk-keyed so the check distributes with
+      // the same two-phase-cumsum plan as q412.
+      val (seg, tot) = chunkSegs(s, dir)
+      val docsSrc = T(s, dir, "documents").select($"doc_id", $"source")
+      seg.join(docsSrc, "doc_id")
+        .groupBy($"chunk", $"source")
+        .agg(sum($"seg").as("s_tokens"))
+        .crossJoin(broadcast(tot))
+        .select($"chunk", $"source", $"s_tokens",
+          least(lit(Ctx), $"ttot" - $"chunk" * Ctx).as("clen"))
+        .withColumn("mln", detMln($"s_tokens", $"clen"))
+        .groupBy($"chunk", $"clen")
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr("(-(s_tokens * mln)) DIV clen")).as("entropy_micro"),
+          max($"s_tokens").as("max_source_tokens"))
+        .select($"chunk", $"clen", $"n_sources", $"entropy_micro",
+          $"max_source_tokens")
+        .orderBy($"chunk")
+    }
+  )
+}

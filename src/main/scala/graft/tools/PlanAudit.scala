@@ -890,6 +890,23 @@ object PlanAudit {
       "difficulty histogram partial-aggregates map-side" -> "HashAggregate",
       "cutpoints broadcast into the map-side phase assignment" -> "BroadcastNestedLoopJoin",
       "the cumsum window runs over the bounded score domain, then 1-row aggregates" -> "Window"),
+    "q411_fim_spans" -> Seq(
+      "per-source accounting partial-aggregates map-side" -> "HashAggregate",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+    "q412_packing_contamination" -> Seq(
+      "block offsets broadcast back to the row pass" -> "BroadcastHashJoin",
+      "row-level cumsum window partitions by block, never corpus-wide" -> "windowspecdefinition(blk",
+      "per-chunk pair accounting partial-aggregates map-side" -> "HashAggregate"),
+    "q415_window_mixture" -> Seq(
+      "block offsets broadcast back to the row pass" -> "BroadcastHashJoin",
+      "row-level cumsum window partitions by block, never corpus-wide" -> "windowspecdefinition(blk",
+      "per-(chunk, source) token sums partial-aggregate map-side" -> "HashAggregate"),
+    "q413_dp_accountant" -> Seq(
+      "release-policy table broadcast into the count join" -> "BroadcastHashJoin",
+      "per-type counts partial-aggregate map-side" -> "HashAggregate",
+      "only event_type read" -> "ReadSchema: struct<event_type:string>"),
+    "q414_streaming_dp_ledger" -> Seq(
+      "ledger readout joins the drained counts to the broadcast policy table" -> "BroadcastHashJoin"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",
