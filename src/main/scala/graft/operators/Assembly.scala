@@ -314,6 +314,69 @@ object Assembly {
       dpReadout(s, counts)
     },
 
+    q("q416_chunking_dependency_loss",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |    CAST(SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt
+         |      AS BIGINT) AS st FROM t),
+         |w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id,
+         |    CAST(unnest(range(1, len(w))) AS BIGINT) AS pos,
+         |    unnest(list_transform(range(len(w)-1), i ->
+         |      array_to_string(w[CAST(i+1 AS INT):CAST(i+2 AS INT)],' '))) AS g
+         |  FROM w WHERE len(w) >= 2),
+         |d AS (SELECT doc_id, g, CAST(MIN(pos) AS BIGINT) AS p1,
+         |    CAST(MAX(pos) AS BIGINT) AS p2
+         |  FROM g0 GROUP BY doc_id, g
+         |  HAVING COUNT(*) >= 2 AND MAX(pos) > MIN(pos)),
+         |j AS (SELECT d.doc_id, (p2 - p1) AS span,
+         |    CASE WHEN (c.st + p1 - 1) // $Ctx = (c.st + p2 - 1) // $Ctx
+         |      THEN 1 ELSE 0 END AS pres
+         |  FROM d JOIN c USING (doc_id))
+         |SELECT CAST(span // 16 AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_deps,
+         |  CAST(SUM(pres) AS BIGINT) AS n_preserved,
+         |  (CAST(SUM(pres) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+         |    AS preserved_ppm
+         |FROM j GROUP BY band ORDER BY band""") { (s, dir) =>
+      import s.implicits._
+      // What chunked packing DESTROYS: a repeated bigram inside one
+      // document is a long-range dependency (the model can only learn the
+      // re-occurrence if both ends share a context window). For every
+      // (doc, bigram) seen twice or more, the first-to-last occurrence
+      // span is banded and checked against the q412 window assignment —
+      // preservation decays monotonically with span (95% at <16 tokens,
+      // ~14% at 80+ on this fixture), the quantitative case for long-doc-
+      // aware packing. Occurrence extraction is map-side (positions stay
+      // inside the doc); the only shuffles are the per-(doc, gram) minmax
+      // aggregate and the doc-keyed join to the two-phase offsets. At
+      // corpus scale the gram text would ride as its polyhash; the
+      // fixture keys on the text so the oracle stays legible.
+      val starts = docStarts(s, dir).select($"doc_id", $"st")
+      val deps = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(w, i, 2)) AS g))"))
+          .as("x"))
+        .select($"doc_id", $"x.pos".as("pos"), $"x.g".as("g"))
+        .groupBy($"doc_id", $"g")
+        .agg(min($"pos").as("p1"), max($"pos").as("p2"),
+          count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2 && $"p2" > $"p1")
+      deps.join(starts, "doc_id")
+        .select(($"p2" - $"p1").as("span"),
+          when(expr(s"(st + p1 - 1) DIV $Ctx") ===
+            expr(s"(st + p2 - 1) DIV $Ctx"), 1L).otherwise(0L).as("pres"))
+        .groupBy(expr("span DIV 16").as("band"))
+        .agg(count(lit(1)).as("n_deps"), sum($"pres").as("n_preserved"))
+        .select($"band", $"n_deps", $"n_preserved",
+          expr("(n_preserved * 1000000) DIV n_deps").as("preserved_ppm"))
+        .orderBy($"band")
+    },
+
     q("q415_window_mixture",
       s"""WITH $duckSegCte,
          |per AS (SELECT s.chunk, d.source, CAST(SUM(s.seg) AS BIGINT)

@@ -907,6 +907,10 @@ object PlanAudit {
       "only event_type read" -> "ReadSchema: struct<event_type:string>"),
     "q414_streaming_dp_ledger" -> Seq(
       "ledger readout joins the drained counts to the broadcast policy table" -> "BroadcastHashJoin"),
+    "q416_chunking_dependency_loss" -> Seq(
+      "per-(doc, gram) spans partial-aggregate map-side before the offsets join" -> "HashAggregate",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -63,6 +63,23 @@ class AssemblySpec extends AnyFunSuite {
       "fixture should produce at least one mixed window")
   }
 
+  test("q416 dependency preservation decays from short to long spans") {
+    val rows = run("q416_chunking_dependency_loss")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("preserved_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(r.getAs[Long]("n_preserved") <= r.getAs[Long]("n_deps"))
+    }
+    val byBand = rows.sortBy(_.getAs[Long]("band"))
+    if (byBand.length >= 2) {
+      // a window cannot hold a span longer than itself minus one; and the
+      // shortest band must preserve strictly better than the longest
+      assert(byBand.head.getAs[Long]("preserved_ppm") >
+        byBand.last.getAs[Long]("preserved_ppm"))
+    }
+  }
+
   test("floor(sqrt(x)) is the exact integer sqrt on the DP operand range") {
     // eps_centi relies on IEEE-correctly-rounded SQRT never rounding up
     // across an integer boundary; exhaustive boundary probes + random
