@@ -1121,5 +1121,80 @@ object Dedup {
           "CAST(CASE WHEN fold_a <> fold_b THEN 1 ELSE 0 END AS BIGINT)"))
         .orderBy($"fold_a", $"fold_b")
     },
+
+    q("q417_deletion_neighborhood",
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |mut AS (SELECT doc_id + 10000 AS doc_id,
+        |    list_transform(range(1, len(w)+1), i ->
+        |      CASE WHEN i = 1 + (doc_id * 7) % len(w) THEN 'xmutx'
+        |        ELSE w[CAST(i AS INT)] END) AS w
+        |  FROM base WHERE doc_id % 50 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |del AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+        |    CAST(unnest(range(1, len(w)+1)) AS BIGINT) AS pos,
+        |    md5(array_to_string(
+        |      w[1:CAST(unnest(range(1, len(w)+1)) AS INT)-1]
+        |        || w[CAST(unnest(range(1, len(w)+1)) AS INT)+1:CAST(len(w) AS INT)],
+        |      ' ')) AS key
+        |  FROM u),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.len, a.pos
+        |  FROM del a JOIN del b ON a.key = b.key AND a.len = b.len
+        |    AND a.pos = b.pos AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id, c.len, c.pos,
+        |    CAST(list_sum(list_transform(range(1, CAST(c.len AS INT)+1), i ->
+        |      CASE WHEN ua.w[CAST(i AS INT)] = ub.w[CAST(i AS INT)]
+        |        THEN 0 ELSE 1 END)) AS BIGINT) AS n_diff
+        |  FROM cand c JOIN u ua ON ua.doc_id = c.a_id
+        |    JOIN u ub ON ub.doc_id = c.b_id)
+        |SELECT a_id, b_id, len, CAST(pos AS BIGINT) AS diff_pos
+        |FROM v WHERE n_diff = 1 ORDER BY a_id, b_id, diff_pos""") { (s, dir) =>
+      import s.implicits._
+      // SymSpell-style deletion-neighborhood blocking: token-level
+      // substitution-distance-1 pairs MUST agree on the sequence with the
+      // differing position deleted, so each doc emits len deletion keys
+      // (md5 of the words minus position i) and candidates come from an
+      // equi-join on (key, len, pos) — subquadratic candidate generation
+      // for edit-distance dedup, vs q74's per-pair scalar distance. The
+      // probe set plants one single-token mutant per 50th doc (position
+      // derived from doc_id, fully deterministic); the pipeline must
+      // recover exactly those pairs, verified by an exact zip_with
+      // difference count before emission. At corpus scale the deletion
+      // fan-out is len x rows but each variant is a fixed-width digest;
+      // the join key space is ~unique so the shuffle carries no skew.
+      val base = T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+      val mut = base.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 10000L).as("doc_id"),
+          expr("transform(sequence(1, size(w)), i -> " +
+            "IF(i = 1 + (doc_id * 7) % size(w), 'xmutx', " +
+            "element_at(w, CAST(i AS INT))))").as("w"))
+      val u = base.unionByName(mut)
+        .transform(graft.CacheScope.cached) // deletion pass + both verify sides
+      val del = u
+        .select($"doc_id", $"w", size($"w").cast("long").as("len"),
+          explode(expr("sequence(CAST(1 AS BIGINT), CAST(size(w) AS BIGINT))"))
+            .as("pos"))
+        .select($"doc_id", $"len", $"pos",
+          md5(expr("CAST(concat_ws(' ', concat(" +
+            "slice(w, 1, CAST(pos - 1 AS INT)), " +
+            "slice(w, CAST(pos + 1 AS INT), CAST(len - pos AS INT)))) AS BINARY)"))
+            .as("key"))
+      val cand = del.as("a").join(del.as("b"),
+          $"a.key" === $"b.key" && $"a.len" === $"b.len" &&
+            $"a.pos" === $"b.pos" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          $"a.len".as("len"), $"a.pos".as("pos"))
+        .distinct()
+      cand
+        .join(u.select($"doc_id".as("a_id"), $"w".as("wa")), "a_id")
+        .join(u.select($"doc_id".as("b_id"), $"w".as("wb")), "b_id")
+        .withColumn("n_diff", expr(
+          "aggregate(zip_with(wa, wb, (x, y) -> IF(x = y, 0, 1)), 0, " +
+            "(acc, v) -> acc + v)"))
+        .filter($"n_diff" === 1)
+        .select($"a_id", $"b_id", $"len", $"pos".as("diff_pos"))
+        .orderBy($"a_id", $"b_id", $"diff_pos")
+    },
   )
 }

@@ -1760,6 +1760,74 @@ object TextAnalysis {
           ($"s1" - $"s2").as("margin_micro"))
         .orderBy($"margin_micro", $"doc_id").limit(20)
     },
+
+    q("q418_branching_entropy", {
+      val mln = graft.ColFns.detMlnSql("n", "nc")
+      s"""WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w
+         |  FROM documents),
+         |tri AS (SELECT source,
+         |    array_to_string(w[CAST(unnest(range(1, len(w)-1)) AS INT):
+         |      CAST(unnest(range(1, len(w)-1)) AS INT)+1], ' ') AS ctx,
+         |    w[CAST(unnest(range(1, len(w)-1)) AS INT)+2] AS nxt
+         |  FROM w WHERE len(w) >= 3),
+         |cn AS (SELECT source, ctx, nxt, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tri GROUP BY source, ctx, nxt),
+         |cm AS (SELECT source, ctx, CAST(SUM(n) AS BIGINT) AS nc
+         |  FROM cn GROUP BY source, ctx),
+         |h AS (SELECT cn.source, cn.ctx, cm.nc, cn.n, $mln AS mln
+         |  FROM cn JOIN cm USING (source, ctx)),
+         |hc AS (SELECT source, ctx, nc,
+         |    CAST(SUM((-(n * mln)) // nc) AS BIGINT) AS h_micro
+         |  FROM h GROUP BY source, ctx, nc),
+         |tot AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS n_triples
+         |  FROM hc GROUP BY source)
+         |SELECT hc.source, CAST(COUNT(*) AS BIGINT) AS n_contexts,
+         |  t.n_triples,
+         |  CAST(SUM(nc * h_micro) // t.n_triples AS BIGINT)
+         |    AS cond_entropy_micro,
+         |  CAST(SUM(CASE WHEN h_micro = 0 THEN nc ELSE 0 END) * 1000000
+         |    // t.n_triples AS BIGINT) AS deterministic_ppm
+         |FROM hc JOIN tot t USING (source)
+         |GROUP BY hc.source, t.n_triples ORDER BY hc.source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Corpus branching entropy: the mean Shannon entropy of the
+      // next-token distribution given a bigram context, token-weighted
+      // per source — the LM-relevant "how predictable is this corpus"
+      // number (and the quantity boundary-entropy tokenizers segment on),
+      // distinct from q330's held-out perplexity (which scores text under
+      // a model) and q188's character entropy (no conditioning). Per-term
+      // -(n * mln(n/nc)) // nc keeps every operand a non-negative integer
+      // through the deterministic log kernel; deterministic_ppm is the
+      // token share whose context has exactly one continuation. Triples
+      // extract map-side; the shuffles are the (source, ctx, nxt) and
+      // (source, ctx) aggregates — both key-bounded, no window anywhere.
+      val tri = T(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 3)
+        .select($"source", explode(expr(
+          "transform(sequence(1, size(w) - 2), i -> struct(" +
+            "concat_ws(' ', slice(w, i, 2)) AS ctx, " +
+            "element_at(w, CAST(i + 2 AS INT)) AS nxt))")).as("x"))
+        .select($"source", $"x.ctx".as("ctx"), $"x.nxt".as("nxt"))
+      val cn = tri.groupBy($"source", $"ctx", $"nxt")
+        .agg(count(lit(1)).as("n"))
+      val cm = cn.groupBy($"source", $"ctx").agg(sum($"n").as("nc"))
+      val h = cn.join(cm, Seq("source", "ctx"))
+        .withColumn("mln", graft.ColFns.detMln($"n", $"nc"))
+        .groupBy($"source", $"ctx", $"nc")
+        .agg(sum(expr("(-(n * mln)) DIV nc")).as("h_micro"))
+      val tot = h.groupBy($"source").agg(sum($"nc").as("n_triples"))
+      h.join(tot, "source")
+        .groupBy($"source", $"n_triples")
+        .agg(count(lit(1)).as("n_contexts"),
+          sum($"nc" * $"h_micro").as("sh"),
+          sum(when($"h_micro" === 0, $"nc").otherwise(0L)).as("sd"))
+        .select($"source", $"n_contexts", $"n_triples",
+          expr("sh DIV n_triples").as("cond_entropy_micro"),
+          expr("(sd * 1000000) DIV n_triples").as("deterministic_ppm"))
+        .orderBy($"source")
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

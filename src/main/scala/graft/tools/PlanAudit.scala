@@ -911,6 +911,14 @@ object PlanAudit {
       "per-(doc, gram) spans partial-aggregate map-side before the offsets join" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q417_deletion_neighborhood" -> Seq(
+      "candidate generation is keyed (never all-pairs)" -> "!CartesianProduct",
+      "candidate dedup partial-aggregates map-side" -> "HashAggregate",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q418_branching_entropy" -> Seq(
+      "triple counts partial-aggregate map-side" -> "HashAggregate",
+      "no window anywhere" -> "!Window",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q385_incremental_dedup" -> Seq(
       "delta-vs-index and in-batch candidates from (band, key) equi hash joins" -> "HashJoin",
       "no cartesian product (never delta x corpus)" -> "!CartesianProduct",

@@ -77,7 +77,12 @@ object ScaleCurve {
     // sized compute, corpus-sized word-count joins) and the cross-fold
     // leakage audit (banded LSH pairs + fold equi-joins — the candidate
     // volume must stay subquadratic under the decorrelated 10x corpus)
-    "q401_vocab_ablation", "q407_fold_leakage")
+    "q401_vocab_ablation", "q407_fold_leakage",
+    // round-10 additions: the two-phase-cumsum packing audit (explode of
+    // per-doc window segments — must stay linear in tokens, never
+    // windows x docs) and the repeated-bigram span audit (per-doc gram
+    // positions + doc-keyed offsets join)
+    "q412_packing_contamination", "q416_chunking_dependency_loss")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 

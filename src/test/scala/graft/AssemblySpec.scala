@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Laws for the example-assembly/accounting family (q411-q415) that the
+/** Laws for the example-assembly/accounting batch (q411-q418) that the
   * hash oracle cannot state: partition invariants of the FIM split, the
   * packing audits' conservation laws, the floor∘sqrt exactness margin the
   * DP accountant relies on, and batch/streaming twin equality.
@@ -116,6 +116,35 @@ class AssemblySpec extends AnyFunSuite {
       assert(got <= eps + 0.02, s"${r.getAs[String]("event_type")}: $got > $eps")
       assert(got >= eps - 0.005 * eps - 0.03,
         s"${r.getAs[String]("event_type")}: $got too far below $eps")
+    }
+  }
+
+  test("q417 recovers exactly the planted single-token mutants") {
+    val rows = run("q417_deletion_neighborhood")
+    // one mutant is planted per 50th doc; the blocking + verify must
+    // find each planted pair and nothing else on this fixture
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a_id")
+      assert(a % 50 == 0, s"unexpected base doc $a")
+      assert(r.getAs[Long]("b_id") == a + 10000L)
+      val p = r.getAs[Long]("diff_pos")
+      assert(p >= 1 && p <= r.getAs[Long]("len"))
+    }
+  }
+
+  test("q418 branching entropy respects its information bounds") {
+    val rows = run("q418_branching_entropy")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("cond_entropy_micro")
+      val nTriples = r.getAs[Long]("n_triples")
+      val det = r.getAs[Long]("deterministic_ppm")
+      assert(h >= 0 && det >= 0 && det <= 1000000L)
+      // H(next | ctx) <= ln(branching) <= ln(n_triples); micro slack for
+      // the per-term floors
+      assert(h <= math.ceil(math.log(nTriples.toDouble) * 1e6).toLong + nTriples)
+      if (det == 1000000L) assert(h == 0)
     }
   }
 
