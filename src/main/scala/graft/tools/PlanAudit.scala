@@ -52,7 +52,8 @@ object PlanAudit {
       "no cartesian product in the contamination probe" -> "!CartesianProduct"),
     "q101_token_packing" -> Seq(
       "map-side partial aggregation after the packing window" -> "HashAggregate",
-      "cumulative sum as one window pass per lang partition" -> "Window"),
+      "block offsets broadcast back to the row pass" -> "BroadcastHashJoin",
+      "row-level cumsum window partitions by (lang, block), never a whole lang" -> "windowspecdefinition(lang"),
     "q104_stratified_sample" -> Seq(
       "text column never read for the sampling pass" -> "ReadSchema: struct<doc_id:bigint,lang:string>"),
     "q108_winsorize" -> Seq(
