@@ -172,58 +172,110 @@ object Assembly {
        |    AS BIGINT) AS BIGINT) AS eps_centi
        |FROM c ORDER BY event_type""".stripMargin
 
+  /** FIM cut-point derivation + per-source aggregate, shared by the batch
+    * query and its streaming twin. Input: (source, L, h) rows with L >= 2;
+    * h is the deterministic polynomial text hash. h picks the prefix end
+    * a in [1, L-1], a derived h2 picks the middle end b in [a, L], and
+    * h's parity is the PSM-vs-SPM mode flag — reproducible run-to-run and
+    * engine-to-engine with no RNG state.
+    */
+  private def fimAgg(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("h2", ($"h" * 31 + 7) % TextHash.P)
+      .withColumn("a", lit(1L) + ($"h" % ($"L" - 1)))
+      .withColumn("b", $"a" + ($"h2" % ($"L" - $"a" + 1)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"h" % 2 === 0, 1L).otherwise(0L)).as("spm_docs"),
+        sum($"L").as("sum_chars"),
+        sum($"b" - $"a").as("sum_middle"),
+        max($"b" - $"a").as("max_middle"))
+  }
+
+  /** Readout of [[fimAgg]]'s state: the integer-ppm share columns. */
+  private def fimReadout(agged: DataFrame): DataFrame = {
+    import agged.sparkSession.implicits._
+    agged.select($"source", $"n_docs", $"spm_docs", $"sum_chars",
+        $"sum_middle",
+        expr("(sum_middle * 1000000) DIV sum_chars").as("middle_share_ppm"),
+        expr("(sum_middle * 1000000) DIV n_docs").as("avg_middle_micro"),
+        $"max_middle")
+      .orderBy($"source")
+  }
+
+  private val fimOracleSql: String = {
+    val h = TextHash.duckPolyHash("text")
+    s"""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS L,
+       |    $h AS h
+       |  FROM documents WHERE length(text) >= 2),
+       |s AS (SELECT source, L, h, (h * 31 + 7) % ${TextHash.P} AS h2,
+       |    1 + (h % (L - 1)) AS a FROM d),
+       |m AS (SELECT source, L, h, a, a + (h2 % (L - a + 1)) AS b FROM s)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS spm_docs,
+       |  CAST(SUM(L) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(b - a) AS BIGINT) AS sum_middle,
+       |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(SUM(L) AS BIGINT)
+       |    AS middle_share_ppm,
+       |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+       |    AS avg_middle_micro,
+       |  CAST(MAX(b - a) AS BIGINT) AS max_middle
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
-    q("q411_fim_spans", {
-      val h = TextHash.duckPolyHash("text")
-      s"""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS L,
-         |    $h AS h
-         |  FROM documents WHERE length(text) >= 2),
-         |s AS (SELECT source, L, h, (h * 31 + 7) % ${TextHash.P} AS h2,
-         |    1 + (h % (L - 1)) AS a FROM d),
-         |m AS (SELECT source, L, h, a, a + (h2 % (L - a + 1)) AS b FROM s)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS spm_docs,
-         |  CAST(SUM(L) AS BIGINT) AS sum_chars,
-         |  CAST(SUM(b - a) AS BIGINT) AS sum_middle,
-         |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(SUM(L) AS BIGINT)
-         |    AS middle_share_ppm,
-         |  (CAST(SUM(b - a) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
-         |    AS avg_middle_micro,
-         |  CAST(MAX(b - a) AS BIGINT) AS max_middle
-         |FROM m GROUP BY source ORDER BY source"""
-    }) { (s, dir) =>
+    q("q411_fim_spans", fimOracleSql) { (s, dir) =>
       import s.implicits._
       graft.functions.GraftExpressions.register(s)
       // Fill-in-the-middle span accounting (the FIM transform of Bavarian
       // et al.: move a middle span to the end so a causal LM learns to
-      // infill). The two cut points are derived per document from the
-      // deterministic polynomial hash — h picks the prefix end a in
-      // [1, L-1], a derived h2 picks the middle end b in [a, L] — and the
-      // PSM-vs-SPM mode flag is h's parity, so the accounting is
-      // reproducible run-to-run and engine-to-engine with no RNG state.
-      // Everything is one map-side pass + a |sources|-row aggregate; the
-      // per-source readout (middle-token share, mean middle length) is
-      // what a pretraining team checks before committing an infill mix.
-      T(s, dir, "documents")
-        .filter(length($"text") >= 2)
-        .select($"source", length($"text").cast("long").as("L"),
-          expr("graft_polyhash(text)").as("h"))
-        .withColumn("h2", ($"h" * 31 + 7) % TextHash.P)
-        .withColumn("a", lit(1L) + ($"h" % ($"L" - 1)))
-        .withColumn("b", $"a" + ($"h2" % ($"L" - $"a" + 1)))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when($"h" % 2 === 0, 1L).otherwise(0L)).as("spm_docs"),
-          sum($"L").as("sum_chars"),
-          sum($"b" - $"a").as("sum_middle"),
-          max($"b" - $"a").as("max_middle"))
-        .select($"source", $"n_docs", $"spm_docs", $"sum_chars", $"sum_middle",
-          expr("(sum_middle * 1000000) DIV sum_chars").as("middle_share_ppm"),
-          expr("(sum_middle * 1000000) DIV n_docs").as("avg_middle_micro"),
-          $"max_middle")
-        .orderBy($"source")
+      // infill). Cut points and mode flag derive from the deterministic
+      // polynomial hash (see fimAgg). Everything is one map-side pass +
+      // a |sources|-row aggregate; the per-source readout (middle-token
+      // share, mean middle length) is what a pretraining team checks
+      // before committing an infill mix.
+      fimReadout(fimAgg(
+        T(s, dir, "documents")
+          .filter(length($"text") >= 2)
+          .select($"source", length($"text").cast("long").as("L"),
+            expr("graft_polyhash(text)").as("h"))))
+    },
+
+    q("q419_streaming_fim_spans", fimOracleSql) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftExpressions.register(s)
+      // Streaming twin of q411 — which it literally shares its oracle and
+      // per-source aggregate with: documents stream through the engine's
+      // source, the FIM cut-point derivation runs as a stateless
+      // projection inside the stream, and the per-source span accounting
+      // accumulates as complete-mode keyed state (five scalar aggregates
+      // per source, bounded forever). The ppm readout happens batch-side
+      // over the drained snapshot — the live infill-mix dashboard,
+      // q414/q375's shape.
+      val v0 = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      val root = graft.LogFixtures.producedLog(dir, "q419") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          v0.select((lit(1700000000000L) + $"doc_id").as("ms"),
+            $"doc_id", $"source", $"text"),
+          "ms", r, "documents", orderCols = Seq("doc_id"))
+      }
+      val agged = graft.streaming.StreamHarness.runToMemory(
+          s, "q419", 2, mode = "complete") {
+        fimAgg(
+          s.readStream.format("graftlog")
+            .option("path", root).option("stream", "documents")
+            .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", "200")
+            .load()
+            .filter(length($"text") >= 2)
+            .select($"source", length($"text").cast("long").as("L"),
+              expr("graft_polyhash(text)").as("h")))
+      }
+      fimReadout(agged)
     },
 
     q("q412_packing_contamination",

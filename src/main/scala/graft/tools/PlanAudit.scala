@@ -916,6 +916,8 @@ object PlanAudit {
       "candidate generation is keyed (never all-pairs)" -> "!CartesianProduct",
       "candidate dedup partial-aggregates map-side" -> "HashAggregate",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q419_streaming_fim_spans" -> Seq(
+      "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q418_branching_entropy" -> Seq(
       "triple counts partial-aggregate map-side" -> "HashAggregate",
       "no window anywhere" -> "!Window",

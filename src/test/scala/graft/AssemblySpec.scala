@@ -153,4 +153,10 @@ class AssemblySpec extends AnyFunSuite {
     val streamed = run("q414_streaming_dp_ledger").map(_.toString).sorted
     assert(streamed.sameElements(batch))
   }
+
+  test("q419 streaming FIM accounting equals q411 batch accounting row for row") {
+    val batch = run("q411_fim_spans").map(_.toString).sorted
+    val streamed = run("q419_streaming_fim_spans").map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
 }
