@@ -143,7 +143,8 @@ object Assembly {
         lit(0L).as("sigma_milli"), $"rho_pico")
     perType.unionByName(total)
       .withColumn("rho_centi", expr("rho_pico DIV 10000000000"))
-      .withColumn("lc", expr(s"${detMlnIntSql("1000000")} DIV 10000"))
+      .withColumn("mln1e6", graft.ColFns.detMlnInt(lit(1000000L)))
+      .withColumn("lc", expr("mln1e6 DIV 10000"))
       .select($"event_type", $"n_queries", $"sigma_milli", $"rho_pico",
         ($"rho_centi" + lit(2L) *
           floor(sqrt(($"rho_centi" * $"lc").cast("double"))).cast("long"))
