@@ -263,6 +263,11 @@ object Assembly {
             $"doc_id", $"source", $"text"),
           "ms", r, "documents", orderCols = Seq("doc_id"))
       }
+      // trigger scales with the input so the drain stays ~3 micro-batches
+      // at any SF (q352's lesson: a fixed small trigger is pure per-batch
+      // commit overhead at 10x the rows; the complete-mode snapshot is
+      // identical at any batch count)
+      val nIn = v0.count()
       val agged = graft.streaming.StreamHarness.runToMemory(
           s, "q419", 2, mode = "complete") {
         fimAgg(
@@ -270,7 +275,7 @@ object Assembly {
             .option("path", root).option("stream", "documents")
             .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
             .option("startingOffsets", "earliest")
-            .option("maxEntriesPerTrigger", "200")
+            .option("maxEntriesPerTrigger", math.max(200L, nIn / 3).toString)
             .load()
             .filter(length($"text") >= 2)
             .select($"source", length($"text").cast("long").as("L"),
