@@ -4,7 +4,6 @@ import graft.ColFns.{detMln, detMlnIntSql, detMlnSql}
 import graft.QueryDef.q
 import graft.functions.TextHash
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -30,9 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cumulative sum: per-block sums (one shuffle of #blocks rows), a prefix
   * sum over the bounded block table, then a broadcast join back and a
   * window partitioned BY BLOCK — every row-level window partition is at
-  * most `CumsumBlock` rows. The block size is a knob: at 10^9 docs a 10^6
-  * block keeps the block table at ~1000 rows; the fixture uses 64 so the
-  * two-phase path is actually exercised across multiple blocks.
+  * most [[graft.TwoPhaseCumsum.Block]] rows (the shared helper; block
+  * size is one knob for every call site).
   *
   * Numeric discipline (round-9 standing rules): no libm in hashed columns —
   * entropy goes through the deterministic `graft_detln` kernel; the DP
@@ -50,28 +48,19 @@ object Assembly {
   /** Context window length (tokens) for the packing audits. */
   private val Ctx = 128L
 
-  /** Two-phase cumsum block size (docs per block) — see the scaling note. */
-  private val CumsumBlock = 64L
-
-  /** Global token start offset per doc via the two-phase cumulative sum:
+  /** Global token start offset per doc via [[graft.TwoPhaseCumsum]]:
     * returns (doc_id, nt, st) where st = sum of nt over all doc_id' <
     * doc_id. The only unbounded-partition window runs over the BLOCK table
-    * (#docs / CumsumBlock rows — bounded by construction); the row-level
+    * (#docs / Block rows — bounded by construction); the row-level
     * window partitions by block.
     */
   private def docStarts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = T(s, dir, "documents")
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"),
-        expr(s"doc_id DIV $CumsumBlock").as("blk"))
-    val blockOff = t.groupBy($"blk").agg(sum($"nt").as("bsum"))
-      .withColumn("boff",
-        sum($"bsum").over(Window.orderBy($"blk")) - $"bsum")
-      .drop("bsum")
-    t.join(broadcast(blockOff), "blk")
-      .withColumn("ib",
-        sum($"nt").over(Window.partitionBy($"blk").orderBy($"doc_id")) - $"nt")
-      .select($"doc_id", $"nt", ($"boff" + $"ib").as("st"))
+    graft.TwoPhaseCumsum.cumBefore(
+        T(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("nt")),
+        Seq.empty, "doc_id", "nt")
+      .select($"doc_id", $"nt", $"cum_before".as("st"))
   }
 
   /** Oracle-side mirror of [[docStarts]] + per-(doc, chunk) segment lengths.
@@ -93,10 +82,14 @@ object Assembly {
        |      AS seg
        |  FROM seg0)""".stripMargin
 
-  /** Spark-side (doc_id, chunk, seg) segments plus the broadcast total. */
+  /** Spark-side (doc_id, chunk, seg) segments plus the broadcast total.
+    * `starts` is cached so the segment explode and the 1-row total share
+    * one computation of the two-phase offsets instead of re-executing the
+    * scan + block join lineage twice.
+    */
   private def chunkSegs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val starts = docStarts(s, dir)
+    val starts = docStarts(s, dir).transform(graft.CacheScope.cached)
     val tot = starts.agg(sum($"nt").as("ttot"))
     val seg = starts
       .select($"doc_id", $"st", $"nt",
@@ -358,13 +351,17 @@ object Assembly {
             $"event_id", $"event_type"),
           "ms", r, "events", orderCols = Seq("event_id"))
       }
+      // trigger scales with the input (q352's lesson) — the complete-mode
+      // snapshot is identical at any batch count, so drain in ~3 batches
+      // at any SF instead of paying per-batch commit overhead
+      val nIn = v0.count()
       val counts = graft.streaming.StreamHarness.runToMemory(
           s, "q414", 2, mode = "complete") {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", math.max(8000L, nIn / 3).toString)
           .load()
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_queries"))

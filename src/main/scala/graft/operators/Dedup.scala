@@ -1124,7 +1124,7 @@ object Dedup {
 
     q("q417_deletion_neighborhood",
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |mut AS (SELECT doc_id + 10000 AS doc_id,
+        |mut AS (SELECT doc_id + 1000000000000 AS doc_id,
         |    list_transform(range(1, len(w)+1), i ->
         |      CASE WHEN i = 1 + (doc_id * 7) % len(w) THEN 'xmutx'
         |        ELSE w[CAST(i AS INT)] END) AS w
@@ -1165,7 +1165,7 @@ object Dedup {
       val base = T(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("w"))
       val mut = base.filter($"doc_id" % 50 === 0)
-        .select(($"doc_id" + 10000L).as("doc_id"),
+        .select(($"doc_id" + 1000000000000L).as("doc_id"),
           expr("transform(sequence(1, size(w)), i -> " +
             "IF(i = 1 + (doc_id * 7) % size(w), 'xmutx', " +
             "element_at(w, CAST(i AS INT))))").as("w"))

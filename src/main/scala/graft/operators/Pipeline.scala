@@ -95,26 +95,15 @@ object Pipeline {
       // first-fit packing used when shaping pretraining batches. All
       // integer arithmetic. A lang partition is itself corpus-sized at
       // scale (half the corpus can be one language), so the per-lang
-      // cumsum runs TWO-PHASE (Assembly.docStarts's pattern): per-(lang,
+      // cumsum runs through the shared TWO-PHASE helper: per-(lang,
       // block) sums, a prefix sum over the bounded block table, then a
       // broadcast join back and a window partitioned by (lang, block) —
-      // no window partition ever exceeds the block size.
-      val t = T(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(split($"text", " ")).cast("long").as("n_tokens"),
-          expr("doc_id DIV 64").as("blk"))
-      val blockOff = t.groupBy($"lang", $"blk")
-        .agg(sum($"n_tokens").as("bsum"))
-        .withColumn("boff",
-          sum($"bsum").over(Window.partitionBy($"lang").orderBy($"blk"))
-            - $"bsum")
-        .drop("bsum")
-      t.join(broadcast(blockOff), Seq("lang", "blk"))
-        .withColumn("ib",
-          sum($"n_tokens").over(
-            Window.partitionBy($"lang", $"blk").orderBy($"doc_id"))
-            - $"n_tokens")
-        .withColumn("cum_before", $"boff" + $"ib")
+      // no window partition ever exceeds TwoPhaseCumsum.Block rows.
+      graft.TwoPhaseCumsum.cumBefore(
+          T(s, dir, "documents")
+            .select($"doc_id", $"lang",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+          Seq("lang"), "doc_id", "n_tokens")
         .groupBy($"lang", expr("cum_before DIV 2048").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
         .orderBy($"lang", $"bin")

@@ -53,7 +53,10 @@ object PlanAudit {
     "q101_token_packing" -> Seq(
       "map-side partial aggregation after the packing window" -> "HashAggregate",
       "block offsets broadcast back to the row pass" -> "BroadcastHashJoin",
-      "row-level cumsum window partitions by (lang, block), never a whole lang" -> "windowspecdefinition(lang"),
+      "lang-partitioned window present" -> "windowspecdefinition(lang",
+      // a revert to the pre-round-10 whole-lang window has no blk column
+      // at all, so this needle is what actually detects the regression
+      "two-phase block machinery present (blk column in the plan)" -> "blk#"),
     "q104_stratified_sample" -> Seq(
       "text column never read for the sampling pass" -> "ReadSchema: struct<doc_id:bigint,lang:string>"),
     "q108_winsorize" -> Seq(

@@ -127,7 +127,7 @@ class AssemblySpec extends AnyFunSuite {
     rows.foreach { r =>
       val a = r.getAs[Long]("a_id")
       assert(a % 50 == 0, s"unexpected base doc $a")
-      assert(r.getAs[Long]("b_id") == a + 10000L)
+      assert(r.getAs[Long]("b_id") == a + 1000000000000L)
       val p = r.getAs[Long]("diff_pos")
       assert(p >= 1 && p <= r.getAs[Long]("len"))
     }
