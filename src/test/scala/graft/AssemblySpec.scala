@@ -80,6 +80,31 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("TwoPhaseCumsum equals the naive global running sum (random inputs)") {
+    // the helper must agree with SUM OVER (ORDER BY id) for any id set —
+    // sparse ids, empty blocks, multiple partition keys, values of zero
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      (math.abs(rnd.nextLong()) % 10000L, // sparse ids over ~156 blocks
+        if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(50).toLong)
+    }.distinctBy(r => (r._1, r._2))
+    val df = rows.toDF("id", "k", "v")
+    val got = TwoPhaseCumsum.cumBefore(df, Seq("k"), "id", "v")
+      .select($"k", $"id", $"cum_before").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._2).flatMap { case (k, rs) =>
+      rs.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), r) =>
+        (r._1, acc + r._3)
+      }.sliding(2).collect { case Seq((_, acc), (id, _)) => (k, id) -> acc }
+    }
+    assert(got.size == rows.size)
+    want.foreach { case (key, exp) =>
+      assert(got(key) == exp, s"$key: got ${got(key)} want $exp")
+    }
+  }
+
   test("floor(sqrt(x)) is the exact integer sqrt on the DP operand range") {
     // eps_centi relies on IEEE-correctly-rounded SQRT never rounding up
     // across an integer boundary; exhaustive boundary probes + random
