@@ -2391,6 +2391,10 @@ object Evaluation {
               $"event_id", $"user_id", $"event_type"),
           "ms", r, "events", orderCols = Seq("event_id"))
       }
+      // trigger scales with the input (q352's lesson): the complete-mode
+      // snapshot is identical at any batch count, so drain in ~3 batches
+      // at any SF instead of 25 batches of commit overhead at sf0.1
+      val nIn = T(s, dir, "events").count()
       val state = graft.streaming.StreamHarness
         .runToMemory(s, "q410", 4, mode = "complete") {
           s.readStream.format("graftlog")
@@ -2398,7 +2402,7 @@ object Evaluation {
             .option("valueSchema",
               "event_id BIGINT, user_id BIGINT, event_type STRING")
             .option("startingOffsets", "earliest")
-            .option("maxEntriesPerTrigger", "4000")
+            .option("maxEntriesPerTrigger", math.max(4000L, nIn / 3).toString)
             .load()
             .groupBy($"user_id")
             .agg(count(lit(1)).as("n"),

@@ -1527,11 +1527,15 @@ object StreamLog {
       val rootB = graft.TempDirs.scratch("graft-q355-lanes")
       val badPred = "values['event_type'] = 'error' OR " +
         "CAST(values['vc'] AS BIGINT) < 0"
+      // trigger scales with the input (q352's lesson): the lane digests
+      // read payload values only, so they are identical at any batch
+      // count — drain each lane in ~4 commits instead of 25 at sf0.1
+      val nIn = v0.count()
       def lane(stream: String, keep: String): Unit = {
         val q = s.readStream.format("graftlog")
           .option("path", rootA).option("stream", "events")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "4000")
+          .option("maxEntriesPerTrigger", math.max(4000L, nIn / 4).toString)
           .load()
           .filter(expr(keep))
           .select($"values")
