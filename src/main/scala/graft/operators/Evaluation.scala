@@ -2542,5 +2542,150 @@ object Evaluation {
           r6(loo - full).as("influence"))
         .orderBy($"event_type")
     },
+
+    q("q420_dawid_skene", {
+      val sw = graft.functions.TextHash.stopWordsDuckList
+      s"""WITH t AS (SELECT len(string_split(text, ' ')) AS wc,
+         |    len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($sw, x))) AS ns,
+         |    len(list_distinct(string_split(text, ' '))) AS nd
+         |  FROM documents),
+         |r AS (SELECT
+         |    CASE WHEN wc < 40 THEN 0 WHEN wc < 69 THEN 1 ELSE 2 END AS a,
+         |    CASE WHEN ns*1000 < wc*24 THEN 0 WHEN ns*1000 < wc*46 THEN 1
+         |      ELSE 2 END AS b,
+         |    CASE WHEN nd*1000 >= wc*556 THEN 0 WHEN nd*1000 >= wc*394 THEN 1
+         |      ELSE 2 END AS c
+         |  FROM t),
+         |pat AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY a, b, c),
+         |k3 AS (SELECT CAST(unnest([0,1,2]) AS BIGINT) AS k),
+         |r3 AS (SELECT CAST(unnest([0,1,2]) AS BIGINT) AS rr),
+         |e1 AS (SELECT p.a, p.b, p.c, p.cnt, k.k,
+         |    CAST(333333 AS HUGEINT)
+         |      * (CASE WHEN k.k = p.a THEN 700000 ELSE 150000 END)
+         |      * (CASE WHEN k.k = p.b THEN 700000 ELSE 150000 END)
+         |      * (CASE WHEN k.k = p.c THEN 700000 ELSE 150000 END) AS w
+         |  FROM pat p, k3 k),
+         |p1 AS (SELECT a, b, c, cnt, k,
+         |    CAST((w * 1000000) // SUM(w) OVER (PARTITION BY a, b, c)
+         |      AS BIGINT) AS post
+         |  FROM e1),
+         |lab1 AS (SELECT p.cnt, p.k, p.post, r3.rr,
+         |    CASE r3.rr WHEN 0 THEN p.a WHEN 1 THEN p.b ELSE p.c END AS l
+         |  FROM p1 p, r3),
+         |num1 AS (SELECT rr, k, l, CAST(SUM(cnt * post) AS BIGINT) AS num
+         |  FROM lab1 GROUP BY rr, k, l),
+         |den1 AS (SELECT rr, k, CAST(SUM(cnt * post) AS BIGINT) AS den
+         |  FROM lab1 GROUP BY rr, k),
+         |conf1 AS (SELECT g.rr, g.k, g.l,
+         |    (COALESCE(n.num, 0) * 1000000) // d.den AS cm
+         |  FROM (SELECT r3.rr, k3.k, l3.k AS l FROM r3, k3, k3 l3) g
+         |  JOIN den1 d ON d.rr = g.rr AND d.k = g.k
+         |  LEFT JOIN num1 n ON n.rr = g.rr AND n.k = g.k AND n.l = g.l),
+         |prior1 AS (SELECT k, CAST(SUM(cnt * post) // SUM(cnt) AS BIGINT) AS pm
+         |  FROM p1 GROUP BY k),
+         |e2 AS (SELECT p.a, p.b, p.c, p.cnt, k.k,
+         |    CAST(pr.pm AS HUGEINT) * ca.cm * cb.cm * cc.cm AS w
+         |  FROM pat p, k3 k
+         |  JOIN prior1 pr ON pr.k = k.k
+         |  JOIN conf1 ca ON ca.rr = 0 AND ca.k = k.k AND ca.l = p.a
+         |  JOIN conf1 cb ON cb.rr = 1 AND cb.k = k.k AND cb.l = p.b
+         |  JOIN conf1 cc ON cc.rr = 2 AND cc.k = k.k AND cc.l = p.c),
+         |p2 AS (SELECT a, b, c, cnt, k,
+         |    CAST((w * 1000000) // SUM(w) OVER (PARTITION BY a, b, c)
+         |      AS BIGINT) AS post
+         |  FROM e2),
+         |lab2 AS (SELECT p.cnt, p.k, p.post, r3.rr,
+         |    CASE r3.rr WHEN 0 THEN p.a WHEN 1 THEN p.b ELSE p.c END AS l
+         |  FROM p2 p, r3),
+         |num2 AS (SELECT rr, k, l, CAST(SUM(cnt * post) AS BIGINT) AS num
+         |  FROM lab2 GROUP BY rr, k, l),
+         |den2 AS (SELECT rr, k, CAST(SUM(cnt * post) AS BIGINT) AS den
+         |  FROM lab2 GROUP BY rr, k),
+         |conf2 AS (SELECT g.rr, g.k, g.l,
+         |    (COALESCE(n.num, 0) * 1000000) // d.den AS cm
+         |  FROM (SELECT r3.rr, k3.k, l3.k AS l FROM r3, k3, k3 l3) g
+         |  JOIN den2 d ON d.rr = g.rr AND d.k = g.k
+         |  LEFT JOIN num2 n ON n.rr = g.rr AND n.k = g.k AND n.l = g.l),
+         |prior2 AS (SELECT k, CAST(SUM(cnt * post) // SUM(cnt) AS BIGINT) AS pm
+         |  FROM p2 GROUP BY k)
+         |SELECT CASE rr WHEN 0 THEN 'len_tercile' WHEN 1 THEN 'stop_tercile'
+         |    ELSE 'ttr_tercile' END AS rater,
+         |  k AS true_class, l AS label, CAST(cm AS BIGINT) AS value_micro
+         |FROM conf2
+         |UNION ALL
+         |SELECT '__prior', k, k, pm FROM prior2
+         |ORDER BY rater, true_class, label"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Dawid-Skene annotator-confusion estimation — the canonical
+      // label-aggregation model behind every multi-annotator campaign:
+      // latent true class per item, per-rater confusion matrices, fit by
+      // EM. Raters are q381's three deterministic rule raters (length /
+      // stopword-ratio / type-token-ratio terciles), so the estimator's
+      // verdict is itself checkable: it discovers that the length and TTR
+      // raters are reliable (~0.9 diagonal) while the stopword rater is
+      // noise — exactly the per-annotator readout Fleiss' single kappa
+      // cannot give. The corpus-sized work is ONE pattern-count
+      // aggregation (3^3 = 27 bounded patterns); the EM runs driver-side
+      // on the collected pattern table in exact BigInt micro arithmetic,
+      // 2 unrolled iterations from a diagonal-0.7 init (q365's
+      // bounded-stats fit shape — floor divisions on non-negatives match
+      // DuckDB's // operand for operand, and the posterior products stay
+      // exact integers: 1e6^3 * 1e6 < 2^127 on both sides, HUGEINT in
+      // the oracle, BigInt here).
+      val sw = graft.functions.TextHash.stopWordsSparkArray
+      val pat = T(s, dir, "documents")
+        .select(expr("size(split(text, ' '))").as("wc"),
+          expr(s"size(filter(split(text, ' '), x -> array_contains($sw, x)))")
+            .as("ns"),
+          expr("size(array_distinct(split(text, ' ')))").as("nd"))
+        .select(
+          when($"wc" < 40, 0).when($"wc" < 69, 1).otherwise(2).as("a"),
+          when($"ns" * 1000 < $"wc" * 24, 0)
+            .when($"ns" * 1000 < $"wc" * 46, 1).otherwise(2).as("b"),
+          when($"nd" * 1000 >= $"wc" * 556, 0)
+            .when($"nd" * 1000 >= $"wc" * 394, 1).otherwise(2).as("c"))
+        .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      var prior: Array[BigInt] = Array.fill(3)(BigInt(333333))
+      var conf: Array[Array[Array[BigInt]]] =
+        Array.tabulate(3, 3, 3)((_, k, l) =>
+          BigInt(if (k == l) 700000 else 150000))
+      (0 until 2).foreach { _ =>
+        val num = Array.fill(3, 3, 3)(BigInt(0))
+        val den = Array.fill(3, 3)(BigInt(0))
+        val pnum = Array.fill(3)(BigInt(0))
+        var n = BigInt(0)
+        pat.foreach { case (a, b, c, cnt) =>
+          val labels = Array(a, b, c)
+          val w = Array.tabulate(3)(k =>
+            prior(k) * conf(0)(k)(a) * conf(1)(k)(b) * conf(2)(k)(c))
+          val tot = w.sum
+          val post = w.map(x => (x * 1000000) / tot)
+          n += cnt
+          for (k <- 0 until 3) {
+            pnum(k) += post(k) * cnt
+            for (r <- 0 until 3) {
+              num(r)(k)(labels(r)) += post(k) * cnt
+              den(r)(k) += post(k) * cnt
+            }
+          }
+        }
+        conf = Array.tabulate(3, 3, 3)((r, k, l) =>
+          if (den(r)(k) > 0) (num(r)(k)(l) * 1000000) / den(r)(k)
+          else BigInt(0))
+        prior = Array.tabulate(3)(k => pnum(k) / n)
+      }
+      val names = Array("len_tercile", "stop_tercile", "ttr_tercile")
+      val rows = (for {
+        r <- 0 until 3; k <- 0 until 3; l <- 0 until 3
+      } yield (names(r), k.toLong, l.toLong, conf(r)(k)(l).toLong)) ++
+        (0 until 3).map(k => ("__prior", k.toLong, k.toLong, prior(k).toLong))
+      rows.toDF("rater", "true_class", "label", "value_micro")
+        .orderBy($"rater", $"true_class", $"label")
+    },
   )
 }

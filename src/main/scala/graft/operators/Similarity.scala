@@ -1640,5 +1640,129 @@ object Similarity {
           ($"n_cand".isNull || $"n_cand" < 3 || $"s3" < 0.1d).as("is_ood"))
         .orderBy($"q_id")
     },
+
+    q("q421_pca_anisotropy", {
+      // The power-iteration oracle mirrors the Spark program operand for
+      // operand: identical integer Gram, identical truncated divisions
+      // (sign * (abs // m) on both sides — DuckDB's // floors, BigInt
+      // truncates, so negatives go through the explicit abs form), and an
+      // exact isqrt via the floor(sqrt(double)) +/-1 correction (norm2 <=
+      // 64e12 < 2^53, so the double is exact and floor errs by at most 1).
+      // Every CTE in the iteration chain is MATERIALIZED: v_t references
+      // w_t twice (via m_t), so plain inlining doubles the expansion per
+      // iteration — 2^8 copies of the gram scan blew DuckDB's fd limit.
+      val it = (1 to 8).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS MATERIALIZED (SELECT g.i, SUM(g.c * v.val) AS w
+           |  FROM gram g JOIN $prev v ON g.j = v.i GROUP BY g.i),
+           |m$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i, CASE WHEN w < 0
+           |      THEN -(((-w) * 1000000) // m) ELSE (w * 1000000) // m END
+           |    AS val FROM w$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+         |        AS BIGINT)) AS qv
+         |  FROM embeddings, mx),
+         |e AS MATERIALIZED (SELECT vec_id, unnest(range(len(qv))) AS i,
+         |    unnest(qv) AS x
+         |  FROM qz),
+         |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qz),
+         |sm AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS s FROM e GROUP BY i),
+         |gr AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+         |gram AS MATERIALIZED (SELECT gr.i, gr.j, nn.n * gr.g - sa.s * sb.s AS c
+         |  FROM gr JOIN sm sa ON sa.i = gr.i JOIN sm sb ON sb.i = gr.j, nn),
+         |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS val FROM gram),
+         |$it,
+         |n2 AS MATERIALIZED (SELECT SUM(val * val) AS norm2 FROM v8),
+         |isq AS (SELECT CASE
+         |    WHEN s0 * s0 > norm2 THEN s0 - 1
+         |    WHEN (s0 + 1) * (s0 + 1) <= norm2 THEN s0 + 1
+         |    ELSE s0 END AS isr
+         |  FROM (SELECT CAST(FLOOR(SQRT(CAST(norm2 AS DOUBLE)))
+         |      AS HUGEINT) AS s0, norm2 FROM n2)),
+         |sg AS (SELECT CASE WHEN (SELECT val FROM v8 WHERE val != 0
+         |      ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
+         |ld AS (SELECT v8.i AS dim, sg.s * (CASE WHEN val < 0
+         |      THEN -(((-val) * 1000000) // isr)
+         |      ELSE (val * 1000000) // isr END) AS loading_ppm
+         |  FROM v8, isq, sg),
+         |num AS (SELECT SUM(g.c * a.val * b.val) AS vcv FROM gram g
+         |  JOIN v8 a ON g.i = a.i JOIN v8 b ON g.j = b.i),
+         |tr AS (SELECT SUM(c) AS trace FROM gram WHERE i = j),
+         |sh AS (SELECT ((vcv // norm2) * 1000000) // trace AS share
+         |  FROM num, n2, tr)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(loading_ppm AS BIGINT) AS loading_ppm FROM ld
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(share AS BIGINT) FROM sh
+         |ORDER BY dim"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Top principal component + anisotropy share of the embedding space —
+      // the "is my embedding space collapsed" diagnostic (Ethayarajh 2019:
+      // contextual embeddings are anisotropic; a dominant component eats
+      // cosine-similarity resolution, and whitening/ABTT removes it). The
+      // corpus-sized work is ONE pass: int8-quantize on the global max-abs
+      // scale (q97's exact scheme), then the d x d Gram by double
+      // posexplode — pure map-side expansion with partial aggregation into
+      // d^2 = 4096 cells, NO self-join shuffle; per-dim sums and n ride the
+      // same scan shape. The centered second-moment matrix
+      // C = n*Gram - s*s^T (= n^2 * covariance, exact BIGINT) is bounded
+      // (d^2 entries regardless of corpus size), so 8 power iterations run
+      // driver-side in exact BigInt: w = C v, then max-abs rescale to ppm
+      // with truncated-toward-zero division (sign * (abs // m), matching
+      // the oracle operand for operand). Readout: loadings L2-normalized
+      // to ppm via EXACT integer sqrt (floor(sqrt(double)) corrected by
+      // +/-1 — norm2 < 2^53 so that's sufficient), sign-fixed so the first
+      // nonzero component is positive, plus the dim=-1 row carrying the
+      // Rayleigh-quotient eigenvalue's share of trace(C) in ppm — the
+      // variance-explained anisotropy number. Cross-engine equality is by
+      // construction: both engines execute the same integer program, so
+      // convergence state is irrelevant to the hash.
+      val base = T(s, dir, "embeddings")
+      val gmDf = base.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val qz = base.crossJoin(broadcast(gmDf))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))"))
+        .select($"vec_id", $"qv")
+      val e1 = qz.select($"qv", posexplode($"qv").as(Seq("i", "xi")))
+      val gram = e1.select($"i", $"xi", posexplode($"qv").as(Seq("j", "xj")))
+        .groupBy($"i", $"j").agg(sum($"xi" * $"xj").as("g"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2))))
+        .toMap
+      val sums = e1.groupBy($"i").agg(sum($"xi").as("s"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+      val n = BigInt(qz.count())
+      val dims = sums.keys.toArray.sorted
+      val c = dims.map(i => dims.map(j => n * gram((i, j)) - sums(i) * sums(j)))
+      def truncDiv(a: BigInt, b: BigInt): BigInt =
+        if (a < 0) -((-a * 1000000) / b) else (a * 1000000) / b
+      var v: Array[BigInt] = Array.fill(dims.length)(BigInt(1000000))
+      (1 to 8).foreach { _ =>
+        val w = dims.indices.map(i =>
+          dims.indices.map(j => c(i)(j) * v(j)).sum).toArray
+        val m = w.map(_.abs).max.max(BigInt(1))
+        v = w.map(truncDiv(_, m))
+      }
+      val norm2 = v.map(x => x * x).sum
+      val s0 = BigInt(math.sqrt(norm2.toDouble).toLong)
+      val isr = if (s0 * s0 > norm2) s0 - 1
+        else if ((s0 + 1) * (s0 + 1) <= norm2) s0 + 1 else s0
+      val sgn = v.find(_ != 0).map(x => if (x < 0) BigInt(-1) else BigInt(1))
+        .getOrElse(BigInt(1))
+      val loadings = v.map(x => (sgn * truncDiv(x, isr)).toLong)
+      val vcv = dims.indices.flatMap(i =>
+        dims.indices.map(j => c(i)(j) * v(i) * v(j))).sum
+      val trace = dims.indices.map(i => c(i)(i)).sum
+      val share = (((vcv / norm2) * 1000000) / trace).toLong
+      (dims.zip(loadings).map { case (d, l) => (d.toLong, l) } :+
+        (-1L, share)).toSeq.toDF("dim", "loading_ppm").orderBy($"dim")
+    },
   )
 }

@@ -921,6 +921,18 @@ object PlanAudit {
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q419_streaming_fim_spans" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
+    "q420_dawid_skene" -> Seq(
+      // the distributed work is one 3^3-pattern count aggregation over the
+      // corpus at plan-build time (q365's emission pattern: the bounded
+      // pattern table collects and the EM fits driver-side in exact BigInt)
+      "confusion emission is a bounded local relation" -> "LocalTableScan",
+      "no join in the emission" -> "!SortMergeJoin"),
+    "q421_pca_anisotropy" -> Seq(
+      // the corpus-sized work is one double-posexplode Gram aggregation
+      // into d^2 bounded cells at plan-build time; the power iteration runs
+      // driver-side on the collected matrix (q365's emission pattern)
+      "loading emission is a bounded local relation" -> "LocalTableScan",
+      "no join in the emission" -> "!SortMergeJoin"),
     "q418_branching_entropy" -> Seq(
       "triple counts partial-aggregate map-side" -> "HashAggregate",
       "no window anywhere" -> "!Window",

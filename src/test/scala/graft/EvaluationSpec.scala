@@ -317,4 +317,43 @@ class EvaluationSpec extends AnyFunSuite {
     assert(sign("ALL") == -1L, s"pooled slope must reverse: $sign")
     assert(out.forall(_.getAs[Long]("reversal_flag") == 1L))
   }
+
+  test("q420 Dawid-Skene: confusion rows are distributions and the EM " +
+    "separates reliable raters from the noise rater") {
+    // Laws the hash oracle can't state: (a) each (rater, true_class)
+    // confusion row is a probability distribution in micro units — floor
+    // division loses at most 1 per cell, so the sum lands in
+    // [1e6-2, 1e6]; (b) class priors likewise sum to ~1e6 (each pattern's
+    // posterior row loses <= 2 micro, and the per-class floor loses <= 1,
+    // so >= 1e6 - 5); (c) the substantive readout: the EM discovers that
+    // the length and TTR raters track the latent class (diagonal >= 0.85)
+    // while the stopword rater does not (some row's argmax is
+    // off-diagonal) — the per-annotator verdict Fleiss' kappa cannot give.
+    val out =
+      try SparkEntry.queries("q420_dawid_skene")(spark, dir).collect()
+      finally CacheScope.release()
+    assert(out.length == 30, s"27 confusion cells + 3 priors, got ${out.length}")
+    val conf = out.filter(_.getAs[String]("rater") != "__prior")
+      .map(r => ((r.getAs[String]("rater"), r.getAs[Long]("true_class"),
+        r.getAs[Long]("label")), r.getAs[Long]("value_micro"))).toMap
+    for (rater <- Seq("len_tercile", "stop_tercile", "ttr_tercile");
+         k <- 0L to 2L) {
+      val row = (0L to 2L).map(l => conf((rater, k, l)))
+      assert(row.sum >= 999998L && row.sum <= 1000000L,
+        s"$rater class $k row sums to ${row.sum}")
+      assert(row.forall(v => v >= 0L && v <= 1000000L))
+    }
+    val priors = out.filter(_.getAs[String]("rater") == "__prior")
+      .map(_.getAs[Long]("value_micro"))
+    assert(priors.sum >= 999995L && priors.sum <= 1000000L,
+      s"priors sum to ${priors.sum}")
+    for (rater <- Seq("len_tercile", "ttr_tercile"); k <- 0L to 2L)
+      assert(conf((rater, k, k)) >= 850000L,
+        s"reliable rater $rater class $k diagonal ${conf((rater, k, k))}")
+    val noiseOffDiag = (0L to 2L).exists { k =>
+      val row = (0L to 2L).map(l => conf(("stop_tercile", k, l)))
+      row.indexOf(row.max).toLong != k
+    }
+    assert(noiseOffDiag, "stopword rater should have an off-diagonal argmax row")
+  }
 }

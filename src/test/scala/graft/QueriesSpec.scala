@@ -151,6 +151,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(runUnder("America/New_York") == runUnder("UTC"))
   }
 
+  test("q421 PCA loadings are unit-norm, sign-fixed, and the anisotropy " +
+    "share dominates the uniform floor") {
+    // Laws the hash oracle can't state: (a) the loadings form a ppm unit
+    // vector — each truncated division loses < 1 ppm, so sum(l^2) lands
+    // within 2*64e6 of 1e12; (b) the sign fix makes the first nonzero
+    // loading positive; (c) the Rayleigh-quotient share of trace is a
+    // valid fraction and clears the uniform 1/d floor (lambda_1 >= tr/d
+    // for any symmetric PSD matrix — C is PSD by construction), i.e. the
+    // diagnostic can't report a top component weaker than average.
+    val q421 = SparkEntry.all.find(_.name == "q421_pca_anisotropy").get
+    val rows = try q421.run(spark, dir).collect() finally CacheScope.release()
+    val (shareRows, loadRows) = rows.partition(_.getAs[Long]("dim") == -1L)
+    assert(shareRows.length == 1 && loadRows.length == 64)
+    val ls = loadRows.sortBy(_.getAs[Long]("dim"))
+      .map(_.getAs[Long]("loading_ppm"))
+    val norm2 = ls.map(l => BigInt(l) * BigInt(l)).sum
+    val target = BigInt("1000000000000")
+    assert((norm2 - target).abs <= BigInt(2L * 64 * 1000000),
+      s"loadings norm^2 $norm2 not within truncation slack of 1e12")
+    assert(ls.find(_ != 0L).exists(_ > 0L), "first nonzero loading must be +")
+    val share = shareRows.head.getAs[Long]("loading_ppm")
+    assert(share > 1000000L / 64 - 2 && share <= 1000000L,
+      s"anisotropy share $share outside (1/d, 1]")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
