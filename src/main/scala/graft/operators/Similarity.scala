@@ -1651,45 +1651,9 @@ object Similarity {
       // Every CTE in the iteration chain is MATERIALIZED: v_t references
       // w_t twice (via m_t), so plain inlining doubles the expansion per
       // iteration — 2^8 copies of the gram scan blew DuckDB's fd limit.
-      val it = (1 to 8).map { t =>
-        val prev = if (t == 1) "v0" else s"v${t - 1}"
-        s"""w$t AS MATERIALIZED (SELECT g.i, SUM(g.c * v.val) AS w
-           |  FROM gram g JOIN $prev v ON g.j = v.i GROUP BY g.i),
-           |m$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$t),
-           |v$t AS MATERIALIZED (SELECT i, CASE WHEN w < 0
-           |      THEN -(((-w) * 1000000) // m) ELSE (w * 1000000) // m END
-           |    AS val FROM w$t, m$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
-         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
-         |qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
-         |        AS BIGINT)) AS qv
-         |  FROM embeddings, mx),
-         |e AS MATERIALIZED (SELECT vec_id, unnest(range(len(qv))) AS i,
-         |    unnest(qv) AS x
-         |  FROM qz),
-         |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qz),
-         |sm AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS s FROM e GROUP BY i),
-         |gr AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
-         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-         |gram AS MATERIALIZED (SELECT gr.i, gr.j, nn.n * gr.g - sa.s * sb.s AS c
-         |  FROM gr JOIN sm sa ON sa.i = gr.i JOIN sm sb ON sb.i = gr.j, nn),
-         |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS val FROM gram),
-         |$it,
-         |n2 AS MATERIALIZED (SELECT SUM(val * val) AS norm2 FROM v8),
-         |isq AS (SELECT CASE
-         |    WHEN s0 * s0 > norm2 THEN s0 - 1
-         |    WHEN (s0 + 1) * (s0 + 1) <= norm2 THEN s0 + 1
-         |    ELSE s0 END AS isr
-         |  FROM (SELECT CAST(FLOOR(SQRT(CAST(norm2 AS DOUBLE)))
-         |      AS HUGEINT) AS s0, norm2 FROM n2)),
-         |sg AS (SELECT CASE WHEN (SELECT val FROM v8 WHERE val != 0
-         |      ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
-         |ld AS (SELECT v8.i AS dim, sg.s * (CASE WHEN val < 0
-         |      THEN -(((-val) * 1000000) // isr)
-         |      ELSE (val * 1000000) // isr END) AS loading_ppm
-         |  FROM v8, isq, sg),
+      s"""WITH $pcaGramSql,
+         |${powerChainSql("gram", "v")},
+         |${loadingsSql("v8", "")},
          |num AS (SELECT SUM(g.c * a.val * b.val) AS vcv FROM gram g
          |  JOIN v8 a ON g.i = a.i JOIN v8 b ON g.j = b.i),
          |tr AS (SELECT SUM(c) AS trace FROM gram WHERE i = j),
@@ -1723,46 +1687,219 @@ object Similarity {
       // variance-explained anisotropy number. Cross-engine equality is by
       // construction: both engines execute the same integer program, so
       // convergence state is irrelevant to the hash.
-      val base = T(s, dir, "embeddings")
-      val gmDf = base.agg(max(expr(
-        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-        .as("gm"))
-      val qz = base.crossJoin(broadcast(gmDf))
-        .withColumn("qv", expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))"))
-        .select($"vec_id", $"qv")
-      val e1 = qz.select($"qv", posexplode($"qv").as(Seq("i", "xi")))
-      val gram = e1.select($"i", $"xi", posexplode($"qv").as(Seq("j", "xj")))
-        .groupBy($"i", $"j").agg(sum($"xi" * $"xj").as("g"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2))))
-        .toMap
-      val sums = e1.groupBy($"i").agg(sum($"xi").as("s"))
-        .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
-      val n = BigInt(qz.count())
-      val dims = sums.keys.toArray.sorted
-      val c = dims.map(i => dims.map(j => n * gram((i, j)) - sums(i) * sums(j)))
-      def truncDiv(a: BigInt, b: BigInt): BigInt =
-        if (a < 0) -((-a * 1000000) / b) else (a * 1000000) / b
-      var v: Array[BigInt] = Array.fill(dims.length)(BigInt(1000000))
-      (1 to 8).foreach { _ =>
-        val w = dims.indices.map(i =>
-          dims.indices.map(j => c(i)(j) * v(j)).sum).toArray
-        val m = w.map(_.abs).max.max(BigInt(1))
-        v = w.map(truncDiv(_, m))
-      }
+      val c = centeredMoment(s, dir)
+      val v = powerIterate(c, 8)
       val norm2 = v.map(x => x * x).sum
-      val s0 = BigInt(math.sqrt(norm2.toDouble).toLong)
-      val isr = if (s0 * s0 > norm2) s0 - 1
-        else if ((s0 + 1) * (s0 + 1) <= norm2) s0 + 1 else s0
-      val sgn = v.find(_ != 0).map(x => if (x < 0) BigInt(-1) else BigInt(1))
-        .getOrElse(BigInt(1))
-      val loadings = v.map(x => (sgn * truncDiv(x, isr)).toLong)
-      val vcv = dims.indices.flatMap(i =>
-        dims.indices.map(j => c(i)(j) * v(i) * v(j))).sum
-      val trace = dims.indices.map(i => c(i)(i)).sum
+      val loadings = loadingsPpm(v, norm2)
+      val vcv = rayleigh(c, v)
+      val trace = c.indices.map(i => c(i)(i)).sum
       val share = (((vcv / norm2) * 1000000) / trace).toLong
-      (dims.zip(loadings).map { case (d, l) => (d.toLong, l) } :+
-        (-1L, share)).toSeq.toDF("dim", "loading_ppm").orderBy($"dim")
+      (c.indices.map(i => (i.toLong, loadings(i))) :+ (-1L, share))
+        .toSeq.toDF("dim", "loading_ppm").orderBy($"dim")
+    },
+
+    q("q422_abtt_whitening", {
+      // Same twin-integer-program contract as q421; the deflation divisor
+      // chain is staged (lam = qd // norm2 first, then (lam*v_i*v_j) //
+      // norm2) so every intermediate stays inside HUGEINT even at corpus
+      // scale, and every division on a possibly-negative operand goes
+      // through the explicit sign * (abs // m) form.
+      s"""WITH $pcaGramSql,
+         |${powerChainSql("gram", "v")},
+         |n2 AS MATERIALIZED (SELECT SUM(val * val) AS norm2 FROM v8),
+         |wv AS MATERIALIZED (SELECT g.i, SUM(g.c * v.val) AS w
+         |  FROM gram g JOIN v8 v ON g.j = v.i GROUP BY g.i),
+         |qd AS MATERIALIZED (SELECT GREATEST(SUM(w.w * v.val), 1) AS qd
+         |  FROM wv w JOIN v8 v ON v.i = w.i),
+         |tr AS (SELECT SUM(c) AS trace FROM gram WHERE i = j),
+         |lam AS (SELECT qd // norm2 AS lam FROM qd, n2),
+         |gram2 AS MATERIALIZED (SELECT g.i, g.j,
+         |    g.c - (CASE WHEN a.val * b.val < 0
+         |      THEN -((lam.lam * (-(a.val * b.val))) // n2.norm2)
+         |      ELSE (lam.lam * a.val * b.val) // n2.norm2 END) AS c
+         |  FROM gram g JOIN v8 a ON a.i = g.i JOIN v8 b ON b.i = g.j, lam, n2),
+         |${powerChainSql("gram2", "u")},
+         |${loadingsSql("u8", "b")},
+         |num2 AS (SELECT SUM(g.c * a.val * b.val) AS ucu FROM gram2 g
+         |  JOIN u8 a ON g.i = a.i JOIN u8 b ON g.j = b.i),
+         |tr2 AS (SELECT SUM(c) AS trace2 FROM gram2 WHERE i = j),
+         |sh1 AS (SELECT ((qd // norm2) * 1000000) // trace AS share
+         |  FROM qd, n2, tr),
+         |sh2 AS (SELECT ((GREATEST(ucu, 0) // bnorm2) * 1000000) // trace
+         |    AS share
+         |  FROM num2, bn2, tr),
+         |ret AS (SELECT (trace2 * 1000000) // trace AS kept FROM tr2, tr)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(loading_ppm AS BIGINT) AS value_ppm FROM bld
+         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(share AS BIGINT) FROM sh1
+         |UNION ALL SELECT CAST(-2 AS BIGINT), CAST(share AS BIGINT) FROM sh2
+         |UNION ALL SELECT CAST(-3 AS BIGINT), CAST(kept AS BIGINT) FROM ret
+         |ORDER BY dim"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // All-but-the-top whitening (Mu & Viswanath 2018), measured: deflate
+      // q421's dominant component out of the centered second-moment matrix
+      // (Hotelling: C' = C - lam * v v^T / ||v||^2 with lam the integer
+      // Rayleigh quotient) and re-run the power iteration on C' — the
+      // readout is the before/after pair the ABTT decision actually needs:
+      // share_top1 (dim=-1), share_top2_after_removal (dim=-2, how
+      // anisotropic the space STILL is once the common direction is gone),
+      // trace_retained_ppm (dim=-3, variance the correction keeps), plus
+      // the deflated component's ppm loadings (the second PCA direction,
+      // dims 0..63). Corpus work is the same ONE Gram pass as q421 — the
+      // deflation and second iteration run on the bounded d x d matrix
+      // driver-side in exact BigInt, mirrored operand for operand by the
+      // oracle's staged floor divisions (lam = qd // norm2 first, so no
+      // intermediate exceeds HUGEINT even with corpus-scale moments).
+      val c = centeredMoment(s, dir)
+      val v = powerIterate(c, 8)
+      val norm2 = v.map(x => x * x).sum
+      val w = c.indices.map(i => c.indices.map(j => c(i)(j) * v(j)).sum)
+      val qd = c.indices.map(i => w(i) * v(i)).sum.max(BigInt(1))
+      val trace = c.indices.map(i => c(i)(i)).sum
+      val lam = qd / norm2
+      val c2 = Array.tabulate(c.length, c.length)((i, j) =>
+        c(i)(j) - signedDiv(lam * v(i) * v(j), norm2))
+      val u = powerIterate(c2, 8)
+      val bnorm2 = u.map(x => x * x).sum
+      val loadings2 = loadingsPpm(u, bnorm2)
+      val ucu = rayleigh(c2, u).max(BigInt(0))
+      val trace2 = c2.indices.map(i => c2(i)(i)).sum
+      val share1 = (((qd / norm2) * 1000000) / trace).toLong
+      val share2 = (((ucu / bnorm2) * 1000000) / trace).toLong
+      val kept = ((trace2 * 1000000) / trace).toLong
+      (c.indices.map(i => (i.toLong, loadings2(i))) ++
+        Seq((-1L, share1), (-2L, share2), (-3L, kept)))
+        .toSeq.toDF("dim", "value_ppm").orderBy($"dim")
     },
   )
+
+  // ---- shared integer-PCA machinery (q421/q422) ----
+  // Both engines execute the IDENTICAL integer program — quantize, Gram,
+  // power-iterate, rescale — so convergence state can never split the
+  // oracle hash. The corpus-sized work is one pass; everything after runs
+  // on the bounded d x d matrix (4096 cells at d=64).
+
+  /** Shared oracle prelude: int8 quantization on the global max-abs scale,
+    * exploded (vec, dim, x) view, and the centered second-moment matrix
+    * C = n*Gram - s*s^T as the MATERIALIZED `gram` CTE (HUGEINT cells). */
+  private def pcaGramSql: String =
+    """mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+      |qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+      |        AS BIGINT)) AS qv
+      |  FROM embeddings, mx),
+      |e AS MATERIALIZED (SELECT vec_id, unnest(range(len(qv))) AS i,
+      |    unnest(qv) AS x
+      |  FROM qz),
+      |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qz),
+      |sm AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS s FROM e GROUP BY i),
+      |gr AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS HUGEINT) AS g
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+      |gram AS MATERIALIZED (SELECT gr.i, gr.j, nn.n * gr.g - sa.s * sb.s AS c
+      |  FROM gr JOIN sm sa ON sa.i = gr.i JOIN sm sb ON sb.i = gr.j, nn)"""
+      .stripMargin
+
+  /** 8 power-iteration steps over `gramTbl`, tables `${p}1`..`${p}8`; every
+    * CTE MATERIALIZED (each v_t is referenced twice via its max-abs
+    * rescale — plain inlining doubles the gram-scan expansion per step). */
+  private def powerChainSql(gramTbl: String, p: String): String = {
+    val init =
+      s"""${p}0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS val
+         |  FROM $gramTbl)""".stripMargin
+    val iters = (1 to 8).map { t =>
+      s"""${p}w$t AS MATERIALIZED (SELECT g.i, SUM(g.c * v.val) AS w
+         |  FROM $gramTbl g JOIN $p${t - 1} v ON g.j = v.i GROUP BY g.i),
+         |${p}m$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m
+         |  FROM ${p}w$t),
+         |$p$t AS MATERIALIZED (SELECT i, CASE WHEN w < 0
+         |      THEN -(((-w) * 1000000) // m) ELSE (w * 1000000) // m END
+         |    AS val FROM ${p}w$t, ${p}m$t)""".stripMargin
+    }.mkString(",\n")
+    init + ",\n" + iters
+  }
+
+  /** ppm loadings of `vecTbl`: exact-isqrt L2 normalization + sign fix so
+    * the first nonzero component is positive. Emits `${pfx}n2`, `${pfx}ld`. */
+  private def loadingsSql(vecTbl: String, pfx: String): String =
+    s"""${pfx}n2 AS MATERIALIZED (SELECT SUM(val * val) AS ${pfx}norm2
+       |  FROM $vecTbl),
+       |${pfx}isq AS (SELECT CASE
+       |    WHEN s0 * s0 > ${pfx}norm2 THEN s0 - 1
+       |    WHEN (s0 + 1) * (s0 + 1) <= ${pfx}norm2 THEN s0 + 1
+       |    ELSE s0 END AS isr
+       |  FROM (SELECT CAST(FLOOR(SQRT(CAST(${pfx}norm2 AS DOUBLE)))
+       |      AS HUGEINT) AS s0, ${pfx}norm2 FROM ${pfx}n2)),
+       |${pfx}sg AS (SELECT CASE WHEN (SELECT val FROM $vecTbl WHERE val != 0
+       |      ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s),
+       |${pfx}ld AS (SELECT $vecTbl.i AS dim, ${pfx}sg.s * (CASE WHEN val < 0
+       |      THEN -(((-val) * 1000000) // isr)
+       |      ELSE (val * 1000000) // isr END) AS loading_ppm
+       |  FROM $vecTbl, ${pfx}isq, ${pfx}sg)""".stripMargin
+
+  /** One corpus pass: global max-abs int8 quantization, d x d Gram via
+    * double posexplode (map-side expansion, partial aggregation into d^2
+    * cells, no self-join shuffle), per-dim sums, n. Returns the exact
+    * centered second-moment matrix C = n*Gram - s*s^T (bounded: d x d). */
+  private def centeredMoment(s: SparkSession, dir: String): Array[Array[BigInt]] = {
+    import s.implicits._
+    val base = T(s, dir, "embeddings")
+    val gmDf = base.agg(max(expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .as("gm"))
+    val qz = base.crossJoin(broadcast(gmDf))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT))"))
+      .select($"vec_id", $"qv")
+    val e1 = qz.select($"qv", posexplode($"qv").as(Seq("i", "xi")))
+    val gram = e1.select($"i", $"xi", posexplode($"qv").as(Seq("j", "xj")))
+      .groupBy($"i", $"j").agg(sum($"xi" * $"xj").as("g"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2))))
+      .toMap
+    val sums = e1.groupBy($"i").agg(sum($"xi").as("s"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+    val n = BigInt(qz.count())
+    val dims = sums.keys.toArray.sorted
+    dims.map(i => dims.map(j => n * gram((i, j)) - sums(i) * sums(j)))
+  }
+
+  /** Truncated-toward-zero division with a 1e6 rescale: DuckDB's // floors,
+    * BigInt / truncates — the explicit abs form makes both truncate. */
+  private def truncScale(a: BigInt, b: BigInt): BigInt =
+    if (a < 0) -((-a * 1000000) / b) else (a * 1000000) / b
+
+  /** Plain sign-explicit truncated division (mirror of the oracle's
+    * CASE WHEN x < 0 THEN -((-x) // m) ELSE x // m END). */
+  private def signedDiv(a: BigInt, b: BigInt): BigInt =
+    if (a < 0) -((-a) / b) else a / b
+
+  /** Exact integer sqrt: floor(sqrt(double)) corrected by +/-1 — exact for
+    * operands < 2^53 (norm2 <= 64e12 here). */
+  private def isqrt(n: BigInt): BigInt = {
+    val s0 = BigInt(math.sqrt(n.toDouble).toLong)
+    if (s0 * s0 > n) s0 - 1
+    else if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else s0
+  }
+
+  private def powerIterate(c: Array[Array[BigInt]], iters: Int): Array[BigInt] = {
+    var v: Array[BigInt] = Array.fill(c.length)(BigInt(1000000))
+    (1 to iters).foreach { _ =>
+      val w = c.indices.map(i =>
+        c.indices.map(j => c(i)(j) * v(j)).sum).toArray
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(truncScale(_, m))
+    }
+    v
+  }
+
+  private def rayleigh(c: Array[Array[BigInt]], v: Array[BigInt]): BigInt =
+    c.indices.flatMap(i => c.indices.map(j => c(i)(j) * v(i) * v(j))).sum
+
+  private def loadingsPpm(v: Array[BigInt], norm2: BigInt): Array[Long] = {
+    val isr = isqrt(norm2)
+    val sgn = v.find(_ != 0).map(x => if (x < 0) BigInt(-1) else BigInt(1))
+      .getOrElse(BigInt(1))
+    v.map(x => (sgn * truncScale(x, isr)).toLong)
+  }
 }

@@ -927,6 +927,11 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q422_abtt_whitening" -> Seq(
+      // same one-Gram-pass shape as q421; deflation + second power
+      // iteration run driver-side on the bounded d x d matrix
+      "loading emission is a bounded local relation" -> "LocalTableScan",
+      "no join in the emission" -> "!SortMergeJoin"),
     "q421_pca_anisotropy" -> Seq(
       // the corpus-sized work is one double-posexplode Gram aggregation
       // into d^2 bounded cells at plan-build time; the power iteration runs

@@ -176,6 +176,43 @@ class QueriesSpec extends AnyFunSuite {
       s"anisotropy share $share outside (1/d, 1]")
   }
 
+  test("q422 ABTT deflation: the deflated component is orthogonal to the " +
+    "removed one, and removed + retained variance reconstructs the trace") {
+    // Laws the hash oracle can't state: (a) the deflated loadings are a
+    // ppm unit vector (same truncation slack as q421); (b) the deflation
+    // really removed q421's direction — the two unit loading vectors must
+    // be near-orthogonal (a silently no-op deflation would return the SAME
+    // component, |cos| ~ 1); (c) trace accounting: retained-variance ppm
+    // plus the removed share reconstructs 1e6 within floor slack; (d) the
+    // residual share stays within convergence slack of the removed one —
+    // NOT share2 <= share1 exactly: on this near-isotropic fixture
+    // lambda_2 ~ lambda_1 and 8 power iterations leave Rayleigh quotients
+    // a few hundred ppm apart in either direction.
+    val q421 = SparkEntry.all.find(_.name == "q421_pca_anisotropy").get
+    val l1 = try {
+      q421.run(spark, dir).collect()
+        .filter(_.getAs[Long]("dim") >= 0L)
+        .sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("loading_ppm"))
+    } finally CacheScope.release()
+    val q422 = SparkEntry.all.find(_.name == "q422_abtt_whitening").get
+    val rows = try q422.run(spark, dir).collect() finally CacheScope.release()
+    assert(rows.length == 67)
+    val byDim = rows.map(r =>
+      r.getAs[Long]("dim") -> r.getAs[Long]("value_ppm")).toMap
+    val ls = (0L to 63L).map(byDim)
+    val norm2 = ls.map(l => BigInt(l) * BigInt(l)).sum
+    assert((norm2 - BigInt("1000000000000")).abs <= BigInt(2L * 64 * 1000000),
+      s"deflated loadings norm^2 $norm2 not within truncation slack of 1e12")
+    val dot = l1.zip(ls).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    assert(dot.abs < BigInt(200000L) * 1000000L, // |cos| < 0.2 in ppm^2
+      s"deflated component not orthogonal to the removed one: dot $dot")
+    val (share1, share2, kept) = (byDim(-1L), byDim(-2L), byDim(-3L))
+    assert(share2 >= 0L && share2 <= share1 + 5000L && share1 <= 1000000L,
+      s"residual share $share2 outside [0, $share1 + slack]")
+    assert((share1 + kept - 1000000L).abs <= 16L,
+      s"trace accounting off: $share1 + $kept != ~1e6")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
