@@ -1772,6 +1772,86 @@ object Similarity {
         Seq((-1L, share1), (-2L, share2), (-3L, kept)))
         .toSeq.toDF("dim", "value_ppm").orderBy($"dim")
     },
+
+    q("q424_streaming_anisotropy", {
+      // Oracle = the q421 integer-PCA program on a FIXED 32767 scale (no
+      // global-max CTE): the streamed counters must reproduce the batch
+      // statistics exactly, and the readout is the identical driver-side
+      // integer program, so the hash pins end-to-end equality.
+      s"""WITH $pcaGramFixedSql,
+         |${powerChainSql("gram", "v")},
+         |${loadingsSql("v8", "")},
+         |num AS (SELECT SUM(g.c * a.val * b.val) AS vcv FROM gram g
+         |  JOIN v8 a ON g.i = a.i JOIN v8 b ON g.j = b.i),
+         |tr AS (SELECT SUM(c) AS trace FROM gram WHERE i = j),
+         |sh AS (SELECT ((vcv // norm2) * 1000000) // trace AS share
+         |  FROM num, n2, tr)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(loading_ppm AS BIGINT) AS loading_ppm FROM ld
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(share AS BIGINT) FROM sh
+         |ORDER BY dim"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of the anisotropy monitor THROUGH the engine source
+      // — the shape a live embedding-ingest pipeline takes. The insight
+      // that makes it streamable: (n, per-dim sums, d x d Gram) is a
+      // mergeable sufficient statistic, and prepending a constant-1
+      // sentinel component folds ALL of it into ONE complete-mode keyed
+      // aggregation — the extended Gram's (0,0) cell is n, its (0,j) row
+      // is the sums, the rest is the Gram. Quantization uses a FIXED
+      // 32767 scale (the vectors are unit-normalized), because a global
+      // max-abs scale would not be incrementally maintainable — the one
+      // honest design change vs q421, pinned by q424's own oracle. State
+      // is 65 x 65 = 4225 BIGINT cells forever, regardless of corpus
+      // size; per-cell sums stay under 2^60 even at 1e9 vectors. The
+      // d^2-per-vector outer-product expansion runs map-side in-stream
+      // (it is the same expansion q421's batch Gram pays). Readout:
+      // q421's exact-BigInt power iteration over the drained snapshot.
+      val root = graft.LogFixtures.producedLog(dir, "q424") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "embeddings").select(
+            (lit(1700000000000L) + $"vec_id").as("ms"), $"vec_id",
+            expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+              .as("emb")),
+          "ms", r, "embeddings", orderCols = Seq("vec_id"))
+      }
+      val nIn = T(s, dir, "embeddings").count()
+      val state = graft.streaming.StreamHarness
+        .runToMemory(s, "q424", 4, mode = "complete") {
+          s.readStream.format("graftlog")
+            .option("path", root).option("stream", "embeddings")
+            .option("valueSchema", "vec_id BIGINT, emb STRING")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", math.max(200L, nIn / 3).toString)
+            .load()
+            // float -> string -> float is exact (shortest round-trip repr),
+            // so the fixed-scale quantization matches the parquet oracle
+            .select(expr(
+              """concat(array(CAST(1 AS BIGINT)),
+                |  transform(split(emb, ','),
+                |    x -> CAST(floor(CAST(CAST(x AS FLOAT) AS DOUBLE)
+                |      * 32767.0 + 0.5) AS BIGINT)))""".stripMargin).as("qx"))
+            .select($"qx", posexplode($"qx").as(Seq("i", "xi")))
+            .select($"i", $"xi", posexplode($"qx").as(Seq("j", "xj")))
+            .groupBy($"i", $"j").agg(sum($"xi" * $"xj").as("g"))
+        }
+      val cells = state.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2)))).toMap
+      val d = 64
+      val n = cells((0, 0))
+      val sums = (0 until d).map(i => cells((0, i + 1)))
+      val c = Array.tabulate(d, d)((i, j) =>
+        n * cells((i + 1, j + 1)) - sums(i) * sums(j))
+      val v = powerIterate(c, 8)
+      val norm2 = v.map(x => x * x).sum
+      val loadings = loadingsPpm(v, norm2)
+      val vcv = rayleigh(c, v)
+      val trace = c.indices.map(i => c(i)(i)).sum
+      val share = (((vcv / norm2) * 1000000) / trace).toLong
+      (c.indices.map(i => (i.toLong, loadings(i))) :+ (-1L, share))
+        .toSeq.toDF("dim", "loading_ppm").orderBy($"dim")
+    },
   )
 
   // ---- shared integer-PCA machinery (q421/q422) ----
@@ -1783,14 +1863,8 @@ object Similarity {
   /** Shared oracle prelude: int8 quantization on the global max-abs scale,
     * exploded (vec, dim, x) view, and the centered second-moment matrix
     * C = n*Gram - s*s^T as the MATERIALIZED `gram` CTE (HUGEINT cells). */
-  private def pcaGramSql: String =
-    """mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
-      |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
-      |qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
-      |        AS BIGINT)) AS qv
-      |  FROM embeddings, mx),
-      |e AS MATERIALIZED (SELECT vec_id, unnest(range(len(qv))) AS i,
+  private def pcaGramTailSql: String =
+    """e AS MATERIALIZED (SELECT vec_id, unnest(range(len(qv))) AS i,
       |    unnest(qv) AS x
       |  FROM qz),
       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qz),
@@ -1800,6 +1874,25 @@ object Similarity {
       |gram AS MATERIALIZED (SELECT gr.i, gr.j, nn.n * gr.g - sa.s * sb.s AS c
       |  FROM gr JOIN sm sa ON sa.i = gr.i JOIN sm sb ON sb.i = gr.j, nn)"""
       .stripMargin
+
+  private def pcaGramSql: String =
+    """mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+      |qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+      |        AS BIGINT)) AS qv
+      |  FROM embeddings, mx),
+      |""".stripMargin + pcaGramTailSql
+
+  /** Fixed-point prelude (q424): the vectors are unit-normalized, so a
+    * STATIC 32767 scale needs no global max — the property that makes the
+    * Gram statistics incrementally maintainable by a stream. */
+  private def pcaGramFixedSql: String =
+    """qz AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 32767.0 + 0.5)
+      |        AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |""".stripMargin + pcaGramTailSql
 
   /** 8 power-iteration steps over `gramTbl`, tables `${p}1`..`${p}8`; every
     * CTE MATERIALIZED (each v_t is referenced twice via its max-abs

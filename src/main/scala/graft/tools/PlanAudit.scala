@@ -927,6 +927,11 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q424_streaming_anisotropy" -> Seq(
+      // the corpus pass ran through the engine source at plan-build time
+      // (complete-mode Gram counters); the readout is the drained snapshot
+      "readout runs on the drained state snapshot (no corpus rescan)" -> "!Scan parquet",
+      "loading emission is a bounded local relation" -> "LocalTableScan"),
     "q422_abtt_whitening" -> Seq(
       // same one-Gram-pass shape as q421; deflation + second power
       // iteration run driver-side on the bounded d x d matrix

@@ -213,6 +213,32 @@ class QueriesSpec extends AnyFunSuite {
       s"trace accounting off: $share1 + $kept != ~1e6")
   }
 
+  test("q424 streamed anisotropy agrees with the batch diagnostic across " +
+    "quantization scales") {
+    // The oracle pins q424's values under its OWN fixed 32767 scale; this
+    // pins the cross-query claim — the streamed sufficient statistics must
+    // find the SAME dominant direction the batch int8 program finds:
+    // loading cosine >= 0.9 (sign-fixed on both sides) and the anisotropy
+    // shares within quantization-resolution slack. Also exercises a real
+    // multi-batch drain (trigger = n/3 -> >= 3 micro-batches).
+    def run(name: String) = {
+      val d = SparkEntry.all.find(_.name == name).get
+      try d.run(spark, dir).collect() finally CacheScope.release()
+    }
+    val b = run("q421_pca_anisotropy")
+    val st = run("q424_streaming_anisotropy")
+    def parts(rows: Array[org.apache.spark.sql.Row]) = {
+      val m = rows.map(r => r.getAs[Long]("dim") -> r.getAs[Long]("loading_ppm")).toMap
+      ((0L to 63L).map(m), m(-1L))
+    }
+    val (lb, sb) = parts(b)
+    val (ls, ss) = parts(st)
+    val dot = lb.zip(ls).map { case (a, x) => BigInt(a) * BigInt(x) }.sum
+    assert(dot > BigInt(900000L) * 1000000L,
+      s"streamed component disagrees with batch: cos(ppm^2) = $dot")
+    assert((ss - sb).abs <= 2000L, s"shares diverged: stream $ss vs batch $sb")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
