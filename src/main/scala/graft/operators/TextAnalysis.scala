@@ -96,6 +96,124 @@ object TextAnalysis {
        |  CASE WHEN $i >= 4 AND substring($w, $i - 3, 4) IN (${vocabIn(4)})
        |    THEN $b4 + 1 ELSE 9999999 END)""".stripMargin
 
+
+  // ---- q423 unigram-LM tokenizer machinery: the weighted-Viterbi DP and
+  // its backtrace as identical integer programs in both dialects. Packed
+  // value = cost_micro * 1024 + n_tokens, so least() minimizes total cost
+  // with a deterministic fewest-tokens tiebreak; EmInf marks a piece
+  // missing from the vocabulary (never on an optimal path — every single
+  // char is in the vocabulary), EmBig an out-of-range L candidate. Word
+  // lengths stay far below 1024 tokens and 90 chars, so the packing and
+  // the sentinel sums never collide (fixture max 8 chars). ----
+  private val EmInf = "1000000000000"
+  private val EmBig = "100000000000000000"
+
+  /** Spark forward DP: best[0..len] packed, as an ARRAY<BIGINT> column
+    * (element_at(acc, k) = best[k-1]); `cm` is a broadcast piece->cost map. */
+  private def emDpSpark(cm: String): String = {
+    def cand(l: Int): String =
+      if (l == 1)
+        s"element_at(acc, i) + (coalesce(element_at($cm, substring(word, i, 1)), $EmInf) * 1024 + 1)"
+      else
+        s"IF(i >= $l, element_at(acc, i - $l + 1) + (coalesce(element_at($cm, substring(word, i - $l + 1, $l)), $EmInf) * 1024 + 1), $EmBig)"
+    s"""aggregate(sequence(1, length(word)),
+       |  array(CAST(0 AS BIGINT)),
+       |  (acc, i) -> array_append(acc, least(
+       |    ${cand(1)},
+       |    ${cand(2)},
+       |    ${cand(3)},
+       |    ${cand(4)})),
+       |  acc -> acc)""".stripMargin
+  }
+
+  /** Spark backtrace over a computed best array `barr`: re-derives the
+    * argmin choice at each position (first L attaining the packed minimum
+    * — the same CASE order in both dialects) and collects the chosen
+    * pieces. A word of length n backtraces in at most n steps. */
+  private def emBacktraceSpark(cm: String, barr: String): String = {
+    def cand(l: Int): String =
+      s"""IF(acc.pos >= $l, element_at($barr, CAST(acc.pos - $l + 1 AS INT))
+         | + (coalesce(element_at($cm, substring(word, CAST(acc.pos - $l + 1 AS INT), $l)), $EmInf) * 1024 + 1), $EmBig)"""
+        .stripMargin.replace("\n", "")
+    def take(l: Int): String =
+      s"named_struct('pos', acc.pos - $l, 'ps', array_append(acc.ps, substring(word, CAST(acc.pos - $l + 1 AS INT), $l)))"
+    s"""aggregate(sequence(1, length(word)),
+       |  named_struct('pos', CAST(length(word) AS BIGINT),
+       |    'ps', CAST(array() AS ARRAY<STRING>)),
+       |  (acc, z) -> IF(acc.pos <= 0, acc,
+       |    CASE
+       |      WHEN ${cand(1)} = element_at($barr, CAST(acc.pos + 1 AS INT)) THEN ${take(1)}
+       |      WHEN ${cand(2)} = element_at($barr, CAST(acc.pos + 1 AS INT)) THEN ${take(2)}
+       |      WHEN ${cand(3)} = element_at($barr, CAST(acc.pos + 1 AS INT)) THEN ${take(3)}
+       |      ELSE ${take(4)}
+       |    END),
+       |  acc -> acc.ps)""".stripMargin
+  }
+
+  /** DuckDB forward DP as a recursive CTE `cte` emitting (word, i,
+    * b1 = best[i], b2..b4 = best[i-1..i-3]); piece costs come from LEFT
+    * JOIN lookups into `vocTbl.costCol` — NOT correlated subqueries,
+    * which DuckDB 1.0 plans unreliably inside recursive arms (the same
+    * query returned NULL or the right value depending on the OUTER
+    * query's filter). An out-of-range L's join may probe a clamped
+    * substring; the i + 1 >= L guard discards it before it can matter. */
+  private def emDpDuck(cte: String, vocTbl: String, costCol: String): String = {
+    def cand(l: Int): String = {
+      val look = s"(COALESCE(v$l.$costCol, $EmInf) * 1024 + 1)"
+      if (l == 1) s"b1 + $look"
+      else s"CASE WHEN $cte.i + 1 >= $l THEN b$l + $look ELSE $EmBig END"
+    }
+    val joins = (1 to 4).map(l =>
+      s"LEFT JOIN $vocTbl v$l ON v$l.piece = " +
+        s"substr($cte.word, CAST($cte.i + 2 - $l AS INT), $l)").mkString("\n  ")
+    s"""$cte AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS b1,
+       |    CAST($EmBig AS BIGINT) AS b2, CAST($EmBig AS BIGINT) AS b3,
+       |    CAST($EmBig AS BIGINT) AS b4
+       |  FROM w
+       |  UNION ALL
+       |  SELECT $cte.word, $cte.i + 1,
+       |    LEAST(${cand(1)},
+       |      ${cand(2)},
+       |      ${cand(3)},
+       |      ${cand(4)}),
+       |    b1, b2, b3
+       |  FROM $cte
+       |  $joins
+       |  WHERE $cte.i < len($cte.word))""".stripMargin
+  }
+
+  /** DuckDB backtrace over the forward table `fwd` (same argmin CASE
+    * order as [[emBacktraceSpark]]); best[] and cost lookups via LEFT
+    * JOINs for the same DuckDB-1.0 reason as [[emDpDuck]]. */
+  private def emBacktraceDuck(fwd: String, vocTbl: String, costCol: String): String = {
+    def cand(l: Int): String =
+      s"CASE WHEN bt.pos >= $l THEN COALESCE(f$l.b1, $EmBig) + " +
+        s"(COALESCE(v$l.$costCol, $EmInf) * 1024 + 1) ELSE $EmBig END"
+    val joins = ((1 to 4).map(l =>
+      s"LEFT JOIN $fwd f$l ON f$l.word = bt.word AND f$l.i = bt.pos - $l") ++
+      (1 to 4).map(l =>
+        s"LEFT JOIN $vocTbl v$l ON v$l.piece = " +
+          s"substr(bt.word, CAST(bt.pos + 1 - $l AS INT), $l)")).mkString("\n      ")
+    s"""bt AS (
+       |  SELECT word, CAST(len(word) AS BIGINT) AS pos,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM w
+       |  UNION ALL
+       |  SELECT t.word, t.pos - t.l,
+       |    substr(t.word, CAST(t.pos - t.l + 1 AS INT), CAST(t.l AS INT))
+       |  FROM (SELECT bt.word, bt.pos AS pos,
+       |      CASE WHEN ${cand(1)} = f0.b1 THEN CAST(1 AS BIGINT)
+       |           WHEN ${cand(2)} = f0.b1 THEN CAST(2 AS BIGINT)
+       |           WHEN ${cand(3)} = f0.b1 THEN CAST(3 AS BIGINT)
+       |           ELSE CAST(4 AS BIGINT) END AS l
+       |    FROM bt
+       |      JOIN $fwd f0 ON f0.word = bt.word AND f0.i = bt.pos
+       |      $joins
+       |    WHERE bt.pos > 0) t)""".stripMargin
+  }
+
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q160_subword_tokens",
@@ -1827,6 +1945,146 @@ object TextAnalysis {
           expr("sh DIV n_triples").as("cond_entropy_micro"),
           expr("(sd * 1000000) DIV n_triples").as("deterministic_ppm"))
         .orderBy($"source")
+    },
+
+    q("q423_unigram_lm_tokenizer", {
+      // Oracle = the identical integer program: same candidate explode,
+      // same (weight DESC, piece ASC) vocabulary rank, same detMln micro
+      // costs, same packed Viterbi DP (recursive CTE carrying the last
+      // four best values, correlated cost lookups), same first-L-match
+      // backtrace, same add-one recount. Hard-EM state never leaves
+      // integers, so convergence/tie behavior is pinned bit-for-bit.
+      s"""WITH RECURSIVE dw AS (SELECT source,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY source, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |wt AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS w_total
+         |  FROM wc GROUP BY word),
+         |cs1 AS (SELECT word, unnest(range(1, len(word) + 1)) AS st FROM w),
+         |cs2 AS (SELECT word, st, unnest(range(1,
+         |    least(CAST(4 AS BIGINT), len(word) - st + 1) + 1)) AS l
+         |  FROM cs1),
+         |cand AS (SELECT word,
+         |    substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece
+         |  FROM cs2),
+         |pw AS (SELECT piece, CAST(SUM(wt.w_total) AS BIGINT) AS fw
+         |  FROM cand JOIN wt USING (word) GROUP BY piece),
+         |multi AS (SELECT piece, fw FROM (SELECT piece, fw,
+         |      row_number() OVER (ORDER BY fw DESC, piece ASC) AS rk
+         |    FROM pw WHERE len(piece) >= 2) WHERE rk <= 48),
+         |voc0 AS (SELECT piece, fw FROM pw WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, fw FROM multi),
+         |t0 AS (SELECT CAST(SUM(fw) AS BIGINT) AS tt FROM voc0),
+         |voc AS MATERIALIZED (SELECT piece,
+         |    ${graft.ColFns.detMlnSql("t0.tt", "voc0.fw")} AS cost0
+         |  FROM voc0, t0),
+         |${emDpDuck("seg", "voc", "cost0")},
+         |${emBacktraceDuck("seg", "voc", "cost0")},
+         |c1 AS (SELECT u.piece, CAST(SUM(wt.w_total) AS BIGINT) AS used
+         |  FROM (SELECT word, piece FROM bt WHERE piece IS NOT NULL) u
+         |  JOIN wt USING (word) GROUP BY u.piece),
+         |voc2 AS (SELECT voc.piece, COALESCE(c1.used, 0) AS used,
+         |    COALESCE(c1.used, 0) + 1 AS f1
+         |  FROM voc LEFT JOIN c1 ON c1.piece = voc.piece),
+         |t1 AS (SELECT CAST(SUM(f1) AS BIGINT) AS tt FROM voc2),
+         |voc2c AS MATERIALIZED (SELECT piece, used,
+         |    ${graft.ColFns.detMlnSql("t1.tt", "voc2.f1")} AS cost1
+         |  FROM voc2, t1),
+         |${emDpDuck("seg2", "voc2c", "cost1")},
+         |fc AS (SELECT word, b1 AS bestf FROM seg2 WHERE i = len(word)),
+         |src AS (SELECT wc.source AS item,
+         |    CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) AS n,
+         |    CAST(SUM(wc.cnt * (f.bestf // 1024)) AS BIGINT) AS micro
+         |  FROM wc JOIN fc f USING (word) GROUP BY wc.source),
+         |top AS (SELECT '__piece:' || piece AS item, used AS n,
+         |    CAST(cost1 AS BIGINT) AS micro
+         |  FROM voc2c WHERE len(piece) >= 2
+         |  ORDER BY used DESC, piece ASC LIMIT 10)
+         |SELECT item, n, micro FROM src
+         |UNION ALL SELECT item, n, micro FROM top
+         |ORDER BY item"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // SentencePiece-style unigram-LM tokenizer trained by hard EM
+      // (Kudo 2018), end to end: candidate pieces are all 1..4-char
+      // substrings of the DISTINCT-word dictionary weighted by corpus
+      // occurrence; the vocabulary is every single char (byte-fallback
+      // floor) plus the top-48 multi-char pieces by (weight, piece); piece
+      // costs are exact micro-logs -ln(f/T) via detMln; the E-step
+      // segments each distinct word by a weighted-Viterbi DP (packed
+      // cost*1024+tokens value so the tiebreak is fewest-tokens, then
+      // first-matching-L on the backtrace — deterministic in both
+      // engines); the M-step recounts piece usage weighted by word
+      // frequency with add-one smoothing and re-derives costs; the final
+      // pass re-segments under the trained model. Corpus-sized work is
+      // ONE (source, word) collapse — everything after runs on the
+      // dictionary (the q160/q177/q398 shape), and the vocabulary rank
+      // window orders the bounded candidate table, never the corpus.
+      // Readout: per-source subword counts + corpus NLL in micro-nats
+      // under the trained model (the compression number a tokenizer team
+      // tracks), plus the top-10 learned multi-char pieces with their
+      // usage mass and trained costs.
+      val wc = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached)
+      val dict = wc.select($"word").distinct()
+        .transform(graft.CacheScope.cached)
+      val wt = wc.groupBy($"word").agg(sum($"cnt").as("w_total"))
+        .transform(graft.CacheScope.cached)
+      val pw = dict.select($"word", explode(expr(
+          """flatten(transform(sequence(1, length(word)),
+            |  st -> transform(sequence(1, least(4, length(word) - st + 1)),
+            |    l -> substring(word, st, l))))""".stripMargin)).as("piece"))
+        .join(wt, "word")
+        .groupBy($"piece").agg(sum($"w_total").as("fw"))
+        .transform(graft.CacheScope.cached)
+      // the rank window orders the piece-candidate table — bounded by the
+      // dictionary (len x 4 substrings per distinct word), never corpus-sized
+      val multi = pw.filter(length($"piece") >= 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"fw".desc, $"piece".asc)))
+        .filter($"rk" <= 48).drop("rk")
+      val voc0 = pw.filter(length($"piece") === 1).unionByName(multi)
+        .transform(graft.CacheScope.cached)
+      val t0 = voc0.agg(sum($"fw").as("tt"))
+      val voc = voc0.crossJoin(broadcast(t0))
+        .select($"piece", graft.ColFns.detMln($"tt", $"fw").as("cost0"))
+        .transform(graft.CacheScope.cached)
+      def costMap(vocDf: DataFrame, costCol: String): DataFrame =
+        vocDf.agg(map_from_entries(collect_list(
+          struct(col("piece"), col(costCol)))).as("cm"))
+      val seg1 = dict.crossJoin(broadcast(costMap(voc, "cost0")))
+        .withColumn("barr", expr(emDpSpark("cm")))
+        .withColumn("ps", expr(emBacktraceSpark("cm", "barr")))
+      val c1 = seg1.select($"word", explode($"ps").as("piece"))
+        .join(wt, "word")
+        .groupBy($"piece").agg(sum($"w_total").as("used"))
+      val voc2 = voc.join(c1, Seq("piece"), "left")
+        .select($"piece", coalesce($"used", lit(0L)).as("used"),
+          (coalesce($"used", lit(0L)) + 1L).as("f1"))
+        .transform(graft.CacheScope.cached)
+      val t1 = voc2.agg(sum($"f1").as("tt"))
+      val voc2c = voc2.crossJoin(broadcast(t1))
+        .select($"piece", $"used", graft.ColFns.detMln($"tt", $"f1").as("cost1"))
+        .transform(graft.CacheScope.cached)
+      val fc = dict.crossJoin(broadcast(costMap(voc2c, "cost1")))
+        .withColumn("barr", expr(emDpSpark("cm")))
+        .select($"word",
+          expr("element_at(barr, CAST(length(word) + 1 AS INT))").as("bestf"))
+      val src = wc.join(fc, "word")
+        .groupBy($"source")
+        .agg(sum($"cnt" * ($"bestf" % 1024)).as("n"),
+          sum($"cnt" * expr("bestf DIV 1024")).as("micro"))
+        .select($"source".as("item"), $"n", $"micro")
+      val top = voc2c.filter(length($"piece") >= 2)
+        .orderBy($"used".desc, $"piece".asc).limit(10)
+        .select(concat(lit("__piece:"), $"piece").as("item"),
+          $"used".as("n"), $"cost1".as("micro"))
+      src.unionByName(top).orderBy($"item")
     },
   )
 

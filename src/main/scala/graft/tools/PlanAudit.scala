@@ -927,6 +927,11 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q423_unigram_lm_tokenizer" -> Seq(
+      "corpus collapses once to (source, word) counts" -> "HashAggregate",
+      "piece-cost maps broadcast into the dictionary walks" -> "BroadcastNestedLoopJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q424_streaming_anisotropy" -> Seq(
       // the corpus pass ran through the engine source at plan-build time
       // (complete-mode Gram counters); the readout is the drained snapshot

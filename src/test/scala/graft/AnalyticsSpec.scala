@@ -589,4 +589,50 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(ppm > 350000L && ppm < 650000L, s"natural green_ppm $ppm off 1/2")
     }
   }
+
+  test("q423 unigram-LM tokenizer: learned pieces are corpus substrings, " +
+    "usage orders costs, and subword counts sit between words and chars") {
+    // Laws the hash oracle can't state: (a) every learned multi-char piece
+    // actually occurs in some corpus word (the trainer can't hallucinate
+    // vocabulary); (b) cost1 = ln(T1/f1) is strictly monotone in usage, so
+    // the usage-DESC top-10 must be cost-ASC (ties in usage tie in cost);
+    // (c) per-source subword totals are sandwiched between the source's
+    // word count (>= 1 token per word) and its non-space char count
+    // (<= 1 token per char) STRICTLY below chars — the learned multi-char
+    // pieces must actually fire somewhere in every source.
+    import org.apache.spark.sql.functions._
+    val out = try SparkEntry.queries("q423_unigram_lm_tokenizer")(spark, dir)
+      .collect() finally CacheScope.release()
+    val (pieces, srcs) = out.partition(_.getAs[String]("item").startsWith("__piece:"))
+    assert(pieces.length == 10 && srcs.nonEmpty)
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    val ranked = pieces.map(r => (r.getAs[String]("item").stripPrefix("__piece:"),
+      r.getAs[Long]("n"), r.getAs[Long]("micro")))
+      .sortBy { case (p, n, _) => (-n, p) }
+    ranked.foreach { case (p, n, _) =>
+      assert(p.length >= 2 && n > 0L, s"top piece $p unused")
+      assert(words.exists(_.contains(p)), s"piece $p not a corpus substring")
+    }
+    ranked.sliding(2).foreach { case Array((pa, na, ca), (pb, nb, cb)) =>
+      if (na > nb) assert(ca < cb, s"usage/cost order broken at $pa/$pb")
+      else assert(ca == cb, s"tied usage must tie cost at $pa/$pb")
+    case _ => ()
+    }
+    val stats = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("nw"), r.getAs[Long]("nc"))).toMap
+    srcs.foreach { r =>
+      val (nw, nc) = stats(r.getAs[String]("item"))
+      val n = r.getAs[Long]("n")
+      assert(n >= nw && n < nc,
+        s"source ${r.getAs[String]("item")}: $n subwords vs $nw words / $nc chars")
+    }
+  }
 }
