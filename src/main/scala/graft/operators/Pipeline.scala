@@ -1827,5 +1827,99 @@ object Pipeline {
           expr("(tokens * 1000000) div phase_tokens").as("share_ppm"))
         .orderBy($"phase", $"source")
     },
+
+    q("q426_lm_gate_agreement", {
+      // Oracle = the identical program: q136's per-doc micro-log LM score,
+      // q409's bounded-histogram decile cut, q129's shared gate
+      // definitions. Every division is a floor on non-negative operands
+      // ((-smlp) is positive because every token log-prob is negative).
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+         |  FROM documents),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) cnt
+         |  FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM toks),
+         |sc AS (SELECT doc_id, ${graft.ColFns.detMlnSql("cnt", "n")} mlp
+         |  FROM toks JOIN freq USING (tok), tot),
+         |lm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) nt,
+         |    CAST(SUM(mlp) AS BIGINT) smlp
+         |  FROM sc GROUP BY doc_id),
+         |sco AS (SELECT doc_id, (-smlp) // nt AS am FROM lm),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, ${qualityMetricsDuck("w").mkString(", ")}
+         |  FROM t),
+         |gf AS (SELECT doc_id,
+         |    CASE WHEN $QualityKeep THEN 1 ELSE 0 END AS keep,
+         |    CASE WHEN $GateTooShort THEN 1 ELSE 0 END AS g_short,
+         |    CASE WHEN $GateRepetitive THEN 1 ELSE 0 END AS g_rep,
+         |    CASE WHEN $GateLowStopword THEN 1 ELSE 0 END AS g_stop,
+         |    CASE WHEN $GateLowTtr THEN 1 ELSE 0 END AS g_ttr
+         |  FROM m),
+         |j AS (SELECT sco.am // 1000 AS bkt, sco.am, gf.*
+         |  FROM sco JOIN gf USING (doc_id)),
+         |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) c FROM j GROUP BY bkt),
+         |cum AS (SELECT bkt, CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT)
+         |    AS cb, (SELECT CAST(SUM(c) AS BIGINT) FROM h) AS n FROM h),
+         |bd AS (SELECT bkt, LEAST(CAST(9 AS BIGINT), (cb * 10) // n)
+         |    AS band FROM cum)
+         |SELECT bd.band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  (CAST(SUM(j.keep) AS BIGINT) * 1000000) // COUNT(*) AS keep_ppm,
+         |  CAST(SUM(j.g_short) AS BIGINT) AS n_short,
+         |  CAST(SUM(j.g_rep) AS BIGINT) AS n_repetitive,
+         |  CAST(SUM(j.g_stop) AS BIGINT) AS n_lowstop,
+         |  CAST(SUM(j.g_ttr) AS BIGINT) AS n_lowttr,
+         |  CAST(SUM(j.am) AS BIGINT) // COUNT(*) AS avg_neg_logprob_micro
+         |FROM j JOIN bd USING (bkt) GROUP BY bd.band ORDER BY bd.band"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // LM-score vs rule-gate agreement audit — the "is the perplexity
+      // filter redundant with the C4/Gopher rules" diagnostic every
+      // curation team eventually tables: per LM-score decile (q136's
+      // corpus-trained micro-log score, deciled by q409's exact bounded-
+      // histogram cut, never a corpus-sized rank), the q129 gate stack's
+      // keep rate and each individual gate's fire count. If keep_ppm is
+      // flat across bands, the LM score adds signal the rules don't have
+      // (and vice versa if it collapses to 0/1e6 at the extremes). Two
+      // corpus passes (token LM join + map-side metrics) meet in ONE
+      // doc-keyed join; the decile machinery runs on the ~100-value
+      // centi-nat score domain, broadcast back. 100 TB-safe.
+      val toks = T(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val sco = toks.join(freq, "tok").crossJoin(broadcast(tot))
+        .select($"doc_id", graft.ColFns.detMln($"cnt", $"n").as("mlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nt"), sum($"mlp").as("smlp"))
+        .select($"doc_id", expr("(-smlp) div nt").as("am"))
+      val gf = T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .selectExpr("doc_id" +: qualityMetricsSpark("w"): _*)
+        .selectExpr("doc_id",
+          s"CAST(IF($QualityKeep, 1, 0) AS BIGINT) AS keep",
+          s"CAST(IF($GateTooShort, 1, 0) AS BIGINT) AS g_short",
+          s"CAST(IF($GateRepetitive, 1, 0) AS BIGINT) AS g_rep",
+          s"CAST(IF($GateLowStopword, 1, 0) AS BIGINT) AS g_stop",
+          s"CAST(IF($GateLowTtr, 1, 0) AS BIGINT) AS g_ttr")
+      val j = sco.join(gf, "doc_id")
+        .withColumn("bkt", expr("am div 1000"))
+        .transform(graft.CacheScope.cached) // histogram pass + band join
+      val h = j.groupBy($"bkt").agg(count(lit(1)).as("c"))
+        .transform(graft.CacheScope.cached) // cumsum + total share one pass
+      val bd = h
+        .withColumn("cb", sum($"c").over(Window.orderBy($"bkt")) - $"c")
+        .crossJoin(broadcast(h.agg(sum($"c").as("n"))))
+        .select($"bkt", least(lit(9L), expr("(cb * 10) div n")).as("band"))
+      j.join(broadcast(bd), "bkt")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_docs"), sum($"keep").as("sk"),
+          sum($"g_short").as("n_short"), sum($"g_rep").as("n_repetitive"),
+          sum($"g_stop").as("n_lowstop"), sum($"g_ttr").as("n_lowttr"),
+          sum($"am").as("sam"))
+        .select($"band", $"n_docs",
+          expr("(sk * 1000000) div n_docs").as("keep_ppm"),
+          $"n_short", $"n_repetitive", $"n_lowstop", $"n_lowttr",
+          expr("sam div n_docs").as("avg_neg_logprob_micro"))
+        .orderBy($"band")
+    },
   )
 }

@@ -2086,6 +2086,75 @@ object TextAnalysis {
           $"used".as("n"), $"cost1".as("micro"))
       src.unionByName(top).orderBy($"item")
     },
+
+    q("q425_period_detection", {
+      // Oracle = the identical per-doc scan: smallest period p of the
+      // token array (p valid iff t[i] = t[i+p] for all i <= n-p), planted
+      // periodic docs synthesized INSIDE the query (q417's self-contained
+      // plant pattern) so the detector's fire path is exercised at any SF.
+      """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |planted AS (SELECT doc_id + 1000000000 AS doc_id,
+        |    '__planted:' || source AS source,
+        |    string_split(trim(repeat(array_to_string(t[1:4], ' ') || ' ',
+        |      5)), ' ') AS t
+        |  FROM base WHERE doc_id % 50 = 0 AND len(t) >= 4),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |per AS (SELECT source,
+        |    COALESCE(list_min(list_filter(range(1, len(t) // 2 + 1),
+        |      p -> len(list_filter(range(1, len(t) - p + 1),
+        |        i -> t[CAST(i AS INT)] != t[CAST(i + p AS INT)])) = 0)),
+        |      0) AS p
+        |  FROM allv)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_periodic,
+        |  (CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // COUNT(*) AS periodic_ppm,
+        |  CAST(COALESCE(MIN(CASE WHEN p > 0 THEN p END), 0) AS BIGINT)
+        |    AS min_period
+        |FROM per GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Smallest-period detection over the token stream — the
+      // template/loop-generation screen: a doc whose tokens repeat with
+      // period p <= n/2 is machine-looped output (degenerate sampling,
+      // boilerplate templating), invisible to q102's repetition SCORE when
+      // the repeating unit is long. Detection is the direct periodicity
+      // test p valid iff t[i] = t[i+p] for all i — O(n^2/2) token compares
+      // per doc, entirely map-side inside the token array (no join, no
+      // shuffle beyond the per-source rollup), so the plan is flat at any
+      // corpus size. Planted periodic docs (first-4-tokens x 5 per 50th
+      // doc, synthesized in-query) certify the fire path; the law in
+      // AnalyticsSpec pins them periodic with period <= 4. Spark's
+      // sequence(1, 0) descends instead of returning empty, so the n < 2
+      // case is guarded explicitly (DuckDB's range(1, 1) is empty).
+      val base = T(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("t"))
+      val planted = base
+        .filter($"doc_id" % 50 === 0 && size($"t") >= 4)
+        .select(($"doc_id" + 1000000000L).as("doc_id"),
+          concat(lit("__planted:"), $"source").as("source"),
+          expr("split(trim(repeat(concat(array_join(slice(t, 1, 4), ' '), " +
+            "' '), 5)), ' ')").as("t"))
+      val per = base.unionByName(planted)
+        .select($"source", expr(
+          """coalesce(array_min(filter(
+            |    IF(size(t) >= 2, sequence(1, size(t) DIV 2), array()),
+            |    p -> size(filter(sequence(1, size(t) - p),
+            |      i -> element_at(t, CAST(i AS INT))
+            |        != element_at(t, CAST(i + p AS INT)))) = 0)),
+            |  0)""".stripMargin).as("p"))
+      per.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"p" > 0, 1L).otherwise(0L)).as("n_periodic"),
+          coalesce(min(when($"p" > 0, $"p")), lit(0)).cast("long")
+            .as("min_period"))
+        .select($"source", $"n_docs", $"n_periodic",
+          expr("(n_periodic * 1000000) DIV n_docs").as("periodic_ppm"),
+          $"min_period")
+        .orderBy($"source")
+    },
   )
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol

@@ -927,6 +927,15 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q426_lm_gate_agreement" -> Seq(
+      "LM-score and gate passes meet in one doc-keyed equi join" -> "HashJoin",
+      "decile bands broadcast back onto the doc table" -> "BroadcastHashJoin",
+      "the decile window runs over the bounded score domain" -> "Window",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q425_period_detection" -> Seq(
+      "periodicity test is map-side inside the token array (no join)" -> "!Join",
+      "per-source rollup partial-aggregates map-side" -> "HashAggregate",
+      "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q423_unigram_lm_tokenizer" -> Seq(
       "corpus collapses once to (source, word) counts" -> "HashAggregate",
       "piece-cost maps broadcast into the dictionary walks" -> "BroadcastNestedLoopJoin",

@@ -635,4 +635,27 @@ class AnalyticsSpec extends AnyFunSuite {
         s"source ${r.getAs[String]("item")}: $n subwords vs $nw words / $nc chars")
     }
   }
+
+  test("q425 period detector: every planted doc fires with period <= 4, " +
+    "and the plant changes nothing about natural sources") {
+    // The planted docs are first-4-tokens x 5, so their smallest period
+    // must divide 4 (1, 2, or 4 — smaller if the seed tokens repeat); the
+    // natural rows just have to be well-formed (the fixture may or may not
+    // contain real loops — the oracle pins whatever it reads).
+    val out = try SparkEntry.queries("q425_period_detection")(spark, dir)
+      .collect() finally CacheScope.release()
+    val (planted, natural) = out.partition(
+      _.getAs[String]("source").startsWith("__planted:"))
+    assert(planted.nonEmpty, "plant produced no rows")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("periodic_ppm") == 1000000L,
+        s"planted source ${r.getAs[String]("source")} not fully periodic")
+      val p = r.getAs[Long]("min_period")
+      assert(p >= 1L && p <= 4L && 4L % p == 0L, s"planted period $p")
+    }
+    natural.foreach { r =>
+      assert(r.getAs[Long]("n_periodic") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("periodic_ppm") <= 1000000L)
+    }
+  }
 }

@@ -239,6 +239,34 @@ class QueriesSpec extends AnyFunSuite {
     assert((ss - sb).abs <= 2000L, s"shares diverged: stream $ss vs batch $sb")
   }
 
+  test("q426 LM-gate agreement: bands are exhaustive deciles with " +
+    "monotone scores and sane gate accounting") {
+    // Laws the hash oracle can't state: the bands partition the corpus
+    // (doc counts sum to the documents row count), the per-band mean
+    // neg-logprob is non-decreasing in band (deciles of that very score),
+    // and no gate fires more often than there are docs.
+    val out = try SparkEntry.queries("q426_lm_gate_agreement")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.length <= 10 && out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == docs, s"bands cover $total of $docs docs")
+    val byBand = out.sortBy(_.getAs[Long]("band"))
+    byBand.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("avg_neg_logprob_micro") <=
+          b.getAs[Long]("avg_neg_logprob_micro"),
+          "band means must be monotone in band")
+      case _ => ()
+    }
+    byBand.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("keep_ppm") <= 1000000L)
+      Seq("n_short", "n_repetitive", "n_lowstop", "n_lowttr").foreach(c =>
+        assert(r.getAs[Long](c) <= n, s"$c exceeds n_docs in band"))
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
