@@ -2087,34 +2087,14 @@ object TextAnalysis {
       src.unionByName(top).orderBy($"item")
     },
 
-    q("q425_period_detection", {
+    q("q425_period_detection",
       // Oracle = the identical per-doc scan: smallest period p of the
       // token array (p valid iff t[i] = t[i+p] for all i <= n-p), planted
       // periodic docs synthesized INSIDE the query (q417's self-contained
       // plant pattern) so the detector's fire path is exercised at any SF.
-      """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t
-        |  FROM documents),
-        |planted AS (SELECT doc_id + 1000000000 AS doc_id,
-        |    '__planted:' || source AS source,
-        |    string_split(trim(repeat(array_to_string(t[1:4], ' ') || ' ',
-        |      5)), ' ') AS t
-        |  FROM base WHERE doc_id % 50 = 0 AND len(t) >= 4),
-        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        |per AS (SELECT source,
-        |    COALESCE(list_min(list_filter(range(1, len(t) // 2 + 1),
-        |      p -> len(list_filter(range(1, len(t) - p + 1),
-        |        i -> t[CAST(i AS INT)] != t[CAST(i + p AS INT)])) = 0)),
-        |      0) AS p
-        |  FROM allv)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_periodic,
-        |  (CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000000) // COUNT(*) AS periodic_ppm,
-        |  CAST(COALESCE(MIN(CASE WHEN p > 0 THEN p END), 0) AS BIGINT)
-        |    AS min_period
-        |FROM per GROUP BY source ORDER BY source"""
-    }) { (s, dir) =>
+      // q427 streams the same corpus+plant through the engine source and
+      // shares this statement verbatim (the q402/q410 twin contract).
+      periodOracleSql) { (s, dir) =>
       import s.implicits._
       // Smallest-period detection over the token stream — the
       // template/loop-generation screen: a doc whose tokens repeat with
@@ -2138,13 +2118,7 @@ object TextAnalysis {
           expr("split(trim(repeat(concat(array_join(slice(t, 1, 4), ' '), " +
             "' '), 5)), ' ')").as("t"))
       val per = base.unionByName(planted)
-        .select($"source", expr(
-          """coalesce(array_min(filter(
-            |    IF(size(t) >= 2, sequence(1, size(t) DIV 2), array()),
-            |    p -> size(filter(sequence(1, size(t) - p),
-            |      i -> element_at(t, CAST(i AS INT))
-            |        != element_at(t, CAST(i + p AS INT)))) = 0)),
-            |  0)""".stripMargin).as("p"))
+        .select($"source", expr(periodExprSpark("t")).as("p"))
       per.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"p" > 0, 1L).otherwise(0L)).as("n_periodic"),
@@ -2155,7 +2129,95 @@ object TextAnalysis {
           $"min_period")
         .orderBy($"source")
     },
+
+    q("q427_streaming_periods", periodOracleSql) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of the period detector through the engine source —
+      // the shape an ingest-time loop screen takes: the smallest-period
+      // test is a pure per-row projection (no cross-row state), so it runs
+      // map-side inside each micro-batch, and the per-source screen is a
+      // complete-mode keyed aggregation of three counters (docs, periodic
+      // docs, min period) per source forever. The plant happens at PRODUCE
+      // time — the synthesized periodic docs ride the same log the
+      // naturals do — and the oracle is q425's batch statement verbatim:
+      // streamed counters must reproduce the batch scan exactly.
+      val root = graft.LogFixtures.producedLog(dir, "q427") { r =>
+        val base = T(s, dir, "documents")
+          .select($"doc_id", $"source", $"text")
+        val planted = T(s, dir, "documents")
+          .select($"doc_id", $"source", split($"text", " ").as("t"))
+          .filter($"doc_id" % 50 === 0 && size($"t") >= 4)
+          .select(($"doc_id" + 1000000000L).as("doc_id"),
+            concat(lit("__planted:"), $"source").as("source"),
+            expr("trim(repeat(concat(array_join(slice(t, 1, 4), ' '), " +
+              "' '), 5))").as("text"))
+        graft.log.LogBulkProducer.produceAt(
+          base.unionByName(planted)
+            .select((lit(1700000000000L) + $"doc_id").as("ms"),
+              $"doc_id", $"source", $"text"),
+          "ms", r, "docs", orderCols = Seq("doc_id"))
+      }
+      val nIn = T(s, dir, "documents").count()
+      val state = graft.streaming.StreamHarness
+        .runToMemory(s, "q427", 4, mode = "complete") {
+          s.readStream.format("graftlog")
+            .option("path", root).option("stream", "docs")
+            .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", math.max(200L, nIn / 3).toString)
+            .load()
+            .select($"source", split($"text", " ").as("t"))
+            .select($"source", expr(periodExprSpark("t")).as("p"))
+            .groupBy($"source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when($"p" > 0, 1L).otherwise(0L)).as("n_periodic"),
+              min(when($"p" > 0, $"p")).as("minp"))
+        }
+      state
+        .select($"source", $"n_docs", $"n_periodic",
+          expr("(n_periodic * 1000000) DIV n_docs").as("periodic_ppm"),
+          coalesce($"minp", lit(0)).cast("long").as("min_period"))
+        .orderBy($"source")
+    },
   )
+
+  /** q425/q427 shared oracle: per-source smallest-period rollup with the
+    * in-query plant (first-4-tokens x 5 per 50th doc). */
+  private def periodOracleSql: String =
+    """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |planted AS (SELECT doc_id + 1000000000 AS doc_id,
+      |    '__planted:' || source AS source,
+      |    string_split(trim(repeat(array_to_string(t[1:4], ' ') || ' ',
+      |      5)), ' ') AS t
+      |  FROM base WHERE doc_id % 50 = 0 AND len(t) >= 4),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |per AS (SELECT source,
+      |    COALESCE(list_min(list_filter(range(1, len(t) // 2 + 1),
+      |      p -> len(list_filter(range(1, len(t) - p + 1),
+      |        i -> t[CAST(i AS INT)] != t[CAST(i + p AS INT)])) = 0)),
+      |      0) AS p
+      |  FROM allv)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_periodic,
+      |  (CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // COUNT(*) AS periodic_ppm,
+      |  CAST(COALESCE(MIN(CASE WHEN p > 0 THEN p END), 0) AS BIGINT)
+      |    AS min_period
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  /** The smallest-period projection over a token-array column (shared by
+    * q425 batch and q427 streaming — one definition, one semantics).
+    * Spark's sequence(1, 0) DESCENDS instead of returning empty, so the
+    * n < 2 case is guarded explicitly (DuckDB's range(1, 1) is empty). */
+  private def periodExprSpark(t: String): String =
+    s"""coalesce(array_min(filter(
+       |    IF(size($t) >= 2, sequence(1, size($t) DIV 2), array()),
+       |    p -> size(filter(sequence(1, size($t) - p),
+       |      i -> element_at($t, CAST(i AS INT))
+       |        != element_at($t, CAST(i + p AS INT)))) = 0)),
+       |  0)""".stripMargin
 
   /** One BPE iteration in the DuckDB dialect: count weighted adjacent symbol
     * pairs, pick the most frequent (tie-break lexicographic), apply the

@@ -927,6 +927,8 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q427_streaming_periods" -> Seq(
+      "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(
       "LM-score and gate passes meet in one doc-keyed equi join" -> "HashJoin",
       "decile bands broadcast back onto the doc table" -> "BroadcastHashJoin",

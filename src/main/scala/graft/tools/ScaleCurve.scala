@@ -82,7 +82,15 @@ object ScaleCurve {
     // per-doc window segments — must stay linear in tokens, never
     // windows x docs) and the repeated-bigram span audit (per-doc gram
     // positions + doc-keyed offsets join)
-    "q412_packing_contamination", "q416_chunking_dependency_loss")
+    "q412_packing_contamination", "q416_chunking_dependency_loss",
+    // round 11: the one-pass integer Gram (d^2 map-side expansion must
+    // stay linear in vectors), the unigram-LM tokenizer trainer (corpus
+    // collapse + dictionary-sized EM — the 10x prefixed corpus grows the
+    // dictionary 10x, so this measures the dictionary walk too), the
+    // map-side period scan (pure linear baseline), and the LM-vs-gate
+    // audit (token-keyed LM join + bounded decile machinery)
+    "q421_pca_anisotropy", "q423_unigram_lm_tokenizer",
+    "q425_period_detection", "q426_lm_gate_agreement")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 

@@ -658,4 +658,15 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("periodic_ppm") <= 1000000L)
     }
   }
+
+  test("q427 streamed period screen equals the q425 batch scan row for row") {
+    // The twin contract the shared oracle enforces per engine, asserted
+    // directly across the two execution paths: produce-time plant +
+    // complete-mode counters through the engine source must reproduce the
+    // batch in-query plant exactly.
+    def run(name: String) = try {
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    } finally CacheScope.release()
+    assert(run("q427_streaming_periods") == run("q425_period_detection"))
+  }
 }
