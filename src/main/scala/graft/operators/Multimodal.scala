@@ -93,6 +93,34 @@ object Multimodal {
     Codecs.RgbVideo(w, h, frames)
   }
 
+  /** [[fixtureVideo]] with a planted mid-clip scene cut: every pixel
+    * jumps +128 at frame nf/2 on top of the +7/frame drift (q428). */
+  private[graft] def fixtureVideoCut(id: Long): Codecs.RgbVideo = {
+    val w = 16 + (id % 16).toInt
+    val h = 8 + (id % 8).toInt
+    val nf = 3 + (id % 5).toInt
+    val cut = nf / 2
+    val frames = Vector.tabulate(nf) { f =>
+      val jump = if (f >= cut) 128 else 0
+      val px = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (x + 2 * y + 7 * f + jump + id) % 256
+          val o = 3 * (y * w + x)
+          px(o) = base.toByte
+          px(o + 1) = ((base + 85) % 256).toByte
+          px(o + 2) = ((base + 170) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    Codecs.RgbVideo(w, h, frames)
+  }
+
   private[graft] def fixtureRecord(id: Long): MediaRecord = {
     val img = fixtureImage(id)
     if (id % 2 == 0) MediaRecord(id, "image/x-portable-pixmap", Codecs.encodePpm(img))
@@ -636,6 +664,67 @@ object Multimodal {
       }).toDF("media_id", "width", "height", "first_r", "center_r",
           "flip_first_r", "flip_corner_g")
         .orderBy($"media_id")
+    },
+
+    q("q428_scene_cuts",
+      // Shot/scene-cut detection over the REAL video decode path — the
+      // segmentation pass a video-training pipeline runs before sampling
+      // frames per shot instead of uniformly (a uniform sampler wastes its
+      // budget inside long static shots and misses short ones). Fixture: a
+      // planted mid-clip cut (every pixel jumps +128 at frame nf/2) on top
+      // of the +7/frame drift. Detector: per adjacent frame pair, the sum
+      // over pixels of the CIRCULAR byte distance min(d, 256-d) on the red
+      // channel, flagged when it exceeds 64 per pixel (drift pairs score
+      // exactly 7/px, the cut pair 121/px). The decode and the per-pixel
+      // pair walk run on executors against the actual rasters; DuckDB
+      // replays every probe arithmetically from the closed form, so a
+      // parse that skipped the movi payload cannot pass. Map-side per
+      // clip; no shuffle at any corpus size.
+      """WITH m AS (SELECT doc_id,
+        |    16 + (doc_id % 16) AS w, 8 + (doc_id % 8) AS h,
+        |    3 + (doc_id % 5) AS nf FROM documents),
+        |c AS (SELECT doc_id, w, h, nf, nf // 2 AS cut FROM m),
+        |p AS (SELECT doc_id, w, h, nf, cut, unnest(range(1, nf)) AS f2
+        |  FROM c),
+        |e AS (SELECT doc_id, w, h, nf, cut, f2,
+        |    CASE WHEN f2 = cut THEN 121 ELSE 7 END AS dist FROM p)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN dist > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(COALESCE(MIN(CASE WHEN dist > 64 THEN f2 END), 0) AS BIGINT)
+        |    AS first_cut_frame,
+        |  CAST(MAX(w * h * dist) AS BIGINT) AS max_pair_score,
+        |  CAST(MIN(w * h * dist) AS BIGINT) AS min_pair_score
+        |FROM e GROUP BY doc_id, nf ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRecord(id, "video/avi", Codecs.encodeAvi(fixtureVideoCut(id)))))
+      media.map { r =>
+        val v = Codecs.decodeAvi(r.payload)
+        val scores = (1 until v.frames.size).map { f2 =>
+          val a = v.frame(f2 - 1); val b = v.frame(f2)
+          var sum = 0L; var y = 0
+          while (y < v.height) {
+            var x = 0
+            while (x < v.width) {
+              val d = ((b.pixel(x, y)._1 - a.pixel(x, y)._1) % 256 + 256) % 256
+              sum += math.min(d, 256 - d)
+              x += 1
+            }
+            y += 1
+          }
+          (f2, sum)
+        }
+        val thresh = 64L * v.width * v.height
+        val cuts = scores.filter(_._2 > thresh)
+        (r.media_id, v.frames.size.toLong, cuts.size.toLong,
+          cuts.headOption.map(_._1.toLong).getOrElse(0L),
+          scores.map(_._2).max, scores.map(_._2).min)
+      }.toDF("doc_id", "n_frames", "n_cuts", "first_cut_frame",
+          "max_pair_score", "min_pair_score")
+        .orderBy($"doc_id")
     },
   )
 }

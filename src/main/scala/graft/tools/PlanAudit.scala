@@ -927,6 +927,10 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q428_scene_cuts" -> Seq(
+      "decode + pair walk run as object map stages (no per-row UDF)" -> "MapPartitions",
+      "no join, no shuffle in the per-clip pass" -> "!Join",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
     "q427_streaming_periods" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(

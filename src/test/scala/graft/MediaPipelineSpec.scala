@@ -300,4 +300,27 @@ class MediaPipelineSpec extends AnyFunSuite {
     val s = MediaPipeline.sampleFrames(100, 10)
     assert(s.size == 10 && s.head == 0 && s.last <= 99 && s == s.sorted)
   }
+
+  test("q428's cut detector stays silent on drift-only clips (null path)") {
+    // The oracle pins the PLANTED fixture; this pins the complement: the
+    // same circular-distance walk over the UNCUT fixtureVideo (pure
+    // +7/frame drift) must score exactly 7/pixel on every pair and never
+    // clear the 64/pixel threshold — a detector that fires on drift would
+    // shred every slow pan into phantom shots.
+    (0L until 40L).foreach { id =>
+      val v = Codecs.decodeAvi(Codecs.encodeAvi(
+        graft.operators.Multimodal.fixtureVideo(id)))
+      (1 until v.frames.size).foreach { f2 =>
+        val a = v.frame(f2 - 1); val b = v.frame(f2)
+        var sum = 0L
+        for (y <- 0 until v.height; x <- 0 until v.width) {
+          val d = ((b.pixel(x, y)._1 - a.pixel(x, y)._1) % 256 + 256) % 256
+          sum += math.min(d, 256 - d)
+        }
+        assert(sum == 7L * v.width * v.height,
+          s"clip $id pair $f2 drift score $sum != 7/px")
+        assert(sum <= 64L * v.width * v.height)
+      }
+    }
+  }
 }
