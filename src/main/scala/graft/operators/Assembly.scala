@@ -474,6 +474,79 @@ object Assembly {
         .select($"chunk", $"clen", $"n_sources", $"entropy_micro",
           $"max_source_tokens")
         .orderBy($"chunk")
-    }
+    },
+    q("q429_padding_waste",
+      // The padding-waste side of the packing tradeoff q412 measures the
+      // contamination side of: for a 64-token context, the three standard
+      // example-assembly strategies — concat-and-chunk (zero boundary
+      // respect, minimal waste, maximal cross-doc attention), pad-each-doc
+      // (full boundary respect, worst waste), and 16-token length-bucketed
+      // packing (the sequence-bucketing middle ground) — each accounted
+      // exactly: docs longer than the context first emit waste-free full
+      // chunks, the residual is what each strategy pads. Everything is one
+      // map-side pass + a per-source (and per-bucket) aggregation; the
+      // bucket table is bounded by 4 widths x sources. The provable
+      // ordering concat <= bucketed <= pad-each-doc is the AssemblySpec
+      // law; the ppm numbers are what a trainer weighs against q412's
+      // cross-attention percentages.
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (SELECT source, n, n // 64 AS f, n % 64 AS rem FROM d),
+        |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tok,
+        |    CAST(SUM(f) AS BIGINT) AS sfull,
+        |    CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nres,
+        |    CAST(SUM(CASE WHEN rem > 0 THEN 64 - rem ELSE 0 END) AS BIGINT)
+        |      AS padw
+        |  FROM x GROUP BY source),
+        |b AS (SELECT source, ((rem + 15) // 16) * 16 AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM x WHERE rem > 0 GROUP BY source, p),
+        |bc AS (SELECT source,
+        |    CAST(SUM((cnt + (64 // p) - 1) // (64 // p)) AS BIGINT) AS bctx
+        |  FROM b GROUP BY source),
+        |st AS (
+        |  SELECT source, 'concat_chunk' AS strategy,
+        |    (tok + 63) // 64 AS ctx FROM t
+        |  UNION ALL
+        |  SELECT source, 'pad_each_doc', sfull + nres FROM t
+        |  UNION ALL
+        |  SELECT t.source, 'bucket16_pack', t.sfull + bc.bctx
+        |  FROM t JOIN bc ON bc.source = t.source)
+        |SELECT st.source, st.strategy, st.ctx AS n_contexts,
+        |  ((st.ctx * 64 - t.tok) * 1000000) // (st.ctx * 64) AS waste_ppm
+        |FROM st JOIN t ON t.source = st.source
+        |ORDER BY st.source, st.strategy""") { (s, dir) =>
+      import s.implicits._
+      val x = T(s, dir, "documents")
+        .select($"source",
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
+        .select($"source", $"n", expr("n div 64").as("f"),
+          ($"n" % 64).as("rem"))
+        .transform(graft.CacheScope.cached) // totals + bucket rollup
+      val t = x.groupBy($"source")
+        .agg(sum($"n").as("tok"), sum($"f").as("sfull"),
+          sum(when($"rem" > 0, 1L).otherwise(0L)).as("nres"),
+          sum(when($"rem" > 0, lit(64L) - $"rem").otherwise(0L)).as("padw"))
+        .transform(graft.CacheScope.cached) // three strategy branches
+      val bc = x.filter($"rem" > 0)
+        .select($"source", (expr("(rem + 15) div 16") * 16).as("p"))
+        .groupBy($"source", $"p").agg(count(lit(1)).as("cnt"))
+        .groupBy($"source")
+        .agg(sum(expr("(cnt + (64 div p) - 1) div (64 div p)")).as("bctx"))
+      val st = t.select($"source", lit("concat_chunk").as("strategy"),
+          expr("(tok + 63) div 64").as("ctx"))
+        .unionByName(t.select($"source", lit("pad_each_doc").as("strategy"),
+          ($"sfull" + $"nres").as("ctx")))
+        .unionByName(t.join(bc, "source")
+          .select($"source", lit("bucket16_pack").as("strategy"),
+            ($"sfull" + $"bctx").as("ctx")))
+      st.join(t.select($"source", $"tok"), "source")
+        .select($"source", $"strategy", $"ctx".as("n_contexts"),
+          expr("((ctx * 64 - tok) * 1000000) div (ctx * 64)").as("waste_ppm"))
+        .orderBy($"source", $"strategy")
+    },
+
   )
 }

@@ -927,6 +927,10 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q429_padding_waste" -> Seq(
+      "per-doc accounting partial-aggregates map-side" -> "HashAggregate",
+      "no cartesian product across strategies" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q428_scene_cuts" -> Seq(
       "decode + pair walk run as object map stages (no per-row UDF)" -> "MapPartitions",
       "no join, no shuffle in the per-clip pass" -> "!Join",

@@ -184,4 +184,22 @@ class AssemblySpec extends AnyFunSuite {
     val streamed = run("q419_streaming_fim_spans").map(_.toString).sorted
     assert(streamed.sameElements(batch))
   }
+
+  test("q429 waste ordering: concat <= bucketed <= pad-each-doc per source") {
+    // Provable dominance the hash oracle can't state as a law: concat's
+    // ceil(T/64) is the fewest contexts any strategy can use, and a
+    // 16-bucket context holds at least one residual, so bucketed contexts
+    // never exceed pad-each-doc's one-per-residual. Waste is monotone in
+    // contexts at fixed T.
+    val rows = run("q429_padding_waste")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val w = rs.map(r =>
+        r.getAs[String]("strategy") -> r.getAs[Long]("waste_ppm")).toMap
+      assert(w("concat_chunk") <= w("bucket16_pack"),
+        s"$src: concat must not out-waste bucketed")
+      assert(w("bucket16_pack") <= w("pad_each_doc"),
+        s"$src: bucketed must not out-waste pad-each-doc")
+      w.values.foreach(v => assert(v >= 0L && v < 1000000L))
+    }
+  }
 }
