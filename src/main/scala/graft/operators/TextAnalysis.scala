@@ -105,12 +105,12 @@ object TextAnalysis {
   // char is in the vocabulary), EmBig an out-of-range L candidate. Word
   // lengths stay far below 1024 tokens and 90 chars, so the packing and
   // the sentinel sums never collide (fixture max 8 chars). ----
-  private val EmInf = "1000000000000"
-  private val EmBig = "100000000000000000"
+  private[graft] val EmInf = "1000000000000"
+  private[graft] val EmBig = "100000000000000000"
 
   /** Spark forward DP: best[0..len] packed, as an ARRAY<BIGINT> column
     * (element_at(acc, k) = best[k-1]); `cm` is a broadcast piece->cost map. */
-  private def emDpSpark(cm: String): String = {
+  private[graft] def emDpSpark(cm: String): String = {
     def cand(l: Int): String =
       if (l == 1)
         s"element_at(acc, i) + (coalesce(element_at($cm, substring(word, i, 1)), $EmInf) * 1024 + 1)"
@@ -130,7 +130,7 @@ object TextAnalysis {
     * argmin choice at each position (first L attaining the packed minimum
     * — the same CASE order in both dialects) and collects the chosen
     * pieces. A word of length n backtraces in at most n steps. */
-  private def emBacktraceSpark(cm: String, barr: String): String = {
+  private[graft] def emBacktraceSpark(cm: String, barr: String): String = {
     def cand(l: Int): String =
       s"""IF(acc.pos >= $l, element_at($barr, CAST(acc.pos - $l + 1 AS INT))
          | + (coalesce(element_at($cm, substring(word, CAST(acc.pos - $l + 1 AS INT), $l)), $EmInf) * 1024 + 1), $EmBig)"""
@@ -157,7 +157,8 @@ object TextAnalysis {
     * query returned NULL or the right value depending on the OUTER
     * query's filter). An out-of-range L's join may probe a clamped
     * substring; the i + 1 >= L guard discards it before it can matter. */
-  private def emDpDuck(cte: String, vocTbl: String, costCol: String): String = {
+  private def emDpDuck(cte: String, vocTbl: String, costCol: String,
+      wordTbl: String = "w"): String = {
     def cand(l: Int): String = {
       val look = s"(COALESCE(v$l.$costCol, $EmInf) * 1024 + 1)"
       if (l == 1) s"b1 + $look"
@@ -170,7 +171,7 @@ object TextAnalysis {
        |  SELECT word, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS b1,
        |    CAST($EmBig AS BIGINT) AS b2, CAST($EmBig AS BIGINT) AS b3,
        |    CAST($EmBig AS BIGINT) AS b4
-       |  FROM w
+       |  FROM $wordTbl
        |  UNION ALL
        |  SELECT $cte.word, $cte.i + 1,
        |    LEAST(${cand(1)},
@@ -2178,6 +2179,114 @@ object TextAnalysis {
           expr("(n_periodic * 1000000) DIV n_docs").as("periodic_ppm"),
           coalesce($"minp", lit(0)).cast("long").as("min_period"))
         .orderBy($"source")
+    },
+
+    q("q430_tokenizer_staleness", {
+      // Oracle = the identical program: q423's vocabulary selection and
+      // detMln costs trained on the OLD md5-half only, the packed Viterbi
+      // DP over the union dictionary, per-(source, half) rollups. Unknown
+      // pieces ride the deterministic EmInf path in both engines, so a
+      // genuinely out-of-vocabulary word poisons nll identically and is
+      // counted by the oov test rather than crashing anything.
+      s"""WITH RECURSIVE dw AS (SELECT source,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+         |      THEN 'old' ELSE 'new' END AS half,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT source, half, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM dw WHERE word <> '' GROUP BY source, half, word),
+         |w AS (SELECT DISTINCT word FROM wc),
+         |wo AS (SELECT DISTINCT word FROM wc WHERE half = 'old'),
+         |wt AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS w_total
+         |  FROM wc WHERE half = 'old' GROUP BY word),
+         |cs1 AS (SELECT word, unnest(range(1, len(word) + 1)) AS st FROM wo),
+         |cs2 AS (SELECT word, st, unnest(range(1,
+         |    least(CAST(4 AS BIGINT), len(word) - st + 1) + 1)) AS l
+         |  FROM cs1),
+         |cand AS (SELECT word,
+         |    substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece
+         |  FROM cs2),
+         |pw AS (SELECT piece, CAST(SUM(wt.w_total) AS BIGINT) AS fw
+         |  FROM cand JOIN wt USING (word) GROUP BY piece),
+         |multi AS (SELECT piece, fw FROM (SELECT piece, fw,
+         |      row_number() OVER (ORDER BY fw DESC, piece ASC) AS rk
+         |    FROM pw WHERE len(piece) >= 2) WHERE rk <= 48),
+         |voc0 AS (SELECT piece, fw FROM pw WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, fw FROM multi),
+         |t0 AS (SELECT CAST(SUM(fw) AS BIGINT) AS tt FROM voc0),
+         |voc AS MATERIALIZED (SELECT piece,
+         |    ${graft.ColFns.detMlnSql("t0.tt", "voc0.fw")} AS cost0
+         |  FROM voc0, t0),
+         |${emDpDuck("seg", "voc", "cost0")},
+         |fc AS (SELECT word, b1 AS bestf FROM seg WHERE i = len(word))
+         |SELECT wc.source, wc.half,
+         |  CAST(SUM(wc.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) AS n_subwords,
+         |  (CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) * 1000000)
+         |    // SUM(wc.cnt) AS fertility_ppm,
+         |  CAST(SUM(CASE WHEN f.bestf >= 1024000000000000 THEN wc.cnt
+         |    ELSE 0 END) AS BIGINT) AS oov_words
+         |FROM wc JOIN fc f USING (word)
+         |GROUP BY wc.source, wc.half ORDER BY wc.source, wc.half"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Tokenizer-staleness monitor — the refresh-or-keep gate for a
+      // tokenizer trained on last release's corpus: train q423's
+      // frequency-initialized unigram model on the OLD md5-half of the
+      // corpus only, segment BOTH halves under it, and compare per-source
+      // fertility (subwords per word, ppm). A distribution shift shows up
+      // as the new half paying more subwords per word than the old half
+      // paid under its own vocabulary; genuinely unseen words ride the
+      // deterministic EmInf path and surface in oov_words. Corpus-sized
+      // work is ONE (source, half, word) collapse; training and the DP
+      // run on the dictionary (q423's shape minus the EM round — the
+      // frequency-initialized model IS the trained artifact here). The
+      // md5 doc split follows the standing rule (parity correlates with
+      // the fixture's source assignment).
+      val wc = T(s, dir, "documents")
+        .select($"source",
+          expr("CASE WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS " +
+            "BINARY)), 1, 2) < '80' THEN 'old' ELSE 'new' END").as("half"),
+          explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"source", $"half", $"word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.CacheScope.cached)
+      val dictAll = wc.select($"word").distinct()
+      val dictOld = wc.filter($"half" === "old").select($"word").distinct()
+        .transform(graft.CacheScope.cached)
+      val wt = wc.filter($"half" === "old")
+        .groupBy($"word").agg(sum($"cnt").as("w_total"))
+      val pw = dictOld.select($"word", explode(expr(
+          """flatten(transform(sequence(1, length(word)),
+            |  st -> transform(sequence(1, least(4, length(word) - st + 1)),
+            |    l -> substring(word, st, l))))""".stripMargin)).as("piece"))
+        .join(wt, "word")
+        .groupBy($"piece").agg(sum($"w_total").as("fw"))
+        .transform(graft.CacheScope.cached)
+      val multi = pw.filter(length($"piece") >= 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"fw".desc, $"piece".asc)))
+        .filter($"rk" <= 48).drop("rk")
+      val voc0 = pw.filter(length($"piece") === 1).unionByName(multi)
+      val t0 = voc0.agg(sum($"fw").as("tt"))
+      val voc = voc0.crossJoin(broadcast(t0))
+        .select($"piece", graft.ColFns.detMln($"tt", $"fw").as("cost0"))
+      val cm = voc.agg(map_from_entries(collect_list(
+        struct($"piece", $"cost0"))).as("cm"))
+      val fc = dictAll.crossJoin(broadcast(cm))
+        .withColumn("barr", expr(emDpSpark("cm")))
+        .select($"word",
+          expr("element_at(barr, CAST(length(word) + 1 AS INT))").as("bestf"))
+      wc.join(fc, "word")
+        .groupBy($"source", $"half")
+        .agg(sum($"cnt").as("n_words"),
+          sum($"cnt" * ($"bestf" % 1024)).as("n_subwords"),
+          sum(when($"bestf" >= 1024000000000000L, $"cnt").otherwise(0L))
+            .as("oov_words"))
+        .select($"source", $"half", $"n_words", $"n_subwords",
+          expr("(n_subwords * 1000000) div n_words").as("fertility_ppm"),
+          $"oov_words")
+        .orderBy($"source", $"half")
     },
   )
 

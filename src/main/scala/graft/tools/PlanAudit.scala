@@ -927,6 +927,10 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q430_tokenizer_staleness" -> Seq(
+      "corpus collapses once to (source, half, word) counts" -> "HashAggregate",
+      "old-half piece-cost map broadcast into the union-dictionary walk" -> "BroadcastNestedLoopJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
     "q429_padding_waste" -> Seq(
       "per-doc accounting partial-aggregates map-side" -> "HashAggregate",
       "no cartesian product across strategies" -> "!CartesianProduct",

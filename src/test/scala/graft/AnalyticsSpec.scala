@@ -669,4 +669,28 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally CacheScope.release()
     assert(run("q427_streaming_periods") == run("q425_period_detection"))
   }
+
+  test("q430 staleness monitor: halves partition each source, fertility " +
+    "is sandwiched, and the shared-alphabet fixture has zero OOV") {
+    // Laws the hash oracle can't state: every (source, half) pair is
+    // present with words split across both halves; fertility sits in
+    // (1e6, 4e6] (>= 1 subword per word strictly below the 4-char piece
+    // cap's ceiling... pieces are 1..4 chars so fertility <= chars/word
+    // but at least 1e6); and since the fixture's template corpus shares
+    // one alphabet across halves, no word can be fully OOV.
+    val out = try SparkEntry.queries("q430_tokenizer_staleness")(spark, dir)
+      .collect() finally CacheScope.release()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[String]("half")).sorted.toSeq == Seq("new", "old"),
+        s"$src must have both halves")
+      rs.foreach { r =>
+        val f = r.getAs[Long]("fertility_ppm")
+        assert(f >= 1000000L && f < 10000000L, s"$src fertility $f")
+        assert(r.getAs[Long]("oov_words") == 0L,
+          s"$src: shared-alphabet fixture cannot have OOV words")
+        assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+      }
+    }
+  }
 }
