@@ -1078,6 +1078,114 @@ object Pipeline {
         .orderBy($"nation", $"segment", $"bal_bucket")
     },
 
+    q("q432_l_diversity", {
+      """WITH sp AS (SELECT c.c_custkey,
+        |    COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)),
+        |      0) // 200000000 AS sens
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey),
+        |q AS (SELECT c.c_mktsegment AS segment,
+        |    (CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+        |      // 100000 AS bal_bucket,
+        |    sp.sens
+        |  FROM customer c JOIN sp ON sp.c_custkey = c.c_custkey),
+        |g AS (SELECT segment, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+        |  FROM q GROUP BY segment, bal_bucket),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN n >= 5 AND l_distinct < 3 THEN n ELSE 0 END)
+        |      AS BIGINT) AS blind
+        |  FROM g)
+        |SELECT g.segment, g.bal_bucket, g.n, g.l_distinct,
+        |  (g.n >= 5 AND g.l_distinct < 3) AS k_blind_spot,
+        |  CAST((1000000 * t.blind) // t.total AS BIGINT) AS blind_spot_ppm
+        |FROM g, t ORDER BY g.segment, g.bal_bucket"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // l-diversity audit (Machanavajjhala 2007) — the attribute-disclosure
+      // screen k-anonymity structurally misses: a quasi-identifier class
+      // can hold k >= 5 people who all share ONE sensitive value, so an
+      // attacker who links any of them learns the attribute without
+      // re-identifying anyone. Quasi-identifiers are q268's (segment,
+      // coarse balance bucket); the sensitive attribute is the customer's
+      // lifetime-spend band in exact cents (the orders fact aggregated
+      // ONCE per customer — keyed join, never broadcast-by-hand since both
+      // sides scale). Readout: every class with its size and distinct-l,
+      // the k-blind-spot flag (n >= 5 AND l < 3 — exactly the classes
+      // q268 certifies as safe and this audit doesn't), and the corpus
+      // blind-spot share in ppm. Class table is bounded by the QI domain.
+      val sp = T(s, dir, "customer").as("c")
+        .join(T(s, dir, "orders").as("o"),
+          $"o.o_custkey" === $"c.c_custkey", "left")
+        .groupBy($"c.c_custkey")
+        .agg((coalesce(sum(expr(
+          "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")), lit(0L))
+          / lit(200000000L)).cast("long").as("sens"))
+      val g = T(s, dir, "customer")
+        .join(sp, "c_custkey")
+        .select($"c_mktsegment".as("segment"),
+          expr("(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) " +
+            "div 100000").as("bal_bucket"),
+          $"sens")
+        .groupBy($"segment", $"bal_bucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"sens").as("l_distinct"))
+        .transform(graft.CacheScope.cached) // total + class rows
+      val t = g.agg(sum($"n").as("total"),
+        sum(when($"n" >= 5 && $"l_distinct" < 3, $"n").otherwise(0L))
+          .as("blind"))
+      g.crossJoin(broadcast(t))
+        .select($"segment", $"bal_bucket", $"n", $"l_distinct",
+          ($"n" >= 5 && $"l_distinct" < 3).as("k_blind_spot"),
+          expr("(1000000 * blind) div total").as("blind_spot_ppm"))
+        .orderBy($"segment", $"bal_bucket")
+    },
+
+    q("q433_release_manifest", {
+      val ph = duckPolyHash("text")
+      s"""WITH d AS (SELECT source,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+         |      THEN 1 ELSE 0 END AS is_old,
+         |    $ph AS h
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(SUM(is_old) AS BIGINT) AS n_docs_prev,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs_now,
+         |  CAST(SUM(is_old * h) AS BIGINT) AS root_prev,
+         |  CAST(SUM(h) AS BIGINT) AS root_now,
+         |  CAST(SUM((1 - is_old) * h) AS BIGINT) AS delta_root
+         |FROM d GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Release content manifest — the diffable fingerprint a dataset
+      // release ships beside q392's statistics card: per source, an
+      // order-independent ADDITIVE content root (sum of per-doc content
+      // polyhashes — commutative, so any partitioning, any ingest order,
+      // any merge of shards produces the same root, and the root is
+      // incrementally maintainable by adding each new doc's hash).
+      // Additivity is the operational point: root_now - root_prev IS the
+      // root of exactly the delta docs, so a consumer holding last
+      // release's manifest can verify this release's increment without
+      // re-reading a single old document. The previous release is the
+      // md5-half of the corpus (the standing split rule); one map-side
+      // hash pass, one per-source aggregation. Roots stay far inside
+      // BIGINT: each hash < 2^30, so 2^33 docs per source fit.
+      graft.functions.GraftExpressions.register(s)
+      T(s, dir, "documents")
+        .select($"source",
+          expr("CASE WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS " +
+            "BINARY)), 1, 2) < '80' THEN 1 ELSE 0 END").as("is_old"),
+          expr("graft_polyhash(text)").as("h"))
+        .groupBy($"source")
+        .agg(sum($"is_old").as("n_docs_prev"),
+          count(lit(1)).as("n_docs_now"),
+          sum($"is_old" * $"h").as("root_prev"),
+          sum($"h").as("root_now"),
+          sum((lit(1) - $"is_old") * $"h").as("delta_root"))
+        .orderBy($"source")
+    },
+
     q("q274_doc_chunking",
       // Sliding-window document chunking — the retrieval/embedding prep
       // step that turns documents into fixed-budget overlapping chunks
@@ -1920,6 +2028,103 @@ object Pipeline {
           $"n_short", $"n_repetitive", $"n_lowstop", $"n_lowttr",
           expr("sam div n_docs").as("avg_neg_logprob_micro"))
         .orderBy($"band")
+    },
+
+    q("q431_span_scrub", {
+      // the outer lambda variable must NOT be `i` — duckPolyHash's inner
+      // per-char lambda binds `i` and would shadow it (NULL hashes)
+      val ph = duckPolyHash("array_to_string(w[CAST(gi+1 AS INT):CAST(gi+13 AS INT)], ' ')")
+      s"""WITH words AS (SELECT doc_id, source, string_split(text, ' ') w
+         |  FROM documents),
+         |gx AS (SELECT doc_id, ${duckHashedSet(duckNGrams("w", 13))} hh
+         |  FROM words WHERE len(w) >= 13),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM gx),
+         |ev AS (SELECT doc_id, h FROM ex WHERE doc_id % 50 = 0),
+         |df AS (SELECT ex.h, CAST(COUNT(*) AS BIGINT) df FROM ex
+         |  JOIN (SELECT DISTINCT h FROM ev) e ON ex.h = e.h GROUP BY ex.h),
+         |pr AS (SELECT COALESCE(list(DISTINCT ev.h), []) pa FROM ev
+         |  JOIN df ON ev.h = df.h WHERE df.df <= 10),
+         |t AS (SELECT doc_id, source, w,
+         |    CASE WHEN len(w) >= 13 THEN list_transform(range(len(w) - 12),
+         |      gi -> $ph) ELSE [] END gh
+         |  FROM words, pr WHERE doc_id % 50 <> 0),
+         |st AS (SELECT doc_id, source, w,
+         |    list_filter(range(1, len(gh) + 1),
+         |      i -> list_contains(pa, gh[CAST(i AS INT)])) starts
+         |  FROM t, pr),
+         |sc AS (SELECT doc_id, source, w, starts,
+         |    list_transform(list_filter(range(1, len(w) + 1),
+         |        p -> len(list_filter(starts,
+         |          i -> p >= i AND p <= i + 12)) = 0),
+         |      p -> w[CAST(p AS INT)]) w2
+         |  FROM st),
+         |rs AS (SELECT doc_id, source, w, starts, w2,
+         |    CASE WHEN len(w2) >= 13 THEN list_transform(range(len(w2) - 12),
+         |      gi -> ${duckPolyHash("array_to_string(w2[CAST(gi+1 AS INT):CAST(gi+13 AS INT)], ' ')")})
+         |      ELSE [] END g2
+         |  FROM sc)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+         |  CAST(SUM(CASE WHEN len(starts) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_touched,
+         |  CAST(SUM(len(w)) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(len(w) - len(w2)) AS BIGINT) AS tokens_removed,
+         |  CAST(SUM(len(list_filter(g2, h -> list_contains(pa, h))))
+         |    AS BIGINT) AS residual_overlaps
+         |FROM rs, pr GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Contamination span SCRUBBING — the curation ACTION q118/q137 only
+      // detect: drop every token covered by a rare (df <= 10) 13-gram
+      // shared with the eval slice, rebuild the doc from the surviving
+      // tokens, and re-run the detector on the rebuilt text so the
+      // operator ships its own certificate (residual_overlaps — scrubbing
+      // can in principle SPLICE two clean fragments into a new probe
+      // gram, which an honest scrubber must count rather than assume
+      // away; the spec pins the fixture's residual at zero). The probe
+      // set is tiny (rare grams of the 2% eval slice) and rides BROADCAST
+      // into one map-side corpus pass: span marking, token filtering, and
+      // the re-scan all happen inside the row, no corpus shuffle beyond
+      // the per-source rollup. 100 TB-safe.
+      graft.functions.GraftExpressions.register(s)
+      val words = T(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("w"))
+        .transform(graft.CacheScope.cached) // probe build + scrub pass
+      val ex = words.filter(size($"w") >= 13)
+        .select($"doc_id", explode(expr(
+          s"array_distinct(transform(${nGramsSql("w", 13)}, s -> graft_polyhash(s)))"))
+          .as("h"))
+        .transform(graft.CacheScope.cached)
+      val ev = ex.filter($"doc_id" % 50 === 0)
+      val df = ex.as("x")
+        .join(broadcast(ev.select($"h").distinct().as("e")), $"x.h" === $"e.h")
+        .groupBy($"x.h".as("h")).agg(count(lit(1)).as("df"))
+      val pr = ev.join(broadcast(df.filter($"df" <= 10)), "h")
+        .agg(collect_set($"h").as("pa"))
+      def grams(col: String): String =
+        s"""IF(size($col) >= 13, transform(sequence(1, size($col) - 12),
+           |  i -> graft_polyhash(concat_ws(' ', slice($col, i, 13)))),
+           |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+      words.filter($"doc_id" % 50 =!= 0)
+        .crossJoin(broadcast(pr))
+        .withColumn("gh", expr(grams("w")))
+        .withColumn("starts", expr(
+          // sequence(1, 0) DESCENDS in Spark (q425's lesson) — guard the
+          // short-doc case where gh is empty
+          """filter(IF(size(gh) >= 1, sequence(1, size(gh)), array()),
+            |  i -> array_contains(pa, element_at(gh, i)))""".stripMargin))
+        .withColumn("w2", expr(
+          """transform(filter(sequence(1, size(w)),
+            |    p -> NOT exists(starts, i -> p >= i AND p <= i + 12)),
+            |  p -> element_at(w, p))""".stripMargin))
+        .withColumn("g2", expr(grams("w2")))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(size($"starts") > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+          sum(size($"w")).cast("long").as("tokens_before"),
+          sum(size($"w") - size($"w2")).cast("long").as("tokens_removed"),
+          sum(expr("size(filter(g2, h -> array_contains(pa, h)))"))
+            .cast("long").as("residual_overlaps"))
+        .orderBy($"source")
     },
   )
 }

@@ -927,6 +927,18 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q433_release_manifest" -> Seq(
+      "one map-side hash pass, per-source partial aggregation" -> "HashAggregate",
+      "no join, no window anywhere" -> "!Join",
+      "only doc_id, source, text read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q432_l_diversity" -> Seq(
+      "spend fact aggregates once per customer (keyed join, map-side partials)" -> "HashAggregate",
+      "1-row corpus totals broadcast over the bounded class table" -> "BroadcastNestedLoopJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q431_span_scrub" -> Seq(
+      "probe set broadcast into one map-side scrub pass" -> "BroadcastNestedLoopJoin",
+      "span marking, rebuild and re-scan happen inside the row (no self-join)" -> "!SortMergeJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
     "q430_tokenizer_staleness" -> Seq(
       "corpus collapses once to (source, half, word) counts" -> "HashAggregate",
       "old-half piece-cost map broadcast into the union-dictionary walk" -> "BroadcastNestedLoopJoin",

@@ -267,6 +267,83 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q431 scrub touches exactly q118's contaminated sources and " +
+    "certifies a zero residual") {
+    // Binding law across the detect/act pair: the sources whose train
+    // docs q118 flags as contaminated must be exactly the sources q431
+    // touches; every touched doc loses at least one full 13-token span;
+    // and the self-certificate reads zero residual overlap on the
+    // rebuilt text.
+    import org.apache.spark.sql.functions._
+    val pairs = try {
+      SparkEntry.queries("q118_decontaminate_13gram")(spark, dir).collect()
+    } finally CacheScope.release()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val contaminatedSources =
+      pairs.map(r => docs(r.getAs[Long]("train_doc"))).toSet
+    val out = try SparkEntry.queries("q431_span_scrub")(spark, dir)
+      .collect() finally CacheScope.release()
+    val touched = out.filter(_.getAs[Long]("n_docs_touched") > 0)
+      .map(_.getAs[String]("source")).toSet
+    assert(touched == contaminatedSources,
+      s"scrubbed $touched but q118 flags $contaminatedSources")
+    out.foreach { r =>
+      val (t, rm) = (r.getAs[Long]("n_docs_touched"), r.getAs[Long]("tokens_removed"))
+      assert(rm >= 13L * t, "each touched doc must lose a full span")
+      assert(rm <= r.getAs[Long]("tokens_before"))
+      assert(r.getAs[Long]("residual_overlaps") == 0L,
+        s"${r.getAs[String]("source")}: scrub left residual contamination")
+      if (t == 0) assert(rm == 0L)
+    }
+  }
+
+  test("q432 blind-spot accounting is self-consistent and l is bounded") {
+    // The flag must equal its definition on every class, l must sit in
+    // [1, n], and the corpus blind-spot ppm must equal the flagged
+    // classes' population recomputed from the output itself.
+    val out = try SparkEntry.queries("q432_l_diversity")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    val blind = out.filter(_.getAs[Boolean]("k_blind_spot"))
+      .map(_.getAs[Long]("n")).sum
+    out.foreach { r =>
+      val (n, l) = (r.getAs[Long]("n"), r.getAs[Long]("l_distinct"))
+      assert(l >= 1L && l <= n, s"l $l out of [1, $n]")
+      assert(r.getAs[Boolean]("k_blind_spot") == (n >= 5L && l < 3L))
+      assert(r.getAs[Long]("blind_spot_ppm") == blind * 1000000L / total)
+    }
+  }
+
+  test("q433 manifest roots are additive and order-independent") {
+    // The operational contract: root_now - root_prev must equal
+    // delta_root on every source (a consumer verifies the increment
+    // without old docs), counts must nest, and the root must be invariant
+    // to ingest order — recomputed here from a reshuffled doc sample.
+    import org.apache.spark.sql.functions._
+    val out = try SparkEntry.queries("q433_release_manifest")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("root_now") - r.getAs[Long]("root_prev") ==
+        r.getAs[Long]("delta_root"))
+      assert(r.getAs[Long]("n_docs_prev") <= r.getAs[Long]("n_docs_now"))
+    }
+    graft.functions.GraftExpressions.register(spark)
+    val reshuffled = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(7, col("doc_id"))
+      .select(col("source"), expr("graft_polyhash(text)").as("h"))
+      .groupBy("source").agg(sum(col("h")).as("root"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("root"))
+      .toMap
+    out.foreach { r =>
+      assert(reshuffled(r.getAs[String]("source")) == r.getAs[Long]("root_now"),
+        "root must be partitioning/order independent")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
