@@ -1142,21 +1142,7 @@ object Pipeline {
         .orderBy($"segment", $"bal_bucket")
     },
 
-    q("q433_release_manifest", {
-      val ph = duckPolyHash("text")
-      s"""WITH d AS (SELECT source,
-         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
-         |      THEN 1 ELSE 0 END AS is_old,
-         |    $ph AS h
-         |  FROM documents)
-         |SELECT source,
-         |  CAST(SUM(is_old) AS BIGINT) AS n_docs_prev,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs_now,
-         |  CAST(SUM(is_old * h) AS BIGINT) AS root_prev,
-         |  CAST(SUM(h) AS BIGINT) AS root_now,
-         |  CAST(SUM((1 - is_old) * h) AS BIGINT) AS delta_root
-         |FROM d GROUP BY source ORDER BY source"""
-    }) { (s, dir) =>
+    q("q433_release_manifest", manifestOracleSql) { (s, dir) =>
       import s.implicits._
       // Release content manifest — the diffable fingerprint a dataset
       // release ships beside q392's statistics card: per source, an
@@ -1184,6 +1170,121 @@ object Pipeline {
           sum($"h").as("root_now"),
           sum((lit(1) - $"is_old") * $"h").as("delta_root"))
         .orderBy($"source")
+    },
+
+    q("q434_streaming_manifest", manifestOracleSql) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of the release manifest — the additive content
+      // root maintained LIVE at ingest, which is the entire reason the
+      // root is a sum: per-source state is five BIGINT counters forever,
+      // updated map-side per micro-batch row (hash + release-membership
+      // flag are pure projections), drained complete-mode. The oracle is
+      // q433's batch statement verbatim: streamed roots must reproduce
+      // the batch manifest bit for bit.
+      val root = graft.LogFixtures.producedLog(dir, "q434") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "documents")
+            .select((lit(1700000000000L) + $"doc_id").as("ms"),
+              $"doc_id", $"source", $"text"),
+          "ms", r, "docs", orderCols = Seq("doc_id"))
+      }
+      graft.functions.GraftExpressions.register(s)
+      val nIn = T(s, dir, "documents").count()
+      graft.streaming.StreamHarness
+        .runToMemory(s, "q434", 4, mode = "complete") {
+          s.readStream.format("graftlog")
+            .option("path", root).option("stream", "docs")
+            .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", math.max(200L, nIn / 3).toString)
+            .load()
+            .select($"source",
+              expr("CASE WHEN substring(md5(CAST(CAST(doc_id AS STRING) AS " +
+                "BINARY)), 1, 2) < '80' THEN 1 ELSE 0 END").as("is_old"),
+              expr("graft_polyhash(text)").as("h"))
+            .groupBy($"source")
+            .agg(sum($"is_old").as("n_docs_prev"),
+              count(lit(1)).as("n_docs_now"),
+              sum($"is_old" * $"h").as("root_prev"),
+              sum($"h").as("root_now"),
+              sum((lit(1) - $"is_old") * $"h").as("delta_root"))
+        }
+        .orderBy($"source")
+    },
+
+    q("q435_gate_ablation", {
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    ${qualityMetricsDuck("w").mkString(", ")} FROM t),
+         |f AS (SELECT source,
+         |    CASE WHEN $GateTooShort THEN 1 ELSE 0 END AS g1,
+         |    CASE WHEN $GateRepetitive THEN 1 ELSE 0 END AS g2,
+         |    CASE WHEN $GateLowStopword THEN 1 ELSE 0 END AS g3,
+         |    CASE WHEN $GateLowTtr THEN 1 ELSE 0 END AS g4
+         |  FROM m),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN g1 + g2 + g3 + g4 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS keep_all,
+         |    CAST(SUM(CASE WHEN g2 + g3 + g4 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wo1,
+         |    CAST(SUM(CASE WHEN g1 + g3 + g4 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wo2,
+         |    CAST(SUM(CASE WHEN g1 + g2 + g4 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wo3,
+         |    CAST(SUM(CASE WHEN g1 + g2 + g3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wo4
+         |  FROM f GROUP BY source),
+         |u AS (SELECT source, n, keep_all, 'too_short' AS gate, wo1 AS wo
+         |    FROM a
+         |  UNION ALL SELECT source, n, keep_all, 'repetitive', wo2 FROM a
+         |  UNION ALL SELECT source, n, keep_all, 'low_stopword', wo3 FROM a
+         |  UNION ALL SELECT source, n, keep_all, 'low_ttr', wo4 FROM a)
+         |SELECT source, gate, n AS n_docs,
+         |  (keep_all * 1000000) // n AS keep_all_ppm,
+         |  (wo * 1000000) // n AS keep_without_ppm,
+         |  ((wo - keep_all) * 1000000) // n AS marginal_ppm
+         |FROM u ORDER BY source, gate"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Quality-gate ablation matrix — which gate does the work: for each
+      // of the four shared q129 gates, the corpus keep rate with that one
+      // gate removed, per source. marginal_ppm is the share of docs ONLY
+      // that gate kills — a gate whose marginal is ~0 is redundant with
+      // the rest of the stack (its kills are double-covered), and a gate
+      // whose marginal dwarfs the others is the stack's single point of
+      // judgment. Complements q426 (agreement with the LM score) and q395
+      // (length bias): this is the within-stack redundancy readout. One
+      // map-side metrics pass, one per-source aggregation, the 4-gate
+      // fan-out on the bounded per-source table.
+      val f = T(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("w"))
+        .selectExpr("source" +: qualityMetricsSpark("w"): _*)
+        .selectExpr("source",
+          s"CAST(IF($GateTooShort, 1, 0) AS BIGINT) AS g1",
+          s"CAST(IF($GateRepetitive, 1, 0) AS BIGINT) AS g2",
+          s"CAST(IF($GateLowStopword, 1, 0) AS BIGINT) AS g3",
+          s"CAST(IF($GateLowTtr, 1, 0) AS BIGINT) AS g4")
+      val a = f.groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"g1" + $"g2" + $"g3" + $"g4" === 0, 1L).otherwise(0L))
+            .as("keep_all"),
+          sum(when($"g2" + $"g3" + $"g4" === 0, 1L).otherwise(0L)).as("wo1"),
+          sum(when($"g1" + $"g3" + $"g4" === 0, 1L).otherwise(0L)).as("wo2"),
+          sum(when($"g1" + $"g2" + $"g4" === 0, 1L).otherwise(0L)).as("wo3"),
+          sum(when($"g1" + $"g2" + $"g3" === 0, 1L).otherwise(0L)).as("wo4"))
+        .transform(graft.CacheScope.cached) // four gate branches
+      val u = Seq(("too_short", "wo1"), ("repetitive", "wo2"),
+          ("low_stopword", "wo3"), ("low_ttr", "wo4"))
+        .map { case (gname, wcol) =>
+          a.select($"source", $"n", $"keep_all", lit(gname).as("gate"),
+            col(wcol).as("wo"))
+        }.reduce(_ unionByName _)
+      u.select($"source", $"gate", $"n".as("n_docs"),
+          expr("(keep_all * 1000000) div n").as("keep_all_ppm"),
+          expr("(wo * 1000000) div n").as("keep_without_ppm"),
+          expr("((wo - keep_all) * 1000000) div n").as("marginal_ppm"))
+        .orderBy($"source", $"gate")
     },
 
     q("q274_doc_chunking",
@@ -2127,4 +2228,23 @@ object Pipeline {
         .orderBy($"source")
     },
   )
+
+  /** q433/q434 shared oracle: per-source additive content roots with the
+    * md5-half previous release. */
+  private def manifestOracleSql: String = {
+    val ph = duckPolyHash("text")
+    s"""WITH d AS (SELECT source,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+       |      THEN 1 ELSE 0 END AS is_old,
+       |    $ph AS h
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(SUM(is_old) AS BIGINT) AS n_docs_prev,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_now,
+       |  CAST(SUM(is_old * h) AS BIGINT) AS root_prev,
+       |  CAST(SUM(h) AS BIGINT) AS root_now,
+       |  CAST(SUM((1 - is_old) * h) AS BIGINT) AS delta_root
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
 }

@@ -927,6 +927,12 @@ object PlanAudit {
       // pattern table collects and the EM fits driver-side in exact BigInt)
       "confusion emission is a bounded local relation" -> "LocalTableScan",
       "no join in the emission" -> "!SortMergeJoin"),
+    "q434_streaming_manifest" -> Seq(
+      "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
+    "q435_gate_ablation" -> Seq(
+      "one metrics pass, per-source partial aggregation" -> "HashAggregate",
+      "gate fan-out runs on the bounded per-source table (no corpus re-read)" -> "!SortMergeJoin",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q433_release_manifest" -> Seq(
       "one map-side hash pass, per-source partial aggregation" -> "HashAggregate",
       "no join, no window anywhere" -> "!Join",

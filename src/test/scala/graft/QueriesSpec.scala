@@ -344,6 +344,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q434 streamed manifest equals the q433 batch manifest row for row") {
+    def run(name: String) = try {
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    } finally CacheScope.release()
+    assert(run("q434_streaming_manifest") == run("q433_release_manifest"))
+  }
+
+  test("q435 ablation: removing a gate never lowers keep, and marginals " +
+    "never exceed the total kill mass") {
+    val out = try SparkEntry.queries("q435_gate_ablation")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty && out.length % 4 == 0)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val keepAll = rs.head.getAs[Long]("keep_all_ppm")
+      assert(rs.forall(_.getAs[Long]("keep_all_ppm") == keepAll))
+      var marginalSum = 0L
+      rs.foreach { r =>
+        val wo = r.getAs[Long]("keep_without_ppm")
+        val m = r.getAs[Long]("marginal_ppm")
+        assert(wo >= keepAll, s"$src: removing a gate cannot lower keep")
+        assert(m == wo - keepAll)
+        marginalSum += m
+      }
+      // docs uniquely killed by single gates can't exceed all killed docs
+      assert(marginalSum <= 1000000L - keepAll + 4,
+        s"$src: marginals $marginalSum exceed kill mass")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
