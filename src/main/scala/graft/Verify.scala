@@ -5,22 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)       => (s, o, None)
-      case Array(s, o, f)    => (s, o, Some(f.split(',').toSet))
+    // "--sql-only" as the filter dumps oracle_sql.json for ALL queries
+    // without running any Spark work — feeds tools/lint_oracle_types.py
+    // for the fast static half of the type gate.
+    val (sfDir, outDir, only, sqlOnly) = args match {
+      case Array(s, o)                => (s, o, None, false)
+      case Array(s, o, "--sql-only")  => (s, o, None, true)
+      case Array(s, o, f)             => (s, o, Some(f.split(',').toSet), false)
       case _ =>
-        System.err.println("usage: Verify <sfDir> <outDir> [q1,q2,...]")
+        System.err.println("usage: Verify <sfDir> <outDir> [q1,q2,...|--sql-only]")
         sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // fail loudly on names that match nothing: a typo would otherwise run
     // zero queries, write an empty oracle_sql.json, and let the downstream
@@ -29,16 +24,28 @@ object Verify {
       val unknown = f.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     }
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (n, _) => f(n) })
-    System.err.println(s"[verify] running ${selected.size} of ${SparkEntry.queries.size} queries")
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    if (!sqlOnly) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val selected = only.fold(SparkEntry.queries)(f =>
+        SparkEntry.queries.filter { case (n, _) => f(n) })
+      System.err.println(s"[verify] running ${selected.size} of ${SparkEntry.queries.size} queries")
+      selected.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        finally CacheScope.release() // drop query-internal caches between queries
       }
-      finally CacheScope.release() // drop query-internal caches between queries
+      spark.stop()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -56,6 +63,5 @@ object Verify {
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -640,7 +640,7 @@ object Evaluation {
         |pd AS (SELECT dur, CAST(COUNT(*) AS BIGINT) n_u,
         |    CAST(SUM(churned) AS BIGINT) n_e FROM d GROUP BY dur),
         |rk AS (SELECT dur, n_u, n_e,
-        |    SUM(n_u) OVER (ORDER BY dur DESC) n_risk FROM pd),
+        |    CAST(SUM(n_u) OVER (ORDER BY dur DESC) AS BIGINT) n_risk FROM pd),
         |ev AS (SELECT dur, n_risk, n_e,
         |    ${graft.ColFns.detMlnSql("n_risk - n_e", "n_risk")} mln
         |  FROM rk WHERE n_e > 0 AND n_risk > n_e),

@@ -1689,10 +1689,11 @@ object Pipeline {
          |d AS (SELECT *, 2*g - n AS b FROM gr)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS n_pos, CAST(SUM(g) AS BIGINT) AS n_green,
-         |  (SUM(g) * 1000000) // SUM(n) AS green_ppm,
-         |  CASE WHEN SUM(b) >= 0
+         |  CAST((SUM(g) * 1000000) // SUM(n) AS BIGINT) AS green_ppm,
+         |  CAST(CASE WHEN SUM(b) >= 0
          |    THEN (SUM(b)*SUM(b)*1000000) // SUM(n)
-         |    ELSE -((SUM(b)*SUM(b)*1000000) // SUM(n)) END AS z2_signed_ppm,
+         |    ELSE -((SUM(b)*SUM(b)*1000000) // SUM(n)) END
+         |    AS BIGINT) AS z2_signed_ppm,
          |  CAST(SUM(CASE WHEN b >= 0 AND b*b >= 9*n THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_flagged
          |FROM d GROUP BY source ORDER BY source""") { (s, dir) =>
@@ -1797,11 +1798,11 @@ object Pipeline {
          |  FROM (SELECT $m FROM b))
          |SELECT CAST(bin AS BIGINT) AS len_bin,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  (SUM(keep) * 1000000) // COUNT(*) AS keep_ppm,
-         |  (SUM(g_short) * 1000000) // COUNT(*) AS short_ppm,
-         |  (SUM(g_rep) * 1000000) // COUNT(*) AS rep_ppm,
-         |  (SUM(g_stop) * 1000000) // COUNT(*) AS stop_ppm,
-         |  (SUM(g_ttr) * 1000000) // COUNT(*) AS ttr_ppm
+         |  CAST((SUM(keep) * 1000000) // COUNT(*) AS BIGINT) AS keep_ppm,
+         |  CAST((SUM(g_short) * 1000000) // COUNT(*) AS BIGINT) AS short_ppm,
+         |  CAST((SUM(g_rep) * 1000000) // COUNT(*) AS BIGINT) AS rep_ppm,
+         |  CAST((SUM(g_stop) * 1000000) // COUNT(*) AS BIGINT) AS stop_ppm,
+         |  CAST((SUM(g_ttr) * 1000000) // COUNT(*) AS BIGINT) AS ttr_ppm
          |FROM q GROUP BY bin ORDER BY len_bin"""
     }) { (s, dir) =>
       import s.implicits._

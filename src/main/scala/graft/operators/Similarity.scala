@@ -839,7 +839,7 @@ object Similarity {
         |    b.sv AS sb, b.n AS nb
         |  FROM agg a JOIN agg b ON a.label = b.label AND a.dim = b.dim
         |    AND a.half = 0 AND b.half = 1)
-        |SELECT label, CAST(MIN(na) AS BIGINT) AS n_a,
+        |SELECT CAST(label AS BIGINT) AS label, CAST(MIN(na) AS BIGINT) AS n_a,
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
         |  CAST(SUM(CAST(sa*nb - sb*na AS HUGEINT)
         |    * CAST(sa*nb - sb*na AS HUGEINT))

@@ -2222,8 +2222,8 @@ object TextAnalysis {
          |SELECT wc.source, wc.half,
          |  CAST(SUM(wc.cnt) AS BIGINT) AS n_words,
          |  CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) AS n_subwords,
-         |  (CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) * 1000000)
-         |    // SUM(wc.cnt) AS fertility_ppm,
+         |  CAST((CAST(SUM(wc.cnt * (f.bestf % 1024)) AS BIGINT) * 1000000)
+         |    // SUM(wc.cnt) AS BIGINT) AS fertility_ppm,
          |  CAST(SUM(CASE WHEN f.bestf >= 1024000000000000 THEN wc.cnt
          |    ELSE 0 END) AS BIGINT) AS oov_words
          |FROM wc JOIN fc f USING (word)

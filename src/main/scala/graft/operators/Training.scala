@@ -803,7 +803,8 @@ object Training {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_test_votes,
          |  CAST(COUNT(correct) AS BIGINT) AS n_scored,
          |  CAST(SUM(correct) AS BIGINT) AS n_correct,
-         |  (SUM(correct) * 1000000) // COUNT(correct) AS acc_ppm,
+         |  CAST((SUM(correct) * 1000000) // COUNT(correct) AS BIGINT)
+         |    AS acc_ppm,
          |  CAST(COUNT(*) - COUNT(correct) AS BIGINT) AS n_undecided
          |FROM sc"""
     }) { (s, dir) =>

@@ -4,7 +4,12 @@
 Runs after `graft.Verify` has dumped each query's result parquet plus
 oracle_sql.json: executes every oracle SQL in DuckDB against the fixture
 tables and compares against the Spark result — column names (sorted),
-row count, and values. Exits nonzero on any mismatch.
+row count, values, AND column types. Exits nonzero on any mismatch.
+
+The type check is the round-9 lesson: the driver's hash is typed, so a
+DuckDB HUGEINT (from uncast integer SUM/"//" arithmetic) against a Spark
+BIGINT fails the driver even when every value is equal. Value-only
+comparison is blind to that; this gate is not.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
@@ -38,6 +43,29 @@ def key(row):
     return tuple((repr(type(x).__name__), repr(x)) for x in row)
 
 
+def norm_type(t):
+    """Canonical form for a DuckDB type string, for strict compare.
+
+    Only genuinely-equivalent spellings are collapsed; width/precision
+    drift (HUGEINT vs BIGINT, FLOAT vs DOUBLE, DECIMAL vs anything) stays
+    distinct because the driver's typed hash distinguishes them.
+    Spark writes session-UTC timestamps that DuckDB reads back as
+    TIMESTAMP WITH TIME ZONE while oracle casts say TIMESTAMP — same
+    int64-micros payload, so those collapse.
+    """
+    t = str(t).upper()
+    t = t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+    return t
+
+
+def type_drift(want, got):
+    """Per-column type mismatches between oracle and Spark relations."""
+    wt = {c.lower(): norm_type(t) for c, t in zip(want.columns, want.types)}
+    gt = {c.lower(): norm_type(t) for c, t in zip(got.columns, got.types)}
+    return [(c, wt[c], gt[c]) for c in sorted(wt)
+            if c in gt and wt[c] != gt[c]]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -64,6 +92,12 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(want_cols):
             failures.append((name, f"columns differ: spark={sorted(got_cols)} "
                                    f"oracle={sorted(want_cols)}"))
+            continue
+        drift = type_drift(want, got)
+        if drift:
+            failures.append(
+                (name, "type drift (oracle vs spark): " + ", ".join(
+                    f"{c}: {w} vs {g}" for c, w, g in drift)))
             continue
         # align column order by name (driver sorts columns by name)
         gperm = [got_cols.index(c) for c in sorted(got_cols)]
