@@ -19,25 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object TwoPhaseCumsum {
 
-  /** Rows per block. A knob: at 10^9 rows a 10^6 block keeps the block
-    * table at ~1000 rows; the fixtures use 64 so the two-phase path is
-    * actually exercised across multiple blocks. One constant so every
-    * call site tunes together.
+  /** Default rows per block — the TEST default, sized so the fixtures
+    * actually exercise the two-phase path across multiple blocks.
+    * Production deployments at ~10^9 rows should raise it via the
+    * session conf `spark.graft.cumsum.block` (e.g. 10^6 keeps the
+    * in-block windows at 10^6 rows and the block table at ~1000 rows;
+    * both sides of the trade stay bounded for any setting between
+    * sqrt(n)-ish extremes). One conf so every call site tunes together.
     */
   val Block = 64L
 
+  /** Session-conf override for the block size (test default [[Block]]). */
+  val BlockConf = "spark.graft.cumsum.block"
+
   /** Adds `cum_before` = the running sum of `valCol` over `idCol`
     * ascending (exclusive of the current row) within `partKeys`.
-    * Requires non-negative integer ids; reserves the column names
-    * `blk`/`boff`/`ib` during the computation (dropped on return except
-    * `blk`, kept so callers can assert the block-partitioned plan).
-    * The only unpartitioned window runs over the block table —
-    * #rows / Block entries per partition key, bounded by construction.
+    * Requires non-negative integer ids that are UNIQUE within each
+    * `partKeys` group: the in-block window is a RANGE frame over
+    * `idCol`, so a duplicated id would fold all tied peers' values into
+    * each twin's `cum_before` (deterministic, but no longer exclusive
+    * of the current row — "before" is ill-defined under ties). All
+    * callers pass unique doc/row ids; new callers must too.
+    * Reserves the column names `blk`/`boff`/`ib` during the computation
+    * (dropped on return except `blk`, kept so callers can assert the
+    * block-partitioned plan). The only unpartitioned window runs over
+    * the block table — #rows / block entries per partition key, bounded
+    * by construction.
     */
   def cumBefore(df: DataFrame, partKeys: Seq[String], idCol: String,
       valCol: String): DataFrame = {
+    val block = df.sparkSession.conf.getOption(BlockConf)
+      .map(_.toLong).getOrElse(Block)
+    require(block > 0, s"$BlockConf must be positive, got $block")
     val pb = partKeys.map(col)
-    val t = df.withColumn("blk", expr(s"$idCol DIV $Block"))
+    val t = df.withColumn("blk", expr(s"$idCol DIV $block"))
     val blockWin =
       if (pb.isEmpty) Window.orderBy(col("blk"))
       else Window.partitionBy(pb: _*).orderBy(col("blk"))

@@ -26,11 +26,26 @@ object DetMath {
 
   private val Ln2 = 0.6931471805599453d
 
-  /** ln(p/q) for BIGINT p, q >= 1 — integer bit-length range reduction to
-    * [1/2, 1), atanh Horner in w = z^2 (|z| <= 1/3, truncation < 1e-9),
-    * exact k·ln2 recombination. Mirrors ColFns.detLnSql op for op.
+  /** Domain bound for [[lnRat]] operands: below 2^51 the shifted
+    * intermediates (p1, q2, p1±q2) stay exact in IEEE-754 doubles AND
+    * `q1 << adj` cannot wrap (at bitlen 63, equalized-then-doubled q
+    * would overflow Long and return garbage instead of failing). All
+    * call sites pass counts/micros far below this; fail loudly if a
+    * future caller doesn't.
+    */
+  val LnRatMax = 1L << 51
+
+  /** ln(p/q) for BIGINT p, q in [1, 2^51) — integer bit-length range
+    * reduction to [1/2, 1), atanh Horner in w = z^2 (|z| <= 1/3,
+    * truncation < 1e-9), exact k·ln2 recombination. Mirrors
+    * ColFns.detLnSql op for op. Throws on out-of-domain operands (the
+    * SQL mirror has the same silent-garbage risk past the bound, so a
+    * loud Spark-side failure is the cross-engine guard).
     */
   def lnRat(p: Long, q: Long): Double = {
+    if (p < 1L || q < 1L || p >= LnRatMax || q >= LnRatMax)
+      throw new IllegalArgumentException(
+        s"graft_detln domain is [1, 2^51): got p=$p q=$q")
     val e = java.lang.Long.numberOfLeadingZeros(p) -
       java.lang.Long.numberOfLeadingZeros(q) // bitlen(q) - bitlen(p)
     val sp = if (e > 0) e else 0

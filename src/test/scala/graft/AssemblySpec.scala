@@ -105,6 +105,27 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("TwoPhaseCumsum block size follows the session conf") {
+    // production raises spark.graft.cumsum.block so the in-block windows
+    // and the block table both stay bounded; the answer must not change
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, i % 7)).toDF("id", "v")
+    def run() = TwoPhaseCumsum.cumBefore(df, Nil, "id", "v")
+      .select($"id", $"cum_before", $"blk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = run()
+    spark.conf.set(TwoPhaseCumsum.BlockConf, "128")
+    try {
+      val wide = run()
+      assert(wide.map(t => (t._1, t._2)).toSet ==
+        base.map(t => (t._1, t._2)).toSet)
+      assert(wide.map(_._3).max == 299L / 128L) // conf actually applied
+      assert(base.map(_._3).max == 299L / TwoPhaseCumsum.Block)
+      spark.conf.set(TwoPhaseCumsum.BlockConf, "0")
+      assertThrows[IllegalArgumentException](run())
+    } finally spark.conf.unset(TwoPhaseCumsum.BlockConf)
+  }
+
   test("floor(sqrt(x)) is the exact integer sqrt on the DP operand range") {
     // eps_centi relies on IEEE-correctly-rounded SQRT never rounding up
     // across an integer boundary; exhaustive boundary probes + random

@@ -57,6 +57,20 @@ class DetMathSpec extends AnyFunSuite {
     }
   }
 
+  test("lnRat rejects out-of-domain operands instead of wrapping") {
+    import functions.DetMath
+    // ln(1) at the top of the legal domain: the p=q path runs the series
+    // at its |z|=1/3 extreme, so ~1e-10 truncation (sub-micro) remains
+    assert(math.abs(
+      DetMath.lnRat(DetMath.LnRatMax - 1, DetMath.LnRatMax - 1)) < 1e-9)
+    // the 63-bit case that used to wrap q1 << adj negative (p = q = 2^62
+    // returned garbage instead of ln(1) = 0) now fails loudly, as do
+    // zero/negative operands and anything >= 2^51 (doubles-exactness bound)
+    for ((p, q) <- Seq((1L << 62, 1L << 62), (DetMath.LnRatMax, 3L),
+        (3L, DetMath.LnRatMax), (0L, 5L), (5L, 0L), (-2L, 7L)))
+      assertThrows[IllegalArgumentException](DetMath.lnRat(p, q))
+  }
+
   test("detExpMicro tracks libm exp within 40 ulp and clamps the tail") {
     import spark.implicits._
     val ms = (-40000000L to 40000000L by 997003L) ++
