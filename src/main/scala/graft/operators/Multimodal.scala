@@ -726,5 +726,69 @@ object Multimodal {
           "max_pair_score", "min_pair_score")
         .orderBy($"doc_id")
     },
+
+    q("q436_mp4_box_walk",
+      // ISO BMFF (MP4) container walk — structure only, no codec (the
+      // honest-limits line: no pure-JVM H.264/AAC decoder exists offline,
+      // but manifests/provenance need the CONTAINER: track counts,
+      // durations, box inventory, payload sizes — the role q146's RIFF
+      // walk plays for WAV). Fixture: ftyp + moov(mvhd + N×trak(tkhd +
+      // mdia(mdhd + hdlr))) + mdat built byte-for-byte on executors, with
+      // the 64-bit `largesize` header form on even ids so the walker's
+      // size==1 branch is actually exercised. The walk parses real
+      // big-endian box headers recursively; probes cover the box census
+      // (count/tracks/depth), exact file and mdat-payload sizes (header
+      // form included), the mvhd duration field read from parsed bytes,
+      // and the byte-sum of the actual mdat payload — a walker that
+      // skipped or misaligned payload offsets cannot pass. DuckDB replays
+      // every quantity arithmetically from the closed-form layout.
+      // Map-side per file; no shuffle at any corpus size.
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS nt,
+        |    1000 * (1 + doc_id % 60) AS dur_ms,
+        |    64 + doc_id % 256 AS plen,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mhdr
+        |  FROM documents),
+        |ps AS (SELECT doc_id, CAST(SUM((doc_id + 7*i) % 256) AS BIGINT) AS psum
+        |  FROM (SELECT doc_id, plen, unnest(range(plen)) AS i FROM m)
+        |  GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CAST(4 + 5 * nt AS BIGINT) AS n_boxes,
+        |  CAST(nt AS BIGINT) AS n_tracks,
+        |  CAST(4 AS BIGINT) AS max_depth,
+        |  CAST(24 + 116 + 178 * nt + mhdr + plen AS BIGINT) AS file_bytes,
+        |  CAST(plen AS BIGINT) AS mdat_bytes,
+        |  CAST(mhdr AS BIGINT) AS mdat_hdr,
+        |  CAST(dur_ms AS BIGINT) AS duration_ms,
+        |  ps.psum AS mdat_sum
+        |FROM m JOIN ps ON ps.doc_id = m.doc_id
+        |ORDER BY m.doc_id""") { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val nt = (1 + id % 3).toInt
+          val tracks = (1 to nt).map(t => graft.multimodal.Mp4.TrackSpec(
+            t, 16 + ((id + t) % 16).toInt, 8 + ((id + t) % 8).toInt))
+          val plen = (64 + id % 256).toInt
+          val payload = Array.tabulate(plen)(i => ((id + 7L * i) % 256).toByte)
+          val bytes = graft.multimodal.Mp4.encodeMp4(
+            tracks, 1000L * (1 + id % 60), payload, mdatLargesize = id % 2 == 0)
+          val boxes = graft.multimodal.Mp4.walkBoxes(bytes)
+          val mdat = boxes.find(_.fourcc == "mdat").get
+          var psum = 0L
+          var i = mdat.payloadOff.toInt
+          while (i < (mdat.off + mdat.size).toInt) {
+            psum += bytes(i) & 0xff; i += 1
+          }
+          val (_, dur) = graft.multimodal.Mp4.parseMvhd(bytes)
+          (id, boxes.size.toLong, boxes.count(_.fourcc == "trak").toLong,
+            boxes.map(_.depth).max.toLong, bytes.length.toLong,
+            mdat.off + mdat.size - mdat.payloadOff,
+            mdat.payloadOff - mdat.off, dur, psum)
+        })
+        .toDF("doc_id", "n_boxes", "n_tracks", "max_depth", "file_bytes",
+          "mdat_bytes", "mdat_hdr", "duration_ms", "mdat_sum")
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -957,6 +957,10 @@ object PlanAudit {
       "decode + pair walk run as object map stages (no per-row UDF)" -> "MapPartitions",
       "no join, no shuffle in the per-clip pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q436_mp4_box_walk" -> Seq(
+      "encode + box walk run as one object map stage per file" -> "MapPartitions",
+      "no join, no shuffle in the per-file pass" -> "!Join",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
     "q427_streaming_periods" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(
