@@ -34,6 +34,52 @@ object Dedup {
       .withColumn("shingles", expr(shinglesSql("w")))
   }
 
+  /** q437's content-defined chunker over a words-array column `w`: adds
+    * `n`, boundary list `bnd` (a boundary falls AFTER token i wherever the
+    * rolling 8-token window hash ≡ 0 mod 32, i < n), `starts`/`ends`, and
+    * the `chunks` string array. Shared with QueriesSpec's boundary-
+    * stability law so the test exercises the exact production expression.
+    * NOTE `bi`, not `i`, as the outer lambda variable: polyHashSql binds
+    * `i` in its inner lambda and Spark resolves to the INNERMOST binding —
+    * an outer `i` would be silently captured (the Spark-side twin of the
+    * duckPolyHash `gi` rule).
+    */
+  private[graft] def withCdcChunks(df: DataFrame): DataFrame = df
+    .withColumn("n", size(col("w")).cast("long"))
+    .withColumn("bnd", expr(
+      s"""IF(n >= 9, filter(sequence(CAST(8 AS BIGINT), n - 1), bi ->
+         |  ${polyHashSql("concat_ws(' ', slice(w, CAST(bi - 7 AS INT), 8))")} % 32 = 0),
+         |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin))
+    .withColumn("starts", expr(
+      "concat(array(CAST(1 AS BIGINT)), transform(bnd, b -> b + 1))"))
+    .withColumn("ends", expr("concat(bnd, array(n))"))
+    .withColumn("chunks", expr(
+      """transform(sequence(1, size(starts)), k ->
+        |  concat_ws(' ', slice(w, CAST(element_at(starts, k) AS INT),
+        |    CAST(element_at(ends, k) - element_at(starts, k) + 1 AS INT))))"""
+        .stripMargin))
+
+  /** q439's winnowing selector over a words-array column `w` (size >= 8):
+    * adds `m` (gram count), `gh` (5-token k-gram hashes), `c` (the
+    * rightmost-min encoding (g+1)·2^20 − i), `ps` (selected positions)
+    * and `fps` (fingerprint hashes). Shared with QueriesSpec's coverage/
+    * rightmost-min laws. `ti`, not `i` (see [[withCdcChunks]]).
+    */
+  private[graft] def withWinnowFps(df: DataFrame): DataFrame = df
+    .withColumn("m", (size(col("w")) - 4).cast("long"))
+    .withColumn("gh", expr(
+      s"""transform(sequence(1, size(w) - 4), ti ->
+         |  ${polyHashSql("concat_ws(' ', slice(w, CAST(ti AS INT), 5))")})"""
+        .stripMargin))
+    .withColumn("c", expr(
+      "transform(sequence(1, CAST(m AS INT)), i -> " +
+        "(element_at(gh, i) + 1) * 1048576 - CAST(i AS BIGINT))"))
+    .withColumn("ps", expr(
+      "array_distinct(transform(sequence(1, CAST(m - 3 AS INT)), j -> " +
+        "1048576 - (array_min(slice(c, j, 4)) % 1048576)))"))
+    .withColumn("fps", expr(
+      "array_distinct(transform(ps, p -> element_at(gh, CAST(p AS INT))))"))
+
   /** Shared oracle for q41/q92: both compute the identical exact n-gram
     * Jaccard result; they differ only in the Spark-side candidate plan.
     */
@@ -1195,6 +1241,154 @@ object Dedup {
         .filter($"n_diff" === 1)
         .select($"a_id", $"b_id", $"len", $"pos".as("diff_pos"))
         .orderBy($"a_id", $"b_id", $"diff_pos")
+    },
+
+    q("q437_cdc_chunking", {
+      // DuckDB mirror of chunksSql — NOTE the gi/gk outer lambda variables
+      // (duckPolyHash binds `i` internally; an outer `i` silently NULLs).
+      val hashWin = duckPolyHash("array_to_string(w[CAST(gi-7 AS INT):CAST(gi AS INT)], ' ')")
+      s"""WITH wds AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, source, w, len(w) AS n FROM wds),
+         |hb AS (SELECT doc_id, source, w, n,
+         |    CASE WHEN n >= 8 THEN list_filter(range(8, n), gi ->
+         |        ($hashWin) % 32 = 0)
+         |      ELSE [] END AS bnd
+         |  FROM c0),
+         |se AS (SELECT doc_id, source, w, n,
+         |    list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(bnd, gb -> gb + 1)) AS starts,
+         |    list_append(bnd, CAST(n AS BIGINT)) AS ends
+         |  FROM hb),
+         |ch AS (SELECT doc_id, source,
+         |    list_transform(range(1, len(starts) + 1), gk ->
+         |      array_to_string(w[CAST(starts[CAST(gk AS INT)] AS INT):
+         |        CAST(ends[CAST(gk AS INT)] AS INT)], ' ')) AS chunks
+         |  FROM se),
+         |inst AS (SELECT doc_id, source, chunks[CAST(gk AS INT)] AS chunk
+         |  FROM (SELECT doc_id, source, chunks,
+         |      unnest(range(1, len(chunks) + 1)) AS gk FROM ch)),
+         |hsh AS (SELECT doc_id, source,
+         |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS clen,
+         |    ${duckPolyHash("chunk")} AS h
+         |  FROM inst),
+         |occ AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM hsh GROUP BY h)
+         |SELECT source,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN occ.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  CAST((SUM(CASE WHEN occ.cnt > 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS dup_ppm,
+         |  CAST((SUM(clen) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS mean_words_micro
+         |FROM hsh JOIN occ USING (h)
+         |GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Content-defined chunking (Rabin-style, the storage/dedup layer
+      // under every large-corpus snapshotting scheme — LBFS/restic/borg
+      // lineage): a chunk boundary falls AFTER token i wherever the
+      // rolling 8-token window hash ≡ 0 (mod 32), so boundaries are a
+      // function of LOCAL CONTENT only — insert one token and every chunk
+      // more than a window past the edit re-aligns identically, which is
+      // exactly what fixed-size chunking cannot do (its boundaries all
+      // shift; dedup against the previous snapshot collapses). Expected
+      // chunk ~32 tokens plus the forced doc-end boundary. Everything up
+      // to the chunk instance is map-side HOFs; the ONE corpus-scale
+      // shuffle is the chunk-hash occurrence count — the same plan a
+      // storage dedup runs — and the per-source rollup rides the
+      // hash-join back. Boundary-stability law in QueriesSpec.
+      Dedup.withCdcChunks(T(s, dir, "documents")
+          .withColumn("w", split($"text", " ")))
+        .select($"doc_id", $"source", posexplode($"chunks"))
+        .select($"doc_id", $"source",
+          expr("CAST(size(split(col, ' ')) AS BIGINT)").as("clen"),
+          expr(polyHashSql("col")).as("h"))
+        .transform { inst =>
+          val occ = inst.groupBy($"h").agg(count(lit(1)).as("cnt"))
+          inst.join(occ, "h")
+        }
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup"),
+          expr("CAST((SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000) " +
+            "div COUNT(1) AS BIGINT)").as("dup_ppm"),
+          expr("CAST((SUM(clen) * 1000000) div COUNT(1) AS BIGINT)")
+            .as("mean_words_micro"))
+        .orderBy($"source")
+    },
+
+    q("q439_winnowing", {
+      // gi/gj/gp outer lambda variables per the duckPolyHash binding rule.
+      val gram = duckPolyHash("array_to_string(w[CAST(gi AS INT):CAST(gi+4 AS INT)], ' ')")
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, w, len(w) AS n FROM wds WHERE len(w) >= 8),
+         |g AS (SELECT doc_id, n - 4 AS m,
+         |    list_transform(range(1, n - 3), gi -> $gram) AS gh
+         |  FROM c0),
+         |cc AS (SELECT doc_id, m, gh,
+         |    list_transform(range(1, m + 1), gi ->
+         |      (gh[CAST(gi AS INT)] + 1) * 1048576 - gi) AS c
+         |  FROM g),
+         |sel AS (SELECT doc_id, m, gh,
+         |    list_distinct(list_transform(range(1, m - 2), gj ->
+         |      1048576 - (list_min(c[CAST(gj AS INT):CAST(gj+3 AS INT)])
+         |        % 1048576))) AS ps
+         |  FROM cc),
+         |fp AS (SELECT doc_id, m, CAST(len(ps) AS BIGINT) AS n_sel,
+         |    list_distinct(list_transform(ps, gp ->
+         |      gh[CAST(gp AS INT)])) AS fps
+         |  FROM sel),
+         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |pr AS (SELECT a.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT)
+         |    AS n_partners
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id)
+         |SELECT fp.doc_id, CAST(fp.m AS BIGINT) AS n_grams, fp.n_sel,
+         |  CAST(len(fp.fps) AS BIGINT) AS n_fp,
+         |  CAST((fp.n_sel * 1000000) // fp.m AS BIGINT) AS density_ppm,
+         |  CAST(list_sum(fp.fps) % 1000000007 AS BIGINT) AS fp_sum,
+         |  COALESCE(pr.n_partners, 0) AS n_partners
+         |FROM fp LEFT JOIN pr ON pr.doc_id = fp.doc_id
+         |ORDER BY fp.doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003 —
+      // the MOSS algorithm): hash every 5-token k-gram, slide a window of
+      // w=4 hashes, keep the RIGHTMOST MINIMUM per window. Guarantees: at
+      // least one fingerprint in every window (no w-gram-long gap can
+      // hide a match — the coverage law QueriesSpec pins), expected
+      // density 2/(w+1), and selection is position-independent so shared
+      // substrings select the SAME fingerprints in both documents. The
+      // rightmost-min-with-ties is one integer trick both engines share:
+      // minimize c(i) = (g_i + 1)·2^20 − i, which orders by hash first
+      // and position descending second; the position comes back as
+      // 2^20 − (min mod 2^20). Fingerprinting is pure map-side HOFs; the
+      // only shuffle is the fingerprint equi-join for partner degree —
+      // MOSS candidate generation, bucketed, never all-pairs.
+      val fp = Dedup.withWinnowFps(T(s, dir, "documents")
+          .withColumn("w", split($"text", " "))
+          .filter(size($"w") >= 8))
+        .select($"doc_id", $"m".as("n_grams"),
+          size($"ps").cast("long").as("n_sel"),
+          size($"fps").cast("long").as("n_fp"),
+          expr("CAST((size(ps) * 1000000) div m AS BIGINT)").as("density_ppm"),
+          expr(s"CAST(aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) " +
+            s"% 1000000007 AS BIGINT)").as("fp_sum"),
+          $"fps")
+        .transform(graft.CacheScope.cached) // readout + both partner sides
+      val ex = fp.select($"doc_id", explode($"fps").as("f"))
+      val pr = ex.as("a").join(ex.as("b"),
+          $"a.f" === $"b.f" && $"a.doc_id" =!= $"b.doc_id")
+        .groupBy($"a.doc_id".as("p_id"))
+        .agg(countDistinct($"b.doc_id").as("n_partners"))
+      fp.join(pr, $"doc_id" === $"p_id", "left")
+        .select($"doc_id", $"n_grams", $"n_sel", $"n_fp", $"density_ppm",
+          $"fp_sum", coalesce($"n_partners", lit(0L)).as("n_partners"))
+        .orderBy($"doc_id")
     },
   )
 }

@@ -26,6 +26,21 @@ object Pipeline {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q438's Luhn checksum (ISO/IEC 7812) as a Spark SQL predicate over a
+    * digit-string lambda variable `t`: from the right, double every second
+    * digit, subtract 9 past 9, valid iff the sum ≡ 0 mod 10. Shared with
+    * QueriesSpec's known-vector law (4111111111111111 et al.) so the test
+    * exercises the exact production expression.
+    */
+  private[graft] val luhnValidSparkSql: String = {
+    val digit = "ascii(substring(t, CAST(length(t) - j + 1 AS INT), 1)) - 48"
+    s"""aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), (acc, j) ->
+       |  acc + CASE WHEN j % 2 = 0
+       |    THEN CASE WHEN 2 * ($digit) > 9
+       |      THEN 2 * ($digit) - 9 ELSE 2 * ($digit) END
+       |    ELSE $digit END) % 10 = 0""".stripMargin
+  }
+
   /** `docs` with distinct hashed 3-gram shingles (same formula as the
     * dedup family, so any hash collision hits both engines identically).
     * Takes the pre-filtered frame so callers restrict BEFORE shingling —
@@ -2226,6 +2241,106 @@ object Pipeline {
           sum(size($"w") - size($"w2")).cast("long").as("tokens_removed"),
           sum(expr("size(filter(g2, h -> array_contains(pa, h)))"))
             .cast("long").as("residual_overlaps"))
+        .orderBy($"source")
+    },
+
+    q("q438_luhn_pii", {
+      // DuckDB mirror. gj/gt outer lambda vars; Luhn stated once per
+      // dialect over a generic token t, plant digits closed-form.
+      val duckDigit = "ascii(substr(t, CAST(length(t) - gj + 1 AS INT), 1)) - 48"
+      val duckLuhn =
+        s"""list_sum(list_transform(range(1, length(t) + 1), gj ->
+           |  CASE WHEN gj % 2 = 0
+           |    THEN CASE WHEN 2 * ($duckDigit) > 9
+           |      THEN 2 * ($duckDigit) - 9 ELSE 2 * ($duckDigit) END
+           |    ELSE $duckDigit END)) % 10 = 0""".stripMargin
+      s"""WITH p AS (SELECT doc_id, source, text,
+         |    list_transform(range(1, 16), gj -> (doc_id + 7 * gj) % 10)
+         |      AS d15
+         |  FROM documents),
+         |ck AS (SELECT doc_id, source, text, d15,
+         |    list_sum(list_transform(range(1, 16), gj ->
+         |      CASE WHEN gj % 2 = 1
+         |        THEN CASE WHEN 2 * d15[CAST(gj AS INT)] > 9
+         |          THEN 2 * d15[CAST(gj AS INT)] - 9
+         |          ELSE 2 * d15[CAST(gj AS INT)] END
+         |        ELSE d15[CAST(gj AS INT)] END)) AS s15
+         |  FROM p),
+         |pl AS (SELECT doc_id, source,
+         |    string_split(text, ' ')
+         |      || [array_to_string(list_transform(d15, gd ->
+         |            CAST(gd AS VARCHAR)), '')
+         |          || CAST(CASE WHEN doc_id % 3 = 0
+         |              THEN (10 - s15 % 10) % 10
+         |              ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR),
+         |          array_to_string(list_transform(range(1, 9), gd ->
+         |            CAST((doc_id + gd) % 10 AS VARCHAR)), '')] AS toks
+         |  FROM ck),
+         |sc AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(toks, gt ->
+         |      regexp_matches(gt, '^[0-9]{12,19}$$'))) AS BIGINT) AS n_cand,
+         |    CAST(len(list_filter(toks, gt ->
+         |      regexp_matches(gt, '^[0-9]{6,11}$$'))) AS BIGINT) AS n_short,
+         |    CAST(len(list_filter(list_filter(toks, gt ->
+         |        regexp_matches(gt, '^[0-9]{12,19}$$')), t ->
+         |      $duckLuhn)) AS BIGINT) AS n_valid
+         |  FROM pl)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+         |  CAST((SUM(n_valid) * 1000000) // SUM(n_cand) AS BIGINT)
+         |    AS valid_ppm,
+         |  CAST(SUM(n_short) AS BIGINT) AS n_short_ignored
+         |FROM sc GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Checksum-validated identifier detection — the false-positive
+      // killer a PII scrubbing pass (q110 redacts by pattern alone) needs
+      // at corpus scale: a 12-19-digit run is only treated as a payment-
+      // card-like identifier if its Luhn checksum verifies (ISO/IEC
+      // 7812), which random digit runs fail 90% of the time. Fixture
+      // plants per doc, closed-form from doc_id: one 16-digit candidate
+      // whose check digit is correct iff doc_id % 3 = 0 (else shifted +5,
+      // never ≡ 0 mod 10), and one 8-digit run that must be ignored by
+      // the length floor. The detector recomputes Luhn over the token
+      // text generically — the oracle's valid set certifies the full
+      // arithmetic (double every second digit from the right, subtract 9
+      // past 9, sum ≡ 0 mod 10). Natural fixture text contributes zero
+      // digit runs (honest null). Entirely map-side + one per-source
+      // rollup; 100 TB-trivial.
+      val sparkLuhn = Pipeline.luhnValidSparkSql
+      T(s, dir, "documents")
+        .withColumn("d15", expr(
+          "transform(sequence(1, 15), j -> (doc_id + 7 * j) % 10)"))
+        .withColumn("s15", expr(
+          """aggregate(sequence(1, 15), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc + CASE WHEN j % 2 = 1
+            |    THEN CASE WHEN 2 * element_at(d15, CAST(j AS INT)) > 9
+            |      THEN 2 * element_at(d15, CAST(j AS INT)) - 9
+            |      ELSE 2 * element_at(d15, CAST(j AS INT)) END
+            |    ELSE element_at(d15, CAST(j AS INT)) END)""".stripMargin))
+        .withColumn("toks", expr(
+          """concat(split(text, ' '), array(
+            |  concat(concat_ws('', transform(d15, d -> CAST(d AS STRING))),
+            |    CAST(CASE WHEN doc_id % 3 = 0 THEN (10 - s15 % 10) % 10
+            |      ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS STRING)),
+            |  concat_ws('', transform(sequence(1, 8), d ->
+            |    CAST((doc_id + d) % 10 AS STRING)))))""".stripMargin))
+        .withColumn("cands", expr(
+          "filter(toks, gt -> gt RLIKE '^[0-9]{12,19}$')"))
+        .select($"doc_id", $"source",
+          size($"cands").cast("long").as("n_cand"),
+          expr("CAST(size(filter(toks, gt -> gt RLIKE '^[0-9]{6,11}$')) " +
+            "AS BIGINT)").as("n_short"),
+          expr(s"CAST(size(filter(cands, t -> $sparkLuhn)) AS BIGINT)")
+            .as("n_valid"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_cand").as("n_candidates"),
+          sum($"n_valid").as("n_valid"),
+          expr("CAST((SUM(n_valid) * 1000000) div SUM(n_cand) AS BIGINT)")
+            .as("valid_ppm"),
+          sum($"n_short").as("n_short_ignored"))
         .orderBy($"source")
     },
   )

@@ -961,6 +961,18 @@ object PlanAudit {
       "encode + box walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q437_cdc_chunking" -> Seq(
+      "chunk-hash occurrence count is the one corpus shuffle (the storage-dedup plan)" -> "HashAggregate",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q438_luhn_pii" -> Seq(
+      "plant, scan and Luhn validation are map-side; only the source rollup shuffles" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q439_winnowing" -> Seq(
+      "partner degree via the fingerprint equi-join (MOSS candidates, never all-pairs)" -> "HashAggregate",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q427_streaming_periods" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(

@@ -373,6 +373,97 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q437 CDC chunking: boundaries re-align past an edit (the property " +
+    "fixed-size chunking lacks)") {
+    // Insert one token at the front of every fixture doc: all chunks whose
+    // window context lies fully past the edit (start > 1 + 8 in original
+    // coordinates) must reappear VERBATIM in the mutant's chunk set —
+    // that re-alignment is why CDC dedups across snapshots. Also pin the
+    // structural invariants: chunks concatenate back to the doc, and
+    // every boundary's window hash satisfies the cut rule.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(40).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = operators.Dedup.withCdcChunks(docs)
+      .select(col("doc_id"), col("w"), col("bnd"), col("chunks")).collect()
+    val mut = operators.Dedup.withCdcChunks(
+        docs.select(col("doc_id"),
+          expr("concat(array('zq'), w)").as("w")))
+      .select(col("doc_id"), col("chunks")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1).toSet).toMap
+    assert(base.nonEmpty)
+    var realigned = 0
+    base.foreach { r =>
+      val w = r.getSeq[String](1)
+      val bnd = r.getSeq[Long](2)
+      val chunks = r.getSeq[String](3)
+      assert(chunks.mkString(" ") == w.mkString(" "), "chunks repartition the doc")
+      bnd.foreach { b =>
+        val h = w.slice(b.toInt - 8, b.toInt).mkString(" ")
+          .foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+        assert(h % 32 == 0, s"boundary $b violates the cut rule")
+      }
+      val starts = 1L +: bnd.map(_ + 1)
+      val stable = chunks.zip(starts).collect {
+        case (c, s) if s > 9 => c // window fully past the front edit
+      }
+      stable.foreach { c =>
+        assert(mut(r.getAs[Long]("doc_id")).contains(c),
+          "post-edit chunk must re-align verbatim")
+        realigned += 1
+      }
+    }
+    assert(realigned > 0, "fixture must exercise the re-alignment path")
+  }
+
+  test("q439 winnowing: every window holds a selection, and each selection " +
+    "is the rightmost minimum of its window") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Dedup.withWinnowFps(
+        spark.read.parquet(s"$dir/documents.parquet").limit(40)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8))
+      .select(col("m"), col("gh"), col("ps")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m").toInt
+      val gh = r.getSeq[Long](1)
+      val ps = r.getSeq[Long](2).map(_.toInt).toSet
+      (1 to m - 3).foreach { j =>
+        val win = (j to j + 3)
+        val sel = win.filter(ps.contains)
+        assert(sel.nonEmpty, s"window $j has no fingerprint (coverage law)")
+      }
+      ps.foreach { p =>
+        // p must be the rightmost minimum of SOME window containing it
+        val isSel = (math.max(1, p - 3) to math.min(p, m - 3)).exists { j =>
+          val win = (j to j + 3)
+          val mn = win.map(i => gh(i - 1)).min
+          gh(p - 1) == mn && win.filter(i => gh(i - 1) == mn).max == p
+        }
+        assert(isSel, s"position $p is not a rightmost window minimum")
+      }
+    }
+  }
+
+  test("q438 Luhn predicate passes/fails the published test vectors") {
+    // 4111111111111111 and 79927398713 (the ISO worked example) are valid;
+    // single-digit perturbations and the +5-shifted check digit are not.
+    val cases = Seq(
+      ("4111111111111111", true), ("4111111111111112", false),
+      ("79927398713", true), ("79927398710", false),
+      ("5555555555554444", true), ("378282246310005", true),
+      ("1234567812345678", false))
+    val got = spark.sql(
+      s"""SELECT filter(array(${cases.map(c => s"'${c._1}'").mkString(",")}),
+         |  t -> ${operators.Pipeline.luhnValidSparkSql}) AS ok""".stripMargin)
+      .collect().head.getSeq[String](0).toSet
+    cases.foreach { case (s, want) =>
+      assert(got.contains(s) == want, s"Luhn($s) should be $want")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
