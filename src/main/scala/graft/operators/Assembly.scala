@@ -548,5 +548,56 @@ object Assembly {
         .orderBy($"source", $"strategy")
     },
 
+    q("q441_prefix_cache", {
+      // gp outer lambda var (duckPolyHash binds i internally)
+      val ph = TextHash.duckPolyHash("array_to_string(w[1:CAST(d AS INT)], ' ')")
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |x AS (SELECT doc_id, w, unnest([8, 16, 32]) AS d FROM wds),
+         |p AS (SELECT CAST(d AS BIGINT) AS d, $ph AS k
+         |  FROM x WHERE len(w) >= d),
+         |g AS (SELECT d, k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY d, k)
+         |SELECT d AS depth,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_eligible,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(cnt - 1) AS BIGINT) AS n_cache_hits,
+         |  CAST((SUM(cnt - 1) * 1000000) // SUM(cnt) AS BIGINT)
+         |    AS hit_ppm,
+         |  CAST(MAX(cnt) AS BIGINT) AS hottest_prefix
+         |FROM g GROUP BY d ORDER BY depth"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Prefix-cache (radix-tree KV-cache) sharing audit — the serving-
+      // economics readout beside q389's speculative-decoding acceptance:
+      // an inference server that caches KV states by token prefix serves
+      // every request whose first d tokens match a cached entry without
+      // recomputing them, so the shareable mass is SUM(group_size - 1)
+      // over exact-prefix groups. Measured at depths 8/16/32 (deeper =
+      // rarer but each hit saves more). hottest_prefix is the capacity-
+      // planning number — one viral prefix family concentrates cache
+      // traffic. Prefix hashing is map-side; the (depth, key) count is
+      // the only shuffle, 3 instances per doc. At 100 TB the same plan
+      // holds: groups are keyed, never enumerated pairwise.
+      graft.functions.GraftExpressions.register(s)
+      T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"),
+          explode(expr("array(8, 16, 32)")).as("d"))
+        .filter(size($"w") >= $"d")
+        .select($"d".cast("long").as("d"),
+          expr("graft_polyhash(concat_ws(' ', slice(w, 1, d)))").as("k"))
+        .groupBy($"d", $"k").agg(count(lit(1)).as("cnt"))
+        .groupBy($"d")
+        .agg(sum($"cnt").as("n_eligible"),
+          count(lit(1)).as("n_groups"),
+          sum($"cnt" - 1).as("n_cache_hits"),
+          expr("CAST((SUM(cnt - 1) * 1000000) div SUM(cnt) AS BIGINT)")
+            .as("hit_ppm"),
+          max($"cnt").as("hottest_prefix"))
+        .select($"d".as("depth"), $"n_eligible", $"n_groups",
+          $"n_cache_hits", $"hit_ppm", $"hottest_prefix")
+        .orderBy($"depth")
+    },
+
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.ColFns.{detExpMicro, detExpMicroSql, detMln, detMlnInt, detMlnIntSql, detMlnSql}
 import graft.QueryDef.q
+import graft.functions.TextHash.duckPolyHash
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -966,6 +967,66 @@ object Training {
           $"nll_micro", $"share_ppm", $"alloc_tokens", $"epochs_micro",
           $"effective_tokens")
         .orderBy($"source")
-    }
+    },
+
+    q("q440_epoch_shuffle", {
+      val k = duckPolyHash("(CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR))")
+      val kn = duckPolyHash("(CAST(doc_id AS VARCHAR) || ':' || CAST((e + 1) % 3 AS VARCHAR))")
+      s"""WITH d AS (SELECT doc_id, unnest([0, 1, 2]) AS e FROM documents),
+         |k AS (SELECT doc_id, CAST(e AS BIGINT) AS ep,
+         |    $k AS k, $kn AS kn
+         |  FROM d),
+         |b AS (SELECT doc_id, ep, k, k % 1024 AS bkt,
+         |    CASE WHEN k % 1024 = kn % 1024 THEN 1 ELSE 0 END AS agree
+         |  FROM k),
+         |loads AS (SELECT ep, bkt, CAST(COUNT(*) AS BIGINT) AS load
+         |  FROM b GROUP BY ep, bkt),
+         |ml AS (SELECT ep, CAST(MAX(load) AS BIGINT) AS max_bucket_load
+         |  FROM loads GROUP BY ep)
+         |SELECT b.ep AS epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT b.k) AS BIGINT) AS n_distinct_keys,
+         |  CAST(MIN(ml.max_bucket_load) AS BIGINT) AS max_bucket_load,
+         |  CAST((SUM(b.agree) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS agree_next_ppm
+         |FROM b JOIN ml ON ml.ep = b.ep
+         |GROUP BY b.ep ORDER BY epoch"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Epoch-shuffle audit — the reproducible-data-order contract of a
+      // training run: epoch e's order key is hash(doc_id ':' e), so the
+      // permutation is deterministic (re-runs and restarts see the same
+      // stream), and per-epoch orders must be DECORRELATED — a doc's
+      // 1024-bucket "batch neighborhood" should agree with the next
+      // epoch's at the chance rate 1/1024 (~977 ppm), never cluster.
+      // Readout per epoch: key-collision check (distinct keys vs docs),
+      // the hottest bucket load (stragglers in a batch-parallel reader),
+      // and the cyclic next-epoch agreement rate. The bucket table is
+      // bounded (3x1024); everything else is map-side hashing — the
+      // global sort a naive ORDER BY hash audit would need never
+      // materializes. Complements q409 (curriculum order) and q123
+      // (split assignment) on the same md5/polyhash discipline.
+      graft.functions.GraftExpressions.register(s)
+      val b = T(s, dir, "documents")
+        .select($"doc_id", explode(expr("sequence(0, 2)")).as("e"))
+        .select($"doc_id", $"e".cast("long").as("e"),
+          expr("graft_polyhash(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST(e AS STRING)))").as("k"),
+          expr("graft_polyhash(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST((e + 1) % 3 AS STRING)))").as("kn"))
+        .select($"doc_id", $"e", $"k", ($"k" % 1024).as("bkt"),
+          when($"k" % 1024 === $"kn" % 1024, 1L).otherwise(0L).as("agree"))
+        .transform(graft.CacheScope.cached) // per-epoch agg + bucket loads
+      val ml = b.groupBy($"e", $"bkt").agg(count(lit(1)).as("load"))
+        .groupBy($"e").agg(max($"load").as("max_bucket_load"))
+      b.groupBy($"e")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"k").as("n_distinct_keys"),
+          expr("CAST((SUM(agree) * 1000000) div COUNT(1) AS BIGINT)")
+            .as("agree_next_ppm"))
+        .join(ml, "e")
+        .select($"e".as("epoch"), $"n_docs", $"n_distinct_keys",
+          $"max_bucket_load", $"agree_next_ppm")
+        .orderBy($"epoch")
+    },
   )
 }

@@ -973,6 +973,14 @@ object PlanAudit {
       "partner degree via the fingerprint equi-join (MOSS candidates, never all-pairs)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+    "q440_epoch_shuffle" -> Seq(
+      "per-epoch keys hash map-side; aggregations are keyed (bucket table bounded at 3x1024)" -> "HashAggregate",
+      "no global sort of the corpus order" -> "!Sort [k",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q441_prefix_cache" -> Seq(
+      "the (depth, prefix-key) count is the only corpus shuffle" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q427_streaming_periods" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(

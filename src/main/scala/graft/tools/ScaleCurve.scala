@@ -90,7 +90,13 @@ object ScaleCurve {
     // map-side period scan (pure linear baseline), and the LM-vs-gate
     // audit (token-keyed LM join + bounded decile machinery)
     "q421_pca_anisotropy", "q423_unigram_lm_tokenizer",
-    "q425_period_detection", "q426_lm_gate_agreement")
+    "q425_period_detection", "q426_lm_gate_agreement",
+    // driver round 10: CDC chunking (chunk-hash occurrence shuffle —
+    // the storage-dedup plan must stay linear in chunk instances),
+    // winnowing (fingerprint equi-join partner degree — must stay
+    // subquadratic on the decorrelated 10x corpus), and the Luhn scan
+    // as a pure map-side linear baseline
+    "q437_cdc_chunking", "q439_winnowing", "q438_luhn_pii")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 
