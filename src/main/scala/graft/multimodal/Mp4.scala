@@ -108,6 +108,64 @@ object Mp4 {
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
+  /** Fragmented MP4 (the CMAF/DASH/HLS shape): ftyp + moov(mvhd +
+    * mvex(trex) + trak) + per fragment [moof(mfhd(seq) + traf(tfhd)) +
+    * mdat]. Sequence numbers are 1-based in fragment order — the
+    * continuity a segment-ingest pipeline must verify before stitching.
+    */
+  def encodeFmp4(track: TrackSpec, durationMs: Long,
+      fragments: Seq[Array[Byte]]): Array[Byte] = {
+    val whole = encodeMp4(Seq(track), durationMs,
+      mdatPayload = Array.emptyByteArray, mdatLargesize = false)
+    // reuse the unfragmented encoder's ftyp + moov, dropping its empty
+    // mdat (8 bytes) and splicing mvex(trex) into moov
+    val head = whole.dropRight(8)
+    val trex = {
+      val b = ByteBuffer.allocate(32).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(32).put("trex".getBytes(US_ASCII))
+      b.putInt(0) // version/flags
+      b.putInt(track.trackId).putInt(1).putInt(0).putInt(0)
+      b.array()
+    }
+    val mvex = {
+      val b = ByteBuffer.allocate(8 + trex.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + trex.length).put("mvex".getBytes(US_ASCII)).put(trex)
+      b.array()
+    }
+    // grow moov's declared size and insert mvex right after mvhd
+    val ftypLen = 24
+    val moovSize = ByteBuffer.wrap(head, ftypLen, 4)
+      .order(ByteOrder.BIG_ENDIAN).getInt
+    val out = ByteBuffer.allocate(head.length + mvex.length +
+        fragments.map(f => 56 + f.length).sum)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.put(head, 0, ftypLen)
+    out.putInt(moovSize + mvex.length).put("moov".getBytes(US_ASCII))
+    out.put(head, ftypLen + 8, 108) // mvhd verbatim
+    out.put(mvex)
+    out.put(head, ftypLen + 8 + 108, head.length - ftypLen - 8 - 108) // trak
+    fragments.zipWithIndex.foreach { case (p, f0) =>
+      out.putInt(48).put("moof".getBytes(US_ASCII))
+      out.putInt(16).put("mfhd".getBytes(US_ASCII))
+      out.putInt(0).putInt(f0 + 1) // sequence_number, 1-based
+      out.putInt(24).put("traf".getBytes(US_ASCII))
+      out.putInt(16).put("tfhd".getBytes(US_ASCII))
+      out.putInt(0).putInt(track.trackId)
+      out.putInt(8 + p.length).put("mdat".getBytes(US_ASCII)).put(p)
+    }
+    require(!out.hasRemaining, "fMP4 size accounting drifted")
+    out.array()
+  }
+
+  /** mfhd sequence numbers in file order, from the walked tree. */
+  def mfhdSeqs(bytes: Array[Byte]): Vector[Long] =
+    walkBoxes(bytes).filter(_.fourcc == "mfhd").map { b =>
+      val buf = ByteBuffer.wrap(bytes, b.payloadOff.toInt, 8)
+        .order(ByteOrder.BIG_ENDIAN)
+      buf.getInt // version/flags
+      buf.getInt.toLong & 0xffffffffL
+    }
+
   /** Walk the full box tree. Returns boxes in file order (parents before
     * children). Rejects truncated/overlapping structure loudly — a
     * provenance manifest built on a silently-misparsed container is

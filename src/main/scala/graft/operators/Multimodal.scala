@@ -790,5 +790,65 @@ object Multimodal {
           "mdat_bytes", "mdat_hdr", "duration_ms", "mdat_sum")
         .orderBy($"doc_id")
     },
+
+    q("q442_fmp4_fragments",
+      // Fragmented-MP4 (CMAF/DASH/HLS) ingest manifest — the segment-
+      // stitching check a streaming-video pipeline runs before treating k
+      // fragments as one asset: walk the real moof/traf grammar, read
+      // each mfhd sequence_number from parsed bytes, and verify
+      // CONTINUITY (seq = 1..k in file order, the property a dropped or
+      // reordered segment breaks). Census/file-size/payload byte-sum
+      // probes as in q436 so a walker that skips fragment payloads
+      // cannot pass. DuckDB replays everything arithmetically from the
+      // closed-form fragment layout. Map-side per file; no shuffle.
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS k FROM documents),
+        |fp AS (SELECT doc_id, k, f, 32 + (doc_id + 17*f) % 64 AS plen
+        |  FROM (SELECT doc_id, k, unnest(range(1, k + 1)) AS f FROM m)),
+        |ps AS (SELECT doc_id,
+        |    CAST(SUM((doc_id + 11*f + 3*i) % 256) AS BIGINT) AS psum
+        |  FROM (SELECT doc_id, f, unnest(range(plen)) AS i FROM fp)
+        |  GROUP BY doc_id),
+        |ag AS (SELECT doc_id, CAST(MIN(k) AS BIGINT) AS k,
+        |    CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+        |    CAST(358 + SUM(56 + plen) AS BIGINT) AS file_bytes
+        |  FROM fp GROUP BY doc_id)
+        |SELECT ag.doc_id, ag.k AS n_fragments,
+        |  CAST(10 + 5 * ag.k AS BIGINT) AS n_boxes,
+        |  CAST(1 AS BIGINT) AS seq_ok,
+        |  ag.payload_bytes, ag.file_bytes, ps.psum AS payload_sum,
+        |  CAST(1000 * (1 + ag.doc_id % 30) AS BIGINT) AS duration_ms
+        |FROM ag JOIN ps ON ps.doc_id = ag.doc_id
+        |ORDER BY ag.doc_id""") { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (1 + id % 4).toInt
+          val frags = (1 to k).map { f =>
+            val plen = (32 + (id + 17L * f) % 64).toInt
+            Array.tabulate(plen)(i => ((id + 11L * f + 3L * i) % 256).toByte)
+          }
+          val track = graft.multimodal.Mp4.TrackSpec(
+            1, 16 + (id % 16).toInt, 8 + (id % 8).toInt)
+          val bytes = graft.multimodal.Mp4.encodeFmp4(
+            track, 1000L * (1 + id % 30), frags)
+          val boxes = graft.multimodal.Mp4.walkBoxes(bytes)
+          val mdats = boxes.filter(_.fourcc == "mdat")
+          var psum = 0L
+          mdats.foreach { md =>
+            var i = md.payloadOff.toInt
+            while (i < (md.off + md.size).toInt) { psum += bytes(i) & 0xff; i += 1 }
+          }
+          val seqs = graft.multimodal.Mp4.mfhdSeqs(bytes)
+          val (_, dur) = graft.multimodal.Mp4.parseMvhd(bytes)
+          (id, boxes.count(_.fourcc == "moof").toLong, boxes.size.toLong,
+            if (seqs == (1L to seqs.size.toLong)) 1L else 0L,
+            mdats.map(b => b.off + b.size - b.payloadOff).sum,
+            bytes.length.toLong, psum, dur)
+        })
+        .toDF("doc_id", "n_fragments", "n_boxes", "seq_ok", "payload_bytes",
+          "file_bytes", "payload_sum", "duration_ms")
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -53,6 +53,30 @@ class Mp4Spec extends AnyFunSuite {
     assert(boxes == Vector(Mp4.Box("mdat", 1, 0L, 20L, 8L)))
   }
 
+  test("fragmented MP4: census, sequence continuity, and payload sizes") {
+    for (id <- Seq(0L, 1L, 3L, 7L, 64L)) {
+      val k = (1 + id % 4).toInt
+      val frags = (1 to k).map { f =>
+        Array.tabulate((32 + (id + 17L * f) % 64).toInt)(i =>
+          ((id + 11L * f + 3L * i) % 256).toByte)
+      }
+      val bytes = Mp4.encodeFmp4(Mp4.TrackSpec(1, 16, 8), 5000L, frags)
+      val boxes = Mp4.walkBoxes(bytes)
+      assert(boxes.size == 10 + 5 * k)
+      assert(boxes.count(_.fourcc == "moof") == k)
+      assert(boxes.count(_.fourcc == "mdat") == k)
+      assert(Mp4.mfhdSeqs(bytes) == (1L to k.toLong))
+      assert(bytes.length == 358 + frags.map(56 + _.length).sum)
+      assert(Mp4.parseMvhd(bytes) == ((1000L, 5000L)))
+      // fragment payloads land byte-exactly at their mdat offsets
+      boxes.filter(_.fourcc == "mdat").zip(frags).foreach { case (b, p) =>
+        assert(b.off + b.size - b.payloadOff == p.length)
+        assert(bytes.slice(b.payloadOff.toInt,
+          (b.off + b.size).toInt).sameElements(p))
+      }
+    }
+  }
+
   test("malformed structure fails loudly") {
     val good = fixture(3L)
     // truncated mid-box
