@@ -1390,5 +1390,94 @@ object Dedup {
           $"fp_sum", coalesce($"n_partners", lit(0L)).as("n_partners"))
         .orderBy($"doc_id")
     },
+
+    q("q443_incremental_cdc", {
+      val sp = splitCaseDuck("doc_id")
+      val hashWin = duckPolyHash("array_to_string(w[CAST(gi-7 AS INT):CAST(gi AS INT)], ' ')")
+      s"""WITH wds AS (SELECT doc_id, $sp AS sp, string_split(text, ' ') AS w
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, sp, w, len(w) AS n FROM wds),
+         |hb AS (SELECT doc_id, sp, w, n,
+         |    CASE WHEN n >= 8 THEN list_filter(range(8, n), gi ->
+         |        ($hashWin) % 32 = 0)
+         |      ELSE [] END AS bnd
+         |  FROM c0),
+         |se AS (SELECT doc_id, sp, w, n,
+         |    list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(bnd, gb -> gb + 1)) AS starts,
+         |    list_append(bnd, CAST(n AS BIGINT)) AS ends
+         |  FROM hb),
+         |ch AS (SELECT doc_id, sp,
+         |    list_transform(range(1, len(starts) + 1), gk ->
+         |      array_to_string(w[CAST(starts[CAST(gk AS INT)] AS INT):
+         |        CAST(ends[CAST(gk AS INT)] AS INT)], ' ')) AS chunks
+         |  FROM se),
+         |inst AS (SELECT doc_id, sp, gk,
+         |    ${duckPolyHash("chunks[CAST(gk AS INT)]")} AS h
+         |  FROM (SELECT doc_id, sp, chunks,
+         |      unnest(range(1, len(chunks) + 1)) AS gk FROM ch)),
+         |idx AS (SELECT DISTINCT h FROM inst WHERE sp <> 'test'),
+         |del AS (SELECT doc_id, h, doc_id * 1000000 + gk AS ok
+         |  FROM inst WHERE sp = 'test'),
+         |fo AS (SELECT h, MIN(ok) AS first_ok FROM del GROUP BY h),
+         |fl AS (SELECT del.doc_id,
+         |    CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END AS hi,
+         |    CASE WHEN idx.h IS NULL AND del.ok > fo.first_ok
+         |      THEN 1 ELSE 0 END AS hb
+         |  FROM del LEFT JOIN idx ON idx.h = del.h
+         |           JOIN fo ON fo.h = del.h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(hi) AS BIGINT) AS n_hit_index,
+         |  CAST(SUM(hb) AS BIGINT) AS n_hit_batch,
+         |  CAST(COUNT(*) - SUM(hi) - SUM(hb) AS BIGINT) AS n_new,
+         |  CAST(((SUM(hi) + SUM(hb)) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS reuse_ppm
+         |FROM fl GROUP BY doc_id ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Incremental CDC chunk dedup — q437's per-ingest shape, completing
+      // the delta-update family (q385 minhash bands, q396 idf, q376
+      // centroids): a DELTA batch (the md5 'test' slice standing in for
+      // today's snapshot) is chunked map-side and checked against the
+      // PERSISTED chunk-hash index of the existing store (in production a
+      // table keyed by h; derived here from the non-delta slice — same
+      // contract as q385's band index). The store is NEVER re-chunked per
+      // ingest. Instances already in the index are served from storage
+      // (hit_index); within-batch repeats use the keep-first rule on the
+      // deterministic (doc_id, chunk_idx) order key (hit_batch); the rest
+      // are genuinely new bytes. Because boundaries are content-defined
+      // (q437's re-alignment law), an edited document still hits the
+      // index on every chunk past the edit window — the whole point of
+      // CDC storage. O(delta) chunking + one bucketed hash join per
+      // ingest; order key assumes < 10^6 chunks/doc (comment-enforced,
+      // ~32-token chunks ⇒ 32M-token docs before it binds).
+      val sp = splitCaseSpark("doc_id")
+      val inst = Dedup.withCdcChunks(T(s, dir, "documents")
+          .withColumn("sp", expr(sp))
+          .withColumn("w", split($"text", " ")))
+        .select($"doc_id", $"sp", posexplode($"chunks"))
+        .select($"doc_id", $"sp", $"pos",
+          expr(polyHashSql("col")).as("h"))
+        .transform(graft.CacheScope.cached) // index + delta sides
+      val idx = inst.filter($"sp" =!= "test").select($"h").distinct()
+        .withColumn("in_idx", lit(1))
+      val del = inst.filter($"sp" === "test")
+        .withColumn("ok", $"doc_id" * 1000000L + $"pos" + 1)
+      val fo = del.groupBy($"h").agg(min($"ok").as("first_ok"))
+      del.join(idx, Seq("h"), "left")
+        .join(fo, "h")
+        .select($"doc_id",
+          when($"in_idx".isNotNull, 1L).otherwise(0L).as("hi"),
+          when($"in_idx".isNull && $"ok" > $"first_ok", 1L).otherwise(0L)
+            .as("hb"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"hi").as("n_hit_index"),
+          sum($"hb").as("n_hit_batch"),
+          (count(lit(1)) - sum($"hi") - sum($"hb")).as("n_new"),
+          expr("CAST(((SUM(hi) + SUM(hb)) * 1000000) div COUNT(1) " +
+            "AS BIGINT)").as("reuse_ppm"))
+        .orderBy($"doc_id")
+    },
   )
 }

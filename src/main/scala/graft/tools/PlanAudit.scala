@@ -969,6 +969,10 @@ object PlanAudit {
       "chunk-hash occurrence count is the one corpus shuffle (the storage-dedup plan)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q443_incremental_cdc" -> Seq(
+      "delta instances meet the persisted index in a bucketed hash equi-join" -> "HashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q438_luhn_pii" -> Seq(
       "plant, scan and Luhn validation are map-side; only the source rollup shuffles" -> "HashAggregate",
       "no join anywhere" -> "!Join",
