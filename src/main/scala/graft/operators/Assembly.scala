@@ -581,7 +581,7 @@ object Assembly {
       // holds: groups are keyed, never enumerated pairwise.
       graft.functions.GraftExpressions.register(s)
       T(s, dir, "documents")
-        .select($"doc_id", split($"text", " ").as("w"),
+        .select(split($"text", " ").as("w"),
           explode(expr("array(8, 16, 32)")).as("d"))
         .filter(size($"w") >= $"d")
         .select($"d".cast("long").as("d"),

@@ -44,11 +44,30 @@ object Dedup {
     * an outer `i` would be silently captured (the Spark-side twin of the
     * duckPolyHash `gi` rule).
     */
-  private[graft] def withCdcChunks(df: DataFrame): DataFrame = df
+  private[graft] def withCdcChunks(df: DataFrame): DataFrame = {
+    // Two-level rolling hash: each WORD is hashed once with the native
+    // codegen'd graft_polyhash, and the 8-word window fingerprint is a
+    // pure integer fold (acc*31 + wordhash) % P over the word-hash
+    // array. The first cut of this helper hashed the window STRING via
+    // the polyHashSql HOF mirror, which re-evaluates its textual
+    // argument per character inside the lambda — quadratic in window
+    // bytes and all string allocation (measured: q437 alone >280 s at
+    // sf0.1; this form: ~1 s). HOF lambda bodies are interpreted, so
+    // the hot loop must be integer-only.
+    graft.functions.GraftExpressions.register(df.sparkSession)
+    df
     .withColumn("n", size(col("w")).cast("long"))
+    .withColumn("wh", expr("transform(w, x -> graft_polyhash(x))"))
+    // materialization barrier: CollapseProject would otherwise inline
+    // wh's transform INTO bnd's filter lambda, and HOF lambda bodies
+    // re-evaluate invariant subtrees per element — every boundary
+    // candidate would re-hash ALL words, O(n^2) per doc (measured: q437
+    // ~20 s of pure fixed-shape work at sf0.1; with the barrier, ~1 s).
+    .transform(graft.CacheScope.cached)
     .withColumn("bnd", expr(
       s"""IF(n >= 9, filter(sequence(CAST(8 AS BIGINT), n - 1), bi ->
-         |  ${polyHashSql("concat_ws(' ', slice(w, CAST(bi - 7 AS INT), 8))")} % 32 = 0),
+         |  aggregate(slice(wh, CAST(bi - 7 AS INT), 8), CAST(0 AS BIGINT),
+         |    (acc, x) -> (acc * 31 + x) % ${P}) % 32 = 0),
          |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin))
     .withColumn("starts", expr(
       "concat(array(CAST(1 AS BIGINT)), transform(bnd, b -> b + 1))"))
@@ -58,6 +77,7 @@ object Dedup {
         |  concat_ws(' ', slice(w, CAST(element_at(starts, k) AS INT),
         |    CAST(element_at(ends, k) - element_at(starts, k) + 1 AS INT))))"""
         .stripMargin))
+  }
 
   /** q439's winnowing selector over a words-array column `w` (size >= 8):
     * adds `m` (gram count), `gh` (5-token k-gram hashes), `c` (the
@@ -65,12 +85,23 @@ object Dedup {
     * and `fps` (fingerprint hashes). Shared with QueriesSpec's coverage/
     * rightmost-min laws. `ti`, not `i` (see [[withCdcChunks]]).
     */
-  private[graft] def withWinnowFps(df: DataFrame): DataFrame = df
+  private[graft] def withWinnowFps(df: DataFrame): DataFrame = {
+    // same two-level rolling hash as [[withCdcChunks]]: word hashes via
+    // the native kernel once, the 5-gram fingerprint as an integer fold
+    // — HOF lambdas are interpreted, so no string building in them
+    graft.functions.GraftExpressions.register(df.sparkSession)
+    df
     .withColumn("m", (size(col("w")) - 4).cast("long"))
+    .withColumn("wh", expr("transform(w, x -> graft_polyhash(x))"))
+    // barrier before the per-position lambdas, as in [[withCdcChunks]]
+    .transform(graft.CacheScope.cached)
     .withColumn("gh", expr(
       s"""transform(sequence(1, size(w) - 4), ti ->
-         |  ${polyHashSql("concat_ws(' ', slice(w, CAST(ti AS INT), 5))")})"""
-        .stripMargin))
+         |  aggregate(slice(wh, CAST(ti AS INT), 5), CAST(0 AS BIGINT),
+         |    (acc, x) -> (acc * 31 + x) % ${P}))""".stripMargin))
+    // second barrier: ps's window lambda inlines c which inlines gh —
+    // without it each window min re-derives the whole gram-hash array
+    .transform(graft.CacheScope.cached)
     .withColumn("c", expr(
       "transform(sequence(1, CAST(m AS INT)), i -> " +
         "(element_at(gh, i) + 1) * 1048576 - CAST(i AS BIGINT))"))
@@ -79,6 +110,7 @@ object Dedup {
         "1048576 - (array_min(slice(c, j, 4)) % 1048576)))"))
     .withColumn("fps", expr(
       "array_distinct(transform(ps, p -> element_at(gh, CAST(p AS INT))))"))
+  }
 
   /** Shared oracle for q41/q92: both compute the identical exact n-gram
     * Jaccard result; they differ only in the Spark-side candidate plan.
@@ -1244,15 +1276,20 @@ object Dedup {
     },
 
     q("q437_cdc_chunking", {
-      // DuckDB mirror of chunksSql — NOTE the gi/gk outer lambda variables
-      // (duckPolyHash binds `i` internally; an outer `i` silently NULLs).
-      val hashWin = duckPolyHash("array_to_string(w[CAST(gi-7 AS INT):CAST(gi AS INT)], ' ')")
+      // DuckDB mirror of withCdcChunks — NOTE the gx/gi/gk outer lambda
+      // variables (duckPolyHash binds `i` internally; an outer `i`
+      // silently NULLs). Window fingerprint = integer fold over per-word
+      // hashes, mirroring the Spark side's two-level rolling hash.
+      val hashWord = duckPolyHash("gx")
       s"""WITH wds AS (SELECT doc_id, source, string_split(text, ' ') AS w
          |  FROM documents),
-         |c0 AS (SELECT doc_id, source, w, len(w) AS n FROM wds),
+         |c0 AS (SELECT doc_id, source, w, len(w) AS n,
+         |    list_transform(w, gx -> $hashWord) AS wh FROM wds),
          |hb AS (SELECT doc_id, source, w, n,
          |    CASE WHEN n >= 8 THEN list_filter(range(8, n), gi ->
-         |        ($hashWin) % 32 = 0)
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          wh[CAST(gi-7 AS INT):CAST(gi AS INT)]),
+         |          (acc, x) -> (acc * 31 + x) % $P) % 32 = 0)
          |      ELSE [] END AS bnd
          |  FROM c0),
          |se AS (SELECT doc_id, source, w, n,
@@ -1304,7 +1341,8 @@ object Dedup {
         .select($"doc_id", $"source", posexplode($"chunks"))
         .select($"doc_id", $"source",
           expr("CAST(size(split(col, ' ')) AS BIGINT)").as("clen"),
-          expr(polyHashSql("col")).as("h"))
+          expr("graft_polyhash(col)").as("h"))
+        .transform(graft.CacheScope.cached) // occurrence count + join side
         .transform { inst =>
           val occ = inst.groupBy($"h").agg(count(lit(1)).as("cnt"))
           inst.join(occ, "h")
@@ -1321,13 +1359,20 @@ object Dedup {
     },
 
     q("q439_winnowing", {
-      // gi/gj/gp outer lambda variables per the duckPolyHash binding rule.
-      val gram = duckPolyHash("array_to_string(w[CAST(gi AS INT):CAST(gi+4 AS INT)], ' ')")
+      // gx/gi/gj/gp outer lambda variables per the duckPolyHash binding
+      // rule; gram fingerprint = integer fold over per-word hashes,
+      // mirroring withWinnowFps' two-level rolling hash.
+      val hashWord = duckPolyHash("gx")
       s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents),
-         |c0 AS (SELECT doc_id, w, len(w) AS n FROM wds WHERE len(w) >= 8),
+         |c0 AS (SELECT doc_id, w, len(w) AS n,
+         |    list_transform(w, gx -> $hashWord) AS wh
+         |  FROM wds WHERE len(w) >= 8),
          |g AS (SELECT doc_id, n - 4 AS m,
-         |    list_transform(range(1, n - 3), gi -> $gram) AS gh
+         |    list_transform(range(1, n - 3), gi ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        wh[CAST(gi AS INT):CAST(gi+4 AS INT)]),
+         |        (acc, x) -> (acc * 31 + x) % $P)) AS gh
          |  FROM c0),
          |cc AS (SELECT doc_id, m, gh,
          |    list_transform(range(1, m + 1), gi ->
@@ -1393,13 +1438,16 @@ object Dedup {
 
     q("q443_incremental_cdc", {
       val sp = splitCaseDuck("doc_id")
-      val hashWin = duckPolyHash("array_to_string(w[CAST(gi-7 AS INT):CAST(gi AS INT)], ' ')")
+      val hashWord = duckPolyHash("gx")
       s"""WITH wds AS (SELECT doc_id, $sp AS sp, string_split(text, ' ') AS w
          |  FROM documents),
-         |c0 AS (SELECT doc_id, sp, w, len(w) AS n FROM wds),
+         |c0 AS (SELECT doc_id, sp, w, len(w) AS n,
+         |    list_transform(w, gx -> $hashWord) AS wh FROM wds),
          |hb AS (SELECT doc_id, sp, w, n,
          |    CASE WHEN n >= 8 THEN list_filter(range(8, n), gi ->
-         |        ($hashWin) % 32 = 0)
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          wh[CAST(gi-7 AS INT):CAST(gi AS INT)]),
+         |          (acc, x) -> (acc * 31 + x) % $P) % 32 = 0)
          |      ELSE [] END AS bnd
          |  FROM c0),
          |se AS (SELECT doc_id, sp, w, n,
@@ -1457,7 +1505,7 @@ object Dedup {
           .withColumn("w", split($"text", " ")))
         .select($"doc_id", $"sp", posexplode($"chunks"))
         .select($"doc_id", $"sp", $"pos",
-          expr(polyHashSql("col")).as("h"))
+          expr("graft_polyhash(col)").as("h"))
         .transform(graft.CacheScope.cached) // index + delta sides
       val idx = inst.filter($"sp" =!= "test").select($"h").distinct()
         .withColumn("in_idx", lit(1))

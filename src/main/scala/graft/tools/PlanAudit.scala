@@ -988,7 +988,7 @@ object PlanAudit {
     "q441_prefix_cache" -> Seq(
       "the (depth, prefix-key) count is the only corpus shuffle" -> "HashAggregate",
       "no join anywhere" -> "!Join",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+      "only text read (doc_id pruned away)" -> "ReadSchema: struct<text:string>"),
     "q427_streaming_periods" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
     "q426_lm_gate_agreement" -> Seq(

@@ -400,8 +400,12 @@ class QueriesSpec extends AnyFunSuite {
       val chunks = r.getSeq[String](3)
       assert(chunks.mkString(" ") == w.mkString(" "), "chunks repartition the doc")
       bnd.foreach { b =>
-        val h = w.slice(b.toInt - 8, b.toInt).mkString(" ")
-          .foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+        // the two-level rolling hash: per-word char fold, then an integer
+        // fold of the 8 word hashes (withCdcChunks' exact arithmetic)
+        def wh(s: String) =
+          s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+        val h = w.slice(b.toInt - 8, b.toInt)
+          .foldLeft(0L)((a, word) => (a * 31 + wh(word)) % 1000000007L)
         assert(h % 32 == 0, s"boundary $b violates the cut rule")
       }
       val starts = 1L +: bnd.map(_ + 1)
