@@ -968,11 +968,11 @@ object PlanAudit {
     "q437_cdc_chunking" -> Seq(
       "chunk-hash occurrence count is the one corpus shuffle (the storage-dedup plan)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "word-hash array staged through the in-memory barrier (HOF lambdas must reference an attribute)" -> "InMemoryTableScan"),
     "q443_incremental_cdc" -> Seq(
       "delta instances meet the persisted index in a bucketed hash equi-join" -> "HashJoin",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+      "word-hash array staged through the in-memory barrier" -> "InMemoryTableScan"),
     "q438_luhn_pii" -> Seq(
       "plant, scan and Luhn validation are map-side; only the source rollup shuffles" -> "HashAggregate",
       "no join anywhere" -> "!Join",
@@ -980,7 +980,7 @@ object PlanAudit {
     "q439_winnowing" -> Seq(
       "partner degree via the fingerprint equi-join (MOSS candidates, never all-pairs)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
+      "gram-hash array staged through the in-memory barrier" -> "InMemoryTableScan"),
     "q440_epoch_shuffle" -> Seq(
       "per-epoch keys hash map-side; aggregations are keyed (bucket table bounded at 3x1024)" -> "HashAggregate",
       "no global sort of the corpus order" -> "!Sort [k",
