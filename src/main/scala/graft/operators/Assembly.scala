@@ -548,6 +548,55 @@ object Assembly {
         .orderBy($"source", $"strategy")
     },
 
+    q("q444_contribution_capping",
+      // User-level DP preprocessing — the step BEFORE q413's accountant
+      // can promise anything: bound each user's contribution per released
+      // statistic (here: at most k=5 events per (user, event_type)), so
+      // one user's presence changes any count by at most k — the
+      // sensitivity bound DP noise is calibrated to. Selection must be
+      // DETERMINISTIC and content-uniform, so the kept events are the
+      // k smallest by md5(event_id) (hash order, not time order — a
+      // take-first-k-by-time cap biases the capped sample toward early
+      // behavior). Readout per event_type: raw/kept counts, clipped
+      // mass, contributing users, and the before/after max contribution
+      // (after must be <= 5 — the certified sensitivity). The window is
+      // keyed by (user, event_type) — group-sized, never corpus-sized.
+      """WITH r AS (SELECT event_type, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events),
+        |u AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS raw,
+        |    CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(raw) AS BIGINT) AS n_raw,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(((SUM(raw) - SUM(kept)) * 1000000) // SUM(raw) AS BIGINT)
+        |    AS clipped_ppm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MAX(raw) AS BIGINT) AS max_contrib_raw,
+        |  CAST(MAX(kept) AS BIGINT) AS max_contrib_capped
+        |FROM u GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"event_type")
+            .orderBy(md5(expr("CAST(CAST(event_id AS STRING) AS BINARY)")),
+              $"event_id")))
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("raw"),
+          sum(when($"rn" <= 5, 1L).otherwise(0L)).as("kept"))
+        .groupBy($"event_type")
+        .agg(sum($"raw").as("n_raw"), sum($"kept").as("n_kept"),
+          expr("CAST(((SUM(raw) - SUM(kept)) * 1000000) div SUM(raw) " +
+            "AS BIGINT)").as("clipped_ppm"),
+          count(lit(1)).as("n_users"),
+          max($"raw").as("max_contrib_raw"),
+          max($"kept").as("max_contrib_capped"))
+        .orderBy($"event_type")
+    },
+
     q("q441_prefix_cache", {
       // gp outer lambda var (duckPolyHash binds i internally)
       val ph = TextHash.duckPolyHash("array_to_string(w[1:CAST(d AS INT)], ' ')")

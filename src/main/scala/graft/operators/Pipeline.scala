@@ -2244,55 +2244,7 @@ object Pipeline {
         .orderBy($"source")
     },
 
-    q("q438_luhn_pii", {
-      // DuckDB mirror. gj/gt outer lambda vars; Luhn stated once per
-      // dialect over a generic token t, plant digits closed-form.
-      val duckDigit = "ascii(substr(t, CAST(length(t) - gj + 1 AS INT), 1)) - 48"
-      val duckLuhn =
-        s"""list_sum(list_transform(range(1, length(t) + 1), gj ->
-           |  CASE WHEN gj % 2 = 0
-           |    THEN CASE WHEN 2 * ($duckDigit) > 9
-           |      THEN 2 * ($duckDigit) - 9 ELSE 2 * ($duckDigit) END
-           |    ELSE $duckDigit END)) % 10 = 0""".stripMargin
-      s"""WITH p AS (SELECT doc_id, source, text,
-         |    list_transform(range(1, 16), gj -> (doc_id + 7 * gj) % 10)
-         |      AS d15
-         |  FROM documents),
-         |ck AS (SELECT doc_id, source, text, d15,
-         |    list_sum(list_transform(range(1, 16), gj ->
-         |      CASE WHEN gj % 2 = 1
-         |        THEN CASE WHEN 2 * d15[CAST(gj AS INT)] > 9
-         |          THEN 2 * d15[CAST(gj AS INT)] - 9
-         |          ELSE 2 * d15[CAST(gj AS INT)] END
-         |        ELSE d15[CAST(gj AS INT)] END)) AS s15
-         |  FROM p),
-         |pl AS (SELECT doc_id, source,
-         |    string_split(text, ' ')
-         |      || [array_to_string(list_transform(d15, gd ->
-         |            CAST(gd AS VARCHAR)), '')
-         |          || CAST(CASE WHEN doc_id % 3 = 0
-         |              THEN (10 - s15 % 10) % 10
-         |              ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR),
-         |          array_to_string(list_transform(range(1, 9), gd ->
-         |            CAST((doc_id + gd) % 10 AS VARCHAR)), '')] AS toks
-         |  FROM ck),
-         |sc AS (SELECT doc_id, source,
-         |    CAST(len(list_filter(toks, gt ->
-         |      regexp_matches(gt, '^[0-9]{12,19}$$'))) AS BIGINT) AS n_cand,
-         |    CAST(len(list_filter(toks, gt ->
-         |      regexp_matches(gt, '^[0-9]{6,11}$$'))) AS BIGINT) AS n_short,
-         |    CAST(len(list_filter(list_filter(toks, gt ->
-         |        regexp_matches(gt, '^[0-9]{12,19}$$')), t ->
-         |      $duckLuhn)) AS BIGINT) AS n_valid
-         |  FROM pl)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
-         |  CAST(SUM(n_valid) AS BIGINT) AS n_valid,
-         |  CAST((SUM(n_valid) * 1000000) // SUM(n_cand) AS BIGINT)
-         |    AS valid_ppm,
-         |  CAST(SUM(n_short) AS BIGINT) AS n_short_ignored
-         |FROM sc GROUP BY source ORDER BY source"""
-    }) { (s, dir) =>
+    q("q438_luhn_pii", Pipeline.luhnOracleSql) { (s, dir) =>
       import s.implicits._
       // Checksum-validated identifier detection — the false-positive
       // killer a PII scrubbing pass (q110 redacts by pattern alone) needs
@@ -2343,7 +2295,122 @@ object Pipeline {
           sum($"n_short").as("n_short_ignored"))
         .orderBy($"source")
     },
+
+    q("q445_streaming_luhn", Pipeline.luhnOracleSql) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of q438 through the engine's source — the live
+      // PII screen an ingest gate runs BEFORE a document lands in the
+      // corpus (scrubbing after the fact still leaves the identifier in
+      // every intermediate copy): plant, candidate scan and Luhn
+      // validation are pure per-row projections, so they run map-side on
+      // each micro-batch; the per-source screen is a complete-mode keyed
+      // aggregation holding five BIGINT counters per source forever. The
+      // oracle is q438's batch statement verbatim; streamed counters
+      // must equal the batch aggregation exactly (row-for-row law in
+      // QueriesSpec).
+      graft.functions.GraftExpressions.register(s)
+      val root = graft.LogFixtures.producedLog(dir, "q445") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "documents")
+            .select((lit(1700000000000L) + $"doc_id").as("ms"),
+              $"doc_id", $"source", $"text"),
+          "ms", r, "docs", orderCols = Seq("doc_id"))
+      }
+      val sparkLuhn = Pipeline.luhnValidSparkSql
+      graft.streaming.StreamHarness.runToMemory(s, "q445", 2, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "docs")
+          .option("valueSchema", "doc_id BIGINT, source STRING, text STRING")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "3000")
+          .load()
+          .withColumn("d15", expr(
+            "transform(sequence(1, 15), j -> (doc_id + 7 * j) % 10)"))
+          .withColumn("s15", expr(
+            """aggregate(sequence(1, 15), CAST(0 AS BIGINT), (acc, j) ->
+              |  acc + CASE WHEN j % 2 = 1
+              |    THEN CASE WHEN 2 * element_at(d15, CAST(j AS INT)) > 9
+              |      THEN 2 * element_at(d15, CAST(j AS INT)) - 9
+              |      ELSE 2 * element_at(d15, CAST(j AS INT)) END
+              |    ELSE element_at(d15, CAST(j AS INT)) END)""".stripMargin))
+          .withColumn("toks", expr(
+            """concat(split(text, ' '), array(
+              |  concat(concat_ws('', transform(d15, d -> CAST(d AS STRING))),
+              |    CAST(CASE WHEN doc_id % 3 = 0 THEN (10 - s15 % 10) % 10
+              |      ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS STRING)),
+              |  concat_ws('', transform(sequence(1, 8), d ->
+              |    CAST((doc_id + d) % 10 AS STRING)))))""".stripMargin))
+          .withColumn("cands", expr(
+            "filter(toks, gt -> gt RLIKE '^[0-9]{12,19}$')"))
+          .select($"source",
+            size($"cands").cast("long").as("n_cand"),
+            expr("CAST(size(filter(toks, gt -> gt RLIKE '^[0-9]{6,11}$')) " +
+              "AS BIGINT)").as("n_short"),
+            expr(s"CAST(size(filter(cands, t -> $sparkLuhn)) AS BIGINT)")
+              .as("n_valid"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_cand").as("n_candidates"),
+            sum($"n_valid").as("n_valid"),
+            expr("CAST((SUM(n_valid) * 1000000) div SUM(n_cand) AS BIGINT)")
+              .as("valid_ppm"),
+            sum($"n_short").as("n_short_ignored"))
+      }.orderBy($"source")
+    },
   )
+
+  /** q438/q445 shared oracle: per-source Luhn-validated identifier screen
+    * over the closed-form plants. gj/gt/gd outer lambda vars; Luhn stated
+    * over a generic token t. */
+  private def luhnOracleSql: String = {
+    val duckDigit = "ascii(substr(t, CAST(length(t) - gj + 1 AS INT), 1)) - 48"
+    val duckLuhn =
+      s"""list_sum(list_transform(range(1, length(t) + 1), gj ->
+         |  CASE WHEN gj % 2 = 0
+         |    THEN CASE WHEN 2 * ($duckDigit) > 9
+         |      THEN 2 * ($duckDigit) - 9 ELSE 2 * ($duckDigit) END
+         |    ELSE $duckDigit END)) % 10 = 0""".stripMargin
+    s"""WITH p AS (SELECT doc_id, source, text,
+       |    list_transform(range(1, 16), gj -> (doc_id + 7 * gj) % 10)
+       |      AS d15
+       |  FROM documents),
+       |ck AS (SELECT doc_id, source, text, d15,
+       |    list_sum(list_transform(range(1, 16), gj ->
+       |      CASE WHEN gj % 2 = 1
+       |        THEN CASE WHEN 2 * d15[CAST(gj AS INT)] > 9
+       |          THEN 2 * d15[CAST(gj AS INT)] - 9
+       |          ELSE 2 * d15[CAST(gj AS INT)] END
+       |        ELSE d15[CAST(gj AS INT)] END)) AS s15
+       |  FROM p),
+       |pl AS (SELECT doc_id, source,
+       |    string_split(text, ' ')
+       |      || [array_to_string(list_transform(d15, gd ->
+       |            CAST(gd AS VARCHAR)), '')
+       |          || CAST(CASE WHEN doc_id % 3 = 0
+       |              THEN (10 - s15 % 10) % 10
+       |              ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR),
+       |          array_to_string(list_transform(range(1, 9), gd ->
+       |            CAST((doc_id + gd) % 10 AS VARCHAR)), '')] AS toks
+       |  FROM ck),
+       |sc AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(toks, gt ->
+       |      regexp_matches(gt, '^[0-9]{12,19}$$'))) AS BIGINT) AS n_cand,
+       |    CAST(len(list_filter(toks, gt ->
+       |      regexp_matches(gt, '^[0-9]{6,11}$$'))) AS BIGINT) AS n_short,
+       |    CAST(len(list_filter(list_filter(toks, gt ->
+       |        regexp_matches(gt, '^[0-9]{12,19}$$')), t ->
+       |      $duckLuhn)) AS BIGINT) AS n_valid
+       |  FROM pl)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+       |  CAST((SUM(n_valid) * 1000000) // SUM(n_cand) AS BIGINT)
+       |    AS valid_ppm,
+       |  CAST(SUM(n_short) AS BIGINT) AS n_short_ignored
+       |FROM sc GROUP BY source ORDER BY source"""
+    // NO .stripMargin here: QueryDef.q strips margins itself, and a
+    // double strip eats the leading pipe of a line-initial `||` operator
+  }
 
   /** q433/q434 shared oracle: per-source additive content roots with the
     * md5-half previous release. */

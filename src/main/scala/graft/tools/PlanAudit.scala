@@ -977,6 +977,11 @@ object PlanAudit {
       "plant, scan and Luhn validation are map-side; only the source rollup shuffles" -> "HashAggregate",
       "no join anywhere" -> "!Join",
       "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q445_streaming_luhn" -> Seq(
+      "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
+    "q444_contribution_capping" -> Seq(
+      "selection window is keyed by (user, event_type) — group-sized, never corpus-sized" -> "Window",
+      "no join anywhere" -> "!Join"),
     "q439_winnowing" -> Seq(
       "partner degree via the fingerprint equi-join (MOSS candidates, never all-pairs)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",

@@ -451,6 +451,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q445 streamed Luhn screen equals the q438 batch screen row for row") {
+    def run(name: String) = try {
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    } finally CacheScope.release()
+    assert(run("q445_streaming_luhn") == run("q438_luhn_pii"))
+  }
+
+  test("q444 capping: kept <= min(raw, cap), and the capped max certifies " +
+    "the sensitivity bound") {
+    val out = try SparkEntry.queries("q444_contribution_capping")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw"))
+      assert(r.getAs[Long]("max_contrib_capped") <= 5L,
+        "a kept contribution above the cap voids the DP sensitivity bound")
+      assert(r.getAs[Long]("max_contrib_capped") <=
+        r.getAs[Long]("max_contrib_raw"))
+      val clip = (r.getAs[Long]("n_raw") - r.getAs[Long]("n_kept")) *
+        1000000L / r.getAs[Long]("n_raw")
+      assert(r.getAs[Long]("clipped_ppm") == clip)
+    }
+  }
+
   test("q438 Luhn predicate passes/fails the published test vectors") {
     // 4111111111111111 and 79927398713 (the ISO worked example) are valid;
     // single-digit perturbations and the +5-shifted check digit are not.
