@@ -597,6 +597,66 @@ object Assembly {
         .orderBy($"event_type")
     },
 
+    q("q446_streaming_admission_cap",
+      // STREAMING twin of q444's contribution bound, as a live ADMISSION
+      // gate: per (user, event_type), typed ValueState in RocksDB counts
+      // arrivals across micro-batches and everything past the 5th is
+      // rejected at ingest — the DP-prep shape for a stream you cannot
+      // re-sort (a batch cap selects by hash; an admission gate can only
+      // take first-k by arrival). The verdict COUNTS are order-
+      // independent (admitted per key = min(5, total)), so the oracle
+      // pins them exactly without pinning which events were taken: raw/
+      // admitted/rejected per type, rejected ppm, and how many users hit
+      // the cap. State is one long per (user, type) forever; the
+      // admission decision is emitted per row (no loss, no dupes — the
+      // q115 invariant), and the rollup runs batch-side on the drained
+      // sink.
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_raw,
+        |  CAST(SUM(LEAST(cnt, 5)) AS BIGINT) AS n_admitted,
+        |  CAST(SUM(cnt - LEAST(cnt, 5)) AS BIGINT) AS n_rejected,
+        |  CAST((SUM(cnt - LEAST(cnt, 5)) * 1000000) // SUM(cnt) AS BIGINT)
+        |    AS rejected_ppm,
+        |  CAST(SUM(CASE WHEN cnt > 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped_users
+        |FROM u GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.LogFixtures.producedLog(dir, "q446") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          Tables.load(s, dir, "events")
+            .select((lit(1700000000000L) + $"event_id").as("ms"),
+              $"event_id", $"event_type", $"user_id"),
+          "ms", r, "ev", orderCols = Seq("event_id"))
+      }
+      graft.streaming.StreamHarness.runToMemory(s, "q446", 4, rocksdb = true) {
+        val src = s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("valueSchema",
+            "event_id BIGINT, event_type STRING, user_id BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "60000")
+          .load()
+          .selectExpr("concat(event_type, ':', user_id) AS k",
+            "CAST(event_id AS STRING) AS v")
+        graft.streaming.StreamingOps.runningCountByKeyTws(s, src, "k", "v")
+          .toDF("k", "running", "event_id")
+      }
+        .groupBy($"k")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when($"running" <= 5, 1L).otherwise(0L)).as("adm"))
+        .select(expr("split(k, ':')[0]").as("event_type"), $"cnt", $"adm",
+          when($"cnt" > 5, 1L).otherwise(0L).as("capped"))
+        .groupBy($"event_type")
+        .agg(sum($"cnt").as("n_raw"), sum($"adm").as("n_admitted"),
+          sum($"cnt" - $"adm").as("n_rejected"),
+          expr("CAST((SUM(cnt - adm) * 1000000) div SUM(cnt) AS BIGINT)")
+            .as("rejected_ppm"),
+          sum($"capped").as("n_capped_users"))
+        .orderBy($"event_type")
+    },
+
     q("q441_prefix_cache", {
       // gp outer lambda var (duckPolyHash binds i internally)
       val ph = TextHash.duckPolyHash("array_to_string(w[1:CAST(d AS INT)], ' ')")

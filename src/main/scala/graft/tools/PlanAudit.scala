@@ -979,6 +979,8 @@ object PlanAudit {
       "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q445_streaming_luhn" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
+    "q446_streaming_admission_cap" -> Seq(
+      "rollup runs on the drained admission verdicts (no corpus rescan)" -> "!Scan parquet"),
     "q444_contribution_capping" -> Seq(
       "selection window is keyed by (user, event_type) — group-sized, never corpus-sized" -> "Window",
       "no join anywhere" -> "!Join"),
