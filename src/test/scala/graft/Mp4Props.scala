@@ -1,0 +1,86 @@
+package graft
+
+import graft.multimodal.Mp4
+import org.scalacheck.Prop.propBoolean
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck laws for the ISO BMFF walker over RANDOM fixture shapes —
+  * Mp4Spec pins specific layouts; these pin the grammar itself: the walk
+  * must invert the encoder for any track count / payload length / header
+  * form, boxes must tile their parents exactly (no gaps, no overlaps),
+  * and truncating a valid file anywhere strictly inside a box header or
+  * payload must throw rather than misreport.
+  */
+object Mp4Props extends Properties("Mp4") {
+
+  private val genFile: Gen[(Int, Long, Array[Byte], Boolean)] = for {
+    nt <- Gen.chooseNum(1, 5)
+    dur <- Gen.chooseNum(1L, 3600000L)
+    plen <- Gen.chooseNum(0, 512)
+    large <- Gen.oneOf(true, false)
+    seed <- Gen.chooseNum(0L, 255L)
+  } yield (nt, dur, Array.tabulate(plen)(i => ((seed + 7L * i) % 256).toByte),
+    large)
+
+  property("walk inverts encode for any shape") = Prop.forAll(genFile) {
+    case (nt, dur, payload, large) =>
+      val tracks = (1 to nt).map(t => Mp4.TrackSpec(t, 16 + t, 8 + t))
+      val bytes = Mp4.encodeMp4(tracks, dur, payload, large)
+      val boxes = Mp4.walkBoxes(bytes)
+      val mdat = boxes.find(_.fourcc == "mdat").get
+      (boxes.size == 4 + 5 * nt) :| "census" &&
+        (boxes.count(_.fourcc == "trak") == nt) :| "tracks" &&
+        (Mp4.parseMvhd(bytes) == ((1000L, dur))) :| "mvhd" &&
+        (mdat.payloadOff - mdat.off == (if (large) 16L else 8L)) :| "hdr form" &&
+        (mdat.off + mdat.size - mdat.payloadOff == payload.length) :| "payload len" &&
+        bytes.slice(mdat.payloadOff.toInt, (mdat.off + mdat.size).toInt)
+          .sameElements(payload) :| "payload bytes"
+  }
+
+  property("siblings tile their parent exactly (no gaps, no overlaps)") =
+    Prop.forAll(genFile) { case (nt, dur, payload, large) =>
+      val tracks = (1 to nt).map(t => Mp4.TrackSpec(t, 16, 8))
+      val bytes = Mp4.encodeMp4(tracks, dur, payload, large)
+      val boxes = Mp4.walkBoxes(bytes)
+      // per depth-1: top-level boxes tile [0, len); children tile their
+      // parent's payload range
+      def tiles(bs: Seq[Mp4.Box], start: Long, end: Long): Boolean =
+        bs.sortBy(_.off).foldLeft(Option(start)) {
+          case (Some(pos), b) if b.off == pos => Some(b.off + b.size)
+          case _ => None
+        }.contains(end)
+      val top = boxes.filter(_.depth == 1)
+      val parents = boxes.filter(b => Set("moov", "trak", "mdia")(b.fourcc))
+      tiles(top, 0L, bytes.length.toLong) :| "top level tiles file" &&
+        Prop.all(parents.map { p =>
+          val kids = boxes.filter(c => c.depth == p.depth + 1 &&
+            c.off >= p.payloadOff && c.off < p.off + p.size)
+          tiles(kids, p.payloadOff, p.off + p.size) :| s"${p.fourcc} tiled"
+        }: _*)
+    }
+
+  property("any strict truncation of the file is rejected") =
+    Prop.forAll(genFile, Gen.chooseNum(1, 64)) {
+      case ((nt, dur, payload, large), cut) =>
+        val bytes = Mp4.encodeMp4(
+          (1 to nt).map(t => Mp4.TrackSpec(t, 16, 8)), dur, payload, large)
+        val n = bytes.length - math.min(cut, bytes.length - 1)
+        Prop.throws(classOf[IllegalArgumentException])(
+          Mp4.walkBoxes(bytes.take(n)))
+    }
+
+  property("fragmented: walk inverts encodeFmp4 and sequences are 1..k") =
+    Prop.forAll(Gen.chooseNum(1, 6), Gen.chooseNum(0L, 99L)) { (k, seed) =>
+      val frags = (1 to k).map(f =>
+        Array.tabulate((8 + (seed + f) % 32).toInt)(i =>
+          ((seed + 11L * f + 3L * i) % 256).toByte))
+      val bytes = Mp4.encodeFmp4(Mp4.TrackSpec(1, 16, 8), 1000L, frags)
+      val boxes = Mp4.walkBoxes(bytes)
+      (Mp4.mfhdSeqs(bytes) == (1L to k.toLong)) :| "sequence continuity" &&
+        (boxes.count(_.fourcc == "moof") == k) :| "fragment count" &&
+        boxes.filter(_.fourcc == "mdat").zip(frags).forall { case (b, p) =>
+          bytes.slice(b.payloadOff.toInt, (b.off + b.size).toInt)
+            .sameElements(p)
+        } :| "fragment payloads byte-exact"
+    }
+}

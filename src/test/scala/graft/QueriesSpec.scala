@@ -492,6 +492,90 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q437/q439 randomized laws: random docs (dups, short docs, repeated " +
+    "tokens) chunk and fingerprint consistently") {
+    // seeded random corpus, deliberately nastier than the fixture: tiny
+    // docs below every threshold, docs made of ONE repeated token, and
+    // exact duplicate docs (content-addressing must give identical
+    // chunk lists / fingerprint sets for identical content)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "b", "gamma7", "dd", "ee", "zz", "word")
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(40)
+      val w =
+        if (i % 17 == 0) Seq.fill(math.max(n, 12))("loop")
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, w)
+    }
+    val dup = docs.take(20).map { case (i, w) => (1000L + i, w) }
+    val df = spark.createDataFrame((docs ++ dup)).toDF("doc_id", "w")
+    val ch = operators.Dedup.withCdcChunks(df)
+      .select(col("doc_id"), col("w"), col("chunks")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    ch.values.foreach { case (w, chunks) =>
+      assert(chunks.mkString(" ") == w.mkString(" "), "chunks partition the doc")
+      assert(chunks.forall(_.nonEmpty) || w.isEmpty)
+    }
+    dup.foreach { case (id, _) =>
+      assert(ch(id)._2 == ch(id - 1000L)._2,
+        "identical content must chunk identically (content addressing)")
+    }
+    val fp = operators.Dedup.withWinnowFps(
+        df.filter(size(col("w")) >= 8))
+      .select(col("doc_id"), col("m"), col("ps"), col("fps")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("m").toInt, r.getSeq[Long](2).map(_.toInt).toSet,
+          r.getSeq[Long](3).toSet)).toMap
+    fp.values.foreach { case (m, ps, _) =>
+      (1 to m - 3).foreach { j =>
+        assert((j to j + 3).exists(ps.contains), s"window $j uncovered")
+      }
+      assert(ps.forall(p => p >= 1 && p <= m), "selected positions in range")
+    }
+    dup.filter(d => fp.contains(d._1)).foreach { case (id, _) =>
+      assert(fp(id)._3 == fp(id - 1000L)._3,
+        "identical content must fingerprint identically")
+    }
+  }
+
+  test("q438 randomized law: per body, exactly one check digit passes Luhn " +
+    "— the independently computed one") {
+    // 200 seeded random digit bodies (len 11-18) x all 10 candidate check
+    // digits = 2000 strings through the PRODUCTION predicate in one Spark
+    // pass; an independent Scala reference computes the expected digit.
+    // Luhn detects every single-digit substitution in the check position,
+    // so exactly one candidate may pass per body.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val bodies = (0 until 200).map { _ =>
+      val len = 11 + rnd.nextInt(8)
+      (0 until len).map(_ => rnd.nextInt(10)).mkString
+    }
+    def refCheckDigit(body: String): Int = {
+      // reference: rightmost body digit is doubled (it sits 2nd from the
+      // right once the check digit is appended), alternating leftward
+      val s = body.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) { val dd = 2 * d; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      (10 - s % 10) % 10
+    }
+    val cands = bodies.flatMap(b => (0 to 9).map(d => (b, d, s"$b$d")))
+    val passed = spark.createDataFrame(cands).toDF("body", "d", "t")
+      .withColumn("ok", expr(operators.Pipeline.luhnValidSparkSql))
+      .filter(col("ok")).select(col("body"), col("d")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(passed.size == bodies.distinct.size,
+      "exactly one passing check digit per distinct body")
+    bodies.foreach { b =>
+      assert(passed(b) == refCheckDigit(b),
+        s"body $b: production predicate admits digit ${passed(b)}, " +
+          s"reference says ${refCheckDigit(b)}")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
