@@ -217,6 +217,62 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
+    q("q447_source_vocab_overlap",
+      // Pairwise source similarity for data-mixing and dedup-policy
+      // decisions — the matrix beside q202 (each source vs the CORPUS LM)
+      // and q234 (near-dup pair counts): Jaccard of the two sources'
+      // top-100 vocabularies, in ppm. Deterministic top-k via
+      // (count DESC, word ASC); the corpus collapses ONCE to
+      // (source, word) counts, the per-source top-k window runs on the
+      // source-keyed dictionary (bounded), and the pair join only ever
+      // touches 20 x 100 top-set rows — the output is the bounded
+      // |sources|^2/2 triangle however big the corpus is.
+      """WITH wc AS (SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tk AS (SELECT source, word FROM (SELECT source, word,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY c DESC, word ASC) AS rn FROM wc) WHERE rn <= 100),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+        |  GROUP BY source),
+        |ix AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tk a JOIN tk b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT za.source AS source_a, zb.source AS source_b,
+        |  COALESCE(ix.inter, 0) AS n_shared,
+        |  CAST((COALESCE(ix.inter, 0) * 1000000)
+        |    // (za.n + zb.n - COALESCE(ix.inter, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM sz za JOIN sz zb ON za.source < zb.source
+        |LEFT JOIN ix ON ix.sa = za.source AND ix.sb = zb.source
+        |ORDER BY source_a, source_b""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tk = T(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"c".desc, $"word".asc)))
+        .filter($"rn" <= 100)
+        .select($"source", $"word")
+        .transform(graft.CacheScope.cached) // sizes + both join sides
+      val sz = tk.groupBy($"source").agg(count(lit(1)).as("n"))
+      val ix = tk.as("a").join(tk.as("b"),
+          $"a.word" === $"b.word" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      sz.as("za").join(sz.as("zb"), $"za.source" < $"zb.source")
+        .join(ix, $"sa" === $"za.source" && $"sb" === $"zb.source", "left")
+        .select($"za.source".as("source_a"), $"zb.source".as("source_b"),
+          coalesce($"inter", lit(0L)).as("n_shared"),
+          expr("CAST((COALESCE(inter, 0) * 1000000) div " +
+            "(za.n + zb.n - COALESCE(inter, 0)) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     q("q160_subword_tokens",
       // Subword tokenization — how an LLM pipeline actually budgets tokens
       // (q49's whitespace count approximates length, not cost): greedy

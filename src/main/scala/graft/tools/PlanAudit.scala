@@ -979,6 +979,11 @@ object PlanAudit {
       "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q445_streaming_luhn" -> Seq(
       "readout runs on the drained per-source snapshot (no corpus rescan)" -> "!Scan parquet"),
+    "q447_source_vocab_overlap" -> Seq(
+      "corpus collapses once to (source, word) counts" -> "HashAggregate",
+      "top-k window keyed by source (dictionary-sized, never corpus-sized)" -> "windowspecdefinition(source",
+      "pair join only touches the bounded top sets" -> "!CartesianProduct",
+      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
     "q446_streaming_admission_cap" -> Seq(
       "rollup runs on the drained admission verdicts (no corpus rescan)" -> "!Scan parquet"),
     "q444_contribution_capping" -> Seq(
