@@ -189,7 +189,9 @@ object Mp4 {
             (buf.getLong, 16L)
           } else if (size32 == 0L) (end - off, 8L) // box runs to end
           else (size32, 8L)
-        require(size >= hdr && off + size <= end,
+        // overflow-safe form: a hostile 64-bit largesize near Long.MAX would
+        // wrap `off + size` and sneak past the range check
+        require(size >= hdr && size <= end - off,
           s"box $fourcc at $off: size $size exceeds enclosing range $end")
         out += Box(fourcc, depth, off, size, off + hdr)
         if (Containers(fourcc) && size > hdr)

@@ -646,7 +646,10 @@ object Assembly {
         .groupBy($"k")
         .agg(count(lit(1)).as("cnt"),
           sum(when($"running" <= 5, 1L).otherwise(0L)).as("adm"))
-        .select(expr("split(k, ':')[0]").as("event_type"), $"cnt", $"adm",
+        // recover event_type by stripping the NUMERIC user_id suffix — a
+        // ':' inside a future event_type value can no longer truncate it
+        .select(expr("regexp_replace(k, ':[0-9]+$', '')").as("event_type"),
+          $"cnt", $"adm",
           when($"cnt" > 5, 1L).otherwise(0L).as("capped"))
         .groupBy($"event_type")
         .agg(sum($"cnt").as("n_raw"), sum($"adm").as("n_admitted"),
@@ -658,7 +661,9 @@ object Assembly {
     },
 
     q("q441_prefix_cache", {
-      // gp outer lambda var (duckPolyHash binds i internally)
+      // the prefix hash is projected per-row over the sliced word array
+      // (duckPolyHash binds its own lambda var internally — no outer
+      // lambda nesting is involved here)
       val ph = TextHash.duckPolyHash("array_to_string(w[1:CAST(d AS INT)], ' ')")
       s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents),
