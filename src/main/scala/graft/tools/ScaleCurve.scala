@@ -147,9 +147,16 @@ object ScaleCurve {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Usage: ScaleCurve [baseDir] [factor] [realScaledDir]
+    *
+    * With a third argument, the 10x point is measured on that pre-built
+    * directory (e.g. GenSf's REAL sf1.0 re-draw) instead of the synthetic
+    * key-offset copy-up, and the JSON records `"mode":"real"`.
+    */
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
+    val realDir = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -160,8 +167,11 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaledDir = graft.TempDirs.scratch("graft-scalecurve")
-    buildScaled(spark, baseDir, scaledDir, factor)
+    val scaledDir = realDir.getOrElse {
+      val d = graft.TempDirs.scratch("graft-scalecurve")
+      buildScaled(spark, baseDir, d, factor)
+      d
+    }
 
     // warm-up (codegen, parquet readers), same discipline as Bench
     try graft.SparkEntry.queries("q01_pricing_summary")(spark, baseDir).count()
@@ -180,9 +190,10 @@ object ScaleCurve {
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       (name, t1, tN, exp)
     }
+    val mode = if (realDir.isDefined) "real" else "synthetic"
     val json = rows.map { case (n, t1, tN, e) =>
       f""""$n":{"t1":$t1%.3f,"t$factor":$tN%.3f,"exp":$e%.2f}"""
-    }.mkString(s"""{"metric":"scale_curve","factor":$factor,"base":"$baseDir","queries":{""", ",", "}}")
+    }.mkString(s"""{"metric":"scale_curve","factor":$factor,"base":"$baseDir","mode":"$mode","queries":{""", ",", "}}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), "SCALE_CURVE.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
