@@ -1376,6 +1376,180 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    q("q448_ivfpq_delta_maintenance",
+      // Incremental maintenance for the COMPOSED q156 IVF-PQ index — the
+      // ANN member of the delta-update family (q385 bands, q396 idf, q443
+      // chunks, q376 coarse cells): a delta batch of embeddings (the top
+      // 20% of vec_ids standing in for today's ingest) is absorbed into
+      // the persisted index WITHOUT retraining. The persisted artifacts
+      // are exactly what q156 trains on the base slice: the int8 scale,
+      // the 8x64 integer-mean coarse centroids (one Lloyd round from the
+      // first-8 seeds), and the 4x32x16 residual codebooks (first 32 base
+      // vectors' residual sub-vectors). Delta vectors quantize on the
+      // PERSISTED scale (an index's scale is part of its contract —
+      // q288's lesson), assign to the persisted cells by broadcast
+      // integer argmin, and PQ-encode their residuals against the
+      // persisted codebooks. Readout per cell: base/delta counts and
+      // growth, mean coarse assignment distance and mean PQ quantization
+      // error for base (the training distribution) vs delta, the drift
+      // of the delta's assignment distance in ppm, and the retrain
+      // trigger (>50% growth OR >20% distance drift — the thresholds a
+      // deployment tunes). All arithmetic is the shifted-int8 BIGINT
+      // scheme of q142/q147/q156, bit-identical across engines. Scale
+      // posture: the delta pass touches ONLY delta rows plus broadcast
+      // index artifacts (8x64 centroids, 128 codewords) — O(delta) per
+      // ingest, never a corpus rescan; the base-side stats are computed
+      // once at index-build time (modeled in-query, same contract as
+      // q376/q385's in-query "persisted" index).
+      s"""WITH half AS (SELECT (CAST(MAX(vec_id) AS BIGINT) * 4) // 5 AS h
+         |  FROM embeddings),
+         |m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm
+         |  FROM embeddings, half WHERE vec_id < h),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz, half WHERE vec_id < h),
+         |c0 AS (SELECT vec_id AS c, pos, x AS cm FROM ex WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |asg1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY dist, c) rn FROM d1) WHERE rn = 1),
+         |c1 AS (SELECT a.c, e.pos,
+         |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+         |  FROM ex e JOIN asg1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.pos),
+         |db AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ab AS (SELECT vec_id, c, dist FROM (SELECT vec_id, c, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM db) WHERE rn = 1),
+         |res AS (SELECT e.vec_id, a.c, e.pos // 16 AS s, e.pos % 16 AS p,
+         |    e.x - c.cm AS r
+         |  FROM ex e JOIN ab a ON e.vec_id = a.vec_id
+         |            JOIN c1 c ON c.c = a.c AND c.pos = e.pos),
+         |cbk AS (SELECT vec_id AS cw, s, p, r AS cx FROM res WHERE vec_id < 32),
+         |encb AS (SELECT v.vec_id, v.s, c.cw,
+         |    CAST(SUM((v.r - c.cx)*(v.r - c.cx)) AS BIGINT) AS dist
+         |  FROM res v JOIN cbk c ON v.s = c.s AND v.p = c.p
+         |  GROUP BY v.vec_id, v.s, c.cw),
+         |pqb AS (SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqerr FROM (
+         |  SELECT vec_id, s, MIN(dist) AS md FROM encb GROUP BY vec_id, s)
+         |  GROUP BY vec_id),
+         |exd AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz, half WHERE vec_id >= h),
+         |ddx AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM exd e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ad AS (SELECT vec_id, c, dist FROM (SELECT vec_id, c, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM ddx) WHERE rn = 1),
+         |resd AS (SELECT e.vec_id, a.c, e.pos // 16 AS s, e.pos % 16 AS p,
+         |    e.x - c.cm AS r
+         |  FROM exd e JOIN ad a ON e.vec_id = a.vec_id
+         |             JOIN c1 c ON c.c = a.c AND c.pos = e.pos),
+         |encd AS (SELECT v.vec_id, v.s, c.cw,
+         |    CAST(SUM((v.r - c.cx)*(v.r - c.cx)) AS BIGINT) AS dist
+         |  FROM resd v JOIN cbk c ON v.s = c.s AND v.p = c.p
+         |  GROUP BY v.vec_id, v.s, c.cw),
+         |pqd AS (SELECT vec_id, CAST(SUM(md) AS BIGINT) AS pqerr FROM (
+         |  SELECT vec_id, s, MIN(dist) AS md FROM encd GROUP BY vec_id, s)
+         |  GROUP BY vec_id),
+         |sb AS (SELECT a.c, CAST(COUNT(*) AS BIGINT) AS n_base,
+         |    CAST(SUM(a.dist) AS BIGINT) AS sdb, CAST(SUM(p.pqerr) AS BIGINT) AS spb
+         |  FROM ab a JOIN pqb p ON p.vec_id = a.vec_id GROUP BY a.c),
+         |sd2 AS (SELECT a.c, CAST(COUNT(*) AS BIGINT) AS n_delta,
+         |    CAST(SUM(a.dist) AS BIGINT) AS sdd, CAST(SUM(p.pqerr) AS BIGINT) AS spd
+         |  FROM ad a JOIN pqd p ON p.vec_id = a.vec_id GROUP BY a.c)
+         |SELECT sb.c AS cell, sb.n_base,
+         |  COALESCE(sd2.n_delta, 0) AS n_delta,
+         |  CAST((COALESCE(sd2.n_delta, 0) * 1000000) // sb.n_base AS BIGINT)
+         |    AS growth_ppm,
+         |  CAST(sb.sdb // sb.n_base AS BIGINT) AS base_mean_dist,
+         |  CAST(CASE WHEN COALESCE(sd2.n_delta, 0) > 0
+         |    THEN sd2.sdd // sd2.n_delta ELSE 0 END AS BIGINT) AS delta_mean_dist,
+         |  CAST(sb.spb // sb.n_base AS BIGINT) AS base_mean_pqerr,
+         |  CAST(CASE WHEN COALESCE(sd2.n_delta, 0) > 0
+         |    THEN sd2.spd // sd2.n_delta ELSE 0 END AS BIGINT) AS delta_mean_pqerr,
+         |  CAST(CASE WHEN COALESCE(sd2.n_delta, 0) > 0
+         |    THEN (abs(sd2.sdd // sd2.n_delta - sb.sdb // sb.n_base) * 1000000)
+         |      // (sb.sdb // sb.n_base) ELSE 0 END AS BIGINT) AS dist_drift_ppm,
+         |  ((COALESCE(sd2.n_delta, 0) * 1000000) // sb.n_base > 500000
+         |    OR CASE WHEN COALESCE(sd2.n_delta, 0) > 0
+         |      THEN (abs(sd2.sdd // sd2.n_delta - sb.sdb // sb.n_base) * 1000000)
+         |        // (sb.sdb // sb.n_base) ELSE 0 END > 200000) AS retrain_flag
+         |FROM sb LEFT JOIN sd2 ON sd2.c = sb.c
+         |ORDER BY cell""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val half = e.agg(expr("(CAST(MAX(vec_id) AS BIGINT) * 4) div 5").as("h"))
+      val base = e.crossJoin(broadcast(half)).filter($"vec_id" < $"h")
+        .select($"vec_id", $"embedding")
+        .transform(graft.CacheScope.cached) // scale + quantize + train
+      val gm = base.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      def quant(df: DataFrame) =
+        df.crossJoin(broadcast(gm)).select($"vec_id", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)")
+          .as("qv"))
+      val qb = quant(base).transform(graft.CacheScope.cached)
+      def assign(df: DataFrame, cents: DataFrame) =
+        df.crossJoin(broadcast(cents))
+          .withColumn("dist", expr("graft_sqdisti(qv, cm)"))
+          .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
+          .select($"vec_id", $"mc.c".as("c"), $"mc.dist".as("dist"))
+      val c0 = qb.filter($"vec_id" < 8).select($"vec_id".as("c"), $"qv".as("cm"))
+      val c1 = qb.join(assign(qb, c0).select($"vec_id", $"c"), "vec_id")
+        .select($"c", posexplode($"qv"))
+        .groupBy($"c", $"pos").agg(expr("sum(col) DIV count(1)").as("cm"))
+        .groupBy($"c")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+        .transform(graft.CacheScope.cached) // base stats + delta assignment
+      val ab = assign(qb, c1).transform(graft.CacheScope.cached)
+      def rsub(q: DataFrame, asg: DataFrame) =
+        q.join(asg.select($"vec_id", $"c"), "vec_id").join(broadcast(c1), "c")
+          .select($"vec_id", $"c", expr("zip_with(qv, cm, (x, m) -> x - m)").as("rv"))
+          .select($"vec_id", explode(sequence(lit(0), lit(3))).as("s"), $"rv")
+          .select($"vec_id", $"s", expr("slice(rv, s*16 + 1, 16)").as("sv"))
+      val rb = rsub(qb, ab).transform(graft.CacheScope.cached) // codebook + encode
+      val cbk = rb.filter($"vec_id" < 32)
+        .select($"vec_id".as("cw"), $"s", $"sv".as("cwv"))
+      def pqerr(r: DataFrame) =
+        r.join(broadcast(cbk), "s")
+          .withColumn("d", expr("graft_sqdisti(sv, cwv)"))
+          .groupBy($"vec_id", $"s").agg(min($"d").as("md"))
+          .groupBy($"vec_id").agg(sum($"md").as("pqerr"))
+      val sbs = ab.join(pqerr(rb), "vec_id").groupBy($"c")
+        .agg(count(lit(1)).as("n_base"), sum($"dist").as("sdb"),
+          sum($"pqerr").as("spb"))
+      // --- delta ingest: ONLY delta rows + broadcast index artifacts ---
+      val qd = quant(e.crossJoin(broadcast(half)).filter($"vec_id" >= $"h")
+        .select($"vec_id", $"embedding")).transform(graft.CacheScope.cached)
+      val ad = assign(qd, c1).transform(graft.CacheScope.cached)
+      val sdl = ad.join(pqerr(rsub(qd, ad)), "vec_id").groupBy($"c")
+        .agg(count(lit(1)).as("n_delta"), sum($"dist").as("sdd"),
+          sum($"pqerr").as("spd"))
+      val drift = "CASE WHEN n_delta > 0 THEN (abs(sdd div n_delta - " +
+        "sdb div n_base) * 1000000) div (sdb div n_base) ELSE 0 END"
+      sbs.join(sdl, Seq("c"), "left")
+        .withColumn("n_delta", coalesce($"n_delta", lit(0L)))
+        .select($"c".as("cell"), $"n_base", $"n_delta",
+          expr("(n_delta * 1000000) div n_base").as("growth_ppm"),
+          expr("sdb div n_base").as("base_mean_dist"),
+          expr("CASE WHEN n_delta > 0 THEN sdd div n_delta ELSE 0 END")
+            .as("delta_mean_dist"),
+          expr("spb div n_base").as("base_mean_pqerr"),
+          expr("CASE WHEN n_delta > 0 THEN spd div n_delta ELSE 0 END")
+            .as("delta_mean_pqerr"),
+          expr(drift).as("dist_drift_ppm"),
+          (expr("(n_delta * 1000000) div n_base") > 500000L ||
+            expr(drift) > 200000L).as("retrain_flag"))
+        .orderBy($"cell")
+    },
+
     q("q377_embedding_outlier_triage",
       // Embedding outlier triage — the mislabeled/OOD review queue in
       // EMBEDDING space (q373 ranks by classifier ambiguity; this ranks

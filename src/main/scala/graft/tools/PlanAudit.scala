@@ -1045,6 +1045,11 @@ object PlanAudit {
       "persisted centroids broadcast into every assignment pass" -> "BroadcastNestedLoopJoin",
       "assignment argmin partial-aggregates map-side" -> "HashAggregate",
       "no cartesian beyond the broadcast centroid fan-out" -> "!CartesianProduct"),
+    "q448_ivfpq_delta_maintenance" -> Seq(
+      "persisted centroids/codebooks broadcast into every delta pass" -> "BroadcastNestedLoopJoin",
+      "per-cell stats partial-aggregate map-side" -> "HashAggregate",
+      "no cartesian beyond the broadcast index fan-outs" -> "!CartesianProduct",
+      "only vec_id and embedding read" -> "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
     "q377_embedding_outlier_triage" -> Seq(
       "label centroids broadcast over the scoring pass" -> "BroadcastHashJoin",
       "per-label queue is a bounded rank window" -> "Window",

@@ -96,7 +96,14 @@ object ScaleCurve {
     // winnowing (fingerprint equi-join partner degree — must stay
     // subquadratic on the decorrelated 10x corpus), and the Luhn scan
     // as a pure map-side linear baseline
-    "q437_cdc_chunking", "q439_winnowing", "q438_luhn_pii")
+    "q437_cdc_chunking", "q439_winnowing", "q438_luhn_pii",
+    // round 11: the PRODUCTION dedup path (banded MinHash LSH) measured
+    // beside its q92 foil — on real closed-vocabulary 10x data the
+    // prefix-filtered exact join goes super-linear (postings saturate,
+    // candidates ~ sum df^2), while the banded join's candidate volume
+    // tracks actual similarity; and the delta IVF-PQ maintenance pass,
+    // which must stay O(delta)+index-broadcast
+    "q42_dedup_minhash_lsh", "q448_ivfpq_delta_maintenance")
 
   private val KeyOffset = 1000000000000L // far above any fixture key
 

@@ -42,6 +42,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
   }
 
+  test("q448 IVF-PQ delta maintenance: counts partition the corpus and " +
+    "every derived column follows its stated integer formula") {
+    // The oracle certifies the values against a from-scratch rebuild; this
+    // pins the maintenance CONTRACT: (a) base+delta counts partition the
+    // embeddings table along the 80/20 vec_id split, (b) growth/drift/flag
+    // are exactly their stated integer formulas of the count and mean
+    // columns (so a formula edit on one side cannot drift silently), and
+    // (c) delta means stay within 2x of the training distribution on this
+    // in-distribution fixture (the drift readout's sanity anchor).
+    val rows = try SparkEntry.queries("q448_ivfpq_delta_maintenance")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.length == 8, "one row per coarse cell")
+    val nVec = try Tables.load(spark, dir, "embeddings").count()
+    finally CacheScope.release()
+    val maxId = nVec - 1 // vec_ids are dense 0..n-1
+    val h = maxId * 4 / 5
+    assert(rows.map(_.getAs[Long]("n_base")).sum == h)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum == nVec - h)
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_base"); val nd = r.getAs[Long]("n_delta")
+      val bm = r.getAs[Long]("base_mean_dist")
+      val dm = r.getAs[Long]("delta_mean_dist")
+      assert(r.getAs[Long]("growth_ppm") == nd * 1000000L / nb)
+      val drift =
+        if (nd > 0) math.abs(dm - bm) * 1000000L / bm else 0L
+      assert(r.getAs[Long]("dist_drift_ppm") == drift)
+      assert(r.getAs[Boolean]("retrain_flag") ==
+        (nd * 1000000L / nb > 500000L || drift > 200000L))
+      if (nd > 0) assert(dm > 0 && dm < 2 * bm,
+        s"in-distribution delta drifted implausibly: $dm vs $bm")
+      assert(r.getAs[Long]("base_mean_pqerr") >= 0)
+    }
+  }
+
   test("q380 decontamination flags only train docs, against only test docs") {
     // Split-membership law the hash oracle can't state: every flagged vec
     // must be in the md5 train split, every cited collision in the test
