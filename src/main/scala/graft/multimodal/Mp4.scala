@@ -34,6 +34,19 @@ object Mp4 {
   /** Spec for one fixture track (all fields closed-form in the oracle). */
   final case class TrackSpec(trackId: Int, widthPx: Int, heightPx: Int)
 
+  private def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(8 + payload.length).put(fourcc.getBytes(US_ASCII)).put(payload)
+    b.array()
+  }
+  private def full(fourcc: String, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0) // version 0, flags 0
+    body(b)
+    require(!b.hasRemaining, s"$fourcc payload under-filled")
+    box(fourcc, b.array())
+  }
+
   /** Build a structurally-real MP4: ftyp + moov(mvhd + N×trak(tkhd +
     * mdia(mdhd + hdlr))) + mdat. `durationMs` lands in mvhd/tkhd with
     * timescale 1000; `mdatLargesize` writes mdat with the 16-byte
@@ -41,18 +54,6 @@ object Mp4 {
     */
   def encodeMp4(tracks: Seq[TrackSpec], durationMs: Long,
       mdatPayload: Array[Byte], mdatLargesize: Boolean): Array[Byte] = {
-    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
-      val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(8 + payload.length).put(fourcc.getBytes(US_ASCII)).put(payload)
-      b.array()
-    }
-    def full(fourcc: String, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(0) // version 0, flags 0
-      body(b)
-      require(!b.hasRemaining, s"$fourcc payload under-filled")
-      box(fourcc, b.array())
-    }
     val ftyp = box("ftyp", {
       val b = ByteBuffer.allocate(16)
       b.put("isom".getBytes(US_ASCII)).putInt(512)
@@ -200,6 +201,184 @@ object Mp4 {
       }
     }
     walk(0L, bytes.length.toLong, 1)
+    out.result()
+  }
+
+  /** One fixture track with a REAL sample table (14496-12 §8.5-8.7):
+    * per-sample sizes (stsz), one constant time delta (stts), a constant
+    * samples-per-chunk packing (stsc), and chunk offsets (stco or co64).
+    */
+  final case class SampleTrackSpec(trackId: Int, sampleSizes: Seq[Int],
+      samplesPerChunk: Int, deltaTicks: Long)
+
+  /** Parsed per-track sample census, every field read from stbl bytes. */
+  final case class TrackSampleTable(trackId: Long, sampleSizes: Vector[Long],
+      sttsDurTicks: Long, samplesPerChunk: Long, chunkOffsets: Vector[Long])
+
+  /** Build an MP4 whose tracks carry real sample tables, with mdat laid
+    * out track-by-track, chunked per stsc, and chunk offsets pointing at
+    * the ACTUAL absolute file positions (the circular moov-size/offset
+    * dependency resolved by building moov twice — sizes don't depend on
+    * offset values). mdat payload byte i (0-based) is `(seed + 13*i) % 256`
+    * so byte-sum probes replay in closed form. `co64` writes 64-bit chunk
+    * offsets (and exercises the wide form); stco otherwise.
+    */
+  def encodeMp4Samples(tracks: Seq[SampleTrackSpec], durationMs: Long,
+      seed: Long, co64: Boolean): Array[Byte] = {
+    val totalSampleBytes = tracks.map(_.sampleSizes.map(_.toLong).sum).sum
+    def chunkSizes(t: SampleTrackSpec): Seq[Long] =
+      t.sampleSizes.grouped(t.samplesPerChunk).map(_.map(_.toLong).sum).toSeq
+    def trakBytes(t: SampleTrackSpec, offsets: Seq[Long]): Array[Byte] = {
+      val tkhd = full("tkhd", { b =>
+        b.putInt(0).putInt(0).putInt(t.trackId).putInt(0)
+        b.putInt(durationMs.toInt)
+        b.putLong(0)
+        b.putShort(0).putShort(0).putShort(0).putShort(0)
+        b.putInt(0x00010000).putInt(0).putInt(0)
+        b.putInt(0).putInt(0x00010000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        b.putInt(16 << 16).putInt(8 << 16)
+      }, 84)
+      val mdhd = full("mdhd", { b =>
+        b.putInt(0).putInt(0).putInt(1000).putInt(durationMs.toInt)
+        b.putShort(0x55c4.toShort).putShort(0)
+      }, 24)
+      val hdlr = full("hdlr", { b =>
+        b.putInt(0).put("vide".getBytes(US_ASCII))
+        b.putInt(0).putInt(0).putInt(0)
+        b.put("graft".getBytes(US_ASCII)).put(0.toByte)
+      }, 30)
+      val n = t.sampleSizes.size
+      val stsz = full("stsz", { b =>
+        b.putInt(0) // sample_size 0 = per-sample table follows
+        b.putInt(n)
+        t.sampleSizes.foreach(b.putInt)
+      }, 12 + 4 * n)
+      val stts = full("stts", { b =>
+        b.putInt(1) // entry_count
+        b.putInt(n).putInt(t.deltaTicks.toInt)
+      }, 16)
+      val stsc = full("stsc", { b =>
+        b.putInt(1) // entry_count
+        b.putInt(1).putInt(t.samplesPerChunk).putInt(1)
+      }, 20)
+      val co =
+        if (co64) full("co64", { b =>
+          b.putInt(offsets.size)
+          offsets.foreach(b.putLong)
+        }, 8 + 8 * offsets.size)
+        else full("stco", { b =>
+          b.putInt(offsets.size)
+          offsets.foreach(o => b.putInt(o.toInt))
+        }, 8 + 4 * offsets.size)
+      val stbl = box("stbl", stsz ++ stts ++ stsc ++ co)
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", stbl)))
+    }
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes(US_ASCII)).putInt(512)
+      b.put("isom".getBytes(US_ASCII)).put("mp41".getBytes(US_ASCII))
+      b.array()
+    })
+    val mvhd = full("mvhd", { b =>
+      b.putInt(0).putInt(0)
+      b.putInt(1000).putInt(durationMs.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0)
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => b.putInt(0))
+      b.putInt(tracks.size + 1)
+    }, 100)
+    // pass 1: zero offsets, only to learn moov's byte length
+    val zeroMoov = box("moov",
+      mvhd ++ tracks.flatMap(t => trakBytes(t, chunkSizes(t).map(_ => 0L))))
+    val mdatPayloadStart = ftyp.length.toLong + zeroMoov.length + 8
+    // real offsets: tracks laid out in order, chunks in order within track
+    var cursor = mdatPayloadStart
+    val offsets = tracks.map { t =>
+      chunkSizes(t).map { cs => val o = cursor; cursor += cs; o }
+    }
+    val moov = box("moov",
+      mvhd ++ tracks.zip(offsets).flatMap { case (t, o) => trakBytes(t, o) })
+    require(moov.length == zeroMoov.length, "moov size drifted between passes")
+    val payload = Array.tabulate(totalSampleBytes.toInt)(
+      i => ((seed + 13L * i) % 256).toByte)
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
+  /** Per-track sample tables, every value parsed from stbl bytes. Strict:
+    * a declared count that exceeds its box payload fails loudly (a
+    * truncated stsz silently under-reading is how a sample census rots).
+    */
+  def parseSampleTables(bytes: Array[Byte]): Vector[TrackSampleTable] = {
+    val boxes = walkBoxes(bytes)
+    def u32(off: Long): Long =
+      ByteBuffer.wrap(bytes, off.toInt, 4).order(ByteOrder.BIG_ENDIAN)
+        .getInt.toLong & 0xffffffffL
+    def payloadLen(b: Box): Long = b.off + b.size - b.payloadOff
+    // group stbl leaves under the preceding trak (file order: parents first)
+    val out = Vector.newBuilder[TrackSampleTable]
+    var trackId = -1L
+    var sizes: Vector[Long] = Vector.empty
+    var sttsDur = -1L
+    var spc = -1L
+    var offs: Vector[Long] = Vector.empty
+    var open = false
+    def flush(): Unit = if (open) {
+      require(trackId >= 0 && sizes.nonEmpty && sttsDur >= 0 && spc > 0,
+        s"incomplete sample table for track $trackId")
+      val expectChunks = (sizes.size + spc - 1) / spc
+      require(offs.size == expectChunks,
+        s"track $trackId: ${offs.size} chunk offsets, stsz/stsc imply $expectChunks")
+      out += TrackSampleTable(trackId, sizes, sttsDur, spc, offs)
+      open = false; trackId = -1L; sizes = Vector.empty
+      sttsDur = -1L; spc = -1L; offs = Vector.empty
+    }
+    boxes.foreach { b =>
+      b.fourcc match {
+        case "trak" => flush()
+        case "tkhd" =>
+          trackId = u32(b.payloadOff + 12)
+        case "stsz" =>
+          val n = u32(b.payloadOff + 8)
+          require(payloadLen(b) == 12 + 4 * n,
+            s"stsz declares $n samples but carries ${(payloadLen(b) - 12) / 4}")
+          sizes = (0L until n).map(j => u32(b.payloadOff + 12 + 4 * j)).toVector
+          open = true
+        case "stts" =>
+          val n = u32(b.payloadOff + 4)
+          require(payloadLen(b) == 8 + 8 * n,
+            s"stts declares $n entries but payload is ${payloadLen(b)} bytes")
+          sttsDur = (0L until n).map(j =>
+            u32(b.payloadOff + 8 + 8 * j) * u32(b.payloadOff + 12 + 8 * j)).sum
+          open = true
+        case "stsc" =>
+          val n = u32(b.payloadOff + 4)
+          require(payloadLen(b) == 8 + 12 * n,
+            s"stsc declares $n entries but payload is ${payloadLen(b)} bytes")
+          require(n == 1, "fixture scope: one constant samples-per-chunk run")
+          spc = u32(b.payloadOff + 12)
+          open = true
+        case "stco" =>
+          val n = u32(b.payloadOff + 4)
+          require(payloadLen(b) == 8 + 4 * n,
+            s"stco declares $n entries but payload is ${payloadLen(b)} bytes")
+          offs = (0L until n).map(j => u32(b.payloadOff + 8 + 4 * j)).toVector
+          open = true
+        case "co64" =>
+          val n = u32(b.payloadOff + 4)
+          require(payloadLen(b) == 8 + 8 * n,
+            s"co64 declares $n entries but payload is ${payloadLen(b)} bytes")
+          offs = (0L until n).map(j => ByteBuffer.wrap(bytes,
+            (b.payloadOff + 8 + 8 * j).toInt, 8)
+            .order(ByteOrder.BIG_ENDIAN).getLong).toVector
+          open = true
+        case _ => ()
+      }
+    }
+    flush()
     out.result()
   }
 

@@ -791,6 +791,96 @@ object Multimodal {
         .orderBy($"doc_id")
     },
 
+    q("q449_mp4_sample_census",
+      // MP4 sample tables (stbl: stsz/stts/stsc/stco/co64) — the per-track
+      // sample CENSUS under the q436 container walk, still structure-only
+      // (honest scope: no codec). Fixture: each track carries a real
+      // sample table — per-sample sizes, one constant time delta, constant
+      // samples-per-chunk, and chunk offsets that point at the ACTUAL
+      // absolute positions of the sample data laid out in mdat (co64 wide
+      // form on even ids). Readout per (doc, track): sample count, total
+      // sample bytes from stsz, chunk count, stts duration vs the mvhd
+      // duration and their drift (the truncated-delta remainder), an
+      // offsets-in-bounds/ordered probe, and the byte-sum of the track's
+      // samples read from the file THROUGH the chunk offsets — a walker
+      // with misaligned offsets or a lenient stsz cannot pass (the parser
+      // rejects declared counts that exceed the box payload; Mp4Props
+      // pins that law). DuckDB replays every quantity arithmetically from
+      // the closed-form layout, including the per-track byte-sum via the
+      // cumulative track offsets. Map-side per file; no shuffle.
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 2 AS nt,
+        |    1000 * (1 + doc_id % 30) AS dur_ms FROM documents),
+        |sp AS (SELECT doc_id, dur_ms, t,
+        |    2 + (doc_id + t) % 9 AS ns, 1 + (doc_id + t) % 3 AS spc
+        |  FROM (SELECT doc_id, dur_ms, unnest(range(1, nt + 1)) AS t FROM m)),
+        |sz AS (SELECT doc_id, t,
+        |    CAST(SUM(10 + (doc_id + 3*t + 5*j) % 50) AS BIGINT) AS bytes
+        |  FROM (SELECT doc_id, t, unnest(range(ns)) AS j FROM sp)
+        |  GROUP BY doc_id, t),
+        |cum AS (SELECT doc_id, t, bytes,
+        |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY doc_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum0
+        |  FROM sz),
+        |ts AS (SELECT doc_id, t,
+        |    CAST(SUM((doc_id + 13*(cum0 + i)) % 256) AS BIGINT) AS track_sum
+        |  FROM (SELECT doc_id, t, cum0, unnest(range(bytes)) AS i FROM cum)
+        |  GROUP BY doc_id, t)
+        |SELECT sp.doc_id, CAST(sp.t AS BIGINT) AS track_id,
+        |  CAST(sp.ns AS BIGINT) AS n_samples,
+        |  sz.bytes AS sample_bytes,
+        |  CAST((sp.ns + sp.spc - 1) // sp.spc AS BIGINT) AS n_chunks,
+        |  CAST(sp.spc AS BIGINT) AS spc,
+        |  CAST(sp.ns * (sp.dur_ms // sp.ns) AS BIGINT) AS stts_dur_ms,
+        |  CAST(sp.dur_ms AS BIGINT) AS mvhd_dur_ms,
+        |  CAST(sp.dur_ms % sp.ns AS BIGINT) AS dur_drift_ms,
+        |  CAST(1 AS BIGINT) AS offsets_ok,
+        |  ts.track_sum
+        |FROM sp JOIN sz ON sz.doc_id = sp.doc_id AND sz.t = sp.t
+        |        JOIN ts ON ts.doc_id = sp.doc_id AND ts.t = sp.t
+        |ORDER BY sp.doc_id, track_id""") { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val nt = (1 + id % 2).toInt
+          val durMs = 1000L * (1 + id % 30)
+          val tracks = (1 to nt).map { t =>
+            val ns = (2 + (id + t) % 9).toInt
+            val sizes = (0 until ns).map(j => (10 + (id + 3L * t + 5L * j) % 50).toInt)
+            graft.multimodal.Mp4.SampleTrackSpec(
+              t, sizes, (1 + (id + t) % 3).toInt, durMs / ns)
+          }
+          val bytes = graft.multimodal.Mp4.encodeMp4Samples(
+            tracks, durMs, id, co64 = id % 2 == 0)
+          val tabs = graft.multimodal.Mp4.parseSampleTables(bytes)
+          val mdat = graft.multimodal.Mp4.walkBoxes(bytes)
+            .find(_.fourcc == "mdat").get
+          val (_, mvhdDur) = graft.multimodal.Mp4.parseMvhd(bytes)
+          tabs.map { tb =>
+            val spans = tb.chunkOffsets.zip(tb.sampleSizes
+              .grouped(tb.samplesPerChunk.toInt).map(_.sum).toVector)
+            val inBounds = spans.forall { case (o, cs) =>
+              o >= mdat.payloadOff && o + cs <= mdat.off + mdat.size }
+            val ordered = spans.sliding(2).forall(w =>
+              w.size < 2 || w(0)._1 + w(0)._2 <= w(1)._1)
+            var sum = 0L
+            spans.foreach { case (o, cs) =>
+              var i = o.toInt
+              while (i < (o + cs).toInt) { sum += bytes(i) & 0xff; i += 1 }
+            }
+            (id, tb.trackId, tb.sampleSizes.size.toLong, tb.sampleSizes.sum,
+              tb.chunkOffsets.size.toLong, tb.samplesPerChunk,
+              tb.sttsDurTicks, mvhdDur, mvhdDur - tb.sttsDurTicks,
+              if (inBounds && ordered) 1L else 0L, sum)
+          }
+        })
+        .toDF("doc_id", "track_id", "n_samples", "sample_bytes", "n_chunks",
+          "spc", "stts_dur_ms", "mvhd_dur_ms", "dur_drift_ms", "offsets_ok",
+          "track_sum")
+        .orderBy($"doc_id", $"track_id")
+    },
+
     q("q442_fmp4_fragments",
       // Fragmented-MP4 (CMAF/DASH/HLS) ingest manifest — the segment-
       // stitching check a streaming-video pipeline runs before treating k

@@ -69,6 +69,63 @@ object Mp4Props extends Properties("Mp4") {
           Mp4.walkBoxes(bytes.take(n)))
     }
 
+  private val genSampled: Gen[(Seq[Mp4.SampleTrackSpec], Long, Long, Boolean)] =
+    for {
+      nt <- Gen.chooseNum(1, 4)
+      dur <- Gen.chooseNum(1000L, 60000L)
+      seed <- Gen.chooseNum(0L, 255L)
+      co64 <- Gen.oneOf(true, false)
+      specs <- Gen.sequence[Seq[Mp4.SampleTrackSpec], Mp4.SampleTrackSpec](
+        (1 to nt).map { t =>
+          for {
+            ns <- Gen.chooseNum(1, 12)
+            spc <- Gen.chooseNum(1, 4)
+            szs <- Gen.listOfN(ns, Gen.chooseNum(1, 64))
+          } yield Mp4.SampleTrackSpec(t, szs, spc, dur / ns)
+        })
+    } yield (specs, dur, seed, co64)
+
+  property("sample tables: parse inverts encodeMp4Samples, offsets land in " +
+    "mdat, chunks tile the payload in order") =
+    Prop.forAll(genSampled) { case (specs, dur, seed, co64) =>
+      val bytes = Mp4.encodeMp4Samples(specs, dur, seed, co64)
+      val tabs = Mp4.parseSampleTables(bytes)
+      val mdat = Mp4.walkBoxes(bytes).find(_.fourcc == "mdat").get
+      val chunkSpans = tabs.flatMap { tb =>
+        tb.chunkOffsets.zip(tb.sampleSizes
+          .grouped(tb.samplesPerChunk.toInt).map(_.sum).toVector)
+      }
+      (tabs.size == specs.size) :| "one table per track" &&
+        tabs.zip(specs).forall { case (tb, sp) =>
+          tb.trackId == sp.trackId &&
+            tb.sampleSizes == sp.sampleSizes.map(_.toLong).toVector &&
+            tb.samplesPerChunk == sp.samplesPerChunk &&
+            tb.sttsDurTicks == sp.sampleSizes.size * sp.deltaTicks
+        } :| "per-track fields inverted" &&
+        // chunks tile the mdat payload exactly, in file order
+        chunkSpans.foldLeft(Option(mdat.payloadOff)) {
+          case (Some(pos), (o, cs)) if o == pos => Some(o + cs)
+          case _ => None
+        }.contains(mdat.off + mdat.size) :| "chunks tile mdat" &&
+        (chunkSpans.map(_._2).sum ==
+          mdat.off + mdat.size - mdat.payloadOff) :| "stsz sums to mdat bytes"
+    }
+
+  property("a truncated/over-declaring stsz fails loudly") =
+    Prop.forAll(genSampled) { case (specs, dur, seed, co64) =>
+      val bytes = Mp4.encodeMp4Samples(specs, dur, seed, co64)
+      // corrupt the FIRST stsz: bump its declared sample_count by one —
+      // the box now under-carries; a lenient parser would misreport the
+      // census instead of rejecting
+      val stsz = Mp4.walkBoxes(bytes).find(_.fourcc == "stsz").get
+      val cnt = (stsz.payloadOff + 8).toInt
+      val n = java.nio.ByteBuffer.wrap(bytes, cnt, 4).getInt
+      val bad = bytes.clone()
+      java.nio.ByteBuffer.wrap(bad, cnt, 4).putInt(n + 1)
+      Prop.throws(classOf[IllegalArgumentException])(
+        Mp4.parseSampleTables(bad))
+    }
+
   property("fragmented: walk inverts encodeFmp4 and sequences are 1..k") =
     Prop.forAll(Gen.chooseNum(1, 6), Gen.chooseNum(0L, 99L)) { (k, seed) =>
       val frags = (1 to k).map(f =>
