@@ -2531,6 +2531,88 @@ object StreamLog {
         .orderBy($"event_id")
     },
 
+    q("q450_dlq_redrive",
+      // DLQ RE-DRIVE, oracle-checked end-to-end — the operational
+      // completion of q399's park: the same failing consumer parks every
+      // 'error' event after 2 failed deliveries; DlqRedrive then moves
+      // the parked messages back onto the source stream (fresh ids =>
+      // attempts reset; __redrive_* provenance retained; __dlq_* envelope
+      // stripped; DLQ trimmed), and a FIXED consumer resumes from its
+      // checkpoint. The oracle pins the whole loop: every error event is
+      // processed EXACTLY ONCE on re-drive (n_deliveries = 1 — fresh
+      // message, first delivery succeeds), carries the original entry id
+      // and the park-time attempt count as provenance, the DLQ is empty
+      // afterwards, and a second redrive is a no-op (re-injection is
+      // exactly-once at the operator level). Bounded lifecycle probe,
+      // q399's posture; fresh scratch roots per run.
+      """SELECT event_id,
+        |  CAST(1 AS BIGINT) AS n_deliveries,
+        |  CAST(2 AS BIGINT) AS attempts_was,
+        |  CAST(1700000000000 + event_id AS VARCHAR) || '-0' AS redrive_of,
+        |  CAST(0 AS BIGINT) AS n_left_in_dlq,
+        |  CAST(0 AS BIGINT) AS redrive2_n
+        |FROM events WHERE event_type = 'error' AND event_id < 2000
+        |ORDER BY event_id""") { (s, dir) =>
+      import s.implicits._
+      val root = graft.TempDirs.scratch("graft-q450-dlq")
+      val slice = Tables.load(s, dir, "events")
+        .filter($"event_id" < 2000)
+        .select((lit(1700000000000L) + $"event_id").as("ms"),
+          $"event_id", $"event_type")
+      graft.log.LogBulkProducer.produceAt(
+        slice, "ms", root, "events", orderCols = Seq("event_id"))
+      val cfg = graft.consumer.ConsumerConfig(
+        logRoot = root, stream = "events",
+        checkpointRoot = graft.TempDirs.scratch("graft-q450-ckpt"),
+        groupName = Some("redrive_audit"), startPos = "earliest",
+        raiseErrors = false, maxDeliveries = Some(2),
+        deadLetterStream = Some("dlq"))
+      val failing: (String, Option[String], String, Map[String, String]) =>
+          graft.consumer.HandlerResult = (_, _, _, values) =>
+        if (values("event_type") == "error")
+          graft.consumer.HandlerResult.Err(
+            new RuntimeException("validation failed"))
+        else graft.consumer.HandlerResult.Ok
+      // deliveries 1+2: errors defer, then park in the DLQ (q399's path)
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, failing, until = _ => true).stop()
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, failing, until = _ => true).stop()
+      // the fix ships: re-drive the parked messages onto the source stream
+      val r1 = graft.consumer.DlqRedrive.redrive(root, "dlq")
+      require(r1.redriven > 0, "redrive found nothing parked")
+      // fixed consumer resumes from its checkpoint: sees ONLY the
+      // re-driven entries (everything else was acked), processes them Ok
+      val processed =
+        new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+      val fixed: (String, Option[String], String, Map[String, String]) =>
+          graft.consumer.HandlerResult = (_, _, _, values) => {
+        processed.add(values)
+        graft.consumer.HandlerResult.Ok
+      }
+      graft.consumer.ConsumerRunner
+        .runSupervised(s, cfg, fixed, until = _ => true).stop()
+      // a second redrive must find an empty DLQ (trimmed by the first)
+      val r2 = graft.consumer.DlqRedrive.redrive(root, "dlq")
+      val leftInDlq = graft.log.LogStore
+        .readRange(root, "dlq", graft.log.LogId(0L, 0L),
+          graft.log.LogStore.maxId(root, "dlq"))
+        .count(!_.isTombstone).toLong
+      import scala.jdk.CollectionConverters._
+      processed.asScala.toSeq
+        .map(v => (v("event_id").toLong, v("__redrive_of"),
+          v("__redrive_attempts").toLong))
+        .toDF("event_id", "redrive_of", "attempts_was")
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_deliveries"),
+          min($"attempts_was").as("attempts_was"),
+          min($"redrive_of").as("redrive_of"))
+        .select($"event_id", $"n_deliveries", $"attempts_was", $"redrive_of",
+          lit(leftInDlq).as("n_left_in_dlq"),
+          lit(r2.redriven).as("redrive2_n"))
+        .orderBy($"event_id")
+    },
+
     q("q404_pending_summary",
       // XPENDING through the engine: a consumer that defers every 'error'
       // and 'signup' event runs once live (delivery 1) and once more so

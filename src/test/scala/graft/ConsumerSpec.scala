@@ -748,6 +748,43 @@ class ConsumerSpec extends AnyFunSuite {
     }
   }
 
+  test("DLQ redrive: parked messages re-enter their source stream with " +
+    "provenance, the DLQ empties, and a repeat redrive is a no-op") {
+    val root = TestSpark.tmpDir("log")
+    // a missing DLQ redrive is a clean zero, not an error
+    assert(DlqRedrive.redrive(root, "dlq") == DlqRedrive.Result(0L, Map.empty))
+    val w = new LogWriter(root, "s")
+    val ids = (1 to 3).map(i => w.produce(Map("n" -> i.toString)))
+    val dlq = new LogWriter(root, "dlq")
+    // park two of them the way ConsumerRunner does
+    ids.take(2).zipWithIndex.foreach { case (id, i) =>
+      dlq.produce(Map("n" -> (i + 1).toString, "__dlq_stream" -> "s",
+        "__dlq_id" -> id.toString, "__dlq_attempts" -> "2",
+        "__dlq_error" -> "boom"))
+    }
+    val r = DlqRedrive.redrive(root, "dlq")
+    assert(r == DlqRedrive.Result(2L, Map("s" -> 2L)))
+    val hi = graft.log.LogStore.maxId(root, "s")
+    val all = graft.log.LogStore.readRange(root, "s",
+      graft.log.LogId(0L, 0L), hi)
+    assert(all.size == 5, "3 originals + 2 re-driven")
+    val redriven = all.filter(_.values.contains("__redrive_of"))
+    assert(redriven.size == 2)
+    redriven.foreach { e =>
+      assert(ids.map(_.toString).contains(e.values("__redrive_of")))
+      assert(e.values("__redrive_attempts") == "2")
+      assert(e.values("__redrive_error") == "boom")
+      assert(!e.values.contains("__dlq_stream") &&
+        !e.values.contains("__dlq_id"), "__dlq_* envelope must be stripped")
+      assert(ids.forall(e.id > _), "re-driven entries get FRESH ids")
+    }
+    // DLQ trimmed; a second redrive finds nothing
+    assert(DlqRedrive.redrive(root, "dlq").redriven == 0L)
+    // an entry without origin provenance is refused loudly
+    dlq.produce(Map("n" -> "9"))
+    intercept[IllegalArgumentException](DlqRedrive.redrive(root, "dlq"))
+  }
+
   test("pendingSummary sees parallel-mode partition deferrals (ledger refresh)") {
     val root = TestSpark.tmpDir("log")
     val w = new LogWriter(root, "s")
