@@ -105,6 +105,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val wallT0 = System.nanoTime()
+    // THROUGHPUT PHASE FIRST (round-11 verdict task): the query loop below
+    // produces the streaming fixtures on first access, so running the eps
+    // probes after it measured them against whatever box load that work
+    // (plus any driver-side contention) left behind — r9->r10 eps "dips"
+    // were exactly this. Measured before the loop, the four throughput
+    // numbers see the same box state every round and compare
+    // round-over-round.
+    val eps = streamIngestEps(spark)
+    val bulkEps = bulkProduceEps(spark)
+    val sinkEps = sinkAppendEps(spark)
+    val shardedEps = sinkAppendShardedEps(spark, 4)
     // one untimed run to absorb session warmup (codegen, parquet reader JIT).
     // FIXED query + sorted iteration order below: round-over-round deltas
     // must compare like-for-like — a Map-order-dependent warm-up shifted
@@ -138,10 +150,7 @@ object Bench {
       if (runs.exists(_._1)) Some(name -> runs.filter(_._1).map(_._2).min)
       else { failed += name; None }
     }.toMap
-    val eps = streamIngestEps(spark)
-    val bulkEps = bulkProduceEps(spark)
-    val sinkEps = sinkAppendEps(spark)
-    val shardedEps = sinkAppendShardedEps(spark, 4)
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
     // Full per-query map goes to a repo file; stdout carries ONE compact
     // JSON line. The driver keeps only a ~2000-char tail of stdout, so a
     // 124-entry map (~4 KB) would overflow it and record "parsed": null —
@@ -150,7 +159,7 @@ object Bench {
       sys.props("user.dir"), "BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
       detailLine(results, eps, bulkEps, sinkEps, shardedEps, sfDir,
-        failed.toSeq)
+        failed.toSeq, wallSec)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(headlineLine(results, eps, bulkEps, sinkEps, shardedEps, sfDir,
       detailPath.toString, failed.toSeq))
@@ -189,9 +198,15 @@ object Bench {
 
   private[graft] def detailLine(results: Map[String, Double], eps: Long,
       bulkEps: Long, sinkEps: Long, shardedEps: Long, sfDir: String,
-      failed: Seq[String] = Nil): String = {
+      failed: Seq[String] = Nil, wallSec: Double = -1.0): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failures":${failed.size},"failed":${jarr(failed.sorted)},"queries":${jmap(results.toSeq.sortBy(_._1))},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir"}"""
+    // wall_sec >> total is EXPECTED: total sums each query's best-of-2
+    // (the engine's warmed cost), while the wall clock additionally pays
+    // every query's cold first run, fixture production, and box load —
+    // on the driver's loaded box the wall has run 3-4x the reported total.
+    // Recorded here so a round's adjudication doesn't need NOTES archeology.
+    val wall = if (wallSec >= 0) s""","wall_sec":${r3(wallSec)},"wall_note":"wall = cold runs + fixture production + box load; total = sum of per-query best-of-2 (warmed)"""" else ""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failures":${failed.size},"failed":${jarr(failed.sorted)},"queries":${jmap(results.toSeq.sortBy(_._1))},"stream_entries_per_sec":$eps,"bulk_produce_eps":$bulkEps,"sink_append_eps":$sinkEps,"sink_append_sharded4_eps":$shardedEps,"sf":"$sfDir"$wall}"""
   }
 
   /** The headline (stdout) line carries only the failure COUNT — the names
