@@ -112,11 +112,18 @@ object Bench {
     // (plus any driver-side contention) left behind — r9->r10 eps "dips"
     // were exactly this. Measured before the loop, the four throughput
     // numbers see the same box state every round and compare
-    // round-over-round.
-    val eps = streamIngestEps(spark)
-    val bulkEps = bulkProduceEps(spark)
-    val sinkEps = sinkAppendEps(spark)
-    val shardedEps = sinkAppendShardedEps(spark, 4)
+    // round-over-round. Each probe runs BEST-OF-3 (every call builds a
+    // fresh scratch log, so later calls are clean warm measurements): on a
+    // cold JVM the first run pays codegen/JIT of the whole write or scan
+    // path and under-reports by up to 10x. NOTE the r11 re-baseline: these
+    // are early-JVM numbers by design — do not compare absolute levels
+    // against rounds <= 10, where the probes ran after 400+ queries of C2
+    // warm-up (and against whatever fixture-production load that left).
+    def best3eps(probe: => Long): Long = (1 to 3).map(_ => probe).max
+    val eps = best3eps(streamIngestEps(spark))
+    val bulkEps = best3eps(bulkProduceEps(spark))
+    val sinkEps = best3eps(sinkAppendEps(spark))
+    val shardedEps = best3eps(sinkAppendShardedEps(spark, 4))
     // one untimed run to absorb session warmup (codegen, parquet reader JIT).
     // FIXED query + sorted iteration order below: round-over-round deltas
     // must compare like-for-like — a Map-order-dependent warm-up shifted

@@ -15,6 +15,7 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -69,8 +70,12 @@ def type_drift(want, got):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written fixture (e.g. GenSf's real sf1.0) — a directory
+            # of part files rather than the driver's single-file layout
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name in sorted(oracle):
