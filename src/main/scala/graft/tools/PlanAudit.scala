@@ -965,6 +965,10 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q449_mp4_sample_census" -> Seq(
+      "encode + stbl parse run as one object map stage per file" -> "MapPartitions",
+      "no join, no shuffle in the per-file pass" -> "!Join",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
     "q437_cdc_chunking" -> Seq(
       "chunk-hash occurrence count is the one corpus shuffle (the storage-dedup plan)" -> "HashAggregate",
       "no cartesian product anywhere" -> "!CartesianProduct",
