@@ -215,5 +215,82 @@ object Release {
         .unionAll(card("6_bm25_smoke", bm, sum($"score_pico"), count(lit(1))))
         .orderBy($"stage")
     },
+
+    q("q451_corpus_release_diff",
+      // Corpus RELEASE-to-RELEASE diff — the governance readout run before
+      // publishing corpus v2: per source, how many documents were added /
+      // removed / modified (content-hash compare, not metadata), the
+      // churn rate, and the mean-length drift — the dashboard that
+      // catches "the crawler silently dropped a domain" or "the cleaner
+      // rewrote everything" before a model trains on it. v2 is derived
+      // deterministically from documents (q237's discipline, at the
+      // document level): doc_id % 97 = 3 exists only in v2 (added),
+      // % 97 = 5 only in v1 (removed), % 89 = 7 got its text revised
+      // ('rev2 ' prefix, +5 chars). The diff is ONE full-outer equi join
+      // on doc_id — both releases shuffle once and nothing else moves at
+      // 100 TB — and the rollup is source-sized. Mean-length drift is the
+      // exact integer cross-multiplication |sum2*n1 - sum1*n2| * 1e6 //
+      // (sum1 * n2) (no float means); all DIVs non-negative.
+      """WITH base AS (SELECT doc_id, source, text, n_chars FROM documents),
+        |v1 AS (SELECT * FROM base WHERE doc_id % 97 <> 3),
+        |v2 AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 89 = 7 THEN 'rev2 ' || text ELSE text END AS text,
+        |    CASE WHEN doc_id % 89 = 7 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM base WHERE doc_id % 97 <> 5),
+        |d AS (SELECT COALESCE(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(a.text) <> md5(b.text) THEN 'modified'
+        |         ELSE 'unchanged' END AS st,
+        |    COALESCE(a.n_chars, 0) AS c1, COALESCE(b.n_chars, 0) AS c2,
+        |    CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in2
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(SUM(in1) AS BIGINT) AS n_v1,
+        |  CAST(SUM(in2) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN st = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+        |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST((SUM(CASE WHEN st <> 'unchanged' THEN 1 ELSE 0 END) * 1000000)
+        |    // SUM(in1) AS BIGINT) AS churn_ppm,
+        |  CAST((ABS(SUM(c2) * SUM(in1) - SUM(c1) * SUM(in2)) * 1000000)
+        |    // (SUM(c1) * SUM(in2)) AS BIGINT) AS len_drift_ppm
+        |FROM d GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val base = T(s, dir, "documents")
+        .select($"doc_id", $"source", $"text", $"n_chars")
+      val v1 = base.filter($"doc_id" % 97 =!= 3)
+      val v2 = base.filter($"doc_id" % 97 =!= 5).select($"doc_id", $"source",
+        when($"doc_id" % 89 === 7, concat(lit("rev2 "), $"text"))
+          .otherwise($"text").as("text"),
+        when($"doc_id" % 89 === 7, $"n_chars" + 5L)
+          .otherwise($"n_chars").as("n_chars"))
+      val j = v1.select($"doc_id".as("ak"), $"source".as("as_"),
+          md5($"text").as("ah"), $"n_chars".as("c1"))
+        .join(v2.select($"doc_id".as("bk"), $"source".as("bs"),
+          md5($"text").as("bh"), $"n_chars".as("c2")),
+          $"ak" === $"bk", "full_outer")
+      j.select(coalesce($"as_", $"bs").as("source"),
+          when($"ak".isNull, "added")
+            .when($"bk".isNull, "removed")
+            .when($"ah" =!= $"bh", "modified")
+            .otherwise("unchanged").as("st"),
+          coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"),
+          when($"ak".isNotNull, 1L).otherwise(0L).as("in1"),
+          when($"bk".isNotNull, 1L).otherwise(0L).as("in2"))
+        .groupBy($"source")
+        .agg(sum($"in1").as("n_v1"), sum($"in2").as("n_v2"),
+          sum(when($"st" === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when($"st" === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"st" === "modified", 1L).otherwise(0L)).as("n_modified"),
+          sum(when($"st" === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+          expr("CAST((SUM(CASE WHEN st <> 'unchanged' THEN 1 ELSE 0 END) " +
+            "* 1000000) div SUM(in1) AS BIGINT)").as("churn_ppm"),
+          expr("CAST((ABS(SUM(c2) * SUM(in1) - SUM(c1) * SUM(in2)) * 1000000)" +
+            " div (SUM(c1) * SUM(in2)) AS BIGINT)").as("len_drift_ppm"))
+        .orderBy($"source")
+    },
   )
 }

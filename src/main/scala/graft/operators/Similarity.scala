@@ -1947,6 +1947,142 @@ object Similarity {
         .toSeq.toDF("dim", "value_ppm").orderBy($"dim")
     },
 
+    q("q452_streaming_ivfpq_delta",
+      // STREAMING twin of q448's delta ingest — the live form of ANN index
+      // maintenance: delta embeddings arrive as a stream THROUGH the
+      // engine source; each vector is assigned to its nearest PERSISTED
+      // coarse cell entirely MAP-SIDE (the 8x64 integer centroid table —
+      // trained batch-side on the base slice exactly as q448 — is
+      // embedded as a literal, the streaming analog of a broadcast
+      // index), and the per-cell census is ONE complete-mode keyed
+      // aggregation whose state is 8 cells x 2 longs FOREVER, regardless
+      // of how many vectors ever stream in (q182's bounded-state
+      // discipline; a per-vector argmin aggregation would grow state with
+      // the corpus — the design this query exists to rule out). Readout:
+      // streamed per-cell delta counts + mean assignment distance joined
+      // with the batch base stats — the oracle is the SAME from-scratch
+      // rebuild as q448's coarse layer, so the hash certifies the
+      // streamed counters equal the batch twin exactly (no loss, no
+      // dupes across micro-batches — the q115 invariant). Float->string
+      // ->float via the log is exact (shortest round-trip repr, q424).
+      s"""WITH half AS (SELECT (CAST(MAX(vec_id) AS BIGINT) * 4) // 5 AS h
+         |  FROM embeddings),
+         |m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm
+         |  FROM embeddings, half WHERE vec_id < h),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+         |      * 127.0 / gm + 0.5) AS BIGINT) + 127) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz, half WHERE vec_id < h),
+         |c0 AS (SELECT vec_id AS c, pos, x AS cm FROM ex WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |asg1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY dist, c) rn FROM d1) WHERE rn = 1),
+         |c1 AS (SELECT a.c, e.pos,
+         |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+         |  FROM ex e JOIN asg1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.pos),
+         |db AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM ex e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ab AS (SELECT vec_id FROM (SELECT vec_id, c, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM db) WHERE rn = 1),
+         |exd AS (SELECT vec_id, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz, half WHERE vec_id >= h),
+         |dd AS (SELECT e.vec_id, c.c,
+         |    CAST(SUM((e.x - c.cm)*(e.x - c.cm)) AS BIGINT) AS dist
+         |  FROM exd e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.c),
+         |ad AS (SELECT vec_id, c, dist FROM (SELECT vec_id, c, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+         |  FROM dd) WHERE rn = 1),
+         |nb AS (SELECT COUNT(*) AS n FROM ab)
+         |SELECT ad.c AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_delta,
+         |  CAST(CAST(SUM(ad.dist) AS BIGINT)
+         |    // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS delta_mean_dist,
+         |  CAST((COUNT(*) * 8000000) // nb.n AS BIGINT) AS growth_vs_even_ppm
+         |FROM ad, nb GROUP BY ad.c, nb.n ORDER BY cell""") { (s, dir) =>
+      import s.implicits._
+      // --- batch-side: train the persisted index on the base slice (the
+      // q448 coarse layer) and collect the tiny artifacts (scale + 8x64
+      // centroids) the stream embeds map-side ---
+      val e = T(s, dir, "embeddings")
+      val half = e.agg(expr("(CAST(MAX(vec_id) AS BIGINT) * 4) div 5").as("h"))
+      val base = e.crossJoin(broadcast(half)).filter($"vec_id" < $"h")
+        .select($"vec_id", $"embedding")
+        .transform(graft.CacheScope.cached)
+      val gm = base.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("gm"))
+      val qb = base.crossJoin(broadcast(gm)).select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5) AS BIGINT) + 127)")
+        .as("qv")).transform(graft.CacheScope.cached)
+      def assign(df: DataFrame, cents: DataFrame) =
+        df.crossJoin(broadcast(cents))
+          .withColumn("dist", expr("graft_sqdisti(qv, cm)"))
+          .groupBy($"vec_id").agg(min(struct($"dist", $"c")).as("mc"))
+          .select($"vec_id", $"mc.c".as("c"))
+      val c0 = qb.filter($"vec_id" < 8).select($"vec_id".as("c"), $"qv".as("cm"))
+      val c1 = qb.join(assign(qb, c0), "vec_id")
+        .select($"c", posexplode($"qv"))
+        .groupBy($"c", $"pos").agg(expr("sum(col) DIV count(1)").as("cm"))
+        .groupBy($"c")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), s -> s.cm)").as("cm"))
+      val nBase = assign(qb, c1).count()
+      val gmV = gm.head().getDouble(0)
+      val cents: Seq[(Long, Seq[Long])] = c1.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+      // --- the stream: delta vectors through the engine; assignment is a
+      // pure map over the embedded literal index, census is the one
+      // bounded keyed aggregation ---
+      val root = graft.LogFixtures.producedLog(dir, "q452") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          e.crossJoin(broadcast(half)).filter($"vec_id" >= $"h").select(
+            (lit(1700000000000L) + $"vec_id").as("ms"), $"vec_id",
+            expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+              .as("emb")),
+          "ms", r, "embeddings", orderCols = Seq("vec_id"))
+      }
+      val centArr = cents.map { case (c, cm) =>
+        s"named_struct('c', CAST($c AS BIGINT), 'cm', array(${cm.mkString("L,") + "L"}))"
+      }.mkString("array(", ", ", ")")
+      val nDelta = e.count() - nBase
+      val state = graft.streaming.StreamHarness
+        .runToMemory(s, "q452", 4, mode = "complete") {
+          graft.functions.GraftExpressions.register(s)
+          s.readStream.format("graftlog")
+            .option("path", root).option("stream", "embeddings")
+            .option("valueSchema", "vec_id BIGINT, emb STRING")
+            .option("startingOffsets", "earliest")
+            // >= 3 micro-batches at every SF so the bounded state really
+            // carries across batch boundaries (q424's trigger discipline)
+            .option("maxEntriesPerTrigger", math.max(64L, nDelta / 3).toString)
+            .load()
+            .select(expr(
+              s"""transform(split(emb, ','),
+                 |  x -> CAST(floor(CAST(CAST(x AS FLOAT) AS DOUBLE)
+                 |    * 127.0 / CAST('$gmV' AS DOUBLE) + 0.5) AS BIGINT) + 127)"""
+                .stripMargin).as("qv"))
+            .select(expr(
+              s"""array_min(transform($centArr,
+                 |  s -> named_struct('dist', graft_sqdisti(qv, s.cm),
+                 |                    'c', s.c)))""".stripMargin).as("mc"))
+            .groupBy($"mc.c".as("cell"))
+            .agg(count(lit(1)).as("n_delta"), sum($"mc.dist").as("sd"))
+        }
+      state
+        .select($"cell".cast("long").as("cell"),
+          $"n_delta".cast("long").as("n_delta"), $"sd".cast("long").as("sd"))
+        .select($"cell", $"n_delta",
+          expr("sd div n_delta").as("delta_mean_dist"),
+          expr(s"CAST((n_delta * 8000000) div ${nBase}L AS BIGINT)")
+            .as("growth_vs_even_ppm"))
+        .orderBy($"cell")
+    },
+
     q("q424_streaming_anisotropy", {
       // Oracle = the q421 integer-PCA program on a FIXED 32767 scale (no
       // global-max CTE): the streamed counters must reproduce the batch

@@ -965,6 +965,10 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q451_corpus_release_diff" -> Seq(
+      "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
     "q449_mp4_sample_census" -> Seq(
       "encode + stbl parse run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
