@@ -2357,6 +2357,65 @@ object Pipeline {
             sum($"n_short").as("n_short_ignored"))
       }.orderBy($"source")
     },
+
+    q("q453_token_budget_selection",
+      // Token-budget data selection — the "keep the best N tokens" cut
+      // every pretraining run makes: rank documents by a quality score
+      // (here unique-token ratio in exact ppm), then admit the highest-
+      // quality PREFIX whose cumulative token count fits the budget (60%
+      // of corpus tokens). Because token counts are positive the
+      // admitted set {cum <= budget} is exactly the greedy prefix, so
+      // one rule states the whole policy: admitted iff the inclusive
+      // running total over (quality DESC, doc_id) fits. The SCALE story
+      // is the point: the running total is NOT a corpus-wide
+      // single-partition window — quality_ppm lives on a compacted
+      // domain (<= ~2.7k distinct values here, <= 1e6 always), so the
+      // global prefix decomposes into (a) a window over the COMPACTED
+      // (quality, count, token-sum) table for the strictly-higher-quality
+      // mass, broadcast back, plus (b) a per-quality window keyed on
+      // quality_ppm for the in-value order (q219/q289's
+      // compacted-domain discipline). Everything integer; DIVs
+      // non-negative.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST((CAST(len(list_distinct(w)) AS BIGINT) * 1000000) // len(w)
+        |      AS BIGINT) AS quality_ppm
+        |  FROM d),
+        |b AS (SELECT CAST((SUM(n_tokens) * 3) // 5 AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, n_tokens, quality_ppm,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT c.doc_id, c.n_tokens, c.quality_ppm, c.cum_tokens,
+        |  c.cum_tokens <= b.budget AS admitted
+        |FROM c, b ORDER BY c.doc_id""") { (s, dir) =>
+      import s.implicits._
+      val t = T(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div " +
+            "CAST(size(w) AS BIGINT)").as("quality_ppm"))
+        .transform(graft.CacheScope.cached) // budget + compaction + verdicts
+      val budget = t.agg(expr("CAST((SUM(n_tokens) * 3) div 5 AS BIGINT)")
+        .as("budget"))
+      // strictly-higher-quality token mass from the COMPACTED domain
+      val wQ = Window.orderBy($"quality_ppm".desc)
+      val comp = t.groupBy($"quality_ppm")
+        .agg(sum($"n_tokens").as("qsum"))
+        .withColumn("qcum_before", sum($"qsum").over(wQ) - $"qsum")
+        .select($"quality_ppm", $"qcum_before")
+      // in-value order: a window KEYED on quality_ppm (doc_id unique, so
+      // Spark's default RANGE frame equals ROWS — the q204 rule)
+      val wIn = Window.partitionBy($"quality_ppm").orderBy($"doc_id")
+      t.join(broadcast(comp), "quality_ppm")
+        .withColumn("cum_tokens", $"qcum_before" + sum($"n_tokens").over(wIn))
+        .crossJoin(broadcast(budget))
+        .select($"doc_id", $"n_tokens", $"quality_ppm", $"cum_tokens",
+          ($"cum_tokens" <= $"budget").as("admitted"))
+        .orderBy($"doc_id")
+    },
   )
 
   /** q438/q445 shared oracle: per-source Luhn-validated identifier screen

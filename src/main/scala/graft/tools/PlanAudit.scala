@@ -965,6 +965,11 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q453_token_budget_selection" -> Seq(
+      "in-value running total is a window KEYED on quality_ppm (never a corpus-wide single partition)" -> "windowspecdefinition(quality_ppm",
+      "compacted quality mass broadcast back over the docs" -> "BroadcastHashJoin",
+      "budget (1 row) broadcast into the verdict" -> "BroadcastNestedLoopJoin",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q451_corpus_release_diff" -> Seq(
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",

@@ -76,6 +76,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q453 budget selection admits exactly the highest-quality prefix " +
+    "that fits the 60% token budget") {
+    val rows = try SparkEntry.queries("q453_token_budget_selection")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * 3 / 5
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("admitted") ==
+        (r.getAs[Long]("cum_tokens") <= budget))
+    }
+    // prefix law: in (quality desc, doc_id) order the admitted flags are
+    // a prefix — monotone cum_tokens makes any other shape a bug
+    val ordered = rows.sortBy(r =>
+      (-r.getAs[Long]("quality_ppm"), r.getAs[Long]("doc_id")))
+    val firstRejected = ordered.indexWhere(!_.getAs[Boolean]("admitted"))
+    if (firstRejected >= 0)
+      assert(ordered.drop(firstRejected).forall(!_.getAs[Boolean]("admitted")))
+    // the cut is tight: admitted mass fits, adding the first rejected doc
+    // would overflow
+    val admitted = ordered.takeWhile(_.getAs[Boolean]("admitted"))
+    assert(admitted.map(_.getAs[Long]("n_tokens")).sum <= budget)
+    if (firstRejected >= 0)
+      assert(admitted.map(_.getAs[Long]("n_tokens")).sum +
+        ordered(firstRejected).getAs[Long]("n_tokens") > budget)
+  }
+
   test("q380 decontamination flags only train docs, against only test docs") {
     // Split-membership law the hash oracle can't state: every flagged vec
     // must be in the md5 train split, every cited collision in the test
