@@ -530,5 +530,81 @@ object WebCorpus {
         .select($"rank_", $"source", $"doc_id", $"slot", $"same_source_gap")
         .orderBy($"rank_")
     },
+
+    q("q454_robots_compliance",
+      // robots.txt COMPLIANCE audit — the legal/etiquette gate a crawl
+      // corpus must pass before its URLs become training data, the
+      // access-rule half beside q304's politeness scheduling. Each
+      // source's robots.txt is synthesized closed-form (every third
+      // source carries a graftbot-specific group with a Disallow and a
+      // LONGER Allow carve-out; the rest only a `*` group) and then
+      // genuinely PARSED by the RFC 9309 evaluator (functions/Robots:
+      // group selection specific-over-*, longest-prefix match, Allow
+      // winning length ties — WebCorpusSpec pins those laws on adversarial
+      // inputs, including consecutive User-agent lines and comment
+      // stripping). Per source: URL count, blocked count, how many
+      // verdicts an Allow carve-out OVERRODE a matching Disallow (the
+      // rule interaction naive prefix-blockers get wrong), blocked ppm,
+      // and whether the specific group was selected. The oracle replays
+      // the OUTCOMES arithmetically from the closed-form layout — a
+      // parser that mis-selects groups, ignores tie rules, or
+      // short-circuits on first match cannot reproduce them. Map-side
+      // per URL; the only shuffle is the source-sized rollup.
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS BIGINT) AS k,
+        |    doc_id % 7 AS seg FROM documents),
+        |v AS (SELECT doc_id, source,
+        |    CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS specific,
+        |    CASE WHEN k % 3 = 0 THEN
+        |        CASE WHEN seg = k % 5 AND doc_id % 11 <> 0 THEN 1 ELSE 0 END
+        |      ELSE
+        |        CASE WHEN seg = (k + 1) % 5 THEN 1 ELSE 0 END
+        |      END AS blocked,
+        |    CASE WHEN k % 3 = 0 AND seg = k % 5 AND doc_id % 11 = 0
+        |      THEN 1 ELSE 0 END AS overridden
+        |  FROM d)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+        |  CAST(SUM(overridden) AS BIGINT) AS n_overridden,
+        |  CAST((SUM(blocked) * 1000000) // COUNT(*) AS BIGINT) AS blocked_ppm,
+        |  CAST(MIN(specific) AS BIGINT) AS specific_group
+        |FROM v GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      T(s, dir, "documents")
+        .select($"doc_id", $"source").as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          val k = src.stripPrefix("src").toLong
+          val robots =
+            if (k % 3 == 0)
+              s"""# robots for $src
+                 |User-agent: graftbot
+                 |Disallow: /p${k % 5}
+                 |Allow: /p${k % 5}/ok
+                 |
+                 |User-agent: *
+                 |Disallow: /p${(k + 1) % 5}""".stripMargin
+            else
+              s"""User-agent: *
+                 |Disallow: /p${(k + 1) % 5}""".stripMargin
+          val path = s"/p${id % 7}${if (id % 11 == 0) "/ok" else ""}/page$id"
+          val groups = graft.functions.Robots.parse(robots)
+          val rules = graft.functions.Robots.groupFor(groups, "graftbot")
+          val specific = groups.contains("graftbot") &&
+            (groups("graftbot") eq rules)
+          val (allowed, overridden) =
+            graft.functions.Robots.evaluate(rules, path)
+          (src, if (allowed) 0L else 1L, if (overridden) 1L else 0L,
+            if (specific) 1L else 0L)
+        })
+        .toDF("source", "blocked", "overridden", "specific")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_urls"), sum($"blocked").as("n_blocked"),
+          sum($"overridden").as("n_overridden"),
+          expr("CAST((SUM(blocked) * 1000000) div COUNT(*) AS BIGINT)")
+            .as("blocked_ppm"),
+          min($"specific").as("specific_group"))
+        .orderBy($"source")
+    },
   )
 }

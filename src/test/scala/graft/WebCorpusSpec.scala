@@ -82,4 +82,44 @@ class WebCorpusSpec extends AnyFunSuite {
         "alpha=0.5 must up-weight the smallest source group")
     } finally CacheScope.release()
   }
+
+  test("robots.txt evaluator: RFC 9309 group selection, longest match, " +
+    "Allow tie-break, comments, shared agent lines") {
+    import graft.functions.Robots
+    val txt =
+      """# top comment
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /a    # trailing comment
+        |Allow: /a/ok
+        |Crawl-delay: 5
+        |
+        |User-agent: *
+        |Disallow: /b
+        |Disallow:
+        |""".stripMargin
+    val g = Robots.parse(txt)
+    // consecutive User-agent lines share the rule block
+    assert(g("graftbot") == g("otherbot"))
+    assert(g("graftbot") ==
+      Vector(Robots.Rule(false, "/a"), Robots.Rule(true, "/a/ok")))
+    // empty Disallow contributes no rule; crawl-delay ignored
+    assert(g("*") == Vector(Robots.Rule(false, "/b")))
+    // group selection: specific over *, prefix agent match, else * fallback,
+    // else allow-all
+    assert(Robots.groupFor(g, "GraftBot/1.2") == g("graftbot"))
+    assert(Robots.groupFor(g, "strangerbot") == g("*"))
+    assert(Robots.groupFor(Map.empty, "anyone") == Vector.empty)
+    // longest-prefix match: the /a/ok Allow overrides the /a Disallow
+    assert(Robots.evaluate(g("graftbot"), "/a/ok/page") == ((true, true)))
+    assert(Robots.evaluate(g("graftbot"), "/a/page") == ((false, false)))
+    assert(Robots.evaluate(g("graftbot"), "/c/page") == ((true, false)))
+    // Allow wins an exact length tie
+    val tie = Vector(Robots.Rule(false, "/x"), Robots.Rule(true, "/x"))
+    assert(Robots.evaluate(tie, "/x/1") == ((true, true)))
+    // longer Disallow beats shorter Allow
+    val rev = Vector(Robots.Rule(true, "/a"), Robots.Rule(false, "/a/b"))
+    assert(Robots.evaluate(rev, "/a/b/c") == ((false, false)))
+    assert(Robots.evaluate(rev, "/a/c") == ((true, false)))
+  }
 }
