@@ -2416,6 +2416,85 @@ object Pipeline {
           ($"cum_tokens" <= $"budget").as("admitted"))
         .orderBy($"doc_id")
     },
+    q("q455_source_budget_mixing",
+      // Per-SOURCE token-budget mixing — the multi-tenant form of q453
+      // and the enforcement half of q165's mixing weights: a release
+      // allocates the global 60% token budget across sources by a target
+      // mix (here share_k proportional to k+1, closed-form so the oracle
+      // replays it), and each source independently admits its highest-
+      // quality prefix into its own allocation. EVERY window here is
+      // keyed: the compacted (source, quality) mass table windows
+      // partitioned by source (bounded by the per-source quality domain),
+      // the in-value order windows by (source, quality) — the fully-keyed
+      // generalization of q453 with no unpartitioned window at all.
+      // Readout per source: allocation, admitted docs/tokens, fill ppm
+      // (how much of the allocation the source could actually fill at
+      // its quality profile), and the quality cutoff (-1 = nothing
+      // admitted). Integer-exact throughout.
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST((CAST(len(list_distinct(w)) AS BIGINT) * 1000000) // len(w)
+        |      AS BIGINT) AS quality_ppm
+        |  FROM d),
+        |tot AS (SELECT CAST((SUM(n_tokens) * 3) // 5 AS BIGINT) AS gb FROM t),
+        |b AS (SELECT DISTINCT source,
+        |    CAST((gb * (CAST(substr(source, 4) AS BIGINT) + 1)) // 210
+        |      AS BIGINT) AS budget
+        |  FROM t, tot),
+        |c AS (SELECT doc_id, source, n_tokens, quality_ppm,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM t),
+        |v AS (SELECT c.source, c.n_tokens, c.quality_ppm,
+        |    CASE WHEN c.cum <= b.budget THEN 1 ELSE 0 END AS adm, b.budget
+        |  FROM c JOIN b ON b.source = c.source)
+        |SELECT source,
+        |  CAST(MIN(budget) AS BIGINT) AS budget,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(adm) AS BIGINT) AS n_admitted,
+        |  CAST(SUM(adm * n_tokens) AS BIGINT) AS admitted_tokens,
+        |  CAST((SUM(adm * n_tokens) * 1000000) // MIN(budget) AS BIGINT)
+        |    AS fill_ppm,
+        |  CAST(COALESCE(MIN(CASE WHEN adm = 1 THEN quality_ppm END), -1)
+        |    AS BIGINT) AS cut_quality_ppm
+        |FROM v GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val t = T(s, dir, "documents")
+        .select($"doc_id", $"source", split($"text", " ").as("w"))
+        .select($"doc_id", $"source",
+          size($"w").cast("long").as("n_tokens"),
+          expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div " +
+            "CAST(size(w) AS BIGINT)").as("quality_ppm"))
+        .transform(graft.CacheScope.cached) // total + compaction + verdicts
+      val tot = t.agg(expr("CAST((SUM(n_tokens) * 3) div 5 AS BIGINT)").as("gb"))
+      val b = t.select($"source").distinct()
+        .crossJoin(broadcast(tot))
+        .select($"source", expr(
+          "CAST((gb * (CAST(substr(source, 4) AS BIGINT) + 1)) div 210 " +
+            "AS BIGINT)").as("budget"))
+      val wQ = Window.partitionBy($"source").orderBy($"quality_ppm".desc)
+      val comp = t.groupBy($"source", $"quality_ppm")
+        .agg(sum($"n_tokens").as("qsum"))
+        .withColumn("qcum_before", sum($"qsum").over(wQ) - $"qsum")
+        .select($"source", $"quality_ppm", $"qcum_before")
+      val wIn = Window.partitionBy($"source", $"quality_ppm").orderBy($"doc_id")
+      t.join(broadcast(comp), Seq("source", "quality_ppm"))
+        .withColumn("cum", $"qcum_before" + sum($"n_tokens").over(wIn))
+        .join(broadcast(b), "source")
+        .withColumn("adm", when($"cum" <= $"budget", 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(min($"budget").as("budget"), count(lit(1)).as("n_docs"),
+          sum($"adm").as("n_admitted"),
+          sum($"adm" * $"n_tokens").as("admitted_tokens"),
+          expr("CAST((SUM(adm * n_tokens) * 1000000) div MIN(budget) " +
+            "AS BIGINT)").as("fill_ppm"),
+          coalesce(min(when($"adm" === 1L, $"quality_ppm")), lit(-1L))
+            .as("cut_quality_ppm"))
+        .orderBy($"source")
+    },
   )
 
   /** q438/q445 shared oracle: per-source Luhn-validated identifier screen

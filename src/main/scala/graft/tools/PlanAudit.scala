@@ -965,6 +965,11 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q455_source_budget_mixing" -> Seq(
+      "every window keyed (source / source+quality) — no unpartitioned window anywhere" -> "!windowspecdefinition(quality_ppm#",
+      "per-source running totals windowed by source" -> "windowspecdefinition(source",
+      "compacted mass + allocations broadcast back over the docs" -> "BroadcastHashJoin",
+      "only the three needed columns read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q453_token_budget_selection" -> Seq(
       "in-value running total is a window KEYED on quality_ppm (never a corpus-wide single partition)" -> "windowspecdefinition(quality_ppm",
       "compacted quality mass broadcast back over the docs" -> "BroadcastHashJoin",
