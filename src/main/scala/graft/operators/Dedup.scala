@@ -226,6 +226,99 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    q("q456_neardup_explain",
+      // Near-dup pair EXPLANATION — the human-review diagnostics a dedup
+      // pipeline attaches to every candidate before a reviewer (or an
+      // auto-policy) decides what to drop: for each q42 banded-LSH
+      // candidate pair, the exact shingle-Jaccard in ppm, the shared
+      // shingle count, the FIRST DIVERGENT TOKEN position (0 = texts
+      // identical; min(len)+1 = one text is a strict prefix of the
+      // other), the word-length delta, and the verdict ladder exact /
+      // near (jac >= 0.5) / collision (a banded false positive — the
+      // rate this query makes visible is what q154's recall curve
+      // trades off). Candidates come from the banded equi-join, never
+      // all-pairs; the per-pair explanation is bounded HOF arithmetic
+      // on the two word arrays.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents
+         |  WHERE len(string_split(text,' ')) >= 3),
+         |sh AS (SELECT doc_id, w, ${duckShingles("w")} shingles FROM words),
+         |hs AS (SELECT doc_id, w, ${duckHashedSet("shingles")} hh FROM sh),
+         |sig AS (SELECT doc_id, ${duckMinhash("hh")} mh FROM hs),
+         |bands AS (SELECT doc_id, b.band,
+         |    mh[CAST(b.band*4+1 AS INT)]||':'||mh[CAST(b.band*4+2 AS INT)]||':'||
+         |    mh[CAST(b.band*4+3 AS INT)]||':'||mh[CAST(b.band*4+4 AS INT)] AS key
+         |  FROM sig, (SELECT unnest(range($MinhashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+         |         JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                     AND a.doc_id < b.doc_id),
+         |x AS (SELECT da, db, ha.w wa, hb.w wb,
+         |    CAST(len(list_filter(ha.hh, h -> list_contains(hb.hh, h)))
+         |      AS BIGINT) AS inter,
+         |    CAST(len(ha.hh) + len(hb.hh) AS BIGINT) AS szsum
+         |  FROM cand JOIN hs ha ON ha.doc_id = cand.da
+         |            JOIN hs hb ON hb.doc_id = cand.db),
+         |e AS (SELECT da, db, inter,
+         |    (inter * 1000000) // (szsum - inter) AS jac_ppm,
+         |    COALESCE(list_min(list_filter(list_transform(
+         |        range(1, least(len(wa), len(wb)) + 1),
+         |        i -> CASE WHEN wa[CAST(i AS INT)] <> wb[CAST(i AS INT)]
+         |          THEN i END), v -> v IS NOT NULL)),
+         |      CASE WHEN len(wa) = len(wb) THEN 0
+         |        ELSE least(len(wa), len(wb)) + 1 END) AS fd,
+         |    abs(len(wa) - len(wb)) AS ld
+         |  FROM x)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(jac_ppm AS BIGINT) AS jac_ppm,
+         |  CAST(inter AS BIGINT) AS n_shared,
+         |  CAST(fd AS BIGINT) AS first_diff_pos,
+         |  CAST(ld AS BIGINT) AS len_delta,
+         |  CASE WHEN fd = 0 THEN 'exact'
+         |       WHEN jac_ppm >= 500000 THEN 'near'
+         |       ELSE 'collision' END AS verdict
+         |FROM e ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import s.implicits._
+      val hs = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"w", $"hh")
+        .transform(graft.CacheScope.cached) // signature + both pair sides
+      val sig = hs.select($"doc_id", expr("graft_minhash(hh)").as("mh"))
+      val bands = sig
+        .select($"doc_id", $"mh",
+          explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+        .withColumn("key", expr(
+          "concat_ws(':', transform(slice(mh, band*4 + 1, 4), x -> CAST(x AS STRING)))"))
+        .select($"doc_id", $"band", $"key")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct()
+      cand
+        .join(hs.select($"doc_id".as("da"), $"w".as("wa"), $"hh".as("ha")), "da")
+        .join(hs.select($"doc_id".as("db"), $"w".as("wb"), $"hh".as("hb")), "db")
+        .withColumn("inter",
+          expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)"))
+        .withColumn("jac_ppm", expr(
+          "(inter * 1000000) div (CAST(size(ha) + size(hb) AS BIGINT) - inter)"))
+        .withColumn("fd", expr(
+          """coalesce(
+            |  array_min(filter(transform(
+            |    sequence(1, least(size(wa), size(wb))),
+            |    i -> IF(element_at(wa, CAST(i AS INT)) <>
+            |            element_at(wb, CAST(i AS INT)),
+            |          CAST(i AS BIGINT), CAST(NULL AS BIGINT))),
+            |    v -> v IS NOT NULL)),
+            |  IF(size(wa) = size(wb), CAST(0 AS BIGINT),
+            |    CAST(least(size(wa), size(wb)) + 1 AS BIGINT)))""".stripMargin))
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"jac_ppm",
+          $"inter".as("n_shared"), $"fd".as("first_diff_pos"),
+          expr("CAST(abs(size(wa) - size(wb)) AS BIGINT)").as("len_delta"),
+          when($"fd" === 0L, "exact")
+            .when($"jac_ppm" >= 500000L, "near")
+            .otherwise("collision").as("verdict"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     q("q154_lsh_recall_eval",
       // Dedup-quality EVALUATION (the q95-for-text analog): the minhash-LSH
       // candidate generator (q42's bands) is scored against exact-Jaccard

@@ -965,6 +965,10 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q456_neardup_explain" -> Seq(
+      "candidates form via the banded (band, key) equi hash join" -> "HashJoin",
+      "no all-pairs comparison anywhere" -> "!CartesianProduct",
+      "only doc_id and text read" -> "ReadSchema: struct<doc_id:bigint,text:string>"),
     "q455_source_budget_mixing" -> Seq(
       "every window keyed (source / source+quality) — no unpartitioned window anywhere" -> "!windowspecdefinition(quality_ppm#",
       "per-source running totals windowed by source" -> "windowspecdefinition(source",
