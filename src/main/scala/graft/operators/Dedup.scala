@@ -495,6 +495,61 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    q("q457_cc_star_contraction",
+      // q106's duplicate clusters by a DIFFERENT distributed algorithm:
+      // alternating large-star/small-star contraction (Kiveris et al.
+      // 2014) — O(log d) rounds where label propagation pays O(diameter).
+      // Same edges (q41's exact-jaccard graph), same oracle (recursive
+      // transitive closure), and QueriesSpec additionally pins q457 ==
+      // q106 row-for-row — two algorithms, one answer — while
+      // StarContractionProps law-tests the rounds against union-find on
+      // random graphs (the fixture's shallow components alone could not
+      // distinguish a subtly wrong star rule). Each round is two keyed
+      // aggregations + equi joins on ids; the edge set only contracts.
+      s"""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} shingles FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ${duckHashedSet("shingles")} hh FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) h FROM hs),
+         |pair AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(hh) n FROM hs),
+         |edges AS (SELECT da, db FROM pair
+         |          JOIN sz sa ON sa.doc_id = pair.da
+         |          JOIN sz sb ON sb.doc_id = pair.db
+         |          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+         |sym AS (SELECT da a, db b FROM edges UNION SELECT db, da FROM edges),
+         |r AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM sym
+         |    UNION
+         |    SELECT rr.a, s.b FROM rr JOIN sym s ON rr.b = s.a WHERE s.b <> rr.a
+         |  ) SELECT * FROM rr),
+         |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM r GROUP BY a)
+         |SELECT doc_id, cluster, doc_id = cluster AS is_canonical
+         |FROM lab ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      val sh = shingled(s, dir)
+        .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
+        .select($"doc_id", $"hh")
+        .transform(graft.CacheScope.cached)
+      val ex = sh.select($"doc_id", explode($"hh").as("h"))
+      val pair = ex.as("a").join(ex.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
+      val edges = pair
+        .join(sz.as("sa"), $"da" === $"sa.doc_id")
+        .join(sz.as("sb"), $"db" === $"sb.doc_id")
+        .filter($"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter") >= 0.6)
+        .select($"da".as("a"), $"db".as("b"))
+      StarContraction.componentsDF(edges)
+        .select($"doc_id", $"cluster",
+          ($"doc_id" === $"cluster").as("is_canonical"))
+        .orderBy($"doc_id")
+    },
+
     q("q92_dedup_jaccard_prefix", jaccardOracleSql) { (s, dir) =>
       import s.implicits._
       // Same exact Jaccard semantics as q41, with PREFIX FILTERING

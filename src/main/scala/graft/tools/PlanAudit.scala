@@ -965,6 +965,13 @@ object PlanAudit {
       "encode + fragment walk run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
       "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
+    "q457_cc_star_contraction" -> Seq(
+      // rounds run imperatively with a localCheckpoint each (q106/q229
+      // discipline), so the audited plan reads the materialized star
+      // forest; the per-round shape (keyed aggs + equi joins) is pinned
+      // by StarContractionProps + the q457==q106 equivalence spec
+      "result reads the materialized star forest (rounds imperative)" -> "Scan ExistingRDD",
+      "no cartesian product in the final labeling" -> "!CartesianProduct"),
     "q456_neardup_explain" -> Seq(
       "candidates form via the banded (band, key) equi hash join" -> "HashJoin",
       "no all-pairs comparison anywhere" -> "!CartesianProduct",

@@ -42,6 +42,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
   }
 
+  test("q457 star contraction equals q106 label propagation row-for-row " +
+    "(two algorithms, one answer)") {
+    val a = try SparkEntry.queries("q457_cc_star_contraction")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet finally CacheScope.release()
+    val b = try SparkEntry.queries("q106_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet finally CacheScope.release()
+    assert(a == b)
+  }
+
   test("q448 IVF-PQ delta maintenance: counts partition the corpus and " +
     "every derived column follows its stated integer formula") {
     // The oracle certifies the values against a from-scratch rebuild; this
