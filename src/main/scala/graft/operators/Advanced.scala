@@ -1777,8 +1777,8 @@ object Advanced {
         |    - dc.d * dc.d) AS BIGINT) AS num, CAST(MIN(mm.m) AS BIGINT) AS m
         |  FROM dc LEFT JOIN ecc ON ecc.com = dc.com, mm)
         |SELECT m AS n_edges,
-        |  CAST((1000000 * (num + 4*m*m)) // (4*m*m) - 1000000 AS BIGINT)
-        |    AS modularity_ppm
+        |  CAST((CAST(1000000 AS HUGEINT) * (num + 4*m*m)) // (4*m*m)
+        |    - 1000000 AS BIGINT) AS modularity_ppm
         |FROM s""") { (s, dir) =>
       import s.implicits._
       val li = T(s, dir, "lineitem")
@@ -1809,7 +1809,13 @@ object Advanced {
         .agg(sum(lit(4L) * $"m" * $"e_in" - $"d" * $"d").as("num"),
           min($"m").as("m"))
         .select($"m".as("n_edges"),
-          expr("(1000000 * (num + 4*m*m)) div (4*m*m) - 1000000")
+          // the ONE big product widened through DECIMAL(38,0) (q262's
+          // rule): at real sf1.0 m ~ 1.5e7 edges puts 1e6 * 4m^2 ~ 9e20
+          // past Long (found by the round-11 full sf1.0 verify run);
+          // num + 4m^2 >= 0 (sum d_c^2 <= (sum d_c)^2 = 4m^2) so floor
+          // division stays sign-safe, and DuckDB's side is HUGEINT
+          // arithmetic already. IntegralDivide on decimals returns LONG.
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * CAST(num + 4*m*m AS DECIMAL(38,0))) div CAST(4*m*m AS DECIMAL(38,0)) - 1000000")
             .as("modularity_ppm"))
     },
 

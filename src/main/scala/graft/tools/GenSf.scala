@@ -178,7 +178,13 @@ object GenSf {
       org.apache.spark.sql.Row(idx, ts, r.getLong(1), r.getString(2),
         r.getDouble(3), r.getString(4))
     }
-    write(spark.createDataFrame(withId,
+    // single file, ts-ordered — the driver's fixture layout contract: the
+    // streaming fixtures (q107/q138's clickPurchaseLog) re-produce events
+    // through the plain append sink, whose log order is the READ order;
+    // a multi-file events table gets size-packed into scan partitions in
+    // arbitrary file order, manufacturing event-time disorder the 2 h
+    // watermark correctly rejects (found by the full sf1.0 verify run).
+    write(spark.createDataFrame(withId.coalesce(1),
       org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
