@@ -181,6 +181,51 @@ object WebCorpus {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  // ---- q458 fixture synthesis: the WARC record, rendered identically in
+  // both dialects (ASCII only, so length() == bytes in both engines).
+  // Every fifth payload embeds the two-CRLF record separator so parsing
+  // must honor Content-Length.
+
+  private[operators] val warcPayloadExpr: String =
+    "concat(text, CASE WHEN doc_id % 5 = 0 " +
+      "THEN concat(chr(13), chr(10), chr(13), chr(10), '--') ELSE '' END)"
+
+  private[operators] def warcRecExpr(p: String): String =
+    "concat('WARC/1.0', chr(13), chr(10), " +
+      "'WARC-Type: response', chr(13), chr(10), " +
+      "'WARC-Record-ID: <urn:graft:', CAST(doc_id AS STRING), '>', " +
+      "chr(13), chr(10), " +
+      "'WARC-Target-URI: https://', source, '.example.com/docs/', " +
+      "CAST(doc_id % 7 AS STRING), chr(13), chr(10), " +
+      s"'Content-Length: ', CAST(length($p) AS STRING), " +
+      s"chr(13), chr(10), chr(13), chr(10), $p, chr(13), chr(10), " +
+      "chr(13), chr(10))"
+
+  // ---- q459 fixture synthesis: 1-3 anchor tags per document, all
+  // closed-form; the regex extracts (href, anchor) pairs group-indexed.
+
+  private def linkExpr(j: Int): String = {
+    val anchor = s"CASE (doc_id + $j) % 5 WHEN 0 THEN 'click here' " +
+      "WHEN 1 THEN 'read more' WHEN 2 THEN 'docs' " +
+      "WHEN 3 THEN 'spark guide' ELSE 'home' END"
+    s"CASE WHEN doc_id % 3 >= $j THEN concat('<a href=\"https://src', " +
+      s"CAST((CAST(substr(source, 4) AS BIGINT) * 31 + doc_id * 7 + $j * 13) " +
+      s"% 20 AS STRING), '.example.com/docs/', " +
+      s"CAST((doc_id + $j) % 7 AS STRING), '\">', $anchor, '</a> ') " +
+      "ELSE '' END"
+  }
+
+  private[operators] val linkedHtmlExpr: String =
+    s"concat('<html><body><p>', text, '</p>', ${linkExpr(0)}, " +
+      s"${linkExpr(1)}, ${linkExpr(2)}, '</body></html>')"
+
+  /** The <a> tag pattern as a SQL string literal (shared by both dialects;
+    * no backslash escapes — Spark and DuckDB string literals disagree on
+    * them).
+    */
+  private[operators] val aTagPat: String =
+    "'<a href=\"([^\"]+)\">([^<]+)</a>'"
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q163_html_extract", {
@@ -606,5 +651,129 @@ object WebCorpus {
           min($"specific").as("specific_group"))
         .orderBy($"source")
     },
+
+    q("q458_warc_ingest",
+      // WARC archive ingest census — web corpora arrive as WARC files
+      // (Common Crawl's container), so the ingest edge of the pipeline is
+      // a format PARSER, not a parquet scan. Each source's archive is
+      // synthesized closed-form (every fifth payload deliberately CONTAINS
+      // the two-CRLF record separator, so boundaries must come from
+      // Content-Length — the property split-on-separator pseudo-parsers
+      // get wrong) and then genuinely parsed by functions/Warc.scala
+      // (strict ISO 28500 grammar, loud byte-offset failures; WarcProps
+      // pins the round-trip, embedded-separator, truncation, and
+      // over-declared-length laws). The oracle replays the census
+      // ARITHMETICALLY from the construction (offsets = prefix sums of
+      // record lengths), so a parser that resyncs on separators, drops
+      // headers, or mis-sizes payloads cannot reproduce it. At 100 TB:
+      // one blob row = one archive segment; the parse is map-side and
+      // embarrassingly parallel across segments (in production the blobs
+      // come straight from storage — the groupBy assembly here only
+      // exists because the fixture is row-shaped).
+      s"""WITH p AS (SELECT doc_id, source, $warcPayloadExpr AS payload
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, payload,
+         |    ${warcRecExpr("payload")} AS rec FROM p),
+         |w AS (SELECT source, doc_id, payload,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS rec_idx,
+         |    CAST(COALESCE(SUM(length(rec)) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+         |        PRECEDING), 0) AS BIGINT) AS byte_off
+         |  FROM r)
+         |SELECT source, rec_idx, doc_id, byte_off,
+         |  CAST(length(payload) AS BIGINT) AS content_length,
+         |  CAST(4 AS BIGINT) AS n_headers,
+         |  md5(payload) AS payload_digest
+         |FROM w ORDER BY source, rec_idx""") { (s, dir) =>
+      import s.implicits._
+      val recs = T(s, dir, "documents")
+        .withColumn("payload", expr(warcPayloadExpr))
+        .withColumn("rec", expr(warcRecExpr("payload")))
+      recs.groupBy($"source")
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(doc_id, rec))), r -> r.rec), '')").as("blob"))
+        .select($"source", $"blob").as[(String, String)]
+        .mapPartitions(_.flatMap { case (src, blob) =>
+          graft.functions.Warc.parse(blob).iterator.zipWithIndex.map {
+            case (r, i) =>
+              val id = r.headers("WARC-Record-ID")
+                .stripPrefix("<urn:graft:").stripSuffix(">").toLong
+              (src, (i + 1).toLong, id, r.offset,
+                r.payload.length.toLong, r.headers.size.toLong, r.payload)
+          }
+        })
+        .toDF("source", "rec_idx", "doc_id", "byte_off", "content_length",
+          "n_headers", "payload")
+        .select($"source", $"rec_idx", $"doc_id", $"byte_off",
+          $"content_length", $"n_headers",
+          md5($"payload".cast("binary")).as("payload_digest"))
+        .orderBy($"source", $"rec_idx")
+    },
+
+    q("q459_outlink_graph",
+      // Host-level link graph + anchor-text consensus — what PageRank-like
+      // authority scoring (q168) and anchor-text indexing consume. Each
+      // document's HTML is synthesized with 1-3 deterministic <a> tags
+      // (target host, path segment, and anchor words all closed-form in
+      // doc_id/source), outlinks are extracted by regex (group-indexed
+      // regexp_extract_all in BOTH dialects — no backslash escapes, per
+      // the house rule), and the edge rollup keeps per-(src,dst) link
+      // counts plus the modal anchor text with the (count DESC, anchor)
+      // tie-break q319's MODE aggregate uses. Extraction is map-side; the
+      // only shuffles are the (src,dst,anchor)-keyed count and the
+      // (src,dst) window over the ALREADY-AGGREGATED edge-anchor table
+      // (bounded by hosts x anchors, not by corpus rows) — at 100 TB the
+      // raw-row pass never sorts.
+      s"""WITH h AS (SELECT doc_id, source, $linkedHtmlExpr AS html
+         |  FROM documents),
+         |e AS (SELECT source,
+         |    unnest(regexp_extract_all(html, $aTagPat, 1)) AS href,
+         |    unnest(regexp_extract_all(html, $aTagPat, 2)) AS anchor
+         |  FROM h),
+         |d AS (SELECT source,
+         |    regexp_extract(href, 'https://(src[0-9]+)[.]', 1) AS dst_host,
+         |    anchor FROM e),
+         |c AS (SELECT source, dst_host, anchor,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY source, dst_host, anchor),
+         |r AS (SELECT source, dst_host, anchor, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY source, dst_host
+         |      ORDER BY cnt DESC, anchor) AS rn,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source, dst_host)
+         |      AS BIGINT) AS n_links,
+         |    CAST(COUNT(*) OVER (PARTITION BY source, dst_host)
+         |      AS BIGINT) AS n_anchor_kinds
+         |  FROM c)
+         |SELECT source AS src_host, dst_host, n_links, n_anchor_kinds,
+         |  anchor AS top_anchor, cnt AS top_anchor_n,
+         |  source = dst_host AS is_self
+         |FROM r WHERE rn = 1 ORDER BY src_host, dst_host""") { (s, dir) =>
+      import s.implicits._
+      val pairs = T(s, dir, "documents")
+        .withColumn("html", expr(linkedHtmlExpr))
+        .withColumn("hrefs", expr(s"regexp_extract_all(html, $aTagPat, 1)"))
+        .withColumn("anchors", expr(s"regexp_extract_all(html, $aTagPat, 2)"))
+        .select($"source", explode(arrays_zip($"hrefs", $"anchors")).as("z"))
+        .select($"source",
+          expr("regexp_extract(z.hrefs, 'https://(src[0-9]+)[.]', 1)")
+            .as("dst_host"),
+          $"z.anchors".as("anchor"))
+      val edgeAnchor = pairs.groupBy($"source", $"dst_host", $"anchor")
+        .agg(count(lit(1)).as("cnt"))
+      val byEdge = Window.partitionBy($"source", $"dst_host")
+      edgeAnchor
+        .withColumn("rn",
+          row_number().over(byEdge.orderBy($"cnt".desc, $"anchor")))
+        .withColumn("n_links", sum($"cnt").over(byEdge).cast("long"))
+        .withColumn("n_anchor_kinds", count(lit(1)).over(byEdge).cast("long"))
+        .filter($"rn" === 1)
+        .select($"source".as("src_host"), $"dst_host", $"n_links",
+          $"n_anchor_kinds", $"anchor".as("top_anchor"),
+          $"cnt".as("top_anchor_n"),
+          ($"source" === $"dst_host").as("is_self"))
+        .orderBy($"src_host", $"dst_host")
+    },
   )
+
 }

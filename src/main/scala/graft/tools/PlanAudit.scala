@@ -990,6 +990,16 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q458_warc_ingest" -> Seq(
+      "archive parse is an object map stage per source blob" -> "MapPartitions",
+      "no join anywhere (census columns come from the parser)" -> "!Join",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    "q459_outlink_graph" -> Seq(
+      "edge-anchor rollup partial-aggregates map-side" -> "HashAggregate",
+      "modal-anchor window keyed on (source, dst_host), never one partition" -> "windowspecdefinition(source",
+      "no join anywhere" -> "!Join",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
     "q449_mp4_sample_census" -> Seq(
       "encode + stbl parse run as one object map stage per file" -> "MapPartitions",
       "no join, no shuffle in the per-file pass" -> "!Join",
