@@ -1867,6 +1867,90 @@ object Advanced {
         .orderBy($"capped_common_neighbors".desc, $"s_a", $"s_b")
         .limit(20)
     },
+
+    q("q460_label_spreading", {
+      // One unrolled round of the oracle: votes from labeled neighbors,
+      // majority with the (count DESC, label ASC) tie-break, seeds clamped.
+      def round(t: Int): String =
+        s"""v$t AS (SELECT e.b AS node, l.label, COUNT(*) AS cnt
+           |  FROM sym e JOIN l${t - 1} l ON l.node = e.a
+           |  WHERE l.label IS NOT NULL GROUP BY e.b, l.label),
+           |p$t AS (SELECT node, label FROM (SELECT node, label,
+           |    ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label) AS rn FROM v$t) WHERE rn = 1),
+           |l$t AS (SELECT l.node, COALESCE(l.label, p.label) AS label,
+           |    CASE WHEN l.at IS NOT NULL THEN l.at
+           |      WHEN p.label IS NOT NULL THEN $t END AS at
+           |  FROM l${t - 1} l LEFT JOIN p$t p ON p.node = l.node)"""
+      s"""WITH n AS (SELECT doc_id AS node FROM documents),
+         |e0 AS (SELECT a.node AS a, b.node AS b FROM n a JOIN n b
+         |    ON b.node = a.node + 1 AND a.node // 40 = b.node // 40
+         |  UNION ALL SELECT a.node, b.node FROM n a JOIN n b
+         |    ON b.node = a.node + 7 AND a.node // 40 = b.node // 40),
+         |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT node,
+         |    CASE WHEN node % 40 = 0 THEN (node // 40) % 3 END AS label,
+         |    CASE WHEN node % 40 = 0 THEN 0 END AS at FROM n),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node AS doc_id,
+         |  CAST(COALESCE(label, -1) AS BIGINT) AS label,
+         |  CAST(COALESCE(at, -1) AS BIGINT) AS labeled_at
+         |FROM l3 ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Seeded label spreading (TrustRank-style semi-supervised
+      // propagation): a small labeled seed set (one per 40-node block,
+      // class = block % 3) spreads over a planted ring+chord graph in 3
+      // SYNCHRONOUS rounds — unlabeled nodes take the majority label of
+      // their already-labeled neighbors under the deterministic
+      // (count DESC, label ASC) tie-break; seeds stay clamped. The
+      // curation use: propagate a handful of human trust/quality labels
+      // over a document-similarity graph without rescoring everything.
+      // Differs from q106/q457 (connected components: label = MIN, runs
+      // to convergence) — here labels are CLASSES, votes have
+      // multiplicities, rounds are budgeted, and unreached nodes stay
+      // unlabeled (labeled_at = -1 records the propagation frontier).
+      // Each round = one edge-keyed equi join + one (node,label) count +
+      // one node-keyed window — all keyed shuffles; nothing global. At
+      // 100 TB rounds are O(edges) each and the frontier check bounds
+      // wasted work; AnalyticsSpec pins the output against a from-scratch
+      // BFS over the planted topology.
+      val n = T(s, dir, "documents").select($"doc_id".as("node"))
+        .transform(graft.CacheScope.cached)
+      val e0 = n.as("a").join(n.as("b"),
+          $"b.node" === $"a.node" + 1 &&
+            expr("a.node div 40") === expr("b.node div 40"))
+        .select($"a.node".as("a"), $"b.node".as("b"))
+        .unionAll(n.as("a").join(n.as("b"),
+            $"b.node" === $"a.node" + 7 &&
+              expr("a.node div 40") === expr("b.node div 40"))
+          .select($"a.node".as("a"), $"b.node".as("b")))
+      val sym = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+        .transform(graft.CacheScope.cached)
+      var labels = n.select($"node",
+        when($"node" % 40 === 0, expr("(node div 40) % 3")).as("label"),
+        when($"node" % 40 === 0, lit(0L)).as("at"))
+      for (t <- 1 to 3) {
+        val votes = sym.as("e")
+          .join(labels.filter($"label".isNotNull).as("l"),
+            $"l.node" === $"e.a")
+          .groupBy($"e.b".as("node"), $"l.label".as("vlabel"))
+          .agg(count(lit(1)).as("cnt"))
+        val pick = votes.withColumn("rn", row_number().over(
+            Window.partitionBy($"node").orderBy($"cnt".desc, $"vlabel")))
+          .filter($"rn" === 1).select($"node".as("pnode"), $"vlabel")
+        labels = labels.join(pick, $"node" === $"pnode", "left")
+          .select($"node", coalesce($"label", $"vlabel").as("label"),
+            when($"at".isNotNull, $"at")
+              .when($"vlabel".isNotNull, lit(t.toLong)).as("at"))
+      }
+      labels.select($"node".as("doc_id"),
+          coalesce($"label", lit(-1L)).cast("long").as("label"),
+          coalesce($"at", lit(-1L)).cast("long").as("labeled_at"))
+        .orderBy($"doc_id")
+    },
   )
 
   /** Per-node top-k adjacency sparsification: symmetrize the weighted pair

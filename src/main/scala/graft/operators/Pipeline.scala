@@ -2495,7 +2495,81 @@ object Pipeline {
             .as("cut_quality_ppm"))
         .orderBy($"source")
     },
+
+    q("q461_mojibake_detect", {
+      val p = mojiPlantExpr
+      s"""WITH pl AS (SELECT doc_id, source, $p AS p FROM documents),
+         |m AS (SELECT doc_id, source, p,
+         |    (length(p) - length(replace(p, '$Moji1', ''))) // 2 AS n1,
+         |    (length(p) - length(replace(p, '$Moji2', ''))) // 3 AS n2,
+         |    replace(replace(p, '$Moji1', '$Fix1'), '$Moji2', '$Fix2') AS r
+         |  FROM pl)
+         |SELECT doc_id, source,
+         |  CAST(n1 AS BIGINT) AS n_moji_latin1,
+         |  CAST(n2 AS BIGINT) AS n_moji_cp1252,
+         |  CAST(CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN n2 > 0 THEN 2 ELSE 0 END AS BIGINT) AS kind_mask,
+         |  n1 + n2 > 0 AS flagged,
+         |  CAST(length(p) - length(r) AS BIGINT) AS len_delta,
+         |  md5(r) AS repaired_digest
+         |FROM m ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Mojibake (encoding-corruption) detection + repair — the ftfy
+      // pass every web corpus needs: UTF-8 bytes re-decoded as Latin-1 /
+      // cp1252 leave fingerprint digraphs ('Ã©' for e-acute,
+      // 'â€™' for the curly apostrophe) that never occur
+      // in clean text. The fixture plants both corruption kinds
+      // closed-form (disjoint and OVERLAPPING docs exist: doc_id % 4 = 1
+      // plants three Latin-1 artifacts, doc_id % 6 = 3 plants two cp1252
+      // ones; both hold at doc_id % 12 = 9); detection counts artifact
+      // occurrences by replace-length arithmetic, repair reverses the
+      // mis-decode, and len_delta = n1 + 2*n2 cross-checks count against
+      // repair (each repair collapses the digraph to one code point).
+      // Entirely map-side string work — no shuffle at any scale; the
+      // ORDER BY is presentation.
+      T(s, dir, "documents")
+        .withColumn("p", expr(mojiPlantExpr))
+        .withColumn("n1",
+          expr(s"(length(p) - length(replace(p, '$Moji1', ''))) div 2"))
+        .withColumn("n2",
+          expr(s"(length(p) - length(replace(p, '$Moji2', ''))) div 3"))
+        .withColumn("r",
+          expr(s"replace(replace(p, '$Moji1', '$Fix1'), '$Moji2', '$Fix2')"))
+        .select($"doc_id", $"source",
+          $"n1".cast("long").as("n_moji_latin1"),
+          $"n2".cast("long").as("n_moji_cp1252"),
+          (when($"n1" > 0, 1L).otherwise(0L) +
+            when($"n2" > 0, 2L).otherwise(0L)).cast("long").as("kind_mask"),
+          ($"n1" + $"n2" > 0).as("flagged"),
+          (length($"p") - length($"r")).cast("long").as("len_delta"),
+          md5($"r".cast("binary")).as("repaired_digest"))
+        .orderBy($"doc_id")
+    },
   )
+
+  // ---- q461 fixture synthesis: the two classic mis-decode digraphs,
+  // shared verbatim by both dialects (all BMP code points, so Spark and
+  // DuckDB length() agree).
+
+  /** UTF-8 e-acute (0xC3 0xA9) re-decoded as Latin-1. (defs, not vals:
+    * the oracle SQL interpolates these while the `defs` val initializes,
+    * which is BEFORE any val declared below it would be assigned.)
+    */
+  private def Moji1 = "Ã©"
+
+  /** UTF-8 right single quote (0xE2 0x80 0x99) re-decoded as cp1252. */
+  private def Moji2 = "â€™"
+
+  private def Fix1 = "é"
+  private def Fix2 = "’"
+
+  private def mojiPlantExpr: String =
+    s"concat(text, CASE WHEN doc_id % 4 = 1 THEN " +
+      s"concat(' caf', '$Moji1', ' r', '$Moji1', 'sum', '$Moji1') " +
+      s"ELSE '' END, CASE WHEN doc_id % 6 = 3 THEN " +
+      s"concat(' don', '$Moji2', 't say we didn', '$Moji2', 't') " +
+      s"ELSE '' END)"
 
   /** q438/q445 shared oracle: per-source Luhn-validated identifier screen
     * over the closed-form plants. gj/gt/gd outer lambda vars; Luhn stated

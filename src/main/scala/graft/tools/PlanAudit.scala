@@ -990,6 +990,14 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q460_label_spreading" -> Seq(
+      "spreading rounds are node-keyed equi hash joins" -> "HashJoin",
+      "majority pick is a window KEYED on node (never one partition)" -> "windowspecdefinition(node",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
+    "q461_mojibake_detect" -> Seq(
+      "plant, detect and repair are pure map-side string work" -> "!Join",
+      "no aggregation shuffle either (per-doc rows)" -> "!HashAggregate",
+      "only doc_id, text, source read" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     "q458_warc_ingest" -> Seq(
       "archive parse is an object map stage per source blob" -> "MapPartitions",
       "no join anywhere (census columns come from the parser)" -> "!Join",

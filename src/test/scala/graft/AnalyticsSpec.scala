@@ -693,4 +693,57 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q460 label spreading matches a from-scratch BFS over the planted topology") {
+    val out = try SparkEntry.queries("q460_label_spreading")(spark, dir)
+      .collect() finally CacheScope.release()
+    val n = Tables.load(spark, dir, "documents").count()
+    // Independent reference: BFS from each block's seed over the ring+chord
+    // edges; a node labeled at round t iff its hop distance from the seed
+    // is t <= 3 (single seed per block => majority voting degenerates to
+    // frontier expansion, so BFS is exact here), class = block % 3.
+    val nodes = (0L until n).toSet
+    def block(v: Long) = v / 40
+    def nbrs(v: Long): Seq[Long] =
+      Seq(v + 1, v + 7, v - 1, v - 7)
+        .filter(u => nodes.contains(u) && block(u) == block(v))
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    nodes.filter(_ % 40 == 0).foreach(s => dist(s) = 0L)
+    var frontier = dist.keySet.toSet
+    for (t <- 1L to 3L) {
+      frontier = frontier.flatMap(nbrs).filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = t)
+    }
+    assert(out.length == n)
+    out.foreach { r =>
+      val v = r.getAs[Long]("doc_id")
+      val expectedAt = dist.getOrElse(v, -1L)
+      assert(r.getAs[Long]("labeled_at") == expectedAt,
+        s"node $v labeled_at ${r.getAs[Long]("labeled_at")} != BFS $expectedAt")
+      val expectedLabel = if (expectedAt >= 0) block(v) % 3 else -1L
+      assert(r.getAs[Long]("label") == expectedLabel,
+        s"node $v label ${r.getAs[Long]("label")} != $expectedLabel")
+    }
+    assert(out.count(_.getAs[Long]("label") == -1L) > 0,
+      "3 budgeted rounds must leave a visible unreached frontier")
+  }
+
+  test("q461 mojibake known vectors: counts, mask, len_delta cross-check") {
+    val out = try SparkEntry.queries("q461_mojibake_detect")(spark, dir)
+      .collect() finally CacheScope.release()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n1, n2) = (r.getAs[Long]("n_moji_latin1"), r.getAs[Long]("n_moji_cp1252"))
+      assert(n1 == (if (id % 4 == 1) 3L else 0L), s"doc $id n1=$n1")
+      assert(n2 == (if (id % 6 == 3) 2L else 0L), s"doc $id n2=$n2")
+      assert(r.getAs[Long]("kind_mask") ==
+        (if (n1 > 0) 1L else 0L) + (if (n2 > 0) 2L else 0L))
+      assert(r.getAs[Long]("len_delta") == n1 + 2 * n2,
+        s"doc $id: each Latin-1 repair drops 1 char, each cp1252 drops 2")
+      assert(r.getAs[Boolean]("flagged") == (n1 + n2 > 0))
+    }
+    // overlap docs (both corruption kinds) must exist: doc_id % 12 = 9
+    assert(out.exists(r => r.getAs[Long]("kind_mask") == 3L),
+      "fixture must exercise docs carrying BOTH corruption kinds")
+  }
 }
