@@ -2546,6 +2546,95 @@ object Pipeline {
           md5($"r".cast("binary")).as("repaired_digest"))
         .orderBy($"doc_id")
     },
+
+    q("q462_iban_pii", {
+      // DuckDB rendering of the shared plant + the streaming mod-97 fold.
+      val bban = "list_transform(range(1, 19), j -> (doc_id*3 + 5*j) % 10)"
+      val mod97 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_append(bban, CAST(1300 + 14 AS BIGINT))), (acc, d) -> " +
+        "CASE WHEN d >= 100 THEN (acc * 10000 + d) % 97 " +
+        "ELSE (acc * 10 + d) % 97 END)"
+      val valid = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(rearr)+1), i -> CASE " +
+        "WHEN substr(rearr, CAST(i AS INT), 1) BETWEEN '0' AND '9' " +
+        "THEN CAST(substr(rearr, CAST(i AS INT), 1) AS BIGINT) " +
+        "ELSE ascii(substr(rearr, CAST(i AS INT), 1)) - 55 + 100 END)), " +
+        "(acc, d) -> CASE WHEN d >= 100 THEN (acc * 100 + d - 100) % 97 " +
+        "ELSE (acc * 10 + d) % 97 END)"
+      s"""WITH b AS (SELECT doc_id, source, $bban AS bban FROM documents),
+         |c AS (SELECT doc_id, source, bban,
+         |    98 - ($mod97 * 100) % 97 AS chk FROM b),
+         |t AS (SELECT doc_id, source,
+         |    concat('DE', lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN chk
+         |        WHEN chk >= 98 THEN chk - 1 ELSE chk + 1 END
+         |      AS STRING), 2, '0'),
+         |      array_to_string(list_transform(bban, d ->
+         |        CAST(d AS VARCHAR)), '')) AS iban,
+         |    concat('DE', array_to_string(list_transform(bban, d ->
+         |      CAST(d AS VARCHAR)), '')) AS short_miss
+         |  FROM c),
+         |v AS (SELECT doc_id, source, iban,
+         |    CASE WHEN regexp_matches(iban, '^DE[0-9]{20}$$') THEN 1 ELSE 0
+         |      END AS is_cand,
+         |    CASE WHEN regexp_matches(short_miss, '^DE[0-9]{18}$$') THEN 1
+         |      ELSE 0 END AS miss_cand,
+         |    concat(substr(iban, 5), substr(iban, 1, 4)) AS rearr
+         |  FROM t),
+         |z AS (SELECT doc_id, source, is_cand, miss_cand,
+         |    CASE WHEN is_cand = 1 AND $valid = 1 THEN 1 ELSE 0 END AS ok
+         |  FROM v)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(ok) AS BIGINT) AS n_valid,
+         |  CAST((SUM(ok) * 1000000) // SUM(is_cand) AS BIGINT) AS valid_ppm,
+         |  CAST(SUM(miss_cand) AS BIGINT) AS n_length_misses
+         |FROM z GROUP BY source ORDER BY source"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // IBAN detection with mod-97 checksum validation (ISO 13616 /
+      // ISO 7064) — the second checksum-backed PII screen beside q438's
+      // Luhn: a DE-shaped token is only PII if moving the first four
+      // chars to the end, mapping letters A=10..Z=35, and streaming the
+      // digits through acc = (acc*10 + d) % 97 yields 1. The plant is
+      // closed-form: check digits computed by the REAL recipe
+      // (98 - mod97(BBAN || 'DE00')) and left correct iff doc_id % 3 = 0,
+      // else shifted by one (never ≡ 1); a 20-char near-miss token pins
+      // the length gate. The validator is generic char-by-char streaming
+      // mod — no big-integer type needed, the same fold both engines run
+      // (the fixture's 22-char IBAN keeps the per-row HOF bounded).
+      // Map-side + one source rollup; 100 TB-trivial.
+      val bbanSpark = "transform(sequence(1, 18), j -> (doc_id*3 + 5*j) % 10)"
+      val mod97Spark = "aggregate(concat(bban, array(CAST(1300 + 14 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, d) -> CASE WHEN d >= 100 " +
+        "THEN (acc * 10000 + d) % 97 ELSE (acc * 10 + d) % 97 END)"
+      val validSpark = ibanMod97Spark("rearr")
+      T(s, dir, "documents")
+        .withColumn("bban", expr(bbanSpark))
+        .withColumn("chk", expr(s"98 - ($mod97Spark * 100) % 97"))
+        .withColumn("iban", expr(
+          """concat('DE', lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN chk
+            |    WHEN chk >= 98 THEN chk - 1 ELSE chk + 1 END
+            |  AS STRING), 2, '0'),
+            |  array_join(transform(bban, d -> CAST(d AS STRING)), ''))"""
+            .stripMargin))
+        .withColumn("short_miss", expr(
+          "concat('DE', array_join(transform(bban, d -> CAST(d AS STRING)), ''))"))
+        .withColumn("is_cand",
+          when(expr("iban RLIKE '^DE[0-9]{20}$'"), 1L).otherwise(0L))
+        .withColumn("miss_cand",
+          when(expr("short_miss RLIKE '^DE[0-9]{18}$'"), 1L).otherwise(0L))
+        .withColumn("rearr", expr("concat(substring(iban, 5), substring(iban, 1, 4))"))
+        .withColumn("ok",
+          when($"is_cand" === 1L && expr(validSpark) === 1L, 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"is_cand").as("n_candidates"),
+          sum($"ok").as("n_valid"),
+          expr("CAST((SUM(ok) * 1000000) div SUM(is_cand) AS BIGINT)")
+            .as("valid_ppm"),
+          sum($"miss_cand").as("n_length_misses"))
+        .orderBy($"source")
+    },
   )
 
   // ---- q461 fixture synthesis: the two classic mis-decode digraphs,
@@ -2563,6 +2652,20 @@ object Pipeline {
 
   private def Fix1 = "é"
   private def Fix2 = "’"
+
+  /** q462's streaming mod-97 over an already-rearranged IBAN string expr
+    * (first four chars moved to the end): digits feed acc = (acc*10+d)%97,
+    * letters A..Z feed their two-digit 10..35 value. The result equals the
+    * ISO 7064 big-integer remainder; a string is a valid IBAN iff this is
+    * 1. Exposed for QueriesSpec's published-test-vector law.
+    */
+  private[graft] def ibanMod97Spark(rearr: String): String =
+    s"aggregate(transform(sequence(1, length($rearr)), " +
+      s"i -> CASE WHEN substring($rearr, i, 1) BETWEEN '0' AND '9' " +
+      s"THEN CAST(substring($rearr, i, 1) AS BIGINT) " +
+      s"ELSE CAST(ascii(substring($rearr, i, 1)) - 55 + 100 AS BIGINT) END), " +
+      s"CAST(0 AS BIGINT), (acc, d) -> CASE WHEN d >= 100 " +
+      s"THEN (acc * 100 + d - 100) % 97 ELSE (acc * 10 + d) % 97 END)"
 
   private def mojiPlantExpr: String =
     s"concat(text, CASE WHEN doc_id % 4 = 1 THEN " +

@@ -2162,7 +2162,95 @@ object Similarity {
       (c.indices.map(i => (i.toLong, loadings(i))) :+ (-1L, share))
         .toSeq.toDF("dim", "loading_ppm").orderBy($"dim")
     },
+
+    q("q463_jl_projection", {
+      val proj = jlProjectDuck("embedding")
+      s"""WITH pr AS (SELECT vec_id, embedding, $proj AS pv FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${jlSqDistDuck("a.embedding", "b.embedding")} AS d2o,
+         |    ${jlSqDistDuck("a.pv", "b.pv")} AS d2p
+         |  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 17
+         |  WHERE a.vec_id % 10 = 0)
+         |SELECT a_id, b_id,
+         |  CAST(floor(1000000 * d2o + 0.5) AS BIGINT) AS d2_orig_micro,
+         |  CAST(floor(1000000 * d2p / 16 + 0.5) AS BIGINT) AS d2_proj_micro,
+         |  CAST(floor(1000000 * (d2p / 16) / d2o + 0.5) AS BIGINT)
+         |    AS ratio_ppm
+         |FROM pairs WHERE d2o > 0 ORDER BY a_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Johnson-Lindenstrauss sign random projection: every 64-d embedding
+      // is projected onto 16 deterministic +/-1 hyperplanes (sign from the
+      // same affine-mod-P hash family the minhash permutations use), and a
+      // bounded probe-pair set reads out the realized distance distortion
+      // ratio_ppm = (||Px-Py||^2 / k) / ||x-y||^2 — the certificate that
+      // the 4x-cheaper sketch space preserves geometry before anything
+      // downstream (clustering, ANN pre-filter) trusts it. Both engines
+      // run the identical ascending-d fold, so the doubles are
+      // bit-identical and the micro-rounded readout hashes exactly. The
+      // projection is pure map-side (k x d integer-hash signs, no stored
+      // matrix — the 100 TB win: nothing to broadcast, re-derived per
+      // row); the probe pairs are ONE keyed equi self-join on vec_id.
+      // SimilaritySpec pins linearity (P(x+y) = Px + Py) and the JL
+      // concentration of the measured ratios.
+      val pr = T(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          expr(jlProjectSpark("embedding")).as("pv"))
+        .transform(graft.CacheScope.cached)
+      pr.as("a").join(pr.as("b"), $"b.vec_id" === $"a.vec_id" + 17)
+        .filter($"a.vec_id" % 10 === 0)
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          expr(jlSqDistSpark("a.embedding", "b.embedding")).as("d2o"),
+          expr(jlSqDistSpark("a.pv", "b.pv")).as("d2p"))
+        .filter($"d2o" > 0)
+        .select($"a_id", $"b_id",
+          expr("CAST(floor(1000000 * d2o + 0.5) AS BIGINT)")
+            .as("d2_orig_micro"),
+          expr("CAST(floor(1000000 * d2p / 16 + 0.5) AS BIGINT)")
+            .as("d2_proj_micro"),
+          expr("CAST(floor(1000000 * (d2p / 16) / d2o + 0.5) AS BIGINT)")
+            .as("ratio_ppm"))
+        .orderBy($"a_id")
+    },
   )
+
+  // ---- q463: the deterministic sign matrix and the shared fold shapes.
+  // sign(j, d) = +1 iff ((2j+1)*(d+13)*1000003 + 12345*j) mod P is even —
+  // the same affine family as the minhash permutations, so no stored
+  // projection matrix exists anywhere (re-derived inside the fold).
+
+  private def jlSign(j: String, d: String): String =
+    s"((2*CAST($j AS BIGINT) + 1) * (CAST($d AS BIGINT) + 13) * 1000003 " +
+      s"+ 12345 * CAST($j AS BIGINT)) % ${graft.functions.TextHash.P} % 2 = 0"
+
+  /** Spark: ARRAY<DOUBLE> of the 16 signed sums over a 64-d float array. */
+  private[graft] def jlProjectSpark(v: String): String =
+    s"transform(sequence(0, 15), j -> aggregate(sequence(0, 63), " +
+      s"CAST(0 AS DOUBLE), (acc, d) -> acc + CASE WHEN ${jlSign("j", "d")} " +
+      s"THEN CAST(element_at($v, CAST(d + 1 AS INT)) AS DOUBLE) " +
+      s"ELSE -CAST(element_at($v, CAST(d + 1 AS INT)) AS DOUBLE) END))"
+
+  private def jlProjectDuck(v: String): String =
+    s"list_transform(range(16), j -> list_reduce(" +
+      s"list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), d -> " +
+      s"CASE WHEN ${jlSign("j", "d")} " +
+      s"THEN CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) " +
+      s"ELSE -CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) END)), " +
+      s"(acc, x) -> acc + x))"
+
+  /** Squared L2 distance as the identical left-to-right fold. */
+  private[graft] def jlSqDistSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
+      s"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+      s"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      s"CAST(0 AS DOUBLE), (acc, v2) -> acc + v2)"
+
+  private def jlSqDistDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), z -> " +
+      s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+      s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), " +
+      s"(acc, x) -> acc + x)"
 
   // ---- shared integer-PCA machinery (q421/q422) ----
   // Both engines execute the IDENTICAL integer program — quantize, Gram,

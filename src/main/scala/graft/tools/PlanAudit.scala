@@ -990,6 +990,14 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q462_iban_pii" -> Seq(
+      "plant + mod-97 validation are map-side; only the source rollup shuffles" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only doc_id, source read (text never touched)" -> "ReadSchema: struct<doc_id:bigint,source:string>"),
+    "q463_jl_projection" -> Seq(
+      "probe pairs are ONE keyed equi self-join on vec_id" -> "HashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "projection staged once through the in-memory barrier" -> "InMemoryTableScan"),
     "q460_label_spreading" -> Seq(
       "spreading rounds are node-keyed equi hash joins" -> "HashJoin",
       "majority pick is a window KEYED on node (never one partition)" -> "windowspecdefinition(node",

@@ -564,6 +564,53 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q462 IBAN mod-97 validator passes/fails the published test vectors") {
+    // DE89... is the canonical worked example; GB82WEST... exercises
+    // letters INSIDE the BBAN (the two-digit 10..35 mapping mid-stream);
+    // the last-digit perturbations must fail.
+    val cases = Seq(
+      ("DE89370400440532013000", true), ("DE89370400440532013001", false),
+      ("GB82WEST12345698765432", true), ("GB82WEST12345698765433", false),
+      ("FR1420041010050500013M02606", true))
+    cases.foreach { case (iban, want) =>
+      val ok = spark.sql(
+        s"""SELECT ${operators.Pipeline.ibanMod97Spark("rearr")} = 1 AS ok
+           |FROM (SELECT concat(substring('$iban', 5),
+           |  substring('$iban', 1, 4)) AS rearr)""".stripMargin)
+        .collect().head.getBoolean(0)
+      assert(ok == want, s"mod97($iban) should be $want")
+    }
+  }
+
+  test("q463 JL sign projection is exactly linear on integer-valued vectors") {
+    // With integer components every double sum is exact, so the linearity
+    // law P(x+y) = Px + Py must hold BIT-exactly (catches any per-j/per-d
+    // drift in the sign-hash or fold order).
+    val x = Array.tabulate(64)(d => (d % 5).toDouble)
+    val y = Array.tabulate(64)(d => ((d * 3 + 1) % 7).toDouble)
+    def lit(a: Array[Double]) = a.mkString("array(", ", ", ")")
+    val sum = x.zip(y).map { case (a, b) => a + b }
+    val row = spark.sql(
+      s"""SELECT ${operators.Similarity.jlProjectSpark(lit(sum))} AS pxy,
+         |  zip_with(${operators.Similarity.jlProjectSpark(lit(x))},
+         |    ${operators.Similarity.jlProjectSpark(lit(y))},
+         |    (a, b) -> a + b) AS pxpy""".stripMargin).collect().head
+    assert(row.getSeq[Double](0) == row.getSeq[Double](1),
+      "P(x+y) must equal Px + Py exactly")
+  }
+
+  test("q463 measured distortion ratios concentrate around 1") {
+    val out = try SparkEntry.queries("q463_jl_projection")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.length > 20, "probe pair set must be non-trivial")
+    val ratios = out.map(_.getAs[Long]("ratio_ppm").toDouble / 1e6)
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0,
+      s"JL expectation E[ratio] = 1; measured mean $mean is out of range")
+    assert(ratios.count(r => r > 0.1 && r < 10.0) >= ratios.length * 8 / 10,
+      "k=16 concentration: the bulk of pairs must land within 10x")
+  }
+
   test("q437/q439 randomized laws: random docs (dups, short docs, repeated " +
     "tokens) chunk and fingerprint consistently") {
     // seeded random corpus, deliberately nastier than the fixture: tiny
