@@ -610,5 +610,97 @@ object Monitoring {
           ($"loss10_p90" <= $"loss10_p50").as("p90_is_optimal"))
         .orderBy($"event_type")
     },
+
+    q("q465_rendezvous_resharding", {
+      val hv = graft.functions.TextHash.duckPolyHash("CAST(doc_id AS STRING)")
+      val Pm = graft.functions.TextHash.P
+      // h(key, k) = ((g^2 mod P) + 12345)^2 mod P with g = (hv +
+      // 1000003*(k+1)) mod P — double square-mod. One squaring is not
+      // enough: an affine family is MONOTONE in k (argmax would always
+      // be the last shard — no rendezvous at all), and a single square
+      // keeps enough stride structure to skew shard loads ~5 sigma;
+      // the second squaring scatters it (measured 54..73 on 500 keys,
+      // multinomial-consistent). Operands stay < P + 12345, so every
+      // product is < 2^63 in both engines.
+      def hrwHash(gk: String): String = {
+        val g = s"((hv + 1000003*($gk+1)) % $Pm)"
+        val sq = s"(($g * $g) % $Pm)"
+        s"((($sq + 12345) * ($sq + 12345)) % $Pm)"
+      }
+      def hrw(n: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), range($n)), " +
+          s"(acc, k) -> CASE WHEN ${hrwHash("k")} > acc // 16 " +
+          s"THEN ${hrwHash("k")} * 16 + k ELSE acc END) % 16"
+      s"""WITH h AS (SELECT doc_id, $hv AS hv FROM documents),
+         |d AS (SELECT doc_id,
+         |    ${hrw(8)} AS s8, ${hrw(9)} AS s9,
+         |    hv % 8 AS m8, hv % 9 AS m9 FROM h),
+         |a AS (SELECT s8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_before
+         |  FROM d GROUP BY s8),
+         |b AS (SELECT s9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_after,
+         |    CAST(SUM(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_stayed
+         |  FROM d GROUP BY s9),
+         |am AS (SELECT m9 AS shard, CAST(COUNT(*) AS BIGINT) AS mod_after,
+         |    CAST(SUM(CASE WHEN m8 = m9 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS mod_stayed
+         |  FROM d GROUP BY m9)
+         |SELECT b.shard, COALESCE(a.n_before, 0) AS n_before, b.n_after,
+         |  b.n_stayed, b.n_after - b.n_stayed AS moved_in,
+         |  am.mod_after, am.mod_stayed,
+         |  am.mod_after - am.mod_stayed AS mod_moved_in
+         |FROM b LEFT JOIN a ON a.shard = b.shard
+         |  JOIN am ON am.shard = b.shard
+         |ORDER BY b.shard"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Rendezvous (highest-random-weight) resharding audit — what a
+      // sharded store (the engine's own sharded log sink included) must
+      // verify before growing 8 shards to 9: with HRW each key goes to
+      // argmax_k h(key, k), so adding shard 8 moves ONLY the keys whose
+      // new argmax IS shard 8 (expected 1/9 of the corpus) and nothing
+      // moves laterally between old shards — moved_in = 0 for every
+      // shard < 8 is the minimal-disruption certificate, while the
+      // mod-hash columns alongside show the naive hv % n scheme
+      // reshuffling ~8/9 of all keys on the same event. The argmax runs
+      // as a bounded 9-step integer fold per key (encode (h, k) as
+      // h*16+k; strictly-greater keeps the earliest k on ties, and all
+      // values are non-negative so truncating div and floor // agree);
+      // assignment is pure map-side, the readout is two shard-keyed
+      // rollups on a 9-row domain. 100 TB-trivial and embarrassingly
+      // parallel.
+      val P = graft.functions.TextHash.P
+      def hrwHash(gk: String): String = {
+        val g = s"((hv + 1000003*($gk+1)) % $P)"
+        val sq = s"(($g * $g) % $P)"
+        s"((($sq + 12345) * ($sq + 12345)) % $P)"
+      }
+      def hrw(n: Int): String =
+        s"aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT), " +
+          s"(acc, k) -> IF(${hrwHash("k")} > acc div 16, " +
+          s"${hrwHash("k")} * 16 + k, acc)) % 16"
+      val d = T(s, dir, "documents")
+        .withColumn("hv",
+          expr(graft.functions.TextHash.polyHashSql("CAST(doc_id AS STRING)")))
+        .select($"doc_id", expr(hrw(8)).as("s8"), expr(hrw(9)).as("s9"),
+          ($"hv" % 8).as("m8"), ($"hv" % 9).as("m9"))
+        .transform(graft.CacheScope.cached)
+      val a = d.groupBy($"s8".as("shard"))
+        .agg(count(lit(1)).as("n_before"))
+      val b = d.groupBy($"s9".as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when($"s8" === $"s9", 1L).otherwise(0L)).as("n_stayed"))
+      val am = d.groupBy($"m9".as("mshard"))
+        .agg(count(lit(1)).as("mod_after"),
+          sum(when($"m8" === $"m9", 1L).otherwise(0L)).as("mod_stayed"))
+      b.join(a, Seq("shard"), "left")
+        .join(am, $"shard" === $"mshard")
+        .select($"shard", coalesce($"n_before", lit(0L)).as("n_before"),
+          $"n_after", $"n_stayed",
+          ($"n_after" - $"n_stayed").as("moved_in"),
+          $"mod_after", $"mod_stayed",
+          ($"mod_after" - $"mod_stayed").as("mod_moved_in"))
+        .orderBy($"shard")
+    },
   )
 }

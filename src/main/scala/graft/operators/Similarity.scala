@@ -2212,6 +2212,85 @@ object Similarity {
             .as("ratio_ppm"))
         .orderBy($"a_id")
     },
+
+    q("q464_margin_pair_mining", {
+      val dot = duckDotSql("q.embedding", "c.embedding")
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |  WHERE vec_id % 25 = 7),
+         |cs AS (SELECT vec_id AS c_id, embedding FROM embeddings
+         |  WHERE vec_id % 25 <> 7),
+         |p AS (SELECT q.q_id, c.c_id,
+         |    CAST(floor(1000000 * ($dot) + 0.5) AS BIGINT) + 1000000 AS s
+         |  FROM qs q, cs c),
+         |r AS (SELECT q_id, c_id, s,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, c_id)
+         |      AS rq,
+         |    ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY s DESC, q_id)
+         |      AS rc
+         |  FROM p),
+         |kx AS (SELECT q_id, CAST(SUM(s) AS BIGINT) AS kx4 FROM r
+         |  WHERE rq <= 4 GROUP BY q_id),
+         |ky AS (SELECT c_id, CAST(SUM(s) AS BIGINT) AS ky4 FROM r
+         |  WHERE rc <= 4 GROUP BY c_id),
+         |m AS (SELECT r.q_id, r.c_id, r.s,
+         |    CAST((8000000 * r.s) // (kx.kx4 + ky.ky4) AS BIGINT)
+         |      AS margin_ppm
+         |  FROM r JOIN kx ON kx.q_id = r.q_id JOIN ky ON ky.c_id = r.c_id),
+         |best AS (SELECT q_id, c_id, s, margin_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY margin_ppm DESC, c_id) AS rn FROM m)
+         |SELECT q_id, c_id AS best_c, CAST(s - 1000000 AS BIGINT)
+         |    AS cos_micro,
+         |  margin_ppm, margin_ppm > 1150000 AS accepted
+         |FROM best WHERE rn = 1 ORDER BY q_id"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Margin-based pair mining (the xsim / CCMatrix criterion that
+      // mines parallel text and hard contrastive pairs): a candidate y is
+      // a real match for probe x only if cos(x,y) stands OUT against
+      // both sides' similarity neighborhoods — score = cos relative to
+      // the mean of each side's top-4 cosines, which kills hub vectors
+      // that are "close to everything" (a plain top-1-by-cosine keeps
+      // them). Integer-safe form: cosines are micro-rounded THEN shifted
+      // +1e6 (selection order is unchanged; all sums/divisions operate
+      // on non-negative BIGINTs, so Spark's truncating div and DuckDB's
+      // floor // agree). margin_ppm = 8e6*s/(kx4+ky4) is s over the mean
+      // of the 8 neighborhood scores. The probe side is FIXED and
+      // broadcast (at 100 TB the eval/mining probe set does not grow
+      // with the corpus — q380's model); the corpus-side top-4 table and
+      // the margin join are keyed on c_id; windows are keyed per probe /
+      // per candidate. No global sort, no all-pairs among the corpus.
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" % 25 === 7)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val cs = emb.filter($"vec_id" % 25 =!= 7)
+        .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+      val p = cs.crossJoin(broadcast(qs))
+        .select($"q_id", $"c_id",
+          (expr(s"CAST(floor(1000000 * (${dotSql("qe", "ce")}) + 0.5) " +
+            "AS BIGINT)") + 1000000L).as("s"))
+        .transform(graft.CacheScope.cached)
+      val r = p
+        .withColumn("rq", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"s".desc, $"c_id")))
+        .withColumn("rc", row_number().over(
+          Window.partitionBy($"c_id").orderBy($"s".desc, $"q_id")))
+        .transform(graft.CacheScope.cached)
+      val kx = r.filter($"rq" <= 4).groupBy($"q_id")
+        .agg(sum($"s").as("kx4"))
+      val ky = r.filter($"rc" <= 4).groupBy($"c_id")
+        .agg(sum($"s").as("ky4"))
+      r.join(broadcast(kx), "q_id").join(ky, "c_id")
+        .withColumn("margin_ppm",
+          expr("CAST((8000000 * s) div (kx4 + ky4) AS BIGINT)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"margin_ppm".desc, $"c_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"c_id".as("best_c"),
+          ($"s" - 1000000L).cast("long").as("cos_micro"),
+          $"margin_ppm", ($"margin_ppm" > 1150000L).as("accepted"))
+        .orderBy($"q_id")
+    },
   )
 
   // ---- q463: the deterministic sign matrix and the shared fold shapes.

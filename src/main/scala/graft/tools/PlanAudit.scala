@@ -990,6 +990,14 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q464_margin_pair_mining" -> Seq(
+      "fixed probe set broadcast against the corpus (q45's audited shape)" -> "BroadcastNestedLoopJoin",
+      "neighborhood windows keyed per probe" -> "windowspecdefinition(q_id",
+      "corpus-side neighborhood join is keyed, never cartesian" -> "!CartesianProduct"),
+    "q465_rendezvous_resharding" -> Seq(
+      "assignment is map-side; only the 9-row shard rollups shuffle" -> "HashAggregate",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only doc_id read" -> "ReadSchema: struct<doc_id:bigint>"),
     "q462_iban_pii" -> Seq(
       "plant + mod-97 validation are map-side; only the source rollup shuffles" -> "HashAggregate",
       "no join anywhere" -> "!Join",

@@ -599,6 +599,44 @@ class QueriesSpec extends AnyFunSuite {
       "P(x+y) must equal Px + Py exactly")
   }
 
+  test("q464 margin mining: one best match per probe, margins well-formed") {
+    val out = try SparkEntry.queries("q464_margin_pair_mining")(spark, dir)
+      .collect() finally CacheScope.release()
+    val nProbes = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 7).count()
+    assert(out.length == nProbes, "exactly one mined pair per probe")
+    assert(out.map(_.getAs[Long]("q_id")).distinct.length == out.length)
+    out.foreach { r =>
+      val cos = r.getAs[Long]("cos_micro")
+      assert(cos >= -1000000L && cos <= 1000001L,
+        "unit vectors bound cosine")
+      val m = r.getAs[Long]("margin_ppm")
+      assert(m > 0L, "shifted similarities make every margin positive")
+      assert(r.getAs[Boolean]("accepted") == (m > 1150000L))
+      assert(r.getAs[Long]("best_c") % 25 != 7L,
+        "best match must come from the corpus side, never another probe")
+    }
+  }
+
+  test("q465 rendezvous theorem: nothing moves laterally; mod-hash reshuffles") {
+    val out = try SparkEntry.queries("q465_rendezvous_resharding")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.length == 9)
+    val total = out.map(_.getAs[Long]("n_after")).sum
+    out.filter(_.getAs[Long]("shard") < 8).foreach { r =>
+      assert(r.getAs[Long]("moved_in") == 0L,
+        s"HRW must never move a key between surviving shards: $r")
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"),
+        "old shards can only shrink when a shard is added")
+    }
+    val moved = out.find(_.getAs[Long]("shard") == 8).get.getAs[Long]("moved_in")
+    assert(moved > 0 && moved < total / 4,
+      s"HRW moves ~1/9 of keys, got $moved of $total")
+    val modStayed = out.map(_.getAs[Long]("mod_stayed")).sum
+    assert(modStayed < total / 4,
+      s"mod-hash must reshuffle the bulk (stayed $modStayed of $total)")
+  }
+
   test("q463 measured distortion ratios concentrate around 1") {
     val out = try SparkEntry.queries("q463_jl_projection")(spark, dir)
       .collect() finally CacheScope.release()
