@@ -2687,5 +2687,104 @@ object Evaluation {
       rows.toDF("rater", "true_class", "label", "value_micro")
         .orderBy($"rater", $"true_class", $"label")
     },
+
+    q("q466_dtw_alignment", {
+      val inf = "CAST(1000000000000000 AS BIGINT)"
+      // cell lookup into a diagonal list with an explicit positive-index
+      // guard (DuckDB negative list indices read from the END — an
+      // unguarded i-1 lookup would silently alias the last cell).
+      def at(lst: String, pos: String): String =
+        s"CASE WHEN $pos >= 1 THEN COALESCE($lst[CAST($pos AS INT)], $inf) ELSE $inf END"
+      s"""WITH RECURSIVE c AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |arr AS (SELECT list(x ORDER BY day) AS xa, list(y ORDER BY day)
+         |    AS ya, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         |rec(d, cur, prv) AS (
+         |  SELECT CAST(2 AS BIGINT), [abs(xa[1] - ya[1])],
+         |    CAST([] AS BIGINT[]) FROM arr
+         |  UNION ALL
+         |  SELECT d + 1,
+         |    list_transform(range(GREATEST(1, d + 1 - n), LEAST(n, d) + 1),
+         |      i -> CASE WHEN abs(2*i - (d+1)) > 7 THEN $inf
+         |        ELSE abs(xa[CAST(i AS INT)] - ya[CAST(d + 1 - i AS INT)])
+         |          + LEAST(
+         |            ${at("cur", "i - 1 - GREATEST(1, d - n) + 1")},
+         |            ${at("cur", "i - GREATEST(1, d - n) + 1")},
+         |            ${at("prv", "i - 1 - GREATEST(1, d - 1 - n) + 1")})
+         |        END),
+         |    cur
+         |  FROM rec, arr WHERE d < 2 * n),
+         |fin AS (SELECT cur[1] AS dtw FROM rec, arr WHERE d = 2 * n),
+         |ls AS (SELECT CAST(list_sum(list_transform(range(1, n + 1), i ->
+         |    abs(xa[CAST(i AS INT)] - ya[CAST(i AS INT)]))) AS BIGINT)
+         |    AS lockstep, n FROM arr)
+         |SELECT ls.n AS n_days, CAST(fin.dtw AS BIGINT) AS dtw_cost,
+         |  ls.lockstep AS lockstep_cost,
+         |  CAST(((ls.lockstep - fin.dtw) * 1000000)
+         |    // GREATEST(ls.lockstep, 1) AS BIGINT) AS warp_gain_ppm
+         |FROM fin, ls"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Banded dynamic-time-warping alignment (Sakoe-Chiba radius 7)
+      // between two daily-volume curves — "do purchases follow the click
+      // curve, allowing a few days of lag?", the shape-similarity readout
+      // a lockstep L1 distance misses whenever one series is a shifted
+      // copy of the other. The corpus-scale work is the one keyed
+      // day-rollup shuffle; the DP itself runs IN-PLAN as a nested
+      // integer fold over the calendar-bounded 30x30 band (no collect,
+      // no UDF) — row i of the cost matrix folds over the previous row,
+      // out-of-band cells pinned to an INF that real paths (<= 60 steps
+      // of bounded daily diffs) can never reach. The oracle recomputes
+      // the SAME DP by a different decomposition entirely (anti-diagonal
+      // recursive CTE), so an index-off-by-one in either formulation
+      // cannot survive the hash compare. warp_gain_ppm = how much of the
+      // lockstep distance warping explains away; EvaluationSpec pins
+      // dtw(x,x) = 0, dtw <= lockstep, and a planted-shift law.
+      val inf = "CAST(1000000000000000 AS BIGINT)"
+      val c = T(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val arr = c.agg(
+        expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+          .as("xa"),
+        expr("transform(array_sort(collect_list(struct(day, y))), s -> s.y)")
+          .as("ya"),
+        count(lit(1)).as("n"))
+      arr.select($"n".as("n_days"),
+          expr(dtwExprSpark("xa", "ya", "CAST(n AS INT)", 7)).as("dtw_cost"),
+          expr("aggregate(zip_with(xa, ya, (a, b) -> abs(a - b)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("lockstep_cost"))
+        .select($"n_days", $"dtw_cost", $"lockstep_cost",
+          expr("CAST(((lockstep_cost - dtw_cost) * 1000000) div " +
+            "GREATEST(lockstep_cost, 1) AS BIGINT)").as("warp_gain_ppm"))
+    },
   )
+
+  /** q466's banded-DTW dynamic program as one Spark SQL expression over two
+    * BIGINT-array column exprs of equal length `n` (a SQL int expr): row i
+    * of the cost matrix folds over row i-1, with out-of-band cells pinned
+    * to an INF no real path can reach. Exposed for EvaluationSpec's
+    * identity / shift laws on literal arrays.
+    */
+  private[graft] def dtwExprSpark(xa: String, ya: String, n: String,
+      band: Int): String = {
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    s"""element_at(aggregate(sequence(1, $n),
+       |  transform(sequence(1, $n), j -> $inf),
+       |  (prev, i) -> aggregate(sequence(1, $n),
+       |    CAST(array() AS ARRAY<BIGINT>),
+       |    (r, j) -> concat(r, array(
+       |      IF(abs(i - j) > $band, $inf,
+       |        abs(element_at($xa, i) - element_at($ya, j)) + least(
+       |          element_at(prev, j),
+       |          IF(j = 1, IF(i = 1, CAST(0 AS BIGINT), $inf),
+       |            element_at(prev, j - 1)),
+       |          IF(j = 1, $inf, element_at(r, j - 1))))))))
+       |, $n)""".stripMargin
+  }
 }

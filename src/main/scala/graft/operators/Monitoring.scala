@@ -702,5 +702,85 @@ object Monitoring {
           ($"mod_after" - $"mod_stayed").as("mod_moved_in"))
         .orderBy($"shard")
     },
+
+    q("q467_wasserstein_drift",
+      // Exact 1-D Wasserstein-1 (earth-mover) drift between each event
+      // type's value distribution in the first vs second half of the
+      // month — the transport-distance complement to PSI (q327, binned,
+      // blind WITHIN a bin) and KS (q290, sup-norm, blind to HOW FAR
+      // mass moved): W1 = integral |F1 - F2| dv over the compacted cents
+      // domain, so it prices both how much mass moved and how far.
+      // Integer discipline: per domain step the CDF gap is floored to
+      // micro units FIRST (gap_micro = 1e6*|c1*n2 - c2*n1| // (n1*n2),
+      // numerator <= 1e6 * n1 * n2 so no overflow at any SF), then
+      // weighted by the exact cents step width — documented
+      // micro-resolution rounding, identical in both engines. One keyed
+      // shuffle to the (type, cents) rollup; cumulative and step windows
+      // are keyed per type over the COMPACTED value domain (bounded by
+      // distinct cents, not event rows). W1 >= |mean shift| is the
+      // transport lower bound EvaluationSpec-style law in MonitoringSpec.
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS half,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, cents,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM e GROUP BY event_type, cents),
+        |t AS (SELECT event_type, CAST(SUM(d1) AS BIGINT) AS n1,
+        |    CAST(SUM(d2) AS BIGINT) AS n2,
+        |    CAST(SUM(d1 * cents) AS BIGINT) AS s1,
+        |    CAST(SUM(d2 * cents) AS BIGINT) AS s2
+        |  FROM c GROUP BY event_type),
+        |w AS (SELECT c.event_type, c.cents, t.n1, t.n2, t.s1, t.s2,
+        |    SUM(c.d1) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+        |      AS c1,
+        |    SUM(c.d2) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+        |      AS c2,
+        |    LEAD(c.cents) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+        |      AS nxt
+        |  FROM c JOIN t ON t.event_type = c.event_type),
+        |g AS (SELECT event_type, n1, n2, s1, s2,
+        |    COALESCE(nxt - cents, 0)
+        |      * ((1000000 * abs(c1 * n2 - c2 * n1)) // (n1 * n2)) AS term
+        |  FROM w)
+        |SELECT event_type, CAST(MIN(n1) AS BIGINT) AS n_first,
+        |  CAST(MIN(n2) AS BIGINT) AS n_second,
+        |  CAST(SUM(term) AS BIGINT) AS w1_cents_micro,
+        |  CAST((1000000 * MIN(s1)) // MIN(n1) AS BIGINT)
+        |    AS mean_first_micro,
+        |  CAST((1000000 * MIN(s2)) // MIN(n2) AS BIGINT)
+        |    AS mean_second_micro
+        |FROM g GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import s.implicits._
+      val e = T(s, dir, "events")
+        .select($"event_type",
+          when(dayofmonth($"ts") <= 15, 1).otherwise(2).as("half"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val c = e.groupBy($"event_type", $"cents")
+        .agg(sum(when($"half" === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when($"half" === 2, 1L).otherwise(0L)).as("d2"))
+        .transform(graft.CacheScope.cached)
+      val t = c.groupBy($"event_type")
+        .agg(sum($"d1").as("n1"), sum($"d2").as("n2"),
+          sum($"d1" * $"cents").as("s1"), sum($"d2" * $"cents").as("s2"))
+      val byType = Window.partitionBy($"event_type").orderBy($"cents")
+      val run = byType.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      c.join(broadcast(t), Seq("event_type"))
+        .withColumn("c1", sum($"d1").over(run))
+        .withColumn("c2", sum($"d2").over(run))
+        .withColumn("nxt", lead($"cents", 1).over(byType))
+        .withColumn("term",
+          coalesce($"nxt" - $"cents", lit(0L)) *
+            expr("(1000000 * abs(c1 * n2 - c2 * n1)) div (n1 * n2)"))
+        .groupBy($"event_type")
+        .agg(min($"n1").as("n_first"), min($"n2").as("n_second"),
+          sum($"term").as("w1_cents_micro"),
+          expr("CAST((1000000 * MIN(s1)) div MIN(n1) AS BIGINT)")
+            .as("mean_first_micro"),
+          expr("CAST((1000000 * MIN(s2)) div MIN(n2) AS BIGINT)")
+            .as("mean_second_micro"))
+        .orderBy($"event_type")
+    },
   )
 }

@@ -990,6 +990,14 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q466_dtw_alignment" -> Seq(
+      "corpus-scale work is the keyed day rollup; DP runs in-plan on the calendar-bounded row" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only ts, event_type read" -> "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"),
+    "q467_wasserstein_drift" -> Seq(
+      "cumulative CDF windows keyed per event_type (compacted cents domain)" -> "windowspecdefinition(event_type",
+      "per-type totals broadcast back over the domain" -> "BroadcastHashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
     "q464_margin_pair_mining" -> Seq(
       "fixed probe set broadcast against the corpus (q45's audited shape)" -> "BroadcastNestedLoopJoin",
       "neighborhood windows keyed per probe" -> "windowspecdefinition(q_id",

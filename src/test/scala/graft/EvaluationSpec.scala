@@ -356,4 +356,44 @@ class EvaluationSpec extends AnyFunSuite {
     }
     assert(noiseOffDiag, "stopword rater should have an off-diagonal argmax row")
   }
+
+  test("q466 DTW laws: identity is zero, shift is absorbed, lockstep bounds") {
+    def dtw(x: Seq[Long], y: Seq[Long]): Long = {
+      def lit(a: Seq[Long]) =
+        a.map(v => s"CAST($v AS BIGINT)").mkString("array(", ", ", ")")
+      spark.sql(s"SELECT ${operators.Evaluation.dtwExprSpark(
+        lit(x), lit(y), x.length.toString, 7)} AS d").collect().head.getLong(0)
+    }
+    val x = Seq.tabulate(20)(i => ((i * 7919) % 50 + 10).toLong)
+    assert(dtw(x, x) == 0L, "dtw(x, x) must be exactly zero")
+    // y = x shifted by 3 steps (ends padded with x's edge values): warping
+    // absorbs the shift almost entirely; lockstep pays it in full
+    val y = Seq.fill(3)(x.head) ++ x.dropRight(3)
+    val lockstep = x.zip(y).map { case (a, b) => math.abs(a - b) }.sum
+    val d = dtw(x, y)
+    assert(d <= lockstep, "diagonal path makes dtw <= lockstep always")
+    assert(d * 4 < lockstep,
+      s"a 3-step shift inside a 7-band must be mostly absorbed: $d vs $lockstep")
+    // the engine's fixture run agrees with the law too
+    val out = try SparkEntry.queries("q466_dtw_alignment")(spark, dir)
+      .collect().head finally CacheScope.release()
+    assert(out.getAs[Long]("dtw_cost") <= out.getAs[Long]("lockstep_cost"))
+    assert(out.getAs[Long]("dtw_cost") >= 0L)
+  }
+
+  test("q467 W1 drift respects the transport lower bound |mean shift|") {
+    val out = try SparkEntry.queries("q467_wasserstein_drift")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w1 = r.getAs[Long]("w1_cents_micro")
+      val shift = math.abs(r.getAs[Long]("mean_first_micro") -
+        r.getAs[Long]("mean_second_micro"))
+      // per-step micro flooring can undercount W1 by at most one micro
+      // per cents step (< value range = 60000 micro) — the documented slack
+      assert(w1 + 60000L >= shift,
+        s"W1 ($w1) must dominate the mean shift ($shift) up to flooring")
+      assert(w1 >= 0L)
+    }
+  }
 }
