@@ -165,5 +165,79 @@ object Scalars {
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
         .orderBy($"bucket")
     },
+
+    q("q468_json_schema_census", {
+      s"""WITH j AS (SELECT event_id, event_type,
+         |    $jsonDocExprDuck AS doc FROM events),
+         |x AS (SELECT event_type,
+         |    CAST(json_extract_string(doc, '$$.k') AS BIGINT) AS k,
+         |    CAST(json_array_length(json_extract(doc, '$$.tags'))
+         |      AS BIGINT) AS n_tags,
+         |    json_extract_string(doc, '$$.geo.lat') AS lat_s
+         |  FROM j)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(k) AS BIGINT) AS sum_k,
+         |  CAST(SUM(n_tags) AS BIGINT) AS sum_tags,
+         |  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_geo,
+         |  CAST((SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS geo_ppm,
+         |  CAST(SUM(COALESCE(CAST(lat_s AS BIGINT), 0)) AS BIGINT)
+         |    AS sum_lat
+         |FROM x GROUP BY event_type ORDER BY event_type"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Semi-structured (nested JSON) ingest census — q33 extracts the
+      // flat fixture key; real event payloads carry nested objects,
+      // variable-length arrays, and OPTIONAL fields, and the pipeline's
+      // first question is "what shape is this feed, per type": presence
+      // rates and aggregates per path. The document is synthesized by
+      // re-wrapping the fixture's own props key (so the inner value
+      // rides through TWO real JSON parses) with a tags array whose
+      // length varies and a geo object present only on every fourth
+      // event; both engines then parse with their native JSON functions
+      // (get_json_object / json_extract) — a cross-engine check of JSON
+      // path semantics, not just string math. Map-side parse + one
+      // type-keyed rollup; 100 TB-trivial.
+      T(s, dir, "events")
+        .withColumn("doc", expr(jsonDocExprSpark))
+        .select($"event_type",
+          expr("CAST(get_json_object(doc, '$.k') AS BIGINT)").as("k"),
+          expr("CAST(json_array_length(get_json_object(doc, '$.tags')) " +
+            "AS BIGINT)").as("n_tags"),
+          get_json_object($"doc", "$.geo.lat").as("lat_s"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          sum($"n_tags").as("sum_tags"),
+          sum(when($"lat_s".isNotNull, 1L).otherwise(0L)).as("n_geo"),
+          expr("CAST((SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) " +
+            "* 1000000) div COUNT(*) AS BIGINT)").as("geo_ppm"),
+          sum(coalesce(expr("CAST(lat_s AS BIGINT)"), lit(0L))).as("sum_lat"))
+        .orderBy($"event_type")
+    },
   )
+
+  // ---- q468 fixture synthesis: a nested JSON document re-wrapping the
+  // fixture's own flat props (the inner '$.k' value is itself obtained by
+  // a real JSON parse), with a variable-length tags array and an optional
+  // geo object. Rendered per dialect only because the inner extraction
+  // function differs; the produced STRING is byte-identical.
+
+  private def jsonDocExpr(kExtract: String): String =
+    "concat('{\"k\": ', " + kExtract + ", ', \"tags\": [\"t', " +
+      "CAST(event_id % 3 AS STRING), '\"" +
+      ", \"t', CAST(event_id % 5 AS STRING), '\"', " +
+      "CASE WHEN event_id % 3 = 0 THEN concat(', \"t', " +
+      "CAST(event_id % 7 AS STRING), '\"') ELSE '' END, " +
+      "'], ', " +
+      "CASE WHEN event_id % 4 = 0 THEN concat('\"geo\": {\"lat\": ', " +
+      "CAST(event_id % 90 AS STRING), ', \"lon\": ', " +
+      "CAST(event_id % 180 AS STRING), '}, ') ELSE '' END, " +
+      "'\"v\": ', CAST(event_id % 1000 AS STRING), '}')"
+
+  private def jsonDocExprSpark: String =
+    jsonDocExpr("get_json_object(props, '$.k')")
+
+  private def jsonDocExprDuck: String =
+    jsonDocExpr("json_extract_string(props, '$.k')")
 }

@@ -2291,6 +2291,109 @@ object Similarity {
           $"margin_ppm", ($"margin_ppm" > 1150000L).as("accepted"))
         .orderBy($"q_id")
     },
+
+    q("q469_silhouette", {
+      val d2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(q.qv, c.ca), z -> " +
+        "(z[1]*1000 - z[2]) * (z[1]*1000 - z[2]))), (acc, x) -> acc + x)"
+      s"""WITH m AS (SELECT MAX(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max')) AS gm FROM embeddings),
+         |qz AS (SELECT vec_id, label, list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / gm + 0.5)
+         |        AS BIGINT)) AS qv
+         |  FROM embeddings, m),
+         |ex AS (SELECT label, unnest(range(len(qv))) AS pos, unnest(qv) AS x
+         |  FROM qz),
+         |bs AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS sx
+         |  FROM ex GROUP BY label, pos),
+         |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM qz GROUP BY label),
+         |cent AS (SELECT bs.label, MIN(cnt.n) AS n,
+         |    list(CASE WHEN sx >= 0 THEN (1000 * sx) // n
+         |      ELSE -((-1000 * sx) // n) END ORDER BY pos) AS ca
+         |  FROM bs JOIN cnt ON cnt.label = bs.label
+         |  GROUP BY bs.label),
+         |dd AS (SELECT q.vec_id, q.label AS plabel, c.label AS clabel,
+         |    $d2 AS d2 FROM qz q, cent c),
+         |ab AS (SELECT vec_id, plabel AS label,
+         |    MIN(CASE WHEN plabel = clabel THEN d2 END) AS a,
+         |    MIN(CASE WHEN plabel <> clabel THEN d2 END) AS b
+         |  FROM dd GROUP BY vec_id, plabel),
+         |sil AS (SELECT label,
+         |    CASE WHEN b >= a THEN ((b - a) * 1000000)
+         |        // GREATEST(GREATEST(a, b), 1)
+         |      ELSE -(((a - b) * 1000000) // GREATEST(GREATEST(a, b), 1))
+         |      END AS sp
+         |  FROM ab)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(CASE WHEN SUM(sp) >= 0 THEN SUM(sp) // COUNT(*)
+         |    ELSE -((-SUM(sp)) // COUNT(*)) END AS BIGINT) AS mean_sil_ppm,
+         |  CAST(SUM(CASE WHEN sp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_negative
+         |FROM sil GROUP BY label ORDER BY label"""
+    }) { (s, dir) =>
+      import s.implicits._
+      // Simplified silhouette over the label partition of the embedding
+      // space — the clustering-quality readout (is this labeling
+      // geometrically real?) every embedding-space curation step should
+      // run before trusting cluster-level decisions: per point,
+      // a = d^2 to own centroid, b = min d^2 to any other centroid,
+      // sil = (b - a) / max(a, b). All integer: global-maxabs int8
+      // quantization (q141's scheme) makes per-dim centroid SUMS exact
+      // BIGINTs; centroids land on a milli grid by sign-safe truncating
+      // division (floor vs truncate never disagree because the negative
+      // branch is made explicit — the standing negative-div rule); every
+      // d^2 is an exact fold. The centroid table is bounded (labels x
+      // 64 dims), BROADCAST back over the points; per-point work is one
+      // zip-fold per label — linear in corpus x labels, no pairwise
+      // joins anywhere (full silhouette's all-pairs a/b is exactly what
+      // does NOT survive 100 TB; the simplified form is the scale-safe
+      // standard). The fixture's labels are random, so the readout
+      // certifies ~zero structure — SimilarityShapeSpec's law.
+      val emb = T(s, dir, "embeddings")
+      val m = emb.agg(max(expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("gm"))
+      val qz = emb.crossJoin(broadcast(m))
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 127.0 / gm + 0.5) AS BIGINT))").as("qv"))
+        .transform(graft.CacheScope.cached)
+      val ex = qz.select($"label", posexplode($"qv").as(Seq("pos", "x")))
+      val cnt = qz.groupBy($"label").agg(count(lit(1)).as("n"))
+      val cent = ex.groupBy($"label", $"pos")
+        .agg(sum($"x").as("sx"))
+        .join(broadcast(cnt), Seq("label"))
+        .withColumn("cd", expr("CASE WHEN sx >= 0 THEN (1000 * sx) div n " +
+          "ELSE -((-1000 * sx) div n) END"))
+        .groupBy($"label")
+        .agg(min($"n").as("n"),
+          expr("transform(array_sort(collect_list(struct(pos, cd))), " +
+            "s -> s.cd)").as("ca"))
+      val dd = qz.crossJoin(broadcast(
+          cent.select($"label".as("clabel"), $"ca")))
+        .withColumn("d2", expr("aggregate(zip_with(qv, ca, (x, c) -> " +
+          "(x*1000 - c) * (x*1000 - c)), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)"))
+      val ab = dd.groupBy($"vec_id", $"label")
+        .agg(min(when($"label" === $"clabel", $"d2")).as("a"),
+          min(when($"label" =!= $"clabel", $"d2")).as("b"))
+      ab.withColumn("sp", expr(
+          "CASE WHEN b >= a THEN ((b - a) * 1000000) " +
+            "div GREATEST(GREATEST(a, b), 1) " +
+            "ELSE -(((a - b) * 1000000) div GREATEST(GREATEST(a, b), 1)) " +
+            "END"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(CASE WHEN SUM(sp) >= 0 THEN SUM(sp) div COUNT(*) " +
+            "ELSE -((-SUM(sp)) div COUNT(*)) END AS BIGINT)")
+            .as("mean_sil_ppm"),
+          sum(when($"sp" < 0, 1L).otherwise(0L)).as("n_negative"))
+        .select($"label".cast("long").as("label"), $"n", $"mean_sil_ppm",
+          $"n_negative")
+        .orderBy($"label")
+    },
   )
 
   // ---- q463: the deterministic sign matrix and the shared fold shapes.

@@ -774,6 +774,92 @@ object WebCorpus {
           ($"source" === $"dst_host").as("is_self"))
         .orderBy($"src_host", $"dst_host")
     },
+
+    q("q470_sitemap_coverage",
+      // Sitemap-vs-crawl coverage audit — the reconciliation a crawl
+      // operator runs weekly: which sitemap-declared pages did the
+      // crawler miss (sitemap_only — coverage debt), what did it fetch
+      // that the site never declared (crawled_only — discovery), and
+      // which declared-and-fetched pages are stale by lastmod. Each
+      // source's sitemap.xml is synthesized closed-form (docs with doc_id % 3 <> 1
+      // declared — a modulus coprime with the source assignment's 20, so
+      // every source gets entries; lastmod day = 1 + doc_id % 28) and the Spark side
+      // genuinely extracts <loc>/<lastmod> pairs from the assembled XML
+      // blob by group-indexed regex, then reconciles against the crawl
+      // set (doc_id % 7 <> 2) with ONE loc-keyed equi join. The
+      // oracle replays the outcomes arithmetically from the layout — an
+      // extractor that drops entries, misaligns loc/lastmod pairs, or
+      // double-counts cannot reproduce them. Blob assembly exists only
+      // because the fixture is row-shaped (production reads sitemap
+      // files directly); parse is map-side per source, reconciliation is
+      // one keyed join + a source rollup.
+      """WITH sm AS (SELECT doc_id, source,
+        |    concat('https://', source, '.example.com/docs/',
+        |      CAST(doc_id AS STRING)) AS loc,
+        |    1 + doc_id % 28 AS lastday
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |cr AS (SELECT doc_id, source,
+        |    concat('https://', source, '.example.com/docs/',
+        |      CAST(doc_id AS STRING)) AS loc
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |j AS (SELECT COALESCE(sm.source, cr.source) AS source,
+        |    CASE WHEN sm.loc IS NOT NULL THEN 1 ELSE 0 END AS in_sm,
+        |    CASE WHEN cr.loc IS NOT NULL THEN 1 ELSE 0 END AS in_cr,
+        |    COALESCE(sm.lastday, 0) AS lastday
+        |  FROM sm FULL OUTER JOIN cr ON cr.loc = sm.loc)
+        |SELECT source,
+        |  CAST(SUM(in_sm) AS BIGINT) AS n_sitemap,
+        |  CAST(SUM(in_cr) AS BIGINT) AS n_crawled,
+        |  CAST(SUM(in_sm * in_cr) AS BIGINT) AS n_both,
+        |  CAST(SUM(in_sm * (1 - in_cr)) AS BIGINT) AS sitemap_only,
+        |  CAST(SUM((1 - in_sm) * in_cr) AS BIGINT) AS crawled_only,
+        |  CAST((SUM(in_sm * in_cr) * 1000000) // SUM(in_sm) AS BIGINT)
+        |    AS coverage_ppm,
+        |  CAST(SUM(CASE WHEN in_sm * in_cr = 1 AND lastday <= 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+        |FROM j GROUP BY source ORDER BY source""") { (s, dir) =>
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .select($"doc_id", $"source",
+          concat(lit("https://"), $"source", lit(".example.com/docs/"),
+            $"doc_id".cast("string")).as("loc"))
+        .transform(graft.CacheScope.cached)
+      // assemble each source's sitemap.xml, then genuinely parse it back
+      val entries = docs.filter($"doc_id" % 3 =!= 1)
+        .withColumn("entry", expr(
+          """concat('<url><loc>', loc, '</loc><lastmod>2026-01-',
+            |  lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'),
+            |  '</lastmod></url>')""".stripMargin))
+      val xml = entries.groupBy($"source")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(doc_id, entry))), e -> e.entry), '')"),
+          lit("</urlset>")).as("blob"))
+      val sm = xml
+        .withColumn("locs", expr(
+          "regexp_extract_all(blob, '<loc>([^<]+)</loc>', 1)"))
+        .withColumn("days", expr(
+          "regexp_extract_all(blob, '<lastmod>2026-01-([0-9]+)</lastmod>', 1)"))
+        .select($"source", explode(arrays_zip($"locs", $"days")).as("z"))
+        .select($"source", $"z.locs".as("loc"),
+          expr("CAST(z.days AS BIGINT)").as("lastday"))
+      val cr = docs.filter($"doc_id" % 7 =!= 2).select($"source", $"loc")
+      sm.as("sm").join(cr.as("cr"), $"sm.loc" === $"cr.loc", "full_outer")
+        .select(coalesce($"sm.source", $"cr.source").as("source"),
+          when($"sm.loc".isNotNull, 1L).otherwise(0L).as("in_sm"),
+          when($"cr.loc".isNotNull, 1L).otherwise(0L).as("in_cr"),
+          coalesce($"lastday", lit(0L)).as("lastday"))
+        .groupBy($"source")
+        .agg(sum($"in_sm").as("n_sitemap"), sum($"in_cr").as("n_crawled"),
+          sum($"in_sm" * $"in_cr").as("n_both"),
+          sum($"in_sm" * (lit(1L) - $"in_cr")).as("sitemap_only"),
+          sum((lit(1L) - $"in_sm") * $"in_cr").as("crawled_only"),
+          expr("CAST((SUM(in_sm * in_cr) * 1000000) div SUM(in_sm) " +
+            "AS BIGINT)").as("coverage_ppm"),
+          sum(when($"in_sm" * $"in_cr" === 1L && $"lastday" <= 10, 1L)
+            .otherwise(0L)).as("n_stale"))
+        .orderBy($"source")
+    },
   )
 
 }

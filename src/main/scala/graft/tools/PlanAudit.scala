@@ -990,6 +990,17 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q468_json_schema_census" -> Seq(
+      "JSON synth + parse are map-side; only the type rollup shuffles" -> "HashAggregate",
+      "no join anywhere" -> "!Join",
+      "only event_id, event_type, props read" -> "ReadSchema: struct<event_id:bigint,event_type:string,props:string>"),
+    "q469_silhouette" -> Seq(
+      "bounded centroid table broadcast over the points" -> "BroadcastNestedLoopJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "quantized vectors staged once through the in-memory barrier" -> "InMemoryTableScan"),
+    "q470_sitemap_coverage" -> Seq(
+      "sitemap/crawl reconciliation is ONE loc-keyed full-outer equi join" -> "SortMergeJoin FullOuter",
+      "no cartesian product anywhere" -> "!CartesianProduct"),
     "q466_dtw_alignment" -> Seq(
       "corpus-scale work is the keyed day rollup; DP runs in-plan on the calendar-bounded row" -> "HashAggregate",
       "no join anywhere" -> "!Join",

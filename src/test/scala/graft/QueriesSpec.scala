@@ -637,6 +637,53 @@ class QueriesSpec extends AnyFunSuite {
       s"mod-hash must reshuffle the bulk (stayed $modStayed of $total)")
   }
 
+  test("q468 JSON census: optional-path presence and array lengths follow the plant") {
+    val out = try SparkEntry.queries("q468_json_schema_census")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val gp = r.getAs[Long]("geo_ppm")
+      assert(gp > 150000 && gp < 350000,
+        s"geo rides every 4th event, ppm $gp way off 250k")
+      val st = r.getAs[Long]("sum_tags")
+      assert(st >= 2 * n && st <= 3 * n,
+        "tags arrays are length 2 or 3 by construction")
+      assert(r.getAs[Long]("n_geo") <= n)
+    }
+  }
+
+  test("q469 silhouette: random labels must read as geometrically structureless") {
+    val out = try SparkEntry.queries("q469_silhouette")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val m = r.getAs[Long]("mean_sil_ppm")
+      assert(m > -1000000L && m < 1000000L, "silhouette is bounded in [-1,1]")
+      assert(math.abs(m) < 200000L,
+        s"labels are random: a mean silhouette of $m would claim real clusters")
+      val neg = r.getAs[Long]("n_negative")
+      val n = r.getAs[Long]("n")
+      assert(neg * 5 >= n && neg * 5 <= 4 * n,
+        "structureless labels put a balanced share of points nearer a foreign centroid")
+    }
+  }
+
+  test("q470 sitemap coverage set identities hold per source") {
+    val out = try SparkEntry.queries("q470_sitemap_coverage")(spark, dir)
+      .collect() finally CacheScope.release()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sitemap") ==
+        r.getAs[Long]("n_both") + r.getAs[Long]("sitemap_only"))
+      assert(r.getAs[Long]("n_crawled") ==
+        r.getAs[Long]("n_both") + r.getAs[Long]("crawled_only"))
+      assert(r.getAs[Long]("coverage_ppm") ==
+        r.getAs[Long]("n_both") * 1000000L / r.getAs[Long]("n_sitemap"))
+      assert(r.getAs[Long]("n_stale") <= r.getAs[Long]("n_both"))
+    }
+  }
+
   test("q463 measured distortion ratios concentrate around 1") {
     val out = try SparkEntry.queries("q463_jl_projection")(spark, dir)
       .collect() finally CacheScope.release()
