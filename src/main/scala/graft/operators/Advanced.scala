@@ -1951,6 +1951,63 @@ object Advanced {
           coalesce($"at", lit(-1L)).cast("long").as("labeled_at"))
         .orderBy($"doc_id")
     },
+
+    q("q472_key_skew_profile",
+      // Key-skew profiler — the diagnosis a team runs BEFORE reaching for
+      // q89's salting: bucket every join/agg key by floor(log2(group
+      // size)) and read the histogram. Two keyings of the same events
+      // share the output: the natural user_id (healthy — sizes
+      // concentrate in adjacent buckets) and a 'hubbed' keying that
+      // funnels every tenth user into one key (the pathology — a lone
+      // top bucket holding a corpus-scale share of rows while holding
+      // ONE key). log2 comes from length(bin(n)) - 1, integer-exact in
+      // both engines — never floor(ln/ln2), whose float boundary at
+      // exact powers of two is the classic off-by-one. Two keyed
+      // aggregations to key-sized tables, then a bucket rollup bounded
+      // by 64 rows per keying; the profile costs one groupBy at any
+      // corpus size.
+      """WITH nk AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |hk AS (SELECT CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END
+        |    AS k, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT 'natural' AS key_kind, k, n FROM nk
+        |  UNION ALL SELECT 'hubbed', k, n FROM hk),
+        |b AS (SELECT key_kind, CAST(length(bin(n)) - 1 AS BIGINT)
+        |    AS bucket, k, n FROM u),
+        |t AS (SELECT key_kind, CAST(SUM(n) AS BIGINT) AS total
+        |  FROM b GROUP BY key_kind)
+        |SELECT b.key_kind, b.bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(b.n) AS BIGINT) AS n_rows,
+        |  CAST((SUM(b.n) * 1000000) // MIN(t.total) AS BIGINT) AS rows_ppm,
+        |  CAST(MIN(b.n) AS BIGINT) AS min_size,
+        |  CAST(MAX(b.n) AS BIGINT) AS max_size
+        |FROM b JOIN t ON t.key_kind = b.key_kind
+        |GROUP BY b.key_kind, b.bucket
+        |ORDER BY b.key_kind, b.bucket""") { (s, dir) =>
+      import s.implicits._
+      val ev = T(s, dir, "events").select($"user_id")
+        .transform(graft.CacheScope.cached)
+      val nk = ev.groupBy($"user_id".as("k")).agg(count(lit(1)).as("n"))
+        .select(lit("natural").as("key_kind"), $"k", $"n")
+      val hk = ev.select(when($"user_id" % 10 === 0, -1L)
+          .otherwise($"user_id").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .select(lit("hubbed").as("key_kind"), $"k", $"n")
+      val b = nk.unionAll(hk)
+        .withColumn("bucket", expr("CAST(length(bin(n)) - 1 AS BIGINT)"))
+        .transform(graft.CacheScope.cached)
+      val t = b.groupBy($"key_kind").agg(sum($"n").as("total"))
+        .withColumnRenamed("key_kind", "t_kind")
+      b.join(broadcast(t), $"key_kind" === $"t_kind")
+        .groupBy($"key_kind", $"bucket")
+        .agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+          expr("CAST((SUM(n) * 1000000) div MIN(total) AS BIGINT)")
+            .as("rows_ppm"),
+          min($"n").as("min_size"), max($"n").as("max_size"))
+        .orderBy($"key_kind", $"bucket")
+    },
   )
 
   /** Per-node top-k adjacency sparsification: symmetrize the weighted pair

@@ -719,38 +719,7 @@ object Monitoring {
       // are keyed per type over the COMPACTED value domain (bounded by
       // distinct cents, not event rows). W1 >= |mean shift| is the
       // transport lower bound EvaluationSpec-style law in MonitoringSpec.
-      """WITH e AS (SELECT event_type,
-        |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS half,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |c AS (SELECT event_type, cents,
-        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-        |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
-        |  FROM e GROUP BY event_type, cents),
-        |t AS (SELECT event_type, CAST(SUM(d1) AS BIGINT) AS n1,
-        |    CAST(SUM(d2) AS BIGINT) AS n2,
-        |    CAST(SUM(d1 * cents) AS BIGINT) AS s1,
-        |    CAST(SUM(d2 * cents) AS BIGINT) AS s2
-        |  FROM c GROUP BY event_type),
-        |w AS (SELECT c.event_type, c.cents, t.n1, t.n2, t.s1, t.s2,
-        |    SUM(c.d1) OVER (PARTITION BY c.event_type ORDER BY c.cents)
-        |      AS c1,
-        |    SUM(c.d2) OVER (PARTITION BY c.event_type ORDER BY c.cents)
-        |      AS c2,
-        |    LEAD(c.cents) OVER (PARTITION BY c.event_type ORDER BY c.cents)
-        |      AS nxt
-        |  FROM c JOIN t ON t.event_type = c.event_type),
-        |g AS (SELECT event_type, n1, n2, s1, s2,
-        |    COALESCE(nxt - cents, 0)
-        |      * ((1000000 * abs(c1 * n2 - c2 * n1)) // (n1 * n2)) AS term
-        |  FROM w)
-        |SELECT event_type, CAST(MIN(n1) AS BIGINT) AS n_first,
-        |  CAST(MIN(n2) AS BIGINT) AS n_second,
-        |  CAST(SUM(term) AS BIGINT) AS w1_cents_micro,
-        |  CAST((1000000 * MIN(s1)) // MIN(n1) AS BIGINT)
-        |    AS mean_first_micro,
-        |  CAST((1000000 * MIN(s2)) // MIN(n2) AS BIGINT)
-        |    AS mean_second_micro
-        |FROM g GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      w1OracleSql) { (s, dir) =>
       import s.implicits._
       val e = T(s, dir, "events")
         .select($"event_type",
@@ -760,27 +729,115 @@ object Monitoring {
         .agg(sum(when($"half" === 1, 1L).otherwise(0L)).as("d1"),
           sum(when($"half" === 2, 1L).otherwise(0L)).as("d2"))
         .transform(graft.CacheScope.cached)
-      val t = c.groupBy($"event_type")
-        .agg(sum($"d1").as("n1"), sum($"d2").as("n2"),
-          sum($"d1" * $"cents").as("s1"), sum($"d2" * $"cents").as("s2"))
-      val byType = Window.partitionBy($"event_type").orderBy($"cents")
-      val run = byType.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      c.join(broadcast(t), Seq("event_type"))
-        .withColumn("c1", sum($"d1").over(run))
-        .withColumn("c2", sum($"d2").over(run))
-        .withColumn("nxt", lead($"cents", 1).over(byType))
-        .withColumn("term",
-          coalesce($"nxt" - $"cents", lit(0L)) *
-            expr("(1000000 * abs(c1 * n2 - c2 * n1)) div (n1 * n2)"))
-        .groupBy($"event_type")
-        .agg(min($"n1").as("n_first"), min($"n2").as("n_second"),
-          sum($"term").as("w1_cents_micro"),
-          expr("CAST((1000000 * MIN(s1)) div MIN(n1) AS BIGINT)")
-            .as("mean_first_micro"),
-          expr("CAST((1000000 * MIN(s2)) div MIN(n2) AS BIGINT)")
-            .as("mean_second_micro"))
-        .orderBy($"event_type")
+      w1Finalize(c)
+    },
+
+    q("q471_streaming_w1_drift", w1OracleSql) { (s, dir) =>
+      import s.implicits._
+      // Streaming twin of q467 through the engine's source — the LIVE
+      // drift monitor: events stream in, the state is the COMPACTED
+      // (type, cents) count table maintained by a complete-mode keyed
+      // aggregation (bounded by the value domain, never by event volume
+      // — q182's live-sketch-table pattern), and the W1 readout runs
+      // batch-side over the drained state through the SAME w1Finalize
+      // helper q467 uses, so twins cannot disagree in finalization. The
+      // half/cents projections are per-row map-side on each micro-batch.
+      // Oracle = q467's batch statement verbatim.
+      val root = graft.LogFixtures.producedLog(dir, "q471") { r =>
+        graft.log.LogBulkProducer.produceAt(
+          T(s, dir, "events")
+            .select((unix_millis($"ts".cast("timestamp"))).as("ms"),
+              $"event_id", $"event_type",
+              when(dayofmonth($"ts") <= 15, 1L).otherwise(2L).as("half"),
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")),
+          "ms", r, "ev", orderCols = Seq("event_id"))
+      }
+      val c = graft.streaming.StreamHarness.runToMemory(
+        s, "q471", 4, mode = "complete") {
+        s.readStream.format("graftlog")
+          .option("path", root).option("stream", "ev")
+          .option("valueSchema",
+            "event_id BIGINT, event_type STRING, half BIGINT, cents BIGINT")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", "4000")
+          .load()
+          .groupBy($"event_type", $"cents")
+          .agg(sum(when($"half" === 1L, 1L).otherwise(0L)).as("d1"),
+            sum(when($"half" === 2L, 1L).otherwise(0L)).as("d2"))
+      }
+      w1Finalize(c.transform(graft.CacheScope.cached))
     },
   )
+
+  /** q467/q471 shared oracle: exact 1-D W1 + mean shift per event type,
+    * first vs second half of the month.
+    */
+  private def w1OracleSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS half,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT event_type, cents,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      |  FROM e GROUP BY event_type, cents),
+      |t AS (SELECT event_type, CAST(SUM(d1) AS BIGINT) AS n1,
+      |    CAST(SUM(d2) AS BIGINT) AS n2,
+      |    CAST(SUM(d1 * cents) AS BIGINT) AS s1,
+      |    CAST(SUM(d2 * cents) AS BIGINT) AS s2
+      |  FROM c GROUP BY event_type),
+      |w AS (SELECT c.event_type, c.cents, t.n1, t.n2, t.s1, t.s2,
+      |    SUM(c.d1) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+      |      AS c1,
+      |    SUM(c.d2) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+      |      AS c2,
+      |    LEAD(c.cents) OVER (PARTITION BY c.event_type ORDER BY c.cents)
+      |      AS nxt
+      |  FROM c JOIN t ON t.event_type = c.event_type),
+      |g AS (SELECT event_type, n1, n2, s1, s2,
+      |    COALESCE(nxt - cents, 0)
+      |      * ((1000000 * abs(c1 * n2 - c2 * n1)) // (n1 * n2)) AS term
+      |  FROM w)
+      |SELECT event_type, CAST(MIN(n1) AS BIGINT) AS n_first,
+      |  CAST(MIN(n2) AS BIGINT) AS n_second,
+      |  CAST(SUM(term) AS BIGINT) AS w1_cents_micro,
+      |  CAST((1000000 * MIN(s1)) // MIN(n1) AS BIGINT)
+      |    AS mean_first_micro,
+      |  CAST((1000000 * MIN(s2)) // MIN(n2) AS BIGINT)
+      |    AS mean_second_micro
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The W1 finalization q467 and its streaming twin q471 share, over the
+    * compacted (event_type, cents, d1, d2) count table: per-type totals
+    * broadcast back, cumulative CDFs and step widths by type-keyed
+    * windows, per-step micro-floored CDF gap weighted by the cents step.
+    */
+  private def w1Finalize(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    // the totals side is re-keyed under a fresh name before the join —
+    // c and t share lineage (and, fed from a memory sink, even attribute
+    // ids), and a same-id equi join throws "Conflicting attributes"
+    val t = c.groupBy($"event_type")
+      .agg(sum($"d1").as("n1"), sum($"d2").as("n2"),
+        sum($"d1" * $"cents").as("s1"), sum($"d2" * $"cents").as("s2"))
+      .withColumnRenamed("event_type", "t_type")
+    val byType = Window.partitionBy($"event_type").orderBy($"cents")
+    val run = byType.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    c.join(broadcast(t), c("event_type") === t("t_type")).drop("t_type")
+      .withColumn("c1", sum($"d1").over(run))
+      .withColumn("c2", sum($"d2").over(run))
+      .withColumn("nxt", lead($"cents", 1).over(byType))
+      .withColumn("term",
+        coalesce($"nxt" - $"cents", lit(0L)) *
+          expr("(1000000 * abs(c1 * n2 - c2 * n1)) div (n1 * n2)"))
+      .groupBy($"event_type")
+      .agg(min($"n1").as("n_first"), min($"n2").as("n_second"),
+        sum($"term").as("w1_cents_micro"),
+        expr("CAST((1000000 * MIN(s1)) div MIN(n1) AS BIGINT)")
+          .as("mean_first_micro"),
+        expr("CAST((1000000 * MIN(s2)) div MIN(n2) AS BIGINT)")
+          .as("mean_second_micro"))
+      .orderBy($"event_type")
+  }
 }

@@ -990,6 +990,11 @@ object PlanAudit {
       "release diff is ONE full-outer equi join on doc_id" -> "SortMergeJoin FullOuter",
       "no cartesian product anywhere" -> "!CartesianProduct",
       "lang column pruned from both release scans" -> "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"),
+    "q472_key_skew_profile" -> Seq(
+      "both keyings partial-aggregate map-side to key-sized tables" -> "HashAggregate",
+      "per-keying totals broadcast back over the 64-row bucket domain" -> "BroadcastHashJoin",
+      "no cartesian product anywhere" -> "!CartesianProduct",
+      "only user_id read" -> "ReadSchema: struct<user_id:bigint>"),
     "q468_json_schema_census" -> Seq(
       "JSON synth + parse are map-side; only the type rollup shuffles" -> "HashAggregate",
       "no join anywhere" -> "!Join",

@@ -60,14 +60,36 @@ object Mp4Props extends Properties("Mp4") {
     }
 
   property("any strict truncation of the file is rejected") =
-    Prop.forAll(genFile, Gen.chooseNum(1, 64)) {
-      case ((nt, dur, payload, large), cut) =>
+    Prop.forAll(genFile, Gen.chooseNum(1, 64)) { (t, cut) =>
+      truncationLaw(t, cut)
+    }
+
+  private def truncationLaw(t: (Int, Long, Array[Byte], Boolean),
+      cut: Int): Prop = {
+    val (nt, dur, payload, large) = t;
+    {
         val bytes = Mp4.encodeMp4(
           (1 to nt).map(t => Mp4.TrackSpec(t, 16, 8)), dur, payload, large)
-        val n = bytes.length - math.min(cut, bytes.length - 1)
-        Prop.throws(classOf[IllegalArgumentException])(
-          Mp4.walkBoxes(bytes.take(n)))
+        // clamp into [1, len-1] OURSELVES: ScalaCheck shrinking ignores
+        // generator bounds, and an unclamped shrink to cut = 0 "falsifies"
+        // the law on a file that was never truncated at all
+        val effCut = math.max(1, math.min(cut, bytes.length - 1))
+        val mdatSize = (if (large) 16 else 8) + payload.length
+        val truncated = bytes.take(bytes.length - effCut)
+        if (effCut == mdatSize) {
+          // the cut removed EXACTLY the trailing mdat box: the prefix
+          // tiles completely, so the box GRAMMAR accepts it (walkBoxes
+          // is a structural walker; whole-box truncation is a semantic
+          // question for the census layer, not a grammar error)
+          val cleanPrefix: Prop =
+            Mp4.walkBoxes(truncated).forall(_.fourcc != "mdat")
+          cleanPrefix :| "clean prefix, mdat gone"
+        } else {
+          Prop.throws(classOf[IllegalArgumentException])(
+            Mp4.walkBoxes(truncated))
+        }
     }
+  }
 
   private val genSampled: Gen[(Seq[Mp4.SampleTrackSpec], Long, Long, Boolean)] =
     for {

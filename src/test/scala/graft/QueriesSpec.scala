@@ -684,6 +684,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q471 streamed W1 drift equals the q467 batch readout row for row") {
+    def run(n: String) = {
+      val out = try SparkEntry.queries(n)(spark, dir)
+        .collect().toSeq.map(_.toSeq) finally CacheScope.release()
+      out
+    }
+    assert(run("q471_streaming_w1_drift") == run("q467_wasserstein_drift"))
+  }
+
+  test("q472 skew profile: bucket bounds hold; the hub signature is visible") {
+    val out = try SparkEntry.queries("q472_key_skew_profile")(spark, dir)
+      .collect() finally CacheScope.release()
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (1L << b, 1L << (b + 1))
+      assert(r.getAs[Long]("min_size") >= lo &&
+        r.getAs[Long]("max_size") < hi,
+        s"group sizes must tile [2^b, 2^(b+1)): $r")
+      assert(r.getAs[Long]("n_keys") >= 1 && r.getAs[Long]("rows_ppm") >= 0)
+    }
+    val hubbedTop = out.filter(_.getAs[String]("key_kind") == "hubbed")
+      .map(_.getAs[Long]("bucket")).max
+    val naturalTop = out.filter(_.getAs[String]("key_kind") == "natural")
+      .map(_.getAs[Long]("bucket")).max
+    assert(hubbedTop > naturalTop,
+      "the planted hub key must surface as a lone higher bucket")
+    val hubRow = out.find(r => r.getAs[String]("key_kind") == "hubbed" &&
+      r.getAs[Long]("bucket") == hubbedTop).get
+    assert(hubRow.getAs[Long]("n_keys") == 1L,
+      "the pathological bucket holds exactly the one hub key")
+  }
+
   test("q463 measured distortion ratios concentrate around 1") {
     val out = try SparkEntry.queries("q463_jl_projection")(spark, dir)
       .collect() finally CacheScope.release()
