@@ -71,4 +71,18 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // Memoized fixture row counts (per (dir, table)). Streaming queries size
+  // their micro-batch triggers from the input cardinality so a drain is a
+  // FIXED number of micro-batches at any scale factor (optimization guide
+  // §2: scale-adaptive sizing, never a constant tuned for one SF — a fixed
+  // 8000-entry trigger that gave 2 batches at the sf0.01 gate degenerated
+  // to 13 batches × the per-batch commit floor at sf0.1, the q352 pathology
+  // repeated eleven times over). A parquet count() is a metadata-only job;
+  // memoizing it keeps the second bench run of each query from repeating it.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name), _ => load(spark, dir, name).count())
 }

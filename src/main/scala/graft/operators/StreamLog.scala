@@ -83,6 +83,22 @@ object StreamLog {
         .agg(min(unix_millis($"ts"))).head().getLong(0) + 43200000L)
   }
 
+  /** Scale-adaptive micro-batch caps for streams carrying the FULL events
+    * table (optimization guide §2: derive sizing from the input, never a
+    * constant tuned for one SF). A fixed 8000-entry cap that meant 2
+    * micro-batches at the sf0.01 gate degenerated to 13 batches at sf0.1 —
+    * each paying the fixed per-batch commit floor (the q352 pathology,
+    * round-9) — for results that are batch-count-invariant complete-mode
+    * aggregations. `twoBatchCap` drains in 2 batches at any SF ≥ 0.01
+    * (state still crosses a batch boundary); `severalBatchCap` keeps the
+    * multi-commit exercise the replication pipes document, at 4 batches.
+    * Floors keep the sf0.001 gate's batch counts as they were.
+    */
+  private def twoBatchCap(s: SparkSession, dir: String): String =
+    math.max(4000L, Tables.rowCount(s, dir, "events") / 2 + 1).toString
+  private def severalBatchCap(s: SparkSession, dir: String): String =
+    math.max(3000L, Tables.rowCount(s, dir, "events") / 4 + 1).toString
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q158_schema_on_read",
@@ -167,7 +183,7 @@ object StreamLog {
           // 2 micro-batches at bench scale (sf0.1 = 100k events): state
           // still crosses a batch boundary, without paying the fixed
           // per-batch commit overhead twice more (measured ~0.5 s/batch)
-          .option("maxEntriesPerTrigger", "60000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .select(to_timestamp($"values.ts_s").as("ets"),
             $"values.event_type".as("event_type"))
@@ -202,7 +218,7 @@ object StreamLog {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "50000") // multi-batch at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .select($"values.user_id".as("user_id"),
             $"values.event_type".as("event_type"))
@@ -237,7 +253,7 @@ object StreamLog {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "50000") // multi-batch at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .select($"values.user_id".as("user_id"),
             $"values.event_type".as("event_type"))
@@ -358,7 +374,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .selectExpr("values['event_type'] AS k", "values['event_id'] AS v")
         graft.streaming.StreamingOps.runningCountByKeyTws(s, src, "k", "v")
@@ -392,7 +408,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .selectExpr("values['event_type'] AS k",
             "CAST(values['user_id'] AS BIGINT) % 10 AS b")
@@ -594,7 +610,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
           .selectExpr("values['event_type'] AS k", "values['event_id'] AS id")
         graft.streaming.StreamingOps.recentIdsByKeyTws(s, src, "k", "id", 3)
@@ -1156,10 +1172,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, vc BIGINT")
           .option("startingOffsets", "earliest")
-          // 2 batches at the sf0.01 correctness gate (10k events), ~13 at
-          // sf0.1 — counters must accumulate across batches either way
-          // without the micro-batch floor dominating the bench
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .crossJoin(broadcast(bounds))
           .select($"event_type", expr("((vc - lo) * 64) DIV w").as("bin"), $"w")
@@ -1445,7 +1458,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, vc BIGINT, ms BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .crossJoin(broadcast(bounds))
           .select(expr("((vc - lo) * 10) div w").as("bin"),
@@ -1703,7 +1716,7 @@ object StreamLog {
       val pipe = s.readStream.format("graftlog")
         .option("path", rootA).option("stream", "events")
         .option("startingOffsets", "earliest")
-        .option("maxEntriesPerTrigger", "3000") // several commits
+        .option("maxEntriesPerTrigger", severalBatchCap(s, dir)) // several commits
         .load()
         .filter($"values".getItem("event_type") =!= "error")
         .select($"values")
@@ -1776,10 +1789,14 @@ object StreamLog {
           .start()
         q.awaitTermination()
       }
-      // phase 1: one committed batch, then stop (the "crash")
-      pipe(org.apache.spark.sql.streaming.Trigger.Once(), "3000")
+      // phase 1: one committed batch of ~a third of the stream, then stop
+      // (the "crash") — cap scaled from the input so the phase split holds
+      // at any SF (a fixed 3000 meant 1+33 batches at sf0.1)
+      val resumeCap = math.max(3000L,
+        Tables.rowCount(s, dir, "events") / 3 + 1).toString
+      pipe(org.apache.spark.sql.streaming.Trigger.Once(), resumeCap)
       // phase 2: resume from the checkpoint, drain the rest
-      pipe(org.apache.spark.sql.streaming.Trigger.AvailableNow(), "3000")
+      pipe(org.apache.spark.sql.streaming.Trigger.AvailableNow(), resumeCap)
       s.read.format("graftlog")
         .option("path", rootB).option("stream", "replica")
         .option("valueSchema",
@@ -1829,7 +1846,7 @@ object StreamLog {
       val pipe = s.readStream.format("graftlog")
         .option("path", rootA).option("stream", "events")
         .option("startingOffsets", "earliest")
-        .option("maxEntriesPerTrigger", "3000")
+        .option("maxEntriesPerTrigger", severalBatchCap(s, dir))
         .load()
         .filter($"values".getItem("event_type") =!= "error")
         // the sharded sink routes on a top-level column of the write
@@ -1921,7 +1938,7 @@ object StreamLog {
           .option("valueSchema",
             "event_id BIGINT, event_type STRING, day STRING")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .groupBy($"event_type", $"day".cast("date").as("day"))
           .agg(count(lit(1)).as("n"))
@@ -2012,7 +2029,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, user_id BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .select($"event_type", expr(
             s"(graft_polyhash(CAST(user_id AS STRING)) * 2654435761) % ${graft.functions.TextHash.P}")
@@ -2061,7 +2078,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, user_id BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .select($"event_type",
             expr("CAST(user_id % 40 AS STRING)").as("k"))
@@ -2125,7 +2142,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, user_id BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .select($"user_id", explode(sequence(lit(0L), lit(3L))).as("r"))
           .select($"r", expr(cellExpr).as("c"))
@@ -2183,7 +2200,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, value_c BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), min($"value_c").as("min_c"),
@@ -2229,7 +2246,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, user_id BIGINT, obs BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
         graft.streaming.StreamingOps
           .forwardFillByKeyTws(s, src, "user_id", "event_id", "obs")
@@ -2282,7 +2299,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, vd BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
         graft.streaming.StreamingOps
           .anomalyFlagsByKeyTws(s, src, "event_type", "event_id", "vd", 30L)
@@ -2333,7 +2350,7 @@ object StreamLog {
           .option("valueSchema",
             "tsu BIGINT, event_id BIGINT, user_id STRING, event_type STRING")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
         graft.streaming.StreamingOps
           .funnelByUserTws(s, src, "user_id", "tsu", "event_type", "event_id",
@@ -2400,7 +2417,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, cents BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "8000")
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir))
           .load()
           .filter($"cents" > 0)
           .select(substring($"cents".cast("string"), 1, 1).cast("long")
@@ -2465,7 +2482,7 @@ object StreamLog {
           .option("valueSchema",
             "event_id BIGINT, user_id BIGINT, event_type STRING, us BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", "60000") // 2 batches at sf0.1
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
           .load()
         graft.streaming.StreamingOps
           .cepMatchesByKeyTws(s, src, "user_id", "event_id", "us",
