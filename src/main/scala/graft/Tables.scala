@@ -85,4 +85,22 @@ object Tables {
 
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.computeIfAbsent((dir, name), _ => load(spark, dir, name).count())
+
+  /** Parallelize a scan-stage-heavy pipeline over an effectively
+    * unsplittable input. Every driver fixture is ONE parquet file with ONE
+    * row group, so a scan is a single task — and Spark pipelines all
+    * map-side work (casts, per-row hashes, decodes, explodes, partial
+    * aggregation) into that task: a 32-core box runs the whole leg serially
+    * (measured on q199: 15 decimal moment sums 5.5 s serial → 1.1 s spread,
+    * bit-identical). This is the optimization guide §2.5 "input skew: one
+    * huge unsplittable file → repartition immediately after the read",
+    * applied ONLY where per-row compute dominates; a no-op when the scan
+    * already carries enough splits (real multi-file inputs at scale), so
+    * the extra exchange never exists where the data layout is healthy.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 }

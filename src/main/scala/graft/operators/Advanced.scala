@@ -842,16 +842,22 @@ object Advanced {
         .filter($"w" >= 4)
         .select($"s1", $"s2")
         .transform(graft.CacheScope.cached)
+      // each round's outputs are LINEAGE-TRUNCATED (CacheScope.checkpointed,
+      // not .cached): a cache materializes the data but keeps the full
+      // logical tree, so by round 3 every action was paying ~9 s of pure
+      // re-analysis/AQE re-planning over the 3-deep join chain (measured;
+      // the data itself is a 109k-row edge list). Checkpointing between
+      // rounds is exactly what the 100 TB note below prescribes.
       def peel(e: DataFrame): (DataFrame, DataFrame) = {
         val deg = e.select($"s1".as("s")).unionAll(e.select($"s2".as("s")))
           .groupBy($"s").agg(count(lit(1)).as("d"))
         val v = deg.filter($"d" >= 3).select($"s")
-          .transform(graft.CacheScope.cached)
+          .transform(graft.CacheScope.checkpointed)
         val e2 = e
           .join(broadcast(v.withColumnRenamed("s", "s1")), Seq("s1"), "left_semi")
           .join(broadcast(v.withColumnRenamed("s", "s2")), Seq("s2"), "left_semi")
           .select($"s1", $"s2")
-          .transform(graft.CacheScope.cached)
+          .transform(graft.CacheScope.checkpointed)
         (v, e2)
       }
       val (v1, e1) = peel(e0)
@@ -1219,7 +1225,13 @@ object Advanced {
             e.join(broadcast(dk), e("u") === dk("node"))
               .select(e("v").as("node"), (dk("hops") + 1L).as("hops")))
           .groupBy($"node").agg(min($"hops").as("hops"))
-      val d3 = step(step(step(d0)))
+      // intermediate frontiers are lineage-truncated (the q229/q457
+      // checkpoint-between-rounds discipline): nesting all three hops in
+      // one plan made every action re-analyze the 3-deep broadcast-join
+      // tree. The LAST hop stays lazy so the audited plan keeps the
+      // broadcast-join + min-agg shape PlanAudit pins.
+      val d3 = step(graft.CacheScope.checkpointed(
+        step(graft.CacheScope.checkpointed(step(d0)))))
       d3.select($"node", $"hops").orderBy($"node")
     },
 
@@ -1272,10 +1284,14 @@ object Advanced {
           sxx: Column, syy: Column): Column =
         r6(($"n" * sxy - sx * sy) /
           sqrt(($"n" * sxx - sx * sx) * ($"n" * syy - sy * sy)))
+      // spread: the single-row-group fixture scan would otherwise run all
+      // 15 decimal casts+sums in ONE task (measured 5.5 s serial → 1.1 s
+      // spread, bit-identical — decimal sums are order-independent)
       val b = T(s, dir, "lineitem").select(
         $"l_quantity".cast("double").as("x1"),
         ($"l_extendedprice" / 100000).as("x2"),
         $"l_discount".as("x3"), $"l_tax".as("x4"))
+        .transform(graft.Tables.spread)
       b.agg(count(lit(1)).cast("double").as("n"),
           dsum($"x1").as("s1"), dsum($"x2").as("s2"),
           dsum($"x3").as("s3"), dsum($"x4").as("s4"),
@@ -1620,17 +1636,24 @@ object Advanced {
       val nodes = adj.groupBy($"u").agg(count(lit(1)).as("d"))
         .withColumn("seed", when($"u" % 10 === 0, 1L).otherwise(0L))
         .transform(graft.CacheScope.cached)
+      // both joins hint the node-sized side BROADCAST explicitly: the
+      // iterate is lineage-truncated below, and a checkpointed frame has
+      // no size estimate (LogicalRDD defaults to "huge"), which silently
+      // flipped these to shuffle joins of the cached edge list
       def step(m: DataFrame): DataFrame = {
-        val inflow = m.select($"u".as("src"), expr("m div d").as("c"))
+        val inflow = broadcast(m.select($"u".as("src"), expr("m div d").as("c")))
           .join(adj, $"src" === $"u")
           .groupBy($"v".as("u")).agg(sum($"c").as("inflow"))
-        nodes.join(inflow, Seq("u"), "left")
+        nodes.join(broadcast(inflow), Seq("u"), "left")
           .select($"u", $"d", $"seed",
             (lit(150000L) * $"seed" +
               expr("(850000 * COALESCE(inflow, 0)) div 1000000")).as("m"))
       }
       val m0 = nodes.withColumn("m", $"seed" * 1000000L)
-      val m3 = step(step(step(m0)))
+      // intermediate iterates lineage-truncated (q229/q457 discipline);
+      // the last step stays lazy so the audited plan keeps its join shape
+      val m3 = step(graft.CacheScope.checkpointed(
+        step(graft.CacheScope.checkpointed(step(m0)))))
       m3.select($"u".as("supplier"), $"seed".as("is_seed"),
           $"d".as("degree"), $"m".cast("long").as("ppr_micro"))
         .orderBy($"ppr_micro".desc, $"supplier").limit(20)

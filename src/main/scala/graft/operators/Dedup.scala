@@ -1390,6 +1390,9 @@ object Dedup {
       // the join key space is ~unique so the shuffle carries no skew.
       val base = T(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("w"))
+        // spread: the len-way deletion explode + md5 per variant otherwise
+        // run in the single scan task (Tables.spread rationale)
+        .transform(graft.Tables.spread)
       val mut = base.filter($"doc_id" % 50 === 0)
         .select(($"doc_id" + 1000000000000L).as("doc_id"),
           expr("transform(sequence(1, size(w)), i -> " +

@@ -502,6 +502,9 @@ object Extras {
           $"event_type",
           expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("value_c"),
           $"props")
+        // spread: the 6-way count-distinct Expand (6x row multiplication +
+        // partial agg) otherwise runs inside the single-row-group scan task
+        .transform(graft.Tables.spread)
         .agg(
           count($"event_id").as("a_n"), countDistinct($"event_id").as("a_d"),
           min($"event_id").cast("string").as("a_mn"),

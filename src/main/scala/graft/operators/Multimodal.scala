@@ -218,7 +218,11 @@ object Multimodal {
         |FROM p ORDER BY media_id""") { (s, dir) =>
       import s.implicits._
       val media = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+        .select($"doc_id")
+        // spread: the PNG encode/decode round-trips below otherwise run in
+        // the single-row-group scan task (serial ImageIO on a 32-core box)
+        .transform(graft.Tables.spread)
+        .as[Long]
         .mapPartitions(_.map(id =>
           MediaRecord(id, "image/png", Codecs.encodePng(fixtureImage(id)))))
       val orig = media.map { r =>

@@ -517,6 +517,9 @@ object Retrieval {
          |ORDER BY rocchio_micro DESC, term LIMIT $PrfExpTerms""") { (s, dir) =>
       import s.implicits._
       val tf = T(s, dir, "documents")
+        // spread: tokenize+explode+partial agg otherwise run in the single
+        // scan task (Tables.spread rationale)
+        .transform(graft.Tables.spread)
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
         .transform(graft.CacheScope.cached) // dl/stats/df/score/candidates

@@ -1124,6 +1124,9 @@ object TextAnalysis {
       // aggregations on (doc, char) — map-heavy, shuffle-light (the
       // (doc,char) space is alphabet-bounded per doc).
       T(s, dir, "documents")
+        // spread: the per-char explode + partial agg otherwise run inside
+        // the single-row-group scan task (Tables.spread rationale)
+        .transform(graft.Tables.spread)
         .select($"doc_id", explode(expr(
           "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
         .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
