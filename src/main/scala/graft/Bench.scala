@@ -141,13 +141,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => Bench.BenchExcluded(name) }
       .flatMap { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { i =>
+        // label jobs (optimization guide §1.5) so UI/event-log triage can
+        // attribute stages to queries; thread-local, cleared after the run
+        spark.sparkContext.setJobDescription(s"bench:$name run$i")
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                    false
                  }
+        finally spark.sparkContext.setJobDescription(null)
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       // drop query-internal caches AFTER both runs: storage memory must not
