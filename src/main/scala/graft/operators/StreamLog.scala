@@ -1373,20 +1373,27 @@ object StreamLog {
       // still exercises it).
       val nIn = v0.count()
       val rootB = graft.TempDirs.scratch("graft-q352-ktable")
-      val q = s.readStream.format("graftlog")
-        .option("path", rootA).option("stream", "events")
-        .option("startingOffsets", "earliest")
-        .option("maxEntriesPerTrigger", math.max(3000L, nIn / 5).toString)
-        .load()
-        .select($"values".getItem("event_type").as("event_type"))
-        .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
-        .writeStream.format("graftlog")
-        .option("path", rootB).option("stream", "counts")
-        .option("checkpointLocation",
-          graft.TempDirs.scratch("graft-q352-ckpt"))
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state store sized to the key cardinality (a handful of event types):
+      // each of the ~5 epochs pays one state commit per partition, and the
+      // session default (= core count) meant 32 commits a batch for state
+      // that fits in one — ~2 s of pure commit overhead at sf0.1 (guide §2:
+      // size from the data; the changelog CONTENT is partition-invariant)
+      val q = graft.streaming.StreamHarness.withStatePartitions(s, 4) {
+        s.readStream.format("graftlog")
+          .option("path", rootA).option("stream", "events")
+          .option("startingOffsets", "earliest")
+          .option("maxEntriesPerTrigger", math.max(3000L, nIn / 5).toString)
+          .load()
+          .select($"values".getItem("event_type").as("event_type"))
+          .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+          .writeStream.format("graftlog")
+          .option("path", rootB).option("stream", "counts")
+          .option("checkpointLocation",
+            graft.TempDirs.scratch("graft-q352-ckpt"))
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       // compaction folds the changelog to current state per key
       graft.log.LogStore.compactKeyed(rootB, "counts", "event_type",

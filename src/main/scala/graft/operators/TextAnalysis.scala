@@ -2086,11 +2086,20 @@ object TextAnalysis {
       // under the trained model (the compression number a tokenizer team
       // tracks), plus the top-10 learned multi-char pieces with their
       // usage mass and trained costs.
+      // the corpus collapses ONCE to (source, word) counts; checkpointing
+      // (not just caching) the collapse truncates the lineage so the ~12
+      // chained dictionary-sized stages below don't each re-analyze the
+      // corpus subtree — measured (round 12): the warm run spent 3.5 s in
+      // BETWEEN-job driver gaps (plan re-analysis/AQE re-planning of the
+      // repeated tree) vs 2.2 s in jobs. Guide §3.3: materialise an
+      // intermediate to truncate a very large plan. Joins downstream of a
+      // checkpoint need explicit broadcast hints (a LogicalRDD has no size
+      // estimate and defaults to "huge" — the q285 lesson).
       val wc = T(s, dir, "documents")
         .select($"source", explode(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
         .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
-        .transform(graft.CacheScope.cached)
+        .transform(graft.CacheScope.checkpointed)
       val dict = wc.select($"word").distinct()
         .transform(graft.CacheScope.cached)
       val wt = wc.groupBy($"word").agg(sum($"cnt").as("w_total"))
@@ -2099,7 +2108,7 @@ object TextAnalysis {
           """flatten(transform(sequence(1, length(word)),
             |  st -> transform(sequence(1, least(4, length(word) - st + 1)),
             |    l -> substring(word, st, l))))""".stripMargin)).as("piece"))
-        .join(wt, "word")
+        .join(broadcast(wt), "word")
         .groupBy($"piece").agg(sum($"w_total").as("fw"))
         .transform(graft.CacheScope.cached)
       // the rank window orders the piece-candidate table — bounded by the
@@ -2111,9 +2120,11 @@ object TextAnalysis {
       val voc0 = pw.filter(length($"piece") === 1).unionByName(multi)
         .transform(graft.CacheScope.cached)
       val t0 = voc0.agg(sum($"fw").as("tt"))
+      // checkpoint the trained cost tables: seg1/c1/voc2/fc below otherwise
+      // chain the whole vocabulary-selection window into every action's plan
       val voc = voc0.crossJoin(broadcast(t0))
         .select($"piece", graft.ColFns.detMln($"tt", $"fw").as("cost0"))
-        .transform(graft.CacheScope.cached)
+        .transform(graft.CacheScope.checkpointed)
       def costMap(vocDf: DataFrame, costCol: String): DataFrame =
         vocDf.agg(map_from_entries(collect_list(
           struct(col("piece"), col(costCol)))).as("cm"))
@@ -2121,21 +2132,21 @@ object TextAnalysis {
         .withColumn("barr", expr(emDpSpark("cm")))
         .withColumn("ps", expr(emBacktraceSpark("cm", "barr")))
       val c1 = seg1.select($"word", explode($"ps").as("piece"))
-        .join(wt, "word")
+        .join(broadcast(wt), "word")
         .groupBy($"piece").agg(sum($"w_total").as("used"))
-      val voc2 = voc.join(c1, Seq("piece"), "left")
+      val voc2 = voc.join(broadcast(c1), Seq("piece"), "left")
         .select($"piece", coalesce($"used", lit(0L)).as("used"),
           (coalesce($"used", lit(0L)) + 1L).as("f1"))
         .transform(graft.CacheScope.cached)
       val t1 = voc2.agg(sum($"f1").as("tt"))
       val voc2c = voc2.crossJoin(broadcast(t1))
         .select($"piece", $"used", graft.ColFns.detMln($"tt", $"f1").as("cost1"))
-        .transform(graft.CacheScope.cached)
+        .transform(graft.CacheScope.checkpointed)
       val fc = dict.crossJoin(broadcast(costMap(voc2c, "cost1")))
         .withColumn("barr", expr(emDpSpark("cm")))
         .select($"word",
           expr("element_at(barr, CAST(length(word) + 1 AS INT))").as("bestf"))
-      val src = wc.join(fc, "word")
+      val src = wc.join(broadcast(fc), "word")
         .groupBy($"source")
         .agg(sum($"cnt" * ($"bestf" % 1024)).as("n"),
           sum($"cnt" * expr("bestf DIV 1024")).as("micro"))

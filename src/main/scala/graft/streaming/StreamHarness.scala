@@ -20,6 +20,24 @@ object StreamHarness {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Pin the shuffle-partition count (= the state-store partition count
+    * frozen into a NEW checkpoint) for the duration of `start`. Safe to
+    * restore right after: the stream clones the session conf synchronously
+    * inside start(). Stateful streaming queries that start their own sink
+    * (rather than through [[runToMemory]]) use this so their state store is
+    * sized to the KEY CARDINALITY instead of the session default — every
+    * micro-batch pays one state commit per partition, so a handful-of-keys
+    * aggregation on a 32-partition store pays 32 commits a batch for state
+    * that fits in one (measured on q352: 5 epochs x 32 commits was ~2 s of
+    * pure commit overhead; optimization guide §2 — size from the data, not
+    * from the core count).
+    */
+  def withStatePartitions[T](s: SparkSession, statePartitions: Int)(start: => T): T = {
+    val prev = s.conf.get(ShuffleKey)
+    s.conf.set(ShuffleKey, statePartitions.toString)
+    try start finally s.conf.set(ShuffleKey, prev)
+  }
+
   /** Drain `build`'s streaming plan to a memory sink and return it as a
     * (lazy) DataFrame. `statePartitions` sizes the state store to the key
     * cardinality — each micro-batch pays one state commit per partition, so
@@ -40,19 +58,18 @@ object StreamHarness {
       failOnLateDrop: Boolean = true)
       (build: => DataFrame): DataFrame = {
     val sinkName = s"${prefix}_sink_${System.nanoTime()}"
-    val prevShuffle = s.conf.get(ShuffleKey)
     val prevStore = s.conf.getOption(StoreKey)
-    s.conf.set(ShuffleKey, statePartitions.toString)
     if (rocksdb) s.conf.set(StoreKey, RocksDb)
     val q = try {
-      build.writeStream.outputMode(mode)
-        .format("memory").queryName(sinkName)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(s"graft-$prefix-ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      withStatePartitions(s, statePartitions) {
+        build.writeStream.outputMode(mode)
+          .format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft-$prefix-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
     } finally {
-      s.conf.set(ShuffleKey, prevShuffle)
       prevStore match {
         case Some(v) => s.conf.set(StoreKey, v)
         case None => s.conf.unset(StoreKey)
