@@ -1103,7 +1103,10 @@ object PlanAudit {
       "corpus collapses once to (source, word) counts" -> "HashAggregate",
       "piece-cost maps broadcast into the dictionary walks" -> "BroadcastNestedLoopJoin",
       "no cartesian product anywhere" -> "!CartesianProduct",
-      "only source and text read" -> "ReadSchema: struct<text:string,source:string>"),
+      // r12: the corpus collapse is checkpointed at build time (its scan
+      // prunes to text+source there); the readout plan must never rescan
+      // the corpus — the q427/q424 pattern for build-time-consumed input
+      "readout runs on the checkpointed collapse (no corpus rescan)" -> "!Scan parquet"),
     "q424_streaming_anisotropy" -> Seq(
       // the corpus pass ran through the engine source at plan-build time
       // (complete-mode Gram counters); the readout is the drained snapshot
