@@ -101,6 +101,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE size CACHED plans' output partitions from their bytes
+      // (default false for historical compat): CacheScope-cached frames
+      // otherwise freeze the session shuffle-partition count into every
+      // downstream scan, so a KB-sized cached table is re-read as `cpus`
+      // near-empty partitions by every action that touches it — per-task
+      // overhead that scales with the core count, not the data (the r11
+      // verdict's 8-core-beats-32-core pathology). Scale-adaptive by
+      // construction: at real input sizes AQE keeps caches many-partitioned.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -202,7 +211,14 @@ object Bench {
     "q100_decontaminate", "q107_streaming_join", "q111_multijoin_profit",
     "q114_bloom_semijoin", "q116_paragraph_dedup", "q120_streaming_lsh_dedup",
     "q131_replay_from_time", "q132_batch_time_slice", "q134_multimodal_decode",
-    "q323_release_pipeline", "q341_stream_pipe_replication")
+    "q323_release_pipeline", "q341_stream_pipe_replication",
+    // round-12 ADDITIONS (r11 verdict task: the optimized heavies were
+    // invisible to the driver's per-query table — additions only, the
+    // original 20 keep their round-over-round comparison validity)
+    "q182_streaming_quantiles", "q195_bfs_hops", "q199_correlation_matrix",
+    "q229_kcore_decomposition", "q261_link_prediction",
+    "q352_ktable_materialization", "q353_streaming_psi",
+    "q417_deletion_neighborhood", "q423_unigram_lm_tokenizer")
 
   private def jarr(names: Seq[String]): String =
     names.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -591,6 +591,16 @@ object Dedup {
         .filter($"a.n" * 3 <= $"b.n" * 5 && $"b.n" * 3 <= $"a.n" * 5)
         .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
         .distinct()
+        // pin the exact-verify stage's parallelism with a keyed exchange of
+        // the 16-byte pair table: the per-pair array_intersect below is
+        // per-row compute AQE cannot see, so byte-sized coalescing would
+        // otherwise run the ~3 s (CPU) verify on 1-2 tasks (measured +1.5 s
+        // at sf0.1). The partition count is EXPLICIT — an AQE-coalescible
+        // keyed repartition gets folded right back to 1. Repartitioning the
+        // PAIRS — never the hash arrays — is the guide §8 proxy-shuffle
+        // shape and stays cheap at any corpus size.
+        .transform(d => d.repartition(
+          d.sparkSession.sparkContext.defaultParallelism, col("da")))
       cand
         .join(docs.select($"doc_id".as("da"), $"sorted".as("ha"), $"n".as("na")), "da")
         .join(docs.select($"doc_id".as("db"), $"sorted".as("hb"), $"n".as("nb")), "db")
