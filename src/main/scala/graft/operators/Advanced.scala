@@ -928,12 +928,24 @@ object Advanced {
         .unionAll(e0.select($"s2".as("u"), $"s1".as("v")))
         .transform(graft.CacheScope.cached)
       val deg = adj.groupBy($"u".as("s")).agg(count(lit(1)).as("d"))
+      // the wedge aggregation is the query's hot path (~45M join rows into
+      // ~500k pair groups at sf0.1): pack the (x, y) pair into ONE bigint
+      // group key — half the shuffled key bytes, single-long hash probes in
+      // the partial/final aggregates (guide §2.3 narrower keys). Safe while
+      // l_suppkey < 2^32 (TPC-H suppkeys are 10k x SF, so this holds beyond
+      // SF 100k); unpacked right after the aggregate, results identical.
       val cand = adj.as("a")
         .join(adj.as("b"), $"a.v" === $"b.v" && $"a.u" < $"b.u")
-        .groupBy($"a.u".as("x"), $"b.u".as("y"))
-        .agg(count(lit(1)).as("cn"))
-      val ne = cand.join(e0,
-        $"x" === $"s1" && $"y" === $"s2", "left_anti")
+        .select((shiftleft($"a.u", 32).bitwiseOR($"b.u")).as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("cn"))
+      // existing edges removed by the same packed key, with the edge set
+      // BROADCAST: e0 is node-sized (top-30% pairs), and the SMJ anti join
+      // was paying a sort of the full candidate table; unpack after
+      val ne = cand.join(
+        broadcast(e0.select(shiftleft($"s1", 32).bitwiseOR($"s2").as("epk"))),
+        $"pk" === $"epk", "left_anti")
+        .select(shiftright($"pk", 32).as("x"),
+          $"pk".bitwiseAND(lit(0xffffffffL)).as("y"), $"cn")
       ne.join(broadcast(deg.select($"s".as("x"), $"d".as("deg_a"))), Seq("x"))
         .join(broadcast(deg.select($"s".as("y"), $"d".as("deg_b"))), Seq("y"))
         .select($"x".as("s_a"), $"y".as("s_b"),
