@@ -42,13 +42,29 @@ object CacheScope {
     * blocks — the local-mode analogue of the checkpoint-between-rounds
     * discipline those queries already document for 100 TB runs. Blocks are
     * unpersisted at `release()` like any other query-internal cache.
+    *
+    * CONTRACT: after `release()`, a still-held checkpointed Dataset (or any
+    * lazy plan whose leaves reference it) throws on its next action — the
+    * blocks are dropped and, unlike a cache, there is no lineage left to
+    * recompute. Runners must rebuild via the query fn after a release, as
+    * Bench/Verify/TimeQuery do; never re-action a frame returned before it.
+    *
+    * The checkpointed RDD is captured DIRECTLY off the returned Dataset's
+    * LogicalRDD leaf (a registry diff around the call would mis-capture any
+    * RDD another thread persists concurrently and fatally unpersist it —
+    * round-11 advice). The registry diff remains only as a fallback for an
+    * unexpected plan shape.
     */
   def checkpointed[T](df: Dataset[T]): Dataset[T] = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
-    val after = sc.getPersistentRDDs
-    after.keysIterator.filterNot(before).foreach(id => ckRdds.add(after(id)))
+    out.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => ckRdds.add(lr.rdd)
+      case _ =>
+        val after = sc.getPersistentRDDs
+        after.keysIterator.filterNot(before).foreach(id => ckRdds.add(after(id)))
+    }
     out
   }
 

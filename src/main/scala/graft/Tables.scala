@@ -83,8 +83,25 @@ object Tables {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
+  // NOTE: memoized per (dir, table) with no invalidation for the JVM's
+  // lifetime — fine for the read-only driver fixtures this keys on; a tool
+  // that regenerates a fixture dir in-process would see stale counts.
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.computeIfAbsent((dir, name), _ => load(spark, dir, name).count())
+
+  /** Scale-adaptive micro-batch caps for streams carrying a full fixture
+    * table (optimization guide §2: derive sizing from the input, never a
+    * constant tuned for one SF). `twoBatchCap` drains in 2 micro-batches at
+    * any SF ≥ 0.01 — state still crosses one batch boundary — and in 1 batch
+    * below the 4000-entry floor (sf0.001 keeps its historical batch count);
+    * `severalBatchCap` keeps a multi-commit exercise at ~4 batches. One
+    * definition shared by StreamLog and Monitoring so the floor/divisor
+    * can't drift between copies (round-11 advice).
+    */
+  def twoBatchCap(spark: SparkSession, dir: String, table: String = "events"): String =
+    math.max(4000L, rowCount(spark, dir, table) / 2 + 1).toString
+  def severalBatchCap(spark: SparkSession, dir: String, table: String = "events"): String =
+    math.max(3000L, rowCount(spark, dir, table) / 4 + 1).toString
 
   /** Parallelize a scan-stage-heavy pipeline over an effectively
     * unsplittable input. Every driver fixture is ONE parquet file with ONE

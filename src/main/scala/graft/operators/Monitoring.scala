@@ -759,11 +759,10 @@ object Monitoring {
           .option("valueSchema",
             "event_id BIGINT, event_type STRING, half BIGINT, cents BIGINT")
           .option("startingOffsets", "earliest")
-          // scale-adaptive: 2 batches at any SF (a fixed 4000 meant 25
-          // batches × the per-batch commit floor at sf0.1; the compacted
-          // complete-mode state is batch-count-invariant)
-          .option("maxEntriesPerTrigger", math.max(4000L,
-            graft.Tables.rowCount(s, dir, "events") / 2 + 1).toString)
+          // scale-adaptive: 2 batches at any SF >= 0.01, 1 below the floor
+          // (a fixed 4000 meant 25 batches × the per-batch commit floor at
+          // sf0.1; the compacted complete-mode state is batch-count-invariant)
+          .option("maxEntriesPerTrigger", graft.Tables.twoBatchCap(s, dir))
           .load()
           .groupBy($"event_type", $"cents")
           .agg(sum(when($"half" === 1L, 1L).otherwise(0L)).as("d1"),

@@ -95,9 +95,9 @@ object StreamLog {
     * Floors keep the sf0.001 gate's batch counts as they were.
     */
   private def twoBatchCap(s: SparkSession, dir: String): String =
-    math.max(4000L, Tables.rowCount(s, dir, "events") / 2 + 1).toString
+    Tables.twoBatchCap(s, dir)
   private def severalBatchCap(s: SparkSession, dir: String): String =
-    math.max(3000L, Tables.rowCount(s, dir, "events") / 4 + 1).toString
+    Tables.severalBatchCap(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -183,7 +183,7 @@ object StreamLog {
           // 2 micro-batches at bench scale (sf0.1 = 100k events): state
           // still crosses a batch boundary, without paying the fixed
           // per-batch commit overhead twice more (measured ~0.5 s/batch)
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .select(to_timestamp($"values.ts_s").as("ets"),
             $"values.event_type".as("event_type"))
@@ -218,7 +218,7 @@ object StreamLog {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .select($"values.user_id".as("user_id"),
             $"values.event_type".as("event_type"))
@@ -253,7 +253,7 @@ object StreamLog {
         s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .select($"values.user_id".as("user_id"),
             $"values.event_type".as("event_type"))
@@ -374,7 +374,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .selectExpr("values['event_type'] AS k", "values['event_id'] AS v")
         graft.streaming.StreamingOps.runningCountByKeyTws(s, src, "k", "v")
@@ -408,7 +408,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .selectExpr("values['event_type'] AS k",
             "CAST(values['user_id'] AS BIGINT) % 10 AS b")
@@ -610,7 +610,7 @@ object StreamLog {
         val src = s.readStream.format("graftlog")
           .option("path", root).option("stream", "ev")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
           .selectExpr("values['event_type'] AS k", "values['event_id'] AS id")
         graft.streaming.StreamingOps.recentIdsByKeyTws(s, src, "k", "id", 3)
@@ -2253,7 +2253,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, user_id BIGINT, obs BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
         graft.streaming.StreamingOps
           .forwardFillByKeyTws(s, src, "user_id", "event_id", "obs")
@@ -2306,7 +2306,7 @@ object StreamLog {
           .option("path", root).option("stream", "events")
           .option("valueSchema", "event_id BIGINT, event_type STRING, vd BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
         graft.streaming.StreamingOps
           .anomalyFlagsByKeyTws(s, src, "event_type", "event_id", "vd", 30L)
@@ -2357,7 +2357,7 @@ object StreamLog {
           .option("valueSchema",
             "tsu BIGINT, event_id BIGINT, user_id STRING, event_type STRING")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
         graft.streaming.StreamingOps
           .funnelByUserTws(s, src, "user_id", "tsu", "event_type", "event_id",
@@ -2489,7 +2489,7 @@ object StreamLog {
           .option("valueSchema",
             "event_id BIGINT, user_id BIGINT, event_type STRING, us BIGINT")
           .option("startingOffsets", "earliest")
-          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF
+          .option("maxEntriesPerTrigger", twoBatchCap(s, dir)) // 2 batches at any SF >= 0.01 (1 below the floor)
           .load()
         graft.streaming.StreamingOps
           .cepMatchesByKeyTws(s, src, "user_id", "event_id", "us",
