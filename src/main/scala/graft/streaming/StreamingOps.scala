@@ -515,15 +515,36 @@ object StreamingOps {
     */
   private class BandMinFinalizeProcessor
       extends StatefulProcessor[String, (String, Long, java.sql.Timestamp), (Long, Boolean)] {
-    @transient private var minSeen: ValueState[Long] = _
+    // one ValueState row per key: (band minimum id, earliest pending event
+    // ms, currently registered timer deadline or 0). Folding the timer
+    // deadline and the pending minimum into the per-key state the processor
+    // already reads lets every batch skip a per-key RocksDB timer iteration
+    // (listTimers) and — when the watermark finalizes nothing — the full
+    // read+rewrite of the pending buffer (round-12: ~20k band keys paid
+    // both on every one of the 4+ micro-batches).
+    @transient private var meta: ValueState[(Long, Long, Long)] = _
     @transient private var pending: ListState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      minSeen = getHandle.getValueState[Long]("minSeen", Encoders.scalaLong,
+      meta = getHandle.getValueState[(Long, Long, Long)]("meta",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       pending = getHandle.getListState[(Long, Long)]("pending",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
+
+    /** Keep exactly one live timer, tracked in `curT` (0 = none): register
+      * only when the required deadline differs from the tracked one — the
+      * engine removes an expired timer itself, the caller passes curT = 0
+      * after expiry.
+      */
+    private def retime(curT: Long, want: Long): Long =
+      if (curT == want) curT
+      else {
+        if (curT != 0L) getHandle.deleteTimer(curT)
+        if (want != 0L) getHandle.registerTimer(want)
+        want
+      }
 
     /** Emit every pending doc the watermark has finalized (all smaller ids
       * have arrived — late ones were dropped under the watermark contract),
@@ -532,40 +553,48 @@ object StreamingOps {
       * so a finalized doc's verdict covers every doc that can ever precede
       * it.
       */
-    private def drainFinalized(wmMs: Long,
-        expiredTs: Option[Long] = None): Iterator[(Long, Boolean)] = {
+    private def drainFinalized(wmMs: Long, mn: Long, minTs: Long,
+        curT: Long): Iterator[(Long, Boolean)] = {
+      if (minTs > wmMs) { // nothing finalizable: buffer untouched
+        meta.update((mn, minTs,
+          retime(curT, if (minTs == Long.MaxValue) 0L else minTs + 1L)))
+        return Iterator.empty
+      }
       val all = pending.get().toList
       val (ready, hold) = all.partition(_._2 <= wmMs)
-      // materialize before mutating: deleting while iterating the live
-      // timer iterator is provider-dependent; the just-expired timer is
-      // removed by the engine itself, so deleting it again only warns
-      getHandle.listTimers().toList
-        .filterNot(expiredTs.contains).foreach(getHandle.deleteTimer)
-      if (hold.isEmpty) pending.clear()
-      else {
+      if (hold.isEmpty) {
+        pending.clear()
+        meta.update((mn, Long.MaxValue, retime(curT, 0L)))
+      } else {
         pending.put(hold.toArray)
-        getHandle.registerTimer(hold.iterator.map(_._2).min + 1L)
+        val newMin = hold.iterator.map(_._2).min
+        meta.update((mn, newMin, retime(curT, newMin + 1L)))
       }
-      val mn = if (minSeen.exists()) minSeen.get() else Long.MaxValue
       ready.sortBy(_._1).iterator.map { case (id, _) => (id, mn < id) }
     }
 
     override def handleInputRows(key: String,
         rows: Iterator[(String, Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[(Long, Boolean)] = {
-      var mn = if (minSeen.exists()) minSeen.get() else Long.MaxValue
+      var (mn, minTs, curT) =
+        if (meta.exists()) meta.get() else (Long.MaxValue, Long.MaxValue, 0L)
       rows.foreach { case (_, id, ts) =>
+        val ms = ts.getTime
         if (id < mn) mn = id
-        pending.appendValue((id, ts.getTime))
+        if (ms < minTs) minTs = ms
+        pending.appendValue((id, ms))
       }
-      minSeen.update(mn)
-      drainFinalized(timerValues.getCurrentWatermarkInMs())
+      drainFinalized(timerValues.getCurrentWatermarkInMs(), mn, minTs, curT)
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Boolean)] =
-      drainFinalized(timerValues.getCurrentWatermarkInMs(),
-        Some(expiredTimerInfo.getExpiryTimeInMs()))
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Boolean)] = {
+      val (mn, minTs, curT) =
+        if (meta.exists()) meta.get() else (Long.MaxValue, Long.MaxValue, 0L)
+      val stillTracked =
+        if (curT == expiredTimerInfo.getExpiryTimeInMs) 0L else curT
+      drainFinalized(timerValues.getCurrentWatermarkInMs(), mn, minTs, stillTracked)
+    }
   }
 
   /** Order-robust streaming near-dup verdicts: `rows` must carry a
