@@ -105,14 +105,33 @@ object Advanced {
       val tmpL = graft.TempDirs.scratch("graft-q167-lineitem")
       s.sql("DROP TABLE IF EXISTS graft_b_orders")
       s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
-      T(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", tmpO).saveAsTable("graft_b_orders")
-      T(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", tmpL).saveAsTable("graft_b_lineitem")
+      // Pre-partition each write by its bucket key: HashPartitioning and
+      // bucket assignment use the same murmur3-pmod, so every write task
+      // holds exactly one bucket — the sort+write parallelizes to the
+      // bucket count and each bucket lands in ONE file (instead of one
+      // file per input split per bucket), which is what keeps the merge
+      // join sort-free on read and the file count layout-healthy at scale
+      // (guide §6). The two writes share no input — overlap them so the
+      // small orders write rides inside the lineitem write's wall time
+      // (guide §2.6).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wo = Future {
+        T(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+          .repartition(8, $"o_orderkey")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", tmpO).saveAsTable("graft_b_orders")
+      }
+      val wl = Future {
+        T(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .repartition(8, $"l_orderkey")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", tmpL).saveAsTable("graft_b_lineitem")
+      }
+      Await.result(wo, scala.concurrent.duration.Duration.Inf)
+      Await.result(wl, scala.concurrent.duration.Duration.Inf)
       s.table("graft_b_lineitem")
         .join(s.table("graft_b_orders").hint("merge"),
           $"l_orderkey" === $"o_orderkey")

@@ -269,6 +269,7 @@ object Evaluation {
       // top-20 compiles to TakeOrderedAndProject, no global sort.
       val b = T(s, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .transform(graft.CacheScope.cached) // read 4x: counts, n_orders, both self-join sides
       val c = b.groupBy($"p").agg(count(lit(1)).as("cnt"))
       val nOrders = b.agg(countDistinct($"o").as("n_orders"))
       val pairs = b.as("a")
@@ -581,6 +582,7 @@ object Evaluation {
         when(c === 0L, 0L).otherwise(c * lnmC(c))
       val b = T(s, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .transform(graft.CacheScope.cached) // read 4x: counts, n_orders, both self-join sides
       val c = b.groupBy($"p").agg(count(lit(1)).as("cnt"))
       val nOrders = b.agg(countDistinct($"o").as("n_orders"))
       val pairs = b.as("a")

@@ -110,7 +110,7 @@ object Release {
       graft.functions.GraftExpressions.register(s)
       // ---- stage 1: crawl — synthesize page + URL, extract text ----
       // (map-side; the extracted column is the only thing later stages read)
-      val ex = T(s, dir, "documents")
+      val ex = graft.Tables.spread(T(s, dir, "documents"))
         .withColumn("html", expr(WebCorpus.htmlExpr))
         .withColumn("url", expr(WebCorpus.urlExpr))
         .withColumn("extracted",
