@@ -24,11 +24,18 @@ object Dedup {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** documents with `words` (split) and distinct 3-gram `shingles`. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  /** documents with `words` (split) and distinct 3-gram `shingles`.
+    * `spreadInput` repartitions the (single-row-group) document scan first
+    * so the per-row shingle work parallelizes — opt-in per query because
+    * the exchange ships the raw text and only pays where the downstream
+    * per-row compute (e.g. polyhash over every shingle) dominates.
+    */
+  private def shingled(s: SparkSession, dir: String,
+      spreadInput: Boolean = false): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
-    T(s, dir, "documents")
+    val docs = T(s, dir, "documents")
+    (if (spreadInput) graft.Tables.spread(docs) else docs)
       .withColumn("w", split($"text", " "))
       .filter(size($"w") >= 3)
       .withColumn("shingles", expr(shinglesSql("w")))
@@ -458,11 +465,15 @@ object Dedup {
       // graphs; alternating large-star/small-star would cut the round count,
       // unnecessary while near-dup components stay shallow). localCheckpoint
       // cuts the growing lineage each round.
-      val sh = shingled(s, dir)
+      val sh = shingled(s, dir, spreadInput = true)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", $"hh")
         .transform(graft.CacheScope.cached)
+      // same parallelism pins as q457: spread the shingle compute, explicit
+      // partition count on the exploded join input (AQE's byte-based
+      // coalescing cannot see the join's row fan-out)
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
+        .repartition(s.sparkContext.defaultParallelism, $"h")
       val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
@@ -529,11 +540,18 @@ object Dedup {
          |SELECT doc_id, cluster, doc_id = cluster AS is_canonical
          |FROM lab ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
-      val sh = shingled(s, dir)
+      val sh = shingled(s, dir, spreadInput = true)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", $"hh")
         .transform(graft.CacheScope.cached)
+      // pin the all-pairs join's parallelism with an EXPLICIT partition
+      // count on the exploded (doc_id, h) table: the join's row fan-out is
+      // per-row compute AQE's byte-based coalescing cannot see, so the
+      // shuffled join stage otherwise collapses to 1 task (~0.7 s serial
+      // at sf0.1 — the q92 pathology). Both self-join sides reuse the one
+      // keyed exchange.
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
+        .repartition(s.sparkContext.defaultParallelism, $"h")
       val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))

@@ -102,19 +102,26 @@ object StarContraction {
         .filter($"a" =!= $"b").distinct()
     }
     var cur = canonDF(edges).localCheckpoint(true)
+    // memoize each round's edge count: the fixpoint test needs this
+    // round's count and LAST round's, so recounting `cur` every round was
+    // one redundant job per round (driver-job overhead dominates the late,
+    // tiny rounds)
+    var curCount = cur.count()
     var rounds = 0
-    var done = cur.isEmpty
+    var done = curCount == 0
     while (!done) {
       val next = canonDF(smallStarDF(largeStarDF(cur))).localCheckpoint(true)
       rounds += 1
       require(rounds <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
       // fixpoint: same count and no edge outside the previous set
-      val changed = next.count() != cur.count() ||
+      val nextCount = next.count()
+      val changed = nextCount != curCount ||
         next.as("n").join(cur.as("c"),
           $"n.a" === $"c.a" && $"n.b" === $"c.b", "left_anti").count() > 0
       if (!changed) done = true
       cur = next
+      curCount = nextCount
     }
     cur.select($"a".as("doc_id"), $"b".as("cluster"))
       .unionAll(cur.select($"b", $"b").distinct()
