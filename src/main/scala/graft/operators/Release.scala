@@ -3,7 +3,6 @@ package graft.operators
 import graft.QueryDef.q
 import graft.functions.TextHash._
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -117,15 +116,22 @@ object Release {
           expr(WebCorpus.extractExpr(duck = false, "html")))
         .select($"doc_id", $"url", $"extracted")
         .transform(graft.CacheScope.cached) // stage count + stage 2 input
-      // ---- stage 2: URL dedup — one shuffle on canon_url, keep-first ----
-      val byCanon = Window.partitionBy($"canon_url")
-      val u = ex
+      // ---- stage 2: URL dedup — keep-first decided on a (canon_url,
+      // doc_id) PROXY (guide §8): the old window ranked full rows, so the
+      // one canon_url shuffle carried every extracted payload; the groupBy
+      // collapses map-side and ships only urls+ids, and the survivor ids
+      // re-attach to the CACHED ex with a semi-join the planner sizes
+      // itself (broadcast here, shuffled at corpus scale). doc_ids are
+      // unique, so id IN reps <=> id is its canon group's minimum.
+      val reps = ex
         .withColumn("scheme", expr(WebCorpus.schemeExpr))
         .withColumn("auth", expr(WebCorpus.authExpr))
         .withColumn("pathq", expr(WebCorpus.pathqExpr))
         .withColumn("canon_url", expr(WebCorpus.canonUrlSql(duck = false)))
-        .withColumn("rep", min($"doc_id").over(byCanon))
-        .filter($"doc_id" === $"rep")
+        .select($"canon_url", $"doc_id")
+        .groupBy($"canon_url").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val u = ex.join(reps, Seq("doc_id"), "left_semi")
         .select($"doc_id", $"extracted")
       // ---- stage 3: quality gates — map-side metrics, integer thresholds
       val k = u

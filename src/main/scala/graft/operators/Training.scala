@@ -917,15 +917,27 @@ object Training {
       // dedup + LM are the established per-stage plans; everything after
       // the per-source rollup is a |sources|-row table.
       val keep = graft.functions.TextHash.QualityKeep
-      val d = T(s, dir, "documents")
+      // spread the single-row-group scan so the per-row gate metrics
+      // parallelize (no-op on healthy layouts), and cache the gated table:
+      // the dedup decision and the survivor set both read it
+      val d = graft.Tables.spread(T(s, dir, "documents"))
         .select($"doc_id", $"source", lower($"text").as("nt"),
           split($"text", " ").as("w"))
       val g = d.selectExpr(Seq("doc_id", "source", "nt", "w") ++
           graft.functions.TextHash.qualityMetricsSpark("w"): _*)
         .filter(expr(keep))
-      val rep = g.withColumn("rep_id",
-          min($"doc_id").over(Window.partitionBy($"nt")))
-        .filter($"doc_id" === $"rep_id")
+        .transform(graft.CacheScope.cached)
+      // exact dedup on nt as a PROXY decision (guide §8): aggregate
+      // min(doc_id) over just (nt, doc_id) — map-side partial collapse,
+      // no w/source payload in the exchange (the old window shuffled the
+      // full row to rank it) — then attach the survivor ids back with a
+      // semi-join the planner sizes itself (broadcast here, shuffled at
+      // corpus scale). doc_ids are unique, so id IN reps <=> id is its
+      // nt-group's minimum: identical rows survive.
+      val reps = g.select($"nt", $"doc_id")
+        .groupBy($"nt").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val rep = g.join(reps, Seq("doc_id"), "left_semi")
         .select($"doc_id", $"source", $"w")
       // ---- seam: the release is MATERIALIZED and the planner reads it
       val relDir = graft.TempDirs.scratch("graft-q400-release")
