@@ -704,7 +704,11 @@ object Dedup {
       // shingles seen in > K docs before the self-join — a stop-shingle
       // list); the fixture corpus needs no cap, so the operator stays
       // exact here.
-      val sh = T(s, dir, "documents")
+      // same parallelism pins as q457/q106: spread the single-row-group
+      // scan under the per-row shingle/hash compute, and give the exploded
+      // join input an explicit keyed partition count (AQE's byte-based
+      // coalescing cannot see the self-join's row fan-out)
+      val sh = graft.Tables.spread(T(s, dir, "documents"))
         .withColumn("w", split($"text", " "))
         .filter(size($"w") >= 3)
         .withColumn("shingles", expr(shinglesSql("w")))
@@ -712,6 +716,7 @@ object Dedup {
         .select($"doc_id", $"hh")
         .transform(graft.CacheScope.cached) // index join + two size lookups
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
+        .repartition(s.sparkContext.defaultParallelism, $"h")
       val sz = sh.select($"doc_id", size($"hh").cast("long").as("n"))
       ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

@@ -1980,7 +1980,10 @@ object TextAnalysis {
       // token share whose context has exactly one continuation. Triples
       // extract map-side; the shuffles are the (source, ctx, nxt) and
       // (source, ctx) aggregates — both key-bounded, no window anywhere.
-      val tri = T(s, dir, "documents")
+      // spread the single-row-group scan: the triple extraction is pure
+      // per-row compute and ran as one ~0.7 s task per consumer (guide
+      // §2.5; no-op on healthy multi-split layouts)
+      val tri = graft.Tables.spread(T(s, dir, "documents"))
         .withColumn("w", split($"text", " "))
         .filter(size($"w") >= 3)
         .select($"source", explode(expr(
