@@ -361,11 +361,16 @@ object Dedup {
          |FROM truth t LEFT JOIN cand c ON t.da = c.cda AND t.db = c.cdb
          |GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
       import s.implicits._
-      val sh = shingled(s, dir)
+      val sh = shingled(s, dir, spreadInput = true)
         .withColumn("hh", expr("array_distinct(transform(shingles, s -> graft_polyhash(s)))"))
         .select($"doc_id", $"hh")
         .transform(graft.CacheScope.cached) // truth index + signatures
+      // same parallelism pins as q457/q106/q181: spread the shingle/hash
+      // compute (above), explicit keyed partition count on the exploded
+      // join input (AQE's byte-based coalescing cannot see join fan-out);
+      // the spread cache also parallelizes the minhash signature leg below
       val ex = sh.select($"doc_id", explode($"hh").as("h"))
+        .repartition(s.sparkContext.defaultParallelism, $"h")
       val pair = ex.as("a").join(ex.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))

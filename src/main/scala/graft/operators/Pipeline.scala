@@ -791,7 +791,10 @@ object Pipeline {
       // keys; nothing in the plan holds more than one doc's gram counts.
       // Thresholds are integer cross-multiplications (×5 for 1/5, ×50 > ×9
       // for 18%), so the flags cannot flap on a float edge.
-      val docs = T(s, dir, "documents")
+      // spread the single-row-group scan: each union branch's explode +
+      // partial aggregation is per-row compute that otherwise runs as one
+      // task per branch (guide §2.5; no-op on healthy layouts)
+      val docs = graft.Tables.spread(T(s, dir, "documents"))
         .select($"doc_id", $"n_chars", split($"text", " ").as("w"))
       def grams(n: Int) = docs.filter(size($"w") >= n)
         .select($"doc_id", lit(n).as("n"),
