@@ -87,7 +87,12 @@ object Similarity {
          |ORDER BY id_a, id_b""") { (s, dir) =>
       import s.implicits._
       val e = T(s, dir, "embeddings")
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+      // spread the STREAMED side of the nested-loop join: the single-task
+      // scan otherwise runs all ~n^2/2 dot products serially (guide §2.5;
+      // no-op on healthy multi-split layouts). The broadcast side stays
+      // unspread.
+      val a = graft.Tables.spread(e)
+        .select($"vec_id".as("id_a"), $"embedding".as("ea"))
       val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
       a.join(b, $"id_a" < $"id_b")
         .withColumn("sim", expr("graft_dot(ea, eb)"))
