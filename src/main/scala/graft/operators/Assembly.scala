@@ -409,7 +409,9 @@ object Assembly {
       // corpus scale the gram text would ride as its polyhash; the
       // fixture keys on the text so the oracle stays legible.
       val starts = docStarts(s, dir).select($"doc_id", $"st")
-      val deps = T(s, dir, "documents")
+      // spread the single-row-group scan: the per-row bigram-occurrence
+      // explode + partial minmax agg ran as one ~0.7 s task (guide §2.5)
+      val deps = graft.Tables.spread(T(s, dir, "documents"))
         .withColumn("w", split($"text", " "))
         .filter(size($"w") >= 2)
         .select($"doc_id", explode(expr(

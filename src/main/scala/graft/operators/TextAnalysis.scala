@@ -1295,7 +1295,10 @@ object TextAnalysis {
       // and the support floor (c_xy >= 20) cuts the Zipf tail before the
       // vocab-keyed PMI joins. Top-30 via TakeOrderedAndProject.
       def lnmC(c: Column): Column = graft.ColFns.detMlnInt(c)
-      val d = T(s, dir, "documents")
+      // spread BEFORE the cache: the cache inherits the scan's single
+      // partition otherwise, so the map-side pair generation (the hot
+      // ~0.7 s leg) runs serially in every consumer (guide §2.5)
+      val d = graft.Tables.spread(T(s, dir, "documents"))
         .select(split($"text", " ").as("w"))
         .transform(graft.CacheScope.cached)
       val pr = d.filter(size($"w") >= 2)
