@@ -1395,9 +1395,15 @@ object Extras {
       // the real seam: a partitioned write + partitioned read-back (day
       // comes back as a partition column from the directory layout)
       val base = graft.TempDirs.scratch("graft-q332-zones")
+      // key the write by the partition column (explicit count so AQE's
+      // byte-based coalescing can't fold it back to one task): each day
+      // lands wholly in one task -> one file per partition and a parallel
+      // write, instead of the single scan task writing every partition
+      // (guide §6 hash distribution before a partitioned write)
       T(s, dir, "events")
         .select(to_date($"ts").as("day"),
           floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        .repartition(s.sparkContext.defaultParallelism, $"day")
         .write.mode("overwrite").partitionBy("day").parquet(base)
       val e = s.read.parquet(base).select($"day", $"vc")
         .transform(graft.CacheScope.cached) // bounds + zones

@@ -1365,7 +1365,11 @@ object TextAnalysis {
       // corpus-sized scale-up; phrases are capped at 4 words (standard
       // RAKE practice, and it bounds the string_agg state per group).
       val all = allStops.map(w => s"'$w'").mkString(", ")
-      val w = T(s, dir, "documents")
+      // spread the single-row-group scan under the posexplode (guide
+      // §2.5), and cache the segmented phrase words: both the phrase
+      // assembly and the score join read pw, which otherwise re-ran the
+      // scan + explode + stopword window once per branch
+      val w = graft.Tables.spread(T(s, dir, "documents"))
         .select($"doc_id", posexplode(split($"text", " ")))
         .toDF("doc_id", "pos", "word")
       val seg = w
@@ -1374,6 +1378,7 @@ object TextAnalysis {
           .over(Window.partitionBy($"doc_id").orderBy($"pos")))
       val pw = seg.where($"stop" === 0)
         .select($"doc_id", $"sid", $"pos", $"word")
+        .transform(graft.CacheScope.cached)
       val ph = pw.groupBy($"doc_id", $"sid").agg(
         count(lit(1)).as("len"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
