@@ -587,8 +587,12 @@ object Extras {
       val bad = daily.select($"day").distinct().orderBy($"day".desc)
         .limit(2).collect().map(_.getString(0)).toSeq
       val table = graft.TempDirs.scratch("graft-q235")
+      // key the initial load by the partition column (explicit count —
+      // q332's pattern): each day writes from one task in parallel with
+      // the others, one file per partition at any input split count
       daily.withColumn("n",
           when($"day".isin(bad: _*), $"n" * 2L).otherwise($"n"))
+        .repartition(s.sparkContext.defaultParallelism, $"day")
         .write.mode("overwrite").partitionBy("day").parquet(table)
       // backfill: recompute ONLY the bad days, swap their partitions
       daily.filter($"day".isin(bad: _*))
