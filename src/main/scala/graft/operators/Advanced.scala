@@ -1995,10 +1995,16 @@ object Advanced {
         val pick = votes.withColumn("rn", row_number().over(
             Window.partitionBy($"node").orderBy($"cnt".desc, $"vlabel")))
           .filter($"rn" === 1).select($"node".as("pnode"), $"vlabel")
-        labels = labels.join(pick, $"node" === $"pnode", "left")
+        // checkpoint between rounds (the q229/q195 iterative discipline):
+        // chaining three join+window rounds in one lazy tree makes every
+        // downstream action re-analyze the whole unrolled plan. The LAST
+        // round stays lazy so the final plan keeps its join/window shape
+        // for PlanAudit's pins (same convention as q229/q195).
+        val next = labels.join(pick, $"node" === $"pnode", "left")
           .select($"node", coalesce($"label", $"vlabel").as("label"),
             when($"at".isNotNull, $"at")
               .when($"vlabel".isNotNull, lit(t.toLong)).as("at"))
+        labels = if (t < 3) graft.CacheScope.checkpointed(next) else next
       }
       labels.select($"node".as("doc_id"),
           coalesce($"label", lit(-1L)).cast("long").as("label"),
