@@ -467,8 +467,11 @@ object Multimodal {
         |  CAST(w + 2*h - 2 AS BIGINT) AS n_colors
         |FROM m ORDER BY media_id""") { (s, dir) =>
       import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      // spread: the per-row GIF encode/decode otherwise runs in the
+      // single-row-group scan's one task (q143's PNG rationale)
+      val media = graft.Tables.spread(
+          Tables.load(s, dir, "documents").select($"doc_id"))
+        .as[Long]
         .mapPartitions(_.map(id =>
           MediaRecord(id, "image/gif", Codecs.encodeGif(fixtureImage(id)))))
       media.map { r =>
@@ -635,8 +638,11 @@ object Multimodal {
         |  CAST((2*(h-1) + media_id + 85) % 256 AS BIGINT) AS flip_corner_g
         |FROM m ORDER BY media_id""") { (s, dir) =>
       import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select($"doc_id").as[Long]
+      // spread: the double TIFF encode/decode generations otherwise run
+      // in the single-row-group scan's one task (q143's PNG rationale)
+      val media = graft.Tables.spread(
+          Tables.load(s, dir, "documents").select($"doc_id"))
+        .as[Long]
         .mapPartitions(_.map(id =>
           MediaRecord(id, "image/tiff", Codecs.encodeTiff(fixtureImage(id)))))
       def flip(img: Codecs.RgbImage): Codecs.RgbImage = {
