@@ -663,7 +663,10 @@ object Dedup {
       // max(doc_id) over the hash partition (two window aggs, one Window
       // node, no countDistinct and no self-join). At 100 TB the shuffle
       // carries (doc_id, 16-byte hash) pairs — fixed width, no text.
-      val spans = T(s, dir, "documents")
+      // spread the single-row-group scan: one md5 per overlapping span is
+      // pure per-row compute that otherwise runs as one ~0.5 s task
+      // (guide §2.5; no-op on healthy multi-split layouts)
+      val spans = graft.Tables.spread(T(s, dir, "documents"))
         .withColumn("w", split($"text", " "))
         .filter(size($"w") >= 10)
         .select($"doc_id", explode(expr(
